@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in kaza_lcms_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Queries over the canonical interleaved-document table run against the
+deterministic synthesized tables (kaza_lcms_ray.synth — exact
+BASELINE.json.input_hint shape, cached under /tmp so the DuckDB oracle reads
+the *same* parquet files via read_parquet()).  Queries over the driver's
+testdata tables (documents/embeddings/events) exercise the engine's generic
+text/dedup/ANN/window operators against the pre-registered DuckDB views.
 """
 
 from __future__ import annotations
@@ -18,27 +16,410 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+SF_ORACLE = 0.01  # the driver's correctness scale
+
+
+def _synth(sf_dir: str) -> str:
+    from kaza_lcms_ray import synth
+
+    return synth.ensure(sf_dir)
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{_synth(sf_dir)}/documents")
+
+
+def _geo(sf_dir: str):
+    from kaza_lcms_ray.stages import spans
+
+    return spans.geo_obs(_docs(sf_dir))
+
+
+def _i64(ds, cols: list[str]):
+    """Project + upcast integer columns to int64 so engine and oracle schemas
+    agree (the driver hash-compares values per column name)."""
+
+    def cast(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            col = t.column(c)
+            if pa.types.is_integer(col.type):
+                col = col.cast(pa.int64())
+            out[c] = col
+        return pa.table(out)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ queries
+
+
+def q_geo_parse(sf_dir: str):
+    return _i64(
+        _geo(sf_dir),
+        ["doc_id", "span_idx", "lon", "lat", "year", "doy", "b0", "b3", "c3"],
+    )
+
+
+def q_cell_encode(sf_dir: str):
+    return _i64(_geo(sf_dir), ["doc_id", "span_idx", "cell_id", "tile_id"])
+
+
+def q_pip_country(sf_dir: str):
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    joined = pip.pip_join(
+        _geo(sf_dir), f"{root}/polygons.parquet", kinds=["country"], mode="inner"
+    )
+    return _i64(joined, ["doc_id", "span_idx", "poly_id"])
+
+
+def q_pip_reference(sf_dir: str):
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    joined = pip.pip_join(
+        _geo(sf_dir), f"{root}/polygons.parquet", kinds=["reference"], mode="inner"
+    )
+    return _i64(joined, ["doc_id", "span_idx", "poly_id", "LANDCOVER"])
+
+
+def q_zonal_mean(sf_dir: str):
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.zonal_counts(_geo(sf_dir), keys=("cell_id", "year"), bands=(0, 3)),
+        ["cell_id", "year", "n", "mean_b0", "mean_b3"],
+    )
+
+
+def q_zonal_percentile(sf_dir: str):
+    from kaza_lcms_ray.stages import zonal
+
+    cols = ["cell_id", "year", "n"] + [f"p{p}_b3" for p in (10, 25, 50, 75, 90)]
+    return _i64(
+        zonal.zonal_percentiles(_geo(sf_dir), keys=("cell_id", "year"), band=3), cols
+    )
+
+
+def q_knn_plots(sf_dir: str):
+    from kaza_lcms_ray.stages import knn
+
+    root = _synth(sf_dir)
+    geo = _geo(sf_dir).filter(expr="doc_id < 'doc-000000002000'")
+    out = knn.knn_join(geo, f"{root}/training_plots.parquet")
+    return _i64(out, ["doc_id", "span_idx", "plot_id", "dist"])
+
+
+def q_tile_labels(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    root = _synth(sf_dir)
+    prims = rd.read_parquet(f"{root}/primitives.parquet")
+    return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
+
+
+def q_area_by_class(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage, zonal
+    from kaza_lcms_ray.state.cells import TILE_LEVEL
+
+    root = _synth(sf_dir)
+    prims = rd.read_parquet(f"{root}/primitives.parquet")
+    labels = assemblage.assemble_tile_labels(prims)
+    return _i64(zonal.area_by_class(labels, TILE_LEVEL), ["LANDCOVER", "n_tiles"])
+
+
+def q_flagship(sf_dir: str):
+    from kaza_lcms_ray.pipelines import flagship
+
+    root = _synth(sf_dir)
+    return _i64(
+        flagship.tile_assignments(root),
+        ["doc_id", "span_idx", "tile_id", "year", "LANDCOVER"],
+    )
+
+
+def q_harmonic_year(sf_dir: str):
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.harmonic_fit(_geo(sf_dir), keys=("year",), band=3),
+        ["year", "n", "b3_phase", "b3_amplitude"],
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return _i64(
+        dedup.exact_dedup_keys(docs, "text", "doc_id"), ["keep_id", "n_dups"]
+    )
+
+
+def q_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(text.token_stats(docs), ["doc_id", "n_chars_q", "n_tokens"])
+
+
+def q_text_scores(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        text.text_scores(docs), ["doc_id", "lang_pred", "stop_ratio", "quality"]
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(text.fingerprints(docs), ["doc_id", "fingerprint"])
+
+
+def q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(dedup.simhash_signatures(docs, "text", "doc_id"), ["doc_id", "simhash"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.minhash_candidate_pairs(docs, "text", "doc_id")
+
+
+def q_events_hourly(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(
+        events.tumbling_window(ev),
+        ["event_type", "window_start", "n", "min_value", "max_value"],
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    qids = qt.column("vec_id").to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()]
+    )
+    out = ann.cosine_topk(emb, qids, qmat, id_col="vec_id", embed_col="embedding", k=10)
+    return _i64(out, ["qid", "rank", "vec_id"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
+    from kaza_lcms_ray import synth
+    from kaza_lcms_ray.pipelines import flagship
+
+    root = synth.ensure(0.001)
+    return flagship.tile_assignments(root)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kaza_lcms_ray import synth
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    synth.ensure(SF_ORACLE)  # materialize before the oracle SQL can run
+    return {
+        "geo_parse": q_geo_parse,
+        "cell_encode": q_cell_encode,
+        "pip_country": q_pip_country,
+        "pip_reference": q_pip_reference,
+        "zonal_mean": q_zonal_mean,
+        "zonal_percentile": q_zonal_percentile,
+        "knn_plots": q_knn_plots,
+        "tile_labels": q_tile_labels,
+        "area_by_class": q_area_by_class,
+        "flagship": q_flagship,
+        "harmonic_year": q_harmonic_year,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "text_scores": q_text_scores,
+        "fingerprints": q_fingerprints,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "events_hourly": q_events_hourly,
+        "ann_topk": q_ann_topk,
+    }
+
+
+# --------------------------------------------------------------- oracle SQL
+
+
+def _geo_cte(root: str) -> str:
+    """Shared CTE: explode + parse geo spans from the synthesized parquet."""
+    return f"""
+geo AS (
+    SELECT doc_id, CAST(ord - 1 AS BIGINT) AS span_idx,
+           CAST(parts[1] AS DOUBLE) AS lon,
+           CAST(parts[2] AS DOUBLE) AS lat,
+           CAST(parts[3] AS BIGINT) AS "year",
+           CAST(parts[4] AS BIGINT) AS doy,
+           CAST(b[1] AS DOUBLE) AS b0, CAST(b[2] AS DOUBLE) AS b1,
+           CAST(b[3] AS DOUBLE) AS b2, CAST(b[4] AS DOUBLE) AS b3,
+           CAST(b[5] AS DOUBLE) AS b4, CAST(b[6] AS DOUBLE) AS b5,
+           CAST(round(CAST(b[1] AS DOUBLE) * 100, 0) AS BIGINT) AS c0,
+           CAST(round(CAST(b[4] AS DOUBLE) * 100, 0) AS BIGINT) AS c3
+    FROM (
+        SELECT doc_id, unnest(spans) AS span,
+               generate_subscripts(spans, 1) AS ord
+        FROM read_parquet('{root}/documents/part-*.parquet')
+    ), LATERAL (SELECT string_split(span.text, ';') AS parts),
+       LATERAL (SELECT string_split(parts[5], ',') AS b)
+    WHERE span.kind = 'geo'
+)"""
+
+
+def _cells_cte(root: str) -> str:
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        TILE_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+
+    def cell_expr(level: int) -> str:
+        ix = grid_coord_sql_expr("lon", 180.0, 360.0, level)
+        iy = grid_coord_sql_expr("lat", 90.0, 180.0, level)
+        return morton_sql_expr(ix, iy, level)
+
+    return f"""
+cells AS (
+    SELECT *, {cell_expr(CELL_LEVEL)} AS cell_id,
+              {cell_expr(TILE_LEVEL)} AS tile_id
+    FROM geo
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracle_sql_for(SF_ORACLE)
+
+
+def oracle_sql_for(sf: float) -> dict[str, str]:
+    from kaza_lcms_ray import synth
+
+    root = synth.synth_dir(sf)
+    geo = _geo_cte(root)
+    cells = _cells_cte(root)
+    pcts = ", ".join(
+        f"quantile_cont(CAST(c3 AS DOUBLE), {p / 100.0}) AS p{p}_b3"
+        for p in (10, 25, 50, 75, 90)
+    )
+    return {
+        "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
+        "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
+        "pip_country": f"""
+            WITH {geo},
+            cty AS (
+                SELECT poly_id, bbox.minx AS minx, bbox.miny AS miny,
+                       bbox.maxx AS maxx, bbox.maxy AS maxy
+                FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'country'
+            )
+            SELECT g.doc_id, g.span_idx, c.poly_id
+            FROM geo g JOIN cty c
+              ON g.lon >= c.minx AND g.lon < c.maxx
+             AND g.lat >= c.miny AND g.lat < c.maxy""",
+        "zonal_mean": f"""
+            WITH {geo}, {cells}
+            SELECT cell_id, "year", COUNT(*) AS n,
+                   CAST(SUM(c0) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b0,
+                   CAST(SUM(c3) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
+            FROM cells GROUP BY cell_id, "year" """,
+        "zonal_percentile": f"""
+            WITH {geo}, {cells}
+            SELECT cell_id, "year", COUNT(*) AS n, {pcts}
+            FROM cells GROUP BY cell_id, "year" """,
+        "knn_plots": f"""
+            WITH {geo},
+            ranked AS (
+                SELECT g.doc_id, g.span_idx, p.plot_id,
+                       sqrt((g.lon - p.lon) * (g.lon - p.lon)
+                          + (g.lat - p.lat) * (g.lat - p.lat)) AS dist,
+                       row_number() OVER (
+                           PARTITION BY g.doc_id, g.span_idx
+                           ORDER BY (g.lon - p.lon) * (g.lon - p.lon)
+                                  + (g.lat - p.lat) * (g.lat - p.lat) ASC,
+                                    p.plot_id ASC
+                       ) AS rn
+                FROM geo g, read_parquet('{root}/training_plots.parquet') p
+                WHERE g.doc_id < 'doc-000000002000'
+            )
+            SELECT doc_id, span_idx, plot_id, dist FROM ranked WHERE rn = 1""",
+        "tile_labels": f"""
+            SELECT tile_id, CAST("year" AS BIGINT) AS "year",
+                   CAST(class AS BIGINT) AS "LANDCOVER"
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1""",
+        "area_by_class": f"""
+            SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 GROUP BY class""",
+        "dedup_exact": "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+        "token_stats": r"""
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 5
+            ), s AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                FROM embeddings e, q
+            )
+            SELECT qid, CAST(rnk AS BIGINT) AS "rank", vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+                ) AS rnk FROM s
+            ) WHERE rnk <= 10""",
+    }

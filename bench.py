@@ -1,0 +1,145 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: flagship spatial-join + tile-assignment throughput (docs/sec) over
+the synthesized interleaved-document table at the scale implied by
+$GRAFT_SF_DIR (default /root/testdata/sf0.1 → 1M docs), per BASELINE.json.
+
+Also times the other heavyweight pipelines (PIP reference join, zonal mean /
+percentile, kNN, dedup/text over the driver tables) as sub-queries.
+
+--scaling: runs the headline twice in fresh processes at num_cpus=8 and 32
+and reports throughput at both + scaling efficiency (the sandbox substitute
+for the N vs 4N-node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from kaza_lcms_ray import synth
+
+    root = synth.ensure(sf_dir)  # generate BEFORE timing (cached across runs)
+    n_docs = synth.n_docs_for(synth.sf_from_dir(sf_dir))
+
+    ray.init(
+        address="local",
+        num_cpus=ncpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import flagship
+    from kaza_lcms_ray.stages import dedup, knn, pip, spans, text, zonal
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    rd.read_parquet(f"{root}/documents").count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        return dt
+
+    # headline: flagship tile assignment (consumed via count — streaming)
+    t_head = timed("flagship", lambda: flagship.tile_assignments(root).count())
+
+    def geo():
+        return spans.geo_obs(rd.read_parquet(f"{root}/documents"))
+
+    timed("geo_parse", lambda: geo().count())
+    timed(
+        "pip_reference",
+        lambda: pip.pip_join(
+            geo(), f"{root}/polygons.parquet", kinds=["reference"], mode="inner"
+        ).count(),
+    )
+    timed("zonal_mean", lambda: zonal.zonal_counts(geo()).count())
+    timed(
+        "zonal_percentile",
+        lambda: zonal.zonal_percentiles(geo(), band=3).count(),
+    )
+    timed(
+        "knn",
+        lambda: knn.knn_join(geo(), f"{root}/training_plots.parquet").count(),
+    )
+    docs_tbl = f"{sf_dir}/documents.parquet"
+    if os.path.exists(docs_tbl):
+        timed(
+            "dedup_exact",
+            lambda: dedup.exact_dedup_keys(
+                rd.read_parquet(docs_tbl), "text", "doc_id"
+            ).count(),
+        )
+        timed(
+            "token_stats",
+            lambda: text.token_stats(
+                rd.read_parquet(docs_tbl, columns=["doc_id", "text"])
+            ).count(),
+        )
+
+    ray.shutdown()
+    return {
+        "metric": "flagship docs/sec (spatial-join + tile assignment)",
+        "value": round(n_docs / t_head, 1),
+        "unit": "docs/sec",
+        "headline_sec": round(t_head, 3),
+        "queries": queries,
+        "sf": synth.sf_from_dir(sf_dir),
+        "n_docs": n_docs,
+        "num_cpus": ncpus,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh processes at 8 and 32 CPUs."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(res.stdout.strip().splitlines()[-1])
+    tp8, tp32 = out[8]["value"], out[32]["value"]
+    eff = (tp32 / tp8) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (docs/sec @32cpu vs 4x @8cpu)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "docs_per_sec_8": tp8,
+        "docs_per_sec_32": tp32,
+        "sf": out[32]["sf"],
+        "num_cpus": [8, 32],
+        "queries": {"headline_sec_8": out[8]["headline_sec"], "headline_sec_32": out[32]["headline_sec"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,76 @@
+"""Assemblage: per-tile argmax over per-class primitive probabilities →
+LANDCOVER label (SURVEY.md 2.5-K3/K7; reference: src/utils/assemblage.py).
+
+Reference semantics (src/utils/assemblage.py:12-25): band-order argmax over
+the alphanumerically-sorted class probability bands, ties resolved to the
+lowest band index, then +1 to land in the 1-based strata values
+(src/misc/strata.py:12-21).  Our primitives table already carries 1-based
+``class``, so the tie rule is: winner = lowest ``class`` among the max-prob
+rows.
+
+Execution is fully decomposable (NO map_groups over millions of tiny groups):
+``(prob, class)`` is packed into one monotonic int64 score —
+``float32_bits(prob) * 256 + (256 − class)`` — whose Max over any combine
+order selects max prob then min class.  Per-batch partial max → small
+``groupby().aggregate(Max)`` → decode.  Exact, vectorized, skew-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Max
+
+_KEYS = ["tile_id", "year"]
+
+
+def _pack_score(prob: np.ndarray, cls: np.ndarray) -> np.ndarray:
+    # positive float32 bit patterns are order-isomorphic to their values
+    bits = np.asarray(prob, dtype=np.float32).view(np.uint32).astype(np.int64)
+    return bits * 256 + (256 - cls.astype(np.int64))
+
+
+def _unpack_score(score: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    cls = (256 - (score % 256)).astype(np.int32)
+    prob = (score // 256).astype(np.uint32).view(np.float32)
+    return prob, cls
+
+
+def _partial(batch: pa.Table) -> pa.Table:
+    score = _pack_score(
+        batch.column("prob").to_numpy(zero_copy_only=False),
+        batch.column("class").to_numpy(zero_copy_only=False),
+    )
+    t = pa.table(
+        {
+            "tile_id": batch.column("tile_id"),
+            "year": batch.column("year"),
+            "score": pa.array(score),
+        }
+    )
+    out = t.group_by(_KEYS).aggregate([("score", "max")])
+    return out.rename_columns(_KEYS + ["score"])
+
+
+def _decode(batch: pa.Table) -> pa.Table:
+    prob, cls = _unpack_score(batch.column("score").to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "tile_id": batch.column("tile_id"),
+            "year": batch.column("year"),
+            "LANDCOVER": pa.array(cls, type=pa.int32()),
+            "prob": pa.array(prob, type=pa.float32()),
+        }
+    )
+
+
+def assemble_tile_labels(primitives):
+    """Dataset[tile_id, year, class, prob] → Dataset[tile_id, year,
+    LANDCOVER, prob] (the winning class and its probability)."""
+    return (
+        primitives.map_batches(_partial, batch_format="pyarrow")
+        .groupby(_KEYS)
+        .aggregate(Max("score", alias_name="score"))
+        .map_batches(_decode, batch_format="pyarrow")
+    )

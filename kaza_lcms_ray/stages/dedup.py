@@ -1,0 +1,304 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Ray-Data-first shapes (see /opt guides + SURVEY.md §2.7):
+  * exact       — two-phase: per-batch partial (min keeper, count) per key →
+                  small groupby over partials.  No raw-row shuffle.
+  * minhash-LSH — shingle → minhash signature per batch → explode to
+                  (band, band_hash, doc) rows → groupby(band, band_hash) →
+                  candidate pairs → signature-similarity filter →
+                  min-label propagation (bounded rounds) for clusters.
+  * simhash     — 64-bit sign-of-weighted-sum signature per batch; near-dup
+                  candidates = equal signature bands (hamming ≤ r via
+                  band-partitioning).
+  * n-gram Jaccard — exact verification kernel for candidate pairs.
+
+The reference's near-dedup analog is the order-dependent greedy
+``distanceFilter`` (src/utils/sampling.py:12-49); its spatial variant lives
+in stages/sampling.py.  These text variants are the training-data-pipeline
+extensions the engine adds beyond the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min
+
+from ..state.hashing import _fnv1a, splitmix64
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup_keys(ds, key_col: str, id_col: str):
+    """Per distinct key: keeper id (min) + duplicate count.
+
+    Two-phase: Arrow group_by inside each batch emits one row per key per
+    batch, then a small groupby combines partials.  Exact integer/string
+    semantics — order-insensitive.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.select([key_col, id_col]).group_by([key_col]).aggregate(
+            [(id_col, "min"), (id_col, "count")]
+        )
+        return out.rename_columns([key_col, "keep_id", "n_dups"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Min("keep_id", alias_name="keep_id"), Sum("n_dups", alias_name="n_dups"))
+    )
+
+
+def drop_exact_dupes(ds, key_col: str, id_col: str):
+    """Keep exactly one row (min id) per key: hash-partition + first-per-group."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    return ds.groupby(key_col).map_groups(first, batch_format="pandas")
+
+
+# ------------------------------------------------------- shingles / minhash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _char_shingle_hashes(s: bytes, k: int) -> np.ndarray:
+    """All k-byte shingle hashes of one document (vectorized rolling FNV)."""
+    b = np.frombuffer(s, dtype=np.uint8)
+    if b.shape[0] < k:
+        return splitmix64(np.asarray(b, dtype=np.uint64)).astype(np.uint64)[:1] if b.shape[0] else np.empty(0, np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(b.shape[0] - k + 1, dtype=np.uint64)
+        base = np.uint64(1099511628211)
+        for j in range(k):
+            h = h * base + b[j : b.shape[0] - k + 1 + j].astype(np.uint64)
+    return splitmix64(h)
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    a = splitmix64(np.arange(seed, seed + num_perm, dtype=np.uint64)) | np.uint64(1)
+    b = splitmix64(np.arange(seed + num_perm, seed + 2 * num_perm, dtype=np.uint64))
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minima of (a·x + b) over the shingle set."""
+    if shingles.shape[0] == 0:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        m = a[None, :] * shingles[:, None] + b[None, :]
+    return m.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool callable: (id, text) batch → minhash band rows.
+
+    Emits ``bands`` rows per document: (doc_key, band_id, band_hash) where
+    band_hash folds rows_per_band signature slots.  Grouping on
+    (band_id, band_hash) yields LSH candidate buckets.
+    """
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _minhash_params(num_perm)
+
+    def signatures(self, texts) -> np.ndarray:
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _char_shingle_hashes(str(t).encode("utf-8"), self.k)
+            sigs[i] = minhash_signature(np.unique(sh), self.a, self.b)
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        ids = batch.column(self.id_col).to_pylist()
+        sigs = self.signatures(texts)
+        folded = sigs.reshape(len(texts), self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            band_hash = folded[:, :, 0].copy()
+            for r in range(1, self.rows_per_band):
+                band_hash = splitmix64(band_hash ^ folded[:, :, r])
+        n = len(texts)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(np.asarray(ids, dtype=object), self.bands)),
+                "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+            }
+        )
+
+
+def minhash_candidate_pairs(ds, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, shingle_k: int = 5, concurrency=None):
+    """documents → candidate near-duplicate pairs (a < b) via LSH buckets."""
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    band_rows = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique().tolist())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # a pair can surface from several bands → distinct
+    return exact_pairs_distinct(cand)
+
+
+def exact_pairs_distinct(pairs_ds):
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["a", "b"]).aggregate([([], "count_all")]).rename_columns(["a", "b", "n"])
+
+    return (
+        pairs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["a", "b"])
+    )
+
+
+def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 5) -> np.ndarray:
+    """Exact k-shingle Jaccard for candidate pairs (verification kernel)."""
+    out = np.empty(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa = set(np.unique(_char_shingle_hashes(ta.encode("utf-8"), k)).tolist())
+        sb = set(np.unique(_char_shingle_hashes(tb.encode("utf-8"), k)).tolist())
+        u = len(sa | sb)
+        out[i] = (len(sa & sb) / u) if u else 1.0
+    return out
+
+
+# ----------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit SimHash per document over token hashes (actor pool)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        sigs = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = str(t).lower().split()
+            if not toks:
+                sigs[i] = 0
+                continue
+            hs = splitmix64(
+                np.array([_fnv1a(w) for w in toks], dtype=np.uint64)
+            )  # stable across processes (never builtin hash(): PYTHONHASHSEED)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            sigs[i] = int(
+                np.bitwise_or.reduce(
+                    (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                ).astype(np.int64)
+            )
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "simhash": pa.array(sigs),
+            }
+        )
+
+
+def simhash_signatures(ds, text_col: str, id_col: str, concurrency=None):
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    return ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# --------------------------------------------------------------- clustering
+
+
+def min_label_clusters(pairs_ds, rounds: int = 4):
+    """Connected components via bounded min-label propagation over groupbys.
+
+    Each round: label(x) = min(label(x), min label of neighbors).  ``rounds``
+    bounds work; near-dup clusters are shallow (diameter ≪ rounds) in
+    practice.  Returns Dataset[node, cluster].
+    """
+    import ray.data as rd
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays([t.column("a").combine_chunks(), t.column("b").combine_chunks()]),
+                "nbr": pa.concat_arrays([t.column("b").combine_chunks(), t.column("a").combine_chunks()]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+
+    def clip(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lbl = pc.min_element_wise(t.column("node"), t.column("lbl"))
+        return pa.table({"node": t.column("node"), "lbl": lbl})
+
+    labels = labels.map_batches(clip, batch_format="pyarrow")
+    for _ in range(rounds - 1):
+        # propagate: node's label = min(own, neighbors' labels)
+        nbr_lbl = (
+            edges.join(
+                labels.map_batches(
+                    lambda t: t.rename_columns(["nbr", "nbr_lbl"]), batch_format="pyarrow"
+                ),
+                join_type="inner",
+                num_partitions=8,
+                on=("nbr",),
+            )
+            .select_columns(["node", "nbr_lbl"])
+            .groupby("node")
+            .aggregate(Min("nbr_lbl", alias_name="prop"))
+        )
+        labels = (
+            labels.join(nbr_lbl, join_type="left_outer", num_partitions=8, on=("node",))
+            .map_batches(_merge_labels, batch_format="pyarrow")
+        )
+    return labels.map_batches(
+        lambda t: t.rename_columns(["node", "cluster"]), batch_format="pyarrow"
+    )
+
+
+def _merge_labels(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    merged = pc.min_element_wise(
+        t.column("lbl"), pc.coalesce(t.column("prop"), t.column("lbl"))
+    )
+    return pa.table({"node": t.column("node"), "lbl": merged})

@@ -1,0 +1,117 @@
+"""Point-in-polygon spatial join (SURVEY.md J3/T3/M21).
+
+Reference analog: ``paint(ref_polys, label)`` + ``updateMask`` /
+``filterBounds(aoi)`` (src/utils/s2process.py:172,177,18) — there a
+server-side rasterize; here a real vectorized ray-casting join: an STR-packed
+R-tree over polygon bboxes prefilters candidates, then one vectorized even-odd
+crossing test per candidate polygon over the batch's point arrays.
+
+The polygon side is small (hundreds–thousands of polygons) so it is a
+broadcast side: each actor in the pool builds the ``PolygonIndex`` ONCE in
+``__init__`` from an object-store handle (``ray.put`` once on the driver) and
+every batch streams through it — no shuffle, which is the correct plan at
+10^12-document scale.  Inner / semi / anti variants cover the reference's
+keep-inside and mask-out uses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..state.geom import PolygonIndex
+
+
+def load_polygon_index(polygons_path: str, kinds: list[str] | None = None) -> PolygonIndex:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(polygons_path)
+    if kinds is not None:
+        import pyarrow.compute as pc
+
+        tbl = tbl.filter(pc.is_in(tbl.column("kind"), pa.array(kinds)))
+    return PolygonIndex.from_arrow(tbl)
+
+
+class PIPJoiner:
+    """Actor-pool callable: geo_obs batch → (point, polygon) join rows.
+
+    mode='inner'  → one output row per containment pair
+                    (doc_id, span_idx, poly_id, kind, LANDCOVER)
+    mode='semi'   → input rows with ≥1 match (columns preserved)
+    mode='anti'   → input rows with no match (the updateMask complement)
+    mode='label'  → input rows + (poly_id, LANDCOVER) of the first matching
+                    polygon in poly_id order (deterministic label attach)
+    """
+
+    def __init__(self, index_ref, mode: str = "inner"):
+        self.index: PolygonIndex = (
+            ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        )
+        assert mode in ("inner", "semi", "anti", "label")
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column("lon").to_numpy(zero_copy_only=False)
+        py = batch.column("lat").to_numpy(zero_copy_only=False)
+        pt, pl = self.index.join_points(px, py)
+        if self.mode == "inner":
+            out = {
+                "doc_id": batch.column("doc_id").take(pa.array(pt)),
+                "span_idx": batch.column("span_idx").take(pa.array(pt)),
+                "poly_id": pa.array(self.index.poly_ids[pl].astype(object), type=pa.string()),
+                "kind": pa.array(self.index.kinds[pl].astype(object), type=pa.string()),
+                "LANDCOVER": pa.array(self.index.landcover[pl], type=pa.int32()),
+            }
+            return pa.table(out)
+        matched = np.zeros(len(batch), dtype=bool)
+        matched[pt] = True
+        if self.mode == "semi":
+            return batch.filter(pa.array(matched))
+        if self.mode == "anti":
+            return batch.filter(pa.array(~matched))
+        # label: first matching polygon in (point, poly_id) order — pairs come
+        # back sorted, so the first pair per point is the min poly_id.
+        first = np.zeros(len(batch), dtype=np.int64)
+        seen = np.zeros(len(batch), dtype=bool)
+        if pt.shape[0]:
+            uniq_pt, first_pos = np.unique(pt, return_index=True)
+            seen[uniq_pt] = True
+            first[uniq_pt] = pl[first_pos]
+        poly_id = np.where(seen, self.index.poly_ids[first], "").astype(object)
+        lc = np.where(seen, self.index.landcover[first], 0).astype(np.int32)
+        return batch.append_column(
+            "poly_id", pa.array(poly_id, type=pa.string())
+        ).append_column("LANDCOVER", pa.array(lc, type=pa.int32()))
+
+
+def pip_join(
+    geo,
+    polygons_path: str,
+    kinds: list[str] | None = None,
+    mode: str = "inner",
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 16384,
+):
+    """geo_obs Dataset → PIP join Dataset via an actor pool.
+
+    The index is built once on the driver and broadcast through the object
+    store (read once per actor, not per batch).  The pool autoscales up to
+    ~40% of cluster CPUs — reserving them all would starve the upstream read
+    tasks and deadlock the streaming plan.
+    """
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    index_ref = ray.put(load_polygon_index(polygons_path, kinds))
+    return geo.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"index_ref": index_ref, "mode": mode},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,219 @@
+"""Seeded sampling, stratified selection, train/test split, spatial
+near-dedup (SURVEY.md K2/K4/K5/K6, J2; reference: src/utils/sampling.py).
+
+All randomness is splitmix64 keyed on (seed, row-key) — deterministic under
+any partitioning / cluster size, unlike EE's opaque randomColumn, while
+preserving the reference's semantics:
+
+* ``add_random`` — the randomColumn analog (src/utils/sampling.py:188).
+* ``split_train_test`` — random < 0.8 → train else test: provably disjoint +
+  exhaustive (same hash both sides; src/utils/sampling.py:184-193).
+* ``stratified_sample`` — per-class fixed-size take by smallest hash-random
+  (the shuffle-then-limit(n) of src/utils/sampling.py:153 made deterministic:
+  'random' order == seeded hash order).
+* ``random_points_in_polygons`` — seeded rejection sampling in polygon bboxes
+  (FeatureCollection.randomPoints analog, src/utils/sampling.py:101,144).
+* ``spatial_near_dedup`` — the greedy distanceFilter
+  (src/utils/sampling.py:12-49): drop any point within ``distance`` of an
+  earlier-id point.  Reproduced deterministically: cell-grid self-join at
+  resolution ≥ distance, neighbor-cell expansion, then a sequential greedy
+  pass in global id order (driver-side over candidate pairs only — the
+  pair set is tiny relative to the input).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state import cells
+from ..state.geom import points_in_polygon
+from ..state.hashing import DEFAULT_SEED, hash_key, hash_unit
+
+
+def add_random(ds, id_cols: list[str], seed: int = DEFAULT_SEED, col: str = "random"):
+    """Seeded uniform [0,1) column keyed on the row's id columns."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = _row_key(t, id_cols)
+        return t.append_column(col, pa.array(hash_unit(seed, "random", key)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _row_key(t: pa.Table, id_cols: list[str]) -> np.ndarray:
+    key = np.zeros(len(t), dtype=np.uint64)
+    for c in id_cols:
+        col = t.column(c)
+        if pa.types.is_integer(col.type):
+            part = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            part = np.asarray(
+                [_str_h(s) for s in col.to_pylist()], dtype=np.uint64
+            )
+        key = hash_key(key, part)
+    return key
+
+
+def _str_h(s) -> int:
+    h = 0xCBF29CE484222325
+    for b in str(s).encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def split_train_test(ds, id_cols: list[str], seed: int = DEFAULT_SEED, frac: float = 0.8):
+    """80/20 split (reference threshold lt 0.8): returns (train, test).
+
+    Both sides derive the same hash per row → disjoint and exhaustive by
+    construction, at any parallelism.
+    """
+    withr = add_random(ds, id_cols, seed)
+    train = withr.filter(expr=f"random < {frac}")
+    test = withr.filter(expr=f"random >= {frac}")
+    return train, test
+
+
+def stratified_sample(
+    ds,
+    class_col: str,
+    id_cols: list[str],
+    class_points: dict[int, int],
+    seed: int = DEFAULT_SEED,
+):
+    """Per-class fixed-size sample: the n rows with smallest hash-random.
+
+    Matches the reference's randomColumn().limit(n,'random') per class
+    (src/utils/sampling.py:103-104,153) with the 'random' column made
+    deterministic.  Executed as groupby(class).map_groups: per class sort by
+    (random, id) and head(n).
+    """
+    withr = add_random(ds, id_cols, seed)
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        cv = g[class_col].iloc[0]
+        n = class_points.get(int(cv) if not isinstance(cv, str) else cv, 0)
+        return g.sort_values(["random"] + id_cols, kind="mergesort").head(n)
+
+    return withr.groupby(class_col).map_groups(take, batch_format="pandas")
+
+
+def random_points_in_polygons(
+    polys: list[tuple[str, int, list[np.ndarray]]],
+    n_per_poly: int,
+    seed: int = DEFAULT_SEED,
+    max_attempts: int = 64,
+) -> pd.DataFrame:
+    """Seeded uniform points inside each polygon (rejection sampling in the
+    bbox; splitmix64 stream keyed on (seed, poly_id, point, attempt)).
+    Returns DataFrame[poly_id, LANDCOVER, lon, lat, pt_idx]."""
+    rows = []
+    for poly_id, landcover, rings in polys:
+        ring = rings[0]
+        bx0, by0 = ring[:, 0].min(), ring[:, 1].min()
+        bx1, by1 = ring[:, 0].max(), ring[:, 1].max()
+        pk = _str_h(poly_id)
+        for j in range(n_per_poly):
+            for attempt in range(max_attempts):
+                u = hash_unit(seed, "rpt", np.asarray([pk]) + np.uint64(j * max_attempts + attempt))
+                v = hash_unit(seed, "rpt2", np.asarray([pk]) + np.uint64(j * max_attempts + attempt))
+                x = bx0 + float(u[0]) * (bx1 - bx0)
+                y = by0 + float(v[0]) * (by1 - by0)
+                if points_in_polygon(np.array([x]), np.array([y]), rings)[0]:
+                    rows.append((poly_id, landcover, x, y, j))
+                    break
+    return pd.DataFrame(rows, columns=["poly_id", "LANDCOVER", "lon", "lat", "pt_idx"])
+
+
+def spatial_near_dedup(ds, id_col: str, distance: float, lon_col="lon", lat_col="lat"):
+    """Greedy order-dependent near-dedup (distanceFilter semantics).
+
+    The reference keeps iterating matches in feature-id order, dropping any
+    point whose id appears in an earlier point's neighbor list
+    (src/utils/sampling.py:37-49) — i.e. a point survives iff no
+    smaller-id point lies within ``distance``.
+
+    Plan: choose grid level with cell size ≥ distance; key each point by its
+    cell; for each point, candidate partners live in the 3×3 k_ring.  Emit
+    (cell, point) for every neighbor cell (×9 fan-out), groupby cell, find
+    pairs within distance inside each group — each cross-cell pair is seen in
+    the cell that owns it (both points' fan-outs meet in every shared cell;
+    pairs are deduped by (a,b)).  The surviving set is computed by the exact
+    greedy pass over the (tiny) pair list, collected to the driver — the
+    reference's own semantics are inherently sequential; only the pair
+    *discovery* needs the cluster.
+    Returns (kept_ids_set, pairs_df).
+    """
+    level = _level_for_distance(distance)
+
+    def fanout(t: pa.Table) -> pa.Table:
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_pylist()
+        n = len(ids)
+        ix, iy = cells.grid_coords(lon, lat, level)
+        out_cell, out_id, out_lon, out_lat, out_home = [], [], [], [], []
+        ncell = np.int64(1) << level
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < ncell) & (jy >= 0) & (jy < ncell)
+                out_cell.append(cells.morton(jx[ok], jy[ok]))
+                idx = np.nonzero(ok)[0]
+                out_id.extend([ids[i] for i in idx])
+                out_lon.append(lon[ok])
+                out_lat.append(lat[ok])
+                out_home.append((np.asarray([dx == 0] * int(ok.sum())) & (dy == 0)))
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(out_cell)),
+                id_col: pa.array(out_id),
+                lon_col: pa.array(np.concatenate(out_lon)),
+                lat_col: pa.array(np.concatenate(out_lat)),
+                "home": pa.array(np.concatenate(out_home)),
+            }
+        )
+
+    fan = ds.map_batches(fanout, batch_format="pyarrow")
+
+    d2max = distance * distance
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # pairs where at least one member is 'home' in this cell, to bound
+        # duplication; final dedup happens in the driver pass anyway
+        lon = g[lon_col].to_numpy()
+        lat = g[lat_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        dx = lon[:, None] - lon[None, :]
+        dy = lat[:, None] - lat[None, :]
+        d2 = dx * dx + dy * dy
+        ii, jj = np.nonzero((d2 <= d2max) & (ids[:, None] < ids[None, :]))
+        if ii.size == 0:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]}).drop_duplicates()
+
+    pair_ds = fan.groupby("cell").map_groups(pairs, batch_format="pandas")
+    pair_df = pair_ds.to_pandas().drop_duplicates().sort_values(["a", "b"])
+
+    # exact greedy pass in id order (reference's iterate semantics)
+    dropped: set = set()
+    nbrs: dict = {}
+    for a, b in pair_df.itertuples(index=False):
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    for pid in sorted(nbrs):
+        if pid in dropped:
+            continue
+        for other in nbrs[pid]:
+            if other > pid:
+                dropped.add(other)
+    return dropped, pair_df
+
+
+def _level_for_distance(distance: float) -> int:
+    """Finest grid level whose cell side (degrees lat) ≥ distance."""
+    level = 0
+    while (180.0 / (1 << (level + 1))) >= distance and level < 24:
+        level += 1
+    return level

@@ -1,0 +1,113 @@
+"""Span parsing: documents → geo_obs (SURVEY.md M22).
+
+The documents table is never rewritten — geo observations are emitted as a
+*side* table keyed ``(doc_id, span_idx)``, so the per-row span-sequence
+invariant (BASELINE.json input_hint; reference analog: properties carried
+untouched through joins, src/utils/sampling.py:88-89) holds trivially: any
+stage that needs the original row joins back on ``doc_id``.
+
+Geo span text format: ``lon;lat;year;doy;b0,b1,b2,b3,b4,b5``.  Parsing is
+pure Arrow compute (split_pattern + list_element + cast) — zero Python-per-row
+work.  Band values additionally come out as ×100 scaled int64 (``c0..c5``):
+grouped sums over these are exact integer arithmetic, which makes every
+downstream mean/sum aggregate bit-stable under any combine order AND
+bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.cells import CELL_LEVEL, TILE_LEVEL, encode
+
+N_BANDS = 6
+BAND_NAMES = ("blue", "green", "red", "nir", "swir1", "swir2")  # src/utils/s2process.py:131
+
+
+def parse_geo_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans) batch → geo_obs rows for this batch's geo spans.
+
+    Output schema: doc_id:string, span_idx:int32, lon:f64, lat:f64,
+    year:int32, doy:int32, t:f64, b0..b5:f64, c0..c5:int64,
+    cell_id:uint64, tile_id:uint64.
+    """
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    # flatten list<struct> → per-span arrays + owning doc index
+    list_arr = spans
+    offsets = list_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    span_idx = np.arange(offsets[-1] - offsets[0], dtype=np.int64) - np.repeat(
+        offsets[:-1] - offsets[0], lengths
+    )
+    flat = list_arr.flatten()  # StructArray (may carry a slice offset)
+    kind = flat.field("kind")
+    is_geo = pc.equal(kind, "geo").to_numpy(zero_copy_only=False)
+    gi = np.nonzero(is_geo)[0]
+    texts = flat.field("text").take(pa.array(gi))
+
+    parts = pc.split_pattern(texts, ";")
+    lon = pc.list_element(parts, 0).cast(pa.float64())
+    lat = pc.list_element(parts, 1).cast(pa.float64())
+    year = pc.list_element(parts, 2).cast(pa.int32())
+    doy = pc.list_element(parts, 3).cast(pa.int32())
+    bands = pc.split_pattern(pc.list_element(parts, 4), ",")
+
+    lon_np = lon.to_numpy(zero_copy_only=False)
+    lat_np = lat.to_numpy(zero_copy_only=False)
+    # fractional years since 1970 (reference: src/utils/harmonics.py:70-75)
+    t = (
+        year.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        - 1970.0
+        + (doy.cast(pa.float64()).to_numpy(zero_copy_only=False) - 1.0) / 365.0
+    )
+
+    cols: dict[str, pa.Array] = {
+        "doc_id": batch.column("doc_id").take(pa.array(doc_idx[gi])),
+        "span_idx": pa.array(span_idx[gi].astype(np.int32)),
+        "lon": lon,
+        "lat": lat,
+        "year": year,
+        "doy": doy,
+        "t": pa.array(t),
+    }
+    for b in range(N_BANDS):
+        fb = pc.list_element(bands, b).cast(pa.float64())
+        cols[f"b{b}"] = fb
+        cols[f"c{b}"] = pc.round(pc.multiply(fb, 100.0)).cast(pa.int64())
+    cols["cell_id"] = pa.array(encode(lon_np, lat_np, CELL_LEVEL))
+    cols["tile_id"] = pa.array(encode(lon_np, lat_np, TILE_LEVEL))
+    return pa.table(cols)
+
+
+def geo_obs(documents, batch_size: int = 8192):
+    """Dataset[documents] → Dataset[geo_obs] (stateless map_batches)."""
+    return documents.map_batches(
+        parse_geo_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def span_signature_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc fingerprint of the spans sequence (kind|text|media_ref|order).
+
+    Used by span-sequence-equality tests: equal fingerprints before and after
+    a stage ⇔ the spans column survived byte-identically in order.
+    """
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    joined = pc.binary_join_element_wise(
+        flat.field("kind"),
+        flat.field("text"),
+        flat.field("media_ref"),
+        pc.cast(flat.field("offset"), pa.string()),
+        "\x1f",
+    )
+    per_doc = pa.ListArray.from_arrays(spans.offsets, joined)
+    sig = pc.binary_join(per_doc, "\x1e")
+    return pa.table({"doc_id": batch.column("doc_id"), "span_sig": sig})

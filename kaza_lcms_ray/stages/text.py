@@ -1,0 +1,150 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, language ID, quality scoring, document fingerprinting.
+
+These run over a plain documents table ``(doc_id, text, …)`` — in this repo
+both the driver's testdata ``documents`` table and the text spans of the
+interleaved canonical table.  All hot paths are Arrow compute kernels
+(``count_substring_regex`` etc.) or vectorized pandas; the language-ID /
+quality stage is an actor pool whose word tables and regexes are built once
+per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"  # maximal non-whitespace runs; oracle: regexp_extract_all
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """+ n_chars (utf8 length) and n_tokens (count of \\S+ runs)."""
+    text = batch.column(text_col)
+    return batch.append_column(
+        "n_chars_q", pc.cast(pc.utf8_length(text), pa.int64())
+    ).append_column(
+        "n_tokens", pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    )
+
+
+def token_stats(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: token_stats_batch(t, text_col), batch_format="pyarrow"
+    )
+
+
+# Minimal per-language common-word tables for the n-gram/stopword heuristic.
+LANG_WORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "was", "for", "that", "with"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"},
+    "es": {"el", "la", "de", "que", "en", "los", "una", "por", "con", "para"},
+}
+_LANG_ORDER = sorted(LANG_WORDS)  # deterministic tie-break order
+
+
+class TextScorer:
+    """Actor-pool callable: language ID + quality score per document.
+
+    State (compiled regex, word tables) built once per actor (__init__),
+    applied per batch (__call__) — the canonical stateful-stage shape.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.stop_en = LANG_WORDS["en"]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[self.text_col].str.lower().str.findall(self.word_re)
+        n_tok = toks.map(len)
+        hits = {
+            lang: toks.map(lambda ws, w=words: sum(t in w for t in ws))
+            for lang, words in LANG_WORDS.items()
+        }
+        score = np.stack([hits[lang].to_numpy() for lang in _LANG_ORDER], axis=1)
+        best = np.argmax(score, axis=1)  # first max → alphabetical tie-break
+        confident = score.max(axis=1) > 0
+        batch["lang_pred"] = np.where(
+            confident, np.asarray(_LANG_ORDER, dtype=object)[best], "und"
+        )
+        stop_ratio = hits["en"].to_numpy() / np.maximum(1, n_tok.to_numpy())
+        n_chars = batch[self.text_col].str.len().to_numpy()
+        alpha = batch[self.text_col].str.count(r"[A-Za-z]").to_numpy()
+        alpha_ratio = alpha / np.maximum(1, n_chars)
+        mean_tok_len = np.where(
+            n_tok.to_numpy() > 0,
+            toks.map(lambda ws: sum(map(len, ws))).to_numpy()
+            / np.maximum(1, n_tok.to_numpy()),
+            0.0,
+        )
+        batch["stop_ratio"] = stop_ratio
+        batch["alpha_ratio"] = alpha_ratio
+        # simple composite quality in [0,1]: length-capped, alpha-weighted,
+        # stopword-informed (the length/punct/stopword recipe)
+        length_term = np.minimum(1.0, n_tok.to_numpy() / 20.0)
+        batch["quality"] = (
+            0.4 * length_term + 0.4 * alpha_ratio + 0.2 * np.minimum(1.0, stop_ratio * 4)
+        )
+        batch["mean_tok_len"] = mean_tok_len
+        return batch
+
+
+def text_scores(ds, text_col: str = "text", concurrency=None, batch_size: int = 4096):
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    return ds.map_batches(
+        TextScorer,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+_FP_BASE = np.uint64(1099511628211)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Rolling-hash (polynomial, FNV-prime base) document fingerprint.
+
+    Vectorized per batch via numpy over the concatenated UTF-8 buffer —
+    no per-character Python.  Stable across partitionings (pure function of
+    the bytes).
+    """
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    arr = text.cast(pa.large_binary())
+    buf = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    out = np.zeros(len(arr), dtype=np.uint64)
+    # horner over bytes: h = h*base + byte, segmented by document
+    # process in (ragged) columns: at step k, update docs with len > k
+    lens = np.diff(offs)
+    order = np.argsort(lens, kind="stable")
+    with np.errstate(over="ignore"):
+        max_len = int(lens.max()) if len(lens) else 0
+        active = order[::-1]  # longest first
+        for k in range(max_len):
+            active = active[lens[active] > k]
+            if active.size == 0:
+                break
+            idx = offs[active] + k
+            out[active] = out[active] * _FP_BASE + buf[idx]
+    return batch.append_column("fingerprint", pa.array(out.astype(np.int64)))
+
+
+def fingerprints(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: fingerprint_batch(t, text_col), batch_format="pyarrow"
+    )

@@ -1,0 +1,185 @@
+"""Zonal statistics: grouped counts / means / percentiles / harmonic fits
+keyed on the spatial cell (SURVEY.md A1-A4, A6, A10; M13/A2).
+
+Two execution shapes, chosen by what the statistic needs:
+
+* **Decomposable aggregates (count, sum, mean)** run two-phase: a vectorized
+  per-batch partial aggregate inside ``map_batches`` (one row per key per
+  batch — this is the skew/salt treatment: a hot Okavango cell contributes one
+  partial row per batch instead of millions of raw rows to the shuffle),
+  then a small ``groupby().aggregate(Sum)`` over partials.  All sums are ×100
+  scaled int64, so results are exact integers — bit-stable under any combine
+  order and bit-equal to the DuckDB oracle.
+
+* **Holistic aggregates (percentile, OLS harmonic fit)** use
+  ``groupby(keys).map_groups`` with an explicit in-group sort by
+  (doc_id, span_idx), giving bit-stable float accumulation independent of
+  partitioning (SURVEY.md §7 "hard parts").
+
+Reference analogs: percentile reducer over the annual collection
+(src/utils/s2process.py:138-139), mean composite (src/misc/sentinel1.py:59),
+per-class counts → area (src/misc/old_README_instructions.md:16-50), harmonic
+linearRegression (src/utils/harmonics.py:14-46).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from ..state.cells import CELL_LEVEL, cell_area_m2
+
+DEFAULT_PERCENTILES = (10, 25, 50, 75, 90)  # src/utils/model_inputs.py:32
+
+
+def _partial_counts(batch: pa.Table, keys: list[str], cent_cols: list[str]) -> pa.Table:
+    aggs = [(c, "sum") for c in cent_cols] + [(keys[0], "count")]
+    out = batch.group_by(keys).aggregate(aggs)
+    names = list(keys) + [f"s_{c}" for c in cent_cols] + ["n"]
+    return out.rename_columns(names)
+
+
+def zonal_counts(geo, keys=("cell_id", "year"), bands=(0, 1, 2, 3, 4, 5)):
+    """Grouped n + per-band mean (exact scaled-int arithmetic).
+
+    Output: keys…, n:int64, mean_b{i}:f64 (= sum_cents / (100·n), a single
+    correctly-rounded double division — identical in SQL).
+    """
+    keys = list(keys)
+    cent_cols = [f"c{b}" for b in bands]
+    partial = geo.map_batches(
+        lambda t: _partial_counts(t, keys, cent_cols), batch_format="pyarrow"
+    )
+    agg = partial.groupby(keys).aggregate(
+        Sum("n", alias_name="n"),
+        *[Sum(f"s_{c}", alias_name=f"s_{c}") for c in cent_cols],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = t.column("n")
+        cols = {k: t.column(k) for k in keys}
+        cols["n"] = n
+        denom = pc.multiply(pc.cast(n, pa.float64()), 100.0)
+        for b, c in zip(bands, cent_cols):
+            cols[f"mean_b{b}"] = pc.divide(
+                pc.cast(t.column(f"s_{c}"), pa.float64()), denom
+            )
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def interp_percentile(sorted_vals: np.ndarray, p: float) -> float:
+    """Linear-interpolated percentile, pinned BIT-EXACT to DuckDB's
+    quantile_cont: h = (n−1)·q; v = (1−frac)·x[⌊h⌋] + frac·x[⌊h⌋+1]
+    (verified formula — ``lower + (upper−lower)·frac`` differs in the last
+    ulp and would break oracle value-hash comparison)."""
+    n = sorted_vals.shape[0]
+    h = (n - 1) * (p / 100.0)
+    lo = int(np.floor(h))
+    hi = min(lo + 1, n - 1)
+    frac = h - lo
+    return (1.0 - frac) * float(sorted_vals[lo]) + frac * float(sorted_vals[hi])
+
+
+def zonal_percentiles(
+    geo,
+    keys=("cell_id", "year"),
+    band: int = 3,
+    ps=DEFAULT_PERCENTILES,
+):
+    """Per-key percentiles of one band (holistic → map_groups with sort).
+
+    Output: keys…, n:int64, p{P}_b{band}:f64.  Percentiles interpolate over
+    the ×100 scaled ints cast to double, so both sides interpolate over
+    exactly-representable integers.
+    """
+    keys = list(keys)
+    col = f"c{band}"
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy(dtype=np.float64))
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row["n"] = [len(v)]
+        for p in ps:
+            row[f"p{p}_b{band}"] = [interp_percentile(v, p)]
+        return pd.DataFrame(row)
+
+    return (
+        geo.select_columns(keys + [col])
+        .groupby(keys)
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def harmonic_fit(geo, keys=("cell_id", "year"), band: int = 3):
+    """Per-key OLS harmonic fit y ~ constant + t + cos(2πt) + sin(2πt);
+    returns phase = atan2(c_cos, c_sin) and amplitude = hypot(c_cos, c_sin)
+    (argument order as in the reference, src/utils/harmonics.py:35-45).
+
+    Deterministic: group rows are sorted by (doc_id, span_idx) before the
+    float64 normal-equation accumulation, so the result is bit-stable under
+    any partitioning.  Keys with a singular design (degenerate time sampling)
+    return NaN coefficients, matching the oracle's lstsq fallback.
+    """
+    keys = list(keys)
+    col = f"b{band}"
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "span_idx"], kind="mergesort")
+        t = g["t"].to_numpy(dtype=np.float64)
+        y = g[col].to_numpy(dtype=np.float64)
+        phase, amp = solve_harmonic(t, y)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row["n"] = [len(t)]
+        row[f"b{band}_phase"] = [phase]
+        row[f"b{band}_amplitude"] = [amp]
+        return pd.DataFrame(row)
+
+    return (
+        geo.select_columns(keys + ["doc_id", "span_idx", "t", col])
+        .groupby(keys)
+        .map_groups(per_group, batch_format="pandas")
+    )
+
+
+def solve_harmonic(t: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Fixed-order normal-equation solve shared by engine and test oracle."""
+    w = 2.0 * np.pi * t
+    X = np.stack([np.ones_like(t), t, np.cos(w), np.sin(w)], axis=1)
+    xtx = X.T @ X
+    xty = X.T @ y
+    try:
+        coef = np.linalg.solve(xtx, xty)
+    except np.linalg.LinAlgError:
+        return float("nan"), float("nan")
+    c_cos, c_sin = float(coef[2]), float(coef[3])
+    return float(np.arctan2(c_cos, c_sin)), float(np.hypot(c_cos, c_sin))
+
+
+def area_by_class(tile_labels, level: int):
+    """tile_labels (tile_id, year, LANDCOVER) → per-class tile counts + area
+    (A10).  n_tiles is exact; area_m2 = Σ cell_area(tile) in tile_id order."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False)
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"LANDCOVER": lc, "n_tiles": 1, "area_m2": cell_area_m2(tid, level)}
+        )
+        out = df.groupby("LANDCOVER", as_index=False).agg(
+            n_tiles=("n_tiles", "sum"), area_m2=("area_m2", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        tile_labels.map_batches(partial, batch_format="pyarrow")
+        .groupby("LANDCOVER")
+        .aggregate(Sum("n_tiles", alias_name="n_tiles"), Sum("area_m2", alias_name="area_m2"))
+    )
+    return agg

@@ -1,0 +1,159 @@
+"""S2-style hierarchical cell index: Z-order (Morton) quadkeys over lon/lat.
+
+The engine's spatial partitioning key.  Plays the role Earth Engine's internal
+raster tiling plays for the reference (implicit there; explicit here — see
+SURVEY.md §4).  A cell at ``level`` L is one square of the 2^L × 2^L grid over
+the full lon/lat domain; ``cell_id`` is the Morton interleave of the (ix, iy)
+grid coordinates, which gives spatial locality under sorted/range partitioning.
+
+Levels used by the default pipelines:
+  * TILE_LEVEL = 14  (~2.4 km at the equator) — the unit of tile assignment,
+    analog of the reference's export tiles (scale=10 exports,
+    src/utils/exports.py:15-16).
+  * CELL_LEVEL = 12  (~9.8 km) — the zonal-stats aggregation cell, analog of
+    the per-pixel-grid reducers (src/utils/s2process.py:138-139).
+
+All functions are vectorized numpy; ``encode`` uses only +, /, *, floor so the
+identical arithmetic can be reproduced in ANSI SQL for oracle checks (the
+Morton interleave is emitted as a generated SQL expression by
+``morton_sql_expr``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TILE_LEVEL = 14
+CELL_LEVEL = 12
+
+_B16 = np.uint64(0x0000FFFF0000FFFF)
+_B8 = np.uint64(0x00FF00FF00FF00FF)
+_B4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_B2 = np.uint64(0x3333333333333333)
+_B1 = np.uint64(0x5555555555555555)
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of x so bit i lands at position 2i."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    x = (x | (x << np.uint64(16))) & _B16
+    x = (x | (x << np.uint64(8))) & _B8
+    x = (x | (x << np.uint64(4))) & _B4
+    x = (x | (x << np.uint64(2))) & _B2
+    x = (x | (x << np.uint64(1))) & _B1
+    return x
+
+
+def _compact1by1(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & _B1
+    x = (x | (x >> np.uint64(1))) & _B2
+    x = (x | (x >> np.uint64(2))) & _B4
+    x = (x | (x >> np.uint64(4))) & _B8
+    x = (x | (x >> np.uint64(8))) & _B16
+    x = (x | (x >> np.uint64(16))) & np.uint64(0xFFFFFFFF)
+    return x
+
+
+def grid_coords(lon, lat, level: int) -> tuple[np.ndarray, np.ndarray]:
+    """lon/lat → integer grid coords at ``level`` (clipped to the grid).
+
+    The arithmetic ``floor((lon + 180) / 360 * 2**level)`` is reproduced
+    verbatim in oracle SQL — keep the operation order stable.
+    """
+    n = np.int64(1) << level
+    ix = np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * float(n))
+    iy = np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * float(n))
+    ix = np.clip(ix, 0, float(n - 1)).astype(np.int64)
+    iy = np.clip(iy, 0, float(n - 1)).astype(np.int64)
+    return ix, iy
+
+
+def morton(ix, iy) -> np.ndarray:
+    """Interleave (ix, iy) → Morton code (ix bits at odd positions).
+
+    Returned as int64: every supported level (≤26) needs ≤52 bits, and int64
+    avoids unsigned/signed friction across Arrow joins and DuckDB BIGINT.
+    """
+    m = (_part1by1(np.asarray(ix)) << np.uint64(1)) | _part1by1(np.asarray(iy))
+    return m.astype(np.int64)
+
+
+def encode(lon, lat, level: int) -> np.ndarray:
+    """lon/lat arrays → uint64 cell ids at ``level``."""
+    ix, iy = grid_coords(lon, lat, level)
+    return morton(ix, iy)
+
+
+def decode(cell_id, level: int) -> tuple[np.ndarray, np.ndarray]:
+    """cell_id → (ix, iy) grid coords."""
+    c = np.asarray(cell_id, dtype=np.uint64)
+    ix = _compact1by1(c >> np.uint64(1)).astype(np.int64)
+    iy = _compact1by1(c).astype(np.int64)
+    return ix, iy
+
+
+def parent(cell_id, levels_up: int = 1) -> np.ndarray:
+    """Parent cell id ``levels_up`` levels coarser (drop 2 bits per level)."""
+    return np.asarray(cell_id, dtype=np.int64) >> np.int64(2 * levels_up)
+
+
+def k_ring(cell_id: int, level: int, k: int = 1) -> np.ndarray:
+    """All cells within Chebyshev distance k of ``cell_id`` (incl. itself).
+
+    The neighbor-expansion primitive for spatial range self-joins (the analog
+    of the reference's withinDistance join, src/utils/sampling.py:12-28).
+    Clipped at the grid boundary (no wraparound — the engine's domain is a
+    bounded AOI, not the full globe).
+    """
+    n = np.int64(1) << level
+    ix, iy = decode(np.asarray([cell_id]), level)
+    xs = np.arange(max(0, int(ix[0]) - k), min(int(n), int(ix[0]) + k + 1))
+    ys = np.arange(max(0, int(iy[0]) - k), min(int(n), int(iy[0]) + k + 1))
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    return morton(gx.ravel(), gy.ravel())
+
+
+def cell_center(cell_id, level: int) -> tuple[np.ndarray, np.ndarray]:
+    """Center (lon, lat) of each cell."""
+    ix, iy = decode(cell_id, level)
+    n = float(np.int64(1) << level)
+    lon = (ix.astype(np.float64) + 0.5) / n * 360.0 - 180.0
+    lat = (iy.astype(np.float64) + 0.5) / n * 180.0 - 90.0
+    return lon, lat
+
+
+EARTH_RADIUS_M = 6371008.8  # mean radius
+
+
+def cell_area_m2(cell_id, level: int) -> np.ndarray:
+    """Approximate area of each cell in m² (spherical, cos-latitude scaled).
+
+    Used by per-class area summaries (A10 — reference analog: per-class pixel
+    counts × 100 m²/pixel, src/misc/old_README_instructions.md:16-50).
+    """
+    _, lat = cell_center(cell_id, level)
+    n = float(np.int64(1) << level)
+    dlon = np.deg2rad(360.0 / n)
+    dlat = np.deg2rad(180.0 / n)
+    return (EARTH_RADIUS_M**2) * dlon * dlat * np.cos(np.deg2rad(lat))
+
+
+def morton_sql_expr(ix_expr: str, iy_expr: str, level: int) -> str:
+    """ANSI-SQL expression computing morton(ix, iy) for oracle checks.
+
+    Emits an explicit bit-interleave sum (DuckDB evaluates BIGINT << / & /
+    exactly), so the oracle can reproduce cell ids without any UDF.
+    """
+    terms = []
+    for b in range(level):
+        terms.append(f"((({ix_expr}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"((({iy_expr}) >> {b}) & 1) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def grid_coord_sql_expr(col: str, offset: float, span: float, level: int) -> str:
+    """SQL for ``grid_coords`` of one axis: floor((col+off)/span * 2^level),
+    clipped. Mirrors the numpy arithmetic operation-for-operation."""
+    n = 1 << level
+    raw = f"floor((({col}) + {offset!r}) / {span!r} * {float(n)!r})"
+    return f"CAST(least(greatest({raw}, 0), {float(n - 1)!r}) AS BIGINT)"

@@ -1,0 +1,55 @@
+import duckdb
+import numpy as np
+
+from kaza_lcms_ray.state import cells
+from kaza_lcms_ray.state.hashing import hash_unit
+
+
+def test_encode_decode_roundtrip():
+    rng_lon = hash_unit(1, "lon", np.arange(10_000)) * 360.0 - 180.0
+    rng_lat = hash_unit(1, "lat", np.arange(10_000)) * 180.0 - 90.0
+    for level in (4, 12, 14, 16):
+        c = cells.encode(rng_lon, rng_lat, level)
+        ix, iy = cells.decode(c, level)
+        ix2, iy2 = cells.grid_coords(rng_lon, rng_lat, level)
+        assert (ix == ix2).all() and (iy == iy2).all()
+
+
+def test_parent_is_prefix():
+    lon = np.array([22.5019])
+    lat = np.array([-17.9789])
+    c14 = cells.encode(lon, lat, 14)
+    c12 = cells.encode(lon, lat, 12)
+    assert (cells.parent(c14, 2) == c12).all()
+
+
+def test_k_ring_counts_and_membership():
+    c = int(cells.encode(np.array([22.0]), np.array([-18.0]), 12)[0])
+    ring = cells.k_ring(c, 12, 1)
+    assert len(ring) == 9 and c in set(int(x) for x in ring)
+    ring2 = cells.k_ring(c, 12, 2)
+    assert len(ring2) == 25
+    # boundary clipping
+    corner = int(cells.morton(np.array([0]), np.array([0]))[0])
+    assert len(cells.k_ring(corner, 12, 1)) == 4
+
+
+def test_morton_sql_expr_matches_numpy():
+    """The generated SQL bit-interleave must equal the numpy Morton codes."""
+    lon = hash_unit(2, "lon", np.arange(2000)) * 7.0 + 20.0
+    lat = hash_unit(2, "lat", np.arange(2000)) * 7.0 - 20.0
+    level = 14
+    expected = cells.encode(lon, lat, level)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+    ix = cells.grid_coord_sql_expr("lon", 180.0, 360.0, level)
+    iy = cells.grid_coord_sql_expr("lat", 90.0, 180.0, level)
+    expr = cells.morton_sql_expr(ix, iy, level)
+    got = con.sql(f"SELECT {expr} AS cell FROM pts").fetchnumpy()["cell"]
+    assert (got.astype(np.int64) == expected).all()
+
+
+def test_cell_area_positive_and_latitude_scaled():
+    eq = cells.cell_area_m2(cells.encode(np.array([0.0]), np.array([0.0]), 12), 12)
+    hi = cells.cell_area_m2(cells.encode(np.array([0.0]), np.array([60.0]), 12), 12)
+    assert eq[0] > hi[0] > 0

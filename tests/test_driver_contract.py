@@ -1,0 +1,101 @@
+"""Simulate the driver's correctness gate: run every queries() entry and its
+oracle_sql() side-by-side (sf0.001 for speed; the driver uses sf0.01) and
+compare row count, column names, and order-insensitive values."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+    from kaza_lcms_ray import synth
+
+    synth.ensure(SF_DIR)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return e, con
+
+
+def _compare(name, e, con):
+    q = e.queries()[name]
+    sqls = e.oracle_sql_for(0.001)
+    got = _normalize(_to_pandas(q(SF_DIR)))
+    exp = _normalize(con.sql(sqls[name]).df())
+    assert list(got.columns) == list(exp.columns), (got.columns, exp.columns)
+    assert len(got) == len(exp), (len(got), len(exp))
+    for c in got.columns:
+        g, x = got[c].to_numpy(), exp[c].to_numpy()
+        if g.dtype.kind == "f":
+            assert (np.nan_to_num(g, nan=-1.25) == np.nan_to_num(x, nan=-1.25)).all(), c
+        else:
+            assert (g == x).all(), c
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "geo_parse",
+        "cell_encode",
+        "pip_country",
+        "zonal_mean",
+        "zonal_percentile",
+        "knn_plots",
+        "tile_labels",
+        "area_by_class",
+        "dedup_exact",
+        "token_stats",
+        "events_hourly",
+        "ann_topk",
+    ],
+)
+def test_query_matches_oracle(contract, name):
+    e, con = contract
+    _compare(name, e, con)
+
+
+def test_rows_only_queries_run(contract):
+    e, con = contract
+    for name in (
+        "pip_reference",
+        "flagship",
+        "harmonic_year",
+        "text_scores",
+        "fingerprints",
+        "simhash",
+        "minhash_pairs",
+    ):
+        df = _to_pandas(e.queries()[name](SF_DIR))
+        assert df is not None and len(df.columns) > 0
+
+
+def test_entry_smoke(contract):
+    e, _ = contract
+    df = _to_pandas(e.entry())
+    assert len(df) > 0

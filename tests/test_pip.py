@@ -1,0 +1,91 @@
+"""PIP join vs brute-force numpy oracle + rectangle-country SQL semantics."""
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+from kaza_lcms_ray import synth
+from kaza_lcms_ray.stages import pip, spans
+from kaza_lcms_ray.state import geom
+
+
+def _geo_points(synth_dir):
+    tbl = pq.read_table(f"{synth_dir}/documents/part-00000.parquet")
+    return spans.parse_geo_batch(tbl)
+
+
+def _brute_force_pairs(px, py, ids, rings):
+    out = []
+    for pi, poly in enumerate(rings):
+        inside = geom.points_in_polygon(px, py, poly)
+        for j in np.nonzero(inside)[0]:
+            out.append((int(j), ids[pi]))
+    return sorted(out)
+
+
+def test_join_points_matches_brute_force(synth_small):
+    g = _geo_points(synth_small)
+    px = g.column("lon").to_numpy()[:3000]
+    py = g.column("lat").to_numpy()[:3000]
+    ids, kinds, lc, rings = synth.make_polygons()
+    index = geom.PolygonIndex(ids, kinds, lc, rings)
+    pt, pl = index.join_points(px, py)
+    got = sorted(zip(pt.tolist(), [ids[i] for i in pl]))
+    assert got == _brute_force_pairs(px, py, ids, rings)
+    assert len(got) > 3000  # AOI covers most points → join is non-trivial
+
+
+def test_country_rectangles_match_sql_half_open(synth_small):
+    """Rectangle countries tile the domain; ray-casting must agree with the
+    half-open SQL predicate on every point, including shared borders."""
+    g = _geo_points(synth_small)
+    px = g.column("lon").to_numpy()
+    py = g.column("lat").to_numpy()
+    # inject exact border points
+    px = np.concatenate([px, [23.5, 23.5, 22.0]])
+    py = np.concatenate([py, [-16.5, -18.0, -16.5]])
+    ids, kinds, lc, rings = synth.make_polygons()
+    keep = kinds == "country"
+    index = geom.PolygonIndex(ids[keep], kinds[keep], lc[keep], [r for r, k in zip(rings, keep) if k])
+    pt, pl = index.join_points(px, py)
+    assert len(pt) == len(px)  # exactly one country each (tiling + half-open)
+    got = {int(a): index.poly_ids[b] for a, b in zip(pt, pl)}
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"i": np.arange(len(px)), "lon": px, "lat": py}))
+    con.register("cty", pq.read_table(f"{synth_small}/polygons.parquet").to_pandas()[lambda d: d.kind == "country"][["poly_id", "bbox"]].assign(
+        minx=lambda d: d.bbox.map(lambda b: b["minx"]),
+        miny=lambda d: d.bbox.map(lambda b: b["miny"]),
+        maxx=lambda d: d.bbox.map(lambda b: b["maxx"]),
+        maxy=lambda d: d.bbox.map(lambda b: b["maxy"]),
+    ).drop(columns="bbox"))
+    sql = con.sql(
+        "SELECT i, poly_id FROM pts JOIN cty ON lon >= minx AND lon < maxx AND lat >= miny AND lat < maxy"
+    ).fetchall()
+    assert {i: p for i, p in sql} == got
+
+
+def test_pip_join_modes(synth_small, ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    total = geo.count()
+    inner = pip.pip_join(geo, f"{synth_small}/polygons.parquet", kinds=["protected_area"], mode="inner", concurrency=2)
+    semi = pip.pip_join(geo, f"{synth_small}/polygons.parquet", kinds=["protected_area"], mode="semi", concurrency=2)
+    anti = pip.pip_join(geo, f"{synth_small}/polygons.parquet", kinds=["protected_area"], mode="anti", concurrency=2)
+    n_semi, n_anti = semi.count(), anti.count()
+    assert n_semi + n_anti == total
+    assert inner.count() >= n_semi > 0
+
+
+def test_pip_label_deterministic(synth_small, ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    lab = pip.pip_join(geo, f"{synth_small}/polygons.parquet", kinds=["reference"], mode="label", concurrency=2)
+    df = lab.to_pandas().sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    df2 = lab.to_pandas().sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert (df["poly_id"].to_numpy() == df2["poly_id"].to_numpy()).all()
+    assert (df["LANDCOVER"].to_numpy() == df2["LANDCOVER"].to_numpy()).all()
+    assert (df.loc[df.poly_id != "", "LANDCOVER"] > 0).all()

@@ -1,0 +1,85 @@
+"""Span parser vs DuckDB oracle + span-sequence invariant."""
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+from kaza_lcms_ray.stages import spans
+
+
+def _duck_geo(doc_glob: str):
+    con = duckdb.connect()
+    return con.sql(
+        f"""
+        SELECT doc_id, ord - 1 AS span_idx,
+               CAST(parts[1] AS DOUBLE) AS lon,
+               CAST(parts[2] AS DOUBLE) AS lat,
+               CAST(parts[3] AS INT) AS "year",
+               CAST(parts[4] AS INT) AS doy,
+               CAST(b[1] AS DOUBLE) AS b0, CAST(b[4] AS DOUBLE) AS b3,
+               CAST(round(CAST(b[4] AS DOUBLE) * 100, 0) AS BIGINT) AS c3
+        FROM (
+            SELECT doc_id, unnest(spans) AS span,
+                   generate_subscripts(spans, 1) AS ord
+            FROM read_parquet('{doc_glob}')
+        ), LATERAL (SELECT string_split(span.text, ';') AS parts),
+           LATERAL (SELECT string_split(parts[5], ',') AS b)
+        WHERE span.kind = 'geo'
+        ORDER BY doc_id, span_idx
+        """
+    ).df()
+
+
+def test_parse_matches_duckdb(synth_small):
+    tbl = pq.read_table(f"{synth_small}/documents/part-00000.parquet")
+    ours = spans.parse_geo_batch(tbl).to_pandas().sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    oracle = _duck_geo(f"{synth_small}/documents/part-*.parquet")
+    assert len(ours) == len(oracle) > 0
+    assert (ours["doc_id"].to_numpy() == oracle["doc_id"].to_numpy()).all()
+    for col in ("lon", "lat", "b0", "b3"):
+        assert (ours[col].to_numpy() == oracle[col].to_numpy()).all(), col
+    assert (ours["year"].to_numpy() == oracle["year"].to_numpy()).all()
+    assert (ours["doy"].to_numpy() == oracle["doy"].to_numpy()).all()
+    assert (ours["c3"].to_numpy() == oracle["c3"].to_numpy()).all()
+
+
+def test_geo_obs_dataset(synth_small, ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    n_rows = geo.count()
+    oracle = _duck_geo(f"{synth_small}/documents/part-*.parquet")
+    assert n_rows == len(oracle)
+
+
+def test_span_sequence_invariant(synth_small, ray_session):
+    """geo_obs is a side table: the documents dataset itself is untouched.
+    Verify the spans fingerprint of every doc is identical before/after
+    running the parse stage over the same dataset."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    before = (
+        docs.map_batches(spans.span_signature_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _ = spans.geo_obs(docs).count()  # run the stage
+    after = (
+        docs.map_batches(spans.span_signature_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (before["span_sig"].to_numpy() == after["span_sig"].to_numpy()).all()
+    assert len(before) == 10_000
+
+
+def test_offsets_monotone(synth_small):
+    tbl = pq.read_table(f"{synth_small}/documents/part-00000.parquet")
+    for row in tbl.slice(0, 50).to_pylist():
+        offs = [s["offset"] for s in row["spans"]]
+        assert offs[0] == 0
+        assert all(b > a for a, b in zip(offs, offs[1:])) or len(offs) == 1

@@ -1,0 +1,99 @@
+"""Zonal aggregates vs DuckDB oracle (exact scaled-int arithmetic)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from kaza_lcms_ray.stages import spans, zonal
+
+
+def _geo_df(synth_dir):
+    import pyarrow.parquet as pq
+
+    frames = []
+    import glob
+
+    for f in sorted(glob.glob(f"{synth_dir}/documents/part-*.parquet")):
+        frames.append(spans.parse_geo_batch(pq.read_table(f)).to_pandas())
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_zonal_counts_match_duckdb(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.zonal_counts(geo, keys=("cell_id", "year"), bands=(0, 3))
+        .to_pandas()
+        .sort_values(["cell_id", "year"])
+        .reset_index(drop=True)
+    )
+    oracle_df = _geo_df(synth_small)
+    con = duckdb.connect()
+    con.register("geo", oracle_df)
+    exp = con.sql(
+        """
+        SELECT cell_id, "year", COUNT(*) AS n,
+               CAST(SUM(c0) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b0,
+               CAST(SUM(c3) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
+        FROM geo GROUP BY cell_id, "year" ORDER BY cell_id, "year"
+        """
+    ).df()
+    assert len(got) == len(exp)
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    # bit-exact: integer sums → one identical double division on both sides
+    assert (got["mean_b0"].to_numpy() == exp["mean_b0"].to_numpy()).all()
+    assert (got["mean_b3"].to_numpy() == exp["mean_b3"].to_numpy()).all()
+
+
+def test_zonal_percentiles_match_duckdb(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.zonal_percentiles(geo, keys=("cell_id", "year"), band=3)
+        .to_pandas()
+        .sort_values(["cell_id", "year"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("geo", _geo_df(synth_small))
+    exp = con.sql(
+        """
+        SELECT cell_id, "year", COUNT(*) AS n,
+               quantile_cont(CAST(c3 AS DOUBLE), 0.10) AS p10,
+               quantile_cont(CAST(c3 AS DOUBLE), 0.50) AS p50,
+               quantile_cont(CAST(c3 AS DOUBLE), 0.90) AS p90
+        FROM geo GROUP BY cell_id, "year" ORDER BY cell_id, "year"
+        """
+    ).df()
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    for p, col in ((10, "p10"), (50, "p50"), (90, "p90")):
+        g = got[f"p{p}_b3"].to_numpy()
+        e = exp[col].to_numpy()
+        assert (g == e).all(), (p, np.abs(g - e).max())  # bit-exact
+
+
+def test_harmonic_fit_runs_and_is_deterministic(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    # coarse key (year only) → few groups, well-conditioned fits
+    fit = zonal.harmonic_fit(geo, keys=("year",), band=3).to_pandas().sort_values("year")
+    assert len(fit) == 3 and fit["n"].sum() == geo.count()
+    # oracle: same fixed-order solve over sorted rows
+    df = _geo_df(synth_small).sort_values(["doc_id", "span_idx"])
+    for _, row in fit.iterrows():
+        sub = df[df["year"] == row["year"]]
+        phase, amp = zonal.solve_harmonic(sub["t"].to_numpy(), sub["b3"].to_numpy())
+        assert row["b3_phase"] == phase and row["b3_amplitude"] == amp
+
+
+def test_area_by_class(synth_small, ray_session):
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{synth_small}/primitives.parquet")
+    labels = assemblage.assemble_tile_labels(prims)
+    area = zonal.area_by_class(labels, level=14).to_pandas()
+    assert set(area["LANDCOVER"]) <= set(range(1, 9))
+    assert (area["n_tiles"] > 0).all() and (area["area_m2"] > 0).all()
+    assert area["n_tiles"].sum() == labels.count()
