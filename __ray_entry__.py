@@ -244,6 +244,58 @@ def q_ann_topk(sf_dir: str):
     return _i64(out, ["qid", "rank", "vec_id"])
 
 
+def q_covariates(sf_dir: str):
+    from kaza_lcms_ray.config import PipelineConfig
+    from kaza_lcms_ray.stages import covariates
+
+    cfg = PipelineConfig(indices=("ND_nir_red", "ND_green_swir1", "EVI", "SAVI", "IBI"))
+    out = covariates.add_covariates(_geo(sf_dir), cfg)
+    return _i64(
+        out,
+        ["doc_id", "span_idx", "ND_nir_red", "ND_green_swir1", "EVI", "SAVI", "IBI"],
+    )
+
+
+def q_near_dup_pairs(sf_dir: str):
+    """Spatial near-duplicate candidate pairs over the training plots
+    (distance ≤ 0.01°) via the cell-grid self-join."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import sampling
+
+    root = _synth(sf_dir)
+    plots = rd.read_parquet(f"{root}/training_plots.parquet")
+    _, pairs = sampling.spatial_near_dedup(plots, "plot_id", 0.01)
+    return pairs.reset_index(drop=True)
+
+
+def q_training_split(sf_dir: str):
+    """Stratified sample + 80/20 split summary (seeded hash randomness —
+    not SQL-expressible; rows-only check)."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    train_df, test_df = P.build_training_table(_synth(sf_dir), DEFAULT_CONFIG)
+    import pandas as pd
+
+    g = train_df.groupby("LANDCOVER").size().rename("n_train").reset_index()
+    g["n_test"] = g["LANDCOVER"].map(test_df.groupby("LANDCOVER").size()).fillna(0).astype(int)
+    return g
+
+
+def q_rf_landcover(sf_dir: str):
+    """Full model pipeline: train per-class RF primitives on the labeled
+    spans, score tile composites, argmax → LANDCOVER (iterative/model op —
+    rows-only check)."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    root = _synth(sf_dir)
+    train_df, _ = P.build_training_table(root, DEFAULT_CONFIG)
+    models = P.train_primitives(train_df, DEFAULT_CONFIG)
+    return _i64(P.generate_landcover(root, models, DEFAULT_CONFIG), ["tile_id", "year", "LANDCOVER"])
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -277,6 +329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
+        "covariates": q_covariates,
+        "near_dup_pairs": q_near_dup_pairs,
+        "training_split": q_training_split,
+        "rf_landcover": q_rf_landcover,
     }
 
 
@@ -422,4 +478,30 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY qid ORDER BY sim DESC, vec_id ASC
                 ) AS rnk FROM s
             ) WHERE rnk <= 10""",
+        # covariate band algebra: identical double-precision expression trees
+        # (left-associative, same constants) → bit-equal to the numpy kernels
+        "covariates": f"""
+            WITH {geo},
+            s AS (
+                SELECT doc_id, span_idx,
+                       b0 * 0.0001 AS blue, b1 * 0.0001 AS green,
+                       b2 * 0.0001 AS red, b3 * 0.0001 AS nir,
+                       b4 * 0.0001 AS swir1
+                FROM geo
+            )
+            SELECT doc_id, span_idx,
+                   (nir - red) / (nir + red) AS "ND_nir_red",
+                   (green - swir1) / (green + swir1) AS "ND_green_swir1",
+                   2.5 * ((nir - red) / (nir + 6 * red - 7.5 * blue + 1)) AS "EVI",
+                   (nir - red) * 1.5 / (nir + red + 0.5) AS "SAVI",
+                   ((2 * swir1 / (swir1 + nir)) - ((nir / (nir + red)) + (green / (green + swir1))))
+                   / ((2 * swir1 / (swir1 + nir)) + ((nir / (nir + red)) + (green / (green + swir1)))) AS "IBI"
+            FROM s""",
+        "near_dup_pairs": f"""
+            SELECT x.plot_id AS a, y.plot_id AS b
+            FROM read_parquet('{root}/training_plots.parquet') x,
+                 read_parquet('{root}/training_plots.parquet') y
+            WHERE x.plot_id < y.plot_id
+              AND (x.lon - y.lon) * (x.lon - y.lon)
+                + (x.lat - y.lat) * (x.lat - y.lat) <= 0.01 * 0.01""",
     }

@@ -1,0 +1,222 @@
+"""Model stages: training-table build, per-class RF primitives, tile
+scoring, assemblage, accuracy/area reports.
+
+Reference flow (SURVEY.md §3.2-3.3):
+  02train_test  — stratified sample inside reference polygons + band
+                  extraction + 80/20 split (src/02train_test.py,
+                  src/utils/sampling.py:115-193)
+  03RFprimitives— per-class binary RF probability models, 2-pass training
+                  (all features → top-20 retrain), OOB/importance metrics
+                  (src/03RFprimitives.py, src/utils/primitives.py:69-151)
+  04generate_LC — per-tile argmax over class probabilities → LANDCOVER
+                  (src/utils/assemblage.py)
+  05accuracy    — confusion matrix + per-class producer/user accuracy +
+                  per-class area (src/misc/05accuracy.py:89-141)
+
+Ray-Data shape: the training table is tiny next to the corpus → collected
+and trained driver-side (deterministic numpy forest); the trained models are
+broadcast once (ray.put) into a scorer actor pool that scores ALL classes in
+a single pass over the tile composites (one wide batch op, no shuffle);
+argmax happens per batch; only the per-class counts aggregate shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, CLASSES, PipelineConfig
+from ..state.forest import Forest, top_k_features, train_forest
+from ..stages import covariates, pip, sampling, spans, zonal
+
+
+# ------------------------------------------------------ training table
+
+
+def build_training_table(
+    synth_root: str, config: PipelineConfig = DEFAULT_CONFIG
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """geo spans inside labeled reference polygons → covariate features →
+    seeded per-class cap → 80/20 split.  Returns (train, test) DataFrames.
+
+    The PIP label join is the sampleRegions band-extraction analog (J4):
+    each span already carries its band observation, so 'extraction' is the
+    covariate computation.
+    """
+    docs = rd.read_parquet(f"{synth_root}/documents")
+    geo = spans.geo_obs(docs)
+    labeled = pip.pip_join(
+        geo, f"{synth_root}/polygons.parquet", kinds=["reference"], mode="label"
+    )
+    labeled = labeled.filter(expr="LANDCOVER > 0")
+    feat = covariates.add_covariates(labeled, config)
+    capped = sampling.stratified_sample(
+        feat,
+        "LANDCOVER",
+        ["doc_id", "span_idx"],
+        {c: 400 for c in CLASSES},
+        seed=config.seed,
+    )
+    train, test = sampling.split_train_test(
+        capped, ["doc_id", "span_idx"], seed=config.seed, frac=config.split_frac
+    )
+    return train.to_pandas(), test.to_pandas()
+
+
+# ------------------------------------------------------- model training
+
+
+def train_primitives(
+    train_df: pd.DataFrame, config: PipelineConfig = DEFAULT_CONFIG
+) -> dict:
+    """Per-class binary forests, two-pass (full → top-k features retrain).
+
+    Returns {class: {"forest": Forest, "features": [names], "oob": float,
+    "importance": {name: score}}} — the metrics the reference exports per
+    class (src/utils/primitives.py:18-30).
+    """
+    names = covariates.feature_names(config)
+    X = train_df[names].to_numpy(dtype=np.float64)
+    y_all = train_df["LANDCOVER"].to_numpy()
+    models = {}
+    for c in sorted(CLASSES):
+        y = (y_all == c).astype(np.float64)  # M16 binary relabel, no copy
+        full = train_forest(
+            X,
+            y,
+            n_trees=config.rf_trees,
+            seed=config.rf_seed,
+            class_tag=c,
+            feature_names=names,
+        )
+        keep = top_k_features(full, config.rf_top_k_features)
+        kept_names = [names[i] for i in keep]
+        retrained = train_forest(
+            X[:, keep],
+            y,
+            n_trees=config.rf_trees,
+            seed=config.rf_seed,
+            class_tag=1000 + c,
+            feature_names=kept_names,
+        )
+        models[c] = {
+            "forest": retrained,
+            "features": kept_names,
+            "oob": retrained.oob_error,
+            "importance": dict(zip(names, full.importance.tolist())),
+        }
+    return models
+
+
+# ------------------------------------------------------------- scoring
+
+
+class PrimitiveScorer:
+    """Actor-pool callable: batch of feature rows → per-class probabilities
+    (prob_1..prob_8) + argmax LANDCOVER (+1-free: classes already 1-based).
+
+    Models loaded once per actor from the object store."""
+
+    def __init__(self, models_ref):
+        self.models = (
+            ray.get(models_ref) if isinstance(models_ref, ray.ObjectRef) else models_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probs = []
+        classes = sorted(self.models)
+        for c in classes:
+            m = self.models[c]
+            fnames = m["features"]
+            X = np.stack(
+                [batch.column(f).to_numpy(zero_copy_only=False) for f in fnames],
+                axis=1,
+            )
+            p = m["forest"].predict_proba(X)
+            probs.append(p)
+            batch = batch.append_column(f"prob_{c}", pa.array(p))
+        P = np.stack(probs, axis=1)
+        # ties → lowest class index (band-order argmax, assemblage.py:12-19)
+        label = np.asarray(classes, dtype=np.int32)[np.argmax(P, axis=1)]
+        return batch.append_column("LANDCOVER_pred", pa.array(label))
+
+
+def score(ds, models: dict, concurrency=None):
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    models_ref = ray.put(models)
+    return ds.map_batches(
+        PrimitiveScorer,
+        fn_constructor_kwargs={"models_ref": models_ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ------------------------------------------------ tile composite + labels
+
+
+def tile_composites(geo, config: PipelineConfig = DEFAULT_CONFIG):
+    """Per-(tile, year) mean-band composite → covariates.
+
+    The 01composite analog at tile granularity: exact scaled-int means, then
+    the covariate kernels over the composite bands.
+    """
+    comp = zonal.zonal_counts(geo, keys=("tile_id", "year"), bands=range(6))
+
+    def rename(t: pa.Table) -> pa.Table:
+        cols = {"tile_id": t.column("tile_id"), "year": t.column("year"), "n": t.column("n")}
+        for b in range(6):
+            cols[f"b{b}"] = t.column(f"mean_b{b}")
+        return pa.table(cols)
+
+    return comp.map_batches(rename, batch_format="pyarrow").map_batches(
+        lambda t: covariates.covariates_batch(t, config), batch_format="pyarrow"
+    )
+
+
+def generate_landcover(synth_root: str, models: dict, config: PipelineConfig = DEFAULT_CONFIG):
+    """documents → tile composites → score → Dataset[tile_id, year,
+    LANDCOVER] (the 04generate_LC output)."""
+    docs = rd.read_parquet(f"{synth_root}/documents")
+    geo = spans.geo_obs(docs)
+    scored = score(tile_composites(geo, config), models)
+    return scored.select_columns(["tile_id", "year", "LANDCOVER_pred"]).map_batches(
+        lambda t: t.rename_columns(["tile_id", "year", "LANDCOVER"]),
+        batch_format="pyarrow",
+    )
+
+
+# --------------------------------------------------------- accuracy (A9)
+
+
+def confusion_report(truth: np.ndarray, pred: np.ndarray) -> dict:
+    """Confusion matrix + per-class producer/user accuracy + overall metrics
+    (src/misc/05accuracy.py:89-141 semantics, computed driver-side)."""
+    classes = sorted(CLASSES)
+    k = len(classes)
+    cm = np.zeros((k, k), dtype=np.int64)
+    cidx = {c: i for i, c in enumerate(classes)}
+    for t, p in zip(truth, pred):
+        cm[cidx[int(t)], cidx[int(p)]] += 1
+    total = cm.sum()
+    overall = np.trace(cm) / total if total else float("nan")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        producers = np.diag(cm) / cm.sum(axis=1)  # omission complement
+        users = np.diag(cm) / cm.sum(axis=0)  # commission complement
+        f1 = 2 * producers * users / (producers + users)
+    return {
+        "classes": classes,
+        "matrix": cm,
+        "overall_accuracy": float(overall),
+        "producers_accuracy": producers,
+        "users_accuracy": users,
+        "f1": f1,
+    }

@@ -32,12 +32,18 @@ from ..state.geom import points_in_polygon
 from ..state.hashing import DEFAULT_SEED, hash_key, hash_unit
 
 
-def add_random(ds, id_cols: list[str], seed: int = DEFAULT_SEED, col: str = "random"):
-    """Seeded uniform [0,1) column keyed on the row's id columns."""
+def add_random(ds, id_cols: list[str], seed: int = DEFAULT_SEED, col: str = "random", tag: str = "random"):
+    """Seeded uniform [0,1) column keyed on the row's id columns.  ``tag``
+    separates independent streams (e.g. the stratified-sample order vs the
+    train/test split — coupling them would bias the split)."""
 
     def fn(t: pa.Table) -> pa.Table:
         key = _row_key(t, id_cols)
-        return t.append_column(col, pa.array(hash_unit(seed, "random", key)))
+        arr = pa.array(hash_unit(seed, tag, key))
+        idx = t.schema.get_field_index(col)
+        if idx >= 0:  # replace (re-seeding an existing random column)
+            return t.set_column(idx, col, arr)
+        return t.append_column(col, arr)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -69,7 +75,7 @@ def split_train_test(ds, id_cols: list[str], seed: int = DEFAULT_SEED, frac: flo
     Both sides derive the same hash per row → disjoint and exhaustive by
     construction, at any parallelism.
     """
-    withr = add_random(ds, id_cols, seed)
+    withr = add_random(ds, id_cols, seed, tag="split")
     train = withr.filter(expr=f"random < {frac}")
     test = withr.filter(expr=f"random >= {frac}")
     return train, test
@@ -89,7 +95,7 @@ def stratified_sample(
     deterministic.  Executed as groupby(class).map_groups: per class sort by
     (random, id) and head(n).
     """
-    withr = add_random(ds, id_cols, seed)
+    withr = add_random(ds, id_cols, seed, tag="strat")
 
     def take(g: pd.DataFrame) -> pd.DataFrame:
         cv = g[class_col].iloc[0]

@@ -87,33 +87,81 @@ def interp_percentile(sorted_vals: np.ndarray, p: float) -> float:
     return (1.0 - frac) * float(sorted_vals[lo]) + frac * float(sorted_vals[hi])
 
 
+def _add_bucket(ds, keys: list[str], num_buckets: int):
+    """Hash-bucket column over the group keys: the shuffle moves ``keys``
+    cardinality down to ``num_buckets`` partitions, and each bucket is
+    processed by ONE vectorized numpy call instead of one Python call per
+    group.  This is also the hot-key treatment: the Okavango hot cells land
+    in some bucket alongside others, and a bucket is at most 1/B of the key
+    space — bounded, predictable group sizes for the executor."""
+    from ..state.hashing import hash_key
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = np.zeros(len(t), dtype=np.uint64)
+        for k in keys:
+            key = hash_key(key, t.column(k).to_numpy(zero_copy_only=False).astype(np.int64))
+        return t.append_column("bucket", pa.array((key % np.uint64(num_buckets)).astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _default_buckets() -> int:
+    from ..runtime import cluster_cpus
+
+    return max(8, cluster_cpus() * 2)
+
+
 def zonal_percentiles(
     geo,
     keys=("cell_id", "year"),
     band: int = 3,
     ps=DEFAULT_PERCENTILES,
+    num_buckets: int | None = None,
 ):
-    """Per-key percentiles of one band (holistic → map_groups with sort).
+    """Per-key percentiles of one band (holistic aggregate).
 
     Output: keys…, n:int64, p{P}_b{band}:f64.  Percentiles interpolate over
     the ×100 scaled ints cast to double, so both sides interpolate over
-    exactly-representable integers.
+    exactly-representable integers; the interpolation formula is pinned
+    bit-exact to DuckDB quantile_cont (see interp_percentile).
+
+    Execution: hash-bucket the keys (≈2×CPUs buckets), one map_groups call
+    per bucket, then lexsort + segment boundaries inside — every group in a
+    bucket is reduced by vectorized numpy, no per-group Python dispatch.
     """
     keys = list(keys)
     col = f"c{band}"
+    nb = num_buckets or _default_buckets()
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[col].to_numpy(dtype=np.float64))
-        row = {k: [g[k].iloc[0]] for k in keys}
-        row["n"] = [len(v)]
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        kcols = [g[k].to_numpy() for k in keys]
+        v = g[col].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, *kcols[::-1]))  # by keys, then value asc
+        kcols = [k[order] for k in kcols]
+        v = v[order]
+        changed = np.zeros(v.shape[0], dtype=bool)
+        changed[0] = True
+        for k in kcols:
+            changed[1:] |= k[1:] != k[:-1]
+        starts = np.nonzero(changed)[0]
+        ends = np.append(starts[1:], v.shape[0])
+        n = (ends - starts).astype(np.int64)
+        out = {k: kcols[i][starts] for i, k in enumerate(keys)}
+        out["n"] = n
         for p in ps:
-            row[f"p{p}_b{band}"] = [interp_percentile(v, p)]
-        return pd.DataFrame(row)
+            h = (n - 1) * (p / 100.0)
+            lo = np.floor(h).astype(np.int64)
+            frac = h - lo
+            a = v[starts + lo]
+            b = v[np.minimum(starts + lo + 1, ends - 1)]
+            out[f"p{p}_b{band}"] = (1.0 - frac) * a + frac * b
+        return pd.DataFrame(out)
 
     return (
-        geo.select_columns(keys + [col])
-        .groupby(keys)
-        .map_groups(per_group, batch_format="pandas")
+        _add_bucket(geo.select_columns(keys + [col]), keys, nb)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(keys + ["n"] + [f"p{p}_b{band}" for p in ps])
     )
 
 
@@ -129,22 +177,38 @@ def harmonic_fit(geo, keys=("cell_id", "year"), band: int = 3):
     """
     keys = list(keys)
     col = f"b{band}"
+    nb = _default_buckets()
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "span_idx"], kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # deterministic row order inside every group, independent of
+        # partitioning: sort by (keys, doc_id, span_idx)
+        g = g.sort_values(keys + ["doc_id", "span_idx"], kind="mergesort")
+        kcols = [g[k].to_numpy() for k in keys]
         t = g["t"].to_numpy(dtype=np.float64)
         y = g[col].to_numpy(dtype=np.float64)
-        phase, amp = solve_harmonic(t, y)
-        row = {k: [g[k].iloc[0]] for k in keys}
-        row["n"] = [len(t)]
-        row[f"b{band}_phase"] = [phase]
-        row[f"b{band}_amplitude"] = [amp]
-        return pd.DataFrame(row)
+        changed = np.zeros(t.shape[0], dtype=bool)
+        changed[0] = True
+        for k in kcols:
+            changed[1:] |= k[1:] != k[:-1]
+        starts = np.nonzero(changed)[0]
+        ends = np.append(starts[1:], t.shape[0])
+        phases = np.empty(starts.shape[0])
+        amps = np.empty(starts.shape[0])
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            phases[i], amps[i] = solve_harmonic(t[s:e], y[s:e])
+        out = {k: kcols[i][starts] for i, k in enumerate(keys)}
+        out["n"] = (ends - starts).astype(np.int64)
+        out[f"b{band}_phase"] = phases
+        out[f"b{band}_amplitude"] = amps
+        return pd.DataFrame(out)
 
     return (
-        geo.select_columns(keys + ["doc_id", "span_idx", "t", col])
-        .groupby(keys)
-        .map_groups(per_group, batch_format="pandas")
+        _add_bucket(
+            geo.select_columns(keys + ["doc_id", "span_idx", "t", col]), keys, nb
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(keys + ["n", f"b{band}_phase", f"b{band}_amplitude"])
     )
 
 

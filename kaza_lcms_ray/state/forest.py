@@ -1,0 +1,179 @@
+"""Deterministic numpy random forest (binary primitives, PROBABILITY mode).
+
+The engine analog of the reference's smileRandomForest configuration
+(src/utils/primitives.py:69-97): numberOfTrees=100, minLeafPopulation=1,
+bagFraction=0.7, fixed seed (51515), output mode PROBABILITY, one binary
+model per class ("primitive"), plus OOB error and variable importance
+(model.explain() analog) and top-k feature selection + retrain
+(gettop20, src/utils/primitives.py:49-59,86-92).
+
+Everything is seeded splitmix64 — bootstrap rows and feature subsets are
+pure functions of (seed, class, tree) — so training is bit-reproducible on
+any machine; scoring is a vectorized iterative tree walk (no Python
+per-row recursion).  Training runs driver-side on the collected training
+table (small next to the document corpus); the trained forest is broadcast
+to the scorer actor pool.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .hashing import RF_SEED, hash_key
+
+
+@dataclass
+class Tree:
+    feature: np.ndarray  # int32, -1 for leaf
+    thresh: np.ndarray  # float64
+    left: np.ndarray  # int32
+    right: np.ndarray  # int32
+    value: np.ndarray  # float64 leaf probability of class 1
+
+
+@dataclass
+class Forest:
+    trees: list[Tree] = field(default_factory=list)
+    oob_error: float = float("nan")
+    importance: np.ndarray | None = None  # gini importance per feature
+    feature_names: list[str] | None = None
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        """Mean of per-tree leaf probabilities (PROBABILITY output mode)."""
+        n = X.shape[0]
+        acc = np.zeros(n)
+        for tr in self.trees:
+            node = np.zeros(n, dtype=np.int32)
+            active = tr.feature[node] >= 0
+            while active.any():
+                f = tr.feature[node[active]]
+                go_left = X[active, f] <= tr.thresh[node[active]]
+                nxt = np.where(go_left, tr.left[node[active]], tr.right[node[active]])
+                node[active] = nxt
+                active = tr.feature[node] >= 0
+            acc += tr.value[node]
+        return acc / max(1, len(self.trees))
+
+
+def _best_split(X, y, feat_idx, min_leaf: int):
+    """Best (feature, threshold) by weighted gini; deterministic tie-break
+    (first feature in feat_idx order, smallest threshold)."""
+    n = y.shape[0]
+    best = (np.inf, -1, 0.0)
+    for f in feat_idx:
+        order = np.argsort(X[:, f], kind="stable")
+        xs, ys = X[order, f], y[order]
+        csum = np.cumsum(ys)
+        total = csum[-1]
+        nl = np.arange(1, n)
+        pl = csum[:-1] / nl
+        nr = n - nl
+        pr = (total - csum[:-1]) / nr
+        gini = nl * 2 * pl * (1 - pl) + nr * 2 * pr * (1 - pr)
+        valid = xs[1:] != xs[:-1]
+        valid &= (nl >= min_leaf) & (nr >= min_leaf)
+        if not valid.any():
+            continue
+        cand = np.nonzero(valid)[0]
+        gbest = cand[np.argmin(gini[cand])]  # first min → smallest threshold
+        if gini[gbest] < best[0]:
+            thresh = (xs[gbest] + xs[gbest + 1]) / 2.0
+            best = (gini[gbest], f, thresh)
+    return best
+
+
+def _grow(X, y, rows, feat_count, key, min_leaf, max_depth, nodes):
+    """Recursive deterministic CART; returns node index."""
+    idx = len(nodes["feature"])
+    for c in nodes.values():
+        c.append(0)
+    ysub = y[rows]
+    p1 = float(ysub.mean()) if ysub.shape[0] else 0.0
+    if (
+        ysub.shape[0] < 2 * min_leaf
+        or max_depth <= 0
+        or p1 == 0.0
+        or p1 == 1.0
+    ):
+        nodes["feature"][idx] = -1
+        nodes["value"][idx] = p1
+        return idx
+    # deterministic feature subsample: sqrt(F) features chosen by seeded hash
+    m = max(1, int(np.sqrt(X.shape[1])))
+    scores = hash_key(key, np.arange(X.shape[1], dtype=np.int64))
+    feat_idx = np.argsort(scores, kind="stable")[:m]
+    feat_idx = np.sort(feat_idx)
+    g, f, thr = _best_split(X[rows], ysub, feat_idx, min_leaf)
+    if f < 0:
+        nodes["feature"][idx] = -1
+        nodes["value"][idx] = p1
+        return idx
+    go_left = X[rows, f] <= thr
+    l = _grow(X, y, rows[go_left], feat_count, hash_key(key, 1), min_leaf, max_depth - 1, nodes)
+    r = _grow(X, y, rows[~go_left], feat_count, hash_key(key, 2), min_leaf, max_depth - 1, nodes)
+    nodes["feature"][idx] = f
+    nodes["thresh"][idx] = thr
+    nodes["left"][idx] = l
+    nodes["right"][idx] = r
+    return idx
+
+
+def train_forest(
+    X: np.ndarray,
+    y: np.ndarray,
+    n_trees: int = 100,
+    bag_fraction: float = 0.7,
+    min_leaf: int = 1,
+    max_depth: int = 12,
+    seed: int = RF_SEED,
+    class_tag: int = 0,
+    feature_names: list[str] | None = None,
+) -> Forest:
+    """Binary forest with OOB error + gini importance (explain() analog)."""
+    n, F = X.shape
+    forest = Forest(feature_names=feature_names)
+    oob_votes = np.zeros(n)
+    oob_count = np.zeros(n)
+    importance = np.zeros(F)
+    for t in range(n_trees):
+        tree_key = hash_key(seed, class_tag, t)
+        # bagFraction=0.7 without replacement (smile semantics): the
+        # bag_fraction·n rows with smallest per-(tree,row) hash
+        row_scores = hash_key(tree_key, np.arange(n, dtype=np.int64))
+        k = max(1, int(round(bag_fraction * n)))
+        bag = np.sort(np.argsort(row_scores, kind="stable")[:k])
+        oob = np.setdiff1d(np.arange(n), bag, assume_unique=True)
+        nodes = {
+            "feature": [], "thresh": [], "left": [], "right": [], "value": [],
+        }
+        _grow(X, y, bag, F, tree_key, min_leaf, max_depth, nodes)
+        tr = Tree(
+            np.asarray(nodes["feature"], dtype=np.int32),
+            np.asarray(nodes["thresh"], dtype=np.float64),
+            np.asarray(nodes["left"], dtype=np.int32),
+            np.asarray(nodes["right"], dtype=np.int32),
+            np.asarray(nodes["value"], dtype=np.float64),
+        )
+        forest.trees.append(tr)
+        internal = tr.feature >= 0
+        np.add.at(importance, tr.feature[internal], 1.0)
+        if oob.shape[0]:
+            single = Forest(trees=[tr])
+            oob_votes[oob] += single.predict_proba(X[oob])
+            oob_count[oob] += 1
+    seen = oob_count > 0
+    if seen.any():
+        pred = (oob_votes[seen] / oob_count[seen]) >= 0.5
+        forest.oob_error = float((pred != (y[seen] > 0)).mean())
+    forest.importance = importance
+    return forest
+
+
+def top_k_features(forest: Forest, k: int = 20) -> list[int]:
+    """Indices of the k most important features (ties → lower index), the
+    gettop20 analog (src/utils/primitives.py:49-59)."""
+    imp = forest.importance
+    order = np.lexsort((np.arange(imp.shape[0]), -imp))
+    return sorted(order[:k].tolist())

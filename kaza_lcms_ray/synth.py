@@ -42,7 +42,8 @@ HOT_LON, HOT_LAT, HOT_HALF = 22.6, -18.9, 0.25
 HOT_FRAC = 0.2
 YEARS = (2020, 2021, 2022)
 N_CLASSES = 8
-CLASS_GRID_DEG = 0.25
+CLASS_GRID_DEG = 1.0  # coarse enough that most reference polygons (radius
+# ≤ 0.3°) sit inside one class cell → labels match span spectra
 
 # per-class spectral means for (blue, green, red, nir, swir1, swir2) —
 # loosely shaped like the 8 strata (Bare..Wetland) so model stages are

@@ -73,6 +73,8 @@ def _compare(name, e, con):
         "token_stats",
         "events_hourly",
         "ann_topk",
+        "covariates",
+        "near_dup_pairs",
     ],
 )
 def test_query_matches_oracle(contract, name):
@@ -90,6 +92,8 @@ def test_rows_only_queries_run(contract):
         "fingerprints",
         "simhash",
         "minhash_pairs",
+        "training_split",
+        "rf_landcover",
     ):
         df = _to_pandas(e.queries()[name](SF_DIR))
         assert df is not None and len(df.columns) > 0

@@ -1,0 +1,77 @@
+"""Resumable output: kill mid-run, resume, verify completeness + skip."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from kaza_lcms_ray import lineage
+
+
+def _flagship_ds(synth_small):
+    from kaza_lcms_ray.pipelines import flagship
+
+    return flagship.tile_assignments(synth_small)
+
+
+def test_resume_after_injected_failure(synth_small, ray_session, tmp_path):
+    out = str(tmp_path / "tiles_out")
+    ds = _flagship_ds(synth_small)
+
+    # first run fails on two partitions → those (and possibly later ones)
+    # are missing
+    with pytest.raises(Exception):
+        lineage.resumable_write(
+            ds, out, key_col="doc_id", num_parts=16, config_hash="cfg1",
+            _fail_parts={3, 7},
+        )
+    done_after_fail = lineage.finished_parts(out, "cfg1")
+    assert len(done_after_fail) < 16
+
+    # record mtimes of finished partitions: resume must not rewrite them
+    mtimes = {
+        p: os.path.getmtime(os.path.join(out, f"part={p:05d}/data.parquet"))
+        for p in done_after_fail
+    }
+
+    # resume (no failure): only unfinished parts are written
+    ds2 = _flagship_ds(synth_small)
+    written, skipped = lineage.resumable_write(
+        ds2, out, key_col="doc_id", num_parts=16, config_hash="cfg1"
+    )
+    assert skipped == len(done_after_fail)
+    assert written == 16 - skipped
+    for p, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f"part={p:05d}/data.parquet")) == m
+
+    # completeness: partitioned output == direct materialization
+    got = lineage.read_output(out).to_pandas()
+    exp = _flagship_ds(synth_small).to_pandas()
+    assert len(got) == len(exp)
+    key = ["doc_id", "span_idx"]
+    assert set(map(tuple, got[key].to_numpy())) == set(map(tuple, exp[key].to_numpy()))
+
+
+def test_config_hash_invalidates(synth_small, ray_session, tmp_path):
+    out = str(tmp_path / "tiles_out2")
+    ds = _flagship_ds(synth_small)
+    lineage.resumable_write(ds, out, num_parts=4, config_hash="A")
+    assert len(lineage.finished_parts(out, "A")) == 4
+    # different config hash → nothing counts as finished
+    assert lineage.finished_parts(out, "B") == set()
+
+
+def test_corrupt_data_file_redone(synth_small, ray_session, tmp_path):
+    out = str(tmp_path / "tiles_out3")
+    ds = _flagship_ds(synth_small)
+    lineage.resumable_write(ds, out, num_parts=4, config_hash="A")
+    victim = os.path.join(out, "part=00001/data.parquet")
+    with open(victim, "wb") as f:
+        f.write(b"corrupt")
+    assert 1 not in lineage.finished_parts(out, "A")
+    ds2 = _flagship_ds(synth_small)
+    written, skipped = lineage.resumable_write(ds2, out, num_parts=4, config_hash="A")
+    assert written == 1 and skipped == 3
+    assert pq.read_metadata(victim).num_rows > 0

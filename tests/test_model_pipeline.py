@@ -1,0 +1,89 @@
+"""RF primitives + end-to-end model pipeline + sampling determinism."""
+
+import numpy as np
+import pytest
+
+from kaza_lcms_ray.config import DEFAULT_CONFIG
+from kaza_lcms_ray.state.forest import top_k_features, train_forest
+from kaza_lcms_ray.state.hashing import hash_unit
+
+
+def _toy_data(n=400, f=8, seed=5):
+    X = hash_unit(seed, "x", np.arange(n * f)).reshape(n, f)
+    y = ((X[:, 0] + 0.3 * X[:, 3]) > 0.65).astype(np.float64)
+    return X, y
+
+
+def test_forest_learns_and_is_deterministic():
+    X, y = _toy_data()
+    f1 = train_forest(X, y, n_trees=25, seed=51515, class_tag=1)
+    f2 = train_forest(X, y, n_trees=25, seed=51515, class_tag=1)
+    p1, p2 = f1.predict_proba(X), f2.predict_proba(X)
+    assert (p1 == p2).all()  # bit-reproducible
+    acc = (((p1 >= 0.5) == (y > 0)).mean())
+    assert acc > 0.9
+    assert 0.0 <= f1.oob_error < 0.3
+    top = top_k_features(f1, 3)
+    assert 0 in top  # dominant feature must rank
+
+
+def test_forest_seed_changes_model():
+    X, y = _toy_data()
+    f1 = train_forest(X, y, n_trees=10, seed=51515, class_tag=1)
+    f2 = train_forest(X, y, n_trees=10, seed=90210, class_tag=1)
+    assert not (f1.predict_proba(X) == f2.predict_proba(X)).all()
+
+
+@pytest.fixture(scope="module")
+def trained(synth_small, ray_session):
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    train_df, test_df = P.build_training_table(synth_small, DEFAULT_CONFIG)
+    models = P.train_primitives(train_df, DEFAULT_CONFIG)
+    return train_df, test_df, models
+
+
+def test_training_table_split(trained):
+    train_df, test_df, _ = trained
+    assert len(train_df) > 0 and len(test_df) > 0
+    frac = len(train_df) / (len(train_df) + len(test_df))
+    assert 0.7 < frac < 0.9  # seeded 80/20
+    # disjoint by construction
+    key = lambda d: set(zip(d["doc_id"], d["span_idx"]))
+    assert not (key(train_df) & key(test_df))
+    # per-class cap respected
+    assert train_df["LANDCOVER"].value_counts().max() <= 400
+
+
+def test_primitives_models(trained):
+    _, _, models = trained
+    assert sorted(models) == list(range(1, 9))
+    for c, m in models.items():
+        assert len(m["features"]) <= DEFAULT_CONFIG.rf_top_k_features
+        assert np.isfinite(m["oob"])
+
+
+def test_holdout_accuracy_beats_chance(trained):
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    _, test_df, models = trained
+    scorer = P.PrimitiveScorer(models)
+    import pyarrow as pa
+
+    scored = scorer(pa.Table.from_pandas(test_df, preserve_index=False)).to_pandas()
+    rep = P.confusion_report(
+        scored["LANDCOVER"].to_numpy(), scored["LANDCOVER_pred"].to_numpy()
+    )
+    # spectra are class-informative by construction → far better than 1/8
+    assert rep["overall_accuracy"] > 0.5
+    assert rep["matrix"].sum() == len(test_df)
+
+
+def test_generate_landcover_runs(trained, synth_small, ray_session):
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    _, _, models = trained
+    labels = P.generate_landcover(synth_small, models, DEFAULT_CONFIG).to_pandas()
+    assert set(labels.columns) == {"tile_id", "year", "LANDCOVER"}
+    assert labels["LANDCOVER"].between(1, 8).all()
+    assert labels.duplicated(["tile_id", "year"]).sum() == 0
