@@ -296,6 +296,71 @@ def q_rf_landcover(sf_dir: str):
     return _i64(P.generate_landcover(root, models, DEFAULT_CONFIG), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_distinct_years(sf_dir: str):
+    from kaza_lcms_ray.stages import joins
+
+    return _i64(joins.distinct(_geo(sf_dir), ["year"]), ["year"])
+
+
+def q_top_chars(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import joins
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return joins.top_k(docs, "n_chars", 20, "doc_id")[["doc_id", "n_chars"]]
+
+
+def q_focal_count(sf_dir: str):
+    """Neighborhood (3×3 cells) observation count per cell — the windowed
+    aggregation kernel (A8/M3 analog) with halo-exchange blocks."""
+    from kaza_lcms_ray.stages import focal, zonal
+
+    per_cell = zonal.zonal_counts(_geo(sf_dir), keys=("cell_id",), bands=())
+    out = focal.focal(per_cell.select_columns(["cell_id", "n"]), "n", "sum", 1)
+    return _i64(out, ["cell_id", "focal_sum"])
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id < 2000")
+    return _i64(ann.embedding_dup_pairs(emb, 0.4), ["a", "b"])
+
+
+def q_lee_sigma(sf_dir: str):
+    """Speckle-style Lee filter over the per-cell b3 composite (windowed
+    mean/variance via focal; float math — rows-only check)."""
+    from kaza_lcms_ray.stages import sar, zonal
+
+    comp = zonal.zonal_counts(_geo(sf_dir), keys=("cell_id",), bands=(3,))
+
+    def rename(t):
+        return t.select(["cell_id", "mean_b3"]).rename_columns(["cell_id", "value"])
+
+    from kaza_lcms_ray.state.cells import CELL_LEVEL
+
+    ds = comp.map_batches(rename, batch_format="pyarrow")
+    return sar.lee_sigma(ds, "value", CELL_LEVEL).select_columns(
+        ["cell_id", "value", "filtered"]
+    )
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing: media spans → (stub) decode → features
+    (rows-only; the codec is a deterministic fake — no image libs here)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import media
+
+    docs = rd.read_parquet(f"{_synth(sf_dir)}/documents")
+    return media.decode_media(docs, decoder="fake").select_columns(
+        ["doc_id", "span_idx", "media_ref", "mean_intensity"]
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -333,6 +398,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": q_near_dup_pairs,
         "training_split": q_training_split,
         "rf_landcover": q_rf_landcover,
+        "distinct_years": q_distinct_years,
+        "top_chars": q_top_chars,
+        "focal_count": q_focal_count,
+        "embed_dup_pairs": q_embed_dup_pairs,
+        "lee_sigma": q_lee_sigma,
+        "media_decode": q_media_decode,
     }
 
 
@@ -504,4 +575,32 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             WHERE x.plot_id < y.plot_id
               AND (x.lon - y.lon) * (x.lon - y.lon)
                 + (x.lat - y.lat) * (x.lat - y.lat) <= 0.01 * 0.01""",
+        "distinct_years": f'WITH {geo} SELECT DISTINCT "year" FROM geo',
+        "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
+        "focal_count": _focal_count_sql(root),
+        "embed_dup_pairs": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b
+            FROM embeddings e1, embeddings e2
+            WHERE e1.vec_id < e2.vec_id AND e1.vec_id < 2000 AND e2.vec_id < 2000
+              AND list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                         CAST(e2.embedding AS DOUBLE[])) >= 0.4""",
     }
+
+
+def _focal_count_sql(root: str) -> str:
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+
+    ix = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iy = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("a.ix", "a.iy", CELL_LEVEL)
+    return f"""
+        WITH {_geo_cte(root)},
+        gc AS (SELECT {ix} AS ix, {iy} AS iy FROM geo),
+        cc AS (SELECT ix, iy, COUNT(*) AS n FROM gc GROUP BY ix, iy)
+        SELECT {cell} AS cell_id, SUM(b.n) AS focal_sum
+        FROM cc a JOIN cc b ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+        GROUP BY a.ix, a.iy"""

@@ -100,6 +100,48 @@ def cosine_topk(
     return partial.groupby("qid").map_groups(final, batch_format="pandas")
 
 
+class EmbeddingDupFinder:
+    """Actor-pool callable: batch rows × broadcast corpus → near-dup pairs
+    (cosine ≥ threshold, id_a < id_b).
+
+    The corpus matrix is normalized once per actor.  Exact (all-pairs); the
+    scale path replaces the broadcast corpus with LSH buckets (lsh_bucketed)
+    and runs this same kernel inside each bucket."""
+
+    def __init__(self, corpus_ref, id_col: str, threshold: float):
+        c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+        self.ids = np.asarray(c["ids"])
+        self.mat = _normalize(np.asarray(c["mat"], dtype=np.float64))
+        self.id_col, self.threshold = id_col, threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embed_matrix(batch, "embedding"))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = m @ self.mat.T
+        ii, jj = np.nonzero((sims >= self.threshold) & (ids[:, None] < self.ids[None, :]))
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(self.ids[jj])})
+
+
+def embedding_dup_pairs(
+    ds, threshold: float, id_col: str = "vec_id", embed_col: str = "embedding", concurrency=None
+):
+    """Exact embedding-cosine near-duplicate pairs (a < b)."""
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    rows = ds.select_columns([id_col, embed_col]).to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows[embed_col]])
+    corpus_ref = ray.put({"ids": rows[id_col].to_numpy(), "mat": mat})
+    return ds.map_batches(
+        EmbeddingDupFinder,
+        fn_constructor_kwargs=dict(corpus_ref=corpus_ref, id_col=id_col, threshold=threshold),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class LSHBucketer:
     """Scale path: signed-random-projection bucket id per vector.
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ray.data.aggregate import Max
 
 _KEYS = ["tile_id", "year"]
 
@@ -67,10 +66,24 @@ def _decode(batch: pa.Table) -> pa.Table:
 
 def assemble_tile_labels(primitives):
     """Dataset[tile_id, year, class, prob] → Dataset[tile_id, year,
-    LANDCOVER, prob] (the winning class and its probability)."""
+    LANDCOVER, prob] (the winning class and its probability).
+
+    Combine step is hash-bucketed (same pattern as zonal.bucketed_sum):
+    with millions of tiles, a bucketed pandas max beats the sort-based
+    groupby aggregate by an order of magnitude."""
+    import pandas as pd
+
+    from .zonal import _add_bucket, _default_buckets
+
+    partial = primitives.map_batches(_partial, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(_KEYS, as_index=False)["score"].max()
+
     return (
-        primitives.map_batches(_partial, batch_format="pyarrow")
-        .groupby(_KEYS)
-        .aggregate(Max("score", alias_name="score"))
+        _add_bucket(partial, _KEYS, _default_buckets())
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(_KEYS + ["score"])
         .map_batches(_decode, batch_format="pyarrow")
     )

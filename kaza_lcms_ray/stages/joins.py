@@ -1,0 +1,95 @@
+"""Join helpers (SURVEY.md J1/J5/J6, A5, K1).
+
+* ``join_first``  — the ee.Join.saveFirst analog (src/utils/s2process.py:28-35):
+  left equi-join keeping the FIRST build-side match per key, deterministic
+  "first" = smallest order_col.  Build side is deduped to one row per key
+  *before* the join, so the hash join itself stays 1:1.
+* ``anti_join_ids`` — inList(ids).Not() (src/utils/sampling.py:45-48):
+  broadcast the id set, filter inside map_batches.  No shuffle.
+* ``distinct``  — aggregate_array().distinct() (src/02train_test.py:108):
+  two-phase exact distinct.
+* ``top_k``     — gettop20 / sort+limit (src/utils/primitives.py:49-59)
+  with a deterministic tie-break column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def dedupe_first(ds, key_cols: list[str], order_col: str):
+    """One row per key: the row with min order_col (ties impossible when
+    order_col is unique; otherwise first in (order_col) order)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(1)
+
+    return ds.groupby(key_cols).map_groups(first, batch_format="pandas")
+
+
+def join_first(left, right, on: list[str], order_col: str, num_partitions: int | None = None):
+    """Left join; at most one right match per key (first by order_col)."""
+    if num_partitions is None:
+        from ..runtime import join_partitions
+
+        num_partitions = join_partitions()
+    deduped = dedupe_first(right, on, order_col)
+    return left.join(
+        deduped, join_type="left_outer", num_partitions=num_partitions, on=tuple(on)
+    )
+
+
+def anti_join_ids(ds, id_col: str, ids):
+    """Drop rows whose id is in ``ids`` (broadcast set, vectorized isin)."""
+    ids_ref = ray.put(np.asarray(sorted(ids)))
+
+    class AntiFilter:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(id_col).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isin(col, self.ids)))
+
+    return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def distinct(ds, cols: list[str]):
+    """Exact distinct rows over ``cols``: per-batch dedupe → groupby combine."""
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.select(cols).group_by(cols).aggregate([([], "count_all")])
+        return out.rename_columns(cols + ["n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(cols)
+    )
+
+
+def top_k(ds, value_col: str, k: int, tiebreak_col: str, descending: bool = True):
+    """Global top-k by (value, tiebreak) — deterministic under ties.
+
+    Decomposable: per-batch partial top-k, then a driver-side final top-k
+    over ≤ k×n_batches rows (no global sort)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([value_col, tiebreak_col]).to_pandas()
+        df = df.sort_values(
+            [value_col, tiebreak_col], ascending=[not descending, True], kind="mergesort"
+        ).head(k)
+        full = t.to_pandas().merge(df[[tiebreak_col]], on=tiebreak_col, how="inner")
+        return pa.Table.from_pandas(full, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(
+        [value_col, tiebreak_col], ascending=[not descending, True], kind="mergesort"
+    ).head(k)
+    return out.reset_index(drop=True)

@@ -1,0 +1,151 @@
+"""Multimodal columns: media spans as opaque binary refs + typed metadata,
+with decode / feature-extract / resize / frame-sample as actor-pool stages.
+
+The sandbox has no image/audio codecs, so the *codec* step is stubbed: a
+``DeterministicFakeCodec`` produces seeded, shape-correct arrays from the
+media_ref (or ``decoder="strict"`` raises NotImplementedError, documenting
+exactly where a real libjpeg/ffmpeg call plugs in).  Everything around the
+codec — the schema contract, batch sizing for large binary payloads, actor
+signature, zero-copy Arrow list output — is real and tested; swapping the
+stub for a real codec changes one method.
+
+Design notes for 100 TB: media bytes dominate row size, so media stages run
+with SMALL batch_size (default 256) and the documents table's ``spans``
+column is projected away everywhere else (SURVEY.md §7 "very wide records").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.hashing import hash_key, hash_unit
+
+
+def media_refs(documents, batch_size: int = 4096):
+    """documents → one row per media span: (doc_id, span_idx, media_ref).
+
+    Same zero-copy list-flatten shape as the geo parser; text/geo spans are
+    untouched (span-sequence invariant)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        span_idx = np.arange(offsets[-1] - offsets[0], dtype=np.int64) - np.repeat(
+            offsets[:-1] - offsets[0], lengths
+        )
+        flat = spans.flatten()
+        is_media = pc.equal(flat.field("kind"), "media").to_numpy(zero_copy_only=False)
+        mi = np.nonzero(is_media)[0]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(doc_idx[mi])),
+                "span_idx": pa.array(span_idx[mi].astype(np.int32)),
+                "media_ref": flat.field("media_ref").take(pa.array(mi)),
+            }
+        )
+
+    return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+class DeterministicFakeCodec:
+    """Stand-in for the image/audio codec: seeded pixels from the ref hash.
+
+    Real deployment: replace ``decode_one`` with PIL/libjpeg/ffmpeg on the
+    bytes fetched for media_ref.  Shape contract: uint8 (H, W, C)."""
+
+    def __init__(self, height: int = 32, width: int = 32, channels: int = 3, seed: int = 11):
+        self.h, self.w, self.c, self.seed = height, width, channels, seed
+
+    def decode_one(self, ref: str) -> np.ndarray:
+        key = hash_key(self.seed, "px", np.frombuffer(ref.encode()[:16].ljust(16, b"\0"), dtype=np.uint64))
+        n = self.h * self.w * self.c
+        vals = hash_key(key[0], "img", np.arange(n, dtype=np.int64)) % np.uint64(256)
+        return vals.astype(np.uint8).reshape(self.h, self.w, self.c)
+
+
+class StrictCodec:
+    """Documents the real-codec seam: raises until a codec library exists."""
+
+    def decode_one(self, ref: str) -> np.ndarray:
+        raise NotImplementedError(
+            "media decode requires an image/audio codec (PIL/ffmpeg), "
+            "not available in this environment; use DeterministicFakeCodec"
+        )
+
+
+class MediaDecoder:
+    """Actor-pool callable: media_ref batch → decoded pixels + basic features.
+
+    Output: + pixels (list<uint8>, flattened H·W·C), shape (list<int32>),
+    mean_intensity (f64).  Codec built once per actor."""
+
+    def __init__(self, decoder: str = "fake", height: int = 32, width: int = 32):
+        self.codec = (
+            DeterministicFakeCodec(height, width) if decoder == "fake" else StrictCodec()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        imgs = [self.codec.decode_one(r) for r in refs]
+        pixels = pa.array([im.ravel() for im in imgs], type=pa.list_(pa.uint8()))
+        shapes = pa.array([list(im.shape) for im in imgs], type=pa.list_(pa.int32()))
+        means = pa.array([float(im.mean()) for im in imgs], type=pa.float64())
+        return (
+            batch.append_column("pixels", pixels)
+            .append_column("shape", shapes)
+            .append_column("mean_intensity", means)
+        )
+
+
+class MediaResizer:
+    """Actor-pool callable: nearest-neighbor resize of decoded pixels.
+
+    Pure-numpy stand-in for the resize kernel; same actor/batch plumbing a
+    real implementation uses."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pix = batch.column("pixels")
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        shapes = batch.column("shape").to_pylist()
+        out = []
+        for i in range(len(batch)):
+            h, w, c = shapes[i]
+            im = np.asarray(pix[i].as_py(), dtype=np.uint8).reshape(h, w, c)
+            ys = (np.arange(self.out_h) * h // self.out_h)
+            xs = (np.arange(self.out_w) * w // self.out_w)
+            out.append(im[ys][:, xs].ravel())
+        return batch.append_column(
+            "thumb", pa.array(out, type=pa.list_(pa.uint8()))
+        ).append_column(
+            "thumb_shape",
+            pa.array([[self.out_h, self.out_w, 3]] * len(batch), type=pa.list_(pa.int32())),
+        )
+
+
+def decode_media(documents, decoder: str = "fake", batch_size: int = 256, concurrency=None):
+    """documents → decoded media feature table (actor pool, small batches —
+    binary payloads dominate memory)."""
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    refs = media_refs(documents)
+    return refs.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -84,8 +84,12 @@ def parse_geo_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def geo_obs(documents, batch_size: int = 8192):
-    """Dataset[documents] → Dataset[geo_obs] (stateless map_batches)."""
+def geo_obs(documents, batch_size: int | None = None):
+    """Dataset[documents] → Dataset[geo_obs] (stateless map_batches).
+
+    Default batch_size=None (batch = block) so the parse fuses with the
+    upstream read — an explicit batch_size breaks read→map fusion and ships
+    every raw document block through the object store."""
     return documents.map_batches(
         parse_geo_batch, batch_format="pyarrow", batch_size=batch_size
     )

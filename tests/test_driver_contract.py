@@ -75,6 +75,10 @@ def _compare(name, e, con):
         "ann_topk",
         "covariates",
         "near_dup_pairs",
+        "distinct_years",
+        "top_chars",
+        "focal_count",
+        "embed_dup_pairs",
     ],
 )
 def test_query_matches_oracle(contract, name):
@@ -94,6 +98,8 @@ def test_rows_only_queries_run(contract):
         "minhash_pairs",
         "training_split",
         "rf_landcover",
+        "lee_sigma",
+        "media_decode",
     ):
         df = _to_pandas(e.queries()[name](SF_DIR))
         assert df is not None and len(df.columns) > 0

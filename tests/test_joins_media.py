@@ -1,0 +1,84 @@
+"""Join helpers, distinct, top-k, and multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from kaza_lcms_ray.stages import joins, media
+
+
+def test_join_first_semantics(ray_session):
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "lv": ["a", "b", "c"]}))
+    right = rd.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2], "rv": ["x2", "x1", "y"], "ord": [2, 1, 5]})
+    )
+    out = (
+        joins.join_first(left, right, on=["k"], order_col="ord", num_partitions=2)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    got = dict(zip(out["k"], out["rv"]))
+    assert got[1] == "x1"  # first by order_col, not arrival order
+    assert got[2] == "y"
+    assert pd.isna(got[3])  # left row with no match survives
+
+
+def test_anti_join_ids(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"id": list(range(10)), "v": range(10)}))
+    out = joins.anti_join_ids(ds, "id", [2, 5, 7]).to_pandas()
+    assert sorted(out["id"]) == [0, 1, 3, 4, 6, 8, 9]
+
+
+def test_distinct_and_topk(synth_small, ray_session):
+    from kaza_lcms_ray.stages import spans
+
+    geo = spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+    years = joins.distinct(geo, ["year"]).to_pandas()
+    assert sorted(years["year"]) == [2020, 2021, 2022]
+    top = joins.top_k(geo, "c3", 20, "doc_id")
+    assert len(top) == 20
+    # equals the global sort answer
+    full = geo.select_columns(["c3", "doc_id"]).to_pandas()
+    exp = full.sort_values(["c3", "doc_id"], ascending=[False, True]).head(20)
+    assert top["c3"].tolist() == exp["c3"].tolist()
+
+
+def test_media_refs_and_decode(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    refs = media.media_refs(docs)
+    n = refs.count()
+    assert n > 1000
+    decoded = media.decode_media(docs, decoder="fake", batch_size=128).limit(50).to_pandas()
+    assert set(["doc_id", "span_idx", "media_ref", "pixels", "shape", "mean_intensity"]) <= set(decoded.columns)
+    assert all(list(s) == [32, 32, 3] for s in decoded["shape"])
+    assert all(len(p) == 32 * 32 * 3 for p in decoded["pixels"])
+    # deterministic: same ref → same pixels
+    c = media.DeterministicFakeCodec()
+    a, b = c.decode_one("m://abc"), c.decode_one("m://abc")
+    assert (a == b).all()
+    assert not (a == c.decode_one("m://abd")).all()
+
+
+def test_strict_codec_documents_seam():
+    with pytest.raises(NotImplementedError):
+        media.StrictCodec().decode_one("m://abc")
+
+
+def test_resizer_shape():
+    import pyarrow as pa
+
+    c = media.DeterministicFakeCodec()
+    im = c.decode_one("m://zz")
+    t = pa.table(
+        {
+            "pixels": pa.array([im.ravel()], type=pa.list_(pa.uint8())),
+            "shape": pa.array([[32, 32, 3]], type=pa.list_(pa.int32())),
+        }
+    )
+    out = media.MediaResizer(8, 8)(t)
+    thumb = np.asarray(out.column("thumb")[0].as_py(), dtype=np.uint8).reshape(8, 8, 3)
+    assert (thumb == im[::4, ::4]).all()  # nearest-neighbor grid

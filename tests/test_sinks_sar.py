@@ -1,0 +1,89 @@
+"""Sinks (CSV/idempotent/metrics) and SAR kernels."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from kaza_lcms_ray.sources import sinks
+from kaza_lcms_ray.stages import sar
+
+
+def test_export_csv_projection(ray_session, tmp_path):
+    ds = rd.from_pandas(pd.DataFrame({"a": [1, 2], "b": ["x", "y"], "c": [0.5, 0.25]}))
+    out = str(tmp_path / "csv_out")
+    sinks.export_csv(ds, out, selectors=["a", "c"])
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+    df = pd.concat([pd.read_csv(os.path.join(out, f)) for f in files])
+    assert list(df.columns) == ["a", "c"] and len(df) == 2
+
+
+def test_export_table_idempotent(ray_session, tmp_path):
+    ds = rd.from_pandas(pd.DataFrame({"a": [1, 2, 3]}))
+    out = str(tmp_path / "tbl_out")
+    assert sinks.export_table(ds, out) is True
+    assert sinks.export_table(ds, out) is False  # second call skips
+
+
+def test_write_metrics(tmp_path):
+    models = {
+        1: {"oob": 0.1, "features": ["a", "b"], "importance": {"a": 3.0, "b": 1.0}},
+        2: {"oob": 0.2, "features": ["a"], "importance": {"a": 2.0, "b": 0.5}},
+    }
+    report = {
+        "classes": [1, 2],
+        "matrix": np.array([[5, 1], [2, 4]]),
+        "overall_accuracy": 0.75,
+        "producers_accuracy": np.array([5 / 6, 4 / 6]),
+        "users_accuracy": np.array([5 / 7, 4 / 5]),
+        "f1": np.array([0.77, 0.73]),
+    }
+    out = sinks.write_metrics(models, report, str(tmp_path / "metrics"))
+    for f in ("oob.csv", "confusion_matrix.csv", "accuracy_by_class.csv", "overall.txt", "importance_class1.csv"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_sar_scalar_kernels():
+    t = pa.table({"vv": [0.0, 10.0, 20.0], "vh": [-5.0, 5.0, 10.0]})
+    t = sar.to_natural_batch(t, "vv", "vv_nat")
+    assert np.allclose(t.column("vv_nat").to_numpy(), [1.0, 10.0, 100.0])
+    t = sar.to_db_batch(t, "vv_nat", "vv_db")
+    assert np.allclose(t.column("vv_db").to_numpy(), [0.0, 10.0, 20.0])
+    t = sar.add_ratio_batch(t, "vh", "vv", "r")
+    assert t.column("r").to_numpy()[1] == 0.5
+
+
+def test_terrain_flatten_flags():
+    t = pa.table(
+        {
+            "v": [1.0, 1.0, 1.0],
+            "slope": [0.0, 80.0, 45.0],
+            "aspect": [0.0, 180.0, 0.0],
+        }
+    )
+    out = sar.terrain_flatten_batch(t, "v", "slope", "aspect")
+    flat = out.column("flattened").to_numpy()
+    assert np.isclose(flat[0], 1.0)  # flat terrain → unchanged
+    assert out.column("shadow").to_numpy()[1]  # steep away-facing → shadow
+    assert np.isnan(flat[1])
+
+
+def test_lee_sigma_runs(ray_session):
+    from kaza_lcms_ray.state import cells
+    from kaza_lcms_ray.state.hashing import hash_unit
+
+    n = 500
+    ix = (hash_unit(8, "x", np.arange(n)) * 50).astype(np.int64) + 10
+    iy = (hash_unit(8, "y", np.arange(n)) * 50).astype(np.int64) + 10
+    cid = cells.morton(ix, iy)
+    uniq, first = np.unique(cid, return_index=True)
+    v = hash_unit(8, "v", np.arange(n))[first] * 100
+    ds = rd.from_pandas(pd.DataFrame({"cell_id": uniq, "value": v}))
+    out = sar.lee_sigma(ds, "value", level=10).to_pandas()
+    assert len(out) == len(uniq)
+    # filter pulls values toward the local mean (variance shrinks)
+    assert out["filtered"].var() <= out["value"].var() + 1e-9
