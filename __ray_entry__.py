@@ -361,6 +361,26 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_composite_percentiles(sf_dir: str):
+    """Per-(tile, year) percentile composites (p10..p90 of nir) — the
+    01composite stack's A1 branch."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import composite
+
+    out = composite.percentile_stack(_geo(sf_dir), DEFAULT_CONFIG, bands=[3])
+    cols = ["tile_id", "year", "n"] + [f"p{p}_nir" for p in (10, 25, 50, 75, 90)]
+    return _i64(out, cols)
+
+
+def q_harmonic_windowed(sf_dir: str):
+    """Per-(tile, year) harmonic phase/amplitude with DOY windows from
+    config (doHarmonicsFromOptions analog; float OLS — rows-only)."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import composite
+
+    return composite.harmonic_stack(_geo(sf_dir), DEFAULT_CONFIG)
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -404,6 +424,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": q_embed_dup_pairs,
         "lee_sigma": q_lee_sigma,
         "media_decode": q_media_decode,
+        "composite_percentiles": q_composite_percentiles,
+        "harmonic_windowed": q_harmonic_windowed,
     }
 
 
@@ -576,6 +598,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
               AND (x.lon - y.lon) * (x.lon - y.lon)
                 + (x.lat - y.lat) * (x.lat - y.lat) <= 0.01 * 0.01""",
         "distinct_years": f'WITH {geo} SELECT DISTINCT "year" FROM geo',
+        "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
         "embed_dup_pairs": """
@@ -585,6 +608,23 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
               AND list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                                          CAST(e2.embedding AS DOUBLE[])) >= 0.4""",
     }
+
+
+def _composite_pct_sql(geo: str, cells: str) -> str:
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+
+    # the engine multiplies by the PYTHON-computed constant
+    # scale_factor * 100.0 (one ulp off decimal 0.01) — repr() it into the
+    # SQL so both sides multiply by the identical double
+    scale = repr(DEFAULT_CONFIG.scale_factor * 100.0)
+    pct = ", ".join(
+        f"quantile_cont(CAST(c3 AS DOUBLE), {p / 100.0}) * {scale} AS p{p}_nir"
+        for p in (10, 25, 50, 75, 90)
+    )
+    return f"""
+        WITH {geo}, {cells}
+        SELECT tile_id, "year", COUNT(*) AS n, {pct}
+        FROM cells GROUP BY tile_id, "year" """
 
 
 def _focal_count_sql(root: str) -> str:

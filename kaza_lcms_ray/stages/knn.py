@@ -58,6 +58,101 @@ class PlotIndex:
         return best_idx, np.sqrt(best_d2)
 
 
+class PlotGridIndex(PlotIndex):
+    """Exact grid-accelerated 1-NN: plots bucketed by cell, queries probe
+    expanding Chebyshev rings and verify with a distance bound.
+
+    The scale path for large plot tables (brute force is O(plots) per
+    query; this is O(local density)).  Exactness: after the first ring r
+    with candidates, rings are extended to ⌊d_best / cell_side⌋ + 1 —
+    no plot outside that radius can beat d_best.  Tie-break identical to
+    brute force: candidates are gathered in plot_id-sorted order and
+    np.argmin takes the first minimum.
+    """
+
+    def __init__(self, plot_ids, lon, lat, level: int | None = None):
+        super().__init__(plot_ids, lon, lat)
+        from ..state import cells as C
+
+        n = self.lon.shape[0]
+        # ~1 plot per cell on average, clamped
+        if level is None:
+            level = int(np.clip(np.ceil(np.log2(max(2.0, np.sqrt(n) * 4))), 6, 18))
+        self.level = level
+        self.cell_side = 180.0 / (1 << level)  # lat extent of one cell (deg)
+        ix, iy = C.grid_coords(self.lon, self.lat, level)
+        order = np.lexsort((np.arange(n), iy, ix))  # stable: plot_id order within cell
+        self.order = order
+        self.ix, self.iy = ix[order], iy[order]
+        key = self.ix * (np.int64(1) << np.int64(level)) + self.iy
+        self.uk, self.starts = np.unique(key, return_index=True)
+        self.ends = np.append(self.starts[1:], n)
+
+    def _cell_candidates(self, cx: int, cy: int) -> np.ndarray:
+        key = np.int64(cx) * (np.int64(1) << np.int64(self.level)) + np.int64(cy)
+        pos = np.searchsorted(self.uk, key)
+        if pos < self.uk.shape[0] and self.uk[pos] == key:
+            return self.order[self.starts[pos] : self.ends[pos]]
+        return np.empty(0, dtype=np.int64)
+
+    def _ring_candidates(self, cx: int, cy: int, r: int) -> np.ndarray:
+        out = []
+        n_side = np.int64(1) << self.level
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                if max(abs(dx), abs(dy)) != r:
+                    continue
+                jx, jy = cx + dx, cy + dy
+                if 0 <= jx < n_side and 0 <= jy < n_side:
+                    out.append(self._cell_candidates(int(jx), int(jy)))
+        return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+    def nearest(self, px: np.ndarray, py: np.ndarray, chunk: int = 2048):
+        from ..state import cells as C
+
+        n = px.shape[0]
+        best_idx = np.empty(n, dtype=np.int64)
+        best_d2 = np.empty(n, dtype=np.float64)
+        qx, qy = C.grid_coords(px, py, self.level)
+        qkey = qx * (np.int64(1) << np.int64(self.level)) + qy
+        order = np.argsort(qkey, kind="stable")
+        bounds = np.nonzero(np.diff(qkey[order]))[0] + 1
+        for seg in np.split(order, bounds):
+            cx, cy = int(qx[seg[0]]), int(qy[seg[0]])
+            cand = self._cell_candidates(cx, cy)
+            r = 0
+            while cand.shape[0] == 0:
+                r += 1
+                cand = self._ring_candidates(cx, cy, r)
+            # gather rings until the bound guarantees exactness
+            sx, sy = px[seg], py[seg]
+            while True:
+                dx = sx[:, None] - self.lon[cand][None, :]
+                dy = sy[:, None] - self.lat[cand][None, :]
+                d2 = dx * dx + dy * dy
+                bi = np.argmin(d2, axis=1)
+                d_best = np.sqrt(d2[np.arange(seg.shape[0]), bi].max())
+                # worst-case reach from anywhere in this cell
+                r_needed = int(d_best / self.cell_side) + 1
+                if r_needed <= r:
+                    break
+                extra = [self._ring_candidates(cx, cy, rr) for rr in range(r + 1, r_needed + 1)]
+                r = r_needed
+                extra = [e for e in extra if e.shape[0]]
+                if not extra:
+                    break
+                cand = np.sort(np.concatenate([cand] + extra))
+            # candidates sorted by plot index == plot_id order → first-min tie-break
+            cand = np.sort(cand)
+            dx = sx[:, None] - self.lon[cand][None, :]
+            dy = sy[:, None] - self.lat[cand][None, :]
+            d2 = dx * dx + dy * dy
+            bi = np.argmin(d2, axis=1)
+            best_idx[seg] = cand[bi]
+            best_d2[seg] = d2[np.arange(seg.shape[0]), bi]
+        return best_idx, np.sqrt(best_d2)
+
+
 class KNNJoiner:
     """Actor-pool callable: geo_obs batch → + (plot_id, dist) columns."""
 
@@ -80,12 +175,17 @@ def knn_join(
     plots_path: str,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 8192,
+    strategy: str = "grid",
 ):
+    """strategy='grid' (default, exact, O(local density) per query) or
+    'brute' (exact baseline, O(plots) per query) — identical results,
+    tested; grid is the scale path for large plot tables."""
     if concurrency is None:
         from ..runtime import pool_size
 
         concurrency = (1, pool_size(0.4))
-    index_ref = ray.put(PlotIndex.from_parquet(plots_path))
+    cls = PlotGridIndex if strategy == "grid" else PlotIndex
+    index_ref = ray.put(cls.from_parquet(plots_path))
     return geo.map_batches(
         KNNJoiner,
         fn_constructor_kwargs={"index_ref": index_ref},

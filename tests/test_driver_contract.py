@@ -79,6 +79,7 @@ def _compare(name, e, con):
         "top_chars",
         "focal_count",
         "embed_dup_pairs",
+        "composite_percentiles",
     ],
 )
 def test_query_matches_oracle(contract, name):
@@ -100,6 +101,7 @@ def test_rows_only_queries_run(contract):
         "rf_landcover",
         "lee_sigma",
         "media_decode",
+        "harmonic_windowed",
     ):
         df = _to_pandas(e.queries()[name](SF_DIR))
         assert df is not None and len(df.columns) > 0

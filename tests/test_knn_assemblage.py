@@ -87,3 +87,21 @@ def test_assemblage_tie_resolves_to_lowest_class(synth_small):
         if len(winners) > 1:
             ties += 1
     assert ties > 0  # fixture guarantees tie cases exist
+
+
+def test_grid_index_equals_brute_force(synth_small):
+    import pyarrow.parquet as pq
+
+    from kaza_lcms_ray.stages.knn import PlotGridIndex, PlotIndex
+
+    brute = PlotIndex.from_parquet(f"{synth_small}/training_plots.parquet")
+    grid = PlotGridIndex.from_parquet(f"{synth_small}/training_plots.parquet")
+    g = spans.parse_geo_batch(
+        pq.read_table(f"{synth_small}/documents/part-00000.parquet")
+    )
+    px = g.column("lon").to_numpy()
+    py = g.column("lat").to_numpy()
+    bi, bd = brute.nearest(px, py)
+    gi, gd = grid.nearest(px, py)
+    assert (brute.plot_ids[bi] == grid.plot_ids[gi]).all()
+    assert (bd == gd).all()  # bit-identical distances
