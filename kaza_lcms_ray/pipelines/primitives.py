@@ -82,34 +82,47 @@ def train_primitives(
     names = covariates.feature_names(config)
     X = train_df[names].to_numpy(dtype=np.float64)
     y_all = train_df["LANDCOVER"].to_numpy()
-    models = {}
-    for c in sorted(CLASSES):
-        y = (y_all == c).astype(np.float64)  # M16 binary relabel, no copy
-        full = train_forest(
-            X,
-            y,
-            n_trees=config.rf_trees,
-            seed=config.rf_seed,
-            class_tag=c,
-            feature_names=names,
-        )
-        keep = top_k_features(full, config.rf_top_k_features)
-        kept_names = [names[i] for i in keep]
-        retrained = train_forest(
-            X[:, keep],
-            y,
-            n_trees=config.rf_trees,
-            seed=config.rf_seed,
-            class_tag=1000 + c,
-            feature_names=kept_names,
-        )
-        models[c] = {
-            "forest": retrained,
-            "features": kept_names,
-            "oob": retrained.oob_error,
-            "importance": dict(zip(names, full.importance.tolist())),
+    # the per-class models are independent — train them as parallel Ray
+    # tasks (reference analog: the per-class EE export tasks run
+    # concurrently server-side, src/utils/primitives.py:139-150).  Results
+    # are deterministic regardless of scheduling: each task is a pure
+    # function of (X, y, seed, class_tag).
+    if ray.is_initialized():
+        x_ref = ray.put(X)
+        futs = {
+            c: _train_one_class.remote(x_ref, y_all == c, c, names, config)
+            for c in sorted(CLASSES)
         }
-    return models
+        return {c: ray.get(f) for c, f in futs.items()}
+    return {
+        c: _train_one_class_local(X, y_all == c, c, names, config)
+        for c in sorted(CLASSES)
+    }
+
+
+def _train_one_class_local(X, y_bool, c, names, config):
+    y = y_bool.astype(np.float64)  # M16 binary relabel, no data copy
+    full = train_forest(
+        X, y, n_trees=config.rf_trees, seed=config.rf_seed, class_tag=c,
+        feature_names=names,
+    )
+    keep = top_k_features(full, config.rf_top_k_features)
+    kept_names = [names[i] for i in keep]
+    retrained = train_forest(
+        X[:, keep], y, n_trees=config.rf_trees, seed=config.rf_seed,
+        class_tag=1000 + c, feature_names=kept_names,
+    )
+    return {
+        "forest": retrained,
+        "features": kept_names,
+        "oob": retrained.oob_error,
+        "importance": dict(zip(names, full.importance.tolist())),
+    }
+
+
+@ray.remote
+def _train_one_class(X, y_bool, c, names, config):
+    return _train_one_class_local(X, y_bool, c, names, config)
 
 
 # ------------------------------------------------------------- scoring
