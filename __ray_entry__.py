@@ -381,6 +381,34 @@ def q_harmonic_windowed(sf_dir: str):
     return composite.harmonic_stack(_geo(sf_dir), DEFAULT_CONFIG)
 
 
+def q_pip_polygon_subset(sf_dir: str):
+    """General ray-cast PIP vs reference polygons on a doc subset — the
+    full even-odd crossing test is reproduced in oracle SQL over an edge
+    table, so arbitrary-polygon PIP (not just rectangles) is value-checked."""
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    geo = _geo(sf_dir).filter(expr="doc_id < 'doc-000000005000'")
+    joined = pip.pip_join(
+        geo, f"{root}/polygons.parquet", kinds=["reference"], mode="inner"
+    )
+    return _i64(joined, ["doc_id", "span_idx", "poly_id"])
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding 2h windows advancing 1h: each event lands in 2 windows
+    (fan-out map → tumbling combine)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(
+        events.sliding_window(ev, width_hours=2, slide_hours=1),
+        ["event_type", "window_start", "n", "min_value", "max_value"],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -426,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q_media_decode,
         "composite_percentiles": q_composite_percentiles,
         "harmonic_windowed": q_harmonic_windowed,
+        "pip_polygon": q_pip_polygon_subset,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -601,6 +631,40 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
+        "pip_polygon": f"""
+            WITH {geo},
+            r AS (
+                SELECT poly_id, unnest(rings) AS ring,
+                       generate_subscripts(rings, 1) AS rid
+                FROM read_parquet('{root}/polygons.parquet')
+                WHERE kind = 'reference'
+            ),
+            v AS (
+                SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                       unnest(ring) AS p
+                FROM r
+            ),
+            e AS (
+                SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1,
+                       b.p.x AS x2, b.p.y AS y2
+                FROM v a JOIN v b
+                  ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+            ),
+            g AS (SELECT * FROM geo WHERE doc_id < 'doc-000000005000'),
+            c AS (
+                SELECT g.doc_id, g.span_idx, e.poly_id,
+                       SUM(CASE WHEN (e.y1 <= g.lat) <> (e.y2 <= g.lat)
+                                 AND g.lon < e.x1 + (g.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                           THEN 1 ELSE 0 END) AS crossings
+                FROM g, e GROUP BY g.doc_id, g.span_idx, e.poly_id
+            )
+            SELECT doc_id, span_idx, poly_id FROM c WHERE crossings % 2 = 1""",
+        "events_sliding": """
+            SELECT event_type,
+                   date_trunc('hour', ts) - to_hours(off) AS window_start,
+                   COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events, (SELECT unnest([0, 1]) AS off)
+            GROUP BY event_type, window_start""",
         "embed_dup_pairs": """
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1, embeddings e2

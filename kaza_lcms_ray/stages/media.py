@@ -64,9 +64,11 @@ class DeterministicFakeCodec:
         self.h, self.w, self.c, self.seed = height, width, channels, seed
 
     def decode_one(self, ref: str) -> np.ndarray:
-        key = hash_key(self.seed, "px", np.frombuffer(ref.encode()[:16].ljust(16, b"\0"), dtype=np.uint64))
+        from ..state.hashing import _fnv1a
+
+        key = hash_key(self.seed, "px", np.uint64(_fnv1a(ref)))  # full ref string
         n = self.h * self.w * self.c
-        vals = hash_key(key[0], "img", np.arange(n, dtype=np.int64)) % np.uint64(256)
+        vals = hash_key(key, "img", np.arange(n, dtype=np.int64)) % np.uint64(256)
         return vals.astype(np.uint8).reshape(self.h, self.w, self.c)
 
 
@@ -131,6 +133,60 @@ class MediaResizer:
             "thumb_shape",
             pa.array([[self.out_h, self.out_w, 3]] * len(batch), type=pa.list_(pa.int32())),
         )
+
+
+class FrameSampler:
+    """Actor-pool callable: video-style frame sampling from a media ref.
+
+    The codec seam is the same stub as MediaDecoder (a real implementation
+    calls ffmpeg seek+decode per sampled timestamp); the Ray-side plumbing —
+    one input row fans out to ``n_frames`` frame rows with frame_idx and
+    decoded pixels — is real and tested."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake", height: int = 16, width: int = 16):
+        self.n_frames = n_frames
+        self.codec = (
+            DeterministicFakeCodec(height, width) if decoder == "fake" else StrictCodec()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        span_idx = batch.column("span_idx").to_pylist()
+        out_doc, out_span, out_ref, out_frame, out_px = [], [], [], [], []
+        for d, s, r in zip(doc_ids, span_idx, refs):
+            for f in range(self.n_frames):
+                out_doc.append(d)
+                out_span.append(s)
+                out_ref.append(r)
+                out_frame.append(f)
+                out_px.append(self.codec.decode_one(f"{r}#frame{f}").ravel())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.string()),
+                "span_idx": pa.array(out_span, type=pa.int32()),
+                "media_ref": pa.array(out_ref, type=pa.string()),
+                "frame_idx": pa.array(out_frame, type=pa.int32()),
+                "pixels": pa.array(out_px, type=pa.list_(pa.uint8())),
+            }
+        )
+
+
+def sample_frames(documents, n_frames: int = 4, decoder: str = "fake", batch_size: int = 128, concurrency=None):
+    """documents → frame-sampled media rows (n_frames per media span)."""
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    refs = media_refs(documents)
+    return refs.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 def decode_media(documents, decoder: str = "fake", batch_size: int = 256, concurrency=None):

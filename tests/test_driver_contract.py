@@ -80,6 +80,8 @@ def _compare(name, e, con):
         "focal_count",
         "embed_dup_pairs",
         "composite_percentiles",
+        "pip_polygon",
+        "events_sliding",
     ],
 )
 def test_query_matches_oracle(contract, name):

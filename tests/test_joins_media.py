@@ -82,3 +82,15 @@ def test_resizer_shape():
     out = media.MediaResizer(8, 8)(t)
     thumb = np.asarray(out.column("thumb")[0].as_py(), dtype=np.uint8).reshape(8, 8, 3)
     assert (thumb == im[::4, ::4]).all()  # nearest-neighbor grid
+
+
+def test_frame_sampler(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    frames = media.sample_frames(docs, n_frames=3).limit(30).to_pandas()
+    assert set(["doc_id", "span_idx", "media_ref", "frame_idx", "pixels"]) <= set(frames.columns)
+    assert sorted(frames["frame_idx"].unique()) == [0, 1, 2]
+    assert all(len(p) == 16 * 16 * 3 for p in frames["pixels"])
+    # distinct frames of one ref differ; same frame deterministic
+    one = frames[frames["frame_idx"] == 0].iloc[0]
+    two = frames[(frames["media_ref"] == one["media_ref"]) & (frames["frame_idx"] == 1)].iloc[0]
+    assert list(one["pixels"]) != list(two["pixels"])
