@@ -631,6 +631,43 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
+        "flagship": f"""
+            WITH {geo}, {cells},
+            r AS (
+                SELECT poly_id, unnest(rings) AS ring,
+                       generate_subscripts(rings, 1) AS rid
+                FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'aoi'
+            ),
+            v AS (
+                SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                       unnest(ring) AS p
+                FROM r
+            ),
+            e AS (
+                SELECT a.p.x AS x1, a.p.y AS y1, b.p.x AS x2, b.p.y AS y2
+                FROM v a JOIN v b
+                  ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+            ),
+            inside AS (
+                SELECT g.doc_id, g.span_idx, g.tile_id, g."year"
+                FROM cells g, e
+                GROUP BY g.doc_id, g.span_idx, g.tile_id, g."year"
+                HAVING SUM(CASE WHEN (e.y1 <= g.lat) <> (e.y2 <= g.lat)
+                                 AND g.lon < e.x1 + (g.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                           THEN 1 ELSE 0 END) % 2 = 1
+            ),
+            labels AS (
+                SELECT tile_id, "year", CAST(class AS BIGINT) AS "LANDCOVER"
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                    ) AS rn
+                    FROM read_parquet('{root}/primitives.parquet')
+                ) WHERE rn = 1
+            )
+            SELECT i.doc_id, i.span_idx, i.tile_id, i."year", l."LANDCOVER"
+            FROM inside i JOIN labels l
+              ON i.tile_id = l.tile_id AND i."year" = l."year" """,
         "pip_polygon": f"""
             WITH {geo},
             r AS (

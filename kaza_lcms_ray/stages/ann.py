@@ -23,6 +23,11 @@ def _embed_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch.column(col)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr, pa.ExtensionArray):  # Ray tensor extension type
+        m = arr.to_numpy(zero_copy_only=False)
+        if m.dtype == object:
+            m = np.stack([np.asarray(x) for x in m])
+        return m.astype(np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
     return flat.reshape(n, -1)

@@ -5,8 +5,8 @@ Ray-Data-first shapes (see /opt guides + SURVEY.md §2.7):
                   small groupby over partials.  No raw-row shuffle.
   * minhash-LSH — shingle → minhash signature per batch → explode to
                   (band, band_hash, doc) rows → groupby(band, band_hash) →
-                  candidate pairs → signature-similarity filter →
-                  min-label propagation (bounded rounds) for clusters.
+                  candidate pairs → union-find over the collected pair set
+                  (pairs ≪ corpus: only docs with an LSH collision appear).
   * simhash     — 64-bit sign-of-weighted-sum signature per batch; near-dup
                   candidates = equal signature bands (hamming ≤ r via
                   band-partitioning).
@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min  # noqa: F401 (Min used by exact_dedup_keys)
 
 from ..state.hashing import _fnv1a, splitmix64
 
@@ -244,61 +244,37 @@ def simhash_signatures(ds, text_col: str, id_col: str, concurrency=None):
 # --------------------------------------------------------------- clustering
 
 
-def min_label_clusters(pairs_ds, rounds: int = 4):
-    """Connected components via bounded min-label propagation over groupbys.
+def min_label_clusters(pairs_ds):
+    """Connected components over candidate near-dup pairs → Dataset[node,
+    cluster] (cluster = min node id of the component).
 
-    Each round: label(x) = min(label(x), min label of neighbors).  ``rounds``
-    bounds work; near-dup clusters are shallow (diameter ≪ rounds) in
-    practice.  Returns Dataset[node, cluster].
+    The candidate-pair set is orders of magnitude smaller than the corpus
+    (it only contains documents with at least one LSH collision), so the
+    right plan is: distributed pair DISCOVERY (minhash_candidate_pairs),
+    then union-find over the collected pairs on the driver — a few bytes
+    per colliding doc.  A multi-round distributed min-label propagation
+    (join + groupby per round) only pays off when components themselves
+    exceed driver memory, which near-dup clusters do not.
     """
     import ray.data as rd
 
-    edges = pairs_ds.map_batches(
-        lambda t: pa.table(
-            {
-                "node": pa.concat_arrays([t.column("a").combine_chunks(), t.column("b").combine_chunks()]),
-                "nbr": pa.concat_arrays([t.column("b").combine_chunks(), t.column("a").combine_chunks()]),
-            }
-        ),
-        batch_format="pyarrow",
+    pairs = pairs_ds.to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs[["a", "b"]].itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min id → cluster label is the min member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(pairs["a"]) | set(pairs["b"]))
+    return rd.from_pandas(
+        pd.DataFrame({"node": nodes, "cluster": [find(n) for n in nodes]})
     )
-    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
-
-    def clip(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lbl = pc.min_element_wise(t.column("node"), t.column("lbl"))
-        return pa.table({"node": t.column("node"), "lbl": lbl})
-
-    labels = labels.map_batches(clip, batch_format="pyarrow")
-    for _ in range(rounds - 1):
-        # propagate: node's label = min(own, neighbors' labels)
-        nbr_lbl = (
-            edges.join(
-                labels.map_batches(
-                    lambda t: t.rename_columns(["nbr", "nbr_lbl"]), batch_format="pyarrow"
-                ),
-                join_type="inner",
-                num_partitions=8,
-                on=("nbr",),
-            )
-            .select_columns(["node", "nbr_lbl"])
-            .groupby("node")
-            .aggregate(Min("nbr_lbl", alias_name="prop"))
-        )
-        labels = (
-            labels.join(nbr_lbl, join_type="left_outer", num_partitions=8, on=("node",))
-            .map_batches(_merge_labels, batch_format="pyarrow")
-        )
-    return labels.map_batches(
-        lambda t: t.rename_columns(["node", "cluster"]), batch_format="pyarrow"
-    )
-
-
-def _merge_labels(t: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
-    merged = pc.min_element_wise(
-        t.column("lbl"), pc.coalesce(t.column("prop"), t.column("lbl"))
-    )
-    return pa.table({"node": t.column("node"), "lbl": merged})

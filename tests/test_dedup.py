@@ -1,0 +1,99 @@
+"""Dedup family: minhash-LSH end-to-end with planted near-dups, clustering,
+jaccard verification, exact dedup, simhash properties."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from kaza_lcms_ray.stages import ann, dedup
+
+
+def _planted_corpus():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the river delta "
+        "floods the grass plains every wet season in the kavango basin"
+    )
+    rows = []
+    # cluster A: base + tiny edits
+    rows.append(("a1", base))
+    rows.append(("a2", base.replace("quick", "quicker")))
+    rows.append(("a3", base + " again"))
+    # cluster B: different text + edit
+    other = (
+        "land cover classification with random forests requires good training "
+        "data sampled from reference polygons across all strata classes"
+    )
+    rows.append(("b1", other))
+    rows.append(("b2", other.replace("good", "great")))
+    # singletons
+    rows.append(("c1", "completely unrelated short note about nothing"))
+    rows.append(("d1", "another standalone document with its own content"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    df = _planted_corpus()
+    ds = rd.from_pandas(df)
+    pairs = dedup.minhash_candidate_pairs(ds, "text", "doc_id", num_perm=64, bands=16).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert ("a1", "a2") in got and ("a1", "a3") in got
+    assert ("b1", "b2") in got
+    # no cross-cluster garbage
+    assert not any(a.startswith("a") and b.startswith("b") for a, b in got)
+    assert not any("c1" in p or "d1" in p for p in got)
+
+
+def test_jaccard_verification_kernel():
+    df = _planted_corpus()
+    j_close = dedup.ngram_jaccard([df.text[0]], [df.text[1]])[0]
+    j_far = dedup.ngram_jaccard([df.text[0]], [df.text[5]])[0]
+    assert j_close > 0.7 > j_far
+    assert dedup.ngram_jaccard(["same"], ["same"])[0] == 1.0
+
+
+def test_min_label_clusters(ray_session):
+    pairs = rd.from_pandas(
+        pd.DataFrame({"a": ["a1", "a1", "b1", "x1"], "b": ["a2", "a3", "b2", "x2"]})
+    )
+    clusters = dedup.min_label_clusters(pairs).to_pandas()
+    lbl = dict(zip(clusters["node"], clusters["cluster"]))
+    assert lbl["a1"] == lbl["a2"] == lbl["a3"] == "a1"
+    assert lbl["b1"] == lbl["b2"] == "b1"
+    assert lbl["x1"] == lbl["x2"] == "x1"
+
+
+def test_drop_exact_dupes(ray_session):
+    df = pd.DataFrame(
+        {"text": ["x", "x", "y", "x", "z"], "doc_id": [5, 3, 1, 9, 2]}
+    )
+    out = dedup.drop_exact_dupes(rd.from_pandas(df), "text", "doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]  # min id kept per text
+
+
+def test_simhash_near_texts_close():
+    sh = dedup.SimHasher("text", "doc_id")
+    import pyarrow as pa
+
+    df = _planted_corpus()
+    t = pa.table({"doc_id": df["doc_id"], "text": df["text"]})
+    out = sh(t).to_pandas()
+    sig = dict(zip(out["doc_id"], out["simhash"].astype(np.uint64)))
+    ham = lambda a, b: bin(int(sig[a]) ^ int(sig[b])).count("1")
+    assert ham("a1", "a2") < ham("a1", "b1")
+    assert ham("b1", "b2") < ham("b1", "c1")
+
+
+def test_lsh_buckets_route_similar_vectors(ray_session):
+    from kaza_lcms_ray.state.hashing import hash_unit
+
+    n, d = 200, 16
+    base = hash_unit(1, "v", np.arange(n * d)).reshape(n, d) - 0.5
+    # pairs: vector i and i+n are tiny perturbations of each other
+    pert = base + (hash_unit(2, "p", np.arange(n * d)).reshape(n, d) - 0.5) * 0.01
+    mat = np.concatenate([base, pert])
+    df = pd.DataFrame({"vec_id": np.arange(2 * n), "embedding": list(mat.astype(np.float32))})
+    out = ann.lsh_bucketed(rd.from_pandas(df), nbits=8).to_pandas()
+    b = out.sort_values("vec_id")["bucket"].to_numpy()
+    same = (b[:n] == b[n:]).mean()
+    assert same > 0.9  # near-identical vectors land in the same bucket

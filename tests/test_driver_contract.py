@@ -82,6 +82,7 @@ def _compare(name, e, con):
         "composite_percentiles",
         "pip_polygon",
         "events_sliding",
+        "flagship",
     ],
 )
 def test_query_matches_oracle(contract, name):
@@ -93,7 +94,6 @@ def test_rows_only_queries_run(contract):
     e, con = contract
     for name in (
         "pip_reference",
-        "flagship",
         "harmonic_year",
         "text_scores",
         "fingerprints",
