@@ -409,6 +409,15 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_docs_in_aoi(sf_dir: str):
+    """Document-level semi-join vs the AOI polygon (surviving doc_ids;
+    span-sequence equality of survivors is asserted in tests)."""
+    from kaza_lcms_ray.pipelines import flagship
+
+    docs = flagship.filter_documents_in_aoi(_synth(sf_dir))
+    return docs.select_columns(["doc_id"])
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -456,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_windowed": q_harmonic_windowed,
         "pip_polygon": q_pip_polygon_subset,
         "events_sliding": q_events_sliding,
+        "docs_in_aoi": q_docs_in_aoi,
     }
 
 
@@ -668,6 +678,32 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT i.doc_id, i.span_idx, i.tile_id, i."year", l."LANDCOVER"
             FROM inside i JOIN labels l
               ON i.tile_id = l.tile_id AND i."year" = l."year" """,
+        "docs_in_aoi": f"""
+            WITH {geo},
+            r AS (
+                SELECT poly_id, unnest(rings) AS ring,
+                       generate_subscripts(rings, 1) AS rid
+                FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'aoi'
+            ),
+            v AS (
+                SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                       unnest(ring) AS p
+                FROM r
+            ),
+            e AS (
+                SELECT a.p.x AS x1, a.p.y AS y1, b.p.x AS x2, b.p.y AS y2
+                FROM v a JOIN v b
+                  ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+            ),
+            inside AS (
+                SELECT g.doc_id, g.span_idx
+                FROM geo g, e
+                GROUP BY g.doc_id, g.span_idx
+                HAVING SUM(CASE WHEN (e.y1 <= g.lat) <> (e.y2 <= g.lat)
+                                 AND g.lon < e.x1 + (g.lat - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+                           THEN 1 ELSE 0 END) % 2 = 1
+            )
+            SELECT DISTINCT doc_id FROM inside""",
         "pip_polygon": f"""
             WITH {geo},
             r AS (

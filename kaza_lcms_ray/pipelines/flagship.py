@@ -195,6 +195,49 @@ def tile_assignments(
     return joined
 
 
+def filter_documents_in_aoi(synth_root: str):
+    """Document-level semi-join: keep the ORIGINAL document rows (spans
+    column untouched, byte-for-byte) whose geo spans fall inside the AOI.
+
+    This is the stage shape that makes the per-row span-sequence invariant
+    (BASELINE.json input_hint) observable: surviving rows must carry their
+    spans sequence unmodified — verified by tests via span fingerprints.
+    """
+    index_ref = ray.put(
+        pip.load_polygon_index(f"{synth_root}/polygons.parquet", kinds=["aoi"])
+    )
+
+    def keep_in_aoi(batch: pa.Table) -> pa.Table:
+        index = _broadcast_state_index(index_ref)
+        geo = spans.parse_geo_batch(batch)
+        px = geo.column("lon").to_numpy(zero_copy_only=False)
+        py = geo.column("lat").to_numpy(zero_copy_only=False)
+        pt, _ = index.join_points(px, py)
+        import numpy as _np
+
+        keep_docs = set(geo.column("doc_id").take(pa.array(pt)).to_pylist())
+        mask = _np.asarray(
+            [d in keep_docs for d in batch.column("doc_id").to_pylist()]
+        )
+        return batch.filter(pa.array(mask))
+
+    return read_documents(f"{synth_root}/documents").map_batches(
+        keep_in_aoi, batch_format="pyarrow"
+    )
+
+
+_INDEX_CACHE: dict = {}
+
+
+def _broadcast_state_index(index_ref):
+    key = index_ref.hex()
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        _INDEX_CACHE.clear()
+        idx = _INDEX_CACHE.setdefault(key, ray.get(index_ref))
+    return idx
+
+
 def _year_i64(t):
     """Normalize year dtype across both join sides (int16 vs int32)."""
     idx = t.schema.get_field_index("year")

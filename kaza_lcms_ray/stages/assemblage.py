@@ -76,6 +76,15 @@ def assemble_tile_labels(primitives):
     from .zonal import _add_bucket, _default_buckets
 
     partial = primitives.map_batches(_partial, batch_format="pyarrow")
+    # second-level partial over large batches before the shuffle (same
+    # rationale as zonal.bucketed_sum's recombine pass)
+    partial = partial.map_batches(
+        lambda t: t.group_by(_KEYS)
+        .aggregate([("score", "max")])
+        .rename_columns(_KEYS + ["score"]),
+        batch_format="pyarrow",
+        batch_size=512 * 1024,
+    )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(_KEYS, as_index=False)["score"].max()

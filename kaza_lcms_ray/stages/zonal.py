@@ -42,14 +42,36 @@ def _partial_counts(batch: pa.Table, keys: list[str], cent_cols: list[str]) -> p
     return out.rename_columns(names)
 
 
-def bucketed_sum(partial, keys: list[str], sum_cols: list[str], num_buckets: int | None = None):
+def bucketed_sum(
+    partial,
+    keys: list[str],
+    sum_cols: list[str],
+    num_buckets: int | None = None,
+    recombine_batch_size: int | None = 512 * 1024,
+):
     """Combine per-batch partial sums: hash-bucket the keys (≈2×CPUs
     buckets), one vectorized pandas groupby-sum per bucket.  Exact for
     integer sums (order-insensitive); ~10× faster than Ray's sort-based
     groupby().aggregate() when the key cardinality is large, because the
     shuffle exchanges ``num_buckets`` partitions instead of sorting the
-    whole partial table."""
+    whole partial table.
+
+    ``recombine_batch_size``: an extra partial-combine pass over LARGE
+    batches before the shuffle — per-block partials barely reduce rows when
+    key cardinality ≈ block size, so re-partialing ~500k-row batches shrinks
+    the shuffled table toward (key cardinality × n_batches) at the cost of
+    one extra (skinny-row) exchange.  Set None to skip for low-cardinality
+    keys."""
     nb = num_buckets or _default_buckets()
+
+    if recombine_batch_size:
+        def repartial(t: pa.Table) -> pa.Table:
+            out = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+            return out.rename_columns(keys + sum_cols)
+
+        partial = partial.map_batches(
+            repartial, batch_format="pyarrow", batch_size=recombine_batch_size
+        )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False)[sum_cols].sum()

@@ -83,6 +83,7 @@ def _compare(name, e, con):
         "pip_polygon",
         "events_sliding",
         "flagship",
+        "docs_in_aoi",
     ],
 )
 def test_query_matches_oracle(contract, name):

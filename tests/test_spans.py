@@ -83,3 +83,28 @@ def test_offsets_monotone(synth_small):
         offs = [s["offset"] for s in row["spans"]]
         assert offs[0] == 0
         assert all(b > a for a, b in zip(offs, offs[1:])) or len(offs) == 1
+
+
+def test_span_sequence_invariant_through_document_filter(synth_small, ray_session):
+    """A document-level semi-join keeps surviving rows' spans sequences
+    byte-identical to the input (the north-rule per-row invariant,
+    observed through a real filtering stage)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import flagship
+
+    survivors = flagship.filter_documents_in_aoi(synth_small)
+    after = (
+        survivors.map_batches(spans.span_signature_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["span_sig"]
+    )
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    before = (
+        docs.map_batches(spans.span_signature_batch, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")["span_sig"]
+    )
+    assert 0 < len(after) < len(before)  # the filter actually filters
+    joined = before.loc[after.index]
+    assert (joined.to_numpy() == after.to_numpy()).all()
