@@ -181,6 +181,60 @@ def exact_pairs_distinct(pairs_ds):
     )
 
 
+def verified_near_dup_clusters(
+    ds,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """End-to-end near-dedup: LSH candidates → exact n-gram Jaccard
+    verification → union-find clusters.  Returns (clusters_df, pairs_df)
+    where clusters_df maps node → cluster (min member id) for every doc in
+    a verified cluster, and pairs_df carries the verified pairs + jaccard.
+
+    Candidate texts are fetched driver-side (candidates ≪ corpus by
+    construction — only docs with an LSH collision); at extreme scale the
+    fetch becomes a hash join of the pair list against the corpus, with
+    verification inside map_groups.
+    """
+    cand = minhash_candidate_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    ).to_pandas()
+    if len(cand) == 0:
+        return (
+            pd.DataFrame({"node": [], "cluster": []}),
+            pd.DataFrame({"a": [], "b": [], "jaccard": []}),
+        )
+    needed = sorted(set(cand["a"]) | set(cand["b"]))
+    import pyarrow as _pa
+
+    texts = (
+        ds.map_batches(
+            lambda t: t.select([id_col, text_col]).filter(
+                _pa.compute.is_in(t.column(id_col), _pa.array(needed))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index(id_col)[text_col]
+    )
+    jac = ngram_jaccard(
+        [texts[a] for a in cand["a"]], [texts[b] for b in cand["b"]], k=shingle_k
+    )
+    verified = cand.assign(jaccard=jac)[jac >= jaccard_threshold].reset_index(drop=True)
+    import ray.data as rd
+
+    clusters = (
+        min_label_clusters(rd.from_pandas(verified[["a", "b"]])).to_pandas()
+        if len(verified)
+        else pd.DataFrame({"node": [], "cluster": []})
+    )
+    return clusters, verified
+
+
 def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 5) -> np.ndarray:
     """Exact k-shingle Jaccard for candidate pairs (verification kernel)."""
     out = np.empty(len(texts_a))

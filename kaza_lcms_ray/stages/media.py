@@ -63,13 +63,24 @@ class DeterministicFakeCodec:
     def __init__(self, height: int = 32, width: int = 32, channels: int = 3, seed: int = 11):
         self.h, self.w, self.c, self.seed = height, width, channels, seed
 
-    def decode_one(self, ref: str) -> np.ndarray:
+    def decode_batch(self, refs: list[str]) -> np.ndarray:
+        """Vectorized: (n_refs, H, W, C) in one hash pass — per-image Python
+        loops made media decode ~100× slower at corpus scale."""
         from ..state.hashing import _fnv1a
 
-        key = hash_key(self.seed, "px", np.uint64(_fnv1a(ref)))  # full ref string
+        keys = hash_key(
+            self.seed, "px", np.asarray([_fnv1a(r) for r in refs], dtype=np.uint64)
+        )
         n = self.h * self.w * self.c
-        vals = hash_key(key, "img", np.arange(n, dtype=np.int64)) % np.uint64(256)
-        return vals.astype(np.uint8).reshape(self.h, self.w, self.c)
+        with np.errstate(over="ignore"):
+            vals = hash_key(
+                keys[:, None] if keys.ndim else np.asarray([keys]),
+                np.arange(n, dtype=np.int64)[None, :],
+            ) % np.uint64(256)
+        return vals.astype(np.uint8).reshape(len(refs), self.h, self.w, self.c)
+
+    def decode_one(self, ref: str) -> np.ndarray:
+        return self.decode_batch([ref])[0]
 
 
 class StrictCodec:
@@ -95,10 +106,20 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
-        imgs = [self.codec.decode_one(r) for r in refs]
-        pixels = pa.array([im.ravel() for im in imgs], type=pa.list_(pa.uint8()))
-        shapes = pa.array([list(im.shape) for im in imgs], type=pa.list_(pa.int32()))
-        means = pa.array([float(im.mean()) for im in imgs], type=pa.float64())
+        if hasattr(self.codec, "decode_batch"):
+            stack = self.codec.decode_batch(refs)
+        else:
+            stack = np.stack([self.codec.decode_one(r) for r in refs])
+        n = stack.shape[0]
+        npx = int(np.prod(stack.shape[1:]))
+        means_np = stack.reshape(n, -1).mean(axis=1)
+        # zero-copy list column from the contiguous pixel stack
+        pixels = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * npx),
+            pa.array(stack.reshape(-1)),
+        )
+        shapes = pa.array([list(stack.shape[1:])] * n, type=pa.list_(pa.int32()))
+        means = pa.array(means_np, type=pa.float64())
         return (
             batch.append_column("pixels", pixels)
             .append_column("shape", shapes)
@@ -153,21 +174,25 @@ class FrameSampler:
         refs = batch.column("media_ref").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
         span_idx = batch.column("span_idx").to_pylist()
-        out_doc, out_span, out_ref, out_frame, out_px = [], [], [], [], []
-        for d, s, r in zip(doc_ids, span_idx, refs):
-            for f in range(self.n_frames):
-                out_doc.append(d)
-                out_span.append(s)
-                out_ref.append(r)
-                out_frame.append(f)
-                out_px.append(self.codec.decode_one(f"{r}#frame{f}").ravel())
+        k = self.n_frames
+        frame_refs = [f"{r}#frame{f}" for r in refs for f in range(k)]
+        if hasattr(self.codec, "decode_batch"):
+            stack = self.codec.decode_batch(frame_refs)
+        else:
+            stack = np.stack([self.codec.decode_one(r) for r in frame_refs])
+        n = stack.shape[0]
+        npx = int(np.prod(stack.shape[1:]))
+        pixels = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * npx),
+            pa.array(stack.reshape(-1)),
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out_doc, type=pa.string()),
-                "span_idx": pa.array(out_span, type=pa.int32()),
-                "media_ref": pa.array(out_ref, type=pa.string()),
-                "frame_idx": pa.array(out_frame, type=pa.int32()),
-                "pixels": pa.array(out_px, type=pa.list_(pa.uint8())),
+                "doc_id": pa.array(np.repeat(np.asarray(doc_ids, dtype=object), k), type=pa.string()),
+                "span_idx": pa.array(np.repeat(np.asarray(span_idx), k), type=pa.int32()),
+                "media_ref": pa.array(np.repeat(np.asarray(refs, dtype=object), k), type=pa.string()),
+                "frame_idx": pa.array(np.tile(np.arange(k, dtype=np.int32), len(refs))),
+                "pixels": pixels,
             }
         )
 

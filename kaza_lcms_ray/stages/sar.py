@@ -41,45 +41,32 @@ def add_ratio_batch(t: pa.Table, num: str, den: str, out: str = "ratio") -> pa.T
 def lee_sigma(ds, value_col: str, level: int, radius: int = 1, sigma_v: float = 0.9):
     """Lee-style speckle filter: x̂ = m + k·(x − m) with k from local
     mean/variance over the (2r+1)² window (sentinel1.py:182-205 semantics
-    over our cell grid).  Returns Dataset[cell_id, value, filtered]."""
+    over our cell grid).  Returns Dataset[cell_id, value, filtered].
+
+    The per-cell input and the focal statistics all grow with CELLS (not
+    documents), so the final combine is a driver-side merge — two chained
+    distributed hash joins here would cost more in shuffle setup than the
+    tables weigh, and their aggregator pools contend on small sessions.
+    """
     from .focal import focal
 
-    m = focal(ds, value_col, "mean", radius, level)
-    v = focal(ds, value_col, "var", radius, level)
+    m = focal(ds, value_col, "mean", radius, level).to_pandas()
+    v = focal(ds, value_col, "var", radius, level).to_pandas()
+    base = ds.to_pandas()
+    merged = base.merge(
+        m.rename(columns={"focal_mean": "local_mean"}), on="cell_id"
+    ).merge(v.rename(columns={"focal_var": "local_var"}), on="cell_id")
+    x = merged[value_col].to_numpy()
+    m_ = merged["local_mean"].to_numpy()
+    v_ = merged["local_var"].to_numpy()
+    # k = var_signal / (var_signal + noise), noise ∝ (sigma_v·mean)²
+    noise = (sigma_v * m_) ** 2 * 0.1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = np.where(v_ + noise > 0, v_ / (v_ + noise), 0.0)
+    merged["filtered"] = m_ + k * (x - m_)
+    import ray.data as rd
 
-    def rename(name):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns(["cell_id", name])
-
-        return fn
-
-    from ..runtime import join_partitions
-
-    joined = (
-        ds.join(
-            m.map_batches(rename("local_mean"), batch_format="pyarrow"),
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("cell_id",),
-        ).join(
-            v.map_batches(rename("local_var"), batch_format="pyarrow"),
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("cell_id",),
-        )
-    )
-
-    def apply(t: pa.Table) -> pa.Table:
-        x = t.column(value_col).to_numpy(zero_copy_only=False)
-        m_ = t.column("local_mean").to_numpy(zero_copy_only=False)
-        v_ = t.column("local_var").to_numpy(zero_copy_only=False)
-        # k = var_signal / (var_signal + noise), noise ∝ (sigma_v·mean)²
-        noise = (sigma_v * m_) ** 2 * 0.1
-        with np.errstate(divide="ignore", invalid="ignore"):
-            k = np.where(v_ + noise > 0, v_ / (v_ + noise), 0.0)
-        return t.append_column("filtered", pa.array(m_ + k * (x - m_)))
-
-    return joined.map_batches(apply, batch_format="pyarrow")
+    return rd.from_pandas(merged)
 
 
 def terrain_flatten_batch(

@@ -97,3 +97,14 @@ def test_lsh_buckets_route_similar_vectors(ray_session):
     b = out.sort_values("vec_id")["bucket"].to_numpy()
     same = (b[:n] == b[n:]).mean()
     assert same > 0.9  # near-identical vectors land in the same bucket
+
+
+def test_verified_near_dup_clusters_end_to_end(ray_session):
+    df = _planted_corpus()
+    ds = rd.from_pandas(df)
+    clusters, pairs = dedup.verified_near_dup_clusters(ds, "text", "doc_id")
+    lbl = dict(zip(clusters["node"], clusters["cluster"]))
+    assert lbl["a1"] == lbl["a2"] == lbl["a3"] == "a1"
+    assert lbl["b1"] == lbl["b2"] == "b1"
+    assert "c1" not in lbl and "d1" not in lbl
+    assert (pairs["jaccard"] >= 0.7).all()
