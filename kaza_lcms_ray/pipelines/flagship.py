@@ -39,7 +39,9 @@ def read_documents(doc_dir: str, **kwargs):
 
 
 def _pack_key(tile_id: np.ndarray, year: np.ndarray) -> np.ndarray:
-    return tile_id.astype(np.int64) * 8 + (year.astype(np.int64) - 2016)
+    # 14 bits for the year keeps the pack collision-free for any plausible
+    # calendar year (tile_id at level 14 uses ≤ 28 bits → ≤ 42 bits total)
+    return tile_id.astype(np.int64) * 16384 + year.astype(np.int64)
 
 
 # worker-process-local broadcast cache: stateless map_batches tasks reuse
@@ -208,18 +210,16 @@ def filter_documents_in_aoi(synth_root: str):
     )
 
     def keep_in_aoi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         index = _broadcast_state_index(index_ref)
         geo = spans.parse_geo_batch(batch)
         px = geo.column("lon").to_numpy(zero_copy_only=False)
         py = geo.column("lat").to_numpy(zero_copy_only=False)
         pt, _ = index.join_points(px, py)
-        import numpy as _np
-
-        keep_docs = set(geo.column("doc_id").take(pa.array(pt)).to_pylist())
-        mask = _np.asarray(
-            [d in keep_docs for d in batch.column("doc_id").to_pylist()]
-        )
-        return batch.filter(pa.array(mask))
+        keep_docs = pc.unique(geo.column("doc_id").take(pa.array(pt)))
+        mask = pc.is_in(batch.column("doc_id"), value_set=keep_docs)
+        return batch.filter(mask)
 
     return read_documents(f"{synth_root}/documents").map_batches(
         keep_in_aoi, batch_format="pyarrow"

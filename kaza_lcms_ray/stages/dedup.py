@@ -69,15 +69,20 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _char_shingle_hashes(s: bytes, k: int) -> np.ndarray:
-    """All k-byte shingle hashes of one document (vectorized rolling FNV)."""
+    """All k-byte shingle hashes of one document (vectorized rolling
+    polynomial, FNV-prime base, splitmix64-finalized).  Sub-k documents get
+    ONE shingle hashing the whole byte string with the same polynomial (so
+    two short docs collide iff their full text is identical — not merely
+    their first byte)."""
     b = np.frombuffer(s, dtype=np.uint8)
-    if b.shape[0] < k:
-        return splitmix64(np.asarray(b, dtype=np.uint64)).astype(np.uint64)[:1] if b.shape[0] else np.empty(0, np.uint64)
+    if b.shape[0] == 0:
+        return np.empty(0, np.uint64)
+    win = min(k, b.shape[0])
     with np.errstate(over="ignore"):
-        h = np.zeros(b.shape[0] - k + 1, dtype=np.uint64)
+        h = np.zeros(b.shape[0] - win + 1, dtype=np.uint64)
         base = np.uint64(1099511628211)
-        for j in range(k):
-            h = h * base + b[j : b.shape[0] - k + 1 + j].astype(np.uint64)
+        for j in range(win):
+            h = h * base + b[j : b.shape[0] - win + 1 + j].astype(np.uint64)
     return splitmix64(h)
 
 
@@ -137,8 +142,23 @@ class MinHasher:
         )
 
 
-def minhash_candidate_pairs(ds, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, shingle_k: int = 5, concurrency=None):
-    """documents → candidate near-duplicate pairs (a < b) via LSH buckets."""
+def minhash_candidate_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    concurrency=None,
+    max_bucket: int = 1024,
+):
+    """documents → candidate near-duplicate pairs (a < b) via LSH buckets.
+
+    ``max_bucket`` caps degenerate hot buckets (e.g. millions of near-empty
+    docs sharing a band hash): a bucket of B > max_bucket members emits pairs
+    only among its ``max_bucket`` smallest ids and LOGS the truncation —
+    O(B²) pair emission on an uncapped hot bucket is the classic LSH
+    quadratic blowup.  Pair emission is vectorized (triu_indices)."""
     if concurrency is None:
         from ..runtime import pool_size
 
@@ -154,15 +174,23 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str, num_perm: int = 64, 
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique().tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        ids = np.sort(g[id_col].unique())
+        if ids.shape[0] < 2:
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        if ids.shape[0] > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH bucket (band=%s, hash=%s) has %d members; capped to %d "
+                "(%d candidate pairs dropped)",
+                g["band_id"].iloc[0], g["band_hash"].iloc[0],
+                ids.shape[0], max_bucket,
+                ids.shape[0] * (ids.shape[0] - 1) // 2
+                - max_bucket * (max_bucket - 1) // 2,
+            )
+            ids = ids[:max_bucket]
+        ii, jj = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
     cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
     # a pair can surface from several bands → distinct

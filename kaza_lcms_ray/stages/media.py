@@ -141,18 +141,42 @@ class MediaResizer:
         if isinstance(pix, pa.ChunkedArray):
             pix = pix.combine_chunks()
         shapes = batch.column("shape").to_pylist()
-        out = []
-        for i in range(len(batch)):
-            h, w, c = shapes[i]
-            im = np.asarray(pix[i].as_py(), dtype=np.uint8).reshape(h, w, c)
-            ys = (np.arange(self.out_h) * h // self.out_h)
-            xs = (np.arange(self.out_w) * w // self.out_w)
-            out.append(im[ys][:, xs].ravel())
-        return batch.append_column(
-            "thumb", pa.array(out, type=pa.list_(pa.uint8()))
-        ).append_column(
+        n = len(batch)
+        offs = pix.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pix.flatten().to_numpy(zero_copy_only=False)
+        oh, ow = self.out_h, self.out_w
+        uniform = n > 0 and all(s == shapes[0] for s in shapes)
+        if uniform:
+            # contiguous-buffer gather: one fancy-index over the whole stack
+            h, w, c = shapes[0]
+            stack = flat[offs[0] : offs[-1]].reshape(n, h, w, c)
+            ys = np.arange(oh) * h // oh
+            xs = np.arange(ow) * w // ow
+            thumbs = stack[:, ys][:, :, xs].reshape(n, -1)
+            vals = pa.array(thumbs.reshape(-1))
+            thumb = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * (oh * ow * c)), vals
+            )
+            out_c = c
+        else:  # ragged shapes: per-row gather into one flat index array
+            idx_parts = []
+            for i in range(n):
+                h, w, c = shapes[i]
+                ys = np.arange(oh) * h // oh
+                xs = np.arange(ow) * w // ow
+                g = ((ys[:, None] * w + xs[None, :])[:, :, None] * c
+                     + np.arange(c)[None, None, :]).ravel()
+                idx_parts.append(offs[i] - offs[0] + g)
+            gathered = flat[np.concatenate(idx_parts)] if n else flat[:0]
+            lens = np.array([oh * ow * s[2] for s in shapes], dtype=np.int64)
+            thumb = pa.ListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(lens))).astype(np.int32)),
+                pa.array(gathered),
+            )
+            out_c = shapes[0][2] if n else 3
+        return batch.append_column("thumb", thumb).append_column(
             "thumb_shape",
-            pa.array([[self.out_h, self.out_w, 3]] * len(batch), type=pa.list_(pa.int32())),
+            pa.array([[oh, ow, out_c]] * n, type=pa.list_(pa.int32())),
         )
 
 

@@ -112,6 +112,9 @@ def span_signature_batch(batch: pa.Table) -> pa.Table:
         pc.cast(flat.field("offset"), pa.string()),
         "\x1f",
     )
-    per_doc = pa.ListArray.from_arrays(spans.offsets, joined)
+    # flatten() rebases values for sliced arrays — rebase offsets to match
+    # (same compensation parse_geo_batch applies)
+    offs = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    per_doc = pa.ListArray.from_arrays(pa.array((offs - offs[0]).astype(np.int32)), joined)
     sig = pc.binary_join(per_doc, "\x1e")
     return pa.table({"doc_id": batch.column("doc_id"), "span_sig": sig})

@@ -11,10 +11,7 @@ per actor.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -47,51 +44,86 @@ LANG_WORDS = {
 _LANG_ORDER = sorted(LANG_WORDS)  # deterministic tie-break order
 
 
+TOKEN_SPLIT_RE = r"[^a-z']+"  # split lowercase text on non-token runs
+# splitting on the complement is equivalent to findall(r"[a-zA-Z']+") over
+# the lowercased text, minus empty fragments at the edges
+
+
+def _seg_sums(x: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Exact per-segment integer sums via cumsum differencing (handles empty
+    segments, unlike np.add.reduceat)."""
+    cs = np.concatenate(([0], np.cumsum(x, dtype=np.int64)))
+    return cs[ends] - cs[starts]
+
+
 class TextScorer:
     """Actor-pool callable: language ID + quality score per document.
 
-    State (compiled regex, word tables) built once per actor (__init__),
-    applied per batch (__call__) — the canonical stateful-stage shape.
+    State (Arrow word-set arrays) built once per actor (__init__), applied
+    per batch (__call__).  Fully vectorized: one regex split per batch, then
+    Arrow ``is_in`` over the flattened token array + integer segment sums —
+    no per-document Python.
     """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.word_re = re.compile(r"[a-zA-Z']+")
-        self.stop_en = LANG_WORDS["en"]
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[self.text_col].str.lower().str.findall(self.word_re)
-        n_tok = toks.map(len)
-        hits = {
-            lang: toks.map(lambda ws, w=words: sum(t in w for t in ws))
-            for lang, words in LANG_WORDS.items()
+        self.word_sets = {
+            lang: pa.array(sorted(words)) for lang, words in LANG_WORDS.items()
         }
-        score = np.stack([hits[lang].to_numpy() for lang in _LANG_ORDER], axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        toks = pc.split_pattern_regex(lower, TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+        flat = toks.flatten()
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = (tok_len > 0).astype(np.int64)
+        n_tok = _seg_sums(nonempty, starts, ends)
+        sum_len = _seg_sums(tok_len, starts, ends)  # empty fragments add 0
+        hits = {
+            lang: _seg_sums(
+                pc.is_in(flat, value_set=ws).to_numpy(zero_copy_only=False).astype(np.int64),
+                starts,
+                ends,
+            )
+            for lang, ws in self.word_sets.items()
+        }
+        score = np.stack([hits[lang] for lang in _LANG_ORDER], axis=1)
         best = np.argmax(score, axis=1)  # first max → alphabetical tie-break
         confident = score.max(axis=1) > 0
-        batch["lang_pred"] = np.where(
+        lang_pred = np.where(
             confident, np.asarray(_LANG_ORDER, dtype=object)[best], "und"
         )
-        stop_ratio = hits["en"].to_numpy() / np.maximum(1, n_tok.to_numpy())
-        n_chars = batch[self.text_col].str.len().to_numpy()
-        alpha = batch[self.text_col].str.count(r"[A-Za-z]").to_numpy()
+        stop_ratio = hits["en"] / np.maximum(1, n_tok)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        alpha = (
+            pc.count_substring_regex(text, "[A-Za-z]")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         alpha_ratio = alpha / np.maximum(1, n_chars)
         mean_tok_len = np.where(
-            n_tok.to_numpy() > 0,
-            toks.map(lambda ws: sum(map(len, ws))).to_numpy()
-            / np.maximum(1, n_tok.to_numpy()),
-            0.0,
+            n_tok > 0, sum_len / np.maximum(1, n_tok), 0.0
         )
-        batch["stop_ratio"] = stop_ratio
-        batch["alpha_ratio"] = alpha_ratio
         # simple composite quality in [0,1]: length-capped, alpha-weighted,
         # stopword-informed (the length/punct/stopword recipe)
-        length_term = np.minimum(1.0, n_tok.to_numpy() / 20.0)
-        batch["quality"] = (
+        length_term = np.minimum(1.0, n_tok / 20.0)
+        quality = (
             0.4 * length_term + 0.4 * alpha_ratio + 0.2 * np.minimum(1.0, stop_ratio * 4)
         )
-        batch["mean_tok_len"] = mean_tok_len
-        return batch
+        return (
+            batch.append_column("lang_pred", pa.array(lang_pred, type=pa.string()))
+            .append_column("stop_ratio", pa.array(stop_ratio))
+            .append_column("alpha_ratio", pa.array(alpha_ratio))
+            .append_column("quality", pa.array(quality))
+            .append_column("mean_tok_len", pa.array(mean_tok_len))
+        )
 
 
 def text_scores(ds, text_col: str = "text", concurrency=None, batch_size: int = 4096):
@@ -102,7 +134,7 @@ def text_scores(ds, text_col: str = "text", concurrency=None, batch_size: int = 
     return ds.map_batches(
         TextScorer,
         fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,

@@ -270,14 +270,16 @@ def solve_harmonic(t: np.ndarray, y: np.ndarray) -> tuple[float, float]:
 
 def area_by_class(tile_labels, level: int):
     """tile_labels (tile_id, year, LANDCOVER) → per-class tile counts + area
-    (A10).  n_tiles is exact; area_m2 = Σ cell_area(tile) in tile_id order."""
+    (A10).  Both exact: per-tile areas are rounded to whole m² (error ≤0.5 m²
+    on ~10⁶ m² tiles) and summed as int64, so the result is bit-identical
+    under any combine order / parallelism (the determinism rule — float64
+    Sum with free combine order drifts in the last ulps)."""
 
     def partial(t: pa.Table) -> pa.Table:
         lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False)
         tid = t.column("tile_id").to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {"LANDCOVER": lc, "n_tiles": 1, "area_m2": cell_area_m2(tid, level)}
-        )
+        area = np.rint(cell_area_m2(tid, level)).astype(np.int64)
+        df = pd.DataFrame({"LANDCOVER": lc, "n_tiles": 1, "area_m2": area})
         out = df.groupby("LANDCOVER", as_index=False).agg(
             n_tiles=("n_tiles", "sum"), area_m2=("area_m2", "sum")
         )

@@ -84,8 +84,11 @@ def _best_split(X, y, feat_idx, min_leaf: int):
     return best
 
 
-def _grow(X, y, rows, feat_count, key, min_leaf, max_depth, nodes):
-    """Recursive deterministic CART; returns node index."""
+def _grow(X, y, rows, feat_count, key, min_leaf, max_depth, nodes, imp=None):
+    """Recursive deterministic CART; returns node index.  ``imp`` (float64
+    per-feature array) accumulates the weighted Gini impurity DECREASE of
+    every split — the variable-importance measure of the reference's
+    explain() (src/utils/primitives.py:18-30), not a raw split count."""
     idx = len(nodes["feature"])
     for c in nodes.values():
         c.append(0)
@@ -110,9 +113,11 @@ def _grow(X, y, rows, feat_count, key, min_leaf, max_depth, nodes):
         nodes["feature"][idx] = -1
         nodes["value"][idx] = p1
         return idx
+    if imp is not None:  # weighted impurity decrease: parent − Σ children
+        imp[f] += ysub.shape[0] * 2 * p1 * (1 - p1) - g
     go_left = X[rows, f] <= thr
-    l = _grow(X, y, rows[go_left], feat_count, hash_key(key, 1), min_leaf, max_depth - 1, nodes)
-    r = _grow(X, y, rows[~go_left], feat_count, hash_key(key, 2), min_leaf, max_depth - 1, nodes)
+    l = _grow(X, y, rows[go_left], feat_count, hash_key(key, 1), min_leaf, max_depth - 1, nodes, imp)
+    r = _grow(X, y, rows[~go_left], feat_count, hash_key(key, 2), min_leaf, max_depth - 1, nodes, imp)
     nodes["feature"][idx] = f
     nodes["thresh"][idx] = thr
     nodes["left"][idx] = l
@@ -148,7 +153,7 @@ def train_forest(
         nodes = {
             "feature": [], "thresh": [], "left": [], "right": [], "value": [],
         }
-        _grow(X, y, bag, F, tree_key, min_leaf, max_depth, nodes)
+        _grow(X, y, bag, F, tree_key, min_leaf, max_depth, nodes, importance)
         tr = Tree(
             np.asarray(nodes["feature"], dtype=np.int32),
             np.asarray(nodes["thresh"], dtype=np.float64),
@@ -157,8 +162,6 @@ def train_forest(
             np.asarray(nodes["value"], dtype=np.float64),
         )
         forest.trees.append(tr)
-        internal = tr.feature >= 0
-        np.add.at(importance, tr.feature[internal], 1.0)
         if oob.shape[0]:
             single = Forest(trees=[tr])
             oob_votes[oob] += single.predict_proba(X[oob])
