@@ -348,14 +348,23 @@ def q_lee_sigma(sf_dir: str):
     )
 
 
+MEDIA_SUBSET = "doc-000000001000"  # doc subset keeps the oracle's 3072-way
+# per-pixel hash expansion tractable (the engine scales to the full set; the
+# value check samples it)
+
+
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing: media spans → (stub) decode → features
-    (rows-only; the codec is a deterministic fake — no image libs here)."""
+    """Multimodal decode: media spans → (deterministic fake) codec →
+    features.  The codec is a seeded splitmix64 stream — a pure integer
+    function — so mean_intensity is value-checked against a DuckDB oracle
+    that replays the identical hash chain in SQL."""
     import ray.data as rd
 
     from kaza_lcms_ray.stages import media
 
-    docs = rd.read_parquet(f"{_synth(sf_dir)}/documents")
+    docs = rd.read_parquet(f"{_synth(sf_dir)}/documents").filter(
+        expr=f"doc_id < '{MEDIA_SUBSET}'"
+    )
     return media.decode_media(docs, decoder="fake").select_columns(
         ["doc_id", "span_idx", "media_ref", "mean_intensity"]
     )
@@ -638,6 +647,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
               AND (x.lon - y.lon) * (x.lon - y.lon)
                 + (x.lat - y.lat) * (x.lat - y.lat) <= 0.01 * 0.01""",
         "distinct_years": f'WITH {geo} SELECT DISTINCT "year" FROM geo',
+        "fingerprints": _fingerprints_sql(),
+        "minhash_pairs": _minhash_pairs_sql(),
+        "simhash": _simhash_sql(),
+        "text_scores": _text_scores_sql(),
+        "pip_reference": _pip_reference_sql(geo, root),
+        "media_decode": _media_decode_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
@@ -762,6 +777,215 @@ def _composite_pct_sql(geo: str, cells: str) -> str:
         WITH {geo}, {cells}
         SELECT tile_id, "year", COUNT(*) AS n, {pct}
         FROM cells GROUP BY tile_id, "year" """
+
+
+def _fingerprints_sql() -> str:
+    """Rolling polynomial fingerprint replayed in SQL (stages/text.py
+    fingerprint_batch: h = fold(h·FNV_PRIME + byte) over the UTF-8 bytes)."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    fold = SH.rolling_poly_window("text", "1", "length(text)")
+    return f"SELECT doc_id, {SH.to_i64(fold)} AS fingerprint FROM documents"
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash replayed in SQL: per-token FNV-1a → splitmix64 →
+    per-bit ±1 votes → sign bits (stages/dedup.py SimHasher)."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    base = (
+        f"SELECT doc_id, {SH.fnv1a_chars('tok')} AS f FROM ("
+        r"SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok"
+        " FROM documents)"
+    )
+    hq = SH.chain_select(base, SH.splitmix_steps("f", "h", "sm"))
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(64)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{k} > 0 THEN {SH.hug(1 << k)} ELSE {SH.hug(0)} END"
+        for k in range(64)
+    )
+    return f"""
+        WITH hs AS ({hq}),
+        v AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id),
+        sig AS (SELECT doc_id, {SH.to_i64(bits)} AS simhash FROM v)
+        SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sig s USING (doc_id)"""
+
+
+def _text_scores_sql() -> str:
+    """Language-ID / quality heuristics replayed in SQL (stages/text.py
+    TextScorer — identical float expression trees)."""
+    from kaza_lcms_ray.stages.text import LANG_WORDS, _LANG_ORDER
+
+    def inlist(words):
+        return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+    hits = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({inlist(LANG_WORDS[lang])}))) AS hits_{lang}"
+        for lang in _LANG_ORDER
+    )
+    # first max in _LANG_ORDER (alphabetical) order — np.argmax tie-break
+    lang = (
+        "CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und' "
+        "WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de' "
+        "WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en' "
+        "WHEN hits_es >= hits_fr THEN 'es' ELSE 'fr' END"
+    )
+    return f"""
+      WITH t AS (SELECT doc_id, text,
+                        regexp_extract_all(lower(text), '[a-z'']+') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, len(toks) AS n_tok, {hits},
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+            FROM t),
+      f AS (SELECT doc_id, {lang} AS lang_pred,
+                   hits_en / greatest(1, n_tok) AS stop_ratio,
+                   n_alpha / greatest(1, n_chars) AS alpha_ratio,
+                   least(1.0, n_tok / 20.0) AS length_term
+            FROM s)
+      SELECT doc_id, lang_pred, stop_ratio,
+             0.4 * length_term + 0.4 * alpha_ratio
+                 + 0.2 * least(1.0, stop_ratio * 4) AS quality
+      FROM f"""
+
+
+def _minhash_pairs_sql() -> str:
+    """MinHash-LSH candidate pairs replayed in SQL (stages/dedup.py
+    MinHasher → minhash_candidate_pairs): k-char rolling shingle hashes →
+    64 permutation minima (m = (a·x + b) mod 2⁶⁴) → 16 band folds
+    (splitmix64 chains) → pairs sharing any (band, hash) bucket."""
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.stages.dedup import _minhash_params
+
+    num_perm, bands, k = 64, 16, 5
+    rpb = num_perm // bands
+    pa, pb = _minhash_params(num_perm)
+    pos_base = f"""
+        SELECT doc_id, text, least({k}, length(text)) AS win,
+               unnest(range(1, length(text) - least({k}, length(text)) + 2)) AS pos
+        FROM documents WHERE length(text) > 0"""
+    rh = SH.rolling_poly_window("text", "pos", "win")
+    shq = SH.chain_select(
+        f"SELECT doc_id, {rh} AS rh FROM ({pos_base})",
+        SH.splitmix_steps("rh", "sh", "s"),
+    )
+    mins = ", ".join(
+        f"MIN(({SH.mulmod_const('sh', int(pa[p]))} + {SH.hug(int(pb[p]))}) % {SH.U64}) AS m{p}"
+        for p in range(num_perm)
+    )
+    sig_q = f"SELECT doc_id, {mins} FROM ({shq}) GROUP BY doc_id"
+    # band folds: bh = splitmix(…splitmix(m0 ^ m1) ^ m2…) per band, layered
+    steps: list[tuple[str, str]] = []
+    band_cols = []
+    for bd in range(bands):
+        prev = f"m{bd * rpb}"
+        for r in range(1, rpb):
+            nxt = f"bh{bd}_{r}"
+            steps += SH.splitmix_steps(
+                SH.xor64(prev, f"m{bd * rpb + r}"), nxt, f"f{bd}_{r}"
+            )
+            prev = nxt
+        band_cols.append(prev)
+    folded_q = SH.chain_select(sig_q, steps)
+    long_q = " UNION ALL ".join(
+        f"SELECT doc_id, {bd} AS band_id, {col} AS bh FROM fold"
+        for bd, col in enumerate(band_cols)
+    )
+    return f"""
+        WITH fold AS ({folded_q}),
+        fl AS ({long_q})
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM fl x JOIN fl y
+          ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id"""
+
+
+def _pip_reference_sql(geo: str, root: str) -> str:
+    """Full-corpus even-odd ray-cast PIP vs the reference polygons, with the
+    polygon LANDCOVER label attached.  An (exact) bbox prefilter bounds the
+    point×edge cross join: a point outside a polygon's bbox always has an
+    even crossing count."""
+    return f"""
+        WITH {geo},
+        pp AS (
+            SELECT poly_id, CAST("LANDCOVER" AS BIGINT) AS "LANDCOVER",
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'reference'
+        ),
+        r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM pp
+        ),
+        v AS (
+            SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                   unnest(ring) AS p
+            FROM r
+        ),
+        e AS (
+            SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1, b.p.x AS x2, b.p.y AS y2
+            FROM v a JOIN v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        cand AS (
+            SELECT g.doc_id, g.span_idx, g.lon, g.lat, p.poly_id, p."LANDCOVER"
+            FROM geo g JOIN pp p
+              ON g.lon >= p.minx AND g.lon <= p.maxx
+             AND g.lat >= p.miny AND g.lat <= p.maxy
+        ),
+        c AS (
+            SELECT cand.doc_id, cand.span_idx, cand.poly_id,
+                   any_value(cand."LANDCOVER") AS "LANDCOVER",
+                   SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                             AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM cand JOIN e ON cand.poly_id = e.poly_id
+            GROUP BY cand.doc_id, cand.span_idx, cand.poly_id
+        )
+        SELECT doc_id, span_idx, poly_id, "LANDCOVER"
+        FROM c WHERE crossings % 2 = 1"""
+
+
+def _media_decode_sql(root: str) -> str:
+    """Fake-codec mean intensity replayed in SQL: the pixel stream is
+    splitmix64(splitmix64(key) ^ j) % 256 for j in [0, H·W·C); key =
+    splitmix64(hash_key(seed,'px') ^ fnv1a(media_ref)).  The per-image sum
+    of ≤3072 values < 2^20 is exact in any order, so SUM/3072.0 is
+    bit-identical to the engine's mean."""
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.stages.media import DeterministicFakeCodec
+
+    codec = DeterministicFakeCodec()
+    npx = codec.h * codec.w * codec.c
+    prefix = SH.hash_key_prefix(codec.seed, "px")
+    base = f"""
+        SELECT doc_id, CAST(ord - 1 AS INTEGER) AS span_idx,
+               span.media_ref AS media_ref
+        FROM (
+            SELECT doc_id, unnest(spans) AS span,
+                   generate_subscripts(spans, 1) AS ord
+            FROM read_parquet('{root}/documents/part-*.parquet')
+            WHERE doc_id < '{MEDIA_SUBSET}'
+        ) WHERE span.kind = 'media'"""
+    withf = f"SELECT *, {SH.fnv1a_chars('media_ref')} AS rfnv FROM ({base})"
+    keyed = SH.chain_select(
+        withf, SH.splitmix_steps(SH.xor64(SH.hug(prefix), "rfnv"), "mkey", "k1")
+    )
+    keyed2 = SH.chain_select(f"SELECT * FROM ({keyed})", SH.splitmix_steps("mkey", "kk", "k2"))
+    perpix = SH.chain_select(
+        f"SELECT doc_id, span_idx, media_ref, kk, unnest(range(0, {npx})) AS jj FROM ({keyed2})",
+        SH.splitmix_steps(SH.xor64("kk", "jj"), "ph", "k3"),
+    )
+    return f"""
+        SELECT doc_id, span_idx, media_ref,
+               SUM(ph % 256) / {float(npx)!r} AS mean_intensity
+        FROM ({perpix})
+        GROUP BY doc_id, span_idx, media_ref"""
 
 
 def _focal_count_sql(root: str) -> str:
