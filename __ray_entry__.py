@@ -331,20 +331,21 @@ def q_embed_dup_pairs(sf_dir: str):
 
 
 def q_lee_sigma(sf_dir: str):
-    """Speckle-style Lee filter over the per-cell b3 composite (windowed
-    mean/variance via focal; float math — rows-only check)."""
+    """Speckle-style Lee filter over the per-cell total-cents field (b3):
+    one halo-exchange block pass computes window count/sum/sum² and the
+    filter algebra.  Integer inputs → exact window sums → the float algebra
+    is bit-identical to the DuckDB oracle (full value check)."""
     from kaza_lcms_ray.stages import sar, zonal
-
-    comp = zonal.zonal_counts(_geo(sf_dir), keys=("cell_id",), bands=(3,))
-
-    def rename(t):
-        return t.select(["cell_id", "mean_b3"]).rename_columns(["cell_id", "value"])
-
     from kaza_lcms_ray.state.cells import CELL_LEVEL
 
+    comp = zonal.zonal_sums(_geo(sf_dir), keys=("cell_id",), bands=(3,))
+
+    def rename(t):
+        return t.select(["cell_id", "s_c3"]).rename_columns(["cell_id", "value"])
+
     ds = comp.map_batches(rename, batch_format="pyarrow")
-    return sar.lee_sigma(ds, "value", CELL_LEVEL).select_columns(
-        ["cell_id", "value", "filtered"]
+    return _i64(
+        sar.lee_sigma(ds, "value", CELL_LEVEL), ["cell_id", "value", "filtered"]
     )
 
 
@@ -383,11 +384,17 @@ def q_composite_percentiles(sf_dir: str):
 
 def q_harmonic_windowed(sf_dir: str):
     """Per-(tile, year) harmonic phase/amplitude with DOY windows from
-    config (doHarmonicsFromOptions analog; float OLS — rows-only)."""
+    config (doHarmonicsFromOptions analog).  Exact integer partials +
+    shared Cramer solve → full value check vs the DuckDB replay."""
     from kaza_lcms_ray.config import DEFAULT_CONFIG
     from kaza_lcms_ray.pipelines import composite
 
-    return composite.harmonic_stack(_geo(sf_dir), DEFAULT_CONFIG)
+    cols = ["tile_id", "year"] + [
+        f"{b}_{suf}"
+        for b in DEFAULT_CONFIG.harmonics_options
+        for suf in ("phase", "amplitude")
+    ]
+    return _i64(composite.harmonic_stack(_geo(sf_dir), DEFAULT_CONFIG), cols)
 
 
 def q_pip_polygon_subset(sf_dir: str):
@@ -494,7 +501,8 @@ geo AS (
            CAST(b[3] AS DOUBLE) AS b2, CAST(b[4] AS DOUBLE) AS b3,
            CAST(b[5] AS DOUBLE) AS b4, CAST(b[6] AS DOUBLE) AS b5,
            CAST(round(CAST(b[1] AS DOUBLE) * 100, 0) AS BIGINT) AS c0,
-           CAST(round(CAST(b[4] AS DOUBLE) * 100, 0) AS BIGINT) AS c3
+           CAST(round(CAST(b[4] AS DOUBLE) * 100, 0) AS BIGINT) AS c3,
+           CAST(round(CAST(b[5] AS DOUBLE) * 100, 0) AS BIGINT) AS c4
     FROM (
         SELECT doc_id, unnest(spans) AS span,
                generate_subscripts(spans, 1) AS ord
@@ -653,6 +661,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "text_scores": _text_scores_sql(),
         "pip_reference": _pip_reference_sql(geo, root),
         "media_decode": _media_decode_sql(root),
+        "lee_sigma": _lee_sigma_sql(root),
+        "harmonic_year": _harmonic_year_sql(geo),
+        "harmonic_windowed": _harmonic_windowed_sql(geo, cells),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
@@ -986,6 +997,119 @@ def _media_decode_sql(root: str) -> str:
                SUM(ph % 256) / {float(npx)!r} AS mean_intensity
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _harmonic_ctes(keys_sql: str, src: str, ycol: str, d0: int, d1: int, tag: str) -> str:
+    """CTE chain computing the per-group harmonic fit exactly as the engine
+    does (zonal._fit_partials): exact per-day integer partials → ascending-k
+    left folds of the 14 normal-equation entries → shared Cramer solve."""
+    from kaza_lcms_ray.state import lsq
+
+    m, sy = "CAST(m AS DOUBLE)", "CAST(sy0 AS DOUBLE)"
+    folds = ", ".join(
+        "list_reduce(list_prepend(0.0, "
+        f"list({lsq.term_sql(n, m, sy, 't', 'c', 's')} ORDER BY k)), "
+        f"(a, b) -> a + b) AS {n}"
+        for n in lsq.ENTRY_NAMES
+    )
+    ex = lsq.harmonic4_exprs()
+    tp = repr(lsq.TWO_PI)
+    return f"""
+        p_{tag} AS (
+            SELECT {keys_sql}, ("year" - 1970) * 365 + (doy - 1) AS k,
+                   COUNT(*) AS m, SUM({ycol}) AS sy0
+            FROM {src} WHERE doy >= {d0} AND doy <= {d1}
+            GROUP BY {keys_sql}, k
+        ),
+        tt_{tag} AS (SELECT *, k / 365.0 AS t FROM p_{tag}),
+        uu_{tag} AS (SELECT *, cos({tp} * t) AS c, sin({tp} * t) AS s FROM tt_{tag}),
+        f_{tag} AS (SELECT {keys_sql}, SUM(m) AS n_int, {folds}
+                    FROM uu_{tag} GROUP BY {keys_sql}),
+        sol_{tag} AS (SELECT {keys_sql}, n_int, {ex['det']} AS det,
+                             {ex['det_c']} AS det_c, {ex['det_s']} AS det_s
+                      FROM f_{tag}),
+        out_{tag} AS (SELECT {keys_sql}, n_int,
+            CASE WHEN det = 0 THEN CAST('NaN' AS DOUBLE)
+                 ELSE atan2(det_c / det, det_s / det) END AS phase,
+            CASE WHEN det = 0 THEN CAST('NaN' AS DOUBLE)
+                 ELSE sqrt((det_c / det) * (det_c / det)
+                         + (det_s / det) * (det_s / det)) * 0.01 END AS amplitude
+            FROM sol_{tag})"""
+
+
+def _harmonic_year_sql(geo: str) -> str:
+    return f"""
+        WITH {geo},
+        {_harmonic_ctes('"year"', 'geo', 'c3', 1, 366, 'b3')}
+        SELECT "year", n_int AS n, phase AS b3_phase, amplitude AS b3_amplitude
+        FROM out_b3"""
+
+
+def _harmonic_windowed_sql(geo: str, cells: str) -> str:
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.stages.covariates import BANDS
+
+    opts = DEFAULT_CONFIG.harmonics_options
+    ycols = sorted({f"c{BANDS.index(b)}" for b in opts})
+    # MATERIALIZED barrier: DuckDB refuses to bind aggregates directly over
+    # the inlined LATERAL-join geo CTE when it is referenced multiple times
+    parts = [
+        f'cm AS MATERIALIZED (SELECT tile_id, "year", doy, {", ".join(ycols)} FROM cells)'
+    ]
+    sel = []
+    joins = []
+    for band, (d0, d1) in opts.items():
+        ycol = f"c{BANDS.index(band)}"
+        parts.append(_harmonic_ctes('tile_id, "year"', "cm", ycol, d0, d1, band))
+        sel.append(
+            f"COALESCE(j_{band}.phase, CAST('NaN' AS DOUBLE)) AS {band}_phase, "
+            f"COALESCE(j_{band}.amplitude, CAST('NaN' AS DOUBLE)) AS {band}_amplitude"
+        )
+        joins.append(
+            f'LEFT JOIN out_{band} j_{band} ON bg.tile_id = j_{band}.tile_id '
+            f'AND bg."year" = j_{band}."year"'
+        )
+    return f"""
+        WITH {geo}, {cells},
+        {', '.join(parts)},
+        bg AS (SELECT DISTINCT tile_id, "year" FROM cm)
+        SELECT bg.tile_id, bg."year", {', '.join(sel)}
+        FROM bg {' '.join(joins)}"""
+
+
+def _lee_sigma_sql(root: str) -> str:
+    """Lee-sigma replayed in SQL: 3×3 neighbor self-join over the cell grid
+    (exact integer window sums) + the identical float expression tree."""
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+
+    ix = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iy = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    sv = repr(0.9)
+    return f"""
+        WITH {_geo_cte(root)},
+        gc AS (SELECT {ix} AS ix, {iy} AS iy, c3 FROM geo),
+        cc AS (SELECT ix, iy, SUM(c3) AS si FROM gc GROUP BY ix, iy),
+        w AS (
+            SELECT a.ix, a.iy, CAST(any_value(a.si) AS DOUBLE) AS x,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt,
+                   CAST(SUM(b.si) AS DOUBLE) AS s1,
+                   CAST(SUM(b.si * b.si) AS DOUBLE) AS s2
+            FROM cc a JOIN cc b ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+            GROUP BY a.ix, a.iy
+        ),
+        g1 AS (SELECT ix, iy, x, s1 / greatest(cnt, 1.0) AS m,
+                      s2 / greatest(cnt, 1.0) AS ss FROM w),
+        g2 AS (SELECT *, ss - m * m AS v,
+                      (({sv} * m) * ({sv} * m)) * 0.1 AS noise FROM g1),
+        g3 AS (SELECT *, CASE WHEN v + noise > 0 THEN v / (v + noise)
+                              ELSE 0.0 END AS k FROM g2)
+        SELECT {cell} AS cell_id, x AS value, m + k * (x - m) AS filtered
+        FROM g3"""
 
 
 def _focal_count_sql(root: str) -> str:

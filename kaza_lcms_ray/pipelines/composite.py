@@ -74,36 +74,47 @@ def percentile_stack(geo, config: PipelineConfig = DEFAULT_CONFIG, bands=range(6
 def harmonic_stack(geo, config: PipelineConfig = DEFAULT_CONFIG):
     """Per-(tile, year) harmonic fit for each configured band with its DOY
     window (doHarmonicsFromOptions analog).  Output: {band}_phase,
-    {band}_amplitude per band."""
+    {band}_amplitude per band.
+
+    Same exact-partials + shared-Cramer machinery as zonal.harmonic_fit
+    (bit-reproducible by the DuckDB oracle); groups whose DOY window is
+    empty emit NaN."""
     nb = _default_buckets()
     opts = config.harmonics_options
-    band_cols = {b: f"b{covariates.BANDS.index(b)}" for b in opts}
+    band_cols = {b: f"c{covariates.BANDS.index(b)}" for b in opts}
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(KEYS + ["doc_id", "span_idx"], kind="mergesort")
-        kcols = [g[k].to_numpy() for k in KEYS]
-        changed = np.zeros(len(g), dtype=bool)
-        changed[0] = True
-        for k in kcols:
-            changed[1:] |= k[1:] != k[:-1]
-        starts = np.nonzero(changed)[0]
-        ends = np.append(starts[1:], len(g))
-        t = g["t"].to_numpy(dtype=np.float64)
+        k = (g["year"].to_numpy().astype(np.int64) - 1970) * 365 + (
+            g["doy"].to_numpy().astype(np.int64) - 1
+        )
         doy = g["doy"].to_numpy()
-        out = {k: kcols[i][starts] for i, k in enumerate(KEYS)}
+        out = (
+            g[KEYS]
+            .drop_duplicates()
+            .sort_values(KEYS, kind="mergesort")
+            .reset_index(drop=True)
+        )
         for band, (d0, d1) in opts.items():
-            y = g[band_cols[band]].to_numpy(dtype=np.float64)
-            phases = np.empty(starts.shape[0])
-            amps = np.empty(starts.shape[0])
-            for i, (s, e) in enumerate(zip(starts, ends)):
-                sel = slice(s, e)
-                win = (doy[sel] >= d0) & (doy[sel] <= d1)
-                phases[i], amps[i] = zonal.solve_harmonic(t[sel][win], y[sel][win])
-            out[f"{band}_phase"] = phases
-            out[f"{band}_amplitude"] = amps
-        return pd.DataFrame(out)
+            sel = (doy >= d0) & (doy <= d1)
+            df = pd.DataFrame(
+                {
+                    **{kk: g[kk].to_numpy()[sel] for kk in KEYS},
+                    "k": k[sel],
+                    "y": g[band_cols[band]].to_numpy()[sel],
+                }
+            )
+            p = (
+                df.groupby(KEYS + ["k"], as_index=False)
+                .agg(m=("y", "size"), sy=("y", "sum"))
+                .sort_values(KEYS + ["k"], kind="mergesort")
+            )
+            fit = zonal._fit_partials(p, KEYS).drop(columns=["n"]).rename(
+                columns={"phase": f"{band}_phase", "amplitude": f"{band}_amplitude"}
+            )
+            out = out.merge(fit, on=KEYS, how="left")
+        return out
 
-    cols = KEYS + ["doc_id", "span_idx", "t", "doy"] + sorted(set(band_cols.values()))
+    cols = list(dict.fromkeys(KEYS + ["year", "doy"] + sorted(set(band_cols.values()))))
     return (
         _add_bucket(geo.select_columns(cols), KEYS, nb)
         .groupby("bucket")

@@ -29,21 +29,18 @@ from ..state import cells
 OPS = ("min", "max", "mean", "var", "sum", "count")
 
 
-def focal(
+def block_fanout(
     ds,
     value_col: str,
-    op: str = "mean",
-    radius: int = 1,
-    level: int = cells.CELL_LEVEL,
+    radius: int,
+    level: int,
     block_bits: int = 5,
     cell_col: str = "cell_id",
 ):
-    """Dataset[cell_id, value] → Dataset[cell_id, focal_<op>].
-
-    Input must have ONE row per cell (aggregate first if needed).
-    """
-    assert op in OPS
-    assert radius < (1 << block_bits)
+    """Cell rows → (block, ix, iy, v, home) halo-exchange fanout: each cell
+    goes to its home block plus any neighbor block within ``radius`` of the
+    border.  Shared by every windowed kernel (focal, lee_sigma, directional
+    transforms)."""
     nblock = 1 << block_bits
 
     def fanout(t: pa.Table) -> pa.Table:
@@ -85,6 +82,25 @@ def focal(
                 "home": pa.array(np.concatenate(out_home)),
             }
         )
+
+    return ds.map_batches(fanout, batch_format="pyarrow")
+
+
+def focal(
+    ds,
+    value_col: str,
+    op: str = "mean",
+    radius: int = 1,
+    level: int = cells.CELL_LEVEL,
+    block_bits: int = 5,
+    cell_col: str = "cell_id",
+):
+    """Dataset[cell_id, value] → Dataset[cell_id, focal_<op>].
+
+    Input must have ONE row per cell (aggregate first if needed).
+    """
+    assert op in OPS
+    assert radius < (1 << block_bits)
 
     def per_block(g: pd.DataFrame) -> pd.DataFrame:
         ix = g["ix"].to_numpy()
@@ -138,7 +154,7 @@ def focal(
         )
 
     return (
-        ds.map_batches(fanout, batch_format="pyarrow")
+        block_fanout(ds, value_col, radius, level, block_bits, cell_col)
         .groupby("block")
         .map_groups(per_block, batch_format="pandas")
         .select_columns([cell_col, f"focal_{op}"])

@@ -38,35 +38,89 @@ def add_ratio_batch(t: pa.Table, num: str, den: str, out: str = "ratio") -> pa.T
         return t.append_column(out, pa.array(a / b))
 
 
-def lee_sigma(ds, value_col: str, level: int, radius: int = 1, sigma_v: float = 0.9):
+def lee_sigma(
+    ds,
+    value_col: str,
+    level: int,
+    radius: int = 1,
+    sigma_v: float = 0.9,
+    block_bits: int = 5,
+):
     """Lee-style speckle filter: x̂ = m + k·(x − m) with k from local
     mean/variance over the (2r+1)² window (sentinel1.py:182-205 semantics
     over our cell grid).  Returns Dataset[cell_id, value, filtered].
 
-    The per-cell input and the focal statistics all grow with CELLS (not
-    documents), so the final combine is a driver-side merge — two chained
-    distributed hash joins here would cost more in shuffle setup than the
-    tables weigh, and their aggregator pools contend on small sessions.
+    ONE distributed pass: the halo-exchange block fanout (stages/focal.py)
+    scatters each cell + halo into its block, and a single map_groups per
+    block computes window count/sum/sum-of-squares AND the filter algebra —
+    no joins, no driver-side materialization (the round-1 version merged
+    three focal outputs on the driver, which dies at continental cell
+    counts).  When the input values are integers (e.g. scaled-cent sums),
+    every window sum is exact in float64, so the result is bit-identical
+    under any partitioning and reproducible by the DuckDB oracle.
     """
-    from .focal import focal
+    import pandas as pd
 
-    m = focal(ds, value_col, "mean", radius, level).to_pandas()
-    v = focal(ds, value_col, "var", radius, level).to_pandas()
-    base = ds.to_pandas()
-    merged = base.merge(
-        m.rename(columns={"focal_mean": "local_mean"}), on="cell_id"
-    ).merge(v.rename(columns={"focal_var": "local_var"}), on="cell_id")
-    x = merged[value_col].to_numpy()
-    m_ = merged["local_mean"].to_numpy()
-    v_ = merged["local_var"].to_numpy()
-    # k = var_signal / (var_signal + noise), noise ∝ (sigma_v·mean)²
-    noise = (sigma_v * m_) ** 2 * 0.1
-    with np.errstate(divide="ignore", invalid="ignore"):
-        k = np.where(v_ + noise > 0, v_ / (v_ + noise), 0.0)
-    merged["filtered"] = m_ + k * (x - m_)
-    import ray.data as rd
+    from .focal import block_fanout
 
-    return rd.from_pandas(merged)
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state import cells
+
+        ix = g["ix"].to_numpy()
+        iy = g["iy"].to_numpy()
+        v = g["v"].to_numpy()
+        home = g["home"].to_numpy()
+        x0, y0 = ix.min(), iy.min()
+        w = int(ix.max() - x0) + 1
+        h = int(iy.max() - y0) + 1
+        # integer grids: window sums of v and v² stay EXACT in int64 (v² for
+        # large aggregates exceeds 2^53, where float accumulation becomes
+        # order-dependent); one cast to float64 afterwards matches the
+        # oracle's CAST(SUM(...) AS DOUBLE).  (int64 bound: |v| < 3·10⁹.)
+        gi = np.zeros((w, h), dtype=np.int64)
+        gi[ix - x0, iy - y0] = v.astype(np.int64)
+        present = np.zeros((w, h), dtype=np.int64)
+        present[ix - x0, iy - y0] = 1
+
+        def shifts(arr):
+            acc = np.zeros_like(arr)
+            for dx in range(-radius, radius + 1):
+                for dy in range(-radius, radius + 1):
+                    sh = np.zeros_like(arr)
+                    xs = slice(max(0, dx), w + min(0, dx))
+                    xd = slice(max(0, -dx), w + min(0, -dx))
+                    ys = slice(max(0, dy), h + min(0, dy))
+                    yd = slice(max(0, -dy), h + min(0, -dy))
+                    sh[xd, yd] = arr[xs, ys]
+                    acc = acc + sh
+            return acc
+
+        cnt = shifts(present).astype(np.float64)
+        s1 = shifts(gi).astype(np.float64)
+        s2 = shifts(gi * gi).astype(np.float64)
+        grid = gi.astype(np.float64)
+        cntc = np.maximum(cnt, 1.0)
+        m = s1 / cntc
+        var = s2 / cntc - m * m
+        noise = (sigma_v * m) * (sigma_v * m) * 0.1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k = np.where(var + noise > 0, var / (var + noise), 0.0)
+        filt = m + k * (grid - m)
+        hx, hy = ix[home], iy[home]
+        return pd.DataFrame(
+            {
+                "cell_id": cells.morton(hx, hy),
+                "value": grid[hx - x0, hy - y0],
+                "filtered": filt[hx - x0, hy - y0],
+            }
+        )
+
+    return (
+        block_fanout(ds, value_col, radius, level, block_bits)
+        .groupby("block")
+        .map_groups(per_block, batch_format="pandas")
+        .select_columns(["cell_id", "value", "filtered"])
+    )
 
 
 def terrain_flatten_batch(

@@ -84,6 +84,18 @@ def bucketed_sum(
     )
 
 
+def zonal_sums(geo, keys=("cell_id", "year"), bands=(3,)):
+    """Grouped n + per-band exact scaled-cent SUMS (int64) — the
+    un-finalized half of zonal_counts, for consumers that need the integer
+    totals themselves (e.g. lee_sigma's bit-exact windows)."""
+    keys = list(keys)
+    cent_cols = [f"c{b}" for b in bands]
+    partial = geo.map_batches(
+        lambda t: _partial_counts(t, keys, cent_cols), batch_format="pyarrow"
+    )
+    return bucketed_sum(partial, keys, ["n"] + [f"s_{c}" for c in cent_cols])
+
+
 def zonal_counts(geo, keys=("cell_id", "year"), bands=(0, 1, 2, 3, 4, 5)):
     """Grouped n + per-band mean (exact scaled-int arithmetic).
 
@@ -207,47 +219,114 @@ def zonal_percentiles(
     )
 
 
-def harmonic_fit(geo, keys=("cell_id", "year"), band: int = 3):
-    """Per-key OLS harmonic fit y ~ constant + t + cos(2πt) + sin(2πt);
-    returns phase = atan2(c_cos, c_sin) and amplitude = hypot(c_cos, c_sin)
-    (argument order as in the reference, src/utils/harmonics.py:35-45).
+def seg_left_fold(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Strict LEFT-FOLD float sum per segment, vectorized ACROSS segments
+    (ragged-column trick): step j adds element j of every still-active
+    segment.  Reproducible by SQL ``list_reduce(list_prepend(0.0,
+    list(x ORDER BY k)), (a,b) -> a+b)`` — unlike np.sum (pairwise) or an
+    unordered SQL SUM."""
+    acc = np.zeros(starts.shape[0])
+    lens = ends - starts
+    if lens.size == 0:
+        return acc
+    idx = np.arange(starts.shape[0])
+    for j in range(int(lens.max())):
+        idx = idx[lens[idx] > j]
+        acc[idx] = acc[idx] + vals[starts[idx] + j]
+    return acc
 
-    Deterministic: group rows are sorted by (doc_id, span_idx) before the
-    float64 normal-equation accumulation, so the result is bit-stable under
-    any partitioning.  Keys with a singular design (degenerate time sampling)
-    return NaN coefficients, matching the oracle's lstsq fallback.
+
+def _fit_partials(p: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """(keys…, k, m, sy) rows SORTED by keys+[k] → one row per key group
+    with n (exact int), phase, amplitude.
+
+    k = (year−1970)·365 + (doy−1); t = k/365; y in exact scaled cents.
+    Entries accumulate per distinct k in ascending-k left-fold order, the
+    4×4 system is solved by the generated Cramer expressions (state/lsq.py)
+    and phase = atan2(c_cos, c_sin) via math.atan2 (np.arctan2's SIMD path
+    differs from libm — and thus from the DuckDB oracle — by 1 ulp).
+    Amplitude is scaled ×0.01 back to band units (the fit is linear in y).
+    """
+    import math
+
+    from ..state import lsq
+
+    if len(p) == 0:
+        return pd.DataFrame(
+            {**{kk: [] for kk in keys}, "n": [], "phase": [], "amplitude": []}
+        )
+    kcols = [p[kk].to_numpy() for kk in keys]
+    changed = np.zeros(len(p), dtype=bool)
+    changed[0] = True
+    for kc in kcols:
+        changed[1:] |= kc[1:] != kc[:-1]
+    starts = np.nonzero(changed)[0]
+    ends = np.append(starts[1:], len(p))
+    k = p["k"].to_numpy()
+    t = k / 365.0
+    w = lsq.TWO_PI * t
+    c = np.cos(w)
+    s = np.sin(w)
+    m_f = p["m"].to_numpy().astype(np.float64)
+    sy_f = p["sy"].to_numpy().astype(np.float64)
+    terms = lsq.term_evaluator()(m_f, sy_f, t, c, s)
+    sums = {
+        name: seg_left_fold(np.asarray(arr, dtype=np.float64), starts, ends)
+        for name, arr in zip(lsq.ENTRY_NAMES, terms)
+    }
+    det, det_c, det_s = lsq.harmonic4_solver()(**sums)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc = det_c / det
+        cs = det_s / det
+        amp = np.sqrt(cc * cc + cs * cs) * 0.01
+    ok = det != 0.0
+    phase = np.array(
+        [math.atan2(float(a), float(b)) if o else np.nan for a, b, o in zip(cc, cs, ok)]
+    )
+    mi = p["m"].to_numpy().astype(np.int64)
+    csum = np.concatenate(([0], np.cumsum(mi)))
+    out = {kk: kcols[i][starts] for i, kk in enumerate(keys)}
+    out["n"] = csum[ends] - csum[starts]
+    out["phase"] = np.where(ok, phase, np.nan)
+    out["amplitude"] = np.where(ok, amp, np.nan)
+    return pd.DataFrame(out)
+
+
+def harmonic_fit(geo, keys=("cell_id", "year"), band: int = 3):
+    """Per-key OLS harmonic fit y ~ constant + t + cos(2πt) + sin(2πt) over
+    the exact scaled-cent band values; returns phase = atan2(c_cos, c_sin)
+    and amplitude = √(c_cos² + c_sin²) in band units (argument order as in
+    the reference, src/utils/harmonics.py:35-45).
+
+    Bit-deterministic AND oracle-reproducible: per-(key, day) partials are
+    exact integers, the normal-equation entries fold in ascending-day order,
+    and the solve is the shared Cramer expression tree — so the result is
+    identical under any partitioning and bit-equal to the DuckDB replay.
+    Singular designs (degenerate time sampling) return NaN.
     """
     keys = list(keys)
-    col = f"b{band}"
+    ycol = f"c{band}"
     nb = _default_buckets()
+    cols = list(dict.fromkeys(keys + ["year", "doy", ycol]))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # deterministic row order inside every group, independent of
-        # partitioning: sort by (keys, doc_id, span_idx)
-        g = g.sort_values(keys + ["doc_id", "span_idx"], kind="mergesort")
-        kcols = [g[k].to_numpy() for k in keys]
-        t = g["t"].to_numpy(dtype=np.float64)
-        y = g[col].to_numpy(dtype=np.float64)
-        changed = np.zeros(t.shape[0], dtype=bool)
-        changed[0] = True
-        for k in kcols:
-            changed[1:] |= k[1:] != k[:-1]
-        starts = np.nonzero(changed)[0]
-        ends = np.append(starts[1:], t.shape[0])
-        phases = np.empty(starts.shape[0])
-        amps = np.empty(starts.shape[0])
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            phases[i], amps[i] = solve_harmonic(t[s:e], y[s:e])
-        out = {k: kcols[i][starts] for i, k in enumerate(keys)}
-        out["n"] = (ends - starts).astype(np.int64)
-        out[f"b{band}_phase"] = phases
-        out[f"b{band}_amplitude"] = amps
-        return pd.DataFrame(out)
+        k = (g["year"].to_numpy().astype(np.int64) - 1970) * 365 + (
+            g["doy"].to_numpy().astype(np.int64) - 1
+        )
+        df = pd.DataFrame(
+            {**{kk: g[kk].to_numpy() for kk in keys}, "k": k, "y": g[ycol].to_numpy()}
+        )
+        p = (
+            df.groupby(keys + ["k"], as_index=False)
+            .agg(m=("y", "size"), sy=("y", "sum"))
+            .sort_values(keys + ["k"], kind="mergesort")
+        )
+        return _fit_partials(p, keys).rename(
+            columns={"phase": f"b{band}_phase", "amplitude": f"b{band}_amplitude"}
+        )
 
     return (
-        _add_bucket(
-            geo.select_columns(keys + ["doc_id", "span_idx", "t", col]), keys, nb
-        )
+        _add_bucket(geo.select_columns(cols), keys, nb)
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
         .select_columns(keys + ["n", f"b{band}_phase", f"b{band}_amplitude"])

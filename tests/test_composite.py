@@ -59,17 +59,32 @@ def test_harmonic_stack_doy_window(synth_small, ray_session):
         .sort_values(["tile_id", "year"])
         .reset_index(drop=True)
     )
-    df = _geo_df(synth_small).sort_values(["doc_id", "span_idx"])
-    # oracle on 5 sample keys
+    df = _geo_df(synth_small)
+    # independent lstsq oracle on 5 sample keys (tolerance; bit-exactness is
+    # the driver contract's DuckDB replay)
     sample = got.head(5)
     for r in sample.itertuples():
         sub = df[(df["tile_id"] == r.tile_id) & (df["year"] == r.year)]
         win = sub[(sub["doy"] >= 50) & (sub["doy"] <= 250)]
-        phase, amp = zonal.solve_harmonic(
-            win["t"].to_numpy(), win["b3"].to_numpy()
-        )
-        assert (np.isnan(phase) and np.isnan(r.nir_phase)) or r.nir_phase == phase
-        assert (np.isnan(amp) and np.isnan(r.nir_amplitude)) or r.nir_amplitude == amp
+        if len(win) == 0:
+            assert np.isnan(r.nir_phase) and np.isnan(r.nir_amplitude)
+            continue
+        t = (
+            (win["year"].to_numpy().astype(np.int64) - 1970) * 365
+            + (win["doy"].to_numpy().astype(np.int64) - 1)
+        ) / 365.0
+        y = win["c3"].to_numpy().astype(np.float64)
+        w = 2.0 * np.pi * t
+        X = np.stack([np.ones_like(t), t, np.cos(w), np.sin(w)], axis=1)
+        if np.linalg.matrix_rank(X) < 4 or len(win) < 8:
+            # degenerate design: the Cramer solve yields an unspecified (but
+            # deterministic and oracle-matched) value; lstsq can't anchor it
+            continue
+        coef = np.linalg.lstsq(X, y, rcond=None)[0]
+        phase = np.arctan2(coef[2], coef[3])
+        amp = np.hypot(coef[2], coef[3]) * 0.01
+        assert abs(r.nir_phase - phase) < 1e-6
+        assert abs(r.nir_amplitude - amp) < 1e-6 * max(1.0, amp)
 
 
 def test_composite_stack_schema(synth_small, ray_session):

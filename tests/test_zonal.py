@@ -80,12 +80,27 @@ def test_harmonic_fit_runs_and_is_deterministic(synth_small, ray_session):
     # coarse key (year only) → few groups, well-conditioned fits
     fit = zonal.harmonic_fit(geo, keys=("year",), band=3).to_pandas().sort_values("year")
     assert len(fit) == 3 and fit["n"].sum() == geo.count()
-    # oracle: same fixed-order solve over sorted rows
-    df = _geo_df(synth_small).sort_values(["doc_id", "span_idx"])
+    # independent oracle: lstsq fit on (t = day/365, y = cents·0.01); the
+    # engine's Cramer solve must agree to numerical tolerance (bit-exactness
+    # is checked against the DuckDB replay in the driver contract)
+    df = _geo_df(synth_small)
     for _, row in fit.iterrows():
         sub = df[df["year"] == row["year"]]
-        phase, amp = zonal.solve_harmonic(sub["t"].to_numpy(), sub["b3"].to_numpy())
-        assert row["b3_phase"] == phase and row["b3_amplitude"] == amp
+        t = (
+            (sub["year"].to_numpy().astype(np.int64) - 1970) * 365
+            + (sub["doy"].to_numpy().astype(np.int64) - 1)
+        ) / 365.0
+        y = sub["c3"].to_numpy().astype(np.float64)
+        w = 2.0 * np.pi * t
+        X = np.stack([np.ones_like(t), t, np.cos(w), np.sin(w)], axis=1)
+        coef = np.linalg.lstsq(X, y, rcond=None)[0]
+        phase = np.arctan2(coef[2], coef[3])
+        amp = np.hypot(coef[2], coef[3]) * 0.01
+        assert abs(row["b3_phase"] - phase) < 1e-8
+        assert abs(row["b3_amplitude"] - amp) < 1e-8 * max(1.0, amp)
+    # deterministic across runs
+    fit2 = zonal.harmonic_fit(geo, keys=("year",), band=3).to_pandas().sort_values("year")
+    assert (fit2["b3_phase"].to_numpy() == fit["b3_phase"].to_numpy()).all()
 
 
 def test_area_by_class(synth_small, ray_session):
