@@ -270,17 +270,19 @@ def q_near_dup_pairs(sf_dir: str):
 
 
 def q_training_split(sf_dir: str):
-    """Stratified sample + 80/20 split summary (seeded hash randomness —
-    not SQL-expressible; rows-only check)."""
+    """Stratified sample + 80/20 split summary.  All randomness is seeded
+    splitmix64 keyed on (doc_id, span_idx), so the whole pipeline — PIP
+    label, per-class cap, split — is replayed exactly by the SQL oracle."""
     from kaza_lcms_ray.config import DEFAULT_CONFIG
     from kaza_lcms_ray.pipelines import primitives as P
 
     train_df, test_df = P.build_training_table(_synth(sf_dir), DEFAULT_CONFIG)
-    import pandas as pd
 
     g = train_df.groupby("LANDCOVER").size().rename("n_train").reset_index()
-    g["n_test"] = g["LANDCOVER"].map(test_df.groupby("LANDCOVER").size()).fillna(0).astype(int)
-    return g
+    g["n_test"] = (
+        g["LANDCOVER"].map(test_df.groupby("LANDCOVER").size()).fillna(0).astype(int)
+    )
+    return g.astype({"LANDCOVER": "int64", "n_train": "int64", "n_test": "int64"})
 
 
 def q_rf_landcover(sf_dir: str):
@@ -664,6 +666,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "lee_sigma": _lee_sigma_sql(root),
         "harmonic_year": _harmonic_year_sql(geo),
         "harmonic_windowed": _harmonic_windowed_sql(geo, cells),
+        "training_split": _training_split_sql(geo, root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
@@ -997,6 +1000,95 @@ def _media_decode_sql(root: str) -> str:
                SUM(ph % 256) / {float(npx)!r} AS mean_intensity
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _training_split_sql(geo: str, root: str) -> str:
+    """Per-class train/test counts replayed in SQL: even-odd PIP label
+    (first matching reference polygon in poly_id order), seeded-hash
+    stratified cap (400/class, smallest hash_unit(seed,'strat',rowkey)
+    first) and the 80/20 hash split — all splitmix64 chains, all exact."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    seed = DEFAULT_CONFIG.seed
+    c_strat = SH.hash_key_prefix(seed, "strat")
+    c_split = SH.hash_key_prefix(seed, "split")
+    eps = repr(2.0**-53)
+    base = f"""
+        SELECT doc_id, span_idx, "LANDCOVER" FROM (
+            SELECT c.doc_id, c.span_idx, c."LANDCOVER",
+                   row_number() OVER (
+                       PARTITION BY c.doc_id, c.span_idx ORDER BY c.poly_id
+                   ) AS rn
+            FROM c WHERE crossings % 2 = 1
+        ) WHERE rn = 1 AND "LANDCOVER" > 0"""
+    # sampling._row_key folds each id column via hash_key(key, part) =
+    # splitmix(splitmix(key) ^ part); the initial key is 0, so the first
+    # fold starts from the constant splitmix(0)
+    from kaza_lcms_ray.state.hashing import splitmix64
+
+    z0 = int(splitmix64(0))
+    keyed = SH.chain_select(
+        f"SELECT *, {SH.fnv1a_chars('doc_id')} AS dh FROM ({base})",
+        SH.splitmix_steps(SH.xor64(SH.hug(z0), "dh"), "rk1", "ka")
+        + SH.splitmix_steps("rk1", "rk1s", "kb")
+        + SH.splitmix_steps(
+            SH.xor64("rk1s", "CAST(span_idx AS HUGEINT)"), "rk", "kc"
+        )
+        + SH.splitmix_steps(SH.xor64(SH.hug(c_strat), "rk"), "hstrat", "kd")
+        + SH.splitmix_steps(SH.xor64(SH.hug(c_split), "rk"), "hsplit", "ke"),
+    )
+    return f"""
+        WITH {geo},
+        pp AS (
+            SELECT poly_id, CAST("LANDCOVER" AS BIGINT) AS "LANDCOVER",
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'reference'
+        ),
+        r AS (SELECT poly_id, unnest(rings) AS ring,
+                     generate_subscripts(rings, 1) AS rid FROM pp),
+        v AS (SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                     unnest(ring) AS p FROM r),
+        e AS (
+            SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1, b.p.x AS x2, b.p.y AS y2
+            FROM v a JOIN v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        cand AS (
+            SELECT g.doc_id, g.span_idx, g.lon, g.lat, p.poly_id, p."LANDCOVER"
+            FROM geo g JOIN pp p
+              ON g.lon >= p.minx AND g.lon <= p.maxx
+             AND g.lat >= p.miny AND g.lat <= p.maxy
+        ),
+        c AS (
+            SELECT cand.doc_id, cand.span_idx, cand.poly_id,
+                   any_value(cand."LANDCOVER") AS "LANDCOVER",
+                   SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                             AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM cand JOIN e ON cand.poly_id = e.poly_id
+            GROUP BY cand.doc_id, cand.span_idx, cand.poly_id
+        ),
+        rnd AS (
+            SELECT doc_id, span_idx, "LANDCOVER",
+                   CAST((hstrat >> 11) AS DOUBLE) * {eps} AS rstrat,
+                   CAST((hsplit >> 11) AS DOUBLE) * {eps} AS rsplit
+            FROM {keyed}
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY "LANDCOVER"
+                    ORDER BY rstrat, doc_id, span_idx
+                ) AS srn FROM rnd
+            ) WHERE srn <= 400
+        )
+        SELECT "LANDCOVER",
+               SUM(CASE WHEN rsplit < 0.8 THEN 1 ELSE 0 END) AS n_train,
+               SUM(CASE WHEN rsplit >= 0.8 THEN 1 ELSE 0 END) AS n_test
+        FROM capped GROUP BY "LANDCOVER" """
 
 
 def _harmonic_ctes(keys_sql: str, src: str, ycol: str, d0: int, d1: int, tag: str) -> str:
