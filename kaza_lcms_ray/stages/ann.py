@@ -105,46 +105,124 @@ def cosine_topk(
     return partial.groupby("qid").map_groups(final, batch_format="pandas")
 
 
-class EmbeddingDupFinder:
-    """Actor-pool callable: batch rows × broadcast corpus → near-dup pairs
-    (cosine ≥ threshold, id_a < id_b).
+@ray.remote
+def _prep_block(tbl: pa.Table, id_col: str, embed_col: str):
+    """Block → (ids, L2-normalized matrix), staying in the object store."""
+    return (
+        tbl.column(id_col).to_numpy(zero_copy_only=False),
+        _normalize(_embed_matrix(tbl, embed_col)),
+    )
 
-    The corpus matrix is normalized once per actor.  Exact (all-pairs); the
-    scale path replaces the broadcast corpus with LSH buckets (lsh_bucketed)
-    and runs this same kernel inside each bucket."""
 
-    def __init__(self, corpus_ref, id_col: str, threshold: float):
-        c = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
-        self.ids = np.asarray(c["ids"])
-        self.mat = _normalize(np.asarray(c["mat"], dtype=np.float64))
-        self.id_col, self.threshold = id_col, threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_embed_matrix(batch, "embedding"))
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        sims = m @ self.mat.T
-        ii, jj = np.nonzero((sims >= self.threshold) & (ids[:, None] < self.ids[None, :]))
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(self.ids[jj])})
+@ray.remote
+def _block_pair_kernel(left, right, threshold: float, same: bool) -> pa.Table:
+    """Exact cosine pairs between two prepared blocks (a < b by id)."""
+    ids_a, mat_a = left
+    ids_b, mat_b = right
+    sims = mat_a @ mat_b.T
+    hit = sims >= threshold
+    if same:
+        hit &= ids_a[:, None] < ids_b[None, :]
+        ii, jj = np.nonzero(hit)
+        a, b = ids_a[ii], ids_b[jj]
+    else:
+        ii, jj = np.nonzero(hit)
+        a, b = ids_a[ii], ids_b[jj]
+        swap = a > b
+        a, b = np.where(swap, b, a), np.where(swap, a, b)
+        keep = a != b
+        a, b = a[keep], b[keep]
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 def embedding_dup_pairs(
     ds, threshold: float, id_col: str = "vec_id", embed_col: str = "embedding", concurrency=None
 ):
-    """Exact embedding-cosine near-duplicate pairs (a < b)."""
-    if concurrency is None:
-        from ..runtime import pool_size
+    """EXACT embedding-cosine near-duplicate pairs (a < b).
 
-        concurrency = (1, pool_size(0.4))
-    rows = ds.select_columns([id_col, embed_col]).to_pandas()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows[embed_col]])
-    corpus_ref = ray.put({"ids": rows[id_col].to_numpy(), "mat": mat})
-    return ds.map_batches(
-        EmbeddingDupFinder,
-        fn_constructor_kwargs=dict(corpus_ref=corpus_ref, id_col=id_col, threshold=threshold),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    Block-pair cartesian: the corpus is pinned as Arrow block refs in the
+    object store (never materialized on the driver), each block is
+    normalized once by a Ray task, and one task per block pair (i ≤ j) runs
+    the matmul kernel.  Work is inherently O(N²/2) for an exact answer —
+    this distributes it across the cluster with O(B²/2) tasks; size blocks
+    so B ≈ √(wanted tasks).  For corpora where O(N²) itself is unpayable,
+    use the approximate ``embedding_near_dup_lsh`` (bucketed) path.
+    """
+    import ray.data as rd
+
+    refs = ds.select_columns([id_col, embed_col]).to_arrow_refs()
+    prep = [_prep_block.remote(r, id_col, embed_col) for r in refs]
+    tasks = [
+        _block_pair_kernel.remote(prep[i], prep[j], threshold, i == j)
+        for i in range(len(prep))
+        for j in range(i, len(prep))
+    ]
+    tables = [t for t in ray.get(tasks) if t.num_rows]
+    if not tables:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return rd.from_arrow(empty)
+    return rd.from_arrow(tables)
+
+
+def embedding_near_dup_lsh(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    nbits: int = 8,
+    n_tables: int = 4,
+    concurrency=None,
+):
+    """APPROXIMATE near-dup pairs: ``n_tables`` independent
+    signed-random-projection bucketings (LSHBucketer), exact cosine kernel
+    INSIDE each bucket, distinct union of pairs.  Recall grows with
+    n_tables and shrinks with nbits; per-bucket work is O(bucket²) — the
+    scale path when all-pairs is unpayable.  Missed pairs are those whose
+    vectors disagree in ≥1 bit of every table."""
+    import pandas as pd
+
+    from .dedup import exact_pairs_distinct
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(_embed_matrix(t, embed_col))
+        sims = mat @ mat.T
+        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    def plain_list(t: pa.Table) -> pa.Table:
+        # Ray's tensor-extension column breaks the polars sort shuffle
+        # behind groupby — rewrite as a plain list<float64> column
+        m = _embed_matrix(t, embed_col)
+        n, d = m.shape
+        lst = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * d), pa.array(m.reshape(-1))
+        )
+        idx = t.schema.get_field_index(embed_col)
+        return t.set_column(idx, embed_col, lst)
+
+    parts = []
+    for t in range(n_tables):
+        seed = 7 + 101 * t
+        # stateless tasks, NOT an actor pool: the union of n_tables branches
+        # executes all branches concurrently, and n_tables one-actor pools
+        # would reserve more CPUs than a small session has (deadlock);
+        # rebuilding the (hash-derived) projection planes per batch is cheap
+        bucketed = (
+            ds.select_columns([id_col, embed_col])
+            .map_batches(plain_list, batch_format="pyarrow")
+            .map_batches(
+                lambda b, s=seed: LSHBucketer(embed_col, nbits, seed=s)(b),
+                batch_format="pyarrow",
+            )
+        )
+        parts.append(
+            bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    return exact_pairs_distinct(allp)
 
 
 class LSHBucketer:
@@ -173,14 +251,14 @@ class LSHBucketer:
         return batch.append_column("bucket", pa.array(bucket))
 
 
-def lsh_bucketed(ds, embed_col: str = "embedding", nbits: int = 8, concurrency=None):
+def lsh_bucketed(ds, embed_col: str = "embedding", nbits: int = 8, seed: int = 7, concurrency=None):
     if concurrency is None:
         from ..runtime import pool_size
 
         concurrency = (1, pool_size(0.4))
     return ds.map_batches(
         LSHBucketer,
-        fn_constructor_kwargs=dict(embed_col=embed_col, nbits=nbits),
+        fn_constructor_kwargs=dict(embed_col=embed_col, nbits=nbits, seed=seed),
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,

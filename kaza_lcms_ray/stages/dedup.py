@@ -217,50 +217,98 @@ def verified_near_dup_clusters(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    driver_pair_limit: int = 200_000,
 ):
     """End-to-end near-dedup: LSH candidates → exact n-gram Jaccard
-    verification → union-find clusters.  Returns (clusters_df, pairs_df)
+    verification → min-label clusters.  Returns (clusters_df, pairs_df)
     where clusters_df maps node → cluster (min member id) for every doc in
     a verified cluster, and pairs_df carries the verified pairs + jaccard.
 
-    Candidate texts are fetched driver-side (candidates ≪ corpus by
-    construction — only docs with an LSH collision); at extreme scale the
-    fetch becomes a hash join of the pair list against the corpus, with
-    verification inside map_groups.
+    Verification is sized by an explicit guard: at ≤ ``driver_pair_limit``
+    candidate pairs the texts are fetched by a distributed is_in filter and
+    verified on the driver (candidates ≪ corpus for benign corpora); above
+    it — the boilerplate-heavy-crawl regime — the pair list is hash-joined
+    against the corpus twice (a-side, b-side) and verified inside
+    map_batches, so nothing driver-side grows with the pair count.
     """
-    cand = minhash_candidate_pairs(
+    import ray.data as rd
+
+    cand_ds = minhash_candidate_pairs(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-    ).to_pandas()
-    if len(cand) == 0:
+    )
+    n_pairs = cand_ds.count()
+    if n_pairs == 0:
         return (
             pd.DataFrame({"node": [], "cluster": []}),
             pd.DataFrame({"a": [], "b": [], "jaccard": []}),
         )
-    needed = sorted(set(cand["a"]) | set(cand["b"]))
-    import pyarrow as _pa
-
-    texts = (
-        ds.map_batches(
-            lambda t: t.select([id_col, text_col]).filter(
-                _pa.compute.is_in(t.column(id_col), _pa.array(needed))
-            ),
-            batch_format="pyarrow",
+    if n_pairs <= driver_pair_limit:
+        cand = cand_ds.to_pandas()
+        needed = sorted(set(cand["a"]) | set(cand["b"]))
+        texts = (
+            ds.map_batches(
+                lambda t: t.select([id_col, text_col]).filter(
+                    pa.compute.is_in(t.column(id_col), pa.array(needed))
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .set_index(id_col)[text_col]
         )
-        .to_pandas()
-        .set_index(id_col)[text_col]
-    )
-    jac = ngram_jaccard(
-        [texts[a] for a in cand["a"]], [texts[b] for b in cand["b"]], k=shingle_k
-    )
-    verified = cand.assign(jaccard=jac)[jac >= jaccard_threshold].reset_index(drop=True)
-    import ray.data as rd
-
+        jac = ngram_jaccard(
+            [texts[a] for a in cand["a"]], [texts[b] for b in cand["b"]], k=shingle_k
+        )
+        verified = cand.assign(jaccard=jac)[jac >= jaccard_threshold].reset_index(
+            drop=True
+        )
+        verified_ds = rd.from_pandas(verified[["a", "b"]]) if len(verified) else None
+    else:
+        verified_pairs = _verify_pairs_distributed(
+            ds, cand_ds, text_col, id_col, shingle_k, jaccard_threshold, n_pairs
+        )
+        verified = verified_pairs.to_pandas().reset_index(drop=True)
+        verified_ds = verified_pairs.select_columns(["a", "b"]) if len(verified) else None
     clusters = (
-        min_label_clusters(rd.from_pandas(verified[["a", "b"]])).to_pandas()
-        if len(verified)
+        min_label_clusters(verified_ds).to_pandas()
+        if verified_ds is not None
         else pd.DataFrame({"node": [], "cluster": []})
     )
     return clusters, verified
+
+
+def _verify_pairs_distributed(ds, cand_ds, text_col, id_col, k, threshold, n_pairs):
+    """Hash-join candidate pairs to their texts and verify in map_batches —
+    the crawl-scale path (no driver-side pair/text collection)."""
+    from ..runtime import join_partitions
+
+    docs = ds.select_columns([id_col, text_col])
+    # size partitions so none is empty: Ray 2.49's hash-join aggregator
+    # fails on schema-less empty partitions (ArrowInvalid FieldRef); at the
+    # pair counts that route here, ≥10k rows/partition keeps them full
+    np_parts = 1 if n_pairs < 10_000 else join_partitions(rows_hint=n_pairs)
+    with_a = cand_ds.join(
+        docs, join_type="inner", num_partitions=np_parts,
+        on=("a",), right_on=(id_col,), right_suffix="_ta",
+    ).materialize()
+    # materialize between the two joins: two CONCURRENT join operators in
+    # one plan contend for aggregator actors (hangs/binder errors on small
+    # sessions); the intermediate is pairs×text-sized, bounded
+    with_ab = with_a.join(
+        docs, join_type="inner", num_partitions=np_parts,
+        on=("b",), right_on=(id_col,), left_suffix="_l", right_suffix="_tb",
+    )
+    ta, tb = f"{text_col}_l", f"{text_col}_tb"
+
+    def verify(t: pa.Table) -> pa.Table:
+        a_text = t.column(ta).to_pylist()
+        b_text = t.column(tb).to_pylist()
+        jac = ngram_jaccard(a_text, b_text, k=k)
+        out = pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "jaccard": pa.array(jac)}
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow").materialize()
 
 
 def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 5) -> np.ndarray:
@@ -326,21 +374,68 @@ def simhash_signatures(ds, text_col: str, id_col: str, concurrency=None):
 # --------------------------------------------------------------- clustering
 
 
-def min_label_clusters(pairs_ds):
-    """Connected components over candidate near-dup pairs → Dataset[node,
-    cluster] (cluster = min node id of the component).
+def _forest_batch(t: pa.Table) -> pa.Table:
+    """Replace a batch of edges by its spanning forest (root → node rows).
 
-    The candidate-pair set is orders of magnitude smaller than the corpus
-    (it only contains documents with at least one LSH collision), so the
-    right plan is: distributed pair DISCOVERY (minhash_candidate_pairs),
-    then union-find over the collected pairs on the driver — a few bytes
-    per colliding doc.  A multi-round distributed min-label propagation
-    (join + groupby per round) only pays off when components themselves
-    exceed driver memory, which near-dup clusters do not.
+    Connectivity-preserving compression: a dense LSH clique of B members
+    (B²/2 pairs) collapses to B−1 edges.  Output is ≤ unique-nodes rows
+    regardless of input pair count."""
+    a = t.column("a").to_pylist()
+    b = t.column("b").to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    out_a, out_b = [], []
+    for n in list(parent):
+        r = find(n)
+        if r != n:
+            out_a.append(r)
+            out_b.append(n)
+    return pa.table(
+        {
+            "a": pa.array(out_a, type=t.column("a").type),
+            "b": pa.array(out_b, type=t.column("b").type),
+        }
+    )
+
+
+def min_label_clusters(pairs_ds, driver_pair_limit: int = 2_000_000, max_rounds: int = 4):
+    """Connected components over near-dup pairs → Dataset[node, cluster]
+    (cluster = min node id of the component).
+
+    Scale shape: while the edge set exceeds ``driver_pair_limit``, a
+    map_batches round replaces each batch's edges by its spanning forest
+    (dense cliques collapse to trees; output ≤ unique nodes per batch) with
+    a coalescing repartition between rounds so each round merges more of
+    the component.  The final compressed edge set union-finds on the
+    driver — bytes proportional to distinct colliding docs, not pairs.
+    Deterministic: connectivity and component minima are global properties,
+    independent of batch boundaries.
     """
     import ray.data as rd
 
-    pairs = pairs_ds.to_pandas()
+    ds = pairs_ds
+    for rnd in range(max_rounds):
+        cnt = ds.count()
+        if cnt <= driver_pair_limit:
+            break
+        nblocks = max(1, int(cnt // driver_pair_limit))
+        ds = ds.repartition(nblocks).map_batches(
+            _forest_batch, batch_format="pyarrow", batch_size=driver_pair_limit
+        )
+    pairs = ds.to_pandas()
     parent: dict = {}
 
     def find(x):

@@ -108,3 +108,86 @@ def test_verified_near_dup_clusters_end_to_end(ray_session):
     assert lbl["b1"] == lbl["b2"] == "b1"
     assert "c1" not in lbl and "d1" not in lbl
     assert (pairs["jaccard"] >= 0.7).all()
+
+
+def test_embedding_dup_pairs_block_pair_exact(ray_session):
+    from kaza_lcms_ray.state.hashing import hash_unit
+
+    n, d = 120, 8
+    mat = hash_unit(3, "e", np.arange(n * d)).reshape(n, d) - 0.5
+    mat[40] = mat[7] * 1.5           # planted exact-direction dup
+    mat[90] = mat[11] + 0.001
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(5)  # force multiple block pairs
+    got = ann.embedding_dup_pairs(ds, 0.8).to_pandas()
+    got_set = set(map(tuple, got[["a", "b"]].to_numpy()))
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    ii, jj = np.nonzero((sims >= 0.8) & (np.arange(n)[:, None] < np.arange(n)[None, :]))
+    want = set(zip(ii.tolist(), jj.tolist()))
+    assert got_set == want and (7, 40) in want
+
+
+def test_embedding_near_dup_lsh_recall(ray_session):
+    from kaza_lcms_ray.state.hashing import hash_unit
+
+    n, d = 150, 16
+    base = hash_unit(5, "v", np.arange(n * d)).reshape(n, d) - 0.5
+    pert = base + (hash_unit(6, "p", np.arange(n * d)).reshape(n, d) - 0.5) * 0.02
+    mat = np.concatenate([base, pert])
+    ids = np.arange(2 * n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    got = ann.embedding_near_dup_lsh(rd.from_pandas(df), 0.98, n_tables=6).to_pandas()
+    got_set = set(map(tuple, got[["a", "b"]].to_numpy()))
+    # precision: every emitted pair really is >= threshold (in-bucket exact)
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    for a, b in got_set:
+        assert sims[a, b] >= 0.98
+    # recall vs the planted (i, i+n) pairs
+    planted = {(i, i + n) for i in range(n) if sims[i, i + n] >= 0.98}
+    found = planted & got_set
+    assert len(found) / max(1, len(planted)) > 0.9
+
+
+def test_minhash_hot_bucket_cap(ray_session):
+    # adversarial hot bucket: 50 identical docs land in one bucket per band
+    df = pd.DataFrame(
+        {"doc_id": np.arange(50, dtype=np.int64), "text": ["same text here"] * 50}
+    )
+    pairs = dedup.minhash_candidate_pairs(
+        rd.from_pandas(df), "text", "doc_id", max_bucket=8
+    ).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    # capped: only pairs among the 8 smallest ids survive
+    assert got == {(i, j) for i in range(8) for j in range(i + 1, 8)}
+
+
+def test_min_label_clusters_compression_rounds(ray_session):
+    # a dense clique + a chain; force the spanning-forest rounds
+    clique = [(i, j) for i in range(20) for j in range(i + 1, 20)]
+    chain = [(100 + i, 101 + i) for i in range(30)]
+    df = pd.DataFrame(clique + chain, columns=["a", "b"])
+    full = dedup.min_label_clusters(rd.from_pandas(df)).to_pandas()
+    compressed = dedup.min_label_clusters(
+        rd.from_pandas(df), driver_pair_limit=10, max_rounds=6
+    ).to_pandas()
+    f = dict(zip(full["node"], full["cluster"]))
+    c = dict(zip(compressed["node"], compressed["cluster"]))
+    assert f == c
+    assert all(c[n] == 0 for n in range(20))
+    assert all(c[n] == 100 for n in range(100, 131))
+
+
+def test_verified_clusters_distributed_verify_matches_driver(ray_session):
+    df = _planted_corpus()
+    ds = rd.from_pandas(df)
+    cl_drv, p_drv = dedup.verified_near_dup_clusters(ds, "text", "doc_id")
+    cl_dst, p_dst = dedup.verified_near_dup_clusters(
+        ds, "text", "doc_id", driver_pair_limit=0
+    )
+    assert dict(zip(cl_drv["node"], cl_drv["cluster"])) == dict(
+        zip(cl_dst["node"], cl_dst["cluster"])
+    )
+    key = lambda d: sorted(map(tuple, d[["a", "b"]].to_numpy()))
+    assert key(p_drv) == key(p_dst)
