@@ -109,12 +109,43 @@ def q_zonal_percentile(sf_dir: str):
 
 
 def q_knn_plots(sf_dir: str):
-    from kaza_lcms_ray.stages import knn
+    """kNN over a doc subset — the subset predicate is PUSHED INTO the read
+    (pyarrow fragment filter → row-group pruning on doc_id statistics), so
+    only the subset's bytes leave storage (S1 read-side pruning)."""
+    import pyarrow.dataset as pds
+
+    from kaza_lcms_ray.sources import storage
+    from kaza_lcms_ray.stages import knn, spans
 
     root = _synth(sf_dir)
-    geo = _geo(sf_dir).filter(expr="doc_id < 'doc-000000002000'")
-    out = knn.knn_join(geo, f"{root}/training_plots.parquet")
+    docs = storage.read_documents(
+        f"{root}/documents", filter=(pds.field("doc_id") < "doc-000000002000")
+    )
+    out = knn.knn_join(spans.geo_obs(docs), f"{root}/training_plots.parquet")
     return _i64(out, ["doc_id", "span_idx", "plot_id", "dist"])
+
+
+def q_geo_bbox(sf_dir: str):
+    """Spatially-restricted scan over the partitioned geo side table:
+    partition pruning (only bbox-intersecting part dirs are read) + column
+    projection (no spans decode), then the exact bbox predicate."""
+    from kaza_lcms_ray import synth
+    from kaza_lcms_ray.sources import geo_table
+
+    root = _synth(sf_dir)
+    bbox = (
+        synth.HOT_LON - synth.HOT_HALF,
+        synth.HOT_LAT - synth.HOT_HALF,
+        synth.HOT_LON + synth.HOT_HALF,
+        synth.HOT_LAT + synth.HOT_HALF,
+    )
+    ds, _, _ = geo_table.read_geo(
+        root, columns=["doc_id", "span_idx", "lon", "lat", "cell_id"], bbox=bbox
+    )
+    ds = ds.map_batches(
+        lambda t: geo_table.filter_bbox_batch(t, *bbox), batch_format="pyarrow"
+    )
+    return _i64(ds, ["doc_id", "span_idx", "lon", "lat", "cell_id"])
 
 
 def q_tile_labels(sf_dir: str):
@@ -482,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_percentiles": q_composite_percentiles,
         "harmonic_windowed": q_harmonic_windowed,
         "pip_polygon": q_pip_polygon_subset,
+        "geo_bbox": q_geo_bbox,
         "events_sliding": q_events_sliding,
         "docs_in_aoi": q_docs_in_aoi,
     }
@@ -667,6 +699,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "harmonic_year": _harmonic_year_sql(geo),
         "harmonic_windowed": _harmonic_windowed_sql(geo, cells),
         "training_split": _training_split_sql(geo, root),
+        "geo_bbox": _geo_bbox_sql(geo, cells),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
@@ -1000,6 +1033,24 @@ def _media_decode_sql(root: str) -> str:
                SUM(ph % 256) / {float(npx)!r} AS mean_intensity
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _geo_bbox_sql(geo: str, cells: str) -> str:
+    from kaza_lcms_ray import synth
+
+    x0 = repr(synth.HOT_LON - synth.HOT_HALF)
+    y0 = repr(synth.HOT_LAT - synth.HOT_HALF)
+    x1 = repr(synth.HOT_LON + synth.HOT_HALF)
+    y1 = repr(synth.HOT_LAT + synth.HOT_HALF)
+    # MATERIALIZED barrier: without it DuckDB pushes the lon/lat predicate
+    # below the kind='geo' filter and CASTs non-geo span text to DOUBLE
+    return f"""
+        WITH {geo}, {cells},
+        cm AS MATERIALIZED (
+            SELECT doc_id, span_idx, lon, lat, cell_id FROM cells
+        )
+        SELECT * FROM cm
+        WHERE lon >= {x0} AND lon <= {x1} AND lat >= {y0} AND lat <= {y1}"""
 
 
 def _training_split_sql(geo: str, root: str) -> str:

@@ -75,7 +75,9 @@ class AOITileLabeler:
         self.labels = lab["labels"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        geo = spans.parse_geo_batch(batch)
+        return self.label_geo(spans.parse_geo_batch(batch))
+
+    def label_geo(self, geo: pa.Table) -> pa.Table:
         px = geo.column("lon").to_numpy(zero_copy_only=False)
         py = geo.column("lat").to_numpy(zero_copy_only=False)
         pt, _ = self.index.join_points(px, py)
@@ -195,6 +197,31 @@ def tile_assignments(
         on=("tile_id", "year"),
     )
     return joined
+
+
+def tile_assignments_indexed(synth_root: str, prepared=None, replicate: int = 1):
+    """Flagship over the pre-exploded geo side table (sources/geo_table):
+    a column-pruned read of 6 plain columns replaces the full spans decode
+    + text parse — several-fold fewer decompressed bytes per document, the
+    indexed layout a 100 TB deployment would maintain.  Same output as
+    ``tile_assignments`` (tested equal); the side table build is a one-time
+    persisted-asset cost (reference analog: EE asset exports)."""
+    from ..sources.geo_table import read_geo
+
+    index_ref, labels_ref = prepared or prepare_labels(synth_root)
+    ds, _, _ = read_geo(
+        synth_root,
+        columns=["doc_id", "span_idx", "lon", "lat", "tile_id", "year"],
+        replicate=replicate,
+    )
+
+    def labeler(batch: pa.Table) -> pa.Table:
+        index, lab = _broadcast_state(index_ref, labels_ref)
+        worker = AOITileLabeler.__new__(AOITileLabeler)
+        worker.index, worker.keys, worker.labels = index, lab["keys"], lab["labels"]
+        return worker.label_geo(batch)
+
+    return ds.map_batches(labeler, batch_format="pyarrow")
 
 
 def filter_documents_in_aoi(synth_root: str):

@@ -1,0 +1,121 @@
+"""Pre-exploded, spatially-partitioned geo side table — the engine's
+indexed layout.
+
+The interleaved document table forces every geo query to decode the whole
+``spans`` column and re-parse span text.  This module materializes the
+parsed geo observations ONCE as Parquet hive-partitioned by a coarse
+spatial key (``part`` = the cell's ancestor at PART_LEVEL), after which:
+
+* spatially-restricted queries read ONLY the partitions intersecting their
+  bbox (path-level pruning — no bytes leave storage for other regions), and
+* every query projects ONLY the columns it needs (no spans decode at all).
+
+Reference analog: the persisted EE assets the reference exports between
+steps (src/utils/exports.py:6-45) — a fixed-cost indexing pass whose output
+is reused by every downstream query.  At design scale this is the layout
+the 100 TB corpus would be maintained in; the documents table stays the
+source of truth (span-sequence invariant untouched).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from ..state import cells
+
+PART_LEVEL = 8  # 2^8 × 2^8 global grid → ~1.4° partitions
+
+
+def geo_table_path(root: str) -> str:
+    return os.path.join(root, "geo_side")
+
+
+def ensure_geo_table(root: str) -> str:
+    """Materialize (once, atomically) the partitioned geo side table."""
+    out = geo_table_path(root)
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    from ..stages import spans
+    from .storage import read_documents
+
+    ds = spans.geo_obs(read_documents(os.path.join(root, "documents")))
+
+    def add_part(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        part = cells.parent(cid, cells.CELL_LEVEL - PART_LEVEL)
+        return t.append_column("part", pa.array(part))
+
+    tmp = out + f".tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # sort by the partition key first: hive-partitioned writes emit one file
+    # per (block × partition value); sorted blocks cover contiguous parts,
+    # so the file count is O(blocks + partitions) instead of their product
+    ds.map_batches(add_part, batch_format="pyarrow").sort("part").write_parquet(
+        tmp, partition_cols=["part"]
+    )
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, out)
+    except OSError:  # concurrent builder won
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def parts_for_bbox(lon_min, lat_min, lon_max, lat_max) -> list[int]:
+    """All PART_LEVEL cell ids intersecting the bbox (pruning superset)."""
+    ix0, iy0 = cells.grid_coords(np.array([lon_min]), np.array([lat_min]), PART_LEVEL)
+    ix1, iy1 = cells.grid_coords(np.array([lon_max]), np.array([lat_max]), PART_LEVEL)
+    gx, gy = np.meshgrid(
+        np.arange(ix0[0], ix1[0] + 1), np.arange(iy0[0], iy1[0] + 1), indexing="ij"
+    )
+    return sorted(int(c) for c in cells.morton(gx.ravel(), gy.ravel()))
+
+
+def read_geo(root: str, columns=None, bbox=None, parts=None, replicate: int = 1, **kwargs):
+    """Read the geo side table with partition pruning + column projection.
+
+    ``bbox`` = (lon_min, lat_min, lon_max, lat_max) prunes to intersecting
+    partitions (a superset — apply the exact predicate downstream);
+    ``parts`` prunes to explicit partition keys.  Returns (dataset,
+    n_files_read, n_files_total) so callers/tests can assert the prune.
+    """
+    import ray.data as rd
+
+    out = ensure_geo_table(root)
+    all_dirs = sorted(glob.glob(os.path.join(out, "part=*")))
+    if bbox is not None and parts is None:
+        parts = parts_for_bbox(*bbox)
+    if parts is None:
+        dirs = all_dirs
+    else:
+        want = {str(p) for p in parts}
+        dirs = [d for d in all_dirs if d.rsplit("=", 1)[1] in want]
+    n_total = sum(len(glob.glob(os.path.join(d, "*.parquet"))) for d in all_dirs)
+    files = sorted(
+        f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+    )  # Ray's read_parquet expands a single dir but not a LIST of dirs
+    if not files:  # bbox outside the data domain
+        empty = pa.table({c: pa.array([]) for c in (columns or ["doc_id"])})
+        return rd.from_arrow(empty), 0, n_total
+    n_read = len(files)
+    if replicate > 1:  # k× the work in ONE read op (scaling benchmark)
+        files = files * replicate
+    return rd.read_parquet(files, columns=columns, **kwargs), n_read, n_total
+
+
+def filter_bbox_batch(t: pa.Table, lon_min, lat_min, lon_max, lat_max) -> pa.Table:
+    """Exact bbox predicate (half-open on neither side: min ≤ v ≤ max)."""
+    import pyarrow.compute as pc
+
+    lon, lat = t.column("lon"), t.column("lat")
+    mask = pc.and_(
+        pc.and_(pc.greater_equal(lon, lon_min), pc.less_equal(lon, lon_max)),
+        pc.and_(pc.greater_equal(lat, lat_min), pc.less_equal(lat, lat_max)),
+    )
+    return t.filter(mask)
