@@ -125,6 +125,32 @@ def q_knn_plots(sf_dir: str):
     return _i64(out, ["doc_id", "span_idx", "plot_id", "dist"])
 
 
+def q_sample_pts(sf_dir: str):
+    """00sample_pts pipeline: one year's tile labels → seeded stratified
+    sample (100/class) → CEO formatting (LON/LAT at tile centers, global
+    PLOTID).  Hash randomness + Morton decode are replayed in SQL — full
+    value check."""
+    from kaza_lcms_ray.pipelines import sample_pts
+
+    return _i64(
+        sample_pts.sample_pts_pipeline(_synth(sf_dir)),
+        ["LON", "LAT", "PLOTID", "SAMPLEID", "LANDCOVER"],
+    )
+
+
+def q_poly_area(sf_dir: str):
+    """Per-class reference-polygon area + majority flag (the
+    disproportionate-allocation statistics, pt_calc_disprop analog).
+    Shoelace areas fold left over ring edges and round to int64 — exact,
+    value-checked vs SQL."""
+    from kaza_lcms_ray.stages import allocation
+
+    return _i64(
+        allocation.poly_area_by_class(f"{_synth(sf_dir)}/polygons.parquet"),
+        ["LANDCOVER", "area_scaled", "is_majority"],
+    )
+
+
 def q_geo_bbox(sf_dir: str):
     """Spatially-restricted scan over the partitioned geo side table:
     partition pruning (only bbox-intersecting part dirs are read) + column
@@ -514,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_windowed": q_harmonic_windowed,
         "pip_polygon": q_pip_polygon_subset,
         "geo_bbox": q_geo_bbox,
+        "sample_pts": q_sample_pts,
+        "poly_area": q_poly_area,
         "events_sliding": q_events_sliding,
         "docs_in_aoi": q_docs_in_aoi,
     }
@@ -700,6 +728,8 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "harmonic_windowed": _harmonic_windowed_sql(geo, cells),
         "training_split": _training_split_sql(geo, root),
         "geo_bbox": _geo_bbox_sql(geo, cells),
+        "sample_pts": _sample_pts_sql(root),
+        "poly_area": _poly_area_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
@@ -1033,6 +1063,88 @@ def _media_decode_sql(root: str) -> str:
                SUM(ph % 256) / {float(npx)!r} AS mean_intensity
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _sample_pts_sql(root: str) -> str:
+    """00sample_pts replayed in SQL: tile-label argmax → seeded-hash
+    stratified cap (row key = hash_key(0, tile_id)) → tile-center decode."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, cell_center_sql_exprs
+    from kaza_lcms_ray.state.hashing import splitmix64
+
+    c_strat = SH.hash_key_prefix(DEFAULT_CONFIG.seed, "strat")
+    z0 = int(splitmix64(0))
+    eps = repr(2.0**-53)
+    labels = f"""
+        SELECT tile_id, CAST(class AS BIGINT) AS "LANDCOVER" FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+            ) AS rn
+            FROM read_parquet('{root}/primitives.parquet')
+        ) WHERE rn = 1 AND "year" = 2020"""
+    keyed = SH.chain_select(
+        labels,
+        SH.splitmix_steps(SH.xor64(SH.hug(z0), "CAST(tile_id AS HUGEINT)"), "rk", "sa")
+        + SH.splitmix_steps(SH.xor64(SH.hug(c_strat), "rk"), "hs", "sb"),
+    )
+    lon, lat = cell_center_sql_exprs("tile_id", TILE_LEVEL)
+    return f"""
+        WITH rnd AS (
+            SELECT tile_id, "LANDCOVER",
+                   CAST((hs >> 11) AS DOUBLE) * {eps} AS rstrat
+            FROM {keyed}
+        ),
+        capped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY "LANDCOVER" ORDER BY rstrat, tile_id
+                ) AS srn FROM rnd
+            ) WHERE srn <= 100
+        )
+        SELECT {lon} AS "LON", {lat} AS "LAT",
+               '0_' || CAST(tile_id AS VARCHAR) AS "PLOTID",
+               '0_' || CAST(tile_id AS VARCHAR) AS "SAMPLEID",
+               "LANDCOVER"
+        FROM capped"""
+
+
+def _poly_area_sql(root: str) -> str:
+    """Shoelace area per class replayed in SQL: ordered left-fold over ring
+    edge terms, scaled-int rounding, exact per-class sums, window-based
+    majority test (area·K ≥ Σarea)."""
+    from kaza_lcms_ray.stages.allocation import AREA_SCALE
+
+    return f"""
+        WITH pp AS (
+            SELECT poly_id, CAST("LANDCOVER" AS BIGINT) AS "LANDCOVER", rings
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'reference'
+        ),
+        r AS (SELECT poly_id, "LANDCOVER", unnest(rings[1:1]) AS ring,
+                     generate_subscripts(rings[1:1], 1) AS rid FROM pp),
+        v AS (SELECT poly_id, "LANDCOVER", rid, generate_subscripts(ring, 1) AS i,
+                     unnest(ring) AS p FROM r),
+        e AS (
+            SELECT a.poly_id, a."LANDCOVER", a.i,
+                   a.p.x * b.p.y - b.p.x * a.p.y AS term
+            FROM v a JOIN v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        pa_ AS (
+            SELECT poly_id, any_value("LANDCOVER") AS "LANDCOVER",
+                   CAST(round((abs(list_reduce(list_prepend(0.0,
+                        list(term ORDER BY i)), (x, y) -> x + y)) * 0.5)
+                        * {AREA_SCALE!r}, 0) AS BIGINT) AS area
+            FROM e GROUP BY poly_id
+        ),
+        agg AS (
+            SELECT "LANDCOVER", SUM(area) AS area_scaled
+            FROM pa_ GROUP BY "LANDCOVER"
+        )
+        SELECT "LANDCOVER", CAST(area_scaled AS BIGINT) AS area_scaled,
+               area_scaled * (COUNT(*) OVER ()) >= (SUM(area_scaled) OVER ())
+                   AS is_majority
+        FROM agg"""
 
 
 def _geo_bbox_sql(geo: str, cells: str) -> str:

@@ -107,6 +107,20 @@ def run_bench() -> dict:
     queries["flagship_indexed"] = round(t_idx, 3)
     queries["flagship_indexed_reps"] = [round(r, 3) for r in ireps]
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        ray.shutdown()
+        return {
+            "metric": "flagship docs/sec (spatial-join + tile assignment)",
+            "value": round(n_docs / t_head, 1),
+            "unit": "docs/sec",
+            "headline_sec": round(t_head, 3),
+            "indexed_docs_per_sec": round(n_docs / t_idx, 1),
+            "queries": queries,
+            "sf": synth.sf_from_dir(sf_dir),
+            "n_docs": n_docs,
+            "num_cpus": ncpus,
+        }
+
     def geo():
         return spans.geo_obs(rd.read_parquet(f"{root}/documents"))
 
@@ -170,7 +184,7 @@ def run_scaling() -> dict:
     levels = sorted({n for p in pairs for n in p})
     out = {}
     for ncpu in levels:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1")
         env.setdefault("GRAFT_BENCH_REPLICATE", "10")
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

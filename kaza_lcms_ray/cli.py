@@ -85,6 +85,26 @@ def cmd_landcover(args) -> int:
     return 0
 
 
+def cmd_sample_pts(args) -> int:
+    """00sample_pts analog: stratified CEO points → projected CSV
+    (src/00sample_pts.py:184-208)."""
+    from . import synth
+    from .pipelines import sample_pts
+
+    root = synth.ensure(args.sf, seed=90210)
+    _ensure_ray()
+    pts = sample_pts.sample_pts_pipeline(
+        root, year=args.year, n_points=args.n_points, seed=args.seed
+    )
+    if args.dry_run:
+        print("DRY RUN — logical plan:")
+        print(pts)
+        return 0
+    sample_pts.export_ceo_csv(pts, args.out)
+    print(f"wrote CEO sample points -> {args.out}")
+    return 0
+
+
 def cmd_bench_queries(args) -> int:
     """Run every queries() entry once (smoke over the synth/test tables)."""
     sys.path.insert(0, ".")
@@ -105,6 +125,7 @@ def main(argv=None) -> int:
     for name, fn in (
         ("flagship", cmd_flagship),
         ("landcover", cmd_landcover),
+        ("sample-pts", cmd_sample_pts),
         ("bench-queries", cmd_bench_queries),
     ):
         sp = sub.add_parser(name)
@@ -112,6 +133,8 @@ def main(argv=None) -> int:
         sp.add_argument("--out", default=f"/tmp/kaza_out/{name}")
         sp.add_argument("--seed", type=int, default=90210)
         sp.add_argument("--num-parts", type=int, default=64)
+        sp.add_argument("--year", type=int, default=2020)
+        sp.add_argument("--n-points", type=int, default=100)
         sp.add_argument("-d", "--dry-run", action="store_true")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

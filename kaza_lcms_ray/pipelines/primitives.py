@@ -210,6 +210,74 @@ def generate_landcover(synth_root: str, models: dict, config: PipelineConfig = D
 # --------------------------------------------------------- accuracy (A9)
 
 
+def stratified_area_estimate(
+    strata_weights: dict[int, float],
+    map_class: np.ndarray,
+    ref_class: np.ndarray,
+    total_area_m2: float,
+) -> pd.DataFrame:
+    """Stratified area estimation with 95% CI — the reference's final Area
+    Estimation spreadsheet step (src/misc/old_README_instructions.md:16-50,
+    ProjectWorkflow.md:225-256), as the standard good-practice estimator:
+
+      p̂_j  = Σ_h W_h · n_hj / n_h          (area proportion of class j)
+      SE_j = √( Σ_h W_h² · p̂_hj(1−p̂_hj) / (n_h − 1) )
+      CI95 = 1.96 · SE_j;  area_j = p̂_j · total_area
+
+    ``strata_weights``: mapped-area share W_h per stratum (map class);
+    ``map_class`` / ``ref_class``: the accuracy-assessment sample.
+    """
+    classes = sorted(strata_weights)
+    rows = []
+    for j in classes:
+        p_j = 0.0
+        var = 0.0
+        for h in classes:
+            sel = map_class == h
+            n_h = int(sel.sum())
+            if n_h == 0:
+                continue
+            p_hj = float((ref_class[sel] == j).sum()) / n_h
+            w = strata_weights[h]
+            p_j += w * p_hj
+            if n_h > 1:
+                var += w * w * p_hj * (1.0 - p_hj) / (n_h - 1)
+        se = float(np.sqrt(var))
+        rows.append(
+            {
+                "LANDCOVER": j,
+                "area_share": p_j,
+                "se": se,
+                "ci95": 1.96 * se,
+                "area_m2": p_j * total_area_m2,
+                "area_ci95_m2": 1.96 * se * total_area_m2,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def area_with_ci(synth_root: str, models: dict, config: PipelineConfig = DEFAULT_CONFIG):
+    """End-to-end area ± CI: predicted landcover map → strata weights from
+    mapped tile counts → accuracy sample (predicted vs synth truth labels
+    on the training tiles) → stratified estimator."""
+    from ..state.cells import TILE_LEVEL, cell_center
+    from ..synth import class_of
+
+    lc = generate_landcover(synth_root, models, config).to_pandas()
+    counts = lc.groupby("LANDCOVER").size()
+    weights = (counts / counts.sum()).to_dict()
+    # accuracy sample: seeded subset of tiles, truth = the synth class grid
+    samp = lc.sample(n=min(2000, len(lc)), random_state=config.seed)
+    lon, lat = cell_center(samp["tile_id"].to_numpy(), TILE_LEVEL)
+    truth = class_of(lon, lat)
+    from ..state.cells import cell_area_m2
+
+    total = float(np.rint(cell_area_m2(lc["tile_id"].to_numpy(), TILE_LEVEL)).sum())
+    return stratified_area_estimate(
+        weights, samp["LANDCOVER"].to_numpy(), truth, total
+    )
+
+
 def confusion_report(truth: np.ndarray, pred: np.ndarray) -> dict:
     """Confusion matrix + per-class producer/user accuracy + overall metrics
     (src/misc/05accuracy.py:89-141 semantics, computed driver-side)."""

@@ -123,26 +123,111 @@ def lee_sigma(
     )
 
 
-def terrain_flatten_batch(
-    t: pa.Table, value_col: str, slope_col: str, aspect_col: str, look_azimuth_deg: float = 0.0
+def terrain_correct_batch(
+    t: pa.Table,
+    value_db_col: str,
+    slope_col: str,
+    aspect_col: str,
+    incidence_deg: float = 35.0,
+    heading_deg: float = 0.0,
 ) -> pa.Table:
-    """Simplified volumetric-model terrain flattening: scale backscatter by
-    the local-incidence geometry, flag layover/shadow where the correction
-    is undefined (sentinel1.py:98-143 semantics, cosine model).
-    Adds: flattened (f64), layover (bool), shadow (bool)."""
-    x = t.column(value_col).to_numpy(zero_copy_only=False)
+    """Full volumetric-model terrain correction (Vollrath/Reiche), mirroring
+    src/misc/sentinel1.py:79-143 step for step:
+
+      φ_r = φ_i − φ_s                    (radar heading − terrain aspect)
+      α_r = atan(tan α_s · cos φ_r)       (slope steepness in range, eq. 2)
+      α_az = atan(tan α_s · sin φ_r)      (slope steepness in azimuth, eq. 3)
+      θ_lia = acos(cos α_az · cos(θ_i − α_r))   (local incidence, eq. 4)
+      γ0 = σ0_natural / cos θ_i
+      volModel = |tan(90° − θ_i + α_r) / tan(90° − θ_i)|
+      γ0_volume = γ0 / volModel           (volumetric flattening)
+      layover = α_r(deg) < θ_i(deg)       (False where slope ≥ view angle;
+                                           sentinel1.py:133 semantics)
+      shadow = θ_lia(deg) < 85            (False in radar shadow, :136)
+
+    Adds: gamma0_vol_db, alpha_r_deg, theta_lia_deg, layover, shadow.
+    """
+    x_db = t.column(value_db_col).to_numpy(zero_copy_only=False)
     slope = np.deg2rad(t.column(slope_col).to_numpy(zero_copy_only=False))
-    aspect = np.deg2rad(t.column(aspect_col).to_numpy(zero_copy_only=False))
-    look = np.deg2rad(look_azimuth_deg)
-    inc = np.deg2rad(35.0)  # nominal incidence angle
-    # local incidence: cos θ_loc = cos(slope)·cos(inc) + sin(slope)·sin(inc)·cos(aspect − look)
-    cos_loc = np.cos(slope) * np.cos(inc) + np.sin(slope) * np.sin(inc) * np.cos(aspect - look)
-    layover = cos_loc > np.cos(inc - slope.clip(max=inc))  # toward-sensor steep slopes
-    shadow = cos_loc <= 0.0
+    aspect = t.column(aspect_col).to_numpy(zero_copy_only=False)
+    theta_i = np.deg2rad(incidence_deg)
+    phi_r = np.deg2rad(heading_deg - aspect)
+    alpha_r = np.arctan(np.tan(slope) * np.cos(phi_r))
+    alpha_az = np.arctan(np.tan(slope) * np.sin(phi_r))
+    theta_lia = np.arccos(np.cos(alpha_az) * np.cos(theta_i - alpha_r))
+    sigma0 = np.power(10.0, x_db / 10.0)
+    gamma0 = sigma0 / np.cos(theta_i)
+    ninety = np.pi / 2.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        flat = np.where(shadow, np.nan, x * (np.cos(inc) / np.clip(cos_loc, 1e-9, None)))
+        vol = np.abs(np.tan(ninety - theta_i + alpha_r) / np.tan(ninety - theta_i))
+        gamma0_vol = gamma0 / vol
+        out_db = 10.0 * np.log10(gamma0_vol)
+    alpha_r_deg = np.rad2deg(alpha_r)
+    theta_lia_deg = np.rad2deg(theta_lia)
     return (
-        t.append_column("flattened", pa.array(flat))
-        .append_column("layover", pa.array(layover))
-        .append_column("shadow", pa.array(shadow))
+        t.append_column("gamma0_vol_db", pa.array(out_db))
+        .append_column("alpha_r_deg", pa.array(alpha_r_deg))
+        .append_column("theta_lia_deg", pa.array(theta_lia_deg))
+        .append_column("layover", pa.array(alpha_r_deg < incidence_deg))
+        .append_column("shadow", pa.array(theta_lia_deg < 85.0))
     )
+
+
+# backwards-compatible alias (round-1 name; simplified model replaced by the
+# full volumetric model above)
+def terrain_flatten_batch(t, value_col, slope_col, aspect_col, look_azimuth_deg=0.0):
+    return terrain_correct_batch(
+        t, value_col, slope_col, aspect_col, heading_deg=look_azimuth_deg
+    )
+
+
+def compose_coalesce_batch(t: pa.Table, cols: list[str], out: str) -> pa.Table:
+    """A11: first-non-null compose of masked variants (the reference's
+    cat(masked…).reduce(sum) over DISJOINT masks, sentinel1.py:203-205 —
+    with disjoint masks a sum of masked images IS a coalesce)."""
+    import pyarrow.compute as pc
+
+    return t.append_column(out, pc.coalesce(*[t.column(c) for c in cols]))
+
+
+def refined_lee_batch(
+    t: pa.Table, value_col: str, mean_col: str, var_col: str, enl: float = 7.0
+) -> pa.Table:
+    """The reference's speckleFilter regime compose (sentinel1.py:165-205):
+    pure-speckle areas get the window mean, low-texture areas the refined
+    estimate f, high-texture areas pass through — composed via coalesce of
+    the three DISJOINT masked variants (A11).
+
+      ci = √var / mean;  cu = 1/√enl;  cmax = √2·cu
+      α = (1 + cu²) / (ci² − cu²);  b = α − enl − 1
+      d = mean²·b² + 4·α·enl·mean·x;  f = (b·mean + √d) / (2α)
+    """
+    x = t.column(value_col).to_numpy(zero_copy_only=False)
+    m = t.column(mean_col).to_numpy(zero_copy_only=False)
+    v = t.column(var_col).to_numpy(zero_copy_only=False)
+    cu = 1.0 / np.sqrt(enl)
+    cmax = np.sqrt(2.0) * cu
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ci = np.sqrt(np.maximum(v, 0.0)) / m
+        alpha = (1.0 + cu * cu) / (ci * ci - cu * cu)
+        b = alpha - (enl + 1.0)
+        d = m * m * b * b + 4.0 * alpha * enl * m * x
+        f = (b * m + np.sqrt(np.maximum(d, 0.0))) / (2.0 * alpha)
+    pure = pa.array(np.where(ci <= cu, m, np.nan))
+    low = pa.array(np.where((ci > cu) & (ci < cmax), f, np.nan))
+    raw = pa.array(np.where(ci >= cmax, x, np.nan))
+    import pyarrow.compute as pc
+
+    masked = (
+        t.append_column("_pure", _nan_to_null(pure))
+        .append_column("_low", _nan_to_null(low))
+        .append_column("_raw", _nan_to_null(raw))
+    )
+    out = compose_coalesce_batch(masked, ["_pure", "_low", "_raw"], "filtered")
+    return out.drop_columns(["_pure", "_low", "_raw"])
+
+
+def _nan_to_null(arr: pa.Array) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.if_else(pc.is_nan(arr), pa.scalar(None, pa.float64()), arr)

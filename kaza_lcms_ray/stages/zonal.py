@@ -333,6 +333,81 @@ def harmonic_fit(geo, keys=("cell_id", "year"), band: int = 3):
     )
 
 
+def harmonic_fit_modes(geo, keys=("tile_id", "year"), band: int = 3, modes=(1, 2, 3)):
+    """General harmonicsList fit (src/utils/harmonics.py:88-124 analog):
+    y ~ constant + t + Σ_k [cos(2πkt) + sin(2πkt)] for every mode k in
+    ``modes``; outputs per-mode ``phase_k`` / ``amplitude_k`` plus
+    ``peak_doy`` — the day the mode-1 seasonal term peaks (the reference's
+    phase→date conversion).
+
+    Bucketed map_groups + per-group lstsq (2+2K unknowns); deterministic via
+    sorted in-group row order.  No SQL oracle (pivoted least squares is not
+    SQL-reproducible) — covered by unit tests against planted signals.
+    """
+    keys = list(keys)
+    ycol = f"c{band}"
+    nb = _default_buckets()
+    modes = tuple(modes)
+    cols = list(dict.fromkeys(keys + ["year", "doy", ycol]))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = (g["year"].to_numpy().astype(np.int64) - 1970) * 365 + (
+            g["doy"].to_numpy().astype(np.int64) - 1
+        )
+        g = g.assign(_k=k).sort_values(keys + ["_k"], kind="mergesort")
+        kcols = [g[kk].to_numpy() for kk in keys]
+        changed = np.zeros(len(g), dtype=bool)
+        changed[0] = True
+        for kc in kcols:
+            changed[1:] |= kc[1:] != kc[:-1]
+        starts = np.nonzero(changed)[0]
+        ends = np.append(starts[1:], len(g))
+        t = g["_k"].to_numpy() / 365.0
+        y = g[ycol].to_numpy(dtype=np.float64) * 0.01
+        out = {kk: kcols[i][starts] for i, kk in enumerate(keys)}
+        per_mode = {m: (np.empty(len(starts)), np.empty(len(starts))) for m in modes}
+        peak = np.empty(len(starts))
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            ts, ys = t[s:e], y[s:e]
+            X = [np.ones_like(ts), ts]
+            for m in modes:
+                w = 2.0 * np.pi * m * ts
+                X += [np.cos(w), np.sin(w)]
+            X = np.stack(X, axis=1)
+            if ts.shape[0] < X.shape[1] or np.linalg.matrix_rank(X) < X.shape[1]:
+                for m in modes:
+                    per_mode[m][0][i] = np.nan
+                    per_mode[m][1][i] = np.nan
+                peak[i] = np.nan
+                continue
+            coef = np.linalg.lstsq(X, ys, rcond=None)[0]
+            for mi, m in enumerate(modes):
+                cc, ss_ = coef[2 + 2 * mi], coef[3 + 2 * mi]
+                per_mode[m][0][i] = np.arctan2(cc, ss_)
+                per_mode[m][1][i] = np.hypot(cc, ss_)
+            # mode-1 peak: A·cos(w) + B·sin(w) maximal at w = atan2(B, A)
+            m0 = modes[0]
+            a0, b0 = coef[2], coef[3]
+            w_peak = np.arctan2(b0, a0) / m0
+            peak[i] = (w_peak / (2.0 * np.pi) % 1.0) * 365.0 + 1.0
+        for m in modes:
+            out[f"phase_{m}"] = per_mode[m][0]
+            out[f"amplitude_{m}"] = per_mode[m][1]
+        out["peak_doy"] = peak
+        out["n"] = (ends - starts).astype(np.int64)
+        return pd.DataFrame(out)
+
+    out_cols = keys + ["n"] + [
+        f"{p}_{m}" for m in modes for p in ("phase", "amplitude")
+    ] + ["peak_doy"]
+    return (
+        _add_bucket(geo.select_columns(cols), keys, nb)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(out_cols)
+    )
+
+
 def solve_harmonic(t: np.ndarray, y: np.ndarray) -> tuple[float, float]:
     """Fixed-order normal-equation solve shared by engine and test oracle."""
     w = 2.0 * np.pi * t

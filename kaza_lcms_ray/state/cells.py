@@ -151,6 +151,28 @@ def morton_sql_expr(ix_expr: str, iy_expr: str, level: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def morton_decode_sql_expr(col: str, level: int, axis: str) -> str:
+    """ANSI-SQL expression de-interleaving a Morton cell id back to its
+    ``ix`` (axis='x', odd bit positions) or ``iy`` (axis='y', even) grid
+    coordinate — the oracle twin of ``decode``."""
+    shift = 1 if axis == "x" else 0
+    terms = [
+        f"((({col}) >> {2 * b + shift}) & 1) * {1 << b}" for b in range(level)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def cell_center_sql_exprs(col: str, level: int) -> tuple[str, str]:
+    """SQL for ``cell_center``: ((i + 0.5) / n) * span − offset, mirroring
+    the numpy arithmetic operation-for-operation."""
+    n = float(np.int64(1) << level)
+    ix = morton_decode_sql_expr(col, level, "x")
+    iy = morton_decode_sql_expr(col, level, "y")
+    lon = f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+    lat = f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+    return lon, lat
+
+
 def grid_coord_sql_expr(col: str, offset: float, span: float, level: int) -> str:
     """SQL for ``grid_coords`` of one axis: floor((col+off)/span * 2^level),
     clipped. Mirrors the numpy arithmetic operation-for-operation."""

@@ -197,3 +197,62 @@ class PolygonIndex:
             table.column("LANDCOVER").to_numpy(zero_copy_only=False),
             rings_per_poly,
         )
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (positive for CCW rings)."""
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    return float(0.5 * np.sum(x * y2 - x2 * y))
+
+
+def erode_ring(ring: np.ndarray, dist: float) -> np.ndarray | None:
+    """Inward offset of a closed ring by ``dist`` (miter join) — the
+    erodeGeometry / buffer(-d) analog (src/misc/sentinel1.py:149-153,
+    'clips edges').
+
+    Each vertex moves along the bisector of its adjacent inward edge
+    normals by dist / cos(θ/2) so every EDGE ends up exactly ``dist``
+    inside its original line.  Exact for convex rings; for concave rings it
+    is the miter approximation (no self-intersection repair).  Returns None
+    when the ring collapses (erosion distance ≥ inradius).
+    """
+    ccw = ring_area(ring) > 0
+    pts = ring[:-1]  # drop closing vertex
+    nxt = np.roll(pts, -1, axis=0)
+    edge = nxt - pts
+    ln = np.sqrt((edge**2).sum(axis=1))
+    if (ln == 0).any():
+        pts = pts[ln > 0]
+        if pts.shape[0] < 3:
+            return None
+        nxt = np.roll(pts, -1, axis=0)
+        edge = nxt - pts
+        ln = np.sqrt((edge**2).sum(axis=1))
+    # inward normal: left of the edge for CCW rings, right for CW
+    sign = 1.0 if ccw else -1.0
+    nx = sign * -edge[:, 1] / ln
+    ny = sign * edge[:, 0] / ln
+    n_prev_x, n_prev_y = np.roll(nx, 1), np.roll(ny, 1)
+    mx, my = nx + n_prev_x, ny + n_prev_y
+    m2 = mx * mx + my * my
+    m2 = np.where(m2 < 1e-12, 1e-12, m2)
+    out = pts + dist * 2.0 * np.stack([mx, my], axis=1) / m2[:, None]
+    closed = np.concatenate([out, out[:1]], axis=0)
+    # collapse detection: past the inradius the offset REVERSES edges (the
+    # reflected ring can keep its orientation, so signed area alone lies)
+    edge_new = np.roll(out, -1, axis=0) - out
+    if ((edge_new * edge).sum(axis=1) <= 0).any():
+        return None
+    if abs(ring_area(closed)) >= abs(ring_area(ring)):
+        return None
+    return closed
+
+
+def erode_polygon(rings: list[np.ndarray], dist: float) -> list[np.ndarray] | None:
+    """Erode the outer ring inward (holes are left untouched — eroding a
+    polygon only shrinks its exterior).  None if the polygon vanishes."""
+    outer = erode_ring(rings[0], dist)
+    if outer is None:
+        return None
+    return [outer] + list(rings[1:])

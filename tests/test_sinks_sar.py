@@ -57,7 +57,7 @@ def test_sar_scalar_kernels():
     assert t.column("r").to_numpy()[1] == 0.5
 
 
-def test_terrain_flatten_flags():
+def test_terrain_correction_volumetric():
     t = pa.table(
         {
             "v": [1.0, 1.0, 1.0],
@@ -65,11 +65,43 @@ def test_terrain_flatten_flags():
             "aspect": [0.0, 180.0, 0.0],
         }
     )
-    out = sar.terrain_flatten_batch(t, "v", "slope", "aspect")
-    flat = out.column("flattened").to_numpy()
-    assert np.isclose(flat[0], 1.0)  # flat terrain → unchanged
-    assert out.column("shadow").to_numpy()[1]  # steep away-facing → shadow
-    assert np.isnan(flat[1])
+    out = sar.terrain_correct_batch(t, "v", "slope", "aspect")
+    g = out.column("gamma0_vol_db").to_numpy()
+    inc = np.deg2rad(35.0)
+    # flat terrain: volModel == 1 → pure γ0 conversion of the dB value
+    assert np.isclose(g[0], 10 * np.log10((10**0.1) / np.cos(inc)))
+    # steep away-facing slope: θ_lia = 115° > 85° → radar shadow (flag False)
+    assert not out.column("shadow").to_numpy()[1]
+    assert out.column("shadow").to_numpy()[0]
+    # toward-sensor 45° slope at heading 0: α_r = slope; ≥ view angle → layover
+    assert np.isclose(out.column("alpha_r_deg").to_numpy()[2], 45.0)
+    assert not out.column("layover").to_numpy()[2]
+
+
+def test_refined_lee_compose_and_coalesce():
+    # three regimes: pure speckle (var≈0), low texture, high texture
+    x = np.array([10.0, 10.0, 10.0])
+    m = np.array([10.0, 10.0, 10.0])
+    enl = 7.0
+    cu = 1.0 / np.sqrt(enl)
+    # ci = sqrt(v)/m → choose v for ci = 0.5·cu, 1.2·cu, 2·cu
+    ci = np.array([0.5 * cu, 1.2 * cu, 2.0 * cu])
+    v = (ci * m) ** 2
+    t = pa.table({"x": x, "m": m, "v": v})
+    out = sar.refined_lee_batch(t, "x", "m", "v", enl=enl)
+    f = out.column("filtered").to_numpy()
+    assert f[0] == 10.0  # pure speckle → mean
+    assert f[2] == 10.0  # high texture → passthrough (x)
+    # low-texture branch: the refined estimator formula
+    alpha = (1 + cu * cu) / (ci[1] ** 2 - cu * cu)
+    b = alpha - (enl + 1)
+    d = m[1] ** 2 * b * b + 4 * alpha * enl * m[1] * x[1]
+    want = (b * m[1] + np.sqrt(d)) / (2 * alpha)
+    assert np.isclose(f[1], want)
+    # A11 coalesce: first non-null wins
+    t2 = pa.table({"p": [None, 2.0], "q": [1.0, 3.0]})
+    got = sar.compose_coalesce_batch(t2, ["p", "q"], "out").column("out").to_pylist()
+    assert got == [1.0, 2.0]
 
 
 def test_lee_sigma_runs(ray_session):
