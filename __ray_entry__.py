@@ -138,6 +138,22 @@ def q_sample_pts(sf_dir: str):
     )
 
 
+def q_terrain(sf_dir: str):
+    """Static-DEM ancillary join + volumetric terrain correction per cell:
+    broadcast DEM lookup actor → central-difference slope/aspect → the full
+    Vollrath/Reiche model.  Every transcendental runs through libm, so the
+    chain is bit-replayed by the SQL oracle (S5/T5/M17)."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.terrain_corrected_cells(_geo(sf_dir)),
+        [
+            "cell_id", "value_db", "elev", "slope_deg", "aspect_deg",
+            "gamma0_vol_db", "layover", "shadow",
+        ],
+    )
+
+
 def q_poly_area(sf_dir: str):
     """Per-class reference-polygon area + majority flag (the
     disproportionate-allocation statistics, pt_calc_disprop analog).
@@ -542,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox": q_geo_bbox,
         "sample_pts": q_sample_pts,
         "poly_area": q_poly_area,
+        "terrain": q_terrain,
         "events_sliding": q_events_sliding,
         "docs_in_aoi": q_docs_in_aoi,
     }
@@ -730,6 +747,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "geo_bbox": _geo_bbox_sql(geo, cells),
         "sample_pts": _sample_pts_sql(root),
         "poly_area": _poly_area_sql(root),
+        "terrain": _terrain_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
@@ -1107,6 +1125,81 @@ def _sample_pts_sql(root: str) -> str:
                '0_' || CAST(tile_id AS VARCHAR) AS "SAMPLEID",
                "LANDCOVER"
         FROM capped"""
+
+
+def _terrain_sql(root: str) -> str:
+    """DEM slope/aspect + volumetric terrain correction replayed in SQL:
+    the analytic elevation at the four rook-neighbor cell centers, the same
+    central differences, and the identical libm expression tree
+    (sar.terrain_correct_batch with exact_libm=True)."""
+    import math
+
+    from kaza_lcms_ray.stages.sar import DEG, RAD
+    from kaza_lcms_ray.stages.terrain import SLOPE_SCALE
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+
+    def ctr_lon(ix):  # mirrors cells.cell_center
+        return f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(iy):
+        return f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    inc = 35.0
+    theta_i = inc * RAD
+    cos_ti = repr(math.cos(theta_i))
+    tan_n = repr(math.tan(math.pi / 2.0 - theta_i))
+    c1 = repr(math.pi / 2.0 - theta_i)  # ninety − θ_i (engine's left-assoc)
+    return f"""
+        WITH {_geo_cte(root)},
+        gc AS (SELECT {ixe} AS ix, {iye} AS iy, c3 FROM geo),
+        cc AS (SELECT ix, iy, SUM(c3) AS s FROM gc GROUP BY ix, iy),
+        e0 AS (
+            SELECT {cell} AS cell_id,
+                   10.0 * log10(CAST(s AS DOUBLE)) AS value_db,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS elev,
+                   ({elev_sql(ctr_lon("(ix + 1)"), ctr_lat("iy"))}
+                  - {elev_sql(ctr_lon("(ix - 1)"), ctr_lat("iy"))}) / 2.0 AS gx,
+                   ({elev_sql(ctr_lon("ix"), ctr_lat("(iy + 1)"))}
+                  - {elev_sql(ctr_lon("ix"), ctr_lat("(iy - 1)"))}) / 2.0 AS gy
+            FROM cc
+        ),
+        sl AS (
+            SELECT cell_id, value_db, elev,
+                   atan(sqrt(gx * gx + gy * gy) / {SLOPE_SCALE!r}) * {DEG!r} AS slope_deg,
+                   atan2(gx, gy) * {DEG!r} AS aspect_deg
+            FROM e0
+        ),
+        ang AS (
+            SELECT *,
+                   atan(tan(slope_deg * {RAD!r}) * cos((0.0 - aspect_deg) * {RAD!r})) AS alpha_r,
+                   atan(tan(slope_deg * {RAD!r}) * sin((0.0 - aspect_deg) * {RAD!r})) AS alpha_az
+            FROM sl
+        ),
+        lia AS (
+            SELECT *, acos(cos(alpha_az) * cos({theta_i!r} - alpha_r)) AS theta_lia
+            FROM ang
+        ),
+        g AS (
+            SELECT *,
+                   (pow(10.0, value_db / 10.0) / {cos_ti})
+                       / abs(tan({c1} + alpha_r) / {tan_n}) AS g0v
+            FROM lia
+        )
+        SELECT cell_id, value_db, elev, slope_deg, aspect_deg,
+               10.0 * log10(g0v) AS gamma0_vol_db,
+               (alpha_r * {DEG!r}) < {inc!r} AS layover,
+               (theta_lia * {DEG!r}) < 85.0 AS shadow
+        FROM g"""
 
 
 def _poly_area_sql(root: str) -> str:

@@ -123,6 +123,29 @@ def lee_sigma(
     )
 
 
+RAD = 0.017453292519943295  # float64 π/180 (np.deg2rad's multiplier)
+DEG = 57.29577951308232  # float64 180/π
+
+
+def _make_libm():
+    import math
+
+    return {
+        "tan": lambda v: np.frompyfunc(math.tan, 1, 1)(v).astype(np.float64),
+        "atan": lambda v: np.frompyfunc(math.atan, 1, 1)(v).astype(np.float64),
+        "acos": lambda v: np.frompyfunc(math.acos, 1, 1)(v).astype(np.float64),
+        "log10": lambda v: np.frompyfunc(math.log10, 1, 1)(
+            np.where(v > 0, v, np.nan)
+        ).astype(np.float64),
+        "pow10": lambda v: np.frompyfunc(lambda x: math.pow(10.0, x), 1, 1)(v).astype(
+            np.float64
+        ),
+    }
+
+
+_LIBM = _make_libm()
+
+
 def terrain_correct_batch(
     t: pa.Table,
     value_db_col: str,
@@ -130,6 +153,7 @@ def terrain_correct_batch(
     aspect_col: str,
     incidence_deg: float = 35.0,
     heading_deg: float = 0.0,
+    exact_libm: bool = False,
 ) -> pa.Table:
     """Full volumetric-model terrain correction (Vollrath/Reiche), mirroring
     src/misc/sentinel1.py:79-143 step for step:
@@ -147,23 +171,37 @@ def terrain_correct_batch(
 
     Adds: gamma0_vol_db, alpha_r_deg, theta_lia_deg, layover, shadow.
     """
+    import math
+
+    if exact_libm:
+        # per-cell cardinality → libm ufuncs are affordable, and they are
+        # bit-identical to DuckDB's std:: trig (numpy's SIMD tan/atan/acos/
+        # pow/log10 differ in the last ulp — measured), so the SQL oracle
+        # can replay the whole chain exactly
+        tan_, atan_, acos_, log10_ = _LIBM["tan"], _LIBM["atan"], _LIBM["acos"], _LIBM["log10"]
+        pow10_ = _LIBM["pow10"]
+    else:
+        tan_, atan_, acos_, log10_ = np.tan, np.arctan, np.arccos, np.log10
+        pow10_ = lambda v: np.power(10.0, v)  # noqa: E731
     x_db = t.column(value_db_col).to_numpy(zero_copy_only=False)
-    slope = np.deg2rad(t.column(slope_col).to_numpy(zero_copy_only=False))
+    slope = t.column(slope_col).to_numpy(zero_copy_only=False) * RAD
     aspect = t.column(aspect_col).to_numpy(zero_copy_only=False)
-    theta_i = np.deg2rad(incidence_deg)
-    phi_r = np.deg2rad(heading_deg - aspect)
-    alpha_r = np.arctan(np.tan(slope) * np.cos(phi_r))
-    alpha_az = np.arctan(np.tan(slope) * np.sin(phi_r))
-    theta_lia = np.arccos(np.cos(alpha_az) * np.cos(theta_i - alpha_r))
-    sigma0 = np.power(10.0, x_db / 10.0)
-    gamma0 = sigma0 / np.cos(theta_i)
+    theta_i = incidence_deg * RAD
+    cos_ti = math.cos(theta_i)  # scalar constants via libm (shared w/ SQL)
+    tan_n = math.tan(math.pi / 2.0 - theta_i)
+    phi_r = (heading_deg - aspect) * RAD
+    alpha_r = atan_(tan_(slope) * np.cos(phi_r))
+    alpha_az = atan_(tan_(slope) * np.sin(phi_r))
+    theta_lia = acos_(np.cos(alpha_az) * np.cos(theta_i - alpha_r))
+    sigma0 = pow10_(x_db / 10.0)
+    gamma0 = sigma0 / cos_ti
     ninety = np.pi / 2.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        vol = np.abs(np.tan(ninety - theta_i + alpha_r) / np.tan(ninety - theta_i))
+        vol = np.abs(tan_(ninety - theta_i + alpha_r) / tan_n)
         gamma0_vol = gamma0 / vol
-        out_db = 10.0 * np.log10(gamma0_vol)
-    alpha_r_deg = np.rad2deg(alpha_r)
-    theta_lia_deg = np.rad2deg(theta_lia)
+        out_db = 10.0 * log10_(gamma0_vol)
+    alpha_r_deg = alpha_r * DEG
+    theta_lia_deg = theta_lia * DEG
     return (
         t.append_column("gamma0_vol_db", pa.array(out_db))
         .append_column("alpha_r_deg", pa.array(alpha_r_deg))

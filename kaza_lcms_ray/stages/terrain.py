@@ -1,0 +1,132 @@
+"""Terrain pipeline: static-DEM lookup actor + slope/aspect + volumetric
+correction (SURVEY.md S5/T5/M17).
+
+TerrainLookup is the static-ancillary-lookup-actor shape (T5): the
+precomputed per-cell DEM table (state/dem.py) is ``ray.put`` once, each
+actor reads it in ``__init__`` (binary-search index over sorted cell ids)
+and every batch does four vectorized neighbor lookups → central-difference
+slope/aspect.  All transcendental steps run through libm (bit-identical to
+DuckDB), so the full chain — elevation → gradient → slope/aspect →
+volumetric correction — is value-checked by the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..state import cells, dem
+from .sar import DEG, terrain_correct_batch
+
+SLOPE_SCALE = 1000.0  # elevation units per horizontal cell unit
+
+
+class TerrainLookup:
+    """Actor-pool callable: per-cell rows → + elev, slope_deg, aspect_deg.
+
+    slope = atan(√(gx² + gy²) / SLOPE_SCALE)·180/π with gx/gy the
+    central differences of the DEM at the four rook neighbors; aspect =
+    atan2(gx, gy)·180/π (downslope bearing east-of-north convention).
+    """
+
+    def __init__(self, dem_ref, level: int = cells.CELL_LEVEL):
+        d = ray.get(dem_ref) if isinstance(dem_ref, ray.ObjectRef) else dem_ref
+        self.ids = d["cell_ids"]
+        self.elev = d["elev"]
+        self.level = level
+
+    def _lookup(self, ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.ids, ids)
+        pos_c = np.clip(pos, 0, self.ids.shape[0] - 1)
+        hit = self.ids[pos_c] == ids
+        return np.where(hit, self.elev[pos_c], np.nan)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cid = batch.column("cell_id").to_numpy(zero_copy_only=False)
+        ix, iy = cells.decode(cid, self.level)
+        e0 = self._lookup(cid)
+        e_e = self._lookup(cells.morton(ix + 1, iy))
+        e_w = self._lookup(cells.morton(ix - 1, iy))
+        e_n = self._lookup(cells.morton(ix, iy + 1))
+        e_s = self._lookup(cells.morton(ix, iy - 1))
+        gx = (e_e - e_w) / 2.0
+        gy = (e_n - e_s) / 2.0
+        grad = np.sqrt(gx * gx + gy * gy) / SLOPE_SCALE
+        atan_u = np.frompyfunc(math.atan, 1, 1)
+        slope_deg = atan_u(grad).astype(np.float64) * DEG
+        aspect_deg = np.array(
+            [math.atan2(float(a), float(b)) for a, b in zip(gx, gy)]
+        ) * DEG
+        return (
+            batch.append_column("elev", pa.array(e0))
+            .append_column("slope_deg", pa.array(slope_deg))
+            .append_column("aspect_deg", pa.array(aspect_deg))
+        )
+
+
+def terrain_corrected_cells(
+    geo,
+    level: int = cells.CELL_LEVEL,
+    incidence_deg: float = 35.0,
+    heading_deg: float = 0.0,
+    concurrency=None,
+):
+    """geo observations → per-cell dB backscatter proxy (10·log₁₀ of the
+    exact cents total) → DEM slope/aspect → volumetric terrain correction.
+
+    Returns Dataset[cell_id, value_db, elev, slope_deg, aspect_deg,
+    gamma0_vol_db, layover, shadow] — one row per cell.
+    """
+    from . import zonal
+    from ..state.dem import build_dem
+
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    per_cell = zonal.zonal_sums(geo, keys=("cell_id",), bands=(3,))
+
+    def to_db(t: pa.Table) -> pa.Table:
+        s = t.column("s_c3").to_numpy(zero_copy_only=False).astype(np.float64)
+        log10_u = np.frompyfunc(math.log10, 1, 1)
+        v = 10.0 * log10_u(np.where(s > 0, s, np.nan)).astype(np.float64)
+        return pa.table(
+            {"cell_id": t.column("cell_id"), "value_db": pa.array(v)}
+        )
+
+    db = per_cell.map_batches(to_db, batch_format="pyarrow")
+    # static ancillary side input: built once, broadcast once (S5/T5)
+    dem_ref = ray.put(
+        build_dem(
+            *_domain_bbox(), level=level, margin=2
+        )
+    )
+    looked = db.map_batches(
+        TerrainLookup,
+        fn_constructor_kwargs={"dem_ref": dem_ref, "level": level},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    return looked.map_batches(
+        lambda t: terrain_correct_batch(
+            t,
+            "value_db",
+            "slope_deg",
+            "aspect_deg",
+            incidence_deg=incidence_deg,
+            heading_deg=heading_deg,
+            exact_libm=True,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _domain_bbox():
+    from .. import synth
+
+    return (synth.LON_MIN, synth.LAT_MIN, synth.LON_MAX, synth.LAT_MAX)
