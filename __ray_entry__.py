@@ -138,6 +138,42 @@ def q_sample_pts(sf_dir: str):
     )
 
 
+CLOUD_T = 360_000  # cents threshold on mean swir1 (cloud-bright proxy)
+DARK_T = 350_000  # cents threshold on mean nir (shadow-dark proxy)
+
+
+def q_cloud_shadow(sf_dir: str):
+    """M1→M3 chain as one value-checked query: integer per-cell flags
+    (cloud = bright swir1, dark = dim nir — exact int comparisons) →
+    directional distance transform of clouds eastward (3 cells) → shadow =
+    projected ∧ dark → mask = open-then-dilate of cloud ∨ shadow."""
+    import pyarrow as _pa
+
+    from kaza_lcms_ray.stages import cloudmask, zonal
+
+    sums = zonal.zonal_sums(_geo(sf_dir), keys=("cell_id",), bands=(3, 4))
+
+    def flags(t: _pa.Table) -> _pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s3 = t.column("s_c3").to_numpy(zero_copy_only=False)
+        s4 = t.column("s_c4").to_numpy(zero_copy_only=False)
+        return _pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "is_cloud": _pa.array((s4 > CLOUD_T * n).astype(np.int32)),
+                "dark_pixels": _pa.array((s3 < DARK_T * n).astype(np.int32)),
+            }
+        )
+
+    fl = sums.map_batches(flags, batch_format="pyarrow").materialize()
+    clouds = fl.select_columns(["cell_id", "is_cloud"])
+    dark = fl.select_columns(["cell_id", "dark_pixels"])
+    out = cloudmask.cloud_shadow_mask(
+        clouds, dark, azimuth_deg=90.0, max_dist=3, erode=1, dilate=1
+    )
+    return _i64(out, ["cell_id", "mask"])
+
+
 def q_terrain(sf_dir: str):
     """Static-DEM ancillary join + volumetric terrain correction per cell:
     broadcast DEM lookup actor → central-difference slope/aspect → the full
@@ -559,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_pts": q_sample_pts,
         "poly_area": q_poly_area,
         "terrain": q_terrain,
+        "cloud_shadow": q_cloud_shadow,
         "events_sliding": q_events_sliding,
         "docs_in_aoi": q_docs_in_aoi,
     }
@@ -748,6 +785,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "sample_pts": _sample_pts_sql(root),
         "poly_area": _poly_area_sql(root),
         "terrain": _terrain_sql(root),
+        "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
         "focal_count": _focal_count_sql(root),
@@ -1125,6 +1163,56 @@ def _sample_pts_sql(root: str) -> str:
                '0_' || CAST(tile_id AS VARCHAR) AS "SAMPLEID",
                "LANDCOVER"
         FROM capped"""
+
+
+def _cloud_shadow_sql(root: str) -> str:
+    """M1→M3 replayed in SQL: exact integer flag thresholds, minimum
+    eastward step distance via a 3-value join, erode (3×3 MIN) then dilate
+    (3×3 MAX) over present cells only (masked-raster semantics)."""
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+
+    ix = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iy = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    return f"""
+        WITH {_geo_cte(root)},
+        gc AS (SELECT {ix} AS ix, {iy} AS iy, c3, c4 FROM geo),
+        cc AS (SELECT ix, iy, COUNT(*) AS n, SUM(c3) AS s3, SUM(c4) AS s4
+               FROM gc GROUP BY ix, iy),
+        fl AS (SELECT ix, iy,
+                      CASE WHEN s4 > {CLOUD_T} * n THEN 1 ELSE 0 END AS is_cloud,
+                      CASE WHEN s3 < {DARK_T} * n THEN 1 ELSE 0 END AS dark
+               FROM cc),
+        proj AS (
+            SELECT f.ix, f.iy, MIN(dd.d) AS dist
+            FROM fl f
+            CROSS JOIN (VALUES (1), (2), (3)) dd(d)
+            JOIN fl c ON c.ix = f.ix - dd.d AND c.iy = f.iy AND c.is_cloud = 1
+            GROUP BY f.ix, f.iy
+        ),
+        flag AS (
+            SELECT f.ix, f.iy,
+                   CASE WHEN (COALESCE(p.dist, 0) > 0 AND f.dark = 1)
+                          OR f.is_cloud = 1 THEN 1 ELSE 0 END AS v
+            FROM fl f LEFT JOIN proj p ON f.ix = p.ix AND f.iy = p.iy
+        ),
+        eroded AS (
+            SELECT a.ix, a.iy, MIN(b.v) AS v
+            FROM flag a JOIN flag b
+              ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+            GROUP BY a.ix, a.iy
+        ),
+        dil AS (
+            SELECT a.ix, a.iy, MAX(b.v) AS mask
+            FROM eroded a JOIN eroded b
+              ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
+            GROUP BY a.ix, a.iy
+        )
+        SELECT {cell} AS cell_id, CAST(mask AS BIGINT) AS mask FROM dil"""
 
 
 def _terrain_sql(root: str) -> str:

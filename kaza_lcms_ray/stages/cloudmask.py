@@ -117,6 +117,7 @@ def cloud_shadow_mask(
     level: int = cells.CELL_LEVEL,
     erode: int = 1,
     dilate: int = 2,
+    num_partitions: int | None = None,
 ):
     """Full M1→M3 chain over per-cell tables: project cloud shadows along
     the azimuth, intersect with dark cells, OR with clouds, then
@@ -130,11 +131,16 @@ def cloud_shadow_mask(
 
     proj = directional_distance_transform(
         cloud_cells, "is_cloud", azimuth_deg, max_dist, level
-    )
+    ).materialize()
+    if num_partitions is None:
+        # sized so no partition is empty (Ray 2.49 empty-partition join bug)
+        num_partitions = (
+            1 if proj.count() < 20_000 else join_partitions(rows_hint=proj.count())
+        )
     joined = proj.join(
         dark_cells,
         join_type="inner",
-        num_partitions=join_partitions(),
+        num_partitions=num_partitions,
         on=("cell_id",),
     ).materialize()
     shadows = joined.map_batches(
@@ -155,7 +161,7 @@ def cloud_shadow_mask(
     both = shadows.join(
         cloud_cells,
         join_type="inner",
-        num_partitions=join_partitions(),
+        num_partitions=num_partitions,
         on=("cell_id",),
     ).materialize()
     combined = both.map_batches(
