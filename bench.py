@@ -140,6 +140,22 @@ def run_bench() -> dict:
         "knn",
         lambda: knn.knn_join(geo(), f"{root}/training_plots.parquet").count(),
     )
+
+    # the same queries over the indexed layout: column-pruned side-table
+    # reads instead of full spans decode
+    def geo_idx(cols):
+        ds, _, _ = geo_table.read_geo(root, columns=cols)
+        return ds
+
+    # (kNN deliberately stays on the raw path: the side table's spatial
+    # sort concentrates the hot-box cells into few blocks and skews the
+    # per-cell actor load — measured slower than the uniform doc order)
+    timed(
+        "zonal_percentile_indexed",
+        lambda: zonal.zonal_percentiles(
+            geo_idx(["cell_id", "year", "c3"]), band=3
+        ).count(),
+    )
     docs_tbl = f"{sf_dir}/documents.parquet"
     if os.path.exists(docs_tbl):
         timed(

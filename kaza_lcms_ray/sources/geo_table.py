@@ -106,6 +106,14 @@ def read_geo(root: str, columns=None, bbox=None, parts=None, replicate: int = 1,
     n_read = len(files)
     if replicate > 1:  # k× the work in ONE read op (scaling benchmark)
         files = files * replicate
+    if "override_num_blocks" not in kwargs:
+        # one-block-per-file leaves big partition files as stragglers;
+        # row groups make them splittable (same tuning as read_documents)
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            kwargs["override_num_blocks"] = max(64, cpus * 2, len(files))
     return rd.read_parquet(files, columns=columns, **kwargs), n_read, n_total
 
 
