@@ -170,27 +170,52 @@ class KNNJoiner:
         ).append_column("dist", pa.array(dist, type=pa.float64()))
 
 
+# worker-process-local index cache (same pattern as flagship's labeler):
+# stateless tasks fuse with the upstream read/parse and use EVERY cpu, while
+# each worker still pays the ray.get exactly once
+_INDEX_CACHE: dict = {}
+
+
+def _cached_index(index_ref):
+    key = index_ref.hex()
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        _INDEX_CACHE.clear()
+        idx = _INDEX_CACHE.setdefault(key, ray.get(index_ref))
+    return idx
+
+
 def knn_join(
     geo,
     plots_path: str,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     strategy: str = "grid",
 ):
     """strategy='grid' (default, exact, O(local density) per query) or
     'brute' (exact baseline, O(plots) per query) — identical results,
-    tested; grid is the scale path for large plot tables."""
-    if concurrency is None:
-        from ..runtime import pool_size
+    tested; grid is the scale path for large plot tables.
 
-        concurrency = (1, pool_size(0.4))
+    Runs as STATELESS map_batches tasks with a worker-local index cache
+    (not an actor pool): the stage fuses with the upstream read→parse and
+    scales to every CPU instead of a fixed pool fraction — measured ~2×
+    on the bench kNN query.  Pass ``concurrency`` to force an actor pool
+    (e.g. to cap memory on huge plot tables)."""
     cls = PlotGridIndex if strategy == "grid" else PlotIndex
     index_ref = ray.put(cls.from_parquet(plots_path))
-    return geo.map_batches(
-        KNNJoiner,
-        fn_constructor_kwargs={"index_ref": index_ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is not None:
+        return geo.map_batches(
+            KNNJoiner,
+            fn_constructor_kwargs={"index_ref": index_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size or 8192,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        worker = KNNJoiner.__new__(KNNJoiner)
+        worker.index = _cached_index(index_ref)
+        return worker(batch)
+
+    return geo.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -87,31 +87,52 @@ class PIPJoiner:
         ).append_column("LANDCOVER", pa.array(lc, type=pa.int32()))
 
 
+# worker-process-local index cache (flagship-labeler pattern): stateless
+# tasks fuse with the upstream read→parse and scale to every CPU; each
+# worker pays the ray.get once
+_INDEX_CACHE: dict = {}
+
+
+def _cached_index(index_ref):
+    key = index_ref.hex()
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        _INDEX_CACHE.clear()
+        idx = _INDEX_CACHE.setdefault(key, ray.get(index_ref))
+    return idx
+
+
 def pip_join(
     geo,
     polygons_path: str,
     kinds: list[str] | None = None,
     mode: str = "inner",
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 16384,
+    batch_size: int | None = None,
 ):
-    """geo_obs Dataset → PIP join Dataset via an actor pool.
+    """geo_obs Dataset → PIP join Dataset.
 
     The index is built once on the driver and broadcast through the object
-    store (read once per actor, not per batch).  The pool autoscales up to
-    ~40% of cluster CPUs — reserving them all would starve the upstream read
-    tasks and deadlock the streaming plan.
+    store.  Default execution is STATELESS map_batches tasks with a
+    worker-local index cache (fuses with the upstream read, uses every
+    CPU — measured ~2× over a 40%-pool); pass ``concurrency`` to force an
+    explicit actor pool instead.
     """
-    if concurrency is None:
-        from ..runtime import pool_size
-
-        concurrency = (1, pool_size(0.4))
     index_ref = ray.put(load_polygon_index(polygons_path, kinds))
-    return geo.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs={"index_ref": index_ref, "mode": mode},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is not None:
+        return geo.map_batches(
+            PIPJoiner,
+            fn_constructor_kwargs={"index_ref": index_ref, "mode": mode},
+            batch_format="pyarrow",
+            batch_size=batch_size or 16384,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        worker = PIPJoiner.__new__(PIPJoiner)
+        worker.index = _cached_index(index_ref)
+        worker.mode = mode
+        return worker(batch)
+
+    return geo.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
