@@ -536,6 +536,20 @@ def q_events_sliding(sf_dir: str):
     )
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30 min) per user: the stateful event-time
+    window, value-checked via a lag + running-sum SQL oracle."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(
+        events.sessionize(ev),
+        ["user_id", "session_id", "session_start", "session_end", "n_events", "value_cents"],
+    )
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -597,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain": q_terrain,
         "cloud_shadow": q_cloud_shadow,
         "events_sliding": q_events_sliding,
+        "events_sessions": q_events_sessions,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -886,6 +901,32 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
             FROM events, (SELECT unnest([0, 1]) AS off)
             GROUP BY event_type, window_start""",
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, event_id, ts,
+                       CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ),
+            s AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR ts - prev > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            c AS (
+                SELECT *, SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM s
+            )
+            SELECT user_id, MIN(event_id) AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events, SUM(cents) AS value_cents
+            FROM c GROUP BY user_id, sid""",
         "embed_dup_pairs": """
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1, embeddings e2

@@ -71,3 +71,50 @@ def sliding_window(ds, width_hours: int = 2, slide_hours: int = 1):
             Max("max_value", alias_name="max_value"),
         )
     )
+
+
+def sessionize(ds, gap_minutes: int = 30):
+    """Gap-based sessionization per user — the stateful event-time window
+    Ray Data lacks as a primitive, expressed as groupby(user).map_groups
+    with a deterministic in-group sort (the documented partitioning
+    assumption: one user's events fit one group).
+
+    A new session starts when the gap to the previous event (ordered by
+    ts, event_id) exceeds ``gap_minutes``.  Output per session: user_id,
+    session_id (MIN event_id — order-free), session_start/end, n_events,
+    value_cents (exact ×100 integer sum).  Every statistic is
+    order-insensitive within the session, so results are bit-stable and
+    SQL-checkable (lag + windowed running sum oracle).
+    """
+    import numpy as np
+
+    gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        brk = np.concatenate(([0], (np.diff(ts) > gap).astype(np.int64)))
+        sid = np.cumsum(brk)
+        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "sid": sid,
+                    "event_id": g["event_id"].to_numpy(),
+                    "ts": ts,
+                    "cents": cents,
+                }
+            )
+            .groupby(["user_id", "sid"], as_index=False)
+            .agg(
+                session_id=("event_id", "min"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+                n_events=("event_id", "count"),
+                value_cents=("cents", "sum"),
+            )
+        )
+        return out.drop(columns=["sid"])
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -333,6 +333,81 @@ def harmonic_fit(geo, keys=("cell_id", "year"), band: int = 3):
     )
 
 
+def approx_percentiles(
+    geo,
+    keys=("cell_id", "year"),
+    band: int = 3,
+    ps=DEFAULT_PERCENTILES,
+    bins: int = 4096,
+    lo: float = 0.0,
+    hi: float = 1_000_000.0,
+    num_buckets: int | None = None,
+):
+    """APPROXIMATE grouped percentiles via a fixed-bin histogram sketch —
+    the DECOMPOSABLE scale path for A1: per-batch partial (key, bin) counts
+    → exact integer combine → quantile interpolation from the cumulative
+    histogram.  No holistic per-group sort, no raw-row shuffle: shuffled
+    rows ≈ keys × occupied bins, independent of observation count.
+
+    Error bound: |approx − exact| ≤ 2·(hi − lo)/bins (the exact value
+    interpolates BETWEEN ranks and can straddle a bin edge; default ≈
+    488 cents ≈ 4.9 reflectance units).  Deterministic under any combine
+    order (integer counts), unlike t-digest (merge-order-dependent).
+    Output mirrors zonal_percentiles: keys…, n, p{P}_b{band} (bin lower
+    edges at the quantile rank).
+    """
+    keys = list(keys)
+    col = f"c{band}"
+    width = (hi - lo) / bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        tb = t.select(keys).append_column("bin", pa.array(b))
+        out = tb.group_by(keys + ["bin"]).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["bin", "cnt"])
+
+    combined = bucketed_sum(
+        geo.select_columns(keys + [col]).map_batches(partial, batch_format="pyarrow"),
+        keys + ["bin"],
+        ["cnt"],
+        num_buckets=num_buckets,
+    )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + ["bin"], kind="mergesort")
+        kcols = [g[k].to_numpy() for k in keys]
+        changed = np.zeros(len(g), dtype=bool)
+        changed[0] = True
+        for k in kcols:
+            changed[1:] |= k[1:] != k[:-1]
+        starts = np.nonzero(changed)[0]
+        ends = np.append(starts[1:], len(g))
+        cnt = g["cnt"].to_numpy()
+        binv = g["bin"].to_numpy()
+        out = {k: kcols[i][starts] for i, k in enumerate(keys)}
+        n = np.array([cnt[s:e].sum() for s, e in zip(starts, ends)], dtype=np.int64)
+        out["n"] = n
+        for p in ps:
+            vals = np.empty(starts.shape[0])
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                c = np.cumsum(cnt[s:e])
+                rank = (n[i] - 1) * (p / 100.0)
+                j = int(np.searchsorted(c, np.floor(rank) + 1))
+                j = min(j, e - s - 1)
+                vals[i] = lo + binv[s + j] * width
+            out[f"p{p}_b{band}"] = vals
+        return pd.DataFrame(out)
+
+    nb = num_buckets or _default_buckets()
+    return (
+        _add_bucket(combined, keys, nb)
+        .groupby("bucket")
+        .map_groups(finalize, batch_format="pandas")
+        .select_columns(keys + ["n"] + [f"p{p}_b{band}" for p in ps])
+    )
+
+
 def harmonic_fit_modes(geo, keys=("tile_id", "year"), band: int = 3, modes=(1, 2, 3)):
     """General harmonicsList fit (src/utils/harmonics.py:88-124 analog):
     y ~ constant + t + Σ_k [cos(2πkt) + sin(2πkt)] for every mode k in

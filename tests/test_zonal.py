@@ -112,3 +112,33 @@ def test_area_by_class(synth_small, ray_session):
     assert set(area["LANDCOVER"]) <= set(range(1, 9))
     assert (area["n_tiles"] > 0).all() and (area["area_m2"] > 0).all()
     assert area["n_tiles"].sum() == labels.count()
+
+
+def test_approx_percentiles_within_bin_error(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    exact = (
+        zonal.zonal_percentiles(geo, keys=("year",), band=3)
+        .to_pandas()
+        .sort_values("year")
+        .reset_index(drop=True)
+    )
+    approx = (
+        zonal.approx_percentiles(geo, keys=("year",), band=3)
+        .to_pandas()
+        .sort_values("year")
+        .reset_index(drop=True)
+    )
+    assert (approx["n"].to_numpy() == exact["n"].to_numpy()).all()
+    width = 1_000_000.0 / 4096
+    for p in (10, 25, 50, 75, 90):
+        err = np.abs(approx[f"p{p}_b3"].to_numpy() - exact[f"p{p}_b3"].to_numpy())
+        assert (err <= 2 * width + 1e-9).all(), (p, err.max())
+    # deterministic across repartitioning
+    approx2 = (
+        zonal.approx_percentiles(geo.repartition(7), keys=("year",), band=3)
+        .to_pandas()
+        .sort_values("year")
+        .reset_index(drop=True)
+    )
+    assert approx.equals(approx2)
