@@ -550,6 +550,38 @@ def q_events_sessions(sf_dir: str):
     )
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem: exact scaled-int
+    grouped sums + identical double divisions — the generic columnar
+    analytics surface (not geo-specific)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    return _i64(
+        analytics.pricing_summary(li),
+        [
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order",
+        ],
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by exact discounted revenue: broadcast
+    orderkey→custkey lookup + integer partial sums + tiny final top-k."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    return analytics.top_customers_by_revenue(li, od, cu)
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -612,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cloud_shadow": q_cloud_shadow,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -901,6 +935,47 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
             FROM events, (SELECT unnest([0, 1]) AS off)
             GROUP BY event_type, window_start""",
+        "pricing_summary": """
+            WITH c AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+                       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+                       CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+                       CAST(round(l_tax * 100, 0) AS BIGINT) AS tx
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            ),
+            a AS (
+                SELECT l_returnflag, l_linestatus,
+                       SUM(q) AS q, SUM(p) AS p, SUM(d) AS d,
+                       SUM(p * (100 - d)) AS dp,
+                       SUM((p * (100 - d)) * (100 + tx)) AS ch,
+                       COUNT(*) AS n
+                FROM c GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT l_returnflag, l_linestatus,
+                   CAST(q AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(p AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(dp AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(ch AS DOUBLE) / 1000000.0 AS sum_charge,
+                   CAST(q AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS avg_qty,
+                   CAST(p AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS avg_price,
+                   CAST(d AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)) AS avg_disc,
+                   n AS count_order
+            FROM a""",
+        "top_customers": """
+            WITH r AS (
+                SELECT o.o_custkey AS c_custkey,
+                       SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                           AS revenue_scaled
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_custkey
+            )
+            SELECT r.c_custkey, c.c_name, r.revenue_scaled
+            FROM r JOIN customer c ON r.c_custkey = c.c_custkey
+            ORDER BY r.revenue_scaled DESC, r.c_custkey ASC
+            LIMIT 10""",
         "events_sessions": """
             WITH o AS (
                 SELECT user_id, event_id, ts,

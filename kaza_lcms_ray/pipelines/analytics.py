@@ -1,0 +1,135 @@
+"""Generic columnar analytics over arbitrary relational tables — the engine
+is not geo-only.  Exercised against the driver's TPC-H-shaped tables
+(lineitem / orders / customer) with the same exactness discipline as the
+geo pipelines: every money/quantity column becomes ×100 scaled int64, so
+grouped sums are exact integers (order-free, bit-identical to SQL) and the
+derived averages are single identical double divisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ray.data.aggregate import Count, Sum
+
+PRICING_CUTOFF = "1998-09-02"
+
+
+def _cents(col: pa.ChunkedArray) -> np.ndarray:
+    v = col.to_numpy(zero_copy_only=False)
+    return np.rint(v * 100.0).astype(np.int64)
+
+
+def pricing_summary(lineitem, cutoff: str = PRICING_CUTOFF):
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) counts,
+    exact sums of qty / base price / discounted price / charge, and the
+    derived averages.
+
+    disc_price and charge stay exact by keeping the rational factors
+    integral: price_c·(100−disc_c) and price_c·(100−disc_c)·(100+tax_c),
+    divided back once at the end (6e15 ≪ 2⁶³)."""
+    cutoff_ts = np.datetime64(cutoff, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t.column("l_shipdate"), pa.scalar(cutoff_ts))
+        t = t.filter(keep)
+        qty = _cents(t.column("l_quantity"))
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        tax = _cents(t.column("l_tax"))
+        disc_price = price * (100 - disc)
+        charge = disc_price * (100 + tax)
+        tb = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "q": pa.array(qty),
+                "p": pa.array(price),
+                "d": pa.array(disc),
+                "dp": pa.array(disc_price),
+                "ch": pa.array(charge),
+            }
+        )
+        out = tb.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("p", "sum"), ("d", "sum"), ("dp", "sum"),
+             ("ch", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "q", "p", "d", "dp", "ch", "n"]
+        )
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("q", alias_name="q"), Sum("p", alias_name="p"),
+            Sum("d", alias_name="d"), Sum("dp", alias_name="dp"),
+            Sum("ch", alias_name="ch"), Sum("n", alias_name="n"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        q = t.column("q").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+        dp = t.column("dp").to_numpy(zero_copy_only=False).astype(np.float64)
+        ch = t.column("ch").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pa.array(q / 100.0),
+                "sum_base_price": pa.array(p / 100.0),
+                "sum_disc_price": pa.array(dp / 10000.0),
+                "sum_charge": pa.array(ch / 1000000.0),
+                "avg_qty": pa.array(q / (100.0 * n)),
+                "avg_price": pa.array(p / (100.0 * n)),
+                "avg_disc": pa.array(d / (100.0 * n)),
+                "count_order": t.column("n"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
+    """Top-k customers by exact discounted revenue: lineitem → custkey via a
+    broadcast orderkey→custkey lookup (orders ≪ lineitem), per-customer
+    integer partial sums, tiny final top-k.  Returns a pandas DataFrame
+    [c_custkey, c_name, revenue_scaled] (revenue_scaled = Σ price_c·(100−disc_c),
+    exact int64; revenue = revenue_scaled / 1e4)."""
+    omap = orders.select_columns(["o_orderkey", "o_custkey"]).to_pandas()
+    okeys = omap["o_orderkey"].to_numpy()
+    order = np.argsort(okeys)
+    lookup_ref = ray.put(
+        {"keys": okeys[order], "cust": omap["o_custkey"].to_numpy()[order]}
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(lk["keys"], ok)
+        cust = lk["cust"][np.clip(pos, 0, lk["keys"].shape[0] - 1)]
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        rev = price * (100 - disc)
+        tb = pa.table({"c_custkey": pa.array(cust), "rev": pa.array(rev)})
+        out = tb.group_by(["c_custkey"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["c_custkey", "rev"])
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev", alias_name="revenue_scaled"))
+    )
+    top = agg.to_pandas().sort_values(
+        ["revenue_scaled", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    names = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
+    out = top.merge(names, on="c_custkey", how="left")
+    return out[["c_custkey", "c_name", "revenue_scaled"]].reset_index(drop=True)
