@@ -482,6 +482,62 @@ def q_media_decode(sf_dir: str):
     )
 
 
+def q_media_thumb(sf_dir: str):
+    """Multimodal resize: decode → nearest-neighbor 8×8 thumbnail →
+    thumb_mean (exact integer byte sums).  The sampled-pixel hash chain is
+    replayed index-for-index by the SQL oracle — the resize plumbing is
+    value-checked, not just rows-counted."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import media
+
+    docs = rd.read_parquet(f"{_synth(sf_dir)}/documents").filter(
+        expr=f"doc_id < '{MEDIA_SUBSET}'"
+    )
+    ds = media.decode_media(docs, decoder="fake").map_batches(
+        lambda t: media.MediaResizer()(t), batch_format="pyarrow"
+    )
+    return _i64(ds, ["doc_id", "span_idx", "media_ref", "thumb_mean"])
+
+
+def q_media_frames(sf_dir: str):
+    """Multimodal frame sampling: each media span fans out to 2 frame rows
+    decoded from '{ref}#frame{i}' keys; per-frame mean intensity replayed
+    in SQL (frame-ref string concat → FNV → splitmix pixel stream)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import media
+
+    docs = rd.read_parquet(f"{_synth(sf_dir)}/documents").filter(
+        expr=f"doc_id < '{MEDIA_SUBSET}'"
+    )
+    frames = media.sample_frames(docs, n_frames=2, decoder="fake")
+
+    def mean_col(t: pa.Table) -> pa.Table:
+        pix = t.column("pixels")
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        vals = pix.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = pix.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(vals)))
+        sums = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
+        lens = np.maximum(np.diff(offs), 1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx"),
+                "media_ref": t.column("media_ref"),
+                "frame_idx": t.column("frame_idx"),
+                "mean_intensity": pa.array(sums / lens),
+            }
+        )
+
+    return _i64(
+        frames.map_batches(mean_col, batch_format="pyarrow"),
+        ["doc_id", "span_idx", "media_ref", "frame_idx", "mean_intensity"],
+    )
+
+
 def q_composite_percentiles(sf_dir: str):
     """Per-(tile, year) percentile composites (p10..p90 of nir) — the
     01composite stack's A1 branch."""
@@ -634,6 +690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": q_embed_dup_pairs,
         "lee_sigma": q_lee_sigma,
         "media_decode": q_media_decode,
+        "media_thumb": q_media_thumb,
+        "media_frames": q_media_frames,
         "composite_percentiles": q_composite_percentiles,
         "harmonic_windowed": q_harmonic_windowed,
         "pip_polygon": q_pip_polygon_subset,
@@ -826,6 +884,8 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "text_scores": _text_scores_sql(),
         "pip_reference": _pip_reference_sql(geo, root),
         "media_decode": _media_decode_sql(root),
+        "media_thumb": _media_thumb_sql(root),
+        "media_frames": _media_frames_sql(root),
         "lee_sigma": _lee_sigma_sql(root),
         "harmonic_year": _harmonic_year_sql(geo),
         "harmonic_windowed": _harmonic_windowed_sql(geo, cells),
@@ -1200,19 +1260,8 @@ def _pip_reference_sql(geo: str, root: str) -> str:
         FROM c WHERE crossings % 2 = 1"""
 
 
-def _media_decode_sql(root: str) -> str:
-    """Fake-codec mean intensity replayed in SQL: the pixel stream is
-    splitmix64(splitmix64(key) ^ j) % 256 for j in [0, H·W·C); key =
-    splitmix64(hash_key(seed,'px') ^ fnv1a(media_ref)).  The per-image sum
-    of ≤3072 values < 2^20 is exact in any order, so SUM/3072.0 is
-    bit-identical to the engine's mean."""
-    from kaza_lcms_ray.state import sqlhash as SH
-    from kaza_lcms_ray.stages.media import DeterministicFakeCodec
-
-    codec = DeterministicFakeCodec()
-    npx = codec.h * codec.w * codec.c
-    prefix = SH.hash_key_prefix(codec.seed, "px")
-    base = f"""
+def _media_rows_sql(root: str) -> str:
+    return f"""
         SELECT doc_id, CAST(ord - 1 AS INTEGER) AS span_idx,
                span.media_ref AS media_ref
         FROM (
@@ -1221,20 +1270,102 @@ def _media_decode_sql(root: str) -> str:
             FROM read_parquet('{root}/documents/part-*.parquet')
             WHERE doc_id < '{MEDIA_SUBSET}'
         ) WHERE span.kind = 'media'"""
-    withf = f"SELECT *, {SH.fnv1a_chars('media_ref')} AS rfnv FROM ({base})"
+
+
+def _media_keyed_sql(base: str, ref_expr: str, extra_cols: str = "") -> str:
+    """Append the fake codec's key chain to media rows: kk =
+    splitmix64(splitmix64(hash_key(seed,'px') ^ fnv1a(ref_expr)))."""
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.stages.media import DeterministicFakeCodec
+
+    prefix = SH.hash_key_prefix(DeterministicFakeCodec().seed, "px")
+    withf = (
+        f"SELECT doc_id, span_idx, media_ref{extra_cols}, "
+        f"{SH.fnv1a_chars(ref_expr)} AS rfnv FROM ({base})"
+    )
     keyed = SH.chain_select(
         withf, SH.splitmix_steps(SH.xor64(SH.hug(prefix), "rfnv"), "mkey", "k1")
     )
-    keyed2 = SH.chain_select(f"SELECT * FROM ({keyed})", SH.splitmix_steps("mkey", "kk", "k2"))
+    return SH.chain_select(
+        f"SELECT * FROM ({keyed})", SH.splitmix_steps("mkey", "kk", "k2")
+    )
+
+
+def _media_pixels_sql(keyed: str, j_expr: str, group_cols: str, npx_div: float) -> str:
+    """Per-pixel splitmix stream → grouped exact mean (sum < 2^53)."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
     perpix = SH.chain_select(
-        f"SELECT doc_id, span_idx, media_ref, kk, unnest(range(0, {npx})) AS jj FROM ({keyed2})",
+        f"SELECT {group_cols}, kk, {j_expr} AS jj FROM ({keyed})",
         SH.splitmix_steps(SH.xor64("kk", "jj"), "ph", "k3"),
     )
+    return perpix, f"SUM(ph % 256) / {npx_div!r}"
+
+
+def _media_decode_sql(root: str) -> str:
+    """Fake-codec mean intensity replayed in SQL: the pixel stream is
+    splitmix64(splitmix64(key) ^ j) % 256 for j in [0, H·W·C)."""
+    from kaza_lcms_ray.stages.media import DeterministicFakeCodec
+
+    codec = DeterministicFakeCodec()
+    npx = codec.h * codec.w * codec.c
+    keyed = _media_keyed_sql(_media_rows_sql(root), "media_ref")
+    perpix, mean = _media_pixels_sql(
+        keyed, f"unnest(range(0, {npx}))", "doc_id, span_idx, media_ref", float(npx)
+    )
     return f"""
-        SELECT doc_id, span_idx, media_ref,
-               SUM(ph % 256) / {float(npx)!r} AS mean_intensity
+        SELECT doc_id, span_idx, media_ref, {mean} AS mean_intensity
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _media_thumb_sql(root: str) -> str:
+    """Resize replayed in SQL: the 8×8 nearest-neighbor thumbnail samples a
+    FIXED index set of the 32×32×3 pixel stream — enumerated literally."""
+    from kaza_lcms_ray.stages.media import DeterministicFakeCodec, MediaResizer
+
+    codec = DeterministicFakeCodec()
+    rz = MediaResizer()
+    ys = [i * codec.h // rz.out_h for i in range(rz.out_h)]
+    xs = [i * codec.w // rz.out_w for i in range(rz.out_w)]
+    idxs = [
+        (y * codec.w + x) * codec.c + c for y in ys for x in xs for c in range(codec.c)
+    ]
+    keyed = _media_keyed_sql(_media_rows_sql(root), "media_ref")
+    perpix, mean = _media_pixels_sql(
+        keyed,
+        f"unnest([{', '.join(map(str, idxs))}])",
+        "doc_id, span_idx, media_ref",
+        float(len(idxs)),
+    )
+    return f"""
+        SELECT doc_id, span_idx, media_ref, {mean} AS thumb_mean
+        FROM ({perpix})
+        GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _media_frames_sql(root: str) -> str:
+    """Frame sampling replayed in SQL: frame refs are '{ref}#frame{i}',
+    each decoded through the same hash chain at 16×16×3."""
+    n_frames, h, w, c = 2, 16, 16, 3
+    npx = h * w * c
+    base = f"""
+        SELECT doc_id, span_idx, media_ref,
+               media_ref || '#frame' || CAST(fi AS VARCHAR) AS fref,
+               CAST(fi AS INTEGER) AS frame_idx
+        FROM ({_media_rows_sql(root)}),
+             (SELECT unnest(range(0, {n_frames})) AS fi)"""
+    keyed = _media_keyed_sql(base, "fref", extra_cols=", frame_idx")
+    perpix, mean = _media_pixels_sql(
+        keyed,
+        f"unnest(range(0, {npx}))",
+        "doc_id, span_idx, media_ref, frame_idx",
+        float(npx),
+    )
+    return f"""
+        SELECT doc_id, span_idx, media_ref, frame_idx, {mean} AS mean_intensity
+        FROM ({perpix})
+        GROUP BY doc_id, span_idx, media_ref, frame_idx"""
 
 
 def _sample_pts_sql(root: str) -> str:

@@ -174,9 +174,20 @@ class MediaResizer:
                 pa.array(gathered),
             )
             out_c = shapes[0][2] if n else 3
-        return batch.append_column("thumb", thumb).append_column(
-            "thumb_shape",
-            pa.array([[oh, ow, out_c]] * n, type=pa.list_(pa.int32())),
+        # thumb_mean: exact integer sum of the sampled bytes / count — the
+        # downstream feature the SQL oracle replays (sum < 2^53, order-free)
+        tvals = thumb.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        toffs = thumb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(tvals)))
+        sums = csum[toffs[1:]] - csum[toffs[:-1]]
+        lens = np.maximum(toffs[1:] - toffs[:-1], 1)
+        return (
+            batch.append_column("thumb", thumb)
+            .append_column(
+                "thumb_shape",
+                pa.array([[oh, ow, out_c]] * n, type=pa.list_(pa.int32())),
+            )
+            .append_column("thumb_mean", pa.array(sums / lens))
         )
 
 
