@@ -190,6 +190,19 @@ def q_terrain(sf_dir: str):
     )
 
 
+def q_random_points(sf_dir: str):
+    """FeatureCollection.randomPoints analog: seeded rejection sampling in
+    polygon bboxes (first accepted of 64 attempts), distributed one
+    map_batches over the polygon table; the splitmix64 streams + even-odd
+    acceptance are replayed exactly in SQL."""
+    from kaza_lcms_ray.stages import sampling
+
+    return _i64(
+        sampling.random_points_ds(f"{_synth(sf_dir)}/polygons.parquet"),
+        ["poly_id", "LANDCOVER", "lon", "lat", "pt_idx"],
+    )
+
+
 def q_poly_area(sf_dir: str):
     """Per-class reference-polygon area + majority flag (the
     disproportionate-allocation statistics, pt_calc_disprop analog).
@@ -699,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_pts": q_sample_pts,
         "poly_area": q_poly_area,
         "terrain": q_terrain,
+        "random_points": q_random_points,
         "cloud_shadow": q_cloud_shadow,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
@@ -893,6 +907,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "geo_bbox": _geo_bbox_sql(geo, cells),
         "sample_pts": _sample_pts_sql(root),
         "poly_area": _poly_area_sql(root),
+        "random_points": _random_points_sql(root),
         "terrain": _terrain_sql(root),
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
@@ -1535,6 +1550,75 @@ def _terrain_sql(root: str) -> str:
                (alpha_r * {DEG!r}) < {inc!r} AS layover,
                (theta_lia * {DEG!r}) < 85.0 AS shadow
         FROM g"""
+
+
+def _random_points_sql(root: str) -> str:
+    """Rejection sampling replayed in SQL: per (poly, slot, attempt) the
+    'rpt'/'rpt2' hash_unit streams place a bbox point; acceptance is the
+    even-odd crossing test; the FIRST accepted attempt per slot wins."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    seed = DEFAULT_CONFIG.seed
+    c_u = SH.hash_key_prefix(seed, "rpt")
+    c_v = SH.hash_key_prefix(seed, "rpt2")
+    eps = repr(2.0**-53)
+    n_per, attempts = 5, 64
+    base = f"""
+        SELECT poly_id, CAST("LANDCOVER" AS BIGINT) AS "LANDCOVER",
+               bbox.minx AS minx, bbox.miny AS miny,
+               bbox.maxx AS maxx, bbox.maxy AS maxy,
+               jj.j AS j, aa.a AS a
+        FROM read_parquet('{root}/polygons.parquet'),
+             (SELECT unnest(range(0, {n_per})) AS j) jj,
+             (SELECT unnest(range(0, {attempts})) AS a) aa
+        WHERE kind = 'reference'"""
+    withk = (
+        f"SELECT *, ({SH.fnv1a_chars('poly_id')} + (j * {attempts} + a)) % {SH.U64} "
+        f"AS slotkey FROM ({base})"
+    )
+    keyed = SH.chain_select(
+        withk,
+        SH.splitmix_steps(SH.xor64(SH.hug(c_u), "slotkey"), "hu", "ru")
+        + SH.splitmix_steps(SH.xor64(SH.hug(c_v), "slotkey"), "hv", "rv"),
+    )
+    return f"""
+        WITH pts AS (
+            SELECT poly_id, "LANDCOVER", j, a,
+                   minx + (CAST((hu >> 11) AS DOUBLE) * {eps}) * (maxx - minx) AS x,
+                   miny + (CAST((hv >> 11) AS DOUBLE) * {eps}) * (maxy - miny) AS y
+            FROM {keyed}
+        ),
+        r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'reference'
+        ),
+        v AS (SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                     unnest(ring) AS p FROM r),
+        e AS (
+            SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1, b.p.x AS x2, b.p.y AS y2
+            FROM v a JOIN v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        acc AS (
+            SELECT pts.poly_id, any_value(pts."LANDCOVER") AS "LANDCOVER",
+                   pts.j, pts.a, any_value(pts.x) AS x, any_value(pts.y) AS y,
+                   SUM(CASE WHEN (e.y1 <= pts.y) <> (e.y2 <= pts.y)
+                             AND pts.x < e.x1 + (pts.y - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM pts JOIN e ON pts.poly_id = e.poly_id
+            GROUP BY pts.poly_id, pts.j, pts.a
+        ),
+        first_ok AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY poly_id, j ORDER BY a
+            ) AS rn
+            FROM acc WHERE crossings % 2 = 1
+        )
+        SELECT poly_id, "LANDCOVER", x AS lon, y AS lat, CAST(j AS BIGINT) AS pt_idx
+        FROM first_ok WHERE rn = 1"""
 
 
 def _poly_area_sql(root: str) -> str:

@@ -122,8 +122,14 @@ def random_points_in_polygons(
         pk = _str_h(poly_id)
         for j in range(n_per_poly):
             for attempt in range(max_attempts):
-                u = hash_unit(seed, "rpt", np.asarray([pk]) + np.uint64(j * max_attempts + attempt))
-                v = hash_unit(seed, "rpt2", np.asarray([pk]) + np.uint64(j * max_attempts + attempt))
+                # stay in uint64: an int64 array + uint64 scalar silently
+                # promotes to float64 and mangles keys past 2^53
+                with np.errstate(over="ignore"):
+                    key = np.asarray([pk], dtype=np.uint64) + np.uint64(
+                        j * max_attempts + attempt
+                    )
+                u = hash_unit(seed, "rpt", key)
+                v = hash_unit(seed, "rpt2", key)
                 x = bx0 + float(u[0]) * (bx1 - bx0)
                 y = by0 + float(v[0]) * (by1 - by0)
                 if points_in_polygon(np.array([x]), np.array([y]), rings)[0]:
@@ -223,3 +229,34 @@ def _level_for_distance(distance: float) -> int:
     while (180.0 / (1 << (level + 1))) >= distance and level < 24:
         level += 1
     return level
+
+
+def random_points_ds(polygons_path: str, n_per_poly: int = 5, seed: int = DEFAULT_SEED, kinds=("reference",)):
+    """Distributed FeatureCollection.randomPoints analog: one map_batches
+    over the polygon table emits ``n_per_poly`` seeded rejection-sampled
+    points per polygon (first accepted of ≤64 bbox attempts, splitmix64
+    streams keyed on (seed, fnv(poly_id), slot) — deterministic and
+    replayed exactly by the SQL oracle).
+
+    Returns Dataset[poly_id, LANDCOVER, pt_idx, lon, lat]."""
+    import pyarrow as _pa
+
+    import ray.data as rd
+
+    def per_batch(t: _pa.Table) -> _pa.Table:
+        polys = []
+        lcs = t.column("LANDCOVER").to_numpy(zero_copy_only=False)
+        ids = t.column("poly_id").to_pylist()
+        rings_col = t.column("rings").to_pylist()
+        for i in range(len(t)):
+            rings = [
+                np.array([[p["x"], p["y"]] for p in ring]) for ring in rings_col[i]
+            ]
+            polys.append((ids[i], int(lcs[i]), rings))
+        df = random_points_in_polygons(polys, n_per_poly, seed=seed)
+        return _pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = rd.read_parquet(polygons_path)
+    expr = " or ".join(f"kind == '{k}'" for k in kinds)
+    ds = ds.filter(expr=expr)
+    return ds.map_batches(per_batch, batch_format="pyarrow")
