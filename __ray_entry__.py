@@ -432,7 +432,7 @@ def q_top_chars(sf_dir: str):
     from kaza_lcms_ray.stages import joins
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    return joins.top_k(docs, "n_chars", 20, "doc_id")[["doc_id", "n_chars"]]
+    return _i64(joins.top_k(docs, "n_chars", 20, "doc_id"), ["doc_id", "n_chars"])
 
 
 def q_focal_count(sf_dir: str):

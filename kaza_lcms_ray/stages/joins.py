@@ -77,19 +77,22 @@ def distinct(ds, cols: list[str]):
 def top_k(ds, value_col: str, k: int, tiebreak_col: str, descending: bool = True):
     """Global top-k by (value, tiebreak) — deterministic under ties.
 
-    Decomposable: per-batch partial top-k, then a driver-side final top-k
-    over ≤ k×n_batches rows (no global sort)."""
+    Dataset-native two-level reduce: per-block partial top-k (≤ k rows
+    leave each block), `repartition(1)`, final top-k over the ≤ k×n_blocks
+    survivors.  No global sort, nothing materializes on the driver; the
+    result is a k-row Dataset sorted (value desc, tiebreak asc)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.select([value_col, tiebreak_col]).to_pandas()
+        df = t.to_pandas()
         df = df.sort_values(
             [value_col, tiebreak_col], ascending=[not descending, True], kind="mergesort"
         ).head(k)
-        full = t.to_pandas().merge(df[[tiebreak_col]], on=tiebreak_col, how="inner")
-        return pa.Table.from_pandas(full, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = partials.sort_values(
-        [value_col, tiebreak_col], ascending=[not descending, True], kind="mergesort"
-    ).head(k)
-    return out.reset_index(drop=True)
+    # batch_size=None on the final stage: the single block must be one
+    # batch, else each sub-batch would emit its own k rows.
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )

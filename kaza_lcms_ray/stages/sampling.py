@@ -138,7 +138,14 @@ def random_points_in_polygons(
     return pd.DataFrame(rows, columns=["poly_id", "LANDCOVER", "lon", "lat", "pt_idx"])
 
 
-def spatial_near_dedup(ds, id_col: str, distance: float, lon_col="lon", lat_col="lat"):
+def spatial_near_dedup(
+    ds,
+    id_col: str,
+    distance: float,
+    lon_col="lon",
+    lat_col="lat",
+    max_pairs: int = 2_000_000,
+):
     """Greedy order-dependent near-dedup (distanceFilter semantics).
 
     The reference keeps iterating matches in feature-id order, dropping any
@@ -205,7 +212,20 @@ def spatial_near_dedup(ds, id_col: str, distance: float, lon_col="lon", lat_col=
             return pd.DataFrame({"a": [], "b": []})
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]}).drop_duplicates()
 
-    pair_ds = fan.groupby("cell").map_groups(pairs, batch_format="pandas")
+    # The greedy survive-iff-no-smaller-id-neighbor pass is inherently
+    # sequential (reference iterate semantics), so the *pair list* — not the
+    # corpus — comes to the driver.  Guard the collection: count on the
+    # materialized pair Dataset first and refuse clearly past ``max_pairs``
+    # rather than OOM-ing the driver on a pathologically dense point set.
+    pair_ds = fan.groupby("cell").map_groups(pairs, batch_format="pandas").materialize()
+    n_pairs = pair_ds.count()
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"spatial_near_dedup: {n_pairs} candidate pairs exceed "
+            f"max_pairs={max_pairs}; the point set is too dense for the "
+            f"reference's sequential greedy semantics — reduce `distance`, "
+            f"pre-thin the input, or raise max_pairs explicitly."
+        )
     pair_df = pair_ds.to_pandas().drop_duplicates().sort_values(["a", "b"])
 
     # exact greedy pass in id order (reference's iterate semantics)

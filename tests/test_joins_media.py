@@ -39,7 +39,7 @@ def test_distinct_and_topk(synth_small, ray_session):
     geo = spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
     years = joins.distinct(geo, ["year"]).to_pandas()
     assert sorted(years["year"]) == [2020, 2021, 2022]
-    top = joins.top_k(geo, "c3", 20, "doc_id")
+    top = joins.top_k(geo, "c3", 20, "doc_id").to_pandas()
     assert len(top) == 20
     # equals the global sort answer
     full = geo.select_columns(["c3", "doc_id"]).to_pandas()
