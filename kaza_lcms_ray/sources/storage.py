@@ -23,16 +23,32 @@ def read_documents(path: str, columns=None, **kwargs):
     if HAVE_LANCE and path.endswith(".lance"):
         return rd.read_lance(path, columns=columns, **kwargs)
     if "override_num_blocks" not in kwargs:
-        # split finer than one-block-per-file: with blocks ≈ files, a session
-        # whose CPU count exceeds the file count runs ragged half-empty
-        # waves (measured: 60 files over 32 slots → ~35% idle tail).  Aim
-        # for ~8 blocks per CPU; parquet row groups make files splittable.
+        # Pin blocks = max(2×CPUs, one-per-file).  Ray's default splitter
+        # cuts each ~50 MB file into ~4 sub-file blocks; at that size the
+        # per-task overhead dominates the downstream stages (measured at
+        # 32 CPUs / 3 M docs: parse 1.7→0.7 s, pip 2.8→1.0 s,
+        # zonal_percentile 4.7→1.4 s — the groupby all-to-all cost is
+        # O(map_blocks × reduce_partitions)).  The max() keeps the rule
+        # scale-safe: when files ≫ cluster slots (the 100 TB case) this is
+        # exactly one block per file — never merges files into giant blocks,
+        # and a handful of files on a big cluster still split for occupancy.
         import ray
 
         if ray.is_initialized():
             cpus = int(ray.cluster_resources().get("CPU", 8))
-            kwargs["override_num_blocks"] = max(64, cpus * 2)
+            kwargs["override_num_blocks"] = max(cpus * 2, _n_files(path))
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _n_files(path) -> int:
+    import glob
+    import os
+
+    if isinstance(path, (list, tuple)):
+        return len(path)
+    if os.path.isdir(path):
+        return len(glob.glob(os.path.join(path, "*.parquet")))
+    return 1
 
 
 def read_table(path: str, columns=None, **kwargs):
