@@ -619,6 +619,34 @@ def q_events_sessions(sf_dir: str):
     )
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase attributed to the same user's most recent
+    prior view (r.ts <= l.ts).  The temporal join Ray Data lacks —
+    co-partition by user, one vectorized searchsorted per group; DuckDB's
+    native ASOF JOIN is the oracle."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(
+        events.asof_join(ev),
+        ["event_id", "user_id", "matched_event_id", "lag_us"],
+    )
+
+
+def q_events_range(sf_dir: str):
+    """Range (interval) join: each error event matched into the containing
+    session interval derived from the user's non-error events — points ×
+    derived-interval containment, co-partitioned by user."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(events.interval_join(ev), ["event_id", "user_id", "session_id"])
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary over lineitem: exact scaled-int
     grouped sums + identical double divisions — the generic columnar
@@ -716,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cloud_shadow": q_cloud_shadow,
         "events_sliding": q_events_sliding,
         "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
+        "events_range": q_events_range,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "docs_in_aoi": q_docs_in_aoi,
@@ -1077,6 +1107,58 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events, SUM(cents) AS value_cents
             FROM c GROUP BY user_id, sid""",
+        "events_range": """
+            WITH o AS (
+                SELECT user_id, event_id, ts,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events WHERE event_type <> 'error'
+            ),
+            s AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR ts - prev > INTERVAL 30 MINUTE
+                               THEN 1 ELSE 0 END AS brk
+                FROM o
+            ),
+            c AS (
+                SELECT *, SUM(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM s
+            ),
+            sess AS (
+                SELECT user_id, MIN(event_id) AS session_id,
+                       MIN(ts) AS t0, MAX(ts) AS t1
+                FROM c GROUP BY user_id, sid
+            ),
+            pts AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            )
+            SELECT p.event_id, p.user_id,
+                   COALESCE(x.session_id, -1) AS session_id
+            FROM pts p LEFT JOIN sess x
+              ON p.user_id = x.user_id AND p.ts BETWEEN x.t0 AND x.t1""",
+        "events_asof": """
+            WITH r AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'view'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) = 1
+            ),
+            l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, l.user_id,
+                   COALESCE(r.event_id, -1) AS matched_event_id,
+                   COALESCE(CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT),
+                            -1) AS lag_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "embed_dup_pairs": """
             SELECT e1.vec_id AS a, e2.vec_id AS b
             FROM embeddings e1, embeddings e2

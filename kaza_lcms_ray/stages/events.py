@@ -118,3 +118,142 @@ def sessionize(ds, gap_minutes: int = 30):
         return out.drop(columns=["sid"])
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def interval_join(ds, point_type: str = "error", gap_minutes: int = 30):
+    """Range join of points into derived intervals — the second temporal
+    join shape Ray Data lacks.
+
+    Each ``point_type`` event is matched to the session interval
+    ``[session_start, session_end]`` (from :func:`sessionize` over ALL
+    events, same gap) of the same user that contains its timestamp.
+    Gap-based sessions are disjoint per user, so a point matches ≤ 1
+    interval; unmatched points keep sentinel session_id -1.
+
+    Plan: harmonize intervals and points into one schema (µs int64
+    endpoints, side tag), union, co-partition by user via
+    ``groupby(user_id).map_groups`` (sessionize's documented partitioning
+    assumption), then one ``np.searchsorted`` over interval starts per
+    group + an end-containment check.  SQL oracle: the sessionize CTE
+    joined on ``ts BETWEEN session_start AND session_end``.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    # sessions derive from the NON-point events, so a point can genuinely
+    # fall between sessions (else each point would trivially contain itself)
+    def non_points(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t.column("event_type"), point_type))
+
+    sessions = sessionize(
+        ds.map_batches(non_points, batch_format="pyarrow"), gap_minutes=gap_minutes
+    )
+
+    def iv_rows(t: pa.Table) -> pa.Table:
+        t0 = t.column("session_start").cast(pa.timestamp("us")).cast(pa.int64())
+        t1 = t.column("session_end").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "t0_us": t0,
+                "t1_us": t1,
+                "id": t.column("session_id").cast(pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def pt_rows(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("event_type"), point_type)
+        t = t.select(["event_id", "user_id", "ts"]).filter(keep)
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "t0_us": ts,
+                "t1_us": ts,
+                "id": t.column("event_id").cast(pa.int64()),
+                "side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    both = sessions.map_batches(iv_rows, batch_format="pyarrow").union(
+        ds.map_batches(pt_rows, batch_format="pyarrow")
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        iv = g[g["side"] == 0].sort_values("t0_us", kind="mergesort")
+        pt = g[g["side"] == 1].sort_values(["t0_us", "id"], kind="mergesort")
+        starts = iv["t0_us"].to_numpy()
+        ends = iv["t1_us"].to_numpy()
+        sids = iv["id"].to_numpy()
+        ts = pt["t0_us"].to_numpy()
+        idx = np.searchsorted(starts, ts, side="right") - 1
+        safe = np.maximum(idx, 0)
+        hit = (idx >= 0) & (ends[safe] >= ts)
+        return pd.DataFrame(
+            {
+                "event_id": pt["id"].to_numpy(),
+                "user_id": pt["user_id"].to_numpy(),
+                "session_id": np.where(hit, sids[safe], np.int64(-1)),
+            }
+        )
+
+    return both.groupby("user_id").map_groups(per_key, batch_format="pandas")
+
+
+def asof_join(
+    ds,
+    left_type: str = "purchase",
+    right_type: str = "view",
+    on: str = "user_id",
+    ts_col: str = "ts",
+):
+    """As-of join — the temporal join Ray Data lacks as a primitive.
+
+    Each ``left_type`` event is matched to the same user's most recent
+    ``right_type`` event with ``r.ts <= l.ts`` (attribution: "which view
+    preceded this purchase").  Plan: prune to the two types and four
+    columns inside ``map_batches`` (nothing else leaves the read), then
+    ``groupby(on).map_groups`` — the same documented partitioning
+    assumption as :func:`sessionize` (one key's events fit one group);
+    inside a group the match is a single vectorized ``np.searchsorted``.
+
+    Determinism: right rows with equal ts keep the max event_id (matching
+    the oracle's QUALIFY dedupe), so DuckDB's ASOF JOIN reproduces the
+    result bit-for-bit.  No-match rows get sentinel -1 (not NULL) in
+    matched_event_id / lag_us so both sides hash identically.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"), value_set=pa.array([left_type, right_type]))
+        return t.select(["event_id", on, ts_col, "event_type"]).filter(keep)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        r = g[g["event_type"] == right_type]
+        r = r[~r[ts_col].duplicated(keep="last")]  # ts-sorted → last = max id
+        left = g[g["event_type"] == left_type]
+        lts = left[ts_col].to_numpy()
+        rts = r[ts_col].to_numpy()
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        safe = np.maximum(idx, 0)
+        rid = r["event_id"].to_numpy()
+        matched = np.where(idx >= 0, rid[safe], np.int64(-1))
+        lag = (lts - rts[safe]).astype("timedelta64[us]").astype(np.int64)
+        lag = np.where(idx >= 0, lag, np.int64(-1))
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(),
+                on: left[on].to_numpy(),
+                "matched_event_id": matched,
+                "lag_us": lag,
+            }
+        )
+
+    return (
+        ds.map_batches(prune, batch_format="pyarrow")
+        .groupby(on)
+        .map_groups(per_key, batch_format="pandas")
+    )

@@ -1,0 +1,96 @@
+"""As-of and interval (range) joins over the events table — the temporal
+join shapes Ray Data lacks as primitives (stages/events.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from kaza_lcms_ray.stages import events
+
+
+def _mk_events():
+    # two users; interleaved views (v) and purchases (p), one orphan purchase
+    rows = [
+        # user 1: view@10, purchase@15 (match 100, lag 5s), view@20,
+        #         purchase@20 (equal ts -> matches 102), purchase@5 (orphan)
+        (100, 10, 1, "view", 1.0),
+        (101, 15, 1, "purchase", 2.0),
+        (102, 20, 1, "view", 3.0),
+        (103, 20, 1, "purchase", 4.0),
+        (104, 5, 1, "purchase", 5.0),
+        # user 2: single view after its purchase -> orphan purchase
+        (200, 50, 2, "purchase", 6.0),
+        (201, 60, 2, "view", 7.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "s", "user_id", "event_type", "value"])
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df.pop("s"), unit="s")
+    return df[["event_id", "ts", "user_id", "event_type", "value"]]
+
+
+def test_asof_join_hand_oracle(ray_session):
+    out = (
+        events.asof_join(rd.from_pandas(_mk_events()).repartition(3))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    got = {r.event_id: (r.matched_event_id, r.lag_us) for r in out.itertuples()}
+    assert got[101] == (100, 5_000_000)
+    assert got[103] == (102, 0)  # equal ts counts as "at or before"
+    assert got[104] == (-1, -1)  # no prior view
+    assert got[200] == (-1, -1)  # view comes later
+    assert set(got) == {101, 103, 104, 200}
+
+
+def test_asof_right_ts_tie_keeps_max_id(ray_session):
+    df = _mk_events()
+    # duplicate view ts for user 1 at s=10 with a higher event_id
+    extra = df.iloc[[0]].assign(event_id=150)
+    ds = rd.from_pandas(pd.concat([df, extra], ignore_index=True))
+    out = events.asof_join(ds).to_pandas()
+    row = out[out.event_id == 101].iloc[0]
+    assert row.matched_event_id == 150
+
+
+def test_interval_join_hand_oracle(ray_session):
+    # sessions from NON-error events (gap 30 min); errors land inside or out
+    rows = [
+        (1, 0, 7, "click", 0.0),
+        (2, 600, 7, "view", 0.0),  # same session as event 1
+        (3, 10_000, 7, "click", 0.0),  # second session (gap > 30 min)
+        (10, 300, 7, "error", 0.0),  # inside session 1
+        (11, 5_000, 7, "error", 0.0),  # between sessions -> -1
+        (12, 10_000, 7, "error", 0.0),  # exactly at session-2 start
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "s", "user_id", "event_type", "value"])
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df.pop("s"), unit="s")
+    out = (
+        events.interval_join(rd.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    got = dict(zip(out.event_id, out.session_id))
+    assert got == {10: 1, 11: -1, 12: 3}
+
+
+def test_interval_join_partition_invariant(ray_session):
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 200_000, n), unit="s"),
+            "user_id": rng.integers(0, 9, n),
+            "event_type": rng.choice(["view", "click", "error"], n),
+            "value": rng.random(n),
+        }
+    )
+    a = events.interval_join(rd.from_pandas(df)).to_pandas().sort_values("event_id")
+    b = (
+        events.interval_join(rd.from_pandas(df).repartition(7))
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
