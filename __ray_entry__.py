@@ -513,6 +513,23 @@ def q_media_thumb(sf_dir: str):
     return _i64(ds, ["doc_id", "span_idx", "media_ref", "thumb_mean"])
 
 
+def q_media_audio(sf_dir: str):
+    """Audio path of the multimodal plumbing: media spans → seeded int16
+    waveform → exact integer features (energy = Σv², peak, zero
+    crossings), value-checked against the SQL hash-chain replay."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import media
+
+    docs = rd.read_parquet(f"{_synth(sf_dir)}/documents").filter(
+        expr=f"doc_id < '{MEDIA_SUBSET}'"
+    )
+    return _i64(
+        media.extract_waveforms(docs),
+        ["doc_id", "span_idx", "media_ref", "energy", "peak", "zero_crossings"],
+    )
+
+
 def q_media_frames(sf_dir: str):
     """Multimodal frame sampling: each media span fans out to 2 frame rows
     decoded from '{ref}#frame{i}' keys; per-frame mean intensity replayed
@@ -732,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lee_sigma": q_lee_sigma,
         "media_decode": q_media_decode,
         "media_thumb": q_media_thumb,
+        "media_audio": q_media_audio,
         "media_frames": q_media_frames,
         "composite_percentiles": q_composite_percentiles,
         "harmonic_windowed": q_harmonic_windowed,
@@ -929,6 +947,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "pip_reference": _pip_reference_sql(geo, root),
         "media_decode": _media_decode_sql(root),
         "media_thumb": _media_thumb_sql(root),
+        "media_audio": _media_audio_sql(root),
         "media_frames": _media_frames_sql(root),
         "lee_sigma": _lee_sigma_sql(root),
         "harmonic_year": _harmonic_year_sql(geo),
@@ -1369,13 +1388,16 @@ def _media_rows_sql(root: str) -> str:
         ) WHERE span.kind = 'media'"""
 
 
-def _media_keyed_sql(base: str, ref_expr: str, extra_cols: str = "") -> str:
+def _media_keyed_sql(
+    base: str, ref_expr: str, extra_cols: str = "", prefix: int | None = None
+) -> str:
     """Append the fake codec's key chain to media rows: kk =
     splitmix64(splitmix64(hash_key(seed,'px') ^ fnv1a(ref_expr)))."""
     from kaza_lcms_ray.state import sqlhash as SH
     from kaza_lcms_ray.stages.media import DeterministicFakeCodec
 
-    prefix = SH.hash_key_prefix(DeterministicFakeCodec().seed, "px")
+    if prefix is None:
+        prefix = SH.hash_key_prefix(DeterministicFakeCodec().seed, "px")
     withf = (
         f"SELECT doc_id, span_idx, media_ref{extra_cols}, "
         f"{SH.fnv1a_chars(ref_expr)} AS rfnv FROM ({base})"
@@ -1439,6 +1461,41 @@ def _media_thumb_sql(root: str) -> str:
         SELECT doc_id, span_idx, media_ref, {mean} AS thumb_mean
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _media_audio_sql(root: str) -> str:
+    """Audio waveform features replayed in SQL: sample j of ref r is
+    splitmix64(kk ^ j) % 65536 − 32768 with kk from the (seed, 'au',
+    fnv(r)) chain; energy/peak are plain grouped aggregates and
+    zero-crossings a lag() window over the sample index."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    n = 512
+    keyed = _media_keyed_sql(
+        _media_rows_sql(root), "media_ref", prefix=SH.hash_key_prefix(11, "au")
+    )
+    perpix = SH.chain_select(
+        f"SELECT doc_id, span_idx, media_ref, kk, "
+        f"unnest(range(0, {n})) AS jj FROM ({keyed})",
+        SH.splitmix_steps(SH.xor64("kk", "jj"), "ph", "k3"),
+    )
+    return f"""
+        WITH vv AS (
+            SELECT doc_id, span_idx, media_ref, jj,
+                   CAST(ph % 65536 AS BIGINT) - 32768 AS v
+            FROM ({perpix})
+        ),
+        ll AS (
+            SELECT *, lag(v) OVER (
+                PARTITION BY doc_id, span_idx, media_ref ORDER BY jj
+            ) AS pv FROM vv
+        )
+        SELECT doc_id, span_idx, media_ref,
+               CAST(SUM(v * v) AS BIGINT) AS energy,
+               MAX(ABS(v)) AS peak,
+               CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM ll GROUP BY doc_id, span_idx, media_ref"""
 
 
 def _media_frames_sql(root: str) -> str:

@@ -232,6 +232,74 @@ class FrameSampler:
         )
 
 
+class AudioWaveformExtractor:
+    """Actor-pool callable: media ref → int16 waveform + audio features.
+
+    The audio analog of MediaDecoder: a real deployment decodes PCM via
+    ffmpeg/soundfile in ``decode_batch``; the stand-in derives a seeded
+    int16 stream per ref (splitmix64 chain keyed (seed, 'au', fnv(ref)),
+    sample j = chain(kk ^ j) % 65536 − 32768 — replayed exactly by the SQL
+    oracle).  Features are exact integers so they hash-compare bit-for-bit:
+
+    - energy:          Σ v²   (≤ 2^40 at 1024 samples — exact int64)
+    - peak:            max |v|
+    - zero_crossings:  #{j : sign(v_j) ≠ sign(v_{j−1})}, sign = (v < 0)
+
+    Output keeps the waveform as list<int16> (zero-copy from the
+    contiguous sample stack) for downstream stages; feature queries
+    project it away before any shuffle.
+    """
+
+    def __init__(self, n_samples: int = 512, seed: int = 11):
+        self.n, self.seed = n_samples, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.hashing import _fnv1a
+
+        refs = batch.column("media_ref").to_pylist()
+        m = len(refs)
+        keys = hash_key(
+            self.seed, "au", np.asarray([_fnv1a(r) for r in refs], dtype=np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            raw = hash_key(
+                np.atleast_1d(keys)[:, None], np.arange(self.n, dtype=np.int64)[None, :]
+            ) % np.uint64(65536)
+        v = raw.astype(np.int64) - 32768  # (m, n) int16-range samples
+        energy = (v * v).sum(axis=1)
+        peak = np.abs(v).max(axis=1) if self.n else np.zeros(m, dtype=np.int64)
+        neg = v < 0
+        zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1).astype(np.int64)
+        wave = pa.ListArray.from_arrays(
+            pa.array(np.arange(m + 1, dtype=np.int32) * self.n),
+            pa.array(v.reshape(-1).astype(np.int16)),
+        )
+        return (
+            batch.append_column("waveform", wave)
+            .append_column("energy", pa.array(energy))
+            .append_column("peak", pa.array(peak))
+            .append_column("zero_crossings", pa.array(zc))
+        )
+
+
+def extract_waveforms(documents, n_samples: int = 512, batch_size: int = 256, concurrency=None):
+    """documents → audio feature table (actor pool; small batches — the
+    waveform payload dominates row size, same sizing rule as decode)."""
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    refs = media_refs(documents)
+    return refs.map_batches(
+        AudioWaveformExtractor,
+        fn_constructor_kwargs={"n_samples": n_samples},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def sample_frames(documents, n_frames: int = 4, decoder: str = "fake", batch_size: int = 128, concurrency=None):
     """documents → frame-sampled media rows (n_frames per media span)."""
     if concurrency is None:

@@ -94,3 +94,26 @@ def test_frame_sampler(synth_small, ray_session):
     one = frames[frames["frame_idx"] == 0].iloc[0]
     two = frames[(frames["media_ref"] == one["media_ref"]) & (frames["frame_idx"] == 1)].iloc[0]
     assert list(one["pixels"]) != list(two["pixels"])
+
+
+def test_audio_waveform_features(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    out = media.extract_waveforms(docs, n_samples=64).limit(40).to_pandas()
+    assert set(
+        ["doc_id", "span_idx", "media_ref", "waveform", "energy", "peak", "zero_crossings"]
+    ) <= set(out.columns)
+    # features recompute exactly from the emitted waveform
+    for _, r in out.head(10).iterrows():
+        v = np.asarray(list(r["waveform"]), dtype=np.int64)
+        assert len(v) == 64
+        assert r["energy"] == int((v * v).sum())
+        assert r["peak"] == int(np.abs(v).max())
+        neg = v < 0
+        assert r["zero_crossings"] == int((neg[1:] != neg[:-1]).sum())
+    # deterministic per ref, distinct across refs
+    ex = media.AudioWaveformExtractor(n_samples=32)
+    import pyarrow as pa
+
+    t = pa.table({"media_ref": ["m://a", "m://a", "m://b"]})
+    w = ex(t).column("waveform").to_pylist()
+    assert w[0] == w[1] and w[0] != w[2]
