@@ -696,6 +696,23 @@ def q_top_customers(sf_dir: str):
     return analytics.top_customers_by_revenue(li, od, cu)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped top-10 orders by exact scaled revenue — the hash
+    Dataset.join path (pre-aggregated lineitem side, broadcast customer
+    key set, sized partitions)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    return _i64(
+        analytics.shipping_priority(li, od, cu),
+        ["l_orderkey", "revenue_scaled", "o_orderdate", "o_orderpriority"],
+    )
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -766,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": q_events_range,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1099,6 +1117,21 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT r.c_custkey, c.c_name, r.revenue_scaled
             FROM r JOIN customer c ON r.c_custkey = c.c_custkey
             ORDER BY r.revenue_scaled DESC, r.c_custkey ASC
+            LIMIT 10""",
+        "shipping_priority": """
+            SELECT l.l_orderkey,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                        AS BIGINT) AS revenue_scaled,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_scaled DESC, l.l_orderkey ASC
             LIMIT 10""",
         "events_sessions": """
             WITH o AS (

@@ -97,7 +97,77 @@ def pricing_summary(lineitem, cutoff: str = PRICING_CUTOFF):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
-def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
+def shipping_priority(
+    lineitem,
+    orders,
+    customer,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+):
+    """TPC-H Q3-shaped shipping priority — the one pipeline that exercises
+    Ray's hash ``Dataset.join`` (vs the broadcast-lookup joins elsewhere).
+
+    Plan: customers of the segment become a broadcast key set (small side —
+    never shuffled); orders are filtered by date + that set; lineitem is
+    filtered by shipdate and PRE-AGGREGATED to exact per-orderkey revenue
+    partials BEFORE the join, so the all-to-all moves one row per order,
+    not one per line item.  The equi-join runs as a hash Dataset.join on
+    l_orderkey with num_partitions sized ≥10k rows/partition (empty hash
+    partitions break Arrow's FieldRef resolution in Ray 2.49), then a
+    Dataset-native top-k by exact scaled revenue.
+    """
+    from ..runtime import join_partitions
+    from ..stages.joins import top_k
+
+    cutoff_ts = np.datetime64(cutoff, "us")
+    cust = customer.to_pandas()
+    keys = np.sort(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+    )
+    keys_ref = ray.put(keys)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        keep = pc.and_(
+            pc.less(t.column("o_orderdate"), pa.scalar(cutoff_ts)),
+            pc.is_in(t.column("o_custkey"), value_set=pa.array(ks)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("l_shipdate"), pa.scalar(cutoff_ts))
+        t = t.filter(keep)
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        tb = pa.table({"l_orderkey": t.column("l_orderkey"), "rev": pa.array(rev)})
+        return tb.group_by(["l_orderkey"]).aggregate([("rev", "sum")]).rename_columns(
+            ["l_orderkey", "rev"]
+        )
+
+    rev_per_order = (
+        lineitem.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue_scaled"))
+    )
+    # partition hint from the (metadata-only) orders count: the join keys
+    # are order keys, so ≥10k rows/partition guards the empty-partition
+    # ArrowInvalid in Ray 2.49 at small scale while still spreading at 100 TB
+    joined = rev_per_order.join(
+        orders.map_batches(orders_f, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=join_partitions(rows_hint=orders.count()),
+        on=("l_orderkey",),
+    )
+    return top_k(joined, "revenue_scaled", k, "l_orderkey")
     """Top-k customers by exact discounted revenue: lineitem → custkey via a
     broadcast orderkey→custkey lookup (orders ≪ lineitem), per-customer
     integer partial sums, tiny final top-k.  Returns a pandas DataFrame
