@@ -70,6 +70,30 @@ def q_cell_encode(sf_dir: str):
     return _i64(_geo(sf_dir), ["doc_id", "span_idx", "cell_id", "tile_id"])
 
 
+def q_hilbert_cells(sf_dir: str):
+    """Hilbert-curve cell ids (the S2-style locality-preserving alternative
+    to the Morton index) for every geo span at CELL_LEVEL — the unrolled
+    reflect+swap loop replayed step-for-step by a linear-CTE SQL oracle."""
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, encode_hilbert, grid_coords
+
+    def add_h(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        hd = encode_hilbert(lon, lat, CELL_LEVEL)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx"),
+                "hilbert_d": pa.array(hd),
+            }
+        )
+
+    return _i64(
+        _geo(sf_dir).map_batches(add_h, batch_format="pyarrow"),
+        ["doc_id", "span_idx", "hilbert_d"],
+    )
+
+
 def q_pip_country(sf_dir: str):
     from kaza_lcms_ray.stages import pip
 
@@ -738,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "geo_parse": q_geo_parse,
         "cell_encode": q_cell_encode,
+        "hilbert_cells": q_hilbert_cells,
         "pip_country": q_pip_country,
         "pip_reference": q_pip_reference,
         "zonal_mean": q_zonal_mean,
@@ -854,6 +879,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
     return {
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
+        "hilbert_cells": _hilbert_sql(root),
         "pip_country": f"""
             WITH {geo},
             cty AS (
@@ -1494,6 +1520,28 @@ def _media_thumb_sql(root: str) -> str:
         SELECT doc_id, span_idx, media_ref, {mean} AS thumb_mean
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _hilbert_sql(root: str) -> str:
+    """Hilbert cell ids replayed in SQL: grid coords via the shared exact
+    floor arithmetic, then the unrolled reflect+swap loop as one linear CTE
+    layer per assignment (cells.hilbert_sql_steps)."""
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        hilbert_sql_steps,
+    )
+
+    ix = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iy = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    base = (
+        f"WITH {_geo_cte(root)} SELECT doc_id, span_idx, {ix} AS hx0, "
+        f"{iy} AS hy0, CAST(0 AS BIGINT) AS hd0 FROM geo"
+    )
+    steps, final = hilbert_sql_steps("hx0", "hy0", "hd0", CELL_LEVEL)
+    chained = SH.chain_select(base, steps)
+    return f"SELECT doc_id, span_idx, {final} AS hilbert_d FROM ({chained})"
 
 
 def _media_audio_sql(root: str) -> str:

@@ -138,6 +138,77 @@ def cell_area_m2(cell_id, level: int) -> np.ndarray:
     return (EARTH_RADIUS_M**2) * dlon * dlat * np.cos(np.deg2rad(lat))
 
 
+def hilbert(ix, iy, level: int) -> np.ndarray:
+    """(ix, iy) → Hilbert-curve distance at ``level`` (vectorized).
+
+    The S2-style alternative to :func:`morton`: consecutive ids are always
+    edge-adjacent cells (unit-step property, tested), so range partitions
+    over the id cut ~2× fewer polygons/neighborhoods than Z-order ranges —
+    the layout choice for range-partitioned side tables.  Classic
+    reflect+swap formulation, 1 vector pass per level; reproduced
+    bit-for-bit in SQL by ``hilbert_sql_steps``.
+    """
+    x = np.asarray(ix, dtype=np.int64).copy()
+    y = np.asarray(iy, dtype=np.int64).copy()
+    d = np.zeros_like(x)
+    n = np.int64(1) << level
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        refl = (ry == 0) & (rx == 1)
+        xr = np.where(refl, n - 1 - x, x)
+        yr = np.where(refl, n - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, yr, xr), np.where(swap, xr, yr)
+        s >>= 1
+    return d
+
+
+def encode_hilbert(lon, lat, level: int) -> np.ndarray:
+    """lon/lat arrays → Hilbert cell ids at ``level``."""
+    ix, iy = grid_coords(lon, lat, level)
+    return hilbert(ix, iy, level)
+
+
+def hilbert_sql_steps(x0: str, y0: str, d0: str, level: int) -> tuple[list, str]:
+    """The Hilbert loop unrolled as (name, expr) steps for
+    ``sqlhash.chain_select`` — one linear CTE layer per assignment, exact
+    BIGINT arithmetic.  Returns (steps, final_distance_column)."""
+    n = 1 << level
+    steps = []
+    x, y, d = x0, y0, d0
+    for k in range(level):
+        s = 1 << (level - 1 - k)
+        rx, ry = f"rx{k}", f"ry{k}"
+        steps.append((rx, f"CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END"))
+        steps.append((ry, f"CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END"))
+        nd, nx, ny = f"hd{k + 1}", f"hx{k + 1}", f"hy{k + 1}"
+        quad = (
+            f"CASE WHEN {rx} = 1 AND {ry} = 0 THEN 3 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 ELSE 0 END"
+        )
+        steps.append((nd, f"{d} + {s * s} * ({quad})"))
+        steps.append(
+            (
+                nx,
+                f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+                f"THEN {n - 1} - {y} ELSE {y} END) ELSE {x} END",
+            )
+        )
+        steps.append(
+            (
+                ny,
+                f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+                f"THEN {n - 1} - {x} ELSE {x} END) ELSE {y} END",
+            )
+        )
+        x, y, d = nx, ny, nd
+    return steps, d
+
+
 def morton_sql_expr(ix_expr: str, iy_expr: str, level: int) -> str:
     """ANSI-SQL expression computing morton(ix, iy) for oracle checks.
 

@@ -53,3 +53,63 @@ def test_cell_area_positive_and_latitude_scaled():
     eq = cells.cell_area_m2(cells.encode(np.array([0.0]), np.array([0.0]), 12), 12)
     hi = cells.cell_area_m2(cells.encode(np.array([0.0]), np.array([60.0]), 12), 12)
     assert eq[0] > hi[0] > 0
+
+
+def test_hilbert_bijection_and_unit_steps():
+    """hilbert() is a true space-filling curve: a bijection onto
+    [0, 4^L) whose consecutive ids are edge-adjacent cells."""
+    for level in (1, 2, 4, 6):
+        n = 1 << level
+        gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        d = cells.hilbert(gx.ravel(), gy.ravel(), level)
+        assert sorted(d.tolist()) == list(range(n * n))
+        order = np.argsort(d)
+        xs, ys = gx.ravel()[order], gy.ravel()[order]
+        assert (np.abs(np.diff(xs)) + np.abs(np.diff(ys)) == 1).all()
+        assert d[0] == 0  # curve starts at the origin
+
+
+def test_hilbert_sql_steps_match_numpy():
+    import pandas as pd
+
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    level = 12
+    lon = hash_unit(3, "hlon", np.arange(3000)) * 7.0 + 20.0
+    lat = hash_unit(3, "hlat", np.arange(3000)) * 7.0 - 20.0
+    expected = cells.encode_hilbert(lon, lat, level)
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"lon": lon, "lat": lat}))
+    ix = cells.grid_coord_sql_expr("lon", 180.0, 360.0, level)
+    iy = cells.grid_coord_sql_expr("lat", 90.0, 180.0, level)
+    base = f"SELECT {ix} AS hx0, {iy} AS hy0, CAST(0 AS BIGINT) AS hd0 FROM pts"
+    steps, final = cells.hilbert_sql_steps("hx0", "hy0", "hd0", level)
+    got = con.sql(
+        f"SELECT {final} AS d FROM ({SH.chain_select(base, steps)})"
+    ).fetchnumpy()["d"]
+    assert (got.astype(np.int64) == expected).all()
+
+
+def test_hilbert_locality_beats_morton():
+    """A square box query decomposes into fewer contiguous id ranges under
+    the Hilbert layout than under Z-order (measured ~1.8× fewer at level 6)
+    — the reason it's the range-partition key of choice: fewer ranges =
+    fewer parquet row-group seeks per spatial query."""
+    level = 6
+    n = 1 << level
+
+    def fragments(enc) -> int:
+        total = 0
+        rng = np.random.default_rng(5)
+        for _ in range(50):
+            x0, y0 = rng.integers(0, n - 8, size=2)
+            gx, gy = np.meshgrid(
+                np.arange(x0, x0 + 8), np.arange(y0, y0 + 8), indexing="ij"
+            )
+            ids = np.sort(enc(gx.ravel(), gy.ravel()))
+            total += int((np.diff(ids) > 1).sum()) + 1
+        return total
+
+    h = fragments(lambda x, y: cells.hilbert(x, y, level))
+    m = fragments(cells.morton)
+    assert h < m * 0.75
