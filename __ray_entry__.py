@@ -737,6 +737,37 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
+def q_local_volume(sf_dir: str):
+    """TPC-H Q5-shaped 6-table pipeline: revenue per nation where supplier
+    and customer share an in-region nation.  Dimension tables broadcast,
+    lineitem pre-aggregated, one hash Dataset.join on orderkey."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.local_supplier_volume(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet"),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        rd.read_parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped promo revenue share: broadcast part-type bitmap,
+    exact integer partials, single global combine."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.promo_revenue(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -809,6 +840,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
+        "local_volume": q_local_volume,
+        "promo_revenue": q_promo_revenue,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1159,6 +1192,40 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue_scaled DESC, l.l_orderkey ASC
             LIMIT 10""",
+        "local_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                        AS BIGINT) AS revenue_scaled
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_scaled DESC, n.n_name ASC""",
+        "promo_revenue": """
+            WITH f AS (
+                SELECT CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                       AS rev,
+                       p.p_type LIKE 'PROMO%' AS is_promo
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+            )
+            SELECT CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+                       AS promo_revenue_scaled,
+                   CAST(SUM(rev) AS BIGINT) AS total_revenue_scaled,
+                   100.0 * CAST(SUM(CASE WHEN is_promo THEN rev ELSE 0 END)
+                                AS DOUBLE)
+                         / CAST(SUM(rev) AS DOUBLE) AS promo_pct
+            FROM f""",
         "events_sessions": """
             WITH o AS (
                 SELECT user_id, event_id, ts,

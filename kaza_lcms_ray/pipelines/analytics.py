@@ -97,6 +97,178 @@ def pricing_summary(lineitem, cutoff: str = PRICING_CUTOFF):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def local_supplier_volume(
+    lineitem,
+    orders,
+    customer,
+    supplier,
+    nation,
+    region,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+):
+    """TPC-H Q5-shaped local supplier volume: revenue per nation where the
+    supplier and the ordering customer share a nation inside one region.
+
+    Partitioning plan for the 6-table shape: region/nation/supplier/customer
+    are dimension tables (grow sub-linearly vs lineitem) — folded into ONE
+    broadcast lookup each; orders is filtered by date and annotated with the
+    customer nation inside ``map_batches``; lineitem is annotated with the
+    supplier nation, filtered to the region, and pre-aggregated per
+    (orderkey, supp_nation) — so the one big-big exchange, the hash
+    Dataset.join on orderkey, moves pre-combined rows only.  Exact ×10⁴
+    integer revenue throughout.
+    """
+    from ..runtime import join_partitions
+
+    t_from = np.datetime64(date_from, "us")
+    t_to = np.datetime64(date_to, "us")
+
+    nat = nation.to_pandas()
+    reg = region.to_pandas()
+    rk = reg.loc[reg["r_name"] == region_name, "r_regionkey"].to_numpy()
+    nat_in = nat[nat["n_regionkey"].isin(rk)]
+    nat_names = dict(zip(nat_in["n_nationkey"].astype(int), nat_in["n_name"]))
+    sup = supplier.to_pandas()
+    cus = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+
+    def lut(keys: np.ndarray, vals: np.ndarray):
+        order = np.argsort(keys)
+        return keys[order], vals[order]
+
+    sk, sv = lut(
+        sup["s_suppkey"].to_numpy(), sup["s_nationkey"].to_numpy().astype(np.int64)
+    )
+    ck, cv = lut(
+        cus["c_custkey"].to_numpy(), cus["c_nationkey"].to_numpy().astype(np.int64)
+    )
+    side_ref = ray.put(
+        {"sk": sk, "sv": sv, "ck": ck, "cv": cv, "nats": np.asarray(sorted(nat_names))}
+    )
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(t_from)),
+            pc.less(t.column("o_orderdate"), pa.scalar(t_to)),
+        )
+        t = t.filter(keep)
+        okey = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["ck"], okey)
+        c_nat = side["cv"][np.clip(pos, 0, side["ck"].shape[0] - 1)]
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "c_nat": pa.array(c_nat),
+            }
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["sk"], skey)
+        s_nat = side["sv"][np.clip(pos, 0, side["sk"].shape[0] - 1)]
+        in_region = np.isin(s_nat, side["nats"])
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        tb = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").take(
+                    pa.array(np.nonzero(in_region)[0])
+                ),
+                "s_nat": pa.array(s_nat[in_region]),
+                "rev": pa.array(rev[in_region]),
+            }
+        )
+        return (
+            tb.group_by(["l_orderkey", "s_nat"])
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "s_nat", "rev"])
+        )
+
+    li = (
+        lineitem.map_batches(li_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "s_nat"])
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    joined = li.join(
+        orders.map_batches(orders_f, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=join_partitions(rows_hint=orders.count()),
+        on=("l_orderkey",),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("s_nat"), t.column("c_nat"))
+        t = t.filter(keep)
+        return pa.table({"n_nationkey": t.column("s_nat"), "rev": t.column("rev")})
+
+    per_nation = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev", alias_name="revenue_scaled"))
+        .to_pandas()
+    )
+    per_nation["n_name"] = per_nation["n_nationkey"].map(dict(nat_names))
+    per_nation = per_nation.sort_values(
+        ["revenue_scaled", "n_name"], ascending=[False, True], kind="mergesort"
+    )
+    return per_nation[["n_name", "revenue_scaled"]].reset_index(drop=True)
+
+
+def promo_revenue(
+    lineitem, part, date_from: str = "1996-09-01", date_to: str = "1996-10-01"
+):
+    """TPC-H Q14-shaped promotion revenue share: broadcast p_partkey →
+    is-promo bitmap, one exact integer partial per block, single global
+    combine, one double division at the end."""
+    import pandas as pd
+
+    t_from = np.datetime64(date_from, "us")
+    t_to = np.datetime64(date_to, "us")
+    pt = part.select_columns(["p_partkey", "p_type"]).to_pandas()
+    keys = pt["p_partkey"].to_numpy()
+    promo = pt["p_type"].str.startswith("PROMO").to_numpy()
+    order = np.argsort(keys)
+    side_ref = ray.put({"keys": keys[order], "promo": promo[order]})
+
+    def partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        keep = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(t_from)),
+            pc.less(t.column("l_shipdate"), pa.scalar(t_to)),
+        )
+        t = t.filter(keep)
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["keys"], pk)
+        is_promo = side["promo"][np.clip(pos, 0, side["keys"].shape[0] - 1)]
+        return pa.table(
+            {
+                "promo_rev": pa.array([int(rev[is_promo].sum())]),
+                "total_rev": pa.array([int(rev.sum())]),
+            }
+        )
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_rev", alias_name="promo_revenue_scaled"),
+        Sum("total_rev", alias_name="total_revenue_scaled"),
+    )
+    p = int(agg["promo_revenue_scaled"])
+    tot = int(agg["total_revenue_scaled"])
+    return pd.DataFrame(
+        {
+            "promo_revenue_scaled": [p],
+            "total_revenue_scaled": [tot],
+            "promo_pct": [100.0 * float(p) / float(tot)],
+        }
+    )
+
+
 def shipping_priority(
     lineitem,
     orders,
