@@ -340,6 +340,9 @@ def shipping_priority(
         on=("l_orderkey",),
     )
     return top_k(joined, "revenue_scaled", k, "l_orderkey")
+
+
+def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
     """Top-k customers by exact discounted revenue: lineitem → custkey via a
     broadcast orderkey→custkey lookup (orders ≪ lineitem), per-customer
     integer partial sums, tiny final top-k.  Returns a pandas DataFrame
