@@ -768,6 +768,31 @@ def q_promo_revenue(sf_dir: str):
     )
 
 
+def q_hll_distinct(sf_dir: str):
+    """Deterministic HyperLogLog distinct counts (doc texts @p=6 raw-HLL
+    branch, event users @p=12 linear-counting branch).  The sketch combine
+    is ≤2^p register rows regardless of data size; the DuckDB oracle
+    replays hash chain, registers, exact 2^-r fold and branch logic to the
+    identical double."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import sketch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return pd.DataFrame(
+        {
+            "name": ["doc_text", "user_id"],
+            "p": [6, 12],
+            "estimate": [
+                sketch.hll_count(docs, "text", 6),
+                sketch.hll_count(ev, "user_id", 12),
+            ],
+        }
+    )
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -842,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q_shipping_priority,
         "local_volume": q_local_volume,
         "promo_revenue": q_promo_revenue,
+        "hll_distinct": q_hll_distinct,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1252,6 +1278,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events, SUM(cents) AS value_cents
             FROM c GROUP BY user_id, sid""",
+        "hll_distinct": _hll_sql(),
         "events_range": """
             WITH o AS (
                 SELECT user_id, event_id, ts,
@@ -1587,6 +1614,18 @@ def _media_thumb_sql(root: str) -> str:
         SELECT doc_id, span_idx, media_ref, {mean} AS thumb_mean
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref"""
+
+
+def _hll_sql() -> str:
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.stages import sketch
+
+    doc = sketch.hll_sql("documents", SH.fnv1a_chars("text"), 6)
+    usr = sketch.hll_sql("events", "CAST(user_id AS HUGEINT)", 12)
+    return f"""
+        SELECT 'doc_text' AS name, 6 AS p, {doc} AS estimate
+        UNION ALL
+        SELECT 'user_id' AS name, 12 AS p, {usr} AS estimate"""
 
 
 def _hilbert_sql(root: str) -> str:

@@ -1,0 +1,44 @@
+"""Deterministic HyperLogLog sketch (stages/sketch.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from kaza_lcms_ray.stages import sketch
+
+
+def _ds(values):
+    return rd.from_pandas(pd.DataFrame({"v": values}))
+
+
+def test_hll_accuracy_raw_branch(ray_session):
+    # 50k distinct ints at p=12: relative error within 3·1.04/√m ≈ 4.9%
+    n, p = 50_000, 12
+    est = sketch.hll_count(_ds(np.arange(n, dtype=np.int64)), "v", p)
+    assert abs(est - n) / n < 3 * 1.04 / np.sqrt(1 << p)
+
+
+def test_hll_linear_counting_branch(ray_session):
+    # 100 distinct at p=12 → linear-counting branch, near-exact
+    est = sketch.hll_count(_ds(np.arange(100, dtype=np.int64)), "v", 12)
+    assert abs(est - 100) < 3
+
+
+def test_hll_duplicates_do_not_move_estimate(ray_session):
+    a = sketch.hll_count(_ds(np.arange(1000, dtype=np.int64)), "v", 10)
+    dup = np.tile(np.arange(1000, dtype=np.int64), 7)
+    b = sketch.hll_count(_ds(dup), "v", 10)
+    assert a == b
+
+
+def test_hll_partition_invariant(ray_session):
+    vals = np.arange(5000, dtype=np.int64)
+    a = sketch.hll_count(_ds(vals), "v", 10)
+    b = sketch.hll_count(_ds(vals).repartition(13), "v", 10)
+    assert a == b
+
+
+def test_hll_string_column(ray_session):
+    vals = [f"doc-{i}" for i in range(2000)]
+    est = sketch.hll_count(_ds(vals), "v", 11)
+    assert abs(est - 2000) / 2000 < 3 * 1.04 / np.sqrt(1 << 11)
