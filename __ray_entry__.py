@@ -114,6 +114,21 @@ def q_pip_reference(sf_dir: str):
     return _i64(joined, ["doc_id", "span_idx", "poly_id", "LANDCOVER"])
 
 
+def q_zonal_cov(sf_dir: str):
+    """Per-cell band covariance matrix (upper triangle over c0/c3/c4):
+    decomposable exact-int partials (n, Σc, Σc·c), bucketed combine, one
+    pinned double formula — the derive-your-own-transform statistic."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.zonal_covariance(_geo(sf_dir)),
+        [
+            "cell_id", "year", "n", "cov_c0_c0", "cov_c0_c3", "cov_c0_c4",
+            "cov_c3_c3", "cov_c3_c4", "cov_c4_c4",
+        ],
+    )
+
+
 def q_zonal_mean(sf_dir: str):
     from kaza_lcms_ray.stages import zonal
 
@@ -822,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_country": q_pip_country,
         "pip_reference": q_pip_reference,
         "zonal_mean": q_zonal_mean,
+        "zonal_cov": q_zonal_cov,
         "zonal_percentile": q_zonal_percentile,
         "knn_plots": q_knn_plots,
         "tile_labels": q_tile_labels,
@@ -955,6 +971,17 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT cell_id, "year", COUNT(*) AS n,
                    CAST(SUM(c0) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b0,
                    CAST(SUM(c3) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
+            FROM cells GROUP BY cell_id, "year" """,
+        "zonal_cov": f"""
+            WITH {geo}, {cells}
+            SELECT cell_id, "year", COUNT(*) AS n,
+                   {", ".join(
+                       f'(CAST(SUM(c{i} * c{j}) AS DOUBLE)'
+                       f' - CAST(SUM(c{i}) AS DOUBLE) * CAST(SUM(c{j}) AS DOUBLE)'
+                       f' / CAST(COUNT(*) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)'
+                       f' AS cov_c{i}_c{j}'
+                       for i, j in [(0, 0), (0, 3), (0, 4), (3, 3), (3, 4), (4, 4)]
+                   )}
             FROM cells GROUP BY cell_id, "year" """,
         "zonal_percentile": f"""
             WITH {geo}, {cells}

@@ -128,6 +128,62 @@ def zonal_counts(geo, keys=("cell_id", "year"), bands=(0, 1, 2, 3, 4, 5)):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def zonal_covariance(geo, keys=("cell_id", "year"), bands=(0, 3, 4)):
+    """Per-key band covariance matrix (upper triangle) — the statistic
+    transform derivations like Tasseled Cap start from (the reference ships
+    fixed coefficients, src/utils/model_inputs.py; this is the "derive your
+    own" analog over any AOI).
+
+    Fully decomposable and exact until the final division: partials carry
+    n, Σc_i and Σc_i·c_j as int64 over the ×100 scaled ints (products
+    ≤ 3.2e11, per-group sums ≪ 2⁶³ at cell granularity), combined by
+    ``bucketed_sum``; cov_ij = (S_ij − S_i·S_j/n)/n evaluated with the
+    identical double operation order as the SQL oracle.
+    """
+    keys = list(keys)
+    cent = [f"c{b}" for b in bands]
+    pairs = [(i, j) for ii, i in enumerate(bands) for j in bands[ii:]]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t.column(k) for k in keys}
+        arrs = {
+            b: t.column(f"c{b}").to_numpy(zero_copy_only=False).astype(np.int64)
+            for b in bands
+        }
+        for b in bands:
+            cols[f"s_{b}"] = pa.array(arrs[b])
+        for i, j in pairs:
+            cols[f"s_{i}_{j}"] = pa.array(arrs[i] * arrs[j])
+        tb = pa.table(cols)
+        sums = [(c, "sum") for c in tb.column_names if c not in keys]
+        out = tb.group_by(keys).aggregate(sums + [([], "count_all")])
+        return out.rename_columns(keys + [c for c, _ in sums] + ["n"])
+
+    sum_cols = [f"s_{b}" for b in bands] + [f"s_{i}_{j}" for i, j in pairs] + ["n"]
+    agg = bucketed_sum(
+        geo.select_columns(keys + cent).map_batches(partial, batch_format="pyarrow"),
+        keys,
+        sum_cols,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = {
+            b: t.column(f"s_{b}").to_numpy(zero_copy_only=False).astype(np.float64)
+            for b in bands
+        }
+        cols = {k: t.column(k) for k in keys}
+        cols["n"] = t.column("n")
+        for i, j in pairs:
+            sij = t.column(f"s_{i}_{j}").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            cols[f"cov_c{i}_c{j}"] = pa.array((sij - s[i] * s[j] / n) / n)
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def interp_percentile(sorted_vals: np.ndarray, p: float) -> float:
     """Linear-interpolated percentile, pinned BIT-EXACT to DuckDB's
     quantile_cont: h = (n−1)·q; v = (1−frac)·x[⌊h⌋] + frac·x[⌊h⌋+1]
