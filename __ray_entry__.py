@@ -94,6 +94,17 @@ def q_hilbert_cells(sf_dir: str):
     )
 
 
+def q_doc_profile(sf_dir: str):
+    """Per-document interleaved-span inventory (n_geo/n_text/n_media +
+    text chars) — entirely row-local, one stateless map pass, no shuffle."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.doc_profiles(_docs(sf_dir)),
+        ["doc_id", "n_geo", "n_text", "n_media", "text_chars"],
+    )
+
+
 def q_pip_country(sf_dir: str):
     from kaza_lcms_ray.stages import pip
 
@@ -834,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_parse": q_geo_parse,
         "cell_encode": q_cell_encode,
         "hilbert_cells": q_hilbert_cells,
+        "doc_profile": q_doc_profile,
         "pip_country": q_pip_country,
         "pip_reference": q_pip_reference,
         "zonal_mean": q_zonal_mean,
@@ -955,6 +967,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
         "hilbert_cells": _hilbert_sql(root),
+        "doc_profile": f"""
+            SELECT doc_id,
+                   CAST(length(list_filter(spans, s -> s.kind = 'geo'))
+                        AS BIGINT) AS n_geo,
+                   CAST(length(list_filter(spans, s -> s.kind = 'text'))
+                        AS BIGINT) AS n_text,
+                   CAST(length(list_filter(spans, s -> s.kind = 'media'))
+                        AS BIGINT) AS n_media,
+                   CAST(coalesce(list_sum(list_transform(
+                        list_filter(spans, s -> s.kind = 'text'),
+                        s -> length(s.text))), 0) AS BIGINT) AS text_chars
+            FROM read_parquet('{root}/documents/part-*.parquet')""",
         "pip_country": f"""
             WITH {geo},
             cty AS (

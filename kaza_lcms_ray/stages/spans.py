@@ -95,6 +95,36 @@ def geo_obs(documents, batch_size: int | None = None):
     )
 
 
+def doc_profile_batch(batch: pa.Table) -> pa.Table:
+    """Per-document span-kind profile: (doc_id, n_geo, n_text, n_media,
+    text_chars).  The interleaved-payload inventory — entirely row-local
+    (a document's spans live in its own row), so the whole profile is ONE
+    stateless map pass: no shuffle, no join, at any scale."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    offs = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offs)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+    chars = pc.utf8_length(flat.field("text")).to_numpy(zero_copy_only=False)
+    n = len(batch)
+    out = {"doc_id": batch.column("doc_id")}
+    for kind in ("geo", "text", "media"):
+        cnt = np.zeros(n, dtype=np.int64)
+        np.add.at(cnt, doc_idx, (kinds == kind).astype(np.int64))
+        out[f"n_{kind}"] = pa.array(cnt)
+    tc = np.zeros(n, dtype=np.int64)
+    np.add.at(tc, doc_idx, np.where(kinds == "text", chars, 0))
+    out["text_chars"] = pa.array(tc)
+    return pa.table(out)
+
+
+def doc_profiles(documents):
+    return documents.map_batches(doc_profile_batch, batch_format="pyarrow")
+
+
 def span_signature_batch(batch: pa.Table) -> pa.Table:
     """Per-doc fingerprint of the spans sequence (kind|text|media_ref|order).
 
