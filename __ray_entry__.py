@@ -140,6 +140,17 @@ def q_zonal_cov(sf_dir: str):
     )
 
 
+def q_top_per_cell(sf_dir: str):
+    """Grouped top-k (row_number-per-partition primitive): the 2 brightest
+    NIR observations per cell — per-block prune then bucketed combine, no
+    global sort."""
+    from kaza_lcms_ray.stages import joins
+
+    ds = _geo(sf_dir).select_columns(["cell_id", "doc_id", "span_idx", "c3"])
+    out = joins.top_k_per_group(ds, ["cell_id"], "c3", 2, ["doc_id", "span_idx"])
+    return _i64(out, ["cell_id", "doc_id", "span_idx", "c3"])
+
+
 def q_zonal_mean(sf_dir: str):
     from kaza_lcms_ray.stages import zonal
 
@@ -850,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_reference": q_pip_reference,
         "zonal_mean": q_zonal_mean,
         "zonal_cov": q_zonal_cov,
+        "top_per_cell": q_top_per_cell,
         "zonal_percentile": q_zonal_percentile,
         "knn_plots": q_knn_plots,
         "tile_labels": q_tile_labels,
@@ -996,6 +1008,13 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    CAST(SUM(c0) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b0,
                    CAST(SUM(c3) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
             FROM cells GROUP BY cell_id, "year" """,
+        "top_per_cell": f"""
+            WITH {geo}, {cells}
+            SELECT cell_id, doc_id, span_idx, c3 FROM cells
+            QUALIFY row_number() OVER (
+                PARTITION BY cell_id
+                ORDER BY c3 DESC, doc_id ASC, span_idx ASC
+            ) <= 2""",
         "zonal_cov": f"""
             WITH {geo}, {cells}
             SELECT cell_id, "year", COUNT(*) AS n,

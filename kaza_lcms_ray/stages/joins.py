@@ -74,6 +74,42 @@ def distinct(ds, cols: list[str]):
     )
 
 
+def top_k_per_group(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    tiebreak_cols: list[str],
+    descending: bool = True,
+):
+    """Grouped top-k (the row_number()-per-partition primitive) as a
+    decomposable two-phase plan: per-block top-k per group (≤ k rows per
+    (block, group) survive), then a hash-bucketed combine running the
+    identical kernel per bucket — top-k of per-block top-ks is exact, and
+    the (value, tiebreaks) sort makes ties deterministic at any
+    parallelism.  No global sort; the shuffle moves ≤ k·groups·blocks
+    pre-pruned rows."""
+    from .zonal import _add_bucket, _default_buckets
+
+    by = group_cols + [value_col] + tiebreak_cols
+    asc = [True] * len(group_cols) + [not descending] + [True] * len(tiebreak_cols)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        return df.groupby(group_cols, as_index=False, sort=False).head(k)
+
+    partial = ds.map_batches(
+        lambda t: pa.Table.from_pandas(kernel(t.to_pandas()), preserve_index=False),
+        batch_format="pyarrow",
+    )
+    return (
+        _add_bucket(partial, group_cols, _default_buckets())
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pandas")
+        .drop_columns(["bucket"])
+    )
+
+
 def top_k(ds, value_col: str, k: int, tiebreak_col: str, descending: bool = True):
     """Global top-k by (value, tiebreak) — deterministic under ties.
 
