@@ -725,6 +725,31 @@ def q_events_range(sf_dir: str):
     return _i64(events.interval_join(ev), ["event_id", "user_id", "session_id"])
 
 
+def q_events_running(sf_dir: str):
+    """Per-user running value total ordered by (ts, event_id) — the
+    cumulative window aggregate, exact integer prefix sums."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(events.running_totals(ev), ["event_id", "user_id", "cum_cents"])
+
+
+def q_events_pivot(sf_dir: str):
+    """Per-user event-type count matrix (pivot as conditional-count
+    partials + one Sum combine)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(
+        events.pivot_counts(ev),
+        ["user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"],
+    )
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary over lineitem: exact scaled-int
     grouped sums + identical double divisions — the generic columnar
@@ -902,6 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
         "events_range": q_events_range,
+        "events_running": q_events_running,
+        "events_pivot": q_events_pivot,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
@@ -1349,6 +1376,21 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    COUNT(*) AS n_events, SUM(cents) AS value_cents
             FROM c GROUP BY user_id, sid""",
         "hll_distinct": _hll_sql(),
+        "events_running": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cum_cents
+            FROM events""",
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id""",
         "events_range": """
             WITH o AS (
                 SELECT user_id, event_id, ts,

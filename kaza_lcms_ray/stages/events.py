@@ -120,6 +120,62 @@ def sessionize(ds, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def running_totals(ds, key: str = "user_id", ts_col: str = "ts", val_col: str = "value"):
+    """Per-key cumulative sum ordered by (ts, event_id) — the running
+    window aggregate (SUM OVER ... ROWS UNBOUNDED PRECEDING) Ray Data has
+    no primitive for.  Co-partition by key, one in-group mergesort +
+    integer cumsum; exact ×100 cents so the prefix sums are bit-stable
+    regardless of how blocks arrived."""
+    import numpy as np
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        cents = np.rint(g[val_col].to_numpy() * 100.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                key: g[key].to_numpy(),
+                "cum_cents": np.cumsum(cents),
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col, val_col])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def pivot_counts(ds, key: str = "user_id", cat_col: str = "event_type", cats=None):
+    """Pivot: one row per key with a count column per category — expressed
+    as per-block conditional-count partials + one Sum combine (never a
+    per-category shuffle).  ``cats`` must be the closed category list (the
+    schema can't depend on data at plan time)."""
+    from ray.data.aggregate import Sum
+
+    cats = list(cats or ("click", "view", "purchase", "signup", "error"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = t.column(key).to_numpy(zero_copy_only=False)
+        ct = t.column(cat_col).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(keys, return_inverse=True)
+        cols = {key: pa.array(uk)}
+        for c in cats:
+            cnt = np.zeros(uk.shape[0], dtype=np.int64)
+            np.add.at(cnt, inv, (ct == c).astype(np.int64))
+            cols[f"n_{c}"] = pa.array(cnt)
+        return pa.table(cols)
+
+    return (
+        ds.select_columns([key, cat_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in cats])
+    )
+
+
 def interval_join(ds, point_type: str = "error", gap_minutes: int = 30):
     """Range join of points into derived intervals — the second temporal
     join shape Ray Data lacks.
