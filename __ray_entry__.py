@@ -399,6 +399,23 @@ def q_minhash_pairs(sf_dir: str):
     return dedup.minhash_candidate_pairs(docs, "text", "doc_id")
 
 
+def q_jaccard_verified(sf_dir: str):
+    """LSH candidate pairs verified by exact k-shingle Jaccard through the
+    distributed hash-join path (pairs ⋈ texts, never driver-side) — the
+    near-dup verification stage, value-checked including the Jaccard
+    doubles themselves."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id").materialize()
+    out = dedup._verify_pairs_distributed(
+        docs, cand, "text", "doc_id", k=5, threshold=0.4, n_pairs=cand.count()
+    )
+    return out.select_columns(["a", "b", "jaccard"])
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data as rd
 
@@ -899,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_verified": q_jaccard_verified,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
@@ -1142,6 +1160,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "distinct_years": f'WITH {geo} SELECT DISTINCT "year" FROM geo',
         "fingerprints": _fingerprints_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
+        "jaccard_verified": _jaccard_verified_sql(),
         "simhash": _simhash_sql(),
         "text_scores": _text_scores_sql(),
         "pip_reference": _pip_reference_sql(geo, root),
@@ -1591,6 +1610,45 @@ def _minhash_pairs_sql() -> str:
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM fl x JOIN fl y
           ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id"""
+
+
+def _jaccard_verified_sql() -> str:
+    """Exact hashed-shingle Jaccard per LSH candidate pair: the distinct
+    shingle-hash sets are the same rolling-hash + splitmix chain the
+    minhash oracle replays; intersection/union by self-join; the division
+    of two exact integers matches the engine's python int/int double."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    k = 5
+    pos_base = f"""
+        SELECT doc_id, text, least({k}, length(text)) AS win,
+               unnest(range(1, length(text) - least({k}, length(text)) + 2)) AS pos
+        FROM documents WHERE length(text) > 0"""
+    rh = SH.rolling_poly_window("text", "pos", "win")
+    shq = SH.chain_select(
+        f"SELECT doc_id, {rh} AS rh FROM ({pos_base})",
+        SH.splitmix_steps("rh", "sh", "s"),
+    )
+    return f"""
+        WITH pairs AS ({_minhash_pairs_sql()}),
+        shd AS (SELECT DISTINCT doc_id, sh FROM ({shq})),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT p.a, p.b, COUNT(*) AS ni
+            FROM pairs p
+            JOIN shd sa ON sa.doc_id = p.a
+            JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+            GROUP BY p.a, p.b
+        )
+        SELECT a, b, jaccard FROM (
+            SELECT p.a, p.b,
+                   COALESCE(i.ni, 0) / CAST(za.nsh + zb.nsh - COALESCE(i.ni, 0)
+                                            AS DOUBLE) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+            JOIN sizes za ON za.doc_id = p.a
+            JOIN sizes zb ON zb.doc_id = p.b
+        ) WHERE jaccard >= 0.4"""
 
 
 def _pip_reference_sql(geo: str, root: str) -> str:
