@@ -742,6 +742,17 @@ def q_events_range(sf_dir: str):
     return _i64(events.interval_join(ev), ["event_id", "user_id", "session_id"])
 
 
+def q_events_props(sf_dir: str):
+    """Schema-on-read JSON extraction from the props column (vectorized
+    Arrow regex, no per-row json.loads) + exact grouped rollup."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(events.extract_props_key(ev), ["event_type", "sum_k", "n"])
+
+
 def q_events_running(sf_dir: str):
     """Per-user running value total ordered by (ts, event_id) — the
     cumulative window aggregate, exact integer prefix sums."""
@@ -947,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": q_events_range,
         "events_running": q_events_running,
         "events_pivot": q_events_pivot,
+        "events_props": q_events_props,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
@@ -1395,6 +1407,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    COUNT(*) AS n_events, SUM(cents) AS value_cents
             FROM c GROUP BY user_id, sid""",
         "hll_distinct": _hll_sql(),
+        "events_props": """
+            SELECT event_type,
+                   CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT), -1)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type""",
         "events_running": """
             SELECT event_id, user_id,
                    SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

@@ -120,6 +120,32 @@ def sessionize(ds, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
 
 
+def extract_props_key(ds, field: str = "k"):
+    """Semi-structured extraction: pull an integer field out of the JSON
+    ``props`` string column with one vectorized Arrow regex per batch (no
+    per-row json.loads), keeping rows where the field is absent as -1.
+    Then an exact grouped rollup per event_type (n, sum) — the
+    schema-on-read pattern over a 100 TB log table."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), pattern=f'"{field}": (?P<v>-?[0-9]+)')
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        v = pc.fill_null(v, -1)
+        tb = pa.table({"event_type": t.column("event_type"), "v": v})
+        out = tb.group_by(["event_type"]).aggregate([("v", "sum"), ([], "count_all")])
+        return out.rename_columns(["event_type", "sum_k", "n"])
+
+    return (
+        ds.select_columns(["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+
+
 def running_totals(ds, key: str = "user_id", ts_col: str = "ts", val_col: str = "value"):
     """Per-key cumulative sum ordered by (ts, event_id) — the running
     window aggregate (SUM OVER ... ROWS UNBOUNDED PRECEDING) Ray Data has
