@@ -764,6 +764,17 @@ def q_events_running(sf_dir: str):
     return _i64(events.running_totals(ev), ["event_id", "user_id", "cum_cents"])
 
 
+def q_events_gaps(sf_dir: str):
+    """lag() window navigation: per-user microseconds since the previous
+    event (first event -1)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return _i64(events.event_gaps(ev), ["event_id", "user_id", "gap_us"])
+
+
 def q_events_pivot(sf_dir: str):
     """Per-user event-type count matrix (pivot as conditional-count
     partials + one Sum combine)."""
@@ -959,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "events_pivot": q_events_pivot,
         "events_props": q_events_props,
+        "events_gaps": q_events_gaps,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
@@ -1413,6 +1425,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                                           AS BIGINT), -1)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type""",
+        "events_gaps": """
+            SELECT event_id, user_id,
+                   COALESCE(CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS BIGINT), -1) AS gap_us
+            FROM events""",
         "events_running": """
             SELECT event_id, user_id,
                    SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

@@ -172,6 +172,34 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts", val_col: str = 
     )
 
 
+def event_gaps(ds, key: str = "user_id", ts_col: str = "ts"):
+    """lag()-style window navigation: per key, microseconds since the
+    previous event in (ts, event_id) order (first event → sentinel -1).
+    Co-partition by key + one in-group mergesort — the same partitioning
+    contract as sessionize/running_totals."""
+    import numpy as np
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(ts.shape[0], dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                key: g[key].to_numpy(),
+                "gap_us": gap,
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
 def pivot_counts(ds, key: str = "user_id", cat_col: str = "event_type", cats=None):
     """Pivot: one row per key with a count column per category — expressed
     as per-block conditional-count partials + one Sum combine (never a
