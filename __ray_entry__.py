@@ -894,6 +894,24 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+CMS_PROBES = ["join", "hash", "row", "batch", "scan", "table", "spark", "zzz-absent"]
+
+
+def q_cms_heavy(sf_dir: str):
+    """Count-Min sketch frequency estimates for probe tokens over the
+    document token stream — depth×width counters only ever leave the
+    combine; the oracle replays buckets, counters and the min fold."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import sketch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    counters = sketch.cms_counters(docs, "text").to_pandas()
+    est = sketch.cms_estimate(counters, CMS_PROBES)
+    return pd.DataFrame({"token": CMS_PROBES, "est": est}).astype({"est": "int64"})
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -977,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_volume": q_local_volume,
         "promo_revenue": q_promo_revenue,
         "hll_distinct": q_hll_distinct,
+        "cms_heavy": q_cms_heavy,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1419,6 +1438,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    COUNT(*) AS n_events, SUM(cents) AS value_cents
             FROM c GROUP BY user_id, sid""",
         "hll_distinct": _hll_sql(),
+        "cms_heavy": __import__(
+            "kaza_lcms_ray.stages.sketch", fromlist=["sketch"]
+        ).cms_sql("documents", "text", CMS_PROBES),
         "events_props": """
             SELECT event_type,
                    CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k')

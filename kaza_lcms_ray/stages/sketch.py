@@ -110,6 +110,120 @@ def hll_count(ds, col: str, p: int, seed: int = HLL_SEED) -> float:
     return estimate_from_registers(regs, p)
 
 
+CMS_SEED = 23
+
+
+def cms_counters(ds, text_col: str, depth: int = 4, width: int = 1024, seed: int = CMS_SEED):
+    """Count-Min sketch over the whitespace token stream of ``text_col``.
+
+    The heavy-hitter / frequency-estimation structure: per-block partial
+    counter increments grouped by (row, bucket), one Sum combine — the
+    driver and every downstream consumer touch only depth×width counter
+    rows, never the token stream.  bucket_r(tok) =
+    splitmix(hash_key(seed, r) ^ fnv(tok)) % width, replayed exactly in
+    SQL."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    row_keys = [int(hash_key(seed, r)) for r in range(depth)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
+        ).to_pylist()
+        if not toks:
+            return pa.table(
+                {
+                    "r": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        h = np.asarray([_fnv1a(s) for s in toks], dtype=np.uint64)
+        rs, buckets = [], []
+        from ..state.hashing import splitmix64
+
+        for r in range(depth):
+            with np.errstate(over="ignore"):
+                b = (splitmix64(np.uint64(row_keys[r]) ^ h) % np.uint64(width)).astype(
+                    np.int64
+                )
+            rs.append(np.full(b.shape[0], r, dtype=np.int64))
+            buckets.append(b)
+        tb = pa.table({"r": pa.array(np.concatenate(rs)), "bucket": pa.array(np.concatenate(buckets))})
+        out = tb.group_by(["r", "bucket"]).aggregate([([], "count_all")])
+        return out.rename_columns(["r", "bucket", "n"])
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["r", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cms_estimate(counters_df, probes: list[str], depth: int = 4, width: int = 1024, seed: int = CMS_SEED):
+    """Point-estimate token counts from the combined counters: min over
+    the depth rows of each probe's bucket counters (0 for never-touched
+    buckets).  Classic CMS guarantee: est ≥ true, est ≤ true + εN w.h.p."""
+    from ..state.hashing import splitmix64
+
+    lut = {
+        (int(r), int(b)): int(n)
+        for r, b, n in zip(counters_df["r"], counters_df["bucket"], counters_df["n"])
+    }
+    out = []
+    for tok in probes:
+        h = np.uint64(_fnv1a(tok))
+        est = None
+        for r in range(depth):
+            with np.errstate(over="ignore"):
+                b = int(splitmix64(np.uint64(int(hash_key(seed, r))) ^ h) % np.uint64(width))
+            c = lut.get((r, b), 0)
+            est = c if est is None else min(est, c)
+        out.append(est)
+    return out
+
+
+def cms_sql(table_expr: str, text_col: str, probes: list[str], depth: int = 4, width: int = 1024, seed: int = CMS_SEED) -> str:
+    """DuckDB replay: token stream → per-row bucket counters → min over
+    rows per probe token.  Same splitmix chain, pure integer."""
+    from ..state import sqlhash as SH
+
+    row_keys = [SH.hug(int(hash_key(seed, r))) for r in range(depth)]
+    toks = f"""
+        SELECT unnest(string_split(lower({text_col}), ' ')) AS tok
+        FROM {table_expr}"""
+    fnv = SH.fnv1a_chars("tok")
+    rows = " UNION ALL ".join(
+        f"SELECT r, CAST(bh % {width} AS BIGINT) AS bucket FROM ("
+        + SH.chain_select(
+            f"SELECT {r} AS r, {fnv} AS th FROM ({toks})",
+            SH.splitmix_steps(SH.xor64(row_keys[r], "th"), "bh", f"c{r}"),
+        )
+        + ")"
+        for r in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS tok" for t in probes
+    )
+    probe_buckets = " UNION ALL ".join(
+        f"SELECT tok, {r} AS r, CAST(bh % {width} AS BIGINT) AS bucket "
+        f"FROM ({SH.chain_select(f'SELECT tok, {fnv} AS th FROM (' + probe_rows + ')', SH.splitmix_steps(SH.xor64(row_keys[r], 'th'), 'bh', f'p{r}'))})"
+        for r in range(depth)
+    )
+    return f"""
+        WITH counters AS (
+            SELECT r, bucket, COUNT(*) AS n FROM ({rows}) GROUP BY r, bucket
+        ),
+        pb AS ({probe_buckets})
+        SELECT pb.tok AS token,
+               CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est
+        FROM pb LEFT JOIN counters c ON c.r = pb.r AND c.bucket = pb.bucket
+        GROUP BY pb.tok"""
+
+
 def hll_sql(table_expr: str, col_expr: str, p: int, seed: int = HLL_SEED) -> str:
     """DuckDB replay of the full sketch: same hash chain, same rho, same
     exact register fold, same branch logic — returns a scalar subquery

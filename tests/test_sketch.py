@@ -42,3 +42,31 @@ def test_hll_string_column(ray_session):
     vals = [f"doc-{i}" for i in range(2000)]
     est = sketch.hll_count(_ds(vals), "v", 11)
     assert abs(est - 2000) / 2000 < 3 * 1.04 / np.sqrt(1 << 11)
+
+
+def test_cms_overestimates_never_under(ray_session):
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(words, 40)) for _ in range(200)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    counters = sketch.cms_counters(ds, "text").to_pandas()
+    import collections
+
+    true = collections.Counter(w for t in texts for w in t.split(" "))
+    probes = words[:10] + ["never-seen"]
+    ests = sketch.cms_estimate(counters, probes)
+    for tok, est in zip(probes, ests):
+        assert est >= true.get(tok, 0)  # CMS never underestimates
+    # with 4x1024 counters and 8k tokens, heavy probes should be near-exact
+    err = [e - true[t] for t, e in zip(probes[:10], ests[:10])]
+    assert max(err) <= 0.01 * sum(true.values())
+
+
+def test_cms_partition_invariant(ray_session):
+    texts = [f"alpha beta w{i % 7}" for i in range(300)]
+    a = sketch.cms_counters(rd.from_pandas(pd.DataFrame({"text": texts})), "text").to_pandas()
+    b = sketch.cms_counters(
+        rd.from_pandas(pd.DataFrame({"text": texts})).repartition(9), "text"
+    ).to_pandas()
+    key = lambda df: df.sort_values(["r", "bucket"]).reset_index(drop=True)
+    assert key(a).equals(key(b))
