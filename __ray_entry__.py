@@ -912,6 +912,21 @@ def q_cms_heavy(sf_dir: str):
     return pd.DataFrame({"token": CMS_PROBES, "est": est}).astype({"est": "int64"})
 
 
+def q_bloom_semi(sf_dir: str):
+    """Bloom-filter semi-join quality report: lineitem pre-filtered by the
+    bitset of urgent-order keys, with the exact count alongside so the
+    false-positive overhead is explicit (n_exact, n_bloom, n_false)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import sketch
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    return sketch.bloom_semi_report(li, od, "l_orderkey", "o_orderkey")
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -996,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": q_promo_revenue,
         "hll_distinct": q_hll_distinct,
         "cms_heavy": q_cms_heavy,
+        "bloom_semi": q_bloom_semi,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1441,6 +1457,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cms_heavy": __import__(
             "kaza_lcms_ray.stages.sketch", fromlist=["sketch"]
         ).cms_sql("documents", "text", CMS_PROBES),
+        "bloom_semi": __import__(
+            "kaza_lcms_ray.stages.sketch", fromlist=["sketch"]
+        ).bloom_sql(
+            "lineitem",
+            "SELECT o_orderkey AS key FROM orders "
+            "WHERE o_orderpriority = '1-URGENT'",
+            "l_orderkey",
+        ),
         "events_props": """
             SELECT event_type,
                    CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k')

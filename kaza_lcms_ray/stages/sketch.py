@@ -224,6 +224,151 @@ def cms_sql(table_expr: str, text_col: str, probes: list[str], depth: int = 4, w
         GROUP BY pb.tok"""
 
 
+BLOOM_SEED = 29
+
+
+def _bloom_positions(keys_u64: np.ndarray, m_bits: int, k: int, seed: int) -> list[np.ndarray]:
+    from ..state.hashing import splitmix64
+
+    out = []
+    for j in range(k):
+        with np.errstate(over="ignore"):
+            out.append(
+                (splitmix64(np.uint64(int(hash_key(seed, j))) ^ keys_u64)
+                 % np.uint64(m_bits)).astype(np.int64)
+            )
+    return out
+
+
+def bloom_semi_report(
+    probe_ds,
+    build_ds,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    seed: int = BLOOM_SEED,
+):
+    """Bloom-filter semi-join with a quality report — the pre-filter a
+    100 TB pipeline ships to the fact-table scan when the build-side key
+    set is too big for an exact broadcast but its BITSET is not
+    (m_bits/8 bytes regardless of key count).
+
+    Build: per-block distinct keys → k splitmix positions → distinct
+    position rows (≤ m_bits however large the build side); the driver
+    materializes only the bitset.  Probe: one map_batches pass counts rows
+    whose key has all k bits set.  The report also carries the exact
+    semi-join count (exact key set broadcast — affordable at test scale)
+    so the false-positive overhead is visible: (n_exact, n_bloom,
+    n_false).  Deterministic, replayed exactly in SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = pc.unique(t.column(build_key)).to_numpy(zero_copy_only=False).astype(np.uint64)
+        ps = np.unique(np.concatenate(_bloom_positions(keys, m_bits, k, seed)))
+        return pa.table({"p": pa.array(ps)})
+
+    # positions and the exact key set, each distinct'ed before collection
+    pos_rows = (
+        build_ds.select_columns([build_key])
+        .map_batches(pos_partial, batch_format="pyarrow")
+        .select_columns(["p"])
+    )
+    from .joins import distinct
+
+    pos = distinct(pos_rows, ["p"]).to_pandas()["p"].to_numpy()
+    keys_exact = np.sort(
+        distinct(build_ds.select_columns([build_key]), [build_key])
+        .to_pandas()[build_key]
+        .to_numpy()
+    )
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[pos] = True
+    import ray as _ray
+
+    side_ref = _ray.put({"bits": bits, "keys": keys_exact})
+
+    def probe_partial(t: pa.Table) -> pa.Table:
+        side = _ray.get(side_ref)
+        karr = t.column(probe_key).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(karr, return_inverse=True)
+        ps = _bloom_positions(uk.astype(np.uint64), m_bits, k, seed)
+        ok = np.ones(uk.shape[0], dtype=bool)
+        for p in ps:
+            ok &= side["bits"][p]
+        pos_idx = np.searchsorted(side["keys"], uk)
+        pos_idx = np.clip(pos_idx, 0, side["keys"].shape[0] - 1)
+        exact = side["keys"][pos_idx] == uk
+        return pa.table(
+            {
+                "n_exact": pa.array([int(exact[inv].sum())]),
+                "n_bloom": pa.array([int(ok[inv].sum())]),
+            }
+        )
+
+    agg = probe_ds.select_columns([probe_key]).map_batches(
+        probe_partial, batch_format="pyarrow"
+    ).aggregate(
+        Sum("n_exact", alias_name="n_exact"), Sum("n_bloom", alias_name="n_bloom")
+    )
+    import pandas as pd
+
+    ne, nb = int(agg["n_exact"]), int(agg["n_bloom"])
+    return pd.DataFrame(
+        {"n_exact": [ne], "n_bloom": [nb], "n_false": [nb - ne]}
+    )
+
+
+def bloom_sql(
+    probe_table: str,
+    build_sql: str,
+    probe_key: str,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    seed: int = BLOOM_SEED,
+) -> str:
+    """DuckDB replay: the same k splitmix position streams; membership =
+    every position of the probe key appears in the build position set."""
+    from ..state import sqlhash as SH
+
+    def pos_inline(j: int) -> str:
+        h = SH.splitmix_inline(SH.xor64(SH.hug(int(hash_key(seed, j))), "kx"))
+        return f"CAST(({h}) % {m_bits} AS BIGINT)"
+
+    build_pos = " UNION ".join(
+        f"SELECT DISTINCT {pos_inline(j)} AS p "
+        f"FROM (SELECT DISTINCT key AS kx FROM ({build_sql}))"
+        for j in range(k)
+    )
+    probe_cols = ", ".join(f"{pos_inline(j)} AS p{j}" for j in range(k))
+    pass_cond = " AND ".join(f"pk.p{j} IN (SELECT p FROM bpos)" for j in range(k))
+    return f"""
+        WITH bpos AS ({build_pos}),
+        bkeys AS (SELECT DISTINCT key AS kx FROM ({build_sql})),
+        pk AS (
+            SELECT kx, {probe_cols}
+            FROM (SELECT DISTINCT {probe_key} AS kx FROM {probe_table})
+        ),
+        verdicts AS (
+            SELECT pk.kx,
+                   CASE WHEN {pass_cond} THEN 1 ELSE 0 END AS bloom_ok,
+                   CASE WHEN pk.kx IN (SELECT kx FROM bkeys) THEN 1 ELSE 0 END
+                       AS exact_ok
+            FROM pk
+        )
+        SELECT CAST(SUM(v.exact_ok * c.nrows) AS BIGINT) AS n_exact,
+               CAST(SUM(v.bloom_ok * c.nrows) AS BIGINT) AS n_bloom,
+               CAST(SUM((v.bloom_ok - v.exact_ok) * c.nrows) AS BIGINT)
+                   AS n_false
+        FROM verdicts v JOIN (
+            SELECT {probe_key} AS kx, COUNT(*) AS nrows
+            FROM {probe_table} GROUP BY 1
+        ) c ON c.kx = v.kx"""
+
+
 def hll_sql(table_expr: str, col_expr: str, p: int, seed: int = HLL_SEED) -> str:
     """DuckDB replay of the full sketch: same hash chain, same rho, same
     exact register fold, same branch logic — returns a scalar subquery

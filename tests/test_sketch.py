@@ -70,3 +70,20 @@ def test_cms_partition_invariant(ray_session):
     ).to_pandas()
     key = lambda df: df.sort_values(["r", "bucket"]).reset_index(drop=True)
     assert key(a).equals(key(b))
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
+    rng = np.random.default_rng(11)
+    build = pd.DataFrame({"key": np.arange(0, 3000, 2, dtype=np.int64)})  # evens
+    probe = pd.DataFrame({"key": rng.integers(0, 6000, 20000).astype(np.int64)})
+    rep = sketch.bloom_semi_report(
+        rd.from_pandas(probe).repartition(5),
+        rd.from_pandas(build).repartition(3),
+        "key",
+        "key",
+        m_bits=1 << 14,
+    )
+    n_exact = int(probe["key"].isin(set(build["key"])).sum())
+    assert int(rep["n_exact"][0]) == n_exact  # exact side is exact
+    assert int(rep["n_bloom"][0]) >= n_exact  # no false negatives
+    assert int(rep["n_false"][0]) <= 0.05 * len(probe)  # fpp sane at 16k bits
