@@ -125,6 +125,20 @@ def q_pip_reference(sf_dir: str):
     return _i64(joined, ["doc_id", "span_idx", "poly_id", "LANDCOVER"])
 
 
+def q_zonal_rollup(sf_dir: str):
+    """Hierarchical rollup: parent-cell means (2 levels coarser) derived
+    from the child integer sums — the multi-resolution pyramid pattern
+    where coarser levels re-aggregate the ~10⁶×-smaller cell table, never
+    the raw observations."""
+    from kaza_lcms_ray.stages import zonal
+
+    sums = zonal.zonal_sums(_geo(sf_dir), bands=(0, 3))
+    return _i64(
+        zonal.rollup_to_parent(sums, levels_up=2, bands=(0, 3)),
+        ["parent_id", "year", "n", "mean_b0", "mean_b3"],
+    )
+
+
 def q_zonal_cov(sf_dir: str):
     """Per-cell band covariance matrix (upper triangle over c0/c3/c4):
     decomposable exact-int partials (n, Σc, Σc·c), bucketed combine, one
@@ -958,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_reference": q_pip_reference,
         "zonal_mean": q_zonal_mean,
         "zonal_cov": q_zonal_cov,
+        "zonal_rollup": q_zonal_rollup,
         "top_per_cell": q_top_per_cell,
         "zonal_percentile": q_zonal_percentile,
         "knn_plots": q_knn_plots,
@@ -1112,6 +1127,15 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    CAST(SUM(c0) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b0,
                    CAST(SUM(c3) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
             FROM cells GROUP BY cell_id, "year" """,
+        "zonal_rollup": f"""
+            WITH {geo}, {cells}
+            SELECT CAST(cell_id // 16 AS BIGINT) AS parent_id, "year",
+                   COUNT(*) AS n,
+                   CAST(SUM(c0) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100)
+                       AS mean_b0,
+                   CAST(SUM(c3) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100)
+                       AS mean_b3
+            FROM cells GROUP BY 1, 2""",
         "top_per_cell": f"""
             WITH {geo}, {cells}
             SELECT cell_id, doc_id, span_idx, c3 FROM cells

@@ -128,6 +128,50 @@ def zonal_counts(geo, keys=("cell_id", "year"), bands=(0, 1, 2, 3, 4, 5)):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def rollup_to_parent(cell_sums, levels_up: int = 2, bands=(0, 3)):
+    """Hierarchical rollup: parent-cell statistics derived from the CHILD
+    aggregates, not from raw observations — at 100 TB the cell-level sums
+    are ~10⁶× smaller than the observation table, so multi-resolution
+    pyramids re-aggregate in milliseconds.  Exact: integer (n, Σcents)
+    partials re-key to ``parent(cell_id)`` (a bit shift) and recombine
+    through the same bucketed path; means finalize identically to
+    ``zonal_counts`` at the coarser level.
+    """
+    from ..state.cells import parent
+
+    cent_cols = [f"s_c{b}" for b in bands]
+
+    def rekey(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        cols = {"parent_id": pa.array(parent(cid, levels_up))}
+        for c in ["year", "n"] + cent_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    agg = bucketed_sum(
+        cell_sums.map_batches(rekey, batch_format="pyarrow"),
+        ["parent_id", "year"],
+        ["n"] + cent_cols,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        denom = pc.multiply(pc.cast(t.column("n"), pa.float64()), 100.0)
+        cols = {
+            "parent_id": t.column("parent_id"),
+            "year": t.column("year"),
+            "n": t.column("n"),
+        }
+        for b in bands:
+            cols[f"mean_b{b}"] = pc.divide(
+                pc.cast(t.column(f"s_c{b}"), pa.float64()), denom
+            )
+        return pa.table(cols)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def zonal_covariance(geo, keys=("cell_id", "year"), bands=(0, 3, 4)):
     """Per-key band covariance matrix (upper triangle) — the statistic
     transform derivations like Tasseled Cap start from (the reference ships
