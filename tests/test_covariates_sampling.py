@@ -119,3 +119,42 @@ def test_random_points_in_polygons_deterministic():
         assert points_in_polygon(
             np.array([r.lon]), np.array([r.lat]), by_poly[r.poly_id]
         )[0]
+
+
+def test_spatial_near_dedup_pair_guard(ray_session):
+    """A pathologically dense point set must refuse clearly instead of
+    collecting an unbounded pair list to the driver."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    pts = pd.DataFrame(
+        {
+            "plot_id": [f"p{i:03d}" for i in range(200)],
+            "lon": np.full(200, 23.0),
+            "lat": np.full(200, -18.0),
+        }
+    )
+    with pytest.raises(ValueError, match="max_pairs"):
+        sampling.spatial_near_dedup(
+            rd.from_pandas(pts), "plot_id", 0.01, max_pairs=1000
+        )
+
+
+def test_read_documents_block_rule(synth_small, ray_session):
+    """blocks = max(2xCPUs, one per file): small inputs split for occupancy,
+    many-file inputs never merge files into oversized blocks."""
+    import glob
+
+    from kaza_lcms_ray.sources import storage
+
+    files = sorted(glob.glob(f"{synth_small}/documents/part-*.parquet"))
+    ds = storage.read_documents(f"{synth_small}/documents")
+    import ray
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    expected = max(2 * cpus, len(files))
+    assert ds.materialize().num_blocks() == expected
+    # a long file list (files >> slots) stays one block per file
+    many = storage.read_documents(files * 40)
+    assert many.materialize().num_blocks() == len(files) * 40
