@@ -119,3 +119,27 @@ def test_lee_sigma_runs(ray_session):
     assert len(out) == len(uniq)
     # filter pulls values toward the local mean (variance shrinks)
     assert out["filtered"].var() <= out["value"].var() + 1e-9
+
+
+def test_csv_round_trip_via_ray_reader(ray_session, tmp_path):
+    """Exported CSV reads back through ray.data.read_csv as an equal
+    Dataset — the CSV source path a CEO-tool round trip uses."""
+    src = pd.DataFrame(
+        {
+            "PLOTID": [f"kaza_{i}" for i in range(50)],
+            "LON": np.linspace(20.0, 26.0, 50),
+            "LAT": np.linspace(-20.0, -14.0, 50),
+            "LANDCOVER": np.arange(50) % 8,
+        }
+    )
+    out = str(tmp_path / "roundtrip")
+    sinks.export_csv(rd.from_pandas(src).repartition(3), out)
+    back = (
+        rd.read_csv(out)
+        .to_pandas()
+        .sort_values("PLOTID")
+        .reset_index(drop=True)
+    )
+    src_sorted = src.sort_values("PLOTID").reset_index(drop=True)
+    assert list(back.columns) == list(src.columns)
+    pd.testing.assert_frame_equal(back, src_sorted, check_dtype=False)
