@@ -430,6 +430,18 @@ def q_jaccard_verified(sf_dir: str):
     return out.select_columns(["a", "b", "jaccard"])
 
 
+def q_curation(sf_dir: str):
+    """Composed corpus-curation pipeline: exact dedup → English/quality
+    filter → seeded 50% subsample, as one Dataset flow; the oracle chains
+    the same three verified stages."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curation.curate_corpus(docs)
+
+
 def q_events_hourly(sf_dir: str):
     import ray.data as rd
 
@@ -987,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
+        "curation": q_curation,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
@@ -1244,6 +1257,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "fingerprints": _fingerprints_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "jaccard_verified": _jaccard_verified_sql(),
+        "curation": __import__(
+            "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
+        ).curation_sql(_text_scores_sql()),
         "simhash": _simhash_sql(),
         "text_scores": _text_scores_sql(),
         "pip_reference": _pip_reference_sql(geo, root),

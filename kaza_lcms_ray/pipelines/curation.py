@@ -1,0 +1,85 @@
+"""End-to-end corpus curation — the canonical LLM training-data flow as
+ONE composed Dataset pipeline: exact dedup → language/quality filter →
+seeded subsample.
+
+Each stage is an already-verified operator (dedup.drop_exact_dupes,
+text.TextScorer, splitmix sampling); the composition itself is what a real
+user runs over 100 TB, so it gets its own value-checked query: the DuckDB
+oracle chains the same three stages (min-id-per-text CTE, the text-score
+expression trees, the integer hash-threshold sample) and must produce the
+identical survivor set.
+
+Determinism notes: the subsample compares ``hash >> 11 < frac·2^53`` in
+INTEGERS on both sides (no float u), and float quality thresholds agree
+because the quality doubles themselves are oracle-equal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.hashing import DEFAULT_SEED, _fnv1a, hash_key
+
+
+def curate_corpus(
+    docs,
+    seed: int = DEFAULT_SEED,
+    min_quality: float = 0.45,
+    lang: str = "en",
+    sample_frac: float = 0.5,
+):
+    """documents(doc_id, text) → surviving doc_id Dataset."""
+    import pyarrow.compute as pc
+
+    from ..stages import dedup, text
+
+    kept = dedup.drop_exact_dupes(docs, "text", "doc_id")
+    scored = text.text_scores(kept)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("quality"), min_quality),
+            pc.equal(t.column("lang_pred"), lang),
+        )
+        return t.filter(m)
+
+    thresh = int(sample_frac * float(1 << 53))
+
+    def sample(t: pa.Table) -> pa.Table:
+        col = t.column("doc_id")
+        if t.num_rows == 0:
+            return t.select(["doc_id"])
+        if pa.types.is_integer(col.type):
+            keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            keys = np.asarray(
+                [_fnv1a(s) for s in col.to_pylist()], dtype=np.uint64
+            )
+        h = hash_key(seed, "cur", keys)
+        keep_m = (h >> np.uint64(11)).astype(np.int64) < thresh
+        return t.filter(pa.array(keep_m)).select(["doc_id"])
+
+    return scored.map_batches(keep, batch_format="pyarrow").map_batches(
+        sample, batch_format="pyarrow"
+    )
+
+
+def curation_sql(scores_sql: str, seed: int = DEFAULT_SEED, min_quality: float = 0.45, lang: str = "en", sample_frac: float = 0.5) -> str:
+    """Oracle: min-id-per-text keepers ∩ score thresholds ∩ integer hash
+    sample, chaining the already-verified text-score SQL."""
+    from ..state import sqlhash as SH
+
+    prefix = SH.hug(SH.hash_key_prefix(seed, "cur"))
+    thresh = int(sample_frac * float(1 << 53))
+    hashed = SH.chain_select(
+        f"""SELECT f.doc_id, CAST(f.doc_id AS HUGEINT) AS idh
+            FROM ({scores_sql}) f
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+              ON f.doc_id = k.doc_id
+            WHERE f.quality >= {min_quality!r} AND f.lang_pred = '{lang}'""",
+        SH.splitmix_steps(SH.xor64(prefix, "idh"), "ch", "cu"),
+    )
+    return f"""
+        SELECT doc_id FROM ({hashed})
+        WHERE CAST(ch // 2048 AS BIGINT) < {thresh}"""
