@@ -470,6 +470,36 @@ def q_ann_topk(sf_dir: str):
     return _i64(out, ["qid", "rank", "vec_id"])
 
 
+def q_knn_graph(sf_dir: str):
+    """kNN graph over the embedding corpus: every vector's 3 nearest
+    neighbors (self excluded AFTER ranking, mirrored in SQL) — the
+    building block of embedding-dedup graphs and clustering."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qids = qt.column("vec_id").to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()]
+    )
+    top4 = ann.cosine_topk(emb, qids, qmat, id_col="vec_id", embed_col="embedding", k=4)
+
+    def drop_self(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rank", kind="mergesort")
+        g = g[g["vec_id"] != g["qid"]].head(3).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g[["qid", "rank", "vec_id"]]
+
+    return _i64(
+        top4.groupby("qid").map_groups(drop_self, batch_format="pandas"),
+        ["qid", "rank", "vec_id"],
+    )
+
+
 def q_covariates(sf_dir: str):
     from kaza_lcms_ray.config import PipelineConfig
     from kaza_lcms_ray.stages import covariates
@@ -1000,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
         "curation": q_curation,
+        "knn_graph": q_knn_graph,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
@@ -1227,6 +1258,24 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY qid ORDER BY sim DESC, vec_id ASC
                 ) AS rnk FROM s
             ) WHERE rnk <= 10""",
+        "knn_graph": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings
+            ), s AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                FROM embeddings e, q
+            ), r AS (
+                SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+                ) AS rnk FROM s
+            )
+            SELECT qid, CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY rnk
+                   ) AS BIGINT) AS "rank", vec_id
+            FROM r WHERE rnk <= 4 AND vec_id <> qid
+            QUALIFY "rank" <= 3""",
         # covariate band algebra: identical double-precision expression trees
         # (left-associative, same constants) → bit-equal to the numpy kernels
         "covariates": f"""
