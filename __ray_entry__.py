@@ -983,6 +983,23 @@ def q_bloom_semi(sf_dir: str):
     return sketch.bloom_semi_report(li, od, "l_orderkey", "o_orderkey")
 
 
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-shaped: HAVING-filtered exact per-order quantity
+    aggregate + broadcast customer attribution."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.large_orders(
+            rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+            rd.read_parquet(f"{sf_dir}/orders.parquet"),
+            rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        ),
+        ["l_orderkey", "o_custkey", "c_name", "qty_cents"],
+    )
+
+
 def q_docs_in_aoi(sf_dir: str):
     """Document-level semi-join vs the AOI polygon (surviving doc_ids;
     span-sequence equality of survivors is asserted in tests)."""
@@ -1071,6 +1088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": q_hll_distinct,
         "cms_heavy": q_cms_heavy,
         "bloom_semi": q_bloom_semi,
+        "large_orders": q_large_orders,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1482,6 +1500,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue_scaled DESC, l.l_orderkey ASC
             LIMIT 10""",
+        "large_orders": """
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                            AS BIGINT) AS qty_cents
+                FROM lineitem GROUP BY l_orderkey
+                HAVING qty_cents > 25000
+            )
+            SELECT q.l_orderkey, o.o_custkey, c.c_name, q.qty_cents
+            FROM q
+            JOIN orders o ON q.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey""",
         "local_volume": """
             SELECT n.n_name,
                    CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)

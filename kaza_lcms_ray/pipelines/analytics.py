@@ -342,6 +342,60 @@ def shipping_priority(
     return top_k(joined, "revenue_scaled", k, "l_orderkey")
 
 
+def large_orders(lineitem, orders, customer, min_qty: float = 250.0):
+    """TPC-H Q18-shaped large-order detection: HAVING-filtered exact
+    aggregate (per-order quantity cents) + two broadcast dimension
+    lookups (orderkey→custkey, custkey→name).  The filter runs on the
+    pre-combined per-order rows, so only qualifying orders reach the
+    lookup stage."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = _cents(t.column("l_quantity"))
+        tb = pa.table({"l_orderkey": t.column("l_orderkey"), "q": pa.array(qty)})
+        return (
+            tb.group_by(["l_orderkey"]).aggregate([("q", "sum")]).rename_columns(
+                ["l_orderkey", "qty_cents"]
+            )
+        )
+
+    agg = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty_cents", alias_name="qty_cents"))
+        .filter(expr=f"qty_cents > {int(min_qty * 100)}")
+    )
+
+    omap = orders.select_columns(["o_orderkey", "o_custkey"]).to_pandas()
+    cmap = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
+    oorder = np.argsort(omap["o_orderkey"].to_numpy())
+    corder = np.argsort(cmap["c_custkey"].to_numpy())
+    side_ref = ray.put(
+        {
+            "ok": omap["o_orderkey"].to_numpy()[oorder],
+            "oc": omap["o_custkey"].to_numpy()[oorder],
+            "ck": cmap["c_custkey"].to_numpy()[corder],
+            "cn": cmap["c_name"].to_numpy()[corder],
+        }
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = np.clip(np.searchsorted(side["ok"], keys), 0, side["ok"].shape[0] - 1)
+        cust = side["oc"][p]
+        pc2 = np.clip(np.searchsorted(side["ck"], cust), 0, side["ck"].shape[0] - 1)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "o_custkey": pa.array(cust),
+                "c_name": pa.array(side["cn"][pc2].astype(object), type=pa.string()),
+                "qty_cents": t.column("qty_cents"),
+            }
+        )
+
+    return agg.map_batches(attach, batch_format="pyarrow")
+
+
 def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
     """Top-k customers by exact discounted revenue: lineitem → custkey via a
     broadcast orderkey→custkey lookup (orders ≪ lineitem), per-customer
