@@ -702,6 +702,59 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_media_scenes(sf_dir: str):
+    """Video-style scene-change detection: 4 sampled frames per media
+    span, flag |Δ mean intensity| > 4.0 between consecutive frames — the
+    lag-over-frames finish on the decoded plumbing, fully value-checked."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import media
+
+    docs = rd.read_parquet(f"{_synth(sf_dir)}/documents").filter(
+        expr=f"doc_id < '{MEDIA_SUBSET}'"
+    )
+    frames = media.sample_frames(docs, n_frames=4, decoder="fake")
+
+    def mean_col(t: pa.Table) -> pa.Table:
+        pix = t.column("pixels")
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        vals = pix.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = pix.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(vals)))
+        sums = cs[offs[1:] - offs[0]] - cs[offs[:-1] - offs[0]]
+        lens = np.maximum(np.diff(offs), 1)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx"),
+                "media_ref": t.column("media_ref"),
+                "frame_idx": t.column("frame_idx"),
+                "m": pa.array(sums / lens),
+            }
+        )
+
+    means = frames.map_batches(mean_col, batch_format="pyarrow")
+
+    def scenes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("frame_idx", kind="mergesort")
+        d = np.abs(np.diff(g["m"].to_numpy()))
+        return pd.DataFrame(
+            {
+                "doc_id": [g["doc_id"].iloc[0]],
+                "span_idx": [g["span_idx"].iloc[0]],
+                "media_ref": [g["media_ref"].iloc[0]],
+                "n_scene_changes": [int((d > 4.0).sum())],
+            }
+        )
+
+    return _i64(
+        means.groupby("media_ref").map_groups(scenes, batch_format="pandas"),
+        ["doc_id", "span_idx", "media_ref", "n_scene_changes"],
+    )
+
+
 def q_composite_percentiles(sf_dir: str):
     """Per-(tile, year) percentile composites (p10..p90 of nir) — the
     01composite stack's A1 branch."""
@@ -1062,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q_media_decode,
         "media_thumb": q_media_thumb,
         "media_audio": q_media_audio,
+        "media_scenes": q_media_scenes,
         "media_frames": q_media_frames,
         "composite_percentiles": q_composite_percentiles,
         "harmonic_windowed": q_harmonic_windowed,
@@ -1333,6 +1387,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "media_decode": _media_decode_sql(root),
         "media_thumb": _media_thumb_sql(root),
         "media_audio": _media_audio_sql(root),
+        "media_scenes": _media_scenes_sql(root),
         "media_frames": _media_frames_sql(root),
         "lee_sigma": _lee_sigma_sql(root),
         "harmonic_year": _harmonic_year_sql(geo),
@@ -2078,6 +2133,42 @@ def _media_frames_sql(root: str) -> str:
         SELECT doc_id, span_idx, media_ref, frame_idx, {mean} AS mean_intensity
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref, frame_idx"""
+
+
+def _media_scenes_sql(root: str) -> str:
+    """Scene changes replayed in SQL: the 4-frame mean-intensity chain
+    (same per-pixel splitmix stream as the frames oracle) finished with a
+    lag window over frame_idx and the identical |Δ| > 4.0 threshold."""
+    n_frames, h, w, c = 4, 16, 16, 3
+    npx = h * w * c
+    base = f"""
+        SELECT doc_id, span_idx, media_ref,
+               media_ref || '#frame' || CAST(fi AS VARCHAR) AS fref,
+               CAST(fi AS INTEGER) AS frame_idx
+        FROM ({_media_rows_sql(root)}),
+             (SELECT unnest(range(0, {n_frames})) AS fi)"""
+    keyed = _media_keyed_sql(base, "fref", extra_cols=", frame_idx")
+    perpix, mean = _media_pixels_sql(
+        keyed,
+        f"unnest(range(0, {npx}))",
+        "doc_id, span_idx, media_ref, frame_idx",
+        float(npx),
+    )
+    return f"""
+        WITH fm AS (
+            SELECT doc_id, span_idx, media_ref, frame_idx, {mean} AS m
+            FROM ({perpix})
+            GROUP BY doc_id, span_idx, media_ref, frame_idx
+        ),
+        lg AS (
+            SELECT *, lag(m) OVER (
+                PARTITION BY doc_id, span_idx, media_ref ORDER BY frame_idx
+            ) AS pm FROM fm
+        )
+        SELECT doc_id, span_idx, media_ref,
+               CAST(SUM(CASE WHEN pm IS NOT NULL AND abs(m - pm) > 4.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_scene_changes
+        FROM lg GROUP BY doc_id, span_idx, media_ref"""
 
 
 def _sample_pts_sql(root: str) -> str:
