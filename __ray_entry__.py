@@ -1036,6 +1036,46 @@ def q_bloom_semi(sf_dir: str):
     return sketch.bloom_semi_report(li, od, "l_orderkey", "o_orderkey")
 
 
+def q_lineage_roundtrip(sf_dir: str):
+    """Persist → probe → read loop under the correctness gate: documents
+    written through resumable_write (16 hash partitions + lineage
+    sidecars), read back from the partitioned layout, and summarized per
+    partition FROM THE READ-BACK data.  Idempotent: reruns verify the
+    sidecars and skip every finished partition."""
+    import ray.data as rd
+
+    from kaza_lcms_ray import lineage
+    from kaza_lcms_ray.lineage import _part_of
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    n = docs.count()
+    out = f"/tmp/kaza_out/lineage_q/n{n}"
+    lineage.resumable_write(docs, out, key_col="doc_id", num_parts=16, config_hash=f"gate-{n}")
+    back = lineage.read_output(out)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        part = _part_of(t, "doc_id", 16)
+        tb = pa.table(
+            {
+                "part": pa.array(part),
+                "n_chars": t.column("n_chars").cast(pa.int64()),
+            }
+        )
+        out_t = tb.group_by(["part"]).aggregate(
+            [("n_chars", "sum"), ([], "count_all")]
+        )
+        return out_t.rename_columns(["part", "sum_chars", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return _i64(
+        back.map_batches(summarize, batch_format="pyarrow")
+        .groupby("part")
+        .aggregate(Sum("sum_chars", alias_name="sum_chars"), Sum("n", alias_name="n")),
+        ["part", "sum_chars", "n"],
+    )
+
+
 def q_large_orders(sf_dir: str):
     """TPC-H Q18-shaped: HAVING-filtered exact per-order quantity
     aggregate + broadcast customer attribution."""
@@ -1143,6 +1183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy": q_cms_heavy,
         "bloom_semi": q_bloom_semi,
         "large_orders": q_large_orders,
+        "lineage_roundtrip": q_lineage_roundtrip,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1555,6 +1596,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue_scaled DESC, l.l_orderkey ASC
             LIMIT 10""",
+        "lineage_roundtrip": _lineage_roundtrip_sql(),
         "large_orders": """
             WITH q AS (
                 SELECT l_orderkey,
@@ -2133,6 +2175,23 @@ def _media_frames_sql(root: str) -> str:
         SELECT doc_id, span_idx, media_ref, frame_idx, {mean} AS mean_intensity
         FROM ({perpix})
         GROUP BY doc_id, span_idx, media_ref, frame_idx"""
+
+
+def _lineage_roundtrip_sql() -> str:
+    """Per-partition summary of the round-tripped table: the hash
+    partition id is the same splitmix chain resumable_write uses."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    prefix = SH.hug(SH.hash_key_prefix(1, "part"))
+    hashed = SH.chain_select(
+        "SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS kx FROM documents",
+        SH.splitmix_steps(SH.xor64(prefix, "kx"), "ph", "lp"),
+    )
+    return f"""
+        SELECT CAST(ph % 16 AS BIGINT) AS part,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               COUNT(*) AS n
+        FROM ({hashed}) GROUP BY 1"""
 
 
 def _media_scenes_sql(root: str) -> str:
