@@ -1036,6 +1036,22 @@ def q_bloom_semi(sf_dir: str):
     return sketch.bloom_semi_report(li, od, "l_orderkey", "o_orderkey")
 
 
+def q_bilateral_volume(sf_dir: str):
+    """TPC-H Q7-shaped bilateral volume: revenue between two nations
+    (both directions) per order year."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.bilateral_volume(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet"),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
 def q_lineage_roundtrip(sf_dir: str):
     """Persist → probe → read loop under the correctness gate: documents
     written through resumable_write (16 hash partitions + lineage
@@ -1184,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi": q_bloom_semi,
         "large_orders": q_large_orders,
         "lineage_roundtrip": q_lineage_roundtrip,
+        "bilateral_volume": q_bilateral_volume,
         "docs_in_aoi": q_docs_in_aoi,
     }
 
@@ -1597,6 +1614,23 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             ORDER BY revenue_scaled DESC, l.l_orderkey ASC
             LIMIT 10""",
         "lineage_roundtrip": _lineage_roundtrip_sql(),
+        "bilateral_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+                        AS BIGINT) AS revenue_scaled
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3""",
         "large_orders": """
             WITH q AS (
                 SELECT l_orderkey,

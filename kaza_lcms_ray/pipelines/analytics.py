@@ -342,6 +342,126 @@ def shipping_priority(
     return top_k(joined, "revenue_scaled", k, "l_orderkey")
 
 
+def bilateral_volume(
+    lineitem,
+    orders,
+    customer,
+    supplier,
+    nation,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+):
+    """TPC-H Q7-shaped bilateral shipping volume: discounted revenue
+    flowing between two nations (supplier nation × ordering-customer
+    nation, both directions) per order year.  Same partitioning shape as
+    Q5: dims broadcast, lineitem pre-aggregated per (orderkey,
+    supp-nation), one hash join on orderkey, nation-pair filter applied
+    post-join where both sides are known."""
+    from ..runtime import join_partitions
+
+    t_from = np.datetime64(date_from, "us")
+    t_to = np.datetime64(date_to, "us")
+    nat = nation.to_pandas()
+    keymap = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
+    names = {v: k for k, v in keymap.items()}
+    ka, kb = keymap[nation_a], keymap[nation_b]
+    sup = supplier.to_pandas()
+    cus = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+
+    def lut(keys, vals):
+        o = np.argsort(keys)
+        return keys[o], vals[o]
+
+    sk, sv = lut(sup["s_suppkey"].to_numpy(), sup["s_nationkey"].to_numpy().astype(np.int64))
+    ck, cv = lut(cus["c_custkey"].to_numpy(), cus["c_nationkey"].to_numpy().astype(np.int64))
+    side_ref = ray.put({"sk": sk, "sv": sv, "ck": ck, "cv": cv})
+    pair = np.array([ka, kb], dtype=np.int64)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(t_from)),
+            pc.less(t.column("o_orderdate"), pa.scalar(t_to)),
+        )
+        t = t.filter(keep)
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(side["ck"], cust), 0, side["ck"].shape[0] - 1)
+        c_nat = side["cv"][pos]
+        m = np.isin(c_nat, pair)
+        idx = pa.array(np.nonzero(m)[0])
+        yrs = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey").take(idx),
+                "c_nat": pa.array(c_nat[m]),
+                "l_year": pa.array(yrs[m]),
+            }
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(side["sk"], skey), 0, side["sk"].shape[0] - 1)
+        s_nat = side["sv"][pos]
+        m = np.isin(s_nat, pair)
+        rev = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
+        tb = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").take(pa.array(np.nonzero(m)[0])),
+                "s_nat": pa.array(s_nat[m]),
+                "rev": pa.array(rev[m]),
+            }
+        )
+        return (
+            tb.group_by(["l_orderkey", "s_nat"]).aggregate([("rev", "sum")]).rename_columns(
+                ["l_orderkey", "s_nat", "rev"]
+            )
+        )
+
+    li = (
+        lineitem.map_batches(li_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "s_nat"])
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    joined = li.join(
+        orders.map_batches(orders_f, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=join_partitions(rows_hint=orders.count()),
+        on=("l_orderkey",),
+    )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("s_nat"), t.column("c_nat"))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "s_nat": t.column("s_nat"),
+                "c_nat": t.column("c_nat"),
+                "l_year": t.column("l_year"),
+                "rev": t.column("rev"),
+            }
+        )
+
+    out = (
+        joined.map_batches(cross_only, batch_format="pyarrow")
+        .groupby(["s_nat", "c_nat", "l_year"])
+        .aggregate(Sum("rev", alias_name="revenue_scaled"))
+        .to_pandas()
+    )
+    out["supp_nation"] = out["s_nat"].map(names)
+    out["cust_nation"] = out["c_nat"].map(names)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue_scaled"]]
+
+
 def large_orders(lineitem, orders, customer, min_qty: float = 250.0):
     """TPC-H Q18-shaped large-order detection: HAVING-filtered exact
     aggregate (per-order quantity cents) + two broadcast dimension
