@@ -576,7 +576,17 @@ def q_focal_count(sf_dir: str):
 
     per_cell = zonal.zonal_counts(_geo(sf_dir), keys=("cell_id",), bands=())
     out = focal.focal(per_cell.select_columns(["cell_id", "n"]), "n", "sum", 1)
-    return _i64(out, ["cell_id", "focal_sum"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        # integer count sums are exact in float64; emit int64 so engine and
+        # oracle (CAST(SUM AS BIGINT)) agree in dtype, not just value
+        return t.set_column(
+            t.schema.get_field_index("focal_sum"),
+            "focal_sum",
+            t.column("focal_sum").cast(pa.int64()),
+        )
+
+    return _i64(out.map_batches(to_int, batch_format="pyarrow"), ["cell_id", "focal_sum"])
 
 
 def q_embed_dup_pairs(sf_dir: str):
@@ -1094,19 +1104,20 @@ def q_lineage_roundtrip(sf_dir: str):
 
 def q_large_orders(sf_dir: str):
     """TPC-H Q18-shaped: HAVING-filtered exact per-order quantity
-    aggregate + broadcast customer attribution."""
+    aggregate + O(result)-bounded filtered-scan customer attribution
+    (returns a pandas DataFrame of the bounded result set)."""
     import ray.data as rd
 
     from kaza_lcms_ray.pipelines import analytics
 
-    return _i64(
-        analytics.large_orders(
-            rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
-            rd.read_parquet(f"{sf_dir}/orders.parquet"),
-            rd.read_parquet(f"{sf_dir}/customer.parquet"),
-        ),
-        ["l_orderkey", "o_custkey", "c_name", "qty_cents"],
+    out = analytics.large_orders(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        rd.read_parquet(f"{sf_dir}/orders.parquet"),
+        rd.read_parquet(f"{sf_dir}/customer.parquet"),
     )
+    for c in ("l_orderkey", "o_custkey", "qty_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["l_orderkey", "o_custkey", "c_name", "qty_cents"]]
 
 
 def q_docs_in_aoi(sf_dir: str):
@@ -1594,7 +1605,8 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
                 GROUP BY o.o_custkey
             )
-            SELECT r.c_custkey, c.c_name, r.revenue_scaled
+            SELECT r.c_custkey, c.c_name,
+                   CAST(r.revenue_scaled AS BIGINT) AS revenue_scaled
             FROM r JOIN customer c ON r.c_custkey = c.c_custkey
             ORDER BY r.revenue_scaled DESC, r.c_custkey ASC
             LIMIT 10""",
@@ -1701,7 +1713,8 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             )
             SELECT user_id, MIN(event_id) AS session_id,
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
-                   COUNT(*) AS n_events, SUM(cents) AS value_cents
+                   COUNT(*) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
             FROM c GROUP BY user_id, sid""",
         "hll_distinct": _hll_sql(),
         "cms_heavy": __import__(
@@ -1729,10 +1742,10 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM events""",
         "events_running": """
             SELECT event_id, user_id,
-                   SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
-                   ) AS cum_cents
+                   ) AS BIGINT) AS cum_cents
             FROM events""",
         "events_pivot": """
             SELECT user_id,
@@ -2642,8 +2655,10 @@ def _training_split_sql(geo: str, root: str) -> str:
             ) WHERE srn <= 400
         )
         SELECT "LANDCOVER",
-               SUM(CASE WHEN rsplit < 0.8 THEN 1 ELSE 0 END) AS n_train,
-               SUM(CASE WHEN rsplit >= 0.8 THEN 1 ELSE 0 END) AS n_test
+               CAST(SUM(CASE WHEN rsplit < 0.8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN rsplit >= 0.8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
         FROM capped GROUP BY "LANDCOVER" """
 
 
@@ -2689,7 +2704,8 @@ def _harmonic_year_sql(geo: str) -> str:
     return f"""
         WITH {geo},
         {_harmonic_ctes('"year"', 'geo', 'c3', 1, 366, 'b3')}
-        SELECT "year", n_int AS n, phase AS b3_phase, amplitude AS b3_amplitude
+        SELECT "year", CAST(n_int AS BIGINT) AS n,
+               phase AS b3_phase, amplitude AS b3_amplitude
         FROM out_b3"""
 
 
@@ -2774,6 +2790,6 @@ def _focal_count_sql(root: str) -> str:
         WITH {_geo_cte(root)},
         gc AS (SELECT {ix} AS ix, {iy} AS iy FROM geo),
         cc AS (SELECT ix, iy, COUNT(*) AS n FROM gc GROUP BY ix, iy)
-        SELECT {cell} AS cell_id, SUM(b.n) AS focal_sum
+        SELECT {cell} AS cell_id, CAST(SUM(b.n) AS BIGINT) AS focal_sum
         FROM cc a JOIN cc b ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
         GROUP BY a.ix, a.iy"""

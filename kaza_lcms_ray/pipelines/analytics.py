@@ -20,8 +20,9 @@ PRICING_CUTOFF = "1998-09-02"
 
 
 def _cents(col: pa.ChunkedArray) -> np.ndarray:
-    v = col.to_numpy(zero_copy_only=False)
-    return np.rint(v * 100.0).astype(np.int64)
+    from ..state.money import to_cents
+
+    return to_cents(col.to_numpy(zero_copy_only=False))
 
 
 def pricing_summary(lineitem, cutoff: str = PRICING_CUTOFF):
@@ -111,16 +112,17 @@ def local_supplier_volume(
     """TPC-H Q5-shaped local supplier volume: revenue per nation where the
     supplier and the ordering customer share a nation inside one region.
 
-    Partitioning plan for the 6-table shape: region/nation/supplier/customer
-    are dimension tables (grow sub-linearly vs lineitem) — folded into ONE
-    broadcast lookup each; orders is filtered by date and annotated with the
-    customer nation inside ``map_batches``; lineitem is annotated with the
+    Partitioning plan for the 6-table shape: region/nation are tiny
+    (driver-side); supplier/customer attach through the size-guarded
+    ``attach_dim`` broadcast-or-hash-join (so the same code path survives
+    dimensions that outgrow a broadcast); lineitem is annotated with the
     supplier nation, filtered to the region, and pre-aggregated per
     (orderkey, supp_nation) — so the one big-big exchange, the hash
     Dataset.join on orderkey, moves pre-combined rows only.  Exact ×10⁴
     integer revenue throughout.
     """
     from ..runtime import join_partitions
+    from ..stages.joins import attach_dim
 
     t_from = np.datetime64(date_from, "us")
     t_to = np.datetime64(date_to, "us")
@@ -130,56 +132,47 @@ def local_supplier_volume(
     rk = reg.loc[reg["r_name"] == region_name, "r_regionkey"].to_numpy()
     nat_in = nat[nat["n_regionkey"].isin(rk)]
     nat_names = dict(zip(nat_in["n_nationkey"].astype(int), nat_in["n_name"]))
-    sup = supplier.to_pandas()
-    cus = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    nats_ref = ray.put(np.asarray(sorted(nat_names), dtype=np.int64))
 
-    def lut(keys: np.ndarray, vals: np.ndarray):
-        order = np.argsort(keys)
-        return keys[order], vals[order]
-
-    sk, sv = lut(
-        sup["s_suppkey"].to_numpy(), sup["s_nationkey"].to_numpy().astype(np.int64)
-    )
-    ck, cv = lut(
-        cus["c_custkey"].to_numpy(), cus["c_nationkey"].to_numpy().astype(np.int64)
-    )
-    side_ref = ray.put(
-        {"sk": sk, "sv": sv, "ck": ck, "cv": cv, "nats": np.asarray(sorted(nat_names))}
-    )
-
-    def orders_f(t: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
+    def orders_pre(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.greater_equal(t.column("o_orderdate"), pa.scalar(t_from)),
             pc.less(t.column("o_orderdate"), pa.scalar(t_to)),
         )
         t = t.filter(keep)
-        okey = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(side["ck"], okey)
-        c_nat = side["cv"][np.clip(pos, 0, side["ck"].shape[0] - 1)]
-        return pa.table(
-            {
-                "l_orderkey": t.column("o_orderkey"),
-                "c_nat": pa.array(c_nat),
-            }
-        )
+        return t.select(["o_orderkey", "o_custkey"])
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
-        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(side["sk"], skey)
-        s_nat = side["sv"][np.clip(pos, 0, side["sk"].shape[0] - 1)]
-        in_region = np.isin(s_nat, side["nats"])
+    ord_nat = attach_dim(
+        orders.map_batches(orders_pre, batch_format="pyarrow"),
+        customer,
+        "o_custkey",
+        "c_custkey",
+        ["c_nationkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t.column("o_orderkey"), "c_nat": t.column("c_nationkey")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_pre(t: pa.Table) -> pa.Table:
         rev = _cents(t.column("l_extendedprice")) * (
             100 - _cents(t.column("l_discount"))
         )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"),
+             "l_suppkey": t.column("l_suppkey"),
+             "rev": pa.array(rev)}
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        s_nat = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        in_region = np.isin(s_nat, ray.get(nats_ref))
         tb = pa.table(
             {
-                "l_orderkey": t.column("l_orderkey").take(
-                    pa.array(np.nonzero(in_region)[0])
-                ),
+                "l_orderkey": t.column("l_orderkey").filter(pa.array(in_region)),
                 "s_nat": pa.array(s_nat[in_region]),
-                "rev": pa.array(rev[in_region]),
+                "rev": t.column("rev").filter(pa.array(in_region)),
             }
         )
         return (
@@ -189,12 +182,19 @@ def local_supplier_volume(
         )
 
     li = (
-        lineitem.map_batches(li_partial, batch_format="pyarrow")
+        attach_dim(
+            lineitem.map_batches(li_pre, batch_format="pyarrow"),
+            supplier,
+            "l_suppkey",
+            "s_suppkey",
+            ["s_nationkey"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
         .groupby(["l_orderkey", "s_nat"])
         .aggregate(Sum("rev", alias_name="rev"))
     )
     joined = li.join(
-        orders.map_batches(orders_f, batch_format="pyarrow"),
+        ord_nat,
         join_type="inner",
         num_partitions=join_partitions(rows_hint=orders.count()),
         on=("l_orderkey",),
@@ -221,21 +221,29 @@ def local_supplier_volume(
 def promo_revenue(
     lineitem, part, date_from: str = "1996-09-01", date_to: str = "1996-10-01"
 ):
-    """TPC-H Q14-shaped promotion revenue share: broadcast p_partkey →
-    is-promo bitmap, one exact integer partial per block, single global
-    combine, one double division at the end."""
+    """TPC-H Q14-shaped promotion revenue share: the part dimension
+    attaches through size-guarded ``attach_dim`` (is-promo flag, exact
+    key-checked inner lookup), one exact integer partial per block,
+    single global combine, one double division at the end."""
     import pandas as pd
+
+    from ..stages.joins import attach_dim
 
     t_from = np.datetime64(date_from, "us")
     t_to = np.datetime64(date_to, "us")
-    pt = part.select_columns(["p_partkey", "p_type"]).to_pandas()
-    keys = pt["p_partkey"].to_numpy()
-    promo = pt["p_type"].str.startswith("PROMO").to_numpy()
-    order = np.argsort(keys)
-    side_ref = ray.put({"keys": keys[order], "promo": promo[order]})
 
-    def partial(t: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
+    def promo_flag(t: pa.Table) -> pa.Table:
+        flag = pc.starts_with(t.column("p_type"), "PROMO")
+        return pa.table(
+            {"p_partkey": t.column("p_partkey"),
+             "is_promo": pc.cast(flag, pa.int8())}
+        )
+
+    part_flag = part.select_columns(["p_partkey", "p_type"]).map_batches(
+        promo_flag, batch_format="pyarrow"
+    )
+
+    def li_pre(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.greater_equal(t.column("l_shipdate"), pa.scalar(t_from)),
             pc.less(t.column("l_shipdate"), pa.scalar(t_to)),
@@ -244,9 +252,13 @@ def promo_revenue(
         rev = _cents(t.column("l_extendedprice")) * (
             100 - _cents(t.column("l_discount"))
         )
-        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(side["keys"], pk)
-        is_promo = side["promo"][np.clip(pos, 0, side["keys"].shape[0] - 1)]
+        return pa.table(
+            {"l_partkey": t.column("l_partkey"), "rev": pa.array(rev)}
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        is_promo = t.column("is_promo").to_numpy(zero_copy_only=False).astype(bool)
         return pa.table(
             {
                 "promo_rev": pa.array([int(rev[is_promo].sum())]),
@@ -254,7 +266,14 @@ def promo_revenue(
             }
         )
 
-    agg = lineitem.map_batches(partial, batch_format="pyarrow").aggregate(
+    flagged = attach_dim(
+        lineitem.map_batches(li_pre, batch_format="pyarrow"),
+        part_flag,
+        "l_partkey",
+        "p_partkey",
+        ["is_promo"],
+    )
+    agg = flagged.map_batches(partial, batch_format="pyarrow").aggregate(
         Sum("promo_rev", alias_name="promo_revenue_scaled"),
         Sum("total_rev", alias_name="total_revenue_scaled"),
     )
@@ -290,22 +309,28 @@ def shipping_priority(
     Dataset-native top-k by exact scaled revenue.
     """
     from ..runtime import join_partitions
-    from ..stages.joins import top_k
+    from ..stages.joins import attach_dim, top_k
 
     cutoff_ts = np.datetime64(cutoff, "us")
-    cust = customer.to_pandas()
-    keys = np.sort(
-        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()
+    seg = customer.filter(expr=f"c_mktsegment == '{segment}'")
+
+    def orders_pre(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("o_orderdate"), pa.scalar(cutoff_ts))
+        t = t.filter(keep)
+        return t.select(["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    # semi-join vs the segment's customers: attach_dim inner semantics on the
+    # unique c_custkey — size-guarded, so a fact-scaled customer table flips
+    # to the hash-join path instead of a driver collect
+    orders_seg = attach_dim(
+        orders.map_batches(orders_pre, batch_format="pyarrow"),
+        seg,
+        "o_custkey",
+        "c_custkey",
+        [],
     )
-    keys_ref = ray.put(keys)
 
     def orders_f(t: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        keep = pc.and_(
-            pc.less(t.column("o_orderdate"), pa.scalar(cutoff_ts)),
-            pc.is_in(t.column("o_custkey"), value_set=pa.array(ks)),
-        )
-        t = t.filter(keep)
         return pa.table(
             {
                 "l_orderkey": t.column("o_orderkey"),
@@ -334,7 +359,7 @@ def shipping_priority(
     # are order keys, so ≥10k rows/partition guards the empty-partition
     # ArrowInvalid in Ray 2.49 at small scale while still spreading at 100 TB
     joined = rev_per_order.join(
-        orders.map_batches(orders_f, batch_format="pyarrow"),
+        orders_seg.map_batches(orders_f, batch_format="pyarrow"),
         join_type="inner",
         num_partitions=join_partitions(rows_hint=orders.count()),
         on=("l_orderkey",),
@@ -356,10 +381,12 @@ def bilateral_volume(
     """TPC-H Q7-shaped bilateral shipping volume: discounted revenue
     flowing between two nations (supplier nation × ordering-customer
     nation, both directions) per order year.  Same partitioning shape as
-    Q5: dims broadcast, lineitem pre-aggregated per (orderkey,
+    Q5: nation driver-side (25 rows), supplier/customer through the
+    size-guarded ``attach_dim``, lineitem pre-aggregated per (orderkey,
     supp-nation), one hash join on orderkey, nation-pair filter applied
     post-join where both sides are known."""
     from ..runtime import join_partitions
+    from ..stages.joins import attach_dim
 
     t_from = np.datetime64(date_from, "us")
     t_to = np.datetime64(date_to, "us")
@@ -367,30 +394,15 @@ def bilateral_volume(
     keymap = dict(zip(nat["n_name"], nat["n_nationkey"].astype(int)))
     names = {v: k for k, v in keymap.items()}
     ka, kb = keymap[nation_a], keymap[nation_b]
-    sup = supplier.to_pandas()
-    cus = customer.select_columns(["c_custkey", "c_nationkey"]).to_pandas()
+    pair = np.array(sorted((ka, kb)), dtype=np.int64)
+    pair_ref = ray.put(pair)
 
-    def lut(keys, vals):
-        o = np.argsort(keys)
-        return keys[o], vals[o]
-
-    sk, sv = lut(sup["s_suppkey"].to_numpy(), sup["s_nationkey"].to_numpy().astype(np.int64))
-    ck, cv = lut(cus["c_custkey"].to_numpy(), cus["c_nationkey"].to_numpy().astype(np.int64))
-    side_ref = ray.put({"sk": sk, "sv": sv, "ck": ck, "cv": cv})
-    pair = np.array([ka, kb], dtype=np.int64)
-
-    def orders_f(t: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
+    def orders_pre(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.greater_equal(t.column("o_orderdate"), pa.scalar(t_from)),
             pc.less(t.column("o_orderdate"), pa.scalar(t_to)),
         )
         t = t.filter(keep)
-        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(side["ck"], cust), 0, side["ck"].shape[0] - 1)
-        c_nat = side["cv"][pos]
-        m = np.isin(c_nat, pair)
-        idx = pa.array(np.nonzero(m)[0])
         yrs = (
             t.column("o_orderdate")
             .to_numpy(zero_copy_only=False)
@@ -400,24 +412,49 @@ def bilateral_volume(
         )
         return pa.table(
             {
-                "l_orderkey": t.column("o_orderkey").take(idx),
-                "c_nat": pa.array(c_nat[m]),
-                "l_year": pa.array(yrs[m]),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "l_year": pa.array(yrs),
             }
         )
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
-        skey = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(side["sk"], skey), 0, side["sk"].shape[0] - 1)
-        s_nat = side["sv"][pos]
-        m = np.isin(s_nat, pair)
+    def orders_post(t: pa.Table) -> pa.Table:
+        c_nat = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        m = np.isin(c_nat, ray.get(pair_ref))
+        sel = pa.array(m)
+        return pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey").filter(sel),
+                "c_nat": pa.array(c_nat[m]),
+                "l_year": t.column("l_year").filter(sel),
+            }
+        )
+
+    ord_nat = attach_dim(
+        orders.map_batches(orders_pre, batch_format="pyarrow"),
+        customer,
+        "o_custkey",
+        "c_custkey",
+        ["c_nationkey"],
+    ).map_batches(orders_post, batch_format="pyarrow")
+
+    def li_pre(t: pa.Table) -> pa.Table:
         rev = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"),
+             "l_suppkey": t.column("l_suppkey"),
+             "rev": pa.array(rev)}
+        )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        s_nat = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        m = np.isin(s_nat, ray.get(pair_ref))
+        sel = pa.array(m)
         tb = pa.table(
             {
-                "l_orderkey": t.column("l_orderkey").take(pa.array(np.nonzero(m)[0])),
+                "l_orderkey": t.column("l_orderkey").filter(sel),
                 "s_nat": pa.array(s_nat[m]),
-                "rev": pa.array(rev[m]),
+                "rev": t.column("rev").filter(sel),
             }
         )
         return (
@@ -427,12 +464,19 @@ def bilateral_volume(
         )
 
     li = (
-        lineitem.map_batches(li_partial, batch_format="pyarrow")
+        attach_dim(
+            lineitem.map_batches(li_pre, batch_format="pyarrow"),
+            supplier,
+            "l_suppkey",
+            "s_suppkey",
+            ["s_nationkey"],
+        )
+        .map_batches(li_partial, batch_format="pyarrow")
         .groupby(["l_orderkey", "s_nat"])
         .aggregate(Sum("rev", alias_name="rev"))
     )
     joined = li.join(
-        orders.map_batches(orders_f, batch_format="pyarrow"),
+        ord_nat,
         join_type="inner",
         num_partitions=join_partitions(rows_hint=orders.count()),
         on=("l_orderkey",),
@@ -464,10 +508,15 @@ def bilateral_volume(
 
 def large_orders(lineitem, orders, customer, min_qty: float = 250.0):
     """TPC-H Q18-shaped large-order detection: HAVING-filtered exact
-    aggregate (per-order quantity cents) + two broadcast dimension
-    lookups (orderkey→custkey, custkey→name).  The filter runs on the
-    pre-combined per-order rows, so only qualifying orders reach the
-    lookup stage."""
+    aggregate (per-order quantity cents), then dimension attachment that
+    never materializes orders/customer on the driver.
+
+    Scale shape: the post-HAVING aggregate is bounded by the RESULT size
+    (the driver returns those rows anyway), so its key set is broadcast
+    and orders/customer are *filtered scans* — each contributes at most
+    one matching row per result row to the driver, O(result) total,
+    regardless of fact-table scale.  (Previous design collected the whole
+    orders + customer tables driver-side — OOM at 100×.)"""
 
     def partial(t: pa.Table) -> pa.Table:
         qty = _cents(t.column("l_quantity"))
@@ -483,72 +532,95 @@ def large_orders(lineitem, orders, customer, min_qty: float = 250.0):
         .groupby("l_orderkey")
         .aggregate(Sum("qty_cents", alias_name="qty_cents"))
         .filter(expr=f"qty_cents > {int(min_qty * 100)}")
+        .to_pandas()  # bounded: this IS the result row set
     )
 
-    omap = orders.select_columns(["o_orderkey", "o_custkey"]).to_pandas()
-    cmap = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
-    oorder = np.argsort(omap["o_orderkey"].to_numpy())
-    corder = np.argsort(cmap["c_custkey"].to_numpy())
-    side_ref = ray.put(
-        {
-            "ok": omap["o_orderkey"].to_numpy()[oorder],
-            "oc": omap["o_custkey"].to_numpy()[oorder],
-            "ck": cmap["c_custkey"].to_numpy()[corder],
-            "cn": cmap["c_name"].to_numpy()[corder],
-        }
+    def filtered(ds, key_col: str, keys: np.ndarray, out_cols: list[str]):
+        keys_ref = ray.put(np.sort(keys))
+
+        def fn(t: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            col = t.column(key_col).to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ks, col), 0, ks.shape[0] - 1)
+            return t.select(out_cols).filter(pa.array(ks[pos] == col))
+
+        return ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+
+    omap = filtered(
+        orders, "o_orderkey", agg["l_orderkey"].to_numpy(),
+        ["o_orderkey", "o_custkey"],
     )
-
-    def attach(t: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
-        keys = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        p = np.clip(np.searchsorted(side["ok"], keys), 0, side["ok"].shape[0] - 1)
-        cust = side["oc"][p]
-        pc2 = np.clip(np.searchsorted(side["ck"], cust), 0, side["ck"].shape[0] - 1)
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "o_custkey": pa.array(cust),
-                "c_name": pa.array(side["cn"][pc2].astype(object), type=pa.string()),
-                "qty_cents": t.column("qty_cents"),
-            }
-        )
-
-    return agg.map_batches(attach, batch_format="pyarrow")
+    cmap = filtered(
+        customer, "c_custkey", omap["o_custkey"].unique(),
+        ["c_custkey", "c_name"],
+    )
+    out = agg.merge(
+        omap.rename(columns={"o_orderkey": "l_orderkey"}), on="l_orderkey"
+    ).merge(cmap, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values("l_orderkey", kind="mergesort").reset_index(drop=True)
+    return out[["l_orderkey", "o_custkey", "c_name", "qty_cents"]]
 
 
 def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
-    """Top-k customers by exact discounted revenue: lineitem → custkey via a
-    broadcast orderkey→custkey lookup (orders ≪ lineitem), per-customer
-    integer partial sums, tiny final top-k.  Returns a pandas DataFrame
-    [c_custkey, c_name, revenue_scaled] (revenue_scaled = Σ price_c·(100−disc_c),
-    exact int64; revenue = revenue_scaled / 1e4)."""
-    omap = orders.select_columns(["o_orderkey", "o_custkey"]).to_pandas()
-    okeys = omap["o_orderkey"].to_numpy()
-    order = np.argsort(okeys)
-    lookup_ref = ray.put(
-        {"keys": okeys[order], "cust": omap["o_custkey"].to_numpy()[order]}
-    )
+    """Top-k customers by exact discounted revenue — fully distributed:
 
-    def partial(t: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
-        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(lk["keys"], ok)
-        cust = lk["cust"][np.clip(pos, 0, lk["keys"].shape[0] - 1)]
+    lineitem → exact per-ORDER revenue partials (groupby combine) →
+    hash ``Dataset.join`` against orders projected to (o_orderkey,
+    o_custkey) — orders is fact-scaled, so it is never collected or
+    broadcast — → per-CUSTOMER integer sums → Dataset-native ``top_k``
+    (two-level reduce, k rows reach the driver) → names attached by a
+    filtered customer scan over the k winning keys.  Driver footprint is
+    O(k); every exchange moves pre-combined rows.
+
+    Returns a pandas DataFrame [c_custkey, c_name, revenue_scaled]
+    (revenue_scaled = Σ price_c·(100−disc_c), exact int64)."""
+    from ..runtime import join_partitions
+    from ..stages.joins import top_k
+
+    def li_partial(t: pa.Table) -> pa.Table:
         price = _cents(t.column("l_extendedprice"))
         disc = _cents(t.column("l_discount"))
         rev = price * (100 - disc)
-        tb = pa.table({"c_custkey": pa.array(cust), "rev": pa.array(rev)})
+        tb = pa.table({"l_orderkey": t.column("l_orderkey"), "rev": pa.array(rev)})
+        out = tb.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["l_orderkey", "rev"])
+
+    per_order = (
+        lineitem.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+    joined = per_order.join(
+        orders.select_columns(["o_orderkey", "o_custkey"]),
+        join_type="inner",
+        num_partitions=join_partitions(rows_hint=orders.count()),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        tb = pa.table({"c_custkey": t.column("o_custkey"), "rev": t.column("rev")})
         out = tb.group_by(["c_custkey"]).aggregate([("rev", "sum")])
         return out.rename_columns(["c_custkey", "rev"])
 
-    agg = (
-        lineitem.map_batches(partial, batch_format="pyarrow")
+    per_cust = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
         .groupby("c_custkey")
         .aggregate(Sum("rev", alias_name="revenue_scaled"))
     )
-    top = agg.to_pandas().sort_values(
-        ["revenue_scaled", "c_custkey"], ascending=[False, True], kind="mergesort"
-    ).head(k)
-    names = customer.select_columns(["c_custkey", "c_name"]).to_pandas()
+    top = top_k(per_cust, "revenue_scaled", k, "c_custkey").to_pandas()
+
+    keys_ref = ray.put(np.sort(top["c_custkey"].to_numpy()))
+
+    def name_filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        col = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, col), 0, ks.shape[0] - 1)
+        return t.select(["c_custkey", "c_name"]).filter(pa.array(ks[pos] == col))
+
+    names = customer.map_batches(name_filter, batch_format="pyarrow").to_pandas()
     out = top.merge(names, on="c_custkey", how="left")
-    return out[["c_custkey", "c_name", "revenue_scaled"]].reset_index(drop=True)
+    out = out.sort_values(
+        ["revenue_scaled", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    return out[["c_custkey", "c_name", "revenue_scaled"]]

@@ -14,6 +14,8 @@ import pyarrow as pa
 
 from ray.data.aggregate import Max, Min, Sum
 
+from ..state.money import to_cents
+
 KEYS = ["event_type", "window_start"]
 
 
@@ -95,7 +97,7 @@ def sessionize(ds, gap_minutes: int = 30):
         ts = g["ts"].to_numpy()
         brk = np.concatenate(([0], (np.diff(ts) > gap).astype(np.int64)))
         sid = np.cumsum(brk)
-        cents = np.rint(g["value"].to_numpy() * 100.0).astype(np.int64)
+        cents = to_cents(g["value"].to_numpy())
         out = (
             pd.DataFrame(
                 {
@@ -156,7 +158,7 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts", val_col: str = 
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
-        cents = np.rint(g[val_col].to_numpy() * 100.0).astype(np.int64)
+        cents = to_cents(g[val_col].to_numpy())
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),

@@ -132,3 +132,75 @@ def top_k(ds, value_col: str, k: int, tiebreak_col: str, descending: bool = True
         .repartition(1)
         .map_batches(partial, batch_format="pyarrow", batch_size=None)
     )
+
+
+def attach_dim(
+    facts,
+    dim,
+    fact_key: str,
+    dim_key: str,
+    val_cols: list[str],
+    max_broadcast_rows: int = 5_000_000,
+    rows_hint: int | None = None,
+    dim_rows: int | None = None,
+):
+    """Inner-join ``val_cols`` of a dimension table onto fact rows — the
+    size-guarded broadcast join every star-schema pipeline needs.
+
+    Small dimension (≤ max_broadcast_rows): the dim is collected ONCE,
+    sorted by key, `ray.put` into the object store, and probed with
+    np.searchsorted inside a stateless ``map_batches`` — no shuffle, zero
+    per-batch re-shipping.  Probes are verified with an exact key-equality
+    check (searchsorted alone maps absent keys to a neighbor); unmatched
+    fact rows are DROPPED (inner semantics) rather than silently
+    mis-attributed.
+
+    Large dimension: falls back to a hash ``Dataset.join`` on
+    (fact_key = dim_key) so no table is ever driver-materialized — the
+    100 TB path when the dimension grows with the fact data (e.g. TPC-H
+    orders/customer at high SF).
+    """
+    import pyarrow.compute as pc  # noqa: F401  (kept for parity with call sites)
+
+    n = dim_rows if dim_rows is not None else dim.count()
+    cols = [dim_key] + list(val_cols)
+    if n <= max_broadcast_rows:
+        dd = dim.select_columns(cols).to_pandas()
+        keys = dd[dim_key].to_numpy()
+        order = np.argsort(keys, kind="mergesort")
+        side_ref = ray.put(
+            {
+                "keys": keys[order],
+                "vals": {c: dd[c].to_numpy()[order] for c in val_cols},
+            }
+        )
+
+        def lookup(t: pa.Table) -> pa.Table:
+            side = ray.get(side_ref)
+            probe = t.column(fact_key).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(side["keys"], probe)
+            pos_c = np.clip(pos, 0, side["keys"].shape[0] - 1)
+            hit = side["keys"][pos_c] == probe
+            if not hit.all():
+                t = t.filter(pa.array(hit))
+                pos_c = pos_c[hit]
+            for c in val_cols:
+                v = side["vals"][c][pos_c]
+                if v.dtype == object:
+                    t = t.append_column(c, pa.array(v.astype(object), type=pa.string()))
+                else:
+                    t = t.append_column(c, pa.array(v))
+            return t
+
+        return facts.map_batches(lookup, batch_format="pyarrow")
+
+    from ..runtime import join_partitions
+
+    right = dim.select_columns(cols)
+    return facts.join(
+        right,
+        join_type="inner",
+        num_partitions=join_partitions(rows_hint=rows_hint or n),
+        on=(fact_key,),
+        right_on=(dim_key,),
+    )

@@ -70,6 +70,19 @@ def main():
             continue
         ok_rows = len(ours) == len(oracle)
         ok_schema = list(ours.columns) == list(oracle.columns)
+        # The driver's value hash distinguishes int64 from float64 (DuckDB
+        # HUGEINT lands as float64 in pandas) — an int-vs-float dtype split
+        # between engine and oracle passed the old numeric compare but failed
+        # the driver hash (r02: harmonic_year, training_split).  Treat a
+        # kind mismatch across the int/float boundary as a hard failure.
+        ok_dtype = True
+        if ok_rows and ok_schema:
+            for c in ours.columns:
+                ka = ours[c].dtype.kind
+                kb = oracle[c].dtype.kind
+                if ("f" in (ka, kb)) and ka != kb and {ka, kb} & {"i", "u"}:
+                    ok_dtype = False
+                    print(f"  col {c} dtype kind mismatch: ours={ours[c].dtype} oracle={oracle[c].dtype}")
         ok_vals = False
         if ok_rows and ok_schema:
             ok_vals = True
@@ -88,7 +101,7 @@ def main():
                         ~((pd.isna(a) & pd.isna(b)) | (pd.Series(a) == pd.Series(b)).to_numpy())
                     )[0][:3]
                     print(f"  col {c} mismatch rows {bad}: ours={a[bad]} oracle={b[bad]}")
-        status = "PASS" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        status = "PASS" if (ok_rows and ok_schema and ok_vals and ok_dtype) else "FAIL"
         if status == "PASS":
             n_pass += 1
         else:
