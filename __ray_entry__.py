@@ -759,8 +759,12 @@ def q_media_scenes(sf_dir: str):
             }
         )
 
+    # group on the full compound key, matching the oracle's PARTITION BY —
+    # media_ref alone would interleave frames if a ref repeated across spans
     return _i64(
-        means.groupby("media_ref").map_groups(scenes, batch_format="pandas"),
+        means.groupby(["doc_id", "span_idx", "media_ref"]).map_groups(
+            scenes, batch_format="pandas"
+        ),
         ["doc_id", "span_idx", "media_ref", "n_scene_changes"],
     )
 

@@ -232,9 +232,14 @@ def run_scaling() -> dict:
             / (hi / lo),
             3,
         )
-    best = max(effs.values())
+    # Headline value = the RAW headline pipeline's best pair, never the
+    # indexed variant — the raw pipeline is what the 100 TB design runs,
+    # and mixing variants into one max() would cherry-pick.  The full
+    # per-pair, per-variant detail stays in `efficiencies`.
+    raw_effs = {k: v for k, v in effs.items() if k.startswith("eff_raw_")}
+    best = max(raw_effs.values())
     return {
-        "metric": "scaling efficiency (best N->4N pair, docs/sec)",
+        "metric": "scaling efficiency (raw headline, best N->4N pair)",
         "value": best,
         "unit": "efficiency",
         "efficiencies": effs,
