@@ -543,15 +543,97 @@ def q_training_split(sf_dir: str):
 
 def q_rf_landcover(sf_dir: str):
     """Full model pipeline: train per-class RF primitives on the labeled
-    spans, score tile composites, argmax → LANDCOVER (iterative/model op —
-    rows-only check)."""
+    spans, score tile composites (distributed write of the per-class
+    probability map — the reference's primitives-image export), argmax →
+    LANDCOVER.  Oracle: SQL argmax over the exported probability parquet
+    (verifies assemblage + tile coverage; the forest WALK itself is
+    verified end-to-end by ``rf_scores``'s recursive-CTE tree replay)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    art = P.rf_artifacts(_synth(sf_dir), DEFAULT_CONFIG)
+    lc = rd.read_parquet(art["probs_dir"]).select_columns(
+        ["tile_id", "year", "LANDCOVER_pred"]
+    )
+    return _i64(
+        lc.map_batches(
+            lambda t: t.rename_columns(["tile_id", "year", "LANDCOVER"]),
+            batch_format="pyarrow",
+        ),
+        ["tile_id", "year", "LANDCOVER"],
+    )
+
+
+RF_SCORE_MOD = 41  # deterministic ~2.4% tile subset for the SQL tree walk
+
+
+def q_rf_scores(sf_dir: str):
+    """Exact forest-scoring replay on a deterministic tile subset: tile
+    composites → covariates → per-class quantized leaf-sum walk
+    (``Forest.predict_quantized``) + integer argmax.  The oracle re-walks
+    the exported node tables with a recursive CTE over SQL-recomputed
+    composite features — every threshold comparison, leaf assignment and
+    int64 sum must match bit-for-bit."""
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+    from kaza_lcms_ray.stages import spans
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    geo = _geo(sf_dir)
+    def mod_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # tile_id % MOD == 0 (Ray's filter(expr=...) can't parse BinOp LHS)
+        tid = t.column("tile_id")
+        rem = pc.subtract(
+            tid, pc.multiply(pc.divide(tid, RF_SCORE_MOD), RF_SCORE_MOD)
+        )
+        return t.filter(pc.equal(rem, 0))
+
+    comp = P.tile_composites(geo, DEFAULT_CONFIG).map_batches(
+        mod_filter, batch_format="pyarrow"
+    )
+    scored = P.score_quantized(comp, art["models"])
+    classes = sorted(art["models"])
+    cols = ["tile_id", "year"] + [f"pq_{c}" for c in classes] + ["LANDCOVER_q"]
+    return _i64(scored.select_columns(cols), cols)
+
+
+def q_accuracy_report(sf_dir: str):
+    """Held-out accuracy flow (05accuracy analog): score the 20% test
+    split with the trained primitives (quantized argmax — the exact
+    replayable path) and emit the confusion matrix as (LANDCOVER truth,
+    LANDCOVER_pred, n) rows.  Oracle: SQL replays the split, the span
+    covariates, the tree walk and the argmax."""
+    import pandas as pd
+
+    import ray.data as rd
+
     from kaza_lcms_ray.config import DEFAULT_CONFIG
     from kaza_lcms_ray.pipelines import primitives as P
 
     root = _synth(sf_dir)
-    train_df, _ = P.build_training_table(root, DEFAULT_CONFIG)
-    models = P.train_primitives(train_df, DEFAULT_CONFIG)
-    return _i64(P.generate_landcover(root, models, DEFAULT_CONFIG), ["tile_id", "year", "LANDCOVER"])
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    test = rd.from_pandas(art["test"])
+    scored = P.score_quantized(test, art["models"]).select_columns(
+        ["LANDCOVER", "LANDCOVER_q"]
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        out = t.group_by(["LANDCOVER", "LANDCOVER_q"]).aggregate([([], "count_all")])
+        return out.rename_columns(["LANDCOVER", "LANDCOVER_pred", "n"])
+
+    from ray.data.aggregate import Sum
+
+    cm = (
+        scored.map_batches(count, batch_format="pyarrow")
+        .groupby(["LANDCOVER", "LANDCOVER_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _i64(cm, ["LANDCOVER", "LANDCOVER_pred", "n"])
 
 
 def q_distinct_years(sf_dir: str):
@@ -1178,6 +1260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": q_near_dup_pairs,
         "training_split": q_training_split,
         "rf_landcover": q_rf_landcover,
+        "rf_scores": q_rf_scores,
+        "accuracy_report": q_accuracy_report,
         "distinct_years": q_distinct_years,
         "top_chars": q_top_chars,
         "focal_count": q_focal_count,
@@ -1236,15 +1320,22 @@ geo AS (
            CAST(b[3] AS DOUBLE) AS b2, CAST(b[4] AS DOUBLE) AS b3,
            CAST(b[5] AS DOUBLE) AS b4, CAST(b[6] AS DOUBLE) AS b5,
            CAST(round(CAST(b[1] AS DOUBLE) * 100, 0) AS BIGINT) AS c0,
+           CAST(round(CAST(b[2] AS DOUBLE) * 100, 0) AS BIGINT) AS c1,
+           CAST(round(CAST(b[3] AS DOUBLE) * 100, 0) AS BIGINT) AS c2,
            CAST(round(CAST(b[4] AS DOUBLE) * 100, 0) AS BIGINT) AS c3,
-           CAST(round(CAST(b[5] AS DOUBLE) * 100, 0) AS BIGINT) AS c4
+           CAST(round(CAST(b[5] AS DOUBLE) * 100, 0) AS BIGINT) AS c4,
+           CAST(round(CAST(b[6] AS DOUBLE) * 100, 0) AS BIGINT) AS c5
     FROM (
-        SELECT doc_id, unnest(spans) AS span,
-               generate_subscripts(spans, 1) AS ord
-        FROM read_parquet('{root}/documents/part-*.parquet')
+        -- kind filter INSIDE the subquery: under WITH RECURSIVE DuckDB may
+        -- evaluate the LATERAL casts before an outer WHERE, and text spans
+        -- don't parse as DOUBLE
+        SELECT * FROM (
+            SELECT doc_id, unnest(spans) AS span,
+                   generate_subscripts(spans, 1) AS ord
+            FROM read_parquet('{root}/documents/part-*.parquet')
+        ) WHERE span.kind = 'geo'
     ), LATERAL (SELECT string_split(span.text, ';') AS parts),
        LATERAL (SELECT string_split(parts[5], ',') AS b)
-    WHERE span.kind = 'geo'
 )"""
 
 
@@ -1466,6 +1557,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "harmonic_year": _harmonic_year_sql(geo),
         "harmonic_windowed": _harmonic_windowed_sql(geo, cells),
         "training_split": _training_split_sql(geo, root),
+        "rf_landcover": _rf_landcover_sql(root),
+        "rf_scores": _rf_scores_sql(root, RF_SCORE_MOD),
+        "accuracy_report": _accuracy_sql(root),
         "geo_bbox": _geo_bbox_sql(geo, cells),
         "sample_pts": _sample_pts_sql(root),
         "poly_area": _poly_area_sql(root),
@@ -2580,6 +2674,21 @@ def _training_split_sql(geo: str, root: str) -> str:
     (first matching reference polygon in poly_id order), seeded-hash
     stratified cap (400/class, smallest hash_unit(seed,'strat',rowkey)
     first) and the 80/20 hash split — all splitmix64 chains, all exact."""
+    return f"""
+        WITH {geo},
+        {_split_ctes(root)}
+        SELECT "LANDCOVER",
+               CAST(SUM(CASE WHEN rsplit < 0.8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN rsplit >= 0.8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM capped GROUP BY "LANDCOVER" """
+
+
+def _split_ctes(root: str) -> str:
+    """The build_training_table CTE chain (requires `geo` in scope),
+    ending with `capped` (doc_id, span_idx, LANDCOVER, rstrat, rsplit) —
+    shared by the training_split and accuracy_report oracles."""
     from kaza_lcms_ray.config import DEFAULT_CONFIG
     from kaza_lcms_ray.state import sqlhash as SH
 
@@ -2612,7 +2721,6 @@ def _training_split_sql(geo: str, root: str) -> str:
         + SH.splitmix_steps(SH.xor64(SH.hug(c_split), "rk"), "hsplit", "ke"),
     )
     return f"""
-        WITH {geo},
         pp AS (
             SELECT poly_id, CAST("LANDCOVER" AS BIGINT) AS "LANDCOVER",
                    bbox.minx AS minx, bbox.miny AS miny,
@@ -2657,13 +2765,7 @@ def _training_split_sql(geo: str, root: str) -> str:
                     ORDER BY rstrat, doc_id, span_idx
                 ) AS srn FROM rnd
             ) WHERE srn <= 400
-        )
-        SELECT "LANDCOVER",
-               CAST(SUM(CASE WHEN rsplit < 0.8 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_train,
-               CAST(SUM(CASE WHEN rsplit >= 0.8 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_test
-        FROM capped GROUP BY "LANDCOVER" """
+        )"""
 
 
 def _harmonic_ctes(keys_sql: str, src: str, ycol: str, d0: int, d1: int, tag: str) -> str:
@@ -2797,3 +2899,167 @@ def _focal_count_sql(root: str) -> str:
         SELECT {cell} AS cell_id, CAST(SUM(b.n) AS BIGINT) AS focal_sum
         FROM cc a JOIN cc b ON abs(a.ix - b.ix) <= 1 AND abs(a.iy - b.iy) <= 1
         GROUP BY a.ix, a.iy"""
+
+
+# ------------------------------------------------- RF scoring oracles
+#
+# The trained forests are exported as relational node tables
+# ({root}/rf_model/trees.parquet, see state.forest.nodes_table) and the
+# per-tile probability map as parquet ({root}/rf_model/probs/), so SQL can
+# replay scoring end-to-end: recompute the composite covariates, walk every
+# tree with a recursive CTE, sum the quantized int64 leaf values (order-free
+# = bit-exact), argmax.  Reference analog: classify + assemblage
+# (src/utils/primitives.py:97, src/utils/assemblage.py:12-25).
+
+# identical double-precision expression trees as the engine kernels
+# (stages/covariates.py _evi/_savi/_ibi — verified per-span by the
+# `covariates` oracle); inputs are the scaled band columns blue..swir2
+_COV_EXPRS = {
+    "EVI": "2.5 * ((nir - red) / (nir + 6 * red - 7.5 * blue + 1))",
+    "SAVI": "(nir - red) * 1.5 / (nir + red + 0.5)",
+    "IBI": (
+        "((2 * swir1 / (swir1 + nir)) - ((nir / (nir + red)) + (green / (green + swir1))))"
+        " / ((2 * swir1 / (swir1 + nir)) + ((nir / (nir + red)) + (green / (green + swir1))))"
+    ),
+}
+
+_FEAT_CASE = """CASE t.feature_name
+                  WHEN 'blue' THEN f.blue WHEN 'green' THEN f.green
+                  WHEN 'red' THEN f.red WHEN 'nir' THEN f.nir
+                  WHEN 'swir1' THEN f.swir1 WHEN 'swir2' THEN f.swir2
+                  WHEN 'EVI' THEN f."EVI" WHEN 'SAVI' THEN f."SAVI"
+                  WHEN 'IBI' THEN f."IBI" END"""
+
+
+def _walk_ctes(root: str, feats_key: str) -> str:
+    """Recursive tree-walk CTEs over `feats` (must expose ``{feats_key}``
+    key columns + the 9 feature columns).  Ends with `leaf`: one row per
+    (key, class) with pq = Σ_trees value_q."""
+    ks = feats_key.split(", ")
+    on_f = " AND ".join(f"f.{k} = w.{k}" for k in ks)
+    w_keys = ", ".join(f"w.{k}" for k in ks)
+    return f"""
+        trees AS (SELECT * FROM read_parquet('{root}/rf_model/trees.parquet')),
+        walk AS (
+            SELECT n.class, n.tree, {feats_key}, 0 AS node
+            FROM (SELECT DISTINCT class, tree FROM trees) n, feats
+            UNION ALL
+            SELECT w.class, w.tree, {w_keys},
+                   CASE WHEN ({_FEAT_CASE}) <= t.thresh
+                        THEN t.left ELSE t.right END AS node
+            FROM walk w
+            JOIN trees t ON t.class = w.class AND t.tree = w.tree
+                        AND t.node = w.node
+            JOIN feats f ON {on_f}
+            WHERE t.feature_name <> ''
+        ),
+        leaf AS (
+            SELECT {w_keys}, w.class, CAST(SUM(t.value_q) AS BIGINT) AS pq
+            FROM walk w
+            JOIN trees t ON t.class = w.class AND t.tree = w.tree
+                        AND t.node = w.node
+            WHERE t.feature_name = ''
+            GROUP BY {w_keys}, w.class
+        )"""
+
+
+def _rf_landcover_sql(root: str) -> str:
+    """Argmax assemblage over the engine-exported probability map — the
+    tile_labels oracle pattern applied to the real primitives export.
+    np.argmax first-max semantics = ORDER BY prob DESC, class ASC."""
+    from kaza_lcms_ray.config import CLASSES
+
+    values = ", ".join(f"({c}, prob_{c})" for c in sorted(CLASSES))
+    return f"""
+        WITH p AS (SELECT * FROM read_parquet('{root}/rf_model/probs/*.parquet')),
+        u AS (
+            SELECT tile_id, "year", c.class, c.prob
+            FROM p, LATERAL (VALUES {values}) AS c(class, prob)
+        )
+        SELECT CAST(tile_id AS BIGINT) AS tile_id,
+               CAST("year" AS BIGINT) AS "year",
+               CAST(class AS BIGINT) AS "LANDCOVER"
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+            ) AS rn FROM u
+        ) WHERE rn = 1"""
+
+
+def _rf_scores_sql(root: str, mod: int) -> str:
+    from kaza_lcms_ray.config import CLASSES
+
+    geo = _geo_cte(root)
+    cells = _cells_cte(root)
+    means = ", ".join(
+        f"CAST(SUM(c{i}) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS b{i}"
+        for i in range(6)
+    )
+    scaled = ", ".join(
+        f"b{i} * 0.0001 AS {n}"
+        for i, n in enumerate(("blue", "green", "red", "nir", "swir1", "swir2"))
+    )
+    covs = ", ".join(f'{e} AS "{n}"' for n, e in _COV_EXPRS.items())
+    pivots = ", ".join(
+        f"CAST(SUM(CASE WHEN class = {c} THEN pq ELSE 0 END) AS BIGINT) AS pq_{c}"
+        for c in sorted(CLASSES)
+    )
+    return f"""
+        WITH RECURSIVE {geo}, {cells},
+        comp AS (
+            SELECT tile_id, "year", {means}
+            FROM cells WHERE tile_id % {mod} = 0 GROUP BY tile_id, "year"
+        ),
+        sc AS (SELECT tile_id, "year", {scaled} FROM comp),
+        feats AS (SELECT *, {covs} FROM sc),
+        {_walk_ctes(root, 'tile_id, "year"')},
+        piv AS (
+            SELECT tile_id, "year", {pivots}
+            FROM leaf GROUP BY tile_id, "year"
+        ),
+        lab AS (
+            SELECT tile_id, "year", class, row_number() OVER (
+                PARTITION BY tile_id, "year" ORDER BY pq DESC, class ASC
+            ) AS rn FROM leaf
+        )
+        SELECT CAST(p.tile_id AS BIGINT) AS tile_id,
+               CAST(p."year" AS BIGINT) AS "year",
+               {", ".join(f"p.pq_{c}" for c in sorted(CLASSES))},
+               CAST(l.class AS BIGINT) AS "LANDCOVER_q"
+        FROM piv p JOIN lab l
+          ON l.tile_id = p.tile_id AND l."year" = p."year" AND l.rn = 1"""
+
+
+def _accuracy_sql(root: str) -> str:
+    """Confusion matrix of the held-out 20% test split scored by the SQL
+    tree walk: split replay (the training_split CTE chain) → span
+    covariates → walk → integer argmax → (truth, pred, n)."""
+    geo = _geo_cte(root)
+    split = _split_ctes(root)
+    scaled = ", ".join(
+        f"g.b{i} * 0.0001 AS {n}"
+        for i, n in enumerate(("blue", "green", "red", "nir", "swir1", "swir2"))
+    )
+    covs = ", ".join(f'{e} AS "{n}"' for n, e in _COV_EXPRS.items())
+    return f"""
+        WITH RECURSIVE {geo},
+        {split},
+        test AS (SELECT doc_id, span_idx, "LANDCOVER" FROM capped
+                 WHERE rsplit >= 0.8),
+        sc AS (
+            SELECT t.doc_id, t.span_idx, t."LANDCOVER", {scaled}
+            FROM test t JOIN geo g
+              ON g.doc_id = t.doc_id AND g.span_idx = t.span_idx
+        ),
+        feats AS (SELECT *, {covs} FROM sc),
+        {_walk_ctes(root, "doc_id, span_idx")},
+        lab AS (
+            SELECT l.doc_id, l.span_idx, l.class, row_number() OVER (
+                PARTITION BY l.doc_id, l.span_idx ORDER BY pq DESC, class ASC
+            ) AS rn FROM leaf l
+        )
+        SELECT f."LANDCOVER", CAST(l.class AS BIGINT) AS "LANDCOVER_pred",
+               COUNT(*) AS n
+        FROM feats f JOIN lab l
+          ON l.doc_id = f.doc_id AND l.span_idx = f.span_idx AND l.rn = 1
+        GROUP BY 1, 2"""

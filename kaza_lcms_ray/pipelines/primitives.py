@@ -278,6 +278,123 @@ def area_with_ci(synth_root: str, models: dict, config: PipelineConfig = DEFAULT
     )
 
 
+def score_quantized(ds, models: dict, concurrency=None):
+    """Like ``score`` but emits the exact replayable statistic: per class,
+    ``pq_{c}`` = Σ_trees rint(leaf_value·2^40) (int64, order-free), plus
+    ``LANDCOVER_q`` = argmax over the integer sums (ties → lowest class).
+    A SQL walk over the exported node tables reproduces every value
+    bit-for-bit — see ``Forest.predict_quantized``."""
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    models_ref = ray.put(models)
+
+    class QuantScorer:
+        def __init__(self):
+            self.models = ray.get(models_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            classes = sorted(self.models)
+            sums = []
+            for c in classes:
+                m = self.models[c]
+                X = np.stack(
+                    [
+                        batch.column(f).to_numpy(zero_copy_only=False)
+                        for f in m["features"]
+                    ],
+                    axis=1,
+                )
+                q = m["forest"].predict_quantized(X)
+                sums.append(q)
+                batch = batch.append_column(f"pq_{c}", pa.array(q))
+            Q = np.stack(sums, axis=1)
+            label = np.asarray(classes, dtype=np.int32)[np.argmax(Q, axis=1)]
+            return batch.append_column("LANDCOVER_q", pa.array(label))
+
+    return ds.map_batches(
+        QuantScorer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# --------------------------------------------- model export (SQL oracle)
+
+_RF_MEMO: dict = {}
+
+
+def rf_artifacts(synth_root: str, config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Train the per-class primitives ONCE per (synth_root, config) and
+    persist the two artifacts the SQL oracle replays:
+
+      {synth_root}/rf_model/trees.parquet — every forest flattened to a
+        relational node table (``state.forest.nodes_table``): the
+        model-export analog of the reference's per-class probability-image
+        assets (src/utils/primitives.py:33-46);
+      {synth_root}/rf_model/probs/ — per-(tile, year) float64 class
+        probabilities + argmax LANDCOVER, written DISTRIBUTED by the
+        scorer pipeline (ds.write_parquet, streaming — the full map never
+        sits on the driver).
+
+    Both the engine queries and ``oracle_sql`` generation call this; a
+    done-marker keyed by config hash makes repeats (same process or a
+    fresh one) skip straight to the persisted artifacts.  Everything is
+    deterministic (seeded splitmix64), so racing processes write
+    identical bytes.
+    """
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = (synth_root, config.config_hash())
+    if key in _RF_MEMO:
+        return _RF_MEMO[key]
+    base = os.path.join(synth_root, "rf_model")
+    marker = os.path.join(base, f"done-{config.config_hash()}.json")
+    trees_path = os.path.join(base, "trees.parquet")
+    probs_dir = os.path.join(base, "probs")
+    if not os.path.exists(marker):
+        os.makedirs(probs_dir, exist_ok=True)
+        train_df, test_df = build_training_table(synth_root, config)
+        models = train_primitives(train_df, config)
+        from ..state.forest import nodes_table
+
+        nt = pa.concat_tables(
+            [nodes_table(models[c]["forest"], c) for c in sorted(models)]
+        )
+        pq.write_table(nt, trees_path)
+        train_df.to_parquet(os.path.join(base, "train.parquet"), index=False)
+        test_df.to_parquet(os.path.join(base, "test.parquet"), index=False)
+        docs = rd.read_parquet(f"{synth_root}/documents")
+        geo = spans.geo_obs(docs)
+        scored = score(tile_composites(geo, config), models)
+        classes = sorted(models)
+        scored.select_columns(
+            ["tile_id", "year"]
+            + [f"prob_{c}" for c in classes]
+            + ["LANDCOVER_pred"]
+        ).write_parquet(probs_dir)
+        with open(marker, "w") as f:
+            json.dump({"config": config.config_hash()}, f)
+    else:
+        train_df = pd.read_parquet(os.path.join(base, "train.parquet"))
+        test_df = pd.read_parquet(os.path.join(base, "test.parquet"))
+        models = train_primitives(train_df, config)
+    out = {
+        "models": models,
+        "trees_path": trees_path,
+        "probs_dir": probs_dir,
+        "train": train_df,
+        "test": test_df,
+    }
+    _RF_MEMO[key] = out
+    return out
+
+
 def confusion_report(truth: np.ndarray, pred: np.ndarray) -> dict:
     """Confusion matrix + per-class producer/user accuracy + overall metrics
     (src/misc/05accuracy.py:89-141 semantics, computed driver-side)."""

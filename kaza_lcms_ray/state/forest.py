@@ -23,6 +23,10 @@ import numpy as np
 
 from .hashing import RF_SEED, hash_key
 
+# leaf-probability quantization for the exact SQL scoring replay: 2^-40
+# resolution, and 100 summed leaves × 2^40 stays far inside int64
+QUANT_BITS = 40
+
 
 @dataclass
 class Tree:
@@ -45,16 +49,38 @@ class Forest:
         n = X.shape[0]
         acc = np.zeros(n)
         for tr in self.trees:
-            node = np.zeros(n, dtype=np.int32)
-            active = tr.feature[node] >= 0
-            while active.any():
-                f = tr.feature[node[active]]
-                go_left = X[active, f] <= tr.thresh[node[active]]
-                nxt = np.where(go_left, tr.left[node[active]], tr.right[node[active]])
-                node[active] = nxt
-                active = tr.feature[node] >= 0
-            acc += tr.value[node]
+            acc += tr.value[self._leaf_nodes(tr, X)]
         return acc / max(1, len(self.trees))
+
+    @staticmethod
+    def _leaf_nodes(tr: Tree, X: np.ndarray) -> np.ndarray:
+        """Vectorized iterative walk → leaf node index per row."""
+        node = np.zeros(X.shape[0], dtype=np.int32)
+        active = tr.feature[node] >= 0
+        while active.any():
+            f = tr.feature[node[active]]
+            go_left = X[active, f] <= tr.thresh[node[active]]
+            node[active] = np.where(
+                go_left, tr.left[node[active]], tr.right[node[active]]
+            )
+            active = tr.feature[node] >= 0
+        return node
+
+    def predict_quantized(self, X: np.ndarray, bits: int = QUANT_BITS) -> np.ndarray:
+        """Exact replayable score: Σ_trees rint(leaf_value·2^bits) as int64.
+
+        Integer addition is order-free, so a SQL replay of the identical
+        tree walk (nodes exported by ``nodes_table``) sums to the exact
+        same int64 no matter how the engine or DuckDB orders the trees —
+        unlike the float mean of ``predict_proba``, whose last bit depends
+        on accumulation order.
+        """
+        scale = float(2**bits)
+        acc = np.zeros(X.shape[0], dtype=np.int64)
+        for tr in self.trees:
+            leaf = self._leaf_nodes(tr, X)
+            acc += np.rint(tr.value[leaf] * scale).astype(np.int64)
+        return acc
 
 
 def _best_split(X, y, feat_idx, min_leaf: int):
@@ -172,6 +198,53 @@ def train_forest(
         forest.oob_error = float((pred != (y[seen] > 0)).mean())
     forest.importance = importance
     return forest
+
+
+def nodes_table(forest: Forest, class_id: int, bits: int = QUANT_BITS):
+    """Flatten a trained forest into a relational node table for the SQL
+    scoring oracle (the model-export analog of the reference's per-class
+    asset exports, src/utils/primitives.py:33-46).
+
+    Columns: class, tree, node, feature_name ('' at leaves), thresh, left,
+    right, value_q (= rint(leaf_value·2^bits), int64 — see
+    ``predict_quantized``).  Internal nodes carry value_q = 0.
+    """
+    import pyarrow as pa
+
+    names = forest.feature_names
+    scale = float(2**bits)
+    cols = {k: [] for k in
+            ("class", "tree", "node", "feature_name", "thresh", "left",
+             "right", "value_q")}
+    for t, tr in enumerate(forest.trees):
+        n = tr.feature.shape[0]
+        cols["class"].extend([class_id] * n)
+        cols["tree"].extend([t] * n)
+        cols["node"].extend(range(n))
+        is_leaf = tr.feature < 0
+        cols["feature_name"].extend(
+            "" if is_leaf[i] else names[tr.feature[i]] for i in range(n)
+        )
+        cols["thresh"].extend(np.where(is_leaf, 0.0, tr.thresh).tolist())
+        cols["left"].extend(tr.left.tolist())
+        cols["right"].extend(tr.right.tolist())
+        cols["value_q"].extend(
+            np.where(is_leaf, np.rint(tr.value * scale), 0.0)
+            .astype(np.int64)
+            .tolist()
+        )
+    return pa.table(
+        {
+            "class": pa.array(cols["class"], type=pa.int32()),
+            "tree": pa.array(cols["tree"], type=pa.int32()),
+            "node": pa.array(cols["node"], type=pa.int32()),
+            "feature_name": pa.array(cols["feature_name"], type=pa.string()),
+            "thresh": pa.array(cols["thresh"], type=pa.float64()),
+            "left": pa.array(cols["left"], type=pa.int32()),
+            "right": pa.array(cols["right"], type=pa.int32()),
+            "value_q": pa.array(cols["value_q"], type=pa.int64()),
+        }
+    )
 
 
 def top_k_features(forest: Forest, k: int = 20) -> list[int]:

@@ -87,3 +87,59 @@ def test_generate_landcover_runs(trained, synth_small, ray_session):
     assert set(labels.columns) == {"tile_id", "year", "LANDCOVER"}
     assert labels["LANDCOVER"].between(1, 8).all()
     assert labels.duplicated(["tile_id", "year"]).sum() == 0
+
+
+def test_predict_quantized_matches_float_walk():
+    """The quantized int64 leaf-sum path walks the same leaves as
+    predict_proba: pq / (2^40 · n_trees) must sit within quantization
+    error of the float mean, and be block-split invariant (order-free)."""
+    from kaza_lcms_ray.state.forest import QUANT_BITS
+
+    X, y = _toy_data()
+    f = train_forest(X, y, n_trees=25, seed=51515, class_tag=1)
+    q = f.predict_quantized(X)
+    assert q.dtype == np.int64
+    approx = q / (2.0**QUANT_BITS) / len(f.trees)
+    assert np.abs(approx - f.predict_proba(X)).max() < 1e-9
+    # splitting rows into arbitrary chunks reproduces the same sums
+    parts = np.concatenate([f.predict_quantized(X[:137]), f.predict_quantized(X[137:])])
+    assert (parts == q).all()
+
+
+def test_nodes_table_replays_scoring_in_sql():
+    """The exported relational node table + a recursive-CTE walk in DuckDB
+    reproduces predict_quantized bit-for-bit (the rf_scores oracle core)."""
+    import duckdb
+    import pandas as pd
+
+    from kaza_lcms_ray.state.forest import nodes_table
+
+    X, y = _toy_data(n=120)
+    names = [f"f{i}" for i in range(X.shape[1])]
+    f = train_forest(X, y, n_trees=8, seed=7, class_tag=3, feature_names=names)
+    nt = nodes_table(f, class_id=3)
+    feats = pd.DataFrame(X, columns=names)
+    feats["rid"] = np.arange(len(feats))
+    con = duckdb.connect()
+    con.register("trees", nt.to_pandas())
+    con.register("feats", feats)
+    case = " ".join(f"WHEN '{n}' THEN f.{n}" for n in names)
+    got = con.sql(f"""
+        WITH RECURSIVE walk AS (
+            SELECT n.tree, f.rid, 0 AS node
+            FROM (SELECT DISTINCT tree FROM trees) n, feats f
+            UNION ALL
+            SELECT w.tree, w.rid,
+                   CASE WHEN (CASE t.feature_name {case} END) <= t.thresh
+                        THEN t.left ELSE t.right END AS node
+            FROM walk w
+            JOIN trees t ON t.tree = w.tree AND t.node = w.node
+            JOIN feats f ON f.rid = w.rid
+            WHERE t.feature_name <> ''
+        )
+        SELECT w.rid, CAST(SUM(t.value_q) AS BIGINT) AS pq
+        FROM walk w JOIN trees t ON t.tree = w.tree AND t.node = w.node
+        WHERE t.feature_name = ''
+        GROUP BY w.rid ORDER BY w.rid
+    """).df()
+    assert (got["pq"].to_numpy() == f.predict_quantized(X)).all()
