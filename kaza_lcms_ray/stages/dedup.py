@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from ray.data.aggregate import Count, Min  # noqa: F401 (Min used by exact_dedup_keys)
 
-from ..state.hashing import _fnv1a, splitmix64
+from ..state.hashing import splitmix64
 
 # ------------------------------------------------------------------ exact
 
@@ -326,29 +326,50 @@ def ngram_jaccard(texts_a: list[str], texts_b: list[str], k: int = 5) -> np.ndar
 
 
 class SimHasher:
-    """64-bit SimHash per document over token hashes (actor pool)."""
+    """64-bit SimHash per document over token hashes (actor pool).
+
+    Fully vectorized (the text.TextScorer pattern): ONE regex split per
+    batch, FNV-1a over the flattened token array (state.hashing.fnv1a_arr —
+    bit-identical to the scalar _fnv1a the SQL oracle mirrors; never
+    builtin hash(): PYTHONHASHSEED), splitmix64 finalize, per-bit ±1 votes
+    summed per document by cumsum differencing — no per-token Python."""
 
     def __init__(self, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        sigs = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = str(t).lower().split()
-            if not toks:
-                sigs[i] = 0
-                continue
-            hs = splitmix64(
-                np.array([_fnv1a(w) for w in toks], dtype=np.uint64)
-            )  # stable across processes (never builtin hash(): PYTHONHASHSEED)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            sigs[i] = int(
-                np.bitwise_or.reduce(
-                    (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-                ).astype(np.int64)
-            )
+        import pyarrow.compute as pc
+
+        from ..state.hashing import fnv1a_arr
+
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = offs[:-1] - offs[0], offs[1:] - offs[0]
+        flat = toks.flatten()
+        hs = splitmix64(fnv1a_arr(flat))
+        # split emits empty edge fragments (leading/trailing whitespace) that
+        # Python's .split() never yields — weight them 0 in the votes
+        w = (
+            pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        ).astype(np.int8)
+        bits = (
+            (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int8)
+        votes = (2 * bits - 1) * w[:, None]
+        cs = np.vstack(
+            [np.zeros(64, np.int64), np.cumsum(votes, axis=0, dtype=np.int64)]
+        )
+        acc = cs[ends] - cs[starts]  # (n_docs, 64) per-doc bit votes
+        sigs = (
+            ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
+            .sum(axis=1, dtype=np.uint64)
+            .astype(np.int64)
+        )
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),

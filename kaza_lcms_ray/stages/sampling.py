@@ -29,7 +29,7 @@ import pyarrow as pa
 
 from ..state import cells
 from ..state.geom import points_in_polygon
-from ..state.hashing import DEFAULT_SEED, hash_key, hash_unit
+from ..state.hashing import DEFAULT_SEED, fnv1a_arr, hash_key, hash_unit
 
 
 def add_random(ds, id_cols: list[str], seed: int = DEFAULT_SEED, col: str = "random", tag: str = "random"):
@@ -55,14 +55,14 @@ def _row_key(t: pa.Table, id_cols: list[str]) -> np.ndarray:
         if pa.types.is_integer(col.type):
             part = col.to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
-            part = np.asarray(
-                [_str_h(s) for s in col.to_pylist()], dtype=np.uint64
-            )
+            part = fnv1a_arr(col)  # vectorized, bit-identical to _str_h
         key = hash_key(key, part)
     return key
 
 
 def _str_h(s) -> int:
+    """Scalar FNV-1a (str-coerced) — see state.hashing.fnv1a_arr for the
+    batch path; both must stay bit-identical to the SQL mirror."""
     h = 0xCBF29CE484222325
     for b in str(s).encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF

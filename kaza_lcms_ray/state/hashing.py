@@ -42,9 +42,7 @@ def hash_key(*parts) -> np.ndarray:
         for p in parts:
             p = np.asarray(p)
             if p.dtype.kind in ("U", "S", "O"):  # string tags -> stable int
-                p = np.asarray(
-                    [_fnv1a(str(s)) for s in np.atleast_1d(p)], dtype=np.uint64
-                )
+                p = fnv1a_arr(np.atleast_1d(p))
             h = splitmix64((h ^ p.astype(np.uint64)) & _M64)
     return h
 
@@ -53,6 +51,53 @@ def _fnv1a(s: str) -> int:
     h = 0xCBF29CE484222325
     for b in s.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a_arr(col) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a string column — bit-identical to
+    ``_fnv1a`` per element (verified by test_sqlhash), so the DuckDB mirror
+    (state/sqlhash.fnv1a_chars) needs no change.
+
+    Accepts a pyarrow Array/ChunkedArray or any sequence (coerced via
+    ``str`` like the scalar path; nulls hash as the string 'None').
+    Columns-over-rows: one numpy pass per byte position, vectorized over
+    every element still longer than that position — id/token columns are
+    short (8-30 bytes), so this is ~15 vector ops per batch instead of a
+    Python byte loop per row.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array([str(s) for s in col], type=pa.large_string())
+    if col.null_count:
+        col = pc.fill_null(col, "None")  # str(None) compat with _fnv1a
+    arr = col.cast(pa.large_binary())
+    n = len(arr)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0:
+        return h
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    active = np.argsort(lens, kind="stable")[::-1]  # longest first
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max())):
+            active = active[lens[active] > j]
+            if active.size == 0:
+                break
+            h[active] = (
+                h[active] ^ data[starts[active] + j].astype(np.uint64)
+            ) * _FNV_PRIME
     return h
 
 
