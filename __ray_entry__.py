@@ -473,31 +473,18 @@ def q_ann_topk(sf_dir: str):
 def q_knn_graph(sf_dir: str):
     """kNN graph over the embedding corpus: every vector's 3 nearest
     neighbors (self excluded AFTER ranking, mirrored in SQL) — the
-    building block of embedding-dedup graphs and clustering."""
-    import pandas as pd
-    import pyarrow.parquet as pq
+    building block of embedding-dedup graphs and clustering.  Uses the
+    block-pair ``ann.knn_join`` (O(block) state per task; the corpus is
+    never broadcast or driver-materialized)."""
     import ray.data as rd
 
     from kaza_lcms_ray.stages import ann
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qids = qt.column("vec_id").to_numpy()
-    qmat = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()]
-    )
-    top4 = ann.cosine_topk(emb, qids, qmat, id_col="vec_id", embed_col="embedding", k=4)
-
-    def drop_self(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("rank", kind="mergesort")
-        g = g[g["vec_id"] != g["qid"]].head(3).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        return g[["qid", "rank", "vec_id"]]
-
-    return _i64(
-        top4.groupby("qid").map_groups(drop_self, batch_format="pandas"),
-        ["qid", "rank", "vec_id"],
-    )
+    # drop_self=True ≡ the oracle's rank-with-self(4)→drop-self→re-rank(3):
+    # self occurs exactly once per qid, so filter-then-head(3) is identical.
+    out = ann.knn_join(emb, k=3, id_col="vec_id", embed_col="embedding", drop_self=True)
+    return _i64(out, ["qid", "rank", "vec_id"])
 
 
 def q_covariates(sf_dir: str):

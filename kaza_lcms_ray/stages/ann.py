@@ -263,3 +263,184 @@ def lsh_bucketed(ds, embed_col: str = "embedding", nbits: int = 8, seed: int = 7
         concurrency=concurrency,
         num_cpus=1,
     )
+
+# ------------------------------------------------------------- kNN join
+
+@ray.remote
+def _knn_block_kernel(left, right, k: int) -> pa.Table:
+    """Partial top-k for every query vector in ``left`` against the
+    candidate vectors in ``right`` (both prepared by ``_prep_block``).
+    Deterministic under ties: (sim desc, id asc) via a row-wise lexsort."""
+    ids_q, mat_q = left
+    ids_c, mat_c = right
+    sims = mat_q @ mat_c.T  # (nq, nc)
+    kk = min(k, ids_c.shape[0])
+    order = np.lexsort(
+        (np.broadcast_to(ids_c, sims.shape), -sims), axis=1
+    )[:, :kk]
+    return pa.table(
+        {
+            "qid": pa.array(np.repeat(ids_q, kk)),
+            "nid": pa.array(ids_c[order].reshape(-1)),
+            "sim": pa.array(np.take_along_axis(sims, order, axis=1).reshape(-1)),
+        }
+    )
+
+
+def _coalesced_block_refs(ds, cols: list[str], rows_per_block: int):
+    """Project to ``cols`` and hand back Arrow block refs with ≥
+    ``rows_per_block``-ish rows each (capped at 128 blocks here; a real
+    cluster raises the cap).  Tiny blocks are poison for any B²
+    decomposition — 32 splinter blocks of a 500-row table means 1024 pair
+    tasks and a million-edge shuffle plan where ONE task would do."""
+    mat = ds.select_columns(cols).materialize()
+    n = mat.count()
+    b = int(np.clip(int(np.ceil(n / max(rows_per_block, 1))), 1, 128))
+    if mat.num_blocks() != b:
+        mat = mat.repartition(b)
+    return mat.to_arrow_refs()
+
+
+def _bucketed_topk_merge(partial, k: int, id_out: str, drop_self: bool = False,
+                         dedup_pairs: bool = False):
+    """Merge per-pair partial top-k rows into final ranked top-k per qid.
+
+    Hash-bucketed combine (the repo-wide grouped-kernel pattern, see
+    ``zonal._add_bucket``): the shuffle has ~2×CPU partitions regardless of
+    qid cardinality, and each bucket is ONE vectorized pandas kernel — not
+    one map_groups dispatch per qid.  Exact because every per-pair partial
+    used the same total order (sim desc, nid asc) as this merge."""
+    from ..state.hashing import fnv1a_arr
+    from .zonal import _default_buckets
+
+    nb = _default_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from ..state.hashing import splitmix64
+
+        key = t.column("qid")
+        if pa.types.is_integer(key.type):
+            h = splitmix64(key.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            h = fnv1a_arr(key)
+        return t.append_column("bucket", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["qid", "sim", "nid"], ascending=[True, False, True], kind="mergesort"
+        )
+        if dedup_pairs:
+            df = df.drop_duplicates(["qid", "nid"])
+        if drop_self:
+            # equivalent to "rank with self, drop self, re-rank": self
+            # occurs exactly once per qid, so filtering it before head(k)
+            # yields the identical first k non-self rows.
+            df = df[df["qid"] != df["nid"]]
+        df = df.groupby("qid", as_index=False, sort=False).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = df.groupby("qid", sort=False).cumcount() + 1
+        df = df.rename(columns={"nid": id_out}) if id_out != "nid" else df
+        return df[["qid", "rank", id_out]]
+
+    return (
+        partial.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def knn_join(
+    ds,
+    k: int,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    id_out: str | None = None,
+    drop_self: bool = False,
+    rows_per_block: int = 8192,
+):
+    """EXACT corpus-wide kNN graph: every vector's k nearest neighbours by
+    cosine (self included unless ``drop_self``; dropping self before
+    head(k) equals ranking-with-self-then-dropping since self occurs once).
+
+    Block-pair decomposition — the scale path for corpus-as-queries graphs
+    (the broadcast-the-whole-corpus CosineTopK design is O(N) state in
+    EVERY task; this is O(block) state per task):
+
+      1. corpus → coalesced Arrow block refs (≈``rows_per_block`` rows
+         each) in the object store — never on the driver; each block
+         normalized ONCE by a Ray task (`_prep_block`).
+      2. one task per ORDERED block pair (i, j): partial top-k of block i's
+         vectors among block j's — B² tasks, each touching 2 blocks.
+      3. partial rows (N·k·B total) → hash-bucketed merge-top-k with
+         ~2×CPU shuffle partitions (`_bucketed_topk_merge`).  Exact because
+         per-pair selection uses the same total order (sim desc, id asc)
+         as the final merge.
+
+    Work is inherently O(N²) for an exact graph; this spreads it over B²
+    tasks with bounded per-task state.  For corpora where O(N²) itself is
+    unpayable, bucket first (``lsh_bucketed`` + per-bucket kernel) and
+    accept approximate recall — see ``knn_join_lsh``.
+    """
+    import ray.data as rd
+
+    id_out = id_out or id_col
+    refs = _coalesced_block_refs(ds, [id_col, embed_col], rows_per_block)
+    prep = [_prep_block.remote(r, id_col, embed_col) for r in refs]
+    # ask each pair for k+1 partials when self will be dropped, so a
+    # same-block pair still has k non-self survivors
+    kk = k + 1 if drop_self else k
+    parts = [
+        _knn_block_kernel.remote(prep[i], prep[j], kk)
+        for i in range(len(prep))
+        for j in range(len(prep))
+    ]
+    partial = rd.from_arrow_refs(parts)  # refs: blocks never touch the driver
+    return _bucketed_topk_merge(partial, k, id_out, drop_self=drop_self)
+
+
+def knn_join_lsh(
+    ds,
+    k: int,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    nbits: int = 6,
+    n_tables: int = 4,
+):
+    """APPROXIMATE kNN graph: ``n_tables`` independent signed-random-
+    projection bucketings; exact top-k INSIDE each bucket; per-qid merge of
+    the union.  Per-task work is O(bucket²) instead of O(N²); vectors that
+    share no bucket with a true neighbour in any table miss it (recall
+    grows with n_tables, shrinks with nbits)."""
+    import ray.data as rd
+
+    parts = []
+    for t in range(n_tables):
+        seed = 7 + 101 * t
+        bucketed = ds.select_columns([id_col, embed_col]).map_batches(
+            lambda b, s=seed: LSHBucketer(embed_col, nbits, seed=s)(b),
+            batch_format="pyarrow",
+        )
+
+        def bucket_topk(g: pa.Table) -> pa.Table:
+            ids = g.column(id_col).to_numpy(zero_copy_only=False)
+            mat = _normalize(_embed_matrix(g, embed_col))
+            sims = mat @ mat.T
+            kk = min(k, ids.shape[0])
+            order = np.lexsort(
+                (np.broadcast_to(ids, sims.shape), -sims), axis=1
+            )[:, :kk]
+            return pa.table(
+                {
+                    "qid": pa.array(np.repeat(ids, kk)),
+                    "nid": pa.array(ids[order].reshape(-1)),
+                    "sim": pa.array(np.take_along_axis(sims, order, axis=1).reshape(-1)),
+                }
+            )
+
+        parts.append(
+            bucketed.groupby("bucket").map_groups(bucket_topk, batch_format="pyarrow")
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    return _bucketed_topk_merge(allp, k, "nid", dedup_pairs=True)

@@ -86,6 +86,60 @@ def _char_shingle_hashes(s: bytes, k: int) -> np.ndarray:
     return splitmix64(h)
 
 
+_SH_BASE = np.uint64(1099511628211)
+_SH_IBASE = np.uint64(pow(1099511628211, -1, 1 << 64))  # base is odd → invertible
+
+
+def _batch_shingle_hashes(col, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """``_char_shingle_hashes`` for a WHOLE batch, no per-doc Python loop.
+
+    Returns (flat shingle hashes, segment offsets: doc i's shingles are
+    flat[seg[i]:seg[i+1]]).  Bit-identical to the scalar path (verified by
+    test_dedup): the Horner window hash  Σ_j b[p+j]·base^{w−1−j}  is
+    rewritten as  base^{p+w−1} · Σ_j b[p+j]·base^{−(p+j)}  over the
+    CONCATENATED utf-8 buffer, so one wrap-mod-2⁶⁴ cumsum/cumprod over the
+    buffer serves every document; per-doc windows (win = min(k, len), one
+    whole-string shingle for sub-k docs) only index into it.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        col = pa.array([str(t) for t in col], type=pa.large_string())
+    if col.null_count:
+        col = pc.fill_null(col, "None")  # str(None) compat with the scalar path
+    arr = col.cast(pa.large_binary())
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    win = np.minimum(lens, k)
+    n_sh = np.where(lens > 0, lens - win + 1, 0).astype(np.int64)
+    seg = np.concatenate([[0], np.cumsum(n_sh)])
+    total_sh = int(seg[-1])
+    if total_sh == 0:
+        return np.empty(0, np.uint64), seg
+    p = np.repeat(starts, n_sh) + (np.arange(total_sh) - np.repeat(seg[:-1], n_sh))
+    w = np.repeat(win, n_sh)
+    tot = data.shape[0]
+    with np.errstate(over="ignore"):
+        ones = np.ones(1, np.uint64)
+        pw = np.multiply.accumulate(
+            np.concatenate([ones, np.full(max(tot - 1, 0), _SH_BASE)])
+        )
+        ipw = np.multiply.accumulate(
+            np.concatenate([ones, np.full(max(tot - 1, 0), _SH_IBASE)])
+        )
+        t = np.concatenate(
+            [np.zeros(1, np.uint64), np.cumsum(data.astype(np.uint64) * ipw)]
+        )
+        h = pw[p + w - 1] * (t[p + w] - t[p])
+    return splitmix64(h), seg
+
+
 def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     a = splitmix64(np.arange(seed, seed + num_perm, dtype=np.uint64)) | np.uint64(1)
     b = splitmix64(np.arange(seed + num_perm, seed + 2 * num_perm, dtype=np.uint64))
@@ -117,17 +171,30 @@ class MinHasher:
         self.a, self.b = _minhash_params(num_perm)
 
     def signatures(self, texts) -> np.ndarray:
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh = _char_shingle_hashes(str(t).encode("utf-8"), self.k)
-            sigs[i] = minhash_signature(np.unique(sh), self.a, self.b)
+        """(n_docs, num_perm) minhash signatures — whole-batch vectorized
+        (_batch_shingle_hashes + chunked minimum.reduceat over the flat
+        shingle array); empty docs get the max-filled signature, exactly
+        like the scalar minhash_signature([]) path."""
+        flat, seg = _batch_shingle_hashes(texts, self.k)
+        n = seg.shape[0] - 1
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        nz = np.nonzero(np.diff(seg) > 0)[0]
+        if nz.size == 0:
+            return sigs
+        red_starts = seg[nz]  # empty segments contribute no elements between
+        chunk = 16  # bound the (n_shingles × chunk) temp to ~flat×16×8 B
+        with np.errstate(over="ignore"):
+            for c in range(0, self.num_perm, chunk):
+                a, b = self.a[c : c + chunk], self.b[c : c + chunk]
+                vals = a[None, :] * flat[:, None] + b[None, :]
+                sigs[nz, c : c + chunk] = np.minimum.reduceat(vals, red_starts, axis=0)
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
+        texts = batch.column(self.text_col)
         ids = batch.column(self.id_col).to_pylist()
         sigs = self.signatures(texts)
-        folded = sigs.reshape(len(texts), self.bands, self.rows_per_band)
+        folded = sigs.reshape(len(ids), self.bands, self.rows_per_band)
         with np.errstate(over="ignore"):
             band_hash = folded[:, :, 0].copy()
             for r in range(1, self.rows_per_band):

@@ -191,3 +191,77 @@ def test_verified_clusters_distributed_verify_matches_driver(ray_session):
     )
     key = lambda d: sorted(map(tuple, d[["a", "b"]].to_numpy()))
     assert key(p_drv) == key(p_dst)
+
+
+def test_knn_join_blocked_matches_brute_force(ray_session):
+    from kaza_lcms_ray.state.hashing import hash_unit
+
+    n, d, k = 90, 8, 4
+    mat = hash_unit(9, "kj", np.arange(n * d)).reshape(n, d) - 0.5
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(4)  # force multiple block pairs
+    got = (
+        ann.knn_join(ds, k=k, id_col="vec_id", embed_col="embedding")
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    ids = np.arange(n)
+    rows = []
+    for q in range(n):
+        order = np.lexsort((ids, -sims[q]))[:k]
+        for r, nid in enumerate(order, start=1):
+            rows.append((q, r, nid))
+    want = pd.DataFrame(rows, columns=["qid", "rank", "vec_id"])
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+    # rank-1 neighbour of every vector is itself (self kept; callers drop)
+    assert (got[got["rank"] == 1]["vec_id"].to_numpy() == np.arange(n)).all()
+
+
+def test_knn_join_lsh_recall(ray_session):
+    from kaza_lcms_ray.state.hashing import hash_unit
+
+    n, d, k = 120, 8, 3
+    mat = hash_unit(13, "kl", np.arange(n * d)).reshape(n, d) - 0.5
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(3)
+    approx = ann.knn_join_lsh(ds, k=k, nbits=4, n_tables=6).to_pandas()
+    exact = ann.knn_join(ds, k=k).to_pandas()
+    a = set(map(tuple, approx[["qid", "vec_id"]].to_numpy())) if "vec_id" in approx else set(
+        map(tuple, approx[["qid", "nid"]].to_numpy())
+    )
+    e = set(map(tuple, exact[["qid", "vec_id"]].to_numpy()))
+    recall = len(a & e) / len(e)
+    assert recall >= 0.5  # approximate path finds most true neighbours
+    # every vector got rows and ranks are 1..<=k
+    assert approx.groupby("qid")["rank"].min().eq(1).all()
+
+
+def test_batch_signatures_match_scalar_reference():
+    """Vectorized whole-batch signatures are bit-identical to the per-doc
+    scalar path (_char_shingle_hashes + minhash_signature)."""
+    texts = [
+        "", "a", "ab", "abcd", "abcde", "abcdef",
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",  # dup
+        "naïve café — unicode ✓ bytes", None, 12345,
+        "x" * 300, ("y" * 150) + ("z" * 150),
+    ]
+    mh = dedup.MinHasher("t", "i", num_perm=64, bands=16, shingle_k=5)
+    got = mh.signatures(texts)
+    want = np.empty_like(got)
+    for i, t in enumerate(texts):
+        sh = dedup._char_shingle_hashes(str(t).encode("utf-8"), 5)
+        want[i] = dedup.minhash_signature(np.unique(sh), mh.a, mh.b)
+    assert (got == want).all()
+    # arrow-column input path (with a null) agrees with the list path
+    import pyarrow as pa
+
+    got2 = mh.signatures(pa.chunked_array([pa.array(
+        [None if t is None else str(t) for t in texts]
+    )]))
+    assert (got2 == want).all()
