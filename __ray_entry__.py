@@ -638,6 +638,43 @@ def q_top_chars(sf_dir: str):
     return _i64(joins.top_k(docs, "n_chars", 20, "doc_id"), ["doc_id", "n_chars"])
 
 
+def q_set_intersect(sf_dir: str):
+    """SQL INTERSECT (SURVEY §2.7): nations that have BOTH customers and
+    suppliers — distinct-set semantics via the tagged max-combine plan."""
+    from kaza_lcms_ray.sources.storage import read_dim
+    from kaza_lcms_ray.stages import joins
+
+    cust = read_dim(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    supp = read_dim(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"])
+    out = joins.intersect_distinct(
+        cust.rename_columns({"c_nationkey": "nationkey"}),
+        supp.rename_columns({"s_nationkey": "nationkey"}),
+        ["nationkey"],
+    )
+    return _i64(out, ["nationkey"])
+
+
+def q_set_except(sf_dir: str):
+    """SQL EXCEPT (SURVEY §2.7): part keys that shipped (lineitem) minus
+    small parts — the fact-table side stays distributed, pre-aggregated
+    per batch before the single shuffle."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.sources.storage import read_dim
+    from kaza_lcms_ray.stages import joins
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    small = read_dim(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]).filter(
+        expr="p_size <= 20"
+    )
+    out = joins.except_distinct(
+        li.rename_columns({"l_partkey": "partkey"}),
+        small.select_columns(["p_partkey"]).rename_columns({"p_partkey": "partkey"}),
+        ["partkey"],
+    )
+    return _i64(out, ["partkey"])
+
+
 def q_focal_count(sf_dir: str):
     """Neighborhood (3×3 cells) observation count per cell — the windowed
     aggregation kernel (A8/M3 analog) with halo-exchange blocks."""
@@ -1251,6 +1288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "accuracy_report": q_accuracy_report,
         "distinct_years": q_distinct_years,
         "top_chars": q_top_chars,
+        "set_intersect": q_set_intersect,
+        "set_except": q_set_except,
         "focal_count": q_focal_count,
         "embed_dup_pairs": q_embed_dup_pairs,
         "lee_sigma": q_lee_sigma,
@@ -1555,6 +1594,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
+        "set_intersect": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+            INTERSECT
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""",
+        "set_except": """
+            SELECT CAST(l_partkey AS BIGINT) AS partkey FROM lineitem
+            EXCEPT
+            SELECT CAST(p_partkey AS BIGINT) AS partkey FROM part WHERE p_size <= 20""",
         "focal_count": _focal_count_sql(root),
         "flagship": f"""
             WITH {geo}, {cells},

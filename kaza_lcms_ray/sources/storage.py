@@ -55,6 +55,29 @@ def read_table(path: str, columns=None, **kwargs):
     return read_documents(path, columns=columns, **kwargs)
 
 
+def read_dim(path: str, columns=None, target_block_bytes: int = 64 << 20, **kwargs):
+    """Dimension-table read: block count sized by FILE BYTES (one block per
+    ~64 MB), capped at 2×CPUs.  A 100-row dim becomes ONE block instead of
+    2×CPU splinters (whose per-task overhead dominates tiny groupbys), and
+    a 10 GB dim still parallelizes across the cluster."""
+    import glob
+    import math
+    import os
+
+    import ray
+
+    if HAVE_LANCE and path.endswith(".lance"):  # pragma: no cover
+        return rd.read_lance(path, columns=columns, **kwargs)
+    if "override_num_blocks" not in kwargs:
+        if os.path.isdir(path):
+            sz = sum(os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet")))
+        else:
+            sz = os.path.getsize(path)
+        cap = int(ray.cluster_resources().get("CPU", 8)) * 2 if ray.is_initialized() else 64
+        kwargs["override_num_blocks"] = max(1, min(math.ceil(sz / target_block_bytes), cap))
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
 def write_table(ds, path: str, **kwargs):
     if HAVE_LANCE and path.endswith(".lance"):
         return ds.write_lance(path, **kwargs)

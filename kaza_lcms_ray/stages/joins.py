@@ -134,6 +134,47 @@ def top_k(ds, value_col: str, k: int, tiebreak_col: str, descending: bool = True
     )
 
 
+def _set_op(left, right, cols: list[str], keep_right: bool):
+    """Shared plan for INTERSECT / EXCEPT (distinct-set semantics,
+    SURVEY.md §2.7): tag each side, per-batch partial distinct with side
+    flags (so the shuffle moves one row per (batch, key), never raw rows),
+    one groupby(cols) max-combine, then a vectorized membership filter.
+    One all-to-all total, pre-aggregated — the same shape as ``distinct``."""
+    from ray.data.aggregate import Max
+
+    def tag(l_flag: int, r_flag: int):
+        def f(t: pa.Table) -> pa.Table:
+            out = t.select(cols).group_by(cols).aggregate([])
+            n = out.num_rows
+            out = out.append_column("_l", pa.array(np.full(n, l_flag, dtype=np.int64)))
+            return out.append_column("_r", pa.array(np.full(n, r_flag, dtype=np.int64)))
+
+        return f
+
+    both = left.map_batches(tag(1, 0), batch_format="pyarrow").union(
+        right.map_batches(tag(0, 1), batch_format="pyarrow")
+    )
+    agg = both.groupby(cols).aggregate(Max("_l", alias_name="_l"), Max("_r", alias_name="_r"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        l = t.column("_l").to_numpy(zero_copy_only=False) == 1
+        r = t.column("_r").to_numpy(zero_copy_only=False) == 1
+        mask = l & r if keep_right else l & ~r
+        return t.filter(pa.array(mask)).select(cols)
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def intersect_distinct(left, right, cols: list[str]):
+    """SQL INTERSECT: distinct ``cols`` rows present on BOTH sides."""
+    return _set_op(left, right, cols, keep_right=True)
+
+
+def except_distinct(left, right, cols: list[str]):
+    """SQL EXCEPT: distinct ``cols`` rows on the left and NOT on the right."""
+    return _set_op(left, right, cols, keep_right=False)
+
+
 def attach_dim(
     facts,
     dim,

@@ -58,8 +58,9 @@ def main():
             print(f"FAIL {name}: engine error {type(ex).__name__}: {ex}")
             n_fail += 1
             continue
+        t_eng = time.time() - t0
         if name not in sqls:
-            print(f"rows-only {name}: {len(ours)} rows  ({time.time()-t0:.1f}s)")
+            print(f"rows-only {name}: {len(ours)} rows  ({t_eng:.1f}s)")
             n_rows_only += 1
             continue
         try:
@@ -89,10 +90,17 @@ def main():
             for c in ours.columns:
                 a, b = ours[c].to_numpy(), oracle[c].to_numpy()
                 if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    # byte-exact: a value-level hash (the driver's) sees the
+                    # raw float64 bytes, so -0.0 vs 0.0 and NaN payload
+                    # differences must fail here too, not just != values.
                     same = (
-                        (pd.isna(a) & pd.isna(b))
-                        | (a.astype(np.float64) == b.astype(np.float64))
-                    ).all()
+                        a.astype(np.float64).tobytes()
+                        == b.astype(np.float64).tobytes()
+                    )
+                    if not same and (
+                        (pd.isna(a) & pd.isna(b)) | (a.astype(np.float64) == b.astype(np.float64))
+                    ).all():
+                        print(f"  col {c}: values == but BYTES differ (-0.0 / NaN payload)")
                 else:
                     same = (pd.Series(a).fillna("\0") == pd.Series(b).fillna("\0")).all()
                 if not same:
@@ -108,7 +116,7 @@ def main():
             n_fail += 1
         print(
             f"{status} {name}: rows {len(ours)}/{len(oracle)} schema_ok={ok_schema} "
-            f"vals_ok={ok_vals}  ({time.time()-t0:.1f}s)"
+            f"vals_ok={ok_vals}  (eng {t_eng:.1f}s + oracle {time.time()-t0-t_eng:.1f}s)"
         )
         if not ok_schema:
             print(f"  ours={list(ours.columns)}\n  oracle={list(oracle.columns)}")

@@ -117,3 +117,30 @@ def test_audio_waveform_features(synth_small, ray_session):
     t = pa.table({"media_ref": ["m://a", "m://a", "m://b"]})
     w = ex(t).column("waveform").to_pylist()
     assert w[0] == w[1] and w[0] != w[2]
+
+
+def test_set_ops_intersect_except(ray_session):
+    left = rd.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2, 3, 4, 4, 4]})
+    ).repartition(3)
+    right = rd.from_pandas(pd.DataFrame({"k": [2, 4, 4, 5]})).repartition(2)
+    inter = sorted(joins.intersect_distinct(left, right, ["k"]).to_pandas()["k"])
+    assert inter == [2, 4]  # distinct-set semantics: dups collapse
+    exc = sorted(joins.except_distinct(left, right, ["k"]).to_pandas()["k"])
+    assert exc == [1, 3]
+    # empty result side
+    none = joins.intersect_distinct(
+        left, rd.from_pandas(pd.DataFrame({"k": [99]})), ["k"]
+    ).to_pandas()
+    assert len(none) == 0
+
+
+def test_set_ops_multi_column(ray_session):
+    left = rd.from_pandas(
+        pd.DataFrame({"a": [1, 1, 2], "b": ["x", "y", "x"]})
+    )
+    right = rd.from_pandas(pd.DataFrame({"a": [1, 2], "b": ["y", "z"]}))
+    inter = joins.intersect_distinct(left, right, ["a", "b"]).to_pandas()
+    assert sorted(map(tuple, inter[["a", "b"]].to_numpy())) == [(1, "y")]
+    exc = joins.except_distinct(left, right, ["a", "b"]).to_pandas()
+    assert sorted(map(tuple, exc[["a", "b"]].to_numpy())) == [(1, "x"), (2, "x")]
