@@ -2063,7 +2063,15 @@ def _minhash_pairs_sql() -> str:
         f"MIN(({SH.mulmod_const('sh', int(pa[p]))} + {SH.hug(int(pb[p]))}) % {SH.U64}) AS m{p}"
         for p in range(num_perm)
     )
-    sig_q = f"SELECT doc_id, {mins} FROM ({shq}) GROUP BY doc_id"
+    # the inner GROUP BY (exact distinct, mirroring the engine's np.unique;
+    # MIN is duplicate-insensitive) doubles as a PARALLELISM point: DuckDB
+    # parallelizes by source morsels, and 500 documents is one morsel — the
+    # whole 64-permutation projection would otherwise run on one thread
+    # (measured 28 s → 5 s at sf0.01).
+    sig_q = (
+        f"SELECT doc_id, {mins} FROM "
+        f"(SELECT doc_id, sh FROM ({shq}) GROUP BY doc_id, sh) GROUP BY doc_id"
+    )
     # band folds: bh = splitmix(…splitmix(m0 ^ m1) ^ m2…) per band, layered
     steps: list[tuple[str, str]] = []
     band_cols = []
@@ -2081,9 +2089,12 @@ def _minhash_pairs_sql() -> str:
         f"SELECT doc_id, {bd} AS band_id, {col} AS bh FROM fold"
         for bd, col in enumerate(band_cols)
     )
+    # MATERIALIZED: fold is referenced by all 16 band branches and fl by
+    # both join sides — without it DuckDB re-inlines (and re-computes the
+    # 64-MIN signature aggregation) per reference: 30 s → ~2 s at sf0.01.
     return f"""
-        WITH fold AS ({folded_q}),
-        fl AS ({long_q})
+        WITH fold AS MATERIALIZED ({folded_q}),
+        fl AS MATERIALIZED ({long_q})
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM fl x JOIN fl y
           ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id"""
@@ -2107,8 +2118,8 @@ def _jaccard_verified_sql() -> str:
         SH.splitmix_steps("rh", "sh", "s"),
     )
     return f"""
-        WITH pairs AS ({_minhash_pairs_sql()}),
-        shd AS (SELECT DISTINCT doc_id, sh FROM ({shq})),
+        WITH pairs AS MATERIALIZED ({_minhash_pairs_sql()}),
+        shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({shq})),
         sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
         inter AS (
             SELECT p.a, p.b, COUNT(*) AS ni
@@ -2211,14 +2222,36 @@ def _media_keyed_sql(
 
 
 def _media_pixels_sql(keyed: str, j_expr: str, group_cols: str, npx_div: float) -> str:
-    """Per-pixel splitmix stream → grouped exact mean (sum < 2^53)."""
+    """Per-pixel splitmix stream → grouped exact mean (sum < 2^53).
+
+    The pixel stream depends ONLY on kk, so the hash chain runs over
+    DISTINCT kk × pixels and the per-kk mean joins back onto the keyed
+    rows.  (Identical kk ⇒ identical pixel stream ⇒ identical mean, so a
+    kk collision is still exact.)  Carrying the doc/span/ref strings
+    through the per-pixel chain instead was 6× slower (35 s → 6 s at
+    sf0.01): the join-back keeps the 3.4 M-row pipeline integer-only."""
     from kaza_lcms_ray.state import sqlhash as SH
 
     perpix = SH.chain_select(
-        f"SELECT {group_cols}, kk, {j_expr} AS jj FROM ({keyed})",
+        f"SELECT kk, {j_expr} AS jj FROM (SELECT DISTINCT kk FROM ({keyed}))",
         SH.splitmix_steps(SH.xor64("kk", "jj"), "ph", "k3"),
     )
     return perpix, f"SUM(ph % 256) / {npx_div!r}"
+
+
+def _media_mean_sql(
+    keyed: str, j_expr: str, group_cols: str, npx_div: float, out_name: str
+) -> str:
+    """Grouped mean-intensity output: per-kk mean (see _media_pixels_sql)
+    joined back to the keyed rows, one output row per keyed row."""
+    perpix, mean = _media_pixels_sql(keyed, j_expr, group_cols, npx_div)
+    sel = ", ".join(f"k.{c.strip()}" for c in group_cols.split(","))
+    return f"""
+        WITH kmeans AS (
+            SELECT kk, {mean} AS {out_name} FROM ({perpix}) GROUP BY kk
+        )
+        SELECT {sel}, m.{out_name}
+        FROM ({keyed}) k JOIN kmeans m ON m.kk = k.kk"""
 
 
 def _media_decode_sql(root: str) -> str:
@@ -2229,13 +2262,13 @@ def _media_decode_sql(root: str) -> str:
     codec = DeterministicFakeCodec()
     npx = codec.h * codec.w * codec.c
     keyed = _media_keyed_sql(_media_rows_sql(root), "media_ref")
-    perpix, mean = _media_pixels_sql(
-        keyed, f"unnest(range(0, {npx}))", "doc_id, span_idx, media_ref", float(npx)
+    return _media_mean_sql(
+        keyed,
+        f"unnest(range(0, {npx}))",
+        "doc_id, span_idx, media_ref",
+        float(npx),
+        "mean_intensity",
     )
-    return f"""
-        SELECT doc_id, span_idx, media_ref, {mean} AS mean_intensity
-        FROM ({perpix})
-        GROUP BY doc_id, span_idx, media_ref"""
 
 
 def _media_thumb_sql(root: str) -> str:
@@ -2251,16 +2284,13 @@ def _media_thumb_sql(root: str) -> str:
         (y * codec.w + x) * codec.c + c for y in ys for x in xs for c in range(codec.c)
     ]
     keyed = _media_keyed_sql(_media_rows_sql(root), "media_ref")
-    perpix, mean = _media_pixels_sql(
+    return _media_mean_sql(
         keyed,
         f"unnest([{', '.join(map(str, idxs))}])",
         "doc_id, span_idx, media_ref",
         float(len(idxs)),
+        "thumb_mean",
     )
-    return f"""
-        SELECT doc_id, span_idx, media_ref, {mean} AS thumb_mean
-        FROM ({perpix})
-        GROUP BY doc_id, span_idx, media_ref"""
 
 
 def _hll_sql() -> str:
@@ -2308,28 +2338,32 @@ def _media_audio_sql(root: str) -> str:
     keyed = _media_keyed_sql(
         _media_rows_sql(root), "media_ref", prefix=SH.hash_key_prefix(11, "au")
     )
+    # per-DISTINCT-kk sample stream (samples depend only on kk — see
+    # _media_pixels_sql), aggregates joined back to the keyed rows
     perpix = SH.chain_select(
-        f"SELECT doc_id, span_idx, media_ref, kk, "
-        f"unnest(range(0, {n})) AS jj FROM ({keyed})",
+        f"SELECT kk, unnest(range(0, {n})) AS jj "
+        f"FROM (SELECT DISTINCT kk FROM ({keyed}))",
         SH.splitmix_steps(SH.xor64("kk", "jj"), "ph", "k3"),
     )
     return f"""
         WITH vv AS (
-            SELECT doc_id, span_idx, media_ref, jj,
-                   CAST(ph % 65536 AS BIGINT) - 32768 AS v
+            SELECT kk, jj, CAST(ph % 65536 AS BIGINT) - 32768 AS v
             FROM ({perpix})
         ),
         ll AS (
-            SELECT *, lag(v) OVER (
-                PARTITION BY doc_id, span_idx, media_ref ORDER BY jj
-            ) AS pv FROM vv
+            SELECT *, lag(v) OVER (PARTITION BY kk ORDER BY jj) AS pv FROM vv
+        ),
+        kagg AS (
+            SELECT kk,
+                   CAST(SUM(v * v) AS BIGINT) AS energy,
+                   MAX(ABS(v)) AS peak,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+            FROM ll GROUP BY kk
         )
-        SELECT doc_id, span_idx, media_ref,
-               CAST(SUM(v * v) AS BIGINT) AS energy,
-               MAX(ABS(v)) AS peak,
-               CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
-                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-        FROM ll GROUP BY doc_id, span_idx, media_ref"""
+        SELECT k.doc_id, k.span_idx, k.media_ref,
+               a.energy, a.peak, a.zero_crossings
+        FROM ({keyed}) k JOIN kagg a ON a.kk = k.kk"""
 
 
 def _media_frames_sql(root: str) -> str:
@@ -2344,16 +2378,13 @@ def _media_frames_sql(root: str) -> str:
         FROM ({_media_rows_sql(root)}),
              (SELECT unnest(range(0, {n_frames})) AS fi)"""
     keyed = _media_keyed_sql(base, "fref", extra_cols=", frame_idx")
-    perpix, mean = _media_pixels_sql(
+    return _media_mean_sql(
         keyed,
         f"unnest(range(0, {npx}))",
         "doc_id, span_idx, media_ref, frame_idx",
         float(npx),
+        "mean_intensity",
     )
-    return f"""
-        SELECT doc_id, span_idx, media_ref, frame_idx, {mean} AS mean_intensity
-        FROM ({perpix})
-        GROUP BY doc_id, span_idx, media_ref, frame_idx"""
 
 
 def _lineage_roundtrip_sql() -> str:
@@ -2386,18 +2417,15 @@ def _media_scenes_sql(root: str) -> str:
         FROM ({_media_rows_sql(root)}),
              (SELECT unnest(range(0, {n_frames})) AS fi)"""
     keyed = _media_keyed_sql(base, "fref", extra_cols=", frame_idx")
-    perpix, mean = _media_pixels_sql(
+    fm_sel = _media_mean_sql(
         keyed,
         f"unnest(range(0, {npx}))",
         "doc_id, span_idx, media_ref, frame_idx",
         float(npx),
+        "m",
     )
     return f"""
-        WITH fm AS (
-            SELECT doc_id, span_idx, media_ref, frame_idx, {mean} AS m
-            FROM ({perpix})
-            GROUP BY doc_id, span_idx, media_ref, frame_idx
-        ),
+        WITH fm AS ({fm_sel}),
         lg AS (
             SELECT *, lag(m) OVER (
                 PARTITION BY doc_id, span_idx, media_ref ORDER BY frame_idx
@@ -2973,7 +3001,7 @@ def _walk_ctes(root: str, feats_key: str) -> str:
     on_f = " AND ".join(f"f.{k} = w.{k}" for k in ks)
     w_keys = ", ".join(f"w.{k}" for k in ks)
     return f"""
-        trees AS (SELECT * FROM read_parquet('{root}/rf_model/trees.parquet')),
+        trees AS MATERIALIZED (SELECT * FROM read_parquet('{root}/rf_model/trees.parquet')),
         walk AS (
             SELECT n.class, n.tree, {feats_key}, 0 AS node
             FROM (SELECT DISTINCT class, tree FROM trees) n, feats
@@ -3045,7 +3073,7 @@ def _rf_scores_sql(root: str, mod: int) -> str:
             FROM cells WHERE tile_id % {mod} = 0 GROUP BY tile_id, "year"
         ),
         sc AS (SELECT tile_id, "year", {scaled} FROM comp),
-        feats AS (SELECT *, {covs} FROM sc),
+        feats AS MATERIALIZED (SELECT *, {covs} FROM sc),
         {_walk_ctes(root, 'tile_id, "year"')},
         piv AS (
             SELECT tile_id, "year", {pivots}
@@ -3085,7 +3113,7 @@ def _accuracy_sql(root: str) -> str:
             FROM test t JOIN geo g
               ON g.doc_id = t.doc_id AND g.span_idx = t.span_idx
         ),
-        feats AS (SELECT *, {covs} FROM sc),
+        feats AS MATERIALIZED (SELECT *, {covs} FROM sc),
         {_walk_ctes(root, "doc_id, span_idx")},
         lab AS (
             SELECT l.doc_id, l.span_idx, l.class, row_number() OVER (
