@@ -580,8 +580,11 @@ def q_rf_scores(sf_dir: str):
         )
         return t.filter(pc.equal(rem, 0))
 
-    comp = P.tile_composites(geo, DEFAULT_CONFIG).map_batches(
-        mod_filter, batch_format="pyarrow"
+    # filter pushdown: tile_id is a group key of the composite, so dropping
+    # non-subset tiles BEFORE the zonal aggregation composites only the
+    # ~2.4% of span rows the query scores (identical groups survive)
+    comp = P.tile_composites(
+        geo.map_batches(mod_filter, batch_format="pyarrow"), DEFAULT_CONFIG
     )
     scored = P.score_quantized(comp, art["models"])
     classes = sorted(art["models"])

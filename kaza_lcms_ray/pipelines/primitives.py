@@ -259,20 +259,41 @@ def stratified_area_estimate(
 def area_with_ci(synth_root: str, models: dict, config: PipelineConfig = DEFAULT_CONFIG):
     """End-to-end area ± CI: predicted landcover map → strata weights from
     mapped tile counts → accuracy sample (predicted vs synth truth labels
-    on the training tiles) → stratified estimator."""
-    from ..state.cells import TILE_LEVEL, cell_center
+    on the training tiles) → stratified estimator.
+
+    Fully distributed over the tile map (which grows with the mapped area,
+    so it must never sit on the driver): per-class counts and the total
+    mapped area are Dataset aggregates, and the accuracy sample is a
+    seeded partition-invariant bottom-k by splitmix rank — only the ≤2000
+    sampled rows and the 8 strata rows ever reach the driver."""
+    from ..state.cells import TILE_LEVEL, cell_area_m2, cell_center
+    from ..state.hashing import hash_key
+    from ..stages.joins import top_k
     from ..synth import class_of
 
-    lc = generate_landcover(synth_root, models, config).to_pandas()
-    counts = lc.groupby("LANDCOVER").size()
-    weights = (counts / counts.sum()).to_dict()
-    # accuracy sample: seeded subset of tiles, truth = the synth class grid
-    samp = lc.sample(n=min(2000, len(lc)), random_state=config.seed)
+    lc = generate_landcover(synth_root, models, config)
+
+    cdf = lc.groupby("LANDCOVER").count().to_pandas()
+    counts = dict(zip(cdf["LANDCOVER"], cdf["count()"]))
+    tot_n = float(sum(counts.values()))
+    weights = {int(c): n / tot_n for c, n in counts.items()}
+
+    def with_area_rank(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        yr = t.column("year").to_numpy(zero_copy_only=False)
+        t = t.append_column(
+            "area_m2_i", pa.array(np.rint(cell_area_m2(tid, TILE_LEVEL)).astype(np.int64))
+        )
+        rnd = hash_key(config.seed, "areasamp", tid.astype(np.int64) * np.int64(10007) + yr)
+        return t.append_column("rnd", pa.array(rnd.astype(np.int64)))
+
+    aug = lc.map_batches(with_area_rank, batch_format="pyarrow")
+    total = float(aug.sum("area_m2_i"))
+    samp = top_k(
+        aug, "rnd", min(2000, int(tot_n)), "tile_id", descending=False
+    ).to_pandas()
     lon, lat = cell_center(samp["tile_id"].to_numpy(), TILE_LEVEL)
     truth = class_of(lon, lat)
-    from ..state.cells import cell_area_m2
-
-    total = float(np.rint(cell_area_m2(lc["tile_id"].to_numpy(), TILE_LEVEL)).sum())
     return stratified_area_estimate(
         weights, samp["LANDCOVER"].to_numpy(), truth, total
     )

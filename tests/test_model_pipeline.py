@@ -143,3 +143,18 @@ def test_nodes_table_replays_scoring_in_sql():
         GROUP BY w.rid ORDER BY w.rid
     """).df()
     assert (got["pq"].to_numpy() == f.predict_quantized(X)).all()
+
+
+def test_area_with_ci_distributed(trained, synth_small, ray_session):
+    """area_with_ci runs fully distributed (only the sample + strata reach
+    the driver) and returns a coherent stratified estimate."""
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    _, _, models = trained
+    rep = P.area_with_ci(synth_small, models, DEFAULT_CONFIG)
+    assert set(rep.columns) >= {"LANDCOVER", "area_share", "se", "ci95", "area_m2"}
+    assert (rep["area_m2"] >= 0).all()
+    # estimated class shares sum to 1 (the estimator redistributes strata
+    # weights by the sampled confusion, conserving total share)
+    assert abs(rep["area_share"].sum() - 1.0) < 1e-9
+    assert rep["area_m2"].sum() > 0
