@@ -234,15 +234,18 @@ def run_scaling() -> dict:
             / (hi / lo),
             3,
         )
-    # Headline value = the RAW headline pipeline's best pair, never the
-    # indexed variant — the raw pipeline is what the 100 TB design runs,
-    # and mixing variants into one max() would cherry-pick.  The full
-    # per-pair, per-variant detail stays in `efficiencies`.
+    # Headline value = the RAW headline pipeline at the CRITERION pair
+    # (the first configured pair, 2→8 by default — chosen ex ante in
+    # BASELINE.md §4 as the per-node proxy: both levels sit below this
+    # box's shared-DRAM wall).  Never the indexed variant, never a max()
+    # across pairs — a noisy low-CPU baseline can make an upper pair
+    # spuriously superlinear.  Full per-pair detail in `efficiencies`.
     raw_effs = {k: v for k, v in effs.items() if k.startswith("eff_raw_")}
-    best = max(raw_effs.values())
+    lo0, hi0 = pairs[0]
+    crit = effs.get(f"eff_raw_{lo0}_{hi0}", max(raw_effs.values()))
     return {
-        "metric": "scaling efficiency (raw headline, best N->4N pair)",
-        "value": best,
+        "metric": f"scaling efficiency (raw headline, {lo0}->{hi0} CPUs)",
+        "value": crit,
         "unit": "efficiency",
         "efficiencies": effs,
         "docs_per_sec": {str(n): out[n]["value"] for n in levels},
