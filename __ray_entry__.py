@@ -487,6 +487,61 @@ def q_knn_graph(sf_dir: str):
     return _i64(out, ["qid", "rank", "vec_id"])
 
 
+KMEANS_K, KMEANS_ITERS, IVF_NPROBE, IVF_KNN, KMEANS_SEED = 8, 2, 2, 5, 77
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    """The n smallest-vec_id embeddings (the fixed IVF query set)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet").sort_by("vec_id").slice(0, n)
+    qids = qt.column("vec_id").to_numpy()
+    qmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()]
+    )
+    return qids, qmat
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed k-means over the embedding corpus (integer-quantized,
+    seeded init, 2 Lloyd iterations) → (vec_id, cluster).  Every step —
+    init ranks, integer distances, floor(sum/n + .5) centroid updates —
+    is replayed exactly by the SQL oracle."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import cluster
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    _, assign = cluster.kmeans(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS, seed=KMEANS_SEED
+    )
+    return _i64(assign, ["vec_id", "cluster"])
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-flat similarity search: route 5 fixed queries to their 2
+    nearest k-means cells, exact integer-L2 top-5 among the cells'
+    members.  The 'IVF variant' scale path next to ann_topk's exact
+    brute force and knn_join_lsh's LSH path."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import cluster
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qids, qmat = _query_vectors(sf_dir)
+    out = cluster.ivf_topk(
+        emb,
+        qids,
+        qmat,
+        k_neighbors=IVF_KNN,
+        n_clusters=KMEANS_K,
+        nprobe=IVF_NPROBE,
+        iters=KMEANS_ITERS,
+        seed=KMEANS_SEED,
+    )
+    return _i64(out, ["qid", "rank", "vec_id"])
+
+
 def q_covariates(sf_dir: str):
     from kaza_lcms_ray.config import PipelineConfig
     from kaza_lcms_ray.stages import covariates
@@ -1281,6 +1336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified": q_jaccard_verified,
         "curation": q_curation,
         "knn_graph": q_knn_graph,
+        "kmeans_embed": q_kmeans_embed,
+        "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
@@ -1523,6 +1580,8 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY qid ORDER BY sim DESC, vec_id ASC
                 ) AS rnk FROM s
             ) WHERE rnk <= 10""",
+        "kmeans_embed": _kmeans_embed_sql(),
+        "ivf_topk": _ivf_topk_sql(),
         "knn_graph": """
             WITH q AS (
                 SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
@@ -2040,6 +2099,135 @@ def _text_scores_sql() -> str:
              0.4 * length_term + 0.4 * alpha_ratio
                  + 0.2 * least(1.0, stop_ratio * 4) AS quality
       FROM f"""
+
+
+def _kmeans_ctes() -> str:
+    """Shared CTE chain replaying stages/cluster.kmeans exactly: quantized
+    long-form coordinates, seeded init ranks, and KMEANS_ITERS rounds of
+    integer argmin assignment + floor(sum/n + .5) centroid update (empty
+    cluster keeps its previous centroid).  Ends with ``centF`` (final
+    centroids) and ``aF`` (final assignments, 1-based cluster = init
+    rank)."""
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.stages.cluster import QSCALE
+
+    prefix = SH.hash_key_prefix(KMEANS_SEED, "km")
+    hk = SH.chain_select(
+        "SELECT vec_id FROM embeddings",
+        SH.splitmix_steps(
+            SH.xor64(SH.hug(prefix), "CAST(vec_id AS HUGEINT)"), "hk", "ki"
+        ),
+    )
+    parts = [
+        f"""qv AS MATERIALIZED (
+            SELECT vec_id, CAST(i AS INTEGER) AS i,
+                   CAST(floor(x * {float(QSCALE)!r} + 0.5) AS BIGINT) AS q
+            FROM (
+                SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+                FROM embeddings
+            )
+        )""",
+        # init rank: smallest (hash AS int64, vec_id) — the engine compares
+        # the same two's-complement int64 values (state/hashing.hash_key
+        # .astype(int64)), so the order is identical by construction
+        f"""init AS (
+            SELECT vec_id, CAST(rn AS BIGINT) AS cid FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY {SH.to_i64('hk')}, vec_id
+                ) AS rn FROM ({hk})
+            ) WHERE rn <= {KMEANS_K}
+        )""",
+        """cent0 AS MATERIALIZED (
+            SELECT init.cid, qv.i, qv.q AS c
+            FROM init JOIN qv USING (vec_id)
+        )""",
+    ]
+    t = 0
+    for t in range(KMEANS_ITERS):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+                SELECT vec_id, cid FROM (
+                    SELECT v.vec_id, c.cid, row_number() OVER (
+                        PARTITION BY v.vec_id
+                        ORDER BY SUM((v.q - c.c) * (v.q - c.c)), c.cid
+                    ) AS rn
+                    FROM qv v JOIN cent{t} c ON c.i = v.i
+                    GROUP BY v.vec_id, c.cid
+                ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""u{t} AS (
+                SELECT a.cid, v.i, CAST(SUM(v.q) AS BIGINT) AS s, COUNT(*) AS n
+                FROM a{t} a JOIN qv v USING (vec_id)
+                GROUP BY a.cid, v.i
+            )"""
+        )
+        parts.append(
+            f"""cent{t + 1} AS MATERIALIZED (
+                SELECT c0.cid, c0.i,
+                       COALESCE(
+                           CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5) AS BIGINT),
+                           c0.c
+                       ) AS c
+                FROM cent{t} c0
+                LEFT JOIN u{t} u ON u.cid = c0.cid AND u.i = c0.i
+            )"""
+        )
+    parts.append(f"centF AS (SELECT * FROM cent{KMEANS_ITERS})")
+    parts.append(
+        f"""aF AS MATERIALIZED (
+            SELECT vec_id, cid FROM (
+                SELECT v.vec_id, c.cid, row_number() OVER (
+                    PARTITION BY v.vec_id
+                    ORDER BY SUM((v.q - c.c) * (v.q - c.c)), c.cid
+                ) AS rn
+                FROM qv v JOIN centF c ON c.i = v.i
+                GROUP BY v.vec_id, c.cid
+            ) WHERE rn = 1
+        )"""
+    )
+    return ",\n        ".join(parts)
+
+
+def _kmeans_embed_sql() -> str:
+    return f"""
+        WITH {_kmeans_ctes()}
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM aF"""
+
+
+def _ivf_topk_sql() -> str:
+    return f"""
+        WITH {_kmeans_ctes()},
+        qset AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+        qqv AS MATERIALIZED (
+            SELECT s.qid, v.i, v.q FROM qset s JOIN qv v ON v.vec_id = s.qid
+        ),
+        pdist AS (
+            SELECT q.qid, c.cid, SUM((q.q - c.c) * (q.q - c.c)) AS d
+            FROM qqv q JOIN centF c ON c.i = q.i GROUP BY q.qid, c.cid
+        ),
+        probes AS (
+            SELECT qid, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY qid ORDER BY d, cid
+                ) AS rn FROM pdist
+            ) WHERE rn <= {IVF_NPROBE}
+        ),
+        cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN aF a ON a.cid = p.cid),
+        cdist AS (
+            SELECT c.qid, c.vec_id, SUM((v.q - q.q) * (v.q - q.q)) AS d
+            FROM cand c
+            JOIN qv v ON v.vec_id = c.vec_id
+            JOIN qqv q ON q.qid = c.qid AND q.i = v.i
+            GROUP BY c.qid, c.vec_id
+        )
+        SELECT qid, CAST(rn AS BIGINT) AS "rank", vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (
+                PARTITION BY qid ORDER BY d, vec_id
+            ) AS rn FROM cdist
+        ) WHERE rn <= {IVF_KNN}"""
 
 
 def _minhash_pairs_sql() -> str:

@@ -1,0 +1,209 @@
+"""Distributed k-means over an embedding column + IVF-flat top-k search.
+
+The training-data-pipeline clustering / "IVF variant" scale path for
+similarity search (ann.py holds the LSH variant).  Reference analog: the
+per-class model/assemblage discipline of /root/reference/src/utils/
+primitives.py (deterministic seeds, replayable artifacts) applied to
+vector clustering.
+
+Everything is EXACTLY replayable in SQL (the driver's correctness gate):
+
+* coordinates are quantized to int64 (floor(v·2^20 + 0.5) — the repo's
+  pinned half-up convention, identical doubles on both sides), so every
+  distance is an exact integer and every argmin has a total order
+  (distance asc, cluster asc);
+* seeded init: the k vectors with the smallest (splitmix64(seed,'km',id),
+  id) — the same hash_key chain state/sqlhash mirrors;
+* centroid updates are floor(sum/n + 0.5) on exact int64 sums (empty
+  cluster keeps its previous centroid);
+* IVF probes rank clusters, and in-cluster candidates rank, by the same
+  integer metric.
+
+Scale shape: each Lloyd iteration is ONE streaming pass — a stateless
+map_batches emits per-(batch, cluster) integer partial sums (k·B tiny
+rows; the only thing that ever reaches the driver), centroids re-broadcast
+per iteration.  Assignment / search are stateless map_batches with the
+k×d int64 centroid matrix in the object store; the merge is the bucketed
+grouped top-k from ann.py.  No shuffle anywhere but the final merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..state.hashing import hash_key
+from .ann import _embed_matrix
+
+QSCALE = 1 << 20  # |q| ≤ ~2^21 ⇒ d·diff² ≤ 2^48 at d=64: int64-safe
+
+
+def quantize(mat: np.ndarray) -> np.ndarray:
+    """float64 (n, d) → int64, floor(v·2^20 + 0.5) (half-up, SQL-identical)."""
+    return np.floor(mat * float(QSCALE) + 0.5).astype(np.int64)
+
+
+def _quantized_batch(batch: pa.Table, id_col: str, embed_col: str):
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    return ids, quantize(_embed_matrix(batch, embed_col))
+
+
+def _assign(q: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row by exact integer L2; ties → lowest cid.
+
+    argmin over (−2·q·cᵀ + ‖c‖²) — the ‖q‖² term is constant per row.
+    Products ≤ d·2^42 ≪ 2^63, exact in int64."""
+    scores = -2 * (q @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    return np.argmin(scores, axis=1)  # first min = lowest cid
+
+
+def seeded_init(ds, k: int, id_col: str, embed_col: str, seed: int) -> np.ndarray:
+    """Initial centroids: the k vectors with the smallest
+    (hash_key(seed,'km',id), id) — partitioning-invariant, SQL-replayable.
+    Returns the quantized (k, d) int64 matrix (cluster i = rank-i vector,
+    1-based in outputs)."""
+    from .joins import top_k
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = hash_key(seed, "km", ids.astype(np.int64))
+        return t.append_column("_kmr", pa.array(h.astype(np.int64)))
+
+    ranked = ds.select_columns([id_col, embed_col]).map_batches(
+        add_rank, batch_format="pyarrow"
+    )
+    # int64 two's-complement order == uint64 order shifted, but consistent
+    # on BOTH sides (the SQL mirror compares the same to_i64 values)
+    seeds_df = top_k(ranked, "_kmr", k, id_col, descending=False).to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in seeds_df[embed_col]])
+    return quantize(mat)
+
+
+def kmeans(
+    ds,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    seed: int = 77,
+):
+    """Lloyd's k-means, ``iters`` centroid updates after seeded init.
+
+    Returns (centroids int64 (k, d), assignments Dataset[id_col, cluster])
+    where cluster is the 1-based init rank and assignments are the FINAL
+    argmin against the returned centroids."""
+    cent = seeded_init(ds, k, id_col, embed_col, seed)
+    d = cent.shape[1]
+    proj = ds.select_columns([id_col, embed_col])
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            _, q = _quantized_batch(t, id_col, embed_col)
+            a = _assign(q, c)
+            cols: dict = {"cid": [], "n": []}
+            sums = []
+            for ci in np.unique(a):
+                m = a == ci
+                cols["cid"].append(int(ci))
+                cols["n"].append(int(m.sum()))
+                sums.append(q[m].sum(axis=0))
+            out = {
+                "cid": pa.array(np.asarray(cols["cid"], dtype=np.int64)),
+                "n": pa.array(np.asarray(cols["n"], dtype=np.int64)),
+            }
+            sm = np.stack(sums) if sums else np.zeros((0, q.shape[1]), np.int64)
+            for j in range(q.shape[1]):
+                out[f"s{j}"] = pa.array(sm[:, j])
+            return pa.table(out)
+
+        # k·B partial rows — bounded by block count, combined on the driver
+        pdf = proj.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = cent.copy()  # empty cluster keeps its previous centroid
+        if len(pdf):
+            g = pdf.groupby("cid", sort=True).sum()
+            n = g["n"].to_numpy().astype(np.int64)
+            s = g[[f"s{j}" for j in range(d)]].to_numpy().astype(np.int64)
+            upd = np.floor(s.astype(np.float64) / n[:, None] + 0.5).astype(np.int64)
+            new[g.index.to_numpy()] = upd
+        cent = new
+
+    cent_ref = ray.put(cent)
+
+    def assign_batch(t: pa.Table, _ref=cent_ref) -> pa.Table:
+        c = ray.get(_ref)
+        ids, q = _quantized_batch(t, id_col, embed_col)
+        a = _assign(q, c) + 1  # 1-based cluster ids (init rank)
+        return pa.table({id_col: pa.array(ids), "cluster": pa.array(a.astype(np.int64))})
+
+    return cent, proj.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k_neighbors: int = 5,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    seed: int = 77,
+):
+    """IVF-flat search: route each query to its ``nprobe`` nearest k-means
+    cells, exact integer-L2 top-k among the vectors assigned to those
+    cells.  One extra streaming pass after training; per-task state is the
+    (k, d) centroid matrix + the query block.  Approximate by design: a
+    true neighbor assigned to an unprobed cell is missed (recall grows
+    with nprobe — nprobe=k is exact)."""
+    from .ann import _bucketed_topk_merge
+
+    cent, _ = kmeans(ds, n_clusters, iters, id_col, embed_col, seed)
+    qq = quantize(np.asarray(query_mat, dtype=np.float64))
+    # probe sets: nprobe nearest centroids per query (dist asc, cid asc)
+    dists = ((qq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(dists, kind="stable", axis=1)[:, :nprobe]  # ties → low cid
+    side_ref = ray.put({"cent": cent, "qids": np.asarray(query_ids), "qq": qq, "probe": probe})
+
+    def search(t: pa.Table, _ref=side_ref) -> pa.Table:
+        side = ray.get(_ref)
+        ids, q = _quantized_batch(t, id_col, embed_col)
+        a = _assign(q, side["cent"])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(side["qq"].shape[0]):
+            m = np.isin(a, side["probe"][qi])
+            if not m.any():
+                continue
+            cand, cid = q[m], ids[m]
+            dd = ((cand - side["qq"][qi][None, :]) ** 2).sum(axis=1)
+            kk = min(k_neighbors, dd.shape[0])
+            part = np.lexsort((cid, dd))[:kk]
+            out_q.append(np.full(kk, side["qids"][qi]))
+            out_n.append(cid[part])
+            out_s.append(-dd[part])  # merge ranks by "sim" desc = dist asc
+        if not out_q:
+            return pa.table(
+                {
+                    "qid": pa.array([], type=pa.int64()),
+                    "nid": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "nid": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = ds.select_columns([id_col, embed_col]).map_batches(
+        search, batch_format="pyarrow"
+    )
+    return _bucketed_topk_merge(partial, k_neighbors, id_col)

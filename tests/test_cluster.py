@@ -1,0 +1,91 @@
+"""Distributed k-means + IVF-flat search (stages/cluster.py)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from kaza_lcms_ray.stages import ann, cluster
+
+
+def _corpus(n=120, d=16, seed=3):
+    from kaza_lcms_ray.state.hashing import hash_unit
+
+    mat = hash_unit(seed, "cl", np.arange(n * d)).reshape(n, d) - 0.5
+    return pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)}
+    ), mat
+
+
+def test_kmeans_partitioning_invariant(ray_session):
+    df, _ = _corpus()
+    a1 = (
+        cluster.kmeans(rd.from_pandas(df).repartition(1), k=4, iters=2)[1]
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    a7 = (
+        cluster.kmeans(rd.from_pandas(df).repartition(7), k=4, iters=2)[1]
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a1, a7)
+    assert set(a1["cluster"]).issubset(set(range(1, 5)))
+    assert a1["cluster"].nunique() > 1  # spread vectors land in >1 cell
+
+
+def test_kmeans_improves_inertia(ray_session):
+    """Each Lloyd iteration must not increase total within-cluster cost."""
+    df, mat = _corpus()
+    ds = rd.from_pandas(df).repartition(3)
+    q = cluster.quantize(mat.astype(np.float64))
+
+    def inertia(iters):
+        cent, assign = cluster.kmeans(ds, k=4, iters=iters)
+        a = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy() - 1
+        return float(((q - cent[a]) ** 2).sum())
+
+    i0, i2 = inertia(0), inertia(2)
+    assert i2 <= i0
+
+
+def test_ivf_topk_self_and_recall(ray_session):
+    df, mat = _corpus()
+    ds = rd.from_pandas(df).repartition(4)
+    qids = np.arange(5, dtype=np.int64)
+    qmat = mat[:5].astype(np.float64)
+    got = (
+        cluster.ivf_topk(ds, qids, qmat, k_neighbors=3, n_clusters=4, nprobe=2)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    # each query's own cell is its top probe -> rank-1 hit is itself (d=0)
+    r1 = got[got["rank"] == 1]
+    assert (r1["vec_id"].to_numpy() == r1["qid"].to_numpy()).all()
+    # nprobe = n_clusters == exact: matches brute-force integer-L2 top-k
+    exact = (
+        cluster.ivf_topk(ds, qids, qmat, k_neighbors=3, n_clusters=4, nprobe=4)
+        .to_pandas()
+    )
+    q = cluster.quantize(qmat)
+    qq = cluster.quantize(mat.astype(np.float64))
+    for qi in qids:
+        dd = ((qq - q[qi][None, :]) ** 2).sum(axis=1)
+        want = np.lexsort((np.arange(len(dd)), dd))[:3]
+        got_ids = (
+            exact[exact["qid"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        )
+        assert list(got_ids) == list(want)
+
+
+def test_quantize_matches_sql_convention():
+    """floor(v*2^20 + 0.5): half-up, negative-safe, float32-widen exact."""
+    v = np.array([0.0, -0.5, 0.25, -1 / 3, 1 / 3], dtype=np.float32).astype(
+        np.float64
+    )
+    q = cluster.quantize(v.reshape(1, -1))[0]
+    want = np.floor(v * 1048576.0 + 0.5).astype(np.int64)
+    assert (q == want).all()
