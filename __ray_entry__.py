@@ -265,6 +265,23 @@ def q_terrain(sf_dir: str):
     )
 
 
+def q_planet_stack(sf_dir: str):
+    """Third-catalog basemap pipeline (02planet.py end-to-end): NICFI-analog
+    read (calendarRange year + buffered-AOI clip + B/G/R/N band subset) →
+    per-(cell, month) exact mean composite → NDVI/NDWI/SAVI from the
+    composite means → broadcast static-DEM topography.  The long form of
+    the reference's toBands() monthly stack; every column value-checked."""
+    from kaza_lcms_ray.sources import basemap
+
+    return _i64(
+        basemap.planet_monthly_stack(_geo(sf_dir)),
+        [
+            "cell_id", "month", "n_obs", "B", "G", "R", "N",
+            "NDVI", "NDWI", "SAVI", "elev", "slope_deg", "aspect_deg",
+        ],
+    )
+
+
 def q_random_points(sf_dir: str):
     """FeatureCollection.randomPoints analog: seeded rejection sampling in
     polygon bboxes (first accepted of 64 attempts), distributed one
@@ -1365,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_pts": q_sample_pts,
         "poly_area": q_poly_area,
         "terrain": q_terrain,
+        "planet_stack": q_planet_stack,
         "random_points": q_random_points,
         "cloud_shadow": q_cloud_shadow,
         "events_sliding": q_events_sliding,
@@ -1653,6 +1671,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "poly_area": _poly_area_sql(root),
         "random_points": _random_points_sql(root),
         "terrain": _terrain_sql(root),
+        "planet_stack": _planet_sql(root),
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
         "top_chars": "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20",
@@ -2795,6 +2814,83 @@ def _terrain_sql(root: str) -> str:
                (alpha_r * {DEG!r}) < {inc!r} AS layover,
                (theta_lia * {DEG!r}) < 85.0 AS shadow
         FROM g"""
+
+
+def _planet_sql(root: str) -> str:
+    """02planet.py replay: basemap year/AOI filter → per-(cell, month)
+    integer-cents mean composite → NDVI/NDWI/SAVI with the identical
+    left-associated expression tree → analytic-DEM slope/aspect (the same
+    e0/sl structure as _terrain_sql)."""
+    from kaza_lcms_ray.sources.basemap import (
+        AOI_BBOX,
+        AOI_BUFFER_DEG,
+        PLANET_YEAR,
+        month_sql_expr,
+    )
+    from kaza_lcms_ray.stages.sar import DEG
+    from kaza_lcms_ray.stages.terrain import SLOPE_SCALE
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    minx, miny, maxx, maxy = AOI_BBOX
+    minx, miny, maxx, maxy = (
+        minx - AOI_BUFFER_DEG, miny - AOI_BUFFER_DEG,
+        maxx + AOI_BUFFER_DEG, maxy + AOI_BUFFER_DEG,
+    )
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    mon = month_sql_expr('"year"', "doy")
+    n = float(1 << CELL_LEVEL)
+
+    def ctr_lon(ix):
+        return f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(iy):
+        return f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    means = ", ".join(
+        f"CAST(SUM(c{b}) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 100) AS {nm}"
+        for nm, b in (("B", 0), ("G", 1), ("R", 2), ("N", 3))
+    )
+    return f"""
+        WITH {_geo_cte(root)},
+        bm AS (
+            SELECT {ixe} AS ix, {iye} AS iy, {mon} AS mon, c0, c1, c2, c3
+            FROM geo
+            WHERE "year" = {PLANET_YEAR}
+              AND lon >= {minx!r} AND lon < {maxx!r}
+              AND lat >= {miny!r} AND lat < {maxy!r}
+        ),
+        agg AS (
+            SELECT ix, iy, mon, COUNT(*) AS n_obs, {means}
+            FROM bm GROUP BY ix, iy, mon
+        ),
+        idx AS (
+            SELECT ix, iy, mon, n_obs, B, G, R, N,
+                   (N - R) / (N + R) AS NDVI,
+                   (G - N) / (G + N) AS NDWI,
+                   (N - R) * 1.5 / (N + R + 0.5) AS SAVI
+            FROM agg
+        ),
+        topo AS (
+            SELECT {cell} AS cell_id, mon AS "month", n_obs, B, G, R, N,
+                   NDVI, NDWI, SAVI,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS elev,
+                   ({elev_sql(ctr_lon("(ix + 1)"), ctr_lat("iy"))}
+                  - {elev_sql(ctr_lon("(ix - 1)"), ctr_lat("iy"))}) / 2.0 AS gx,
+                   ({elev_sql(ctr_lon("ix"), ctr_lat("(iy + 1)"))}
+                  - {elev_sql(ctr_lon("ix"), ctr_lat("(iy - 1)"))}) / 2.0 AS gy
+            FROM idx
+        )
+        SELECT cell_id, "month", n_obs, B, G, R, N, NDVI, NDWI, SAVI, elev,
+               atan(sqrt(gx * gx + gy * gy) / {SLOPE_SCALE!r}) * {DEG!r} AS slope_deg,
+               atan2(gx, gy) * {DEG!r} AS aspect_deg
+        FROM topo"""
 
 
 def _random_points_sql(root: str) -> str:
