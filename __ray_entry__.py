@@ -392,6 +392,48 @@ def q_token_stats(sf_dir: str):
     return _i64(text.token_stats(docs), ["doc_id", "n_chars_q", "n_tokens"])
 
 
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing: seeded global document order →
+    distributed two-level prefix sum over token counts → fixed 512-token
+    context windows.  (pack_id, pack_pos, n_splits) per document, identical
+    at any parallelism; oracle = one SQL window-function prefix sum."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import packing
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        packing.pack_sequences(docs, budget=512),
+        ["doc_id", "n_tokens", "pack_id", "pack_pos", "n_splits"],
+    )
+
+
+MIX_ALPHA = 0.5
+
+
+def _mix_weight(source: str) -> float:
+    """Deterministic non-uniform demo weights: srcK -> K % 4 + 1."""
+    return float(int(source[3:]) % 4 + 1)
+
+
+MIX_WEIGHT_SQL = "CAST(substr(source, 4) AS BIGINT) % 4 + 1"
+
+
+def q_mix_sources(sf_dir: str):
+    """Weighted dataset mixing: per-source acceptance rates from the tiny
+    count table so the kept mixture follows the configured source weights;
+    membership is the seeded splitmix64 threshold test (reshard-invariant)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import packing
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return _i64(
+        packing.mix_sources(docs, _mix_weight, alpha=MIX_ALPHA),
+        ["doc_id", "source"],
+    )
+
+
 def q_text_scores(sf_dir: str):
     import ray.data as rd
 
@@ -1346,6 +1388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_year": q_harmonic_year,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "pack_sequences": q_pack_sequences,
+        "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
         "fingerprints": q_fingerprints,
         "simhash": q_simhash,
@@ -1409,6 +1453,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # --------------------------------------------------------------- oracle SQL
+
+
+def _packing_mod():
+    from kaza_lcms_ray.stages import packing
+
+    return packing
 
 
 def _geo_cte(root: str) -> str:
@@ -1580,6 +1630,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents""",
+        "pack_sequences": _packing_mod().pack_sequences_sql(
+            "SELECT doc_id, text FROM documents", budget=512
+        ),
+        "mix_sources": _packing_mod().mix_sources_sql(
+            "SELECT doc_id, source FROM documents", MIX_WEIGHT_SQL, alpha=MIX_ALPHA
+        ),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value

@@ -1,0 +1,239 @@
+"""Training-data layout operators: sequence packing + weighted source mixing.
+
+Two ops every LLM pretraining pipeline runs over its curated corpus, absent
+from the reference (which stops at curation) but first-class here:
+
+* ``pack_sequences`` — concat-and-chunk packing: lay the corpus out in a
+  seeded pseudo-random order and cut it into fixed token-budget context
+  windows ("packs").  Every document gets (pack_id, pack_pos, n_splits).
+  The global document order is a pure function of (seed, doc_id), so the
+  layout is identical at any parallelism / cluster size — resharding the
+  input never changes which window a document lands in.
+
+  Scale shape: the global exclusive prefix-sum over token counts is the
+  classic two-level scan — documents hash into 4096 ORDERED key buckets
+  (bucket = key >> 52, monotone in key), per-bucket token totals reduce via
+  the two-phase bucketed sum (one skinny row per bucket), the driver scans
+  the ≤4096 bucket totals (trivially small at ANY corpus size), and one
+  hash-shuffled ``groupby(bucket).map_groups`` computes local cumsums +
+  broadcast bucket offset.  Nothing driver-side grows with the corpus.
+
+* ``mix_sources`` — deterministic weighted mixture: down-sample each
+  ``source`` so the output mixture follows configured weights (the
+  "data mixing" step of a pretraining recipe).  Per-source acceptance
+  rates derive from the tiny per-source count table (|sources| rows);
+  acceptance itself is the usual seeded splitmix64 threshold test, so
+  membership is exact, reshard-invariant, and SQL-replayable.
+
+Both are value-checked bit-exact by SQL oracles (window-function prefix
+sum; CTE-computed rates over the same hash streams — state/sqlhash.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..state.hashing import DEFAULT_SEED, hash_key
+from .text import token_stats_batch
+
+N_PACK_BUCKETS = 4096  # top-12-bit key buckets; driver scan is <= this
+_BUCKET_SHIFT = np.uint64(52)
+PACK_TAG = "packseq"
+MIX_TAG = "mix"
+_F53 = float(1 << 53)
+
+
+def _keyed_counts(docs, seed: int, text_col: str):
+    """documents -> skinny (doc_id, n_tokens, key, bucket); text dropped
+    before anything shuffles."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = token_stats_batch(t, text_col)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = hash_key(seed, PACK_TAG, ids)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "key": pa.array(key),
+                "kb": pa.array((key >> _BUCKET_SHIFT).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(docs, budget: int = 512, seed: int = DEFAULT_SEED, text_col: str = "text"):
+    """Concat-and-chunk sequence packing over a documents Dataset.
+
+    Returns Dataset[doc_id, n_tokens, pack_id, pack_pos, n_splits]:
+    documents sorted by (splitmix64 key, doc_id) are laid end-to-end;
+    pack_id = global_token_offset // budget, pack_pos = offset % budget,
+    n_splits = number of budget windows the document touches (empty docs
+    count as touching their start window)."""
+    from . import zonal
+
+    skinny = _keyed_counts(docs, seed, text_col).materialize()
+
+    # level-1 reduce: per-bucket token totals (<= N_PACK_BUCKETS rows)
+    partial = skinny.map_batches(
+        lambda t: t.group_by(["kb"])
+        .aggregate([("n_tokens", "sum")])
+        .rename_columns(["kb", "s_tokens"]),
+        batch_format="pyarrow",
+    )
+    totals = zonal.bucketed_sum(partial, ["kb"], ["s_tokens"]).to_pandas()
+    totals = totals.sort_values("kb")
+    # level-2: driver scan over the tiny ordered bucket table
+    offsets = np.zeros(N_PACK_BUCKETS, dtype=np.int64)
+    b = totals["kb"].to_numpy()
+    csum = np.concatenate(([0], np.cumsum(totals["s_tokens"].to_numpy(np.int64))))
+    offsets[b] = csum[:-1]
+    off_ref = ray.put(offsets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)
+        g = g.sort_values(["key", "doc_id"], kind="mergesort").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy(np.int64)
+        off = int(base[int(g["kb"].iloc[0])]) + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        pack_id = off // budget
+        pack_pos = off - pack_id * budget
+        last = (off + np.maximum(n, 1) - 1) // budget
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": n,
+                "pack_id": pack_id,
+                "pack_pos": pack_pos,
+                "n_splits": last - pack_id + 1,
+            }
+        )
+
+    return skinny.groupby("kb").map_groups(per_bucket, batch_format="pandas")
+
+
+def pack_sequences_sql(docs_sql: str, budget: int = 512, seed: int = DEFAULT_SEED) -> str:
+    """Oracle: the same key stream + one window-function prefix sum."""
+    from ..state import sqlhash as SH
+
+    prefix = SH.hug(SH.hash_key_prefix(seed, PACK_TAG))
+    keyed = SH.chain_select(
+        f"""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(doc_id AS HUGEINT) AS idh
+            FROM ({docs_sql})""",
+        SH.splitmix_steps(SH.xor64(prefix, "idh"), "k", "pk"),
+    )
+    return f"""
+        WITH keyed AS ({keyed}),
+        ord AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS off
+            FROM keyed
+        )
+        SELECT doc_id, n_tokens,
+               off // {budget} AS pack_id,
+               off % {budget} AS pack_pos,
+               (off + GREATEST(n_tokens, 1) - 1) // {budget}
+                   - off // {budget} + 1 AS n_splits
+        FROM ord"""
+
+
+def mix_sources(
+    docs,
+    weight_of,
+    alpha: float = 0.5,
+    seed: int = DEFAULT_SEED,
+    source_col: str = "source",
+):
+    """Deterministic weighted source mixing: keep documents so the output
+    mixture approaches weights ``weight_of(source) -> float`` with total
+    target ``alpha * len(docs)``.  Per-source acceptance rate
+    r_s = min(1, total*alpha * w_s / (sum_w * n_s)); acceptance is the
+    splitmix64 threshold test on doc_id, reshard-invariant.
+
+    Returns Dataset[doc_id, source] of the kept documents."""
+
+    # tiny reduce: per-source counts (|sources| rows), then broadcast
+    # integer thresholds — the small-side-lookup pattern, no shuffle join
+    counts = (
+        docs.map_batches(
+            lambda t: t.group_by([source_col]).aggregate([("doc_id", "count")])
+            .rename_columns([source_col, "n_s"]),
+            batch_format="pyarrow",
+        )
+        .groupby(source_col)
+        .sum("n_s")
+        .to_pandas()
+    )
+    total = float(counts["sum(n_s)"].sum())
+    w = {s: float(weight_of(s)) for s in counts[source_col]}
+    sum_w = float(sum(w.values()))
+    thr = {
+        s: np.int64(
+            np.floor(
+                min(1.0, total * alpha * w[s] / (sum_w * float(n))) * _F53
+            )
+        )
+        for s, n in zip(counts[source_col], counts["sum(n_s)"])
+    }
+    thr_ref = ray.put(thr)
+
+    def keep(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (hash_key(seed, MIX_TAG, ids) >> np.uint64(11)).astype(np.int64)
+        lim = (
+            pd.Series(t.column(source_col).to_pandas())
+            .map(th)
+            .fillna(0)
+            .to_numpy(np.int64)
+        )
+        return t.select(["doc_id", source_col]).filter(pa.array(h < lim))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def mix_sources_sql(
+    docs_sql: str,
+    weight_sql: str,
+    alpha: float = 0.5,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Oracle: same rates from a counts CTE (``weight_sql`` maps a
+    ``source`` column reference to its weight expression), same hash test."""
+    from ..state import sqlhash as SH
+
+    prefix = SH.hug(SH.hash_key_prefix(seed, MIX_TAG))
+    hashed = SH.chain_select(
+        f"""SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS idh
+            FROM ({docs_sql})""",
+        SH.splitmix_steps(SH.xor64(prefix, "idh"), "hv", "mx"),
+    )
+    return f"""
+        WITH cnt AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s,
+                   {weight_sql} AS w
+            FROM ({docs_sql}) GROUP BY source
+        ),
+        tot AS (SELECT SUM(n_s) AS total, SUM(w) AS sum_w FROM cnt),
+        thr AS (
+            SELECT source,
+                   CAST(floor(LEAST(1.0,
+                        total * {alpha!r} * w / (sum_w * n_s)) * {_F53!r})
+                        AS BIGINT) AS lim
+            FROM cnt, tot
+        ),
+        hashed AS ({hashed})
+        SELECT h.doc_id, h.source
+        FROM hashed h JOIN thr t ON h.source = t.source
+        WHERE CAST(h.hv // 2048 AS BIGINT) < t.lim"""

@@ -1,0 +1,105 @@
+"""Sequence packing + weighted source mixing: reshard invariance, layout
+correctness, mixture proportions, SQL replay."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kaza_lcms_ray.stages import packing
+
+BUDGET = 64
+
+
+def _docs_table(n=400, seed=7):
+    rng = np.random.RandomState(seed)
+    words = [" ".join(["w"] * int(k)) for k in rng.randint(0, 40, n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(words),
+            "source": pa.array([f"src{int(i) % 5}" for i in rng.randint(0, 20, n)]),
+        }
+    )
+
+
+def test_pack_sequences_layout_and_reshard_invariance(ray_session):
+    import ray.data as rd
+
+    tbl = _docs_table()
+    out1 = (
+        packing.pack_sequences(rd.from_arrow(tbl), budget=BUDGET)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # different sharding -> identical layout
+    out2 = (
+        packing.pack_sequences(rd.from_arrow(tbl).repartition(13), budget=BUDGET)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out1, out2)
+
+    # the laid-out corpus is gapless: sorted by (pack_id, pack_pos), each
+    # document starts exactly where the previous one ended (mod budget)
+    df = out1.copy()
+    df["off"] = df["pack_id"] * BUDGET + df["pack_pos"]
+    # zero-token docs share their neighbor's offset — drop them for the
+    # gapless check (they contribute no tokens to the layout)
+    df = df[df["n_tokens"] > 0].sort_values("off").reset_index(drop=True)
+    end = df["off"] + df["n_tokens"]
+    assert (df["off"].iloc[1:].to_numpy() == end.iloc[:-1].to_numpy()).all()
+    assert df["off"].iloc[0] == 0
+    # n_splits covers the token span
+    span_last = (df["off"] + np.maximum(df["n_tokens"], 1) - 1) // BUDGET
+    assert (df["n_splits"] == span_last - df["pack_id"] + 1).all()
+
+    # SQL replay on the same table
+    con = duckdb.connect()
+    con.register("docs_t", tbl)
+    want = (
+        con.execute(
+            packing.pack_sequences_sql("SELECT doc_id, text FROM docs_t", budget=BUDGET)
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_tokens", "pack_id", "pack_pos", "n_splits"):
+        np.testing.assert_array_equal(
+            out1[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
+        )
+
+
+def test_mix_sources_proportions_and_sql(ray_session):
+    import ray.data as rd
+
+    tbl = _docs_table(n=2000)
+    weight = lambda s: float(int(s[3:]) + 1)  # src0..src4 -> 1..5
+    out = packing.mix_sources(
+        rd.from_arrow(tbl), weight, alpha=0.5
+    ).to_pandas()
+    # kept mixture leans toward the heavier sources
+    got = out.groupby("source").size()
+    assert got["src4"] > got["src0"]
+    # total near alpha * n
+    assert abs(len(out) - 1000) < 150
+
+    con = duckdb.connect()
+    con.register("docs_t", tbl)
+    want = con.execute(
+        packing.mix_sources_sql(
+            "SELECT doc_id, source FROM docs_t",
+            "CAST(substr(source, 4) AS BIGINT) + 1",
+            alpha=0.5,
+        )
+    ).df()
+    assert sorted(out["doc_id"]) == sorted(want["doc_id"])
+
+    # reshard invariance
+    out2 = packing.mix_sources(
+        rd.from_arrow(tbl).repartition(11), weight, alpha=0.5
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
