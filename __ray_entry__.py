@@ -392,6 +392,19 @@ def q_token_stats(sf_dir: str):
     return _i64(text.token_stats(docs), ["doc_id", "n_chars_q", "n_tokens"])
 
 
+def q_tfidf(sf_dir: str):
+    """Per-document top-5 TF-IDF terms: corpus document frequencies via a
+    hash-bucketed term reduce (vocab-sized result, broadcast), then one
+    stateless scoring + per-doc top-k pass; ln() through libm on both
+    sides so scores hash-match the SQL oracle."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(text.tfidf_topk(docs, k=5), ["doc_id", "rank", "term", "tf", "score"])
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing: seeded global document order →
     distributed two-level prefix sum over token counts → fixed 512-token
@@ -1389,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
+        "tfidf": q_tfidf,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
         "fingerprints": q_fingerprints,
@@ -1630,6 +1644,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
             FROM documents""",
+        "tfidf": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).tfidf_topk_sql("SELECT doc_id, text FROM documents", k=5),
         "pack_sequences": _packing_mod().pack_sequences_sql(
             "SELECT doc_id, text FROM documents", budget=512
         ),

@@ -141,6 +141,146 @@ def text_scores(ds, text_col: str = "text", concurrency=None, batch_size: int = 
     )
 
 
+def _doc_term_tf(batch: pa.Table, text_col: str) -> pa.Table:
+    """(doc_id, term, tf) rows for one batch of documents.  A document is
+    ONE input row, so its whole term-frequency vector is computed here and
+    never needs a cross-batch combine."""
+    import pandas as pd
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = offs[1:] - offs[:-1]
+    di = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    flat = toks.flatten()
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    df = pd.DataFrame(
+        {"di": di[keep], "term": flat.to_numpy(zero_copy_only=False)[keep]}
+    )
+    g = df.groupby(["di", "term"], sort=False).size().reset_index(name="tf")
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[g["di"].to_numpy()]),
+            "term": pa.array(g["term"], type=pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(np.int64)),
+        }
+    )
+
+
+def document_frequencies(tf_ds):
+    """term -> number of documents containing it.  Each (doc, term) row is
+    globally unique (one row per document), so DF is a pure count per term:
+    per-batch partials, then a hash-bucketed combine keyed on the term's
+    FNV hash (bounded bucket sizes; exact string groupby inside the
+    bucket)."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    from ..state.hashing import fnv1a_arr, hash_key
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term"]).aggregate([("doc_id", "count")])
+        g = g.rename_columns(["term", "df"])
+        th = fnv1a_arr(g.column("term"))
+        bucket = (hash_key(th) % np.uint64(nb)).astype(np.int64)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["df"].sum()
+
+    return (
+        tf_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(["term", "df"])
+    )
+
+
+def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
+    """Per-document top-k TF-IDF terms: score = tf · ln(N / df), ranked
+    (score DESC, term ASC).
+
+    Two passes over the skinny (doc, term, tf) stream: the DF reduce
+    (vocab-sized output — broadcast via ``ray.put``, the small-side-lookup
+    pattern; at vocabularies too large for one object, swap the broadcast
+    for a hash join on term, same downstream code), then one stateless
+    scoring pass.  ln() runs through libm on both sides, so scores are
+    bit-identical to the SQL oracle."""
+    import math
+
+    import pandas as pd
+
+    import ray
+
+    n_docs = float(ds.count())
+    tf_ds = ds.map_batches(
+        lambda t: _doc_term_tf(t, text_col), batch_format="pyarrow"
+    ).materialize()
+    df_tbl = document_frequencies(tf_ds).to_pandas()
+    df_ref = ray.put(pd.Series(
+        df_tbl["df"].to_numpy(np.float64), index=df_tbl["term"]
+    ))
+
+    def score(t: pa.Table) -> pa.Table:
+        # frompyfunc built inside the task (ufuncs don't pickle); math.log
+        # is libm — bit-identical to DuckDB ln()
+        log_u = np.frompyfunc(math.log, 1, 1)
+        dfs = ray.get(df_ref)
+        g = t.to_pandas()
+        dfv = g["term"].map(dfs).to_numpy(np.float64)
+        tfv = g["tf"].to_numpy(np.int64)
+        g["score"] = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
+        g = g.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return pa.Table.from_pandas(
+            g[["doc_id", "rank", "term", "tf", "score"]], preserve_index=False
+        )
+
+    # batch_size=None → whole blocks: a document's tf rows are produced in
+    # one _doc_term_tf output block, and re-slicing could split a doc
+    # across batches (two partial top-ks)
+    return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def tfidf_topk_sql(docs_sql: str, k: int = 5) -> str:
+    """Oracle: the identical tokenization, DF counts, and ln-expression."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dfc AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfn FROM tf GROUP BY term),
+        nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ({docs_sql})),
+        s AS (
+            SELECT t.doc_id, t.term, t.tf,
+                   CAST(t.tf AS DOUBLE) * ln(n / dfn) AS score
+            FROM tf t JOIN dfc USING (term), nd
+        )
+        SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term, tf, score
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+            ) AS rnk FROM s
+        ) WHERE rnk <= {k}"""
+
+
 _FP_BASE = np.uint64(1099511628211)
 
 

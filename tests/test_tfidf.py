@@ -1,0 +1,68 @@
+"""TF-IDF top-k: hand-checked scores, reshard invariance, SQL replay."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from kaza_lcms_ray.stages import text
+
+
+def _corpus():
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(
+                [
+                    "apple banana apple",
+                    "banana cherry",
+                    "cherry date date date",
+                    "apple banana cherry date",
+                ]
+            ),
+        }
+    )
+
+
+def test_tfidf_hand_check_and_sql(ray_session):
+    import math
+
+    import ray.data as rd
+
+    tbl = _corpus()
+    out = (
+        text.tfidf_topk(rd.from_arrow(tbl), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # doc 0: apple tf=2 df=2 -> 2*ln(4/2); banana tf=1 df=3 -> ln(4/3)
+    r0 = out[out["doc_id"] == 0]
+    assert list(r0["term"]) == ["apple", "banana"]
+    assert r0["score"].iloc[0] == 2.0 * math.log(4.0 / 2.0)
+    # doc 2: date tf=3 beats cherry
+    r2 = out[out["doc_id"] == 2]
+    assert list(r2["term"]) == ["date", "cherry"]
+
+    con = duckdb.connect()
+    con.register("docs_t", tbl)
+    want = (
+        con.execute(text.tfidf_topk_sql("SELECT doc_id, text FROM docs_t", k=2))
+        .df()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(want) == len(out)
+    np.testing.assert_array_equal(out["term"].to_numpy(), want["term"].to_numpy())
+    np.testing.assert_array_equal(
+        out["score"].to_numpy(), want["score"].to_numpy()
+    )
+
+    # reshard invariance (every doc in its own block)
+    out2 = (
+        text.tfidf_topk(rd.from_arrow(tbl).repartition(4), k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(out["term"].to_numpy(), out2["term"].to_numpy())
+    np.testing.assert_array_equal(out["score"].to_numpy(), out2["score"].to_numpy())
