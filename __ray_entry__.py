@@ -392,6 +392,23 @@ def q_token_stats(sf_dir: str):
     return _i64(text.token_stats(docs), ["doc_id", "n_chars_q", "n_tokens"])
 
 
+def q_pretrain_build(sf_dir: str):
+    """Composed pretraining data-prep funnel: curation → weighted source
+    mixing → sequence packing, survivor sets carried by hash joins on
+    doc_id.  The oracle chains the three verified stage oracles."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return _i64(
+        curation.pretrain_build(docs, _mix_weight, alpha=MIX_ALPHA),
+        ["doc_id", "n_tokens", "pack_id", "pack_pos", "n_splits"],
+    )
+
+
 def q_tfidf(sf_dir: str):
     """Per-document top-5 TF-IDF terms: corpus document frequencies via a
     hash-bucketed term reduce (vocab-sized result, broadcast), then one
@@ -1403,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
         "tfidf": q_tfidf,
+        "pretrain_build": q_pretrain_build,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
         "fingerprints": q_fingerprints,
@@ -1653,6 +1671,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "mix_sources": _packing_mod().mix_sources_sql(
             "SELECT doc_id, source FROM documents", MIX_WEIGHT_SQL, alpha=MIX_ALPHA
         ),
+        "pretrain_build": __import__(
+            "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
+        ).pretrain_build_sql(_text_scores_sql(), MIX_WEIGHT_SQL, alpha=MIX_ALPHA),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value

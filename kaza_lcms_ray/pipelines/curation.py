@@ -65,6 +65,69 @@ def curate_corpus(
     )
 
 
+def pretrain_build(
+    docs_full,
+    mix_weight,
+    alpha: float = 0.7,
+    budget: int = 512,
+    seed: int = DEFAULT_SEED,
+):
+    """The full pretraining data-prep funnel as ONE composed flow:
+    curation (dedup → quality/lang → subsample) → weighted source mixing →
+    concat-and-chunk sequence packing.
+
+    ``docs_full`` is Dataset[doc_id, text, source].  Survivor sets travel
+    as hash joins on doc_id (corpus-sized — never broadcast); only the
+    skinny (doc_id, source) projection is materialized between the two
+    passes mix_sources makes over its input.  Returns the packed layout
+    Dataset[doc_id, n_tokens, pack_id, pack_pos, n_splits]."""
+    from ..runtime import join_partitions
+    from ..stages import packing
+
+    # survivor-id sides are materialized (skinny doc_id[+source] columns)
+    # so join partitions can be sized from the actual row count — Ray
+    # 2.49's hash-join aggregator fails on schema-less empty partitions
+    # (same workaround as dedup._verify_pairs_distributed)
+    kept1 = curate_corpus(
+        docs_full.select_columns(["doc_id", "text"]), seed=seed
+    ).materialize()
+    np1 = join_partitions(rows_hint=kept1.count())
+    mix_in = (
+        docs_full.select_columns(["doc_id", "source"])
+        .join(kept1, join_type="inner", num_partitions=np1, on=("doc_id",))
+        .materialize()
+    )
+    mixed = packing.mix_sources(mix_in, mix_weight, alpha=alpha, seed=seed).materialize()
+    np2 = join_partitions(rows_hint=mixed.count())
+    pack_in = docs_full.select_columns(["doc_id", "text"]).join(
+        mixed.select_columns(["doc_id"]),
+        join_type="inner",
+        num_partitions=np2,
+        on=("doc_id",),
+    )
+    return packing.pack_sequences(pack_in, budget=budget, seed=seed)
+
+
+def pretrain_build_sql(
+    scores_sql: str,
+    weight_sql: str,
+    alpha: float = 0.7,
+    budget: int = 512,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Oracle: chain the three verified stage oracles over the same
+    survivor sets."""
+    from ..stages import packing
+
+    kept1 = curation_sql(scores_sql, seed=seed)
+    mix_in = f"""SELECT d.doc_id, d.source FROM documents d
+                 JOIN ({kept1}) k1 ON d.doc_id = k1.doc_id"""
+    kept2 = packing.mix_sources_sql(mix_in, weight_sql, alpha=alpha, seed=seed)
+    pack_in = f"""SELECT d.doc_id, d.text FROM documents d
+                  JOIN ({kept2}) k2 ON d.doc_id = k2.doc_id"""
+    return packing.pack_sequences_sql(pack_in, budget=budget, seed=seed)
+
+
 def curation_sql(scores_sql: str, seed: int = DEFAULT_SEED, min_quality: float = 0.45, lang: str = "en", sample_frac: float = 0.5) -> str:
     """Oracle: min-id-per-text keepers ∩ score thresholds ∩ integer hash
     sample, chaining the already-verified text-score SQL."""

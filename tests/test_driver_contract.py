@@ -84,6 +84,11 @@ def _compare(name, e, con):
         "events_sliding",
         "flagship",
         "docs_in_aoi",
+        "planet_stack",
+        "pack_sequences",
+        "mix_sources",
+        "tfidf",
+        "pretrain_build",
     ],
 )
 def test_query_matches_oracle(contract, name):
