@@ -392,6 +392,34 @@ def q_token_stats(sf_dir: str):
     return _i64(text.token_stats(docs), ["doc_id", "n_chars_q", "n_tokens"])
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram-LM perplexity-proxy quality score per document (the
+    CCNet/Gopher-style filter): per-term log-probs quantized to int64 so
+    the per-doc sum is order-independent and bit-replayable in SQL."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(text.lm_score(docs), ["doc_id", "n_toks", "logprob_q", "avg_nll"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the eval slice (doc_id % 97 == 0) are flagged; eval n-gram set is
+    reduced distributed and broadcast once (eval suites are tiny against
+    a 100 TB corpus)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        text.decontaminate(docs),
+        ["doc_id", "n_grams", "n_hits", "contaminated"],
+    )
+
+
 def q_pretrain_build(sf_dir: str):
     """Composed pretraining data-prep funnel: curation → weighted source
     mixing → sequence packing, survivor sets carried by hash joins on
@@ -1420,6 +1448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
         "tfidf": q_tfidf,
+        "lm_score": q_lm_score,
+        "decontaminate": q_decontaminate,
         "pretrain_build": q_pretrain_build,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
@@ -1665,6 +1695,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "tfidf": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).tfidf_topk_sql("SELECT doc_id, text FROM documents", k=5),
+        "lm_score": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).lm_score_sql("SELECT doc_id, text FROM documents"),
+        "decontaminate": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).decontaminate_sql("SELECT doc_id, text FROM documents"),
         "pack_sequences": _packing_mod().pack_sequences_sql(
             "SELECT doc_id, text FROM documents", budget=512
         ),

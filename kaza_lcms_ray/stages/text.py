@@ -254,6 +254,244 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
     return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+LM_Q = 1073741824.0  # 2^30 — log-prob quantization scale
+
+
+def term_counts(tf_ds):
+    """term -> total corpus occurrences (the unigram LM numerators) —
+    same hash-bucketed reduce as document_frequencies but summing tf."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus
+    from ..state.hashing import fnv1a_arr, hash_key
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["term"]).aggregate([("tf", "sum")])
+        g = g.rename_columns(["term", "ct"])
+        th = fnv1a_arr(g.column("term"))
+        bucket = (hash_key(th) % np.uint64(nb)).astype(np.int64)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["ct"].sum()
+
+    return (
+        tf_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(["term", "ct"])
+    )
+
+
+def lm_score(ds, text_col: str = "text"):
+    """Unigram-LM quality score per document (the CCNet/Gopher-style
+    perplexity-proxy filter): avg_nll = −(Σ_t tf·ln p(t)) / n_tokens with
+    p(t) the corpus unigram probability.
+
+    Per-term log-probs are QUANTIZED to int64 (floor(ln(p)·2³⁰ + 0.5)) so
+    the per-document sum is an integer — deterministic under any
+    accumulation order, and bit-replayable by the SQL oracle (a float SUM
+    would be order-dependent on both sides).  Same two-pass shape as
+    tfidf_topk: vocab-sized LM table broadcast, one stateless scoring pass.
+
+    Returns Dataset[doc_id, n_toks, logprob_q, avg_nll] (docs with zero
+    tokens are absent, as in the oracle)."""
+    import math
+
+    import pandas as pd
+
+    import ray
+
+    tf_ds = ds.map_batches(
+        lambda t: _doc_term_tf(t, text_col), batch_format="pyarrow"
+    ).materialize()
+    tc = term_counts(tf_ds).to_pandas()
+    total = float(int(tc["ct"].sum()))
+    log_u = np.frompyfunc(math.log, 1, 1)
+    lpq = np.floor(
+        log_u(tc["ct"].to_numpy(np.int64).astype(np.float64) / total).astype(
+            np.float64
+        )
+        * LM_Q
+        + 0.5
+    ).astype(np.int64)
+    lm_ref = ray.put(pd.Series(lpq, index=tc["term"]))
+
+    def score(t: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        g = t.to_pandas()
+        g["w"] = g["tf"].to_numpy(np.int64) * g["term"].map(lm).to_numpy(np.int64)
+        agg = g.groupby("doc_id", sort=False, as_index=False).agg(
+            n_toks=("tf", "sum"), logprob_q=("w", "sum")
+        )
+        lq = agg["logprob_q"].to_numpy(np.int64).astype(np.float64)
+        n = agg["n_toks"].to_numpy(np.int64).astype(np.float64)
+        agg["avg_nll"] = -(lq / LM_Q) / n
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # whole blocks: a document's tf rows never split across batches
+    return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def lm_score_sql(docs_sql: str) -> str:
+    """Oracle: identical tokenization, quantized log-probs, integer sums."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        tc AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ct FROM tf GROUP BY term),
+        tot AS (SELECT CAST(SUM(ct) AS DOUBLE) AS tt FROM tc),
+        lp AS (
+            SELECT term,
+                   CAST(floor(ln(CAST(ct AS DOUBLE) / tt) * {LM_Q!r} + 0.5)
+                        AS BIGINT) AS lpq
+            FROM tc, tot
+        ),
+        s AS (
+            SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_toks,
+                   CAST(SUM(t.tf * l.lpq) AS BIGINT) AS logprob_q
+            FROM tf t JOIN lp l USING (term) GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_toks, logprob_q,
+               -(CAST(logprob_q AS DOUBLE) / {LM_Q!r})
+                   / CAST(n_toks AS DOUBLE) AS avg_nll
+        FROM s"""
+
+
+DECON_N = 5  # word n-gram width for decontamination
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 -> eval/benchmark set
+
+
+def _doc_ngrams(batch: pa.Table, text_col: str, n: int) -> pa.Table:
+    """(doc_id, gram) rows: word n-grams (space-joined, lowercase) that do
+    not cross document boundaries."""
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    # drop empty fragments, recompute per-doc segment bounds
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    counts = offs[1:] - offs[:-1]
+    di_all = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    di = di_all[keep]
+    words = flat.filter(pa.array(keep))
+    m = len(words)
+    if m < n:
+        return pa.table(
+            {"doc_id": pa.array([], type=batch.schema.field("doc_id").type),
+             "gram": pa.array([], type=pa.string())}
+        )
+    # position i starts an n-gram iff tokens i..i+n-1 share a doc
+    starts = np.arange(m - n + 1)
+    ok = di[starts] == di[starts + n - 1]
+    shifted = [words.slice(j, m - n + 1).filter(pa.array(ok)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table({"doc_id": pa.array(ids[di[starts[ok]]]), "gram": grams})
+
+
+def decontaminate(ds, text_col: str = "text", n: int = DECON_N, eval_mod: int = DECON_EVAL_MOD):
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with the eval set (doc_id % eval_mod == 0 — the held-out
+    benchmark analog).
+
+    The eval n-gram set is reduced distributed (distinct grams of a small
+    corpus slice), broadcast once via ``ray.put``, and every training doc
+    is scored in one stateless ``is_in`` pass — the classic
+    small-side-broadcast shape (an eval suite is KBs–MBs against a 100 TB
+    corpus).  Returns Dataset[doc_id, n_grams, n_hits, contaminated] over
+    training docs that have at least one n-gram (mirrors the oracle)."""
+    import pandas as pd
+
+    import ray
+
+    grams = ds.map_batches(
+        lambda t: _doc_ngrams(t, text_col, n), batch_format="pyarrow"
+    ).materialize()
+
+    def eval_part(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = t.filter(pa.array(ids % eval_mod == 0))
+        u = pc.unique(sel.column("gram"))
+        return pa.table({"gram": u})
+
+    eval_grams = pc.unique(
+        pa.concat_tables(
+            [pa.table({"gram": b["gram"]}) for b in
+             grams.map_batches(eval_part, batch_format="pyarrow").iter_batches(
+                 batch_format="pyarrow", batch_size=None)]
+        ).column("gram").combine_chunks()
+    )
+    eval_ref = ray.put(eval_grams)
+
+    def score(t: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % eval_mod != 0))
+        hit = pc.is_in(t.column("gram"), value_set=ev).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = pd.DataFrame(
+            {"doc_id": t.column("doc_id").to_numpy(zero_copy_only=False), "hit": hit}
+        )
+        agg = g.groupby("doc_id", sort=False, as_index=False).agg(
+            n_grams=("hit", "size"), n_hits=("hit", "sum")
+        )
+        agg["contaminated"] = (agg["n_hits"] > 0).astype(np.int64)
+        agg["n_grams"] = agg["n_grams"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return grams.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def decontaminate_sql(docs_sql: str, n: int = DECON_N, eval_mod: int = DECON_EVAL_MOD) -> str:
+    """Oracle: identical tokenization, lead-window n-grams, semi-join."""
+    leads = " || ' ' || ".join(
+        "term" if j == 0 else f"lead(term, {j}) OVER w" for j in range(n)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, ord, term FROM (
+                SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS ord
+                FROM (
+                    SELECT doc_id,
+                           list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                                       x -> length(x) > 0) AS toks
+                    FROM ({docs_sql})
+                )
+            )
+        ),
+        grams AS (
+            SELECT doc_id, {leads} AS gram
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+            QUALIFY lead(term, {n - 1}) OVER w IS NOT NULL
+        ),
+        ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {eval_mod} = 0),
+        tr AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(CASE WHEN gram IN (SELECT gram FROM ev)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM grams WHERE doc_id % {eval_mod} <> 0 GROUP BY doc_id
+        )
+        SELECT doc_id, n_grams, n_hits,
+               CAST(n_hits > 0 AS BIGINT) AS contaminated
+        FROM tr"""
+
+
 def tfidf_topk_sql(docs_sql: str, k: int = 5) -> str:
     """Oracle: the identical tokenization, DF counts, and ln-expression."""
     return f"""

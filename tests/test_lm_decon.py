@@ -1,0 +1,102 @@
+"""Unigram-LM scoring and n-gram decontamination: hand checks, SQL replay,
+reshard invariance."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from kaza_lcms_ray.stages import text
+
+
+def test_lm_score_hand_check_and_sql(ray_session):
+    import math
+
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["aa bb aa", "bb cc", ""]),
+        }
+    )
+    out = (
+        text.lm_score(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # corpus: aa=2, bb=2, cc=1, total=5; doc 2 (empty) absent
+    assert list(out["doc_id"]) == [0, 1]
+    lp = {w: math.floor(math.log(c / 5.0) * text.LM_Q + 0.5) for w, c in
+          (("aa", 2), ("bb", 2), ("cc", 1))}
+    assert out["logprob_q"].iloc[0] == 2 * lp["aa"] + lp["bb"]
+    assert out["logprob_q"].iloc[1] == lp["bb"] + lp["cc"]
+    assert (out["avg_nll"] > 0).all()
+
+    con = duckdb.connect()
+    con.register("docs_t", tbl)
+    want = (
+        con.execute(text.lm_score_sql("SELECT doc_id, text FROM docs_t"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        out["logprob_q"].to_numpy(np.int64), want["logprob_q"].to_numpy(np.int64)
+    )
+    np.testing.assert_array_equal(out["avg_nll"].to_numpy(), want["avg_nll"].to_numpy())
+
+
+def test_decontaminate_hand_check_and_sql(ray_session):
+    import ray.data as rd
+
+    # doc 0 is the "eval" doc (0 % 97 == 0); doc 1 shares its 5-gram,
+    # doc 2 does not; doc 3 is too short for any 5-gram
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "one two three four five six",
+                    "zzz one two three four five",
+                    "one two three four laundered five",
+                    "too short",
+                ]
+            ),
+        }
+    )
+    out = (
+        text.decontaminate(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1, 2]  # eval doc + short doc absent
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert r1["n_grams"] == 2 and r1["n_hits"] == 1 and r1["contaminated"] == 1
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    assert r2["n_hits"] == 0 and r2["contaminated"] == 0
+
+    con = duckdb.connect()
+    con.register("docs_t", tbl)
+    want = (
+        con.execute(text.decontaminate_sql("SELECT doc_id, text FROM docs_t"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "n_grams", "n_hits", "contaminated"):
+        np.testing.assert_array_equal(
+            out[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
+        )
+
+    # reshard invariance
+    out2 = (
+        text.decontaminate(rd.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        out["n_hits"].to_numpy(np.int64), out2["n_hits"].to_numpy(np.int64)
+    )
