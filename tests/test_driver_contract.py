@@ -89,6 +89,8 @@ def _compare(name, e, con):
         "mix_sources",
         "tfidf",
         "pretrain_build",
+        "lm_score",
+        "decontaminate",
     ],
 )
 def test_query_matches_oracle(contract, name):
