@@ -420,6 +420,24 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition/quality rules per document: duplicate
+    2/3-gram fractions, top-word dominance, mean word length + keep flag —
+    ratios of integers computed entirely within the batch (no shuffle)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        text.gopher_quality(docs),
+        [
+            "doc_id", "n_tokens", "mean_word_len", "frac_dup_2gram",
+            "frac_dup_3gram", "top_word_frac", "keep",
+        ],
+    )
+
+
 def q_pretrain_build(sf_dir: str):
     """Composed pretraining data-prep funnel: curation → weighted source
     mixing → sequence packing, survivor sets carried by hash joins on
@@ -1450,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": q_tfidf,
         "lm_score": q_lm_score,
         "decontaminate": q_decontaminate,
+        "gopher_quality": q_gopher_quality,
         "pretrain_build": q_pretrain_build,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
@@ -1701,6 +1720,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "decontaminate": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).decontaminate_sql("SELECT doc_id, text FROM documents"),
+        "gopher_quality": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).gopher_quality_sql("SELECT doc_id, text FROM documents"),
         "pack_sequences": _packing_mod().pack_sequences_sql(
             "SELECT doc_id, text FROM documents", budget=512
         ),

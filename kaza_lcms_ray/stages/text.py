@@ -387,19 +387,14 @@ def _doc_ngrams(batch: pa.Table, text_col: str, n: int) -> pa.Table:
     di_all = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
     di = di_all[keep]
     words = flat.filter(pa.array(keep))
-    m = len(words)
-    if m < n:
+    gdi, grams = _shifted_grams(words, di, n)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    if len(gdi) == 0:
         return pa.table(
             {"doc_id": pa.array([], type=batch.schema.field("doc_id").type),
              "gram": pa.array([], type=pa.string())}
         )
-    # position i starts an n-gram iff tokens i..i+n-1 share a doc
-    starts = np.arange(m - n + 1)
-    ok = di[starts] == di[starts + n - 1]
-    shifted = [words.slice(j, m - n + 1).filter(pa.array(ok)) for j in range(n)]
-    grams = pc.binary_join_element_wise(*shifted, " ")
-    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    return pa.table({"doc_id": pa.array(ids[di[starts[ok]]]), "gram": grams})
+    return pa.table({"doc_id": pa.array(ids[gdi]), "gram": grams})
 
 
 def decontaminate(ds, text_col: str = "text", n: int = DECON_N, eval_mod: int = DECON_EVAL_MOD):
@@ -490,6 +485,190 @@ def decontaminate_sql(docs_sql: str, n: int = DECON_N, eval_mod: int = DECON_EVA
         SELECT doc_id, n_grams, n_hits,
                CAST(n_hits > 0 AS BIGINT) AS contaminated
         FROM tr"""
+
+
+# Gopher-style repetition/quality thresholds (Rae et al. 2021 §A1.1 —
+# public filter recipe); values adapted to the synthetic corpus
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_DUP2 = 0.60
+GOPHER_MAX_DUP3 = 0.50
+GOPHER_MAX_TOPW = 0.10
+
+
+def _shifted_grams(words, di, n):
+    """(doc_index, gram) pairs for word n-grams not crossing documents.
+    ``words``: flat token Array; ``di``: int64 doc index per token."""
+    m = len(words)
+    if m < n:
+        return np.array([], dtype=np.int64), pa.array([], type=pa.string())
+    starts = np.arange(m - n + 1)
+    ok = di[starts] == di[starts + n - 1]
+    shifted = [words.slice(j, m - n + 1).filter(pa.array(ok)) for j in range(n)]
+    return di[starts[ok]], pc.binary_join_element_wise(*shifted, " ")
+
+
+def gopher_quality(ds, text_col: str = "text"):
+    """Per-document Gopher repetition/quality signals + keep flag:
+    n_tokens, mean_word_len, frac_dup_{2,3}gram (= (n-gram count − distinct
+    n-grams) / n-gram count), top_word_frac (most common token's share).
+    Every signal is a ratio of integers computed per document inside one
+    batch (a document is one row) — no shuffle at all, and the keep
+    thresholds compare identical doubles on both sides."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[1:] - offs[:-1]
+        di_all = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        flat = toks.flatten()
+        keep_tok = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        di = di_all[keep_tok]
+        words = flat.filter(pa.array(keep_tok))
+        nd = len(batch)
+
+        n_tok = np.bincount(di, minlength=nd).astype(np.int64)
+        wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        sum_len = np.bincount(di, weights=wlen, minlength=nd).astype(np.int64)
+
+        wdf = pd.DataFrame({"di": di, "w": words.to_numpy(zero_copy_only=False)})
+        topw = np.zeros(nd, dtype=np.int64)
+        if len(wdf):
+            tc = wdf.groupby(["di", "w"], sort=False).size().groupby("di").max()
+            topw[tc.index.to_numpy()] = tc.to_numpy(np.int64)
+
+        def dup_frac(n):
+            gdi, grams = _shifted_grams(words, di, n)
+            tot = np.bincount(gdi, minlength=nd).astype(np.int64)
+            dist = np.zeros(nd, dtype=np.int64)
+            if len(gdi):
+                gdf = pd.DataFrame(
+                    {"di": gdi, "g": grams.to_numpy(zero_copy_only=False)}
+                )
+                nu = gdf.groupby("di", sort=False)["g"].nunique()
+                dist[nu.index.to_numpy()] = nu.to_numpy(np.int64)
+            with np.errstate(invalid="ignore"):
+                f = np.where(
+                    tot > 0,
+                    (tot - dist).astype(np.float64) / np.maximum(tot, 1).astype(np.float64),
+                    0.0,
+                )
+            return f
+
+        nf = n_tok.astype(np.float64)
+        mwl = np.where(n_tok > 0, sum_len.astype(np.float64) / np.maximum(nf, 1.0), 0.0)
+        d2, d3 = dup_frac(2), dup_frac(3)
+        topf = np.where(n_tok > 0, topw.astype(np.float64) / np.maximum(nf, 1.0), 0.0)
+        keep = (
+            (n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+            & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+            & (d2 < GOPHER_MAX_DUP2) & (d3 < GOPHER_MAX_DUP3)
+            & (topf < GOPHER_MAX_TOPW)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok),
+                "mean_word_len": pa.array(mwl),
+                "frac_dup_2gram": pa.array(d2),
+                "frac_dup_3gram": pa.array(d3),
+                "top_word_frac": pa.array(topf),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gopher_quality_sql(docs_sql: str) -> str:
+    """Oracle: same tokenization; n-gram stats via lead windows; identical
+    ratio expressions and thresholds."""
+
+    def gram_cte(n, alias):
+        leads = " || ' ' || ".join(
+            "term" if j == 0 else f"lead(term, {j}) OVER w" for j in range(n)
+        )
+        return f"""{alias} AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot,
+                   CAST(COUNT(DISTINCT gram) AS BIGINT) AS dist
+            FROM (
+                SELECT doc_id, {leads} AS gram FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+                QUALIFY lead(term, {n - 1}) OVER w IS NOT NULL
+            ) GROUP BY doc_id
+        )"""
+
+    return f"""
+        WITH base AS (SELECT doc_id FROM ({docs_sql})),
+        toks AS (
+            SELECT doc_id, ord, term FROM (
+                SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS ord
+                FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z'']+') AS toks
+                    FROM ({docs_sql})
+                )
+            )
+        ),
+        wstats AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(SUM(length(term)) AS BIGINT) AS sum_len
+            FROM toks GROUP BY doc_id
+        ),
+        topw AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS topw FROM (
+                SELECT doc_id, COUNT(*) AS c FROM toks GROUP BY doc_id, term
+            ) GROUP BY doc_id
+        ),
+        {gram_cte(2, "g2")},
+        {gram_cte(3, "g3")},
+        j AS (
+            SELECT b.doc_id,
+                   COALESCE(w.n_tok, 0) AS n_tok,
+                   COALESCE(w.sum_len, 0) AS sum_len,
+                   COALESCE(t.topw, 0) AS topw,
+                   COALESCE(g2.tot, 0) AS tot2, COALESCE(g2.dist, 0) AS dist2,
+                   COALESCE(g3.tot, 0) AS tot3, COALESCE(g3.dist, 0) AS dist3
+            FROM base b
+            LEFT JOIN wstats w USING (doc_id)
+            LEFT JOIN topw t USING (doc_id)
+            LEFT JOIN g2 USING (doc_id)
+            LEFT JOIN g3 USING (doc_id)
+        ),
+        m AS (
+            SELECT doc_id, n_tok AS n_tokens,
+                   CASE WHEN n_tok > 0 THEN CAST(sum_len AS DOUBLE)
+                        / CAST(GREATEST(n_tok, 1) AS DOUBLE) ELSE 0.0 END
+                       AS mean_word_len,
+                   CASE WHEN tot2 > 0 THEN CAST(tot2 - dist2 AS DOUBLE)
+                        / CAST(GREATEST(tot2, 1) AS DOUBLE) ELSE 0.0 END
+                       AS frac_dup_2gram,
+                   CASE WHEN tot3 > 0 THEN CAST(tot3 - dist3 AS DOUBLE)
+                        / CAST(GREATEST(tot3, 1) AS DOUBLE) ELSE 0.0 END
+                       AS frac_dup_3gram,
+                   CASE WHEN n_tok > 0 THEN CAST(topw AS DOUBLE)
+                        / CAST(GREATEST(n_tok, 1) AS DOUBLE) ELSE 0.0 END
+                       AS top_word_frac
+            FROM j
+        )
+        SELECT *,
+               CAST(n_tokens >= {GOPHER_MIN_TOKENS}
+                AND n_tokens <= {GOPHER_MAX_TOKENS}
+                AND mean_word_len >= {GOPHER_MIN_MWL!r}
+                AND mean_word_len <= {GOPHER_MAX_MWL!r}
+                AND frac_dup_2gram < {GOPHER_MAX_DUP2!r}
+                AND frac_dup_3gram < {GOPHER_MAX_DUP3!r}
+                AND top_word_frac < {GOPHER_MAX_TOPW!r} AS BIGINT) AS keep
+        FROM m"""
 
 
 def tfidf_topk_sql(docs_sql: str, k: int = 5) -> str:

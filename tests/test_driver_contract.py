@@ -91,6 +91,7 @@ def _compare(name, e, con):
         "pretrain_build",
         "lm_score",
         "decontaminate",
+        "gopher_quality",
     ],
 )
 def test_query_matches_oracle(contract, name):
