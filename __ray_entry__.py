@@ -420,6 +420,20 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_quantize_embed(sf_dir: str):
+    """Scalar int8 embedding quantization (the ANN index compression):
+    per-vector max-abs scale, floor(x/scale + 0.5) codes, long-form
+    output; float32→float64 is exact so the oracle is bit-exact."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return _i64(ann.quantize_embeddings(emb), ["vec_id", "dim", "code", "scale"])
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style repetition/quality rules per document: duplicate
     2/3-gram fractions, top-word dominance, mean word length + keep flag —
@@ -1469,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "decontaminate": q_decontaminate,
         "gopher_quality": q_gopher_quality,
+        "quantize_embed": q_quantize_embed,
         "pretrain_build": q_pretrain_build,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
@@ -1723,6 +1738,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "gopher_quality": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).gopher_quality_sql("SELECT doc_id, text FROM documents"),
+        "quantize_embed": __import__(
+            "kaza_lcms_ray.stages.ann", fromlist=["ann"]
+        ).quantize_embeddings_sql("SELECT vec_id, embedding FROM embeddings"),
         "pack_sequences": _packing_mod().pack_sequences_sql(
             "SELECT doc_id, text FROM documents", budget=512
         ),

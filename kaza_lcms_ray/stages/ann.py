@@ -444,3 +444,67 @@ def knn_join_lsh(
     for p in parts[1:]:
         allp = allp.union(p)
     return _bucketed_topk_merge(allp, k, "nid", dedup_pairs=True)
+
+
+def quantize_embeddings(ds, embed_col: str = "embedding", id_col: str = "vec_id"):
+    """Scalar int8 quantization per vector (the standard ANN compression):
+    scale = max|x| / 127, code_d = floor(x_d / scale + 0.5) ∈ [-127, 127].
+
+    One stateless pass, zero shuffle; output is the LONG form
+    (vec_id, dim, code, scale) — the layout a column-store quantized index
+    persists, and what the SQL oracle value-checks (float32 → float64 is
+    exact, and floor(x+0.5) pins the rounding convention on both sides).
+    ``dim`` is 1-based to match SQL's generate_subscripts."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch.column(embed_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        vals = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(arr)
+        lens = offs[1:] - offs[:-1]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ma = np.maximum.reduceat(np.abs(vals), offs[:-1])
+        ma = np.where(lens > 0, ma, 0.0)
+        scale = ma / 127.0
+        scale_r = np.repeat(scale, lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.where(
+                scale_r > 0, np.floor(vals / scale_r + 0.5), 0.0
+            ).astype(np.int64)
+        dim = np.concatenate([np.arange(1, l + 1) for l in lens]) if n else np.array([], np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, lens)),
+                "dim": pa.array(dim.astype(np.int64)),
+                "code": pa.array(code),
+                "scale": pa.array(np.where(np.repeat(lens, lens) > 0, scale_r, 0.0)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quantize_embeddings_sql(embeds_sql: str) -> str:
+    """Oracle: list_max(|x|), the same scale and floor(x/scale + 0.5)."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM ({embeds_sql})
+        ),
+        m AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM e
+        ),
+        u AS (
+            SELECT vec_id, scale, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS dim
+            FROM m
+        )
+        SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+               CASE WHEN scale > 0 THEN CAST(floor(x / scale + 0.5) AS BIGINT)
+                    ELSE 0 END AS code,
+               CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale
+        FROM u"""

@@ -92,6 +92,7 @@ def _compare(name, e, con):
         "lm_score",
         "decontaminate",
         "gopher_quality",
+        "quantize_embed",
     ],
 )
 def test_query_matches_oracle(contract, name):

@@ -1,0 +1,53 @@
+"""int8 embedding quantization: bounds, reconstruction error, SQL replay."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from kaza_lcms_ray.stages import ann
+
+
+def test_quantize_embeddings(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 16).astype(np.float32)
+    vecs[7] = 0.0  # all-zero vector edge case
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        ann.quantize_embeddings(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 50 * 16
+    assert out["code"].abs().max() <= 127
+    z = out[out["vec_id"] == 7]
+    assert (z["code"] == 0).all() and (z["scale"] == 0.0).all()
+
+    # reconstruction error bounded by scale/2 per element
+    nz = out[out["vec_id"] != 7]
+    recon = nz["code"].to_numpy() * nz["scale"].to_numpy()
+    orig = np.delete(vecs, 7, axis=0).astype(np.float64).ravel()
+    assert np.abs(recon - orig).max() <= nz["scale"].max() / 2 + 1e-12
+
+    con = duckdb.connect()
+    con.register("emb_t", tbl)
+    want = (
+        con.execute(
+            ann.quantize_embeddings_sql("SELECT vec_id, embedding FROM emb_t")
+        )
+        .df()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    for c in ("vec_id", "dim", "code"):
+        np.testing.assert_array_equal(
+            out[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
+        )
+    np.testing.assert_array_equal(out["scale"].to_numpy(), want["scale"].to_numpy())
