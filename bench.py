@@ -183,6 +183,23 @@ def run_bench() -> dict:
             ).count(),
         )
 
+    # LLM-pipeline ops at corpus scale: the synth documents' TEXT spans
+    # (~1 per doc) are the 3M-row corpus these operators would stream at
+    # 100 TB; doc_id is a string here — the packing key path hashes it
+    from kaza_lcms_ray.stages import packing
+
+    def text_corpus():
+        return spans.text_obs(storage.read_documents(f"{root}/documents"))
+
+    timed(
+        "pack_corpus",
+        lambda: packing.pack_sequences(text_corpus(), budget=2048).count(),
+    )
+    timed("lm_score_corpus", lambda: text.lm_score(text_corpus()).count())
+    timed(
+        "gopher_corpus", lambda: text.gopher_quality(text_corpus()).count()
+    )
+
     ray.shutdown()
     return {
         "metric": "flagship docs/sec (spatial-join + tile assignment)",

@@ -37,8 +37,17 @@ import pyarrow as pa
 
 import ray
 
-from ..state.hashing import DEFAULT_SEED, hash_key
+from ..state.hashing import DEFAULT_SEED, fnv1a_arr, hash_key
 from .text import token_stats_batch
+
+
+def _id_u64(col) -> np.ndarray:
+    """uint64 key per id: integers pass through, strings hash via the
+    vectorized FNV-1a (same convention as sampling._row_key, so the SQL
+    mirror for integer ids stays CAST(doc_id AS HUGEINT))."""
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return fnv1a_arr(col)
 
 N_PACK_BUCKETS = 4096  # top-12-bit key buckets; driver scan is <= this
 _BUCKET_SHIFT = np.uint64(52)
@@ -53,8 +62,7 @@ def _keyed_counts(docs, seed: int, text_col: str):
 
     def fn(t: pa.Table) -> pa.Table:
         t = token_stats_batch(t, text_col)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        key = hash_key(seed, PACK_TAG, ids)
+        key = hash_key(seed, PACK_TAG, _id_u64(t.column("doc_id")))
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -190,8 +198,7 @@ def mix_sources(
 
     def keep(t: pa.Table) -> pa.Table:
         th = ray.get(thr_ref)
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (hash_key(seed, MIX_TAG, ids) >> np.uint64(11)).astype(np.int64)
+        h = (hash_key(seed, MIX_TAG, _id_u64(t.column("doc_id"))) >> np.uint64(11)).astype(np.int64)
         lim = (
             pd.Series(t.column(source_col).to_pandas())
             .map(th)

@@ -95,6 +95,38 @@ def geo_obs(documents, batch_size: int | None = None):
     )
 
 
+def text_obs_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans) batch → one row per TEXT span (doc_id, span_idx,
+    text) — the corpus view the text/packing operators consume.  Same
+    flatten as parse_geo_batch; the spans column itself is untouched."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    span_idx = np.arange(offsets[-1] - offsets[0], dtype=np.int64) - np.repeat(
+        offsets[:-1] - offsets[0], lengths
+    )
+    flat = spans.flatten()
+    is_text = pc.equal(flat.field("kind"), "text").to_numpy(zero_copy_only=False)
+    ti = np.nonzero(is_text)[0]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(pa.array(doc_idx[ti])),
+            "span_idx": pa.array(span_idx[ti].astype(np.int32)),
+            "text": flat.field("text").take(pa.array(ti)),
+        }
+    )
+
+
+def text_obs(documents, batch_size: int | None = None):
+    """Dataset[documents] → Dataset[text spans] (stateless map_batches)."""
+    return documents.map_batches(
+        text_obs_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 def doc_profile_batch(batch: pa.Table) -> pa.Table:
     """Per-document span-kind profile: (doc_id, n_geo, n_text, n_media,
     text_chars).  The interleaved-payload inventory — entirely row-local
