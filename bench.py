@@ -189,7 +189,22 @@ def run_bench() -> dict:
     from kaza_lcms_ray.stages import packing
 
     def text_corpus():
-        return spans.text_obs(storage.read_documents(f"{root}/documents"))
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def span_ids(t: pa.Table) -> pa.Table:
+            # each text span is its own corpus item: the per-doc operators
+            # (lm_score, packing) key on doc_id, which repeats across spans
+            uid = pc.binary_join_element_wise(
+                t.column("doc_id").cast(pa.string()),
+                t.column("span_idx").cast(pa.string()),
+                "#",
+            )
+            return pa.table({"doc_id": uid, "text": t.column("text")})
+
+        return spans.text_obs(storage.read_documents(f"{root}/documents")).map_batches(
+            span_ids, batch_format="pyarrow"
+        )
 
     timed(
         "pack_corpus",

