@@ -392,6 +392,21 @@ def q_token_stats(sf_dir: str):
     return _i64(text.token_stats(docs), ["doc_id", "n_chars_q", "n_tokens"])
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (GPT-2 pre-tokenizer regex, lookahead-free):
+    total pre-tokens + letter/digit-run counts per document; identical RE2
+    patterns through Arrow and DuckDB make the counts equal by
+    construction."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        text.bpe_token_stats(docs), ["doc_id", "n_bpe", "n_alpha_runs", "n_num_runs"]
+    )
+
+
 def q_lm_score(sf_dir: str):
     """Unigram-LM perplexity-proxy quality score per document (the
     CCNet/Gopher-style filter): per-term log-probs quantized to int64 so
@@ -1481,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "tfidf": q_tfidf,
         "lm_score": q_lm_score,
+        "bpe_tokens": q_bpe_tokens,
         "decontaminate": q_decontaminate,
         "gopher_quality": q_gopher_quality,
         "quantize_embed": q_quantize_embed,
@@ -1735,6 +1751,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "decontaminate": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).decontaminate_sql("SELECT doc_id, text FROM documents"),
+        "bpe_tokens": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).bpe_token_stats_sql("SELECT doc_id, text FROM documents"),
         "gopher_quality": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).gopher_quality_sql("SELECT doc_id, text FROM documents"),

@@ -255,6 +255,51 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
     return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+# GPT-2-style pre-tokenizer pattern (public; lookahead-free so it runs on
+# RE2 — the SAME regex engine inside both Arrow and DuckDB, so counts are
+# identical by construction): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, whitespace runs.
+BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+|\s+"
+BPE_ALPHA = r" ?[a-zA-Z]+"
+BPE_NUM = r" ?[0-9]+"
+
+
+def bpe_token_stats(ds, text_col: str = "text"):
+    """BPE-ish token counting (the GPT-2 pre-tokenizer regex): per document
+    the total pre-token count plus letter-run and digit-run counts — the
+    'tokens before merges' statistic a tokenizer-budget planner needs.
+    One Arrow regex kernel per column, zero shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe": pc.cast(pc.count_substring_regex(text, BPE_PAT), pa.int64()),
+                "n_alpha_runs": pc.cast(
+                    pc.count_substring_regex(text, BPE_ALPHA), pa.int64()
+                ),
+                "n_num_runs": pc.cast(
+                    pc.count_substring_regex(text, BPE_NUM), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bpe_token_stats_sql(docs_sql: str) -> str:
+    """Oracle: the identical RE2 patterns through DuckDB's regexp engine."""
+    def cnt(pat, name):
+        esc = pat.replace("'", "''")
+        return f"CAST(len(regexp_extract_all(text, '{esc}')) AS BIGINT) AS {name}"
+
+    return f"""
+        SELECT doc_id, {cnt(BPE_PAT, "n_bpe")},
+               {cnt(BPE_ALPHA, "n_alpha_runs")}, {cnt(BPE_NUM, "n_num_runs")}
+        FROM ({docs_sql})"""
+
+
 LM_Q = 1073741824.0  # 2^30 — log-prob quantization scale
 
 

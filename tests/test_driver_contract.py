@@ -93,6 +93,7 @@ def _compare(name, e, con):
         "decontaminate",
         "gopher_quality",
         "quantize_embed",
+        "bpe_tokens",
     ],
 )
 def test_query_matches_oracle(contract, name):

@@ -100,3 +100,40 @@ def test_decontaminate_hand_check_and_sql(ray_session):
     np.testing.assert_array_equal(
         out["n_hits"].to_numpy(np.int64), out2["n_hits"].to_numpy(np.int64)
     )
+
+
+def test_bpe_token_stats(ray_session):
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["I'll pay $12.50, it's fine!", "abc 123 def"]),
+        }
+    )
+    out = (
+        text.bpe_token_stats(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "I" "'ll" " pay" " $" "12" "." "50" "," " it" "'s" " fine" "!" = 12
+    assert out["n_bpe"].iloc[0] == 12
+    # the standalone alpha pattern also matches inside contractions:
+    # I, ll, pay, it, s, fine = 6
+    assert out["n_alpha_runs"].iloc[0] == 6
+    assert out["n_num_runs"].iloc[0] == 2    # 12, 50
+    assert out["n_bpe"].iloc[1] == 3         # "abc" " 123" " def"
+
+    con = duckdb.connect()
+    con.register("docs_t", tbl)
+    want = (
+        con.execute(text.bpe_token_stats_sql("SELECT doc_id, text FROM docs_t"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_bpe", "n_alpha_runs", "n_num_runs"):
+        np.testing.assert_array_equal(
+            out[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
+        )
