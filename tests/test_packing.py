@@ -103,3 +103,41 @@ def test_mix_sources_proportions_and_sql(ray_session):
         rd.from_arrow(tbl).repartition(11), weight, alpha=0.5
     ).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_pack_roundtrip_and_ordered_consumption(ray_session, tmp_path):
+    """Packed layout -> resumable partitioned write -> global sort ->
+    streaming consumption in training order (gapless offsets)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray import lineage
+
+    tbl = _docs_table(n=300)
+    packed = packing.pack_sequences(rd.from_arrow(tbl), budget=BUDGET)
+    out = str(tmp_path / "packs")
+    n_written, n_skipped = lineage.resumable_write(
+        packed, out, key_col="pack_id", num_parts=8, config_hash="packv1"
+    )
+    assert n_written > 0 and n_skipped == 0
+
+    # rerun skips every finished partition
+    packed2 = packing.pack_sequences(rd.from_arrow(tbl), budget=BUDGET)
+    n_written2, n_skipped2 = lineage.resumable_write(
+        packed2, out, key_col="pack_id", num_parts=8, config_hash="packv1"
+    )
+    assert n_written2 == 0 and n_skipped2 == n_written
+
+    # training-order consumption: global sort + streamed batches
+    ds = lineage.read_output(out).sort(["pack_id", "pack_pos"])
+    offs, toks = [], []
+    for b in ds.iter_batches(batch_format="pandas", batch_size=64):
+        offs.extend((b["pack_id"] * BUDGET + b["pack_pos"]).tolist())
+        toks.extend(b["n_tokens"].tolist())
+    # offsets non-decreasing and gapless over nonzero docs
+    import numpy as np
+
+    offs, toks = np.array(offs), np.array(toks)
+    nz = toks > 0
+    assert (np.diff(offs) >= 0).all()
+    ends = offs[nz] + toks[nz]
+    assert (offs[nz][1:] == ends[:-1]).all()
