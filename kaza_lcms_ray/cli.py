@@ -119,6 +119,37 @@ def cmd_bench_queries(args) -> int:
     return 0
 
 
+def cmd_pretrain(args) -> int:
+    """The pretraining data-prep funnel as a deployable job: curation →
+    weighted mixing → sequence packing → resumable partitioned output
+    (reruns skip finished pack partitions)."""
+    import ray.data as rd
+
+    from .lineage import resumable_write
+    from .pipelines import curation
+
+    _ensure_ray()
+    sf_dir = f"/root/testdata/sf{args.sf}"
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def weight(s: str) -> float:
+        return float(int(s[3:]) % 4 + 1)
+
+    packed = curation.pretrain_build(docs, weight, seed=args.seed)
+    if args.dry_run:
+        print("DRY RUN — logical plan:")
+        print(packed)
+        return 0
+    written, skipped = resumable_write(
+        packed, args.out, key_col="pack_id", num_parts=args.num_parts,
+        config_hash=f"pretrain-seed{args.seed}",
+    )
+    print(f"wrote {written} partitions ({skipped} already complete) -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kaza_lcms_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -127,6 +158,7 @@ def main(argv=None) -> int:
         ("landcover", cmd_landcover),
         ("sample-pts", cmd_sample_pts),
         ("bench-queries", cmd_bench_queries),
+        ("pretrain", cmd_pretrain),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--sf", type=float, default=0.001)
