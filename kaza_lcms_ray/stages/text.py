@@ -333,7 +333,20 @@ def term_counts(tf_ds):
     )
 
 
-def lm_score(ds, text_col: str = "text"):
+LM_VOCAB_BROADCAST_LIMIT = 5_000_000  # terms; above this, hash-join path
+
+
+def _lm_quantize(ct: np.ndarray, total: float) -> np.ndarray:
+    """floor(ln(ct/total)·2³⁰ + 0.5) as int64 — shared by both paths."""
+    import math
+
+    log_u = np.frompyfunc(math.log, 1, 1)
+    return np.floor(
+        log_u(ct.astype(np.float64) / total).astype(np.float64) * LM_Q + 0.5
+    ).astype(np.int64)
+
+
+def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_LIMIT):
     """Unigram-LM quality score per document (the CCNet/Gopher-style
     perplexity-proxy filter): avg_nll = −(Σ_t tf·ln p(t)) / n_tokens with
     p(t) the corpus unigram probability.
@@ -341,13 +354,18 @@ def lm_score(ds, text_col: str = "text"):
     Per-term log-probs are QUANTIZED to int64 (floor(ln(p)·2³⁰ + 0.5)) so
     the per-document sum is an integer — deterministic under any
     accumulation order, and bit-replayable by the SQL oracle (a float SUM
-    would be order-dependent on both sides).  Same two-pass shape as
-    tfidf_topk: vocab-sized LM table broadcast, one stateless scoring pass.
+    would be order-dependent on both sides).
+
+    Two execution paths with identical results (the quantization makes the
+    per-doc sums order-independent, so a shuffle can't change them):
+    * vocab ≤ ``vocab_limit``: broadcast the LM table once (``ray.put``),
+      one stateless scoring pass over in-block documents;
+    * larger vocabularies: hash-join tf⋈lm on term (Dataset.join), then a
+      hash-bucketed integer reduce per doc_id — nothing is broadcast and
+      nothing driver-side grows with the vocabulary.
 
     Returns Dataset[doc_id, n_toks, logprob_q, avg_nll] (docs with zero
     tokens are absent, as in the oracle)."""
-    import math
-
     import pandas as pd
 
     import ray
@@ -360,32 +378,95 @@ def lm_score(ds, text_col: str = "text"):
     tf_ds = ds.map_batches(
         lambda t: _doc_term_tf(t, text_col), batch_format="pyarrow"
     )
-    tc = term_counts(tf_ds).to_pandas()
-    total = float(int(tc["ct"].sum()))
-    log_u = np.frompyfunc(math.log, 1, 1)
-    lpq = np.floor(
-        log_u(tc["ct"].to_numpy(np.int64).astype(np.float64) / total).astype(
-            np.float64
-        )
-        * LM_Q
-        + 0.5
-    ).astype(np.int64)
-    lm_ref = ray.put(pd.Series(lpq, index=tc["term"]))
+    # vocab-sized (NOT corpus-sized) — safe to pin; consumed 2-3 times
+    tc_ds = term_counts(tf_ds).materialize()
 
-    def score(t: pa.Table) -> pa.Table:
-        lm = ray.get(lm_ref)
-        g = t.to_pandas()
-        g["w"] = g["tf"].to_numpy(np.int64) * g["term"].map(lm).to_numpy(np.int64)
-        agg = g.groupby("doc_id", sort=False, as_index=False).agg(
-            n_toks=("tf", "sum"), logprob_q=("w", "sum")
-        )
+    def finalize(agg: pd.DataFrame) -> pa.Table:
         lq = agg["logprob_q"].to_numpy(np.int64).astype(np.float64)
         n = agg["n_toks"].to_numpy(np.int64).astype(np.float64)
         agg["avg_nll"] = -(lq / LM_Q) / n
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    # whole blocks: a document's tf rows never split across batches
-    return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+    n_vocab = tc_ds.count()
+    if n_vocab <= vocab_limit:
+        tc = tc_ds.to_pandas()
+        total = float(int(tc["ct"].sum()))
+        lm_ref = ray.put(
+            pd.Series(_lm_quantize(tc["ct"].to_numpy(np.int64), total), index=tc["term"])
+        )
+
+        def score(t: pa.Table) -> pa.Table:
+            lm = ray.get(lm_ref)
+            g = t.to_pandas()
+            g["w"] = g["tf"].to_numpy(np.int64) * g["term"].map(lm).to_numpy(np.int64)
+            agg = g.groupby("doc_id", sort=False, as_index=False).agg(
+                n_toks=("tf", "sum"), logprob_q=("w", "sum")
+            )
+            return finalize(agg)
+
+        # whole blocks: a document's tf rows never split across batches
+        return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+    # ---- large-vocabulary path: join + bucketed integer reduce ----
+    from ..runtime import cluster_cpus, join_partitions
+    from ..state.hashing import fnv1a_arr, hash_key
+
+    total = float(int(tc_ds.sum("ct")))
+
+    def to_lp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "lpq": pa.array(
+                    _lm_quantize(
+                        t.column("ct").to_numpy(zero_copy_only=False).astype(np.int64),
+                        total,
+                    )
+                ),
+            }
+        )
+
+    lp_ds = tc_ds.map_batches(to_lp, batch_format="pyarrow")
+    joined = tf_ds.join(
+        lp_ds, join_type="inner", num_partitions=join_partitions(), on=("term",)
+    )
+    nb = max(8, cluster_cpus() * 2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        lpq = t.column("lpq").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {"doc_id": t.column("doc_id"), "tf": pa.array(tf),
+                 "w": pa.array(tf * lpq)}
+            )
+            .group_by(["doc_id"])
+            .aggregate([("tf", "sum"), ("w", "sum")])
+            .rename_columns(["doc_id", "n_toks", "logprob_q"])
+        )
+        bucket = (hash_key(_lm_doc_key(g.column("doc_id"))) % np.uint64(nb)).astype(
+            np.int64
+        )
+        return g.append_column("bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("doc_id", as_index=False)[["n_toks", "logprob_q"]].sum()
+        return finalize(agg)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(["doc_id", "n_toks", "logprob_q", "avg_nll"])
+    )
+
+
+def _lm_doc_key(col) -> np.ndarray:
+    from ..state.hashing import fnv1a_arr
+
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return fnv1a_arr(col)
 
 
 def lm_score_sql(docs_sql: str) -> str:

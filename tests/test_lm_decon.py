@@ -137,3 +137,32 @@ def test_bpe_token_stats(ray_session):
         np.testing.assert_array_equal(
             out[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
         )
+
+
+def test_lm_score_join_path_matches_broadcast(ray_session):
+    """The large-vocabulary hash-join path must produce the identical
+    result as the broadcast path (quantized int sums are shuffle-proof)."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(150, dtype=np.int64)),
+            "text": pa.array(
+                [f"w{i % 7} w{(i * 3) % 11} common word" for i in range(150)]
+            ),
+        }
+    )
+    a = (
+        text.lm_score(rd.from_arrow(tbl))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        text.lm_score(rd.from_arrow(tbl), vocab_limit=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for c in ("doc_id", "n_toks", "logprob_q"):
+        np.testing.assert_array_equal(
+            a[c].to_numpy(np.int64), b[c].to_numpy(np.int64), err_msg=c
+        )
+    np.testing.assert_array_equal(a["avg_nll"].to_numpy(), b["avg_nll"].to_numpy())
