@@ -204,15 +204,22 @@ def document_frequencies(tf_ds):
     )
 
 
-def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
+TFIDF_VOCAB_BROADCAST_LIMIT = 5_000_000  # terms; above this, hash-join path
+
+
+def tfidf_topk(
+    ds, k: int = 5, text_col: str = "text",
+    vocab_limit: int = TFIDF_VOCAB_BROADCAST_LIMIT,
+):
     """Per-document top-k TF-IDF terms: score = tf · ln(N / df), ranked
     (score DESC, term ASC).
 
-    Two passes over the skinny (doc, term, tf) stream: the DF reduce
-    (vocab-sized output — broadcast via ``ray.put``, the small-side-lookup
-    pattern; at vocabularies too large for one object, swap the broadcast
-    for a hash join on term, same downstream code), then one stateless
-    scoring pass.  ln() runs through libm on both sides, so scores are
+    Two execution paths with identical results: vocab ≤ ``vocab_limit``
+    broadcasts the DF table once (small-side lookup) and takes per-doc
+    top-k in-block; larger vocabularies hash-join tf⋈df on term and take
+    top-k through the decomposable grouped-top-k (joins.top_k_per_group —
+    the selection is a pure function of (score, term), so a shuffle can't
+    change it).  ln() runs through libm on both sides, so scores are
     bit-identical to the SQL oracle."""
     import math
 
@@ -226,20 +233,10 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
     tf_ds = ds.map_batches(
         lambda t: _doc_term_tf(t, text_col), batch_format="pyarrow"
     )
-    df_tbl = document_frequencies(tf_ds).to_pandas()
-    df_ref = ray.put(pd.Series(
-        df_tbl["df"].to_numpy(np.float64), index=df_tbl["term"]
-    ))
+    df_ds = document_frequencies(tf_ds).materialize()  # vocab-sized
 
-    def score(t: pa.Table) -> pa.Table:
-        # frompyfunc built inside the task (ufuncs don't pickle); math.log
-        # is libm — bit-identical to DuckDB ln()
-        log_u = np.frompyfunc(math.log, 1, 1)
-        dfs = ray.get(df_ref)
+    def rank_block(t: pa.Table) -> pa.Table:
         g = t.to_pandas()
-        dfv = g["term"].map(dfs).to_numpy(np.float64)
-        tfv = g["tf"].to_numpy(np.int64)
-        g["score"] = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
         g = g.sort_values(
             ["doc_id", "score", "term"],
             ascending=[True, False, True],
@@ -251,10 +248,59 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text"):
             g[["doc_id", "rank", "term", "tf", "score"]], preserve_index=False
         )
 
-    # batch_size=None → whole blocks: a document's tf rows are produced in
-    # one _doc_term_tf output block, and re-slicing could split a doc
-    # across batches (two partial top-ks)
-    return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+    if df_ds.count() <= vocab_limit:
+        df_tbl = df_ds.to_pandas()
+        df_ref = ray.put(pd.Series(
+            df_tbl["df"].to_numpy(np.float64), index=df_tbl["term"]
+        ))
+
+        def score(t: pa.Table) -> pa.Table:
+            # frompyfunc built inside the task (ufuncs don't pickle);
+            # math.log is libm — bit-identical to DuckDB ln()
+            log_u = np.frompyfunc(math.log, 1, 1)
+            dfs = ray.get(df_ref)
+            g = t.to_pandas()
+            dfv = g["term"].map(dfs).to_numpy(np.float64)
+            tfv = g["tf"].to_numpy(np.int64)
+            g["score"] = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        # batch_size=None → whole blocks: a document's tf rows are produced
+        # in one _doc_term_tf output block, and re-slicing could split a
+        # doc across batches (two partial top-ks)
+        return tf_ds.map_batches(
+            score, batch_format="pyarrow", batch_size=None
+        ).map_batches(rank_block, batch_format="pyarrow", batch_size=None)
+
+    # ---- large-vocabulary path: join + decomposable grouped top-k ----
+    from ..runtime import join_partitions
+    from .joins import top_k_per_group
+
+    joined = tf_ds.join(
+        df_ds, join_type="inner", num_partitions=join_partitions(), on=("term",)
+    )
+
+    def score_row(t: pa.Table) -> pa.Table:
+        log_u = np.frompyfunc(math.log, 1, 1)
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "term": t.column("term"),
+                "tf": pa.array(tfv),
+                "score": pa.array(s),
+            }
+        )
+
+    top = top_k_per_group(
+        joined.map_batches(score_row, batch_format="pyarrow"),
+        ["doc_id"], "score", k, tiebreak_cols=["term"], descending=True,
+    )
+    # top_k_per_group's combine emits whole groups per block → ranks are
+    # assignable in-block
+    return top.map_batches(rank_block, batch_format="pyarrow", batch_size=None)
 
 
 # GPT-2-style pre-tokenizer pattern (public; lookahead-free so it runs on

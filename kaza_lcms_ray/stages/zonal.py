@@ -251,9 +251,16 @@ def _add_bucket(ds, keys: list[str], num_buckets: int):
     from ..state.hashing import hash_key
 
     def fn(t: pa.Table) -> pa.Table:
+        from ..state.hashing import fnv1a_arr
+
         key = np.zeros(len(t), dtype=np.uint64)
         for k in keys:
-            key = hash_key(key, t.column(k).to_numpy(zero_copy_only=False).astype(np.int64))
+            col = t.column(k)
+            if pa.types.is_integer(col.type):
+                part = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:  # string group keys hash via the vectorized FNV-1a
+                part = fnv1a_arr(col)
+            key = hash_key(key, part)
         return t.append_column("bucket", pa.array((key % np.uint64(num_buckets)).astype(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -66,3 +66,31 @@ def test_tfidf_hand_check_and_sql(ray_session):
     )
     np.testing.assert_array_equal(out["term"].to_numpy(), out2["term"].to_numpy())
     np.testing.assert_array_equal(out["score"].to_numpy(), out2["score"].to_numpy())
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    """Large-vocabulary hash-join + grouped-top-k path must equal the
+    broadcast path exactly (the selection is a pure function of
+    (score, term))."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(
+                [f"w{i % 7} w{(i * 3) % 11} common word x{i % 13}" for i in range(120)]
+            ),
+        }
+    )
+    a = (
+        text.tfidf_topk(rd.from_arrow(tbl), k=3)
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        text.tfidf_topk(rd.from_arrow(tbl), k=3, vocab_limit=1)
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    for c in ("doc_id", "rank", "term", "tf"):
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
+    np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
