@@ -92,10 +92,14 @@ def pretrain_build(
         docs_full.select_columns(["doc_id", "text"]), seed=seed
     ).materialize()
     np1 = join_partitions(rows_hint=kept1.count())
-    mix_in = (
-        docs_full.select_columns(["doc_id", "source"])
-        .join(kept1, join_type="inner", num_partitions=np1, on=("doc_id",))
-        .materialize()
+    # NOT materialized: mix_sources makes two passes (counts, filter) and
+    # each re-executes this join — at 10^12 docs the curated (id, source)
+    # table is tens of TB, and re-running a hash join twice streams while
+    # pinning it in the object store does not.  A checkpointed deployment
+    # would persist this stage via lineage.resumable_write instead (the
+    # pretrain CLI persists the final layout that way).
+    mix_in = docs_full.select_columns(["doc_id", "source"]).join(
+        kept1, join_type="inner", num_partitions=np1, on=("doc_id",)
     )
     mixed = packing.mix_sources(mix_in, mix_weight, alpha=alpha, seed=seed).materialize()
     np2 = join_partitions(rows_hint=mixed.count())

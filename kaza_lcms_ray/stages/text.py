@@ -592,9 +592,13 @@ def decontaminate(ds, text_col: str = "text", n: int = DECON_N, eval_mod: int = 
 
     import ray
 
+    # NOT materialized: the gram table is ~n× the corpus (every word
+    # appears in n grams); the eval pass and the scoring pass each stream
+    # their own tokenize+gram recompute instead of pinning 5× the corpus
+    # in the object store (same trade as lm_score/tfidf)
     grams = ds.map_batches(
         lambda t: _doc_ngrams(t, text_col, n), batch_format="pyarrow"
-    ).materialize()
+    )
 
     def eval_part(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
