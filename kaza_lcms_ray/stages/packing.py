@@ -85,7 +85,11 @@ def pack_sequences(docs, budget: int = 512, seed: int = DEFAULT_SEED, text_col: 
     count as touching their start window)."""
     from . import zonal
 
-    skinny = _keyed_counts(docs, seed, text_col).materialize()
+    # NOT materialized: the skinny table is corpus-sized (one row per
+    # document); the two consumers (bucket totals, final per-bucket pass)
+    # each stream their own tokenize+hash recompute instead of pinning it
+    # in the object store (same trade as lm_score/tfidf/decontaminate)
+    skinny = _keyed_counts(docs, seed, text_col)
 
     # level-1 reduce: per-bucket token totals (<= N_PACK_BUCKETS rows)
     partial = skinny.map_batches(
