@@ -85,11 +85,14 @@ def pack_sequences(docs, budget: int = 512, seed: int = DEFAULT_SEED, text_col: 
     count as touching their start window)."""
     from . import zonal
 
-    # NOT materialized: the skinny table is corpus-sized (one row per
-    # document); the two consumers (bucket totals, final per-bucket pass)
-    # each stream their own tokenize+hash recompute instead of pinning it
-    # in the object store (same trade as lm_score/tfidf/decontaminate)
-    skinny = _keyed_counts(docs, seed, text_col)
+    # Materialized DELIBERATELY (measured both ways at 6.7M spans:
+    # pinned 8.3 s vs recompute-per-consumer 21 s — unlike lm/tfidf the
+    # recompute here re-reads and re-parses the full interleaved table).
+    # The pinned table is the SKINNY projection (~50 B/row, no text); at
+    # corpus scales beyond memory Ray's object store spills these blocks
+    # to disk, which is the intended behavior — a disk-backed checkpoint
+    # between the two passes, not a driver-side structure.
+    skinny = _keyed_counts(docs, seed, text_col).materialize()
 
     # level-1 reduce: per-bucket token totals (<= N_PACK_BUCKETS rows)
     partial = skinny.map_batches(
