@@ -592,28 +592,31 @@ def decontaminate(ds, text_col: str = "text", n: int = DECON_N, eval_mod: int = 
 
     import ray
 
-    # NOT materialized: the gram table is ~n× the corpus (every word
-    # appears in n grams); the eval pass and the scoring pass each stream
-    # their own tokenize+gram recompute instead of pinning 5× the corpus
-    # in the object store (same trade as lm_score/tfidf)
-    grams = ds.map_batches(
-        lambda t: _doc_ngrams(t, text_col, n), batch_format="pyarrow"
-    )
-
+    # The gram table is ~n× the corpus, so it is neither pinned nor built
+    # twice: the eval reduce filters to the 1/eval_mod benchmark slice
+    # BEFORE computing grams (predicate pushdown — gram work for the eval
+    # set is 1/eval_mod of a full pass), and the scoring pass computes the
+    # training grams exactly once, streaming.
     def eval_part(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         sel = t.filter(pa.array(ids % eval_mod == 0))
-        u = pc.unique(sel.column("gram"))
+        u = pc.unique(
+            _doc_ngrams(sel, text_col, n).column("gram").combine_chunks()
+        )
         return pa.table({"gram": u})
 
     eval_grams = pc.unique(
         pa.concat_tables(
-            [pa.table({"gram": b["gram"]}) for b in
-             grams.map_batches(eval_part, batch_format="pyarrow").iter_batches(
+            [b for b in
+             ds.map_batches(eval_part, batch_format="pyarrow").iter_batches(
                  batch_format="pyarrow", batch_size=None)]
         ).column("gram").combine_chunks()
     )
     eval_ref = ray.put(eval_grams)
+
+    grams = ds.map_batches(
+        lambda t: _doc_ngrams(t, text_col, n), batch_format="pyarrow"
+    )
 
     def score(t: pa.Table) -> pa.Table:
         ev = ray.get(eval_ref)
