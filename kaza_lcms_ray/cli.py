@@ -137,11 +137,18 @@ def cmd_pretrain(args) -> int:
     def weight(s: str) -> float:
         return float(int(s[3:]) % 4 + 1)
 
-    packed = curation.pretrain_build(docs, weight, seed=args.seed)
     if args.dry_run:
-        print("DRY RUN — logical plan:")
-        print(packed)
+        # pretrain_build eagerly runs its reduce stages (survivor counts,
+        # bucket totals) at build time, so a true plan-only dry run prints
+        # the funnel description instead of constructing the pipeline
+        print("DRY RUN — pretrain funnel stages (nothing executed):")
+        print("  1. curate_corpus: exact dedup -> lang/quality filter -> subsample")
+        print("  2. hash join survivors -> mix_sources (weighted rates)")
+        print("  3. hash join survivors -> pack_sequences (512-token windows)")
+        print(f"  4. resumable_write({args.out}, key=pack_id, parts={args.num_parts})")
+        print(docs)
         return 0
+    packed = curation.pretrain_build(docs, weight, seed=args.seed)
     written, skipped = resumable_write(
         packed, args.out, key_col="pack_id", num_parts=args.num_parts,
         config_hash=f"pretrain-seed{args.seed}",

@@ -466,8 +466,13 @@ def quantize_embeddings(ds, embed_col: str = "embedding", id_col: str = "vec_id"
         n = len(arr)
         lens = offs[1:] - offs[:-1]
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        ma = np.maximum.reduceat(np.abs(vals), offs[:-1])
-        ma = np.where(lens > 0, ma, 0.0)
+        # reduceat cannot take a start == len(vals) (trailing empty list);
+        # dropping empty segments' starts is exact — they contribute no
+        # elements, so the remaining segments keep their boundaries
+        nz = lens > 0
+        ma = np.zeros(n, dtype=np.float64)
+        if nz.any() and len(vals):
+            ma[nz] = np.maximum.reduceat(np.abs(vals), offs[:-1][nz])
         scale = ma / 127.0
         scale_r = np.repeat(scale, lens)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -480,7 +485,7 @@ def quantize_embeddings(ds, embed_col: str = "embedding", id_col: str = "vec_id"
                 id_col: pa.array(np.repeat(ids, lens)),
                 "dim": pa.array(dim.astype(np.int64)),
                 "code": pa.array(code),
-                "scale": pa.array(np.where(np.repeat(lens, lens) > 0, scale_r, 0.0)),
+                "scale": pa.array(scale_r),
             }
         )
 

@@ -81,6 +81,7 @@ def top_k_per_group(
     k: int,
     tiebreak_cols: list[str],
     descending: bool = True,
+    rank_col: str | None = None,
 ):
     """Grouped top-k (the row_number()-per-partition primitive) as a
     decomposable two-phase plan: per-block top-k per group (≤ k rows per
@@ -88,7 +89,13 @@ def top_k_per_group(
     identical kernel per bucket — top-k of per-block top-ks is exact, and
     the (value, tiebreaks) sort makes ties deterministic at any
     parallelism.  No global sort; the shuffle moves ≤ k·groups·blocks
-    pre-pruned rows."""
+    pre-pruned rows.
+
+    ``rank_col``: optionally append the per-group 1-based rank.  Ranks are
+    assigned INSIDE the per-bucket map_groups (whole groups guaranteed by
+    the shuffle), never in a later per-block pass — Ray's dynamic block
+    splitting may cut any operator's *output* mid-group, so rank
+    assignment must live where grouping is structural."""
     from .zonal import _add_bucket, _default_buckets
 
     by = group_cols + [value_col] + tiebreak_cols
@@ -98,6 +105,12 @@ def top_k_per_group(
         df = df.sort_values(by, ascending=asc, kind="mergesort")
         return df.groupby(group_cols, as_index=False, sort=False).head(k)
 
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = kernel(df)
+        if rank_col is not None:
+            df[rank_col] = df.groupby(group_cols, sort=False).cumcount() + 1
+        return df
+
     partial = ds.map_batches(
         lambda t: pa.Table.from_pandas(kernel(t.to_pandas()), preserve_index=False),
         batch_format="pyarrow",
@@ -105,7 +118,7 @@ def top_k_per_group(
     return (
         _add_bucket(partial, group_cols, _default_buckets())
         .groupby("bucket")
-        .map_groups(kernel, batch_format="pandas")
+        .map_groups(final, batch_format="pandas")
         .drop_columns(["bucket"])
     )
 

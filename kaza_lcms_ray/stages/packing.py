@@ -37,17 +37,8 @@ import pyarrow as pa
 
 import ray
 
-from ..state.hashing import DEFAULT_SEED, fnv1a_arr, hash_key
+from ..state.hashing import DEFAULT_SEED, hash_key, id_u64 as _id_u64
 from .text import token_stats_batch
-
-
-def _id_u64(col) -> np.ndarray:
-    """uint64 key per id: integers pass through, strings hash via the
-    vectorized FNV-1a (same convention as sampling._row_key, so the SQL
-    mirror for integer ids stays CAST(doc_id AS HUGEINT))."""
-    if pa.types.is_integer(col.type):
-        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
-    return fnv1a_arr(col)
 
 N_PACK_BUCKETS = 4096  # top-12-bit key buckets; driver scan is <= this
 _BUCKET_SHIFT = np.uint64(52)
@@ -174,7 +165,10 @@ def mix_sources(
     mixture approaches weights ``weight_of(source) -> float`` with total
     target ``alpha * len(docs)``.  Per-source acceptance rate
     r_s = min(1, total*alpha * w_s / (sum_w * n_s)); acceptance is the
-    splitmix64 threshold test on doc_id, reshard-invariant.
+    splitmix64 threshold test on doc_id, reshard-invariant.  Weights must
+    be integer-valued (relative weights — scale fractional recipes), which
+    makes sum_w exact under any accumulation order on both engine and
+    oracle sides.
 
     Returns Dataset[doc_id, source] of the kept documents."""
 
@@ -192,6 +186,16 @@ def mix_sources(
     )
     total = float(counts["sum(n_s)"].sum())
     w = {s: float(weight_of(s)) for s in counts[source_col]}
+    # weights must be integer-valued: float64 addition of integers below
+    # 2^53 is exact under ANY order, so engine-side sum_w and the oracle's
+    # SUM(w) agree bit-for-bit regardless of accumulation order.  (Weights
+    # are relative — scale fractional recipes to integers.)
+    bad = [s for s, v in w.items() if v != np.floor(v)]
+    if bad:
+        raise ValueError(
+            f"mix_sources weights must be integer-valued for the bit-exact "
+            f"oracle contract; got non-integers for {bad[:3]}"
+        )
     sum_w = float(sum(w.values()))
     thr = {
         s: np.int64(

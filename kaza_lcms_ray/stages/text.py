@@ -173,12 +173,11 @@ def _doc_term_tf(batch: pa.Table, text_col: str) -> pa.Table:
     )
 
 
-def document_frequencies(tf_ds):
-    """term -> number of documents containing it.  Each (doc, term) row is
-    globally unique (one row per document), so DF is a pure count per term:
-    per-batch partials, then a hash-bucketed combine keyed on the term's
-    FNV hash (bounded bucket sizes; exact string groupby inside the
-    bucket)."""
+def _bucketed_term_reduce(tf_ds, agg: tuple, out_col: str):
+    """Shared hash-bucketed reduce keyed on the term's FNV hash (bounded
+    bucket sizes; exact string groupby inside the bucket).  ``agg`` is the
+    Arrow (column, fn) pair — ("doc_id", "count") for document
+    frequencies, ("tf", "sum") for corpus term counts."""
     import pandas as pd
 
     from ..runtime import cluster_cpus
@@ -187,21 +186,28 @@ def document_frequencies(tf_ds):
     nb = max(8, cluster_cpus() * 2)
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["term"]).aggregate([("doc_id", "count")])
-        g = g.rename_columns(["term", "df"])
+        g = t.group_by(["term"]).aggregate([agg])
+        g = g.rename_columns(["term", out_col])
         th = fnv1a_arr(g.column("term"))
         bucket = (hash_key(th) % np.uint64(nb)).astype(np.int64)
         return g.append_column("bucket", pa.array(bucket))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("term", as_index=False)["df"].sum()
+        return g.groupby("term", as_index=False)[out_col].sum()
 
     return (
         tf_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(combine, batch_format="pandas")
-        .select_columns(["term", "df"])
+        .select_columns(["term", out_col])
     )
+
+
+def document_frequencies(tf_ds):
+    """term -> number of documents containing it.  Each (doc, term) row is
+    globally unique (one row per document), so DF is a pure count per
+    term."""
+    return _bucketed_term_reduce(tf_ds, ("doc_id", "count"), "df")
 
 
 TFIDF_VOCAB_BROADCAST_LIMIT = 5_000_000  # terms; above this, hash-join path
@@ -214,18 +220,21 @@ def tfidf_topk(
     """Per-document top-k TF-IDF terms: score = tf · ln(N / df), ranked
     (score DESC, term ASC).
 
-    Two execution paths with identical results: vocab ≤ ``vocab_limit``
-    broadcasts the DF table once (small-side lookup) and takes per-doc
-    top-k in-block; larger vocabularies hash-join tf⋈df on term and take
-    top-k through the decomposable grouped-top-k (joins.top_k_per_group —
-    the selection is a pure function of (score, term), so a shuffle can't
-    change it).  ln() runs through libm on both sides, so scores are
-    bit-identical to the SQL oracle."""
+    Scoring is a stateless per-row map (DF attached by broadcast lookup
+    below ``vocab_limit``, by hash join above it); the top-k + rank then
+    runs through the decomposable grouped top-k (joins.top_k_per_group),
+    which is correct even when Ray's dynamic block splitting cuts a
+    document's rows across blocks — per-block top-k is a valid partial and
+    ranks are assigned inside the whole-group combine.  ln() runs through
+    libm on both sides, so scores are bit-identical to the SQL oracle."""
     import math
 
     import pandas as pd
 
     import ray
+
+    from ..runtime import join_partitions
+    from .joins import top_k_per_group
 
     n_docs = float(ds.count())
     # see lm_score: tf streams twice rather than residing corpus-sized in
@@ -234,19 +243,6 @@ def tfidf_topk(
         lambda t: _doc_term_tf(t, text_col), batch_format="pyarrow"
     )
     df_ds = document_frequencies(tf_ds).materialize()  # vocab-sized
-
-    def rank_block(t: pa.Table) -> pa.Table:
-        g = t.to_pandas()
-        g = g.sort_values(
-            ["doc_id", "score", "term"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
-        g = g[g["rank"] <= k]
-        return pa.Table.from_pandas(
-            g[["doc_id", "rank", "term", "tf", "score"]], preserve_index=False
-        )
 
     if df_ds.count() <= vocab_limit:
         df_tbl = df_ds.to_pandas()
@@ -265,42 +261,35 @@ def tfidf_topk(
             g["score"] = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
             return pa.Table.from_pandas(g, preserve_index=False)
 
-        # batch_size=None → whole blocks: a document's tf rows are produced
-        # in one _doc_term_tf output block, and re-slicing could split a
-        # doc across batches (two partial top-ks)
-        return tf_ds.map_batches(
-            score, batch_format="pyarrow", batch_size=None
-        ).map_batches(rank_block, batch_format="pyarrow", batch_size=None)
-
-    # ---- large-vocabulary path: join + decomposable grouped top-k ----
-    from ..runtime import join_partitions
-    from .joins import top_k_per_group
-
-    joined = tf_ds.join(
-        df_ds, join_type="inner", num_partitions=join_partitions(), on=("term",)
-    )
-
-    def score_row(t: pa.Table) -> pa.Table:
-        log_u = np.frompyfunc(math.log, 1, 1)
-        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
-        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-        s = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "term": t.column("term"),
-                "tf": pa.array(tfv),
-                "score": pa.array(s),
-            }
+        scored = tf_ds.map_batches(score, batch_format="pyarrow")
+    else:
+        # large-vocabulary path: attach df by hash join instead
+        joined = tf_ds.join(
+            df_ds, join_type="inner", num_partitions=join_partitions(),
+            on=("term",),
         )
 
+        def score_row(t: pa.Table) -> pa.Table:
+            log_u = np.frompyfunc(math.log, 1, 1)
+            dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+            tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            sc = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "term": t.column("term"),
+                    "tf": pa.array(tfv),
+                    "score": pa.array(sc),
+                }
+            )
+
+        scored = joined.map_batches(score_row, batch_format="pyarrow")
+
     top = top_k_per_group(
-        joined.map_batches(score_row, batch_format="pyarrow"),
-        ["doc_id"], "score", k, tiebreak_cols=["term"], descending=True,
+        scored, ["doc_id"], "score", k, tiebreak_cols=["term"],
+        descending=True, rank_col="rank",
     )
-    # top_k_per_group's combine emits whole groups per block → ranks are
-    # assignable in-block
-    return top.map_batches(rank_block, batch_format="pyarrow", batch_size=None)
+    return top.select_columns(["doc_id", "rank", "term", "tf", "score"])
 
 
 # GPT-2-style pre-tokenizer pattern (public; lookahead-free so it runs on
@@ -352,31 +341,8 @@ LM_Q = 1073741824.0  # 2^30 — log-prob quantization scale
 
 
 def term_counts(tf_ds):
-    """term -> total corpus occurrences (the unigram LM numerators) —
-    same hash-bucketed reduce as document_frequencies but summing tf."""
-    import pandas as pd
-
-    from ..runtime import cluster_cpus
-    from ..state.hashing import fnv1a_arr, hash_key
-
-    nb = max(8, cluster_cpus() * 2)
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["term"]).aggregate([("tf", "sum")])
-        g = g.rename_columns(["term", "ct"])
-        th = fnv1a_arr(g.column("term"))
-        bucket = (hash_key(th) % np.uint64(nb)).astype(np.int64)
-        return g.append_column("bucket", pa.array(bucket))
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("term", as_index=False)["ct"].sum()
-
-    return (
-        tf_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
-        .select_columns(["term", "ct"])
-    )
+    """term -> total corpus occurrences (the unigram LM numerators)."""
+    return _bucketed_term_reduce(tf_ds, ("tf", "sum"), "ct")
 
 
 LM_VOCAB_BROADCAST_LIMIT = 5_000_000  # terms; above this, hash-join path
@@ -404,11 +370,13 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
 
     Two execution paths with identical results (the quantization makes the
     per-doc sums order-independent, so a shuffle can't change them):
-    * vocab ≤ ``vocab_limit``: broadcast the LM table once (``ray.put``),
-      one stateless scoring pass over in-block documents;
-    * larger vocabularies: hash-join tf⋈lm on term (Dataset.join), then a
-      hash-bucketed integer reduce per doc_id — nothing is broadcast and
-      nothing driver-side grows with the vocabulary.
+    * vocab ≤ ``vocab_limit``: broadcast the LM table once (``ray.put``)
+      and attach w = tf·lpq in a stateless per-row map;
+    * larger vocabularies: hash-join tf⋈lm on term (Dataset.join) —
+      nothing is broadcast and nothing driver-side grows with the
+      vocabulary.
+    Both paths end in the same hash-bucketed integer reduce per doc_id
+    (split-safe: integer partials sum exactly under any blocking).
 
     Returns Dataset[doc_id, n_toks, logprob_q, avg_nll] (docs with zero
     tokens are absent, as in the oracle)."""
@@ -433,6 +401,38 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
         agg["avg_nll"] = -(lq / LM_Q) / n
         return pa.Table.from_pandas(agg, preserve_index=False)
 
+    # Both paths end in the SAME hash-bucketed integer reduce per doc_id:
+    # a per-block in-place groupby would silently emit two rows for a doc
+    # whose tf rows Ray's dynamic block splitting cut across blocks; the
+    # bucketed reduce is immune (integer partials sum exactly anywhere).
+    from ..runtime import cluster_cpus, join_partitions
+    from ..state.hashing import hash_key
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def reduce_scored(scored):
+        def partial(t: pa.Table) -> pa.Table:
+            g = (
+                t.group_by(["doc_id"])
+                .aggregate([("tf", "sum"), ("w", "sum")])
+                .rename_columns(["doc_id", "n_toks", "logprob_q"])
+            )
+            bucket = (
+                hash_key(_lm_doc_key(g.column("doc_id"))) % np.uint64(nb)
+            ).astype(np.int64)
+            return g.append_column("bucket", pa.array(bucket))
+
+        def combine(g: pd.DataFrame) -> pa.Table:
+            agg = g.groupby("doc_id", as_index=False)[["n_toks", "logprob_q"]].sum()
+            return finalize(agg)
+
+        return (
+            scored.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pandas")
+            .select_columns(["doc_id", "n_toks", "logprob_q", "avg_nll"])
+        )
+
     n_vocab = tc_ds.count()
     if n_vocab <= vocab_limit:
         tc = tc_ds.to_pandas()
@@ -443,20 +443,15 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
 
         def score(t: pa.Table) -> pa.Table:
             lm = ray.get(lm_ref)
-            g = t.to_pandas()
-            g["w"] = g["tf"].to_numpy(np.int64) * g["term"].map(lm).to_numpy(np.int64)
-            agg = g.groupby("doc_id", sort=False, as_index=False).agg(
-                n_toks=("tf", "sum"), logprob_q=("w", "sum")
+            tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = tf * pd.Series(t.column("term").to_pandas()).map(lm).to_numpy(np.int64)
+            return pa.table(
+                {"doc_id": t.column("doc_id"), "tf": pa.array(tf), "w": pa.array(w)}
             )
-            return finalize(agg)
 
-        # whole blocks: a document's tf rows never split across batches
-        return tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+        return reduce_scored(tf_ds.map_batches(score, batch_format="pyarrow"))
 
-    # ---- large-vocabulary path: join + bucketed integer reduce ----
-    from ..runtime import cluster_cpus, join_partitions
-    from ..state.hashing import fnv1a_arr, hash_key
-
+    # ---- large-vocabulary path: join, then the same reduce ----
     total = float(int(tc_ds.sum("ct")))
 
     def to_lp(t: pa.Table) -> pa.Table:
@@ -476,43 +471,22 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
     joined = tf_ds.join(
         lp_ds, join_type="inner", num_partitions=join_partitions(), on=("term",)
     )
-    nb = max(8, cluster_cpus() * 2)
 
-    def partial(t: pa.Table) -> pa.Table:
+    def attach_w(t: pa.Table) -> pa.Table:
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
         lpq = t.column("lpq").to_numpy(zero_copy_only=False).astype(np.int64)
-        g = (
-            pa.table(
-                {"doc_id": t.column("doc_id"), "tf": pa.array(tf),
-                 "w": pa.array(tf * lpq)}
-            )
-            .group_by(["doc_id"])
-            .aggregate([("tf", "sum"), ("w", "sum")])
-            .rename_columns(["doc_id", "n_toks", "logprob_q"])
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "tf": pa.array(tf),
+             "w": pa.array(tf * lpq)}
         )
-        bucket = (hash_key(_lm_doc_key(g.column("doc_id"))) % np.uint64(nb)).astype(
-            np.int64
-        )
-        return g.append_column("bucket", pa.array(bucket))
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        agg = g.groupby("doc_id", as_index=False)[["n_toks", "logprob_q"]].sum()
-        return finalize(agg)
-
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
-        .select_columns(["doc_id", "n_toks", "logprob_q", "avg_nll"])
-    )
+    return reduce_scored(joined.map_batches(attach_w, batch_format="pyarrow"))
 
 
 def _lm_doc_key(col) -> np.ndarray:
-    from ..state.hashing import fnv1a_arr
+    from ..state.hashing import id_u64
 
-    if pa.types.is_integer(col.type):
-        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
-    return fnv1a_arr(col)
+    return id_u64(col)
 
 
 def lm_score_sql(docs_sql: str) -> str:
@@ -614,28 +588,54 @@ def decontaminate(ds, text_col: str = "text", n: int = DECON_N, eval_mod: int = 
     )
     eval_ref = ray.put(eval_grams)
 
-    grams = ds.map_batches(
-        lambda t: _doc_ngrams(t, text_col, n), batch_format="pyarrow"
-    )
-
-    def score(t: pa.Table) -> pa.Table:
-        ev = ray.get(eval_ref)
+    def train_grams(t: pa.Table) -> pa.Table:
+        # same pushdown on the training side: drop eval docs BEFORE the
+        # gram build, so their grams are computed once (in eval_part) not
+        # twice
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % eval_mod != 0))
-        hit = pc.is_in(t.column("gram"), value_set=ev).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        g = pd.DataFrame(
-            {"doc_id": t.column("doc_id").to_numpy(zero_copy_only=False), "hit": hit}
-        )
-        agg = g.groupby("doc_id", sort=False, as_index=False).agg(
-            n_grams=("hit", "size"), n_hits=("hit", "sum")
-        )
-        agg["contaminated"] = (agg["n_hits"] > 0).astype(np.int64)
-        agg["n_grams"] = agg["n_grams"].astype(np.int64)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return _doc_ngrams(t.filter(pa.array(ids % eval_mod != 0)), text_col, n)
 
-    return grams.map_batches(score, batch_format="pyarrow", batch_size=None)
+    grams = ds.map_batches(train_grams, batch_format="pyarrow")
+
+    # per-block partial counts + hash-bucketed integer combine: immune to
+    # Ray's dynamic block splitting cutting one doc's gram rows across
+    # blocks (an in-block groupby would emit two partial rows per doc)
+    from ..runtime import cluster_cpus
+    from ..state.hashing import hash_key, id_u64
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        hit = pc.cast(pc.is_in(t.column("gram"), value_set=ev), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "one": pa.array(np.ones(len(t), dtype=np.int64)),
+                    "hit": hit,
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("one", "sum"), ("hit", "sum")])
+            .rename_columns(["doc_id", "n_grams", "n_hits"])
+        )
+        bucket = (hash_key(id_u64(g.column("doc_id"))) % np.uint64(nb)).astype(
+            np.int64
+        )
+        return g.append_column("bucket", pa.array(bucket))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", as_index=False)[["n_grams", "n_hits"]].sum()
+        agg["contaminated"] = (agg["n_hits"] > 0).astype(np.int64)
+        return agg
+
+    return (
+        grams.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(["doc_id", "n_grams", "n_hits", "contaminated"])
+    )
 
 
 def decontaminate_sql(docs_sql: str, n: int = DECON_N, eval_mod: int = DECON_EVAL_MOD) -> str:
@@ -697,7 +697,7 @@ def _shifted_grams(words, di, n):
     return di[starts[ok]], pc.binary_join_element_wise(*shifted, " ")
 
 
-def gopher_quality(ds, text_col: str = "text"):
+def gopher_quality(ds, text_col: str = "text", force_string_grams: bool = False):
     """Per-document Gopher repetition/quality signals + keep flag:
     n_tokens, mean_word_len, frac_dup_{2,3}gram (= (n-gram count − distinct
     n-grams) / n-gram count), top_word_frac (most common token's share).
@@ -732,10 +732,16 @@ def gopher_quality(ds, text_col: str = "text"):
         # Arrow group_by is ~2× the string one (38.8 s → measured below)
         topw = np.zeros(nd, dtype=np.int64)
         codes = np.array([], dtype=np.int64)
+        packed_ok = True
         if len(di):
             denc = words.dictionary_encode()
             codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            assert len(denc.dictionary) < (1 << 21)
+            # >= 2^21 distinct words in ONE batch: int64 3-gram packing
+            # would overflow — fall back to exact string grams (rare;
+            # slower, never wrong)
+            packed_ok = (
+                len(denc.dictionary) < (1 << 21) and not force_string_grams
+            )
             gb = (
                 pa.table({"di": pa.array(di), "c": pa.array(codes)})
                 .group_by(["di", "c"])
@@ -752,14 +758,18 @@ def gopher_quality(ds, text_col: str = "text"):
             starts = np.arange(m - n + 1)
             ok = di[starts] == di[starts + n - 1]
             gdi = di[starts[ok]]
-            g = np.zeros(ok.sum(), dtype=np.int64)
-            for j in range(n):
-                g = (g << np.int64(21)) | codes[starts + j][ok]
+            if packed_ok:
+                g = np.zeros(ok.sum(), dtype=np.int64)
+                for j in range(n):
+                    g = (g << np.int64(21)) | codes[starts + j][ok]
+                garr = pa.array(g)
+            else:
+                _, garr = _shifted_grams(words, di, n)
             tot = np.bincount(gdi, minlength=nd).astype(np.int64)
             dist = np.zeros(nd, dtype=np.int64)
             if len(gdi):
                 gb = (
-                    pa.table({"di": pa.array(gdi), "g": pa.array(g)})
+                    pa.table({"di": pa.array(gdi), "g": garr})
                     .group_by(["di", "g"])
                     .aggregate([([], "count_all")])
                 )

@@ -117,3 +117,16 @@ def fnv1a_bytes(data: bytes) -> int:
     for b in data:
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def id_u64(col) -> "np.ndarray":
+    """uint64 key per id column: integers pass through, strings hash via
+    the vectorized FNV-1a.  The single id→key convention shared by
+    packing, lm_score and the samplers, so every SQL mirror (CAST AS
+    HUGEINT for integer ids; fnv1a_chars for strings) stays in lockstep
+    with ONE implementation."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return fnv1a_arr(col)

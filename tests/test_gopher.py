@@ -54,3 +54,28 @@ def test_gopher_quality_hand_check_and_sql(ray_session):
         np.testing.assert_array_equal(
             out[c].to_numpy(), want[c].to_numpy(), err_msg=c
         )
+
+
+def test_gopher_string_fallback_matches_packed(ray_session):
+    """The >=2^21-dictionary fallback (string grams) must equal the packed
+    int64 path exactly."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+            "text": pa.array(
+                [f"a{i % 5} b{(i * 7) % 9} a{i % 5} c common" for i in range(60)]
+            ),
+        }
+    )
+    a = (
+        text.gopher_quality(rd.from_arrow(tbl))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        text.gopher_quality(rd.from_arrow(tbl), force_string_grams=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for c in a.columns:
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)

@@ -13,10 +13,12 @@ def test_quantize_embeddings(ray_session):
     rng = np.random.RandomState(3)
     vecs = rng.randn(50, 16).astype(np.float32)
     vecs[7] = 0.0  # all-zero vector edge case
+    lists = [list(v) for v in vecs]
+    lists[-1] = []  # trailing EMPTY list (reduceat edge case)
     tbl = pa.table(
         {
             "vec_id": pa.array(np.arange(50, dtype=np.int64)),
-            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "embedding": pa.array(lists, type=pa.list_(pa.float32())),
         }
     )
     out = (
@@ -25,7 +27,7 @@ def test_quantize_embeddings(ray_session):
         .sort_values(["vec_id", "dim"])
         .reset_index(drop=True)
     )
-    assert len(out) == 50 * 16
+    assert len(out) == 49 * 16  # empty vector emits no rows
     assert out["code"].abs().max() <= 127
     z = out[out["vec_id"] == 7]
     assert (z["code"] == 0).all() and (z["scale"] == 0.0).all()
@@ -33,7 +35,7 @@ def test_quantize_embeddings(ray_session):
     # reconstruction error bounded by scale/2 per element
     nz = out[out["vec_id"] != 7]
     recon = nz["code"].to_numpy() * nz["scale"].to_numpy()
-    orig = np.delete(vecs, 7, axis=0).astype(np.float64).ravel()
+    orig = np.delete(vecs, [7, 49], axis=0).astype(np.float64).ravel()
     assert np.abs(recon - orig).max() <= nz["scale"].max() / 2 + 1e-12
 
     con = duckdb.connect()
