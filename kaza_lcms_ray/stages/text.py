@@ -236,6 +236,9 @@ def tfidf_topk(
     from ..runtime import join_partitions
     from .joins import top_k_per_group
 
+    # ds.count() is semantically required (N counts documents INCLUDING
+    # zero-token ones, which never reach the tf stream); for parquet-backed
+    # inputs it is metadata-only
     n_docs = float(ds.count())
     # see lm_score: tf streams twice rather than residing corpus-sized in
     # the object store
