@@ -467,6 +467,22 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_adaptive_quality(sf_dir: str):
+    """Per-source adaptive quality filter: keep docs at or above their own
+    source's p25 quality (group-adaptive cutoff, no global threshold);
+    cutoffs via the quantile_cont-bit-exact interp, broadcast once."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return _i64(
+        curation.adaptive_quality_filter(docs), ["doc_id", "source", "quality"]
+    )
+
+
 def q_pretrain_build(sf_dir: str):
     """Composed pretraining data-prep funnel: curation → weighted source
     mixing → sequence packing, survivor sets carried by hash joins on
@@ -1501,6 +1517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q_gopher_quality,
         "quantize_embed": q_quantize_embed,
         "pretrain_build": q_pretrain_build,
+        "adaptive_quality": q_adaptive_quality,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
         "fingerprints": q_fingerprints,
@@ -1769,6 +1786,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "pretrain_build": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).pretrain_build_sql(_text_scores_sql(), MIX_WEIGHT_SQL, alpha=MIX_ALPHA),
+        "adaptive_quality": __import__(
+            "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
+        ).adaptive_quality_sql(_text_scores_sql()),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value

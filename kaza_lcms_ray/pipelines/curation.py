@@ -132,6 +132,68 @@ def pretrain_build_sql(
     return packing.pack_sequences_sql(pack_in, budget=budget, seed=seed)
 
 
+def adaptive_quality_filter(docs, p: float = 25.0, source_col: str = "source"):
+    """Per-source adaptive quality cutoff: keep documents whose quality
+    score is ≥ their OWN source's p-th percentile — the group-adaptive
+    filter that drops each source's worst tail without a global threshold
+    penalizing weaker sources.
+
+    Shape: text_scores (actor pool) → per-source exact quantile via one
+    tiny ``groupby(source).map_groups`` (|sources| groups, quantile_cont-
+    bit-exact interp — stages/zonal.interp_percentile) → broadcast the
+    cutoff table → stateless filter.  Returns Dataset[doc_id, source,
+    quality]."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from ..stages import text
+    from ..stages.zonal import interp_percentile
+
+    scored = text.text_scores(docs)
+
+    def cutoff(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["quality"].to_numpy(np.float64))
+        return pd.DataFrame(
+            {source_col: [g[source_col].iloc[0]], "cut": [interp_percentile(v, p)]}
+        )
+
+    cuts = (
+        scored.groupby(source_col)
+        .map_groups(cutoff, batch_format="pandas")
+        .to_pandas()
+    )
+    cut_ref = ray.put(pd.Series(cuts["cut"].to_numpy(), index=cuts[source_col]))
+
+    def keep(t: pa.Table) -> pa.Table:
+        cs = ray.get(cut_ref)
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        lim = pd.Series(t.column(source_col).to_pandas()).map(cs).to_numpy(np.float64)
+        out = t.select(["doc_id", source_col, "quality"])
+        return out.filter(pa.array(q >= lim))
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
+def adaptive_quality_sql(scores_sql: str, p: float = 25.0) -> str:
+    """Oracle: quantile_cont per source over the SAME quality doubles
+    (text_scores' expression tree is already oracle-equal), then the
+    identical >= comparison."""
+    return f"""
+        WITH s AS (
+            SELECT f.doc_id, d.source, f.quality
+            FROM ({scores_sql}) f JOIN documents d ON f.doc_id = d.doc_id
+        ),
+        c AS (
+            SELECT source, quantile_cont(quality, {p / 100.0!r}) AS cut
+            FROM s GROUP BY source
+        )
+        SELECT s.doc_id, s.source, s.quality
+        FROM s JOIN c USING (source)
+        WHERE s.quality >= c.cut"""
+
+
 def curation_sql(scores_sql: str, seed: int = DEFAULT_SEED, min_quality: float = 0.45, lang: str = "en", sample_frac: float = 0.5) -> str:
     """Oracle: min-id-per-text keepers ∩ score thresholds ∩ integer hash
     sample, chaining the already-verified text-score SQL."""

@@ -94,6 +94,7 @@ def _compare(name, e, con):
         "gopher_quality",
         "quantize_embed",
         "bpe_tokens",
+        "adaptive_quality",
     ],
 )
 def test_query_matches_oracle(contract, name):
