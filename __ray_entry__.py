@@ -467,6 +467,41 @@ def q_gopher_quality(sf_dir: str):
     )
 
 
+def q_merge_training(sf_dir: str):
+    """merge_training_data analog (src/misc/merge_training_data.py: combine
+    user point collections into one training set): two overlapping plot
+    subsets → union → saveFirst dedupe on plot_id (first collection wins).
+    Exercises J5 (ds.union) + J1 (dedupe_first) under the value gate."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import joins
+
+    root = _synth(sf_dir)
+    plots = rd.read_parquet(f"{root}/training_plots.parquet")
+
+    def tag(src):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            # plot-NNNNN -> N (same parse the oracle's regexp_extract does)
+            pid = (
+                _pc.cast(_pc.utf8_slice_codeunits(t.column("plot_id"), 5, 99), pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            keep = (pid % 3 != 0) if src == 0 else (pid % 2 == 0)
+            t = t.filter(pa.array(keep))
+            return t.select(["plot_id", "year", "LANDCOVER"]).append_column(
+                "src", pa.array(np.full(len(t), src, dtype=np.int64))
+            )
+
+        return fn
+
+    a = plots.map_batches(tag(0), batch_format="pyarrow")
+    b = plots.map_batches(tag(1), batch_format="pyarrow")
+    merged = joins.dedupe_first(a.union(b), ["plot_id"], "src")
+    return _i64(merged, ["plot_id", "year", "LANDCOVER", "src"])
+
+
 def q_adaptive_quality(sf_dir: str):
     """Per-source adaptive quality filter: keep docs at or above their own
     source's p25 quality (group-adaptive cutoff, no global threshold);
@@ -1518,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embed": q_quantize_embed,
         "pretrain_build": q_pretrain_build,
         "adaptive_quality": q_adaptive_quality,
+        "merge_training": q_merge_training,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
         "fingerprints": q_fingerprints,
@@ -1789,6 +1825,23 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "adaptive_quality": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).adaptive_quality_sql(_text_scores_sql()),
+        "merge_training": f"""
+            WITH a AS (
+                SELECT plot_id, "year", LANDCOVER, CAST(0 AS BIGINT) AS src
+                FROM read_parquet('{root}/training_plots.parquet')
+                WHERE CAST(substr(plot_id, 6) AS BIGINT) % 3 <> 0
+            ),
+            b AS (
+                SELECT plot_id, "year", LANDCOVER, CAST(1 AS BIGINT) AS src
+                FROM read_parquet('{root}/training_plots.parquet')
+                WHERE CAST(substr(plot_id, 6) AS BIGINT) % 2 = 0
+            ),
+            u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+            SELECT plot_id, "year", LANDCOVER, src FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY plot_id ORDER BY src ASC
+                ) AS rn FROM u
+            ) WHERE rn = 1""",
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value

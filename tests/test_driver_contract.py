@@ -95,6 +95,7 @@ def _compare(name, e, con):
         "quantize_embed",
         "bpe_tokens",
         "adaptive_quality",
+        "merge_training",
     ],
 )
 def test_query_matches_oracle(contract, name):
