@@ -49,6 +49,21 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Silence one known-cosmetic executor warning: Ray's sort-based
+    # map_groups emits schema-LESS empty blocks for range partitions whose
+    # sampled boundaries collide (pure-Ray repro: groupby over 16 distinct
+    # keys across 64 blocks warns with no user code involved).  Our own
+    # combines emit typed empties; the residual warnings are Ray-internal.
+    import logging
+
+    class _DropEmptySchemaWarn(logging.Filter):
+        def filter(self, rec: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in rec.getMessage()
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptySchemaWarn())
+
     import ray.data as rd
 
     from kaza_lcms_ray.pipelines import flagship

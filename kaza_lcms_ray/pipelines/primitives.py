@@ -379,7 +379,9 @@ def rf_artifacts(synth_root: str, config: PipelineConfig = DEFAULT_CONFIG) -> di
     trees_path = os.path.join(base, "trees.parquet")
     probs_dir = os.path.join(base, "probs")
     if not os.path.exists(marker):
-        os.makedirs(probs_dir, exist_ok=True)
+        import shutil
+
+        os.makedirs(base, exist_ok=True)
         train_df, test_df = build_training_table(synth_root, config)
         models = train_primitives(train_df, config)
         from ..state.forest import nodes_table
@@ -394,11 +396,29 @@ def rf_artifacts(synth_root: str, config: PipelineConfig = DEFAULT_CONFIG) -> di
         geo = spans.geo_obs(docs)
         scored = score(tile_composites(geo, config), models)
         classes = sorted(models)
+        # probs/ is a multi-file parquet DIRECTORY the reader globs: a
+        # crashed or stale-config run must never leave extra part files
+        # that read_parquet would silently merge.  Write to a process-
+        # unique temp dir, clear any stale dir, then rename atomically —
+        # the dir either has exactly this run's parts or doesn't exist
+        # (and the marker is written only after the rename).
+        tmp_dir = f"{probs_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         scored.select_columns(
             ["tile_id", "year"]
             + [f"prob_{c}" for c in classes]
             + ["LANDCOVER_pred"]
-        ).write_parquet(probs_dir)
+        ).write_parquet(tmp_dir)
+        shutil.rmtree(probs_dir, ignore_errors=True)
+        os.rename(tmp_dir, probs_dir)
+        # the artifact paths are config-shared (the SQL oracles address
+        # them statically), so a marker for a DIFFERENT config is now a
+        # lie about the dir contents — drop it before asserting ours
+        import glob as _glob
+
+        for m in _glob.glob(os.path.join(base, "done-*.json")):
+            if m != marker:
+                os.remove(m)
         with open(marker, "w") as f:
             json.dump({"config": config.config_hash()}, f)
     else:

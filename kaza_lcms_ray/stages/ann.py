@@ -270,19 +270,35 @@ def lsh_bucketed(ds, embed_col: str = "embedding", nbits: int = 8, seed: int = 7
 def _knn_block_kernel(left, right, k: int) -> pa.Table:
     """Partial top-k for every query vector in ``left`` against the
     candidate vectors in ``right`` (both prepared by ``_prep_block``).
-    Deterministic under ties: (sim desc, id asc) via a row-wise lexsort."""
+    Deterministic under ties: (sim desc, id asc) via a row-wise lexsort.
+
+    Queries run in ≤8M-element chunks so the (chunk × nc) float64 sims
+    matrix plus its lexsort temporaries stay ~O(100 MB) per task
+    regardless of ``rows_per_block`` — the full (nq × nc) matrix was
+    ~1.5-2 GB at the 8192-row default, multiplied by ~CPU-count
+    concurrently scheduled tasks (ADVICE r3)."""
     ids_q, mat_q = left
     ids_c, mat_c = right
-    sims = mat_q @ mat_c.T  # (nq, nc)
-    kk = min(k, ids_c.shape[0])
-    order = np.lexsort(
-        (np.broadcast_to(ids_c, sims.shape), -sims), axis=1
-    )[:, :kk]
+    nq, nc = mat_q.shape[0], ids_c.shape[0]
+    kk = min(k, nc)
+    chunk = max(1, 8_000_000 // max(nc, 1))
+    parts_q, parts_n, parts_s = [], [], []
+    for s in range(0, nq, chunk):
+        sims = mat_q[s : s + chunk] @ mat_c.T  # (≤chunk, nc)
+        order = np.lexsort(
+            (np.broadcast_to(ids_c, sims.shape), -sims), axis=1
+        )[:, :kk]
+        parts_q.append(np.repeat(ids_q[s : s + chunk], kk))
+        parts_n.append(ids_c[order].reshape(-1))
+        parts_s.append(np.take_along_axis(sims, order, axis=1).reshape(-1))
+    empty = nq == 0 or kk == 0
     return pa.table(
         {
-            "qid": pa.array(np.repeat(ids_q, kk)),
-            "nid": pa.array(ids_c[order].reshape(-1)),
-            "sim": pa.array(np.take_along_axis(sims, order, axis=1).reshape(-1)),
+            "qid": pa.array(np.concatenate(parts_q) if not empty else ids_q[:0]),
+            "nid": pa.array(np.concatenate(parts_n) if not empty else ids_c[:0]),
+            "sim": pa.array(
+                np.concatenate(parts_s) if not empty else np.empty(0, np.float64)
+            ),
         }
     )
 
@@ -302,7 +318,7 @@ def _coalesced_block_refs(ds, cols: list[str], rows_per_block: int):
 
 
 def _bucketed_topk_merge(partial, k: int, id_out: str, drop_self: bool = False,
-                         dedup_pairs: bool = False):
+                         dedup_pairs: bool = False, rows_hint: int | None = None):
     """Merge per-pair partial top-k rows into final ranked top-k per qid.
 
     Hash-bucketed combine (the repo-wide grouped-kernel pattern, see
@@ -313,7 +329,7 @@ def _bucketed_topk_merge(partial, k: int, id_out: str, drop_self: bool = False,
     from ..state.hashing import fnv1a_arr
     from .zonal import _default_buckets
 
-    nb = _default_buckets()
+    nb = _default_buckets(rows_hint)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         from ..state.hashing import splitmix64

@@ -82,6 +82,7 @@ def top_k_per_group(
     tiebreak_cols: list[str],
     descending: bool = True,
     rank_col: str | None = None,
+    rows_hint: int | None = None,
 ):
     """Grouped top-k (the row_number()-per-partition primitive) as a
     decomposable two-phase plan: per-block top-k per group (≤ k rows per
@@ -116,7 +117,7 @@ def top_k_per_group(
         batch_format="pyarrow",
     )
     return (
-        _add_bucket(partial, group_cols, _default_buckets())
+        _add_bucket(partial, group_cols, _default_buckets(rows_hint))
         .groupby("bucket")
         .map_groups(final, batch_format="pandas")
         .drop_columns(["bucket"])
@@ -221,7 +222,34 @@ def attach_dim(
     if n <= max_broadcast_rows:
         dd = dim.select_columns(cols).to_pandas()
         keys = dd[dim_key].to_numpy()
+        if keys.shape[0] == 0:
+            # empty dimension: inner semantics → no fact survives.  The
+            # searchsorted probe below would index keys[-1] on a 0-length
+            # array; return typed empty batches instead (schema = fact
+            # schema + typed val cols inferred from the empty dim frame).
+            def drop_all(t: pa.Table) -> pa.Table:
+                out = t.slice(0, 0)
+                for c in val_cols:
+                    # mirror the lookup path's types: object → string
+                    typ = (
+                        pa.string()
+                        if dd[c].dtype == object
+                        else pa.from_numpy_dtype(dd[c].dtype)
+                    )
+                    out = out.append_column(c, pa.array([], type=typ))
+                return out
+
+            return facts.map_batches(drop_all, batch_format="pyarrow")
+        # the broadcast probe attaches exactly ONE match per fact row —
+        # correct only when dim keys are unique.  The hash-join fallback
+        # would duplicate fact rows per match, so a non-unique dim must
+        # not silently flip behavior at the size threshold.
         order = np.argsort(keys, kind="mergesort")
+        if np.unique(keys).shape[0] != keys.shape[0]:
+            raise ValueError(
+                f"attach_dim: dimension key {dim_key!r} is not unique; "
+                "broadcast lookup attaches one match per fact row"
+            )
         side_ref = ray.put(
             {
                 "keys": keys[order],

@@ -192,13 +192,16 @@ def _bucketed_term_reduce(tf_ds, agg: tuple, out_col: str):
         bucket = (hash_key(th) % np.uint64(nb)).astype(np.int64)
         return g.append_column("bucket", pa.array(bucket))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("term", as_index=False)[out_col].sum()
+    def combine(g: pa.Table) -> pa.Table:
+        # Arrow group_by: empty groups keep their typed schema (schema-
+        # stable empty blocks — VERDICT r3 #6); integer sums are exact.
+        out = g.group_by(["term"]).aggregate([(out_col, "sum")])
+        return out.rename_columns(["term", out_col])
 
     return (
         tf_ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
         .select_columns(["term", out_col])
     )
 
@@ -249,20 +252,36 @@ def tfidf_topk(
 
     if df_ds.count() <= vocab_limit:
         df_tbl = df_ds.to_pandas()
-        df_ref = ray.put(pd.Series(
-            df_tbl["df"].to_numpy(np.float64), index=df_tbl["term"]
-        ))
+        df_ref = ray.put(
+            {
+                "terms": pa.array(df_tbl["term"], type=pa.large_string()),
+                "df": df_tbl["df"].to_numpy(np.float64),
+            }
+        )
 
         def score(t: pa.Table) -> pa.Table:
             # frompyfunc built inside the task (ufuncs don't pickle);
             # math.log is libm — bit-identical to DuckDB ln()
             log_u = np.frompyfunc(math.log, 1, 1)
-            dfs = ray.get(df_ref)
-            g = t.to_pandas()
-            dfv = g["term"].map(dfs).to_numpy(np.float64)
-            tfv = g["tf"].to_numpy(np.int64)
-            g["score"] = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
-            return pa.Table.from_pandas(g, preserve_index=False)
+            side = ray.get(df_ref)
+            # Arrow dictionary probe instead of pandas .map (per-element
+            # Python hashing over a corpus-scale column)
+            idx = pc.index_in(t.column("term"), value_set=side["terms"])
+            if isinstance(idx, pa.ChunkedArray):
+                idx = idx.combine_chunks()
+            if idx.null_count:  # tf terms are a subset of df terms by construction
+                raise ValueError("tfidf: term missing from document-frequency table")
+            dfv = side["df"][idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+            tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            sc = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "term": t.column("term"),
+                    "tf": pa.array(tfv),
+                    "score": pa.array(sc.astype(np.float64)),
+                }
+            )
 
         scored = tf_ds.map_batches(score, batch_format="pyarrow")
     else:
@@ -398,11 +417,11 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
     # vocab-sized (NOT corpus-sized) — safe to pin; consumed 2-3 times
     tc_ds = term_counts(tf_ds).materialize()
 
-    def finalize(agg: pd.DataFrame) -> pa.Table:
-        lq = agg["logprob_q"].to_numpy(np.int64).astype(np.float64)
-        n = agg["n_toks"].to_numpy(np.int64).astype(np.float64)
-        agg["avg_nll"] = -(lq / LM_Q) / n
-        return pa.Table.from_pandas(agg, preserve_index=False)
+    def finalize(agg: pa.Table) -> pa.Table:
+        lq = agg.column("logprob_q").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = agg.column("n_toks").to_numpy(zero_copy_only=False).astype(np.float64)
+        avg = -(lq / LM_Q) / n
+        return agg.append_column("avg_nll", pa.array(avg, type=pa.float64()))
 
     # Both paths end in the SAME hash-bucketed integer reduce per doc_id:
     # a per-block in-place groupby would silently emit two rows for a doc
@@ -425,14 +444,20 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
             ).astype(np.int64)
             return g.append_column("bucket", pa.array(bucket))
 
-        def combine(g: pd.DataFrame) -> pa.Table:
-            agg = g.groupby("doc_id", as_index=False)[["n_toks", "logprob_q"]].sum()
-            return finalize(agg)
+        def combine(g: pa.Table) -> pa.Table:
+            # Arrow group_by (not pandas): an EMPTY group keeps its typed
+            # schema, so empty output blocks stay schema-stable (no
+            # "RefBundle with a different schema … new schema: (empty)"
+            # executor warnings; VERDICT r3 #6).  Integer sums — exact.
+            agg = g.group_by(["doc_id"]).aggregate(
+                [("n_toks", "sum"), ("logprob_q", "sum")]
+            )
+            return finalize(agg.rename_columns(["doc_id", "n_toks", "logprob_q"]))
 
         return (
             scored.map_batches(partial, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(combine, batch_format="pandas")
+            .map_groups(combine, batch_format="pyarrow")
             .select_columns(["doc_id", "n_toks", "logprob_q", "avg_nll"])
         )
 
@@ -441,13 +466,23 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
         tc = tc_ds.to_pandas()
         total = float(int(tc["ct"].sum()))
         lm_ref = ray.put(
-            pd.Series(_lm_quantize(tc["ct"].to_numpy(np.int64), total), index=tc["term"])
+            {
+                "terms": pa.array(tc["term"], type=pa.large_string()),
+                "lpq": _lm_quantize(tc["ct"].to_numpy(np.int64), total),
+            }
         )
 
         def score(t: pa.Table) -> pa.Table:
             lm = ray.get(lm_ref)
             tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-            w = tf * pd.Series(t.column("term").to_pandas()).map(lm).to_numpy(np.int64)
+            # Arrow dictionary probe instead of pandas .map (per-element
+            # Python hashing over a corpus-scale column)
+            idx = pc.index_in(t.column("term"), value_set=lm["terms"])
+            if isinstance(idx, pa.ChunkedArray):
+                idx = idx.combine_chunks()
+            if idx.null_count:  # tf terms come from the same token stream as the LM
+                raise ValueError("lm_score: term missing from LM vocabulary")
+            w = tf * lm["lpq"][idx.to_numpy(zero_copy_only=False).astype(np.int64)]
             return pa.table(
                 {"doc_id": t.column("doc_id"), "tf": pa.array(tf), "w": pa.array(w)}
             )
@@ -628,15 +663,21 @@ def decontaminate(ds, text_col: str = "text", n: int = DECON_N, eval_mod: int = 
         )
         return g.append_column("bucket", pa.array(bucket))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("doc_id", as_index=False)[["n_grams", "n_hits"]].sum()
-        agg["contaminated"] = (agg["n_hits"] > 0).astype(np.int64)
-        return agg
+    def combine(g: pa.Table) -> pa.Table:
+        # Arrow group_by: schema-stable under empty groups (VERDICT r3 #6)
+        agg = g.group_by(["doc_id"]).aggregate(
+            [("n_grams", "sum"), ("n_hits", "sum")]
+        )
+        agg = agg.rename_columns(["doc_id", "n_grams", "n_hits"])
+        hits = agg.column("n_hits").to_numpy(zero_copy_only=False)
+        return agg.append_column(
+            "contaminated", pa.array((hits > 0).astype(np.int64))
+        )
 
     return (
         grams.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
+        .map_groups(combine, batch_format="pyarrow")
         .select_columns(["doc_id", "n_grams", "n_hits", "contaminated"])
     )
 

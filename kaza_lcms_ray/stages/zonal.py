@@ -48,6 +48,7 @@ def bucketed_sum(
     sum_cols: list[str],
     num_buckets: int | None = None,
     recombine_batch_size: int | None = 512 * 1024,
+    rows_hint: int | None = None,
 ):
     """Combine per-batch partial sums: hash-bucket the keys (≈2×CPUs
     buckets), one vectorized pandas groupby-sum per bucket.  Exact for
@@ -62,7 +63,7 @@ def bucketed_sum(
     the shuffled table toward (key cardinality × n_batches) at the cost of
     one extra (skinny-row) exchange.  Set None to skip for low-cardinality
     keys."""
-    nb = num_buckets or _default_buckets()
+    nb = num_buckets or _default_buckets(rows_hint)
 
     if recombine_batch_size:
         def repartial(t: pa.Table) -> pa.Table:
@@ -266,10 +267,24 @@ def _add_bucket(ds, keys: list[str], num_buckets: int):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _default_buckets() -> int:
+_ROWS_PER_BUCKET = 4_000_000  # per-holistic-task row bound (skinny rows ≈ 100-300 MB)
+
+
+def _default_buckets(rows_hint: int | None = None) -> int:
+    """Bucket count for holistic (whole-bucket-in-one-task) combines.
+
+    Default ≈2× cluster CPUs; with a ``rows_hint`` (estimated rows
+    ENTERING the bucketed stage — raw rows for zonal_percentiles,
+    pre-pruned partials for top-k/sum combines) the count scales so one
+    bucket holds ≤ ~``_ROWS_PER_BUCKET`` rows in expectation, independent
+    of data scale (VERDICT r3 #4).  Capped at 65536 buckets — at the cap
+    a 10¹² -row stage still bounds each task at ~15M rows."""
     from ..runtime import cluster_cpus
 
-    return max(8, cluster_cpus() * 2)
+    nb = max(8, cluster_cpus() * 2)
+    if rows_hint:
+        nb = max(nb, -(-int(rows_hint) // _ROWS_PER_BUCKET))
+    return min(nb, 65536)
 
 
 def zonal_percentiles(
@@ -278,6 +293,7 @@ def zonal_percentiles(
     band: int = 3,
     ps=DEFAULT_PERCENTILES,
     num_buckets: int | None = None,
+    rows_hint: int | None = None,
 ):
     """Per-key percentiles of one band (holistic aggregate).
 
@@ -292,7 +308,8 @@ def zonal_percentiles(
     """
     keys = list(keys)
     col = f"c{band}"
-    nb = num_buckets or _default_buckets()
+    # rows_hint = input row count: each bucket holds ~rows/nb RAW rows
+    nb = num_buckets or _default_buckets(rows_hint)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         kcols = [g[k].to_numpy() for k in keys]
@@ -449,6 +466,7 @@ def approx_percentiles(
     lo: float = 0.0,
     hi: float = 1_000_000.0,
     num_buckets: int | None = None,
+    rows_hint: int | None = None,
 ):
     """APPROXIMATE grouped percentiles via a fixed-bin histogram sketch —
     the DECOMPOSABLE scale path for A1: per-batch partial (key, bin) counts
