@@ -68,6 +68,17 @@ def test_strict_codec_documents_seam():
         media.StrictCodec().decode_one("m://abc")
 
 
+def test_strict_codec_surfaces_through_dataset_stage(synth_small, ray_session):
+    """The real-codec seam through the actual Dataset plumbing: a strict
+    decoder inside the map_batches actor pool fails the pipeline with the
+    seam's own NotImplementedError message — the codec swap is one method
+    with a known failure mode, not a silent fake."""
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    strict = media.decode_media(docs, decoder="strict", batch_size=32).limit(8)
+    with pytest.raises(Exception, match="requires an image/audio codec"):
+        strict.to_pandas()
+
+
 def test_resizer_shape():
     import pyarrow as pa
 
