@@ -383,6 +383,58 @@ def q_dedup_exact(sf_dir: str):
     )
 
 
+def q_para_dedup(sf_dir: str):
+    """C4-style corpus-wide paragraph dedup: split each document on
+    newlines, keep every ≥16-char paragraph only at its first corpus
+    occurrence (min (doc_id, idx)), reassemble surviving paragraphs in
+    order (stages/dedup.drop_dup_paragraphs — fingerprint-keyed shuffle,
+    hash-join keeper attach, Arrow binary_join rebuild).  Value-checked
+    including the reassembled text."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        dedup.drop_dup_paragraphs(docs, "text", "doc_id"),
+        ["doc_id", "text_clean", "n_kept", "n_dropped"],
+    )
+
+
+def q_line_repetition(sf_dir: str):
+    """Gopher duplicate-line signals per document (stages/text.
+    line_repetition): in-batch integer ratios, line identity travels as a
+    128-bit fingerprint.  Value-checked including the fraction doubles."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        T.line_repetition(docs, "text", "doc_id"),
+        ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"],
+    )
+
+
+def q_fuzzy_dedup(sf_dir: str):
+    """End-to-end fuzzy-dedup funnel: MinHash-LSH candidates → exact
+    k-shingle Jaccard verification → drop every doc with a verified
+    near-dup of smaller id (stages/dedup.near_dedup_filter).  The
+    surviving corpus, value-checked."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    return _i64(
+        dedup.near_dedup_filter(docs, "text", "doc_id", k=5, threshold=0.4)
+        .select_columns(["doc_id", "n_chars"]),
+        ["doc_id", "n_chars"],
+    )
+
+
 def q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1528,8 +1580,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # registry order = driver sampling bias: queries that have never
         # appeared in a driver CORRECTNESS sample come FIRST (r1-r3 union:
-        # the events suite, sketches, TPC-H analytics, lineage, planet),
-        # so the 50-query samples certify the unchecked families first.
+        # the events suite, sketches, TPC-H analytics, lineage, planet,
+        # plus the round-4 additions), so the 50-query samples certify
+        # the unchecked families first.
+        "para_dedup": q_para_dedup,
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "line_repetition": q_line_repetition,
         "planet_stack": q_planet_stack,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -1914,6 +1970,15 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "fingerprints": _fingerprints_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "jaccard_verified": _jaccard_verified_sql(),
+        "para_dedup": __import__(
+            "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
+        ).drop_dup_paragraphs_sql("SELECT doc_id, text FROM documents"),
+        "fuzzy_dedup": f"""
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM ({_jaccard_verified_sql()}))""",
+        "line_repetition": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).line_repetition_sql("SELECT doc_id, text FROM documents"),
         "curation": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).curation_sql(_text_scores_sql()),

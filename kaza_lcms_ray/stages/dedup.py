@@ -105,6 +105,295 @@ def drop_exact_dupes(ds, key_col: str, id_col: str):
     return ds.join(keepers, join_type="inner", num_partitions=nparts, on=(id_col,))
 
 
+# --------------------------------------------- paragraph-level exact dedup
+
+PARA_MIN_DEDUP_LEN = 16  # paragraphs shorter than this never dedupe (C4 keeps
+# boilerplate-short lines: deduping "" / "---" would mangle document structure)
+
+
+def _explode_paragraphs(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """One row per '\\n'-separated paragraph: (id, idx, para, n_para) with
+    idx = 0-based position and n_para = the doc's paragraph count (carried
+    so the rebuild can report how many were dropped).  Pure Arrow/numpy —
+    one split kernel, offset arithmetic, no per-doc Python."""
+    import pyarrow.compute as pc
+
+    text = t.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    paras = pc.split_pattern(text, "\n")
+    if isinstance(paras, pa.ChunkedArray):
+        paras = paras.combine_chunks()
+    offs = paras.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]  # sliced arrays carry a non-zero first offset
+    counts = offs[1:] - offs[:-1]
+    di = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+    idx = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], counts)
+    ids = t.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(di)),
+            "idx": pa.array(idx),
+            "para": paras.flatten(),
+            "n_para": pa.array(np.repeat(counts, counts)),
+        }
+    )
+
+
+def drop_dup_paragraphs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = PARA_MIN_DEDUP_LEN,
+    rows_hint: int | None = None,
+):
+    """C4/RefinedWeb-style corpus-wide line dedup: every '\\n'-separated
+    paragraph of length ≥ ``min_len`` survives only at its FIRST corpus
+    occurrence (min (doc_id, idx) lexicographic); shorter paragraphs always
+    survive.  Docs are reassembled from surviving paragraphs in original
+    order; a doc whose every paragraph was dropped disappears.
+
+    Scale shape (the ``drop_exact_dupes`` fingerprint discipline — raw
+    paragraph text never enters a shuffle key):
+      1. explode to (id, idx, para) + 128-bit paragraph fingerprint per
+         batch — only skinny (fp, id, idx) rows shuffle;
+      2. first-occurrence keeper per fingerprint via per-batch Arrow-sorted
+         partials + a hash-bucketed combine (exact tuple-min under any
+         blocking: each phase keeps the lexicographic minimum);
+      3. integer-keyed hash join of keepers back onto the exploded stream
+         (left outer: paragraphs under ``min_len`` carry no keeper);
+      4. per-doc reassembly in hash-bucketed groups — Arrow ``binary_join``
+         over a list view, no per-doc Python string building.
+
+    Returns Dataset[id, text_clean, n_kept, n_dropped].  Reference analog:
+    exact distinct (SURVEY §2.7) applied at sub-document granularity."""
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions
+    from ..state.hashing import id_u64, splitmix64 as _smx
+    from .zonal import _default_buckets
+
+    def explode_fp(t: pa.Table) -> pa.Table:
+        out = _explode_paragraphs(t, text_col, id_col)
+        hi, lo = _fp128(out.column("para"))
+        return out.append_column(
+            "fp_hi", pa.array(hi.astype(np.int64))
+        ).append_column("fp_lo", pa.array(lo.astype(np.int64)))
+
+    paras = ds.map_batches(explode_fp, batch_format="pyarrow")
+
+    sort_keys = [
+        ("fp_hi", "ascending"),
+        ("fp_lo", "ascending"),
+        (id_col, "ascending"),
+        ("idx", "ascending"),
+    ]
+
+    def first_per_fp(t: pa.Table) -> pa.Table:
+        """One row per fingerprint: the (id, idx)-lexicographic minimum."""
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        hi = s.column("fp_hi").to_numpy(zero_copy_only=False)
+        lo = s.column("fp_lo").to_numpy(zero_copy_only=False)
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        return s.filter(pa.array(first))
+
+    def keeper_partial(t: pa.Table) -> pa.Table:
+        long_rows = t.filter(
+            pc.greater_equal(pc.utf8_length(t.column("para")), min_len)
+        ).select(["fp_hi", "fp_lo", id_col, "idx"])
+        out = first_per_fp(long_rows)
+        bucket = (
+            _smx(
+                out.column("fp_hi").to_numpy(zero_copy_only=False).view(np.uint64)
+                ^ out.column("fp_lo").to_numpy(zero_copy_only=False).view(np.uint64)
+            )
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return out.append_column("bucket", pa.array(bucket))
+
+    nb = _default_buckets(rows_hint)
+
+    def keeper_combine(g: pa.Table) -> pa.Table:
+        return first_per_fp(g.drop_columns(["bucket"])).rename_columns(
+            ["fp_hi", "fp_lo", "keep_id", "keep_idx"]
+        )
+
+    keepers = (
+        paras.map_batches(keeper_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keeper_combine, batch_format="pyarrow")
+        .materialize()  # skinny: one row per distinct long paragraph
+    )
+
+    joined = paras.join(
+        keepers,
+        join_type="left_outer",
+        num_partitions=join_partitions(rows_hint=keepers.count()),
+        on=("fp_hi", "fp_lo"),
+    )
+
+    def keep_mask(t: pa.Table) -> pa.Table:
+        no_keeper = pc.is_null(t.column("keep_id"))
+        own = pc.and_(
+            pc.equal(t.column("keep_id"), t.column(id_col)),
+            pc.equal(t.column("keep_idx"), t.column("idx")),
+        )
+        kept = pc.or_kleene(no_keeper, own)
+        return t.filter(pc.fill_null(kept, False)).select(
+            [id_col, "idx", "para", "n_para"]
+        )
+
+    kept = joined.map_batches(keep_mask, batch_format="pyarrow")
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        key = _smx(id_u64(col))
+        return t.append_column(
+            "bucket", pa.array((key % np.uint64(nb)).astype(np.int64))
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(id_col, "ascending"), ("idx", "ascending")]
+            )
+        )
+        ids = s.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False)
+        n = len(s)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = idv[1:] != idv[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        offsets = pa.array(np.append(0, np.cumsum(counts)).astype(np.int64))
+        para = s.column("para")
+        if isinstance(para, pa.ChunkedArray):
+            para = para.combine_chunks()
+        # large types: a bucket's total text can pass 2 GiB at corpus scale
+        joined_txt = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, para.cast(pa.large_string())),
+            pa.scalar("\n", type=pa.large_string()),
+        )
+        n_para = s.column("n_para").to_numpy(zero_copy_only=False)[starts]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(starts)),
+                "text_clean": joined_txt,
+                "n_kept": pa.array(counts),
+                "n_dropped": pa.array((n_para - counts).astype(np.int64)),
+            }
+        )
+
+    return (
+        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
+        .select_columns([id_col, "text_clean", "n_kept", "n_dropped"])
+    )
+
+
+def drop_dup_paragraphs_sql(
+    docs_sql: str,
+    min_len: int = PARA_MIN_DEDUP_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for ``drop_dup_paragraphs``: identical split / first-
+    occurrence / reassembly rule, joining on the raw paragraph string where
+    the engine joins on its 128-bit fingerprint (equal results absent
+    fingerprint collisions, ~n²/2¹²⁸)."""
+    return f"""
+        WITH paras AS (
+            SELECT {id_col},
+                   CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS idx,
+                   unnest(ps) AS p,
+                   CAST(len(ps) AS BIGINT) AS n_para
+            FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS ps
+                  FROM ({docs_sql}))
+        ),
+        keep AS (
+            SELECT p, {id_col} AS kdoc, idx AS kidx FROM (
+                SELECT p, {id_col}, idx,
+                       ROW_NUMBER() OVER (PARTITION BY p
+                                          ORDER BY {id_col}, idx) AS rn
+                FROM paras WHERE length(p) >= {min_len}
+            ) WHERE rn = 1
+        ),
+        kept AS (
+            SELECT pr.{id_col}, pr.idx, pr.p, pr.n_para
+            FROM paras pr LEFT JOIN keep k ON pr.p = k.p
+            WHERE k.p IS NULL
+               OR (pr.{id_col} = k.kdoc AND pr.idx = k.kidx)
+        )
+        SELECT {id_col},
+               string_agg(p, chr(10) ORDER BY idx) AS text_clean,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(any_value(n_para) - COUNT(*) AS BIGINT) AS n_dropped
+        FROM kept GROUP BY {id_col}"""
+
+
+def near_dedup_filter(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.4,
+    max_broadcast_ids: int = 5_000_000,
+):
+    """End-to-end fuzzy-dedup funnel: drop every document that has a
+    VERIFIED near-duplicate with a smaller id; keep the rest.
+
+    Composition of the staged primitives: MinHash-LSH candidates →
+    distributed exact-Jaccard verification → the drop set is the distinct
+    larger id of each surviving pair (pairs are emitted a < b).  This is
+    the "no smaller near-dup" rule — deterministic and locally decidable
+    per pair, NOT transitive-closure clustering (``min_label_clusters``
+    covers that; under chains a<b<c it drops both b and c, which is the
+    conservative side).  The drop set is pair-bounded (≪ corpus): below
+    ``max_broadcast_ids`` it broadcasts into a stateless isin filter,
+    above it falls back to a hash left-outer join + null filter so nothing
+    driver-side grows with the corpus."""
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions
+    from ..stages.joins import anti_join_ids
+
+    cand = minhash_candidate_pairs(ds, text_col, id_col).materialize()
+    verified = _verify_pairs_distributed(
+        ds, cand, text_col, id_col, k=k, threshold=threshold, n_pairs=cand.count()
+    )
+    drops = verified.select_columns(["b"]).groupby("b").count().select_columns(["b"])
+    drops = drops.materialize()
+    n_drop = drops.count()
+    if n_drop <= max_broadcast_ids:
+        ids = [r["b"] for r in drops.take_all()]
+        return anti_join_ids(ds, id_col, ids)
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column("b"), "_drop": pa.array(np.ones(len(t), np.int64))})
+
+    drop_keyed = drops.map_batches(flag, batch_format="pyarrow")
+    joined = ds.join(
+        drop_keyed,
+        join_type="left_outer",
+        num_partitions=join_partitions(rows_hint=n_drop),
+        on=(id_col,),
+    )
+
+    def keep_unflagged(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("_drop"))).drop_columns(["_drop"])
+
+    return joined.map_batches(keep_unflagged, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- shingles / minhash
 
 _MERSENNE = np.uint64((1 << 61) - 1)

@@ -1001,3 +1001,91 @@ def fingerprints(ds, text_col: str = "text"):
     return ds.map_batches(
         lambda t: fingerprint_batch(t, text_col), batch_format="pyarrow"
     )
+
+
+def line_repetition(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher/RefinedWeb duplicate-LINE signals (the sub-document
+    repetition family ``gopher_quality``'s n-gram fractions don't cover):
+    per document, the fraction of lines — and of characters — contained in
+    occurrences of a line BEYOND its first within that document.
+
+    Everything is a ratio of exact integers computed inside one batch (a
+    document is one row; its '\\n'-split lines never leave the batch) — no
+    shuffle.  Line identity travels as the 128-bit fingerprint, never the
+    line text (equal to raw-string grouping absent ~2⁻¹²⁸ collisions).
+    Returns Dataset[id, n_lines, dup_line_frac, dup_line_char_frac]."""
+    from .dedup import _explode_paragraphs, _fp128
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ex = _explode_paragraphs(batch, text_col, id_col)
+        hi, lo = _fp128(ex.column("para"))
+        chars = pc.utf8_length(ex.column("para"))
+        per_line = (
+            pa.table(
+                {
+                    id_col: ex.column(id_col),
+                    "hi": pa.array(hi.astype(np.int64)),
+                    "lo": pa.array(lo.astype(np.int64)),
+                    "chars": chars.combine_chunks()
+                    if isinstance(chars, pa.ChunkedArray)
+                    else chars,
+                }
+            )
+            .group_by([id_col, "hi", "lo"])
+            .aggregate([([], "count_all"), ("chars", "min")])
+        )
+        n = per_line.column("count_all").to_numpy(zero_copy_only=False).astype(np.int64)
+        L = per_line.column("chars_min").to_numpy(zero_copy_only=False).astype(np.int64)
+        stats = (
+            per_line.select([id_col])
+            .append_column("n", pa.array(n))
+            .append_column("dup", pa.array(n - 1))
+            .append_column("tot_c", pa.array(n * L))
+            .append_column("dup_c", pa.array((n - 1) * L))
+            .group_by([id_col])
+            .aggregate([("n", "sum"), ("dup", "sum"), ("tot_c", "sum"), ("dup_c", "sum")])
+        )
+        nl = stats.column("n_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = stats.column("dup_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = stats.column("tot_c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        dc = stats.column("dup_c_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            lf = dup.astype(np.float64) / nl.astype(np.float64)  # n_lines >= 1 always
+            cf = np.where(tc > 0, dc.astype(np.float64) / np.maximum(tc, 1).astype(np.float64), 0.0)
+        return pa.table(
+            {
+                id_col: stats.column(id_col),
+                "n_lines": pa.array(nl),
+                "dup_line_frac": pa.array(lf),
+                "dup_line_char_frac": pa.array(cf),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def line_repetition_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Oracle for ``line_repetition``: identical split / count / integer-
+    ratio rule grouped on the raw line string (the engine groups the
+    line's fingerprint — equal absent collisions); the final divisions are
+    the same int64→DOUBLE IEEE operations."""
+    return f"""
+        WITH paras AS (
+            SELECT {id_col}, unnest(string_split({text_col}, chr(10))) AS p
+            FROM ({docs_sql})
+        ),
+        g AS (
+            SELECT {id_col}, p,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(length(p) AS BIGINT) AS L
+            FROM paras GROUP BY {id_col}, p
+        )
+        SELECT {id_col},
+               CAST(SUM(n) AS BIGINT) AS n_lines,
+               CAST(SUM(n - 1) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS dup_line_frac,
+               CASE WHEN SUM(n * L) = 0 THEN 0.0
+                    ELSE CAST(SUM((n - 1) * L) AS DOUBLE)
+                         / CAST(SUM(n * L) AS DOUBLE)
+               END AS dup_line_char_frac
+        FROM g GROUP BY {id_col}"""

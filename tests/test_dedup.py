@@ -265,3 +265,145 @@ def test_batch_signatures_match_scalar_reference():
         [None if t is None else str(t) for t in texts]
     )]))
     assert (got2 == want).all()
+
+
+def _para_corpus():
+    """Multi-line docs with cross-doc and within-doc duplicate paragraphs.
+    Long lines (>=16 chars) dedupe; short lines never do."""
+    shared = "this exact paragraph appears in several documents"
+    other = "a second long paragraph repeated across the corpus"
+    return pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                f"{shared}\nunique first doc body line here\n--",
+                f"intro line two\n{shared}\n{other}",
+                f"{other}\n{other}\nshort",          # within-doc dup too
+                f"{shared}",                          # fully dropped
+                "",                                   # empty doc survives
+            ],
+        }
+    )
+
+
+def test_drop_dup_paragraphs_semantics(ray_session):
+    df = _para_corpus()
+    out = (
+        dedup.drop_dup_paragraphs(rd.from_pandas(df), "text", "doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    shared = "this exact paragraph appears in several documents"
+    other = "a second long paragraph repeated across the corpus"
+    # doc 1 holds the first occurrence of `shared`; keeps everything
+    assert out.loc[1, "text_clean"] == f"{shared}\nunique first doc body line here\n--"
+    assert out.loc[1, "n_dropped"] == 0
+    # doc 2 loses `shared` (kept in doc 1) but keeps `other` (first corpus
+    # occurrence is (2, 2)) and its short intro line
+    assert out.loc[2, "text_clean"] == f"intro line two\n{other}"
+    assert out.loc[2, "n_dropped"] == 1
+    # doc 3: both copies of `other` drop (keeper is doc 2), short line stays
+    assert out.loc[3, "text_clean"] == "short"
+    assert out.loc[3, "n_kept"] == 1 and out.loc[3, "n_dropped"] == 2
+    # doc 4's only paragraph was dropped -> doc absent
+    assert 4 not in out.index
+    # doc 5: empty text is a single short paragraph, kept verbatim
+    assert out.loc[5, "text_clean"] == "" and out.loc[5, "n_kept"] == 1
+
+
+def test_drop_dup_paragraphs_matches_sql_oracle(ray_session, synth_small):
+    """Engine vs the DuckDB oracle over the synth documents table (single-
+    paragraph docs with many exact duplicates) AND the crafted multi-line
+    corpus."""
+    import duckdb
+
+    for df in [
+        _para_corpus(),
+        # driver-shaped flat corpus: single-paragraph docs, many exact dups
+        pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+            ["doc_id", "text"]
+        ].head(2000),
+    ]:
+        got = (
+            dedup.drop_dup_paragraphs(rd.from_pandas(df), "text", "doc_id")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("docs_in", df)
+        exp = (
+            con.sql(
+                dedup.drop_dup_paragraphs_sql("SELECT doc_id, text FROM docs_in")
+            )
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con.close()
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "text_clean", "n_kept", "n_dropped"]].astype(
+                {"n_kept": "int64", "n_dropped": "int64"}
+            ),
+            exp[["doc_id", "text_clean", "n_kept", "n_dropped"]].astype(
+                {"n_kept": "int64", "n_dropped": "int64"}
+            ),
+        )
+
+
+def test_near_dedup_filter_drops_larger_near_dups(ray_session):
+    df = _planted_corpus()
+    df["doc_id"] = ["a1", "a2", "a3", "b1", "b2", "c1", "d1"]
+    kept = set(
+        dedup.near_dedup_filter(rd.from_pandas(df), "text", "doc_id")
+        .to_pandas()["doc_id"]
+    )
+    # expectation derived from the verified pairs themselves: drop = larger
+    # id of every verified pair
+    cand = dedup.minhash_candidate_pairs(rd.from_pandas(df), "text", "doc_id").materialize()
+    ver = dedup._verify_pairs_distributed(
+        rd.from_pandas(df), cand, "text", "doc_id", k=5, threshold=0.4,
+        n_pairs=cand.count(),
+    ).to_pandas()
+    exp = set(df["doc_id"]) - set(ver["b"])
+    assert kept == exp
+    # the planted clusters actually collapsed: each cluster's min id kept
+    assert "a1" in kept and "b1" in kept
+    assert not {"a2", "a3", "b2"} & kept
+
+
+def test_line_repetition_matches_sql(ray_session):
+    import duckdb
+
+    from kaza_lcms_ray.stages import text as T
+
+    df = _para_corpus()
+    # add a doc with heavy within-doc line repetition
+    rep = "repeat this exact long line please\n" * 4 + "tail"
+    df = pd.concat(
+        [df, pd.DataFrame({"doc_id": [9], "text": [rep]})], ignore_index=True
+    )
+    got = (
+        T.line_repetition(rd.from_pandas(df), "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs_in", df)
+    exp = (
+        con.sql(T.line_repetition_sql("SELECT doc_id, text FROM docs_in"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"]],
+        exp[["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"]],
+        check_dtype=False,
+    )
+    # doc 9: 5 lines, 3 dup occurrences of the long line
+    r9 = got.set_index("doc_id").loc[9]
+    assert r9["n_lines"] == 5 and abs(r9["dup_line_frac"] - 3 / 5) < 1e-15
