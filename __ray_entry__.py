@@ -401,6 +401,41 @@ def q_para_dedup(sf_dir: str):
     )
 
 
+def q_curriculum_rank(sf_dir: str):
+    """Global curriculum ordering: dense rank of every document under the
+    total order (quality asc, doc_id asc) via the two-level ordered-bucket
+    scan (stages/packing.global_rank — ≤4096 bucket counts driver-side,
+    exact in-bucket sort).  Value-checked against one SQL window."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import packing, text as T
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = T.text_scores(docs)
+    return _i64(
+        packing.global_rank(scored, "quality", "doc_id"),
+        ["doc_id", "quality", "rank"],
+    )
+
+
+REDACT_QUERY_PATTERN = r"(spark|customer)"  # corpus-present "entity" shapes
+
+
+def q_redact(sf_dir: str):
+    """Regex scrubbing through the stateless Arrow kernel pass
+    (stages/text.redact): RE2 on both sides, value-checked including the
+    rewritten text."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        T.redact(docs, REDACT_QUERY_PATTERN, "<ENT>"),
+        ["doc_id", "text_redacted", "n_hits"],
+    )
+
+
 def q_line_repetition(sf_dir: str):
     """Gopher duplicate-line signals per document (stages/text.
     line_repetition): in-batch integer ratios, line identity travels as a
@@ -1586,6 +1621,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
+        "curriculum_rank": q_curriculum_rank,
+        "redact": q_redact,
         "planet_stack": q_planet_stack,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -1979,6 +2016,16 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "line_repetition": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).line_repetition_sql("SELECT doc_id, text FROM documents"),
+        "curriculum_rank": __import__(
+            "kaza_lcms_ray.stages.packing", fromlist=["packing"]
+        ).global_rank_sql(
+            f"SELECT doc_id, quality FROM ({_text_scores_sql()})", "quality"
+        ),
+        "redact": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).redact_sql(
+            "SELECT doc_id, text FROM documents", REDACT_QUERY_PATTERN, "<ENT>"
+        ),
         "curation": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).curation_sql(_text_scores_sql()),

@@ -255,3 +255,80 @@ def mix_sources_sql(
         SELECT h.doc_id, h.source
         FROM hashed h JOIN thr t ON h.source = t.source
         WHERE CAST(h.hv // 2048 AS BIGINT) < t.lim"""
+
+
+N_ORDER_BUCKETS = 4096  # monotone value-range buckets; driver scan <= this
+
+
+def global_rank(
+    ds,
+    value_col: str,
+    id_col: str = "doc_id",
+    lo: float = 0.0,
+    hi: float = 1.0,
+):
+    """Dense 0-based GLOBAL rank of every row under the total order
+    (``value_col`` asc, ``id_col`` asc) — the curriculum-ordering / global-
+    sort-position primitive — without ever holding the corpus in one task.
+
+    Same two-level scan as ``pack_sequences``: rows hash into
+    ``N_ORDER_BUCKETS`` ORDERED buckets (bucket = value's position in a
+    monotone [lo, hi] binning — any monotone binning preserves the total
+    order across buckets; within a bucket the exact (value, id) sort
+    decides), per-bucket COUNTS reduce to ≤4096 rows, the driver scans
+    that tiny table into exclusive bucket offsets, and one hash-shuffled
+    ``groupby(bucket)`` assigns rank = bucket offset + local sort index.
+    Reshard-invariant; nothing driver-side grows with the corpus.  Values
+    outside [lo, hi] clamp into the edge buckets (order still exact —
+    clamping only affects WHICH bucket sorts them).
+
+    Returns Dataset[id, value, rank]."""
+    from . import zonal
+
+    nb = N_ORDER_BUCKETS
+
+    def binb(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor((np.clip(v, lo, hi) - lo) / (hi - lo) * nb).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                value_col: t.column(value_col),
+                "kb": pa.array(np.clip(b, 0, nb - 1)),
+            }
+        )
+
+    skinny = ds.select_columns([id_col, value_col]).map_batches(
+        binb, batch_format="pyarrow"
+    ).materialize()  # skinny (~24 B/row) projection, consumed twice
+
+    partial = skinny.map_batches(
+        lambda t: t.group_by(["kb"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["kb", "n"]),
+        batch_format="pyarrow",
+    )
+    totals = zonal.bucketed_sum(partial, ["kb"], ["n"]).to_pandas().sort_values("kb")
+    offsets = np.zeros(nb, dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(totals["n"].to_numpy(np.int64))))
+    offsets[totals["kb"].to_numpy()] = csum[:-1]
+    off_ref = ray.put(offsets)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        base = ray.get(off_ref)
+        g = g.sort_values([value_col, id_col], kind="mergesort").reset_index(drop=True)
+        rank = int(base[int(g["kb"].iloc[0])]) + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame(
+            {id_col: g[id_col], value_col: g[value_col], "rank": rank}
+        )
+
+    return skinny.groupby("kb").map_groups(per_bucket, batch_format="pandas")
+
+
+def global_rank_sql(rows_sql: str, value_col: str, id_col: str = "doc_id") -> str:
+    """Oracle: one window function over the identical total order."""
+    return f"""
+        SELECT {id_col}, {value_col},
+               CAST(ROW_NUMBER() OVER (ORDER BY {value_col}, {id_col}) - 1
+                    AS BIGINT) AS rank
+        FROM ({rows_sql})"""

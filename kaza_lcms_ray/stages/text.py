@@ -1089,3 +1089,53 @@ def line_repetition_sql(docs_sql: str, text_col: str = "text", id_col: str = "do
                          / CAST(SUM(n * L) AS DOUBLE)
                END AS dup_line_char_frac
         FROM g GROUP BY {id_col}"""
+
+
+REDACT_DEFAULT_PATTERN = r"[0-9][0-9 \-]{6,}[0-9]"  # phone/account shapes
+
+
+def redact(
+    ds,
+    pattern: str = REDACT_DEFAULT_PATTERN,
+    replacement: str = "<NUM>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """PII-style scrubbing: replace every (non-overlapping) regex match
+    with ``replacement`` and count the hits.  Stateless per-batch Arrow
+    kernels (RE2 on both engine and oracle sides → identical match sets);
+    no shuffle.  Returns Dataset[id, text_redacted, n_hits]."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hits = pc.count_substring_regex(text, pattern)
+        red = pc.replace_substring_regex(text, pattern, replacement)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "text_redacted": red,
+                "n_hits": hits.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def redact_sql(
+    docs_sql: str,
+    pattern: str = REDACT_DEFAULT_PATTERN,
+    replacement: str = "<NUM>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle: DuckDB's RE2 global replace + non-overlapping match count —
+    the same regex engine as Arrow's kernels, so match sets are equal."""
+    pat = pattern.replace("'", "''")
+    rep = replacement.replace("'", "''")
+    return f"""
+        SELECT {id_col},
+               regexp_replace({text_col}, '{pat}', '{rep}', 'g') AS text_redacted,
+               CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT) AS n_hits
+        FROM ({docs_sql})"""

@@ -407,3 +407,38 @@ def test_line_repetition_matches_sql(ray_session):
     # doc 9: 5 lines, 3 dup occurrences of the long line
     r9 = got.set_index("doc_id").loc[9]
     assert r9["n_lines"] == 5 and abs(r9["dup_line_frac"] - 3 / 5) < 1e-15
+
+
+def test_redact_matches_sql(ray_session):
+    import duckdb
+
+    from kaza_lcms_ray.stages import text as T
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "call 555-123 4567 now",
+                "no digits here at all",
+                "a 1234567890 b 22-33-44-55 c",
+            ],
+        }
+    )
+    got = (
+        T.redact(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("docs_in", df)
+    exp = (
+        con.sql(T.redact_sql("SELECT doc_id, text FROM docs_in"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+    assert got.loc[0, "n_hits"] == 1 and got.loc[1, "n_hits"] == 0
+    assert "<NUM>" in got.loc[2, "text_redacted"]

@@ -141,3 +141,57 @@ def test_pack_roundtrip_and_ordered_consumption(ray_session, tmp_path):
     assert (np.diff(offs) >= 0).all()
     ends = offs[nz] + toks[nz]
     assert (offs[nz][1:] == ends[:-1]).all()
+
+
+def test_global_rank_matches_sql_and_resharding(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import packing
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            # clustered values with exact ties to exercise the tiebreak
+            "quality": np.round(rng.random(500), 2),
+        }
+    )
+    got = (
+        packing.global_rank(rd.from_pandas(df), "quality", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("rows_in", df)
+    exp = (
+        con.sql(
+            packing.global_rank_sql("SELECT doc_id, quality FROM rows_in", "quality")
+        )
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+    # reshard invariance: 17 input blocks give the identical ranking
+    got2 = (
+        packing.global_rank(
+            rd.from_pandas(df).repartition(17), "quality", "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+    # out-of-range values clamp into edge buckets but still rank exactly
+    df2 = df.assign(quality=df["quality"] * 3 - 1)
+    got3 = (
+        packing.global_rank(rd.from_pandas(df2), "quality", "doc_id")
+        .to_pandas()
+        .sort_values("quality", kind="mergesort")
+    )
+    assert (got3["rank"].to_numpy() == np.arange(500)).all()
