@@ -372,6 +372,19 @@ def q_harmonic_year(sf_dir: str):
     )
 
 
+def q_harmonic_rgb(sf_dir: str):
+    """HSV→RGB phase/amplitude visualization (stages/zonal.harmonic_rgb —
+    reference src/utils/harmonics.py:49-60), composed on the per-year
+    harmonic fit.  Value-checked including the r/g/b doubles."""
+    from kaza_lcms_ray.stages import zonal
+
+    harm = zonal.harmonic_fit(_geo(sf_dir), keys=("year",), band=3)
+    return _i64(
+        zonal.harmonic_rgb(harm).select_columns(["year", "r", "g", "b"]),
+        ["year", "r", "g", "b"],
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -1623,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_repetition": q_line_repetition,
         "curriculum_rank": q_curriculum_rank,
         "redact": q_redact,
+        "harmonic_rgb": q_harmonic_rgb,
         "planet_stack": q_planet_stack,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -2039,6 +2053,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "media_frames": _media_frames_sql(root),
         "lee_sigma": _lee_sigma_sql(root),
         "harmonic_year": _harmonic_year_sql(geo),
+        "harmonic_rgb": _harmonic_rgb_sql(geo),
         "harmonic_windowed": _harmonic_windowed_sql(geo, cells),
         "training_split": _training_split_sql(geo, root),
         "rf_landcover": _rf_landcover_sql(root),
@@ -3540,6 +3555,31 @@ def _harmonic_year_sql(geo: str) -> str:
         SELECT "year", CAST(n_int AS BIGINT) AS n,
                phase AS b3_phase, amplitude AS b3_amplitude
         FROM out_b3"""
+
+
+def _harmonic_rgb_sql(geo: str) -> str:
+    """HSV→RGB oracle (stages/zonal.harmonic_rgb): hue = clamped
+    unit-scaled phase, sat = clamped amplitude×2.5, value 1, six-sector
+    conversion — every op the same IEEE double expression as the engine."""
+    return f"""
+        WITH hy AS ({_harmonic_year_sql(geo)}),
+        x AS (
+            SELECT "year",
+                   LEAST(GREATEST((b3_phase + pi()) / (2 * pi()), 0), 1) AS hh,
+                   LEAST(GREATEST(b3_amplitude * 2.5, 0), 1) AS s
+            FROM hy
+        ),
+        y AS (SELECT *, hh * 6 AS h6, floor(hh * 6) AS fi FROM x),
+        z AS (SELECT *, CAST(fi AS BIGINT) % 6 AS i, h6 - fi AS f FROM y),
+        w AS (SELECT *, 1 - s AS p, 1 - f * s AS q, 1 - (1 - f) * s AS t FROM z)
+        SELECT "year",
+               CASE i WHEN 0 THEN 1 WHEN 1 THEN q WHEN 2 THEN p
+                      WHEN 3 THEN p WHEN 4 THEN t ELSE 1 END AS r,
+               CASE i WHEN 0 THEN t WHEN 1 THEN 1 WHEN 2 THEN 1
+                      WHEN 3 THEN q WHEN 4 THEN p ELSE p END AS g,
+               CASE i WHEN 0 THEN p WHEN 1 THEN p WHEN 2 THEN t
+                      WHEN 3 THEN 1 WHEN 4 THEN 1 ELSE q END AS b
+        FROM w"""
 
 
 def _harmonic_windowed_sql(geo: str, cells: str) -> str:

@@ -645,3 +645,38 @@ def area_by_class(tile_labels, level: int):
         .aggregate(Sum("n_tiles", alias_name="n_tiles"), Sum("area_m2", alias_name="area_m2"))
     )
     return agg
+
+
+def harmonic_rgb(ds, phase_col: str = "b3_phase", amp_col: str = "b3_amplitude"):
+    """HSV→RGB display transform of harmonic (phase, amplitude) — the
+    reference's ``harmonicRGB`` (src/utils/harmonics.py:49-60): hue =
+    phase unit-scaled from [-π, π] (clamped, as ``ee.Image.unitScale``
+    clamps), saturation = amplitude × 2.5 clamped to [0, 1], value = 1,
+    then the standard six-sector HSV→RGB conversion.  Stateless per-batch
+    numpy; every arithmetic op mirrors the SQL oracle's expression tree
+    IEEE-exactly.  Appends r, g, b columns."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ph = t.column(phase_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        am = t.column(amp_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.minimum(np.maximum((ph + np.pi) / (2 * np.pi), 0.0), 1.0)
+        s = np.minimum(np.maximum(am * 2.5, 0.0), 1.0)
+        h6 = h * 6.0
+        fi = np.floor(h6)
+        i = fi.astype(np.int64) % 6
+        f = h6 - fi
+        p = 1.0 - s
+        q = 1.0 - f * s
+        tt = 1.0 - (1.0 - f) * s
+        one = np.ones_like(h)
+        sect = [i == k for k in range(6)]
+        r = np.select(sect, [one, q, p, p, tt, one])
+        g = np.select(sect, [tt, one, one, q, p, p])
+        b = np.select(sect, [p, p, tt, one, one, q])
+        return (
+            t.append_column("r", pa.array(r))
+            .append_column("g", pa.array(g))
+            .append_column("b", pa.array(b))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -142,3 +142,26 @@ def test_approx_percentiles_within_bin_error(synth_small, ray_session):
         .reset_index(drop=True)
     )
     assert approx.equals(approx2)
+
+
+def test_harmonic_rgb_conversion(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import zonal
+
+    # phase -pi -> hue 0 (pure red at s=1); phase ~ +pi/3 -> hue 2/3 (blue)
+    df = pd.DataFrame(
+        {
+            "b3_phase": [-np.pi, -np.pi / 3, np.pi / 3, 0.0],
+            "b3_amplitude": [0.4, 0.4, 0.4, 0.0],  # s=1,1,1,0
+        }
+    )
+    out = zonal.harmonic_rgb(rd.from_pandas(df)).to_pandas()
+    rgb = out[["r", "g", "b"]].to_numpy()
+    assert ((rgb >= 0) & (rgb <= 1)).all()
+    assert np.allclose(rgb[0], [1, 0, 0])        # hue 0 -> red
+    assert np.allclose(rgb[1], [0, 1, 0])        # hue 1/3 -> green
+    assert np.allclose(rgb[2], [0, 0, 1])        # hue 2/3 -> blue
+    assert np.allclose(rgb[3], [1, 1, 1])        # s=0 -> white (v=1)
