@@ -374,8 +374,7 @@ def near_dedup_filter(
     drops = drops.materialize()
     n_drop = drops.count()
     if n_drop <= max_broadcast_ids:
-        ids = [r["b"] for r in drops.take_all()]
-        return anti_join_ids(ds, id_col, ids)
+        return anti_join_ids(ds, id_col, drops.to_pandas()["b"].to_numpy())
 
     def flag(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t.column("b"), "_drop": pa.array(np.ones(len(t), np.int64))})

@@ -45,7 +45,7 @@ def join_first(left, right, on: list[str], order_col: str, num_partitions: int |
 
 def anti_join_ids(ds, id_col: str, ids):
     """Drop rows whose id is in ``ids`` (broadcast set, vectorized isin)."""
-    ids_ref = ray.put(np.asarray(sorted(ids)))
+    ids_ref = ray.put(np.sort(np.asarray(ids)))
 
     class AntiFilter:
         def __init__(self):

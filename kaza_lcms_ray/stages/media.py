@@ -66,11 +66,9 @@ class DeterministicFakeCodec:
     def decode_batch(self, refs: list[str]) -> np.ndarray:
         """Vectorized: (n_refs, H, W, C) in one hash pass — per-image Python
         loops made media decode ~100× slower at corpus scale."""
-        from ..state.hashing import _fnv1a
+        from ..state.hashing import fnv1a_arr
 
-        keys = hash_key(
-            self.seed, "px", np.asarray([_fnv1a(r) for r in refs], dtype=np.uint64)
-        )
+        keys = hash_key(self.seed, "px", fnv1a_arr(refs))
         n = self.h * self.w * self.c
         with np.errstate(over="ignore"):
             vals = hash_key(
