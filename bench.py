@@ -229,6 +229,12 @@ def run_bench() -> dict:
     timed(
         "gopher_corpus", lambda: text.gopher_quality(text_corpus()).count()
     )
+    from kaza_lcms_ray.stages import dedup
+
+    timed(
+        "para_dedup_corpus",
+        lambda: dedup.drop_dup_paragraphs(text_corpus(), "text", "doc_id").count(),
+    )
 
     ray.shutdown()
     return {

@@ -142,12 +142,52 @@ def _explode_paragraphs(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
     )
 
 
+def _rebuild_contiguous(s: pa.Table, id_col: str) -> pa.Table:
+    """Reassemble (id, idx, para, n_para) rows — already grouped by id and
+    idx-ascending — into one (id, text_clean, n_kept, n_dropped) row per
+    doc via Arrow ``binary_join`` over a list view (no per-doc Python)."""
+    import pyarrow.compute as pc
+
+    ids = s.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    idv = ids.to_numpy(zero_copy_only=False)
+    n = len(s)
+    first = np.ones(n, dtype=bool)
+    if n:
+        first[1:] = idv[1:] != idv[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, n)).astype(np.int64)
+    offsets = pa.array(np.append(0, np.cumsum(counts)).astype(np.int64))
+    para = s.column("para")
+    if isinstance(para, pa.ChunkedArray):
+        para = para.combine_chunks()
+    # large types: a task's total text can pass 2 GiB at corpus scale
+    joined_txt = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, para.cast(pa.large_string())),
+        pa.scalar("\n", type=pa.large_string()),
+    )
+    n_para = s.column("n_para").to_numpy(zero_copy_only=False)[starts]
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(starts)),
+            "text_clean": joined_txt,
+            "n_kept": pa.array(counts),
+            "n_dropped": pa.array((n_para - counts).astype(np.int64)),
+        }
+    )
+
+
+PARA_KEEPER_BROADCAST_LIMIT = 5_000_000  # distinct long paragraphs
+
+
 def drop_dup_paragraphs(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = PARA_MIN_DEDUP_LEN,
     rows_hint: int | None = None,
+    keeper_broadcast_limit: int = PARA_KEEPER_BROADCAST_LIMIT,
 ):
     """C4/RefinedWeb-style corpus-wide line dedup: every '\\n'-separated
     paragraph of length ≥ ``min_len`` survives only at its FIRST corpus
@@ -157,32 +197,35 @@ def drop_dup_paragraphs(
 
     Scale shape (the ``drop_exact_dupes`` fingerprint discipline — raw
     paragraph text never enters a shuffle key):
-      1. explode to (id, idx, para) + 128-bit paragraph fingerprint per
-         batch — only skinny (fp, id, idx) rows shuffle;
+      1. one streaming pass explodes to per-batch (fp128, id, idx) SKINNY
+         rows for ≥min_len paragraphs (text never leaves the batch);
       2. first-occurrence keeper per fingerprint via per-batch Arrow-sorted
          partials + a hash-bucketed combine (exact tuple-min under any
          blocking: each phase keeps the lexicographic minimum);
-      3. integer-keyed hash join of keepers back onto the exploded stream
-         (left outer: paragraphs under ``min_len`` carry no keeper);
-      4. per-doc reassembly in hash-bucketed groups — Arrow ``binary_join``
-         over a list view, no per-doc Python string building.
+      3. keeper table ≤ ``keeper_broadcast_limit`` (one row per distinct
+         long paragraph): broadcast once via ``ray.put`` and run ONE
+         stateless second pass over the original docs — explode, probe the
+         sorted keeper arrays (two-level searchsorted), drop, reassemble —
+         all inside the batch.  The corpus text never enters a shuffle or
+         join at all (a document is one input row, so its paragraphs never
+         cross a batch boundary; nothing relies on downstream block
+         composition).  Measured at the 6.7 M-span bench corpus: 41 s for
+         the join path → ~16 s for this pass structure;
+      4. above the limit: fall back to the hash-join path — keepers join
+         back on the integer fingerprint (left outer), per-doc reassembly
+         in hash-bucketed groups.
 
     Returns Dataset[id, text_clean, n_kept, n_dropped].  Reference analog:
     exact distinct (SURVEY §2.7) applied at sub-document granularity."""
     import pyarrow.compute as pc
 
+    import ray
+
     from ..runtime import join_partitions
     from ..state.hashing import id_u64, splitmix64 as _smx
     from .zonal import _default_buckets
 
-    def explode_fp(t: pa.Table) -> pa.Table:
-        out = _explode_paragraphs(t, text_col, id_col)
-        hi, lo = _fp128(out.column("para"))
-        return out.append_column(
-            "fp_hi", pa.array(hi.astype(np.int64))
-        ).append_column("fp_lo", pa.array(lo.astype(np.int64)))
-
-    paras = ds.map_batches(explode_fp, batch_format="pyarrow")
+    nb = _default_buckets(rows_hint)
 
     sort_keys = [
         ("fp_hi", "ascending"),
@@ -201,10 +244,20 @@ def drop_dup_paragraphs(
         return s.filter(pa.array(first))
 
     def keeper_partial(t: pa.Table) -> pa.Table:
-        long_rows = t.filter(
-            pc.greater_equal(pc.utf8_length(t.column("para")), min_len)
-        ).select(["fp_hi", "fp_lo", id_col, "idx"])
-        out = first_per_fp(long_rows)
+        ex = _explode_paragraphs(t, text_col, id_col)
+        hi, lo = _fp128(ex.column("para"))
+        is_long = pc.greater_equal(
+            pc.utf8_length(ex.column("para")), min_len
+        ).to_numpy(zero_copy_only=False)
+        skinny = pa.table(
+            {
+                "fp_hi": pa.array(hi.astype(np.int64)[is_long]),
+                "fp_lo": pa.array(lo.astype(np.int64)[is_long]),
+                id_col: ex.column(id_col).filter(pa.array(is_long)),
+                "idx": ex.column("idx").filter(pa.array(is_long)),
+            }
+        )
+        out = first_per_fp(skinny)
         bucket = (
             _smx(
                 out.column("fp_hi").to_numpy(zero_copy_only=False).view(np.uint64)
@@ -214,24 +267,100 @@ def drop_dup_paragraphs(
         ).astype(np.int64)
         return out.append_column("bucket", pa.array(bucket))
 
-    nb = _default_buckets(rows_hint)
-
     def keeper_combine(g: pa.Table) -> pa.Table:
         return first_per_fp(g.drop_columns(["bucket"])).rename_columns(
             ["fp_hi", "fp_lo", "keep_id", "keep_idx"]
         )
 
     keepers = (
-        paras.map_batches(keeper_partial, batch_format="pyarrow")
+        ds.map_batches(keeper_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(keeper_combine, batch_format="pyarrow")
         .materialize()  # skinny: one row per distinct long paragraph
     )
+    n_keep = keepers.count()
 
+    if n_keep <= keeper_broadcast_limit:
+        kt = keepers.to_pandas()
+        khi = kt["fp_hi"].to_numpy(np.int64)
+        klo = kt["fp_lo"].to_numpy(np.int64)
+        order = np.lexsort((klo, khi))
+        side_ref = ray.put(
+            {
+                "hi": khi[order],
+                "lo": klo[order],
+                "kid": pa.Table.from_pandas(
+                    kt.iloc[order][["keep_id"]], preserve_index=False
+                ).column("keep_id"),
+                "kidx": kt["keep_idx"].to_numpy(np.int64)[order],
+            }
+        )
+
+        def dedup_batch(t: pa.Table) -> pa.Table:
+            side = ray.get(side_ref)
+            ex = _explode_paragraphs(t, text_col, id_col)
+            hi, lo = _fp128(ex.column("para"))
+            hi = hi.astype(np.int64)
+            lo = lo.astype(np.int64)
+            is_long = pc.greater_equal(
+                pc.utf8_length(ex.column("para")), min_len
+            ).to_numpy(zero_copy_only=False)
+            kept = np.ones(len(ex), dtype=bool)
+            li = np.flatnonzero(is_long)
+            if li.size:
+                h, l = hi[li], lo[li]
+                # two-level probe of the (hi, lo)-lexsorted keeper arrays:
+                # locate the hi-run, then the exact lo inside it (runs are
+                # ~always length 1 — 64-bit hi collisions are ~n²/2⁶⁵)
+                start = np.searchsorted(side["hi"], h, side="left")
+                end = np.searchsorted(side["hi"], h, side="right")
+                if (end == start).any():
+                    raise ValueError(
+                        "drop_dup_paragraphs: paragraph fingerprint missing "
+                        "from keeper table"
+                    )
+                pos = start.copy()
+                multi = np.flatnonzero(end - start > 1)
+                for j in multi:  # astronomically rare hi-collision runs
+                    pos[j] = start[j] + np.searchsorted(
+                        side["lo"][start[j] : end[j]], l[j]
+                    )
+                # every long paragraph's fp IS in keepers by construction
+                own_idx = (
+                    ex.column("idx").to_numpy(zero_copy_only=False)[li]
+                    == side["kidx"][pos]
+                )
+                own = own_idx.copy()
+                cand = np.flatnonzero(own_idx)
+                if cand.size:
+                    # id compare only where idx already matches (≈ one row
+                    # per distinct paragraph) — vectorized Arrow equality
+                    ids_sub = ex.column(id_col).take(pa.array(li[cand]))
+                    kid_sub = (
+                        side["kid"].take(pa.array(pos[cand])).combine_chunks()
+                    )
+                    own[cand] = pc.equal(ids_sub, kid_sub).to_numpy(
+                        zero_copy_only=False
+                    )
+                kept[li] = own
+            s = ex.filter(pa.array(kept))
+            return _rebuild_contiguous(s, id_col)
+
+        return ds.map_batches(dedup_batch, batch_format="pyarrow")
+
+    # ---- large-keeper fallback: hash-join the keepers back on the fp ----
+    def explode_fp(t: pa.Table) -> pa.Table:
+        out = _explode_paragraphs(t, text_col, id_col)
+        hi, lo = _fp128(out.column("para"))
+        return out.append_column(
+            "fp_hi", pa.array(hi.astype(np.int64))
+        ).append_column("fp_lo", pa.array(lo.astype(np.int64)))
+
+    paras = ds.map_batches(explode_fp, batch_format="pyarrow")
     joined = paras.join(
         keepers,
         join_type="left_outer",
-        num_partitions=join_partitions(rows_hint=keepers.count()),
+        num_partitions=join_partitions(),
         on=("fp_hi", "fp_lo"),
     )
 
@@ -263,34 +392,7 @@ def drop_dup_paragraphs(
                 g, sort_keys=[(id_col, "ascending"), ("idx", "ascending")]
             )
         )
-        ids = s.column(id_col)
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        idv = ids.to_numpy(zero_copy_only=False)
-        n = len(s)
-        first = np.ones(n, dtype=bool)
-        if n:
-            first[1:] = idv[1:] != idv[:-1]
-        starts = np.flatnonzero(first)
-        counts = np.diff(np.append(starts, n)).astype(np.int64)
-        offsets = pa.array(np.append(0, np.cumsum(counts)).astype(np.int64))
-        para = s.column("para")
-        if isinstance(para, pa.ChunkedArray):
-            para = para.combine_chunks()
-        # large types: a bucket's total text can pass 2 GiB at corpus scale
-        joined_txt = pc.binary_join(
-            pa.LargeListArray.from_arrays(offsets, para.cast(pa.large_string())),
-            pa.scalar("\n", type=pa.large_string()),
-        )
-        n_para = s.column("n_para").to_numpy(zero_copy_only=False)[starts]
-        return pa.table(
-            {
-                id_col: ids.take(pa.array(starts)),
-                "text_clean": joined_txt,
-                "n_kept": pa.array(counts),
-                "n_dropped": pa.array((n_para - counts).astype(np.int64)),
-            }
-        )
+        return _rebuild_contiguous(s, id_col)
 
     return (
         kept.map_batches(add_doc_bucket, batch_format="pyarrow")
@@ -380,10 +482,12 @@ def near_dedup_filter(
         return pa.table({id_col: t.column("b"), "_drop": pa.array(np.ones(len(t), np.int64))})
 
     drop_keyed = drops.map_batches(flag, batch_format="pyarrow")
+    # partitions sized for the corpus-sided left input (see
+    # drop_dup_paragraphs), not the small drop set
     joined = ds.join(
         drop_keyed,
         join_type="left_outer",
-        num_partitions=join_partitions(rows_hint=n_drop),
+        num_partitions=join_partitions(),
         on=(id_col,),
     )
 

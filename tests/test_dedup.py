@@ -442,3 +442,24 @@ def test_redact_matches_sql(ray_session):
     pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
     assert got.loc[0, "n_hits"] == 1 and got.loc[1, "n_hits"] == 0
     assert "<NUM>" in got.loc[2, "text_redacted"]
+
+
+def test_drop_dup_paragraphs_join_fallback_equals_broadcast(ray_session):
+    """keeper_broadcast_limit=0 forces the hash-join fallback; both paths
+    must produce the identical corpus."""
+    df = _para_corpus()
+    a = (
+        dedup.drop_dup_paragraphs(rd.from_pandas(df), "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup.drop_dup_paragraphs(
+            rd.from_pandas(df), "text", "doc_id", keeper_broadcast_limit=0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
