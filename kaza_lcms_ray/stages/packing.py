@@ -266,6 +266,7 @@ def global_rank(
     id_col: str = "doc_id",
     lo: float = 0.0,
     hi: float = 1.0,
+    num_buckets: int | None = None,
 ):
     """Dense 0-based GLOBAL rank of every row under the total order
     (``value_col`` asc, ``id_col`` asc) — the curriculum-ordering / global-
@@ -282,10 +283,18 @@ def global_rank(
     outside [lo, hi] clamp into the edge buckets (order still exact —
     clamping only affects WHICH bucket sorts them).
 
+    Per-task bound: one bucket ≈ corpus/``num_buckets`` rows PLUS any
+    value tie-run crossing it (identical values share a bin by
+    construction — e.g. a mass of exactly-duplicate documents sharing one
+    quality double).  The binning is monotone at ANY granularity, so at
+    extreme scale raise ``num_buckets`` (the driver scan grows linearly
+    and stays trivial up to ~10⁶); the irreducible worst case is the
+    single largest tie-run, whose internal order is (id)-only.
+
     Returns Dataset[id, value, rank]."""
     from . import zonal
 
-    nb = N_ORDER_BUCKETS
+    nb = num_buckets or N_ORDER_BUCKETS
 
     def binb(t: pa.Table) -> pa.Table:
         v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
