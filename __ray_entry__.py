@@ -414,6 +414,17 @@ def q_para_dedup(sf_dir: str):
     )
 
 
+def q_top_bigrams(sf_dir: str):
+    """Exact corpus-level top-20 word bigrams (stages/text.top_ngrams) —
+    the exact heavy-hitter counterpart of cms_heavy.  Value-checked."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(T.top_ngrams(docs, n=2, k=20), ["term", "ct"])
+
+
 def q_curriculum_rank(sf_dir: str):
     """Global curriculum ordering: dense rank of every document under the
     total order (quality asc, doc_id asc) via the two-level ordered-bucket
@@ -1637,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_rank": q_curriculum_rank,
         "redact": q_redact,
         "harmonic_rgb": q_harmonic_rgb,
+        "top_bigrams": q_top_bigrams,
         "planet_stack": q_planet_stack,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -2040,6 +2052,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).redact_sql(
             "SELECT doc_id, text FROM documents", REDACT_QUERY_PATTERN, "<ENT>"
         ),
+        "top_bigrams": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).top_ngrams_sql("SELECT doc_id, text FROM documents", n=2, k=20),
         "curation": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).curation_sql(_text_scores_sql()),

@@ -1139,3 +1139,54 @@ def redact_sql(
                regexp_replace({text_col}, '{pat}', '{rep}', 'g') AS text_redacted,
                CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT) AS n_hits
         FROM ({docs_sql})"""
+
+
+def top_ngrams(ds, n: int = 2, k: int = 20, text_col: str = "text"):
+    """Exact corpus-level top-k word n-grams — the exact counterpart of the
+    Count-Min heavy-hitter sketch (stages/sketch.cms_heavy): per-batch
+    in-batch gram counts (``_doc_ngrams`` tokenization, grams never cross
+    documents) → the shared hash-bucketed term reduce → the Dataset-native
+    two-level global top-k (ct desc, gram asc).  Only (gram, count) rows
+    shuffle — bounded by vocabulary², not corpus size.
+    Returns a k-row Dataset[term, ct]."""
+    from .joins import top_k
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = _doc_ngrams(t, text_col, n)
+        out = g.group_by(["gram"]).aggregate([([], "count_all")])
+        return out.rename_columns(["term", "ct"])
+
+    counts = _bucketed_term_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ("ct", "sum"), "ct"
+    )
+    return top_k(counts, "ct", k, "term")
+
+
+def top_ngrams_sql(docs_sql: str, n: int = 2, k: int = 20) -> str:
+    """Oracle: the decontaminate tokenization + lead-window grams, one
+    GROUP BY, deterministic (ct desc, gram asc) LIMIT."""
+    leads = " || ' ' || ".join(
+        "term" if j == 0 else f"lead(term, {j}) OVER w" for j in range(n)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, ord, term FROM (
+                SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS ord
+                FROM (
+                    SELECT doc_id,
+                           list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                                       x -> length(x) > 0) AS toks
+                    FROM ({docs_sql})
+                )
+            )
+        ),
+        grams AS (
+            SELECT doc_id, {leads} AS gram
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+            QUALIFY lead(term, {n - 1}) OVER w IS NOT NULL
+        )
+        SELECT gram AS term, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM grams GROUP BY gram
+        ORDER BY ct DESC, term LIMIT {k}"""
