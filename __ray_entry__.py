@@ -613,6 +613,23 @@ def q_merge_training(sf_dir: str):
     return _i64(merged, ["plot_id", "year", "LANDCOVER", "src"])
 
 
+def q_source_zscore(sf_dir: str):
+    """Per-source z-score normalization of quality (pipelines/curation.
+    source_zscore): decomposable quantized-histogram moments, python-
+    bigint exact folds, broadcast stats.  Value-checked incl. the z
+    doubles."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return _i64(
+        curation.source_zscore(docs), ["doc_id", "source", "quality", "z"]
+    )
+
+
 def q_adaptive_quality(sf_dir: str):
     """Per-source adaptive quality filter: keep docs at or above their own
     source's p25 quality (group-adaptive cutoff, no global threshold);
@@ -1649,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact": q_redact,
         "harmonic_rgb": q_harmonic_rgb,
         "top_bigrams": q_top_bigrams,
+        "source_zscore": q_source_zscore,
         "planet_stack": q_planet_stack,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -1948,6 +1966,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "adaptive_quality": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).adaptive_quality_sql(_text_scores_sql()),
+        "source_zscore": __import__(
+            "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
+        ).source_zscore_sql(_text_scores_sql()),
         "merge_training": f"""
             WITH a AS (
                 SELECT plot_id, "year", LANDCOVER, CAST(0 AS BIGINT) AS src

@@ -16,6 +16,8 @@ because the quality doubles themselves are oracle-equal.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 
@@ -264,3 +266,124 @@ def curation_sql(scores_sql: str, seed: int = DEFAULT_SEED, min_quality: float =
     return f"""
         SELECT doc_id FROM ({hashed})
         WHERE CAST(ch // 2048 AS BIGINT) < {thresh}"""
+
+
+_ZBIN_SCALE = 4096.0  # 2^12 z-score bins: coarse enough that the exact
+# integer moment sums stay safe (Σ cnt·bin² ≤ n·2²⁴), fine enough for
+# feature scaling; an exact IEEE multiply both sides
+
+
+def source_zscore(docs, source_col: str = "source"):
+    """Per-source z-score normalization of the quality signal — the
+    feature-scaling step of a mixture recipe (each source's scores become
+    comparable before cross-source thresholds).
+
+    Fully decomposable, exact under any combine order (the
+    adaptive_quality_filter histogram shape): quality quantizes to 2¹²
+    bins, (source, bin) integer counts reduce through the bucketed sum,
+    per-source moments fold over the ≤4097-row histogram with PYTHON
+    bigints (exact at any corpus size; the oracle's HUGEINT sums match),
+    and the float64 mean/var/z expression tree mirrors the SQL exactly.
+    Sources with zero variance get z = 0.  Returns
+    Dataset[doc_id, source, quality, z]."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..stages import text
+    from ..stages.zonal import bucketed_sum
+
+    scored = text.text_scores(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        zb = np.floor(q * _ZBIN_SCALE).astype(np.int64)
+        tb = t.select([source_col]).append_column("zb", pa.array(zb))
+        out = tb.group_by([source_col, "zb"]).aggregate([([], "count_all")])
+        return out.rename_columns([source_col, "zb", "cnt"])
+
+    hist = bucketed_sum(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        [source_col, "zb"],
+        ["cnt"],
+    )
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = [int(c) for c in g["cnt"].to_numpy(np.int64)]
+        zb = [int(b) for b in g["zb"].to_numpy(np.int64)]
+        n = sum(cnt)  # python bigints: exact at any corpus size
+        s1 = sum(c * b for c, b in zip(cnt, zb))
+        s2 = sum(c * b * b for c, b in zip(cnt, zb))
+        mean = float(s1) / float(n)
+        var = float(s2) / float(n) - mean * mean
+        return pd.DataFrame(
+            {
+                source_col: [g[source_col].iloc[0]],
+                "mean": [mean],
+                "std": [math.sqrt(var) if var > 0 else 0.0],
+            }
+        )
+
+    stats = (
+        hist.groupby(source_col).map_groups(moments, batch_format="pandas").to_pandas()
+    )
+    side_ref = ray.put(
+        {
+            "sources": pa.array(stats[source_col].astype(str), type=pa.large_string()),
+            "mean": stats["mean"].to_numpy(np.float64),
+            "std": stats["std"].to_numpy(np.float64),
+        }
+    )
+
+    def apply_z(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        zb = np.floor(q * _ZBIN_SCALE)
+        idx = pc.index_in(t.column(source_col), value_set=side["sources"])
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        mean, std = side["mean"][pos], side["std"][pos]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(std > 0, (zb - mean) / std, 0.0)
+        out = t.select(["doc_id", source_col, "quality"])
+        return out.append_column("z", pa.array(z.astype(np.float64)))
+
+    return scored.map_batches(apply_z, batch_format="pyarrow")
+
+
+def source_zscore_sql(scores_sql: str) -> str:
+    """Oracle: the identical quantized-moment rule (HUGEINT sums = the
+    engine's python bigints; the same float64 mean/var/z expression
+    tree)."""
+    return f"""
+        WITH s AS (
+            SELECT f.doc_id, d.source, f.quality,
+                   CAST(floor(f.quality * {_ZBIN_SCALE!r}) AS BIGINT) AS zb
+            FROM ({scores_sql}) f JOIN documents d ON f.doc_id = d.doc_id
+        ),
+        h AS (
+            SELECT source, zb, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM s GROUP BY source, zb
+        ),
+        m AS (
+            SELECT source,
+                   CAST(SUM(CAST(cnt AS HUGEINT)) AS DOUBLE) AS n_d,
+                   CAST(SUM(CAST(cnt AS HUGEINT) * zb) AS DOUBLE) AS s1_d,
+                   -- HUGEINT products: cnt·zb² can pass 2⁶³ at corpus scale
+                   CAST(SUM(CAST(cnt AS HUGEINT) * zb * zb) AS DOUBLE) AS s2_d
+            FROM h GROUP BY source
+        ),
+        st AS (
+            SELECT source, s1_d / n_d AS mean,
+                   s2_d / n_d - (s1_d / n_d) * (s1_d / n_d) AS var
+            FROM m
+        )
+        SELECT s.doc_id, s.source, s.quality,
+               CASE WHEN st.var > 0
+                    THEN (floor(s.quality * {_ZBIN_SCALE!r}) - st.mean)
+                         / sqrt(st.var)
+                    ELSE 0.0 END AS z
+        FROM s JOIN st USING (source)"""
