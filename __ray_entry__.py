@@ -613,6 +613,24 @@ def q_merge_training(sf_dir: str):
     return _i64(merged, ["plot_id", "year", "LANDCOVER", "src"])
 
 
+def q_web_curation(sf_dir: str):
+    """The composed modern web-corpus funnel (pipelines/curation.
+    web_curation): redact → corpus paragraph dedup → Gopher rules →
+    per-source adaptive quality.  One streaming flow; survivors as skinny
+    hash joins.  Value-checked end-to-end against the composed oracle."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return _i64(
+        curation.web_curation(docs, REDACT_QUERY_PATTERN, "<ENT>"),
+        ["doc_id", "source", "quality"],
+    )
+
+
 def q_source_zscore(sf_dir: str):
     """Per-source z-score normalization of quality (pipelines/curation.
     source_zscore): decomposable quantized-histogram moments, python-
@@ -1667,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_rgb": q_harmonic_rgb,
         "top_bigrams": q_top_bigrams,
         "source_zscore": q_source_zscore,
+        "web_curation": q_web_curation,
         "planet_stack": q_planet_stack,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -1969,6 +1988,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "source_zscore": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).source_zscore_sql(_text_scores_sql()),
+        "web_curation": __import__(
+            "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
+        ).web_curation_sql(_text_scores_sql, REDACT_QUERY_PATTERN, "<ENT>"),
         "merge_training": f"""
             WITH a AS (
                 SELECT plot_id, "year", LANDCOVER, CAST(0 AS BIGINT) AS src
@@ -2511,9 +2533,10 @@ def _simhash_sql() -> str:
         FROM documents d LEFT JOIN sig s USING (doc_id)"""
 
 
-def _text_scores_sql() -> str:
+def _text_scores_sql(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Language-ID / quality heuristics replayed in SQL (stages/text.py
-    TextScorer — identical float expression trees)."""
+    TextScorer — identical float expression trees) over any
+    (doc_id, text) relation."""
     from kaza_lcms_ray.stages.text import LANG_WORDS, _LANG_ORDER
 
     def inlist(words):
@@ -2533,7 +2556,7 @@ def _text_scores_sql() -> str:
     return f"""
       WITH t AS (SELECT doc_id, text,
                         regexp_extract_all(lower(text), '[a-z'']+') AS toks
-                 FROM documents),
+                 FROM ({docs_sql})),
       s AS (SELECT doc_id, len(toks) AS n_tok, {hits},
                    length(text) AS n_chars,
                    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha

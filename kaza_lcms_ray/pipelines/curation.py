@@ -387,3 +387,98 @@ def source_zscore_sql(scores_sql: str) -> str:
                          / sqrt(st.var)
                     ELSE 0.0 END AS z
         FROM s JOIN st USING (source)"""
+
+
+def web_curation(
+    docs,
+    pattern: str,
+    replacement: str = "<ENT>",
+    p: float = 25.0,
+    source_col: str = "source",
+):
+    """The full modern web-corpus funnel composed from the staged
+    operators, one streaming flow:
+
+      1. regex scrubbing (``text.redact`` — stateless RE2 pass);
+      2. corpus-wide paragraph dedup with document reassembly
+         (``dedup.drop_dup_paragraphs`` — fingerprint keeper reduce +
+         broadcast probe; docs whose every paragraph was dropped vanish);
+      3. Gopher repetition/quality rules over the CLEANED text
+         (``text.gopher_quality``) — survivors travel as a skinny id
+         hash-join, never a broadcast of corpus size;
+      4. per-source adaptive quality cutoff over the cleaned text
+         (``adaptive_quality_filter`` — decomposable quantized
+         histogram), source attached back from the input table by one
+         integer-keyed hash join.
+
+    Returns Dataset[doc_id, source, quality] of surviving documents.
+    Every stage's survivor set is either a stateless filter or a skinny
+    hash join — nothing driver-side or broadcast grows with the corpus
+    except the |sources| cutoff table."""
+    import pyarrow as pa
+
+    from ..runtime import join_partitions
+    from ..stages import dedup, text
+
+    def as_text(col_from):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t.column("doc_id"), "text": t.column(col_from)})
+
+        return fn
+
+    clean = text.redact(docs, pattern, replacement).map_batches(
+        as_text("text_redacted"), batch_format="pyarrow"
+    )
+    deduped = dedup.drop_dup_paragraphs(clean, "text", "doc_id").map_batches(
+        as_text("text_clean"), batch_format="pyarrow"
+    )
+
+    gq = text.gopher_quality(deduped)
+    keep_ids = (
+        gq.map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(t.column("keep"), pa.scalar(1))
+            ).select(["doc_id"]),
+            batch_format="pyarrow",
+        ).materialize()  # skinny survivor ids (pack discipline)
+    )
+    kept = deduped.join(
+        keep_ids,
+        join_type="inner",
+        num_partitions=join_partitions(rows_hint=keep_ids.count()),
+        on=("doc_id",),
+    )
+
+    src = docs.select_columns(["doc_id", source_col])
+    kept_src = kept.join(
+        src,
+        join_type="inner",
+        num_partitions=join_partitions(rows_hint=keep_ids.count()),
+        on=("doc_id",),
+    )
+    return adaptive_quality_filter(kept_src, p=p, source_col=source_col)
+
+
+def web_curation_sql(
+    text_scores_sql_of,
+    pattern: str,
+    replacement: str = "<ENT>",
+    p: float = 25.0,
+) -> str:
+    """Oracle: the same four stages composed from each operator's own SQL
+    builder.  ``text_scores_sql_of`` is the (docs_sql → scores SQL)
+    builder so the adaptive stage scores the CLEANED text while source
+    still comes from the base documents table."""
+    from ..stages import dedup, text
+
+    red = text.redact_sql(
+        "SELECT doc_id, text FROM documents", pattern, replacement
+    )
+    red_txt = f"SELECT doc_id, text_redacted AS text FROM ({red})"
+    pd_sql = dedup.drop_dup_paragraphs_sql(red_txt)
+    pd_txt = f"SELECT doc_id, text_clean AS text FROM ({pd_sql})"
+    gq = text.gopher_quality_sql(pd_txt)
+    kept = f"""
+        SELECT p.doc_id, p.text FROM ({pd_txt}) p
+        JOIN ({gq}) g ON p.doc_id = g.doc_id AND g.keep = 1"""
+    return adaptive_quality_sql(text_scores_sql_of(kept), p=p)
