@@ -157,6 +157,38 @@ def cmd_pretrain(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """The web-corpus curation funnel as a deployable job: redact →
+    paragraph dedup → Gopher rules → per-source adaptive quality →
+    resumable partitioned output (reruns skip finished partitions)."""
+    import ray.data as rd
+
+    from .lineage import resumable_write
+    from .pipelines import curation
+
+    _ensure_ray()
+    sf_dir = f"/root/testdata/sf{args.sf}"
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    if args.dry_run:
+        print("DRY RUN — web curation funnel stages (nothing executed):")
+        print("  1. redact: stateless RE2 scrub")
+        print("  2. drop_dup_paragraphs: corpus line dedup + reassembly")
+        print("  3. gopher_quality keep -> skinny id hash join")
+        print("  4. adaptive_quality_filter: per-source quantized cutoff")
+        print(f"  5. resumable_write({args.out}, key=doc_id, parts={args.num_parts})")
+        print(docs)
+        return 0
+    out_ds = curation.web_curation(docs, r"(spark|customer)", "<ENT>")
+    written, skipped = resumable_write(
+        out_ds, args.out, key_col="doc_id", num_parts=args.num_parts,
+        config_hash=f"curate-seed{args.seed}",
+    )
+    print(f"wrote {written} partitions ({skipped} already complete) -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="kaza_lcms_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -166,6 +198,7 @@ def main(argv=None) -> int:
         ("sample-pts", cmd_sample_pts),
         ("bench-queries", cmd_bench_queries),
         ("pretrain", cmd_pretrain),
+        ("curate", cmd_curate),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--sf", type=float, default=0.001)
