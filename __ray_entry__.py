@@ -94,6 +94,48 @@ def q_hilbert_cells(sf_dir: str):
     )
 
 
+def q_spatial_partition(sf_dir: str):
+    """Hilbert-order spatial repartitioning (stages/packing.
+    spatial_partition): every geo span lands in one of 64 contiguous
+    equal-count curve tiles (NTILE-over-Hilbert) — the locality layout a
+    tiled export / co-located spatial join wants.  Exact via the
+    global_rank two-level scan; value-checked."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import packing
+
+    def to_int(t: pa.Table) -> pa.Table:
+        # geo doc ids are 'doc-%012d' — zero-padded, so numeric order ==
+        # lexicographic order; the operator ranks on the int64 suffix
+        nid = pc.cast(pc.utf8_slice_codeunits(t.column("doc_id"), 4, 32767), pa.int64())
+        return pa.table(
+            {
+                "doc_id": nid,
+                "span_idx": t.column("span_idx"),
+                "lon": t.column("lon"),
+                "lat": t.column("lat"),
+            }
+        )
+
+    def back(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lpad(pc.cast(t.column("doc_id"), pa.string()), 12, "0")
+        prefix = pa.array(np.full(len(t), "doc-"), type=pa.string())
+        return pa.table(
+            {
+                "doc_id": pc.binary_join_element_wise(prefix, s, ""),
+                "span_idx": t.column("span_idx"),
+                "hilbert_d": t.column("hilbert_d"),
+                "part": t.column("part"),
+            }
+        )
+
+    out = packing.spatial_partition(
+        _geo(sf_dir).map_batches(to_int, batch_format="pyarrow"), n_parts=64
+    ).map_batches(back, batch_format="pyarrow")
+    return _i64(out, ["doc_id", "span_idx", "hilbert_d", "part"])
+
+
 def q_doc_profile(sf_dir: str):
     """Per-document interleaved-span inventory (n_geo/n_text/n_media +
     text chars) — entirely row-local, one stateless map pass, no shuffle."""
@@ -1686,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": q_top_bigrams,
         "source_zscore": q_source_zscore,
         "web_curation": q_web_curation,
+        "spatial_partition": q_spatial_partition,
         "planet_stack": q_planet_stack,
         "events_sessions": q_events_sessions,
         "events_asof": q_events_asof,
@@ -1857,6 +1900,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
         "hilbert_cells": _hilbert_sql(root),
+        "spatial_partition": f"""
+            SELECT doc_id, span_idx, hilbert_d,
+                   CAST(NTILE(64) OVER (
+                       ORDER BY hilbert_d,
+                                CAST(substr(doc_id, 5) AS BIGINT) * 1000000
+                                    + span_idx
+                   ) - 1 AS BIGINT) AS part
+            FROM ({_hilbert_sql(root)})""",
         "doc_profile": f"""
             SELECT doc_id,
                    CAST(length(list_filter(spans, s -> s.kind = 'geo'))

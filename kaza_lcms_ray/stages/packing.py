@@ -341,3 +341,70 @@ def global_rank_sql(rows_sql: str, value_col: str, id_col: str = "doc_id") -> st
                CAST(ROW_NUMBER() OVER (ORDER BY {value_col}, {id_col}) - 1
                     AS BIGINT) AS rank
         FROM ({rows_sql})"""
+
+
+def spatial_partition(
+    geo,
+    n_parts: int = 64,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    span_mul: int = 1_000_000,
+):
+    """Space-filling-curve layout: assign every geo row to one of
+    ``n_parts`` CONTIGUOUS Hilbert-order tiles of (as near as possible)
+    equal row count — the locality-preserving repartitioning a tiled
+    export / co-located spatial join wants (nearby points land in the
+    same tile; NTILE-over-Hilbert semantics).
+
+    Decomposition is ``global_rank``'s two-level ordered-bucket scan over
+    the Hilbert index (exact as a float64 value: d < 4^level ≤ 2⁵²), tie-
+    broken by the packed (doc_id·10⁶ + span_idx) uid; the tile is the
+    NTILE formula applied to the dense rank.  Nothing driver-side grows
+    with the corpus (≤4096 bucket counts + one total).
+
+    Returns Dataset[doc_id, span_idx, hilbert_d, part]."""
+    from ..state.cells import CELL_LEVEL, encode_hilbert
+
+    def add_h(t: pa.Table) -> pa.Table:
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        hd = encode_hilbert(lon, lat, CELL_LEVEL).astype(np.int64)
+        uid = (
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            * span_mul
+            + t.column("span_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "uid": pa.array(uid),
+                "hd": pa.array(hd.astype(np.float64)),
+            }
+        )
+
+    keyed = geo.map_batches(add_h, batch_format="pyarrow")
+    hi = float(4 ** CELL_LEVEL)
+    ranked = global_rank(keyed, "hd", id_col="uid", lo=0.0, hi=hi).materialize()
+    total = ranked.count()
+    q, r = divmod(total, n_parts)
+    boundary = (q + 1) * r
+
+    def ntile(t: pa.Table) -> pa.Table:
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        uid = t.column("uid").to_numpy(zero_copy_only=False)
+        part = np.where(
+            rank < boundary,
+            rank // (q + 1),
+            r + (rank - boundary) // max(q, 1),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uid // span_mul),
+                "span_idx": pa.array(uid % span_mul),
+                "hilbert_d": pa.array(
+                    t.column("hd").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "part": pa.array(part),
+            }
+        )
+
+    return ranked.map_batches(ntile, batch_format="pyarrow")
