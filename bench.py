@@ -54,6 +54,9 @@ def run_bench() -> dict:
     # sampled boundaries collide (pure-Ray repro: groupby over 16 distinct
     # keys across 64 blocks warns with no user code involved).  Our own
     # combines emit typed empties; the residual warnings are Ray-internal.
+    # Known tradeoff: the substring match cannot distinguish an engine
+    # regression that reintroduces schema-less empties — the filter is
+    # bench-only, so pytest and the driver gate still surface those.
     import logging
 
     class _DropEmptySchemaWarn(logging.Filter):
@@ -161,7 +164,7 @@ def run_bench() -> dict:
     timed("zonal_mean", lambda: zonal.zonal_counts(geo()).count())
     timed(
         "zonal_percentile",
-        lambda: zonal.zonal_percentiles(geo(), band=3).count(),
+        lambda: zonal.zonal_percentiles(geo(), band=3, rows_hint=n_docs * 3).count(),
     )
     timed(
         "knn",

@@ -203,13 +203,13 @@ def adaptive_quality_filter(docs, p: float = 25.0, source_col: str = "source"):
     )
 
     def keep(t: pa.Table) -> pa.Table:
+        from ..stages.joins import probe_positions
+
         cs = ray.get(cut_ref)
         q = t.column("quality").to_numpy(zero_copy_only=False)
         qbin = np.floor(q * _QBIN_SCALE).astype(np.int64)
-        idx = pc.index_in(t.column(source_col), value_set=cs["sources"])
-        if isinstance(idx, pa.ChunkedArray):
-            idx = idx.combine_chunks()
-        lim = cs["cut_bin"][idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        pos = probe_positions(t.column(source_col), cs["sources"], "source")
+        lim = cs["cut_bin"][pos]
         out = t.select(["doc_id", source_col, "quality"])
         return out.filter(pa.array(qbin >= lim))
 
@@ -338,13 +338,12 @@ def source_zscore(docs, source_col: str = "source"):
     )
 
     def apply_z(t: pa.Table) -> pa.Table:
+        from ..stages.joins import probe_positions
+
         side = ray.get(side_ref)
         q = t.column("quality").to_numpy(zero_copy_only=False)
         zb = np.floor(q * _ZBIN_SCALE)
-        idx = pc.index_in(t.column(source_col), value_set=side["sources"])
-        if isinstance(idx, pa.ChunkedArray):
-            idx = idx.combine_chunks()
-        pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = probe_positions(t.column(source_col), side["sources"], "source")
         mean, std = side["mean"][pos], side["std"][pos]
         with np.errstate(invalid="ignore", divide="ignore"):
             z = np.where(std > 0, (zb - mean) / std, 0.0)
@@ -429,8 +428,15 @@ def web_curation(
     clean = text.redact(docs, pattern, replacement).map_batches(
         as_text("text_redacted"), batch_format="pyarrow"
     )
-    deduped = dedup.drop_dup_paragraphs(clean, "text", "doc_id").map_batches(
-        as_text("text_clean"), batch_format="pyarrow"
+    # Materialized DELIBERATELY (pack_sequences discipline): this table
+    # feeds BOTH the Gopher pass and the survivor join below, and
+    # recomputing it re-runs the entire redact + paragraph-dedup
+    # sub-funnel (itself two corpus passes).  Beyond memory the object
+    # store spills — a disk-backed checkpoint between consumers.
+    deduped = (
+        dedup.drop_dup_paragraphs(clean, "text", "doc_id")
+        .map_batches(as_text("text_clean"), batch_format="pyarrow")
+        .materialize()
     )
 
     gq = text.gopher_quality(deduped)
@@ -450,12 +456,15 @@ def web_curation(
     )
 
     src = docs.select_columns(["doc_id", source_col])
+    # materialized: adaptive_quality_filter consumes its input twice
+    # (histogram pass + final filter pass) — pin the survivor-sized table
+    # once instead of re-running both joins per consumer
     kept_src = kept.join(
         src,
         join_type="inner",
         num_partitions=join_partitions(rows_hint=keep_ids.count()),
         on=("doc_id",),
-    )
+    ).materialize()
     return adaptive_quality_filter(kept_src, p=p, source_col=source_col)
 
 

@@ -409,16 +409,18 @@ def rf_artifacts(synth_root: str, config: PipelineConfig = DEFAULT_CONFIG) -> di
             + [f"prob_{c}" for c in classes]
             + ["LANDCOVER_pred"]
         ).write_parquet(tmp_dir)
-        shutil.rmtree(probs_dir, ignore_errors=True)
-        os.rename(tmp_dir, probs_dir)
         # the artifact paths are config-shared (the SQL oracles address
-        # them statically), so a marker for a DIFFERENT config is now a
-        # lie about the dir contents — drop it before asserting ours
+        # them statically), so a marker for a DIFFERENT config becomes a
+        # lie the moment the old probs dir goes away — drop stale markers
+        # BEFORE touching probs_dir: a crash after the rename must not
+        # leave another config's marker pointing at this config's data
         import glob as _glob
 
         for m in _glob.glob(os.path.join(base, "done-*.json")):
             if m != marker:
                 os.remove(m)
+        shutil.rmtree(probs_dir, ignore_errors=True)
+        os.rename(tmp_dir, probs_dir)
         with open(marker, "w") as f:
             json.dump({"config": config.config_hash()}, f)
     else:

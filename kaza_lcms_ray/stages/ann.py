@@ -314,7 +314,7 @@ def _coalesced_block_refs(ds, cols: list[str], rows_per_block: int):
     b = int(np.clip(int(np.ceil(n / max(rows_per_block, 1))), 1, 128))
     if mat.num_blocks() != b:
         mat = mat.repartition(b)
-    return mat.to_arrow_refs()
+    return mat.to_arrow_refs(), n
 
 
 def _bucketed_topk_merge(partial, k: int, id_out: str, drop_self: bool = False,
@@ -400,7 +400,7 @@ def knn_join(
     import ray.data as rd
 
     id_out = id_out or id_col
-    refs = _coalesced_block_refs(ds, [id_col, embed_col], rows_per_block)
+    refs, n_rows = _coalesced_block_refs(ds, [id_col, embed_col], rows_per_block)
     prep = [_prep_block.remote(r, id_col, embed_col) for r in refs]
     # ask each pair for k+1 partials when self will be dropped, so a
     # same-block pair still has k non-self survivors
@@ -411,7 +411,12 @@ def knn_join(
         for j in range(len(prep))
     ]
     partial = rd.from_arrow_refs(parts)  # refs: blocks never touch the driver
-    return _bucketed_topk_merge(partial, k, id_out, drop_self=drop_self)
+    # rows entering the merge ≈ N·kk·B — size bucket count from it so one
+    # merge task stays row-bounded at any corpus size (VERDICT r3 #4)
+    return _bucketed_topk_merge(
+        partial, k, id_out, drop_self=drop_self,
+        rows_hint=n_rows * kk * len(refs),
+    )
 
 
 def knn_join_lsh(

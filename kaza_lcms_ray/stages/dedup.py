@@ -159,12 +159,14 @@ def _rebuild_contiguous(s: pa.Table, id_col: str) -> pa.Table:
     starts = np.flatnonzero(first)
     counts = np.diff(np.append(starts, n)).astype(np.int64)
     offsets = pa.array(np.append(0, np.cumsum(counts)).astype(np.int64))
-    para = s.column("para")
+    # large types BEFORE combining: a task's total text can pass 2 GiB at
+    # corpus scale, and combine_chunks on 32-bit-offset string chunks
+    # would overflow — cast chunk-wise first
+    para = s.column("para").cast(pa.large_string())
     if isinstance(para, pa.ChunkedArray):
         para = para.combine_chunks()
-    # large types: a task's total text can pass 2 GiB at corpus scale
     joined_txt = pc.binary_join(
-        pa.LargeListArray.from_arrays(offsets, para.cast(pa.large_string())),
+        pa.LargeListArray.from_arrays(offsets, para),
         pa.scalar("\n", type=pa.large_string()),
     )
     n_para = s.column("n_para").to_numpy(zero_copy_only=False)[starts]
@@ -308,24 +310,36 @@ def drop_dup_paragraphs(
             kept = np.ones(len(ex), dtype=bool)
             li = np.flatnonzero(is_long)
             if li.size:
+                if len(side["hi"]) == 0:
+                    raise ValueError(
+                        "drop_dup_paragraphs: empty keeper table but long "
+                        "paragraphs present (non-deterministic input?)"
+                    )
                 h, l = hi[li], lo[li]
                 # two-level probe of the (hi, lo)-lexsorted keeper arrays:
                 # locate the hi-run, then the exact lo inside it (runs are
                 # ~always length 1 — 64-bit hi collisions are ~n²/2⁶⁵)
                 start = np.searchsorted(side["hi"], h, side="left")
                 end = np.searchsorted(side["hi"], h, side="right")
-                if (end == start).any():
-                    raise ValueError(
-                        "drop_dup_paragraphs: paragraph fingerprint missing "
-                        "from keeper table"
-                    )
-                pos = start.copy()
+                pos = np.minimum(start, len(side["hi"]) - 1)
                 multi = np.flatnonzero(end - start > 1)
                 for j in multi:  # astronomically rare hi-collision runs
-                    pos[j] = start[j] + np.searchsorted(
-                        side["lo"][start[j] : end[j]], l[j]
+                    pos[j] = min(
+                        start[j]
+                        + np.searchsorted(side["lo"][start[j] : end[j]], l[j]),
+                        end[j] - 1,
                     )
-                # every long paragraph's fp IS in keepers by construction
+                # every long paragraph's fp must resolve to ITS OWN keeper
+                # row — a miss on either half (broken keeper invariant,
+                # e.g. a non-deterministic input between the two passes)
+                # must fail loudly, not silently mis-drop
+                if ((end == start)
+                        | (side["hi"][pos] != h)
+                        | (side["lo"][pos] != l)).any():
+                    raise ValueError(
+                        "drop_dup_paragraphs: paragraph fingerprint missing "
+                        "from keeper table (non-deterministic input?)"
+                    )
                 own_idx = (
                     ex.column("idx").to_numpy(zero_copy_only=False)[li]
                     == side["kidx"][pos]

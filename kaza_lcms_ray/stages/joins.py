@@ -43,6 +43,23 @@ def join_first(left, right, on: list[str], order_col: str, num_partitions: int |
     )
 
 
+def probe_positions(col, value_set, what: str = "key") -> np.ndarray:
+    """Strict broadcast-probe: position of every value of ``col`` in the
+    broadcast ``value_set`` Arrow array (``pc.index_in`` + combine), as an
+    int64 numpy array.  A miss raises instead of silently flowing a null
+    through ``astype(int64)`` into a garbage index — the shared idiom for
+    every ray.put-side dictionary lookup (tfidf df, lm log-probs, quality
+    cutoffs, z-score stats)."""
+    import pyarrow.compute as pc
+
+    idx = pc.index_in(col, value_set=value_set)
+    if isinstance(idx, pa.ChunkedArray):
+        idx = idx.combine_chunks()
+    if idx.null_count:
+        raise ValueError(f"broadcast probe: {what} missing from side table")
+    return idx.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def anti_join_ids(ds, id_col: str, ids):
     """Drop rows whose id is in ``ids`` (broadcast set, vectorized isin)."""
     ids_ref = ray.put(np.sort(np.asarray(ids)))

@@ -263,15 +263,14 @@ def tfidf_topk(
             # frompyfunc built inside the task (ufuncs don't pickle);
             # math.log is libm — bit-identical to DuckDB ln()
             log_u = np.frompyfunc(math.log, 1, 1)
+            from .joins import probe_positions
+
             side = ray.get(df_ref)
             # Arrow dictionary probe instead of pandas .map (per-element
-            # Python hashing over a corpus-scale column)
-            idx = pc.index_in(t.column("term"), value_set=side["terms"])
-            if isinstance(idx, pa.ChunkedArray):
-                idx = idx.combine_chunks()
-            if idx.null_count:  # tf terms are a subset of df terms by construction
-                raise ValueError("tfidf: term missing from document-frequency table")
-            dfv = side["df"][idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+            # Python hashing over a corpus-scale column); tf terms are a
+            # subset of df terms by construction — a miss raises
+            pos = probe_positions(t.column("term"), side["terms"], "tfidf term")
+            dfv = side["df"][pos]
             tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
             sc = tfv.astype(np.float64) * log_u(n_docs / dfv).astype(np.float64)
             return pa.table(
@@ -473,16 +472,13 @@ def lm_score(ds, text_col: str = "text", vocab_limit: int = LM_VOCAB_BROADCAST_L
         )
 
         def score(t: pa.Table) -> pa.Table:
+            from .joins import probe_positions
+
             lm = ray.get(lm_ref)
             tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
-            # Arrow dictionary probe instead of pandas .map (per-element
-            # Python hashing over a corpus-scale column)
-            idx = pc.index_in(t.column("term"), value_set=lm["terms"])
-            if isinstance(idx, pa.ChunkedArray):
-                idx = idx.combine_chunks()
-            if idx.null_count:  # tf terms come from the same token stream as the LM
-                raise ValueError("lm_score: term missing from LM vocabulary")
-            w = tf * lm["lpq"][idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+            # Arrow dictionary probe instead of pandas .map; tf terms come
+            # from the same token stream as the LM — a miss raises
+            w = tf * lm["lpq"][probe_positions(t.column("term"), lm["terms"], "lm term")]
             return pa.table(
                 {"doc_id": t.column("doc_id"), "tf": pa.array(tf), "w": pa.array(w)}
             )
