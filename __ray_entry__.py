@@ -467,6 +467,48 @@ def q_top_bigrams(sf_dir: str):
     return _i64(T.top_ngrams(docs, n=2, k=20), ["term", "ct"])
 
 
+def q_normalize_text(sf_dir: str):
+    """C4/FineWeb-style text canonicalization (stages/text.normalize_text):
+    lowercase + whitespace-run collapse + trim, stateless Arrow RE2 kernels
+    — value-checked including every rewritten document."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        T.normalize_text(docs), ["doc_id", "text_norm", "n_chars_norm", "changed"]
+    )
+
+
+def q_chunk_text(sf_dir: str):
+    """Overlapping fixed-window chunking (stages/text.chunk_text) — the
+    RAG / context-window prep flat-map (size 128, stride 96).  Row-local,
+    no shuffle; value-checked including every chunk's text."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(
+        T.chunk_text(docs, size=128, stride=96),
+        ["doc_id", "chunk_idx", "chunk_text", "chunk_len"],
+    )
+
+
+def q_bpe_pairs(sf_dir: str):
+    """BPE tokenizer-training statistic (stages/text.bpe_pair_stats): exact
+    corpus-wide top-20 adjacent in-word character pairs — per-batch pair
+    counts, hash-bucketed term reduce, Dataset-native top-k.  Only
+    (pair, count) rows ever shuffle.  Value-checked."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _i64(T.bpe_pair_stats(docs, k=20), ["pair", "ct"])
+
+
 def q_curriculum_rank(sf_dir: str):
     """Global curriculum ordering: dense rank of every document under the
     total order (quality asc, doc_id asc) via the two-level ordered-bucket
@@ -1719,6 +1761,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "normalize_text": q_normalize_text,
+        "chunk_text": q_chunk_text,
+        "bpe_pairs": q_bpe_pairs,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2149,6 +2194,15 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "top_bigrams": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).top_ngrams_sql("SELECT doc_id, text FROM documents", n=2, k=20),
+        "normalize_text": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).normalize_text_sql("SELECT doc_id, text FROM documents"),
+        "chunk_text": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).chunk_text_sql("SELECT doc_id, text FROM documents", size=128, stride=96),
+        "bpe_pairs": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).bpe_pair_stats_sql("SELECT doc_id, text FROM documents", k=20),
         "curation": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).curation_sql(_text_scores_sql()),

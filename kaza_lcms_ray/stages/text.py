@@ -1186,3 +1186,213 @@ def top_ngrams_sql(docs_sql: str, n: int = 2, k: int = 20) -> str:
         SELECT gram AS term, CAST(COUNT(*) AS BIGINT) AS ct
         FROM grams GROUP BY gram
         ORDER BY ct DESC, term LIMIT {k}"""
+
+
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """C4/FineWeb-style text canonicalization: lowercase, collapse every
+    whitespace run to a single space, trim the ends.  The standard first
+    pass of a web-curation funnel (and the normalization exact-dedup keys
+    should be computed over).  Stateless per-batch Arrow kernels — RE2 on
+    both engine and oracle sides — no shuffle at any scale.
+
+    Returns Dataset[id, text_norm, n_chars_norm, changed] where ``changed``
+    is 1 iff normalization rewrote the document.
+    Reference analog: the band-name canonicalization discipline of
+    /root/reference/src/utils/harmonics.py:118-124 (fix names before
+    downstream stages key on them), applied to document text."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(text), r"\s+", " ")
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "text_norm": norm,
+                "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+                "changed": pc.not_equal(norm, text).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Oracle: lower + RE2 global whitespace collapse + trim — the same
+    regex engine as the Arrow kernels, so rewrites are byte-identical."""
+    return f"""
+        SELECT {id_col},
+               trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) AS text_norm,
+               CAST(length(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')))
+                    AS BIGINT) AS n_chars_norm,
+               CAST(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))
+                    <> {text_col} AS BIGINT) AS changed
+        FROM ({docs_sql})"""
+
+
+def chunk_text(
+    ds,
+    size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Overlapping fixed-window document chunking — the RAG / context-window
+    prep flat-map: chunk ``k`` of a document covers codepoints
+    ``[k·stride, k·stride + size)`` for ``k = 0 .. ⌊max(len−1, 0)/stride⌋``
+    (an empty document still yields its one empty chunk, so no document is
+    silently dropped).
+
+    Row-local with no shuffle at any scale; output row count is
+    ~corpus_chars/stride.  Vectorized as ONE ``utf8_slice_codeunits`` call
+    per distinct chunk index alive in the batch (≤ max_doc_len/stride
+    iterations, each over the still-alive rows only) — no per-row Python.
+
+    Returns Dataset[id, chunk_idx, chunk_text, chunk_len]."""
+    if size < 1 or stride < 1:
+        raise ValueError("chunk_text: size and stride must be ≥ 1")
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.maximum(lens - 1, 0) // stride + 1
+        parts = []
+        alive = np.arange(len(t), dtype=np.int64)
+        k = 0
+        while alive.size:
+            idx = pa.array(alive)
+            sl = pc.utf8_slice_codeunits(
+                text.take(idx), start=k * stride, stop=k * stride + size
+            )
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids.take(idx),
+                        "chunk_idx": pa.array(np.full(alive.size, k, dtype=np.int64)),
+                        "chunk_text": sl,
+                        "chunk_len": pc.utf8_length(sl).cast(pa.int64()),
+                    }
+                )
+            )
+            k += 1
+            alive = alive[n_chunks[alive] > k]
+        if not parts:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=ids.type),
+                    "chunk_idx": pa.array([], type=pa.int64()),
+                    "chunk_text": pa.array([], type=pa.string()),
+                    "chunk_len": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_text_sql(
+    docs_sql: str,
+    size: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle: per-row generate_series over chunk indexes + substring —
+    1-based character addressing mirrors the codepoint slice exactly
+    (documents are validated single-chunk-rule identical on both sides)."""
+    return f"""
+        WITH ch AS (
+            SELECT {id_col},
+                   unnest(generate_series(
+                       0, greatest(length({text_col}) - 1, 0) // {stride}
+                   )) AS chunk_idx,
+                   {text_col} AS _t
+            FROM ({docs_sql})
+        )
+        SELECT {id_col},
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               substring(_t, CAST(chunk_idx * {stride} + 1 AS BIGINT), {size})
+                   AS chunk_text,
+               CAST(length(substring(_t, CAST(chunk_idx * {stride} + 1 AS BIGINT),
+                                     {size})) AS BIGINT) AS chunk_len
+        FROM ch"""
+
+
+def bpe_pair_stats(ds, k: int = 20, text_col: str = "text"):
+    """Tokenizer-training support: the corpus-wide adjacent character-pair
+    frequency table a BPE trainer computes each merge round, exact top-k
+    by (count desc, pair asc).
+
+    Tokenization matches the repo's word splitter (lowercase, split on
+    ``[^a-z']+``, drop empties); a pair is two adjacent codepoints inside
+    one word (pairs never cross words or documents).  Vectorized as one
+    ``utf8_slice_codeunits`` call per character position (≤ max word
+    length iterations over the still-long-enough words); only
+    (pair, count) rows — bounded by alphabet², not corpus size — enter
+    the shared hash-bucketed term reduce and the Dataset-native top-k."""
+    from .joins import top_k
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        words = toks.flatten()
+        wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = wlen >= 2
+        words = words.filter(pa.array(keep))
+        wlen = wlen[keep]
+        parts = []
+        alive = np.arange(len(words), dtype=np.int64)
+        i = 0
+        while alive.size:
+            idx = pa.array(alive)
+            parts.append(pc.utf8_slice_codeunits(words.take(idx), start=i, stop=i + 2))
+            i += 1
+            alive = alive[wlen[alive] >= i + 2]
+        if not parts:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "ct": pa.array([], type=pa.int64()),
+                }
+            )
+        pairs = pa.chunked_array(parts).combine_chunks()
+        out = pa.table({"term": pairs}).group_by(["term"]).aggregate([([], "count_all")])
+        return out.rename_columns(["term", "ct"])
+
+    counts = _bucketed_term_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ("ct", "sum"), "ct"
+    )
+    return top_k(counts, "ct", k, "term").rename_columns(["pair", "ct"])
+
+
+def bpe_pair_stats_sql(docs_sql: str, k: int = 20) -> str:
+    """Oracle: unnest words (the top_ngrams tokenization), generate_series
+    over in-word positions, substring pairs, one GROUP BY + deterministic
+    (ct desc, pair asc) LIMIT."""
+    return f"""
+        WITH words AS (
+            SELECT unnest(list_filter(
+                       regexp_extract_all(lower(text), '[a-z'']+'),
+                       x -> length(x) > 0)) AS w
+            FROM ({docs_sql})
+        ),
+        pos AS (
+            SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM words WHERE length(w) >= 2
+        )
+        SELECT substring(w, CAST(i AS BIGINT), 2) AS pair,
+               CAST(COUNT(*) AS BIGINT) AS ct
+        FROM pos GROUP BY 1
+        ORDER BY ct DESC, pair LIMIT {k}"""

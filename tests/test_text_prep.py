@@ -1,0 +1,129 @@
+"""normalize_text / chunk_text / bpe_pair_stats: hand oracles, edge cases,
+reshard invariance, SQL replay."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from kaza_lcms_ray.stages import text
+
+
+def _docs(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "text": pa.array(rows),
+        }
+    )
+
+
+def _sql_df(tbl: pa.Table, sql: str):
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    return con.execute(sql).fetchdf()
+
+
+def test_normalize_text_hand_and_sql(ray_session):
+    import ray.data as rd
+
+    tbl = _docs(["  Hello\t\tWORLD \n", "already clean", "", "A  B"])
+    out = (
+        text.normalize_text(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text_norm"]) == ["hello world", "already clean", "", "a b"]
+    assert list(out["changed"]) == [1, 0, 0, 1]
+    assert list(out["n_chars_norm"]) == [11, 13, 0, 3]
+
+    ora = (
+        _sql_df(tbl, text.normalize_text_sql("SELECT doc_id, text FROM docs"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(ora["text_norm"]) == list(out["text_norm"])
+    assert list(ora["changed"]) == list(out["changed"])
+
+
+def test_chunk_text_windows(ray_session):
+    import ray.data as rd
+
+    # size 5, stride 3: len 8 -> chunks at 0,3,6 ; len 3 -> one chunk ;
+    # len 0 -> ONE empty chunk (documents never silently dropped)
+    tbl = _docs(["abcdefgh", "xyz", ""])
+    out = (
+        text.chunk_text(rd.from_arrow(tbl), size=5, stride=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    got = list(zip(out["doc_id"], out["chunk_idx"], out["chunk_text"]))
+    assert got == [
+        (0, 0, "abcde"),
+        (0, 1, "defgh"),
+        (0, 2, "gh"),
+        (1, 0, "xyz"),
+        (2, 0, ""),
+    ]
+    assert list(out["chunk_len"]) == [5, 5, 2, 3, 0]
+
+    ora = (
+        _sql_df(
+            tbl,
+            text.chunk_text_sql("SELECT doc_id, text FROM docs", size=5, stride=3),
+        )
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(ora["chunk_text"]) == [c for _, _, c in got]
+
+
+def test_chunk_text_reshard_invariant(ray_session):
+    import ray.data as rd
+
+    rows = ["a" * n for n in range(0, 40, 7)]
+    tbl = _docs(rows)
+    a = (
+        text.chunk_text(rd.from_arrow(tbl), size=8, stride=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        text.chunk_text(rd.from_arrow(tbl).repartition(5), size=8, stride=8)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_bpe_pair_stats_hand_and_sql(ray_session):
+    import ray.data as rd
+
+    # "aab aab" -> pairs aa, ab per word occurrence; "ba" -> ba; "x" dropped
+    tbl = _docs(["aab aab ba", "x aab"])
+    out = (
+        text.bpe_pair_stats(rd.from_arrow(tbl), k=10)
+        .to_pandas()
+        .sort_values("pair")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["pair"], out["ct"]))
+    assert got == {"aa": 3, "ab": 3, "ba": 1}
+
+    ora = _sql_df(tbl, text.bpe_pair_stats_sql("SELECT doc_id, text FROM docs", k=10))
+    assert dict(zip(ora["pair"], ora["ct"])) == got
+
+
+def test_bpe_pair_stats_reshard_invariant(ray_session):
+    import ray.data as rd
+
+    rows = ["the quick brown fox jumps", "over the lazy dog", "the the the"]
+    tbl = _docs(rows)
+    a = text.bpe_pair_stats(rd.from_arrow(tbl), k=50).to_pandas()
+    b = text.bpe_pair_stats(rd.from_arrow(tbl).repartition(4), k=50).to_pandas()
+    a = a.sort_values(["pair"]).reset_index(drop=True)
+    b = b.sort_values(["pair"]).reset_index(drop=True)
+    assert a.equals(b)
