@@ -509,6 +509,22 @@ def q_bpe_pairs(sf_dir: str):
     return _i64(T.bpe_pair_stats(docs, k=20), ["pair", "ct"])
 
 
+def q_bbox_join(sf_dir: str):
+    """Rectangle-overlap spatial range join (stages/pip.bbox_join — PBSM
+    cell decomposition, owner-cell exactly-once rule): admin/aoi footprints
+    × reference polygons, with the overlap box dimensions value-checked."""
+    from kaza_lcms_ray.sources.storage import read_dim
+    from kaza_lcms_ray.stages.pip import bbox_join
+
+    root = _synth(sf_dir)
+    polys = read_dim(f"{root}/polygons.parquet", columns=["poly_id", "kind", "bbox"])
+    a = polys.filter(expr="kind in ['country', 'protected_area', 'aoi']")
+    b = polys.filter(expr="kind == 'reference'")
+    return bbox_join(a, b, cell_deg=4.0).select_columns(
+        ["a_id", "b_id", "overlap_w", "overlap_h"]
+    )
+
+
 def q_curriculum_rank(sf_dir: str):
     """Global curriculum ordering: dense rank of every document under the
     total order (quality asc, doc_id asc) via the two-level ordered-bucket
@@ -1764,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
+        "bbox_join": q_bbox_join,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -1965,6 +1982,25 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                         list_filter(spans, s -> s.kind = 'text'),
                         s -> length(s.text))), 0) AS BIGINT) AS text_chars
             FROM read_parquet('{root}/documents/part-*.parquet')""",
+        "bbox_join": f"""
+            WITH pa_ AS (
+                SELECT poly_id, bbox.minx AS minx, bbox.miny AS miny,
+                       bbox.maxx AS maxx, bbox.maxy AS maxy
+                FROM read_parquet('{root}/polygons.parquet')
+                WHERE kind IN ('country', 'protected_area', 'aoi')
+            ),
+            pb AS (
+                SELECT poly_id, bbox.minx AS minx, bbox.miny AS miny,
+                       bbox.maxx AS maxx, bbox.maxy AS maxy
+                FROM read_parquet('{root}/polygons.parquet')
+                WHERE kind = 'reference'
+            )
+            SELECT a.poly_id AS a_id, b.poly_id AS b_id,
+                   least(a.maxx, b.maxx) - greatest(a.minx, b.minx) AS overlap_w,
+                   least(a.maxy, b.maxy) - greatest(a.miny, b.miny) AS overlap_h
+            FROM pa_ a JOIN pb b
+              ON a.minx <= b.maxx AND b.minx <= a.maxx
+             AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "pip_country": f"""
             WITH {geo},
             cty AS (

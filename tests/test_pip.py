@@ -89,3 +89,69 @@ def test_pip_label_deterministic(synth_small, ray_session):
     assert (df["poly_id"].to_numpy() == df2["poly_id"].to_numpy()).all()
     assert (df["LANDCOVER"].to_numpy() == df2["LANDCOVER"].to_numpy()).all()
     assert (df.loc[df.poly_id != "", "LANDCOVER"] > 0).all()
+
+
+def test_bbox_join_matches_brute_force(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.pip import bbox_join
+
+    rng = np.random.RandomState(7)
+
+    def mk(n, prefix):
+        x0 = rng.uniform(-30, 30, n)
+        y0 = rng.uniform(-20, 20, n)
+        w = rng.uniform(0.1, 8, n)
+        h = rng.uniform(0.1, 8, n)
+        tbl = pa.table(
+            {
+                "poly_id": pa.array([f"{prefix}{i}" for i in range(n)]),
+                "bbox": pa.StructArray.from_arrays(
+                    [pa.array(x0), pa.array(y0), pa.array(x0 + w), pa.array(y0 + h)],
+                    names=["minx", "miny", "maxx", "maxy"],
+                ),
+            }
+        )
+        return tbl, x0, y0, x0 + w, y0 + h
+
+    (A, ax0, ay0, ax1, ay1) = mk(60, "a")
+    (B, bx0, by0, bx1, by1) = mk(90, "b")
+    expected = {
+        (f"a{i}", f"b{j}")
+        for i in range(60)
+        for j in range(90)
+        if ax0[i] <= bx1[j] and bx0[j] <= ax1[i] and ay0[i] <= by1[j] and by0[j] <= ay1[i]
+    }
+    for parts_a, parts_b, cell in [(1, 1, 3.0), (4, 3, 3.0), (2, 5, 7.5)]:
+        out = bbox_join(
+            rd.from_arrow(A).repartition(parts_a),
+            rd.from_arrow(B).repartition(parts_b),
+            cell_deg=cell,
+        ).to_pandas()
+        got = list(zip(out["a_id"], out["b_id"]))
+        # exactly-once under any partitioning and any cell size
+        assert len(got) == len(set(got))
+        assert set(got) == expected
+        assert (out["overlap_w"] >= 0).all() and (out["overlap_h"] >= 0).all()
+
+
+def test_bbox_join_empty_side(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.pip import bbox_join
+
+    A = pa.table(
+        {
+            "poly_id": pa.array(["a0"]),
+            "bbox": pa.StructArray.from_arrays(
+                [pa.array([0.0]), pa.array([0.0]), pa.array([1.0]), pa.array([1.0])],
+                names=["minx", "miny", "maxx", "maxy"],
+            ),
+        }
+    )
+    B = A.slice(0, 0)
+    out = bbox_join(rd.from_arrow(A), rd.from_arrow(B)).to_pandas()
+    assert len(out) == 0
