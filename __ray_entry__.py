@@ -963,6 +963,25 @@ def _query_vectors(sf_dir: str, n: int = 5):
     return qids, qmat
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (stages/cluster.semdedup): k-means the
+    embedding space, drop items with a smaller-id near-dup in their
+    cluster under the quantized integer cosine rule (τ = 7/20) — the
+    embedding-space counterpart of fuzzy_dedup.  keep flags value-checked
+    against the full kmeans + pairwise-dot SQL replay."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import cluster
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _i64(
+        cluster.semdedup(
+            emb, k=KMEANS_K, iters=KMEANS_ITERS, tau=(7, 20), seed=KMEANS_SEED
+        ),
+        ["vec_id", "cluster", "keep"],
+    )
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed k-means over the embedding corpus (integer-quantized,
     seeded init, 2 Lloyd iterations) → (vec_id, cluster).  Every step —
@@ -1781,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
         "bbox_join": q_bbox_join,
+        "semdedup": q_semdedup,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2159,6 +2179,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 ) AS rnk FROM s
             ) WHERE rnk <= 10""",
         "kmeans_embed": _kmeans_embed_sql(),
+        "semdedup": _semdedup_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "knn_graph": """
             WITH q AS (
@@ -2807,6 +2828,50 @@ def _kmeans_embed_sql() -> str:
     return f"""
         WITH {_kmeans_ctes()}
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM aF"""
+
+
+def _semdedup_sql() -> str:
+    """SemDeDup oracle: the kmeans replay for final clusters, then the
+    quantized integer cosine rule (q = floor(v·2^10 + .5), τ = 7/20 ⇒
+    400·dot² ≥ 49·‖qᵢ‖²·‖qⱼ‖², HUGEINT-exact) over same-cluster pairs;
+    an item is dropped iff a smaller-id near-dup exists."""
+    from kaza_lcms_ray.stages.cluster import SEM_QSCALE
+
+    return f"""
+        WITH {_kmeans_ctes()},
+        qs AS MATERIALIZED (
+            SELECT vec_id, CAST(i AS INTEGER) AS i,
+                   CAST(floor(x * {float(SEM_QSCALE)!r} + 0.5) AS BIGINT) AS q
+            FROM (
+                SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+                FROM embeddings
+            )
+        ),
+        norms AS (SELECT vec_id, SUM(q * q) AS nn FROM qs GROUP BY vec_id),
+        prs AS (
+            SELECT a1.vec_id AS i, a2.vec_id AS j
+            FROM aF a1 JOIN aF a2
+              ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+        ),
+        dots AS (
+            SELECT p.i, p.j, SUM(v1.q * v2.q) AS dot
+            FROM prs p
+            JOIN qs v1 ON v1.vec_id = p.i
+            JOIN qs v2 ON v2.vec_id = p.j AND v2.i = v1.i
+            GROUP BY p.i, p.j
+        ),
+        dup AS (
+            SELECT DISTINCT d.j FROM dots d
+            JOIN norms n1 ON n1.vec_id = d.i
+            JOIN norms n2 ON n2.vec_id = d.j
+            WHERE d.dot > 0
+              AND 400 * CAST(d.dot AS HUGEINT) * d.dot
+                  >= 49 * CAST(n1.nn AS HUGEINT) * n2.nn
+        )
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+               CAST(a.vec_id NOT IN (SELECT j FROM dup) AS BIGINT) AS keep
+        FROM aF a"""
 
 
 def _ivf_topk_sql() -> str:

@@ -207,3 +207,89 @@ def ivf_topk(
         search, batch_format="pyarrow"
     )
     return _bucketed_topk_merge(partial, k_neighbors, id_col)
+
+
+SEM_QSCALE = 1 << 10  # dedup-test quantization: dot ≤ d·2^20 keeps
+# TAU_DEN²·dot² and TAU_NUM²·n1·n2 inside int64 for d ≤ 64, |v| ≤ ~1
+
+
+def semdedup(
+    ds,
+    k: int = 8,
+    iters: int = 2,
+    tau: tuple[int, int] = (7, 20),
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    seed: int = 77,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then within each cluster drop every item that has a
+    SMALLER-ID semantic near-duplicate — the same keeper rule as the
+    repo's MinHash fuzzy dedup (stages/dedup.near_dedup_filter), so the
+    two paths compose.
+
+    The near-dup test is the QUANTIZED integer cosine rule (pinned on both
+    engine and oracle sides, the hll_distinct pattern): with q =
+    floor(v·2^10 + 0.5) per coordinate and τ = tn/td, items i<j in the
+    same cluster are near-dups iff dot(qᵢ,qⱼ) > 0 and
+    td²·dot² ≥ tn²·‖qᵢ‖²·‖qⱼ‖².  All quantities stay inside int64 for
+    d ≤ 64, |v| ≤ ~1 (dot ≤ 2^26 → td²·dot² ≤ 2^61 at τ = 7/20).
+
+    Scale shape: one streaming pass attaches the cluster id (centroids
+    broadcast), ONE shuffle co-locates each cluster's vectors, and the
+    pairwise test runs vectorized per cluster in row-chunks that bound the
+    (chunk × n) dot matrix.  Per-task rows = cluster size — SemDeDup's own
+    contract is that k GROWS with the corpus so clusters stay bounded
+    (the paper uses k ≈ N/100); pass the bigger k at scale.
+
+    Returns Dataset[id, cluster, keep] over every input row."""
+    tn, td = tau
+    cent, _ = kmeans(ds, k, iters, id_col, embed_col, seed)
+    cent_ref = ray.put(cent)
+    proj = ds.select_columns([id_col, embed_col])
+
+    def assign_batch(t: pa.Table, _ref=cent_ref) -> pa.Table:
+        c = ray.get(_ref)
+        _, q = _quantized_batch(t, id_col, embed_col)
+        a = _assign(q, c) + 1  # 1-based cluster ids (init rank)
+        return t.append_column("cluster", pa.array(a.astype(np.int64)))
+
+    def group_dedup(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embed_matrix(g, embed_col)
+        q = np.floor(mat * float(SEM_QSCALE) + 0.5).astype(np.int64)
+        if np.abs(q).max(initial=0) > 4 * SEM_QSCALE:
+            raise ValueError("semdedup: |embedding| too large for the int64 rule")
+        # process rows in chunks so the (chunk × n) dot matrix stays bounded
+        order = np.argsort(ids, kind="mergesort")
+        q = q[order]
+        sid = ids[order]
+        nn = (q * q).sum(axis=1)
+        n = len(sid)
+        dup = np.zeros(n, dtype=bool)
+        chunk = max(1, 8_000_000 // max(n, 1))
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            dots = q[s:e] @ q.T  # (chunk, n) int64, ≤ 2^26 each
+            rhs = np.int64(tn) * np.int64(tn) * (nn[s:e][:, None] * nn[None, :])
+            hit = (dots > 0) & (
+                np.int64(td) * np.int64(td) * dots * dots >= rhs
+            )
+            # near-dup with any SMALLER-id row (strictly earlier in sorted
+            # order) ⇒ dropped
+            lower = np.arange(n)[None, :] < (s + np.arange(e - s))[:, None]
+            dup[s:e] |= (hit & lower).any(axis=1)
+        cluster = g.column("cluster").to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                id_col: pa.array(sid),
+                "cluster": pa.array(cluster.astype(np.int64)),
+                "keep": pa.array((~dup).astype(np.int64)),
+            }
+        )
+
+    return (
+        proj.map_batches(assign_batch, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(group_dedup, batch_format="pyarrow")
+    )

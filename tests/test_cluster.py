@@ -89,3 +89,64 @@ def test_quantize_matches_sql_convention():
     q = cluster.quantize(v.reshape(1, -1))[0]
     want = np.floor(v * 1048576.0 + 0.5).astype(np.int64)
     assert (q == want).all()
+
+
+def test_semdedup_brute_force_and_reshard(ray_session):
+    """semdedup == the quantized rule applied brute-force per final
+    cluster; identical under any input partitioning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    base = rng.uniform(-0.5, 0.5, size=(40, 8))
+    # plant near-dup groups: rows 40..49 are tiny perturbations of rows 0..9
+    dups = base[:10] + rng.uniform(-1e-3, 1e-3, size=(10, 8))
+    mat = np.vstack([base, dups])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+            "embedding": pa.array(list(mat.astype(np.float32))),
+        }
+    )
+    k, iters, seed, (tn, td) = 4, 2, 9, (7, 20)
+    out = (
+        cluster.semdedup(rd.from_arrow(tbl), k=k, iters=iters, tau=(tn, td), seed=seed)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # every planted duplicate of a same-cluster original must be dropped
+    clus = dict(zip(out["vec_id"], out["cluster"]))
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    for j in range(40, 50):
+        if clus[j] == clus[j - 40]:
+            assert keep[j] == 0
+
+    # brute force: final centroids -> assignment -> quantized pair rule
+    cent, assign = cluster.kmeans(
+        rd.from_arrow(tbl), k=k, iters=iters, seed=seed
+    )
+    a = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    q = np.floor(mat.astype(np.float64) * 1024.0 + 0.5).astype(np.int64)
+    nn = (q * q).sum(axis=1)
+    want_keep = np.ones(len(mat), dtype=np.int64)
+    for j in range(len(mat)):
+        for i in range(j):
+            if a[i] != a[j]:
+                continue
+            dot = int(q[i] @ q[j])
+            if dot > 0 and td * td * dot * dot >= tn * tn * int(nn[i]) * int(nn[j]):
+                want_keep[j] = 0
+                break
+    assert list(out["keep"]) == list(want_keep)
+    assert list(out["cluster"]) == list(a)
+
+    out2 = (
+        cluster.semdedup(
+            rd.from_arrow(tbl).repartition(7), k=k, iters=iters, tau=(tn, td), seed=seed
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
