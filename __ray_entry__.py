@@ -34,6 +34,23 @@ def _docs(sf_dir: str):
     return storage.read_documents(f"{_synth(sf_dir)}/documents")
 
 
+def _doc_table(sf_dir: str, columns=None):
+    """Driver documents table through the storage seam — bytes-aware block
+    sizing (a 64 KB table is ONE block, not 2×CPU splinters whose empty-
+    partition scheduling dominates every downstream shuffle)."""
+    from kaza_lcms_ray.sources import storage
+
+    return storage.read_documents(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _tbl(sf_dir: str, name: str, columns=None):
+    """Any driver testdata table through the storage seam (same bytes-aware
+    block sizing as ``_doc_table``)."""
+    from kaza_lcms_ray.sources import storage
+
+    return storage.read_documents(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
 def _geo(sf_dir: str):
     from kaza_lcms_ray.stages import spans
 
@@ -432,7 +449,7 @@ def q_dedup_exact(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = _doc_table(sf_dir)
     return _i64(
         dedup.exact_dedup_keys(docs, "text", "doc_id"), ["keep_id", "n_dups"]
     )
@@ -449,7 +466,7 @@ def q_para_dedup(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         dedup.drop_dup_paragraphs(docs, "text", "doc_id"),
         ["doc_id", "text_clean", "n_kept", "n_dropped"],
@@ -463,7 +480,7 @@ def q_top_bigrams(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(T.top_ngrams(docs, n=2, k=20), ["term", "ct"])
 
 
@@ -475,7 +492,7 @@ def q_normalize_text(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         T.normalize_text(docs), ["doc_id", "text_norm", "n_chars_norm", "changed"]
     )
@@ -489,7 +506,7 @@ def q_chunk_text(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         T.chunk_text(docs, size=128, stride=96),
         ["doc_id", "chunk_idx", "chunk_text", "chunk_len"],
@@ -505,7 +522,7 @@ def q_bpe_pairs(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(T.bpe_pair_stats(docs, k=20), ["pair", "ct"])
 
 
@@ -534,7 +551,7 @@ def q_curriculum_rank(sf_dir: str):
 
     from kaza_lcms_ray.stages import packing, text as T
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     scored = T.text_scores(docs)
     return _i64(
         packing.global_rank(scored, "quality", "doc_id"),
@@ -553,7 +570,7 @@ def q_redact(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         T.redact(docs, REDACT_QUERY_PATTERN, "<ENT>"),
         ["doc_id", "text_redacted", "n_hits"],
@@ -568,7 +585,7 @@ def q_line_repetition(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         T.line_repetition(docs, "text", "doc_id"),
         ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"],
@@ -584,9 +601,7 @@ def q_fuzzy_dedup(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
-    )
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "n_chars"])
     return _i64(
         dedup.near_dedup_filter(docs, "text", "doc_id", k=5, threshold=0.4)
         .select_columns(["doc_id", "n_chars"]),
@@ -599,7 +614,7 @@ def q_token_stats(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(text.token_stats(docs), ["doc_id", "n_chars_q", "n_tokens"])
 
 
@@ -612,7 +627,7 @@ def q_bpe_tokens(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         text.bpe_token_stats(docs), ["doc_id", "n_bpe", "n_alpha_runs", "n_num_runs"]
     )
@@ -626,7 +641,7 @@ def q_lm_score(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(text.lm_score(docs), ["doc_id", "n_toks", "logprob_q", "avg_nll"])
 
 
@@ -639,7 +654,7 @@ def q_decontaminate(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         text.decontaminate(docs),
         ["doc_id", "n_grams", "n_hits", "contaminated"],
@@ -654,9 +669,7 @@ def q_quantize_embed(sf_dir: str):
 
     from kaza_lcms_ray.stages import ann
 
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    emb = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return _i64(ann.quantize_embeddings(emb), ["vec_id", "dim", "code", "scale"])
 
 
@@ -668,7 +681,7 @@ def q_gopher_quality(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         text.gopher_quality(docs),
         [
@@ -722,9 +735,7 @@ def q_web_curation(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import curation
 
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
     return _i64(
         curation.web_curation(docs, REDACT_QUERY_PATTERN, "<ENT>"),
         ["doc_id", "source", "quality"],
@@ -740,9 +751,7 @@ def q_source_zscore(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import curation
 
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
     return _i64(
         curation.source_zscore(docs), ["doc_id", "source", "quality", "z"]
     )
@@ -756,9 +765,7 @@ def q_adaptive_quality(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import curation
 
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
     return _i64(
         curation.adaptive_quality_filter(docs), ["doc_id", "source", "quality"]
     )
@@ -772,9 +779,7 @@ def q_pretrain_build(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import curation
 
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
     return _i64(
         curation.pretrain_build(docs, _mix_weight, alpha=MIX_ALPHA),
         ["doc_id", "n_tokens", "pack_id", "pack_pos", "n_splits"],
@@ -790,7 +795,7 @@ def q_tfidf(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(text.tfidf_topk(docs, k=5), ["doc_id", "rank", "term", "tf", "score"])
 
 
@@ -803,7 +808,7 @@ def q_pack_sequences(sf_dir: str):
 
     from kaza_lcms_ray.stages import packing
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         packing.pack_sequences(docs, budget=512),
         ["doc_id", "n_tokens", "pack_id", "pack_pos", "n_splits"],
@@ -829,7 +834,7 @@ def q_mix_sources(sf_dir: str):
 
     from kaza_lcms_ray.stages import packing
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "source"])
     return _i64(
         packing.mix_sources(docs, _mix_weight, alpha=MIX_ALPHA),
         ["doc_id", "source"],
@@ -841,7 +846,7 @@ def q_text_scores(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         text.text_scores(docs), ["doc_id", "lang_pred", "stop_ratio", "quality"]
     )
@@ -852,7 +857,7 @@ def q_fingerprints(sf_dir: str):
 
     from kaza_lcms_ray.stages import text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(text.fingerprints(docs), ["doc_id", "fingerprint"])
 
 
@@ -861,7 +866,7 @@ def q_simhash(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(dedup.simhash_signatures(docs, "text", "doc_id"), ["doc_id", "simhash"])
 
 
@@ -870,7 +875,7 @@ def q_minhash_pairs(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return dedup.minhash_candidate_pairs(docs, "text", "doc_id")
 
 
@@ -883,7 +888,7 @@ def q_jaccard_verified(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id").materialize()
     out = dedup._verify_pairs_distributed(
         docs, cand, "text", "doc_id", k=5, threshold=0.4, n_pairs=cand.count()
@@ -899,7 +904,7 @@ def q_curation(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import curation
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return curation.curate_corpus(docs)
 
 
@@ -908,7 +913,7 @@ def q_events_hourly(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(
         events.tumbling_window(ev),
         ["event_type", "window_start", "n", "min_value", "max_value"],
@@ -921,7 +926,7 @@ def q_ann_topk(sf_dir: str):
 
     from kaza_lcms_ray.stages import ann
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(sf_dir, "embeddings")
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     qids = qt.column("vec_id").to_numpy()
     qmat = np.stack(
@@ -941,7 +946,7 @@ def q_knn_graph(sf_dir: str):
 
     from kaza_lcms_ray.stages import ann
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(sf_dir, "embeddings")
     # drop_self=True ≡ the oracle's rank-with-self(4)→drop-self→re-rank(3):
     # self occurs exactly once per qid, so filter-then-head(3) is identical.
     out = ann.knn_join(emb, k=3, id_col="vec_id", embed_col="embedding", drop_self=True)
@@ -973,13 +978,87 @@ def q_semdedup(sf_dir: str):
 
     from kaza_lcms_ray.stages import cluster
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(sf_dir, "embeddings")
     return _i64(
         cluster.semdedup(
             emb, k=KMEANS_K, iters=KMEANS_ITERS, tau=(7, 20), seed=KMEANS_SEED
         ),
         ["vec_id", "cluster", "keep"],
     )
+
+
+def q_dup_windows(sf_dir: str):
+    """Exact-substring duplication signals (stages/dedup.dup_window_signals
+    — the windowed, fingerprint-keyed form of suffix-array substring
+    dedup): 64-char windows at stride 8, a window is duplicated iff its
+    text occurs in ≥2 distinct docs; per-doc distinct/dup window counts,
+    dup fraction and flag value-checked (oracle groups by the window text
+    itself — the ground truth the 128-bit fingerprints stand in for)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(
+        dedup.dup_window_signals(docs),
+        ["doc_id", "n_fps", "n_dup_fps", "dup_frac", "flagged"],
+    )
+
+
+def q_hash_embed(sf_dir: str):
+    """Feature-hashing document vectors (stages/text.hash_embed — the
+    hashing trick): fnv1a token buckets with top-bit signs, 64-dim
+    integral vectors, row-local.  The text→vector bridge into the ANN /
+    k-means / SemDeDup stages.  Exploded to (doc_id, bucket, val) rows so
+    every coordinate of every vector is value-checked (the gate sorts
+    scalar columns)."""
+    from kaza_lcms_ray.stages import text as T
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vec = t.column("vec")
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        offs = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[1:] - offs[:-1]
+        di = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        bucket = np.arange(int(offs[-1] - offs[0]), dtype=np.int64) - np.repeat(
+            offs[:-1] - offs[0], counts
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[di]),
+                "bucket": pa.array(bucket),
+                "val": vec.flatten(),
+            }
+        )
+
+    vecs = T.hash_embed(_doc_table(sf_dir, columns=["doc_id", "text"]))
+    return _i64(vecs.map_batches(explode, batch_format="pyarrow"), ["doc_id", "bucket", "val"])
+
+
+def q_source_cap(sf_dir: str):
+    """Per-source document cap (the FineWeb per-domain quota): keep the
+    top-5 docs per source by (quality desc, doc_id asc) with per-group
+    rank — stages/joins.top_k_per_group over TextScorer quality, ≤
+    k·groups·blocks pre-pruned rows shuffled.  Value-checked."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+    from kaza_lcms_ray.stages.joins import top_k_per_group
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
+    capped = top_k_per_group(
+        T.text_scores(docs),
+        ["source"],
+        "quality",
+        5,
+        ["doc_id"],
+        rank_col="rank",
+    )
+    return _i64(capped, ["doc_id", "source", "quality", "rank"])
 
 
 def q_kmeans_embed(sf_dir: str):
@@ -991,7 +1070,7 @@ def q_kmeans_embed(sf_dir: str):
 
     from kaza_lcms_ray.stages import cluster
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(sf_dir, "embeddings")
     _, assign = cluster.kmeans(
         emb, k=KMEANS_K, iters=KMEANS_ITERS, seed=KMEANS_SEED
     )
@@ -1007,7 +1086,7 @@ def q_ivf_topk(sf_dir: str):
 
     from kaza_lcms_ray.stages import cluster
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(sf_dir, "embeddings")
     qids, qmat = _query_vectors(sf_dir)
     out = cluster.ivf_topk(
         emb,
@@ -1172,7 +1251,7 @@ def q_top_chars(sf_dir: str):
 
     from kaza_lcms_ray.stages import joins
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "n_chars"])
     return _i64(joins.top_k(docs, "n_chars", 20, "doc_id"), ["doc_id", "n_chars"])
 
 
@@ -1201,7 +1280,7 @@ def q_set_except(sf_dir: str):
     from kaza_lcms_ray.sources.storage import read_dim
     from kaza_lcms_ray.stages import joins
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    li = _tbl(sf_dir, "lineitem", columns=["l_partkey"])
     small = read_dim(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"]).filter(
         expr="p_size <= 20"
     )
@@ -1238,7 +1317,7 @@ def q_embed_dup_pairs(sf_dir: str):
 
     from kaza_lcms_ray.stages import ann
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").filter(expr="vec_id < 2000")
+    emb = _tbl(sf_dir, "embeddings").filter(expr="vec_id < 2000")
     return _i64(ann.embedding_dup_pairs(emb, 0.4), ["a", "b"])
 
 
@@ -1460,7 +1539,7 @@ def q_events_sliding(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(
         events.sliding_window(ev, width_hours=2, slide_hours=1),
         ["event_type", "window_start", "n", "min_value", "max_value"],
@@ -1474,7 +1553,7 @@ def q_events_sessions(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(
         events.sessionize(ev),
         ["user_id", "session_id", "session_start", "session_end", "n_events", "value_cents"],
@@ -1490,7 +1569,7 @@ def q_events_asof(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(
         events.asof_join(ev),
         ["event_id", "user_id", "matched_event_id", "lag_us"],
@@ -1505,7 +1584,7 @@ def q_events_range(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(events.interval_join(ev), ["event_id", "user_id", "session_id"])
 
 
@@ -1516,7 +1595,7 @@ def q_events_props(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(events.extract_props_key(ev), ["event_type", "sum_k", "n"])
 
 
@@ -1527,7 +1606,7 @@ def q_events_running(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(events.running_totals(ev), ["event_id", "user_id", "cum_cents"])
 
 
@@ -1538,7 +1617,7 @@ def q_events_gaps(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(events.event_gaps(ev), ["event_id", "user_id", "gap_us"])
 
 
@@ -1549,7 +1628,7 @@ def q_events_pivot(sf_dir: str):
 
     from kaza_lcms_ray.stages import events
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _tbl(sf_dir, "events")
     return _i64(
         events.pivot_counts(ev),
         ["user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"],
@@ -1564,7 +1643,7 @@ def q_pricing_summary(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import analytics
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(sf_dir, "lineitem")
     return _i64(
         analytics.pricing_summary(li),
         [
@@ -1582,9 +1661,9 @@ def q_top_customers(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import analytics
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
-    od = rd.read_parquet(f"{sf_dir}/orders.parquet")
-    cu = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    li = _tbl(sf_dir, "lineitem")
+    od = _tbl(sf_dir, "orders")
+    cu = _tbl(sf_dir, "customer")
     return analytics.top_customers_by_revenue(li, od, cu)
 
 
@@ -1596,9 +1675,9 @@ def q_shipping_priority(sf_dir: str):
 
     from kaza_lcms_ray.pipelines import analytics
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
-    od = rd.read_parquet(f"{sf_dir}/orders.parquet")
-    cu = rd.read_parquet(f"{sf_dir}/customer.parquet")
+    li = _tbl(sf_dir, "lineitem")
+    od = _tbl(sf_dir, "orders")
+    cu = _tbl(sf_dir, "customer")
     return _i64(
         analytics.shipping_priority(li, od, cu),
         ["l_orderkey", "revenue_scaled", "o_orderdate", "o_orderpriority"],
@@ -1614,12 +1693,12 @@ def q_local_volume(sf_dir: str):
     from kaza_lcms_ray.pipelines import analytics
 
     return analytics.local_supplier_volume(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
-        rd.read_parquet(f"{sf_dir}/orders.parquet"),
-        rd.read_parquet(f"{sf_dir}/customer.parquet"),
-        rd.read_parquet(f"{sf_dir}/supplier.parquet"),
-        rd.read_parquet(f"{sf_dir}/nation.parquet"),
-        rd.read_parquet(f"{sf_dir}/region.parquet"),
+        _tbl(sf_dir, "lineitem"),
+        _tbl(sf_dir, "orders"),
+        _tbl(sf_dir, "customer"),
+        _tbl(sf_dir, "supplier"),
+        _tbl(sf_dir, "nation"),
+        _tbl(sf_dir, "region"),
     )
 
 
@@ -1631,8 +1710,8 @@ def q_promo_revenue(sf_dir: str):
     from kaza_lcms_ray.pipelines import analytics
 
     return analytics.promo_revenue(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
-        rd.read_parquet(f"{sf_dir}/part.parquet"),
+        _tbl(sf_dir, "lineitem"),
+        _tbl(sf_dir, "part"),
     )
 
 
@@ -1647,8 +1726,8 @@ def q_hll_distinct(sf_dir: str):
 
     from kaza_lcms_ray.stages import sketch
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    docs = _doc_table(sf_dir, columns=["text"])
+    ev = _tbl(sf_dir, "events", columns=["user_id"])
     return pd.DataFrame(
         {
             "name": ["doc_text", "user_id"],
@@ -1673,7 +1752,7 @@ def q_cms_heavy(sf_dir: str):
 
     from kaza_lcms_ray.stages import sketch
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    docs = _doc_table(sf_dir, columns=["text"])
     counters = sketch.cms_counters(docs, "text").to_pandas()
     est = sketch.cms_estimate(counters, CMS_PROBES)
     return pd.DataFrame({"token": CMS_PROBES, "est": est}).astype({"est": "int64"})
@@ -1687,10 +1766,8 @@ def q_bloom_semi(sf_dir: str):
 
     from kaza_lcms_ray.stages import sketch
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
-    od = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
-    ).filter(expr="o_orderpriority == '1-URGENT'")
+    li = _tbl(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).filter(expr="o_orderpriority == '1-URGENT'")
     return sketch.bloom_semi_report(li, od, "l_orderkey", "o_orderkey")
 
 
@@ -1702,11 +1779,11 @@ def q_bilateral_volume(sf_dir: str):
     from kaza_lcms_ray.pipelines import analytics
 
     return analytics.bilateral_volume(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
-        rd.read_parquet(f"{sf_dir}/orders.parquet"),
-        rd.read_parquet(f"{sf_dir}/customer.parquet"),
-        rd.read_parquet(f"{sf_dir}/supplier.parquet"),
-        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        _tbl(sf_dir, "lineitem"),
+        _tbl(sf_dir, "orders"),
+        _tbl(sf_dir, "customer"),
+        _tbl(sf_dir, "supplier"),
+        _tbl(sf_dir, "nation"),
     )
 
 
@@ -1721,7 +1798,7 @@ def q_lineage_roundtrip(sf_dir: str):
     from kaza_lcms_ray import lineage
     from kaza_lcms_ray.lineage import _part_of
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    docs = _doc_table(sf_dir, columns=["doc_id", "n_chars"])
     n = docs.count()
     out = f"/tmp/kaza_out/lineage_q/n{n}"
     lineage.resumable_write(docs, out, key_col="doc_id", num_parts=16, config_hash=f"gate-{n}")
@@ -1759,9 +1836,9 @@ def q_large_orders(sf_dir: str):
     from kaza_lcms_ray.pipelines import analytics
 
     out = analytics.large_orders(
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet"),
-        rd.read_parquet(f"{sf_dir}/orders.parquet"),
-        rd.read_parquet(f"{sf_dir}/customer.parquet"),
+        _tbl(sf_dir, "lineitem"),
+        _tbl(sf_dir, "orders"),
+        _tbl(sf_dir, "customer"),
     )
     for c in ("l_orderkey", "o_custkey", "qty_cents"):
         out[c] = out[c].astype("int64")
@@ -1801,6 +1878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q_bpe_pairs,
         "bbox_join": q_bbox_join,
         "semdedup": q_semdedup,
+        "source_cap": q_source_cap,
+        "dup_windows": q_dup_windows,
+        "hash_embed": q_hash_embed,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2180,6 +2260,15 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             ) WHERE rnk <= 10""",
         "kmeans_embed": _kmeans_embed_sql(),
         "semdedup": _semdedup_sql(),
+        "source_cap": f"""
+            WITH q AS ({_text_scores_sql()})
+            SELECT d.doc_id, d.source, q.quality,
+                   CAST(row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY q.quality DESC, d.doc_id ASC
+                   ) AS BIGINT) AS rank
+            FROM documents d JOIN q USING (doc_id)
+            QUALIFY rank <= 5""",
         "ivf_topk": _ivf_topk_sql(),
         "knn_graph": """
             WITH q AS (
@@ -2260,6 +2349,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "bpe_pairs": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).bpe_pair_stats_sql("SELECT doc_id, text FROM documents", k=20),
+        "dup_windows": __import__(
+            "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
+        ).dup_window_signals_sql("SELECT doc_id, text FROM documents"),
+        "hash_embed": f"""
+            WITH v AS ({__import__("kaza_lcms_ray.stages.text", fromlist=["text"]).hash_embed_sql("SELECT doc_id, text FROM documents")})
+            SELECT doc_id, CAST(bucket - 1 AS BIGINT) AS bucket, val
+            FROM (SELECT doc_id, unnest(vec) AS val,
+                         generate_subscripts(vec, 1) AS bucket FROM v)""",
         "curation": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).curation_sql(_text_scores_sql()),

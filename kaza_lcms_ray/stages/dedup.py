@@ -1042,3 +1042,147 @@ def min_label_clusters(pairs_ds, driver_pair_limit: int = 2_000_000, max_rounds:
     return rd.from_pandas(
         pd.DataFrame({"node": nodes, "cluster": [find(n) for n in nodes]})
     )
+
+
+def dup_window_signals(
+    ds,
+    win: int = 64,
+    stride: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact-substring duplication signals — the windowed, shuffle-friendly
+    form of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): slide
+    ``win``-char windows at ``stride`` over each document; a window is
+    DUPLICATED iff its exact text occurs as a window in ≥2 distinct
+    documents.  Windows at stride s catch any cross-document repeat of
+    length ≥ win + s − 1 — the standard scalable approximation of the
+    arbitrary-length suffix-array repeat.
+
+    Per surviving doc: n_fps (distinct window fingerprints), n_dup_fps,
+    dup_frac = n_dup_fps/n_fps, flagged (dup_frac ≥ 1/2, integer-exact
+    2·n_dup ≥ n).  Docs shorter than ``win`` emit no windows and are
+    absent from the output (the oracle mirrors this).
+
+    Scale shape: window TEXT never leaves its batch — each window is
+    fingerprinted to 128 bits in place (``_fp128``) and only skinny
+    (fp_hi, fp_lo, doc_id) rows shuffle, ≤ len/stride per doc.  One
+    fp-bucketed exchange counts distinct docs per fingerprint and emits
+    per-(fp, doc) shared flags; one doc-bucketed integer sum finishes.
+    A 128-bit collision is the only divergence from exact substring
+    equality (~n²/2¹²⁸ — ignorable at 10¹² windows)."""
+    import pyarrow.compute as pc
+
+    from ..runtime import cluster_cpus
+    from ..state.hashing import hash_key
+    from .zonal import bucketed_sum
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def windows(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_win = np.where(lens >= win, (lens - win) // stride + 1, 0)
+        parts, owners = [], []
+        alive = np.nonzero(n_win > 0)[0]
+        k = 0
+        while alive.size:
+            idx = pa.array(alive)
+            parts.append(
+                pc.utf8_slice_codeunits(
+                    text.take(idx), start=k * stride, stop=k * stride + win
+                )
+            )
+            owners.append(ids[alive])
+            k += 1
+            alive = alive[n_win[alive] > k]
+        if not parts:
+            return pa.table(
+                {
+                    "fp_hi": pa.array([], type=pa.int64()),
+                    "fp_lo": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+        wtxt = pa.chunked_array(parts).combine_chunks()
+        hi, lo = _fp128(wtxt)
+        out = (
+            pa.table(
+                {
+                    "fp_hi": pa.array(hi.astype(np.int64)),
+                    "fp_lo": pa.array(lo.astype(np.int64)),
+                    id_col: pa.array(np.concatenate(owners)),
+                }
+            )
+            .group_by(["fp_hi", "fp_lo", id_col])  # in-batch (fp, doc) distinct
+            .aggregate([])
+        )
+        bucket = (
+            hash_key(out.column("fp_lo").to_numpy(zero_copy_only=False).astype(np.uint64))
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return out.append_column("bucket", pa.array(bucket))
+
+    def fp_group(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of an fp land in this bucket → exact global distinct +
+        # distinct-doc count per fp
+        d = df.drop_duplicates(["fp_hi", "fp_lo", id_col])
+        nd = d.groupby(["fp_hi", "fp_lo"])[id_col].transform("size")
+        return pd.DataFrame(
+            {
+                id_col: d[id_col].to_numpy(),
+                "n_fps": np.ones(len(d), dtype=np.int64),
+                "n_dup_fps": (nd.to_numpy() >= 2).astype(np.int64),
+            }
+        )
+
+    partial = (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fp_group, batch_format="pandas")
+    )
+    sums = bucketed_sum(partial, [id_col], ["n_fps", "n_dup_fps"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_fps").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("n_dup_fps").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "dup_frac", pa.array(d.astype(np.float64) / n)
+        ).append_column("flagged", pa.array((2 * d >= n).astype(np.int64)))
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_window_signals_sql(
+    docs_sql: str, win: int = 64, stride: int = 8
+) -> str:
+    """Oracle: the window texts themselves are the group keys (collision-
+    free ground truth the 128-bit engine fingerprints stand in for)."""
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   substring(text, CAST(k * {stride} + 1 AS BIGINT), {win}) AS wtxt
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           0, (length(text) - {win}) // {stride})) AS k
+                FROM ({docs_sql}) WHERE length(text) >= {win}
+            )
+        ),
+        d AS (SELECT DISTINCT doc_id, wtxt FROM w),
+        c AS (SELECT wtxt, COUNT(DISTINCT doc_id) AS nd FROM d GROUP BY wtxt),
+        per AS (
+            SELECT d.doc_id, COUNT(*) AS n_fps,
+                   SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_dup_fps
+            FROM d JOIN c USING (wtxt) GROUP BY d.doc_id
+        )
+        SELECT doc_id, CAST(n_fps AS BIGINT) AS n_fps,
+               CAST(n_dup_fps AS BIGINT) AS n_dup_fps,
+               CAST(n_dup_fps AS DOUBLE) / n_fps AS dup_frac,
+               CAST(2 * n_dup_fps >= n_fps AS BIGINT) AS flagged
+        FROM per"""

@@ -1396,3 +1396,71 @@ def bpe_pair_stats_sql(docs_sql: str, k: int = 20) -> str:
                CAST(COUNT(*) AS BIGINT) AS ct
         FROM pos GROUP BY 1
         ORDER BY ct DESC, pair LIMIT {k}"""
+
+
+def hash_embed(ds, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"):
+    """Feature-hashing document vectors (the "hashing trick", Weinberger
+    et al. 2009, arXiv:0902.2206): token t contributes sign(t) at index
+    fnv1a64(t) % dim, sign = −1 iff the hash's top bit is set.
+    Deterministic, integer-exact, zero vocabulary state — the text→vector
+    bridge that feeds the engine's ANN / k-means / SemDeDup stages when no
+    model embedding exists.  Row-local (one batched fnv pass + one
+    bincount), no shuffle at any scale.  Zero-token documents get the
+    all-zero vector.
+
+    Returns Dataset[id, vec: list<double> (integral-valued, so both sides
+    are exact)]."""
+    from ..state.hashing import fnv1a_arr
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[1:] - offs[:-1]
+        di = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        h = fnv1a_arr(flat.filter(pa.array(keep)))
+        di = di[keep]
+        bucket = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where(h >> np.uint64(63), -1.0, 1.0)
+        v = np.bincount(
+            di * dim + bucket, weights=sign, minlength=len(t) * dim
+        ).reshape(len(t), dim)
+        offsets = pa.array(np.arange(0, (len(t) + 1) * dim, dim, dtype=np.int32))
+        vec = pa.ListArray.from_arrays(offsets, pa.array(v.ravel(), type=pa.float64()))
+        return pa.table({id_col: t.column(id_col), "vec": vec})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hash_embed_sql(docs_sql: str, dim: int = 64) -> str:
+    """Oracle: the same tokenization, the fnv1a_chars HUGEINT replay, sign
+    from the top bit, dense vectors via a bucket cross join (zeros kept)."""
+    from ..state import sqlhash as SH
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                                      x -> length(x) > 0)) AS tok
+            FROM ({docs_sql})
+        ),
+        h AS (SELECT doc_id, {SH.fnv1a_chars('tok')} AS hv FROM toks),
+        s AS (
+            SELECT doc_id, CAST(hv % {dim} AS BIGINT) AS bucket,
+                   SUM(CASE WHEN hv >= {SH.hug(1 << 63)} THEN -1 ELSE 1 END) AS sval
+            FROM h GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT d.doc_id, g.bucket, CAST(COALESCE(s.sval, 0) AS DOUBLE) AS val
+            FROM (SELECT DISTINCT doc_id FROM ({docs_sql})) d
+            CROSS JOIN (SELECT unnest(range(0, {dim})) AS bucket) g
+            LEFT JOIN s ON s.doc_id = d.doc_id AND s.bucket = g.bucket
+        )
+        SELECT doc_id, list(val ORDER BY bucket) AS vec
+        FROM dense GROUP BY doc_id"""

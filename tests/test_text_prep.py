@@ -127,3 +127,36 @@ def test_bpe_pair_stats_reshard_invariant(ray_session):
     a = a.sort_values(["pair"]).reset_index(drop=True)
     b = b.sort_values(["pair"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_hash_embed_rule_and_composition(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.state.hashing import fnv1a_arr
+    from kaza_lcms_ray.stages import cluster, text
+
+    tbl = _docs(["apple banana apple", "", "Banana!  cherry"])
+    out = (
+        text.hash_embed(rd.from_arrow(tbl), dim=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    vecs = np.stack([np.asarray(v) for v in out["vec"]])
+    assert vecs.shape == (3, 16)
+    # hand-apply the rule
+    want = np.zeros((3, 16))
+    for i, words in enumerate([["apple", "banana", "apple"], [], ["banana", "cherry"]]):
+        for w in words:
+            h = int(fnv1a_arr([w])[0])
+            want[i, h % 16] += -1.0 if h >> 63 else 1.0
+    assert np.array_equal(vecs, want)
+    assert np.array_equal(vecs[1], np.zeros(16))  # empty doc -> zero vector
+
+    # composes with the clustering stages (rename to their default schema)
+    ds = text.hash_embed(rd.from_arrow(tbl), dim=16).rename_columns(
+        ["vec_id", "embedding"]
+    )
+    _, assign = cluster.kmeans(ds, k=2, iters=1, seed=3)
+    assert len(assign.to_pandas()) == 3
