@@ -1039,6 +1039,43 @@ def q_hash_embed(sf_dir: str):
     return _i64(vecs.map_batches(explode, batch_format="pyarrow"), ["doc_id", "bucket", "val"])
 
 
+def q_geo_distance(sf_dir: str):
+    """Great-circle (haversine) distance of every geo span to the AOI bbox
+    center — state/cells.haversine_m, libm-exact trig on both sides, the
+    buffer/withinDistance geodesic the reference delegates to EE geometry.
+    Every double value-checked byte-exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kaza_lcms_ray.state.cells import haversine_m
+
+    root = _synth(sf_dir)
+    bb = pq.read_table(f"{root}/polygons.parquet", columns=["kind", "bbox"])
+    bb = bb.filter(pc.equal(bb.column("kind"), "aoi")).column("bbox")
+    cx = (bb[0]["minx"].as_py() + bb[0]["maxx"].as_py()) / 2
+    cy = (bb[0]["miny"].as_py() + bb[0]["maxy"].as_py()) / 2
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = haversine_m(
+            t.column("lon").to_numpy(zero_copy_only=False),
+            t.column("lat").to_numpy(zero_copy_only=False),
+            cx,
+            cy,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx"),
+                "dist_m": pa.array(d),
+            }
+        )
+
+    return _i64(
+        _geo(sf_dir).map_batches(fn, batch_format="pyarrow"),
+        ["doc_id", "span_idx", "dist_m"],
+    )
+
+
 def q_source_cap(sf_dir: str):
     """Per-source document cap (the FineWeb per-domain quota): keep the
     top-5 docs per source by (quality desc, doc_id asc) with per-group
@@ -1881,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": q_source_cap,
         "dup_windows": q_dup_windows,
         "hash_embed": q_hash_embed,
+        "geo_distance": q_geo_distance,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2082,6 +2120,16 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                         list_filter(spans, s -> s.kind = 'text'),
                         s -> length(s.text))), 0) AS BIGINT) AS text_chars
             FROM read_parquet('{root}/documents/part-*.parquet')""",
+        "geo_distance": f"""
+            WITH {geo},
+            ctr AS (
+                SELECT (bbox.minx + bbox.maxx) / 2 AS cx,
+                       (bbox.miny + bbox.maxy) / 2 AS cy
+                FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'aoi'
+            )
+            SELECT g.doc_id, g.span_idx,
+                   {__import__("kaza_lcms_ray.state.cells", fromlist=["cells"]).haversine_sql_expr("g.lon", "g.lat", "c.cx", "c.cy")} AS dist_m
+            FROM geo g CROSS JOIN ctr c""",
         "bbox_join": f"""
             WITH pa_ AS (
                 SELECT poly_id, bbox.minx AS minx, bbox.miny AS miny,

@@ -250,3 +250,42 @@ def grid_coord_sql_expr(col: str, offset: float, span: float, level: int) -> str
     n = 1 << level
     raw = f"floor((({col}) + {offset!r}) / {span!r} * {float(n)!r})"
     return f"CAST(least(greatest({raw}, 0), {float(n - 1)!r}) AS BIGINT)"
+
+
+RAD = 0.017453292519943295  # float64 π/180 (np.deg2rad's multiplier)
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in meters (haversine), libm-exact: every
+    transcendental goes through math.* per element (np.frompyfunc) so the
+    doubles are bit-identical to the DuckDB oracle's sin/cos/asin/sqrt —
+    the stages/sar.py `_LIBM` discipline.  The expression tree mirrors
+    ``haversine_sql_expr`` operation-for-operation (squares written as
+    x*x on both sides, never pow)."""
+    import math
+
+    def _ufunc(f):
+        return lambda v: np.asarray(np.frompyfunc(f, 1, 1)(v), dtype=np.float64)
+
+    sin, cos, asin = _ufunc(math.sin), _ufunc(math.cos), _ufunc(math.asin)
+
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    s_lat = sin((lat2 - lat1) * RAD / 2)
+    s_lon = sin((lon2 - lon1) * RAD / 2)
+    a = s_lat * s_lat + cos(lat1 * RAD) * cos(lat2 * RAD) * (s_lon * s_lon)
+    return 2.0 * EARTH_RADIUS_M * asin(np.sqrt(a))
+
+
+def haversine_sql_expr(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """DuckDB expression mirroring ``haversine_m`` operation-for-operation
+    (libm sin/cos/asin/sqrt on both sides → bit-identical doubles)."""
+    s_lat = f"sin((({lat2}) - ({lat1})) * {RAD!r} / 2)"
+    s_lon = f"sin((({lon2}) - ({lon1})) * {RAD!r} / 2)"
+    a = (
+        f"({s_lat}) * ({s_lat}) + cos(({lat1}) * {RAD!r}) * "
+        f"cos(({lat2}) * {RAD!r}) * (({s_lon}) * ({s_lon}))"
+    )
+    return f"2.0 * {EARTH_RADIUS_M!r} * asin(sqrt({a}))"

@@ -113,3 +113,26 @@ def test_hilbert_locality_beats_morton():
     h = fragments(lambda x, y: cells.hilbert(x, y, level))
     m = fragments(cells.morton)
     assert h < m * 0.75
+
+
+def test_haversine_known_values_and_sql_parity():
+    import duckdb
+    import pandas as pd
+
+    from kaza_lcms_ray.state.cells import haversine_m, haversine_sql_expr
+
+    # equator degree ~111.19 km; poles antipodal ~ pi*R
+    d = haversine_m(np.array([0.0]), np.array([0.0]), 1.0, 0.0)
+    assert abs(d[0] - 111195.0) < 100
+    d = haversine_m(np.array([0.0]), np.array([-90.0]), 0.0, 90.0)
+    assert abs(d[0] - 3.14159265 * 6371008.8) < 1000
+
+    rng = np.random.RandomState(5)
+    lon, lat = rng.uniform(-179, 179, 500), rng.uniform(-89, 89, 500)
+    got = haversine_m(lon, lat, 23.5, -18.25)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"lon": lon, "lat": lat}))
+    want = con.execute(
+        f"SELECT {haversine_sql_expr('lon', 'lat', '23.5', '-18.25')} AS d FROM t"
+    ).fetchdf()["d"].to_numpy()
+    assert got.tobytes() == want.tobytes()  # byte-exact, not just close

@@ -142,19 +142,27 @@ def test_spatial_near_dedup_pair_guard(ray_session):
 
 
 def test_read_documents_block_rule(synth_small, ray_session):
-    """blocks = max(2xCPUs, one per file): small inputs split for occupancy,
-    many-file inputs never merge files into oversized blocks."""
+    """blocks = min(max(2xCPUs, one per file), ceil(bytes/1MiB)): small
+    inputs never splinter past their bytes, large inputs split for
+    occupancy, many-file inputs never merge files into oversized blocks."""
     import glob
+    import math
 
     from kaza_lcms_ray.sources import storage
+    from kaza_lcms_ray.sources.storage import _input_bytes
 
     files = sorted(glob.glob(f"{synth_small}/documents/part-*.parquet"))
     ds = storage.read_documents(f"{synth_small}/documents")
     import ray
 
     cpus = int(ray.cluster_resources()["CPU"])
-    expected = max(2 * cpus, len(files))
-    assert ds.materialize().num_blocks() == expected
-    # a long file list (files >> slots) stays one block per file
+
+    def rule(path):
+        occupancy = max(2 * cpus, storage._n_files(path))
+        return min(occupancy, max(1, math.ceil(_input_bytes(path) / (1 << 20))))
+
+    assert ds.materialize().num_blocks() == rule(f"{synth_small}/documents")
+    # a long file list follows the same rule (one block per file once the
+    # bytes justify it; a tiny list never splinters)
     many = storage.read_documents(files * 40)
-    assert many.materialize().num_blocks() == len(files) * 40
+    assert many.materialize().num_blocks() == rule(files * 40)
