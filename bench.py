@@ -238,6 +238,14 @@ def run_bench() -> dict:
         "para_dedup_corpus",
         lambda: dedup.drop_dup_paragraphs(text_corpus(), "text", "doc_id").count(),
     )
+    timed(
+        "hash_embed_corpus",
+        lambda: text.hash_embed(text_corpus()).count(),
+    )
+    timed(
+        "dup_windows_corpus",
+        lambda: dedup.dup_window_signals(text_corpus()).count(),
+    )
 
     ray.shutdown()
     return {

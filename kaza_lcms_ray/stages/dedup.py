@@ -1084,7 +1084,9 @@ def dup_window_signals(
         text = t.column(text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
         n_win = np.where(lens >= win, (lens - win) // stride + 1, 0)
         parts, owners = [], []
@@ -1097,7 +1099,7 @@ def dup_window_signals(
                     text.take(idx), start=k * stride, stop=k * stride + win
                 )
             )
-            owners.append(ids[alive])
+            owners.append(alive)  # id dtype-agnostic: gather rows at the end
             k += 1
             alive = alive[n_win[alive] > k]
         if not parts:
@@ -1105,7 +1107,7 @@ def dup_window_signals(
                 {
                     "fp_hi": pa.array([], type=pa.int64()),
                     "fp_lo": pa.array([], type=pa.int64()),
-                    id_col: pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=ids.type),
                     "bucket": pa.array([], type=pa.int64()),
                 }
             )
@@ -1116,7 +1118,7 @@ def dup_window_signals(
                 {
                     "fp_hi": pa.array(hi.astype(np.int64)),
                     "fp_lo": pa.array(lo.astype(np.int64)),
-                    id_col: pa.array(np.concatenate(owners)),
+                    id_col: ids.take(pa.array(np.concatenate(owners))),
                 }
             )
             .group_by(["fp_hi", "fp_lo", id_col])  # in-batch (fp, doc) distinct

@@ -509,3 +509,27 @@ def test_dup_window_signals_hand_and_reshard(ray_session):
     # doc3 (too short) absent; shared window flagged on both owners
     assert set(want["doc_id"]) == {0, 1, 2}
     assert want.set_index("doc_id").loc[2, "n_dup_fps"] == 0
+
+
+def test_dup_window_signals_string_ids(ray_session):
+    """id column can be any dtype (the corpus path keys on string
+    'doc#span' ids)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a#0", "b#1", "c#2"]),
+            "text": pa.array(["abcdefgh", "abcdefgh", "zzzzzzzz"]),
+        }
+    )
+    out = (
+        dedup.dup_window_signals(rd.from_arrow(tbl), win=8, stride=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == ["a#0", "b#1", "c#2"]
+    assert list(out["n_dup_fps"]) == [1, 1, 0]
