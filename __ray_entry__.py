@@ -1076,6 +1076,34 @@ def q_geo_distance(sf_dir: str):
     )
 
 
+def q_temperature_mix(sf_dir: str):
+    """Temperature-weighted source mixing (stages/packing.temperature_mix
+    — the multilingual n_s^T alpha-sampler, T=0.5): weights derived from
+    the corpus's own counts, quantized to keep the bit-exact oracle
+    contract.  Input deliberately skewed (big sources trimmed to
+    doc_id%3==0) so the temperature visibly reweights.  Value-checked."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import packing
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "source"])
+
+    def skew(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        keep_small = pc.is_in(t.column("source"), pa.array(["src1", "src2"]))
+        import numpy as np
+
+        third = pa.array(
+            (ids.to_numpy(zero_copy_only=False) % 3 == 0)
+        )
+        return t.filter(pc.or_(keep_small, third))
+
+    mixed = packing.temperature_mix(
+        docs.map_batches(skew, batch_format="pyarrow"), temperature=0.5, alpha=0.5
+    )
+    return _i64(mixed, ["doc_id", "source"])
+
+
 def q_source_cap(sf_dir: str):
     """Per-source document cap (the FineWeb per-domain quota): keep the
     top-5 docs per source by (quality desc, doc_id asc) with per-group
@@ -1919,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_windows": q_dup_windows,
         "hash_embed": q_hash_embed,
         "geo_distance": q_geo_distance,
+        "temperature_mix": q_temperature_mix,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2400,6 +2429,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "dup_windows": __import__(
             "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
         ).dup_window_signals_sql("SELECT doc_id, text FROM documents"),
+        "temperature_mix": __import__(
+            "kaza_lcms_ray.stages.packing", fromlist=["packing"]
+        ).temperature_mix_sql(
+            "SELECT doc_id, source FROM documents "
+            "WHERE source IN ('src1', 'src2') OR doc_id % 3 = 0",
+            temperature=0.5,
+            alpha=0.5,
+        ),
         "hash_embed": f"""
             WITH v AS ({__import__("kaza_lcms_ray.stages.text", fromlist=["text"]).hash_embed_sql("SELECT doc_id, text FROM documents")})
             SELECT doc_id, CAST(bucket - 1 AS BIGINT) AS bucket, val

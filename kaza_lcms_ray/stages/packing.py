@@ -185,7 +185,14 @@ def mix_sources(
         .to_pandas()
     )
     total = float(counts["sum(n_s)"].sum())
-    w = {s: float(weight_of(s)) for s in counts[source_col]}
+    if getattr(weight_of, "_wants_count", False):
+        # count-derived weights (temperature mixing): weight_of(s, n_s)
+        w = {
+            s: float(weight_of(s, int(n)))
+            for s, n in zip(counts[source_col], counts["sum(n_s)"])
+        }
+    else:
+        w = {s: float(weight_of(s)) for s in counts[source_col]}
     # weights must be integer-valued: float64 addition of integers below
     # 2^53 is exact under ANY order, so engine-side sum_w and the oracle's
     # SUM(w) agree bit-for-bit regardless of accumulation order.  (Weights
@@ -408,3 +415,48 @@ def spatial_partition(
         )
 
     return ranked.map_batches(ntile, batch_format="pyarrow")
+
+
+TEMP_WEIGHT_SCALE = 1 << 20  # quantized n^T weights stay integer-valued
+
+
+def temperature_mix(
+    docs,
+    temperature: float = 0.5,
+    alpha: float = 0.5,
+    seed: int = DEFAULT_SEED,
+    source_col: str = "source",
+):
+    """Temperature-weighted source mixing — the multilingual
+    exponent-smoothing sampler (p_s ∝ n_s^T, T < 1 upweights rare
+    sources; mBERT/XLM-R's alpha-sampling).  Weights are DERIVED from the
+    corpus's own per-source counts: w_s = floor(n_s^T · 2^20), quantized
+    to integers so ``mix_sources``' bit-exact oracle contract (exact
+    float64 sums under any order) still holds; the single pow() per
+    source goes through libm on both engine and oracle sides.
+    Everything else — the tiny counts reduce, broadcast integer
+    thresholds, splitmix64 membership — is ``mix_sources``."""
+    import math
+
+    def weight_of(s, n):
+        return float(np.floor(math.pow(float(n), temperature) * TEMP_WEIGHT_SCALE))
+
+    weight_of._wants_count = True
+    return mix_sources(docs, weight_of, alpha=alpha, seed=seed, source_col=source_col)
+
+
+def temperature_mix_sql(
+    docs_sql: str,
+    temperature: float = 0.5,
+    alpha: float = 0.5,
+    seed: int = DEFAULT_SEED,
+) -> str:
+    """Oracle: the mix_sources oracle with the weight expression
+    floor(pow(n_s, T) · 2^20) — DuckDB's lateral column alias lets it read
+    the counts CTE's n_s; pow is the same libm call as math.pow."""
+    return mix_sources_sql(
+        docs_sql,
+        f"floor(pow(n_s, {temperature!r}) * {float(TEMP_WEIGHT_SCALE)!r})",
+        alpha=alpha,
+        seed=seed,
+    )

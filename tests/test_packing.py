@@ -195,3 +195,34 @@ def test_global_rank_matches_sql_and_resharding(ray_session):
         .sort_values("quality", kind="mergesort")
     )
     assert (got3["rank"].to_numpy() == np.arange(500)).all()
+
+
+def test_temperature_mix_flattens_sources(ray_session):
+    """T<1 keeps a HIGHER fraction of rare sources than proportional
+    mixing; T=1 with integer-count weights equals proportional."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import packing
+
+    rng = np.random.RandomState(4)
+    # skewed corpus: src_big 400 docs, src_small 40
+    ids = np.arange(440, dtype=np.int64)
+    src = np.where(ids < 400, "src_big", "src_small")
+    tbl = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    out = packing.temperature_mix(
+        rd.from_arrow(tbl), temperature=0.5, alpha=0.5
+    ).to_pandas()
+    kept = out.groupby("source").size()
+    frac = {"src_big": kept.get("src_big", 0) / 400, "src_small": kept.get("src_small", 0) / 40}
+    # rare source kept at a strictly higher rate
+    assert frac["src_small"] > frac["src_big"]
+
+    # reshard invariance
+    out2 = packing.temperature_mix(
+        rd.from_arrow(tbl).repartition(5), temperature=0.5, alpha=0.5
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
