@@ -1104,6 +1104,25 @@ def q_temperature_mix(sf_dir: str):
     return _i64(mixed, ["doc_id", "source"])
 
 
+def q_rf_quality(sf_dir: str):
+    """Model-based quality filter (pipelines/curation.quality_classifier_*
+    — the fasttext-style curation classifier): two binary forests trained
+    on a bounded doc_id%3 slice (TextScorer features, Gopher keep labels),
+    broadcast to a stateless distributed scorer; int64 quantized leaf
+    sums + argmax.  The oracle re-walks the exported node table with a
+    recursive CTE over SQL-recomputed text features — every threshold
+    comparison and leaf sum must match bit-for-bit."""
+    from kaza_lcms_ray.pipelines import curation
+
+    root = _synth(sf_dir)
+    art = curation.quality_classifier_artifacts(f"{sf_dir}/documents.parquet", root)
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(
+        curation.quality_classify(docs, art["models"]),
+        ["doc_id", "pq_0", "pq_1", "pred"],
+    )
+
+
 def q_source_cap(sf_dir: str):
     """Per-source document cap (the FineWeb per-domain quota): keep the
     top-5 docs per source by (quality desc, doc_id asc) with per-group
@@ -1948,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": q_hash_embed,
         "geo_distance": q_geo_distance,
         "temperature_mix": q_temperature_mix,
+        "rf_quality": q_rf_quality,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2460,6 +2480,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "training_split": _training_split_sql(geo, root),
         "rf_landcover": _rf_landcover_sql(root),
         "rf_scores": _rf_scores_sql(root, RF_SCORE_MOD),
+        "rf_quality": _rfq_sql(root),
         "accuracy_report": _accuracy_sql(root),
         "geo_bbox": _geo_bbox_sql(geo, cells),
         "sample_pts": _sample_pts_sql(root),
@@ -4145,21 +4166,28 @@ _FEAT_CASE = """CASE t.feature_name
                   WHEN 'IBI' THEN f."IBI" END"""
 
 
-def _walk_ctes(root: str, feats_key: str) -> str:
+def _walk_ctes(
+    root: str,
+    feats_key: str,
+    trees_rel: str = "rf_model/trees.parquet",
+    feat_case: str | None = None,
+) -> str:
     """Recursive tree-walk CTEs over `feats` (must expose ``{feats_key}``
-    key columns + the 9 feature columns).  Ends with `leaf`: one row per
+    key columns + the feature columns ``feat_case`` dispatches on —
+    default: the 9 landcover covariates).  Ends with `leaf`: one row per
     (key, class) with pq = Σ_trees value_q."""
+    feat_case = feat_case or _FEAT_CASE
     ks = feats_key.split(", ")
     on_f = " AND ".join(f"f.{k} = w.{k}" for k in ks)
     w_keys = ", ".join(f"w.{k}" for k in ks)
     return f"""
-        trees AS MATERIALIZED (SELECT * FROM read_parquet('{root}/rf_model/trees.parquet')),
+        trees AS MATERIALIZED (SELECT * FROM read_parquet('{root}/{trees_rel}')),
         walk AS (
             SELECT n.class, n.tree, {feats_key}, 0 AS node
             FROM (SELECT DISTINCT class, tree FROM trees) n, feats
             UNION ALL
             SELECT w.class, w.tree, {w_keys},
-                   CASE WHEN ({_FEAT_CASE}) <= t.thresh
+                   CASE WHEN ({feat_case}) <= t.thresh
                         THEN t.left ELSE t.right END AS node
             FROM walk w
             JOIN trees t ON t.class = w.class AND t.tree = w.tree
@@ -4175,6 +4203,58 @@ def _walk_ctes(root: str, feats_key: str) -> str:
             WHERE t.feature_name = ''
             GROUP BY {w_keys}, w.class
         )"""
+
+
+_RFQ_FEAT_CASE = """CASE t.feature_name
+                  WHEN 'stop_ratio' THEN f.stop_ratio
+                  WHEN 'alpha_ratio' THEN f.alpha_ratio
+                  WHEN 'mean_tok_len' THEN f.mean_tok_len END"""
+
+
+def _rfq_sql(root: str) -> str:
+    """Model-based quality filter oracle: TextScorer features recomputed
+    in SQL (the _text_scores_sql expression trees + mean token length),
+    then the recursive tree walk over the exported rfq node table;
+    pq_0/pq_1 int64 leaf sums, pred = argmax (pq desc, class asc)."""
+    from kaza_lcms_ray.stages.text import LANG_WORDS
+
+    en = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(LANG_WORDS["en"]))
+    return f"""
+        WITH RECURSIVE tk AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(lower(text), '[a-z'']+') AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   len(toks) AS n_tok,
+                   len(list_filter(toks, x -> x IN ({en}))) AS hits_en,
+                   COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                       AS sum_len,
+                   length(text) AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha
+            FROM tk
+        ),
+        feats AS MATERIALIZED (
+            SELECT doc_id,
+                   hits_en / greatest(1, n_tok) AS stop_ratio,
+                   n_alpha / greatest(1, n_chars) AS alpha_ratio,
+                   CASE WHEN n_tok > 0
+                        THEN sum_len / greatest(1, n_tok) ELSE 0.0
+                   END AS mean_tok_len
+            FROM s
+        ),
+        {_walk_ctes(root, "doc_id", "rfq_model/trees.parquet", _RFQ_FEAT_CASE)},
+        piv AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN class = 0 THEN pq ELSE 0 END) AS BIGINT)
+                       AS pq_0,
+                   CAST(SUM(CASE WHEN class = 1 THEN pq ELSE 0 END) AS BIGINT)
+                       AS pq_1
+            FROM leaf GROUP BY doc_id
+        )
+        SELECT doc_id, pq_0, pq_1, CAST(pq_1 > pq_0 AS BIGINT) AS pred
+        FROM piv"""
 
 
 def _rf_landcover_sql(root: str) -> str:

@@ -491,3 +491,138 @@ def web_curation_sql(
         SELECT p.doc_id, p.text FROM ({pd_txt}) p
         JOIN ({gq}) g ON p.doc_id = g.doc_id AND g.keep = 1"""
     return adaptive_quality_sql(text_scores_sql_of(kept), p=p)
+
+
+# ----------------------------------------- model-based quality classifier
+
+RFQ_FEATURES = ["stop_ratio", "alpha_ratio", "mean_tok_len"]
+RFQ_TRAIN_MOD = 3  # train slice: doc_id % MOD == 0 (bounded at any corpus)
+RFQ_TREES = 25
+RFQ_DEPTH = 8
+_RFQ_MEMO: dict = {}
+
+
+def _rfq_features(t: pa.Table) -> np.ndarray:
+    """(n, 3) float64 feature matrix from a (doc_id, text) batch via the
+    TextScorer kernels — the identical doubles the oracle recomputes."""
+    from ..stages.text import TextScorer
+
+    scored = TextScorer()(t)
+    return np.column_stack(
+        [
+            scored.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in RFQ_FEATURES
+        ]
+    )
+
+
+def quality_classifier_artifacts(docs_path: str, out_root: str) -> dict:
+    """Train the fasttext-style model-based quality filter ONCE and persist
+    the node table the SQL oracle replays.
+
+    Pipeline analog of the reference's primitives discipline
+    (/root/reference/src/utils/primitives.py:69-97) applied to curation:
+    the TRAIN SLICE (doc_id % RFQ_TRAIN_MOD == 0 — bounded sample, the
+    only thing ever driver-side) gets TextScorer features
+    (stop/alpha/mean-token-length) and Gopher keep labels; two binary
+    forests (class 1 = keep) train seeded; the flattened node tables land
+    at {out_root}/rfq_model/trees.parquet for the recursive-CTE walk.
+    Scoring is distributed (broadcast forests, predict_quantized int64
+    leaf sums — order-free, SQL-exact)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages import text as T
+    from ..state.forest import nodes_table, train_forest
+
+    key = (docs_path, out_root)
+    if key in _RFQ_MEMO:
+        return _RFQ_MEMO[key]
+    base = os.path.join(out_root, "rfq_model")
+    trees_path = os.path.join(base, "trees.parquet")
+    marker = os.path.join(base, "done-rfq.json")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+        tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tbl = tbl.filter(pa.array(ids % RFQ_TRAIN_MOD == 0))
+        X = _rfq_features(tbl)
+        labels = (
+            T.gopher_quality(rd.from_arrow(tbl))
+            .to_pandas()
+            .set_index("doc_id")["keep"]
+        )
+        y = labels.loc[tbl.column("doc_id").to_numpy(zero_copy_only=False)].to_numpy()
+        models = {}
+        for c in (0, 1):
+            models[c] = train_forest(
+                X,
+                y == c,
+                n_trees=RFQ_TREES,
+                max_depth=RFQ_DEPTH,
+                class_tag=c,
+                feature_names=RFQ_FEATURES,
+            )
+        nt = pa.concat_tables([nodes_table(models[c], c) for c in (0, 1)])
+        pq.write_table(nt, trees_path)
+        with open(marker, "w") as f:
+            json.dump({"n_train": len(tbl)}, f)
+        _RFQ_MEMO[key] = {"models": models, "trees_path": trees_path}
+        return _RFQ_MEMO[key]
+    # replay-from-disk path: rebuild the forests deterministically (same
+    # slice, same seed ⇒ identical bytes as the persisted node table)
+    tbl = pq.read_table(docs_path, columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    tbl = tbl.filter(pa.array(ids % RFQ_TRAIN_MOD == 0))
+    X = _rfq_features(tbl)
+    from ..stages import text as T2
+    import ray.data as rd2
+
+    labels = (
+        T2.gopher_quality(rd2.from_arrow(tbl)).to_pandas().set_index("doc_id")["keep"]
+    )
+    y = labels.loc[tbl.column("doc_id").to_numpy(zero_copy_only=False)].to_numpy()
+    from ..state.forest import train_forest as _tf
+
+    models = {
+        c: _tf(
+            X,
+            y == c,
+            n_trees=RFQ_TREES,
+            max_depth=RFQ_DEPTH,
+            class_tag=c,
+            feature_names=RFQ_FEATURES,
+        )
+        for c in (0, 1)
+    }
+    _RFQ_MEMO[key] = {"models": models, "trees_path": trees_path}
+    return _RFQ_MEMO[key]
+
+
+def quality_classify(docs, models):
+    """Distributed model-based quality scoring: broadcast the two binary
+    forests, one stateless map computes TextScorer features + the exact
+    int64 quantized leaf sums; pred = argmax (pq desc, class asc).
+    Returns Dataset[doc_id, pq_0, pq_1, pred]."""
+    import ray
+
+    ref = ray.put(models)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        X = _rfq_features(t)
+        pq0 = m[0].predict_quantized(X)
+        pq1 = m[1].predict_quantized(X)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "pq_0": pa.array(pq0),
+                "pq_1": pa.array(pq1),
+                "pred": pa.array((pq1 > pq0).astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
