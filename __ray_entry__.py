@@ -1145,6 +1145,21 @@ def q_source_cap(sf_dir: str):
     return _i64(capped, ["doc_id", "source", "quality", "rank"])
 
 
+def q_pagerank(sf_dir: str):
+    """Integer PageRank over the kNN similarity graph (stages/graph.
+    pagerank): 3 damped rounds of int64 floor-division mass passing over
+    the knn_graph edges — the graph-centrality curation signal.  Oracle
+    unrolls the identical recurrence one CTE per round.  Value-checked."""
+    from kaza_lcms_ray.stages import ann, graph
+
+    emb = _tbl(sf_dir, "embeddings")
+    edges = ann.knn_join(emb, k=3, id_col="vec_id", embed_col="embedding", drop_self=True)
+    return _i64(
+        graph.pagerank(edges, n_iters=3, src_col="qid", dst_col="vec_id"),
+        ["node", "rank"],
+    )
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed k-means over the embedding corpus (integer-quantized,
     seeded init, 2 Lloyd iterations) → (vec_id, cluster).  Every step —
@@ -1968,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_distance": q_geo_distance,
         "temperature_mix": q_temperature_mix,
         "rf_quality": q_rf_quality,
+        "pagerank": q_pagerank,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2129,6 +2145,26 @@ cells AS (
               {cell_expr(TILE_LEVEL)} AS tile_id
     FROM geo
 )"""
+
+
+_KNN_GRAPH_SQL = """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings
+            ), s AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                FROM embeddings e, q
+            ), r AS (
+                SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+                ) AS rnk FROM s
+            )
+            SELECT qid, CAST(row_number() OVER (
+                       PARTITION BY qid ORDER BY rnk
+                   ) AS BIGINT) AS "rank", vec_id
+            FROM r WHERE rnk <= 4 AND vec_id <> qid
+            QUALIFY "rank" <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2367,24 +2403,10 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM documents d JOIN q USING (doc_id)
             QUALIFY rank <= 5""",
         "ivf_topk": _ivf_topk_sql(),
-        "knn_graph": """
-            WITH q AS (
-                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings
-            ), s AS (
-                SELECT q.qid, e.vec_id,
-                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
-                FROM embeddings e, q
-            ), r AS (
-                SELECT qid, vec_id, row_number() OVER (
-                    PARTITION BY qid ORDER BY sim DESC, vec_id ASC
-                ) AS rnk FROM s
-            )
-            SELECT qid, CAST(row_number() OVER (
-                       PARTITION BY qid ORDER BY rnk
-                   ) AS BIGINT) AS "rank", vec_id
-            FROM r WHERE rnk <= 4 AND vec_id <> qid
-            QUALIFY "rank" <= 3""",
+        "knn_graph": _KNN_GRAPH_SQL,
+        "pagerank": __import__(
+            "kaza_lcms_ray.stages.graph", fromlist=["graph"]
+        ).pagerank_sql(_KNN_GRAPH_SQL, n_iters=3, src_col="qid", dst_col="vec_id"),
         # covariate band algebra: identical double-precision expression trees
         # (left-associative, same constants) → bit-equal to the numpy kernels
         "covariates": f"""
