@@ -1160,6 +1160,22 @@ def q_pagerank(sf_dir: str):
     )
 
 
+def q_dup_clusters(sf_dir: str):
+    """Connected components over the verified near-dup pairs
+    (stages/dedup.min_label_clusters — spanning-forest compression rounds
+    bound the driver union-find): every colliding doc labeled by its
+    component's min id.  Oracle: transitive closure by recursive CTE +
+    per-node MIN.  Value-checked."""
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    cand = dedup.minhash_candidate_pairs(docs, "text", "doc_id").materialize()
+    verified = dedup._verify_pairs_distributed(
+        docs, cand, "text", "doc_id", k=5, threshold=0.4, n_pairs=cand.count()
+    ).select_columns(["a", "b"])
+    return _i64(dedup.min_label_clusters(verified), ["node", "cluster"])
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed k-means over the embedding corpus (integer-quantized,
     seeded init, 2 Lloyd iterations) → (vec_id, cluster).  Every step —
@@ -1984,6 +2000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "rf_quality": q_rf_quality,
         "pagerank": q_pagerank,
+        "dup_clusters": q_dup_clusters,
         "para_dedup": q_para_dedup,
         "fuzzy_dedup": q_fuzzy_dedup,
         "line_repetition": q_line_repetition,
@@ -2437,6 +2454,22 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "fingerprints": _fingerprints_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "jaccard_verified": _jaccard_verified_sql(),
+        "dup_clusters": f"""
+            WITH RECURSIVE prs AS MATERIALIZED (
+                SELECT a, b FROM ({_jaccard_verified_sql()})
+            ),
+            und AS MATERIALIZED (
+                SELECT a AS x, b AS y FROM prs
+                UNION SELECT b, a FROM prs
+            ),
+            reach AS (
+                SELECT x AS node, x AS r FROM (SELECT DISTINCT x FROM und)
+                UNION
+                SELECT u.x AS node, reach.r
+                FROM und u JOIN reach ON reach.node = u.y
+            )
+            SELECT node, CAST(MIN(r) AS BIGINT) AS cluster
+            FROM reach GROUP BY node""",
         "para_dedup": __import__(
             "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
         ).drop_dup_paragraphs_sql("SELECT doc_id, text FROM documents"),
