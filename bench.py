@@ -94,6 +94,13 @@ def run_bench() -> dict:
         fn()
         dt = time.perf_counter() - t0
         queries[name] = round(dt, 3)
+        # release the previous query's pinned/materialized blocks before the
+        # next one starts: lingering references from an earlier stage force
+        # object-store spilling that inflates every later all-to-all (the
+        # suite-ordering artifact documented in BASELINE.md §6)
+        import gc
+
+        gc.collect()
         return dt
 
     # headline: flagship tile assignment (consumed via count — streaming).
