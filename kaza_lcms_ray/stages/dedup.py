@@ -758,19 +758,71 @@ def minhash_candidate_pairs(
         ii, jj = np.triu_indices(ids.shape[0], k=1)
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # bucketed combine (not per-(band,hash) map_groups): Ray's sort-based
+    # groupby pays seconds of fixed cost per all-to-all at any size, so the
+    # shuffle key is ONE int64 hash bucket; inside the task non-colliding
+    # rows drop vectorized and only colliding (band, hash) groups loop
+    from ..runtime import cluster_cpus
+    from ..state.hashing import hash_key
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bid = t.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = (hash_key(bh ^ (bid << np.uint64(48))) % np.uint64(nb)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        colliding = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        empty = pd.DataFrame(
+            {"a": g[id_col].iloc[:0], "b": g[id_col].iloc[:0]}
+        )
+        if colliding.empty:
+            return empty
+        frames = [
+            pairs(grp) for _, grp in colliding.groupby(
+                ["band_id", "band_hash"], sort=False
+            )
+        ]
+        frames = [f for f in frames if len(f)]
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    cand = (
+        band_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .select_columns(["a", "b"])
+    )
     # a pair can surface from several bands → distinct
     return exact_pairs_distinct(cand)
 
 
 def exact_pairs_distinct(pairs_ds):
+    """Distinct (a, b) pairs via the bucketed pattern: per-batch dedupe,
+    one int64-bucket shuffle, exact in-task dedupe (id dtype agnostic —
+    integer ids pass through, strings fnv-hash)."""
+    from ..runtime import cluster_cpus
+    from ..state.hashing import hash_key, id_u64
+
+    nb = max(8, cluster_cpus() * 2)
+
     def partial(t: pa.Table) -> pa.Table:
-        return t.group_by(["a", "b"]).aggregate([([], "count_all")]).rename_columns(["a", "b", "n"])
+        out = t.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
+        b = (
+            hash_key(id_u64(out.column("a").combine_chunks() if isinstance(out.column("a"), pa.ChunkedArray) else out.column("a"))
+                     ^ id_u64(out.column("b").combine_chunks() if isinstance(out.column("b"), pa.ChunkedArray) else out.column("b")))
+            % np.uint64(nb)
+        ).astype(np.int64)
+        return out.append_column("bucket", pa.array(b))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
 
     return (
         pairs_ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_bands"))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
         .select_columns(["a", "b"])
     )
 
