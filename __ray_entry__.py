@@ -1969,6 +1969,38 @@ def q_docs_in_aoi(sf_dir: str):
     return docs.select_columns(["doc_id"])
 
 
+def q_sample_k(sf_dir: str):
+    """Deterministic uniform 64-row corpus sample (distributed reservoir:
+    smallest seeded hash priority wins, Dataset-native two-level top-k —
+    stages/sampling.sample_k).  Priority doubles value-checked."""
+    from kaza_lcms_ray.stages import sampling as S
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "n_chars"])
+    return _i64(
+        S.sample_k(docs, ["doc_id"], 64), ["doc_id", "n_chars", "priority"]
+    )
+
+
+def q_kfold(sf_dir: str):
+    """Seeded 5-fold assignment (stages/sampling.kfold_assign — 64-bit row
+    hash mod k, the k-way split_train_test) rolled up to per-(fold, source)
+    counts through the bucketed combine."""
+    from kaza_lcms_ray.stages import sampling as S
+    from kaza_lcms_ray.stages.zonal import bucketed_sum
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "source"])
+    folded = S.kfold_assign(docs, ["doc_id"], 5)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["fold", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["fold", "source", "n"])
+
+    part = folded.map_batches(partial, batch_format="pyarrow")
+    return _i64(
+        bucketed_sum(part, ["fold", "source"], ["n"]), ["fold", "source", "n"]
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -1988,6 +2020,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "sample_k": q_sample_k,
+        "kfold": q_kfold,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2199,6 +2233,15 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         for p in (10, 25, 50, 75, 90)
     )
     return {
+        "sample_k": __import__(
+            "kaza_lcms_ray.stages.sampling", fromlist=["sampling"]
+        ).sample_k_sql(
+            "SELECT doc_id, n_chars FROM documents", 64, cols="doc_id, n_chars"
+        ),
+        "kfold": f"""
+            SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({__import__("kaza_lcms_ray.stages.sampling", fromlist=["sampling"]).kfold_sql("SELECT doc_id, source FROM documents", 5)})
+            GROUP BY fold, source""",
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
         "hilbert_cells": _hilbert_sql(root),

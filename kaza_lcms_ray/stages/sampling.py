@@ -81,6 +81,99 @@ def split_train_test(ds, id_cols: list[str], seed: int = DEFAULT_SEED, frac: flo
     return train, test
 
 
+SAMPLE_TAG = "sample_k"
+KFOLD_TAG = "kfold"
+
+
+def sample_k(ds, id_cols: list[str], k: int, seed: int = DEFAULT_SEED):
+    """Deterministic uniform k-row sample — the distributed reservoir.
+
+    The k rows with the smallest seeded hash priority ARE a uniform sample
+    without replacement (every row's priority is an independent uniform
+    draw), computed with the Dataset-native two-level ``top_k`` reduce:
+    ≤ k rows leave each block, nothing corpus-sized reaches the driver,
+    and the result is identical at any parallelism / block layout — the
+    scale-safe replacement for a stateful reservoir actor.  Mirrors the
+    reference's shuffle-then-``limit(n)`` idiom (src/utils/sampling.py:153)
+    at whole-corpus granularity."""
+    from .joins import top_k
+
+    withr = add_random(ds, id_cols, seed, col="priority", tag=SAMPLE_TAG)
+    return top_k(withr, "priority", k, tiebreak_col=id_cols[0], descending=False)
+
+
+def kfold_assign(
+    ds, id_cols: list[str], n_folds: int, seed: int = DEFAULT_SEED, col: str = "fold"
+):
+    """Seeded k-fold assignment: fold = full 64-bit row hash mod n_folds.
+
+    Integer modulus (not ``floor(unit * k)``) so the SQL mirror is exact by
+    construction; folds are disjoint + exhaustive at any partitioning, the
+    k-way generalization of ``split_train_test``.  Stratification needs no
+    extra work: within any class the hash stream is uniform, so folds are
+    balanced per class in expectation exactly like the 80/20 split."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = _row_key(t, id_cols)
+        h = hash_key(seed, KFOLD_TAG, key)
+        fold = pa.array((h % np.uint64(n_folds)).astype(np.int64))
+        idx = t.schema.get_field_index(col)
+        if idx >= 0:
+            return t.set_column(idx, col, fold)
+        return t.append_column(col, fold)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _row_hash_sql(docs_sql: str, tag: str, seed: int, id_col: str) -> str:
+    """Subquery exposing ``hv`` = the full 64-bit hash_key(seed, tag,
+    _row_key(id)) as HUGEINT — the SQL twin of ``add_random`` /
+    ``kfold_assign`` for a single INTEGER id column (``_row_key`` folds the
+    id from the constant splitmix64(0), then the (seed, tag) prefix folds
+    once more; both constants precompute driver-side)."""
+    from ..state import sqlhash as SH
+    from ..state.hashing import splitmix64
+
+    z0 = SH.hug(int(splitmix64(np.uint64(0))))
+    pre = SH.hug(SH.hash_key_prefix(seed, tag))
+    return SH.chain_select(
+        f"SELECT *, CAST({id_col} AS HUGEINT) AS idh FROM ({docs_sql})",
+        SH.splitmix_steps(SH.xor64(z0, "idh"), "rk", "sk0")
+        + SH.splitmix_steps(SH.xor64(pre, "rk"), "hv", "sk1"),
+    )
+
+
+def sample_k_sql(
+    docs_sql: str,
+    k: int,
+    cols: str,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle: same splitmix64 chain, priority = (hv >> 11) · 2⁻⁵³ (exact —
+    a ≤53-bit integer times a power of two), ORDER BY (priority, id) LIMIT k
+    replays the (value, tiebreak) top-k rule."""
+    eps = repr(2.0**-53)
+    return f"""
+        SELECT {cols}, CAST(hv // 2048 AS BIGINT) * {eps} AS priority
+        FROM ({_row_hash_sql(docs_sql, SAMPLE_TAG, seed, id_col)})
+        ORDER BY priority, {id_col} LIMIT {k}"""
+
+
+def kfold_sql(
+    docs_sql: str,
+    n_folds: int,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle: fold = hv % n_folds over the identical hash chain."""
+    return f"""
+        SELECT * EXCLUDE (idh, rk, hv, sk0_z0, sk0_z1, sk0_z2,
+                          sk1_z0, sk1_z1, sk1_z2),
+               CAST(hv % {n_folds} AS BIGINT) AS fold
+        FROM ({_row_hash_sql(docs_sql, KFOLD_TAG, seed, id_col)})"""
+
+
 def stratified_sample(
     ds,
     class_col: str,

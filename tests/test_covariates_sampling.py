@@ -166,3 +166,47 @@ def test_read_documents_block_rule(synth_small, ray_session):
     # bytes justify it; a tiny list never splinters)
     many = storage.read_documents(files * 40)
     assert many.materialize().num_blocks() == rule(files * 40)
+
+
+def test_sample_k_uniform_reservoir(ray_session):
+    """sample_k: k rows, reshard-invariant membership, and the sample IS
+    the k smallest seeded priorities (brute-force replay)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.state.hashing import hash_key, hash_unit
+
+    ids = np.arange(1000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "v": ids * 2}))
+    out = sampling.sample_k(ds, ["doc_id"], 25).to_pandas()
+    assert len(out) == 25
+    # brute-force: priority = hash_unit(seed, tag, _row_key(id))
+    rk = hash_key(np.zeros(1000, np.uint64), ids.astype(np.uint64))
+    pri = hash_unit(sampling.DEFAULT_SEED, sampling.SAMPLE_TAG, rk)
+    expect = set(ids[np.argsort(pri, kind="stable")[:25]].tolist())
+    assert set(out["doc_id"]) == expect
+    out2 = sampling.sample_k(ds.repartition(13), ["doc_id"], 25).to_pandas()
+    assert set(out2["doc_id"]) == expect
+    assert np.allclose(np.sort(out["priority"]), out["priority"])  # sorted
+
+
+def test_kfold_disjoint_exhaustive_balanced(ray_session):
+    """kfold_assign: every row gets exactly one fold in [0,k); folds are
+    reshard-invariant and roughly balanced."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    ids = np.arange(5000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids}))
+    f1 = sampling.kfold_assign(ds, ["doc_id"], 4).to_pandas().sort_values("doc_id")
+    f2 = (
+        sampling.kfold_assign(ds.repartition(11), ["doc_id"], 4)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (f1["fold"].to_numpy() == f2["fold"].to_numpy()).all()
+    assert set(f1["fold"]) == {0, 1, 2, 3}
+    counts = f1["fold"].value_counts()
+    assert counts.min() > 0.8 * counts.max()  # balanced within 20%
