@@ -2001,6 +2001,18 @@ def q_kfold(sf_dir: str):
     )
 
 
+def q_dedup_report(sf_dir: str):
+    """Per-source duplication report (stages/dedup.dedup_report): distinct
+    128-bit text fingerprints per source through the fp-bucketed exchange —
+    raw text never shuffles.  Counts + dup_rate doubles value-checked."""
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
+    return _i64(
+        dedup.dedup_report(docs), ["source", "n_docs", "n_unique", "dup_rate"]
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -2022,6 +2034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the unchecked families first.
         "sample_k": q_sample_k,
         "kfold": q_kfold,
+        "dedup_report": q_dedup_report,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2242,6 +2255,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n
             FROM ({__import__("kaza_lcms_ray.stages.sampling", fromlist=["sampling"]).kfold_sql("SELECT doc_id, source FROM documents", 5)})
             GROUP BY fold, source""",
+        "dedup_report": __import__(
+            "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
+        ).dedup_report_sql("SELECT doc_id, text, source FROM documents"),
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
         "hilbert_cells": _hilbert_sql(root),

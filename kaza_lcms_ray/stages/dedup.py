@@ -66,6 +66,111 @@ def exact_dedup_keys(ds, key_col: str, id_col: str):
     )
 
 
+def dedup_report(ds, text_col: str = "text", group_col: str = "source"):
+    """Per-group duplication observability: n_docs, n_unique (distinct
+    texts), dup_rate — the funnel health report a curation run logs per
+    source/shard before deciding dedup strategy.
+
+    Scale shape (the house fingerprint discipline): raw text never enters
+    a shuffle.  Each batch emits its DISTINCT (fp_hi, fp_lo, group) rows —
+    128-bit whole-string fingerprints — plus a tiny per-group doc-count
+    partial; fp rows exchange bucketed on the fingerprint (same fp → same
+    bucket, so the in-task distinct is global), fold to per-group unique
+    counts, and both tiny per-group tables combine through ``bucketed_sum``.
+    Equal to COUNT(DISTINCT text) per group up to fp128 collisions
+    (~n²/2¹²⁸).  Max task rows: corpus-distinct/num_buckets fp rows."""
+    from ..runtime import cluster_cpus
+    from .zonal import bucketed_sum
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def fp_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([text_col, group_col])
+            .group_by([text_col, group_col])
+            .aggregate([([], "count_all")])
+        )
+        hi, lo = _fp128(g.column(text_col))
+        bucket = (hi % np.uint64(nb)).astype(np.int64)
+        return pa.table(
+            {
+                "fp_hi": pa.array(hi.astype(np.int64)),
+                "fp_lo": pa.array(lo.astype(np.int64)),
+                group_col: g.column(group_col),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def uniq_in_bucket(g: pa.Table) -> pa.Table:
+        d = g.group_by(["fp_hi", "fp_lo", group_col]).aggregate([([], "count_all")])
+        u = d.group_by([group_col]).aggregate([([], "count_all")])
+        return u.rename_columns([group_col, "n_unique"])
+
+    uniq = bucketed_sum(
+        ds.map_batches(fp_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq_in_bucket, batch_format="pyarrow"),
+        [group_col],
+        ["n_unique"],
+        recombine_batch_size=None,
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col]).group_by([group_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, "n_docs"])
+
+    counts = bucketed_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        [group_col],
+        ["n_docs"],
+        recombine_batch_size=None,
+    )
+
+    # both sides are group-cardinality tiny; broadcast the doc counts into
+    # a stateless map over the unique counts (no shuffle join for a
+    # |groups|-row table)
+    import ray
+
+    cnt_pdf = counts.to_pandas()
+    cnt_ref = ray.put(
+        {
+            "keys": cnt_pdf[group_col].to_numpy(),
+            "n": cnt_pdf["n_docs"].to_numpy(np.int64),
+        }
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        side = ray.get(cnt_ref)
+        order = np.argsort(side["keys"], kind="stable")
+        keys, nd = side["keys"][order], side["n"][order]
+        pos = np.searchsorted(keys, t.column(group_col).to_numpy(zero_copy_only=False))
+        n_docs = nd[pos]
+        n_uniq = t.column("n_unique").to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = 1.0 - n_uniq.astype(np.float64) / n_docs.astype(np.float64)
+        return pa.table(
+            {
+                group_col: t.column(group_col),
+                "n_docs": pa.array(n_docs),
+                "n_unique": pa.array(n_uniq),
+                "dup_rate": pa.array(rate),
+            }
+        )
+
+    return uniq.map_batches(attach, batch_format="pyarrow")
+
+
+def dedup_report_sql(docs_sql: str, group_col: str = "source") -> str:
+    """Oracle: exact distinct-text counts per group (the engine's fp128
+    distinct is equal absent 128-bit collisions); same double division."""
+    return f"""
+        SELECT {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+               1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        FROM ({docs_sql}) GROUP BY {group_col}"""
+
+
 def drop_exact_dupes(ds, key_col: str, id_col: str):
     """Keep exactly one row (min id) per key — without the key (raw corpus
     text) ever entering a shuffle.

@@ -533,3 +533,29 @@ def test_dup_window_signals_string_ids(ray_session):
     )
     assert list(out["doc_id"]) == ["a#0", "b#1", "c#2"]
     assert list(out["n_dup_fps"]) == [1, 1, 0]
+
+
+def test_dedup_report_hand_and_reshard(ray_session):
+    """dedup_report: exact per-group (n_docs, n_unique, dup_rate) on a
+    hand-checkable corpus, invariant under repartitioning (the fp-bucketed
+    distinct must not double-count a fingerprint split across blocks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.dedup import dedup_report
+
+    texts = ["a", "a", "b", "c", "c", "c", "x", "y"]
+    srcs = ["s1", "s1", "s1", "s2", "s2", "s2", "s2", "s2"]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(range(8)), "text": texts, "source": srcs})
+    )
+    for d in (ds, ds.repartition(5)):
+        out = (
+            dedup_report(d)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert out["n_docs"].tolist() == [3, 5]
+        assert out["n_unique"].tolist() == [2, 3]
+        assert out["dup_rate"].tolist() == [1.0 - 2 / 3, 1.0 - 3 / 5]
