@@ -2013,6 +2013,18 @@ def q_dedup_report(sf_dir: str):
     )
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Type-token ratio per document (stages/text.lexical_diversity):
+    in-batch Arrow hash aggregation, zero shuffle; counts + ttr doubles
+    value-checked against COUNT(DISTINCT) SQL."""
+    from kaza_lcms_ray.stages import text as T
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(
+        T.lexical_diversity(docs), ["doc_id", "n_tokens", "n_types", "ttr"]
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -2035,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
+        "lexical_diversity": q_lexical_diversity,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2258,6 +2271,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "dedup_report": __import__(
             "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
         ).dedup_report_sql("SELECT doc_id, text, source FROM documents"),
+        "lexical_diversity": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).lexical_diversity_sql("SELECT doc_id, text FROM documents"),
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
         "hilbert_cells": _hilbert_sql(root),

@@ -173,6 +173,68 @@ def _doc_term_tf(batch: pa.Table, text_col: str) -> pa.Table:
     )
 
 
+def lexical_diversity(ds, text_col: str = "text"):
+    """Per-document lexical diversity: n_tokens, n_types (distinct tokens)
+    and the type-token ratio — the repetitiveness quality signal
+    (boilerplate / keyword-stuffed pages have low TTR).
+
+    A document is ONE input row, so the whole computation is in-batch
+    (``_doc_term_tf``'s Arrow hash aggregation) with zero shuffle at any
+    corpus size.  Docs with no tokens keep (0, 0, 0.0)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(batch, text_col)
+        agg = tf.group_by(["doc_id"]).aggregate([("tf", "sum"), ([], "count_all")])
+        pos = pc.fill_null(
+            pc.index_in(batch.column("doc_id"), value_set=agg.column("doc_id")), -1
+        ).to_numpy(zero_copy_only=False)
+        sums = np.concatenate(
+            [agg.column("tf_sum").to_numpy(zero_copy_only=False), [0]]
+        ).astype(np.int64)
+        types = np.concatenate(
+            [agg.column("count_all").to_numpy(zero_copy_only=False), [0]]
+        ).astype(np.int64)
+        n_tok, n_typ = sums[pos], types[pos]  # pos=-1 → the appended zeros
+        ttr = np.divide(
+            n_typ.astype(np.float64),
+            n_tok.astype(np.float64),
+            out=np.zeros(len(batch), np.float64),
+            where=n_tok > 0,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok),
+                "n_types": pa.array(n_typ),
+                "ttr": pa.array(ttr),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lexical_diversity_sql(docs_sql: str) -> str:
+    """Oracle: identical tokenization (the tfidf RE2 twin), COUNT vs
+    COUNT(DISTINCT) per doc, same double division (0.0 for empty docs)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT term) AS n_types
+            FROM toks GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(a.n_types, 0) AS BIGINT) AS n_types,
+               CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+                    ELSE CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)
+               END AS ttr
+        FROM ({docs_sql}) d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
 def _bucketed_term_reduce(tf_ds, agg: tuple, out_col: str):
     """Shared hash-bucketed reduce keyed on the term's FNV hash (bounded
     bucket sizes; exact string groupby inside the bucket).  ``agg`` is the

@@ -160,3 +160,26 @@ def test_hash_embed_rule_and_composition(ray_session):
     )
     _, assign = cluster.kmeans(ds, k=2, iters=1, seed=3)
     assert len(assign.to_pandas()) == 3
+
+
+def test_lexical_diversity_hand_and_empty(ray_session):
+    """TTR hand-check: distinct/total tokens, 0.0 for token-free docs,
+    reshard-invariant (fully in-batch per doc)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.text import lexical_diversity
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["the cat the cat sat", "", "a b? a! c"],
+            }
+        )
+    )
+    for d in (ds, ds.repartition(3)):
+        out = lexical_diversity(d).to_pandas().sort_values("doc_id")
+        assert out["n_tokens"].tolist() == [5, 0, 4]
+        assert out["n_types"].tolist() == [3, 0, 3]
+        assert out["ttr"].tolist() == [3 / 5, 0.0, 3 / 4]
