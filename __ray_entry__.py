@@ -2025,6 +2025,22 @@ def q_lexical_diversity(sf_dir: str):
     )
 
 
+def q_fuzzy_dedup_best(sf_dir: str):
+    """Quality-keeper fuzzy dedup (stages/dedup.near_dedup_keep_best): per
+    verified near-dup pair the LOWER-quality member drops (text_scores
+    quality; ties → larger id).  Survivors value-checked."""
+    from kaza_lcms_ray.stages import dedup
+    from kaza_lcms_ray.stages import text as T
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "n_chars"])
+    quality = T.text_scores(docs).select_columns(["doc_id", "quality"])
+    return _i64(
+        dedup.near_dedup_keep_best(docs, quality, k=5, threshold=0.4)
+        .select_columns(["doc_id", "n_chars"]),
+        ["doc_id", "n_chars"],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -2048,6 +2064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
         "lexical_diversity": q_lexical_diversity,
+        "fuzzy_dedup_best": q_fuzzy_dedup_best,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2551,6 +2568,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "fuzzy_dedup": f"""
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT b FROM ({_jaccard_verified_sql()}))""",
+        "fuzzy_dedup_best": f"""
+            WITH prs AS ({_jaccard_verified_sql()}),
+            q AS (SELECT doc_id, quality FROM ({_text_scores_sql()})),
+            drops AS (
+                SELECT DISTINCT CASE WHEN qb.quality > qa.quality
+                                     THEN p.a ELSE p.b END AS d
+                FROM prs p
+                JOIN q qa ON p.a = qa.doc_id
+                JOIN q qb ON p.b = qb.doc_id
+            )
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT d FROM drops)""",
         "line_repetition": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).line_repetition_sql("SELECT doc_id, text FROM documents"),

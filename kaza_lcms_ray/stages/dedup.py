@@ -582,23 +582,90 @@ def near_dedup_filter(
     ``max_broadcast_ids`` it broadcasts into a stateless isin filter,
     above it falls back to a hash left-outer join + null filter so nothing
     driver-side grows with the corpus."""
-    import pyarrow.compute as pc
-
-    from ..runtime import join_partitions
-    from ..stages.joins import anti_join_ids
-
     cand = minhash_candidate_pairs(ds, text_col, id_col).materialize()
     verified = _verify_pairs_distributed(
         ds, cand, text_col, id_col, k=k, threshold=threshold, n_pairs=cand.count()
     )
     drops = verified.select_columns(["b"]).groupby("b").count().select_columns(["b"])
+    return _filter_out_ids(ds, id_col, drops, "b", max_broadcast_ids)
+
+
+def near_dedup_keep_best(
+    ds,
+    quality_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    k: int = 5,
+    threshold: float = 0.4,
+    max_broadcast_ids: int = 5_000_000,
+):
+    """Fuzzy dedup keeping the BEST member of each verified near-dup pair —
+    the 'keep highest quality, not smallest id' curation policy.
+
+    Same funnel as ``near_dedup_filter`` (MinHash-LSH candidates →
+    distributed exact-Jaccard verify); per verified pair the DROP is the
+    lower-``quality_col`` member (ties → the larger id, so with constant
+    quality the survivor set equals the min-id rule).  Quality attaches to
+    the pair-bounded verified set by the same two skinny hash joins the
+    text verification uses — the corpus-sized ``quality_ds`` is never
+    broadcast.  Pairwise-local like ``near_dedup_filter`` (NOT transitive
+    closure): in a chain a~b~c with b best, both a and c drop."""
+    from ..runtime import join_partitions
+
+    cand = minhash_candidate_pairs(ds, text_col, id_col).materialize()
+    verified = _verify_pairs_distributed(
+        ds, cand, text_col, id_col, k=k, threshold=threshold, n_pairs=cand.count()
+    )
+    q = quality_ds.select_columns([id_col, quality_col])
+    n_pairs = verified.count()
+    if n_pairs == 0:
+        return ds
+    np_parts = 1 if n_pairs < 10_000 else join_partitions(rows_hint=n_pairs)
+    with_a = verified.join(
+        q, join_type="inner", num_partitions=np_parts,
+        on=("a",), right_on=(id_col,), right_suffix="_qa",
+    ).materialize()  # sequential joins — see _verify_pairs_distributed
+    with_ab = with_a.join(
+        q, join_type="inner", num_partitions=np_parts,
+        on=("b",), right_on=(id_col,), left_suffix="_l", right_suffix="_qb",
+    )
+    qa, qb = f"{quality_col}_l", f"{quality_col}_qb"
+
+    def loser(t: pa.Table) -> pa.Table:
+        va = t.column(qa).to_numpy(zero_copy_only=False)
+        vb = t.column(qb).to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"drop_id": pa.array(np.where(vb > va, a, b))})
+
+    drops = (
+        with_ab.map_batches(loser, batch_format="pyarrow")
+        .groupby("drop_id")
+        .count()
+        .select_columns(["drop_id"])
+    )
+    return _filter_out_ids(ds, id_col, drops, "drop_id", max_broadcast_ids)
+
+
+def _filter_out_ids(ds, id_col, drops, drop_col, max_broadcast_ids):
+    """Shared drop-set filter tail: broadcast isin below the guard, hash
+    left-outer join + null filter above it (nothing driver-side grows with
+    the corpus)."""
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions
+    from ..stages.joins import anti_join_ids
+
     drops = drops.materialize()
     n_drop = drops.count()
     if n_drop <= max_broadcast_ids:
-        return anti_join_ids(ds, id_col, drops.to_pandas()["b"].to_numpy())
+        return anti_join_ids(ds, id_col, drops.to_pandas()[drop_col].to_numpy())
 
     def flag(t: pa.Table) -> pa.Table:
-        return pa.table({id_col: t.column("b"), "_drop": pa.array(np.ones(len(t), np.int64))})
+        return pa.table(
+            {id_col: t.column(drop_col), "_drop": pa.array(np.ones(len(t), np.int64))}
+        )
 
     drop_keyed = drops.map_batches(flag, batch_format="pyarrow")
     # partitions sized for the corpus-sided left input (see

@@ -559,3 +559,31 @@ def test_dedup_report_hand_and_reshard(ray_session):
         assert out["n_docs"].tolist() == [3, 5]
         assert out["n_unique"].tolist() == [2, 3]
         assert out["dup_rate"].tolist() == [1.0 - 2 / 3, 1.0 - 3 / 5]
+
+
+def test_near_dedup_keep_best_quality_rule(ray_session):
+    """Quality-keeper fuzzy dedup: the lower-quality pair member drops
+    (keeper flips vs the min-id rule when the later doc scores higher);
+    with constant quality the survivor set equals near_dedup_filter's."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.dedup import near_dedup_filter, near_dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    texts = [base, base + "tail!", "something entirely different " * 8]
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3], "text": texts}))
+
+    def q(vals):
+        return rd.from_arrow(
+            pa.table({"doc_id": [1, 2, 3], "quality": np.asarray(vals, float)})
+        )
+
+    # doc 2 (near-dup of 1) scores higher -> doc 1 drops
+    best = near_dedup_keep_best(ds, q([0.1, 0.9, 0.5])).to_pandas()
+    assert sorted(best["doc_id"]) == [2, 3]
+    # constant quality -> tie -> larger id drops, same as the min-id rule
+    tied = near_dedup_keep_best(ds, q([0.5, 0.5, 0.5])).to_pandas()
+    minid = near_dedup_filter(ds).to_pandas()
+    assert sorted(tied["doc_id"]) == sorted(minid["doc_id"]) == [1, 3]
