@@ -2041,6 +2041,23 @@ def q_fuzzy_dedup_best(sf_dir: str):
     )
 
 
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts over the kNN similarity graph
+    (stages/graph.triangle_counts: degree-ordered compact-forward wedge
+    closure — each triangle counted at its unique (deg, id)-minimal
+    vertex).  Oracle enumerates canonical x<y<z triples.  Value-checked."""
+    from kaza_lcms_ray.stages import ann, graph
+
+    emb = _tbl(sf_dir, "embeddings")
+    edges = ann.knn_join(
+        emb, k=3, id_col="vec_id", embed_col="embedding", drop_self=True
+    )
+    return _i64(
+        graph.triangle_counts(edges, src_col="qid", dst_col="vec_id"),
+        ["node", "n_tri"],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline (spatial-join + tile assignment) at smoke scale."""
     from kaza_lcms_ray import synth
@@ -2065,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": q_dedup_report,
         "lexical_diversity": q_lexical_diversity,
         "fuzzy_dedup_best": q_fuzzy_dedup_best,
+        "triangles": q_triangles,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2516,6 +2534,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "pagerank": __import__(
             "kaza_lcms_ray.stages.graph", fromlist=["graph"]
         ).pagerank_sql(_KNN_GRAPH_SQL, n_iters=3, src_col="qid", dst_col="vec_id"),
+        "triangles": __import__(
+            "kaza_lcms_ray.stages.graph", fromlist=["graph"]
+        ).triangle_counts_sql(_KNN_GRAPH_SQL, src_col="qid", dst_col="vec_id"),
         # covariate band algebra: identical double-precision expression trees
         # (left-associative, same constants) → bit-equal to the numpy kernels
         "covariates": f"""

@@ -164,3 +164,166 @@ def pagerank_sql(
     return f"""
         WITH {ctes}
         SELECT node, r AS rank FROM pr_r{n_iters}"""
+
+
+def triangle_counts(edges, src_col: str = "src", dst_col: str = "dst"):
+    """Per-node triangle counts over the undirected simple graph induced
+    by a directed edge Dataset — the clustering/community-density signal
+    (triangle-rich neighborhoods in a near-dup or kNN graph flag template
+    farms and boilerplate clusters).
+
+    Compact-forward with degree ordering, each stage a bounded exchange:
+
+    1. canonicalize: (min, max) per edge, self-loops dropped, distinct via
+       the bucketed pair-dedupe (``dedup.exact_pairs_distinct``).
+    2. degrees: skinny (node, deg) integer reduce; attached to both
+       endpoints through the size-guarded ``attach_dim``.
+    3. orient every edge from the (deg, id)-smaller endpoint — a total
+       order, so each triangle has exactly ONE vertex with out-edges to
+       the other two, and max out-degree is O(√m) whatever the skew (the
+       hub that breaks naive node-iterator counting).
+    4. wedges: bucket oriented edges by source hash, pandas self-merge
+       per bucket (C-speed, no Python loop), emit (v, w, u) with v < w.
+    5. closure: hash-join wedges against canonical edges on (v, w); every
+       match is one triangle, counted once.
+    6. per-node counts: each triangle contributes 1 to u, v, w — the
+       bucketed integer sum.
+
+    Returns Dataset[node, n_tri] (int64) for nodes in ≥ 1 triangle."""
+    import pandas as pd
+
+    from ..runtime import cluster_cpus, join_partitions
+    from ..stages.dedup import exact_pairs_distinct
+    from ..stages.joins import attach_dim, distinct
+    from ..stages.zonal import bucketed_sum
+    from ..state.hashing import hash_key
+
+    proj = edges.select_columns([src_col, dst_col])
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b))}
+        )
+
+    und = exact_pairs_distinct(
+        proj.map_batches(canon, batch_format="pyarrow")
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"node": t.column("a")}), pa.table({"node": t.column("b")})]
+        )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["node"]).aggregate([([], "count_all")])
+        return out.rename_columns(["node", "deg"])
+
+    deg = bucketed_sum(
+        und.map_batches(endpoints, batch_format="pyarrow").map_batches(
+            deg_partial, batch_format="pyarrow"
+        ),
+        ["node"],
+        ["deg"],
+    ).materialize()
+    n_nodes = deg.count()
+
+    with_da = attach_dim(und, deg, "a", "node", ["deg"], dim_rows=n_nodes)
+
+    def r1(t: pa.Table) -> pa.Table:
+        # select-by-name (not positional rename): the attach_dim hash-join
+        # fallback can carry the dim key column through
+        return pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "deg_a": t.column("deg")}
+        )
+
+    with_da = with_da.map_batches(r1, batch_format="pyarrow")
+    with_dab = attach_dim(with_da, deg, "b", "node", ["deg"], dim_rows=n_nodes)
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        bucket = (hash_key(src.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst), "bucket": pa.array(bucket)}
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["src", "dst"]].merge(g[["src", "dst"]], on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        return pd.DataFrame(
+            {"v": m["dst_x"], "w": m["dst_y"], "u": m["src"]}
+        )
+
+    wedge_ds = (
+        with_dab.map_batches(orient, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    n_wedges = wedge_ds.materialize().count()
+    if n_wedges == 0:
+        return ray_empty_node_table()
+    np_parts = 1 if n_wedges < 10_000 else join_partitions(rows_hint=n_wedges)
+    tri = wedge_ds.join(
+        und,
+        join_type="inner",
+        num_partitions=np_parts,
+        on=("v", "w"),
+        right_on=("a", "b"),
+    )
+
+    def tri_nodes(t: pa.Table) -> pa.Table:
+        ones = pa.array(np.ones(len(t), dtype=np.int64))
+        return pa.concat_tables(
+            [
+                pa.table({"node": t.column("u"), "n_tri": ones}),
+                pa.table({"node": t.column("v"), "n_tri": ones}),
+                pa.table({"node": t.column("w"), "n_tri": ones}),
+            ]
+        )
+
+    return bucketed_sum(
+        tri.map_batches(tri_nodes, batch_format="pyarrow"), ["node"], ["n_tri"]
+    )
+
+
+def ray_empty_node_table():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"node": pa.array([], pa.int64()), "n_tri": pa.array([], pa.int64())})
+    )
+
+
+def triangle_counts_sql(edges_sql: str, src_col: str = "src", dst_col: str = "dst") -> str:
+    """Oracle: canonical x<y<z triple enumeration over the distinct
+    undirected edge set — counts each triangle once, so per-node counts
+    match the engine's degree-ordered wedge closure exactly."""
+    return f"""
+        WITH tr_und AS MATERIALIZED (
+            SELECT DISTINCT LEAST({src_col}, {dst_col}) AS u,
+                            GREATEST({src_col}, {dst_col}) AS v
+            FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
+        ),
+        tr AS (
+            SELECT a.u AS x, a.v AS y, b.v AS z
+            FROM tr_und a
+            JOIN tr_und b ON b.u = a.v
+            JOIN tr_und c ON c.u = a.u AND c.v = b.v
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+            SELECT x AS node FROM tr
+            UNION ALL SELECT y FROM tr
+            UNION ALL SELECT z FROM tr
+        ) GROUP BY node"""

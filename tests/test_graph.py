@@ -64,3 +64,49 @@ def test_pagerank_hand_recurrence(ray_session):
     for v, srcs in inlinks.items():
         want = tp + (85 * sum(S // outdeg[u] for u in srcs)) // 100
         assert out[v] == want
+
+
+def test_triangle_counts_brute_force_and_skew(ray_session):
+    """triangle_counts vs brute-force triple enumeration on a random
+    directed graph (duplicate/reverse/self edges included), plus a hub
+    star+cycle case where naive node-iterator counting would blow up the
+    hub's wedge list; reshard-invariant."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.graph import triangle_counts
+
+    rng = np.random.RandomState(7)
+    n = 40
+    src = rng.randint(0, n, 300)
+    dst = rng.randint(0, n, 300)
+
+    def brute(src, dst):
+        und = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+        nodes = sorted({x for e in und for x in e})
+        cnt = {x: 0 for x in nodes}
+        for x, y, z in itertools.combinations(nodes, 3):
+            if (x, y) in und and (x, z) in und and (y, z) in und:
+                cnt[x] += 1
+                cnt[y] += 1
+                cnt[z] += 1
+        return {k: v for k, v in cnt.items() if v > 0}
+
+    expect = brute(src, dst)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    for d in (ds, ds.repartition(9)):
+        out = triangle_counts(d).to_pandas()
+        got = dict(zip(out["node"], out["n_tri"]))
+        assert got == expect
+
+    # hub 0 connects to everyone; triangle only where spokes also connect
+    hub_src = np.array([0] * 10 + [1, 3], dtype=np.int64)
+    hub_dst = np.array(list(range(1, 11)) + [2, 4], dtype=np.int64)
+    out = triangle_counts(
+        rd.from_arrow(pa.table({"src": hub_src, "dst": hub_dst}))
+    ).to_pandas()
+    got = dict(zip(out["node"], out["n_tri"]))
+    assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
