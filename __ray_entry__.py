@@ -2041,6 +2041,54 @@ def q_fuzzy_dedup_best(sf_dir: str):
     )
 
 
+PQ_M, PQ_KSUB, PQ_ITERS = 4, 8, 2  # 64-dim embeddings → 16-dim subspaces
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes (stages/cluster.pq_train/pq_encode):
+    integer Lloyd's per 16-dim subspace (one streaming pass per
+    iteration for ALL subspaces), vectors encoded to 4 codeword ids —
+    the ANN memory-compression scale path.  Long-form codes
+    value-checked against the per-subspace SQL replay."""
+    from kaza_lcms_ray.stages import cluster
+
+    emb = _tbl(sf_dir, "embeddings")
+    cents = cluster.pq_train(emb, m=PQ_M, k_sub=PQ_KSUB, iters=PQ_ITERS)
+    codes = cluster.pq_encode(emb, cents)
+
+    def to_long(t: pa.Table) -> pa.Table:
+        parts = [
+            pa.table(
+                {
+                    "vec_id": t.column("vec_id"),
+                    "sub": pa.array(np.full(len(t), s, np.int64)),
+                    "code": t.column(f"code{s}"),
+                }
+            )
+            for s in range(PQ_M)
+        ]
+        return pa.concat_tables(parts)
+
+    return _i64(
+        codes.map_batches(to_long, batch_format="pyarrow"), ["vec_id", "sub", "code"]
+    )
+
+
+def q_pq_topk(sf_dir: str):
+    """ADC product-quantization search (stages/cluster.pq_topk): per-query
+    (m, k_sub) integer distance tables, candidates scanned as CODES with m
+    table lookups each — approximate by quantization, exact in arithmetic,
+    ranked (distance asc, id asc).  Value-checked."""
+    from kaza_lcms_ray.stages import cluster
+
+    emb = _tbl(sf_dir, "embeddings")
+    qids, qmat = _query_vectors(sf_dir)
+    out = cluster.pq_topk(
+        emb, qids, qmat, k_neighbors=5, m=PQ_M, k_sub=PQ_KSUB, iters=PQ_ITERS
+    )
+    return _i64(out, ["qid", "rank", "vec_id"])
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts over the kNN similarity graph
     (stages/graph.triangle_counts: degree-ordered compact-forward wedge
@@ -2083,6 +2131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "fuzzy_dedup_best": q_fuzzy_dedup_best,
         "triangles": q_triangles,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2537,6 +2587,8 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "triangles": __import__(
             "kaza_lcms_ray.stages.graph", fromlist=["graph"]
         ).triangle_counts_sql(_KNN_GRAPH_SQL, src_col="qid", dst_col="vec_id"),
+        "pq_codes": _pq_codes_sql(),
+        "pq_topk": _pq_topk_sql(),
         # covariate band algebra: identical double-precision expression trees
         # (left-associative, same constants) → bit-equal to the numpy kernels
         "covariates": f"""
@@ -3205,6 +3257,127 @@ def _kmeans_ctes() -> str:
         )"""
     )
     return ",\n        ".join(parts)
+
+
+def _pq_ctes() -> str:
+    """CTE chain replaying stages/cluster.pq_train + pq_encode exactly:
+    quantized long-form coordinates tagged with their subspace, the shared
+    seeded init (one hash top-k seeds every subspace), PQ_ITERS rounds of
+    per-(vec, sub) integer argmin + floor(sum/n + .5) updates, and final
+    codes against pqcF.  Ends with ``pqcF`` (final codebooks, long form)
+    and ``pqcodes`` (vec_id, sub, cid)."""
+    from kaza_lcms_ray.stages.cluster import PQ_SEED, QSCALE
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    dsub = 64 // PQ_M  # driver embeddings are 64-dim (engine asserts d % m)
+    prefix = SH.hash_key_prefix(PQ_SEED, "km")
+    hk = SH.chain_select(
+        "SELECT vec_id FROM embeddings",
+        SH.splitmix_steps(
+            SH.xor64(SH.hug(prefix), "CAST(vec_id AS HUGEINT)"), "hk", "pqi"
+        ),
+    )
+    parts = [
+        f"""pqv AS MATERIALIZED (
+            SELECT vec_id, CAST(i AS INTEGER) AS i,
+                   CAST((i - 1) // {dsub} AS INTEGER) AS sub,
+                   CAST(floor(x * {float(QSCALE)!r} + 0.5) AS BIGINT) AS q
+            FROM (
+                SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+                FROM embeddings
+            )
+        )""",
+        f"""pqinit AS (
+            SELECT vec_id, CAST(rn AS BIGINT) AS cid FROM (
+                SELECT vec_id, row_number() OVER (
+                    ORDER BY {SH.to_i64('hk')}, vec_id
+                ) AS rn FROM ({hk})
+            ) WHERE rn <= {PQ_KSUB}
+        )""",
+        """pqc0 AS MATERIALIZED (
+            SELECT pqinit.cid, pqv.sub, pqv.i, pqv.q AS c
+            FROM pqinit JOIN pqv USING (vec_id)
+        )""",
+    ]
+    for t in range(PQ_ITERS):
+        parts.append(
+            f"""pqa{t} AS MATERIALIZED (
+                SELECT vec_id, sub, cid FROM (
+                    SELECT v.vec_id, v.sub, c.cid, row_number() OVER (
+                        PARTITION BY v.vec_id, v.sub
+                        ORDER BY SUM((v.q - c.c) * (v.q - c.c)), c.cid
+                    ) AS rn
+                    FROM pqv v JOIN pqc{t} c ON c.i = v.i
+                    GROUP BY v.vec_id, v.sub, c.cid
+                ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""pqu{t} AS (
+                SELECT a.cid, v.i, CAST(SUM(v.q) AS BIGINT) AS s, COUNT(*) AS n
+                FROM pqa{t} a
+                JOIN pqv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+                GROUP BY a.cid, v.i
+            )"""
+        )
+        parts.append(
+            f"""pqc{t + 1} AS MATERIALIZED (
+                SELECT c0.cid, c0.sub, c0.i,
+                       COALESCE(
+                           CAST(floor(CAST(u.s AS DOUBLE) / u.n + 0.5) AS BIGINT),
+                           c0.c
+                       ) AS c
+                FROM pqc{t} c0
+                LEFT JOIN pqu{t} u ON u.cid = c0.cid AND u.i = c0.i
+            )"""
+        )
+    parts.append(f"pqcF AS (SELECT * FROM pqc{PQ_ITERS})")
+    parts.append(
+        """pqcodes AS MATERIALIZED (
+            SELECT vec_id, sub, cid FROM (
+                SELECT v.vec_id, v.sub, c.cid, row_number() OVER (
+                    PARTITION BY v.vec_id, v.sub
+                    ORDER BY SUM((v.q - c.c) * (v.q - c.c)), c.cid
+                ) AS rn
+                FROM pqv v JOIN pqcF c ON c.i = v.i
+                GROUP BY v.vec_id, v.sub, c.cid
+            ) WHERE rn = 1
+        )"""
+    )
+    return ",\n        ".join(parts)
+
+
+def _pq_codes_sql() -> str:
+    return f"""
+        WITH {_pq_ctes()}
+        SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code
+        FROM pqcodes"""
+
+
+def _pq_topk_sql() -> str:
+    return f"""
+        WITH {_pq_ctes()},
+        pq_qset AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+        pq_qqv AS MATERIALIZED (
+            SELECT s.qid, v.i, v.sub, v.q
+            FROM pq_qset s JOIN pqv v ON v.vec_id = s.qid
+        ),
+        pq_dt AS MATERIALIZED (
+            SELECT q.qid, c.sub, c.cid, SUM((q.q - c.c) * (q.q - c.c)) AS d
+            FROM pq_qqv q JOIN pqcF c ON c.i = q.i
+            GROUP BY q.qid, c.sub, c.cid
+        ),
+        pq_ad AS (
+            SELECT t.qid, x.vec_id, SUM(t.d) AS d
+            FROM pqcodes x JOIN pq_dt t ON t.sub = x.sub AND t.cid = x.cid
+            GROUP BY t.qid, x.vec_id
+        )
+        SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY d, vec_id
+            ) AS rn FROM pq_ad
+        ) WHERE rn <= 5"""
 
 
 def _kmeans_embed_sql() -> str:

@@ -293,3 +293,162 @@ def semdedup(
         .groupby("cluster")
         .map_groups(group_dedup, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------- product quantization
+
+PQ_SEED = 91
+
+
+def pq_train(
+    ds,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    seed: int = PQ_SEED,
+) -> np.ndarray:
+    """Product-quantization codebooks: split d dims into ``m`` contiguous
+    subspaces and run integer Lloyd's independently in each — the memory
+    scale path for ANN (d float64s → m uint8-sized codes per vector,
+    ~64× smaller candidate scans).
+
+    Same pinned arithmetic as ``kmeans`` (quantized int64 coordinates,
+    exact integer argmin, floor(sum/n + .5) updates, empty cluster keeps
+    its centroid), and the same seeded init — the k_sub hash-smallest
+    vectors seed EVERY subspace with their sub-slices, so one top-k pass
+    initializes all m codebooks.  Each Lloyd iteration is ONE streaming
+    pass over the corpus: the per-batch partial emits ≤ m·k_sub integer
+    sum rows per block (the only thing that reaches the driver).
+
+    Returns int64 codebooks of shape (m, k_sub, d/m)."""
+    seeds = seeded_init(ds, k_sub, id_col, embed_col, seed)
+    d = seeds.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    cents = np.ascontiguousarray(
+        seeds.reshape(k_sub, m, dsub).transpose(1, 0, 2)
+    )  # (m, k_sub, dsub)
+    proj = ds.select_columns([id_col, embed_col])
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            _, q = _quantized_batch(t, id_col, embed_col)
+            qs = q.reshape(q.shape[0], m, dsub)
+            subs, cids, ns, sums = [], [], [], []
+            for s in range(m):
+                a = _assign(qs[:, s], c[s])
+                for ci in np.unique(a):
+                    mask = a == ci
+                    subs.append(s)
+                    cids.append(int(ci))
+                    ns.append(int(mask.sum()))
+                    sums.append(qs[mask, s].sum(axis=0))
+            out = {
+                "sub": pa.array(np.asarray(subs, np.int64)),
+                "cid": pa.array(np.asarray(cids, np.int64)),
+                "n": pa.array(np.asarray(ns, np.int64)),
+            }
+            sm = np.stack(sums) if sums else np.zeros((0, dsub), np.int64)
+            for j in range(dsub):
+                out[f"s{j}"] = pa.array(sm[:, j])
+            return pa.table(out)
+
+        pdf = proj.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        if len(pdf):
+            g = pdf.groupby(["sub", "cid"], sort=True).sum()
+            scols = [f"s{j}" for j in range(dsub)]
+            n = g["n"].to_numpy().astype(np.int64)
+            s = g[scols].to_numpy().astype(np.int64)
+            upd = np.floor(s.astype(np.float64) / n[:, None] + 0.5).astype(np.int64)
+            idx = np.asarray(list(g.index))
+            new[idx[:, 0], idx[:, 1]] = upd
+        cents = new
+    return cents
+
+
+def pq_encode(ds, cents: np.ndarray, id_col: str = "vec_id", embed_col: str = "embedding"):
+    """Encode each vector to its per-subspace nearest-codeword ids
+    (1-based, matching the kmeans init-rank convention).  Stateless
+    map_batches against the broadcast (m, k_sub, d/m) codebooks; returns
+    Dataset[id_col, code0..code{m-1}]."""
+    m, _, dsub = cents.shape
+    ref = ray.put(cents)
+
+    def encode(t: pa.Table, _ref=ref) -> pa.Table:
+        c = ray.get(_ref)
+        ids, q = _quantized_batch(t, id_col, embed_col)
+        qs = q.reshape(q.shape[0], m, dsub)
+        cols = {id_col: pa.array(ids)}
+        for s in range(m):
+            cols[f"code{s}"] = pa.array((_assign(qs[:, s], c[s]) + 1).astype(np.int64))
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, embed_col]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
+def pq_topk(
+    ds,
+    query_ids: np.ndarray,
+    query_mat: np.ndarray,
+    k_neighbors: int = 5,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    seed: int = PQ_SEED,
+):
+    """Asymmetric-distance (ADC) PQ search: per query precompute the
+    (m, k_sub) integer distance table to every codeword, then scan the
+    CODES (not the vectors) summing m table lookups per candidate — the
+    classic IVF-PQ inner loop, exactly integer so the SQL oracle replays
+    it.  Approximate by design (quantization error); ranked by
+    (approx distance asc, id asc) through the bucketed top-k merge."""
+    from .ann import _bucketed_topk_merge
+
+    cents = pq_train(ds, m, k_sub, iters, id_col, embed_col, seed)
+    dsub = cents.shape[2]
+    qq = quantize(np.asarray(query_mat, dtype=np.float64)).reshape(-1, m, dsub)
+    # (nq, m, k_sub) exact int64 subspace distances
+    dt = ((qq[:, :, None, :] - cents[None]) ** 2).sum(axis=3)
+    side_ref = ray.put({"qids": np.asarray(query_ids), "dt": dt})
+    codes = pq_encode(ds, cents, id_col, embed_col)
+
+    def search(t: pa.Table, _ref=side_ref) -> pa.Table:
+        side = ray.get(_ref)
+        dtab, qids = side["dt"], side["qids"]
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        code = np.stack(
+            [t.column(f"code{s}").to_numpy(zero_copy_only=False) for s in range(m)],
+            axis=1,
+        ) - 1  # back to 0-based for table lookup
+        nq, nc = qids.shape[0], ids.shape[0]
+        d = np.zeros((nq, nc), dtype=np.int64)
+        for s in range(m):
+            d += dtab[:, s, :][:, code[:, s]]
+        kk = min(k_neighbors, nc)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(nq):
+            part = np.lexsort((ids, d[qi]))[:kk]
+            out_q.append(np.full(kk, qids[qi]))
+            out_n.append(ids[part])
+            out_s.append(-d[qi][part])  # merge ranks by sim desc = dist asc
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "nid": pa.array(np.concatenate(out_n)),
+                "sim": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = codes.map_batches(search, batch_format="pyarrow")
+    return _bucketed_topk_merge(partial, k_neighbors, id_col)

@@ -150,3 +150,70 @@ def test_semdedup_brute_force_and_reshard(ray_session):
         .reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+def test_pq_encode_reshard_invariant_and_in_range(ray_session):
+    """PQ codes: 1..k_sub per subspace, identical under repartitioning
+    (the training pass is a driver-combined integer reduce)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.cluster import pq_encode, pq_train
+
+    rng = np.random.RandomState(3)
+    n, d, m, ks = 120, 16, 4, 4
+    mat = rng.randn(n, d)
+    ds = rd.from_arrow(
+        pa.table({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(mat)})
+    )
+    c1 = pq_train(ds, m=m, k_sub=ks, iters=2)
+    c2 = pq_train(ds.repartition(7), m=m, k_sub=ks, iters=2)
+    assert (c1 == c2).all() and c1.shape == (m, ks, d // m)
+    codes = pq_encode(ds, c1).to_pandas().sort_values("vec_id")
+    for s in range(m):
+        assert codes[f"code{s}"].between(1, ks).all()
+    codes2 = pq_encode(ds.repartition(5), c1).to_pandas().sort_values("vec_id")
+    assert (codes.to_numpy() == codes2.to_numpy()).all()
+
+
+def test_pq_topk_matches_brute_force_adc(ray_session):
+    """pq_topk equals the brute-force ADC ranking (same codebooks, same
+    integer distance tables, (dist, id) order) computed in numpy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.cluster import pq_encode, pq_topk, pq_train, quantize
+
+    rng = np.random.RandomState(11)
+    n, d, m, ks, k = 90, 16, 4, 4, 5
+    mat = rng.randn(n, d)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"vec_id": ids, "embedding": list(mat)}))
+    qids, qmat = ids[:3], mat[:3]
+
+    out = (
+        pq_topk(ds, qids, qmat, k_neighbors=k, m=m, k_sub=ks, iters=2)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+    )
+
+    cents = pq_train(ds, m=m, k_sub=ks, iters=2)
+    dsub = d // m
+    codes = (
+        pq_encode(ds, cents)
+        .to_pandas()
+        .sort_values("vec_id")[[f"code{s}" for s in range(m)]]
+        .to_numpy()
+        - 1
+    )
+    qq = quantize(qmat).reshape(-1, m, dsub)
+    dt = ((qq[:, :, None, :] - cents[None]) ** 2).sum(axis=3)
+    for qi, qid in enumerate(qids):
+        dist = np.zeros(n, np.int64)
+        for s in range(m):
+            dist += dt[qi, s][codes[:, s]]
+        expect = ids[np.lexsort((ids, dist))[:k]]
+        got = out[out["qid"] == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == expect).all()
