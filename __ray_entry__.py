@@ -2041,6 +2041,18 @@ def q_fuzzy_dedup_best(sf_dir: str):
     )
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source distinct-text overlap from per-source bottom-k (KMV)
+    sketches (stages/sketch.bottomk_sketches): fixed k rows per source
+    leave each block, pairwise Jaccard estimated from the merged sketches
+    — the corpus-similarity probe that decides cross-source dedup.  The
+    ESTIMATES themselves are value-checked (deterministic hash chain)."""
+    from kaza_lcms_ray.stages import sketch
+
+    docs = _doc_table(sf_dir, columns=["text", "source"])
+    return sketch.bottomk_similarity(docs, "text", "source", k=64)
+
+
 PQ_M, PQ_KSUB, PQ_ITERS = 4, 8, 2  # 64-dim embeddings → 16-dim subspaces
 
 
@@ -2133,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
+        "source_overlap": q_source_overlap,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2589,6 +2602,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).triangle_counts_sql(_KNN_GRAPH_SQL, src_col="qid", dst_col="vec_id"),
         "pq_codes": _pq_codes_sql(),
         "pq_topk": _pq_topk_sql(),
+        "source_overlap": __import__(
+            "kaza_lcms_ray.stages.sketch", fromlist=["sketch"]
+        ).bottomk_similarity_sql(
+            "SELECT text, source FROM documents", "text", "source", k=64
+        ),
         # covariate band algebra: identical double-precision expression trees
         # (left-associative, same constants) → bit-equal to the numpy kernels
         "covariates": f"""

@@ -407,3 +407,116 @@ def hll_sql(table_expr: str, col_expr: str, p: int, seed: int = HLL_SEED) -> str
                     THEN {m} * ln({m} / CAST(v AS DOUBLE))
                     ELSE {a} / CAST(s AS DOUBLE) END
         FROM st)"""
+
+
+# ------------------------------------------------------- bottom-k sketches
+
+BK_SEED = 23
+
+
+def bottomk_sketches(ds, col: str, group_col: str, k: int = 64, seed: int = BK_SEED):
+    """Per-group bottom-k sketch of the group's DISTINCT ``col`` set: the k
+    smallest seeded hashes.  The decomposable set-similarity summary — a
+    fixed k rows per group leave each block whatever the corpus size, and
+    the combine is a tiny grouped merge (≤ k·blocks rows per group).
+    Hash = splitmix64(seed, 'bk', fnv1a(value)) — the house chain, so the
+    sketch CONTENT is SQL-replayable.  Returns Dataset[group, h] (uint64,
+    ≤ k rows per group)."""
+    import pandas as pd
+
+    from ..state.hashing import fnv1a_arr, hash_key
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([group_col, col]).group_by([group_col, col]).aggregate([])
+        h = hash_key(seed, "bk", fnv1a_arr(g.column(col)))
+        df = pd.DataFrame(
+            {
+                group_col: g.column(group_col).to_numpy(zero_copy_only=False),
+                "h": h,
+            }
+        )
+        df = df.sort_values("h", kind="mergesort").groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates([group_col, "h"]).sort_values("h", kind="mergesort")
+        return out.groupby(group_col, sort=False).head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def bottomk_similarity(ds, col: str, group_col: str, k: int = 64, seed: int = BK_SEED):
+    """Pairwise estimated Jaccard between every two groups' distinct-value
+    sets from their bottom-k sketches: merge the two sketches, keep the
+    kk = min(k, |union|) smallest union hashes, estimate = (how many of
+    those are in BOTH) / kk — the classic KMV estimator, deterministic
+    because the sketches are.  The driver only ever holds k·|groups|
+    sketch rows; the corpus is touched once.
+
+    Returns a pandas DataFrame (src_a, src_b, est_jaccard), src_a < src_b."""
+    import pandas as pd
+
+    sk = bottomk_sketches(ds, col, group_col, k, seed).to_pandas()
+    sets = {g: set(v["h"].tolist()) for g, v in sk.groupby(group_col)}
+    groups = sorted(sets)
+    rows = []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            merged = sorted(sets[a] | sets[b])[:k]
+            inter = sum(1 for x in merged if x in sets[a] and x in sets[b])
+            rows.append((a, b, inter / len(merged)))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "est_jaccard"])
+
+
+def bottomk_similarity_sql(
+    docs_sql: str, col: str, group_col: str, k: int = 64, seed: int = BK_SEED
+) -> str:
+    """Oracle: identical hash chain, DISTINCT (group, h), bottom-k by
+    row_number, union-merge per pair, same integer-ratio estimate."""
+    from ..state import sqlhash as SH
+
+    prefix = SH.hug(SH.hash_key_prefix(seed, "bk"))
+    hashed = SH.chain_select(
+        f"SELECT {group_col}, {SH.fnv1a_chars(col)} AS vh FROM ({docs_sql})",
+        SH.splitmix_steps(SH.xor64(prefix, "vh"), "h", "bk"),
+    )
+    return f"""
+        WITH bk_dh AS MATERIALIZED (
+            SELECT DISTINCT {group_col} AS g, h FROM ({hashed})
+        ),
+        bk_sk AS MATERIALIZED (
+            SELECT g, h FROM (
+                SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM bk_dh
+            ) WHERE rn <= {k}
+        ),
+        bk_gs AS (SELECT DISTINCT g FROM bk_sk),
+        bk_prs AS (
+            SELECT a.g AS sa, b.g AS sb FROM bk_gs a JOIN bk_gs b ON a.g < b.g
+        ),
+        bk_un AS (
+            SELECT DISTINCT sa, sb, h FROM (
+                SELECT p.sa, p.sb, s.h FROM bk_prs p JOIN bk_sk s ON s.g = p.sa
+                UNION ALL
+                SELECT p.sa, p.sb, s.h FROM bk_prs p JOIN bk_sk s ON s.g = p.sb
+            )
+        ),
+        bk_mk AS (
+            SELECT sa, sb, h FROM (
+                SELECT sa, sb, h, row_number() OVER (
+                    PARTITION BY sa, sb ORDER BY h
+                ) AS rn FROM bk_un
+            ) WHERE rn <= {k}
+        )
+        SELECT m.sa AS src_a, m.sb AS src_b,
+               CAST(COUNT(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+                          THEN 1 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS est_jaccard
+        FROM bk_mk m
+        LEFT JOIN bk_sk ia ON ia.g = m.sa AND ia.h = m.h
+        LEFT JOIN bk_sk ib ON ib.g = m.sb AND ib.h = m.h
+        GROUP BY m.sa, m.sb"""

@@ -87,3 +87,49 @@ def test_bloom_no_false_negatives_and_bounded_fp(ray_session):
     assert int(rep["n_exact"][0]) == n_exact  # exact side is exact
     assert int(rep["n_bloom"][0]) >= n_exact  # no false negatives
     assert int(rep["n_false"][0]) <= 0.05 * len(probe)  # fpp sane at 16k bits
+
+
+def test_bottomk_similarity_exact_regime_and_reshard(ray_session):
+    """With k >= |union| the KMV estimate IS the exact Jaccard of the
+    distinct-value sets; sketches are reshard-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.sketch import bottomk_similarity
+
+    vals_a = ["x", "y", "z", "w", "x"]          # distinct {x,y,z,w}
+    vals_b = ["x", "y", "q", "q"]               # distinct {x,y,q}
+    vals_c = ["unrelated1", "unrelated2"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "text": vals_a + vals_b + vals_c,
+                "source": ["a"] * 5 + ["b"] * 4 + ["c"] * 2,
+            }
+        )
+    )
+    for d in (ds, ds.repartition(6)):
+        out = bottomk_similarity(d, "text", "source", k=64)
+        got = {(r.src_a, r.src_b): r.est_jaccard for r in out.itertuples()}
+        assert got[("a", "b")] == 2 / 5   # |{x,y}| / |{x,y,z,w,q}|
+        assert got[("a", "c")] == 0.0
+        assert got[("b", "c")] == 0.0
+
+
+def test_bottomk_sketch_bounded_and_estimates_in_range(ray_session):
+    """Sketch size <= k per group; estimates stay in [0, 1] under a small
+    k (approximate regime)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.sketch import bottomk_sketches, bottomk_similarity
+
+    rng = np.random.RandomState(5)
+    texts = [f"t{v}" for v in rng.randint(0, 400, 2000)]
+    srcs = [f"s{v}" for v in rng.randint(0, 3, 2000)]
+    ds = rd.from_arrow(pa.table({"text": texts, "source": srcs}))
+    sk = bottomk_sketches(ds, "text", "source", k=16).to_pandas()
+    assert sk.groupby("source").size().max() <= 16
+    out = bottomk_similarity(ds, "text", "source", k=16)
+    assert ((out["est_jaccard"] >= 0) & (out["est_jaccard"] <= 1)).all()
