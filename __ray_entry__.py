@@ -2041,6 +2041,19 @@ def q_fuzzy_dedup_best(sf_dir: str):
     )
 
 
+def q_events_ffill(sf_dir: str):
+    """As-of carry-forward (LOCF gap fill): per user, the cents value of
+    the most recent 'purchase' at or before each event (-1 before the
+    first) — last_value(... IGNORE NULLS) replayed with a vectorized
+    cummax-index pass (stages/events.forward_fill).  Value-checked."""
+    from kaza_lcms_ray.stages import events
+
+    ev = _tbl(sf_dir, "events")
+    return _i64(
+        events.forward_fill(ev), ["event_id", "user_id", "last_mark_cents"]
+    )
+
+
 def q_source_overlap(sf_dir: str):
     """Cross-source distinct-text overlap from per-source bottom-k (KMV)
     sketches (stages/sketch.bottomk_sketches): fixed k rows per source
@@ -2146,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "source_overlap": q_source_overlap,
+        "events_ffill": q_events_ffill,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -3025,6 +3039,16 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS cum_cents
+            FROM events""",
+        "events_ffill": """
+            SELECT event_id, user_id,
+                   CAST(COALESCE(last_value(
+                       CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                       END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ), -1) AS BIGINT) AS last_mark_cents
             FROM events""",
         "events_pivot": """
             SELECT user_id,

@@ -387,3 +387,39 @@ def asof_join(
         .groupby(on)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def forward_fill(
+    ds,
+    mark_type: str = "purchase",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Per-key as-of carry-forward (LOCF / gap fill): every event gets the
+    integer-cents value of the key's most recent ``mark_type`` event at or
+    before it in (ts, event_id) order; -1 before the first mark — the
+    last_value(... IGNORE NULLS) window op Ray Data has no primitive for.
+    Same partitioning contract as running_totals: co-partition by key, one
+    in-group mergesort + a vectorized cummax index pass."""
+    import numpy as np
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        cents = to_cents(g[val_col].to_numpy())
+        ismark = (g["event_type"] == mark_type).to_numpy()
+        idx = np.maximum.accumulate(np.where(ismark, np.arange(len(g)), -1))
+        filled = np.where(idx >= 0, cents[np.maximum(idx, 0)], np.int64(-1))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                key: g[key].to_numpy(),
+                "last_mark_cents": filled.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col, "event_type", val_col])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )

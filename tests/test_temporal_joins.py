@@ -94,3 +94,33 @@ def test_interval_join_partition_invariant(ray_session):
         .sort_values("event_id")
     )
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_forward_fill_locf_hand(ray_session):
+    """LOCF: marks carry forward in (ts, event_id) order, -1 before the
+    first mark, per key independently; reshard-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.events import forward_fill
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+         "2024-01-01 03:00", "2024-01-01 00:30", "2024-01-01 01:30"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7, 7, 7, 7, 8, 8],
+            "ts": ts,
+            "event_type": ["view", "purchase", "click", "purchase", "click", "view"],
+            "value": [9.0, 1.25, 9.0, 2.5, 9.0, 9.0],
+        }
+    )
+    expect = {1: -1, 2: 125, 3: 125, 4: 250, 5: -1, 6: -1}
+    ds = rd.from_pandas(df)
+    for d in (ds, ds.repartition(4)):
+        out = forward_fill(d).to_pandas()
+        got = dict(zip(out["event_id"], out["last_mark_cents"]))
+        assert got == expect
