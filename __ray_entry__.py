@@ -2041,6 +2041,38 @@ def q_fuzzy_dedup_best(sf_dir: str):
     )
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental dedup of a new shard against a reference corpus
+    (stages/dedup.dedup_against — skinny fp128 membership, O(increment)
+    per run): new = doc_id % 3 != 0, archive = the rest.  Survivors
+    value-checked."""
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "n_chars"])
+
+    def split(want_ref: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mod = pc.equal(
+                pc.subtract(
+                    t.column("doc_id"),
+                    pc.multiply(pc.divide(t.column("doc_id"), 3), 3),
+                ),
+                0,
+            )
+            return t.filter(mod if want_ref else pc.invert(mod))
+
+        return fn
+
+    new = docs.map_batches(split(False), batch_format="pyarrow")
+    ref = docs.map_batches(split(True), batch_format="pyarrow")
+    return _i64(
+        dedup.dedup_against(new, ref).select_columns(["doc_id", "n_chars"]),
+        ["doc_id", "n_chars"],
+    )
+
+
 def q_events_ffill(sf_dir: str):
     """As-of carry-forward (LOCF gap fill): per user, the cents value of
     the most recent 'purchase' at or before each event (-1 before the
@@ -2160,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_topk": q_pq_topk,
         "source_overlap": q_source_overlap,
         "events_ffill": q_events_ffill,
+        "dedup_incremental": q_dedup_incremental,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2386,6 +2419,10 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "lexical_diversity": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).lexical_diversity_sql("SELECT doc_id, text FROM documents"),
+        "dedup_incremental": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 3 <> 0
+              AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""",
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
         "hilbert_cells": _hilbert_sql(root),

@@ -1412,3 +1412,93 @@ def dup_window_signals_sql(
                CAST(n_dup_fps AS DOUBLE) / n_fps AS dup_frac,
                CAST(2 * n_dup_fps >= n_fps AS BIGINT) AS flagged
         FROM per"""
+
+
+def dedup_against(ds_new, ds_ref, key_col: str = "text", max_broadcast_fps: int = 5_000_000):
+    """Incremental dedup: drop every new-shard row whose ``key_col`` already
+    exists in a reference corpus — the daily-crawl-vs-archive filter that
+    makes dedup O(increment), not O(archive), per run.
+
+    Both sides reduce to skinny 128-bit fingerprints (raw text never
+    shuffles).  The reference fp set deduplicates through the bucketed
+    distinct; below ``max_broadcast_fps`` it broadcasts once into a
+    stateless structured-searchsorted membership filter, above it a hash
+    left-outer join keyed on (fp_hi, fp_lo) keeps everything distributed.
+    Exact up to fp128 collisions (~n²/2¹²⁸)."""
+    import ray
+
+    from ..runtime import join_partitions
+    from .joins import distinct
+
+    def ref_fps(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by([key_col]).aggregate([])
+        hi, lo = _fp128(g.column(key_col))
+        return pa.table(
+            {
+                "fp_hi": pa.array(hi.astype(np.int64)),
+                "fp_lo": pa.array(lo.astype(np.int64)),
+            }
+        )
+
+    fps = distinct(
+        ds_ref.map_batches(ref_fps, batch_format="pyarrow"), ["fp_hi", "fp_lo"]
+    ).materialize()
+    n_fps = fps.count()
+    if n_fps == 0:  # empty reference — nothing can be a duplicate
+        return ds_new
+
+    if n_fps <= max_broadcast_fps:
+        pdf = fps.to_pandas()
+        ref = np.empty(len(pdf), dtype=[("h", "<i8"), ("l", "<i8")])
+        ref["h"] = pdf["fp_hi"].to_numpy(np.int64)
+        ref["l"] = pdf["fp_lo"].to_numpy(np.int64)
+        ref.sort()
+        ref_ref = ray.put(ref)
+
+        def drop_known(t: pa.Table) -> pa.Table:
+            side = ray.get(ref_ref)
+            hi, lo = _fp128(
+                t.column(key_col).combine_chunks()
+                if isinstance(t.column(key_col), pa.ChunkedArray)
+                else t.column(key_col)
+            )
+            probe = np.empty(len(t), dtype=[("h", "<i8"), ("l", "<i8")])
+            probe["h"] = hi.astype(np.int64)
+            probe["l"] = lo.astype(np.int64)
+            if side.shape[0] == 0:
+                return t
+            pos = np.clip(np.searchsorted(side, probe), 0, side.shape[0] - 1)
+            known = side[pos] == probe
+            return t.filter(pa.array(~known))
+
+        return ds_new.map_batches(drop_known, batch_format="pyarrow")
+
+    # corpus-scale reference: distributed hash join on the fingerprint
+    def add_fps(t: pa.Table) -> pa.Table:
+        hi, lo = _fp128(
+            t.column(key_col).combine_chunks()
+            if isinstance(t.column(key_col), pa.ChunkedArray)
+            else t.column(key_col)
+        )
+        return t.append_column("fp_hi", pa.array(hi.astype(np.int64))).append_column(
+            "fp_lo", pa.array(lo.astype(np.int64))
+        )
+
+    def flagged(t: pa.Table) -> pa.Table:
+        return t.append_column("_dup", pa.array(np.ones(len(t), np.int64)))
+
+    import pyarrow.compute as pc
+
+    joined = ds_new.map_batches(add_fps, batch_format="pyarrow").join(
+        fps.map_batches(flagged, batch_format="pyarrow"),
+        join_type="left_outer",
+        num_partitions=join_partitions(),
+        on=("fp_hi", "fp_lo"),
+    )
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t.column("_dup"))).drop_columns(
+            ["_dup", "fp_hi", "fp_lo"]
+        )
+
+    return joined.map_batches(keep_new, batch_format="pyarrow")

@@ -587,3 +587,24 @@ def test_near_dedup_keep_best_quality_rule(ray_session):
     tied = near_dedup_keep_best(ds, q([0.5, 0.5, 0.5])).to_pandas()
     minid = near_dedup_filter(ds).to_pandas()
     assert sorted(tied["doc_id"]) == sorted(minid["doc_id"]) == [1, 3]
+
+
+def test_dedup_against_broadcast_and_join_paths_equal(ray_session):
+    """Incremental dedup: new rows whose text exists in the reference
+    corpus drop; the broadcast-membership and hash-join paths agree; an
+    empty reference keeps everything."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.dedup import dedup_against
+
+    new = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "a"]})
+    )
+    ref = rd.from_arrow(pa.table({"doc_id": [10, 11], "text": ["a", "x"]}))
+    got_b = sorted(dedup_against(new, ref).to_pandas()["doc_id"])
+    got_j = sorted(dedup_against(new, ref, max_broadcast_fps=0).to_pandas()["doc_id"])
+    assert got_b == got_j == [2, 3]
+    empty_ref = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                        "text": pa.array([], pa.string())}))
+    assert sorted(dedup_against(new, empty_ref).to_pandas()["doc_id"]) == [1, 2, 3, 4]
