@@ -2073,6 +2073,41 @@ def q_dedup_incremental(sf_dir: str):
     )
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Crawl-to-crawl change detection (stages/dedup.snapshot_diff):
+    snapshot B is derived deterministically from the documents table
+    (drop doc_id%7==0, rewrite text for %5==0, add -id-1 rows for
+    %13==0); per-id added/removed/changed via the skinny fp128 full-outer
+    join.  Value-checked."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+
+    def mod(col, m):
+        return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+    def make_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        text = t.column("text")
+        kept = pc.not_equal(mod(ids, 7), 0)
+        changed = pc.equal(mod(ids, 5), 0)
+        new_text = pc.if_else(changed, pc.binary_join_element_wise(text, " v2", ""), text)
+        base = pa.table({"doc_id": ids, "text": new_text}).filter(kept)
+        added_m = pc.equal(mod(ids, 13), 0)
+        added = pa.table(
+            {
+                "doc_id": pc.subtract(pc.multiply(ids, -1), 1),
+                "text": text,
+            }
+        ).filter(added_m)
+        return pa.concat_tables([base, added])
+
+    snap_b = docs.map_batches(make_b, batch_format="pyarrow")
+    return _i64(dedup.snapshot_diff(docs, snap_b), ["doc_id", "status"])
+
+
 def q_events_ffill(sf_dir: str):
     """As-of carry-forward (LOCF gap fill): per user, the cents value of
     the most recent 'purchase' at or before each event (-1 before the
@@ -2193,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q_source_overlap,
         "events_ffill": q_events_ffill,
         "dedup_incremental": q_dedup_incremental,
+        "snapshot_diff": q_snapshot_diff,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2423,6 +2459,20 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id % 3 <> 0
               AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""",
+        "snapshot_diff": """
+            WITH snap_b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT -doc_id - 1, text FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.doc_id IS NULL THEN 'added'
+                        WHEN b.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM documents a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+            WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.text <> b.text""",
         "geo_parse": f"WITH {geo} SELECT doc_id, span_idx, lon, lat, \"year\", doy, b0, b3, c3 FROM geo",
         "cell_encode": f"WITH {geo}, {cells} SELECT doc_id, span_idx, cell_id, tile_id FROM cells",
         "hilbert_cells": _hilbert_sql(root),

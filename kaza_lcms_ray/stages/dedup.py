@@ -1502,3 +1502,81 @@ def dedup_against(ds_new, ds_ref, key_col: str = "text", max_broadcast_fps: int 
         )
 
     return joined.map_batches(keep_new, batch_format="pyarrow")
+
+
+def snapshot_diff(ds_a, ds_b, key_col: str = "text", id_col: str = "doc_id"):
+    """Change detection between two corpus snapshots (crawl N vs N+1):
+    per id, 'added' (only in B), 'removed' (only in A), 'changed' (in
+    both with different content).  Unchanged rows never leave the join.
+
+    Scale shape: each side reduces to skinny (id, fp_hi, fp_lo) rows —
+    content travels as 128-bit fingerprints, so the full-outer hash join
+    exchanges 3 integers per row whatever the document size; the
+    classifier is one stateless vectorized pass.  Returns
+    Dataset[id_col, status]."""
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions
+
+    def fps(names):
+        idn, hn, ln = names
+
+        def fn(t: pa.Table) -> pa.Table:
+            col = t.column(key_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            hi, lo = _fp128(col)
+            return pa.table(
+                {
+                    idn: t.column(id_col),
+                    hn: pa.array(hi.astype(np.int64)),
+                    ln: pa.array(lo.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    a = ds_a.map_batches(fps(("ida", "ha", "la")), batch_format="pyarrow").materialize()
+    b = ds_b.map_batches(fps(("idb", "hb", "lb")), batch_format="pyarrow")
+    # the skinny fp table is cheap to materialize for a row count; sizing
+    # partitions by it avoids 2×CPU aggregator actors on near-empty inputs
+    joined = a.join(
+        b,
+        join_type="full_outer",
+        num_partitions=join_partitions(rows_hint=a.count()),
+        on=("ida",),
+        right_on=("idb",),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        # fill nulls BEFORE numpy conversion: a nullable int64 column
+        # converts to float64-with-NaN, and 64-bit fingerprints are not
+        # representable in float64 (distinct fps could compare equal)
+        def i64(name):
+            return (
+                pc.fill_null(t.column(name), 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+
+        # Ray's full_outer COALESCES the key columns into the left name
+        # ("ida" carries whichever side is present); absence is detected on
+        # the value fingerprints instead
+        only_b = pc.is_null(t.column("ha")).to_numpy(zero_copy_only=False)
+        only_a = pc.is_null(t.column("hb")).to_numpy(zero_copy_only=False)
+        ha, hb, la, lb = i64("ha"), i64("hb"), i64("la"), i64("lb")
+        both = ~only_a & ~only_b
+        changed = both & ((ha != hb) | (la != lb))
+        keep = only_a | only_b | changed
+        ids = i64("ida")
+        status = np.full(len(t), "changed", dtype=object)
+        status[only_b] = "added"
+        status[only_a] = "removed"
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep].astype(np.int64)),
+                "status": pa.array(status[keep].tolist(), type=pa.string()),
+            }
+        )
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -608,3 +608,23 @@ def test_dedup_against_broadcast_and_join_paths_equal(ray_session):
     empty_ref = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                         "text": pa.array([], pa.string())}))
     assert sorted(dedup_against(new, empty_ref).to_pandas()["doc_id"]) == [1, 2, 3, 4]
+
+
+def test_snapshot_diff_hand(ray_session):
+    """added/removed/changed classification; unchanged rows never appear;
+    reshard-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.dedup import snapshot_diff
+
+    a = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+    )
+    b = rd.from_arrow(
+        pa.table({"doc_id": [2, 3, 4, 9], "text": ["b", "C!", "d", "new"]})
+    )
+    expect = {1: "removed", 3: "changed", 9: "added"}
+    for aa, bb in ((a, b), (a.repartition(3), b.repartition(2))):
+        out = snapshot_diff(aa, bb).to_pandas()
+        assert dict(zip(out["doc_id"], out["status"])) == expect
