@@ -2108,6 +2108,32 @@ def q_snapshot_diff(sf_dir: str):
     return _i64(dedup.snapshot_diff(docs, snap_b), ["doc_id", "status"])
 
 
+def q_quality_histogram(sf_dir: str):
+    """Fixed-width distribution profile of the quality score
+    (stages/zonal.value_histogram: ≤ nbins integer rows leave each block,
+    bucketed combine) — the pre-filter threshold report.  Value-checked
+    against the same clamp/floor expression in SQL."""
+    from kaza_lcms_ray.stages import text as T
+    from kaza_lcms_ray.stages.zonal import value_histogram
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    scored = T.text_scores(docs).select_columns(["quality"])
+    return _i64(value_histogram(scored, "quality", 0.0, 1.0, 20), ["bin", "n"])
+
+
+def q_column_profile(sf_dir: str):
+    """Per-column data-quality profile of the documents table
+    (stages/spans.column_profile — ≤ |cols| partial rows per block):
+    row / null / empty-string counts.  Value-checked."""
+    from kaza_lcms_ray.stages.spans import column_profile
+
+    docs = _doc_table(sf_dir)
+    return _i64(
+        column_profile(docs, ["doc_id", "text", "lang", "source", "n_chars"]),
+        ["column", "n_rows", "n_null", "n_empty"],
+    )
+
+
 def q_events_ffill(sf_dir: str):
     """As-of carry-forward (LOCF gap fill): per user, the cents value of
     the most recent 'purchase' at or before each event (-1 before the
@@ -2229,6 +2255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ffill": q_events_ffill,
         "dedup_incremental": q_dedup_incremental,
         "snapshot_diff": q_snapshot_diff,
+        "quality_histogram": q_quality_histogram,
+        "column_profile": q_column_profile,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2459,6 +2487,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id % 3 <> 0
               AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""",
+        "quality_histogram": __import__(
+            "kaza_lcms_ray.stages.zonal", fromlist=["zonal"]
+        ).value_histogram_sql(
+            f"SELECT quality FROM ({_text_scores_sql()})", "quality", 0.0, 1.0, 20
+        ),
+        "column_profile": __import__(
+            "kaza_lcms_ray.stages.spans", fromlist=["spans"]
+        ).column_profile_sql(
+            "SELECT * FROM documents",
+            ["doc_id", "text", "lang", "source", "n_chars"],
+            ["text", "lang", "source"],
+        ),
         "snapshot_diff": """
             WITH snap_b AS (
                 SELECT doc_id,

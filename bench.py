@@ -253,6 +253,16 @@ def run_bench() -> dict:
         "dup_windows_corpus",
         lambda: dedup.dup_window_signals(text_corpus()).count(),
     )
+    timed(
+        "ttr_corpus",
+        lambda: text.lexical_diversity(text_corpus()).count(),
+    )
+    from kaza_lcms_ray.stages import sampling
+
+    timed(
+        "sample_k_corpus",
+        lambda: sampling.sample_k(text_corpus(), ["doc_id"], 1000).count(),
+    )
 
     ray.shutdown()
     return {

@@ -180,3 +180,59 @@ def span_signature_batch(batch: pa.Table) -> pa.Table:
     per_doc = pa.ListArray.from_arrays(pa.array((offs - offs[0]).astype(np.int32)), joined)
     sig = pc.binary_join(per_doc, "\x1e")
     return pa.table({"doc_id": batch.column("doc_id"), "span_sig": sig})
+
+
+def column_profile(ds, cols: list[str]):
+    """Per-column data-quality profile: row / null / empty-string counts —
+    the schema-health report a pipeline emits before trusting a new shard.
+    Per-batch partial is ≤ |cols| rows whatever the block size; the
+    bucketed combine sums exact integers.  Returns
+    Dataset[column, n_rows, n_null, n_empty]."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, nr, nn, ne = [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            nr.append(len(t))
+            nn.append(int(pc.sum(pc.cast(pc.is_null(col), pa.int64())).as_py() or 0))
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                eq = pc.equal(col, "")
+                ne.append(int(pc.sum(pc.cast(eq, pa.int64())).as_py() or 0))
+            else:
+                ne.append(0)
+        return pa.table(
+            {
+                "column": pa.array(names, type=pa.string()),
+                "n_rows": pa.array(np.asarray(nr, np.int64)),
+                "n_null": pa.array(np.asarray(nn, np.int64)),
+                "n_empty": pa.array(np.asarray(ne, np.int64)),
+            }
+        )
+
+    return bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["column"],
+        ["n_rows", "n_null", "n_empty"],
+        recombine_batch_size=None,
+    )
+
+
+def column_profile_sql(table_sql: str, cols: list[str], str_cols: list[str]) -> str:
+    """Oracle: one UNION ALL arm per column with the same counts."""
+    arms = []
+    for c in cols:
+        empty = (
+            f"SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END)" if c in str_cols else "0"
+        )
+        arms.append(
+            f"""SELECT '{c}' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                   CAST({empty} AS BIGINT) AS n_empty
+            FROM ({table_sql})"""
+        )
+    return " UNION ALL ".join(arms)

@@ -680,3 +680,51 @@ def harmonic_rgb(ds, phase_col: str = "b3_phase", amp_col: str = "b3_amplitude")
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def value_histogram(
+    ds,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    rows_hint: int | None = None,
+):
+    """Fixed-width histogram of a numeric column — the distribution
+    profile a pipeline logs before choosing filter thresholds.  Per-batch
+    integer bin counts (≤ nbins rows leave each block) + the bucketed
+    combine; out-of-range values clamp to the edge bins, so counts always
+    sum to the row count.  bin = clamp(floor((x − lo)/w), 0, nbins−1)
+    with w = (hi − lo)/nbins — the identical double expression the SQL
+    oracle evaluates.  Returns Dataset[bin, n]."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(np.floor((x - lo) / w), 0, nbins - 1).astype(np.int64)
+        bins, counts = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(bins), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    return bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bin"],
+        ["n"],
+        recombine_batch_size=None,
+        rows_hint=rows_hint,
+    )
+
+
+def value_histogram_sql(
+    rows_sql: str, col: str, lo: float, hi: float, nbins: int = 32
+) -> str:
+    """Oracle: same clamp/floor double expression, exact counts."""
+    w = (hi - lo) / nbins
+    return f"""
+        SELECT CAST(LEAST(GREATEST(floor(({col} - {lo!r}) / {w!r}), 0),
+                    {nbins - 1}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({rows_sql}) GROUP BY 1"""

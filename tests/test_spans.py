@@ -108,3 +108,25 @@ def test_span_sequence_invariant_through_document_filter(synth_small, ray_sessio
     assert 0 < len(after) < len(before)  # the filter actually filters
     joined = before.loc[after.index]
     assert (joined.to_numpy() == after.to_numpy()).all()
+
+
+def test_column_profile_counts(ray_session):
+    """Null and empty-string counts per column, exact under resharding."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.spans import column_profile
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": [1, None, 3, 4],
+                "b": ["", "x", None, ""],
+            }
+        )
+    )
+    for d in (ds, ds.repartition(3)):
+        out = column_profile(d, ["a", "b"]).to_pandas().sort_values("column")
+        assert out["n_rows"].tolist() == [4, 4]
+        assert out["n_null"].tolist() == [1, 1]
+        assert out["n_empty"].tolist() == [0, 2]

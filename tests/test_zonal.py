@@ -165,3 +165,21 @@ def test_harmonic_rgb_conversion(ray_session):
     assert np.allclose(rgb[1], [0, 1, 0])        # hue 1/3 -> green
     assert np.allclose(rgb[2], [0, 0, 1])        # hue 2/3 -> blue
     assert np.allclose(rgb[3], [1, 1, 1])        # s=0 -> white (v=1)
+
+
+def test_value_histogram_clamps_and_sums(ray_session):
+    """Histogram counts sum to the row count; out-of-range values clamp to
+    edge bins; reshard-invariant integer counts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.zonal import value_histogram
+
+    vals = np.array([-5.0, 0.0, 0.49, 0.5, 0.99, 1.0, 7.0])
+    ds = rd.from_arrow(pa.table({"v": vals}))
+    for d in (ds, ds.repartition(4)):
+        out = value_histogram(d, "v", 0.0, 1.0, 2).to_pandas().sort_values("bin")
+        assert out["bin"].tolist() == [0, 1]
+        assert out["n"].tolist() == [3, 4]  # low: -5(clamp),0,0.49; high: 0.5,0.99,1.0(clamp),7(clamp)
+        assert out["n"].sum() == len(vals)
