@@ -2108,6 +2108,34 @@ def q_snapshot_diff(sf_dir: str):
     return _i64(dedup.snapshot_diff(docs, snap_b), ["doc_id", "status"])
 
 
+def q_ann_recall(sf_dir: str):
+    """Recall@k evaluation harness: the IVF index (nprobe=2) scored
+    against exact search (nprobe = n_clusters scans every cell ⇒ exact
+    integer-L2) — the measurement loop that tunes any ANN index.  Per
+    query: |approx ∩ exact| / k.  Value-checked (shared kmeans replay,
+    two probe chains in SQL)."""
+    import pandas as pd
+
+    from kaza_lcms_ray.stages import cluster
+
+    emb = _tbl(sf_dir, "embeddings")
+    qids, qmat = _query_vectors(sf_dir)
+
+    def run(nprobe):
+        return cluster.ivf_topk(
+            emb, qids, qmat, k_neighbors=IVF_KNN, n_clusters=KMEANS_K,
+            nprobe=nprobe, iters=KMEANS_ITERS, seed=KMEANS_SEED,
+        ).to_pandas()
+
+    approx, exact = run(IVF_NPROBE), run(KMEANS_K)
+    ex = {q: set(g["vec_id"]) for q, g in exact.groupby("qid")}
+    rows = [
+        (int(q), len(set(g["vec_id"]) & ex.get(q, set())) / IVF_KNN)
+        for q, g in approx.groupby("qid")
+    ]
+    return pd.DataFrame(rows, columns=["qid", "recall"])
+
+
 def q_quality_histogram(sf_dir: str):
     """Fixed-width distribution profile of the quality score
     (stages/zonal.value_histogram: ≤ nbins integer rows leave each block,
@@ -2257,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "quality_histogram": q_quality_histogram,
         "column_profile": q_column_profile,
+        "ann_recall": q_ann_recall,
         "normalize_text": q_normalize_text,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
@@ -2487,6 +2516,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id % 3 <> 0
               AND text NOT IN (SELECT text FROM documents WHERE doc_id % 3 = 0)""",
+        "ann_recall": _ann_recall_sql(),
         "quality_histogram": __import__(
             "kaza_lcms_ray.stages.zonal", fromlist=["zonal"]
         ).value_histogram_sql(
@@ -3599,37 +3629,71 @@ def _semdedup_sql() -> str:
         FROM aF a"""
 
 
-def _ivf_topk_sql() -> str:
+def _ivf_rank_ctes(p: str, nprobe: int) -> str:
+    """The IVF probe→candidate→rank chain with ``p``-prefixed CTE names
+    (requires qv / centF / aF / qqv in scope) ending in ``{p}rank``
+    (qid, vec_id, rn).  Prefixing lets two nprobe settings share ONE
+    kmeans replay (the recall oracle)."""
     return f"""
-        WITH {_kmeans_ctes()},
-        qset AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
-        qqv AS MATERIALIZED (
-            SELECT s.qid, v.i, v.q FROM qset s JOIN qv v ON v.vec_id = s.qid
-        ),
-        pdist AS (
+        {p}pdist AS (
             SELECT q.qid, c.cid, SUM((q.q - c.c) * (q.q - c.c)) AS d
             FROM qqv q JOIN centF c ON c.i = q.i GROUP BY q.qid, c.cid
         ),
-        probes AS (
+        {p}probes AS (
             SELECT qid, cid FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY qid ORDER BY d, cid
-                ) AS rn FROM pdist
-            ) WHERE rn <= {IVF_NPROBE}
+                ) AS rn FROM {p}pdist
+            ) WHERE rn <= {nprobe}
         ),
-        cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN aF a ON a.cid = p.cid),
-        cdist AS (
+        {p}cand AS (
+            SELECT p.qid, a.vec_id FROM {p}probes p JOIN aF a ON a.cid = p.cid
+        ),
+        {p}cdist AS (
             SELECT c.qid, c.vec_id, SUM((v.q - q.q) * (v.q - q.q)) AS d
-            FROM cand c
+            FROM {p}cand c
             JOIN qv v ON v.vec_id = c.vec_id
             JOIN qqv q ON q.qid = c.qid AND q.i = v.i
             GROUP BY c.qid, c.vec_id
-        )
-        SELECT qid, CAST(rn AS BIGINT) AS "rank", vec_id FROM (
-            SELECT qid, vec_id, row_number() OVER (
-                PARTITION BY qid ORDER BY d, vec_id
-            ) AS rn FROM cdist
-        ) WHERE rn <= {IVF_KNN}"""
+        ),
+        {p}rank AS (
+            SELECT qid, vec_id, rn FROM (
+                SELECT qid, vec_id, row_number() OVER (
+                    PARTITION BY qid ORDER BY d, vec_id
+                ) AS rn FROM {p}cdist
+            ) WHERE rn <= {IVF_KNN}
+        )"""
+
+
+_IVF_QSET = """
+        qset AS (SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 5),
+        qqv AS MATERIALIZED (
+            SELECT s.qid, v.i, v.q FROM qset s JOIN qv v ON v.vec_id = s.qid
+        )"""
+
+
+def _ivf_topk_sql() -> str:
+    return f"""
+        WITH {_kmeans_ctes()},
+        {_IVF_QSET},
+        {_ivf_rank_ctes("iv_", IVF_NPROBE)}
+        SELECT qid, CAST(rn AS BIGINT) AS "rank", vec_id FROM iv_rank"""
+
+
+def _ann_recall_sql() -> str:
+    """Recall@k of the IVF index vs exact search (nprobe = n_clusters scans
+    every cell ⇒ exact) — one shared kmeans replay, two prefixed probe
+    chains, per-query overlap ratio."""
+    return f"""
+        WITH {_kmeans_ctes()},
+        {_IVF_QSET},
+        {_ivf_rank_ctes("ap_", IVF_NPROBE)},
+        {_ivf_rank_ctes("ex_", KMEANS_K)}
+        SELECT a.qid,
+               CAST(COUNT(e.vec_id) AS DOUBLE) / {IVF_KNN} AS recall
+        FROM ap_rank a
+        LEFT JOIN ex_rank e ON e.qid = a.qid AND e.vec_id = a.vec_id
+        GROUP BY a.qid"""
 
 
 def _minhash_pairs_sql() -> str:

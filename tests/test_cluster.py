@@ -217,3 +217,32 @@ def test_pq_topk_matches_brute_force_adc(ray_session):
         expect = ids[np.lexsort((ids, dist))[:k]]
         got = out[out["qid"] == qid].sort_values("rank")["vec_id"].to_numpy()
         assert (got == expect).all()
+
+
+def test_ivf_nprobe_full_is_exact(ray_session):
+    """nprobe = n_clusters scans every cell, so IVF equals brute-force
+    integer-L2 top-k — the exactness premise of the recall harness."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.cluster import ivf_topk, quantize
+
+    rng = np.random.RandomState(4)
+    n, d, k = 80, 8, 5
+    mat = rng.randn(n, d)
+    ids = np.arange(n, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"vec_id": ids, "embedding": list(mat)}))
+    qids, qmat = ids[:3], mat[:3]
+    out = (
+        ivf_topk(ds, qids, qmat, k_neighbors=k, n_clusters=4, nprobe=4, iters=1)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+    )
+    q = quantize(qmat)
+    c = quantize(mat)
+    for qi, qid in enumerate(qids):
+        dist = ((c - q[qi][None, :]) ** 2).sum(axis=1)
+        expect = ids[np.lexsort((ids, dist))[:k]]
+        got = out[out["qid"] == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == expect).all()
