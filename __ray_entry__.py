@@ -233,6 +233,20 @@ def q_zonal_mean(sf_dir: str):
     )
 
 
+def q_cell_smooth(sf_dir: str):
+    """Focal k-ring smoothing over the zonal cell grid (stages/zonal.
+    kring_smooth — A8 reduceNeighborhood analog on the aggregated cell
+    table): per occupied cell, band-3 mean over all observations in its
+    3×3 Morton-cell neighborhood.  Zero joins: occupancy travels as an
+    is_self marker through the bucketed re-aggregation."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.kring_smooth(_geo(sf_dir), band=3, k=1),
+        ["cell_id", "nbr_n", "smooth_b3"],
+    )
+
+
 def q_zonal_percentile(sf_dir: str):
     from kaza_lcms_ray.stages import zonal
 
@@ -671,6 +685,56 @@ def q_quantize_embed(sf_dir: str):
 
     emb = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return _i64(ann.quantize_embeddings(emb), ["vec_id", "dim", "code", "scale"])
+
+
+def q_embed_gram(sf_dir: str):
+    """Distributed Gram matrix over the int8-quantized embedding corpus
+    (stages/ann.gram_quantized): per-batch codeᵀ·code int64 partials →
+    bucketed combine over ≤d² keys — the PCA/whitening reduction shape."""
+    from kaza_lcms_ray.stages import ann
+
+    emb = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _i64(ann.gram_quantized(emb), ["i", "j", "s"])
+
+
+LINE_FILTER_NAV = "NAVIGATION MENU HOME ABOUT CONTACT SEARCH LOGIN"
+LINE_FILTER_RARE = "RARE FOOTER LINE APPEARING ONLY TWICE IN THE CORPUS"
+
+
+def q_line_filter(sf_dir: str):
+    """Corpus-wide frequent-line (boilerplate) removal — the RefinedWeb/
+    Dolma nav/footer filter (stages/dedup.drop_frequent_lines: skinny
+    fp128 occurrence counts → broadcast frequent set → one stateless
+    strip-and-rebuild pass).  The gate corpus injects a deterministic
+    boilerplate footer on every doc_id % 3 == 0 (167 occurrences → ≥3 →
+    removed everywhere) and a rare footer on doc_id % 250 == 1 (2
+    occurrences < 3 → kept), mirrored exactly in the oracle SQL, so the
+    threshold, the removal AND the reassembled text are value-checked."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suf = np.where(did % 3 == 0, "\n" + LINE_FILTER_NAV, "")
+        suf = np.char.add(
+            suf.astype("U128"),
+            np.where(did % 250 == 1, "\n" + LINE_FILTER_RARE, ""),
+        )
+        txt = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()),
+            pa.array(suf.tolist(), type=pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    corpus = docs.map_batches(inject, batch_format="pyarrow")
+    return _i64(
+        dedup.drop_frequent_lines(corpus, min_count=3),
+        ["doc_id", "text_clean", "n_kept", "n_dropped"],
+    )
 
 
 def q_gopher_quality(sf_dir: str):
@@ -2271,6 +2335,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "cell_smooth": q_cell_smooth,
+        "embed_gram": q_embed_gram,
+        "line_filter": q_line_filter,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2606,6 +2673,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM geo g JOIN cty c
               ON g.lon >= c.minx AND g.lon < c.maxx
              AND g.lat >= c.miny AND g.lat < c.maxy""",
+        "cell_smooth": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).kring_smooth_sql("SELECT * FROM cells", band=3, k=1)}""",
         "zonal_mean": f"""
             WITH {geo}, {cells}
             SELECT cell_id, "year", COUNT(*) AS n,
@@ -2699,6 +2769,23 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "quantize_embed": __import__(
             "kaza_lcms_ray.stages.ann", fromlist=["ann"]
         ).quantize_embeddings_sql("SELECT vec_id, embedding FROM embeddings"),
+        "embed_gram": __import__(
+            "kaza_lcms_ray.stages.ann", fromlist=["ann"]
+        ).gram_quantized_sql("SELECT vec_id, embedding FROM embeddings"),
+        "line_filter": __import__(
+            "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
+        ).drop_frequent_lines_sql(
+            f"""SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || '{LINE_FILTER_NAV}'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 250 = 1
+                               THEN chr(10) || '{LINE_FILTER_RARE}'
+                               ELSE '' END AS text
+                FROM documents""",
+            min_count=3,
+        ),
         "pack_sequences": _packing_mod().pack_sequences_sql(
             "SELECT doc_id, text FROM documents", budget=512
         ),

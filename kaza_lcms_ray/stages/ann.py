@@ -534,3 +534,75 @@ def quantize_embeddings_sql(embeds_sql: str) -> str:
                     ELSE 0 END AS code,
                CASE WHEN scale > 0 THEN scale ELSE 0.0 END AS scale
         FROM u"""
+
+
+def gram_quantized(ds, embed_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Gram matrix Σ xᵀx over the int8-QUANTIZED embedding
+    corpus — the X^T X partial-sum shape every corpus-scale PCA / whitening
+    / covariance pass reduces to.  Quantization pins the exact rule of
+    ``quantize_embeddings`` (per-vector max-abs scale, floor(x/s + 0.5)),
+    so every product and sum is integer-exact and order-free.
+
+    Output: long upper triangle (i:int64, j:int64, s:int64), i ≤ j,
+    1-based dims (SQL generate_subscripts convention).
+
+    Scale shape: each batch collapses to one d(d+1)/2-row partial
+    (``codeᵀ·code`` int64 matmul — per-batch cost d²·rows, output size
+    independent of rows), then one bucketed integer combine over ≤d² keys.
+    Nothing corpus-sized ever shuffles; |codes| ≤ 127 keeps Σ products
+    < 2⁶³ up to ~3.5×10¹⁴ vectors.
+    """
+    from .zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column(embed_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        empty = pa.table(
+            {
+                "i": pa.array([], pa.int64()),
+                "j": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        d = int(lens[0]) if n else 0
+        if d == 0 or not (lens == d).all():
+            raise ValueError("gram_quantized requires a fixed-dimension table")
+        mat = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, d)
+        )
+        scale = (np.abs(mat).max(axis=1) / 127.0)[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.where(scale > 0, np.floor(mat / scale + 0.5), 0.0).astype(
+                np.int64
+            )
+        g = code.T @ code
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64) + 1),
+                "j": pa.array(ju.astype(np.int64) + 1),
+                "s": pa.array(g[iu, ju]),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_sum(partials, ["i", "j"], ["s"], recombine_batch_size=None)
+
+
+def gram_quantized_sql(embeds_sql: str) -> str:
+    """Oracle twin: quantize via the shared SQL rule, then the exact
+    integer product sum over the self-join on vec_id, upper triangle."""
+    return f"""
+        WITH qg AS ({quantize_embeddings_sql(embeds_sql)})
+        SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.code * b.code) AS BIGINT) AS s
+        FROM qg a JOIN qg b USING (vec_id)
+        WHERE a.dim <= b.dim GROUP BY 1, 2"""

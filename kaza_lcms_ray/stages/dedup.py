@@ -1580,3 +1580,196 @@ def snapshot_diff(ds_a, ds_b, key_col: str = "text", id_col: str = "doc_id"):
         )
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+# --------------------------------------- corpus-wide frequent-line removal
+
+FREQ_LINE_BROADCAST_LIMIT = 5_000_000  # distinct frequent (boilerplate) lines
+
+
+def drop_frequent_lines(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 3,
+    min_len: int = PARA_MIN_DEDUP_LEN,
+    rows_hint: int | None = None,
+    broadcast_limit: int = FREQ_LINE_BROADCAST_LIMIT,
+):
+    """RefinedWeb/Dolma-style boilerplate removal: every '\\n'-separated
+    line of length ≥ ``min_len`` whose exact text occurs ≥ ``min_count``
+    times CORPUS-WIDE (all occurrences counted, within-doc repeats
+    included) is removed from every document; shorter lines always
+    survive.  Documents reassemble from surviving lines in original order;
+    a document losing every line disappears.
+
+    Scale shape (the house fingerprint discipline — raw line text never
+    enters a shuffle key):
+      1. one streaming pass explodes lines and emits per-batch
+         (fp128 → partial occurrence count) SKINNY rows;
+      2. hash-bucketed integer combine → corpus counts per fingerprint;
+      3. the frequent set (count ≥ min_count) is boilerplate-sized
+         (≪ distinct-line cardinality): below ``broadcast_limit`` it
+         broadcasts once via ``ray.put`` and removal is ONE stateless
+         second pass (lexsorted-fp membership probe + in-batch rebuild —
+         a document is one input row, so its lines never cross a batch);
+      4. above the limit: left join lines⋈frequent on the integer fp,
+         bucketed per-doc rebuild (the ``drop_dup_paragraphs`` fallback
+         shape).
+
+    Returns Dataset[id, text_clean, n_kept, n_dropped].  Reference analog:
+    exact distinct at sub-document granularity (SURVEY §2.7), inverted —
+    frequency-keyed removal rather than first-keeper dedup."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..runtime import join_partitions
+    from ..state.hashing import id_u64, splitmix64 as _smx
+    from .zonal import _default_buckets, bucketed_sum
+
+    nb = _default_buckets(rows_hint)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        ex = _explode_paragraphs(t, text_col, id_col)
+        is_long = pc.greater_equal(pc.utf8_length(ex.column("para")), min_len)
+        para = ex.column("para").filter(is_long)
+        hi, lo = _fp128(para)
+        g = pa.table(
+            {
+                "fp_hi": pa.array(hi.astype(np.int64)),
+                "fp_lo": pa.array(lo.astype(np.int64)),
+            }
+        )
+        out = g.group_by(["fp_hi", "fp_lo"]).aggregate([("fp_hi", "count")])
+        return out.rename_columns(["fp_hi", "fp_lo", "cnt"])
+
+    counts = bucketed_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["fp_hi", "fp_lo"],
+        ["cnt"],
+        recombine_batch_size=None,
+        rows_hint=rows_hint,
+    )
+    frequent = counts.filter(
+        expr=f"cnt >= {int(min_count)}"
+    ).materialize()  # boilerplate-sized: one row per distinct frequent line
+    n_freq = frequent.count()
+
+    if n_freq <= broadcast_limit:
+        ft = frequent.to_pandas()
+        fhi = ft["fp_hi"].to_numpy(np.int64)
+        flo = ft["fp_lo"].to_numpy(np.int64)
+        order = np.lexsort((flo, fhi))
+        side_ref = ray.put({"hi": fhi[order], "lo": flo[order]})
+
+        def strip_batch(t: pa.Table) -> pa.Table:
+            side = ray.get(side_ref)
+            ex = _explode_paragraphs(t, text_col, id_col)
+            kept = np.ones(len(ex), dtype=bool)
+            is_long = pc.greater_equal(
+                pc.utf8_length(ex.column("para")), min_len
+            ).to_numpy(zero_copy_only=False)
+            li = np.flatnonzero(is_long)
+            if li.size and len(side["hi"]):
+                hi, lo = _fp128(ex.column("para").take(pa.array(li)))
+                h = hi.astype(np.int64)
+                l = lo.astype(np.int64)
+                start = np.searchsorted(side["hi"], h, side="left")
+                end = np.searchsorted(side["hi"], h, side="right")
+                member = np.zeros(li.size, dtype=bool)
+                one = end - start == 1
+                if one.any():
+                    member[one] = side["lo"][start[one]] == l[one]
+                for j in np.flatnonzero(end - start > 1):
+                    seg = side["lo"][start[j] : end[j]]
+                    k = int(np.searchsorted(seg, l[j]))
+                    member[j] = k < len(seg) and seg[k] == l[j]
+                kept[li] = ~member
+            return _rebuild_contiguous(ex.filter(pa.array(kept)), id_col)
+
+        return ds.map_batches(strip_batch, batch_format="pyarrow")
+
+    # ---- large-frequent-set fallback: fp-keyed left join, null = keep ----
+    def explode_fp(t: pa.Table) -> pa.Table:
+        out = _explode_paragraphs(t, text_col, id_col)
+        hi, lo = _fp128(out.column("para"))
+        return out.append_column(
+            "fp_hi", pa.array(hi.astype(np.int64))
+        ).append_column("fp_lo", pa.array(lo.astype(np.int64)))
+
+    lines = ds.map_batches(explode_fp, batch_format="pyarrow")
+    joined = lines.join(
+        frequent,
+        join_type="left_outer",
+        num_partitions=join_partitions(),
+        on=("fp_hi", "fp_lo"),
+    )
+
+    def keep_mask(t: pa.Table) -> pa.Table:
+        # frequent set holds only ≥min_len lines; identical text ⇒ same
+        # length, so a marker hit implies the line is long — null = keep
+        return t.filter(pc.is_null(t.column("cnt"))).select(
+            [id_col, "idx", "para", "n_para"]
+        )
+
+    kept = joined.map_batches(keep_mask, batch_format="pyarrow")
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        col = t.column(id_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        key = _smx(id_u64(col))
+        return t.append_column(
+            "bucket", pa.array((key % np.uint64(nb)).astype(np.int64))
+        )
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        s = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(id_col, "ascending"), ("idx", "ascending")]
+            )
+        )
+        return _rebuild_contiguous(s, id_col)
+
+    return (
+        kept.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
+        .select_columns([id_col, "text_clean", "n_kept", "n_dropped"])
+    )
+
+
+def drop_frequent_lines_sql(
+    docs_sql: str,
+    min_count: int = 3,
+    min_len: int = PARA_MIN_DEDUP_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for ``drop_frequent_lines``: identical split / corpus-count /
+    threshold / reassembly rule, joining on the raw line string where the
+    engine joins on its 128-bit fingerprint."""
+    return f"""
+        WITH fl_paras AS (
+            SELECT {id_col},
+                   CAST(generate_subscripts(ps, 1) - 1 AS BIGINT) AS idx,
+                   unnest(ps) AS p,
+                   CAST(len(ps) AS BIGINT) AS n_para
+            FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS ps
+                  FROM ({docs_sql}))
+        ),
+        fl_freq AS (
+            SELECT p FROM fl_paras WHERE length(p) >= {min_len}
+            GROUP BY p HAVING COUNT(*) >= {min_count}
+        ),
+        fl_kept AS (
+            SELECT pr.{id_col}, pr.idx, pr.p, pr.n_para
+            FROM fl_paras pr LEFT JOIN fl_freq f ON pr.p = f.p
+            WHERE f.p IS NULL
+        )
+        SELECT {id_col},
+               string_agg(p, chr(10) ORDER BY idx) AS text_clean,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(any_value(n_para) - COUNT(*) AS BIGINT) AS n_dropped
+        FROM fl_kept GROUP BY {id_col}"""

@@ -728,3 +728,121 @@ def value_histogram_sql(
                     {nbins - 1}) AS BIGINT) AS bin,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM ({rows_sql}) GROUP BY 1"""
+
+
+def kring_smooth(geo, band: int = 3, k: int = 1):
+    """Focal (k-ring) smoothing over the zonal cell grid — the cell-table
+    analog of the reference's reduceNeighborhood mean (A8,
+    src/utils/covariates.py focal reducers): each OCCUPIED cell's band mean
+    recomputed over all observations falling in its (2k+1)² Chebyshev
+    neighborhood, clipped at the grid boundary.
+
+    Output: (cell_id, nbr_n:int64, smooth_b{band}:f64) — nbr_n the window
+    observation count, the mean a single correctly-rounded double division
+    of exact integer sums (identical expression in SQL).
+
+    Scale shape: the raw-observation groupby reuses the two-phase
+    ``bucketed_sum`` (a hot cell is one partial row per batch); everything
+    downstream runs on the CELL table, whose row count is bounded by the
+    AOI grid (≤4^CELL_LEVEL), independent of corpus size.  The neighbor
+    fan-out is a stateless (2k+1)²-way map with NO occupancy join: the
+    dx=dy=0 copy carries an ``is_self`` marker, so restricting output to
+    occupied cells happens inside the same bucketed re-aggregation
+    (HAVING Σis_self > 0) — one extra skinny shuffle total, zero joins.
+    """
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,))
+    offsets = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    n_grid = np.int64(1) << CELL_LEVEL
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "n": pa.array(n[m]),
+                        s_col: pa.array(s[m]),
+                        "is_self": pa.array(
+                            np.full(
+                                int(m.sum()),
+                                1 if (dx == 0 and dy == 0) else 0,
+                                dtype=np.int64,
+                            )
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = cellsums.map_batches(fan, batch_format="pyarrow")
+    agg = bucketed_sum(
+        fanned, ["cell_id"], ["n", s_col, "is_self"], recombine_batch_size=None
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater(t.column("is_self"), 0))
+        nn = pc.cast(t.column("n"), pa.float64())
+        sm = pc.divide(
+            pc.cast(t.column(s_col), pa.float64()), pc.multiply(nn, 100.0)
+        )
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "nbr_n": t.column("n"),
+                f"smooth_b{band}": sm,
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def kring_smooth_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
+    """Oracle twin of ``kring_smooth``: same decode → offset fan-out →
+    re-encode → HAVING Σis_self filter, exact integer sums, identical
+    final division expression.  Returns a CTE-chain fragment + final
+    SELECT, to be appended after the caller's ``WITH {geo}, {cells},``."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    ds_vals = ", ".join(str(d) for d in range(-k, k + 1))
+    return f"""
+        kr_agg AS (
+            SELECT cell_id, COUNT(*) AS n, SUM(c{band}) AS s
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        kr_dec AS (
+            SELECT cell_id, n, s,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM kr_agg
+        ),
+        kr_offs AS (
+            SELECT ox.d AS dx, oy.d AS dy
+            FROM (SELECT unnest([{ds_vals}]) AS d) ox,
+                 (SELECT unnest([{ds_vals}]) AS d) oy
+        ),
+        kr_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.n, d.s,
+                   CASE WHEN o.dx = 0 AND o.dy = 0 THEN 1 ELSE 0 END AS is_self
+            FROM kr_dec d CROSS JOIN kr_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        )
+        SELECT cell_id, CAST(SUM(n) AS BIGINT) AS nbr_n,
+               CAST(SUM(s) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * 100)
+                   AS smooth_b{band}
+        FROM kr_fan GROUP BY cell_id HAVING SUM(is_self) > 0"""

@@ -628,3 +628,60 @@ def test_snapshot_diff_hand(ray_session):
     for aa, bb in ((a, b), (a.repartition(3), b.repartition(2))):
         out = snapshot_diff(aa, bb).to_pandas()
         assert dict(zip(out["doc_id"], out["status"])) == expect
+
+
+# ----------------------------------------- corpus-wide frequent-line removal
+
+
+def _boilerplate_corpus():
+    nav = "NAVIGATION HOME ABOUT CONTACT US TODAY"  # 3 occurrences -> removed
+    rare = "rare footer occurring exactly twice ok"  # 2 occurrences -> kept
+    short = "---"  # short lines always survive, however frequent
+    return pd.DataFrame(
+        [
+            ("d1", f"unique first body line of doc one\n{nav}\n{short}"),
+            ("d2", f"{nav}\nsecond doc unique content line\n{rare}"),
+            ("d3", f"third doc says something else\n{rare}\n{nav}\n{short}"),
+            ("d4", nav),  # only line removed -> doc disappears
+            ("d5", f"{short}\n{short}"),  # short-only doc survives intact
+        ],
+        columns=["doc_id", "text"],
+    )
+
+
+def test_drop_frequent_lines_threshold_and_rebuild(ray_session):
+    df = _boilerplate_corpus()
+    out = (
+        dedup.drop_frequent_lines(rd.from_pandas(df), min_count=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # d4 lost its only line and disappears
+    assert sorted(out.index) == ["d1", "d2", "d3", "d5"]
+    assert out.loc["d1", "text_clean"] == "unique first body line of doc one\n---"
+    # rare (2 < 3) and short lines survive; order preserved
+    assert out.loc["d2", "text_clean"].endswith("rare footer occurring exactly twice ok")
+    assert out.loc["d3", "text_clean"] == (
+        "third doc says something else\nrare footer occurring exactly twice ok\n---"
+    )
+    assert out.loc["d5", "text_clean"] == "---\n---"
+    assert int(out.loc["d1", "n_dropped"]) == 1
+    assert int(out.loc["d5", "n_dropped"]) == 0
+
+
+def test_drop_frequent_lines_join_path_matches_broadcast(ray_session):
+    df = _boilerplate_corpus()
+    a = (
+        dedup.drop_frequent_lines(rd.from_pandas(df), min_count=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup.drop_frequent_lines(rd.from_pandas(df), min_count=3, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -53,3 +53,33 @@ def test_quantize_embeddings(ray_session):
             out[c].to_numpy(np.int64), want[c].to_numpy(np.int64), err_msg=c
         )
     np.testing.assert_array_equal(out["scale"].to_numpy(), want["scale"].to_numpy())
+
+
+def test_gram_quantized_matches_bruteforce(ray_session):
+    """Distributed Σ codeᵀcode equals the single-matrix numpy product, and
+    is invariant to block composition (exact integer partials)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    rng = np.random.RandomState(7)
+    raw = rng.randn(300, 16).astype(np.float32)
+    raw[17] = 0.0  # zero vector: scale 0 -> all-zero codes
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(list(raw), type=pa.list_(pa.float32())),
+        }
+    )
+    mat = raw.astype(np.float64)
+    scale = (np.abs(mat).max(axis=1) / 127.0)[:, None]
+    code = np.where(scale > 0, np.floor(mat / scale + 0.5), 0.0).astype(np.int64)
+    g = code.T @ code
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = ann.gram_quantized(ds).to_pandas().sort_values(["i", "j"])
+        d = mat.shape[1]
+        iu, ju = np.triu_indices(d)
+        assert len(got) == len(iu)
+        assert (got["s"].to_numpy() == g[iu, ju]).all()

@@ -183,3 +183,46 @@ def test_value_histogram_clamps_and_sums(ray_session):
         assert out["bin"].tolist() == [0, 1]
         assert out["n"].tolist() == [3, 4]  # low: -5(clamp),0,0.49; high: 0.5,0.99,1.0(clamp),7(clamp)
         assert out["n"].sum() == len(vals)
+
+
+def test_kring_smooth_matches_bruteforce(synth_small, ray_session):
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode, morton
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.kring_smooth(geo, band=3, k=1)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    # brute force: per-cell exact sums, then python-dict 3x3 window
+    df = _geo_df(synth_small)
+    agg = df.groupby("cell_id", as_index=False).agg(
+        n=("c3", "size"), s=("c3", "sum")
+    )
+    n_grid = 1 << CELL_LEVEL
+    ix, iy = decode(agg["cell_id"].to_numpy(), CELL_LEVEL)
+    by_xy = {
+        (int(x), int(y)): (int(n), int(s))
+        for x, y, n, s in zip(ix, iy, agg["n"], agg["s"])
+    }
+    rows = []
+    for (x, y), _ in by_xy.items():
+        tn = ts = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = x + dx, y + dy
+                if 0 <= tx < n_grid and 0 <= ty < n_grid and (tx, ty) in by_xy:
+                    nn, ss = by_xy[(tx, ty)]
+                    tn += nn
+                    ts += ss
+        rows.append((int(morton(np.array([x]), np.array([y]))[0]), tn, ts))
+    exp = pd.DataFrame(rows, columns=["cell_id", "nbr_n", "s"]).sort_values(
+        "cell_id"
+    ).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["cell_id"].to_numpy() == exp["cell_id"].to_numpy()).all()
+    assert (got["nbr_n"].to_numpy() == exp["nbr_n"].to_numpy()).all()
+    want = exp["s"].to_numpy(np.float64) / (exp["nbr_n"].to_numpy(np.float64) * 100)
+    assert got["smooth_b3"].to_numpy().tobytes() == want.tobytes()
