@@ -247,6 +247,21 @@ def q_cell_smooth(sf_dir: str):
     )
 
 
+def q_poly_distance(sf_dir: str):
+    """Distance-to-nearest-protected-area per geo span (stages/pip.
+    nearest_poly_bbox): broadcast bounded polygon side, one stateless
+    vectorized point-to-rectangle pass, min-poly_id tie-break."""
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    return _i64(
+        pip.nearest_poly_bbox(
+            _geo(sf_dir), f"{root}/polygons.parquet", kinds=["protected_area"]
+        ),
+        ["doc_id", "span_idx", "poly_id", "dist_deg"],
+    )
+
+
 def q_zonal_percentile(sf_dir: str):
     from kaza_lcms_ray.stages import zonal
 
@@ -913,6 +928,38 @@ def q_text_scores(sf_dir: str):
     docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         text.text_scores(docs), ["doc_id", "lang_pred", "stop_ratio", "quality"]
+    )
+
+
+def q_token_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy, integer-quantized (stages/text.
+    token_entropy) — the vocabulary-concentration quality signal; fully
+    row-local (a doc is one row), no shuffle."""
+    from kaza_lcms_ray.stages import text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(text.token_entropy(docs), ["doc_id", "n_tok", "entropy_q"])
+
+
+def q_quality_blend(sf_dir: str):
+    """Multi-signal rank fusion (stages/packing.rank_blend): quality-score
+    rank + length rank, each from the two-level global_rank scan, summed
+    as exact int64 — the scale-free curation combiner for incomparable
+    signals.  Oracle: two ROW_NUMBER windows joined on doc_id."""
+    from kaza_lcms_ray.stages import packing, text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "n_chars"])
+    rq = packing.global_rank(
+        text.text_scores(docs.select_columns(["doc_id", "text"])),
+        "quality",
+        lo=0.0,
+        hi=1.0,
+    )
+    rl = packing.global_rank(
+        docs.select_columns(["doc_id", "n_chars"]), "n_chars", lo=0.0, hi=4096.0
+    )
+    return _i64(
+        packing.rank_blend(rq, rl), ["doc_id", "rank_q", "rank_len", "blend"]
     )
 
 
@@ -2338,6 +2385,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_smooth": q_cell_smooth,
         "embed_gram": q_embed_gram,
         "line_filter": q_line_filter,
+        "quality_blend": q_quality_blend,
+        "poly_distance": q_poly_distance,
+        "token_entropy": q_token_entropy,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2662,6 +2712,27 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM pa_ a JOIN pb b
               ON a.minx <= b.maxx AND b.minx <= a.maxx
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
+        "poly_distance": f"""
+            WITH {geo},
+            pa_ AS (
+                SELECT poly_id, bbox.minx AS minx, bbox.miny AS miny,
+                       bbox.maxx AS maxx, bbox.maxy AS maxy
+                FROM read_parquet('{root}/polygons.parquet')
+                WHERE kind = 'protected_area'
+            ),
+            d AS (
+                SELECT g.doc_id, g.span_idx, p.poly_id,
+                       sqrt(greatest(p.minx - g.lon, 0, g.lon - p.maxx)
+                            * greatest(p.minx - g.lon, 0, g.lon - p.maxx)
+                          + greatest(p.miny - g.lat, 0, g.lat - p.maxy)
+                            * greatest(p.miny - g.lat, 0, g.lat - p.maxy))
+                           AS dist_deg
+                FROM geo g CROSS JOIN pa_ p
+            )
+            SELECT doc_id, span_idx, poly_id, dist_deg FROM d
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id, span_idx ORDER BY dist_deg, poly_id
+            ) = 1""",
         "pip_country": f"""
             WITH {geo},
             cty AS (
@@ -2975,6 +3046,21 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).curation_sql(_text_scores_sql()),
         "simhash": _simhash_sql(),
         "text_scores": _text_scores_sql(),
+        "token_entropy": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).token_entropy_sql("SELECT doc_id, text FROM documents"),
+        "quality_blend": f"""
+            WITH ts AS ({_text_scores_sql()}),
+            rq AS (SELECT doc_id,
+                          CAST(ROW_NUMBER() OVER (ORDER BY quality, doc_id) - 1
+                               AS BIGINT) AS rank_q
+                   FROM ts),
+            rl AS (SELECT doc_id,
+                          CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1
+                               AS BIGINT) AS rank_len
+                   FROM documents)
+            SELECT rq.doc_id, rank_q, rank_len, rank_q + rank_len AS blend
+            FROM rq JOIN rl ON rq.doc_id = rl.doc_id""",
         "pip_reference": _pip_reference_sql(geo, root),
         "media_decode": _media_decode_sql(root),
         "media_thumb": _media_thumb_sql(root),

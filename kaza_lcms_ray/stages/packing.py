@@ -460,3 +460,51 @@ def temperature_mix_sql(
         alpha=alpha,
         seed=seed,
     )
+
+
+def rank_blend(
+    ranked_a,
+    ranked_b,
+    id_col: str = "doc_id",
+    names: tuple = ("rank_q", "rank_len"),
+):
+    """Rank-fusion of two quality signals: each signal is reduced to its
+    dense global rank (``global_rank`` — scale-free, outlier-immune), and
+    the blended score is the INTEGER rank sum — the standard multi-signal
+    curation combiner when raw signals live on incomparable scales.
+
+    Input: two ``global_rank`` outputs (Dataset[id, value, rank]).
+    Output: Dataset[id, names[0], names[1], blend], blend = rank_a+rank_b.
+
+    Scale shape: the rank tables are skinny (id, rank) projections; one
+    id-keyed hash join + a stateless add.  All values int64 → exact under
+    any partitioning."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions
+
+    def skinny(ds, name):
+        def rn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    name: pc.cast(t.column("rank"), pa.int64()),
+                }
+            )
+
+        return ds.map_batches(rn, batch_format="pyarrow")
+
+    j = skinny(ranked_a, names[0]).join(
+        skinny(ranked_b, names[1]),
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=(id_col,),
+    )
+
+    def add_blend(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "blend", pc.add(t.column(names[0]), t.column(names[1]))
+        )
+
+    return j.map_batches(add_blend, batch_format="pyarrow")

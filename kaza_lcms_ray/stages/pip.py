@@ -300,3 +300,56 @@ def bbox_join(a_ds, b_ds, cell_deg: float = 4.0, a_id: str = "poly_id", b_id: st
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+
+
+def nearest_poly_bbox(geo, polygons_path: str, kinds: list[str] | None = None):
+    """Nearest-polygon attach: per geo span, the (poly_id, distance) of the
+    closest polygon envelope — planar-degree point-to-rectangle distance
+    (dx = max(minx−x, 0, x−maxx), analogous dy, √(dx²+dy²)); ties (e.g.
+    dist 0 inside overlapping boxes) break to the smallest poly_id.
+    The proximity analog of the reference's filterBounds / withinDistance
+    uses (src/utils/sampling.py:12-28) — "how far is this observation from
+    the nearest protected area".
+
+    Scale shape: the polygon side is the bounded ancillary table (S5) —
+    ``ray.put`` once, worker-local cache (the flagship-labeler pattern);
+    the op is ONE stateless fused pass over the corpus, batch×n_poly
+    vectorized distance matrix, no shuffle.  Output:
+    (doc_id, span_idx, poly_id, dist_deg)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(polygons_path)
+    if kinds is not None:
+        tbl = tbl.filter(pc.is_in(tbl.column("kind"), pa.array(kinds)))
+    tbl = tbl.sort_by("poly_id")  # np.argmin first-hit == min-poly_id tie-break
+    bbox = tbl.column("bbox").combine_chunks()
+    side_ref = ray.put(
+        {
+            "minx": bbox.field("minx").to_numpy(zero_copy_only=False),
+            "miny": bbox.field("miny").to_numpy(zero_copy_only=False),
+            "maxx": bbox.field("maxx").to_numpy(zero_copy_only=False),
+            "maxy": bbox.field("maxy").to_numpy(zero_copy_only=False),
+            "ids": tbl.column("poly_id").to_numpy(zero_copy_only=False),
+        }
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = _cached_index(side_ref)
+        x = batch.column("lon").to_numpy(zero_copy_only=False)[:, None]
+        y = batch.column("lat").to_numpy(zero_copy_only=False)[:, None]
+        dx = np.maximum(np.maximum(s["minx"] - x, 0.0), x - s["maxx"])
+        dy = np.maximum(np.maximum(s["miny"] - y, 0.0), y - s["maxy"])
+        d = np.sqrt(dx * dx + dy * dy)
+        j = np.argmin(d, axis=1)
+        rows = np.arange(len(batch))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "span_idx": batch.column("span_idx"),
+                "poly_id": pa.array(s["ids"][j].astype(object), type=pa.string()),
+                "dist_deg": pa.array(d[rows, j]),
+            }
+        )
+
+    return geo.map_batches(fn, batch_format="pyarrow")

@@ -1526,3 +1526,107 @@ def hash_embed_sql(docs_sql: str, dim: int = 64) -> str:
         )
         SELECT doc_id, list(val ORDER BY bucket) AS vec
         FROM dense GROUP BY doc_id"""
+
+
+ENTROPY_SCALE_INT = 1 << 40  # quantization for the order-free entropy sum
+
+
+def token_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document unigram (token) Shannon entropy — the vocabulary-
+    concentration quality signal: keyword-stuffed / repetitive documents
+    score low (complements the type-token ratio in ``lexical_diversity``).
+    Tokenization is the house ``[a-z']+`` rule shared with every text op.
+
+    Exactness contract (the ``hll_distinct`` both-sides-pinned pattern):
+    each (doc, term) contributes floor(−((tf/n)·ln(tf/n))·2⁴⁰) as int64 and
+    per-doc ``entropy_q`` is the exact integer sum — order-free under any
+    batch/shard composition (a document is ONE input row, so its whole tf
+    vector is computed in-batch; no shuffle anywhere).  ln is libm
+    (np.frompyfunc(math.log)) = DuckDB ln — the documented per-element
+    bit-exactness tradeoff (same as lm_score / tfidf scoring).
+
+    Output: (doc_id, n_tok:int64, entropy_q:int64); zero-token docs →
+    (0, 0).  Real entropy in nats = entropy_q / 2⁴⁰ (exact pow-2 divide).
+    """
+    scale = float(ENTROPY_SCALE_INT)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import math
+
+        _ln = np.frompyfunc(math.log, 1, 1)  # built per batch: ufuncs can't pickle
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        counts = offs[1:] - offs[:-1]
+        di = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        dik = di[keep]
+        n_tok = np.bincount(dik, minlength=len(batch)).astype(np.int64)
+        ent = np.zeros(len(batch), dtype=np.int64)
+        if dik.size:
+            g = (
+                pa.table(
+                    {"di": pa.array(dik), "term": flat.filter(pa.array(keep))}
+                )
+                .group_by(["di", "term"])
+                .aggregate([([], "count_all")])
+            )
+            gdi = g.column("di").to_numpy(zero_copy_only=False)
+            tf = g.column("count_all").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            p = tf / n_tok[gdi].astype(np.float64)
+            lnp = _ln(p).astype(np.float64)
+            q = np.floor(-(p * lnp) * scale).astype(np.int64)
+            np.add.at(ent, gdi, q)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tok": pa.array(n_tok),
+                "entropy_q": pa.array(ent),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_entropy_sql(docs_sql: str) -> str:
+    """Oracle twin: identical tokenization, the same quantized per-(doc,
+    term) term and exact integer sum."""
+    return f"""
+        WITH te_d AS ({docs_sql}),
+        te_t AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM te_d
+        ),
+        te_c AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM te_t GROUP BY doc_id, term
+        ),
+        te_n AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok
+            FROM te_c GROUP BY doc_id
+        ),
+        te_q AS (
+            SELECT c.doc_id,
+                   CAST(floor(-((CAST(tf AS DOUBLE) / CAST(n.n_tok AS DOUBLE))
+                                * ln(CAST(tf AS DOUBLE) / CAST(n.n_tok AS DOUBLE)))
+                              * {float(ENTROPY_SCALE_INT)!r}) AS BIGINT) AS q
+            FROM te_c c JOIN te_n n USING (doc_id)
+        ),
+        te_s AS (
+            SELECT doc_id, CAST(SUM(q) AS BIGINT) AS entropy_q
+            FROM te_q GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n.n_tok, 0) AS BIGINT) AS n_tok,
+               CAST(COALESCE(s.entropy_q, 0) AS BIGINT) AS entropy_q
+        FROM te_d d
+        LEFT JOIN te_n n USING (doc_id)
+        LEFT JOIN te_s s USING (doc_id)"""

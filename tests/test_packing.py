@@ -226,3 +226,34 @@ def test_temperature_mix_flattens_sources(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_rank_blend_matches_window_replay(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import packing
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "q": rng.rand(200),
+            "length": rng.randint(0, 500, 200).astype(np.int64),
+        }
+    )
+    ra = packing.global_rank(rd.from_pandas(df), "q", lo=0.0, hi=1.0)
+    rb = packing.global_rank(rd.from_pandas(df), "length", lo=0.0, hi=500.0)
+    got = (
+        packing.rank_blend(ra, rb)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_q = df.sort_values(["q", "doc_id"]).reset_index()
+    rank_q = pd.Series(np.arange(200), index=want_q["doc_id"]).sort_index()
+    want_l = df.sort_values(["length", "doc_id"]).reset_index()
+    rank_l = pd.Series(np.arange(200), index=want_l["doc_id"]).sort_index()
+    assert (got["rank_q"].to_numpy() == rank_q.to_numpy()).all()
+    assert (got["rank_len"].to_numpy() == rank_l.to_numpy()).all()
+    assert (got["blend"].to_numpy() == rank_q.to_numpy() + rank_l.to_numpy()).all()

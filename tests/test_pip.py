@@ -155,3 +155,36 @@ def test_bbox_join_empty_side(ray_session):
     B = A.slice(0, 0)
     out = bbox_join(rd.from_arrow(A), rd.from_arrow(B)).to_pandas()
     assert len(out) == 0
+
+
+def test_nearest_poly_bbox_bruteforce(synth_small, ray_session):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import pip, spans
+
+    docs = rd.read_parquet(f"{synth_small}/documents").limit(400)
+    geo = spans.geo_obs(docs)
+    got = (
+        pip.nearest_poly_bbox(
+            geo, f"{synth_small}/polygons.parquet", kinds=["protected_area"]
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    polys = pq.read_table(f"{synth_small}/polygons.parquet").to_pandas()
+    polys = polys[polys["kind"] == "protected_area"].sort_values("poly_id")
+    gdf = geo.to_pandas().sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert len(got) == len(gdf)
+    bb = np.array([[b["minx"], b["miny"], b["maxx"], b["maxy"]] for b in polys["bbox"]])
+    ids = polys["poly_id"].to_numpy()
+    x = gdf["lon"].to_numpy()[:, None]
+    y = gdf["lat"].to_numpy()[:, None]
+    dx = np.maximum(np.maximum(bb[:, 0] - x, 0.0), x - bb[:, 2])
+    dy = np.maximum(np.maximum(bb[:, 1] - y, 0.0), y - bb[:, 3])
+    d = np.sqrt(dx * dx + dy * dy)
+    j = np.argmin(d, axis=1)
+    assert (got["poly_id"].to_numpy() == ids[j]).all()
+    assert got["dist_deg"].to_numpy().tobytes() == d[np.arange(len(gdf)), j].tobytes()

@@ -183,3 +183,44 @@ def test_lexical_diversity_hand_and_empty(ray_session):
         assert out["n_tokens"].tolist() == [5, 0, 4]
         assert out["n_types"].tolist() == [3, 0, 3]
         assert out["ttr"].tolist() == [3 / 5, 0.0, 3 / 4]
+
+
+def test_token_entropy_known_values_and_reshard(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as tx
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a a b",            # H over {2/3, 1/3}
+                "same same same",   # single type -> entropy 0
+                "1234 5678",        # no [a-z']+ tokens at all
+                "w x y z",          # uniform over 4 -> 4 * term(1/4)
+            ],
+        }
+    )
+    S = float(tx.ENTROPY_SCALE_INT)
+
+    def term(p):
+        return int(np.floor(-(p * math.log(p)) * S))
+
+    want = {
+        1: (3, term(2.0 / 3.0) + term(1.0 / 3.0)),
+        2: (3, term(1.0)),
+        3: (0, 0),
+        4: (4, 4 * term(0.25)),
+    }
+    for nblocks in (1, 3):
+        out = (
+            tx.token_entropy(rd.from_pandas(df).repartition(nblocks))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        for k, (n, e) in want.items():
+            assert int(out.loc[k, "n_tok"]) == n
+            assert int(out.loc[k, "entropy_q"]) == e
