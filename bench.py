@@ -263,6 +263,15 @@ def run_bench() -> dict:
         "sample_k_corpus",
         lambda: sampling.sample_k(text_corpus(), ["doc_id"], 1000).count(),
     )
+    timed(
+        "line_filter_corpus",
+        lambda: dedup.drop_frequent_lines(text_corpus(), "text", "doc_id").count(),
+    )
+    timed(
+        "entropy_corpus",
+        lambda: text.token_entropy(text_corpus()).count(),
+    )
+    timed("kring_smooth", lambda: zonal.kring_smooth(geo(), band=3, k=1).count())
 
     ray.shutdown()
     return {
