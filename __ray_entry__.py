@@ -1825,6 +1825,17 @@ def q_events_props(sf_dir: str):
     return _i64(events.extract_props_key(ev), ["event_type", "sum_k", "n"])
 
 
+def q_events_ewma(sf_dir: str):
+    """Per-user integer-pinned EWMA (α=1/4) over the event stream —
+    jagged-recurrence lockstep vectorization per hash bucket
+    (stages/events.ewma); oracle is the identical recurrence as a
+    recursive CTE."""
+    from kaza_lcms_ray.stages import events
+
+    ev = _tbl(sf_dir, "events")
+    return _i64(events.ewma(ev), ["event_id", "user_id", "ewma_cents"])
+
+
 def q_events_running(sf_dir: str):
     """Per-user running value total ordered by (ts, event_id) — the
     cumulative window aggregate, exact integer prefix sums."""
@@ -2388,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_blend": q_quality_blend,
         "poly_distance": q_poly_distance,
         "token_entropy": q_token_entropy,
+        "events_ewma": q_events_ewma,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3363,6 +3375,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                    )) AS BIGINT), -1) AS gap_us
             FROM events""",
+        "events_ewma": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).ewma_sql("SELECT * FROM events"),
         "events_running": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

@@ -606,3 +606,119 @@ def gram_quantized_sql(embeds_sql: str) -> str:
         SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.code * b.code) AS BIGINT) AS s
         FROM qg a JOIN qg b USING (vec_id)
         WHERE a.dim <= b.dim GROUP BY 1, 2"""
+
+
+def pca_project(ds, k: int = 8, embed_col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed PCA over the int8-quantized embedding corpus — the full
+    reduction story on top of ``gram_quantized``'s shape: ONE streaming
+    pass emits exact-integer partials for the Gram triangle, the per-dim
+    sums AND the row count (sentinel rows j=0 / (0,0) — dims are 1-based so
+    the slots are free); a single bucketed combine reduces them; the driver
+    then eigendecomposes the tiny d×d covariance (O(d³), corpus-independent)
+    and projection is one stateless broadcast map over the corpus.
+
+    Covariance C = (G − n·μμᵀ)/n over the quantized codes (the same pinned
+    floor(x/s + 0.5) rule as the stored index).  Deterministic component
+    sign: each eigenvector's largest-|coefficient| coordinate is made
+    positive, so outputs don't flip between runs.
+
+    Output: Dataset[(id, pc0…pc{k−1})] — float64 scores, components
+    ordered by descending eigenvalue.  (Library + pytest surface: the
+    eigendecomposition is not SQL-expressible, so this op carries no
+    oracle query; the Gram reduction itself is gate-checked via
+    ``embed_gram``.)"""
+    from .zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column(embed_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        d = int(lens[0])
+        if d == 0 or not (lens == d).all():
+            raise ValueError("pca_project requires a fixed-dimension table")
+        mat = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, d)
+        )
+        scale = (np.abs(mat).max(axis=1) / 127.0)[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.where(scale > 0, np.floor(mat / scale + 0.5), 0.0).astype(
+                np.int64
+            )
+        g = code.T @ code
+        iu, ju = np.triu_indices(d)
+        i_all = np.concatenate([iu + 1, np.arange(1, d + 1), [0]])
+        j_all = np.concatenate([ju + 1, np.zeros(d, np.int64), [0]])
+        s_all = np.concatenate([g[iu, ju], code.sum(axis=0), [n]])
+        return pa.table(
+            {
+                "i": pa.array(i_all.astype(np.int64)),
+                "j": pa.array(j_all.astype(np.int64)),
+                "s": pa.array(s_all.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    red = bucketed_sum(
+        partials, ["i", "j"], ["s"], recombine_batch_size=None
+    ).to_pandas()  # ≤ d(d+1)/2 + d + 1 rows — corpus-independent
+    n_total = int(red.loc[(red["i"] == 0) & (red["j"] == 0), "s"].iloc[0])
+    dim = int(red["i"].max())
+    G = np.zeros((dim, dim), dtype=np.float64)
+    tri = red[(red["i"] >= 1) & (red["j"] >= 1)]
+    G[tri["i"].to_numpy() - 1, tri["j"].to_numpy() - 1] = tri["s"].to_numpy(
+        np.float64
+    )
+    G = np.triu(G) + np.triu(G, 1).T
+    sums = np.zeros(dim, dtype=np.float64)
+    srow = red[(red["i"] >= 1) & (red["j"] == 0)]
+    sums[srow["i"].to_numpy() - 1] = srow["s"].to_numpy(np.float64)
+    mu = sums / n_total
+    C = (G - n_total * np.outer(mu, mu)) / n_total
+    w, v = np.linalg.eigh(C)  # ascending
+    order = np.argsort(w)[::-1][: int(k)]
+    comps = v[:, order]
+    flip = np.abs(comps).argmax(axis=0)
+    comps = comps * np.sign(comps[flip, np.arange(comps.shape[1])])
+    comps_ref = ray.put(comps)
+
+    def project(t: pa.Table) -> pa.Table:
+        V = ray.get(comps_ref)
+        arr = t.column(embed_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            cols = {id_col: t.column(id_col)}
+            for c in range(V.shape[1]):
+                cols[f"pc{c}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        mat = (
+            arr.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, -1)
+        )
+        scale = (np.abs(mat).max(axis=1) / 127.0)[:, None]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            code = np.where(scale > 0, np.floor(mat / scale + 0.5), 0.0)
+        proj = (code - mu) @ V
+        cols = {id_col: t.column(id_col)}
+        for c in range(V.shape[1]):
+            cols[f"pc{c}"] = pa.array(proj[:, c])
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

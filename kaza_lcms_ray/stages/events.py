@@ -423,3 +423,102 @@ def forward_fill(
         .groupby(key)
         .map_groups(per_key, batch_format="pandas")
     )
+
+
+def ewma(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    denom: int = 4,
+):
+    """Per-key exponentially-weighted moving average, α = 1/``denom``,
+    pinned to integers so the inherently-sequential recurrence is
+    bit-replayable in SQL: v = round(value·100) cents; y₁ = v₁;
+    yₜ = floor((vₜ + (denom−1)·yₜ₋₁) / denom).
+
+    EWMA is the one event-stream shape with a TRUE sequential dependency
+    per key.  Scale treatment — jagged-recurrence vectorization: keys hash
+    into ~2×CPU buckets (the running_totals co-partition), one mergesort
+    per bucket, then the recurrence advances ACROSS ALL KEYS IN LOCKSTEP:
+    iteration i updates every key's i-th event as one numpy step, so a
+    task costs O(rows) memory and O(max_events_per_key) vector steps — a
+    million keys cost the same step count as one.
+
+    Output: (event_id, key, ewma_cents:int64).
+    """
+    import numpy as np
+
+    from ..state.hashing import splitmix64
+    from .zonal import _default_buckets
+
+    nb = _default_buckets(None)
+    a = int(denom) - 1
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy(np.int64).view(np.uint64)
+        return df.assign(bucket=(splitmix64(k) % np.uint64(nb)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"], kind="mergesort")
+        v = to_cents(g[val_col].to_numpy())
+        kk = g[key].to_numpy()
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+        y = v.copy()
+        if n:
+            order = np.argsort(pos, kind="stable")  # rows grouped by level
+            maxp = int(pos.max())
+            lvl = np.searchsorted(pos[order], np.arange(maxp + 2))
+            for i in range(1, maxp + 1):
+                rows_i = order[lvl[i] : lvl[i + 1]]
+                # predecessor of a key's i-th event is the adjacent row
+                # (the bucket is (key, ts)-sorted), already at level i−1
+                y[rows_i] = (v[rows_i] + a * y[rows_i - 1]) // denom
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                key: kk,
+                "ewma_cents": y,
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col, val_col])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["event_id", key, "ewma_cents"])
+    )
+
+
+def ewma_sql(events_sql: str, denom: int = 4) -> str:
+    """Oracle twin: the identical integer recurrence as a recursive CTE
+    (seq MATERIALIZED so DuckDB doesn't re-evaluate it per recursion
+    round); floor((v + (denom−1)·y)/denom.0) in doubles is exact for
+    |v + (denom−1)·y| < 2⁵³ — same values as the engine's int64 floor
+    division."""
+    a = int(denom) - 1
+    return f"""
+        WITH RECURSIVE ew_seq AS MATERIALIZED (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM ({events_sql})
+        ),
+        ew_r AS (
+            SELECT event_id, user_id, rn, v AS y FROM ew_seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_id, s.user_id, s.rn,
+                   CAST(floor((s.v + {a} * r.y) / {float(denom)!r}) AS BIGINT)
+            FROM ew_seq s JOIN ew_r r
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT event_id, user_id, y AS ewma_cents FROM ew_r"""

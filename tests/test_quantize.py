@@ -83,3 +83,44 @@ def test_gram_quantized_matches_bruteforce(ray_session):
         iu, ju = np.triu_indices(d)
         assert len(got) == len(iu)
         assert (got["s"].to_numpy() == g[iu, ju]).all()
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    rng = np.random.RandomState(19)
+    # anisotropic cloud so eigenvalues are well separated
+    raw = (rng.randn(400, 12) * np.linspace(8, 0.5, 12)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+            "embedding": pa.array(list(raw), type=pa.list_(pa.float32())),
+        }
+    )
+    mat = raw.astype(np.float64)
+    scale = (np.abs(mat).max(axis=1) / 127.0)[:, None]
+    code = np.where(scale > 0, np.floor(mat / scale + 0.5), 0.0)
+    mu = code.mean(axis=0)
+    C = (code - mu).T @ (code - mu) / code.shape[0]
+    w, v = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][:4]
+    comps = v[:, order]
+    flip = np.abs(comps).argmax(axis=0)
+    comps = comps * np.sign(comps[flip, np.arange(4)])
+    want = (code - mu) @ comps
+    for nblocks in (1, 6):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = (
+            ann.pca_project(ds, k=4)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        gm = got[[f"pc{c}" for c in range(4)]].to_numpy()
+        assert np.allclose(gm, want, atol=1e-8)
+    # variance ordering: pc0 carries the most variance
+    var = gm.var(axis=0)
+    assert (np.diff(var) <= 1e-9).all()

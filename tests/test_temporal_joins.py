@@ -124,3 +124,40 @@ def test_forward_fill_locf_hand(ray_session):
         out = forward_fill(d).to_pandas()
         got = dict(zip(out["event_id"], out["last_mark_cents"]))
         assert got == expect
+
+
+def test_ewma_matches_naive_recurrence(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events as ev
+
+    rng = np.random.RandomState(11)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 7, n).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10_000_000, n), unit="s"),
+            "value": np.round(rng.rand(n) * 500, 2),
+        }
+    )
+    # unique (user, ts) like the driver table, so the order is total
+    df = df.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    naive = {}
+    state = {}
+    for _, r in df.sort_values(["user_id", "ts", "event_id"]).iterrows():
+        v = int(np.copysign(np.floor(abs(r["value"]) * 100 + 0.5), r["value"]))
+        u = r["user_id"]
+        y = v if u not in state else (v + 3 * state[u]) // 4
+        state[u] = y
+        naive[r["event_id"]] = y
+    for nblocks in (1, 5):
+        got = (
+            ev.ewma(rd.from_pandas(df).repartition(nblocks))
+            .to_pandas()
+            .set_index("event_id")
+        )
+        for eid in df["event_id"]:
+            assert int(got.loc[eid, "ewma_cents"]) == naive[eid], eid
