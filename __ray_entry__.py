@@ -2103,6 +2103,20 @@ def q_sample_k(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted (length-proportional) sample without replacement — the
+    Efraimidis–Spirakis exponential-keys trick with seeded libm-exact
+    priorities (stages/sampling.weighted_sample_k); ≤k rows leave each
+    block via the two-level top-k."""
+    from kaza_lcms_ray.stages import sampling as S
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "n_chars"])
+    return _i64(
+        S.weighted_sample_k(docs, ["doc_id"], "n_chars", 64),
+        ["doc_id", "n_chars", "priority"],
+    )
+
+
 def q_kfold(sf_dir: str):
     """Seeded 5-fold assignment (stages/sampling.kfold_assign — 64-bit row
     hash mod k, the k-way split_train_test) rolled up to per-(fold, source)
@@ -2400,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_distance": q_poly_distance,
         "token_entropy": q_token_entropy,
         "events_ewma": q_events_ewma,
+        "weighted_sample": q_weighted_sample,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2630,6 +2645,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             "kaza_lcms_ray.stages.sampling", fromlist=["sampling"]
         ).sample_k_sql(
             "SELECT doc_id, n_chars FROM documents", 64, cols="doc_id, n_chars"
+        ),
+        "weighted_sample": __import__(
+            "kaza_lcms_ray.stages.sampling", fromlist=["sampling"]
+        ).weighted_sample_k_sql(
+            "SELECT doc_id, n_chars FROM documents",
+            64,
+            cols="doc_id, n_chars",
+            weight_col="n_chars",
         ),
         "kfold": f"""
             SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n

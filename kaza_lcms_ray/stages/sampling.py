@@ -373,3 +373,67 @@ def random_points_ds(polygons_path: str, n_per_poly: int = 5, seed: int = DEFAUL
     expr = " or ".join(f"kind == '{k}'" for k in kinds)
     ds = ds.filter(expr=expr)
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+WSAMPLE_TAG = "wsample"
+
+
+def weighted_sample_k(
+    ds,
+    id_cols: list[str],
+    weight_col: str,
+    k: int,
+    seed: int = DEFAULT_SEED,
+):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws priority = ln(u)/w with an independent seeded uniform
+    u ∈ (0, 1] and weight w = max(weight_col, 1); the k rows with the
+    LARGEST priority are exactly a w-proportional sample without
+    replacement.  The curation use: sample documents proportional to
+    length/quality for inspection or distillation without a global sort.
+
+    Determinism contract: u = ((hash_key(seed, tag, id) >> 11) + 1)·2⁻⁵³ —
+    never zero, exact as a double; ln is libm (np.frompyfunc(math.log) =
+    DuckDB ln); w int→double exact; ties break on id.  Identical under any
+    partitioning.
+
+    Scale shape: stateless priority map + the Dataset-native two-level
+    ``top_k`` — ≤k rows leave each block, nothing corpus-sized reaches the
+    driver (same as ``sample_k``)."""
+    from .joins import top_k
+
+    def fn(t: pa.Table) -> pa.Table:
+        import math
+
+        _ln = np.frompyfunc(math.log, 1, 1)
+        key = _row_key(t, id_cols)
+        h = hash_key(seed, WSAMPLE_TAG, key)
+        u = ((h >> np.uint64(11)) + np.uint64(1)).astype(np.float64) * (2.0**-53)
+        w = np.maximum(
+            t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64),
+            1.0,
+        )
+        pr = _ln(u).astype(np.float64) / w
+        return t.append_column("priority", pa.array(pr))
+
+    withp = ds.map_batches(fn, batch_format="pyarrow")
+    return top_k(withp, "priority", k, tiebreak_col=id_cols[0], descending=True)
+
+
+def weighted_sample_k_sql(
+    docs_sql: str,
+    k: int,
+    cols: str,
+    weight_col: str,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle: identical hash chain, u = (hv//2048 + 1)·2⁻⁵³, priority =
+    ln(u)/greatest(w, 1), ORDER BY (priority DESC, id) LIMIT k."""
+    eps = repr(2.0**-53)
+    return f"""
+        SELECT {cols},
+               ln(CAST(hv // 2048 + 1 AS BIGINT) * {eps})
+                   / greatest({weight_col}, 1) AS priority
+        FROM ({_row_hash_sql(docs_sql, WSAMPLE_TAG, seed, id_col)})
+        ORDER BY priority DESC, {id_col} LIMIT {k}"""

@@ -210,3 +210,37 @@ def test_kfold_disjoint_exhaustive_balanced(ray_session):
     assert set(f1["fold"]) == {0, 1, 2, 3}
     counts = f1["fold"].value_counts()
     assert counts.min() > 0.8 * counts.max()  # balanced within 20%
+
+
+def test_weighted_sample_k_properties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import sampling as S
+
+    n = 2000
+    # two strata: heavy rows (weight 100) vs light rows (weight 1)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "w": np.where(np.arange(n) % 2 == 0, 100, 1).astype(np.int64),
+        }
+    )
+    outs = []
+    for nblocks in (1, 8):
+        got = (
+            S.weighted_sample_k(
+                rd.from_pandas(df).repartition(nblocks), ["doc_id"], "w", 200
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == 200
+        assert got["doc_id"].is_unique  # without replacement
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # reshard-invariant
+    # heavy rows (100x weight) must dominate the sample
+    heavy = (outs[0]["doc_id"] % 2 == 0).mean()
+    assert heavy > 0.8
