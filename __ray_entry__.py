@@ -247,6 +247,15 @@ def q_cell_smooth(sf_dir: str):
     )
 
 
+def q_cell_trend(sf_dir: str):
+    """Per-cell OLS slope of band-3 cents vs year (stages/zonal.cell_trend)
+    — the land-degradation trend statistic from exact integer sufficient
+    statistics; single-year cells excluded on both sides."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(zonal.cell_trend(_geo(sf_dir), band=3), ["cell_id", "n", "slope_b3"])
+
+
 def q_poly_distance(sf_dir: str):
     """Distance-to-nearest-protected-area per geo span (stages/pip.
     nearest_poly_bbox): broadcast bounded polygon side, one stateless
@@ -2415,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q_token_entropy,
         "events_ewma": q_events_ewma,
         "weighted_sample": q_weighted_sample,
+        "cell_trend": q_cell_trend,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2782,6 +2792,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_smooth": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).kring_smooth_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "cell_trend": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).cell_trend_sql("SELECT * FROM cells", band=3)}""",
         "zonal_mean": f"""
             WITH {geo}, {cells}
             SELECT cell_id, "year", COUNT(*) AS n,

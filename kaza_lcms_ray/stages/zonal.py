@@ -846,3 +846,101 @@ def kring_smooth_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
                CAST(SUM(s) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) * 100)
                    AS smooth_b{band}
         FROM kr_fan GROUP BY cell_id HAVING SUM(is_self) > 0"""
+
+
+TREND_BASE_YEAR = 2000  # x = year − base, pinned on both sides: keeps the
+# Σxy / Σx² partials small (x ≤ ~30) so int64 holds corpus-scale sums
+
+
+def cell_trend(geo, band: int = 3):
+    """Per-cell temporal trend: the OLS slope of band value (cents) against
+    year — the land-degradation / greening trend analysis the reference's
+    harmonic regression family feeds (A2; src/utils/harmonics.py).  Cells
+    with a single observed year (zero variance in x) are excluded on both
+    sides.
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are
+    integer sums (x = year − {base}, y = cents) → order-free under any
+    blocking; the slope is one pinned double expression
+    (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) evaluated identically in SQL.
+
+    Scale shape: the same two-phase bucketed_sum as every zonal aggregate —
+    a hot cell is one partial row per batch; the slope finalize runs on the
+    bounded cell table.
+    """
+    s_col = f"c{band}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = (
+            t.column("year").to_numpy(zero_copy_only=False).astype(np.int64)
+            - TREND_BASE_YEAR
+        )
+        y = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        aug = pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xy": pa.array(x * y),
+                "xx": pa.array(x * x),
+            }
+        )
+        out = aug.group_by(["cell_id"]).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ("x", "count")]
+        )
+        return out.rename_columns(["cell_id", "sx", "sy", "sxy", "sxx", "n"])
+
+    agg = bucketed_sum(
+        geo.map_batches(partial, batch_format="pyarrow"),
+        ["cell_id"],
+        ["sx", "sy", "sxy", "sxx", "n"],
+        recombine_batch_size=None,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = {
+            c: t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in ("n", "sx", "sy", "sxy", "sxx")
+        }
+        den = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+        keep = den != 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (f["n"] * f["sxy"] - f["sx"] * f["sy"]) / den
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id").filter(pa.array(keep)),
+                "n": t.column("n").filter(pa.array(keep)),
+                f"slope_b{band}": pa.array(slope[keep]),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def cell_trend_sql(cells_sql: str, band: int = 3) -> str:
+    """Oracle twin: identical integer sufficient statistics and the same
+    double slope expression; single-year cells excluded by the same
+    double-evaluated denominator test."""
+    b = TREND_BASE_YEAR
+    return f"""
+        ct_s AS (
+            SELECT cell_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM("year" - {b}) AS BIGINT) AS sx,
+                   CAST(SUM(c{band}) AS BIGINT) AS sy,
+                   CAST(SUM(("year" - {b}) * c{band}) AS BIGINT) AS sxy,
+                   CAST(SUM(("year" - {b}) * ("year" - {b})) AS BIGINT) AS sxx
+            FROM ({cells_sql}) GROUP BY cell_id
+        )
+        SELECT cell_id, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_b{band}
+        FROM ct_s
+        WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0"""

@@ -226,3 +226,31 @@ def test_kring_smooth_matches_bruteforce(synth_small, ray_session):
     assert (got["nbr_n"].to_numpy() == exp["nbr_n"].to_numpy()).all()
     want = exp["s"].to_numpy(np.float64) / (exp["nbr_n"].to_numpy(np.float64) * 100)
     assert got["smooth_b3"].to_numpy().tobytes() == want.tobytes()
+
+
+def test_cell_trend_matches_bruteforce(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.cell_trend(geo, band=3)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    df["x"] = df["year"].astype(np.int64) - zonal.TREND_BASE_YEAR
+    df["y"] = df["c3"].astype(np.int64)
+    df["xy"] = df["x"] * df["y"]
+    df["xx"] = df["x"] * df["x"]
+    agg = df.groupby("cell_id").agg(
+        n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+        sxy=("xy", "sum"), sxx=("xx", "sum"),
+    )
+    f = agg.astype(np.float64)
+    den = f["n"] * f["sxx"] - f["sx"] * f["sx"]
+    keep = den != 0.0
+    slope = (f["n"] * f["sxy"] - f["sx"] * f["sy"])[keep] / den[keep]
+    exp = slope.sort_index()
+    assert len(got) == len(exp)
+    assert (got["cell_id"].to_numpy() == exp.index.to_numpy()).all()
+    assert got["slope_b3"].to_numpy().tobytes() == exp.to_numpy().tobytes()
