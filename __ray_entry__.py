@@ -247,6 +247,28 @@ def q_cell_smooth(sf_dir: str):
     )
 
 
+def q_poly_zonal(sf_dir: str):
+    """reduceRegions: per-POLYGON zonal statistics (the reference's
+    feature-collection zonal reduce — reference src/utils/s2process.py
+    reduceRegions path) as PIP label-attach (first matching polygon in
+    poly_id order) → exact grouped n / mean over scaled-int cents
+    (stages/pip.pip_join mode='label' + zonal.zonal_counts keyed on
+    poly_id)."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import pip, zonal
+
+    root = _synth(sf_dir)
+    labeled = pip.pip_join(
+        _geo(sf_dir), f"{root}/polygons.parquet", kinds=["reference"], mode="label"
+    )
+    matched = labeled.filter(expr="poly_id != ''")
+    return _i64(
+        zonal.zonal_counts(matched, keys=("poly_id",), bands=(3,)),
+        ["poly_id", "n", "mean_b3"],
+    )
+
+
 def q_cell_trend(sf_dir: str):
     """Per-cell OLS slope of band-3 cents vs year (stages/zonal.cell_trend)
     — the land-degradation trend statistic from exact integer sufficient
@@ -2425,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": q_events_ewma,
         "weighted_sample": q_weighted_sample,
         "cell_trend": q_cell_trend,
+        "poly_zonal": q_poly_zonal,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2757,6 +2780,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM pa_ a JOIN pb b
               ON a.minx <= b.maxx AND b.minx <= a.maxx
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
+        "poly_zonal": _poly_zonal_sql(geo, root),
         "poly_distance": f"""
             WITH {geo},
             pa_ AS (
@@ -4066,6 +4090,62 @@ def _pip_reference_sql(geo: str, root: str) -> str:
         )
         SELECT doc_id, span_idx, poly_id, "LANDCOVER"
         FROM c WHERE crossings % 2 = 1"""
+
+
+def _poly_zonal_sql(geo: str, root: str) -> str:
+    """reduceRegions oracle: the same even-odd ray-cast chain as
+    ``_pip_reference_sql`` (real rings, bbox prefilter), then first-match-
+    per-point label (min poly_id) and the exact grouped n / cents mean."""
+    return f"""
+        WITH {geo},
+        pp AS (
+            SELECT poly_id,
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'reference'
+        ),
+        r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM pp
+        ),
+        v AS (
+            SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                   unnest(ring) AS p
+            FROM r
+        ),
+        e AS (
+            SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1, b.p.x AS x2, b.p.y AS y2
+            FROM v a JOIN v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        cand AS (
+            SELECT g.doc_id, g.span_idx, g.lon, g.lat, g.c3, p.poly_id
+            FROM geo g JOIN pp p
+              ON g.lon >= p.minx AND g.lon <= p.maxx
+             AND g.lat >= p.miny AND g.lat <= p.maxy
+        ),
+        c AS (
+            SELECT cand.doc_id, cand.span_idx, cand.poly_id,
+                   any_value(cand.c3) AS c3,
+                   SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                             AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM cand JOIN e ON cand.poly_id = e.poly_id
+            GROUP BY cand.doc_id, cand.span_idx, cand.poly_id
+        ),
+        firstm AS (
+            SELECT poly_id, c3,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, span_idx ORDER BY poly_id
+                   ) AS rn
+            FROM c WHERE crossings % 2 = 1
+        )
+        SELECT poly_id, COUNT(*) AS n,
+               CAST(SUM(c3) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
+        FROM firstm WHERE rn = 1 GROUP BY poly_id"""
 
 
 def _media_rows_sql(root: str) -> str:
