@@ -247,6 +247,21 @@ def q_cell_smooth(sf_dir: str):
     )
 
 
+def q_approx_percentile(sf_dir: str):
+    """Decomposable histogram-sketch percentiles (stages/zonal.
+    approx_percentiles) — the 100 TB scale path for holistic A1: shuffled
+    rows ≈ keys × occupied bins, independent of observation count; the
+    binning/rank/selection rule is pinned and replayed exactly in SQL
+    (the hll_distinct both-branches pattern)."""
+    from kaza_lcms_ray.stages import zonal
+
+    cols = ["cell_id", "year", "n"] + [f"p{p}_b3" for p in (10, 25, 50, 75, 90)]
+    return _i64(
+        zonal.approx_percentiles(_geo(sf_dir), keys=("cell_id", "year"), band=3),
+        cols,
+    )
+
+
 def q_poly_zonal(sf_dir: str):
     """reduceRegions: per-POLYGON zonal statistics (the reference's
     feature-collection zonal reduce — reference src/utils/s2process.py
@@ -2448,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "cell_trend": q_cell_trend,
         "poly_zonal": q_poly_zonal,
+        "approx_percentile": q_approx_percentile,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2781,6 +2797,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
               ON a.minx <= b.maxx AND b.minx <= a.maxx
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "poly_zonal": _poly_zonal_sql(geo, root),
+        "approx_percentile": _approx_percentile_sql(geo, cells),
         "poly_distance": f"""
             WITH {geo},
             pa_ AS (
@@ -4090,6 +4107,41 @@ def _pip_reference_sql(geo: str, root: str) -> str:
         )
         SELECT doc_id, span_idx, poly_id, "LANDCOVER"
         FROM c WHERE crossings % 2 = 1"""
+
+
+def _approx_percentile_sql(geo: str, cells: str) -> str:
+    """Oracle for the histogram-sketch percentiles: identical truncation
+    binning (bins=4096 over [0, 1e6) cents), cumulative-count rank
+    selection floor((n−1)·p/100)+1, value = bin·width.  Every float literal
+    is the exact double the engine uses."""
+    bins, lo, hi = 4096, 0.0, 1_000_000.0
+    width = (hi - lo) / bins
+    pcols = ", ".join(
+        f"""{lo!r} + MIN(CASE WHEN cum >= floor(CAST(n - 1 AS DOUBLE)
+                * {p / 100.0!r}) + 1 THEN bin END) * {width!r} AS p{p}_b3"""
+        for p in (10, 25, 50, 75, 90)
+    )
+    return f"""
+        WITH {geo}, {cells},
+        ap_b AS (
+            SELECT cell_id, "year",
+                   LEAST(GREATEST(CAST(trunc((c3 - {lo!r}) / {width!r})
+                                       AS BIGINT), 0), {bins - 1}) AS bin
+            FROM cells
+        ),
+        ap_c AS (
+            SELECT cell_id, "year", bin, COUNT(*) AS cnt
+            FROM ap_b GROUP BY 1, 2, 3
+        ),
+        ap_w AS (
+            SELECT cell_id, "year", bin,
+                   SUM(cnt) OVER (PARTITION BY cell_id, "year"
+                                  ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY cell_id, "year") AS n
+            FROM ap_c
+        )
+        SELECT cell_id, "year", CAST(MAX(n) AS BIGINT) AS n, {pcols}
+        FROM ap_w GROUP BY cell_id, "year" """
 
 
 def _poly_zonal_sql(geo: str, root: str) -> str:
