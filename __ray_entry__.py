@@ -247,6 +247,33 @@ def q_cell_smooth(sf_dir: str):
     )
 
 
+def q_media_dedup(sf_dir: str):
+    """Cross-document media (asset) dedup over the interleaved corpus:
+    one row per distinct content key with its first owner (min
+    doc_id#span) and reuse count — the image-dedup pass an interleaved
+    corpus runs before paying decode.  The gate aliases refs to their
+    7-char prefix on BOTH sides (hex refs → ~27-way reuse) so the keeper
+    rule and counts are exercised for real; the dedup itself is
+    stages/dedup.exact_dedup_keys (fingerprint-keyed shuffle)."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import dedup, media
+
+    refs = media.media_refs(_docs(sf_dir))
+
+    def alias(t: pa.Table) -> pa.Table:
+        key = pc.utf8_slice_codeunits(t.column("media_ref"), 0, 7)
+        uid = pc.binary_join_element_wise(
+            t.column("doc_id"),
+            pc.utf8_lpad(pc.cast(t.column("span_idx"), pa.string()), 4, "0"),
+            "#",
+        )
+        return pa.table({"asset": key, "uid": uid})
+
+    keyed = refs.map_batches(alias, batch_format="pyarrow")
+    return _i64(dedup.exact_dedup_keys(keyed, "asset", "uid"), ["keep_id", "n_dups"])
+
+
 def q_approx_percentile(sf_dir: str):
     """Decomposable histogram-sketch percentiles (stages/zonal.
     approx_percentiles) — the 100 TB scale path for holistic A1: shuffled
@@ -2464,6 +2491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_trend": q_cell_trend,
         "poly_zonal": q_poly_zonal,
         "approx_percentile": q_approx_percentile,
+        "media_dedup": q_media_dedup,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2798,6 +2826,20 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "poly_zonal": _poly_zonal_sql(geo, root),
         "approx_percentile": _approx_percentile_sql(geo, cells),
+        "media_dedup": f"""
+            WITH md_m AS (
+                SELECT doc_id, CAST(ord - 1 AS INTEGER) AS span_idx,
+                       span.media_ref AS media_ref
+                FROM (
+                    SELECT doc_id, unnest(spans) AS span,
+                           generate_subscripts(spans, 1) AS ord
+                    FROM read_parquet('{root}/documents/part-*.parquet')
+                ) WHERE span.kind = 'media'
+            )
+            SELECT MIN(doc_id || '#' ||
+                       lpad(CAST(span_idx AS VARCHAR), 4, '0')) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM md_m GROUP BY substr(media_ref, 1, 7)""",
         "poly_distance": f"""
             WITH {geo},
             pa_ AS (
