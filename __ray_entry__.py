@@ -1018,21 +1018,33 @@ def q_quality_blend(sf_dir: str):
     """Multi-signal rank fusion (stages/packing.rank_blend): quality-score
     rank + length rank, each from the two-level global_rank scan, summed
     as exact int64 — the scale-free curation combiner for incomparable
-    signals.  Oracle: two ROW_NUMBER windows joined on doc_id."""
+    signals.  Oracle: two ROW_NUMBER windows joined on doc_id.  Join
+    partitions and rank buckets sized from the parquet row count so the
+    gate table isn't splintered across empty partitions."""
+    import pyarrow.parquet as pq
+
     from kaza_lcms_ray.stages import packing, text
 
+    rows = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nb = max(64, min(4096, rows // 64))
     docs = _doc_table(sf_dir, columns=["doc_id", "text", "n_chars"])
     rq = packing.global_rank(
         text.text_scores(docs.select_columns(["doc_id", "text"])),
         "quality",
         lo=0.0,
         hi=1.0,
+        num_buckets=nb,
     )
     rl = packing.global_rank(
-        docs.select_columns(["doc_id", "n_chars"]), "n_chars", lo=0.0, hi=4096.0
+        docs.select_columns(["doc_id", "n_chars"]),
+        "n_chars",
+        lo=0.0,
+        hi=4096.0,
+        num_buckets=nb,
     )
     return _i64(
-        packing.rank_blend(rq, rl), ["doc_id", "rank_q", "rank_len", "blend"]
+        packing.rank_blend(rq, rl, rows_hint=rows),
+        ["doc_id", "rank_q", "rank_len", "blend"],
     )
 
 

@@ -467,6 +467,7 @@ def rank_blend(
     ranked_b,
     id_col: str = "doc_id",
     names: tuple = ("rank_q", "rank_len"),
+    rows_hint: int | None = None,
 ):
     """Rank-fusion of two quality signals: each signal is reduced to its
     dense global rank (``global_rank`` — scale-free, outlier-immune), and
@@ -498,7 +499,7 @@ def rank_blend(
     j = skinny(ranked_a, names[0]).join(
         skinny(ranked_b, names[1]),
         join_type="inner",
-        num_partitions=join_partitions(),
+        num_partitions=join_partitions(rows_hint),
         on=(id_col,),
     )
 
