@@ -1004,6 +1004,16 @@ def q_text_scores(sf_dir: str):
     )
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf-law slope of the corpus term-frequency distribution
+    (stages/text.zipf_fit): fp128-keyed term counts → two-level top-k →
+    bounded driver fit over 2²⁰-quantized ln sums (tie-order-free)."""
+    from kaza_lcms_ray.stages import text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(text.zipf_fit(docs, top=1000), ["n_terms", "slope"])
+
+
 def q_token_entropy(sf_dir: str):
     """Per-doc unigram Shannon entropy, integer-quantized (stages/text.
     token_entropy) — the vocabulary-concentration quality signal; fully
@@ -2504,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_zonal": q_poly_zonal,
         "approx_percentile": q_approx_percentile,
         "media_dedup": q_media_dedup,
+        "zipf_fit": q_zipf_fit,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3192,6 +3203,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "token_entropy": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).token_entropy_sql("SELECT doc_id, text FROM documents"),
+        "zipf_fit": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).zipf_fit_sql("SELECT doc_id, text FROM documents", top=1000),
         "quality_blend": f"""
             WITH ts AS ({_text_scores_sql()}),
             rq AS (SELECT doc_id,

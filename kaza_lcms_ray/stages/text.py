@@ -1630,3 +1630,126 @@ def token_entropy_sql(docs_sql: str) -> str:
         FROM te_d d
         LEFT JOIN te_n n USING (doc_id)
         LEFT JOIN te_s s USING (doc_id)"""
+
+
+ZIPF_SCALE_INT = 1 << 20  # ln quantization for the order-free slope sums
+
+
+def zipf_fit(ds, text_col: str = "text", top: int = 1000):
+    """Zipf-law fit over the corpus term-frequency distribution: the OLS
+    slope of ln(freq) against ln(rank) for the ``top`` most frequent
+    terms — the standard corpus-health diagnostic (natural text ≈ −1;
+    template/boilerplate corpora flatten, spam steepens).
+
+    Determinism: only frequency VALUES matter — tied counts contribute
+    identical (rank, freq) points whichever term takes which rank, so the
+    result is tie-order-free.  ln(rank), ln(freq) quantize to 2²⁰ ints
+    (libm ln both sides) and the five sufficient statistics are exact
+    integer sums in rank order; the slope combines them in one pinned
+    double expression (the cell_trend pattern).
+
+    Scale shape: in-batch term counts keyed by fp128 (raw terms never
+    shuffle), bucketed integer combine, two-level top-k (≤top rows leave
+    each block), and the ≤top-row fit happens on the driver — bounded,
+    corpus-independent.
+
+    Output: one row (n_terms:int64, slope:f64)."""
+    import math
+
+    import ray.data as rd
+
+    from .dedup import _fp128
+    from .joins import top_k
+    from .zonal import bucketed_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        g = (
+            pa.table({"term": flat})
+            .group_by(["term"])
+            .aggregate([([], "count_all")])
+        )
+        hi, lo = _fp128(g.column("term"))
+        return pa.table(
+            {
+                "fp_hi": pa.array(hi.astype(np.int64)),
+                "fp_lo": pa.array(lo.astype(np.int64)),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = bucketed_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["fp_hi", "fp_lo"],
+        ["cnt"],
+        recombine_batch_size=None,
+    )
+    head = (
+        top_k(counts, "cnt", top, tiebreak_col="fp_hi", descending=True)
+        .select_columns(["cnt"])
+        .to_pandas()  # ≤ top rows — bounded
+    )
+    freq = np.sort(head["cnt"].to_numpy(np.int64))[::-1].astype(np.float64)
+    n = freq.shape[0]
+    rank = np.arange(1, n + 1, dtype=np.float64)
+    _ln = np.frompyfunc(math.log, 1, 1)
+    S = float(ZIPF_SCALE_INT)
+    qx = np.floor(_ln(rank).astype(np.float64) * S).astype(np.int64)
+    qy = np.floor(_ln(freq).astype(np.float64) * S).astype(np.int64)
+    sx, sy = int(qx.sum()), int(qy.sum())
+    sxy, sxx = int((qx * qy).sum()), int((qx * qx).sum())
+    num = float(n) * float(sxy) - float(sx) * float(sy)
+    den = float(n) * float(sxx) - float(sx) * float(sx)
+    slope = num / den if den != 0.0 else float("nan")
+    return rd.from_arrow(
+        pa.table(
+            {"n_terms": pa.array([n], pa.int64()), "slope": pa.array([slope])}
+        )
+    )
+
+
+def zipf_fit_sql(docs_sql: str, top: int = 1000) -> str:
+    """Oracle twin: same tokenization/count, ORDER BY cnt DESC LIMIT top
+    (tie order irrelevant — only count values enter the fit), identical
+    2²⁰-quantized ln sums and the pinned double slope expression."""
+    S = float(ZIPF_SCALE_INT)
+    return f"""
+        WITH zf_t AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+        ),
+        zf_c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM zf_t GROUP BY term
+            ORDER BY cnt DESC LIMIT {top}
+        ),
+        zf_r AS (
+            SELECT cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC) AS rnk
+            FROM zf_c
+        ),
+        zf_q AS (
+            SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * {S!r}) AS BIGINT) AS qx,
+                   CAST(floor(ln(CAST(cnt AS DOUBLE)) * {S!r}) AS BIGINT) AS qy
+            FROM zf_r
+        ),
+        zf_s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qx) AS BIGINT) AS sx,
+                   CAST(SUM(qy) AS BIGINT) AS sy,
+                   CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+                   CAST(SUM(qx * qx) AS BIGINT) AS sxx
+            FROM zf_q
+        )
+        SELECT n AS n_terms,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        FROM zf_s"""

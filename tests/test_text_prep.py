@@ -224,3 +224,32 @@ def test_token_entropy_known_values_and_reshard(ray_session):
         for k, (n, e) in want.items():
             assert int(out.loc[k, "n_tok"]) == n
             assert int(out.loc[k, "entropy_q"]) == e
+
+
+def test_zipf_fit_slope_on_synthetic_power_law(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as tx
+
+    # corpus where term_i appears ~ C/i times -> slope should be ~ -1
+    import itertools
+    import string
+
+    names = [
+        "".join(p) for p in itertools.product(string.ascii_lowercase, repeat=2)
+    ]
+    words = []
+    for i in range(1, 60):
+        words.extend([names[i]] * max(1, 600 // i))
+    rng = np.random.RandomState(5)
+    rng.shuffle(words)
+    docs = [" ".join(words[i::40]) for i in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+    for nblocks in (1, 4):
+        out = (
+            tx.zipf_fit(rd.from_pandas(df).repartition(nblocks), top=50)
+            .to_pandas()
+        )
+        assert int(out["n_terms"].iloc[0]) == 50
+        assert -1.3 < float(out["slope"].iloc[0]) < -0.7
