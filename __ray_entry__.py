@@ -311,6 +311,49 @@ def q_poly_zonal(sf_dir: str):
     )
 
 
+def q_class_by_country(sf_dir: str):
+    """The reference's headline reporting table: land-cover class counts
+    PER COUNTRY (area summaries per KAZA member state).  Two broadcast PIP
+    label passes over the span stream (reference polygons by ray-cast,
+    country boxes) — zero shuffle until the final ≤|countries|×|classes|
+    grouped count."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import pip, zonal
+
+    root = _synth(sf_dir)
+    lab = pip.pip_join(
+        _geo(sf_dir), f"{root}/polygons.parquet", kinds=["reference"], mode="label"
+    ).filter(expr="poly_id != ''")
+
+    def rename_poly(t: pa.Table) -> pa.Table:
+        # the country pass appends its own poly_id/LANDCOVER — move the
+        # reference pass's labels out of the way first
+        names = {"poly_id": "ref_poly", "LANDCOVER": "lc"}
+        return t.rename_columns([names.get(c, c) for c in t.schema.names])
+
+    lab = lab.map_batches(rename_poly, batch_format="pyarrow")
+    cc = pip.pip_join(
+        lab, f"{root}/polygons.parquet", kinds=["country"], mode="label"
+    ).filter(expr="poly_id != ''")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["poly_id", "lc"])
+            .group_by(["poly_id", "lc"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["country", "LANDCOVER", "n"])
+
+    agg = zonal.bucketed_sum(
+        cc.map_batches(partial, batch_format="pyarrow"),
+        ["country", "LANDCOVER"],
+        ["n"],
+        recombine_batch_size=None,
+    )
+    return _i64(agg, ["country", "LANDCOVER", "n"])
+
+
 def q_cell_trend(sf_dir: str):
     """Per-cell OLS slope of band-3 cents vs year (stages/zonal.cell_trend)
     — the land-degradation trend statistic from exact integer sufficient
@@ -2515,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_percentile": q_approx_percentile,
         "media_dedup": q_media_dedup,
         "zipf_fit": q_zipf_fit,
+        "class_by_country": q_class_by_country,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2848,6 +2892,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
               ON a.minx <= b.maxx AND b.minx <= a.maxx
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "poly_zonal": _poly_zonal_sql(geo, root),
+        "class_by_country": _class_by_country_sql(geo, root),
         "approx_percentile": _approx_percentile_sql(geo, cells),
         "media_dedup": f"""
             WITH md_m AS (
@@ -4266,6 +4311,75 @@ def _poly_zonal_sql(geo: str, root: str) -> str:
                CAST(SUM(c3) AS DOUBLE)
                    / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
         FROM firstm WHERE rn = 1 GROUP BY poly_id"""
+
+
+def _class_by_country_sql(geo: str, root: str) -> str:
+    """Per-country class counts: the ray-cast first-match reference label
+    (as in ``_poly_zonal_sql``) then a first-match country attach over the
+    rectangular country boxes, grouped count."""
+    return f"""
+        WITH {geo},
+        pp AS (
+            SELECT poly_id, CAST("LANDCOVER" AS BIGINT) AS lc,
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'reference'
+        ),
+        r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM pp
+        ),
+        v AS (
+            SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                   unnest(ring) AS p
+            FROM r
+        ),
+        e AS (
+            SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1, b.p.x AS x2, b.p.y AS y2
+            FROM v a JOIN v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        cand AS (
+            SELECT g.doc_id, g.span_idx, g.lon, g.lat, p.poly_id, p.lc
+            FROM geo g JOIN pp p
+              ON g.lon >= p.minx AND g.lon <= p.maxx
+             AND g.lat >= p.miny AND g.lat <= p.maxy
+        ),
+        c AS (
+            SELECT cand.doc_id, cand.span_idx, cand.poly_id,
+                   any_value(cand.lon) AS lon, any_value(cand.lat) AS lat,
+                   any_value(cand.lc) AS lc,
+                   SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                             AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM cand JOIN e ON cand.poly_id = e.poly_id
+            GROUP BY cand.doc_id, cand.span_idx, cand.poly_id
+        ),
+        pts AS (
+            SELECT doc_id, span_idx, lon, lat, lc FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id, span_idx ORDER BY poly_id) AS rn
+                FROM c WHERE crossings % 2 = 1
+            ) WHERE rn = 1
+        ),
+        cty AS (
+            SELECT poly_id, bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'country'
+        ),
+        cm AS (
+            SELECT p.lc, c2.poly_id AS country,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.doc_id, p.span_idx
+                       ORDER BY c2.poly_id) AS rn2
+            FROM pts p JOIN cty c2
+              ON p.lon >= c2.minx AND p.lon < c2.maxx
+             AND p.lat >= c2.miny AND p.lat < c2.maxy
+        )
+        SELECT country, lc AS "LANDCOVER", CAST(COUNT(*) AS BIGINT) AS n
+        FROM cm WHERE rn2 = 1 GROUP BY 1, 2"""
 
 
 def _media_rows_sql(root: str) -> str:
