@@ -311,6 +311,18 @@ def q_poly_zonal(sf_dir: str):
     )
 
 
+def q_doc_footprint(sf_dir: str):
+    """Per-document spatial footprint (stages/spans.doc_footprint):
+    geo-span count + bounding envelope, fully row-local (zero shuffle);
+    min/max doubles byte-exact vs SQL."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.doc_footprint(_docs(sf_dir)),
+        ["doc_id", "n_geo", "minx", "maxx", "miny", "maxy"],
+    )
+
+
 def q_class_by_country(sf_dir: str):
     """The reference's headline reporting table: land-cover class counts
     PER COUNTRY (area summaries per KAZA member state).  Two broadcast PIP
@@ -2559,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "zipf_fit": q_zipf_fit,
         "class_by_country": q_class_by_country,
+        "doc_footprint": q_doc_footprint,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2893,6 +2906,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "poly_zonal": _poly_zonal_sql(geo, root),
         "class_by_country": _class_by_country_sql(geo, root),
+        "doc_footprint": f"""
+            WITH {geo}
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_geo,
+                   MIN(lon) AS minx, MAX(lon) AS maxx,
+                   MIN(lat) AS miny, MAX(lat) AS maxy
+            FROM geo GROUP BY doc_id""",
         "approx_percentile": _approx_percentile_sql(geo, cells),
         "media_dedup": f"""
             WITH md_m AS (

@@ -236,3 +236,36 @@ def column_profile_sql(table_sql: str, cols: list[str], str_cols: list[str]) -> 
             FROM ({table_sql})"""
         )
     return " UNION ALL ".join(arms)
+
+
+def doc_footprint(documents, batch_size: int | None = None):
+    """Per-document spatial footprint: geo-span count + bounding envelope
+    (min/max lon/lat) of each document's geo spans — the document-level
+    spatial index entry (bbox pruning, dataset cataloging).
+
+    Row-local: a document is ONE input row, so its whole footprint reduces
+    inside the batch (Arrow hash aggregation) — zero shuffle; min/max
+    involve no arithmetic, so the doubles are byte-exact vs SQL.  Docs
+    without geo spans produce no row (same as the geo CTE's GROUP BY).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = (
+            parse_geo_batch(batch)
+            .select(["doc_id", "lon", "lat"])
+            .group_by(["doc_id"])
+            .aggregate(
+                [
+                    ([], "count_all"),
+                    ("lon", "min"),
+                    ("lon", "max"),
+                    ("lat", "min"),
+                    ("lat", "max"),
+                ]
+            )
+        )
+        return g.rename_columns(
+            ["doc_id", "n_geo", "minx", "maxx", "miny", "maxy"]
+        )
+
+    return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
