@@ -1616,6 +1616,44 @@ def q_accuracy_report(sf_dir: str):
     return _i64(cm, ["LANDCOVER", "LANDCOVER_pred", "n"])
 
 
+def q_area_estimate(sf_dir: str):
+    """Stratified area estimation with 95% CI — the reference's FINAL Area
+    Estimation product (old_README_instructions.md:16-50): strata = map
+    classes of the held-out scored sample, W_h = n_h/n; per-(h,j) terms
+    quantized (2⁴⁰ / 2⁶⁰) so the sums are order-free ints and the oracle
+    replays term-for-term (pipelines/primitives.
+    area_estimate_from_confusion)."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    test = rd.from_pandas(art["test"])
+    scored = P.score_quantized(test, art["models"]).select_columns(
+        ["LANDCOVER", "LANDCOVER_q"]
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        out = t.group_by(["LANDCOVER", "LANDCOVER_q"]).aggregate([([], "count_all")])
+        return out.rename_columns(["LANDCOVER", "LANDCOVER_pred", "n"])
+
+    cm = (
+        scored.map_batches(count, batch_format="pyarrow")
+        .groupby(["LANDCOVER", "LANDCOVER_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ k² confusion rows — bounded
+    )
+    out = P.area_estimate_from_confusion(cm)
+    return _i64(
+        rd.from_pandas(out),
+        ["LANDCOVER", "p_q", "var_q", "area_share", "se", "ci95"],
+    )
+
+
 def q_distinct_years(sf_dir: str):
     from kaza_lcms_ray.stages import joins
 
@@ -2572,6 +2610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": q_zipf_fit,
         "class_by_country": q_class_by_country,
         "doc_footprint": q_doc_footprint,
+        "area_estimate": q_area_estimate,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3297,6 +3336,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "rf_scores": _rf_scores_sql(root, RF_SCORE_MOD),
         "rf_quality": _rfq_sql(root),
         "accuracy_report": _accuracy_sql(root),
+        "area_estimate": __import__(
+            "kaza_lcms_ray.pipelines.primitives", fromlist=["primitives"]
+        ).area_estimate_sql(_accuracy_sql(root)),
         "geo_bbox": _geo_bbox_sql(geo, cells),
         "sample_pts": _sample_pts_sql(root),
         "poly_area": _poly_area_sql(root),

@@ -461,3 +461,90 @@ def confusion_report(truth: np.ndarray, pred: np.ndarray) -> dict:
         "users_accuracy": users,
         "f1": f1,
     }
+
+
+AREA_P_SCALE = 1 << 40  # quantization of the Σ_h W_h·p_hj terms
+AREA_V_SCALE = 1 << 60  # quantization of the variance terms
+
+
+def area_estimate_from_confusion(conf: pd.DataFrame) -> pd.DataFrame:
+    """Stratified area estimation with 95% CI from a confusion-count table
+    (columns LANDCOVER = reference truth, LANDCOVER_pred = map class, n) —
+    the reference's final Area Estimation step
+    (src/misc/old_README_instructions.md:16-50) in its simple-random-
+    sample form: strata are the MAP classes and W_h = n_h/n, so
+
+      p̂_j  = Σ_h W_h · p_hj,   p_hj = n_hj / n_h
+      SE_j = √( Σ_h W_h² · p_hj(1−p_hj) / (n_h − 1) )
+
+    Exactness contract (the quantized-rule pattern): each (h, j) term is
+    floor(expr · 2⁴⁰) (proportion) / floor(expr · 2⁶⁰) (variance) with a
+    pinned double expression order, summed as int64 — order-free and
+    replayed term-for-term in SQL.  Outputs both the integer sums (p_q,
+    var_q) and the derived doubles (area_share = p_q/2⁴⁰,
+    se = √(var_q/2⁶⁰), ci95 = 1.96·se).
+    """
+    df = conf.copy()
+    n_h = df.groupby("LANDCOVER_pred")["n"].transform("sum").to_numpy(np.float64)
+    n_tot = float(df["n"].sum())
+    nn = df["n"].to_numpy(np.float64)
+    w = n_h / n_tot
+    p = nn / n_h
+    qp = np.floor(w * p * float(AREA_P_SCALE)).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v = ((((w * w) * p) * (1.0 - p)) / (n_h - 1.0)) * float(AREA_V_SCALE)
+    qv = np.where(n_h > 1.0, np.floor(v), 0.0).astype(np.int64)
+    out = (
+        pd.DataFrame(
+            {"LANDCOVER": df["LANDCOVER"].to_numpy(), "qp": qp, "qv": qv}
+        )
+        .groupby("LANDCOVER", as_index=False)
+        .agg(p_q=("qp", "sum"), var_q=("qv", "sum"))
+        .sort_values("LANDCOVER")
+        .reset_index(drop=True)
+    )
+    out["area_share"] = out["p_q"].to_numpy(np.float64) / float(AREA_P_SCALE)
+    out["se"] = np.sqrt(out["var_q"].to_numpy(np.float64) / float(AREA_V_SCALE))
+    out["ci95"] = 1.96 * out["se"].to_numpy(np.float64)
+    return out
+
+
+def area_estimate_sql(conf_sql: str) -> str:
+    """Oracle twin of ``area_estimate_from_confusion`` over a confusion CTE
+    producing (LANDCOVER, LANDCOVER_pred, n)."""
+    sp, sv = float(AREA_P_SCALE), float(AREA_V_SCALE)
+    return f"""
+        WITH ae_conf AS MATERIALIZED ({conf_sql}),
+        ae_tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS n FROM ae_conf),
+        ae_h AS (
+            SELECT "LANDCOVER_pred" AS h, CAST(SUM(n) AS DOUBLE) AS n_h
+            FROM ae_conf GROUP BY 1
+        ),
+        ae_wp AS (
+            SELECT c."LANDCOVER" AS j, b.n_h,
+                   b.n_h / t.n AS w,
+                   CAST(c.n AS DOUBLE) / b.n_h AS p
+            FROM ae_conf c
+            JOIN ae_h b ON c."LANDCOVER_pred" = b.h
+            CROSS JOIN ae_tot t
+        ),
+        ae_q AS (
+            SELECT j,
+                   CAST(floor(w * p * {sp!r}) AS BIGINT) AS qp,
+                   CASE WHEN n_h > 1.0
+                        THEN CAST(floor(((((w * w) * p) * (1.0 - p))
+                                         / (n_h - 1.0)) * {sv!r}) AS BIGINT)
+                        ELSE 0 END AS qv
+            FROM ae_wp
+        ),
+        ae_s AS (
+            SELECT j AS "LANDCOVER",
+                   CAST(SUM(qp) AS BIGINT) AS p_q,
+                   CAST(SUM(qv) AS BIGINT) AS var_q
+            FROM ae_q GROUP BY 1
+        )
+        SELECT "LANDCOVER", p_q, var_q,
+               CAST(p_q AS DOUBLE) / {sp!r} AS area_share,
+               sqrt(CAST(var_q AS DOUBLE) / {sv!r}) AS se,
+               1.96 * sqrt(CAST(var_q AS DOUBLE) / {sv!r}) AS ci95
+        FROM ae_s"""
