@@ -1654,6 +1654,61 @@ def q_area_estimate(sf_dir: str):
     )
 
 
+ANTI_JOIN_IDS = [f"doc-{i:012d}" for i in range(0, 2000, 10)]
+
+
+def q_coalesce_compose(sf_dir: str):
+    """A11 first-non-null compose (stages/sar.compose_coalesce_batch — the
+    reference's sum-of-disjoint-masked-images): three masked variants
+    built by a pinned c4 % 3 rule so every branch is exercised
+    (m=0 → fallback b0, m=1 → b3, else b4); no float arithmetic, so the
+    composed doubles are byte-exact vs SQL COALESCE."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import sar
+
+    def variants(t: pa.Table) -> pa.Table:
+        m = t.column("c4").to_numpy(zero_copy_only=False) % 3
+        null = pa.scalar(None, pa.float64())
+        a = pc.if_else(pa.array(m <= 1), null, t.column("b4"))
+        b = pc.if_else(pa.array(m == 0), null, t.column("b3"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx"),
+                "va": a,
+                "vb": b,
+                "vc": t.column("b0"),
+            }
+        )
+
+    masked = _geo(sf_dir).map_batches(variants, batch_format="pyarrow")
+    out = masked.map_batches(
+        lambda t: sar.compose_coalesce_batch(t, ["va", "vb", "vc"], "composed"),
+        batch_format="pyarrow",
+    )
+    return _i64(out.select_columns(["doc_id", "span_idx", "composed"]),
+                ["doc_id", "span_idx", "composed"])
+
+
+def q_anti_join(sf_dir: str):
+    """inList().Not() anti-join (J6 — reference: exclude already-used
+    feature ids): broadcast exclusion set, vectorized isin filter
+    (stages/joins.anti_join_ids) over a read-pruned doc subset."""
+    import pyarrow.dataset as pds
+
+    from kaza_lcms_ray.sources import storage
+    from kaza_lcms_ray.stages import joins, spans
+
+    root = _synth(sf_dir)
+    docs = storage.read_documents(
+        f"{root}/documents", filter=(pds.field("doc_id") < "doc-000000002000")
+    )
+    geo = spans.geo_obs(docs)
+    out = joins.anti_join_ids(geo, "doc_id", ANTI_JOIN_IDS)
+    return _i64(out, ["doc_id", "span_idx"])
+
+
 def q_distinct_years(sf_dir: str):
     from kaza_lcms_ray.stages import joins
 
@@ -2611,6 +2666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "class_by_country": q_class_by_country,
         "doc_footprint": q_doc_footprint,
         "area_estimate": q_area_estimate,
+        "anti_join": q_anti_join,
+        "coalesce_compose": q_coalesce_compose,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -2945,6 +3002,19 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "poly_zonal": _poly_zonal_sql(geo, root),
         "class_by_country": _class_by_country_sql(geo, root),
+        "coalesce_compose": f"""
+            WITH {geo}
+            SELECT doc_id, span_idx,
+                   COALESCE(
+                       CASE WHEN c4 % 3 <= 1 THEN NULL ELSE b4 END,
+                       CASE WHEN c4 % 3 = 0 THEN NULL ELSE b3 END,
+                       b0) AS composed
+            FROM geo""",
+        "anti_join": f"""
+            WITH {geo}
+            SELECT doc_id, span_idx FROM geo
+            WHERE doc_id < 'doc-000000002000'
+              AND doc_id NOT IN ({", ".join(f"'{i}'" for i in ANTI_JOIN_IDS)})""",
         "doc_footprint": f"""
             WITH {geo}
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_geo,
