@@ -1657,6 +1657,50 @@ def q_area_estimate(sf_dir: str):
 ANTI_JOIN_IDS = [f"doc-{i:012d}" for i in range(0, 2000, 10)]
 
 
+ERODE_DIST = 0.05
+
+
+def q_erode_rings(sf_dir: str):
+    """M20 erodeGeometry (state/geom.erode_ring — the buffer(−d) edge
+    clip, reference src/misc/sentinel1.py:149-153): inward miter offset
+    of every protected-area ring by 0.05°, all eroded vertices
+    value-checked byte-exact against a windowed SQL replay of the same
+    normal/bisector arithmetic.  The polygon table is the bounded
+    ancillary side (S5), so the per-polygon loop is driver-bounded."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kaza_lcms_ray.state import geom
+
+    root = _synth(sf_dir)
+    import pyarrow.compute as pc
+
+    tbl = pq.read_table(f"{root}/polygons.parquet")
+    tbl = tbl.filter(pc.equal(tbl.column("kind"), "protected_area"))
+    rows = {"poly_id": [], "i": [], "x": [], "y": []}
+    for pid, rings in zip(
+        tbl.column("poly_id").to_pylist(), tbl.column("rings").to_pylist()
+    ):
+        ring = np.array([[p["x"], p["y"]] for p in rings[0]], dtype=np.float64)
+        er = geom.erode_ring(ring, ERODE_DIST)
+        assert er is not None, f"ring collapsed: {pid}"
+        for i, (x, y) in enumerate(er[:-1]):
+            rows["poly_id"].append(pid)
+            rows["i"].append(i)
+            rows["x"].append(float(x))
+            rows["y"].append(float(y))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array(rows["poly_id"], pa.string()),
+                "i": pa.array(rows["i"], pa.int64()),
+                "x": pa.array(rows["x"], pa.float64()),
+                "y": pa.array(rows["y"], pa.float64()),
+            }
+        )
+    )
+
+
 def q_coalesce_compose(sf_dir: str):
     """A11 first-non-null compose (stages/sar.compose_coalesce_batch — the
     reference's sum-of-disjoint-masked-images): three masked variants
@@ -2668,6 +2712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "area_estimate": q_area_estimate,
         "anti_join": q_anti_join,
         "coalesce_compose": q_coalesce_compose,
+        "erode_rings": q_erode_rings,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3002,6 +3047,63 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "poly_zonal": _poly_zonal_sql(geo, root),
         "class_by_country": _class_by_country_sql(geo, root),
+        "erode_rings": f"""
+            WITH er_pp AS (
+                SELECT poly_id, rings[1] AS ring
+                FROM read_parquet('{root}/polygons.parquet')
+                WHERE kind = 'protected_area'
+            ),
+            er_v AS (
+                SELECT poly_id, generate_subscripts(ring, 1) AS i,
+                       unnest(ring) AS p, len(ring) AS nv
+                FROM er_pp
+            ),
+            -- open ring: drop the closing vertex
+            er_pts AS (
+                SELECT poly_id, i, p.x AS x, p.y AS y FROM er_v WHERE i < nv
+            ),
+            er_edge AS (
+                SELECT poly_id, i, x, y,
+                       COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) - x AS ex,
+                       COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) - y AS ey
+                FROM er_pts
+                WINDOW w AS (PARTITION BY poly_id ORDER BY i)
+            ),
+            er_area AS (
+                SELECT poly_id,
+                       CASE WHEN 0.5 * SUM(x * (y + ey) - (x + ex) * y) > 0
+                            THEN 1.0 ELSE -1.0 END AS sgn
+                FROM er_edge GROUP BY poly_id
+            ),
+            er_n AS (
+                SELECT e.poly_id, e.i, e.x, e.y,
+                       (a.sgn * -e.ey) / sqrt(e.ex * e.ex + e.ey * e.ey) AS nx,
+                       (a.sgn * e.ex) / sqrt(e.ex * e.ex + e.ey * e.ey) AS ny
+                FROM er_edge e JOIN er_area a ON e.poly_id = a.poly_id
+            ),
+            er_m AS (
+                SELECT poly_id, i, x, y,
+                       nx + COALESCE(LAG(nx) OVER w,
+                                     LAST_VALUE(nx) OVER wf) AS mx,
+                       ny + COALESCE(LAG(ny) OVER w,
+                                     LAST_VALUE(ny) OVER wf) AS my
+                FROM er_n
+                WINDOW w AS (PARTITION BY poly_id ORDER BY i),
+                       wf AS (PARTITION BY poly_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING)
+            ),
+            er_out AS (
+                SELECT poly_id, CAST(i - 1 AS BIGINT) AS i,
+                       x + (({ERODE_DIST!r} * 2.0) * mx)
+                           / (CASE WHEN mx * mx + my * my < 1e-12
+                                   THEN 1e-12 ELSE mx * mx + my * my END) AS x,
+                       y + (({ERODE_DIST!r} * 2.0) * my)
+                           / (CASE WHEN mx * mx + my * my < 1e-12
+                                   THEN 1e-12 ELSE mx * mx + my * my END) AS y
+                FROM er_m
+            )
+            SELECT poly_id, i, x, y FROM er_out""",
         "coalesce_compose": f"""
             WITH {geo}
             SELECT doc_id, span_idx,
