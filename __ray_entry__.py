@@ -1489,6 +1489,21 @@ def q_covariates(sf_dir: str):
     )
 
 
+def q_covariates_prefixed(sf_dir: str):
+    """M12 renameBands: the p20_/p80_ percentile-composite prefix path
+    (reference src/utils/covariates.py:261-274) — same kernels, prefixed
+    output columns (covariates_batch(prefix='p20_'))."""
+    from kaza_lcms_ray.config import PipelineConfig
+    from kaza_lcms_ray.stages import covariates
+
+    cfg = PipelineConfig(indices=("ND_nir_red", "EVI"))
+    out = _geo(sf_dir).map_batches(
+        lambda t: covariates.covariates_batch(t, cfg, prefix="p20_"),
+        batch_format="pyarrow",
+    )
+    return _i64(out, ["doc_id", "span_idx", "p20_ND_nir_red", "p20_EVI"])
+
+
 def q_near_dup_pairs(sf_dir: str):
     """Spatial near-duplicate candidate pairs over the training plots
     (distance ≤ 0.01°) via the cell-grid self-join."""
@@ -2713,6 +2728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": q_anti_join,
         "coalesce_compose": q_coalesce_compose,
         "erode_rings": q_erode_rings,
+        "covariates_prefixed": q_covariates_prefixed,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3367,6 +3383,19 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ),
         # covariate band algebra: identical double-precision expression trees
         # (left-associative, same constants) → bit-equal to the numpy kernels
+        "covariates_prefixed": f"""
+            WITH {geo},
+            s AS (
+                SELECT doc_id, span_idx,
+                       b0 * 0.0001 AS blue, b2 * 0.0001 AS red,
+                       b3 * 0.0001 AS nir
+                FROM geo
+            )
+            SELECT doc_id, span_idx,
+                   (nir - red) / (nir + red) AS "p20_ND_nir_red",
+                   2.5 * ((nir - red) / (nir + 6 * red - 7.5 * blue + 1))
+                       AS "p20_EVI"
+            FROM s""",
         "covariates": f"""
             WITH {geo},
             s AS (
