@@ -388,7 +388,19 @@ def drop_dup_paragraphs(
     n_keep = keepers.count()
 
     if n_keep <= keeper_broadcast_limit:
-        kt = keepers.to_pandas()
+        if n_keep == 0:
+            # empty corpus: no long paragraphs → every row passes through
+            # the strip untouched (dedup_batch guards on len(side["hi"]))
+            kt = pd.DataFrame(
+                {
+                    "fp_hi": np.empty(0, np.int64),
+                    "fp_lo": np.empty(0, np.int64),
+                    "keep_id": pd.Series([], dtype=object),
+                    "keep_idx": np.empty(0, np.int64),
+                }
+            )
+        else:
+            kt = keepers.to_pandas()
         khi = kt["fp_hi"].to_numpy(np.int64)
         klo = kt["fp_lo"].to_numpy(np.int64)
         order = np.lexsort((klo, khi))
@@ -1657,9 +1669,14 @@ def drop_frequent_lines(
     n_freq = frequent.count()
 
     if n_freq <= broadcast_limit:
-        ft = frequent.to_pandas()
-        fhi = ft["fp_hi"].to_numpy(np.int64)
-        flo = ft["fp_lo"].to_numpy(np.int64)
+        if n_freq == 0:
+            # empty Dataset.to_pandas() loses column names — short-circuit
+            fhi = np.empty(0, np.int64)
+            flo = np.empty(0, np.int64)
+        else:
+            ft = frequent.to_pandas()
+            fhi = ft["fp_hi"].to_numpy(np.int64)
+            flo = ft["fp_lo"].to_numpy(np.int64)
         order = np.lexsort((flo, fhi))
         side_ref = ray.put({"hi": fhi[order], "lo": flo[order]})
 

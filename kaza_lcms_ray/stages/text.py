@@ -1696,6 +1696,10 @@ def zipf_fit(ds, text_col: str = "text", top: int = 1000):
         .select_columns(["cnt"])
         .to_pandas()  # ≤ top rows — bounded
     )
+    if len(head) == 0:  # empty Dataset.to_pandas() loses column names
+        import pandas as pd
+
+        head = pd.DataFrame({"cnt": np.empty(0, np.int64)})
     freq = np.sort(head["cnt"].to_numpy(np.int64))[::-1].astype(np.float64)
     n = freq.shape[0]
     rank = np.arange(1, n + 1, dtype=np.float64)
