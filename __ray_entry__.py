@@ -289,6 +289,26 @@ def q_approx_percentile(sf_dir: str):
     )
 
 
+RADIUS_EXTRACT_R = 0.02
+
+
+def q_radius_extract(sf_dir: str):
+    """Buffered sampleRegions (stages/knn.radius_extract): per training
+    plot, the exact mean of band-3 cents over all geo spans within 0.02°
+    — broadcast lon-sorted plot side, offset-arithmetic pair fan-out,
+    int partials before anything leaves the task."""
+    from kaza_lcms_ray.stages import knn
+
+    root = _synth(sf_dir)
+    return _i64(
+        knn.radius_extract(
+            _geo(sf_dir), f"{root}/training_plots.parquet",
+            radius=RADIUS_EXTRACT_R, band=3,
+        ),
+        ["plot_id", "n", "mean_b3"],
+    )
+
+
 def q_poly_zonal(sf_dir: str):
     """reduceRegions: per-POLYGON zonal statistics (the reference's
     feature-collection zonal reduce — reference src/utils/s2process.py
@@ -2729,6 +2749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coalesce_compose": q_coalesce_compose,
         "erode_rings": q_erode_rings,
         "covariates_prefixed": q_covariates_prefixed,
+        "radius_extract": q_radius_extract,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3063,6 +3084,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
              AND a.miny <= b.maxy AND b.miny <= a.maxy""",
         "poly_zonal": _poly_zonal_sql(geo, root),
         "class_by_country": _class_by_country_sql(geo, root),
+        "radius_extract": f"""
+            WITH {geo}
+            SELECT p.plot_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(g.c3) AS DOUBLE)
+                       / (CAST(COUNT(*) AS DOUBLE) * 100) AS mean_b3
+            FROM read_parquet('{root}/training_plots.parquet') p JOIN geo g
+              ON p.lon BETWEEN g.lon - {RADIUS_EXTRACT_R!r}
+                           AND g.lon + {RADIUS_EXTRACT_R!r}
+             AND (g.lon - p.lon) * (g.lon - p.lon)
+               + (g.lat - p.lat) * (g.lat - p.lat)
+               <= {RADIUS_EXTRACT_R * RADIUS_EXTRACT_R!r}
+            GROUP BY p.plot_id""",
         "erode_rings": f"""
             WITH er_pp AS (
                 SELECT poly_id, rings[1] AS ring

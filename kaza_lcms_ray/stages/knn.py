@@ -219,3 +219,104 @@ def knn_join(
         return worker(batch)
 
     return geo.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def radius_extract(geo, plots_path: str, radius: float = 0.02, band: int = 3):
+    """Neighborhood extraction at reference plots — the reference's
+    sampleRegions-with-buffer analog (src/utils/sampling.py extraction
+    over buffered plot geometries): per training plot, the EXACT mean of
+    band cents over every geo span within ``radius`` planar degrees.
+
+    Scale shape: the plot table is the bounded ancillary side (S5) —
+    broadcast once, lon-sorted for a window probe; each batch fans out
+    (span, plot) candidate pairs with pure offset arithmetic (no per-span
+    Python), verifies d² ≤ r² exactly, and collapses to (plot, n, Σcents)
+    int partials before anything leaves the task; one bucketed integer
+    combine over ≤|plots| keys finishes.  Mean is a single double
+    division (identical in SQL).
+
+    Output: (plot_id, n:int64, mean_b{band}:f64) for plots with ≥1 span.
+    """
+    import pyarrow.parquet as pq
+
+    from .zonal import bucketed_sum
+
+    tbl = pq.read_table(plots_path).select(["plot_id", "lon", "lat"])
+    plon = tbl.column("lon").to_numpy(zero_copy_only=False)
+    order = np.argsort(plon, kind="mergesort")
+    side_ref = ray.put(
+        {
+            "lon": plon[order],
+            "lat": tbl.column("lat").to_numpy(zero_copy_only=False)[order],
+            "ids": tbl.column("plot_id").to_numpy(zero_copy_only=False)[order],
+        }
+    )
+    rr = radius * radius
+    c_col = f"c{band}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = _cached_index(side_ref)
+        x = t.column("lon").to_numpy(zero_copy_only=False)
+        y = t.column("lat").to_numpy(zero_copy_only=False)
+        c = t.column(c_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.searchsorted(s["lon"], x - radius, side="left")
+        hi = np.searchsorted(s["lon"], x + radius, side="right")
+        cnt = hi - lo
+        offs = np.cumsum(cnt)
+        total = int(offs[-1]) if cnt.size else 0
+        empty = pa.table(
+            {
+                "plot_id": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        si = np.repeat(np.arange(len(t), dtype=np.int64), cnt)
+        pj = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs - cnt, cnt)
+            + np.repeat(lo, cnt)
+        )
+        dx = x[si] - s["lon"][pj]
+        dy = y[si] - s["lat"][pj]
+        keep = dx * dx + dy * dy <= rr
+        pk = pj[keep]
+        if pk.size == 0:
+            return empty
+        n_p = np.bincount(pk, minlength=len(s["lon"]))
+        s_p = np.bincount(pk, weights=c[si[keep]].astype(np.float64),
+                          minlength=len(s["lon"])).astype(np.int64)
+        nz = np.flatnonzero(n_p)
+        return pa.table(
+            {
+                "plot_id": pa.array(s["ids"][nz].astype(object), type=pa.string()),
+                "n": pa.array(n_p[nz].astype(np.int64)),
+                "s": pa.array(s_p[nz]),
+            }
+        )
+
+    agg = bucketed_sum(
+        geo.map_batches(partial, batch_format="pyarrow"),
+        ["plot_id"],
+        ["n", "s"],
+        recombine_batch_size=None,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nn = pc.cast(t.column("n"), pa.float64())
+        return pa.table(
+            {
+                "plot_id": t.column("plot_id"),
+                "n": t.column("n"),
+                f"mean_b{band}": pc.divide(
+                    pc.cast(t.column("s"), pa.float64()),
+                    pc.multiply(nn, 100.0),
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
