@@ -233,6 +233,18 @@ def q_zonal_mean(sf_dir: str):
     )
 
 
+def q_morans_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of per-cell band totals
+    over the 3×3 neighborhood (stages/zonal.morans_i) — quantized z·z
+    terms make the statistic order-free and SQL-replayable."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.morans_i(_geo(sf_dir), band=3, k=1),
+        ["n_cells", "w_pairs", "num_q", "den_q", "moran"],
+    )
+
+
 def q_cell_smooth(sf_dir: str):
     """Focal k-ring smoothing over the zonal cell grid (stages/zonal.
     kring_smooth — A8 reduceNeighborhood analog on the aggregated cell
@@ -2750,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "erode_rings": q_erode_rings,
         "covariates_prefixed": q_covariates_prefixed,
         "radius_extract": q_radius_extract,
+        "morans_i": q_morans_i,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3225,6 +3238,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_trend": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).cell_trend_sql("SELECT * FROM cells", band=3)}""",
+        "morans_i": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).morans_i_sql("SELECT * FROM cells", band=3, k=1)}""",
         "zonal_mean": f"""
             WITH {geo}, {cells}
             SELECT cell_id, "year", COUNT(*) AS n,

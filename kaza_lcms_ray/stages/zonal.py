@@ -944,3 +944,204 @@ def cell_trend_sql(cells_sql: str, band: int = 3) -> str:
         FROM ct_s
         WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) != 0.0"""
+
+
+MORAN_SCALE_INT = 1 << 40  # quantization of the z·z cross-product terms
+
+
+def morans_i(geo, band: int = 3, k: int = 1):
+    """Global Moran's I spatial autocorrelation of the per-cell band total
+    over the (2k+1)²−1 Chebyshev neighborhood (w_ij = 1 for neighbors,
+    0 otherwise) — the standard clustering-vs-dispersion diagnostic for a
+    gridded field (positive ≈ clustered, ~0 random, negative dispersed).
+
+      I = (N / W) · Σ_ij z_i z_j / Σ_i z_i²,   z_i = (v_i − v̄) / v̄
+
+    (dividing z by v̄ is a no-op for I — it cancels — but keeps the
+    quantized integers small at any corpus scale).
+
+    Exactness: v_i are exact per-cell integer cent sums; v̄ = Σv/N is one
+    double division; every z·z and z² term quantizes to floor(·2⁴⁰) int64
+    so the big sums are order-free; the final I is one pinned double
+    expression.  Scale shape: everything after the raw-observation
+    ``zonal_sums`` runs on the AOI-bounded cell table — an 8-way neighbor
+    fan-out, ONE bounded hash join (pairs ⋈ cell values), and tiny int
+    partials to the driver.
+
+    Output: one row (n_cells:int64, w_pairs:int64, num_q:int64,
+    den_q:int64, moran:f64).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..runtime import join_partitions
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
+
+    tot = cellsums.map_batches(
+        lambda t: pa.table(
+            {
+                "n_cells": pa.array(
+                    [len(t)], pa.int64()
+                ),
+                "v_sum": pa.array(
+                    [int(t.column(s_col).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_cells = int(tot["n_cells"].sum())
+    v_sum = int(tot["v_sum"].sum())
+    vbar = float(v_sum) / float(n_cells)
+    scale = float(MORAN_SCALE_INT)
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy)
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "v_src": pa.array(v[m]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = cellsums.map_batches(fan, batch_format="pyarrow")
+
+    def as_i64_cell(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "cell_id": pc.cast(t.column("cell_id"), pa.int64()),
+                "v_tgt": pc.cast(t.column(s_col), pa.int64()),
+            }
+        )
+
+    vals = cellsums.map_batches(as_i64_cell, batch_format="pyarrow")
+    pairs = fanned.join(
+        vals,
+        join_type="inner",
+        num_partitions=join_partitions(n_cells),
+        on=("cell_id",),
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        a = t.column("v_src").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = t.column("v_tgt").to_numpy(zero_copy_only=False).astype(np.float64)
+        za = (a - vbar) / vbar
+        zb = (b - vbar) / vbar
+        q = np.floor((za * zb) * scale).astype(np.int64)
+        return pa.table(
+            {
+                "num_q": pa.array([int(q.sum())], pa.int64()),
+                "w": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    pp = pairs.map_batches(pair_partial, batch_format="pyarrow").to_pandas()
+    num_q = int(pp["num_q"].sum())
+    w_pairs = int(pp["w"].sum())
+
+    def den_partial(t: pa.Table) -> pa.Table:
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (v - vbar) / vbar
+        q = np.floor((z * z) * scale).astype(np.int64)
+        return pa.table({"den_q": pa.array([int(q.sum())], pa.int64())})
+
+    dq = cellsums.map_batches(den_partial, batch_format="pyarrow").to_pandas()
+    den_q = int(dq["den_q"].sum())
+    moran = (float(n_cells) / float(w_pairs)) * (float(num_q) / float(den_q))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([n_cells], pa.int64()),
+                "w_pairs": pa.array([w_pairs], pa.int64()),
+                "num_q": pa.array([num_q], pa.int64()),
+                "den_q": pa.array([den_q], pa.int64()),
+                "moran": pa.array([moran], pa.float64()),
+            }
+        )
+    )
+
+
+def morans_i_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
+    """Oracle twin: same decode → neighbor fan-out → re-encode → join →
+    quantized term sums → pinned final expression.  Returns a CTE-chain
+    fragment + final SELECT for a caller's ``WITH {geo}, {cells},``."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    S = float(MORAN_SCALE_INT)
+    return f"""
+        mi_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        mi_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS vbar
+            FROM mi_agg
+        ),
+        mi_dec AS (
+            SELECT cell_id, v,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM mi_agg
+        ),
+        mi_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        mi_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.v AS v_src
+            FROM mi_dec d CROSS JOIN mi_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        mi_pairs AS (
+            SELECT f.v_src, a.v AS v_tgt FROM mi_fan f
+            JOIN mi_agg a ON f.cell_id = a.cell_id
+        ),
+        mi_num AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (((CAST(v_src AS DOUBLE) - t.vbar) / t.vbar)
+                        * ((CAST(v_tgt AS DOUBLE) - t.vbar) / t.vbar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS num_q,
+                   CAST(COUNT(*) AS BIGINT) AS w_pairs
+            FROM mi_pairs CROSS JOIN mi_tot t
+        ),
+        mi_den AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (((CAST(v AS DOUBLE) - t.vbar) / t.vbar)
+                        * ((CAST(v AS DOUBLE) - t.vbar) / t.vbar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS den_q
+            FROM mi_agg CROSS JOIN mi_tot t
+        )
+        SELECT t.n_cells, n.w_pairs, n.num_q, d.den_q,
+               (CAST(t.n_cells AS DOUBLE) / CAST(n.w_pairs AS DOUBLE))
+               * (CAST(n.num_q AS DOUBLE) / CAST(d.den_q AS DOUBLE)) AS moran
+        FROM mi_tot t, mi_num n, mi_den d"""
