@@ -589,6 +589,22 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_change_matrix(sf_dir: str):
+    """Land-cover change matrix 2020→2022 (stages/assemblage.
+    change_matrix): bucketed max-by per year, tile_id hash join of the
+    two bounded year slices, per-batch count collapse."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    root = _synth(sf_dir)
+    prims = rd.read_parquet(f"{root}/primitives.parquet")
+    return _i64(
+        assemblage.change_matrix(prims, 2020, 2022),
+        ["from_class", "to_class", "n_tiles"],
+    )
+
+
 def q_area_by_class(sf_dir: str):
     import ray.data as rd
 
@@ -2763,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariates_prefixed": q_covariates_prefixed,
         "radius_extract": q_radius_extract,
         "morans_i": q_morans_i,
+        "change_matrix": q_change_matrix,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3303,6 +3320,22 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 ) AS rn
                 FROM read_parquet('{root}/primitives.parquet')
             ) WHERE rn = 1""",
+        "change_matrix": f"""
+            WITH cmx_lab AS MATERIALIZED (
+                SELECT tile_id, "year", CAST(class AS BIGINT) AS lc
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY tile_id, "year"
+                        ORDER BY prob DESC, class ASC
+                    ) AS rn
+                    FROM read_parquet('{root}/primitives.parquet')
+                ) WHERE rn = 1
+            )
+            SELECT a.lc AS from_class, b.lc AS to_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_tiles
+            FROM cmx_lab a JOIN cmx_lab b ON a.tile_id = b.tile_id
+            WHERE a."year" = 2020 AND b."year" = 2022
+            GROUP BY 1, 2""",
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
             FROM (

@@ -96,3 +96,63 @@ def assemble_tile_labels(primitives):
         .select_columns(_KEYS + ["score"])
         .map_batches(_decode, batch_format="pyarrow")
     )
+
+
+def change_matrix(primitives, year_a: int, year_b: int):
+    """Land-cover CHANGE (transition) matrix between two assemblage years
+    — the reference workflow's change-detection product (per-tile label in
+    ``year_a`` vs ``year_b``, counted per (from, to) class pair).
+
+    Scale shape: tile labels reduce through the bucketed max-by
+    (``assemble_tile_labels``); the two year slices hash-join on tile_id
+    (tiles are the bounded assemblage grid — the join is cell-table-sized,
+    never observation-sized), then counts collapse per batch to ≤k² rows
+    before one tiny grouped sum.
+
+    Output: (from_class:int64, to_class:int64, n_tiles:int64).
+    """
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions
+    from .zonal import bucketed_sum
+
+    # materialize ONCE: both year slices re-read the reduced label table
+    # (bounded by the assemblage grid) instead of re-running the whole
+    # max-by reduction per side
+    labels = assemble_tile_labels(primitives).materialize()
+    n_tiles_hint = labels.count()
+
+    def slice_year(y: int, out: str):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("year"), y)
+            s = t.filter(m)
+            return pa.table(
+                {
+                    "tile_id": pc.cast(s.column("tile_id"), pa.int64()),
+                    out: pc.cast(s.column("LANDCOVER"), pa.int64()),
+                }
+            )
+
+        return labels.map_batches(fn, batch_format="pyarrow")
+
+    joined = slice_year(year_a, "from_class").join(
+        slice_year(year_b, "to_class"),
+        join_type="inner",
+        num_partitions=join_partitions(n_tiles_hint),
+        on=("tile_id",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["from_class", "to_class"])
+            .group_by(["from_class", "to_class"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["from_class", "to_class", "n_tiles"])
+
+    return bucketed_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["from_class", "to_class"],
+        ["n_tiles"],
+        recombine_batch_size=None,
+    )
