@@ -233,6 +233,18 @@ def q_zonal_mean(sf_dir: str):
     )
 
 
+def q_variogram(sf_dir: str):
+    """Empirical semivariogram by Chebyshev ring distance
+    (stages/zonal.variogram) — exact integer squared differences through
+    the same fan-out + bounded-join shape as morans_i."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.variogram(_geo(sf_dir), band=3, max_ring=2),
+        ["ring", "n_pairs", "sum_sq", "gamma"],
+    )
+
+
 def q_morans_i(sf_dir: str):
     """Global Moran's I spatial autocorrelation of per-cell band totals
     over the 3×3 neighborhood (stages/zonal.morans_i) — quantized z·z
@@ -2780,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_extract": q_radius_extract,
         "morans_i": q_morans_i,
         "change_matrix": q_change_matrix,
+        "variogram": q_variogram,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3258,6 +3271,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "morans_i": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).morans_i_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "variogram": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).variogram_sql("SELECT * FROM cells", band=3, max_ring=2)}""",
         "zonal_mean": f"""
             WITH {geo}, {cells}
             SELECT cell_id, "year", COUNT(*) AS n,

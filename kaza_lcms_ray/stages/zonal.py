@@ -1145,3 +1145,158 @@ def morans_i_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
                (CAST(t.n_cells AS DOUBLE) / CAST(n.w_pairs AS DOUBLE))
                * (CAST(n.num_q AS DOUBLE) / CAST(d.den_q AS DOUBLE)) AS moran
         FROM mi_tot t, mi_num n, mi_den d"""
+
+
+def variogram(geo, band: int = 3, max_ring: int = 2):
+    """Empirical semivariogram of the per-cell band total by Chebyshev
+    ring distance on the cell grid: γ(r) = Σ_{pairs at ring r}
+    (v_i − v_j)² / (2·N_r) — the spatial-structure diagnostic that sets
+    interpolation ranges (flat γ ⇒ no spatial dependence; rising γ ⇒
+    correlation length).
+
+    Exactness: v are exact integer cent sums; each pair contributes
+    (v_i − v_j)² // 10⁴ (the squared difference in whole units² —
+    non-negative, so floor = truncation on both sides) as exact int64,
+    keeping corpus-scale totals far from 2⁶³; γ is one double division.  Scale shape: identical to ``morans_i`` — fan-out over the
+    ≤(2k+1)²−1 offsets with the ring tag, ONE bounded hash join on the
+    AOI-limited cell table, int partials.
+
+    Output: (ring:int64, n_pairs:int64, sum_sq:int64, gamma:f64).
+    """
+    import ray.data as rd
+
+    from ..runtime import join_partitions
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
+    n_cells = cellsums.count()
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy, max(abs(dx), abs(dy)))
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy, ring in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "ring": pa.array(
+                            np.full(int(m.sum()), ring, dtype=np.int64)
+                        ),
+                        "v_src": pa.array(v[m]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def as_i64_cell(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "cell_id": pc.cast(t.column("cell_id"), pa.int64()),
+                "v_tgt": pc.cast(t.column(s_col), pa.int64()),
+            }
+        )
+
+    pairs = cellsums.map_batches(fan, batch_format="pyarrow").join(
+        cellsums.map_batches(as_i64_cell, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=join_partitions(n_cells),
+        on=("cell_id",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = (
+            t.column("v_src").to_numpy(zero_copy_only=False).astype(np.int64)
+            - t.column("v_tgt").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ring = t.column("ring").to_numpy(zero_copy_only=False)
+        sq = (d * d) // 10_000  # cents² → units², exact truncation
+        # exact int64 accumulation — float-weighted bincount would round
+        # past 2⁵³ (per-batch Σsq reaches ~10¹⁸ at real cent magnitudes)
+        n_r = np.bincount(ring, minlength=max_ring + 1)
+        s_r = np.zeros(max_ring + 1, dtype=np.int64)
+        np.add.at(s_r, ring, sq)
+        nz = np.flatnonzero(n_r)
+        return pa.table(
+            {
+                "ring": pa.array(nz.astype(np.int64)),
+                "n_pairs": pa.array(n_r[nz].astype(np.int64)),
+                "sum_sq": pa.array(s_r[nz]),
+            }
+        )
+
+    agg = bucketed_sum(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        ["ring"],
+        ["n_pairs", "sum_sq"],
+        recombine_batch_size=None,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # numpy int64→float64 conversion (correctly rounded past 2⁵³ —
+        # Arrow's safe cast refuses there; SQL's CAST(x AS DOUBLE) rounds
+        # the same exact integer to the same double)
+        s = t.column("sum_sq").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_pairs").to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("gamma", pa.array(s / (n * 2.0)))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def variogram_sql(cells_sql: str, band: int = 3, max_ring: int = 2) -> str:
+    """Oracle twin: same fan-out (ring = Chebyshev offset distance), join,
+    exact integer squared differences, identical final division.  CTE
+    fragment for a caller's ``WITH {geo}, {cells},``."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+        vg_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        vg_dec AS (
+            SELECT cell_id, v,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM vg_agg
+        ),
+        vg_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, ring)),
+        vg_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   o.ring, d.v AS v_src
+            FROM vg_dec d CROSS JOIN vg_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        vg_pairs AS (
+            SELECT f.ring,
+                   ((f.v_src - a.v) * (f.v_src - a.v)) // 10000 AS sq
+            FROM vg_fan f JOIN vg_agg a ON f.cell_id = a.cell_id
+        )
+        SELECT CAST(ring AS BIGINT) AS ring,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(sq) AS BIGINT) AS sum_sq,
+               CAST(SUM(sq) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 2.0) AS gamma
+        FROM vg_pairs GROUP BY ring"""
