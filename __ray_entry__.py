@@ -233,6 +233,17 @@ def q_zonal_mean(sf_dir: str):
     )
 
 
+def q_leakage_split(sf_dir: str):
+    """Contamination-safe 80/20 split (pipelines/curation.
+    leakage_safe_split): train docs near-duplicating any test doc
+    (verified Jaccard ≥ 0.4) are dropped; split membership recomputed
+    from the id hash so the leak test is join-free."""
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(curation.leakage_safe_split(docs), ["doc_id"])
+
+
 def q_variogram(sf_dir: str):
     """Empirical semivariogram by Chebyshev ring distance
     (stages/zonal.variogram) — exact integer squared differences through
@@ -2793,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i": q_morans_i,
         "change_matrix": q_change_matrix,
         "variogram": q_variogram,
+        "leakage_split": q_leakage_split,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3522,6 +3534,32 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "fingerprints": _fingerprints_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "jaccard_verified": _jaccard_verified_sql(),
+        "leakage_split": f"""
+            WITH ls_jv AS MATERIALIZED (
+                SELECT a, b FROM ({_jaccard_verified_sql()})
+                WHERE jaccard >= 0.4
+            ),
+            ls_hr AS MATERIALIZED (
+                SELECT doc_id, CAST(hv // 2048 AS BIGINT) * {2.0**-53!r} AS rnd
+                FROM ({__import__("kaza_lcms_ray.stages.sampling", fromlist=["sampling"])._row_hash_sql(
+                    "SELECT doc_id FROM documents", "split",
+                    __import__("kaza_lcms_ray.state.hashing", fromlist=["hashing"]).DEFAULT_SEED,
+                    "doc_id")})
+            ),
+            ls_leak AS (
+                SELECT jv.a AS d FROM ls_jv jv
+                JOIN ls_hr ha ON ha.doc_id = jv.a
+                JOIN ls_hr hb ON hb.doc_id = jv.b
+                WHERE ha.rnd < 0.8 AND hb.rnd >= 0.8
+                UNION
+                SELECT jv.b FROM ls_jv jv
+                JOIN ls_hr ha ON ha.doc_id = jv.a
+                JOIN ls_hr hb ON hb.doc_id = jv.b
+                WHERE hb.rnd < 0.8 AND ha.rnd >= 0.8
+            )
+            SELECT doc_id FROM ls_hr
+            WHERE rnd < 0.8
+              AND doc_id NOT IN (SELECT d FROM ls_leak)""",
         "dup_clusters": f"""
             WITH RECURSIVE prs AS MATERIALIZED (
                 SELECT a, b FROM ({_jaccard_verified_sql()})

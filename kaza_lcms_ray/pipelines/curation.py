@@ -626,3 +626,59 @@ def quality_classify(docs, models):
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def leakage_safe_split(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frac: float = 0.8,
+    jaccard_threshold: float = 0.4,
+):
+    """Contamination-safe train/test split: the seeded 80/20 split, then
+    every TRAIN document that is a verified near-duplicate (exact
+    k-shingle Jaccard ≥ threshold over LSH candidates) of any TEST
+    document is dropped from train — the split-hygiene step that stops
+    eval leakage through near-copies (Lee et al. 2022's dedup-the-split
+    finding).
+
+    Scale shape: split membership is COMPUTABLE from the id (the seeded
+    hash rule), so the leak test needs NO join against the test split —
+    each verified pair classifies its endpoints by re-hashing inside the
+    batch; only the leaking-train id set (≤ 2·|near-dup pairs|, ≪ corpus)
+    is collected and broadcast for the anti-join (swap to the fp-keyed
+    hash-join fallback if a corpus's dup-pair count ever approaches the
+    broadcast limit).
+
+    Returns Dataset[id_col] — the clean train ids."""
+    import pyarrow as pa
+
+    from ..stages import dedup, joins, sampling
+
+    train, _test = sampling.split_train_test(docs, [id_col], frac=frac)
+    cand = dedup.minhash_candidate_pairs(docs, text_col, id_col).materialize()
+    verified = dedup._verify_pairs_distributed(
+        docs, cand, text_col, id_col, k=5,
+        threshold=jaccard_threshold, n_pairs=cand.count(),
+    ).filter(expr=f"jaccard >= {jaccard_threshold}")
+
+    def leaking_train_ids(t: pa.Table) -> pa.Table:
+        from ..state.hashing import DEFAULT_SEED, hash_unit
+
+        def rnd(col):
+            tt = pa.table({id_col: t.column(col)})
+            return hash_unit(DEFAULT_SEED, "split", sampling._row_key(tt, [id_col]))
+
+        ra, rb = rnd("a"), rnd("b")
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        a_train, b_train = ra < frac, rb < frac
+        leak = np.concatenate([a[a_train & ~b_train], b[b_train & ~a_train]])
+        return pa.table({"leak": pa.array(np.unique(leak))})
+
+    leaks = verified.map_batches(
+        leaking_train_ids, batch_format="pyarrow"
+    ).to_pandas()
+    leak_ids = leaks["leak"].to_numpy() if len(leaks) else np.array([], np.int64)
+    clean = joins.anti_join_ids(train, id_col, np.unique(leak_ids))
+    return clean.select_columns([id_col])
