@@ -272,6 +272,8 @@ def run_bench() -> dict:
         lambda: text.token_entropy(text_corpus()).count(),
     )
     timed("kring_smooth", lambda: zonal.kring_smooth(geo(), band=3, k=1).count())
+    timed("morans_i", lambda: zonal.morans_i(geo(), band=3, k=1).count())
+    timed("cell_trend", lambda: zonal.cell_trend(geo(), band=3).count())
 
     ray.shutdown()
     return {
