@@ -2198,6 +2198,19 @@ def q_events_props(sf_dir: str):
     return _i64(events.extract_props_key(ev), ["event_type", "sum_k", "n"])
 
 
+def q_events_attribution(sf_dir: str):
+    """First/last-touch session attribution (stages/events.
+    session_attribution): gap-rule sessions + deterministic first/last
+    event_type under the unique (user, ts) order, exact cent sums."""
+    from kaza_lcms_ray.stages import events
+
+    ev = _tbl(sf_dir, "events")
+    return _i64(
+        events.session_attribution(ev),
+        ["user_id", "session_id", "first_type", "last_type", "n_events", "value_cents"],
+    )
+
+
 def q_events_ewma(sf_dir: str):
     """Per-user integer-pinned EWMA (α=1/4) over the event stream —
     jagged-recurrence lockstep vectorization per hash bucket
@@ -2805,6 +2818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_matrix": q_change_matrix,
         "variogram": q_variogram,
         "leakage_split": q_leakage_split,
+        "events_attribution": q_events_attribution,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3966,6 +3980,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_ewma": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).ewma_sql("SELECT * FROM events"),
+        "events_attribution": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).session_attribution_sql("SELECT * FROM events"),
         "events_running": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

@@ -522,3 +522,84 @@ def ewma_sql(events_sql: str, denom: int = 4) -> str:
               ON s.user_id = r.user_id AND s.rn = r.rn + 1
         )
         SELECT event_id, user_id, y AS ewma_cents FROM ew_r"""
+
+
+def session_attribution(ds, gap_minutes: int = 30):
+    """First-touch / last-touch attribution per session: the gap-rule
+    sessionization plus the FIRST and LAST event_type under the total
+    (ts, event_id) order — the standard funnel-attribution shape.
+
+    Deterministic: (user_id, ts) is unique in the stream, so first/last
+    are well-defined; every other statistic is order-insensitive.  Same
+    partitioning assumption as ``sessionize`` (one user's events fit one
+    group; bucket keys for higher user cardinality).
+
+    Output: (user_id, session_id = min event_id, first_type, last_type,
+    n_events:int64, value_cents:int64)."""
+    import numpy as np
+
+    gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        brk = np.concatenate(([0], (np.diff(ts) > gap).astype(np.int64)))
+        sid = np.cumsum(brk)
+        cents = to_cents(g["value"].to_numpy())
+        f = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "sid": sid,
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "cents": cents,
+            }
+        )
+        return f.groupby(["user_id", "sid"], as_index=False).agg(
+            session_id=("event_id", "min"),
+            first_type=("event_type", "first"),
+            last_type=("event_type", "last"),
+            n_events=("event_id", "size"),
+            value_cents=("cents", "sum"),
+        )[
+            [
+                "user_id",
+                "session_id",
+                "first_type",
+                "last_type",
+                "n_events",
+                "value_cents",
+            ]
+        ]
+
+    return (
+        ds.select_columns(["event_id", "user_id", "ts", "event_type", "value"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def session_attribution_sql(events_sql: str, gap_minutes: int = 30) -> str:
+    """Oracle twin: LAG-gap session ids, arg_min/arg_max by ts (unique per
+    user) for first/last, exact cent sums."""
+    return f"""
+        WITH sa_s AS (
+            SELECT *, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   CASE WHEN ts - LAG(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                        > INTERVAL {gap_minutes} MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM ({events_sql})
+        ),
+        sa_sid AS (
+            SELECT *, SUM(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM sa_s
+        )
+        SELECT user_id, CAST(MIN(event_id) AS BIGINT) AS session_id,
+               arg_min(event_type, ts) AS first_type,
+               arg_max(event_type, ts) AS last_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS value_cents
+        FROM sa_sid GROUP BY user_id, sid"""
