@@ -2198,6 +2198,16 @@ def q_events_props(sf_dir: str):
     return _i64(events.extract_props_key(ev), ["event_type", "sum_k", "n"])
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered view→click→purchase conversion funnel per user
+    (stages/events.funnel): stage k counts only strictly after stage
+    k−1's first completion; chained per-user MINs, no floats."""
+    from kaza_lcms_ray.stages import events
+
+    ev = _tbl(sf_dir, "events")
+    return _i64(events.funnel(ev), ["user_id", "reached"])
+
+
 def q_events_attribution(sf_dir: str):
     """First/last-touch session attribution (stages/events.
     session_attribution): gap-rule sessions + deterministic first/last
@@ -2819,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variogram": q_variogram,
         "leakage_split": q_leakage_split,
         "events_attribution": q_events_attribution,
+        "events_funnel": q_events_funnel,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3983,6 +3994,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_attribution": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).session_attribution_sql("SELECT * FROM events"),
+        "events_funnel": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).funnel_sql("SELECT * FROM events"),
         "events_running": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

@@ -603,3 +603,88 @@ def session_attribution_sql(events_sql: str, gap_minutes: int = 30) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(cents) AS BIGINT) AS value_cents
         FROM sa_sid GROUP BY user_id, sid"""
+
+
+def funnel(ds, stages=("view", "click", "purchase")):
+    """Ordered conversion funnel per user: stage k counts only if its
+    event occurs STRICTLY AFTER the user's stage-(k−1) completion time
+    (first-completion semantics — the standard product-funnel measure,
+    immune to out-of-order stage events).
+
+    Deterministic: completion times are per-user MINs over a unique
+    (user, ts) stream; no float arithmetic.  Same co-partitioning shape
+    as the other event ops (hash-bucketed users, vectorized in-task
+    pandas passes — one merge per stage, not one pass per user).
+
+    Output: (user_id, reached:int64 ∈ [0, len(stages)]).
+    """
+    import numpy as np
+
+    from ..state.hashing import splitmix64
+    from .zonal import _default_buckets
+
+    nb = _default_buckets(None)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(np.int64).view(np.uint64)
+        return df.assign(bucket=(splitmix64(k) % np.uint64(nb)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.Index(pd.unique(g["user_id"]))
+        reached = pd.Series(np.int64(0), index=users)
+        thr = pd.Series(np.datetime64("1677-09-22"), index=users)  # ≈ -inf
+        alive = users
+        for st in stages:
+            sub = g[g["event_type"] == st]
+            sub = sub[sub["user_id"].isin(alive)]
+            t = sub["ts"].to_numpy()
+            keep = t > thr.reindex(sub["user_id"]).to_numpy()
+            sub = sub[keep]
+            m = sub.groupby("user_id")["ts"].min()
+            reached.loc[m.index] += 1
+            thr = m
+            alive = m.index
+            if len(alive) == 0:
+                break
+        return pd.DataFrame(
+            {"user_id": users.to_numpy(), "reached": reached.to_numpy()}
+        )
+
+    return (
+        ds.select_columns(["user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["user_id", "reached"])
+    )
+
+
+def funnel_sql(events_sql: str, stages=("view", "click", "purchase")) -> str:
+    """Oracle twin: chained per-user first-completion MINs with the same
+    strict-after rule."""
+    ctes = [
+        f"""fn_u AS (SELECT DISTINCT user_id FROM ({events_sql}))""",
+        f"""fn_t1 AS (
+            SELECT user_id, MIN(ts) AS t FROM ({events_sql})
+            WHERE event_type = '{stages[0]}' GROUP BY user_id)""",
+    ]
+    for i, st in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"""fn_t{i} AS (
+            SELECT e.user_id, MIN(e.ts) AS t FROM ({events_sql}) e
+            JOIN fn_t{i - 1} p ON e.user_id = p.user_id AND e.ts > p.t
+            WHERE e.event_type = '{st}' GROUP BY e.user_id)"""
+        )
+    flags = " + ".join(
+        f"CASE WHEN fn_t{i}.t IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(1, len(stages) + 1)
+    )
+    joins = "\n            ".join(
+        f"LEFT JOIN fn_t{i} ON fn_t{i}.user_id = fn_u.user_id"
+        for i in range(1, len(stages) + 1)
+    )
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT fn_u.user_id, CAST({flags} AS BIGINT) AS reached
+        FROM fn_u
+            {joins}"""
