@@ -1140,6 +1140,19 @@ def q_zipf_fit(sf_dir: str):
     return _i64(text.zipf_fit(docs, top=1000), ["n_terms", "slope"])
 
 
+def q_corpus_card(sf_dir: str):
+    """One-row dataset card (stages/text.corpus_card): exact doc/char/
+    token totals + fingerprint-keyed distinct-text and dup counts —
+    O(1) reaches the driver."""
+    from kaza_lcms_ray.stages import text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(
+        text.corpus_card(docs),
+        ["n_docs", "n_chars", "n_tokens", "n_distinct_text", "n_dup_docs"],
+    )
+
+
 def q_token_entropy(sf_dir: str):
     """Per-doc unigram Shannon entropy, integer-quantized (stages/text.
     token_entropy) — the vocabulary-concentration quality signal; fully
@@ -2830,6 +2843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_split": q_leakage_split,
         "events_attribution": q_events_attribution,
         "events_funnel": q_events_funnel,
+        "corpus_card": q_corpus_card,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3671,6 +3685,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "zipf_fit": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).zipf_fit_sql("SELECT doc_id, text FROM documents", top=1000),
+        "corpus_card": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).corpus_card_sql("SELECT doc_id, text FROM documents"),
         "quality_blend": f"""
             WITH ts AS ({_text_scores_sql()}),
             rq AS (SELECT doc_id,

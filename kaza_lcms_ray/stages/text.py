@@ -1757,3 +1757,93 @@ def zipf_fit_sql(docs_sql: str, top: int = 1000) -> str:
                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
         FROM zf_s"""
+
+
+def corpus_card(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """One-row dataset card — the datasheet numbers a corpus release ships:
+    document count, total characters, total \\S+ tokens, distinct-text
+    count (exact, fingerprint-keyed) and duplicate rate numerator.
+
+    Scale shape: one stateless stats pass collapses each batch to a
+    single partial row (counts + per-batch distinct fp set sizes can't
+    pre-combine exactly, so distinct rides the fingerprint-keyed
+    ``exact_dedup_keys`` reduce — skinny rows only); everything that
+    reaches the driver is O(1).
+
+    Output: (n_docs, n_chars, n_tokens, n_distinct_text, n_dup_docs) —
+    all int64, all exact."""
+    import ray.data as rd
+
+    from .dedup import exact_dedup_keys
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(t)], pa.int64()),
+                "n_chars": pa.array(
+                    [
+                        int(
+                            pc.sum(pc.utf8_length(text)).as_py() or 0
+                        )
+                    ],
+                    pa.int64(),
+                ),
+                "n_tokens": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.count_substring_regex(text, TOKEN_RE)
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    stats = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    keys = exact_dedup_keys(ds, text_col, id_col)
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        dups = pc.sum(
+            pc.subtract(t.column("n_dups"), pa.scalar(1, pa.int64()))
+        ).as_py()
+        return pa.table(
+            {
+                "n_distinct": pa.array([len(t)], pa.int64()),
+                "n_dup": pa.array([int(dups or 0)], pa.int64()),
+            }
+        )
+
+    ks = keys.map_batches(key_partial, batch_format="pyarrow").to_pandas()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([int(stats["n_docs"].sum())], pa.int64()),
+                "n_chars": pa.array([int(stats["n_chars"].sum())], pa.int64()),
+                "n_tokens": pa.array([int(stats["n_tokens"].sum())], pa.int64()),
+                "n_distinct_text": pa.array(
+                    [int(ks["n_distinct"].sum())], pa.int64()
+                ),
+                "n_dup_docs": pa.array([int(ks["n_dup"].sum())], pa.int64()),
+            }
+        )
+    )
+
+
+def corpus_card_sql(docs_sql: str) -> str:
+    """Oracle twin: the same exact totals in one aggregate + a distinct
+    subquery."""
+    return f"""
+        WITH cc_d AS ({docs_sql}),
+        cc_k AS (SELECT COUNT(*) AS c FROM cc_d GROUP BY text)
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cc_d) AS n_docs,
+               (SELECT CAST(SUM(length(text)) AS BIGINT) FROM cc_d)
+                   AS n_chars,
+               (SELECT CAST(SUM(len(regexp_extract_all(text, '\\S+')))
+                            AS BIGINT) FROM cc_d) AS n_tokens,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cc_k)
+                   AS n_distinct_text,
+               (SELECT CAST(SUM(c - 1) AS BIGINT) FROM cc_k) AS n_dup_docs"""
