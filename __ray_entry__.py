@@ -1140,6 +1140,22 @@ def q_zipf_fit(sf_dir: str):
     return _i64(text.zipf_fit(docs, top=1000), ["n_terms", "slope"])
 
 
+BM25_QUERY = ("table", "spark", "window")
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-20 retrieval for a fixed query-term set (stages/text.
+    bm25_topk): two streaming passes (tiny df/avgdl partials, in-batch
+    scoring with 2⁴⁰-quantized terms), two-level top-k.  Ranking
+    bit-replayable in SQL."""
+    from kaza_lcms_ray.stages import text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(
+        text.bm25_topk(docs, list(BM25_QUERY), k=20), ["doc_id", "score_q"]
+    )
+
+
 def q_corpus_card(sf_dir: str):
     """One-row dataset card (stages/text.corpus_card): exact doc/char/
     token totals + fingerprint-keyed distinct-text and dup counts —
@@ -2844,6 +2860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": q_events_attribution,
         "events_funnel": q_events_funnel,
         "corpus_card": q_corpus_card,
+        "bm25": q_bm25,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3688,6 +3705,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "corpus_card": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).corpus_card_sql("SELECT doc_id, text FROM documents"),
+        "bm25": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).bm25_topk_sql(
+            "SELECT doc_id, text FROM documents", list(BM25_QUERY), k=20
+        ),
         "quality_blend": f"""
             WITH ts AS ({_text_scores_sql()}),
             rq AS (SELECT doc_id,

@@ -1847,3 +1847,184 @@ def corpus_card_sql(docs_sql: str) -> str:
                (SELECT CAST(COUNT(*) AS BIGINT) FROM cc_k)
                    AS n_distinct_text,
                (SELECT CAST(SUM(c - 1) AS BIGINT) FROM cc_k) AS n_dup_docs"""
+
+
+BM25_SCALE_INT = 1 << 40
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(ds, query_terms, k: int = 20, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """BM25 document retrieval for a fixed query-term set — the classic
+    sparse search scorer:
+
+      score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+      idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    Determinism contract: per-(doc, term) score terms quantize to
+    floor(·2⁴⁰) int64 (ln is libm = DuckDB), a document's score is the
+    exact integer sum of its ≤|query| terms, and ties break on id — so
+    the ranking is bit-replayable in SQL.
+
+    Scale shape: pass 1 collapses each batch to (per-query-term df, Σdl,
+    N) partials (≤|query|+1 rows per batch — the query side is tiny and
+    broadcast); the driver folds them into idf/avgdl; pass 2 scores
+    in-batch (a doc is ONE row: its tf vector never crosses batches) and
+    the two-level ``top_k`` returns ≤k rows per block.  Docs containing
+    no query term score 0 and are excluded.
+
+    Output: Dataset[(id, score_q:int64)] — the top-k by (score_q desc,
+    id asc)."""
+    import math
+
+    import ray
+
+    from .joins import top_k
+
+    qterms = sorted(set(query_terms))
+    qarr_master = np.array(qterms, dtype=object)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(t, text_col)
+        hit = pc.is_in(tf.column("term"), value_set=pa.array(qterms))
+        sub = tf.filter(hit)
+        g = (
+            sub.select(["term"])
+            .group_by(["term"])
+            .aggregate([([], "count_all")])
+        )
+        text = t.column(text_col)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        n_empty = int(
+            pc.sum(
+                pc.cast(pc.equal(pc.utf8_length(flat), 0), pa.int64())
+            ).as_py()
+            or 0
+        )
+        total_dl = len(flat) - n_empty
+        out_terms = g.column("term").to_pylist() + ["#N#", "#DL#"]
+        out_vals = [int(v) for v in g.column("count_all").to_pylist()] + [
+            len(t),
+            total_dl,
+        ]
+        return pa.table(
+            {
+                "term": pa.array(out_terms, pa.string()),
+                "v": pa.array(out_vals, pa.int64()),
+            }
+        )
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term", as_index=False)["v"]
+        .sum()
+    )
+    sv = dict(zip(st["term"], st["v"]))
+    n_docs = int(sv.pop("#N#", 0))
+    total_dl = int(sv.pop("#DL#", 0))
+    avgdl = float(total_dl) / float(n_docs) if n_docs else 1.0
+    idf = {
+        t: math.log((n_docs - sv.get(t, 0) + 0.5) / (sv.get(t, 0) + 0.5) + 1.0)
+        for t in qterms
+    }
+    idf_arr = np.array([idf[t] for t in qterms], dtype=np.float64)
+    side_ref = ray.put({"terms": qarr_master, "idf": idf_arr, "avgdl": avgdl})
+    scale = float(BM25_SCALE_INT)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tf = _doc_term_tf(t, text_col)
+        hit = pc.is_in(tf.column("term"), value_set=pa.array(list(side["terms"])))
+        sub = tf.filter(hit)
+        text = t.column(text_col)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten()
+        nonempty = pc.cast(
+            pc.greater(pc.utf8_length(flat), 0), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cs = np.concatenate(([0], np.cumsum(nonempty)))
+        dl = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.float64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sub_ids = sub.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="mergesort")  # batch ids are unique
+        rows = order[np.searchsorted(ids[order], sub_ids)]
+        tfv = sub.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        # term -> idf via searchsorted on the sorted query array
+        terms = sub.column("term").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["terms"], terms)
+        tidf = side["idf"][pos]
+        denom = tfv + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[rows] / side["avgdl"]))
+        sterm = tidf * (tfv * (BM25_K1 + 1.0)) / denom
+        q = np.floor(sterm * scale).astype(np.int64)
+        score = np.zeros(len(t), dtype=np.int64)
+        np.add.at(score, rows, q)
+        nz = np.flatnonzero(score != 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids[nz]),
+                "score_q": pa.array(score[nz]),
+            }
+        )
+
+    scored = ds.map_batches(score_partial, batch_format="pyarrow")
+    return top_k(scored, "score_q", k, tiebreak_col=id_col, descending=True)
+
+
+def bm25_topk_sql(docs_sql: str, query_terms, k: int = 20) -> str:
+    """Oracle twin: same tokenization/df/idf/quantization, ORDER BY
+    (score DESC, id) LIMIT k."""
+    qterms = sorted(set(query_terms))
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in qterms)
+    S = float(BM25_SCALE_INT)
+    return f"""
+        WITH bm_d AS MATERIALIZED ({docs_sql}),
+        bm_tok AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM bm_d
+        ),
+        bm_dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+            FROM bm_tok GROUP BY doc_id
+        ),
+        bm_n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM bm_tok)
+                       / CAST(COUNT(*) AS DOUBLE) AS avgdl
+            FROM bm_d
+        ),
+        bm_tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+            FROM bm_tok WHERE term IN ({inlist}) GROUP BY doc_id, term
+        ),
+        bm_df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM bm_tf GROUP BY term
+        ),
+        bm_sc AS (
+            SELECT f.doc_id,
+                   CAST(floor(
+                       ln((CAST(n.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                          / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                       * (f.tf * ({BM25_K1!r} + 1.0))
+                       / (f.tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+                          + {BM25_B!r} * (l.dl / n.avgdl)))
+                       * {S!r}) AS BIGINT) AS q
+            FROM bm_tf f
+            JOIN bm_df d ON f.term = d.term
+            JOIN bm_dl l ON f.doc_id = l.doc_id
+            CROSS JOIN bm_n n
+        )
+        SELECT doc_id, CAST(SUM(q) AS BIGINT) AS score_q
+        FROM bm_sc GROUP BY doc_id
+        HAVING SUM(q) != 0
+        ORDER BY score_q DESC, doc_id LIMIT {k}"""
