@@ -1156,6 +1156,16 @@ def q_bm25(sf_dir: str):
     )
 
 
+def q_pmi(sf_dir: str):
+    """PMI collocations among the top-500 bigrams (stages/text.
+    pmi_collocations): bounded candidate set, broadcast part-word unigram
+    reduce, 2⁴⁰-quantized libm PMI, (pmi_q desc, gram) order."""
+    from kaza_lcms_ray.stages import text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(text.pmi_collocations(docs, m=500, k=50), ["gram", "pmi_q"])
+
+
 def q_corpus_card(sf_dir: str):
     """One-row dataset card (stages/text.corpus_card): exact doc/char/
     token totals + fingerprint-keyed distinct-text and dup counts —
@@ -2861,6 +2871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "corpus_card": q_corpus_card,
         "bm25": q_bm25,
+        "pmi": q_pmi,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -3710,6 +3721,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).bm25_topk_sql(
             "SELECT doc_id, text FROM documents", list(BM25_QUERY), k=20
         ),
+        "pmi": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).pmi_collocations_sql("SELECT doc_id, text FROM documents", m=500, k=50),
         "quality_blend": f"""
             WITH ts AS ({_text_scores_sql()}),
             rq AS (SELECT doc_id,

@@ -2028,3 +2028,139 @@ def bm25_topk_sql(docs_sql: str, query_terms, k: int = 20) -> str:
         FROM bm_sc GROUP BY doc_id
         HAVING SUM(q) != 0
         ORDER BY score_q DESC, doc_id LIMIT {k}"""
+
+
+PMI_SCALE_INT = 1 << 40
+
+
+def pmi_collocations(ds, m: int = 500, k: int = 50, text_col: str = "text"):
+    """Collocation extraction: the top-``k`` bigrams by pointwise mutual
+    information among the corpus's ``m`` most frequent bigrams (the
+    m-truncation is part of the pinned rule — PMI over rare bigrams is
+    noise, and it bounds the driver-side candidate set).
+
+      pmi(a b) = ln( (c_ab · N₁) / (c_a · c_b) ),  N₁ = total token count
+
+    evaluated in doubles as (c_ab·N₁)/(c_a·c_b) (products as doubles so
+    corpus-scale counts can't overflow), ln libm, quantized to 2⁴⁰ int
+    for the order-free final compare; ties break on the gram string.
+
+    Scale shape: the bigram reduce is ``top_ngrams`` (bounded by vocab²,
+    never corpus size); the unigram pass filters to the ≤2m candidate
+    part words via a broadcast is_in and collapses each batch to ≤2m+1
+    skinny rows (a printable sentinel row carries the total token count).
+
+    Output: k-row Dataset[gram, pmi_q:int64]."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    cand = top_ngrams(ds, n=2, k=m, text_col=text_col).to_pandas()
+    if len(cand) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"gram": pa.array([], pa.string()), "pmi_q": pa.array([], pa.int64())}
+            )
+        )
+    part_lists = cand["term"].str.split(" ")
+    parts = sorted({w for ps in part_lists for w in ps})
+    parts_ref = ray.put(np.array(parts, dtype=object))
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        side = ray.get(parts_ref)
+        text = t.column(text_col)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        total = len(flat)
+        hit = flat.filter(pc.is_in(flat, value_set=pa.array(list(side))))
+        g = (
+            pa.table({"term": hit})
+            .group_by(["term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "term": pa.array(g.column("term").to_pylist() + ["#N#"], pa.string()),
+                "c": pa.array(
+                    [int(v) for v in g.column("count_all").to_pylist()] + [total],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    uni = (
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("term", as_index=False)["c"]
+        .sum()
+    )
+    cmap = dict(zip(uni["term"], uni["c"]))
+    n1 = float(cmap.pop("#N#", 0))
+    scale = float(PMI_SCALE_INT)
+    rows = []
+    for gram, ct, ps in zip(cand["term"], cand["ct"], part_lists):
+        ca, cb = float(cmap[ps[0]]), float(cmap[ps[1]])
+        ratio = (float(ct) * n1) / (ca * cb)
+        rows.append((gram, int(np.floor(math.log(ratio) * scale))))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "gram": pa.array([r[0] for r in rows], pa.string()),
+                "pmi_q": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def pmi_collocations_sql(docs_sql: str, m: int = 500, k: int = 50) -> str:
+    """Oracle twin: same tokenization / m-truncation / double expression /
+    quantization / (pmi_q desc, gram) order."""
+    S = float(PMI_SCALE_INT)
+    return f"""
+        WITH pm_toks AS MATERIALIZED (
+            SELECT doc_id, ord, term FROM (
+                SELECT doc_id, unnest(toks) AS term,
+                       generate_subscripts(toks, 1) AS ord
+                FROM (
+                    SELECT doc_id,
+                           list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                                       x -> length(x) > 0) AS toks
+                    FROM ({docs_sql})
+                )
+            )
+        ),
+        pm_big AS (
+            SELECT gram, ct FROM (
+                SELECT term || ' ' || nxt AS gram, COUNT(*) AS ct
+                FROM (
+                    SELECT doc_id, term,
+                           lead(term) OVER (PARTITION BY doc_id ORDER BY ord)
+                               AS nxt
+                    FROM pm_toks
+                ) WHERE nxt IS NOT NULL
+                GROUP BY 1
+            ) ORDER BY ct DESC, gram LIMIT {m}
+        ),
+        pm_uni AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM pm_toks GROUP BY term
+        ),
+        pm_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1 FROM pm_toks),
+        pm_sc AS (
+            SELECT b.gram,
+                   CAST(floor(ln((CAST(b.ct AS DOUBLE) * t.n1)
+                                 / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)))
+                              * {S!r}) AS BIGINT) AS pmi_q
+            FROM pm_big b
+            JOIN pm_uni ua ON ua.term = split_part(b.gram, ' ', 1)
+            JOIN pm_uni ub ON ub.term = split_part(b.gram, ' ', 2)
+            CROSS JOIN pm_n t
+        )
+        SELECT gram, pmi_q FROM pm_sc
+        ORDER BY pmi_q DESC, gram LIMIT {k}"""
