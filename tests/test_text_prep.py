@@ -253,3 +253,52 @@ def test_zipf_fit_slope_on_synthetic_power_law(ray_session):
         )
         assert int(out["n_terms"].iloc[0]) == 50
         assert -1.3 < float(out["slope"].iloc[0]) < -0.7
+
+
+def test_bm25_ranking_sanity_and_reshard(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as tx
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [
+                "spark table spark table spark",  # dense in both terms
+                "spark table window filler words here",
+                "spark only here with other words",
+                "table appears once in this longer document of many words",
+                "nothing relevant at all",
+                "window window window",
+            ],
+        }
+    )
+    outs = []
+    for nblocks in (1, 3):
+        got = (
+            tx.bm25_topk(rd.from_pandas(df).repartition(nblocks),
+                         ["spark", "table"], k=6)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # doc 0 (dense in both query terms) must rank first; doc 4/5 excluded
+    assert int(outs[0]["doc_id"].iloc[0]) == 0
+    assert set(outs[0]["doc_id"]) & {4, 5} == set()
+
+
+def test_pmi_prefers_exclusive_pairs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as tx
+
+    # "aa bb" always co-occur exclusively; "cc" is frequent everywhere
+    docs = ["aa bb cc dd", "aa bb cc ee", "aa bb cc ff", "cc gg", "cc hh"]
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+    )
+    got = tx.pmi_collocations(rd.from_pandas(df), m=20, k=5).to_pandas()
+    assert got["gram"].iloc[0] == "aa bb"  # the exclusive pair wins PMI
