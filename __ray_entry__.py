@@ -2237,6 +2237,16 @@ def q_events_props(sf_dir: str):
     return _i64(events.extract_props_key(ev), ["event_type", "sum_k", "n"])
 
 
+def q_events_retention(sf_dir: str):
+    """Weekly cohort retention triangle (stages/events.retention_cohorts):
+    per-user first-period cohorts and distinct-activity counts per
+    (cohort, k) — deterministic integers end-to-end."""
+    from kaza_lcms_ray.stages import events
+
+    ev = _tbl(sf_dir, "events")
+    return _i64(events.retention_cohorts(ev), ["cohort", "k", "n_users"])
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view→click→purchase conversion funnel per user
     (stages/events.funnel): stage k counts only strictly after stage
@@ -2872,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_card": q_corpus_card,
         "bm25": q_bm25,
         "pmi": q_pmi,
+        "events_retention": q_events_retention,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -4050,6 +4061,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_funnel": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).funnel_sql("SELECT * FROM events"),
+        "events_retention": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).retention_cohorts_sql("SELECT * FROM events"),
         "events_running": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

@@ -688,3 +688,85 @@ def funnel_sql(events_sql: str, stages=("view", "click", "purchase")) -> str:
         SELECT fn_u.user_id, CAST({flags} AS BIGINT) AS reached
         FROM fn_u
             {joins}"""
+
+
+def retention_cohorts(ds, period_days: int = 7):
+    """Cohort retention: users grouped by their first-activity period
+    (floor(ts / period) — epoch-aligned weeks by default); retention cell
+    (cohort, k) counts the cohort's distinct users active k periods later
+    — the standard product-retention triangle.
+
+    Deterministic integers end-to-end.  Scale shape: pass 1 reduces to
+    per-user first-period MINs (bucketed — one row per user per batch);
+    the per-(user, period) activity table then joins the tiny per-user
+    cohort via the SAME hash bucket (co-partitioned map_groups — no extra
+    shuffle beyond the two bucketed reduces), and (cohort, k) counts
+    collapse per batch.
+
+    Output: (cohort:int64, k:int64, n_users:int64).
+    """
+    import numpy as np
+
+    from ..state.hashing import splitmix64
+    from .zonal import _default_buckets, bucketed_sum
+
+    nb = _default_buckets(None)
+    period_us = np.int64(period_days) * 86_400 * 1_000_000
+
+    def add_period(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        per = np.floor_divide(ts, period_us)
+        k = df["user_id"].to_numpy(np.int64).view(np.uint64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "period": per,
+                "bucket": (splitmix64(k) % np.uint64(nb)).astype(np.int64),
+            }
+        ).drop_duplicates(["user_id", "period"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "period"])
+        first = g.groupby("user_id")["period"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort": first.to_numpy(),
+                "k": g["period"].to_numpy() - first.to_numpy(),
+            }
+        )
+        return (
+            out.groupby(["cohort", "k"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_users"})
+        )
+
+    partial = (
+        ds.select_columns(["user_id", "ts"])
+        .map_batches(add_period, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return bucketed_sum(
+        partial, ["cohort", "k"], ["n_users"], recombine_batch_size=None
+    )
+
+
+def retention_cohorts_sql(events_sql: str, period_days: int = 7) -> str:
+    """Oracle twin: same floor-division periods, per-user MIN cohort,
+    distinct (user, period) activity, grouped counts."""
+    us = period_days * 86_400 * 1_000_000
+    return f"""
+        WITH rc_a AS (
+            SELECT DISTINCT user_id,
+                   -- integer division: epoch_us exceeds 2^53, a double
+                   -- floor would round; ts > 0 so trunc == floor
+                   CAST(epoch_us(ts) // {us} AS BIGINT) AS period
+            FROM ({events_sql})
+        ),
+        rc_c AS (
+            SELECT user_id, MIN(period) AS cohort FROM rc_a GROUP BY user_id
+        )
+        SELECT c.cohort, a.period - c.cohort AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM rc_a a JOIN rc_c c ON a.user_id = c.user_id
+        GROUP BY 1, 2"""
