@@ -161,3 +161,53 @@ def test_ewma_matches_naive_recurrence(ray_session):
         )
         for eid in df["event_id"]:
             assert int(got.loc[eid, "ewma_cents"]) == naive[eid], eid
+
+
+def test_funnel_ordering_and_retention_cells(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events as ev
+
+    # user 1: full ordered funnel; user 2: purchase BEFORE view (stage 3
+    # must not count); user 3: view only
+    rows = [
+        (1, 1, "2024-01-01 00:00", "view"),
+        (2, 1, "2024-01-01 00:05", "click"),
+        (3, 1, "2024-01-01 00:10", "purchase"),
+        (4, 2, "2024-01-01 00:00", "purchase"),
+        (5, 2, "2024-01-01 00:05", "view"),
+        (6, 2, "2024-01-01 00:10", "click"),
+        (7, 3, "2024-01-01 00:00", "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["value"] = 1.0
+    got = (
+        ev.funnel(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("user_id")["reached"]
+        .to_dict()
+    )
+    assert got == {1: 3, 2: 2, 3: 1}
+
+    # retention: user 1 active weeks 0 and 1 of its cohort; user 2 week 0
+    rws = [
+        (1, 1, "2024-01-01"),
+        (2, 1, "2024-01-09"),  # 8 days later -> k=1
+        (3, 2, "2024-01-02"),
+    ]
+    rdf = pd.DataFrame(rws, columns=["event_id", "user_id", "ts"])
+    rdf["ts"] = pd.to_datetime(rdf["ts"])
+    rdf["value"] = 0.0
+    rdf["event_type"] = "view"
+    out = (
+        ev.retention_cohorts(rd.from_pandas(rdf))
+        .to_pandas()
+        .sort_values(["cohort", "k"])
+        .reset_index(drop=True)
+    )
+    # epoch-week cohorts: user1 cohort week W, cells (W,0) and (W,1)
+    ks = out.groupby("k")["n_users"].sum().to_dict()
+    assert ks[0] == 2 and ks[1] == 1
