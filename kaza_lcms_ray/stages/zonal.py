@@ -996,6 +996,18 @@ def morans_i(geo, band: int = 3, k: int = 1):
     ).to_pandas()
     n_cells = int(tot["n_cells"].sum())
     v_sum = int(tot["v_sum"].sum())
+    if n_cells == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_cells": pa.array([], pa.int64()),
+                    "w_pairs": pa.array([], pa.int64()),
+                    "num_q": pa.array([], pa.int64()),
+                    "den_q": pa.array([], pa.int64()),
+                    "moran": pa.array([], pa.float64()),
+                }
+            )
+        )
     vbar = float(v_sum) / float(n_cells)
     scale = float(MORAN_SCALE_INT)
     n_grid = np.int64(1) << CELL_LEVEL
@@ -1026,38 +1038,40 @@ def morans_i(geo, band: int = 3, k: int = 1):
 
     fanned = cellsums.map_batches(fan, batch_format="pyarrow")
 
-    def as_i64_cell(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "cell_id": pc.cast(t.column("cell_id"), pa.int64()),
-                "v_tgt": pc.cast(t.column(s_col), pa.int64()),
-            }
-        )
-
-    vals = cellsums.map_batches(as_i64_cell, batch_format="pyarrow")
-    pairs = fanned.join(
-        vals,
-        join_type="inner",
-        num_partitions=join_partitions(n_cells),
-        on=("cell_id",),
-    )
+    # attach v_tgt by BROADCAST lookup, not a hash join: the cell table is
+    # AOI-grid-bounded (≤4^CELL_LEVEL rows — the kring_smooth occupancy
+    # argument), and Dataset.join's shuffle overhead dominated the bench
+    # (18.7 s → the fan+lookup path) while a sorted-array probe is O(log n)
+    # per pair inside the batch
+    cells_pd = cellsums.to_pandas()
+    ckeys = cells_pd["cell_id"].to_numpy(np.int64)
+    cvals = cells_pd[s_col].to_numpy(np.int64)
+    corder = np.argsort(ckeys, kind="mergesort")
+    side_ref = ray.put({"k": ckeys[corder], "v": cvals[corder]})
 
     def pair_partial(t: pa.Table) -> pa.Table:
-        a = t.column("v_src").to_numpy(zero_copy_only=False).astype(np.float64)
-        b = t.column("v_tgt").to_numpy(zero_copy_only=False).astype(np.float64)
+        side = ray.get(side_ref)
+        tgt = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["k"], tgt)
+        pos = np.minimum(pos, len(side["k"]) - 1)
+        hit = side["k"][pos] == tgt
+        a = (
+            t.column("v_src")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)[hit]
+        )
+        b = side["v"][pos[hit]].astype(np.float64)
         za = (a - vbar) / vbar
         zb = (b - vbar) / vbar
         q = np.floor((za * zb) * scale).astype(np.int64)
         return pa.table(
             {
                 "num_q": pa.array([int(q.sum())], pa.int64()),
-                "w": pa.array([len(t)], pa.int64()),
+                "w": pa.array([int(hit.sum())], pa.int64()),
             }
         )
 
-    pp = pairs.map_batches(pair_partial, batch_format="pyarrow").to_pandas()
+    pp = fanned.map_batches(pair_partial, batch_format="pyarrow").to_pandas()
     num_q = int(pp["num_q"].sum())
     w_pairs = int(pp["w"].sum())
 
