@@ -1177,14 +1177,13 @@ def variogram(geo, band: int = 3, max_ring: int = 2):
 
     Output: (ring:int64, n_pairs:int64, sum_sq:int64, gamma:f64).
     """
+    import ray
     import ray.data as rd
 
-    from ..runtime import join_partitions
     from ..state.cells import CELL_LEVEL, decode, morton
 
     s_col = f"s_c{band}"
     cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
-    n_cells = cellsums.count()
     n_grid = np.int64(1) << CELL_LEVEL
     offsets = [
         (dx, dy, max(abs(dx), abs(dy)))
@@ -1214,29 +1213,28 @@ def variogram(geo, band: int = 3, max_ring: int = 2):
             )
         return pa.concat_tables(parts)
 
-    def as_i64_cell(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return pa.table(
-            {
-                "cell_id": pc.cast(t.column("cell_id"), pa.int64()),
-                "v_tgt": pc.cast(t.column(s_col), pa.int64()),
-            }
-        )
-
-    pairs = cellsums.map_batches(fan, batch_format="pyarrow").join(
-        cellsums.map_batches(as_i64_cell, batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=join_partitions(n_cells),
-        on=("cell_id",),
-    )
+    # broadcast probe instead of a hash join (the morans_i rationale:
+    # the cell table is AOI-grid-bounded)
+    cells_pd = cellsums.to_pandas()
+    ckeys = cells_pd["cell_id"].to_numpy(np.int64)
+    cvals = cells_pd[s_col].to_numpy(np.int64)
+    corder = np.argsort(ckeys, kind="mergesort")
+    side_ref = ray.put({"k": ckeys[corder], "v": cvals[corder]})
+    fanned = cellsums.map_batches(fan, batch_format="pyarrow")
 
     def partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tgt = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["k"], tgt)
+        pos = np.minimum(pos, max(len(side["k"]) - 1, 0))
+        hit = side["k"][pos] == tgt if len(side["k"]) else np.zeros(len(tgt), bool)
         d = (
-            t.column("v_src").to_numpy(zero_copy_only=False).astype(np.int64)
-            - t.column("v_tgt").to_numpy(zero_copy_only=False).astype(np.int64)
+            t.column("v_src")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[hit]
+            - side["v"][pos[hit]]
         )
-        ring = t.column("ring").to_numpy(zero_copy_only=False)
+        ring = t.column("ring").to_numpy(zero_copy_only=False)[hit]
         sq = (d * d) // 10_000  # cents² → units², exact truncation
         # exact int64 accumulation — float-weighted bincount would round
         # past 2⁵³ (per-batch Σsq reaches ~10¹⁸ at real cent magnitudes)
@@ -1253,7 +1251,7 @@ def variogram(geo, band: int = 3, max_ring: int = 2):
         )
 
     agg = bucketed_sum(
-        pairs.map_batches(partial, batch_format="pyarrow"),
+        fanned.map_batches(partial, batch_format="pyarrow"),
         ["ring"],
         ["n_pairs", "sum_sq"],
         recombine_batch_size=None,
