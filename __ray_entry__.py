@@ -1166,6 +1166,61 @@ def q_pmi(sf_dir: str):
     return _i64(text.pmi_collocations(docs, m=500, k=50), ["gram", "pmi_q"])
 
 
+def q_similar_docs(sf_dir: str):
+    """Single-query similarity search (stages/dedup.similar_docs): exact
+    shingle-Jaccard of the corpus vs the broadcast query doc (doc_id 0),
+    no shuffle, two-level top-k."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kaza_lcms_ray.stages import dedup
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    qtext = t.filter(pc.equal(t.column("doc_id"), 0)).column("text")[0].as_py()
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(
+        dedup.similar_docs(docs, qtext, k_results=10), ["doc_id", "jaccard"]
+    )
+
+
+def _similar_docs_sql(k_results: int = 10) -> str:
+    """Oracle: per-doc distinct shingle sets via the shared rolling-hash
+    chain (the _jaccard_verified_sql construction), query = doc 0's set,
+    membership counts, (jaccard desc, id) LIMIT."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    k = 5
+    pos_base = f"""
+        SELECT doc_id, text, least({k}, length(text)) AS win,
+               unnest(range(1, length(text) - least({k}, length(text)) + 2)) AS pos
+        FROM documents WHERE length(text) > 0"""
+    rh = SH.rolling_poly_window("text", "pos", "win")
+    shq = SH.chain_select(
+        f"SELECT doc_id, {rh} AS rh FROM ({pos_base})",
+        SH.splitmix_steps("rh", "sh", "s"),
+    )
+    return f"""
+        WITH sd_shd AS MATERIALIZED (
+            SELECT DISTINCT doc_id, sh FROM ({shq})
+        ),
+        sd_q AS (SELECT DISTINCT sh FROM sd_shd WHERE doc_id = 0),
+        sd_nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM sd_q),
+        sd_sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+            FROM sd_shd GROUP BY doc_id
+        ),
+        sd_inter AS (
+            SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS ni
+            FROM sd_shd s JOIN sd_q q ON s.sh = q.sh GROUP BY s.doc_id
+        )
+        SELECT i.doc_id,
+               i.ni / CAST(n.c + z.nsh - i.ni AS DOUBLE) AS jaccard
+        FROM sd_inter i
+        JOIN sd_sizes z ON z.doc_id = i.doc_id
+        CROSS JOIN sd_nq n
+        ORDER BY jaccard DESC, i.doc_id LIMIT {k_results}"""
+
+
 def q_corpus_card(sf_dir: str):
     """One-row dataset card (stages/text.corpus_card): exact doc/char/
     token totals + fingerprint-keyed distinct-text and dup counts —
@@ -2883,6 +2938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "pmi": q_pmi,
         "events_retention": q_events_retention,
+        "similar_docs": q_similar_docs,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -4064,6 +4120,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_retention": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).retention_cohorts_sql("SELECT * FROM events"),
+        "similar_docs": _similar_docs_sql(10),
         "events_running": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

@@ -1790,3 +1790,59 @@ def drop_frequent_lines_sql(
                CAST(COUNT(*) AS BIGINT) AS n_kept,
                CAST(any_value(n_para) - COUNT(*) AS BIGINT) AS n_dropped
         FROM fl_kept GROUP BY {id_col}"""
+
+
+def similar_docs(
+    ds,
+    query_text: str,
+    k_results: int = 10,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Single-query similarity search — "find documents like this one":
+    exact k-shingle Jaccard of every document against ONE broadcast query
+    document, ranked by (jaccard desc, id).
+
+    Scale shape: the query's distinct shingle set broadcasts once; each
+    batch computes per-doc distinct shingles with the shared vectorized
+    rolling hash and a sorted-array membership count — NO shuffle at all;
+    only docs with ≥1 shared shingle emit a row and ≤k survive each block
+    via the two-level top-k.  Exact: jaccard = ni/(nq + nd − ni), one
+    IEEE division of exact integers (identical in SQL).
+
+    Returns Dataset[(id, jaccard)] — the top-k."""
+    import ray
+
+    from .joins import top_k
+
+    q = np.unique(_char_shingle_hashes(query_text.encode("utf-8"), shingle_k))
+    nq = int(q.shape[0])
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        flat, seg = _batch_shingle_hashes(t.column(text_col), shingle_k)
+        n = len(t)
+        counts = np.diff(seg)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((flat, doc_idx))
+        di, h = doc_idx[order], flat[order]
+        first = np.ones(di.shape[0], dtype=bool)
+        if di.shape[0]:
+            first[1:] = (di[1:] != di[:-1]) | (h[1:] != h[:-1])
+        di, h = di[first], h[first]
+        nd = np.bincount(di, minlength=n).astype(np.int64)
+        if nq and h.shape[0]:
+            pos = np.minimum(np.searchsorted(qs, h), nq - 1)
+            member = qs[pos] == h
+        else:
+            member = np.zeros(h.shape[0], dtype=bool)
+        ni = np.bincount(di[member], minlength=n).astype(np.int64)
+        nz = np.flatnonzero(ni)
+        jac = ni[nz] / (nq + nd[nz] - ni[nz])
+        ids = t.column(id_col).take(pa.array(nz))
+        return pa.table({id_col: ids, "jaccard": pa.array(jac)})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return top_k(scored, "jaccard", k_results, tiebreak_col=id_col, descending=True)
