@@ -2292,6 +2292,19 @@ def q_events_props(sf_dir: str):
     return _i64(events.extract_props_key(ev), ["event_type", "sum_k", "n"])
 
 
+def q_events_anomaly(sf_dir: str):
+    """Streaming EWMA-deviation anomaly flags (stages/events.
+    ewma_anomalies): value vs the exact integer EWMA of everything before
+    it; first events never flag."""
+    from kaza_lcms_ray.stages import events
+
+    ev = _tbl(sf_dir, "events")
+    return _i64(
+        events.ewma_anomalies(ev),
+        ["event_id", "user_id", "dev_cents", "is_anomaly"],
+    )
+
+
 def q_events_retention(sf_dir: str):
     """Weekly cohort retention triangle (stages/events.retention_cohorts):
     per-user first-period cohorts and distinct-activity counts per
@@ -2939,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi": q_pmi,
         "events_retention": q_events_retention,
         "similar_docs": q_similar_docs,
+        "events_anomaly": q_events_anomaly,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -4121,6 +4135,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).retention_cohorts_sql("SELECT * FROM events"),
         "similar_docs": _similar_docs_sql(10),
+        "events_anomaly": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).ewma_anomalies_sql("SELECT * FROM events"),
         "events_running": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

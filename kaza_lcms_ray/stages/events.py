@@ -770,3 +770,107 @@ def retention_cohorts_sql(events_sql: str, period_days: int = 7) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM rc_a a JOIN rc_c c ON a.user_id = c.user_id
         GROUP BY 1, 2"""
+
+
+def ewma_anomalies(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    denom: int = 4,
+    threshold_cents: int = 20_000,
+):
+    """Streaming anomaly flags from the per-key integer EWMA baseline:
+    each event's deviation is v_t − y_{t−1} (its value against the EWMA of
+    everything BEFORE it); |dev| > ``threshold_cents`` flags an anomaly.
+    A key's first event has no baseline → dev 0, never flagged (pinned).
+
+    Same jagged lockstep vectorization and exact-integer recurrence as
+    ``ewma``; the oracle extends the recursive CTE with a LAG window.
+    Output: (event_id, key, dev_cents:int64, is_anomaly:int64)."""
+    import numpy as np
+
+    from ..state.hashing import splitmix64
+    from .zonal import _default_buckets
+
+    nb = _default_buckets(None)
+    a = int(denom) - 1
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy(np.int64).view(np.uint64)
+        return df.assign(bucket=(splitmix64(k) % np.uint64(nb)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, "event_id"], kind="mergesort")
+        v = to_cents(g[val_col].to_numpy())
+        kk = g[key].to_numpy()
+        n = len(g)
+        first = np.ones(n, dtype=bool)
+        if n:
+            first[1:] = kk[1:] != kk[:-1]
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+        y = v.copy()
+        if n:
+            order = np.argsort(pos, kind="stable")
+            maxp = int(pos.max())
+            lvl = np.searchsorted(pos[order], np.arange(maxp + 2))
+            for i in range(1, maxp + 1):
+                rows_i = order[lvl[i] : lvl[i + 1]]
+                y[rows_i] = (v[rows_i] + a * y[rows_i - 1]) // denom
+        dev = np.zeros(n, dtype=np.int64)
+        if n:
+            dev[~first] = v[~first] - y[np.flatnonzero(~first) - 1]
+        flag = (np.abs(dev) > threshold_cents).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                key: kk,
+                "dev_cents": dev,
+                "is_anomaly": flag,
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col, val_col])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["event_id", key, "dev_cents", "is_anomaly"])
+    )
+
+
+def ewma_anomalies_sql(
+    events_sql: str, denom: int = 4, threshold_cents: int = 20_000
+) -> str:
+    """Oracle twin: the ewma recursive CTE + a LAG(y) deviation window."""
+    a = int(denom) - 1
+    return f"""
+        WITH RECURSIVE ea_seq AS MATERIALIZED (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM ({events_sql})
+        ),
+        ea_r AS (
+            SELECT event_id, user_id, rn, v, v AS y FROM ea_seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_id, s.user_id, s.rn, s.v,
+                   CAST(floor((s.v + {a} * r.y) / {float(denom)!r}) AS BIGINT)
+            FROM ea_seq s JOIN ea_r r
+              ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        ),
+        ea_d AS (
+            SELECT event_id, user_id,
+                   CAST(COALESCE(v - LAG(y) OVER (
+                       PARTITION BY user_id ORDER BY rn), 0) AS BIGINT)
+                       AS dev_cents
+            FROM ea_r
+        )
+        SELECT event_id, user_id, dev_cents,
+               CAST(CASE WHEN abs(dev_cents) > {threshold_cents}
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM ea_d"""
