@@ -268,6 +268,71 @@ def q_morans_i(sf_dir: str):
     )
 
 
+HILBERT_RANGES_LEVEL = 10
+
+
+def q_hilbert_ranges(sf_dir: str):
+    """The id-range scan plan a Hilbert layout turns the AOI box filter
+    into (state/cells.hilbert_ranges): cells in the box → curve ids →
+    maximal contiguous runs.  Bounded planning computation; every run
+    boundary value-checked against the unrolled reflect+swap SQL replay +
+    gaps-and-islands coalescing."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from kaza_lcms_ray.state.cells import hilbert_ranges
+
+    root = _synth(sf_dir)
+    t = pq.read_table(f"{root}/polygons.parquet")
+    aoi = t.filter(pc.equal(t.column("kind"), "aoi")).column("bbox")[0].as_py()
+    starts, ends = hilbert_ranges(
+        aoi["minx"], aoi["miny"], aoi["maxx"], aoi["maxy"], HILBERT_RANGES_LEVEL
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "range_start": pa.array(starts, pa.int64()),
+                "range_end": pa.array(ends, pa.int64()),
+            }
+        )
+    )
+
+
+def _hilbert_ranges_sql(root: str, level: int) -> str:
+    from kaza_lcms_ray.state import sqlhash as SH
+    from kaza_lcms_ray.state.cells import grid_coord_sql_expr, hilbert_sql_steps
+
+    gx0 = grid_coord_sql_expr("minx", 180.0, 360.0, level)
+    gx1 = grid_coord_sql_expr("maxx", 180.0, 360.0, level)
+    gy0 = grid_coord_sql_expr("miny", 90.0, 180.0, level)
+    gy1 = grid_coord_sql_expr("maxy", 90.0, 180.0, level)
+    base = f"""
+        WITH hr_aoi AS (
+            SELECT bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'aoi'
+        ),
+        hr_b AS (
+            SELECT {gx0} AS ix0, {gx1} AS ix1, {gy0} AS iy0, {gy1} AS iy1
+            FROM hr_aoi
+        ),
+        hr_x AS (SELECT unnest(range(ix0, ix1 + 1)) AS xx FROM hr_b),
+        hr_y AS (SELECT unnest(range(iy0, iy1 + 1)) AS yy FROM hr_b)
+        SELECT CAST(xx AS BIGINT) AS hx0, CAST(yy AS BIGINT) AS hy0,
+               CAST(0 AS BIGINT) AS hd0
+        FROM hr_x CROSS JOIN hr_y"""
+    steps, final = hilbert_sql_steps("hx0", "hy0", "hd0", level)
+    chained = SH.chain_select(base, steps)
+    return f"""
+        SELECT CAST(MIN(hid) AS BIGINT) AS range_start,
+               CAST(MAX(hid) AS BIGINT) AS range_end
+        FROM (
+            SELECT hid, hid - ROW_NUMBER() OVER (ORDER BY hid) AS grp
+            FROM (SELECT {final} AS hid FROM ({chained}))
+        ) GROUP BY grp"""
+
+
 def q_cell_smooth(sf_dir: str):
     """Focal k-ring smoothing over the zonal cell grid (stages/zonal.
     kring_smooth — A8 reduceNeighborhood analog on the aggregated cell
@@ -2953,6 +3018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": q_events_retention,
         "similar_docs": q_similar_docs,
         "events_anomaly": q_events_anomaly,
+        "hilbert_ranges": q_hilbert_ranges,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
         "dedup_report": q_dedup_report,
@@ -4138,6 +4204,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_anomaly": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).ewma_anomalies_sql("SELECT * FROM events"),
+        "hilbert_ranges": _hilbert_ranges_sql(root, HILBERT_RANGES_LEVEL),
         "events_running": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (

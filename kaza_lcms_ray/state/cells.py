@@ -289,3 +289,27 @@ def haversine_sql_expr(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
         f"cos(({lat2}) * {RAD!r}) * (({s_lon}) * ({s_lon}))"
     )
     return f"2.0 * {EARTH_RADIUS_M!r} * asin(sqrt({a}))"
+
+
+def hilbert_ranges(minx: float, miny: float, maxx: float, maxy: float, level: int):
+    """The id-range SCAN PLAN a Hilbert-ordered layout turns a spatial
+    box filter into: every grid cell intersecting the box, encoded to its
+    curve distance and coalesced into maximal contiguous [start, end]
+    runs.  Fewer runs = fewer index-range scans per query — the measured
+    ~1.8×-fewer-fragments advantage of Hilbert over Z-order is exactly a
+    statement about this output's row count.
+
+    Pure bounded computation (cells in the box ≤ (box/cell)² at the
+    chosen level) — the planning step runs driver-side in any real
+    pipeline.  Returns (starts, ends) int64 arrays, starts ascending.
+    """
+    ix0, iy0 = grid_coords(np.asarray([minx]), np.asarray([miny]), level)
+    ix1, iy1 = grid_coords(np.asarray([maxx]), np.asarray([maxy]), level)
+    xs = np.arange(int(ix0[0]), int(ix1[0]) + 1, dtype=np.int64)
+    ys = np.arange(int(iy0[0]), int(iy1[0]) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    ids = np.sort(hilbert(gx.ravel(), gy.ravel(), level))
+    brk = np.flatnonzero(np.diff(ids) > 1)
+    starts = ids[np.concatenate(([0], brk + 1))]
+    ends = ids[np.concatenate((brk, [ids.shape[0] - 1]))]
+    return starts, ends
