@@ -244,6 +244,18 @@ def q_leakage_split(sf_dir: str):
     return _i64(curation.leakage_safe_split(docs), ["doc_id"])
 
 
+def q_local_morans(sf_dir: str):
+    """Local Moran's I (LISA) hotspot map per occupied cell
+    (stages/zonal.local_morans): quantized per-cell lag terms, pure-integer
+    HH/HL/LH/LL quadrant labels, pinned local_i division."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.local_morans(_geo(sf_dir), band=3, k=1),
+        ["cell_id", "w", "li_q", "quad", "local_i"],
+    )
+
+
 def q_variogram(sf_dir: str):
     """Empirical semivariogram by Chebyshev ring distance
     (stages/zonal.variogram) — exact integer squared differences through
@@ -2985,6 +2997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "local_morans": q_local_morans,
         "cell_smooth": q_cell_smooth,
         "embed_gram": q_embed_gram,
         "line_filter": q_line_filter,
@@ -3497,6 +3510,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "morans_i": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).morans_i_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "local_morans": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).local_morans_sql("SELECT * FROM cells", band=3, k=1)}""",
         "variogram": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).variogram_sql("SELECT * FROM cells", band=3, max_ring=2)}""",

@@ -1161,6 +1161,243 @@ def morans_i_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
         FROM mi_tot t, mi_num n, mi_den d"""
 
 
+def local_morans(geo, band: int = 3, k: int = 1):
+    """Local Moran's I (LISA, Anselin 1995) per occupied grid cell — the
+    hotspot/coldspot map the global ``morans_i`` statistic summarizes:
+
+      I_i = z_i · Σ_j w_ij z_j / m2,   m2 = Σ z² / N,
+      z_i = (v_i − v̄) / v̄
+
+    with the standard quadrant label: HH (high value, high-value
+    neighborhood — hotspot core), LL (coldspot), HL / LH (spatial
+    outliers).  Reference analog: the per-pixel neighborhood diagnostics
+    the reference derives from its assemblage rasters (`src/utils/`
+    focal + zonal stack) — LISA is the canonical "which cells drive the
+    clustering" follow-up to global Moran.
+
+    Exactness contract (the morans_i discipline, extended per-cell):
+      * v_i = exact int64 cent sums (zonal_sums);
+      * every pair term floor-quantizes: li_q_i = Σ_j ⌊z_i z_j · 2⁴⁰⌋
+        (int64, order-free under any combine order);
+      * the quadrant is decided by PURE INTEGER comparisons — z_i > 0 ⟺
+        v_i·N > Σv and lag_i > 0 ⟺ N·Σ_j v_j > w_i·Σv — so the label
+        never touches a float;
+      * local_i = li_q·N / den_q is ONE pinned double expression over
+        int64 inputs (den_q = Σ⌊z²·2⁴⁰⌋ global).
+
+    Scale shape: identical to morans_i — the only corpus-sized pass is
+    the zonal_sums reduce; everything after runs on the AOI-bounded cell
+    table (8-way fan + broadcast sorted-array probe + bucketed int sums).
+    Cells with zero OCCUPIED neighbors are omitted (no pairs ⇒ no lag;
+    the SQL twin's inner join drops them identically).
+
+    Output: (cell_id:int64, w:int64 neighbor count, li_q:int64,
+    quad:string, local_i:f64).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
+
+    cells_pd = cellsums.to_pandas()
+    empty = pa.table(
+        {
+            "cell_id": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "li_q": pa.array([], pa.int64()),
+            "quad": pa.array([], pa.string()),
+            "local_i": pa.array([], pa.float64()),
+        }
+    )
+    if len(cells_pd) == 0:
+        return rd.from_arrow(empty)
+    n_cells = int(len(cells_pd))
+    v_sum = int(cells_pd[s_col].sum())
+    vbar = float(v_sum) / float(n_cells)
+    scale = float(MORAN_SCALE_INT)
+
+    def den_partial(t: pa.Table) -> pa.Table:
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (v - vbar) / vbar
+        q = np.floor((z * z) * scale).astype(np.int64)
+        return pa.table({"den_q": pa.array([int(q.sum())], pa.int64())})
+
+    dq = cellsums.map_batches(den_partial, batch_format="pyarrow").to_pandas()
+    den_q = int(dq["den_q"].sum())
+
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy)
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        ix, iy = decode(cid, CELL_LEVEL)
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "v_src": pa.array(v[m]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = cellsums.map_batches(fan, batch_format="pyarrow")
+
+    ckeys = cells_pd["cell_id"].to_numpy(np.int64)
+    cvals = cells_pd[s_col].to_numpy(np.int64)
+    corder = np.argsort(ckeys, kind="mergesort")
+    side_ref = ray.put({"k": ckeys[corder], "v": cvals[corder]})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # target-cell lookup (sorted probe, exact-hit verified), per-pair
+        # quantized term, then an IN-BATCH group-by so only (cell, partial)
+        # skinny rows enter the bucketed combine
+        side = ray.get(side_ref)
+        tgt = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["k"], tgt)
+        pos = np.minimum(pos, len(side["k"]) - 1)
+        hit = side["k"][pos] == tgt
+        cid = tgt[hit]
+        v_src = t.column("v_src").to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        v_tgt = side["v"][pos[hit]]
+        za = (v_tgt.astype(np.float64) - vbar) / vbar
+        zb = (v_src.astype(np.float64) - vbar) / vbar
+        q = np.floor((za * zb) * scale).astype(np.int64)
+        part = pa.table(
+            {
+                "cell_id": pa.array(cid, pa.int64()),
+                "li_q": pa.array(q),
+                "s_src": pa.array(v_src),
+            }
+        )
+        out = part.group_by("cell_id").aggregate(
+            [("li_q", "sum"), ("s_src", "sum"), ("cell_id", "count")]
+        )
+        return out.rename_columns(["cell_id", "li_q", "s_src", "w"])
+
+    partial = fanned.map_batches(pair_partial, batch_format="pyarrow")
+    loc = bucketed_sum(
+        partial,
+        keys=["cell_id"],
+        sum_cols=["li_q", "s_src", "w"],
+        rows_hint=n_cells,
+        recombine_batch_size=None,
+    )
+
+    quads = np.array(["LL", "LH", "HL", "HH"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        side = ray.get(side_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        li_q = t.column("li_q").to_numpy(zero_copy_only=False).astype(np.int64)
+        s_src = t.column("s_src").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(side["k"], cid)
+        v = side["v"][np.minimum(pos, len(side["k"]) - 1)]
+        hi = (v * n_cells > v_sum).astype(np.int64)
+        lag_hi = (n_cells * s_src > w * v_sum).astype(np.int64)
+        local_i = li_q.astype(np.float64) * float(n_cells) / float(den_q)
+        return pa.table(
+            {
+                "cell_id": pa.array(cid, pa.int64()),
+                "w": pa.array(w),
+                "li_q": pa.array(li_q),
+                "quad": pa.array(quads[hi * 2 + lag_hi]),
+                "local_i": pa.array(local_i, pa.float64()),
+            }
+        )
+
+    return loc.map_batches(finalize, batch_format="pyarrow")
+
+
+def local_morans_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
+    """Oracle twin of :func:`local_morans`: same fan-out, per-cell grouped
+    quantized sums, integer quadrant comparisons, pinned final division."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    S = float(MORAN_SCALE_INT)
+    return f"""
+        lm_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        lm_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(v) AS BIGINT) AS v_sum,
+                   CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS vbar
+            FROM lm_agg
+        ),
+        lm_den AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (((CAST(v AS DOUBLE) - t.vbar) / t.vbar)
+                        * ((CAST(v AS DOUBLE) - t.vbar) / t.vbar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS den_q
+            FROM lm_agg CROSS JOIN lm_tot t
+        ),
+        lm_dec AS (
+            SELECT cell_id, v,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM lm_agg
+        ),
+        lm_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        lm_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.v AS v_src
+            FROM lm_dec d CROSS JOIN lm_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        lm_loc AS (
+            SELECT f.cell_id,
+                   CAST(COUNT(*) AS BIGINT) AS w,
+                   CAST(SUM(CAST(floor(
+                       (((CAST(a.v AS DOUBLE) - t.vbar) / t.vbar)
+                        * ((CAST(f.v_src AS DOUBLE) - t.vbar) / t.vbar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS li_q,
+                   CAST(SUM(f.v_src) AS BIGINT) AS s_src,
+                   MIN(a.v) AS v
+            FROM lm_fan f
+            JOIN lm_agg a ON f.cell_id = a.cell_id
+            CROSS JOIN lm_tot t
+            GROUP BY f.cell_id
+        )
+        SELECT l.cell_id, l.w, l.li_q,
+               CASE WHEN l.v * t.n_cells > t.v_sum THEN
+                        CASE WHEN t.n_cells * l.s_src > l.w * t.v_sum
+                             THEN 'HH' ELSE 'HL' END
+                    ELSE
+                        CASE WHEN t.n_cells * l.s_src > l.w * t.v_sum
+                             THEN 'LH' ELSE 'LL' END
+               END AS quad,
+               CAST(l.li_q AS DOUBLE) * CAST(t.n_cells AS DOUBLE)
+                   / CAST(d.den_q AS DOUBLE) AS local_i
+        FROM lm_loc l CROSS JOIN lm_tot t CROSS JOIN lm_den d"""
+
+
 def variogram(geo, band: int = 3, max_ring: int = 2):
     """Empirical semivariogram of the per-cell band total by Chebyshev
     ring distance on the cell grid: γ(r) = Σ_{pairs at ring r}

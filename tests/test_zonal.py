@@ -254,3 +254,65 @@ def test_cell_trend_matches_bruteforce(synth_small, ray_session):
     assert len(got) == len(exp)
     assert (got["cell_id"].to_numpy() == exp.index.to_numpy()).all()
     assert got["slope_b3"].to_numpy().tobytes() == exp.to_numpy().tobytes()
+
+
+def test_local_morans_matches_bruteforce(synth_small, ray_session):
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode, morton
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.local_morans(geo, band=3, k=1)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    agg = df.groupby("cell_id", as_index=False).agg(v=("c3", "sum"))
+    n_cells = len(agg)
+    v_sum = int(agg["v"].sum())
+    vbar = v_sum / n_cells
+    S = float(zonal.MORAN_SCALE_INT)
+    z = (agg["v"].to_numpy(np.float64) - vbar) / vbar
+    den_q = int(np.floor(z * z * S).astype(np.int64).sum())
+    n_grid = 1 << CELL_LEVEL
+    ix, iy = decode(agg["cell_id"].to_numpy(), CELL_LEVEL)
+    by_xy = {
+        (int(x), int(y)): int(v) for x, y, v in zip(ix, iy, agg["v"])
+    }
+    rows = []
+    for (x, y), v in by_xy.items():
+        zi = (v - vbar) / vbar
+        li_q = w = s_src = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                tx, ty = x + dx, y + dy
+                if 0 <= tx < n_grid and 0 <= ty < n_grid and (tx, ty) in by_xy:
+                    vj = by_xy[(tx, ty)]
+                    zj = (vj - vbar) / vbar
+                    li_q += int(np.floor(np.float64(zi * zj) * S))
+                    w += 1
+                    s_src += vj
+        if w == 0:
+            continue
+        hi = v * n_cells > v_sum
+        lag_hi = n_cells * s_src > w * v_sum
+        quad = ("HH" if lag_hi else "HL") if hi else ("LH" if lag_hi else "LL")
+        cid = int(morton(np.array([x]), np.array([y]))[0])
+        rows.append((cid, w, li_q, quad, float(li_q) * n_cells / den_q))
+    exp = (
+        pd.DataFrame(rows, columns=["cell_id", "w", "li_q", "quad", "local_i"])
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["cell_id"].to_numpy() == exp["cell_id"].to_numpy()).all()
+    assert (got["w"].to_numpy() == exp["w"].to_numpy()).all()
+    assert (got["li_q"].to_numpy() == exp["li_q"].to_numpy()).all()
+    assert (got["quad"].to_numpy() == exp["quad"].to_numpy()).all()
+    assert got["local_i"].to_numpy().tobytes() == exp["local_i"].to_numpy().tobytes()
+    # every quadrant's sign convention: HH/LL contribute positive local_i
+    hh = got[got["quad"].isin(["HH", "LL"])]
+    assert (hh["li_q"].to_numpy() >= 0).any()
