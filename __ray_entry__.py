@@ -256,6 +256,18 @@ def q_local_morans(sf_dir: str):
     )
 
 
+def q_idw_fill(sf_dir: str):
+    """IDW gap fill of the per-cell band-mean raster
+    (stages/zonal.idw_fill): integer-quantized means and 1/d² weights,
+    bounded ring fan-out, occupancy anti-probe, one pinned division."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.idw_fill(_geo(sf_dir), band=3, max_ring=2),
+        ["cell_id", "n_src", "num_q", "den_q", "idw"],
+    )
+
+
 def q_variogram(sf_dir: str):
     """Empirical semivariogram by Chebyshev ring distance
     (stages/zonal.variogram) — exact integer squared differences through
@@ -2998,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
         "local_morans": q_local_morans,
+        "idw_fill": q_idw_fill,
         "cell_smooth": q_cell_smooth,
         "embed_gram": q_embed_gram,
         "line_filter": q_line_filter,
@@ -3513,6 +3526,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "local_morans": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).local_morans_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "idw_fill": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).idw_fill_sql("SELECT * FROM cells", band=3, max_ring=2)}""",
         "variogram": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).variogram_sql("SELECT * FROM cells", band=3, max_ring=2)}""",

@@ -1398,6 +1398,179 @@ def local_morans_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
         FROM lm_loc l CROSS JOIN lm_tot t CROSS JOIN lm_den d"""
 
 
+IDW_SCALE_INT = 1 << 20  # quantization of both the cell means and the 1/d² weights
+
+
+def idw_fill(geo, band: int = 3, max_ring: int = 2):
+    """Inverse-distance-weighted gap fill of the per-cell band-mean raster:
+    every UNOCCUPIED grid cell within Chebyshev ring ≤ ``max_ring`` of at
+    least one occupied cell gets the classic IDW prediction
+
+        v̂(i) = Σ_j v_j / d²_ij  /  Σ_j 1 / d²_ij
+
+    over its occupied neighbors j — the standard cloud/shadow-mask
+    infill the reference applies before compositing (its masked-pixel
+    neighborhoods via focal ops; reference analog `src/utils/` focal +
+    composite chain).
+
+    Exactness contract: cell means quantize by pure INTEGER division
+    (mean_q = (s·2²⁰) // n — both engines' `//` agree for non-negative
+    ints); each offset's weight is the integer wq(d²) = 2²⁰ // d²
+    (precomputed per (dx,dy), so the SQL twin carries the SAME literal in
+    its VALUES table); num/den are order-free int64 sums; the prediction
+    is ONE pinned double division.
+
+    Scale shape: the only corpus-sized pass is the zonal_sums reduce.
+    After that: bounded fan (≤(2R+1)²−1 per occupied cell), in-batch
+    group-by, bucketed int-sum combine, broadcast occupancy probe to drop
+    already-observed targets.
+
+    Output: (cell_id:int64, n_src:int64, num_q:int64, den_q:int64,
+    idw:f64) — gap cells only.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
+    cells_pd = cellsums.to_pandas()
+    empty = pa.table(
+        {
+            "cell_id": pa.array([], pa.int64()),
+            "n_src": pa.array([], pa.int64()),
+            "num_q": pa.array([], pa.int64()),
+            "den_q": pa.array([], pa.int64()),
+            "idw": pa.array([], pa.float64()),
+        }
+    )
+    if len(cells_pd) == 0:
+        return rd.from_arrow(empty)
+
+    Q = IDW_SCALE_INT
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy, Q // (dx * dx + dy * dy))
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        mean_q = (s * Q) // n
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy, wq in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "num_q": pa.array(mean_q[m] * wq),
+                        "den_q": pa.array(np.full(int(m.sum()), wq, np.int64)),
+                    }
+                )
+            )
+        part = pa.concat_tables(parts)
+        out = part.group_by("cell_id").aggregate(
+            [("num_q", "sum"), ("den_q", "sum"), ("cell_id", "count")]
+        )
+        return out.rename_columns(["cell_id", "num_q", "den_q", "n_src"])
+
+    partial = cellsums.map_batches(fan, batch_format="pyarrow")
+    agg = bucketed_sum(
+        partial,
+        keys=["cell_id"],
+        sum_cols=["num_q", "den_q", "n_src"],
+        rows_hint=len(cells_pd),
+        recombine_batch_size=None,
+    )
+
+    ckeys = np.sort(cells_pd["cell_id"].to_numpy(np.int64))
+    occ_ref = ray.put(ckeys)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        occ = ray.get(occ_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(occ, cid)
+        occupied = (pos < len(occ)) & (occ[np.minimum(pos, len(occ) - 1)] == cid)
+        gap = ~occupied
+        num = t.column("num_q").to_numpy(zero_copy_only=False).astype(np.int64)[gap]
+        den = t.column("den_q").to_numpy(zero_copy_only=False).astype(np.int64)[gap]
+        nsrc = t.column("n_src").to_numpy(zero_copy_only=False).astype(np.int64)[gap]
+        return pa.table(
+            {
+                "cell_id": pa.array(cid[gap], pa.int64()),
+                "n_src": pa.array(nsrc),
+                "num_q": pa.array(num),
+                "den_q": pa.array(den),
+                "idw": pa.array(num.astype(np.float64) / den.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def idw_fill_sql(cells_sql: str, band: int = 3, max_ring: int = 2) -> str:
+    """Oracle twin of :func:`idw_fill`: identical integer mean/weight
+    quantization (the wq literals are computed by the same Python
+    expression), fan-out, per-target grouped sums, occupancy anti-join,
+    pinned final division."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    Q = IDW_SCALE_INT
+    offs = ", ".join(
+        f"({dx}, {dy}, {Q // (dx * dx + dy * dy)})"
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+        iw_agg AS MATERIALIZED (
+            SELECT cell_id,
+                   (CAST(SUM(c{band}) AS BIGINT) * {Q})
+                       // CAST(COUNT(*) AS BIGINT) AS mean_q
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        iw_dec AS (
+            SELECT cell_id, mean_q,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM iw_agg
+        ),
+        iw_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, wq)),
+        iw_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.mean_q * o.wq AS num_term,
+                   CAST(o.wq AS BIGINT) AS wq
+            FROM iw_dec d CROSS JOIN iw_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        iw_gap AS (
+            SELECT f.cell_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_src,
+                   CAST(SUM(f.num_term) AS BIGINT) AS num_q,
+                   CAST(SUM(f.wq) AS BIGINT) AS den_q
+            FROM iw_fan f
+            LEFT JOIN iw_agg a ON f.cell_id = a.cell_id
+            WHERE a.cell_id IS NULL
+            GROUP BY f.cell_id
+        )
+        SELECT cell_id, n_src, num_q, den_q,
+               CAST(num_q AS DOUBLE) / CAST(den_q AS DOUBLE) AS idw
+        FROM iw_gap"""
+
+
 def variogram(geo, band: int = 3, max_ring: int = 2):
     """Empirical semivariogram of the per-cell band total by Chebyshev
     ring distance on the cell grid: γ(r) = Σ_{pairs at ring r}

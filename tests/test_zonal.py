@@ -316,3 +316,63 @@ def test_local_morans_matches_bruteforce(synth_small, ray_session):
     # every quadrant's sign convention: HH/LL contribute positive local_i
     hh = got[got["quad"].isin(["HH", "LL"])]
     assert (hh["li_q"].to_numpy() >= 0).any()
+
+
+def test_idw_fill_matches_bruteforce(synth_small, ray_session):
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode, morton
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.idw_fill(geo, band=3, max_ring=2)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    agg = df.groupby("cell_id", as_index=False).agg(
+        n=("c3", "size"), s=("c3", "sum")
+    )
+    Q = zonal.IDW_SCALE_INT
+    n_grid = 1 << CELL_LEVEL
+    ix, iy = decode(agg["cell_id"].to_numpy(), CELL_LEVEL)
+    by_xy = {
+        (int(x), int(y)): (int(s) * Q) // int(n)
+        for x, y, n, s in zip(ix, iy, agg["n"], agg["s"])
+    }
+    acc = {}
+    for (x, y), mq in by_xy.items():
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                if dx == 0 and dy == 0:
+                    continue
+                tx, ty = x + dx, y + dy
+                if not (0 <= tx < n_grid and 0 <= ty < n_grid):
+                    continue
+                if (tx, ty) in by_xy:
+                    continue
+                wq = Q // (dx * dx + dy * dy)
+                num, den, ns = acc.get((tx, ty), (0, 0, 0))
+                acc[(tx, ty)] = (num + mq * wq, den + wq, ns + 1)
+    rows = [
+        (
+            int(morton(np.array([x]), np.array([y]))[0]),
+            ns,
+            num,
+            den,
+            float(num) / float(den),
+        )
+        for (x, y), (num, den, ns) in acc.items()
+    ]
+    exp = (
+        pd.DataFrame(rows, columns=["cell_id", "n_src", "num_q", "den_q", "idw"])
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("cell_id", "n_src", "num_q", "den_q"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    assert got["idw"].to_numpy().tobytes() == exp["idw"].to_numpy().tobytes()
+    # gap cells only: no output cell is an occupied cell
+    occ = set(agg["cell_id"].to_numpy().tolist())
+    assert not (set(got["cell_id"].to_numpy().tolist()) & occ)
