@@ -268,6 +268,18 @@ def q_idw_fill(sf_dir: str):
     )
 
 
+def q_raster_upsample(sf_dir: str):
+    """Bilinear 2× upsample of the cell band-mean raster
+    (stages/zonal.raster_upsample): integer (9,3,3,1)/16 stencil, border
+    renormalization, pinned final division."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.raster_upsample(_geo(sf_dir), band=3),
+        ["fine_cell_id", "n_src", "num_q", "den_w", "value"],
+    )
+
+
 def q_variogram(sf_dir: str):
     """Empirical semivariogram by Chebyshev ring distance
     (stages/zonal.variogram) — exact integer squared differences through
@@ -2666,6 +2678,33 @@ def q_lineage_roundtrip(sf_dir: str):
     )
 
 
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS-semi-join priority counts
+    (pipelines/analytics.order_priority_check): distinct skinny keys,
+    size-guarded attach_dim semi-join, tiny final aggregate."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.order_priority_check(
+            _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "orders")
+        ),
+        ["o_orderpriority", "order_count"],
+    )
+
+
+def q_priority_share(sf_dir: str):
+    """TPC-H Q12-shaped big-big join + conditional counts
+    (pipelines/analytics.returnflag_priority_share)."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.returnflag_priority_share(
+            _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "orders")
+        ),
+        ["l_returnflag", "high_count", "low_count"],
+    )
+
+
 def q_large_orders(sf_dir: str):
     """TPC-H Q18-shaped: HAVING-filtered exact per-order quantity
     aggregate + O(result)-bounded filtered-scan customer attribution
@@ -3011,6 +3050,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the unchecked families first.
         "local_morans": q_local_morans,
         "idw_fill": q_idw_fill,
+        "raster_upsample": q_raster_upsample,
+        "order_priority": q_order_priority,
+        "priority_share": q_priority_share,
         "cell_smooth": q_cell_smooth,
         "embed_gram": q_embed_gram,
         "line_filter": q_line_filter,
@@ -3529,6 +3571,15 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "idw_fill": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).idw_fill_sql("SELECT * FROM cells", band=3, max_ring=2)}""",
+        "raster_upsample": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).raster_upsample_sql("SELECT * FROM cells", band=3)}""",
+        "order_priority": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).order_priority_check_sql(),
+        "priority_share": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).returnflag_priority_share_sql(),
         "variogram": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).variogram_sql("SELECT * FROM cells", band=3, max_ring=2)}""",

@@ -624,3 +624,187 @@ def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
         ["revenue_scaled", "c_custkey"], ascending=[False, True], kind="mergesort"
     ).reset_index(drop=True)
     return out[["c_custkey", "c_name", "revenue_scaled"]]
+
+
+def order_priority_check(
+    lineitem, orders, date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+):
+    """TPC-H Q4-shaped order-priority check: per-priority counts of the
+    orders in a quarter that have at least one RETURNED line (the schema's
+    stand-in for Q4's commit<receipt lateness — this lineitem table has no
+    commit/receipt dates).  Reference analog: the EXISTS-semi-join +
+    grouped-count report shape.
+
+    Scale shape: the lineitem side reduces to DISTINCT returned orderkeys
+    (two-phase skinny dedupe — no raw rows shuffle) before the semi-join;
+    the semi-join itself is ``attach_dim`` (broadcast sorted-probe below
+    the size guard, hash ``Dataset.join`` above it — nothing ever
+    driver-materializes past the guard).  Priority cardinality is 5, so
+    the final combine is one tiny aggregate.
+
+    Output: (o_orderpriority:string, order_count:int64).
+    """
+    from ..stages.joins import attach_dim, distinct
+
+    t_from = np.datetime64(date_from, "us")
+    t_to = np.datetime64(date_to, "us")
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        return pa.table({"l_orderkey": t.column("l_orderkey")})
+
+    returned = distinct(
+        lineitem.select_columns(["l_orderkey", "l_returnflag"]).map_batches(
+            li_keys, batch_format="pyarrow"
+        ),
+        ["l_orderkey"],
+    ).map_batches(
+        lambda t: t.append_column("hit", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+
+    def o_window(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(t_from)),
+            pc.less(t.column("o_orderdate"), pa.scalar(t_to)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        )
+
+    hits = attach_dim(
+        orders.select_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(o_window, batch_format="pyarrow"),
+        returned,
+        "o_orderkey",
+        "l_orderkey",
+        ["hit"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return out.rename_columns(["o_orderpriority", "order_count"])
+
+    return (
+        hits.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+    )
+
+
+def order_priority_check_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+) -> str:
+    """Oracle twin of :func:`order_priority_check`."""
+    return f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{date_from}'
+          AND o_orderdate <  TIMESTAMP '{date_to}'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority"""
+
+
+def returnflag_priority_share(
+    lineitem, orders, date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+):
+    """TPC-H Q12-shaped urgency split: lines shipped inside a year window,
+    classified by whether their order is high-priority (1-URGENT / 2-HIGH),
+    counted per returnflag (the schema's stand-in for Q12's shipmode —
+    this lineitem table carries no l_shipmode).
+
+    Scale shape: lineitem pre-projects to (orderkey) skinny rows after the
+    window filter; the order-priority dimension attaches through
+    size-guarded ``attach_dim`` (unique o_orderkey → broadcast probe below
+    the guard, hash join above); per-batch integer partials; the final
+    combine is a ≤|flags| aggregate.
+
+    Output: (l_returnflag:string, high_count:int64, low_count:int64).
+    """
+    from ..stages.joins import attach_dim
+
+    t_from = np.datetime64(date_from, "us")
+    t_to = np.datetime64(date_to, "us")
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(t_from)),
+            pc.less(t.column("l_shipdate"), pa.scalar(t_to)),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_returnflag": t.column("l_returnflag"),
+            }
+        )
+
+    def o_pre(t: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "is_high": pc.cast(hi, pa.int8()),
+            }
+        )
+
+    flagged = attach_dim(
+        lineitem.select_columns(
+            ["l_orderkey", "l_returnflag", "l_shipdate"]
+        ).map_batches(li_pre, batch_format="pyarrow"),
+        orders.select_columns(["o_orderkey", "o_orderpriority"]).map_batches(
+            o_pre, batch_format="pyarrow"
+        ),
+        "l_orderkey",
+        "o_orderkey",
+        ["is_high"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi = t.column("is_high").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "high_count": pa.array(hi),
+                "low_count": pa.array(1 - hi),
+            }
+        )
+        out = part.group_by("l_returnflag").aggregate(
+            [("high_count", "sum"), ("low_count", "sum")]
+        )
+        return out.rename_columns(["l_returnflag", "high_count", "low_count"])
+
+    return (
+        flagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_count", alias_name="high_count"),
+            Sum("low_count", alias_name="low_count"),
+        )
+    )
+
+
+def returnflag_priority_share_sql(
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+) -> str:
+    """Oracle twin of :func:`returnflag_priority_share`."""
+    return f"""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{date_from}'
+          AND l_shipdate <  TIMESTAMP '{date_to}'
+        GROUP BY l_returnflag"""

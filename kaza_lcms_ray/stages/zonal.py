@@ -1571,6 +1571,148 @@ def idw_fill_sql(cells_sql: str, band: int = 3, max_ring: int = 2) -> str:
         FROM iw_gap"""
 
 
+def raster_upsample(geo, band: int = 3):
+    """Bilinear 2× upsample of the per-cell band-mean raster to the
+    CELL_LEVEL+1 grid — the standard resample the reference leans on when
+    mixing 10 m/30 m/90 m sources onto one working grid (its
+    `.reproject`/`.resample('bilinear')` step before compositing).
+
+    Per-axis bilinear weights at half-cell offsets are exactly (3,1)/4, so
+    every fine cell is the (9,3,3,1)/16 mix of its ≤4 coarse parents —
+    INTEGER stencil weights, which makes the whole resample bit-exact:
+    num = Σ mean_q·w (int64), den = Σ w over the PRESENT parents
+    (border/sparse cells renormalize naturally), value = num/den one
+    pinned double division.  mean_q = (s·2²⁰)//n integer division, shared
+    with :func:`idw_fill`.
+
+    Shape: fan each coarse cell to the 16 fine cells its stencil touches
+    (bounded), in-batch group, bucketed int-sum combine.  The only
+    corpus-sized pass is the zonal_sums reduce.
+
+    Output: (fine_cell_id:int64 at CELL_LEVEL+1, n_src:int64, num_q:int64,
+    den_w:int64, value:f64).
+    """
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,))
+    Q = IDW_SCALE_INT
+    fine_level = CELL_LEVEL + 1
+    n_fine = np.int64(1) << fine_level
+    # per-axis contributions of coarse cx to fine 2cx+fdx: {-1:1, 0:3, 1:3, 2:1}
+    ax = [(-1, 1), (0, 3), (1, 3), (2, 1)]
+    offsets = [(fdx, fdy, wx * wy) for fdx, wx in ax for fdy, wy in ax]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        mean_q = (s * Q) // n
+        ix, iy = decode(cid, CELL_LEVEL)
+        fx0, fy0 = ix.astype(np.int64) * 2, iy.astype(np.int64) * 2
+        parts = []
+        for fdx, fdy, w in offsets:
+            tx, ty = fx0 + fdx, fy0 + fdy
+            m = (tx >= 0) & (tx < n_fine) & (ty >= 0) & (ty < n_fine)
+            parts.append(
+                pa.table(
+                    {
+                        "fine_cell_id": pa.array(
+                            morton(tx[m], ty[m]), type=pa.int64()
+                        ),
+                        "num_q": pa.array(mean_q[m] * w),
+                        "den_w": pa.array(np.full(int(m.sum()), w, np.int64)),
+                    }
+                )
+            )
+        part = pa.concat_tables(parts)
+        out = part.group_by("fine_cell_id").aggregate(
+            [("num_q", "sum"), ("den_w", "sum"), ("fine_cell_id", "count")]
+        )
+        return out.rename_columns(["fine_cell_id", "num_q", "den_w", "n_src"])
+
+    partial = cellsums.map_batches(fan, batch_format="pyarrow")
+    agg = bucketed_sum(
+        partial,
+        keys=["fine_cell_id"],
+        sum_cols=["num_q", "den_w", "n_src"],
+        recombine_batch_size=None,
+    )
+
+    empty = pa.table(
+        {
+            "fine_cell_id": pa.array([], pa.int64()),
+            "n_src": pa.array([], pa.int64()),
+            "num_q": pa.array([], pa.int64()),
+            "den_w": pa.array([], pa.int64()),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        num = t.column("num_q").to_numpy(zero_copy_only=False).astype(np.int64)
+        den = t.column("den_w").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "fine_cell_id": t.column("fine_cell_id").cast(pa.int64()),
+                "n_src": t.column("n_src").cast(pa.int64()),
+                "num_q": pa.array(num),
+                "den_w": pa.array(den),
+                "value": pa.array(num.astype(np.float64) / den.astype(np.float64)),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def raster_upsample_sql(cells_sql: str, band: int = 3) -> str:
+    """Oracle twin of :func:`raster_upsample`: same integer mean
+    quantization, the same 16-entry (fdx, fdy, w) stencil as a VALUES
+    table, fine-morton re-encode, grouped integer sums, pinned division."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    Q = IDW_SCALE_INT
+    fine_level = CELL_LEVEL + 1
+    hi = (1 << fine_level) - 1
+    ax = [(-1, 1), (0, 3), (1, 3), (2, 1)]
+    offs = ", ".join(
+        f"({fdx}, {fdy}, {wx * wy})" for fdx, wx in ax for fdy, wy in ax
+    )
+    return f"""
+        ru_agg AS MATERIALIZED (
+            SELECT cell_id,
+                   (CAST(SUM(c{band}) AS BIGINT) * {Q})
+                       // CAST(COUNT(*) AS BIGINT) AS mean_q
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        ru_dec AS (
+            SELECT mean_q,
+                   2 * {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS fx0,
+                   2 * {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS fy0
+            FROM ru_agg
+        ),
+        ru_offs AS (SELECT * FROM (VALUES {offs}) AS t(fdx, fdy, w)),
+        ru_fan AS (
+            SELECT {morton_sql_expr("(d.fx0 + o.fdx)", "(d.fy0 + o.fdy)", fine_level)}
+                       AS fine_cell_id,
+                   d.mean_q * o.w AS num_term,
+                   CAST(o.w AS BIGINT) AS w
+            FROM ru_dec d CROSS JOIN ru_offs o
+            WHERE d.fx0 + o.fdx BETWEEN 0 AND {hi}
+              AND d.fy0 + o.fdy BETWEEN 0 AND {hi}
+        )
+        SELECT fine_cell_id,
+               CAST(COUNT(*) AS BIGINT) AS n_src,
+               CAST(SUM(num_term) AS BIGINT) AS num_q,
+               CAST(SUM(w) AS BIGINT) AS den_w,
+               CAST(SUM(num_term) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS value
+        FROM ru_fan GROUP BY fine_cell_id"""
+
+
 def variogram(geo, band: int = 3, max_ring: int = 2):
     """Empirical semivariogram of the per-cell band total by Chebyshev
     ring distance on the cell grid: γ(r) = Σ_{pairs at ring r}

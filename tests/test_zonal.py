@@ -376,3 +376,58 @@ def test_idw_fill_matches_bruteforce(synth_small, ray_session):
     # gap cells only: no output cell is an occupied cell
     occ = set(agg["cell_id"].to_numpy().tolist())
     assert not (set(got["cell_id"].to_numpy().tolist()) & occ)
+
+
+def test_raster_upsample_matches_bruteforce(synth_small, ray_session):
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode, morton
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.raster_upsample(geo, band=3)
+        .to_pandas()
+        .sort_values("fine_cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    agg = df.groupby("cell_id", as_index=False).agg(
+        n=("c3", "size"), s=("c3", "sum")
+    )
+    Q = zonal.IDW_SCALE_INT
+    n_fine = 1 << (CELL_LEVEL + 1)
+    ix, iy = decode(agg["cell_id"].to_numpy(), CELL_LEVEL)
+    acc = {}
+    ax = [(-1, 1), (0, 3), (1, 3), (2, 1)]
+    for x, y, n, s in zip(ix, iy, agg["n"], agg["s"]):
+        mq = (int(s) * Q) // int(n)
+        for fdx, wx in ax:
+            for fdy, wy in ax:
+                tx, ty = 2 * int(x) + fdx, 2 * int(y) + fdy
+                if not (0 <= tx < n_fine and 0 <= ty < n_fine):
+                    continue
+                num, den, ns = acc.get((tx, ty), (0, 0, 0))
+                acc[(tx, ty)] = (num + mq * wx * wy, den + wx * wy, ns + 1)
+    rows = [
+        (
+            int(morton(np.array([x]), np.array([y]))[0]),
+            ns,
+            num,
+            den,
+            float(num) / float(den),
+        )
+        for (x, y), (num, den, ns) in acc.items()
+    ]
+    exp = (
+        pd.DataFrame(
+            rows, columns=["fine_cell_id", "n_src", "num_q", "den_w", "value"]
+        )
+        .sort_values("fine_cell_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("fine_cell_id", "n_src", "num_q", "den_w"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    assert got["value"].to_numpy().tobytes() == exp["value"].to_numpy().tobytes()
+    # interior fine cells carry the full 16-weight stencil
+    assert (got["den_w"].to_numpy() <= 16).all()
+    assert (got["den_w"].to_numpy() == 16).any()
