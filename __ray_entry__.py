@@ -280,6 +280,32 @@ def q_raster_upsample(sf_dir: str):
     )
 
 
+def q_geohash(sf_dir: str):
+    """Standard base32 geohash per geo span (state/cells.geohash):
+    vectorized grid/interleave/char-gather, zero-copy Arrow string
+    assembly; the SQL twin replays the same bit arithmetic + substr picks."""
+    from kaza_lcms_ray.state.cells import geohash
+
+    def add(t: pa.Table) -> pa.Table:
+        gh = geohash(
+            t.column("lon").to_numpy(zero_copy_only=False),
+            t.column("lat").to_numpy(zero_copy_only=False),
+            precision=6,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx"),
+                "geohash": gh,
+            }
+        )
+
+    return _i64(
+        _geo(sf_dir).map_batches(add, batch_format="pyarrow"),
+        ["doc_id", "span_idx", "geohash"],
+    )
+
+
 def q_variogram(sf_dir: str):
     """Empirical semivariogram by Chebyshev ring distance
     (stages/zonal.variogram) — exact integer squared differences through
@@ -2705,6 +2731,20 @@ def q_priority_share(sf_dir: str):
     )
 
 
+def q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22-shaped dormant-customer report
+    (pipelines/analytics.global_sales_opportunity): integer-rewritten
+    avg-balance threshold + distributed left-outer null-probe anti-join."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.global_sales_opportunity(
+            _tbl(sf_dir, "customer"), _tbl(sf_dir, "orders")
+        ),
+        ["c_mktsegment", "numcust", "totacctbal_cents"],
+    )
+
+
 def q_large_orders(sf_dir: str):
     """TPC-H Q18-shaped: HAVING-filtered exact per-order quantity
     aggregate + O(result)-bounded filtered-scan customer attribution
@@ -3052,7 +3092,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_fill": q_idw_fill,
         "raster_upsample": q_raster_upsample,
         "order_priority": q_order_priority,
+        "geohash": q_geohash,
         "priority_share": q_priority_share,
+        "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
         "embed_gram": q_embed_gram,
         "line_filter": q_line_filter,
@@ -3574,12 +3616,20 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "raster_upsample": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).raster_upsample_sql("SELECT * FROM cells", band=3)}""",
+        "geohash": f"""
+            WITH {geo}
+            SELECT doc_id, span_idx,
+                   {__import__("kaza_lcms_ray.state.cells", fromlist=["cells"]).geohash_sql_expr("lon", "lat", 6)} AS geohash
+            FROM geo""",
         "order_priority": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).order_priority_check_sql(),
         "priority_share": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).returnflag_priority_share_sql(),
+        "sales_opportunity": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).global_sales_opportunity_sql(),
         "variogram": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).variogram_sql("SELECT * FROM cells", band=3, max_ring=2)}""",

@@ -808,3 +808,124 @@ def returnflag_priority_share_sql(
         WHERE l_shipdate >= TIMESTAMP '{date_from}'
           AND l_shipdate <  TIMESTAMP '{date_to}'
         GROUP BY l_returnflag"""
+
+
+def global_sales_opportunity(
+    customer, orders, since: str = "2000-01-01", rows_hint: int | None = None
+):
+    """TPC-H Q22-shaped dormant-customer report: per market segment, the
+    count and total balance of customers whose balance exceeds the global
+    positive-balance average AND who have placed no orders since
+    ``since`` (Q22's "no orders in 7 years" dormancy window).
+
+    Exactness: the average-balance threshold never becomes a float — the
+    filter is the integer cross-multiplication
+    ``c_cents · n_pos > sum_pos_cents`` (bit-identical to the SQL twin's
+    identical rewrite); segment totals are exact cent sums.
+
+    Scale shape: the threshold is ONE tiny global aggregate (two int64s);
+    the no-orders test is a distributed LEFT OUTER ``Dataset.join``
+    against the DISTINCT order custkeys (skinny key rows — nothing
+    broadcasts, nothing driver-materializes), filtered on the null probe;
+    the final combine is a ≤|segments| aggregate.
+
+    Output: (c_mktsegment:string, numcust:int64, totacctbal_cents:int64).
+    """
+    from ..runtime import join_partitions
+    from ..stages.joins import distinct
+
+    cust = customer.select_columns(["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal"))
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())]),
+                "n": pa.array([int(pos.shape[0])]),
+            }
+        )
+
+    tot = cust.map_batches(pos_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    sum_pos, n_pos = int(tot["s"]), int(tot["n"])
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal"))
+        keep = cents * n_pos > sum_pos
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").filter(pa.array(keep)),
+                "c_mktsegment": t.column("c_mktsegment").filter(pa.array(keep)),
+                "bal_cents": pa.array(cents[keep]),
+            }
+        )
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+    # the join merges the key columns, so a null probe needs an explicit
+    # right-side marker column
+    t_since = np.datetime64(since, "us")
+
+    def recent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("o_orderdate"), pa.scalar(t_since)))
+        return pa.table({"o_custkey": t.column("o_custkey")})
+
+    recent_keys = orders.select_columns(["o_custkey", "o_orderdate"]).map_batches(
+        recent, batch_format="pyarrow"
+    )
+    okeys = distinct(recent_keys, ["o_custkey"]).map_batches(
+        lambda t: t.append_column("has_order", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+    joined = rich_ds.join(
+        okeys,
+        join_type="left_outer",
+        num_partitions=join_partitions(rows_hint),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t.column("has_order")))
+        part = pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "numcust": pa.array(np.ones(len(t), np.int64)),
+                "totacctbal_cents": t.column("bal_cents"),
+            }
+        )
+        out = part.group_by("c_mktsegment").aggregate(
+            [("numcust", "sum"), ("totacctbal_cents", "sum")]
+        )
+        return out.rename_columns(["c_mktsegment", "numcust", "totacctbal_cents"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_cents", alias_name="totacctbal_cents"),
+        )
+    )
+
+
+def global_sales_opportunity_sql(since: str = "2000-01-01") -> str:
+    """Oracle twin of :func:`global_sales_opportunity` (integer threshold
+    rewrite of Q22's avg subquery)."""
+    return f"""
+        WITH pos AS (
+            SELECT CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > 0
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS totacctbal_cents
+        FROM customer CROSS JOIN pos
+        WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) * pos.n > pos.s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '{since}')
+        GROUP BY c_mktsegment"""

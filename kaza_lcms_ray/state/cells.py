@@ -252,6 +252,58 @@ def grid_coord_sql_expr(col: str, offset: float, span: float, level: int) -> str
     return f"CAST(least(greatest({raw}, 0), {float(n - 1)!r}) AS BIGINT)"
 
 
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon, lat, precision: int = 6) -> "pyarrow.StringArray":  # noqa: F821
+    """Standard geohash strings (Niemeyer's public base32 scheme) for
+    lon/lat arrays, fully vectorized.
+
+    Even precisions only: P chars = 5P bits split equally (5P/2 per axis),
+    so the cell coords are exactly :func:`grid_coords` at level 5P/2 and
+    the bit interleave is exactly :func:`morton` (lon at odd positions —
+    geohash's convention).  Characters are gathered with one uint8 fancy
+    index per position and the result is assembled as a zero-copy Arrow
+    StringArray (offsets + one data buffer) — no per-row Python.
+    """
+    import pyarrow as pa
+
+    if precision % 2:
+        raise ValueError("geohash(): even precision required (equal bit split)")
+    level = 5 * precision // 2
+    ix, iy = grid_coords(lon, lat, level)
+    code = morton(ix, iy).astype(np.uint64)
+    n = code.shape[0]
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
+    chars = np.empty((n, precision), dtype=np.uint8)
+    for i in range(precision):
+        shift = np.uint64(5 * (precision - 1 - i))
+        chars[:, i] = alpha[((code >> shift) & np.uint64(31)).astype(np.int64)]
+    offsets = np.arange(0, (n + 1) * precision, precision, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n,
+        pa.py_buffer(offsets.tobytes()),
+        pa.py_buffer(chars.tobytes()),
+    )
+
+
+def geohash_sql_expr(lon: str, lat: str, precision: int = 6) -> str:
+    """Oracle twin of :func:`geohash`: same grid/interleave arithmetic,
+    per-character substring picks from the base32 alphabet."""
+    if precision % 2:
+        raise ValueError("even precision required")
+    level = 5 * precision // 2
+    ix = grid_coord_sql_expr(lon, 180.0, 360.0, level)
+    iy = grid_coord_sql_expr(lat, 90.0, 180.0, level)
+    code = morton_sql_expr(ix, iy, level)
+    parts = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((({code}) >> {5 * (precision - 1 - i)}) & 31 AS INTEGER) + 1, 1)"
+        for i in range(precision)
+    ]
+    return "(" + " || ".join(parts) + ")"
+
+
 RAD = 0.017453292519943295  # float64 π/180 (np.deg2rad's multiplier)
 
 

@@ -76,3 +76,32 @@ def test_priority_share_window_and_classification(ray_session):
     assert out["l_returnflag"].tolist() == ["A", "N"]
     assert out["high_count"].tolist() == [2, 0]
     assert out["low_count"].tolist() == [0, 1]
+
+
+def test_sales_opportunity_anti_join_and_threshold(ray_session):
+    customer = _ds(
+        pd.DataFrame(
+            {
+                "c_custkey": [1, 2, 3, 4],
+                # positive-balance avg over (100, 300, 200) = 200
+                "c_acctbal": [100.0, 300.0, 200.0, -50.0],
+                "c_mktsegment": ["A", "A", "B", "B"],
+            }
+        )
+    )
+    orders = _ds(
+        pd.DataFrame(
+            {
+                "o_custkey": [3, 3, 1],
+                "o_orderdate": pd.to_datetime(
+                    ["2000-06-01", "1998-01-01", "2000-07-01"]
+                ),
+            }
+        )
+    )
+    out = analytics.global_sales_opportunity(customer, orders).to_pandas()
+    # only cust 2 qualifies: bal 300 > avg 200 and no recent order
+    # (cust 3 has bal 200 == avg -> strict > excludes; also has recent order)
+    assert out.to_dict("records") == [
+        {"c_mktsegment": "A", "numcust": 1, "totacctbal_cents": 30000}
+    ]

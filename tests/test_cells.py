@@ -136,3 +136,49 @@ def test_haversine_known_values_and_sql_parity():
         f"SELECT {haversine_sql_expr('lon', 'lat', '23.5', '-18.25')} AS d FROM t"
     ).fetchdf()["d"].to_numpy()
     assert got.tobytes() == want.tobytes()  # byte-exact, not just close
+
+
+def test_geohash_matches_reference_algorithm():
+    import numpy as np
+
+    from kaza_lcms_ray.state.cells import GEOHASH_ALPHABET, geohash
+
+    # independent textbook bisection implementation
+    def ref(lon, lat, precision):
+        lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < precision:
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lo_lon = mid
+                else:
+                    ch = ch * 2
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lo_lat = mid
+                else:
+                    ch = ch * 2
+                    hi_lat = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(GEOHASH_ALPHABET[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rng = np.random.default_rng(7)
+    lons = rng.uniform(-179.9, 179.9, 200)
+    lats = rng.uniform(-89.9, 89.9, 200)
+    got = geohash(lons, lats, precision=6).to_pylist()
+    for lon, lat, g in zip(lons, lats, got):
+        assert g == ref(float(lon), float(lat), 6)
+    # a canonical spot check (Jutland lighthouse, classic example point)
+    assert geohash(np.array([10.40744]), np.array([57.64911]), 6).to_pylist() == [
+        "u4pruy"
+    ]
