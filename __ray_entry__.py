@@ -280,6 +280,18 @@ def q_raster_upsample(sf_dir: str):
     )
 
 
+def q_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* hotspot z-scores per occupied cell
+    (stages/zonal.getis_ord): integer lag/weight partials, ×n-scaled
+    integer numerator, pinned IEEE sqrt/div denominator."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.getis_ord(_geo(sf_dir), band=3, k=1),
+        ["cell_id", "w", "lag", "num_scaled", "gi_z"],
+    )
+
+
 def q_geohash(sf_dir: str):
     """Standard base32 geohash per geo span (state/cells.geohash):
     vectorized grid/interleave/char-gather, zero-copy Arrow string
@@ -3093,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_upsample": q_raster_upsample,
         "order_priority": q_order_priority,
         "geohash": q_geohash,
+        "getis_ord": q_getis_ord,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3613,6 +3626,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "idw_fill": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).idw_fill_sql("SELECT * FROM cells", band=3, max_ring=2)}""",
+        "getis_ord": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).getis_ord_sql("SELECT * FROM cells", band=3, k=1)}""",
         "raster_upsample": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).raster_upsample_sql("SELECT * FROM cells", band=3)}""",

@@ -1398,6 +1398,173 @@ def local_morans_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
         FROM lm_loc l CROSS JOIN lm_tot t CROSS JOIN lm_den d"""
 
 
+def getis_ord(geo, band: int = 3, k: int = 1):
+    """Getis-Ord Gi* hotspot z-score per occupied grid cell — the other
+    canonical local clustering statistic next to LISA
+    (:func:`local_morans`); w_ij = 1 over the (2k+1)² neighborhood
+    INCLUDING the cell itself (the * variant):
+
+      Gi* = (L_i − x̄·W_i) / (S·√((n·W_i − W_i²)/(n−1)))
+      L_i = Σ_j v_j,  x̄ = S1/n,  S = √(S2/n − x̄²)
+
+    Exactness: v are exact int64 cent sums; L_i, W_i, S1, S2 are exact
+    integer partials, and the ×n-scaled numerator n·L_i − W_i·S1 stays
+    int64; the denominator √(n·S2 − S1²)·√((n·W − W²)/(n−1)) is ONE
+    pinned double expression (every multiply runs in double — S1² can
+    exceed int64 at corpus scale) whose sqrt/mul/div are correctly-rounded
+    IEEE ops, bit-identical to DuckDB's libm.
+
+    Scale shape: identical to local_morans — corpus-sized work is only the
+    zonal_sums reduce; the fan (here including (0,0)), broadcast probe and
+    bucketed int sums run on the AOI-bounded cell table.
+
+    Output: (cell_id:int64, w:int64 incl. self, lag:int64 = L_i,
+    num_scaled:int64 = n·L_i − W_i·S1, gi_z:f64).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
+    cells_pd = cellsums.to_pandas()
+    empty = pa.table(
+        {
+            "cell_id": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "lag": pa.array([], pa.int64()),
+            "num_scaled": pa.array([], pa.int64()),
+            "gi_z": pa.array([], pa.float64()),
+        }
+    )
+    if len(cells_pd) == 0:
+        return rd.from_arrow(empty)
+    n_cells = int(len(cells_pd))
+    vals = cells_pd[s_col].to_numpy(np.int64)
+    s1 = int(vals.sum())
+    s2 = int((vals * vals).sum())
+
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+    ]  # Gi*: the (0,0) self term stays in
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "v_src": pa.array(v[m]),
+                    }
+                )
+            )
+        part = pa.concat_tables(parts)
+        out = part.group_by("cell_id").aggregate(
+            [("v_src", "sum"), ("cell_id", "count")]
+        )
+        return out.rename_columns(["cell_id", "lag", "w"])
+
+    partial = cellsums.map_batches(fan, batch_format="pyarrow")
+    agg = bucketed_sum(
+        partial,
+        keys=["cell_id"],
+        sum_cols=["lag", "w"],
+        rows_hint=n_cells,
+        recombine_batch_size=None,
+    )
+
+    occ_ref = ray.put(np.sort(cells_pd["cell_id"].to_numpy(np.int64)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        occ = ray.get(occ_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(occ, cid)
+        keep = (pos < len(occ)) & (occ[np.minimum(pos, len(occ) - 1)] == cid)
+        lag = t.column("lag").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        num = n_cells * lag - w * s1
+        n_d = np.float64(n_cells)
+        den = np.sqrt(n_d * np.float64(s2) - np.float64(s1) * np.float64(s1)) * np.sqrt(
+            (n_d * w.astype(np.float64) - w.astype(np.float64) * w.astype(np.float64))
+            / (n_d - 1.0)
+        )
+        return pa.table(
+            {
+                "cell_id": pa.array(cid[keep], pa.int64()),
+                "w": pa.array(w),
+                "lag": pa.array(lag),
+                "num_scaled": pa.array(num),
+                "gi_z": pa.array(num.astype(np.float64) / den, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def getis_ord_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
+    """Oracle twin of :func:`getis_ord`: fan including (0,0), grouped
+    integer sums, occupied-cell semi-join, identical pinned z expression."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+    )
+    return f"""
+        go_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        go_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s1,
+                   CAST(SUM(v * v) AS BIGINT) AS s2
+            FROM go_agg
+        ),
+        go_dec AS (
+            SELECT cell_id, v,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM go_agg
+        ),
+        go_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        go_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.v AS v_src
+            FROM go_dec d CROSS JOIN go_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        go_loc AS (
+            SELECT f.cell_id,
+                   CAST(COUNT(*) AS BIGINT) AS w,
+                   CAST(SUM(f.v_src) AS BIGINT) AS lag
+            FROM go_fan f
+            JOIN go_agg a ON f.cell_id = a.cell_id
+            GROUP BY f.cell_id
+        )
+        SELECT l.cell_id, l.w, l.lag,
+               t.n * l.lag - l.w * t.s1 AS num_scaled,
+               CAST(t.n * l.lag - l.w * t.s1 AS DOUBLE)
+               / (sqrt(CAST(t.n AS DOUBLE) * CAST(t.s2 AS DOUBLE)
+                       - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE))
+                  * sqrt((CAST(t.n AS DOUBLE) * CAST(l.w AS DOUBLE)
+                          - CAST(l.w AS DOUBLE) * CAST(l.w AS DOUBLE))
+                         / (CAST(t.n AS DOUBLE) - 1.0))) AS gi_z
+        FROM go_loc l CROSS JOIN go_tot t"""
+
+
 IDW_SCALE_INT = 1 << 20  # quantization of both the cell means and the 1/d² weights
 
 

@@ -431,3 +431,53 @@ def test_raster_upsample_matches_bruteforce(synth_small, ray_session):
     # interior fine cells carry the full 16-weight stencil
     assert (got["den_w"].to_numpy() <= 16).all()
     assert (got["den_w"].to_numpy() == 16).any()
+
+
+def test_getis_ord_matches_bruteforce(synth_small, ray_session):
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode, morton
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.getis_ord(geo, band=3, k=1)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    agg = df.groupby("cell_id", as_index=False).agg(v=("c3", "sum"))
+    n = len(agg)
+    s1 = int(agg["v"].sum())
+    s2 = int((agg["v"].to_numpy(np.int64) ** 2).sum())
+    n_grid = 1 << CELL_LEVEL
+    ix, iy = decode(agg["cell_id"].to_numpy(), CELL_LEVEL)
+    by_xy = {(int(x), int(y)): int(v) for x, y, v in zip(ix, iy, agg["v"])}
+    rows = []
+    for (x, y) in by_xy:
+        lag = w = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = x + dx, y + dy
+                if 0 <= tx < n_grid and 0 <= ty < n_grid and (tx, ty) in by_xy:
+                    lag += by_xy[(tx, ty)]
+                    w += 1
+        num = n * lag - w * s1
+        den = np.sqrt(
+            np.float64(n) * np.float64(s2) - np.float64(s1) * np.float64(s1)
+        ) * np.sqrt(
+            (np.float64(n) * np.float64(w) - np.float64(w) * np.float64(w))
+            / (np.float64(n) - 1.0)
+        )
+        cid = int(morton(np.array([x]), np.array([y]))[0])
+        rows.append((cid, w, lag, num, float(np.float64(num) / den)))
+    exp = (
+        pd.DataFrame(rows, columns=["cell_id", "w", "lag", "num_scaled", "gi_z"])
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("cell_id", "w", "lag", "num_scaled"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    assert got["gi_z"].to_numpy().tobytes() == exp["gi_z"].to_numpy().tobytes()
+    # the self term is in: every cell has w >= 1 and lag includes own value
+    assert (got["w"].to_numpy() >= 1).all()
