@@ -280,6 +280,28 @@ def q_raster_upsample(sf_dir: str):
     )
 
 
+def q_ripley_k(sf_dir: str):
+    """Ripley's K by Chebyshev cell ring (stages/zonal.ripley_k): exact
+    integer ordered pair counts, pinned K̂ normalization."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.ripley_k(_geo(sf_dir), max_ring=3),
+        ["ring", "pairs_at_ring", "cum_pairs", "k_hat"],
+    )
+
+
+def q_quadrat_test(sf_dir: str):
+    """Quadrat-count χ² CSR test (stages/zonal.quadrat_test): exact int64
+    numerator, one pinned division."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.quadrat_test(_geo(sf_dir)),
+        ["n_cells", "n_points", "chi2_num", "df", "chi2"],
+    )
+
+
 def q_getis_ord(sf_dir: str):
     """Getis-Ord Gi* hotspot z-scores per occupied cell
     (stages/zonal.getis_ord): integer lag/weight partials, ×n-scaled
@@ -3106,6 +3128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": q_order_priority,
         "geohash": q_geohash,
         "getis_ord": q_getis_ord,
+        "ripley_k": q_ripley_k,
+        "quadrat_test": q_quadrat_test,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3629,6 +3653,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "getis_ord": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).getis_ord_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "ripley_k": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).ripley_k_sql("SELECT * FROM cells", max_ring=3)}""",
+        "quadrat_test": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).quadrat_test_sql("SELECT * FROM cells")}""",
         "raster_upsample": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).raster_upsample_sql("SELECT * FROM cells", band=3)}""",

@@ -1565,6 +1565,269 @@ def getis_ord_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
         FROM go_loc l CROSS JOIN go_tot t"""
 
 
+def ripley_k(geo, max_ring: int = 3):
+    """Ripley's K point-pattern statistic on the cell grid: exact ordered
+    point-pair counts by Chebyshev ring distance (ring 0 = pairs inside
+    one cell), cumulated into the K estimate
+
+        K̂(r) = A · P(≤r) / (n·(n−1)),   A = occupied-cell count
+
+    — the standard clustered-vs-CSR diagnostic for an observation point
+    set (reference analog: the plot-density diagnostics behind its
+    stratified sampling design).  The grid approximation makes every pair
+    count an exact integer: P(0) = Σ nᵢ(nᵢ−1), P(ring d) = Σ nᵢ·nⱼ over
+    cell pairs at exact ring d (ordered, both directions).  K̂ is one
+    pinned double expression over int64 inputs.
+
+    Scale shape: the corpus-sized pass is the zonal_sums count reduce;
+    the ring fan + broadcast probe run on the AOI-bounded cell table; the
+    driver sees ≤max_ring+1 rows.
+
+    Output: (ring:int64, pairs_at_ring:int64, cum_pairs:int64, k_hat:f64).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=()).materialize()
+    cells_pd = cellsums.to_pandas()
+    if len(cells_pd) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "ring": pa.array([], pa.int64()),
+                    "pairs_at_ring": pa.array([], pa.int64()),
+                    "cum_pairs": pa.array([], pa.int64()),
+                    "k_hat": pa.array([], pa.float64()),
+                }
+            )
+        )
+    counts = cells_pd["n"].to_numpy(np.int64)
+    n_cells = int(len(cells_pd))
+    n_pts = int(counts.sum())
+    ring0 = int((counts * (counts - 1)).sum())
+
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy, max(abs(dx), abs(dy)))
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        v = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy, ring in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "ring": pa.array(np.full(int(m.sum()), ring, np.int64)),
+                        "n_src": pa.array(v[m]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ckeys = cells_pd["cell_id"].to_numpy(np.int64)
+    corder = np.argsort(ckeys, kind="mergesort")
+    side_ref = ray.put({"k": ckeys[corder], "v": counts[corder]})
+
+    def partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tgt = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["k"], tgt)
+        pos = np.minimum(pos, max(len(side["k"]) - 1, 0))
+        hit = side["k"][pos] == tgt if len(side["k"]) else np.zeros(len(tgt), bool)
+        prod = (
+            t.column("n_src").to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+            * side["v"][pos[hit]]
+        )
+        ring = t.column("ring").to_numpy(zero_copy_only=False)[hit]
+        s_r = np.zeros(max_ring + 1, dtype=np.int64)
+        np.add.at(s_r, ring, prod)
+        nz = np.flatnonzero(s_r)
+        return pa.table(
+            {
+                "ring": pa.array(nz.astype(np.int64)),
+                "pairs": pa.array(s_r[nz]),
+            }
+        )
+
+    pp = (
+        cellsums.map_batches(fan, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    by_ring = np.zeros(max_ring + 1, dtype=np.int64)
+    by_ring[0] = ring0
+    for r, p in zip(pp["ring"], pp["pairs"]):
+        by_ring[int(r)] += int(p)
+    cum = np.cumsum(by_ring)
+    k_hat = (np.float64(n_cells) * cum.astype(np.float64)) / (
+        np.float64(n_pts) * (np.float64(n_pts) - 1.0)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "ring": pa.array(np.arange(max_ring + 1, dtype=np.int64)),
+                "pairs_at_ring": pa.array(by_ring),
+                "cum_pairs": pa.array(cum),
+                "k_hat": pa.array(k_hat, pa.float64()),
+            }
+        )
+    )
+
+
+def ripley_k_sql(cells_sql: str, max_ring: int = 3) -> str:
+    """Oracle twin of :func:`ripley_k`."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    return f"""
+        rk_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        rk_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(n) AS BIGINT) AS p
+            FROM rk_agg
+        ),
+        rk_dec AS (
+            SELECT n,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM rk_agg
+        ),
+        rk_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, ring)),
+        rk_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   o.ring, d.n AS n_src
+            FROM rk_dec d CROSS JOIN rk_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        rk_rings AS (
+            SELECT CAST(0 AS BIGINT) AS ring,
+                   CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs
+            FROM rk_agg
+            UNION ALL
+            SELECT CAST(f.ring AS BIGINT),
+                   CAST(SUM(f.n_src * a.n) AS BIGINT)
+            FROM rk_fan f JOIN rk_agg a ON f.cell_id = a.cell_id
+            GROUP BY f.ring
+        ),
+        rk_all AS (
+            SELECT r.ring, COALESCE(g.pairs, 0) AS pairs_at_ring
+            FROM range(0, {max_ring + 1}) AS r(ring)
+            LEFT JOIN rk_rings g ON g.ring = r.ring
+        ),
+        rk_cum AS (
+            SELECT ring, pairs_at_ring,
+                   CAST(SUM(pairs_at_ring) OVER (ORDER BY ring) AS BIGINT)
+                       AS cum_pairs
+            FROM rk_all
+        )
+        SELECT c.ring, c.pairs_at_ring, c.cum_pairs,
+               (CAST(t.c AS DOUBLE) * CAST(c.cum_pairs AS DOUBLE))
+               / (CAST(t.p AS DOUBLE) * (CAST(t.p AS DOUBLE) - 1.0)) AS k_hat
+        FROM rk_cum c CROSS JOIN rk_tot t"""
+
+
+def quadrat_test(geo):
+    """Quadrat-count χ² test of complete spatial randomness over the
+    occupied cell grid: χ² = Σᵢ (C·nᵢ − P)² / (C·P) with C = occupied
+    cells, P = points — the textbook companion to :func:`ripley_k`.
+    The numerator is an exact int64 sum; χ² is one pinned double
+    division.  Output: one row (n_cells, n_points, chi2_num, df, chi2).
+    """
+    import ray.data as rd
+
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=())
+
+    tot = cellsums.map_batches(
+        lambda t: pa.table(
+            {
+                "c": pa.array([len(t)], pa.int64()),
+                "p": pa.array(
+                    [int(t.column("n").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    C, P = int(tot["c"].sum()), int(tot["p"].sum())
+    if C == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_cells": pa.array([], pa.int64()),
+                    "n_points": pa.array([], pa.int64()),
+                    "chi2_num": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "chi2": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def num_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = C * n - P
+        return pa.table({"q": pa.array([int((d * d).sum())], pa.int64())})
+
+    nq = cellsums.map_batches(num_partial, batch_format="pyarrow").to_pandas()
+    num = int(nq["q"].sum())
+    chi2 = np.float64(num) / (np.float64(C) * np.float64(P))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([C], pa.int64()),
+                "n_points": pa.array([P], pa.int64()),
+                "chi2_num": pa.array([num], pa.int64()),
+                "df": pa.array([C - 1], pa.int64()),
+                "chi2": pa.array([float(chi2)], pa.float64()),
+            }
+        )
+    )
+
+
+def quadrat_test_sql(cells_sql: str) -> str:
+    """Oracle twin of :func:`quadrat_test`."""
+    return f"""
+        qt_agg AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        qt_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(n) AS BIGINT) AS p
+            FROM qt_agg
+        ),
+        qt_num AS (
+            SELECT CAST(SUM((t.c * a.n - t.p) * (t.c * a.n - t.p)) AS BIGINT)
+                       AS q
+            FROM qt_agg a CROSS JOIN qt_tot t
+        )
+        SELECT t.c AS n_cells, t.p AS n_points, n.q AS chi2_num,
+               t.c - 1 AS df,
+               CAST(n.q AS DOUBLE) / (CAST(t.c AS DOUBLE) * CAST(t.p AS DOUBLE))
+                   AS chi2
+        FROM qt_tot t CROSS JOIN qt_num n"""
+
+
 IDW_SCALE_INT = 1 << 20  # quantization of both the cell means and the 1/d² weights
 
 

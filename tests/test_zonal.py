@@ -481,3 +481,49 @@ def test_getis_ord_matches_bruteforce(synth_small, ray_session):
     assert got["gi_z"].to_numpy().tobytes() == exp["gi_z"].to_numpy().tobytes()
     # the self term is in: every cell has w >= 1 and lag includes own value
     assert (got["w"].to_numpy() >= 1).all()
+
+
+def test_ripley_k_and_quadrat_match_bruteforce(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.ripley_k(geo, max_ring=2)
+        .to_pandas()
+        .sort_values("ring")
+        .reset_index(drop=True)
+    )
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode
+
+    df = _geo_df(synth_small)
+    agg = df.groupby("cell_id", as_index=False).agg(n=("c3", "size"))
+    ix, iy = decode(agg["cell_id"].to_numpy(), CELL_LEVEL)
+    pos = {(int(x), int(y)): int(n) for x, y, n in zip(ix, iy, agg["n"])}
+    C = len(pos)
+    P = sum(pos.values())
+    by_ring = [0, 0, 0]
+    by_ring[0] = sum(n * (n - 1) for n in pos.values())
+    for (x, y), n in pos.items():
+        for dx in range(-2, 3):
+            for dy in range(-2, 3):
+                r = max(abs(dx), abs(dy))
+                if r == 0 or r > 2:
+                    continue
+                if (x + dx, y + dy) in pos:
+                    by_ring[r] += n * pos[(x + dx, y + dy)]
+    cum = np.cumsum(by_ring)
+    assert got["pairs_at_ring"].tolist() == by_ring
+    assert got["cum_pairs"].tolist() == cum.tolist()
+    want = (np.float64(C) * cum.astype(np.float64)) / (
+        np.float64(P) * (np.float64(P) - 1.0)
+    )
+    assert got["k_hat"].to_numpy().tobytes() == want.tobytes()
+
+    qt = zonal.quadrat_test(geo).to_pandas()
+    num = sum((C * n - P) ** 2 for n in pos.values())
+    assert qt["n_cells"].tolist() == [C]
+    assert qt["n_points"].tolist() == [P]
+    assert qt["chi2_num"].tolist() == [num]
+    assert qt["df"].tolist() == [C - 1]
+    assert qt["chi2"].to_numpy().tobytes() == np.array(
+        [np.float64(num) / (np.float64(C) * np.float64(P))]
+    ).tobytes()
