@@ -1034,6 +1034,16 @@ def q_lm_score(sf_dir: str):
     return _i64(text.lm_score(docs), ["doc_id", "n_toks", "logprob_q", "avg_nll"])
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR-style importance-resampling data selection
+    (stages/text.dsir_select): fused two-LM term reduce, quantized
+    log-ratio weights, deterministic top-1/10 selection."""
+    from kaza_lcms_ray.stages import text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(text.dsir_select(docs), ["doc_id", "n_toks", "weight_q"])
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs sharing any word 5-gram
     with the eval slice (doc_id % 97 == 0) are flagged; eval n-gram set is
@@ -3130,6 +3140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord": q_getis_ord,
         "ripley_k": q_ripley_k,
         "quadrat_test": q_quadrat_test,
+        "dsir_select": q_dsir_select,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3776,6 +3787,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "lm_score": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).lm_score_sql("SELECT doc_id, text FROM documents"),
+        "dsir_select": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).dsir_select_sql("SELECT doc_id, text FROM documents"),
         "decontaminate": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).decontaminate_sql("SELECT doc_id, text FROM documents"),

@@ -2164,3 +2164,210 @@ def pmi_collocations_sql(docs_sql: str, m: int = 500, k: int = 50) -> str:
         )
         SELECT gram, pmi_q FROM pm_sc
         ORDER BY pmi_q DESC, gram LIMIT {k}"""
+
+
+DSIR_TARGET_MOD = 7  # doc_id % MOD == 0 -> the trusted/target sample
+DSIR_KEEP_FRAC = 10  # keep the top 1/FRAC of docs by importance weight
+
+
+def dsir_select(
+    ds,
+    text_col: str = "text",
+    target_mod: int = DSIR_TARGET_MOD,
+    keep_frac: int = DSIR_KEEP_FRAC,
+):
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, public method): score every document by the log-likelihood
+    RATIO between a target unigram LM (fit on the trusted sample —
+    doc_id % target_mod == 0, the decontaminate-style held-out analog)
+    and the background LM (fit on the full corpus), then keep the top
+    1/keep_frac by weight.
+
+    Exactness: both LMs use identical add-one smoothing over the UNION
+    vocabulary — lpq = ⌊ln((ct+1)/(total + V))·2³⁰ + ½⌋ int64 — so the
+    per-doc weight Σ tf·(lpq_target − lpq_background) is an
+    order-independent integer; selection is a deterministic
+    (weight_q desc, doc_id asc) top-k with k = n_scored // keep_frac.
+
+    Scale shape: ONE fused vocab-sized term-count reduce computing both
+    LMs' numerators together (the corpus-sized (doc, term, tf) table is
+    never materialized — the lm_score memory-pressure rationale; the
+    scoring pass re-tokenizes instead), ONE broadcast of the fused
+    (term, lpq_t − lpq_b) table, one stateless scoring pass, the
+    split-safe bucketed per-doc reduce, and the decomposable
+    Dataset-native top-k.  Raw text never shuffles.
+
+    Returns Dataset[doc_id, n_toks, weight_q] — the selected docs.
+    """
+    import math
+
+    import ray
+
+    from ..runtime import cluster_cpus
+    from ..state.hashing import fnv1a_arr, hash_key
+    from .joins import top_k
+
+    nb_t = max(8, cluster_cpus() * 2)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        tf = _doc_term_tf(t, text_col)
+        ids = tf.column("doc_id").to_numpy(zero_copy_only=False)
+        tfv = tf.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_t = (ids % target_mod == 0).astype(np.int64)
+        both = pa.table(
+            {
+                "term": tf.column("term"),
+                "ct": pa.array(tfv),
+                "ct_t": pa.array(tfv * is_t),
+            }
+        )
+        g = both.group_by(["term"]).aggregate([("ct", "sum"), ("ct_t", "sum")])
+        g = g.rename_columns(["term", "ct", "ct_t"])
+        bucket = (hash_key(fnv1a_arr(g.column("term"))) % np.uint64(nb_t)).astype(
+            np.int64
+        )
+        return g.append_column("bucket", pa.array(bucket))
+
+    def count_combine(g: pa.Table) -> pa.Table:
+        out = g.group_by(["term"]).aggregate([("ct", "sum"), ("ct_t", "sum")])
+        return out.rename_columns(["term", "ct", "ct_t"])
+
+    merged = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_combine, batch_format="pyarrow")
+        .select_columns(["term", "ct", "ct_t"])
+        .to_pandas()
+    )
+    V = int(len(merged))
+    if V == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_toks": pa.array([], pa.int64()),
+                    "weight_q": pa.array([], pa.int64()),
+                }
+            )
+        )
+    total_b = float(merged["ct"].sum())
+    total_t = float(merged["ct_t"].sum())
+    ct_b = merged["ct"].to_numpy(np.int64)
+    ct_t = merged["ct_t"].to_numpy(np.int64)
+    log_u = np.frompyfunc(math.log, 1, 1)
+    den_t = total_t + float(V)
+    den_b = total_b + float(V)
+    lpq_t = np.floor(
+        log_u((ct_t.astype(np.float64) + 1.0) / den_t).astype(np.float64) * LM_Q
+        + 0.5
+    ).astype(np.int64)
+    lpq_b = np.floor(
+        log_u((ct_b.astype(np.float64) + 1.0) / den_b).astype(np.float64) * LM_Q
+        + 0.5
+    ).astype(np.int64)
+    terms = pa.array(merged["term"].to_numpy(object), pa.string())
+    side_ref = ray.put({"terms": terms, "dlpq": lpq_t - lpq_b})
+
+    def score(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tf_t = _doc_term_tf(t, text_col)
+        # Arrow-speed dictionary lookup (pc.index_in), not a pandas .map
+        idx = pc.index_in(tf_t.column("term"), value_set=side["terms"]).to_numpy(
+            zero_copy_only=False
+        )
+        tf = tf_t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = tf * side["dlpq"][idx]
+        return pa.table(
+            {
+                "doc_id": tf_t.column("doc_id"),
+                "tf": pa.array(tf),
+                "w": pa.array(w),
+            }
+        )
+
+    nb = nb_t
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["doc_id"])
+            .aggregate([("tf", "sum"), ("w", "sum")])
+            .rename_columns(["doc_id", "n_toks", "weight_q"])
+        )
+        bucket = (
+            hash_key(_lm_doc_key(g.column("doc_id"))) % np.uint64(nb)
+        ).astype(np.int64)
+        return g.append_column("bucket", pa.array(bucket))
+
+    def combine(g: pa.Table) -> pa.Table:
+        agg = g.group_by(["doc_id"]).aggregate(
+            [("n_toks", "sum"), ("weight_q", "sum")]
+        )
+        return agg.rename_columns(["doc_id", "n_toks", "weight_q"])
+
+    scores = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_toks", "weight_q"])
+        .materialize()  # consumed twice: count + top-k
+    )
+    k = scores.count() // keep_frac
+    return top_k(scores, "weight_q", k, "doc_id", descending=True)
+
+
+def dsir_select_sql(
+    docs_sql: str,
+    target_mod: int = DSIR_TARGET_MOD,
+    keep_frac: int = DSIR_KEEP_FRAC,
+) -> str:
+    """Oracle twin of :func:`dsir_select`: identical tokenization,
+    smoothing, quantization, and (weight desc, doc_id asc) top-k."""
+    return f"""
+        WITH ds_toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+        ),
+        ds_tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM ds_toks GROUP BY doc_id, term
+        ),
+        ds_tcb AS (
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS ct
+            FROM ds_tf GROUP BY term
+        ),
+        ds_tct AS (
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS ct
+            FROM ds_tf WHERE doc_id % {target_mod} = 0 GROUP BY term
+        ),
+        ds_dims AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+                   CAST(SUM(ct) AS DOUBLE) AS bt
+            FROM ds_tcb
+        ),
+        ds_gt AS (
+            SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS gt FROM ds_tct
+        ),
+        ds_lp AS (
+            SELECT b.term,
+                   CAST(floor(ln((CAST(COALESCE(g.ct, 0) AS DOUBLE) + 1.0)
+                                 / (x.gt + d.v)) * {LM_Q!r} + 0.5) AS BIGINT)
+                   - CAST(floor(ln((CAST(b.ct AS DOUBLE) + 1.0)
+                                   / (d.bt + d.v)) * {LM_Q!r} + 0.5) AS BIGINT)
+                       AS dlpq
+            FROM ds_tcb b
+            LEFT JOIN ds_tct g ON b.term = g.term
+            CROSS JOIN ds_dims d CROSS JOIN ds_gt x
+        ),
+        ds_s AS (
+            SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_toks,
+                   CAST(SUM(t.tf * l.dlpq) AS BIGINT) AS weight_q
+            FROM ds_tf t JOIN ds_lp l ON t.term = l.term
+            GROUP BY t.doc_id
+        ),
+        ds_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ds_s)
+        SELECT doc_id, n_toks, weight_q
+        FROM ds_s CROSS JOIN ds_n
+        QUALIFY row_number() OVER (ORDER BY weight_q DESC, doc_id ASC)
+                <= n // {keep_frac}"""

@@ -302,3 +302,38 @@ def test_pmi_prefers_exclusive_pairs(ray_session):
     )
     got = tx.pmi_collocations(rd.from_pandas(df), m=20, k=5).to_pandas()
     assert got["gram"].iloc[0] == "aa bb"  # the exclusive pair wins PMI
+
+
+def test_dsir_select_prefers_target_like_docs(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    # target sample = doc_id % 7 == 0 -> docs 0,7,14 speak "alpha"; the
+    # rest speak "beta" except a few beta-side docs that ALSO speak alpha —
+    # those must outrank pure-beta docs
+    rows = []
+    for i in range(40):
+        if i % 7 == 0:
+            t = "alpha bravo charlie alpha bravo"
+        elif i in (1, 8, 15, 22):
+            t = "alpha bravo charlie delta echo"
+        else:
+            t = "zulu yankee xray whiskey victor"
+        rows.append((i, t))
+    docs = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), preserve_index=False
+        )
+    )
+    out = text.dsir_select(docs, keep_frac=4).to_pandas()
+    assert len(out) == 10  # 40 // 4
+    got = set(out["doc_id"].tolist())
+    # every alpha-speaking doc (target members + lookalikes) selected first
+    alpha_docs = {i for i in range(40) if i % 7 == 0} | {1, 8, 15, 22}
+    assert alpha_docs <= got
+    # deterministic under re-run
+    out2 = text.dsir_select(docs, keep_frac=4).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
