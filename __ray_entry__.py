@@ -740,6 +740,17 @@ def q_poly_area(sf_dir: str):
     )
 
 
+def q_poly_centroid(sf_dir: str):
+    """Per-polygon shoelace centroid (stages/allocation.poly_centroids):
+    left-fold edge sums, orientation-free pinned division."""
+    from kaza_lcms_ray.stages import allocation
+
+    return _i64(
+        allocation.poly_centroids(f"{_synth(sf_dir)}/polygons.parquet"),
+        ["poly_id", "LANDCOVER", "cx", "cy"],
+    )
+
+
 def q_geo_bbox(sf_dir: str):
     """Spatially-restricted scan over the partitioned geo side table:
     partition pruning (only bbox-intersecting part dirs are read) + column
@@ -3141,6 +3152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ripley_k": q_ripley_k,
         "quadrat_test": q_quadrat_test,
         "dsir_select": q_dsir_select,
+        "poly_centroid": q_poly_centroid,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -4097,6 +4109,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "geo_bbox": _geo_bbox_sql(geo, cells),
         "sample_pts": _sample_pts_sql(root),
         "poly_area": _poly_area_sql(root),
+        "poly_centroid": _poly_centroid_sql(root),
         "random_points": _random_points_sql(root),
         "terrain": _terrain_sql(root),
         "planet_stack": _planet_sql(root),
@@ -5775,6 +5788,42 @@ def _random_points_sql(root: str) -> str:
         )
         SELECT poly_id, "LANDCOVER", x AS lon, y AS lat, CAST(j AS BIGINT) AS pt_idx
         FROM first_ok WHERE rn = 1"""
+
+
+def _poly_centroid_sql(root: str) -> str:
+    """Shoelace centroid per polygon replayed in SQL: THREE ordered
+    left-folds (Σt, Σ(xᵢ+xᵢ₊₁)t, Σ(yᵢ+yᵢ₊₁)t) via list_reduce, then the
+    engine's pinned cx = sx/(s·3.0) division."""
+    return f"""
+        WITH pp AS (
+            SELECT poly_id, CAST("LANDCOVER" AS BIGINT) AS "LANDCOVER", rings
+            FROM read_parquet('{root}/polygons.parquet') WHERE kind = 'reference'
+        ),
+        r AS (SELECT poly_id, "LANDCOVER", unnest(rings[1:1]) AS ring,
+                     generate_subscripts(rings[1:1], 1) AS rid FROM pp),
+        v AS (SELECT poly_id, "LANDCOVER", rid, generate_subscripts(ring, 1) AS i,
+                     unnest(ring) AS p FROM r),
+        e AS (
+            SELECT a.poly_id, a."LANDCOVER", a.i,
+                   a.p.x * b.p.y - b.p.x * a.p.y AS term,
+                   (a.p.x + b.p.x) * (a.p.x * b.p.y - b.p.x * a.p.y) AS xterm,
+                   (a.p.y + b.p.y) * (a.p.x * b.p.y - b.p.x * a.p.y) AS yterm
+            FROM v a JOIN v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        f AS (
+            SELECT poly_id, any_value("LANDCOVER") AS "LANDCOVER",
+                   list_reduce(list_prepend(0.0, list(term ORDER BY i)),
+                               (x, y) -> x + y) AS s,
+                   list_reduce(list_prepend(0.0, list(xterm ORDER BY i)),
+                               (x, y) -> x + y) AS sx,
+                   list_reduce(list_prepend(0.0, list(yterm ORDER BY i)),
+                               (x, y) -> x + y) AS sy
+            FROM e GROUP BY poly_id
+        )
+        SELECT poly_id, "LANDCOVER",
+               sx / (s * 3.0) AS cx, sy / (s * 3.0) AS cy
+        FROM f"""
 
 
 def _poly_area_sql(root: str) -> str:

@@ -96,3 +96,52 @@ def disprop_allocation(
             leftover -= step
         i += 1
     return df.assign(share=share, suggested_points=alloc)
+
+
+def polygon_centroid_batch(t: pa.Table) -> pa.Table:
+    """Per-polygon outer-ring shoelace centroid (f.centroid() analog):
+    Cx = Σ(xᵢ+xᵢ₊₁)·tᵢ / (3·Σtᵢ), tᵢ = xᵢyᵢ₊₁ − xᵢ₊₁yᵢ.  Both sums fold
+    LEFT over the ring edges (numpy accumulate ↔ SQL list_reduce), and
+    the centroid is a pinned two-operand division — the signed area
+    cancels orientation, so no abs() is needed."""
+    rings = t.column("rings").to_pylist()
+    cx = np.empty(len(rings), dtype=np.float64)
+    cy = np.empty(len(rings), dtype=np.float64)
+    for i, poly in enumerate(rings):
+        ring = np.array([[p["x"], p["y"]] for p in poly[0]])
+        terms = ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]
+        s = np.add.accumulate(terms)[-1] if terms.size else 0.0
+        sx = (
+            np.add.accumulate((ring[:-1, 0] + ring[1:, 0]) * terms)[-1]
+            if terms.size
+            else 0.0
+        )
+        sy = (
+            np.add.accumulate((ring[:-1, 1] + ring[1:, 1]) * terms)[-1]
+            if terms.size
+            else 0.0
+        )
+        cx[i] = sx / (s * 3.0)
+        cy[i] = sy / (s * 3.0)
+    return pa.table(
+        {
+            "poly_id": t.column("poly_id"),
+            "LANDCOVER": t.column("LANDCOVER").cast(pa.int64()),
+            "cx": pa.array(cx),
+            "cy": pa.array(cy),
+        }
+    )
+
+
+def poly_centroids(polygons_path: str, kind: str = "reference"):
+    """Per-polygon centroid table — the vector-side companion of
+    :func:`poly_area_by_class` (reference: the polygon geometry utilities
+    around src/misc/pt_calc_disprop.py).  Stateless per-polygon map over
+    the small vector side input; Dataset[poly_id, LANDCOVER, cx, cy]."""
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(polygons_path)
+        .filter(expr=f"kind == '{kind}'")
+        .map_batches(polygon_centroid_batch, batch_format="pyarrow")
+    )

@@ -188,3 +188,25 @@ def test_nearest_poly_bbox_bruteforce(synth_small, ray_session):
     j = np.argmin(d, axis=1)
     assert (got["poly_id"].to_numpy() == ids[j]).all()
     assert got["dist_deg"].to_numpy().tobytes() == d[np.arange(len(gdf)), j].tobytes()
+
+
+def test_poly_centroid_square(ray_session, synth_small):
+    """Centroid of a known square + orientation invariance of the formula."""
+    import numpy as np
+    import pyarrow as pa
+
+    from kaza_lcms_ray.stages.allocation import polygon_centroid_batch
+
+    sq = [{"x": 0.0, "y": 0.0}, {"x": 2.0, "y": 0.0}, {"x": 2.0, "y": 2.0},
+          {"x": 0.0, "y": 2.0}, {"x": 0.0, "y": 0.0}]
+    sq_rev = list(reversed(sq))
+    t = pa.table(
+        {
+            "poly_id": pa.array(["a", "b"]),
+            "LANDCOVER": pa.array([1, 1], pa.int32()),
+            "rings": pa.array([[sq], [sq_rev]]),
+        }
+    )
+    out = polygon_centroid_batch(t)
+    assert out.column("cx").to_pylist() == [1.0, 1.0]
+    assert out.column("cy").to_pylist() == [1.0, 1.0]
