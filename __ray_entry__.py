@@ -784,6 +784,21 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_majority_smooth(sf_dir: str):
+    """Post-classification majority filter over the 2022 label raster
+    (stages/assemblage.majority_smooth): integer votes, pack-max winner
+    with smallest-class tiebreak."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.majority_smooth(prims, year=2022),
+        ["tile_id", "smooth_label", "n_votes"],
+    )
+
+
 def q_change_matrix(sf_dir: str):
     """Land-cover change matrix 2020→2022 (stages/assemblage.
     change_matrix): bucketed max-by per year, tile_id hash join of the
@@ -3153,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadrat_test": q_quadrat_test,
         "dsir_select": q_dsir_select,
         "poly_centroid": q_poly_centroid,
+        "majority_smooth": q_majority_smooth,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3780,6 +3796,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM cmx_lab a JOIN cmx_lab b ON a.tile_id = b.tile_id
             WHERE a."year" = 2020 AND b."year" = 2022
             GROUP BY 1, 2""",
+        "majority_smooth": _majority_smooth_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
             FROM (
@@ -5788,6 +5805,56 @@ def _random_points_sql(root: str) -> str:
         )
         SELECT poly_id, "LANDCOVER", x AS lon, y AS lat, CAST(j AS BIGINT) AS pt_idx
         FROM first_ok WHERE rn = 1"""
+
+
+def _majority_smooth_sql(root: str, year: int = 2022) -> str:
+    """3×3 modal filter replay: label raster via the row_number replay,
+    tile decode/fan/re-encode, occupancy semi-join, vote counts, winner by
+    (n DESC, class ASC)."""
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+        morton_sql_expr,
+    )
+
+    hi = (1 << TILE_LEVEL) - 1
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""
+        WITH mj_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        mj_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM mj_lab
+        ),
+        mj_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        mj_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS tile_id,
+                   d.lc
+            FROM mj_dec d CROSS JOIN mj_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        mj_cnt AS (
+            SELECT f.tile_id, f.lc, CAST(COUNT(*) AS BIGINT) AS n
+            FROM mj_fan f JOIN mj_lab a ON f.tile_id = a.tile_id
+            GROUP BY f.tile_id, f.lc
+        )
+        SELECT tile_id, lc AS smooth_label, n AS n_votes
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY tile_id ORDER BY n DESC, lc ASC
+            ) AS rn FROM mj_cnt
+        ) WHERE rn = 1"""
 
 
 def _poly_centroid_sql(root: str) -> str:

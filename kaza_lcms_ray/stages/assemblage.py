@@ -156,3 +156,124 @@ def change_matrix(primitives, year_a: int, year_b: int):
         ["n_tiles"],
         recombine_batch_size=None,
     )
+
+
+def majority_smooth(primitives, year: int = 2022):
+    """Majority (modal) filter over the assembled label raster — the
+    standard post-classification cleanup (the reference applies
+    focal-mode smoothing to its assemblage rasters before area
+    reporting): each labeled tile takes the most frequent LANDCOVER among
+    its 3×3 neighborhood's labeled tiles (self included); ties break to
+    the SMALLEST class id.
+
+    Exactness: votes are integer counts; the winner is selected through
+    the same pack-max trick as :func:`assemble_tile_labels`
+    (score = n·256 + (256 − class) — max ⇒ highest count, then lowest
+    class), so every step is integer arithmetic.
+
+    Scale shape: everything after the assemble reduce runs on the
+    AOI-bounded tile table — 9-way fan, broadcast occupancy probe,
+    bucketed integer count combine, bucketed max.
+
+    Output: (tile_id:int64, smooth_label:int64, n_votes:int64).
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..state.cells import TILE_LEVEL, decode, morton
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .materialize()
+    )
+    lab_pd = labels.to_pandas()
+    empty = pa.table(
+        {
+            "tile_id": pa.array([], pa.int64()),
+            "smooth_label": pa.array([], pa.int64()),
+            "n_votes": pa.array([], pa.int64()),
+        }
+    )
+    if len(lab_pd) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    n_grid = np.int64(1) << TILE_LEVEL
+    occ_ref = ray.put(np.sort(lab_pd["tile_id"].to_numpy(np.int64)))
+
+    def fan(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(tid, TILE_LEVEL)
+        occ = ray.get(occ_ref)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = ix + dx, iy + dy
+                m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+                tgt = morton(tx[m], ty[m]).astype(np.int64)
+                pos = np.searchsorted(occ, tgt)
+                hit = (pos < len(occ)) & (
+                    occ[np.minimum(pos, len(occ) - 1)] == tgt
+                )
+                parts.append(
+                    pa.table(
+                        {
+                            "tile_id": pa.array(tgt[hit]),
+                            "lc": pa.array(lc[m][hit]),
+                        }
+                    )
+                )
+        part = pa.concat_tables(parts)
+        out = part.group_by(["tile_id", "lc"]).aggregate([([], "count_all")])
+        return out.rename_columns(["tile_id", "lc", "n"])
+
+    counts = bucketed_sum(
+        labels.map_batches(fan, batch_format="pyarrow"),
+        keys=["tile_id", "lc"],
+        sum_cols=["n"],
+        rows_hint=len(lab_pd),
+        recombine_batch_size=None,
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        lc = t.column("lc").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "tile_id": t.column("tile_id"),
+                "score": pa.array(n * 256 + (256 - lc)),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["tile_id"], as_index=False)["score"].max()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        s = t.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "tile_id": t.column("tile_id").cast(pa.int64()),
+                "smooth_label": pa.array(256 - (s % 256)),
+                "n_votes": pa.array(s // 256),
+            }
+        )
+
+    return (
+        _add_bucket(
+            counts.map_batches(pack, batch_format="pyarrow"),
+            ["tile_id"],
+            _default_buckets(len(lab_pd)),
+        )
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(["tile_id", "score"])
+        .map_batches(unpack, batch_format="pyarrow")
+    )

@@ -105,3 +105,42 @@ def test_grid_index_equals_brute_force(synth_small):
     gi, gd = grid.nearest(px, py)
     assert (brute.plot_ids[bi] == grid.plot_ids[gi]).all()
     assert (bd == gd).all()  # bit-identical distances
+
+
+def test_majority_smooth_mode_and_tiebreak(ray_session):
+    """Hand grid: center tile outvoted by neighbors; tie -> smallest class."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    # 3 tiles in a row: labels 5, 9, 5 -> middle smooths to 5 (2 votes vs 1)
+    xs = np.array([100, 101, 102])
+    ys = np.array([200, 200, 200])
+    tids = morton(xs, ys)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": np.asarray(tids, np.int64),
+                    "year": [2022] * 3,
+                    "class": np.array([5, 9, 5], np.int32),
+                    "prob": np.array([0.9, 0.9, 0.9], np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = (
+        assemblage.majority_smooth(prims, year=2022)
+        .to_pandas()
+        .set_index("tile_id")
+    )
+    mid = int(tids[1])
+    assert out.loc[mid, "smooth_label"] == 5
+    assert out.loc[mid, "n_votes"] == 2
+    # edge tiles: 1 vote of 5 + 1 of 9 -> tie, smallest class (5) wins
+    assert out.loc[int(tids[0]), "smooth_label"] == 5
