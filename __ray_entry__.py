@@ -784,6 +784,18 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_hillshade(sf_dir: str):
+    """Horn hillshade over the occupied cells
+    (stages/terrain.hillshade_cells): TerrainLookup slope/aspect, pinned
+    libm illumination expression, constants shared with the SQL twin."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.hillshade_cells(_geo(sf_dir)),
+        ["cell_id", "slope_deg", "aspect_deg", "hillshade"],
+    )
+
+
 def q_majority_smooth(sf_dir: str):
     """Post-classification majority filter over the 2022 label raster
     (stages/assemblage.majority_smooth): integer votes, pack-max winner
@@ -3169,6 +3181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "poly_centroid": q_poly_centroid,
         "majority_smooth": q_majority_smooth,
+        "hillshade": q_hillshade,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -4129,6 +4142,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "poly_centroid": _poly_centroid_sql(root),
         "random_points": _random_points_sql(root),
         "terrain": _terrain_sql(root),
+        "hillshade": _hillshade_sql(root),
         "planet_stack": _planet_sql(root),
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
@@ -5584,6 +5598,62 @@ def _cloud_shadow_sql(root: str) -> str:
             GROUP BY a.ix, a.iy
         )
         SELECT {cell} AS cell_id, CAST(mask AS BIGINT) AS mask FROM dil"""
+
+
+def _hillshade_sql(root: str, azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> str:
+    """Horn hillshade replay: the _terrain_sql e0/sl structure + the
+    identical pinned illumination expression (constants inlined as the
+    same Python floats the engine uses)."""
+    import math
+
+    from kaza_lcms_ray.stages.sar import DEG, RAD
+    from kaza_lcms_ray.stages.terrain import SLOPE_SCALE
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+
+    def ctr_lon(ix):
+        return f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(iy):
+        return f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    zen_r = (90.0 - altitude_deg) * RAD
+    cos_z = repr(math.cos(zen_r))
+    sin_z = repr(math.sin(zen_r))
+    az_r = repr(azimuth_deg * RAD)
+    return f"""
+        WITH {_geo_cte(root)},
+        hg AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        he AS (
+            SELECT {cell} AS cell_id,
+                   ({elev_sql(ctr_lon("(ix + 1)"), ctr_lat("iy"))}
+                  - {elev_sql(ctr_lon("(ix - 1)"), ctr_lat("iy"))}) / 2.0 AS gx,
+                   ({elev_sql(ctr_lon("ix"), ctr_lat("(iy + 1)"))}
+                  - {elev_sql(ctr_lon("ix"), ctr_lat("(iy - 1)"))}) / 2.0 AS gy
+            FROM hg
+        ),
+        hs AS (
+            SELECT cell_id,
+                   atan(sqrt(gx * gx + gy * gy) / {SLOPE_SCALE!r}) * {DEG!r}
+                       AS slope_deg,
+                   atan2(gx, gy) * {DEG!r} AS aspect_deg
+            FROM he
+        )
+        SELECT cell_id, slope_deg, aspect_deg,
+               255.0 * greatest(0.0,
+                   {cos_z} * cos(slope_deg * {RAD!r})
+                   + {sin_z} * sin(slope_deg * {RAD!r})
+                     * cos({az_r} - aspect_deg * {RAD!r})) AS hillshade
+        FROM hs"""
 
 
 def _terrain_sql(root: str) -> str:

@@ -20,7 +20,7 @@ import pyarrow as pa
 import ray
 
 from ..state import cells, dem
-from .sar import DEG, terrain_correct_batch
+from .sar import DEG, RAD, terrain_correct_batch
 
 SLOPE_SCALE = 1000.0  # elevation units per horizontal cell unit
 
@@ -130,3 +130,70 @@ def _domain_bbox():
     from .. import synth
 
     return (synth.LON_MIN, synth.LAT_MIN, synth.LON_MAX, synth.LAT_MAX)
+
+
+def hillshade_cells(
+    geo,
+    level: int = cells.CELL_LEVEL,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    concurrency=None,
+):
+    """Analytical hillshade of the DEM over the occupied cells — the
+    standard Horn illumination model every terrain viz layer uses
+    (reference analog: the hillshade beneath its map products):
+
+        hs = 255 · max(0, cos z·cos s + sin z·sin s·cos(az − aspect))
+
+    with z the solar zenith and s the slope, both from the same
+    TerrainLookup central differences as the terrain-correction chain.
+    cos z / sin z / az are Python-float constants inlined into BOTH the
+    engine and the SQL twin, and every per-cell transcendental runs
+    through libm — the whole chain is bit-replayable.
+
+    Output: (cell_id:int64, slope_deg:f64, aspect_deg:f64, hillshade:f64).
+    """
+    from . import zonal
+    from ..state.dem import build_dem
+
+    if concurrency is None:
+        from ..runtime import pool_size
+
+        concurrency = (1, pool_size(0.4))
+    per_cell = zonal.zonal_sums(geo, keys=("cell_id",), bands=()).select_columns(
+        ["cell_id"]
+    )
+    dem_ref = ray.put(build_dem(*_domain_bbox(), level=level, margin=2))
+    looked = per_cell.map_batches(
+        TerrainLookup,
+        fn_constructor_kwargs={"dem_ref": dem_ref, "level": level},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    zen_r = (90.0 - altitude_deg) * RAD
+    cos_z = math.cos(zen_r)
+    sin_z = math.sin(zen_r)
+    az_r = azimuth_deg * RAD
+
+    def shade(t: pa.Table) -> pa.Table:
+        slope = t.column("slope_deg").to_numpy(zero_copy_only=False)
+        aspect = t.column("aspect_deg").to_numpy(zero_copy_only=False)
+        cos_u = np.frompyfunc(math.cos, 1, 1)
+        sin_u = np.frompyfunc(math.sin, 1, 1)
+        s_r = slope * RAD
+        a_r = aspect * RAD
+        e = cos_z * cos_u(s_r).astype(np.float64) + sin_z * sin_u(s_r).astype(
+            np.float64
+        ) * cos_u(az_r - a_r).astype(np.float64)
+        hs = 255.0 * np.maximum(0.0, e)
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "slope_deg": pa.array(slope),
+                "aspect_deg": pa.array(aspect),
+                "hillshade": pa.array(hs),
+            }
+        )
+
+    return looked.map_batches(shade, batch_format="pyarrow")

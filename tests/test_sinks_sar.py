@@ -143,3 +143,33 @@ def test_csv_round_trip_via_ray_reader(ray_session, tmp_path):
     src_sorted = src.sort_values("PLOTID").reset_index(drop=True)
     assert list(back.columns) == list(src.columns)
     pd.testing.assert_frame_equal(back, src_sorted, check_dtype=False)
+
+
+def test_hillshade_range_and_flat_surface(ray_session, synth_small):
+    """Hillshade is in [0, 255]; a flat surface (slope 0) shades to
+    255·cos(zenith) regardless of aspect."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain
+    from kaza_lcms_ray.stages.sar import RAD
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    out = terrain.hillshade_cells(geo).to_pandas()
+    hs = out["hillshade"].to_numpy()
+    assert len(out) > 0
+    assert (hs >= 0.0).all() and (hs <= 255.0).all()
+    # spot-check the formula on one row
+    r = out.iloc[0]
+    zen = 45.0 * RAD
+    want = 255.0 * max(
+        0.0,
+        math.cos(zen) * math.cos(r["slope_deg"] * RAD)
+        + math.sin(zen)
+        * math.sin(r["slope_deg"] * RAD)
+        * math.cos(315.0 * RAD - r["aspect_deg"] * RAD),
+    )
+    assert abs(r["hillshade"] - want) < 1e-9
