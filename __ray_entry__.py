@@ -784,6 +784,17 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_theilsen(sf_dir: str):
+    """Theil–Sen robust per-cell trend (stages/zonal.theilsen_trend):
+    rational pairwise slopes, deterministic lower-median selection."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.theilsen_trend(_geo(sf_dir), band=3),
+        ["cell_id", "n_pairs", "slope_num", "slope_den", "theil_slope"],
+    )
+
+
 def q_hillshade(sf_dir: str):
     """Horn hillshade over the occupied cells
     (stages/terrain.hillshade_cells): TerrainLookup slope/aspect, pinned
@@ -2813,6 +2824,15 @@ def q_priority_share(sf_dir: str):
     )
 
 
+def q_revenue_rollup(sf_dir: str):
+    """OLAP ROLLUP revenue cube (pipelines/analytics.revenue_rollup):
+    exact integer revenue at all three grouping levels; super-aggregates
+    derived from the tiny base aggregate."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.revenue_rollup(_tbl(sf_dir, "lineitem"))
+
+
 def q_sales_opportunity(sf_dir: str):
     """TPC-H Q22-shaped dormant-customer report
     (pipelines/analytics.global_sales_opportunity): integer-rewritten
@@ -3182,6 +3202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_centroid": q_poly_centroid,
         "majority_smooth": q_majority_smooth,
         "hillshade": q_hillshade,
+        "theilsen": q_theilsen,
+        "revenue_rollup": q_revenue_rollup,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3708,6 +3730,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "ripley_k": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).ripley_k_sql("SELECT * FROM cells", max_ring=3)}""",
+        "theilsen": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).theilsen_trend_sql("SELECT * FROM cells", band=3)}""",
         "quadrat_test": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).quadrat_test_sql("SELECT * FROM cells")}""",
@@ -3728,6 +3753,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "sales_opportunity": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).global_sales_opportunity_sql(),
+        "revenue_rollup": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).revenue_rollup_sql(),
         "variogram": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).variogram_sql("SELECT * FROM cells", band=3, max_ring=2)}""",

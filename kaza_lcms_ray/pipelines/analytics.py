@@ -929,3 +929,78 @@ def global_sales_opportunity_sql(since: str = "2000-01-01") -> str:
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '{since}')
         GROUP BY c_mktsegment"""
+
+
+def revenue_rollup(lineitem):
+    """OLAP ROLLUP cube over (returnflag, linestatus): exact integer
+    revenue (price·(100−disc) scaled cents) and row counts at all three
+    grouping levels — the super-aggregate rows computed FROM the tiny base
+    aggregate (never a second corpus pass); 'ALL' marks rolled-up levels
+    (the SQL twin COALESCEs its ROLLUP NULLs identically).
+
+    Output: (l_returnflag, l_linestatus, n, revenue_scaled) for
+    flag×status, flag×'ALL', and 'ALL'×'ALL' rows.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        part = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "revenue_scaled": pa.array(rev),
+            }
+        )
+        out = part.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("n", "sum"), ("revenue_scaled", "sum")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "revenue_scaled"]
+        )
+
+    base = (
+        lineitem.select_columns(
+            ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("revenue_scaled", alias_name="revenue_scaled"),
+        )
+        .to_pandas()
+    )
+    lvl1 = (
+        base.groupby("l_returnflag", as_index=False)[["n", "revenue_scaled"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "n": [base["n"].sum()],
+            "revenue_scaled": [base["revenue_scaled"].sum()],
+        }
+    )
+    out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+    return out[["l_returnflag", "l_linestatus", "n", "revenue_scaled"]].astype(
+        {"n": np.int64, "revenue_scaled": np.int64}
+    )
+
+
+def revenue_rollup_sql() -> str:
+    """Oracle twin of :func:`revenue_rollup`."""
+    return """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                    AS BIGINT) AS revenue_scaled
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)"""

@@ -2294,3 +2294,107 @@ def variogram_sql(cells_sql: str, band: int = 3, max_ring: int = 2) -> str:
                CAST(SUM(sq) AS DOUBLE)
                    / (CAST(COUNT(*) AS DOUBLE) * 2.0) AS gamma
         FROM vg_pairs GROUP BY ring"""
+
+
+def theilsen_trend(geo, band: int = 3):
+    """Per-cell Theil–Sen robust trend: the (lower) MEDIAN of all pairwise
+    slopes (vⱼ−vᵢ)/(yearⱼ−yearᵢ) over the cell's yearly band totals — the
+    outlier-resistant companion to :func:`cell_trend`'s OLS slope (the
+    robust greening/degradation estimator in the trend-analysis
+    literature).
+
+    Exactness: yearly totals are exact int64 cent sums; every pairwise
+    slope stays a RATIONAL (dy:int64, dx:int64); the median element is
+    selected by the deterministic sort key (dy/dx as double, dy, dx) with
+    1-based rank (m+1)//2 — identical in SQL's row_number — and the
+    reported slope is the chosen pair's one pinned division.
+
+    Scale shape: corpus-sized work is only the zonal_sums reduce; pair
+    enumeration runs per cell inside hash-bucketed map_groups over the
+    bounded (cell, year) table (pairs ≤ years², years is a handful).
+
+    Output: (cell_id:int64, n_pairs:int64, slope_num:int64,
+    slope_den:int64, theil_slope:f64).
+    """
+    import pandas as pd
+
+    s_col = f"s_c{band}"
+    yearly = zonal_sums(geo, keys=["cell_id", "year"], bands=(band,))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for cid, grp in g.groupby("cell_id", sort=False):
+            x = grp["year"].to_numpy(np.int64)
+            v = grp[s_col].to_numpy(np.int64)
+            o = np.argsort(x, kind="mergesort")
+            x, v = x[o], v[o]
+            k = len(x)
+            if k < 2:
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            dy = v[jj] - v[ii]
+            dx = x[jj] - x[ii]
+            ratio = dy.astype(np.float64) / dx.astype(np.float64)
+            order = np.lexsort((dx, dy, ratio))
+            m = len(order)
+            pick = order[(m - 1) // 2]
+            rows.append(
+                (
+                    int(cid),
+                    m,
+                    int(dy[pick]),
+                    int(dx[pick]),
+                    float(np.float64(dy[pick]) / np.float64(dx[pick])),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=["cell_id", "n_pairs", "slope_num", "slope_den", "theil_slope"],
+        ).astype(
+            {
+                "cell_id": np.int64,
+                "n_pairs": np.int64,
+                "slope_num": np.int64,
+                "slope_den": np.int64,
+                "theil_slope": np.float64,
+            }
+        )
+
+    return (
+        _add_bucket(yearly, ["cell_id"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(
+            ["cell_id", "n_pairs", "slope_num", "slope_den", "theil_slope"]
+        )
+    )
+
+
+def theilsen_trend_sql(cells_sql: str, band: int = 3) -> str:
+    """Oracle twin of :func:`theilsen_trend`."""
+    return f"""
+        th_agg AS MATERIALIZED (
+            SELECT cell_id, "year", CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id, "year"
+        ),
+        th_pairs AS (
+            SELECT a.cell_id,
+                   b.v - a.v AS dy,
+                   b."year" - a."year" AS dx
+            FROM th_agg a JOIN th_agg b
+              ON a.cell_id = b.cell_id AND a."year" < b."year"
+        ),
+        th_rank AS (
+            SELECT cell_id, dy, dx,
+                   row_number() OVER (
+                       PARTITION BY cell_id
+                       ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE),
+                                dy, dx
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY cell_id) AS m
+            FROM th_pairs
+        )
+        SELECT cell_id, CAST(m AS BIGINT) AS n_pairs,
+               CAST(dy AS BIGINT) AS slope_num, CAST(dx AS BIGINT) AS slope_den,
+               CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS theil_slope
+        FROM th_rank WHERE rn = (m + 1) // 2"""

@@ -105,3 +105,73 @@ def test_sales_opportunity_anti_join_and_threshold(ray_session):
     assert out.to_dict("records") == [
         {"c_mktsegment": "A", "numcust": 1, "totacctbal_cents": 30000}
     ]
+
+
+def test_revenue_rollup_levels_are_consistent(ray_session):
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_returnflag": ["A", "A", "N"],
+                "l_linestatus": ["F", "O", "O"],
+                "l_extendedprice": [100.0, 200.0, 50.0],
+                "l_discount": [0.10, 0.00, 0.50],
+            }
+        )
+    )
+    out = analytics.revenue_rollup(lineitem)
+    tot = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    a = out[(out.l_returnflag == "A") & (out.l_linestatus == "ALL")]
+    base = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    assert len(out) == 3 + 2 + 1
+    assert tot["n"].iloc[0] == 3
+    assert a["n"].iloc[0] == 2
+    # rollup totals equal the sum of their children
+    assert tot["revenue_scaled"].iloc[0] == base["revenue_scaled"].sum()
+    assert (
+        a["revenue_scaled"].iloc[0]
+        == base[base.l_returnflag == "A"]["revenue_scaled"].sum()
+    )
+    # exact integer: 100.00*90 + 200.00*100 scaled cents
+    assert a["revenue_scaled"].iloc[0] == 10000 * 90 + 20000 * 100
+
+
+def test_theilsen_median_slope(ray_session, synth_small):
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, zonal
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = zonal.theilsen_trend(geo, band=3).to_pandas()
+    assert len(got) > 0
+    # the reported slope is exactly num/den of the chosen pair
+    s = got["slope_num"].to_numpy(np.float64) / got["slope_den"].to_numpy(
+        np.float64
+    )
+    assert got["theil_slope"].to_numpy().tobytes() == s.tobytes()
+    # brute-force one cell
+    df_all = geo.to_pandas()
+    cid = int(got["cell_id"].iloc[0])
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, encode
+
+    df_all["cell_id"] = encode(
+        df_all["lon"].to_numpy(), df_all["lat"].to_numpy(), CELL_LEVEL
+    )
+    one = df_all[df_all["cell_id"] == cid]
+    import numpy as _np
+
+    yearly = (
+        one.assign(c3=_np.round(one["b3"] * 100).astype(_np.int64))
+        .groupby("year")["c3"]
+        .sum()
+        .sort_index()
+    )
+    x = yearly.index.to_numpy(_np.int64)
+    v = yearly.to_numpy(_np.int64)
+    ii, jj = _np.triu_indices(len(x), 1)
+    dy, dx = v[jj] - v[ii], x[jj] - x[ii]
+    ratio = dy.astype(_np.float64) / dx.astype(_np.float64)
+    order = _np.lexsort((dx, dy, ratio))
+    pick = order[(len(order) - 1) // 2]
+    row = got[got.cell_id == cid].iloc[0]
+    assert (row["slope_num"], row["slope_den"]) == (dy[pick], dx[pick])
