@@ -1441,6 +1441,127 @@ def _similar_docs_sql(k_results: int = 10) -> str:
         ORDER BY jaccard DESC, i.doc_id LIMIT {k_results}"""
 
 
+def q_mmr_select(sf_dir: str):
+    """MMR diversified retrieval (stages/dedup.mmr_select): integer
+    quantized Jaccard relevance/redundancy, λ=½ integral scores, greedy
+    (score desc, id) selection replayed step-by-step in SQL."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kaza_lcms_ray.stages import dedup
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    qtext = t.filter(pc.equal(t.column("doc_id"), 0)).column("text")[0].as_py()
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return _i64(
+        dedup.mmr_select(docs, qtext, k_results=8, pool_size=24),
+        ["rank", "doc_id", "rel_q", "score_q"],
+    )
+
+
+def _mmr_sql(k_results: int = 8, pool_size: int = 24) -> str:
+    """Oracle: the _similar_docs_sql shingle machinery → integer-quantized
+    relevance pool → pairwise quantized sims → the greedy λ=½ selection
+    UNROLLED as one CTE chain per pick (bounded: pool_size ≤ 24)."""
+    from kaza_lcms_ray.stages.dedup import MMR_SIM_SCALE
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    Q = MMR_SIM_SCALE
+    k = 5
+    pos_base = f"""
+        SELECT doc_id, text, least({k}, length(text)) AS win,
+               unnest(range(1, length(text) - least({k}, length(text)) + 2)) AS pos
+        FROM documents WHERE length(text) > 0"""
+    rh = SH.rolling_poly_window("text", "pos", "win")
+    shq = SH.chain_select(
+        f"SELECT doc_id, {rh} AS rh FROM ({pos_base})",
+        SH.splitmix_steps("rh", "sh", "s"),
+    )
+    steps = []
+    finals = [
+        "SELECT 1 AS rank, doc_id, rel_q, 2 * rel_q AS score_q FROM mm_sel1"
+    ]
+    accs = ["mm_acc1 AS MATERIALIZED (SELECT doc_id FROM mm_sel1)"]
+    for i in range(2, k_results + 1):
+        steps.append(f"""
+        mm_sel{i} AS MATERIALIZED (
+            SELECT c.doc_id, c.rel_q,
+                   2 * c.rel_q - (
+                       SELECT COALESCE(MAX(p.simq), 0) FROM mm_pairs p
+                       WHERE p.a = c.doc_id
+                         AND p.b IN (SELECT doc_id FROM mm_acc{i - 1})
+                   ) AS score_q
+            FROM mm_pool c
+            WHERE c.doc_id NOT IN (SELECT doc_id FROM mm_acc{i - 1})
+            ORDER BY score_q DESC, c.doc_id LIMIT 1
+        )""")
+        accs.append(
+            f"mm_acc{i} AS MATERIALIZED (SELECT doc_id FROM mm_acc{i - 1} "
+            f"UNION ALL SELECT doc_id FROM mm_sel{i})"
+        )
+        finals.append(
+            f"SELECT {i} AS rank, doc_id, rel_q, score_q FROM mm_sel{i}"
+        )
+    step_sql = ""
+    for s_i, a_i in zip(steps, accs[1:]):
+        step_sql += "," + s_i + ",\n        " + a_i
+    return f"""
+        WITH mm_shd AS MATERIALIZED (
+            SELECT DISTINCT doc_id, sh FROM ({shq})
+        ),
+        mm_q AS (SELECT DISTINCT sh FROM mm_shd WHERE doc_id = 0),
+        mm_nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM mm_q),
+        mm_sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh
+            FROM mm_shd GROUP BY doc_id
+        ),
+        mm_rel AS (
+            SELECT s.doc_id,
+                   (CAST(COUNT(*) AS BIGINT) * {Q})
+                       // (n.c + z.nsh - CAST(COUNT(*) AS BIGINT)) AS rel_q
+            FROM mm_shd s
+            JOIN mm_q q ON s.sh = q.sh
+            JOIN mm_sizes z ON z.doc_id = s.doc_id
+            CROSS JOIN mm_nq n
+            WHERE s.doc_id <> 0
+            GROUP BY s.doc_id, n.c, z.nsh
+        ),
+        -- MATERIALIZED: each greedy step references the pool twice; an
+        -- inlined pool would recompute the shingle join per reference
+        -- (measured 24 s -> ~2 s)
+        mm_pool AS MATERIALIZED (
+            SELECT doc_id, rel_q FROM mm_rel
+            QUALIFY row_number() OVER (ORDER BY rel_q DESC, doc_id)
+                    <= {pool_size}
+        ),
+        mm_pshd AS MATERIALIZED (
+            SELECT s.doc_id, s.sh FROM mm_shd s
+            JOIN mm_pool p ON p.doc_id = s.doc_id
+        ),
+        mm_inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS ni
+            FROM mm_pshd a JOIN mm_pshd b
+              ON a.sh = b.sh AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        mm_pairs AS MATERIALIZED (
+            SELECT p1.doc_id AS a, p2.doc_id AS b,
+                   (COALESCE(i.ni, 0) * {Q})
+                       // (za.nsh + zb.nsh - COALESCE(i.ni, 0)) AS simq
+            FROM mm_pool p1
+            JOIN mm_pool p2 ON p1.doc_id <> p2.doc_id
+            LEFT JOIN mm_inter i ON i.a = p1.doc_id AND i.b = p2.doc_id
+            JOIN mm_sizes za ON za.doc_id = p1.doc_id
+            JOIN mm_sizes zb ON zb.doc_id = p2.doc_id
+        ),
+        mm_sel1 AS MATERIALIZED (
+            SELECT doc_id, rel_q FROM mm_pool
+            ORDER BY rel_q DESC, doc_id LIMIT 1
+        ),
+        {accs[0]}{step_sql}
+        {" UNION ALL ".join(finals)}"""
+
+
 def q_corpus_card(sf_dir: str):
     """One-row dataset card (stages/text.corpus_card): exact doc/char/
     token totals + fingerprint-keyed distinct-text and dup counts —
@@ -3204,6 +3325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "revenue_rollup": q_revenue_rollup,
+        "mmr_select": q_mmr_select,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -4466,6 +4588,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).retention_cohorts_sql("SELECT * FROM events"),
         "similar_docs": _similar_docs_sql(10),
+        "mmr_select": _mmr_sql(8, 24),
         "events_anomaly": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).ewma_anomalies_sql("SELECT * FROM events"),

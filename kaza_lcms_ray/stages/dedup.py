@@ -1846,3 +1846,148 @@ def similar_docs(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return top_k(scored, "jaccard", k_results, tiebreak_col=id_col, descending=True)
+
+
+MMR_SIM_SCALE = 1 << 20  # integer quantization of the Jaccard similarities
+
+
+def mmr_select(
+    ds,
+    query_text: str,
+    k_results: int = 8,
+    pool_size: int = 24,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998, public method) — "documents like this one, but not
+    like each other": greedy selection maximizing
+
+        score(d | S) = 2·rel_q(d) − max_{s∈S} sim_q(d, s)      (λ = ½)
+
+    where rel/sim are k-shingle Jaccard similarities QUANTIZED to integers
+    (⌊j·2²⁰⌋ via pure integer division (inter·2²⁰)//union), so every score
+    is an int64 and the greedy argmax (score desc, id asc) is bit-exact in
+    SQL — the λ=½ choice is what keeps the subtraction integral.
+
+    Scale shape: the distributed part is :func:`similar_docs`-shaped —
+    query shingle set broadcast, per-batch membership counts, two-level
+    top-``pool_size`` — and only then does the driver rerank the bounded
+    candidate pool (pairwise sims over ≤pool_size docs).
+
+    Returns Dataset[(rank, id, rel_q, score_q)] — the k selected docs in
+    pick order.
+    """
+    import ray
+    import ray.data as rd
+
+    from .joins import top_k
+
+    Q = MMR_SIM_SCALE
+    q = np.unique(_char_shingle_hashes(query_text.encode("utf-8"), shingle_k))
+    nq = int(q.shape[0])
+    qref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qs = ray.get(qref)
+        flat, seg = _batch_shingle_hashes(t.column(text_col), shingle_k)
+        n = len(t)
+        counts = np.diff(seg)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        order = np.lexsort((flat, doc_idx))
+        di, h = doc_idx[order], flat[order]
+        first = np.ones(di.shape[0], dtype=bool)
+        if di.shape[0]:
+            first[1:] = (di[1:] != di[:-1]) | (h[1:] != h[:-1])
+        di, h = di[first], h[first]
+        nd = np.bincount(di, minlength=n).astype(np.int64)
+        if nq and h.shape[0]:
+            pos = np.minimum(np.searchsorted(qs, h), nq - 1)
+            member = qs[pos] == h
+        else:
+            member = np.zeros(h.shape[0], dtype=bool)
+        ni = np.bincount(di[member], minlength=n).astype(np.int64)
+        ids_all = t.column(id_col).to_numpy(zero_copy_only=False)
+        nz = np.flatnonzero((ni > 0) & (ids_all != 0))
+        relq = (ni[nz] * Q) // (nq + nd[nz] - ni[nz])
+        return pa.table(
+            {id_col: pa.array(ids_all[nz]), "rel_q": pa.array(relq)}
+        )
+
+    pool = (
+        top_k(
+            ds.map_batches(score, batch_format="pyarrow"),
+            "rel_q",
+            pool_size,
+            tiebreak_col=id_col,
+            descending=True,
+        )
+        .to_pandas()
+        .sort_values(["rel_q", id_col], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    if len(pool) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "rank": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "rel_q": pa.array([], pa.int64()),
+                    "score_q": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # bounded candidate texts -> shingle sets -> pairwise quantized sims
+    pool_ids = pool[id_col].to_numpy(np.int64)
+    idset = ray.put(np.sort(pool_ids))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(idset))
+        return t.filter(pa.array(keep))
+
+    texts = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    sets = {
+        int(r[id_col]): np.unique(
+            _char_shingle_hashes(str(r[text_col]).encode("utf-8"), shingle_k)
+        )
+        for _, r in texts.iterrows()
+    }
+    m = len(pool_ids)
+    simq = np.zeros((m, m), dtype=np.int64)
+    for i in range(m):
+        a = sets[int(pool_ids[i])]
+        for j in range(i + 1, m):
+            b = sets[int(pool_ids[j])]
+            inter = int(np.intersect1d(a, b, assume_unique=True).shape[0])
+            union = int(a.shape[0] + b.shape[0] - inter)
+            simq[i, j] = simq[j, i] = (inter * Q) // union if union else 0
+
+    relq = pool["rel_q"].to_numpy(np.int64)
+    selected: list[int] = []
+    out_rows = []
+    remaining = list(range(m))
+    for rank in range(1, min(k_results, m) + 1):
+        best = None
+        for i in remaining:
+            red = int(simq[i, selected].max()) if selected else 0
+            sc = 2 * int(relq[i]) - red
+            key = (-sc, int(pool_ids[i]))
+            if best is None or key < best[0]:
+                best = (key, i, sc)
+        _, bi, bsc = best
+        out_rows.append((rank, int(pool_ids[bi]), int(relq[bi]), bsc))
+        selected.append(bi)
+        remaining.remove(bi)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array([r[0] for r in out_rows], pa.int64()),
+                id_col: pa.array([r[1] for r in out_rows], pa.int64()),
+                "rel_q": pa.array([r[2] for r in out_rows], pa.int64()),
+                "score_q": pa.array([r[3] for r in out_rows], pa.int64()),
+            }
+        )
+    )

@@ -685,3 +685,39 @@ def test_drop_frequent_lines_join_path_matches_broadcast(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_mmr_select_diversifies(ray_session):
+    """Three near-identical docs + one different-but-relevant doc: plain
+    top-2 would take two clones; MMR must pick one clone then the
+    different doc."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    q = "the quick brown fox jumps over the lazy dog near the river bank"
+    clone = q + " indeed"
+    # "other": shares most of the query (high relevance) but differs from
+    # the clones enough that 2*rel - sim favors it at step 2
+    other = "the quick brown fox jumps over the lazy dog near the harbor wall"
+    noise = "completely unrelated text about spacecraft telemetry budgets"
+    docs = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2, 3, 4],
+                    "text": [q, clone, clone + " truly", other, noise],
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = dedup.mmr_select(docs, q, k_results=2, pool_size=4).to_pandas()
+    assert out["rank"].tolist() == [1, 2]
+    assert out["doc_id"].iloc[0] in (1, 2)  # a clone wins on relevance
+    assert out["doc_id"].iloc[1] == 3  # diversity: the other clone is demoted
+    # rerun determinism
+    out2 = dedup.mmr_select(docs, q, k_results=2, pool_size=4).to_pandas()
+    assert out2["doc_id"].tolist() == out["doc_id"].tolist()
