@@ -2712,6 +2712,25 @@ def q_events_gaps(sf_dir: str):
     return _i64(events.event_gaps(ev), ["event_id", "user_id", "gap_us"])
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix of event types
+    (stages/events.event_transitions): in-group lag pairs, tiny global
+    combine, pinned row-normalized probabilities."""
+    from kaza_lcms_ray.stages import events
+
+    out = events.event_transitions(_tbl(sf_dir, "events"))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_ab_test(sf_dir: str):
+    """Two-cohort A/B conversion z-test (stages/events.ab_test): exact
+    integer counters, one pinned pooled-z expression."""
+    from kaza_lcms_ray.stages import events
+
+    return events.ab_test(_tbl(sf_dir, "events"))
+
+
 def q_events_pivot(sf_dir: str):
     """Per-user event-type count matrix (pivot as conditional-count
     partials + one Sum combine)."""
@@ -3326,6 +3345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen": q_theilsen,
         "revenue_rollup": q_revenue_rollup,
         "mmr_select": q_mmr_select,
+        "event_transitions": q_event_transitions,
+        "ab_test": q_ab_test,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -4569,6 +4590,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                                           AS BIGINT), -1)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type""",
+        "event_transitions": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).event_transitions_sql("SELECT * FROM events"),
+        "ab_test": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).ab_test_sql("SELECT * FROM events"),
         "events_gaps": """
             SELECT event_id, user_id,
                    COALESCE(CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (

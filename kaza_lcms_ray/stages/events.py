@@ -874,3 +874,178 @@ def ewma_anomalies_sql(
                CAST(CASE WHEN abs(dev_cents) > {threshold_cents}
                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         FROM ea_d"""
+
+
+def event_transitions(ds, key: str = "user_id", ts_col: str = "ts"):
+    """First-order Markov transition matrix of event types: per key, the
+    (previous → current) type pairs in (ts, event_id) order, counted
+    globally, with per-source-row transition probabilities — the
+    behavioral-model summary every event pipeline ships.
+
+    Scale shape: the lag runs inside the per-key map_groups (the
+    sessionize partitioning contract — a user's stream is bounded);
+    transitions pre-count IN-GROUP, so the global combine moves at most
+    |types|² rows per group; the probability is one pinned division over
+    the tiny final matrix.
+
+    Returns pandas[from_type, to_type, n, p] (≤|types|² rows).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"from_type": [], "to_type": [], "n": []}).astype(
+                {"from_type": str, "to_type": str, "n": np.int64}
+            )
+        pairs = pd.DataFrame({"from_type": t[:-1], "to_type": t[1:]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    counts = (
+        ds.select_columns(["event_id", key, ts_col, "event_type"])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tot = counts.groupby("from_type")["n"].transform("sum").to_numpy(np.float64)
+    counts["p"] = counts["n"].to_numpy(np.float64) / tot
+    return counts[["from_type", "to_type", "n", "p"]]
+
+
+def event_transitions_sql(events_sql: str) -> str:
+    """Oracle twin of :func:`event_transitions`."""
+    return f"""
+        WITH tr AS (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM ({events_sql})
+        ),
+        ct AS (
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM tr WHERE prev IS NOT NULL
+            GROUP BY prev, event_type
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        FROM ct"""
+
+
+def ab_test(ds, convert_type: str = "purchase", min_events: int = 14):
+    """Two-cohort A/B conversion test: users split by user_id parity,
+    conversion = at least ``min_events`` ``convert_type`` events (the
+    heavy-purchaser metric — every user in the driver corpus has ≥1
+    purchase, so a ≥1 definition is degenerate; both sides share the same
+    threshold); reports the pooled two-proportion z statistic
+
+        z = (pA − pB) / √(p̂(1−p̂)(1/nA + 1/nB))
+
+    as ONE pinned double expression over four exact integers.
+
+    Scale shape: per-batch (user, converted-partial) rows → per-user Sum
+    (skinny ints) → four global counters; no raw event ever shuffles
+    twice.  Returns one pandas row (n_a, conv_a, n_b, conv_b, p_a, p_b,
+    z).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        conv = (
+            t.column("event_type").to_numpy(zero_copy_only=False) == convert_type
+        ).astype(np.int64)
+        uk, inv = np.unique(u, return_inverse=True)
+        c = np.zeros(uk.shape[0], dtype=np.int64)
+        np.add.at(c, inv, conv)
+        return _pa.table({"user_id": _pa.array(uk), "nc": _pa.array(c)})
+
+    per_user = (
+        ds.select_columns(["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("nc", alias_name="nc"))
+    )
+
+    def cohort_partial(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        nc = t.column("nc").to_numpy(zero_copy_only=False)
+        b = (u % 2 == 1).astype(np.int64)
+        conv = (nc >= min_events).astype(np.int64)
+        return _pa.table(
+            {
+                "n_a": _pa.array([int((1 - b).sum())]),
+                "conv_a": _pa.array([int(((1 - b) * conv).sum())]),
+                "n_b": _pa.array([int(b.sum())]),
+                "conv_b": _pa.array([int((b * conv).sum())]),
+            }
+        )
+
+    agg = per_user.map_batches(cohort_partial, batch_format="pyarrow").aggregate(
+        Sum("n_a", alias_name="n_a"),
+        Sum("conv_a", alias_name="conv_a"),
+        Sum("n_b", alias_name="n_b"),
+        Sum("conv_b", alias_name="conv_b"),
+    )
+    n_a, c_a = int(agg["n_a"]), int(agg["conv_a"])
+    n_b, c_b = int(agg["n_b"]), int(agg["conv_b"])
+    p_a = np.float64(c_a) / np.float64(n_a)
+    p_b = np.float64(c_b) / np.float64(n_b)
+    pool = (np.float64(c_a) + np.float64(c_b)) / (np.float64(n_a) + np.float64(n_b))
+    z = (p_a - p_b) / np.sqrt(
+        pool * (1.0 - pool) * (1.0 / np.float64(n_a) + 1.0 / np.float64(n_b))
+    )
+    return pd.DataFrame(
+        {
+            "n_a": [n_a], "conv_a": [c_a], "n_b": [n_b], "conv_b": [c_b],
+            "p_a": [float(p_a)], "p_b": [float(p_b)], "z": [float(z)],
+        }
+    )
+
+
+def ab_test_sql(
+    events_sql: str, convert_type: str = "purchase", min_events: int = 14
+) -> str:
+    """Oracle twin of :func:`ab_test` (identical pinned z expression)."""
+    return f"""
+        WITH au AS (
+            SELECT user_id,
+                   CAST(CASE WHEN SUM(CASE WHEN event_type = '{convert_type}'
+                                           THEN 1 ELSE 0 END) >= {min_events}
+                             THEN 1 ELSE 0 END AS BIGINT) AS conv
+            FROM ({events_sql}) GROUP BY user_id
+        ),
+        cts AS (
+            SELECT
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+            FROM au
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+               CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                      * (1.0 - ((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                                / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+                      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+                   AS z
+        FROM cts"""

@@ -211,3 +211,65 @@ def test_funnel_ordering_and_retention_cells(ray_session):
     # epoch-week cohorts: user1 cohort week W, cells (W,0) and (W,1)
     ks = out.groupby("k")["n_users"].sum().to_dict()
     assert ks[0] == 2 and ks[1] == 1
+
+
+def test_event_transitions_and_ab_test(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    # user 1: view->click->view ; user 2: view->click
+    ev = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3, 4, 5],
+                    "user_id": [1, 1, 1, 2, 2],
+                    "ts": pd.to_datetime(
+                        [
+                            "2024-01-01 00:00",
+                            "2024-01-01 00:01",
+                            "2024-01-01 00:02",
+                            "2024-01-01 00:00",
+                            "2024-01-01 00:05",
+                        ]
+                    ),
+                    "event_type": ["view", "click", "view", "view", "click"],
+                    "value": [1.0] * 5,
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    tr = events.event_transitions(ev).set_index(["from_type", "to_type"])
+    assert tr.loc[("view", "click"), "n"] == 2
+    assert tr.loc[("click", "view"), "n"] == 1
+    assert tr.loc[("view", "click"), "p"] == 1.0  # view->click is view's only exit
+    assert abs(tr["p"].groupby("from_type").sum() - 1.0).max() < 1e-12
+
+    # A/B: user 2 (odd->B? 2%2=0 -> A) converts with 2 purchases, min 2
+    ev2 = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3, 4],
+                    "user_id": [2, 2, 3, 4],
+                    "ts": pd.to_datetime(["2024-01-01"] * 4),
+                    "event_type": ["purchase", "purchase", "purchase", "view"],
+                    "value": [1.0] * 4,
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = events.ab_test(ev2, min_events=2).iloc[0]
+    # cohort A = even ids {2, 4}: conv {2}; cohort B = {3}: no conv
+    assert (out["n_a"], out["conv_a"], out["n_b"], out["conv_b"]) == (2, 1, 1, 0)
+    import math
+
+    pool = 1.0 / 3.0
+    want = (0.5 - 0.0) / math.sqrt(pool * (1 - pool) * (1 / 2.0 + 1 / 1.0))
+    assert abs(out["z"] - want) < 1e-12
