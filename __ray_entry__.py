@@ -2712,6 +2712,26 @@ def q_events_gaps(sf_dir: str):
     return _i64(events.event_gaps(ev), ["event_id", "user_id", "gap_us"])
 
 
+def q_events_wau(sf_dir: str):
+    """Exact rolling 7-day active users
+    (stages/events.rolling_active_users): distinct (user, day) first,
+    bounded window fan, distinct+count per window."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.rolling_active_users(_tbl(sf_dir, "events")), ["day", "wau"]
+    )
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of order totals
+    (pipelines/analytics.benford_audit): digits from exact cents strings,
+    pinned shares, shared expectation literals."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.benford_audit(_tbl(sf_dir, "orders"))
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition matrix of event types
     (stages/events.event_transitions): in-group lag pairs, tiny global
@@ -3347,6 +3367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_select": q_mmr_select,
         "event_transitions": q_event_transitions,
         "ab_test": q_ab_test,
+        "events_wau": q_events_wau,
+        "benford": q_benford,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -4593,6 +4615,12 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "event_transitions": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).event_transitions_sql("SELECT * FROM events"),
+        "events_wau": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).rolling_active_users_sql("SELECT * FROM events"),
+        "benford": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).benford_audit_sql(),
         "ab_test": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).ab_test_sql("SELECT * FROM events"),

@@ -1004,3 +1004,75 @@ def revenue_rollup_sql() -> str:
                     AS BIGINT) AS revenue_scaled
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def benford_audit(orders):
+    """Benford's-law first-digit audit of order totals — the standard
+    data-quality / fraud screen for money columns.  The first significant
+    digit is taken from the DECIMAL STRING of the exact cents integer
+    (never a float log — no boundary ambiguity at powers of ten);
+    observed shares are pinned divisions and the Benford expectation
+    log₁₀(1+1/d) is a Python-float literal shared with the SQL twin.
+
+    Output: (digit:int64, n:int64, p_obs:f64, p_benford:f64) for d=1..9.
+    """
+    import math
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        first = pc.utf8_slice_codeunits(
+            pc.cast(pa.array(cents), pa.string()), 0, 1
+        )
+        d = pc.cast(first, pa.int64()).to_numpy(zero_copy_only=False)
+        cnt = np.zeros(10, dtype=np.int64)
+        np.add.at(cnt, d, 1)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt[1:]),
+            }
+        )
+
+    agg = (
+        orders.select_columns(["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    total = float(agg["n"].sum())
+    agg["p_obs"] = agg["n"].to_numpy(np.float64) / total
+    agg["p_benford"] = [
+        math.log10(1.0 + 1.0 / d) for d in agg["digit"].astype(int)
+    ]
+    return agg.astype({"digit": np.int64, "n": np.int64})
+
+
+def benford_audit_sql() -> str:
+    """Oracle twin of :func:`benford_audit` (digit from the cents string;
+    Benford constants inlined as the engine's Python floats)."""
+    import math
+
+    bens = ", ".join(
+        f"({d}, {math.log10(1.0 + 1.0 / d)!r})" for d in range(1, 10)
+    )
+    return f"""
+        WITH bd AS (
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders
+        ),
+        ct AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bd GROUP BY digit
+        ),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM ct),
+        exp_p AS (SELECT * FROM (VALUES {bens}) AS e(digit, p_benford))
+        SELECT c.digit, c.n,
+               CAST(c.n AS DOUBLE) / t.t AS p_obs,
+               e.p_benford
+        FROM ct c CROSS JOIN tot t JOIN exp_p e ON e.digit = c.digit"""

@@ -1049,3 +1049,93 @@ def ab_test_sql(
                       * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
                    AS z
         FROM cts"""
+
+
+def rolling_active_users(ds, window_days: int = 7):
+    """Exact rolling-window active users (the WAU/MAU panel): for every
+    calendar day, the count of distinct users active in the trailing
+    ``window_days`` days — windowed COUNT(DISTINCT) expressed shuffle-
+    light: distinct (user, day) pairs first (skinny ints), each pair
+    fanned to the ≤window_days windows it feeds, then a distinct+count per
+    window day.  No raw event is ever shuffled; the fan is over the
+    already-deduplicated activity table.
+
+    Only windows ending on an OBSERVED activity day are emitted (mirrored
+    by the oracle); day = epoch-day integer, window day = its last day.
+
+    Returns Dataset[day:int64, wau:int64].
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from .joins import distinct as distinct_rows
+
+    def to_days(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {"user_id": t.column("user_id"), "day": pa.array(day)}
+        )
+
+    activity = distinct_rows(
+        ds.select_columns(["user_id", "ts"]).map_batches(
+            to_days, batch_format="pyarrow"
+        ),
+        ["user_id", "day"],
+    ).materialize()  # skinny (user, day) ints; consumed twice (fan + domain)
+
+    obs_days = np.sort(
+        activity.groupby("day")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()["day"]
+        .to_numpy(np.int64)
+    )
+    import ray
+
+    days_ref = ray.put(obs_days)
+
+    def fan(t: pa.Table) -> pa.Table:
+        obs = ray.get(days_ref)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        parts = []
+        for off in range(window_days):
+            w = d + off
+            # keep only windows anchored on an observed activity day
+            pos = np.searchsorted(obs, w)
+            ok = (pos < len(obs)) & (obs[np.minimum(pos, len(obs) - 1)] == w)
+            parts.append(
+                pa.table({"user_id": pa.array(u[ok]), "day": pa.array(w[ok])})
+            )
+        part = pa.concat_tables(parts)
+        # in-batch dedupe before the shuffle
+        g = part.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return g.select(["user_id", "day"])
+
+    return (
+        distinct_rows(
+            activity.map_batches(fan, batch_format="pyarrow"), ["user_id", "day"]
+        )
+        .groupby("day")
+        .aggregate(Count(alias_name="wau"))
+    )
+
+
+def rolling_active_users_sql(events_sql: str, window_days: int = 7) -> str:
+    """Oracle twin of :func:`rolling_active_users`."""
+    return f"""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+            FROM ({events_sql})
+        ),
+        obs AS (SELECT DISTINCT day FROM act),
+        fan AS (
+            SELECT DISTINCT a.user_id, a.day + o.off AS day
+            FROM act a
+            CROSS JOIN (SELECT unnest(range(0, {window_days})) AS off) o
+            JOIN obs ON obs.day = a.day + o.off
+        )
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM fan GROUP BY day"""

@@ -273,3 +273,42 @@ def test_event_transitions_and_ab_test(ray_session):
     pool = 1.0 / 3.0
     want = (0.5 - 0.0) / math.sqrt(pool * (1 - pool) * (1 / 2.0 + 1 / 1.0))
     assert abs(out["z"] - want) < 1e-12
+
+
+def test_rolling_active_users_window(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    # user 1 active day 0 and 10; user 2 active day 1
+    ev = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3, 4],
+                    "user_id": [1, 1, 1, 2],
+                    "ts": pd.to_datetime(
+                        [
+                            "1970-01-01 00:00",
+                            "1970-01-01 09:00",
+                            "1970-01-11 00:00",
+                            "1970-01-02 00:00",
+                        ]
+                    ),
+                    "event_type": ["view"] * 4,
+                    "value": [1.0] * 4,
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = (
+        events.rolling_active_users(ev, window_days=7)
+        .to_pandas()
+        .set_index("day")["wau"]
+    )
+    # observed days: 0, 1, 10. window(0) = {u1}; window(1) = {u1 (day0), u2};
+    # window(10) = {u1} (day 10 only; days 0-1 are outside the trailing 7)
+    assert out.to_dict() == {0: 1, 1: 2, 10: 1}
