@@ -2984,6 +2984,24 @@ def q_priority_share(sf_dir: str):
     )
 
 
+def q_product_profit(sf_dir: str):
+    """TPC-H Q9-shaped 5-table profit pipeline
+    (pipelines/analytics.product_profit): LIKE-filtered part broadcast,
+    supplier→nation map, order-year attach, exact ×10⁴ profit ints."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.product_profit(
+            _tbl(sf_dir, "lineitem"),
+            _tbl(sf_dir, "orders"),
+            _tbl(sf_dir, "part"),
+            _tbl(sf_dir, "supplier"),
+            _tbl(sf_dir, "nation"),
+        ),
+        ["n_name", "o_year", "profit_scaled"],
+    )
+
+
 def q_revenue_rollup(sf_dir: str):
     """OLAP ROLLUP revenue cube (pipelines/analytics.revenue_rollup):
     exact integer revenue at all three grouping levels; super-aggregates
@@ -3369,6 +3387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_test": q_ab_test,
         "events_wau": q_events_wau,
         "benford": q_benford,
+        "product_profit": q_product_profit,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -4621,6 +4640,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "benford": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).benford_audit_sql(),
+        "product_profit": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).product_profit_sql(),
         "ab_test": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).ab_test_sql("SELECT * FROM events"),

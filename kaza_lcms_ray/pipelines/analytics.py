@@ -1076,3 +1076,145 @@ def benford_audit_sql() -> str:
                CAST(c.n AS DOUBLE) / t.t AS p_obs,
                e.p_benford
         FROM ct c CROSS JOIN tot t JOIN exp_p e ON e.digit = c.digit"""
+
+
+def product_profit(lineitem, orders, part, supplier, nation, name_like: str = "red"):
+    """TPC-H Q9-shaped product-type profit: per (supplier nation, order
+    year), profit = Σ price·(100−disc) − retail·qty (this schema has no
+    partsupp, so the part's retail price plays supplycost — both ×10⁴
+    scaled, so the difference is one exact int64) over lineitems whose
+    part name contains ``name_like``.
+
+    Partitioning plan (the Q5 discipline): the LIKE-filtered part
+    dimension and the supplier→nation name map attach through size-guarded
+    ``attach_dim`` / broadcast; the order year attaches the same way; the
+    lineitem scan is pre-aggregated per (nation, year) INSIDE each batch
+    so the final combine is tiny.  One corpus pass, zero big-big joins.
+
+    Output: (n_name:string, o_year:int64, profit_scaled:int64).
+    """
+    from ..stages.joins import attach_dim
+
+    def part_pre(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring(t.column("p_name"), name_like)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "retail_c": pa.array(_cents(t.column("p_retailprice"))),
+            }
+        )
+
+    sup = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = nation.select_columns(["n_nationkey", "n_name"]).to_pandas()
+    smap = sup.merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey", how="inner"
+    )[["s_suppkey", "n_name"]]
+    import ray as _ray
+    import ray.data as rd
+
+    sref = _ray.put(
+        {
+            "k": np.sort(smap["s_suppkey"].to_numpy(np.int64)),
+            "v": smap.sort_values("s_suppkey")["n_name"].to_numpy(object),
+        }
+    )
+
+    def o_pre(t: pa.Table) -> pa.Table:
+        yr = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "o_year": pa.array(yr)}
+        )
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        cost = _cents(t.column("l_quantity"))  # combined with retail later
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": pa.array(rev),
+                "qty_c": pa.array(cost),
+            }
+        )
+
+    li = attach_dim(
+        lineitem.select_columns(
+            [
+                "l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount", "l_quantity",
+            ]
+        ).map_batches(li_pre, batch_format="pyarrow"),
+        part.select_columns(["p_partkey", "p_name", "p_retailprice"]).map_batches(
+            part_pre, batch_format="pyarrow"
+        ),
+        "l_partkey",
+        "p_partkey",
+        ["retail_c"],
+    )
+    li = attach_dim(
+        li,
+        orders.select_columns(["o_orderkey", "o_orderdate"]).map_batches(
+            o_pre, batch_format="pyarrow"
+        ),
+        "l_orderkey",
+        "o_orderkey",
+        ["o_year"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        side = _ray.get(sref)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["k"], sk)
+        pos = np.minimum(pos, max(len(side["k"]) - 1, 0))
+        hit = side["k"][pos] == sk if len(side["k"]) else np.zeros(len(sk), bool)
+        rev = t.column("rev").to_numpy(zero_copy_only=False)[hit]
+        qty = t.column("qty_c").to_numpy(zero_copy_only=False)[hit]
+        ret = t.column("retail_c").to_numpy(zero_copy_only=False)[hit]
+        yr = t.column("o_year").to_numpy(zero_copy_only=False)[hit]
+        prof = rev - ret * qty
+        part_t = pa.table(
+            {
+                "n_name": pa.array(side["v"][pos[hit]], pa.string()),
+                "o_year": pa.array(yr),
+                "profit_scaled": pa.array(prof),
+            }
+        )
+        g = part_t.group_by(["n_name", "o_year"]).aggregate(
+            [("profit_scaled", "sum")]
+        )
+        return g.rename_columns(["n_name", "o_year", "profit_scaled"])
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["n_name", "o_year"])
+        .aggregate(Sum("profit_scaled", alias_name="profit_scaled"))
+    )
+
+
+def product_profit_sql(name_like: str = "red") -> str:
+    """Oracle twin of :func:`product_profit`."""
+    return f"""
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                        - CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                          * CAST(round(l_quantity * 100, 0) AS BIGINT))
+                    AS BIGINT) AS profit_scaled
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%{name_like}%'
+        GROUP BY n_name, o_year"""

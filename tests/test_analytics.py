@@ -175,3 +175,56 @@ def test_theilsen_median_slope(ray_session, synth_small):
     pick = order[(len(order) - 1) // 2]
     row = got[got.cell_id == cid].iloc[0]
     assert (row["slope_num"], row["slope_den"]) == (dy[pick], dx[pick])
+
+
+def test_product_profit_filters_and_joins(ray_session):
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2],
+                "l_partkey": [10, 11, 10],
+                "l_suppkey": [100, 100, 101],
+                "l_extendedprice": [100.0, 100.0, 10.0],
+                "l_discount": [0.0, 0.0, 0.5],
+                "l_quantity": [1.0, 1.0, 2.0],
+            }
+        )
+    )
+    orders = _ds(
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2],
+                "o_orderdate": pd.to_datetime(["1996-03-01", "1997-04-01"]),
+            }
+        )
+    )
+    part = _ds(
+        pd.DataFrame(
+            {
+                "p_partkey": [10, 11],
+                "p_name": ["red bolt", "blue bolt"],  # only part 10 matches
+                "p_retailprice": [50.0, 50.0],
+            }
+        )
+    )
+    supplier = _ds(
+        pd.DataFrame({"s_suppkey": [100, 101], "s_nationkey": [1, 2]})
+    )
+    nation = _ds(
+        pd.DataFrame(
+            {"n_nationkey": pd.array([1, 2], dtype="int32"),
+             "n_name": ["KENYA", "PERU"]}
+        )
+    )
+    out = (
+        analytics.product_profit(lineitem, orders, part, supplier, nation)
+        .to_pandas()
+        .sort_values(["n_name", "o_year"])
+        .reset_index(drop=True)
+    )
+    # KENYA 1996: rev 10000*100, cost 5000*100 -> 500000
+    # PERU 1997: rev 1000*50=50000, cost 5000*200=1000000 -> -950000
+    assert out.to_dict("records") == [
+        {"n_name": "KENYA", "o_year": 1996, "profit_scaled": 500000},
+        {"n_name": "PERU", "o_year": 1997, "profit_scaled": -950000},
+    ]
