@@ -784,6 +784,17 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_trimmed_mean(sf_dir: str):
+    """Per-cell 10% trimmed mean (stages/zonal.trimmed_mean): rank-based
+    trim, tiebreak-free integer kept-sum, pinned division."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.trimmed_mean(_geo(sf_dir), band=3),
+        ["cell_id", "n", "kept", "trim_sum", "trimmed_mean"],
+    )
+
+
 def q_theilsen(sf_dir: str):
     """Theil–Sen robust per-cell trend (stages/zonal.theilsen_trend):
     rational pairwise slopes, deterministic lower-median selection."""
@@ -1347,6 +1358,36 @@ def q_text_scores(sf_dir: str):
     docs = _doc_table(sf_dir, columns=["doc_id", "text"])
     return _i64(
         text.text_scores(docs), ["doc_id", "lang_pred", "stop_ratio", "quality"]
+    )
+
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix (stages/text.TextScorer prediction vs
+    the lang metadata column): per (lang, lang_pred) counts — the model-QA
+    report for the heuristic classifier.  The lang label attaches through
+    size-guarded attach_dim (hash join above the guard), counts combine as
+    tiny integer partials."""
+    import pyarrow.compute as pc_  # noqa: F401
+
+    from kaza_lcms_ray.stages import text
+    from kaza_lcms_ray.stages.joins import attach_dim
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    labels = _doc_table(sf_dir, columns=["doc_id", "lang"])
+    scored = text.text_scores(docs).select_columns(["doc_id", "lang_pred"])
+    both = attach_dim(scored, labels, "doc_id", "doc_id", ["lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return _i64(
+        both.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n")),
+        ["lang", "lang_pred", "n"],
     )
 
 
@@ -3388,6 +3429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_wau": q_events_wau,
         "benford": q_benford,
         "product_profit": q_product_profit,
+        "langid_confusion": q_langid_confusion,
+        "trimmed_mean": q_trimmed_mean,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3917,6 +3960,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "theilsen": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).theilsen_trend_sql("SELECT * FROM cells", band=3)}""",
+        "trimmed_mean": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).trimmed_mean_sql("SELECT * FROM cells", band=3)}""",
         "quadrat_test": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).quadrat_test_sql("SELECT * FROM cells")}""",
@@ -4643,6 +4689,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "product_profit": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).product_profit_sql(),
+        "langid_confusion": f"""
+            SELECT d.lang, s.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({_text_scores_sql()}) s
+            JOIN documents d ON d.doc_id = s.doc_id
+            GROUP BY d.lang, s.lang_pred""",
         "ab_test": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).ab_test_sql("SELECT * FROM events"),

@@ -2398,3 +2398,87 @@ def theilsen_trend_sql(cells_sql: str, band: int = 3) -> str:
                CAST(dy AS BIGINT) AS slope_num, CAST(dx AS BIGINT) AS slope_den,
                CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS theil_slope
         FROM th_rank WHERE rn = (m + 1) // 2"""
+
+
+def trimmed_mean(geo, band: int = 3, trim_pct: int = 10):
+    """Per-cell trimmed mean: drop the lowest and highest ⌊n·pct/100⌋
+    observations by value, average the rest — the robust composite the
+    reference's percentile reducers approximate (A1 family; a trimmed
+    mean is the standard cloud/shadow-outlier-resistant composite).
+
+    Exactness: trimming is by VALUE RANK, and rows tied in value are
+    interchangeable for the surviving SUM, so the exact int64 cent sum of
+    the kept rows is tiebreak-free; the mean is one pinned division.
+
+    Scale shape: the standard holistic-aggregate plan — hash-bucket cells
+    (~2×CPUs buckets), one vectorized in-task sort per bucket; the driver
+    never sees raw observations.
+
+    Output: (cell_id:int64, n:int64, kept:int64, trim_sum:int64,
+    trimmed_mean:f64).
+    """
+    import pandas as pd
+
+    s_col = f"c{band}"
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell_id", s_col], kind="mergesort")
+        cid = g["cell_id"].to_numpy(np.int64)
+        v = g[s_col].to_numpy(np.int64)
+        # segment bounds per cell
+        brk = np.flatnonzero(np.concatenate(([True], cid[1:] != cid[:-1])))
+        ends = np.concatenate((brk[1:], [len(cid)]))
+        rows = []
+        for s, e in zip(brk, ends):
+            n = e - s
+            k = (n * trim_pct) // 100
+            kept = n - 2 * k
+            if kept <= 0:
+                continue
+            tsum = int(v[s + k : e - k].sum())
+            rows.append(
+                (int(cid[s]), int(n), int(kept), tsum, float(tsum) / float(kept))
+            )
+        return pd.DataFrame(
+            rows, columns=["cell_id", "n", "kept", "trim_sum", "trimmed_mean"]
+        ).astype(
+            {
+                "cell_id": np.int64,
+                "n": np.int64,
+                "kept": np.int64,
+                "trim_sum": np.int64,
+                "trimmed_mean": np.float64,
+            }
+        )
+
+    return (
+        _add_bucket(
+            geo.select_columns(["cell_id", s_col]), ["cell_id"], _default_buckets()
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["cell_id", "n", "kept", "trim_sum", "trimmed_mean"])
+    )
+
+
+def trimmed_mean_sql(cells_sql: str, band: int = 3, trim_pct: int = 10) -> str:
+    """Oracle twin of :func:`trimmed_mean`."""
+    return f"""
+        tm_rank AS (
+            SELECT cell_id, c{band} AS v,
+                   row_number() OVER (PARTITION BY cell_id ORDER BY c{band})
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY cell_id) AS n
+            FROM ({cells_sql})
+        )
+        SELECT cell_id,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS kept,
+               CAST(SUM(v) AS BIGINT) AS trim_sum,
+               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS trimmed_mean
+        FROM tm_rank
+        WHERE rn > (n * {trim_pct}) // 100
+          AND rn <= n - (n * {trim_pct}) // 100
+        GROUP BY cell_id
+        HAVING COUNT(*) > 0"""

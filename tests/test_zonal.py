@@ -527,3 +527,35 @@ def test_ripley_k_and_quadrat_match_bruteforce(synth_small, ray_session):
     assert qt["chi2"].to_numpy().tobytes() == np.array(
         [np.float64(num) / (np.float64(C) * np.float64(P))]
     ).tobytes()
+
+
+def test_trimmed_mean_matches_bruteforce(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.trimmed_mean(geo, band=3)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    rows = []
+    for cid, grp in df.groupby("cell_id"):
+        v = np.sort(grp["c3"].to_numpy(np.int64))
+        n = len(v)
+        k = (n * 10) // 100
+        kept = v[k : n - k]
+        rows.append((cid, n, len(kept), int(kept.sum()),
+                     float(kept.sum()) / float(len(kept))))
+    exp = (
+        pd.DataFrame(rows, columns=["cell_id", "n", "kept", "trim_sum",
+                                    "trimmed_mean"])
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("cell_id", "n", "kept", "trim_sum"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all()
+    assert got["trimmed_mean"].to_numpy().tobytes() == exp[
+        "trimmed_mean"
+    ].to_numpy().tobytes()
