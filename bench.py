@@ -274,6 +274,8 @@ def run_bench() -> dict:
     timed("kring_smooth", lambda: zonal.kring_smooth(geo(), band=3, k=1).count())
     timed("morans_i", lambda: zonal.morans_i(geo(), band=3, k=1).count())
     timed("cell_trend", lambda: zonal.cell_trend(geo(), band=3).count())
+    timed("local_morans", lambda: zonal.local_morans(geo(), band=3, k=1).count())
+    timed("idw_fill", lambda: zonal.idw_fill(geo(), band=3, max_ring=2).count())
 
     ray.shutdown()
     return {
