@@ -784,6 +784,17 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_psi_drift(sf_dir: str):
+    """PSI data-drift report 2020 vs 2022 (stages/zonal.psi_drift):
+    integer bins, exact counts, per-bin pinned libm terms."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.psi_drift(_geo(sf_dir), band=3),
+        ["bin", "n_a", "n_b", "psi_term"],
+    )
+
+
 def q_trimmed_mean(sf_dir: str):
     """Per-cell 10% trimmed mean (stages/zonal.trimmed_mean): rank-based
     trim, tiebreak-free integer kept-sum, pinned division."""
@@ -2753,6 +2764,18 @@ def q_events_gaps(sf_dir: str):
     return _i64(events.event_gaps(ev), ["event_id", "user_id", "gap_us"])
 
 
+def q_events_twa(sf_dir: str):
+    """Per-user time-weighted average value
+    (stages/events.time_weighted_avg): integer cents·µs holds, pinned
+    division."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.time_weighted_avg(_tbl(sf_dir, "events")),
+        ["user_id", "n_holds", "wsum", "dur_us", "twa"],
+    )
+
+
 def q_events_wau(sf_dir: str):
     """Exact rolling 7-day active users
     (stages/events.rolling_active_users): distinct (user, day) first,
@@ -3427,10 +3450,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "ab_test": q_ab_test,
         "events_wau": q_events_wau,
+        "events_twa": q_events_twa,
         "benford": q_benford,
         "product_profit": q_product_profit,
         "langid_confusion": q_langid_confusion,
         "trimmed_mean": q_trimmed_mean,
+        "psi_drift": q_psi_drift,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3963,6 +3988,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "trimmed_mean": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).trimmed_mean_sql("SELECT * FROM cells", band=3)}""",
+        "psi_drift": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).psi_drift_sql("SELECT * FROM cells", band=3)}""",
         "quadrat_test": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).quadrat_test_sql("SELECT * FROM cells")}""",
@@ -4683,6 +4711,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_wau": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).rolling_active_users_sql("SELECT * FROM events"),
+        "events_twa": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).time_weighted_avg_sql("SELECT * FROM events"),
         "benford": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).benford_audit_sql(),

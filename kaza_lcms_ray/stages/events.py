@@ -1139,3 +1139,77 @@ def rolling_active_users_sql(events_sql: str, window_days: int = 7) -> str:
         )
         SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
         FROM fan GROUP BY day"""
+
+
+def time_weighted_avg(ds, key: str = "user_id", ts_col: str = "ts"):
+    """Per-key time-weighted average of ``value``: each event's value
+    holds until the next event (last event carries no weight), TWA =
+    Σ value·duration / Σ duration — the standard telemetry summary for
+    irregularly-sampled series.
+
+    Exactness: value quantizes to cents, duration is exact integer
+    microseconds, the weighted sum Σ cents·µs is int64 (bounded: a year
+    of µs ≈ 3·10¹³ × cents ≈ 10⁴ → 3·10¹⁷ ≪ 2⁶³ per key), and the TWA is
+    one pinned double division.  Same per-key map_groups contract as
+    sessionize.
+
+    Returns Dataset[key, n_holds:int64, wsum:int64, dur_us:int64,
+    twa:f64] — keys with ≥2 events only.
+    """
+    import numpy as np
+
+    from ..state.money import to_cents
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=np.int64),
+                    "n_holds": pd.Series([], dtype=np.int64),
+                    "wsum": pd.Series([], dtype=np.int64),
+                    "dur_us": pd.Series([], dtype=np.int64),
+                    "twa": pd.Series([], dtype=np.float64),
+                }
+            )
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = to_cents(g["value"].to_numpy())
+        dur = ts[1:] - ts[:-1]
+        w = cents[:-1] * dur
+        wsum, dsum = int(w.sum()), int(dur.sum())
+        return pd.DataFrame(
+            {
+                key: [int(g[key].iloc[0])],
+                "n_holds": [len(dur)],
+                "wsum": [wsum],
+                "dur_us": [dsum],
+                "twa": [float(np.float64(wsum) / np.float64(dsum))],
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col, "value"])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def time_weighted_avg_sql(events_sql: str) -> str:
+    """Oracle twin of :func:`time_weighted_avg`."""
+    return f"""
+        WITH tw AS (
+            SELECT user_id,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT)
+                       AS dur
+            FROM ({events_sql})
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_holds,
+               CAST(SUM(cents * dur) AS BIGINT) AS wsum,
+               CAST(SUM(dur) AS BIGINT) AS dur_us,
+               CAST(SUM(cents * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE)
+                   AS twa
+        FROM tw WHERE dur IS NOT NULL
+        GROUP BY user_id"""

@@ -2482,3 +2482,113 @@ def trimmed_mean_sql(cells_sql: str, band: int = 3, trim_pct: int = 10) -> str:
           AND rn <= n - (n * {trim_pct}) // 100
         GROUP BY cell_id
         HAVING COUNT(*) > 0"""
+
+
+PSI_BINS = 16
+PSI_HI = 600_000  # cents; fixed bin domain shared with the SQL twin
+
+
+def psi_drift(geo, band: int = 3, year_a: int = 2020, year_b: int = 2022):
+    """Population-stability-index drift report between two years of a band
+    distribution — the standard production data-drift monitor.  Counts
+    fall into ``PSI_BINS`` fixed-width integer bins over [0, PSI_HI);
+    each bin's PSI term uses add-one smoothing:
+
+        term = (p − q)·ln(p/q),  p = (nₐ+1)/(Nₐ+B), q = (n_b+1)/(N_b+B)
+
+    Exactness: binning is pure integer arithmetic; counts are exact int64
+    Sums; the B=16 final terms are pinned libm expressions computed on
+    the tiny bin table (output is PER BIN — no order-dependent global
+    float sum crosses the gate).
+
+    Output: (bin:int64, n_a:int64, n_b:int64, psi_term:f64), 16 rows.
+    """
+    import math
+
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    B = PSI_BINS
+    s_col = f"c{band}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t.column("year").to_numpy(zero_copy_only=False)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.minimum(np.maximum(v, 0) * B // PSI_HI, B - 1)
+        ca = np.zeros(B, dtype=np.int64)
+        cb = np.zeros(B, dtype=np.int64)
+        np.add.at(ca, b[yr == year_a], 1)
+        np.add.at(cb, b[yr == year_b], 1)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(B, dtype=np.int64)),
+                "n_a": pa.array(ca),
+                "n_b": pa.array(cb),
+            }
+        )
+
+    agg = (
+        geo.select_columns(["year", s_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    ta = float(agg["n_a"].sum())
+    tb = float(agg["n_b"].sum())
+    p = (agg["n_a"].to_numpy(np.float64) + 1.0) / (ta + float(B))
+    q = (agg["n_b"].to_numpy(np.float64) + 1.0) / (tb + float(B))
+    log_u = np.frompyfunc(math.log, 1, 1)
+    term = (p - q) * log_u(p / q).astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bin": pa.array(agg["bin"].to_numpy(np.int64)),
+                "n_a": pa.array(agg["n_a"].to_numpy(np.int64)),
+                "n_b": pa.array(agg["n_b"].to_numpy(np.int64)),
+                "psi_term": pa.array(term, pa.float64()),
+            }
+        )
+    )
+
+
+def psi_drift_sql(
+    cells_sql: str, band: int = 3, year_a: int = 2020, year_b: int = 2022
+) -> str:
+    """Oracle twin of :func:`psi_drift`."""
+    B = PSI_BINS
+    return f"""
+        ps_bin AS (
+            SELECT least(greatest(c{band}, 0) * {B} // {PSI_HI}, {B - 1})
+                       AS bin,
+                   "year"
+            FROM ({cells_sql})
+            WHERE "year" IN ({year_a}, {year_b})
+        ),
+        ps_ct AS (
+            SELECT r.bin,
+                   CAST(COALESCE(SUM(CASE WHEN g."year" = {year_a}
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_a,
+                   CAST(COALESCE(SUM(CASE WHEN g."year" = {year_b}
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_b
+            FROM range(0, {B}) AS r(bin)
+            LEFT JOIN ps_bin g ON g.bin = r.bin
+            GROUP BY r.bin
+        ),
+        ps_tot AS (
+            SELECT CAST(SUM(n_a) AS DOUBLE) AS ta,
+                   CAST(SUM(n_b) AS DOUBLE) AS tb
+            FROM ps_ct
+        )
+        SELECT c.bin, c.n_a, c.n_b,
+               ((CAST(c.n_a AS DOUBLE) + 1.0) / (t.ta + {float(B)!r})
+                - (CAST(c.n_b AS DOUBLE) + 1.0) / (t.tb + {float(B)!r}))
+               * ln(((CAST(c.n_a AS DOUBLE) + 1.0) / (t.ta + {float(B)!r}))
+                    / ((CAST(c.n_b AS DOUBLE) + 1.0) / (t.tb + {float(B)!r})))
+                   AS psi_term
+        FROM ps_ct c CROSS JOIN ps_tot t"""

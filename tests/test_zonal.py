@@ -559,3 +559,22 @@ def test_trimmed_mean_matches_bruteforce(synth_small, ray_session):
     assert got["trimmed_mean"].to_numpy().tobytes() == exp[
         "trimmed_mean"
     ].to_numpy().tobytes()
+
+
+def test_psi_drift_identical_years_near_zero(synth_small, ray_session):
+    """PSI of a distribution against itself is ~0 (only smoothing noise);
+    counts are exact."""
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    same = zonal.psi_drift(geo, band=3, year_a=2021, year_b=2021).to_pandas()
+    assert len(same) == zonal.PSI_BINS
+    assert (same["n_a"] == same["n_b"]).all()
+    assert np.abs(same["psi_term"]).max() == 0.0
+    drift = zonal.psi_drift(geo, band=3).to_pandas()
+    df = _geo_df(synth_small)
+    for y, col in ((2020, "n_a"), (2022, "n_b")):
+        v = df.loc[df["year"] == y, "c3"].to_numpy(np.int64)
+        b = np.minimum(np.maximum(v, 0) * zonal.PSI_BINS // zonal.PSI_HI,
+                       zonal.PSI_BINS - 1)
+        want = np.bincount(b, minlength=zonal.PSI_BINS)
+        assert (drift[col].to_numpy() == want).all()
