@@ -974,6 +974,17 @@ def revenue_rollup(lineitem):
         )
         .to_pandas()
     )
+    if len(base) == 0:
+        # empty Dataset.to_pandas() loses columns; the cube still carries
+        # its zero-count grand total
+        base = pd.DataFrame(
+            {
+                "l_returnflag": pd.Series([], dtype=str),
+                "l_linestatus": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype="int64"),
+                "revenue_scaled": pd.Series([], dtype="int64"),
+            }
+        )
     lvl1 = (
         base.groupby("l_returnflag", as_index=False)[["n", "revenue_scaled"]]
         .sum()

@@ -905,6 +905,16 @@ def event_transitions(ds, key: str = "user_id", ts_col: str = "ts"):
         out = pairs.groupby(["from_type", "to_type"], as_index=False).size()
         return out.rename(columns={"size": "n"}).astype({"n": np.int64})
 
+    empty = pd.DataFrame(
+        {
+            "from_type": pd.Series([], dtype=str),
+            "to_type": pd.Series([], dtype=str),
+            "n": pd.Series([], dtype="int64"),
+            "p": pd.Series([], dtype="float64"),
+        }
+    )
+    if ds.limit(1).count() == 0:  # zero groups -> column-less downstream
+        return empty
     counts = (
         ds.select_columns(["event_id", key, ts_col, "event_type"])
         .groupby(key)
@@ -913,6 +923,8 @@ def event_transitions(ds, key: str = "user_id", ts_col: str = "ts"):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
+    if len(counts) == 0:
+        return empty
     tot = counts.groupby("from_type")["n"].transform("sum").to_numpy(np.float64)
     counts["p"] = counts["n"].to_numpy(np.float64) / tot
     return counts[["from_type", "to_type", "n", "p"]]
@@ -1084,6 +1096,15 @@ def rolling_active_users(ds, window_days: int = 7):
         ),
         ["user_id", "day"],
     ).materialize()  # skinny (user, day) ints; consumed twice (fan + domain)
+
+    if activity.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"day": pa.array([], pa.int64()), "wau": pa.array([], pa.int64())}
+            )
+        )
 
     obs_days = np.sort(
         activity.groupby("day")

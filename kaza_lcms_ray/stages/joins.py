@@ -238,25 +238,28 @@ def attach_dim(
     cols = [dim_key] + list(val_cols)
     if n <= max_broadcast_rows:
         dd = dim.select_columns(cols).to_pandas()
-        keys = dd[dim_key].to_numpy()
-        if keys.shape[0] == 0:
+        if len(dd) == 0:
             # empty dimension: inner semantics → no fact survives.  The
             # searchsorted probe below would index keys[-1] on a 0-length
-            # array; return typed empty batches instead (schema = fact
-            # schema + typed val cols inferred from the empty dim frame).
+            # array — and an empty to_pandas() even loses its COLUMN
+            # names, so dtypes come from the Dataset schema instead.
+            dim_schema = dim.schema()
+            # a fully-empty pipeline can have NO schema at all -> null-typed
+            # placeholder columns (zero rows, so the type never matters)
+            typ_by_col = (
+                dict(zip(dim_schema.names, dim_schema.types))
+                if dim_schema is not None
+                else {c: pa.null() for c in val_cols}
+            )
+
             def drop_all(t: pa.Table) -> pa.Table:
                 out = t.slice(0, 0)
                 for c in val_cols:
-                    # mirror the lookup path's types: object → string
-                    typ = (
-                        pa.string()
-                        if dd[c].dtype == object
-                        else pa.from_numpy_dtype(dd[c].dtype)
-                    )
-                    out = out.append_column(c, pa.array([], type=typ))
+                    out = out.append_column(c, pa.array([], type=typ_by_col[c]))
                 return out
 
             return facts.map_batches(drop_all, batch_format="pyarrow")
+        keys = dd[dim_key].to_numpy()
         # the broadcast probe attaches exactly ONE match per fact row —
         # correct only when dim keys are unique.  The hash-join fallback
         # would duplicate fact rows per match, so a non-unique dim must

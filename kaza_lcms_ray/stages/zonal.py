@@ -1770,7 +1770,10 @@ def quadrat_test(geo):
         ),
         batch_format="pyarrow",
     ).to_pandas()
-    C, P = int(tot["c"].sum()), int(tot["p"].sum())
+    # empty Dataset.to_pandas() loses column names (house bug class) —
+    # guard before indexing
+    C = int(tot["c"].sum()) if len(tot) else 0
+    P = int(tot["p"].sum()) if len(tot) else 0
     if C == 0:
         return rd.from_arrow(
             pa.table(
@@ -2534,9 +2537,20 @@ def psi_drift(geo, band: int = 3, year_a: int = 2020, year_b: int = 2022):
         .groupby("bin")
         .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
         .to_pandas()
-        .sort_values("bin")
-        .reset_index(drop=True)
     )
+    if len(agg) == 0:
+        # zero input batches -> empty (column-less) frame; the report is
+        # still the B smoothed bins with zero counts
+        import pandas as pd
+
+        agg = pd.DataFrame(
+            {
+                "bin": np.arange(B, dtype=np.int64),
+                "n_a": np.zeros(B, np.int64),
+                "n_b": np.zeros(B, np.int64),
+            }
+        )
+    agg = agg.sort_values("bin").reset_index(drop=True)
     ta = float(agg["n_a"].sum())
     tb = float(agg["n_b"].sum())
     p = (agg["n_a"].to_numpy(np.float64) + 1.0) / (ta + float(B))

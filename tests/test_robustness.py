@@ -98,3 +98,86 @@ def test_hot_key_skew_exactness(ray_session):
     sm = zonal.kring_smooth(ds, band=3, k=1).to_pandas()
     assert len(sm) == 1  # one occupied cell; its own 3x3 window = itself
     assert int(sm["nbr_n"].iloc[0]) == n
+
+
+def _empty_geo():
+    cols = {
+        "doc_id": pa.array([], pa.int64()),
+        "span_idx": pa.array([], pa.int64()),
+        "lon": pa.array([], pa.float64()),
+        "lat": pa.array([], pa.float64()),
+        "year": pa.array([], pa.int64()),
+        "doy": pa.array([], pa.int64()),
+        "cell_id": pa.array([], pa.int64()),
+        "tile_id": pa.array([], pa.int64()),
+    }
+    for b in range(6):
+        cols[f"b{b}"] = pa.array([], pa.float64())
+        cols[f"c{b}"] = pa.array([], pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def test_round4_spatial_stats_on_empty_geo(ray_session):
+    from kaza_lcms_ray.stages import zonal
+
+    assert zonal.local_morans(_empty_geo()).count() == 0
+    assert zonal.idw_fill(_empty_geo()).count() == 0
+    assert zonal.getis_ord(_empty_geo()).count() == 0
+    assert zonal.raster_upsample(_empty_geo()).count() == 0
+    assert zonal.ripley_k(_empty_geo()).count() == 0
+    assert zonal.quadrat_test(_empty_geo()).count() == 0
+    assert zonal.theilsen_trend(_empty_geo()).count() == 0
+    assert zonal.trimmed_mean(_empty_geo()).count() == 0
+    # psi on empty still yields the 16 smoothed bins, all-zero counts
+    psi = zonal.psi_drift(_empty_geo()).to_pandas()
+    assert len(psi) == zonal.PSI_BINS
+    assert psi["n_a"].sum() == 0 and psi["n_b"].sum() == 0
+
+
+def test_round4_events_ops_on_empty(ray_session):
+    from kaza_lcms_ray.stages import events as ev
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    )
+    assert ev.event_transitions(empty).shape[0] == 0
+    assert ev.rolling_active_users(empty).count() == 0
+    assert ev.time_weighted_avg(empty).count() == 0
+
+
+def test_round4_analytics_on_empty(ray_session):
+    from kaza_lcms_ray.pipelines import analytics
+
+    lineitem = rd.from_arrow(
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_returnflag": pa.array([], pa.string()),
+                "l_linestatus": pa.array([], pa.string()),
+                "l_extendedprice": pa.array([], pa.float64()),
+                "l_discount": pa.array([], pa.float64()),
+                "l_shipdate": pa.array([], pa.timestamp("us")),
+            }
+        )
+    )
+    out = analytics.revenue_rollup(lineitem)
+    # grand-total row survives with zero counts
+    assert out[(out.l_returnflag == "ALL")]["n"].iloc[0] == 0
+    orders = rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_orderpriority": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert analytics.order_priority_check(lineitem, orders).count() == 0
