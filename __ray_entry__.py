@@ -784,6 +784,36 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_landscape_diversity(sf_dir: str):
+    """Shannon landscape diversity per labeled tile
+    (stages/assemblage.landscape_diversity): neighborhood label counts,
+    floor-quantized entropy terms, pinned H division."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.landscape_diversity(prims, year=2022),
+        ["tile_id", "n_labels", "n_votes", "h_q", "shannon"],
+    )
+
+
+def q_climatology(sf_dir: str):
+    """Monthly climatology + 2022 anomaly
+    (stages/zonal.climatology_anomaly): fused two-branch integer partials,
+    quantized means, pinned anomaly."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.climatology_anomaly(_geo(sf_dir), band=3),
+        [
+            "cell_id", "month", "clim_n", "clim_q",
+            "target_n", "target_q", "anomaly",
+        ],
+    )
+
+
 def q_psi_drift(sf_dir: str):
     """PSI data-drift report 2020 vs 2022 (stages/zonal.psi_drift):
     integer bins, exact counts, per-bin pinned libm terms."""
@@ -3456,6 +3486,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": q_langid_confusion,
         "trimmed_mean": q_trimmed_mean,
         "psi_drift": q_psi_drift,
+        "climatology": q_climatology,
+        "landscape_diversity": q_landscape_diversity,
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
@@ -3991,6 +4023,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "psi_drift": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).psi_drift_sql("SELECT * FROM cells", band=3)}""",
+        "climatology": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).climatology_anomaly_sql("SELECT * FROM cells", band=3)}""",
         "quadrat_test": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).quadrat_test_sql("SELECT * FROM cells")}""",
@@ -4096,6 +4131,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             WHERE a."year" = 2020 AND b."year" = 2022
             GROUP BY 1, 2""",
         "majority_smooth": _majority_smooth_sql(root),
+        "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
             FROM (
@@ -6235,6 +6271,68 @@ def _majority_smooth_sql(root: str, year: int = 2022) -> str:
                 PARTITION BY tile_id ORDER BY n DESC, lc ASC
             ) AS rn FROM mj_cnt
         ) WHERE rn = 1"""
+
+
+def _landscape_diversity_sql(root: str, year: int = 2022) -> str:
+    """SHDI replay: the majority-filter fan/count structure + per-label
+    floor-quantized entropy terms summed per tile."""
+    from kaza_lcms_ray.stages.assemblage import SHDI_SCALE
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+        morton_sql_expr,
+    )
+
+    hi = (1 << TILE_LEVEL) - 1
+    offs = ", ".join(f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    S = float(SHDI_SCALE)
+    fr = "(CAST(c.n AS DOUBLE) / CAST(c.tot AS DOUBLE))"
+    return f"""
+        WITH sd_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        sd_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM sd_lab
+        ),
+        sd_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        sd_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS tile_id,
+                   d.lc
+            FROM sd_dec d CROSS JOIN sd_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        sd_cnt AS (
+            SELECT f.tile_id, f.lc, CAST(COUNT(*) AS BIGINT) AS n
+            FROM sd_fan f JOIN sd_lab a ON f.tile_id = a.tile_id
+            GROUP BY f.tile_id, f.lc
+        ),
+        sd_tot AS (
+            SELECT tile_id, lc, n,
+                   CAST(SUM(n) OVER (PARTITION BY tile_id) AS BIGINT) AS tot
+            FROM sd_cnt
+        ),
+        sd_term AS (
+            SELECT c.tile_id, c.n,
+                   CAST(floor((-({fr} * ln({fr}))) * {S!r}) AS BIGINT) AS term
+            FROM sd_tot c
+        )
+        SELECT tile_id,
+               CAST(COUNT(*) AS BIGINT) AS n_labels,
+               CAST(SUM(n) AS BIGINT) AS n_votes,
+               CAST(SUM(term) AS BIGINT) AS h_q,
+               CAST(SUM(term) AS DOUBLE) / {S!r} AS shannon
+        FROM sd_term GROUP BY tile_id"""
 
 
 def _poly_centroid_sql(root: str) -> str:

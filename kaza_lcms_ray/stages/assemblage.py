@@ -277,3 +277,125 @@ def majority_smooth(primitives, year: int = 2022):
         .select_columns(["tile_id", "score"])
         .map_batches(unpack, batch_format="pyarrow")
     )
+
+
+SHDI_SCALE = 1 << 30  # quantization of the per-label entropy terms
+
+
+def landscape_diversity(primitives, year: int = 2022):
+    """Shannon diversity index (SHDI) of the 3×3 label neighborhood per
+    labeled tile — the standard landscape-ecology heterogeneity metric
+    over a classified raster:
+
+        H = Σ_labels −(n/N)·ln(n/N)
+
+    Exactness: neighborhood label counts are the integer votes of
+    :func:`majority_smooth`; every entropy term floor-quantizes to
+    ⌊−(n/N)·ln(n/N)·2³⁰⌋ int64 (libm ln — order-free integer sum over
+    the ≤|classes| labels of a tile); the reported H is one pinned
+    division h_q/2³⁰.
+
+    Output: (tile_id:int64, n_labels:int64, n_votes:int64, h_q:int64,
+    shannon:f64).
+    """
+    import math
+
+    import pandas as pd
+
+    import ray
+
+    from ..state.cells import TILE_LEVEL, decode, morton
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .materialize()
+    )
+    lab_pd = labels.to_pandas()
+    empty = pd.DataFrame(
+        {
+            "tile_id": pd.Series([], dtype=np.int64),
+            "n_labels": pd.Series([], dtype=np.int64),
+            "n_votes": pd.Series([], dtype=np.int64),
+            "h_q": pd.Series([], dtype=np.int64),
+            "shannon": pd.Series([], dtype=np.float64),
+        }
+    )
+    if len(lab_pd) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(empty)
+
+    n_grid = np.int64(1) << TILE_LEVEL
+    occ_ref = ray.put(np.sort(lab_pd["tile_id"].to_numpy(np.int64)))
+
+    def fan(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(tid, TILE_LEVEL)
+        occ = ray.get(occ_ref)
+        parts = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = ix + dx, iy + dy
+                m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+                tgt = morton(tx[m], ty[m]).astype(np.int64)
+                pos = np.searchsorted(occ, tgt)
+                hit = (pos < len(occ)) & (
+                    occ[np.minimum(pos, len(occ) - 1)] == tgt
+                )
+                parts.append(
+                    pa.table(
+                        {
+                            "tile_id": pa.array(tgt[hit]),
+                            "lc": pa.array(lc[m][hit]),
+                        }
+                    )
+                )
+        part = pa.concat_tables(parts)
+        out = part.group_by(["tile_id", "lc"]).aggregate([([], "count_all")])
+        return out.rename_columns(["tile_id", "lc", "n"])
+
+    counts = bucketed_sum(
+        labels.map_batches(fan, batch_format="pyarrow"),
+        keys=["tile_id", "lc"],
+        sum_cols=["n"],
+        rows_hint=len(lab_pd),
+        recombine_batch_size=None,
+    )
+
+    S = float(SHDI_SCALE)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        log_u = np.frompyfunc(math.log, 1, 1)
+        g = g.sort_values(["tile_id"], kind="mergesort")
+        tid = g["tile_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        tot = g.groupby("tile_id")["n"].transform("sum").to_numpy(np.int64)
+        frac = n.astype(np.float64) / tot.astype(np.float64)
+        term = np.floor(
+            -(frac * log_u(frac).astype(np.float64)) * S
+        ).astype(np.int64)
+        out = pd.DataFrame({"tile_id": tid, "term": term, "one": 1, "n": n})
+        agg = out.groupby("tile_id", as_index=False).agg(
+            n_labels=("one", "sum"), n_votes=("n", "sum"), h_q=("term", "sum")
+        )
+        agg["shannon"] = agg["h_q"].to_numpy(np.float64) / S
+        return agg.astype(
+            {
+                "tile_id": np.int64,
+                "n_labels": np.int64,
+                "n_votes": np.int64,
+                "h_q": np.int64,
+                "shannon": np.float64,
+            }
+        )
+
+    return (
+        _add_bucket(counts, ["tile_id"], _default_buckets(len(lab_pd)))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["tile_id", "n_labels", "n_votes", "h_q", "shannon"])
+    )

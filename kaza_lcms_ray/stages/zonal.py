@@ -2606,3 +2606,127 @@ def psi_drift_sql(
                     / ((CAST(c.n_b AS DOUBLE) + 1.0) / (t.tb + {float(B)!r})))
                    AS psi_term
         FROM ps_ct c CROSS JOIN ps_tot t"""
+
+
+def climatology_anomaly(geo, band: int = 3, target_year: int = 2022):
+    """Monthly climatology + anomaly map — the seasonal-baseline analysis
+    the reference's harmonic fits feed: per (cell, month), the mean of the
+    band over all NON-target years (the climatology) and the target
+    year's departure from it.
+
+    Exactness: both means are exact integer-quantized divisions
+    (mean_q = (s·2²⁰)//n — the idw_fill discipline) and the anomaly is
+    ONE pinned double expression (t_q − c_q)/2²⁰ over the two int64
+    means.  Months come from the shared calendar helper
+    (sources/basemap.month_of_doy ↔ month_sql_expr).
+
+    Scale shape: one corpus pass computing per-(cell, month) partials for
+    BOTH branches at once (target flag folded into the sums), the
+    standard bucketed integer combine, a stateless finalize.  Cells with
+    no climatology observations for a month are dropped (both sides).
+
+    Output: (cell_id:int64, month:int64, clim_n:int64, clim_q:int64,
+    target_n:int64, target_q:int64, anomaly:f64).
+    """
+    from ..sources.basemap import month_of_doy
+
+    Q = IDW_SCALE_INT
+    s_col = f"c{band}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = t.column("year").to_numpy(zero_copy_only=False).astype(np.int64)
+        doy = t.column("doy").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        mon = month_of_doy(yr, doy).astype(np.int64)
+        is_t = (yr == target_year).astype(np.int64)
+        part = pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "month": pa.array(mon),
+                "cn": pa.array(1 - is_t),
+                "cs": pa.array(v * (1 - is_t)),
+                "tn": pa.array(is_t),
+                "ts_": pa.array(v * is_t),
+            }
+        )
+        g = part.group_by(["cell_id", "month"]).aggregate(
+            [("cn", "sum"), ("cs", "sum"), ("tn", "sum"), ("ts_", "sum")]
+        )
+        return g.rename_columns(["cell_id", "month", "cn", "cs", "tn", "ts_"])
+
+    agg = bucketed_sum(
+        geo.map_batches(partial, batch_format="pyarrow"),
+        keys=["cell_id", "month"],
+        sum_cols=["cn", "cs", "tn", "ts_"],
+        recombine_batch_size=None,
+    )
+
+    empty = pa.table(
+        {
+            "cell_id": pa.array([], pa.int64()),
+            "month": pa.array([], pa.int64()),
+            "clim_n": pa.array([], pa.int64()),
+            "clim_q": pa.array([], pa.int64()),
+            "target_n": pa.array([], pa.int64()),
+            "target_q": pa.array([], pa.int64()),
+            "anomaly": pa.array([], pa.float64()),
+        }
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        cn = t.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = t.column("cs").to_numpy(zero_copy_only=False).astype(np.int64)
+        tn = t.column("tn").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = t.column("ts_").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (cn > 0) & (tn > 0)
+        cn, cs, tn, ts = cn[keep], cs[keep], tn[keep], ts[keep]
+        clim_q = (cs * Q) // cn
+        tgt_q = (ts * Q) // tn
+        anom = (tgt_q.astype(np.float64) - clim_q.astype(np.float64)) / float(Q)
+        karr = pa.array(keep)
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id").filter(karr),
+                "month": t.column("month").filter(karr),
+                "clim_n": pa.array(cn),
+                "clim_q": pa.array(clim_q),
+                "target_n": pa.array(tn),
+                "target_q": pa.array(tgt_q),
+                "anomaly": pa.array(anom),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def climatology_anomaly_sql(cells_sql: str, band: int = 3, target_year: int = 2022) -> str:
+    """Oracle twin of :func:`climatology_anomaly`."""
+    from ..sources.basemap import month_sql_expr
+
+    Q = IDW_SCALE_INT
+    mon = month_sql_expr('"year"', "doy")
+    return f"""
+        cl_base AS (
+            SELECT cell_id, {mon} AS month,
+                   CASE WHEN "year" = {target_year} THEN 0 ELSE 1 END AS isc,
+                   c{band} AS v
+            FROM ({cells_sql})
+        ),
+        cl_agg AS (
+            SELECT cell_id, month,
+                   CAST(SUM(isc) AS BIGINT) AS clim_n,
+                   CAST(SUM(isc * v) AS BIGINT) AS cs,
+                   CAST(SUM(1 - isc) AS BIGINT) AS target_n,
+                   CAST(SUM((1 - isc) * v) AS BIGINT) AS ts
+            FROM cl_base GROUP BY cell_id, month
+        )
+        SELECT cell_id, month, clim_n,
+               (cs * {Q}) // clim_n AS clim_q,
+               target_n,
+               (ts * {Q}) // target_n AS target_q,
+               (CAST((ts * {Q}) // target_n AS DOUBLE)
+                - CAST((cs * {Q}) // clim_n AS DOUBLE)) / {float(Q)!r}
+                   AS anomaly
+        FROM cl_agg WHERE clim_n > 0 AND target_n > 0"""

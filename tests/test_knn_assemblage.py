@@ -144,3 +144,43 @@ def test_majority_smooth_mode_and_tiebreak(ray_session):
     assert out.loc[mid, "n_votes"] == 2
     # edge tiles: 1 vote of 5 + 1 of 9 -> tie, smallest class (5) wins
     assert out.loc[int(tids[0]), "smooth_label"] == 5
+
+
+def test_landscape_diversity_uniform_is_zero(ray_session):
+    """A uniform single-class raster has H = 0 everywhere; a mixed
+    neighborhood has H > 0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.array([300, 301, 302, 303])
+    ys = np.array([400, 400, 400, 400])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * 4,
+                    "class": np.array([1, 1, 1, 9], np.int32),
+                    "prob": np.array([0.9] * 4, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = (
+        assemblage.landscape_diversity(prims, year=2022)
+        .to_pandas()
+        .set_index("tile_id")
+    )
+    # tile 0 sees only class-1 neighbors (itself + tile 1): H = 0
+    assert out.loc[int(tids[0]), "shannon"] == 0.0
+    assert out.loc[int(tids[0]), "n_labels"] == 1
+    # tile 2 sees classes {1, 1, 9}: H > 0, two labels
+    assert out.loc[int(tids[2]), "n_labels"] == 2
+    assert out.loc[int(tids[2]), "shannon"] > 0.5
