@@ -847,6 +847,18 @@ def q_theilsen(sf_dir: str):
     )
 
 
+def q_mann_kendall(sf_dir: str):
+    """Mann–Kendall per-cell monotonic trend test (stages/zonal.
+    mann_kendall): pure-integer pairwise sign sums over the yearly cell
+    totals — the rank-based IF-it-trends companion to theilsen."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.mann_kendall(_geo(sf_dir), band=3),
+        ["cell_id", "n_years", "n_pairs", "s_stat", "trend"],
+    )
+
+
 def q_hillshade(sf_dir: str):
     """Horn hillshade over the occupied cells
     (stages/terrain.hillshade_cells): TerrainLookup slope/aspect, pinned
@@ -3475,6 +3487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "majority_smooth": q_majority_smooth,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
+        "mann_kendall": q_mann_kendall,
         "revenue_rollup": q_revenue_rollup,
         "mmr_select": q_mmr_select,
         "event_transitions": q_event_transitions,
@@ -4020,6 +4033,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "trimmed_mean": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).trimmed_mean_sql("SELECT * FROM cells", band=3)}""",
+        "mann_kendall": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).mann_kendall_sql("SELECT * FROM cells", band=3)}""",
         "psi_drift": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).psi_drift_sql("SELECT * FROM cells", band=3)}""",

@@ -2403,6 +2403,96 @@ def theilsen_trend_sql(cells_sql: str, band: int = 3) -> str:
         FROM th_rank WHERE rn = (m + 1) // 2"""
 
 
+def mann_kendall(geo, band: int = 3):
+    """Per-cell Mann–Kendall monotonic-trend test over the yearly band
+    totals — the non-parametric companion to :func:`theilsen_trend` (the
+    two are the standard pairing in the land-cover change-detection
+    literature: MK decides IF a cell trends, Theil–Sen says how fast).
+
+        S = Σ_{i<j} sign(v_j − v_i)   over years ordered ascending
+
+    trend class: +1 if S>0, −1 if S<0, 0 otherwise (cells with a single
+    year report S=0, n_pairs=0, trend=0).
+
+    Exactness: yearly totals are exact int64 cent sums and S is a pure
+    integer sign sum — every output column is int64, so the result is
+    bit-stable under any partitioning with no quantization needed.
+
+    Scale shape: identical to theilsen_trend — corpus-sized work is only
+    the zonal_sums reduce (raw observations never shuffle; one partial row
+    per key per batch); pair enumeration runs per cell inside
+    hash-bucketed map_groups over the bounded (cell, year) table
+    (pairs ≤ years², years is a handful).
+
+    Reference analog: trend diagnostics over the annual composite series
+    (src/utils/harmonics.py:14-46 fits a harmonic trend model per pixel;
+    MK is the rank-based equivalent our zonal layer adds).
+
+    Output: (cell_id:int64, n_years:int64, n_pairs:int64, s_stat:int64,
+    trend:int64).
+    """
+    import pandas as pd
+
+    s_col = f"s_c{band}"
+    yearly = zonal_sums(geo, keys=["cell_id", "year"], bands=(band,))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell_id", "year"], kind="mergesort")
+        cid = g["cell_id"].to_numpy(np.int64)
+        v = g[s_col].to_numpy(np.int64)
+        brk = np.flatnonzero(np.concatenate(([True], cid[1:] != cid[:-1])))
+        ends = np.concatenate((brk[1:], [len(cid)]))
+        rows = []
+        for s, e in zip(brk, ends):
+            k = e - s
+            if k < 2:
+                rows.append((int(cid[s]), int(k), 0, 0, 0))
+                continue
+            ii, jj = np.triu_indices(k, 1)
+            sgn = int(np.sign(v[s + jj] - v[s + ii]).sum())
+            rows.append((int(cid[s]), int(k), len(ii), sgn, int(np.sign(sgn))))
+        return pd.DataFrame(
+            rows, columns=["cell_id", "n_years", "n_pairs", "s_stat", "trend"]
+        ).astype(np.int64)
+
+    return (
+        _add_bucket(yearly, ["cell_id"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["cell_id", "n_years", "n_pairs", "s_stat", "trend"])
+    )
+
+
+def mann_kendall_sql(cells_sql: str, band: int = 3) -> str:
+    """Oracle twin of :func:`mann_kendall` — pairwise self-join sign sum."""
+    return f"""
+        mk_agg AS MATERIALIZED (
+            SELECT cell_id, "year", CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id, "year"
+        ),
+        mk_pairs AS (
+            SELECT a.cell_id,
+                   CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                                 WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                       AS s_stat,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM mk_agg a JOIN mk_agg b
+              ON a.cell_id = b.cell_id AND a."year" < b."year"
+            GROUP BY a.cell_id
+        ),
+        mk_years AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n_years
+            FROM mk_agg GROUP BY cell_id
+        )
+        SELECT y.cell_id, y.n_years,
+               COALESCE(p.n_pairs, 0) AS n_pairs,
+               COALESCE(p.s_stat, 0) AS s_stat,
+               CASE WHEN COALESCE(p.s_stat, 0) > 0 THEN 1
+                    WHEN COALESCE(p.s_stat, 0) < 0 THEN -1
+                    ELSE 0 END AS trend
+        FROM mk_years y LEFT JOIN mk_pairs p ON y.cell_id = p.cell_id"""
+
+
 def trimmed_mean(geo, band: int = 3, trim_pct: int = 10):
     """Per-cell trimmed mean: drop the lowest and highest ⌊n·pct/100⌋
     observations by value, average the rest — the robust composite the

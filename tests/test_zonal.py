@@ -561,6 +561,43 @@ def test_trimmed_mean_matches_bruteforce(synth_small, ray_session):
     ].to_numpy().tobytes()
 
 
+def test_mann_kendall_matches_bruteforce(synth_small, ray_session):
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.mann_kendall(geo, band=3)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    yearly = (
+        df.groupby(["cell_id", "year"])["c3"].sum().reset_index(name="v")
+    )
+    rows = []
+    for cid, grp in yearly.groupby("cell_id"):
+        v = grp.sort_values("year")["v"].to_numpy(np.int64)
+        k = len(v)
+        s = sum(
+            int(np.sign(v[j] - v[i]))
+            for i in range(k)
+            for j in range(i + 1, k)
+        )
+        rows.append((cid, k, k * (k - 1) // 2, s, int(np.sign(s))))
+    exp = (
+        pd.DataFrame(
+            rows, columns=["cell_id", "n_years", "n_pairs", "s_stat", "trend"]
+        )
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # a real multi-year series must exist, else the test is vacuous
+    assert (exp["n_pairs"] > 0).any()
+
+
 def test_psi_drift_identical_years_near_zero(synth_small, ray_session):
     """PSI of a distribution against itself is ~0 (only smoothing noise);
     counts are exact."""
