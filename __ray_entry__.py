@@ -859,6 +859,18 @@ def q_mann_kendall(sf_dir: str):
     )
 
 
+def q_dist_transform(sf_dir: str):
+    """Capped Chebyshev distance transform to the dense-vegetation mask
+    (stages/zonal.dist_transform): integer mask rule s > 55·n, ring fan
+    with in-batch group-min, broadcast min-dist probe, sentinel cap."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.dist_transform(_geo(sf_dir), band=3, thresh_pct=55, max_ring=3),
+        ["cell_id", "in_mask", "dist"],
+    )
+
+
 def q_hillshade(sf_dir: str):
     """Horn hillshade over the occupied cells
     (stages/terrain.hillshade_cells): TerrainLookup slope/aspect, pinned
@@ -3488,6 +3500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
+        "dist_transform": q_dist_transform,
         "revenue_rollup": q_revenue_rollup,
         "mmr_select": q_mmr_select,
         "event_transitions": q_event_transitions,
@@ -4036,6 +4049,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "mann_kendall": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).mann_kendall_sql("SELECT * FROM cells", band=3)}""",
+        "dist_transform": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).dist_transform_sql("SELECT * FROM cells", band=3, thresh_pct=55, max_ring=3)}""",
         "psi_drift": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).psi_drift_sql("SELECT * FROM cells", band=3)}""",

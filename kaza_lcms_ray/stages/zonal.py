@@ -2004,6 +2004,143 @@ def idw_fill_sql(cells_sql: str, band: int = 3, max_ring: int = 2) -> str:
         FROM iw_gap"""
 
 
+def dist_transform(geo, band: int = 3, thresh_pct: int = 55, max_ring: int = 3):
+    """Capped Chebyshev distance transform: for every occupied cell, the
+    grid distance (0..max_ring) to the nearest MASK cell, where the mask
+    is the dense-vegetation rule mean_b{band} > thresh_pct/100 — evaluated
+    as the exact integer cross-multiplication s > thresh_pct·n (never a
+    float compare).  Cells farther than ``max_ring`` from any mask cell
+    report the saturation sentinel max_ring+1.
+
+    Reference analog: ``fastDistanceTransform`` in the cloud-shadow
+    projection chain (src/utils/s2process.py — shadows are masked by
+    distance from the cloud mask within a capped neighborhood); the cap is
+    what makes the transform embarrassingly local, exactly like EE's
+    neighborhood-bounded implementation.
+
+    Exactness: every column is int64 (ring distances, integer mask rule) —
+    bit-stable under any partitioning.
+
+    Scale shape: the only corpus-sized pass is the zonal_sums reduce.  Mask
+    cells fan to their (2R+1)² neighborhood with an IN-BATCH group-min
+    (one row per target cell per batch), the min combine runs on the
+    AOI-grid-bounded fan table, and the min-dist side attaches to occupied
+    cells by broadcast probe (same boundedness argument as morans_i).
+
+    Output: (cell_id:int64, in_mask:int64, dist:int64).
+    """
+    import ray
+
+    from ray.data.aggregate import Min
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy, max(abs(dx), abs(dy)))
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+    ]
+    sentinel = max_ring + 1
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s > thresh_pct * n
+        ix, iy = decode(cid[keep], CELL_LEVEL)
+        parts = []
+        for dx, dy, r in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "ring": pa.array(np.full(int(m.sum()), r, np.int64)),
+                    }
+                )
+            )
+        g = pa.concat_tables(parts).group_by(["cell_id"]).aggregate([("ring", "min")])
+        return pa.table({"cell_id": g.column("cell_id"), "ring": g.column("ring_min")})
+
+    mind = (
+        cellsums.map_batches(fan, batch_format="pyarrow")
+        .groupby("cell_id")
+        .aggregate(Min("ring", alias_name="ring"))
+        .to_pandas()
+    )
+    mk = mind["cell_id"].to_numpy(np.int64)
+    md = mind["ring"].to_numpy(np.int64)
+    order = np.argsort(mk, kind="mergesort")
+    side_ref = ray.put({"k": mk[order], "d": md[order]})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        dist = np.full(len(cid), sentinel, np.int64)
+        if len(side["k"]):
+            pos = np.minimum(np.searchsorted(side["k"], cid), len(side["k"]) - 1)
+            hit = side["k"][pos] == cid
+            dist[hit] = side["d"][pos[hit]]
+        return pa.table(
+            {
+                "cell_id": pa.array(cid.astype(np.int64), pa.int64()),
+                "in_mask": pa.array((s > thresh_pct * n).astype(np.int64)),
+                "dist": pa.array(dist),
+            }
+        )
+
+    return cellsums.map_batches(finalize, batch_format="pyarrow")
+
+
+def dist_transform_sql(
+    cells_sql: str, band: int = 3, thresh_pct: int = 55, max_ring: int = 3
+) -> str:
+    """Oracle twin of :func:`dist_transform`: identical integer mask rule,
+    offset fan with Chebyshev ring literals, grouped MIN, LEFT JOIN +
+    sentinel COALESCE."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy}, {max(abs(dx), abs(dy))})"
+        for dx in range(-max_ring, max_ring + 1)
+        for dy in range(-max_ring, max_ring + 1)
+    )
+    return f"""
+        dt_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(SUM(c{band}) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        dt_mask AS (
+            SELECT {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM dt_agg WHERE s > {thresh_pct} * n
+        ),
+        dt_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, ring)),
+        dt_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   o.ring AS ring
+            FROM dt_mask d CROSS JOIN dt_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        dt_min AS (
+            SELECT cell_id, MIN(ring) AS ring FROM dt_fan GROUP BY cell_id
+        )
+        SELECT a.cell_id,
+               CASE WHEN a.s > {thresh_pct} * a.n THEN 1 ELSE 0 END AS in_mask,
+               CAST(COALESCE(m.ring, {max_ring + 1}) AS BIGINT) AS dist
+        FROM dt_agg a LEFT JOIN dt_min m ON a.cell_id = m.cell_id"""
+
+
 def raster_upsample(geo, band: int = 3):
     """Bilinear 2× upsample of the per-cell band-mean raster to the
     CELL_LEVEL+1 grid — the standard resample the reference leans on when

@@ -598,6 +598,42 @@ def test_mann_kendall_matches_bruteforce(synth_small, ray_session):
     assert (exp["n_pairs"] > 0).any()
 
 
+def test_dist_transform_matches_bruteforce(synth_small, ray_session):
+    from kaza_lcms_ray.state import cells as C
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.dist_transform(geo, band=3, thresh_pct=55, max_ring=3)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    df = _geo_df(synth_small)
+    agg = df.groupby("cell_id")["c3"].agg(["sum", "count"]).reset_index()
+    cid = agg["cell_id"].to_numpy(np.int64)
+    mask = agg["sum"].to_numpy(np.int64) > 55 * agg["count"].to_numpy(np.int64)
+    ix, iy = C.decode(cid, C.CELL_LEVEL)
+    mx, my = ix[mask].astype(np.int64), iy[mask].astype(np.int64)
+    dist = np.full(len(cid), 4, np.int64)
+    if len(mx):
+        for i in range(len(cid)):
+            d = np.maximum(np.abs(mx - ix[i]), np.abs(my - iy[i])).min()
+            dist[i] = min(int(d), 4)
+    exp = (
+        pd.DataFrame(
+            {"cell_id": cid, "in_mask": mask.astype(np.int64), "dist": dist}
+        )
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    for c in ("cell_id", "in_mask", "dist"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # the mask and at least one positive-distance cell must exist
+    assert exp["in_mask"].sum() > 0 and (exp["dist"] > 0).any()
+
+
 def test_psi_drift_identical_years_near_zero(synth_small, ray_session):
     """PSI of a distribution against itself is ~0 (only smoothing noise);
     counts are exact."""
