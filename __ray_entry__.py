@@ -898,6 +898,22 @@ def q_majority_smooth(sf_dir: str):
     )
 
 
+def q_clump_sizes(sf_dir: str):
+    """Block-bounded connected components + MMU sieve over the 2022 label
+    raster (stages/assemblage.clump_sizes): comp id/size are pure integer
+    graph properties — engine min-label propagation vs oracle
+    recursive-CTE closure must agree bit-for-bit."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.clump_sizes(prims, year=2022, block_levels=4, mmu=4),
+        ["tile_id", "LANDCOVER", "comp_id", "comp_size", "sieve"],
+    )
+
+
 def q_change_matrix(sf_dir: str):
     """Land-cover change matrix 2020→2022 (stages/assemblage.
     change_matrix): bucketed max-by per year, tile_id hash join of the
@@ -3497,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q_dsir_select,
         "poly_centroid": q_poly_centroid,
         "majority_smooth": q_majority_smooth,
+        "clump_sizes": q_clump_sizes,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -4163,6 +4180,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             WHERE a."year" = 2020 AND b."year" = 2022
             GROUP BY 1, 2""",
         "majority_smooth": _majority_smooth_sql(root),
+        "clump_sizes": _clump_sizes_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -6303,6 +6321,58 @@ def _majority_smooth_sql(root: str, year: int = 2022) -> str:
                 PARTITION BY tile_id ORDER BY n DESC, lc ASC
             ) AS rn FROM mj_cnt
         ) WHERE rn = 1"""
+
+
+def _clump_sizes_sql(
+    root: str, year: int = 2022, block_levels: int = 4, mmu: int = 4
+) -> str:
+    """Clump replay: label raster via the row_number replay, same-label
+    4-adjacency edges WITHIN a Morton block, recursive-CTE transitive
+    closure, MIN/COUNT per component — the algorithm-independent spec of
+    the engine's min-label propagation."""
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+    )
+
+    blk_div = 1 << (2 * block_levels)
+    return f"""
+        WITH RECURSIVE cl_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        cl_dec AS MATERIALIZED (
+            SELECT tile_id, lc, tile_id // {blk_div} AS blk,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM cl_lab
+        ),
+        cl_edges AS MATERIALIZED (
+            SELECT a.tile_id AS src, b.tile_id AS dst
+            FROM cl_dec a JOIN cl_dec b
+              ON a.blk = b.blk AND a.lc = b.lc
+             AND ((abs(a.ix - b.ix) = 1 AND a.iy = b.iy)
+               OR (a.ix = b.ix AND abs(a.iy - b.iy) = 1))
+        ),
+        cl_reach AS (
+            SELECT tile_id AS cell, tile_id AS other FROM cl_lab
+            UNION
+            SELECT r.cell, e.dst FROM cl_reach r JOIN cl_edges e
+              ON e.src = r.other
+        ),
+        cl_comp AS (
+            SELECT cell AS tile_id, MIN(other) AS comp_id,
+                   CAST(COUNT(*) AS BIGINT) AS comp_size
+            FROM cl_reach GROUP BY cell
+        )
+        SELECT l.tile_id, l.lc AS "LANDCOVER", c.comp_id, c.comp_size,
+               CASE WHEN c.comp_size < {mmu} THEN 1 ELSE 0 END AS sieve
+        FROM cl_lab l JOIN cl_comp c ON l.tile_id = c.tile_id"""
 
 
 def _landscape_diversity_sql(root: str, year: int = 2022) -> str:

@@ -146,6 +146,59 @@ def test_majority_smooth_mode_and_tiebreak(ray_session):
     assert out.loc[int(tids[0]), "smooth_label"] == 5
 
 
+def test_clump_sizes_hand_grid(ray_session):
+    """Hand grid: an L-shaped 3-tile component, an isolated tile of the
+    same label two steps away, a different-label tile adjacent to the L
+    (label breaks the edge), and a same-label neighbor pair straddling a
+    16x16 block boundary (the cap: must NOT merge)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    # block boundary at x = 16k: (15, 0) and (16, 0) are grid-adjacent but
+    # in different 16x16 blocks
+    xs = np.array([1, 2, 2, 4, 2, 15, 16])
+    ys = np.array([1, 1, 2, 1, 3, 0, 0])
+    lc = np.array([5, 5, 5, 5, 9, 7, 7])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = (
+        assemblage.clump_sizes(prims, year=2022, block_levels=4, mmu=3)
+        .to_pandas()
+        .set_index("tile_id")
+    )
+    l_comp = min(int(tids[i]) for i in (0, 1, 2))
+    for i in (0, 1, 2):
+        assert out.loc[int(tids[i]), "comp_id"] == l_comp
+        assert out.loc[int(tids[i]), "comp_size"] == 3
+        assert out.loc[int(tids[i]), "sieve"] == 0
+    # isolated same-label tile: own singleton, sieved at mmu=3
+    assert out.loc[int(tids[3]), "comp_size"] == 1
+    assert out.loc[int(tids[3]), "sieve"] == 1
+    # different label adjacent to the L: singleton
+    assert out.loc[int(tids[4]), "comp_size"] == 1
+    # block-boundary pair: grid-adjacent, same label, DIFFERENT blocks
+    assert out.loc[int(tids[5]), "comp_size"] == 1
+    assert out.loc[int(tids[6]), "comp_size"] == 1
+    assert out.loc[int(tids[5]), "comp_id"] != out.loc[int(tids[6]), "comp_id"]
+
+
 def test_landscape_diversity_uniform_is_zero(ray_session):
     """A uniform single-class raster has H = 0 everywhere; a mixed
     neighborhood has H > 0."""
