@@ -859,6 +859,18 @@ def q_mann_kendall(sf_dir: str):
     )
 
 
+def q_flow_dir(sf_dir: str):
+    """D8 flow direction over the analytic DEM (stages/terrain.
+    flow_direction): 8 closed-form neighbor gradients per occupied cell,
+    pinned √2 division, (grad DESC, code ASC) winner — zero shuffle."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.flow_direction(_geo(sf_dir)),
+        ["cell_id", "elev", "flow_dir", "grad"],
+    )
+
+
 def q_dist_transform(sf_dir: str):
     """Capped Chebyshev distance transform to the dense-vegetation mask
     (stages/zonal.dist_transform): integer mask rule s > 55·n, ring fan
@@ -3518,6 +3530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
         "dist_transform": q_dist_transform,
+        "flow_dir": q_flow_dir,
         "revenue_rollup": q_revenue_rollup,
         "mmr_select": q_mmr_select,
         "event_transitions": q_event_transitions,
@@ -4515,6 +4528,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "random_points": _random_points_sql(root),
         "terrain": _terrain_sql(root),
         "hillshade": _hillshade_sql(root),
+        "flow_dir": _flow_dir_sql(root),
         "planet_stack": _planet_sql(root),
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
@@ -5994,6 +6008,75 @@ def _cloud_shadow_sql(root: str) -> str:
             GROUP BY a.ix, a.iy
         )
         SELECT {cell} AS cell_id, CAST(mask AS BIGINT) AS mask FROM dil"""
+
+
+def _flow_dir_sql(root: str) -> str:
+    """D8 flow-direction replay: analytic elevation at the 8 neighbor cell
+    centers, identical pinned √2 division, winner by (grad DESC, code ASC)
+    with the positive-gradient gate — bit-identical to
+    stages/terrain.flow_direction."""
+    import math
+
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+    hi = (1 << CELL_LEVEL) - 1
+    s2 = repr(math.sqrt(2.0))
+    offs = ", ".join(
+        f"({dx}, {dy}, {code}, {s2 if dx != 0 and dy != 0 else '1.0'})"
+        for dx, dy, code in (
+            (1, 0, 1),
+            (1, -1, 2),
+            (0, -1, 4),
+            (-1, -1, 8),
+            (-1, 0, 16),
+            (-1, 1, 32),
+            (0, 1, 64),
+            (1, 1, 128),
+        )
+    )
+
+    def ctr_lon(ix):  # mirrors cells.cell_center
+        return f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(iy):
+        return f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    return f"""
+        WITH {_geo_cte(root)},
+        fg AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        fe AS (
+            SELECT ix, iy, {cell} AS cell_id,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS e0
+            FROM fg
+        ),
+        fo AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, code, den)),
+        ff AS (
+            SELECT f.cell_id, f.e0, o.code,
+                   (f.e0 - {elev_sql(ctr_lon("(f.ix + o.dx)"),
+                                     ctr_lat("(f.iy + o.dy)"))}) / o.den AS g
+            FROM fe f CROSS JOIN fo o
+            WHERE f.ix + o.dx BETWEEN 0 AND {hi}
+              AND f.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        fb AS (
+            SELECT cell_id, e0, code, g, row_number() OVER (
+                       PARTITION BY cell_id ORDER BY g DESC, code ASC
+                   ) AS rn
+            FROM ff
+        )
+        SELECT cell_id, e0 AS elev,
+               CASE WHEN g > 0 THEN code ELSE 0 END AS flow_dir,
+               CASE WHEN g > 0 THEN g ELSE 0.0 END AS grad
+        FROM fb WHERE rn = 1"""
 
 
 def _hillshade_sql(root: str, azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> str:

@@ -126,6 +126,87 @@ def terrain_corrected_cells(
     )
 
 
+# D8 codes, ESRI convention: E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128.
+# Iterated in ascending code order so strict-> comparisons break gradient
+# ties toward the SMALLEST code — mirrored by (grad DESC, code ASC) in SQL.
+D8_OFFSETS = (
+    (1, 0, 1),
+    (1, -1, 2),
+    (0, -1, 4),
+    (-1, -1, 8),
+    (-1, 0, 16),
+    (-1, 1, 32),
+    (0, 1, 64),
+    (1, 1, 128),
+)
+_SQRT2 = math.sqrt(2.0)
+
+
+def flow_direction(geo, level: int = cells.CELL_LEVEL):
+    """D8 flow direction over the analytic DEM for every occupied cell —
+    the standard hydrology primitive (steepest-descent routing; the first
+    step of any flow-accumulation / watershed product layered on a DEM
+    the way the reference layers SRTM into its stacks,
+    src/misc/sentinel1.py:82).
+
+    Per cell: gradient to each of the 8 neighbors g_k = (e0 − e_k)/d_k
+    (d = √2 on diagonals), flow_dir = the ESRI D8 code of the steepest
+    POSITIVE gradient (ties → smallest code), 0 for pits/flats; grad is
+    the winning gradient (0.0 for pits).
+
+    Exactness: elevations are the closed-form ``dem.elev`` (numpy sin/cos
+    — bit-identical to DuckDB libm, the house DEM contract); the division
+    by the pinned √2 literal and every comparison are IEEE-identical in
+    the SQL twin, so the argmax (grad DESC, code ASC) selects the same
+    neighbor bit-for-bit.
+
+    Scale shape: one stateless vectorized map over the AOI-bounded
+    occupied-cell table (8 closed-form evaluations per cell, no shuffle,
+    no neighbor exchange — the DEM is analytic, so no halo is needed).
+
+    Output: (cell_id:int64, elev:f64, flow_dir:int64, grad:f64).
+    """
+    from . import zonal
+
+    per_cell = zonal.zonal_sums(geo, keys=("cell_id",), bands=()).select_columns(
+        ["cell_id"]
+    )
+    n_grid = np.int64(1) << level
+    nf = float(n_grid)
+
+    def ctr(ix, iy):
+        lon = (ix.astype(np.float64) + 0.5) / nf * 360.0 - 180.0
+        lat = (iy.astype(np.float64) + 0.5) / nf * 180.0 - 90.0
+        return lon, lat
+
+    def d8(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        ix, iy = cells.decode(cid, level)
+        lon0, lat0 = ctr(ix, iy)
+        e0 = dem.elev(lon0, lat0)
+        best_g = np.zeros(len(cid), np.float64)
+        best_c = np.zeros(len(cid), np.int64)
+        for dx, dy, code in D8_OFFSETS:
+            tx, ty = ix + dx, iy + dy
+            valid = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            lon, lat = ctr(tx, ty)
+            den = _SQRT2 if dx != 0 and dy != 0 else 1.0
+            g = (e0 - dem.elev(lon, lat)) / den
+            better = valid & (g > best_g)
+            best_g = np.where(better, g, best_g)
+            best_c = np.where(better, code, best_c)
+        return pa.table(
+            {
+                "cell_id": pa.array(cid.astype(np.int64), pa.int64()),
+                "elev": pa.array(e0),
+                "flow_dir": pa.array(best_c),
+                "grad": pa.array(best_g),
+            }
+        )
+
+    return per_cell.map_batches(d8, batch_format="pyarrow")
+
+
 def _domain_bbox():
     from .. import synth
 

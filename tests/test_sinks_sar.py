@@ -145,6 +145,48 @@ def test_csv_round_trip_via_ray_reader(ray_session, tmp_path):
     pd.testing.assert_frame_equal(back, src_sorted, check_dtype=False)
 
 
+def test_flow_direction_bruteforce(ray_session, synth_small):
+    """D8 codes are valid; every cell's winner matches a per-cell brute
+    force over the 8 analytic neighbor gradients."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain
+    from kaza_lcms_ray.state import cells as C
+    from kaza_lcms_ray.state import dem
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    out = terrain.flow_direction(geo).to_pandas()
+    assert len(out) > 0
+    valid = {0, 1, 2, 4, 8, 16, 32, 64, 128}
+    assert set(out["flow_dir"].unique()).issubset(valid)
+    assert (out.loc[out["flow_dir"] == 0, "grad"] == 0.0).all()
+    assert (out.loc[out["flow_dir"] != 0, "grad"] > 0.0).all()
+    nf = float(1 << C.CELL_LEVEL)
+
+    def e_at(ix, iy):
+        lon = (ix + 0.5) / nf * 360.0 - 180.0
+        lat = (iy + 0.5) / nf * 180.0 - 90.0
+        return float(dem.elev(np.float64(lon), np.float64(lat)))
+
+    for _, r in out.head(50).iterrows():
+        ix, iy = C.decode(np.array([r["cell_id"]]), C.CELL_LEVEL)
+        ix, iy = int(ix[0]), int(iy[0])
+        e0 = e_at(ix, iy)
+        best_g, best_c = 0.0, 0
+        for dx, dy, code in terrain.D8_OFFSETS:
+            den = math.sqrt(2.0) if dx != 0 and dy != 0 else 1.0
+            g = (e0 - e_at(ix + dx, iy + dy)) / den
+            if g > best_g:
+                best_g, best_c = g, code
+        assert r["flow_dir"] == best_c
+        assert r["grad"] == best_g
+        assert r["elev"] == e0
+
+
 def test_hillshade_range_and_flat_surface(ray_session, synth_small):
     """Hillshade is in [0, 255]; a flat surface (slope 0) shades to
     255·cos(zenith) regardless of aspect."""
