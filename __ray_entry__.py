@@ -1026,6 +1026,50 @@ def q_top_bigrams(sf_dir: str):
     return _i64(T.top_ngrams(docs, n=2, k=20), ["term", "ct"])
 
 
+def q_c4_rules(sf_dir: str):
+    """C4 document cleaning rules (stages/text.c4_rules): sentence/line
+    counts, lorem-ipsum/brace/policy flags, composed kept verdict —
+    stateless Arrow RE2 kernels, byte-identical to the DuckDB RE2 twin.
+    The gate corpus text carries no punctuation, so (the line_filter
+    discipline) deterministic doc_id-keyed suffixes are injected in BOTH
+    engine and oracle to make every rule fire non-vacuously."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import text as T
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suf = np.where(did % 4 == 0, C4_SENT_SUFFIX, "").astype("U160")
+        suf = np.char.add(suf, np.where(did % 5 == 1, C4_LOREM_SUFFIX, ""))
+        suf = np.char.add(suf, np.where(did % 7 == 2, C4_BRACE_SUFFIX, ""))
+        suf = np.char.add(suf, np.where(did % 9 == 3, C4_POLICY_SUFFIX, ""))
+        suf = np.char.add(
+            suf, np.where(did % 11 == 4, "\n" + C4_LINES_SUFFIX, "")
+        )
+        txt = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()),
+            pa.array(suf.tolist(), type=pa.string()),
+            "",
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    return _i64(
+        T.c4_rules(docs.map_batches(inject, batch_format="pyarrow")),
+        [
+            "doc_id",
+            "n_sentences",
+            "n_lines",
+            "n_term_lines",
+            "has_lorem",
+            "has_brace",
+            "has_policy",
+            "kept",
+        ],
+    )
+
+
 def q_normalize_text(sf_dir: str):
     """C4/FineWeb-style text canonicalization (stages/text.normalize_text):
     lowercase + whitespace-run collapse + trim, stateless Arrow RE2 kernels
@@ -1234,6 +1278,13 @@ def q_embed_gram(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return _i64(ann.gram_quantized(emb), ["i", "j", "s"])
 
+
+C4_SENT_SUFFIX = ". First point. Second point. Third point."
+C4_LOREM_SUFFIX = " Lorem Ipsum dolor sit amet"
+C4_BRACE_SUFFIX = " if (x) { return 1; }"
+C4_POLICY_SUFFIX = " Please read our Privacy Policy."
+C4_LINES_SUFFIX = "Line two ends here.\nand line three does not"
+C4_LINES_SUFFIX_SQL = C4_LINES_SUFFIX.replace("\n", "' || chr(10) || '")
 
 LINE_FILTER_NAV = "NAVIGATION MENU HOME ABOUT CONTACT SEARCH LOGIN"
 LINE_FILTER_RARE = "RARE FOOTER LINE APPEARING ONLY TWICE IN THE CORPUS"
@@ -3596,6 +3647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": q_column_profile,
         "ann_recall": q_ann_recall,
         "normalize_text": q_normalize_text,
+        "c4_rules": q_c4_rules,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
         "bbox_join": q_bbox_join,
@@ -4447,6 +4499,24 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "normalize_text": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).normalize_text_sql("SELECT doc_id, text FROM documents"),
+        "c4_rules": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).c4_rules_sql(
+            f"""SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN '{C4_SENT_SUFFIX}' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 1
+                               THEN '{C4_LOREM_SUFFIX}' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 2
+                               THEN '{C4_BRACE_SUFFIX}' ELSE '' END
+                       || CASE WHEN doc_id % 9 = 3
+                               THEN '{C4_POLICY_SUFFIX}' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 4
+                               THEN chr(10) || '{C4_LINES_SUFFIX_SQL}'
+                               ELSE '' END AS text
+                FROM documents"""
+        ),
         "chunk_text": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).chunk_text_sql("SELECT doc_id, text FROM documents", size=128, stride=96),

@@ -1295,6 +1295,89 @@ def normalize_text_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc
         FROM ({docs_sql})"""
 
 
+C4_MIN_SENTENCES = 3
+C4_POLICY_RE = r"(?i)(javascript|terms of use|privacy policy|cookie policy)"
+C4_LOREM_RE = r"(?i)lorem ipsum"
+
+
+def c4_rules(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """C4-style document cleaning rules (Raffel et al. 2020, §2.2 —
+    published verbatim): per document, the sentence count (terminal
+    punctuation marks), line count and terminal-punctuation line count,
+    the "lorem ipsum" flag, the curly-brace flag (code leak), the
+    boilerplate-policy-phrase flag — and the composed ``kept`` verdict
+    (≥3 sentences, no lorem ipsum, no brace, no policy phrase).
+
+    All signals are stateless per-batch Arrow RE2 kernels — the same
+    regex engine DuckDB uses, so every count and flag is byte-identical
+    in the oracle.  No shuffle at any corpus scale.
+
+    Output: (doc_id, n_sentences:int64, n_lines:int64, n_term_lines:int64,
+    has_lorem:int64, has_brace:int64, has_policy:int64, kept:int64).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_sent = pc.count_substring_regex(text, r"[.!?]").cast(pa.int64())
+        n_lines = pc.add(
+            pc.count_substring(text, "\n").cast(pa.int64()), 1
+        )
+        n_term = pc.add(
+            pc.count_substring_regex(text, r"[.!?]\n").cast(pa.int64()),
+            pc.match_substring_regex(text, r"[.!?]$").cast(pa.int64()),
+        )
+        lorem = pc.match_substring_regex(text, C4_LOREM_RE).cast(pa.int64())
+        brace = pc.match_substring(text, "{").cast(pa.int64())
+        policy = pc.match_substring_regex(text, C4_POLICY_RE).cast(pa.int64())
+        kept = pc.and_(
+            pc.greater_equal(n_sent, C4_MIN_SENTENCES),
+            pc.equal(pc.add(pc.add(lorem, brace), policy), 0),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_sentences": n_sent,
+                "n_lines": n_lines,
+                "n_term_lines": n_term,
+                "has_lorem": lorem,
+                "has_brace": brace,
+                "has_policy": policy,
+                "kept": kept,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def c4_rules_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Oracle twin of :func:`c4_rules` — RE2 on both sides."""
+    return f"""
+        SELECT {id_col},
+               CAST(len(regexp_extract_all({text_col}, '[.!?]')) AS BIGINT)
+                   AS n_sentences,
+               CAST(len(regexp_extract_all({text_col}, '\n')) + 1 AS BIGINT)
+                   AS n_lines,
+               CAST(len(regexp_extract_all({text_col}, '[.!?]\n'))
+                    + CAST(regexp_matches({text_col}, '[.!?]$') AS BIGINT)
+                    AS BIGINT) AS n_term_lines,
+               CAST(regexp_matches({text_col}, 'lorem ipsum', 'i') AS BIGINT)
+                   AS has_lorem,
+               CAST(contains({text_col}, '{{') AS BIGINT) AS has_brace,
+               CAST(regexp_matches({text_col},
+                    '(javascript|terms of use|privacy policy|cookie policy)',
+                    'i') AS BIGINT) AS has_policy,
+               CAST(
+                   len(regexp_extract_all({text_col}, '[.!?]')) >= {C4_MIN_SENTENCES}
+                   AND NOT regexp_matches({text_col}, 'lorem ipsum', 'i')
+                   AND NOT contains({text_col}, '{{')
+                   AND NOT regexp_matches({text_col},
+                       '(javascript|terms of use|privacy policy|cookie policy)', 'i')
+                   AS BIGINT) AS kept
+        FROM ({docs_sql})"""
+
+
 def chunk_text(
     ds,
     size: int = 128,

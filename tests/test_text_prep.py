@@ -23,6 +23,41 @@ def _sql_df(tbl: pa.Table, sql: str):
     return con.execute(sql).fetchdf()
 
 
+def test_c4_rules_hand_and_sql(ray_session):
+    import ray.data as rd
+
+    rows = [
+        "One. Two! Three? clean doc",            # 3 sentences -> kept
+        "Too short. Only two?",                   # 2 sentences -> dropped
+        "Has Lorem IPSUM inside. Plus. More.",    # lorem -> dropped
+        "Code { leak }. Yes. Sure. Fine.",        # brace -> dropped
+        "Read the Privacy Policy. Ok. Ok. Ok.",   # policy -> dropped
+        "Line one.\nline two ends?\nLine3!",      # 3 lines, all terminal
+    ]
+    tbl = _docs(rows)
+    out = (
+        text.c4_rules(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["kept"]) == [1, 0, 0, 0, 0, 1]
+    assert list(out["n_sentences"]) == [3, 2, 3, 4, 4, 3]
+    assert list(out["has_lorem"]) == [0, 0, 1, 0, 0, 0]
+    assert list(out["has_brace"]) == [0, 0, 0, 1, 0, 0]
+    assert list(out["has_policy"]) == [0, 0, 0, 0, 1, 0]
+    assert list(out["n_lines"]) == [1, 1, 1, 1, 1, 3]
+    assert list(out["n_term_lines"]) == [0, 1, 1, 1, 1, 3]
+
+    ora = (
+        _sql_df(tbl, text.c4_rules_sql("SELECT doc_id, text FROM docs"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        assert list(ora[c]) == list(out[c]), c
+
+
 def test_normalize_text_hand_and_sql(ray_session):
     import ray.data as rd
 
