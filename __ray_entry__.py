@@ -847,6 +847,18 @@ def q_theilsen(sf_dir: str):
     )
 
 
+def q_raster_pyramid(sf_dir: str):
+    """Mean-pyramid overview levels of the cell raster
+    (stages/zonal.raster_pyramid): bit-shift parents, exact int sums,
+    pinned division — the downsample twin of raster_upsample."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.raster_pyramid(_geo(sf_dir), band=3),
+        ["level_up", "cell_id", "n", "s_c3", "mean_b3"],
+    )
+
+
 def q_mann_kendall(sf_dir: str):
     """Mann–Kendall per-cell monotonic trend test (stages/zonal.
     mann_kendall): pure-integer pairwise sign sums over the yearly cell
@@ -868,6 +880,18 @@ def q_flow_dir(sf_dir: str):
     return _i64(
         terrain.flow_direction(_geo(sf_dir)),
         ["cell_id", "elev", "flow_dir", "grad"],
+    )
+
+
+def q_inflow_count(sf_dir: str):
+    """D8 inflow degree (stages/terrain.inflow_count): integer counts of
+    draining neighbors per occupied cell — flow accumulation's first
+    step, value-checked against the winner-chain replay."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.inflow_count(_geo(sf_dir)),
+        ["cell_id", "flow_dir", "inflow"],
     )
 
 
@@ -3582,6 +3606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall": q_mann_kendall,
         "dist_transform": q_dist_transform,
         "flow_dir": q_flow_dir,
+        "inflow_count": q_inflow_count,
+        "raster_pyramid": q_raster_pyramid,
         "revenue_rollup": q_revenue_rollup,
         "mmr_select": q_mmr_select,
         "event_transitions": q_event_transitions,
@@ -4131,6 +4157,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "mann_kendall": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).mann_kendall_sql("SELECT * FROM cells", band=3)}""",
+        "raster_pyramid": f"""
+            WITH {geo}, {cells}
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).raster_pyramid_sql("SELECT * FROM cells", band=3)}""",
         "dist_transform": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).dist_transform_sql("SELECT * FROM cells", band=3, thresh_pct=55, max_ring=3)}""",
@@ -4599,6 +4628,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "terrain": _terrain_sql(root),
         "hillshade": _hillshade_sql(root),
         "flow_dir": _flow_dir_sql(root),
+        "inflow_count": _inflow_sql(root),
         "planet_stack": _planet_sql(root),
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
@@ -6147,6 +6177,86 @@ def _flow_dir_sql(root: str) -> str:
                CASE WHEN g > 0 THEN code ELSE 0 END AS flow_dir,
                CASE WHEN g > 0 THEN g ELSE 0.0 END AS grad
         FROM fb WHERE rn = 1"""
+
+
+def _inflow_sql(root: str) -> str:
+    """D8 inflow replay: the _flow_dir_sql winner chain (ix/iy kept), the
+    winner's target re-encoded via the same offsets table, grouped counts,
+    LEFT JOIN back onto the occupied cells."""
+    import math
+
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    tgt = morton_sql_expr("(w.ix + o.dx)", "(w.iy + o.dy)", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+    hi = (1 << CELL_LEVEL) - 1
+    s2 = repr(math.sqrt(2.0))
+    offs = ", ".join(
+        f"({dx}, {dy}, {code}, {s2 if dx != 0 and dy != 0 else '1.0'})"
+        for dx, dy, code in (
+            (1, 0, 1),
+            (1, -1, 2),
+            (0, -1, 4),
+            (-1, -1, 8),
+            (-1, 0, 16),
+            (-1, 1, 32),
+            (0, 1, 64),
+            (1, 1, 128),
+        )
+    )
+
+    def ctr_lon(ix):
+        return f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(iy):
+        return f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    return f"""
+        WITH {_geo_cte(root)},
+        fg AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        fe AS (
+            SELECT ix, iy, {cell} AS cell_id,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS e0
+            FROM fg
+        ),
+        fo AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, code, den)),
+        ff AS (
+            SELECT f.cell_id, f.ix, f.iy, o.code,
+                   (f.e0 - {elev_sql(ctr_lon("(f.ix + o.dx)"),
+                                     ctr_lat("(f.iy + o.dy)"))}) / o.den AS g
+            FROM fe f CROSS JOIN fo o
+            WHERE f.ix + o.dx BETWEEN 0 AND {hi}
+              AND f.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        fw AS (
+            SELECT cell_id, ix, iy, code, g FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY cell_id ORDER BY g DESC, code ASC
+                       ) AS rn
+                FROM ff
+            ) WHERE rn = 1
+        ),
+        ftgt AS (
+            SELECT {tgt} AS cell_id
+            FROM fw w JOIN fo o ON o.code = w.code
+            WHERE w.g > 0
+        ),
+        fcnt AS (
+            SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ftgt GROUP BY cell_id
+        )
+        SELECT w.cell_id,
+               CASE WHEN w.g > 0 THEN w.code ELSE 0 END AS flow_dir,
+               COALESCE(c.n, 0) AS inflow
+        FROM fw w LEFT JOIN fcnt c ON c.cell_id = w.cell_id"""
 
 
 def _hillshade_sql(root: str, azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> str:

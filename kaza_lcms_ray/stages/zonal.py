@@ -2004,6 +2004,99 @@ def idw_fill_sql(cells_sql: str, band: int = 3, max_ring: int = 2) -> str:
         FROM iw_gap"""
 
 
+def raster_pyramid(geo, band: int = 3, levels_up=(1, 2)):
+    """Mean-pyramid downsample of the per-cell band raster — the overview
+    levels every tiled raster product ships (the reference's export
+    pyramids / `.reproject` to coarser scales before display): each
+    coarser cell's mean aggregates its 4^k children exactly.
+
+    Exactness: Morton parent ids are pure bit-shifts, the per-level sums
+    are exact int64 cents, and each mean is the single pinned double
+    division shared with zonal_counts.
+
+    Scale shape: the corpus-sized zonal_sums reduce happens ONCE at the
+    base level; the pyramid fan runs over the AOI-bounded cell table with
+    in-batch pre-aggregation (one row per parent per batch) and a bucketed
+    integer combine.
+
+    Output: (level_up:int64, cell_id:int64 at CELL_LEVEL−level_up,
+    n:int64, s_c{band}:int64, mean_b{band}:f64).
+    """
+    import pyarrow.compute as pc
+
+    s_col = f"s_c{band}"
+    base = zonal_sums(geo, keys=["cell_id"], bands=(band,))
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [
+            pa.table(
+                {
+                    "level_up": pa.array(np.full(len(cid), lu, np.int64)),
+                    "cell_id": pa.array(cid >> np.int64(2 * lu)),
+                    "n": pa.array(n),
+                    s_col: pa.array(s),
+                }
+            )
+            for lu in levels_up
+        ]
+        g = (
+            pa.concat_tables(parts)
+            .group_by(["level_up", "cell_id"])
+            .aggregate([("n", "sum"), (s_col, "sum")])
+        )
+        return pa.table(
+            {
+                "level_up": g.column("level_up"),
+                "cell_id": g.column("cell_id"),
+                "n": g.column("n_sum"),
+                s_col: g.column(f"{s_col}_sum"),
+            }
+        )
+
+    agg = bucketed_sum(
+        base.map_batches(fan, batch_format="pyarrow"),
+        ["level_up", "cell_id"],
+        ["n", s_col],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        denom = pc.multiply(pc.cast(n, pa.float64()), 100.0)
+        return pa.table(
+            {
+                "level_up": t.column("level_up"),
+                "cell_id": t.column("cell_id"),
+                "n": n,
+                s_col: t.column(s_col),
+                f"mean_b{band}": pc.divide(
+                    pc.cast(t.column(s_col), pa.float64()), denom
+                ),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def raster_pyramid_sql(cells_sql: str, band: int = 3, levels_up=(1, 2)) -> str:
+    """Oracle twin of :func:`raster_pyramid` — per-level GROUP BY on the
+    bit-shifted parent id, identical pinned mean division."""
+    selects = [
+        f"""
+        SELECT CAST({lu} AS BIGINT) AS level_up,
+               cell_id // {4 ** lu} AS cell_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c{band}) AS BIGINT) AS s_c{band},
+               CAST(SUM(c{band}) AS DOUBLE)
+                   / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS mean_b{band}
+        FROM ({cells_sql}) GROUP BY cell_id // {4 ** lu}"""
+        for lu in levels_up
+    ]
+    return " UNION ALL ".join(selects)
+
+
 def dist_transform(geo, band: int = 3, thresh_pct: int = 55, max_ring: int = 3):
     """Capped Chebyshev distance transform: for every occupied cell, the
     grid distance (0..max_ring) to the nearest MASK cell, where the mask

@@ -187,6 +187,34 @@ def test_flow_direction_bruteforce(ray_session, synth_small):
         assert r["elev"] == e0
 
 
+def test_inflow_count_conservation(ray_session, synth_small):
+    """Σ inflow = number of flowing cells whose D8 target is occupied;
+    zero-inflow ridges exist."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain
+    from kaza_lcms_ray.state import cells as C
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    out = terrain.inflow_count(geo).to_pandas()
+    assert len(out) > 0
+    occ = set(out["cell_id"].tolist())
+    dxdy = {c: (dx, dy) for dx, dy, c in terrain.D8_OFFSETS}
+    expected_total = 0
+    for _, r in out.iterrows():
+        if r["flow_dir"] == 0:
+            continue
+        ix, iy = C.decode(np.array([r["cell_id"]]), C.CELL_LEVEL)
+        dx, dy = dxdy[int(r["flow_dir"])]
+        tgt = int(C.morton(ix + dx, iy + dy)[0])
+        if tgt in occ:
+            expected_total += 1
+    assert out["inflow"].sum() == expected_total
+    assert (out["inflow"] == 0).any()
+
+
 def test_hillshade_range_and_flat_surface(ray_session, synth_small):
     """Hillshade is in [0, 255]; a flat surface (slope 0) shades to
     255·cos(zenith) regardless of aspect."""

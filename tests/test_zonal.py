@@ -598,6 +598,28 @@ def test_mann_kendall_matches_bruteforce(synth_small, ray_session):
     assert (exp["n_pairs"] > 0).any()
 
 
+def test_raster_pyramid_conserves_mass(synth_small, ray_session):
+    """Each pyramid level's n and cent sums total exactly the base
+    raster's; parents are the bit-shift of their children."""
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    pyr = zonal.raster_pyramid(geo, band=3).to_pandas()
+    df = _geo_df(synth_small)
+    n_obs = len(df)
+    s_tot = int(df["c3"].sum())
+    for lu in (1, 2):
+        lvl = pyr[pyr["level_up"] == lu]
+        assert int(lvl["n"].sum()) == n_obs
+        assert int(lvl["s_c3"].sum()) == s_tot
+    # level-2 cells are exactly the level-1 parents
+    l1 = set((pyr.loc[pyr["level_up"] == 1, "cell_id"] // 4).tolist())
+    l2 = set(pyr.loc[pyr["level_up"] == 2, "cell_id"].tolist())
+    assert l1 == l2
+    # mean is the pinned division
+    r = pyr.iloc[0]
+    assert r["mean_b3"] == float(r["s_c3"]) / (float(r["n"]) * 100.0)
+
+
 def test_dist_transform_matches_bruteforce(synth_small, ray_session):
     from kaza_lcms_ray.state import cells as C
 
