@@ -1094,6 +1094,20 @@ def q_c4_rules(sf_dir: str):
     )
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity head/middle/tail terciles per language
+    (stages/text.ccnet_buckets): lm_score avg_nll quantized to 2²⁰ bins,
+    per-lang nearest-rank tercile cutoffs at integer ranks, skinny
+    hash-join lang attach — both branches pinned to one rule."""
+    from kaza_lcms_ray.stages import text as T
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "lang"])
+    return _i64(
+        T.ccnet_buckets(docs),
+        ["doc_id", "lang", "n_toks", "nll_bin", "bucket"],
+    )
+
+
 def q_normalize_text(sf_dir: str):
     """C4/FineWeb-style text canonicalization (stages/text.normalize_text):
     lowercase + whitespace-run collapse + trim, stateless Arrow RE2 kernels
@@ -3674,6 +3688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": q_ann_recall,
         "normalize_text": q_normalize_text,
         "c4_rules": q_c4_rules,
+        "ccnet_buckets": q_ccnet_buckets,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
         "bbox_join": q_bbox_join,
@@ -4528,6 +4543,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "normalize_text": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).normalize_text_sql("SELECT doc_id, text FROM documents"),
+        "ccnet_buckets": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).ccnet_buckets_sql("SELECT doc_id, text FROM documents"),
         "c4_rules": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).c4_rules_sql(

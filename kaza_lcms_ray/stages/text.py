@@ -616,6 +616,142 @@ def lm_score_sql(docs_sql: str) -> str:
         FROM s"""
 
 
+NLL_BIN_SCALE = 1048576.0  # 2^20 avg_nll bins — exact IEEE multiply both sides
+
+
+def ccnet_buckets(ds, text_col: str = "text", lang_col: str = "lang"):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split documents into head(0)/middle(1)/tail(2) thirds by
+    their unigram-LM avg_nll — the standard quality tiering a
+    multilingual curation funnel applies before sampling mostly from the
+    head.
+
+    Decomposable by the adaptive_quality discipline: avg_nll quantizes to
+    2²⁰ bins (exact IEEE multiply), per-(lang, bin) integer counts combine
+    through a hash-bucketed sum, and the two tercile cutoffs are
+    nearest-rank bins at the pure-integer ranks (n+2)//3 and (2n+2)//3 —
+    both branches pinned to the same rule (the hll_distinct pattern).
+    The lang column attaches to the skinny score table by one big-big
+    hash join of two 2-column tables (never a broadcast: doc_id→lang is
+    corpus-sized); max task rows are bin-table rows per lang, independent
+    of corpus size.
+
+    Output: (doc_id, lang, n_toks:int64, nll_bin:int64, bucket:int64).
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..runtime import join_partitions
+    from ..stages.zonal import bucketed_sum
+
+    scored = lm_score(ds, text_col=text_col)
+    langs = ds.select_columns(["doc_id", lang_col])
+    j = scored.select_columns(["doc_id", "n_toks", "avg_nll"]).join(
+        langs, join_type="inner", num_partitions=join_partitions(), on=("doc_id",)
+    )
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        nll = t.column("avg_nll").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                lang_col: t.column(lang_col),
+                "n_toks": t.column("n_toks"),
+                "nll_bin": pa.array(np.floor(nll * NLL_BIN_SCALE).astype(np.int64)),
+            }
+        )
+
+    binned = j.map_batches(add_bin, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([lang_col, "nll_bin"]).group_by([lang_col, "nll_bin"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns([lang_col, "nll_bin", "cnt"])
+
+    hist = bucketed_sum(
+        binned.map_batches(partial, batch_format="pyarrow"),
+        [lang_col, "nll_bin"],
+        ["cnt"],
+    )
+
+    def cutoff(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("nll_bin", kind="mergesort")
+        cnt = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+        bins = g["nll_bin"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                lang_col: [g[lang_col].iloc[0]],
+                "cut1": [int(bins[int(np.searchsorted(cum, r1))])],
+                "cut2": [int(bins[int(np.searchsorted(cum, r2))])],
+            }
+        )
+
+    cuts = (
+        hist.groupby(lang_col).map_groups(cutoff, batch_format="pandas").to_pandas()
+    )
+    cut_ref = ray.put(
+        {
+            "langs": pa.array(cuts[lang_col].astype(str), type=pa.large_string()),
+            "cut1": cuts["cut1"].to_numpy(np.int64),
+            "cut2": cuts["cut2"].to_numpy(np.int64),
+        }
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        from .joins import probe_positions
+
+        cs = ray.get(cut_ref)
+        nb = t.column("nll_bin").to_numpy(zero_copy_only=False)
+        pos = probe_positions(t.column(lang_col), cs["langs"], "lang")
+        bucket = np.full(len(nb), 2, np.int64)
+        bucket[nb <= cs["cut2"][pos]] = 1
+        bucket[nb <= cs["cut1"][pos]] = 0
+        return t.append_column("bucket", pa.array(bucket))
+
+    return binned.map_batches(label, batch_format="pyarrow")
+
+
+def ccnet_buckets_sql(docs_sql: str) -> str:
+    """Oracle twin of :func:`ccnet_buckets` — the lm_score chain + the
+    SAME quantized nearest-rank tercile rule via window cumulative
+    counts."""
+    return f"""
+        WITH cb AS (
+            SELECT f.doc_id, d.lang, f.n_toks,
+                   CAST(floor(f.avg_nll * {NLL_BIN_SCALE!r}) AS BIGINT)
+                       AS nll_bin
+            FROM ({lm_score_sql(docs_sql)}) f
+            JOIN documents d ON f.doc_id = d.doc_id
+        ),
+        cb_h AS (
+            SELECT lang, nll_bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cb GROUP BY lang, nll_bin
+        ),
+        cb_r AS (
+            SELECT lang, nll_bin,
+                   SUM(cnt) OVER (PARTITION BY lang ORDER BY nll_bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY lang) AS n
+            FROM cb_h
+        ),
+        cb_c AS (
+            SELECT lang,
+                   MIN(CASE WHEN cum >= (n + 2) // 3 THEN nll_bin END) AS cut1,
+                   MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN nll_bin END)
+                       AS cut2
+            FROM cb_r GROUP BY lang
+        )
+        SELECT b.doc_id, b.lang, b.n_toks, b.nll_bin,
+               CASE WHEN b.nll_bin <= c.cut1 THEN 0
+                    WHEN b.nll_bin <= c.cut2 THEN 1
+                    ELSE 2 END AS bucket
+        FROM cb b JOIN cb_c c ON b.lang = c.lang"""
+
+
 DECON_N = 5  # word n-gram width for decontamination
 DECON_EVAL_MOD = 97  # doc_id % MOD == 0 -> eval/benchmark set
 

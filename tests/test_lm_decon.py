@@ -166,3 +166,59 @@ def test_lm_score_join_path_matches_broadcast(ray_session):
             a[c].to_numpy(np.int64), b[c].to_numpy(np.int64), err_msg=c
         )
     np.testing.assert_array_equal(a["avg_nll"].to_numpy(), b["avg_nll"].to_numpy())
+
+
+def test_ccnet_buckets_terciles_and_sql(ray_session):
+    """CCNet head/middle/tail: per-lang tercile sizes follow the
+    nearest-rank rule, bucket is monotone in nll_bin within a lang,
+    reshard-invariant, and the SQL twin replays bit-for-bit."""
+    import pandas as pd
+    import ray.data as rd
+
+    # 9 en docs spanning common->rare vocab, 3 fr docs; rarity drives
+    # avg_nll so terciles are non-trivial
+    words = [chr(ord("a") + i) * 3 for i in range(12)]  # aaa, bbb, ...
+    rows = []
+    for i in range(9):
+        # doc i repeats word i (freq falls with i) -> nll rises with i
+        rows.append((i, " ".join([words[i]] * (10 - i) + ["common"] * 3), "en"))
+    for i in range(9, 12):
+        rows.append((i, " ".join([words[i]] * (13 - i)), "fr"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+        }
+    )
+    outs = []
+    for nblocks in (1, 4):
+        out = (
+            text.ccnet_buckets(rd.from_arrow(tbl).repartition(nblocks))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    en = out[out["lang"] == "en"]
+    fr = out[out["lang"] == "fr"]
+    # nearest-rank thirds: 9 -> 3/3/3 ; 3 -> 1/1/1
+    assert en["bucket"].value_counts().sort_index().tolist() == [3, 3, 3]
+    assert fr["bucket"].value_counts().sort_index().tolist() == [1, 1, 1]
+    # bucket monotone in nll_bin within each lang
+    for g in (en, fr):
+        s = g.sort_values("nll_bin")
+        assert (np.diff(s["bucket"].to_numpy(np.int64)) >= 0).all()
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (
+        con.execute(text.ccnet_buckets_sql("SELECT doc_id, text FROM documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("lang", "n_toks", "nll_bin", "bucket"):
+        np.testing.assert_array_equal(out[c].to_numpy(), want[c].to_numpy())
