@@ -3237,6 +3237,56 @@ def q_product_profit(sf_dir: str):
     )
 
 
+def q_customer_dist(sf_dir: str):
+    """TPC-H Q13-shaped customer order-count distribution
+    (pipelines/analytics.customer_distribution): two-phase per-customer
+    counts, tiny histogram combine, arithmetic zero bucket — no outer
+    join materialized."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.customer_distribution(
+        _tbl(sf_dir, "orders"), _tbl(sf_dir, "customer")
+    )
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-shaped small-quantity revenue
+    (pipelines/analytics.small_quantity_revenue): per-part avg as integer
+    cross-multiplication, size-guarded attach_dim, one scalar reduce."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.small_quantity_revenue(
+        _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "part")
+    )
+
+
+def q_supplier_counts(sf_dir: str):
+    """TPC-H Q16-shaped exact COUNT(DISTINCT supplier) per part attrs
+    (pipelines/analytics.supplier_part_counts): two-phase distinct pairs,
+    broadcast anti-filter, second distinct before the count."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.supplier_part_counts(
+            _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "part"),
+            _tbl(sf_dir, "supplier"),
+        ),
+        ["p_brand", "p_type", "p_size", "supplier_cnt"],
+    )
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11-shaped global-fraction HAVING filter
+    (pipelines/analytics.important_parts): broadcast nation-supplier set,
+    skinny per-part cents, integer threshold vs the grand total."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.important_parts(
+        _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "supplier"),
+        _tbl(sf_dir, "nation"),
+    )
+
+
 def q_revenue_rollup(sf_dir: str):
     """OLAP ROLLUP revenue cube (pipelines/analytics.revenue_rollup):
     exact integer revenue at all three grouping levels; super-aggregates
@@ -3603,6 +3653,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "customer_dist": q_customer_dist,
+        "small_qty_revenue": q_small_qty_revenue,
+        "supplier_counts": q_supplier_counts,
+        "important_parts": q_important_parts,
         "local_morans": q_local_morans,
         "idw_fill": q_idw_fill,
         "raster_upsample": q_raster_upsample,
@@ -4938,6 +4992,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "product_profit": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).product_profit_sql(),
+        "customer_dist": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).customer_distribution_sql(),
+        "small_qty_revenue": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).small_quantity_revenue_sql(),
+        "supplier_counts": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).supplier_part_counts_sql(),
+        "important_parts": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).important_parts_sql(),
         "langid_confusion": f"""
             SELECT d.lang, s.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
             FROM ({_text_scores_sql()}) s

@@ -1229,3 +1229,354 @@ def product_profit_sql(name_like: str = "red") -> str:
         JOIN nation ON n_nationkey = s_nationkey
         WHERE p_name LIKE '%{name_like}%'
         GROUP BY n_name, o_year"""
+
+
+def customer_distribution(orders, customer, status_excl: str = "F"):
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly k qualifying orders, INCLUDING the k=0
+    customers the left-outer join keeps (the schema's o_orderstatus <>
+    filter stands in for Q13's comment NOT LIKE).  Reference analog: the
+    left-outer count + histogram report shape.
+
+    Scale shape: orders reduce per-batch to (custkey, n) integer partials
+    and combine through one skinny groupby — raw order rows never
+    shuffle.  The per-customer count table then collapses to the tiny
+    (c_count → custdist) histogram, and the zero bucket is pure
+    arithmetic: |customer| − |customers with ≥1 order| (one scalar count
+    on each side, no outer join materialized anywhere).
+
+    Output: (c_count:int64, custdist:int64).
+    """
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("o_orderstatus"), status_excl))
+        out = t.select(["o_custkey"]).group_by("o_custkey").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["o_custkey", "n"])
+
+    per_cust = (
+        orders.select_columns(["o_custkey", "o_orderstatus"])
+        .map_batches(o_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def h_partial(t: pa.Table) -> pa.Table:
+        out = t.select(["c_count"]).group_by("c_count").aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["c_count", "custdist"])
+
+    hist = (
+        per_cust.map_batches(h_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()  # ≤ max-orders-per-customer rows: tiny by construction
+    )
+    n_zero = int(customer.count()) - int(hist["custdist"].sum())
+    out = pa.table(
+        {
+            "c_count": np.concatenate(
+                [hist["c_count"].to_numpy(np.int64), np.array([0], np.int64)]
+            ),
+            "custdist": np.concatenate(
+                [hist["custdist"].to_numpy(np.int64), np.array([n_zero], np.int64)]
+            ),
+        }
+    )
+    return out.filter(pc.greater(out.column("custdist"), 0))
+
+
+def customer_distribution_sql(status_excl: str = "F") -> str:
+    """Oracle twin of :func:`customer_distribution`."""
+    return f"""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderstatus <> '{status_excl}'
+            GROUP BY c_custkey) c
+        GROUP BY c_count"""
+
+
+def small_quantity_revenue(lineitem, part, brand: str = "Brand#13"):
+    """TPC-H Q17-shaped small-quantity revenue: total extended price (÷7,
+    the 'average yearly' convention) of the brand's lines whose quantity
+    is below 20% of that part's average quantity.
+
+    Exactness: the per-part average never becomes a float — the filter
+    qty < 0.2·(sum/cnt) is the integer cross-multiplication
+    qty_c·5·cnt < sum_c, and the final division by 700 happens once.
+
+    Scale shape: two lineitem passes (inherent to the correlated-average
+    shape).  Pass 1 pre-aggregates (partkey → sum_c, cnt) per batch and
+    combines skinny; pass 2 attaches the per-part pair through
+    size-guarded ``attach_dim`` (a single brand's parts: |part|/|brands|)
+    and reduces the surviving cents to one scalar.
+
+    Output: one row (avg_yearly:double).
+    """
+    from ..stages.joins import attach_dim
+
+    brand_keys = part.map_batches(
+        lambda t: t.filter(pc.equal(t.column("p_brand"), brand)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        q = _cents(t.column("l_quantity"))
+        tb = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "q": pa.array(q),
+            }
+        )
+        out = tb.group_by("l_partkey").aggregate([("q", "sum"), ([], "count_all")])
+        return out.rename_columns(["l_partkey", "sum_q", "cnt"])
+
+    per_part = (
+        lineitem.select_columns(["l_partkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("cnt", alias_name="cnt"))
+    )
+    # restrict the broadcast side to the brand's parts (inner attach_dim
+    # on the skinny aggregate — both sides are per-part, never raw lines)
+    brand_avg = attach_dim(
+        per_part, brand_keys, "l_partkey", "p_partkey", []
+    )
+
+    def keep_small(t: pa.Table) -> pa.Table:
+        q = _cents(t.column("l_quantity"))
+        p = _cents(t.column("l_extendedprice"))
+        s = t.column("sum_q").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        keep = q * 5 * c < s
+        return pa.table({"rev": pa.array(p[keep])})
+
+    survivors = attach_dim(
+        lineitem.select_columns(["l_partkey", "l_quantity", "l_extendedprice"]),
+        brand_avg,
+        "l_partkey",
+        "l_partkey",
+        ["sum_q", "cnt"],
+    ).map_batches(keep_small, batch_format="pyarrow")
+
+    total = survivors.sum("rev", ignore_nulls=True) or 0
+    return pa.table({"avg_yearly": np.array([total / 700.0], np.float64)})
+
+
+def small_quantity_revenue_sql(brand: str = "Brand#13") -> str:
+    """Oracle twin of :func:`small_quantity_revenue` — the SAME integer
+    cross-multiplied threshold, so both branches follow one rule."""
+    return f"""
+        WITH pavg AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                        AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                    AS BIGINT) / 700.0 AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{brand}'
+        JOIN pavg a ON a.l_partkey = l.l_partkey
+        WHERE CAST(round(l.l_quantity * 100, 0) AS BIGINT) * 5 * a.cnt
+              < a.sum_q"""
+
+
+def supplier_part_counts(
+    lineitem, part, supplier, brand_excl: str = "Brand#15",
+    type_prefix_excl: str = "PROMO",
+):
+    """TPC-H Q16-shaped supplier counts: exact COUNT(DISTINCT supplier)
+    per (p_brand, p_type, p_size), with a brand/type exclusion and the
+    negative-balance suppliers dropped (the schema's stand-in for Q16's
+    complaint-comment anti-filter; supplier-part relationships come from
+    lineitem since this schema carries no partsupp).
+
+    Scale shape: lineitem reduces to DISTINCT (partkey, suppkey) skinny
+    pairs first (two-phase dedupe — the only corpus-sized input never
+    shuffles raw).  The bad-supplier set is a tiny broadcast filter; part
+    attributes attach through size-guarded ``attach_dim``; the final
+    exact distinct-count is a second two-phase distinct over
+    (brand, type, size, suppkey) — every stage's rows are bounded by
+    |parts × suppliers-per-part|, never by |lineitem|.
+
+    Output: (p_brand, p_type, p_size:int64, supplier_cnt:int64).
+    """
+    from ..stages.joins import attach_dim, distinct
+
+    pairs = distinct(
+        lineitem.select_columns(["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"],
+    )
+
+    bad = supplier.map_batches(
+        lambda t: t.filter(pc.less(t.column("s_acctbal"), 0.0)).select(
+            ["s_suppkey"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    bad_ref = ray.put(np.sort(bad["s_suppkey"].to_numpy(np.int64)))
+
+    def drop_bad(t: pa.Table) -> pa.Table:
+        bk = ray.get(bad_ref)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(bk, sk), 0, max(len(bk) - 1, 0))
+        hit = (bk[pos] == sk) if len(bk) else np.zeros(len(sk), bool)
+        return t.filter(pa.array(~hit))
+
+    good_pairs = pairs.map_batches(drop_bad, batch_format="pyarrow")
+
+    def keep_part(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.not_equal(t.column("p_brand"), brand_excl),
+            pc.invert(
+                pc.starts_with(t.column("p_type"), type_prefix_excl)
+            ),
+        )
+        return t.filter(keep)
+
+    attrs = attach_dim(
+        good_pairs,
+        part.select_columns(["p_partkey", "p_brand", "p_type", "p_size"])
+        .map_batches(keep_part, batch_format="pyarrow"),
+        "l_partkey",
+        "p_partkey",
+        ["p_brand", "p_type", "p_size"],
+    )
+    combos = distinct(attrs, ["p_brand", "p_type", "p_size", "l_suppkey"])
+
+    def c_partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["p_brand", "p_type", "p_size"])
+            .group_by(["p_brand", "p_type", "p_size"])
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+    return (
+        combos.map_batches(c_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+    )
+
+
+def supplier_part_counts_sql(
+    brand_excl: str = "Brand#15", type_prefix_excl: str = "PROMO"
+) -> str:
+    """Oracle twin of :func:`supplier_part_counts`."""
+    return f"""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> '{brand_excl}'
+          AND p_type NOT LIKE '{type_prefix_excl}%'
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size"""
+
+
+def important_parts(
+    lineitem, supplier, nation, nation_name: str = "NATION_3",
+    frac_num: int = 1, frac_den: int = 1000,
+):
+    """TPC-H Q11-shaped important stock: parts whose revenue from one
+    nation's suppliers exceeds ``frac_num/frac_den`` of that nation's
+    total (value = sum of extended-price cents over the nation's lines;
+    this schema has no partsupp, so lineitem revenue stands in for
+    supplycost·availqty).
+
+    Exactness: the HAVING threshold is the integer cross-multiplication
+    value_c·frac_den > total_c·frac_num — no float compare anywhere; the
+    reported value is one final /100 division.
+
+    Scale shape: the nation's supplier keys are a tiny broadcast filter
+    pushed into the lineitem scan; per-part cents combine two-phase
+    skinny; the grand total is a scalar ``Dataset.sum`` over the SAME
+    skinny aggregate (one rule, both uses); the final filter is stateless.
+
+    Output: (l_partkey:int64, value:double) for qualifying parts.
+    """
+    nk = nation.map_batches(
+        lambda t: t.filter(pc.equal(t.column("n_name"), nation_name)).select(
+            ["n_nationkey"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    keys = supplier.map_batches(
+        lambda t: t.select(["s_suppkey", "s_nationkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    good = np.sort(
+        keys.loc[
+            keys["s_nationkey"].isin(nk["n_nationkey"].tolist()), "s_suppkey"
+        ].to_numpy(np.int64)
+    )
+    good_ref = ray.put(good)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        gk = ray.get(good_ref)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(gk, sk), 0, max(len(gk) - 1, 0))
+        hit = (gk[pos] == sk) if len(gk) else np.zeros(len(sk), bool)
+        t = t.filter(pa.array(hit))
+        tb = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "v": pa.array(_cents(t.column("l_extendedprice"))),
+            }
+        )
+        return tb.group_by("l_partkey").aggregate([("v", "sum")]).rename_columns(
+            ["l_partkey", "value_c"]
+        )
+
+    per_part = (
+        lineitem.select_columns(["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_c", alias_name="value_c"))
+        .materialize()  # skinny (≤ |part| rows); scanned twice below
+    )
+    total_c = int(per_part.sum("value_c", ignore_nulls=True) or 0)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        v = t.column("value_c").to_numpy(zero_copy_only=False)
+        keep = v * frac_den > total_c * frac_num
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey").filter(pa.array(keep)),
+                "value": pa.array(v[keep] / 100.0),
+            }
+        )
+
+    return per_part.map_batches(finalize, batch_format="pyarrow")
+
+
+def important_parts_sql(
+    nation_name: str = "NATION_3", frac_num: int = 1, frac_den: int = 1000
+) -> str:
+    """Oracle twin of :func:`important_parts` — same integer threshold."""
+    return f"""
+        WITH nat_lines AS (
+            SELECT l_partkey,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name = '{nation_name}'
+        ),
+        pp AS (
+            SELECT l_partkey, CAST(SUM(v) AS BIGINT) AS value_c
+            FROM nat_lines GROUP BY l_partkey
+        )
+        SELECT l_partkey, value_c / 100.0 AS value
+        FROM pp
+        WHERE value_c * {frac_den} >
+              (SELECT CAST(SUM(value_c) AS BIGINT) FROM pp) * {frac_num}"""

@@ -228,3 +228,99 @@ def test_product_profit_filters_and_joins(ray_session):
         {"n_name": "KENYA", "o_year": 1996, "profit_scaled": 500000},
         {"n_name": "PERU", "o_year": 1997, "profit_scaled": -950000},
     ]
+
+
+def test_customer_distribution_zero_bucket_and_filter(ray_session):
+    # cust 10: two kept orders; cust 20: only an excluded-status order
+    # (counts as ZERO, not dropped); cust 30: no orders at all
+    orders = _ds(
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3],
+                "o_custkey": [10, 10, 20],
+                "o_orderstatus": ["O", "P", "F"],
+            }
+        )
+    )
+    customer = _ds(pd.DataFrame({"c_custkey": [10, 20, 30]}))
+    out = analytics.customer_distribution(orders, customer).to_pandas()
+    got = dict(zip(out["c_count"], out["custdist"]))
+    assert got == {2: 1, 0: 2}
+
+
+def test_small_quantity_revenue_integer_threshold(ray_session):
+    # part 1 (brand B): qties 10,10,10,1 -> sum_c=3100, cnt=4; a line
+    # qualifies iff q_c*5*4 < 3100 i.e. q_c < 155 -> only the qty-1 line.
+    # part 2 is another brand: its tiny line must NOT count.
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_partkey": [1, 1, 1, 1, 2],
+                "l_quantity": [10.0, 10.0, 10.0, 1.0, 1.0],
+                "l_extendedprice": [100.0, 100.0, 100.0, 7.0, 9.0],
+            }
+        )
+    )
+    part = _ds(
+        pd.DataFrame({"p_partkey": [1, 2], "p_brand": ["Brand#13", "Brand#99"]})
+    )
+    out = analytics.small_quantity_revenue(lineitem, part).to_pandas()
+    assert out["avg_yearly"].iloc[0] == 700.0 / 700.0  # 7.00 -> cents/700
+
+
+def test_supplier_part_counts_distinct_and_filters(ray_session):
+    # supplier 5 supplies part 1 via THREE lines -> counted once; supplier
+    # 6 has negative balance -> excluded; part 2 is brand-excluded
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_partkey": [1, 1, 1, 1, 2],
+                "l_suppkey": [5, 5, 5, 6, 5],
+            }
+        )
+    )
+    part = _ds(
+        pd.DataFrame(
+            {
+                "p_partkey": [1, 2],
+                "p_brand": ["Brand#1", "Brand#15"],
+                "p_type": ["STANDARD", "STANDARD"],
+                "p_size": [3, 3],
+            }
+        )
+    )
+    supplier = _ds(
+        pd.DataFrame({"s_suppkey": [5, 6], "s_acctbal": [10.0, -1.0]})
+    )
+    out = analytics.supplier_part_counts(lineitem, part, supplier).to_pandas()
+    assert len(out) == 1
+    assert out["supplier_cnt"].iloc[0] == 1
+    assert out["p_brand"].iloc[0] == "Brand#1"
+
+
+def test_important_parts_threshold_is_strict(ray_session):
+    # nation N's suppliers: 7, 8.  part 1 value 999_00 of total 1000_00
+    # -> 99900*1000 > 100000*999 is FALSE at frac 999/1000 (strict), so
+    # only a fraction below keeps it
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_partkey": [1, 2],
+                "l_suppkey": [7, 8],
+                "l_extendedprice": [999.0, 1.0],
+            }
+        )
+    )
+    supplier = _ds(
+        pd.DataFrame({"s_suppkey": [7, 8], "s_nationkey": [3, 3]})
+    )
+    nation = _ds(pd.DataFrame({"n_nationkey": [3], "n_name": ["NATION_3"]}))
+    strict = analytics.important_parts(
+        lineitem, supplier, nation, frac_num=999, frac_den=1000
+    ).to_pandas()
+    assert len(strict) == 0  # (empty to_pandas loses column names)
+    loose = analytics.important_parts(
+        lineitem, supplier, nation, frac_num=1, frac_den=2
+    ).to_pandas()
+    assert loose["l_partkey"].tolist() == [1]
+    assert loose["value"].tolist() == [999.0]
