@@ -3287,6 +3287,16 @@ def q_important_parts(sf_dir: str):
     )
 
 
+def q_part_skyline(sf_dir: str):
+    """Pareto-frontier skyline over (price min, size max)
+    (pipelines/analytics.part_skyline): per-batch local frontier →
+    single-block merge of the bounded survivor set; ×100 integer prices
+    shared with the NOT EXISTS oracle."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.part_skyline(_tbl(sf_dir, "part"))
+
+
 def q_revenue_rollup(sf_dir: str):
     """OLAP ROLLUP revenue cube (pipelines/analytics.revenue_rollup):
     exact integer revenue at all three grouping levels; super-aggregates
@@ -3657,6 +3667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
         "important_parts": q_important_parts,
+        "part_skyline": q_part_skyline,
         "local_morans": q_local_morans,
         "idw_fill": q_idw_fill,
         "raster_upsample": q_raster_upsample,
@@ -5004,6 +5015,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "important_parts": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).important_parts_sql(),
+        "part_skyline": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).part_skyline_sql(),
         "langid_confusion": f"""
             SELECT d.lang, s.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
             FROM ({_text_scores_sql()}) s

@@ -1580,3 +1580,93 @@ def important_parts_sql(
         FROM pp
         WHERE value_c * {frac_den} >
               (SELECT CAST(SUM(value_c) AS BIGINT) FROM pp) * {frac_num}"""
+
+
+def _skyline_kernel(price_c: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the Pareto frontier under (price min, size
+    max).  A row is dominated iff some row has price < p with size ≥ s,
+    OR price ≤ p with size > s; equal (price, size) pairs never dominate
+    each other, so duplicates of a frontier point all survive.
+
+    Vectorized: group sizes by sorted unique price, then the two prefix
+    maxima (exclusive for the < case, inclusive for the ≤ case) answer
+    both dominance tests with one searchsorted probe per row."""
+    if price_c.shape[0] == 0:
+        return np.zeros(0, bool)
+    uniq, inv = np.unique(price_c, return_inverse=True)
+    gmax = np.full(uniq.shape[0], np.iinfo(np.int64).min, np.int64)
+    np.maximum.at(gmax, inv, size)
+    incl = np.maximum.accumulate(gmax)  # max size among price <= uniq[i]
+    excl = np.empty_like(incl)  # max size among price < uniq[i]
+    excl[0] = np.iinfo(np.int64).min
+    excl[1:] = incl[:-1]
+    del incl  # folded into the two tests below
+    return ~((excl[inv] >= size) | (gmax[inv] > size))
+
+
+def part_skyline(part):
+    """Skyline / Pareto-frontier query: the parts no other part beats on
+    BOTH price (lower-or-equal) and size (higher-or-equal, one strict) —
+    the classic multi-criteria shortlist operator.
+
+    Scale shape: the skyline operator is decomposable — skyline(S ∪ T)
+    = skyline(skyline(S) ∪ skyline(T)) — so each batch reduces to its
+    local frontier first (typically ≤ |distinct prices| rows) and only
+    those survivors meet in one final single-block pass.  Raw part rows
+    never shuffle; the merge input is bounded by Σ per-batch frontier
+    sizes, independent of the table's row count.
+
+    Output: (p_partkey:int64, price_c:int64, p_size:int64).
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        price_c = _cents(t.column("p_retailprice"))
+        size = (
+            t.column("p_size")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = _skyline_kernel(price_c, size)
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    t.column("p_partkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep]
+                ),
+                "price_c": pa.array(price_c[keep]),
+                "p_size": pa.array(size[keep]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        keep = _skyline_kernel(
+            t.column("price_c").to_numpy(zero_copy_only=False),
+            t.column("p_size").to_numpy(zero_copy_only=False),
+        )
+        return t.filter(pa.array(keep))
+
+    return (
+        part.select_columns(["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow")
+    )
+
+
+def part_skyline_sql() -> str:
+    """Oracle twin of :func:`part_skyline` — the NOT EXISTS dominance
+    definition over the same ×100 integer prices."""
+    return """
+        WITH pp AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+                   CAST(p_size AS BIGINT) AS p_size
+            FROM part
+        )
+        SELECT p_partkey, price_c, p_size
+        FROM pp a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pp b
+            WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+              AND (b.price_c < a.price_c OR b.p_size > a.p_size))"""

@@ -324,3 +324,26 @@ def test_important_parts_threshold_is_strict(ray_session):
     ).to_pandas()
     assert loose["l_partkey"].tolist() == [1]
     assert loose["value"].tolist() == [999.0]
+
+
+def test_part_skyline_dominance_and_reshard(ray_session):
+    # frontier: (100, 9), (200, 12) and BOTH copies of the duplicate
+    # frontier point (100, 9); (150, 9) loses to (100, 9); (100, 5)
+    # loses within its own price group; (300, 12) loses to (200, 12)
+    df = pd.DataFrame(
+        {
+            "p_partkey": [1, 2, 3, 4, 5, 6],
+            "p_retailprice": [1.00, 2.00, 1.50, 1.00, 3.00, 1.00],
+            "p_size": [9, 12, 9, 5, 12, 9],
+        }
+    )
+    for nblocks in (1, 3):
+        out = (
+            analytics.part_skyline(_ds(df).repartition(nblocks))
+            .to_pandas()
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        assert out["p_partkey"].tolist() == [1, 2, 6]
+        assert out["price_c"].tolist() == [100, 200, 100]
+        assert out["p_size"].tolist() == [9, 12, 9]
