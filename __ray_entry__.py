@@ -3287,6 +3287,45 @@ def q_important_parts(sf_dir: str):
     )
 
 
+def q_mad_outliers(sf_dir: str):
+    """Per-type MAD outlier flags (stages/events.mad_outliers): exact
+    cents bins, two decomposable histogram passes, nearest-rank medians
+    at (n+1)//2, integer dev > 3·MAD flag — one rule both branches."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.mad_outliers(_tbl(sf_dir, "events")),
+        ["event_id", "event_type", "value_c", "dev_c", "is_outlier"],
+    )
+
+
+def q_hll_daily_users(sf_dir: str):
+    """Per-day HLL distinct-user estimates (stages/sketch.hll_count_by):
+    (day, bucket) grouped-MAX partials bound every shuffled row to
+    |days|·2⁸; the per-group exact register fold + branch logic is
+    replayed bit-for-bit by the SQL twin (the hll_distinct pattern,
+    grouped)."""
+    from kaza_lcms_ray.stages import sketch
+
+    ev = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array(us // 86_400_000_000),
+            }
+        )
+
+    return _i64(
+        sketch.hll_count_by(
+            ev.map_batches(add_day, batch_format="pyarrow"), "user_id", "day"
+        ),
+        ["day", "est"],
+    )
+
+
 def q_part_skyline(sf_dir: str):
     """Pareto-frontier skyline over (price min, size max)
     (pipelines/analytics.part_skyline): per-batch local frontier →
@@ -3668,6 +3707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_counts": q_supplier_counts,
         "important_parts": q_important_parts,
         "part_skyline": q_part_skyline,
+        "hll_daily_users": q_hll_daily_users,
+        "mad_outliers": q_mad_outliers,
         "local_morans": q_local_morans,
         "idw_fill": q_idw_fill,
         "raster_upsample": q_raster_upsample,
@@ -5018,6 +5059,17 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "part_skyline": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).part_skyline_sql(),
+        "mad_outliers": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).mad_outliers_sql("SELECT * FROM events"),
+        "hll_daily_users": __import__(
+            "kaza_lcms_ray.stages.sketch", fromlist=["sketch"]
+        ).hll_by_sql(
+            "events",
+            "CAST(user_id AS HUGEINT)",
+            "epoch_us(ts) // 86400000000",
+            group_alias="day",
+        ),
         "langid_confusion": f"""
             SELECT d.lang, s.lang_pred, CAST(COUNT(*) AS BIGINT) AS n
             FROM ({_text_scores_sql()}) s

@@ -1234,3 +1234,163 @@ def time_weighted_avg_sql(events_sql: str) -> str:
                    AS twa
         FROM tw WHERE dur IS NOT NULL
         GROUP BY user_id"""
+
+
+def mad_outliers(ds, val_col: str = "value", group_col: str = "event_type",
+                 k: int = 3):
+    """Median-absolute-deviation outlier flags per group — the robust
+    data-cleaning rule (|v − median| > k·MAD) applied with exact integer
+    arithmetic: values quantize to cents, both medians are nearest-rank
+    picks from (group, bin) histograms at rank (n+1)//2, and the flag is
+    the integer compare dev > k·MAD.
+
+    Scale shape: two decomposable histogram passes (the adaptive-quality
+    discipline) — per-batch (group, cents) partial counts combine through
+    a skinny groupby, the per-group median scan holds ≤ |distinct bins|
+    rows per task, and both cut tables broadcast once via ``ray.put``.
+    The skinny (id, group, cents) projection is materialized between the
+    passes (3 int/string cols) instead of re-decoding the source twice.
+
+    Output: (event_id, ``group_col``, value_c, dev_c, is_outlier ∈ {0,1}).
+    """
+    import numpy as np
+
+    import ray
+
+    from .joins import probe_positions
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        v = to_cents(t.column(val_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                group_col: t.column(group_col),
+                "value_c": pa.array(v),
+            }
+        )
+
+    binned = (
+        ds.select_columns(["event_id", group_col, val_col])
+        .map_batches(add_bin, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _nearest_rank_cut(hist_ds, bin_col):
+        """(group, bin, cnt) histogram → {group → median bin} broadcast ref."""
+
+        def med(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(bin_col, kind="mergesort")
+            cnt = g["cnt"].to_numpy("int64")
+            cum = cnt.cumsum()
+            r = (int(cum[-1]) + 1) // 2
+            bins = g[bin_col].to_numpy("int64")
+            import numpy as _np
+
+            return pd.DataFrame(
+                {
+                    group_col: [g[group_col].iloc[0]],
+                    "m": [int(bins[int(_np.searchsorted(cum, r))])],
+                }
+            )
+
+        cuts = (
+            hist_ds.groupby(group_col)
+            .map_groups(med, batch_format="pandas")
+            .to_pandas()
+        )
+        return ray.put(
+            {
+                "keys": pa.array(
+                    cuts[group_col].astype(str), type=pa.large_string()
+                ),
+                "m": cuts["m"].to_numpy("int64"),
+            }
+        )
+
+    def _hist(src, col):
+        def partial(t: pa.Table) -> pa.Table:
+            out = (
+                t.select([group_col, col])
+                .group_by([group_col, col])
+                .aggregate([([], "count_all")])
+            )
+            return out.rename_columns([group_col, col, "cnt"])
+
+        return (
+            src.map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, col])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+
+    med_ref = _nearest_rank_cut(_hist(binned, "value_c"), "value_c")
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        side = ray.get(med_ref)
+        pos = probe_positions(t.column(group_col), side["keys"], group_col)
+        v = t.column("value_c").to_numpy(zero_copy_only=False)
+        return t.append_column("dev_c", pa.array(np.abs(v - side["m"][pos])))
+
+    dev = binned.map_batches(add_dev, batch_format="pyarrow").materialize()
+    mad_ref = _nearest_rank_cut(_hist(dev, "dev_c"), "dev_c")
+
+    def flag(t: pa.Table) -> pa.Table:
+        side = ray.get(mad_ref)
+        pos = probe_positions(t.column(group_col), side["keys"], group_col)
+        d = t.column("dev_c").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "is_outlier", pa.array((d > k * side["m"][pos]).astype(np.int64))
+        )
+
+    return dev.map_batches(flag, batch_format="pyarrow")
+
+
+def mad_outliers_sql(events_sql: str, k: int = 3) -> str:
+    """Oracle twin of :func:`mad_outliers` — the SAME cents bins,
+    nearest-rank (n+1)//2 medians and integer k·MAD compare."""
+    return f"""
+        WITH mb AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS value_c
+            FROM ({events_sql})
+        ),
+        h1 AS (
+            SELECT event_type, value_c, CAST(COUNT(*) AS BIGINT) AS c
+            FROM mb GROUP BY 1, 2
+        ),
+        r1 AS (
+            SELECT event_type, value_c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY value_c)
+                       AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM h1
+        ),
+        med AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN value_c END) AS m
+            FROM r1 GROUP BY event_type
+        ),
+        dv AS (
+            SELECT mb.event_id, mb.event_type, mb.value_c,
+                   abs(mb.value_c - med.m) AS dev_c
+            FROM mb JOIN med USING (event_type)
+        ),
+        h2 AS (
+            SELECT event_type, dev_c, CAST(COUNT(*) AS BIGINT) AS c
+            FROM dv GROUP BY 1, 2
+        ),
+        r2 AS (
+            SELECT event_type, dev_c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY dev_c)
+                       AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM h2
+        ),
+        mad AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev_c END) AS md
+            FROM r2 GROUP BY event_type
+        )
+        SELECT dv.event_id, dv.event_type, dv.value_c, dv.dev_c,
+               CASE WHEN dv.dev_c > {k} * mad.md THEN 1 ELSE 0 END
+                   AS is_outlier
+        FROM dv JOIN mad USING (event_type)"""

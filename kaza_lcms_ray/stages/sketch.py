@@ -520,3 +520,104 @@ def bottomk_similarity_sql(
         LEFT JOIN bk_sk ia ON ia.g = m.sa AND ia.h = m.h
         LEFT JOIN bk_sk ib ON ib.g = m.sb AND ib.h = m.h
         GROUP BY m.sa, m.sb"""
+
+
+def hll_count_by(ds, col: str, group_col: str, p: int = 8, seed: int = HLL_SEED):
+    """Per-group HLL distinct-count estimates — the grouped form of
+    :func:`hll_count` (distinct users per day, distinct docs per source)
+    a 100 TB pipeline uses where exact per-group COUNT(DISTINCT) would
+    shuffle every raw row.
+
+    Scale shape: per-block (group, bucket) grouped-MAX partials bound
+    every shuffled row to ≤ |groups|·2^p regardless of input size; one
+    global grouped MAX; the closed-form estimate runs per group over its
+    ≤ 2^p registers inside ``map_groups`` (bounded task state).  The
+    estimate is the SAME exact fold as the global sketch — python-int
+    Σ 2^(K−reg) — so the SQL twin replays it bit-for-bit, both branches.
+
+    Output: (``group_col``:int64, est:double).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _row_hashes(t.column(col), seed)
+        bucket, rho = rho_of(h, p)
+        tb = pa.table(
+            {
+                "g": t.column(group_col),
+                "bucket": pa.array(bucket),
+                "r": pa.array(rho),
+            }
+        )
+        return (
+            tb.group_by(["g", "bucket"])
+            .aggregate([("r", "max")])
+            .rename_columns(["g", "bucket", "r"])
+        )
+
+    regs = (
+        ds.select_columns([col, group_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["g", "bucket"])
+        .aggregate(Max("r", alias_name="r"))
+    )
+
+    def estimate(gdf: pd.DataFrame) -> pd.DataFrame:
+        d = dict(
+            zip(gdf["bucket"].astype(int), gdf["r"].astype(int))
+        )
+        return pd.DataFrame(
+            {
+                group_col: [gdf["g"].iloc[0]],
+                "est": [estimate_from_registers(d, p)],
+            }
+        )
+
+    return regs.groupby("g").map_groups(estimate, batch_format="pandas")
+
+
+def hll_by_sql(
+    table_expr: str, col_expr: str, group_expr: str, p: int = 8,
+    seed: int = HLL_SEED, group_alias: str = "g",
+) -> str:
+    """DuckDB replay of :func:`hll_count_by`: identical hash chain, rho,
+    per-group zero-filled register fold and branch logic."""
+    from ..state import sqlhash as SH
+
+    m = 1 << p
+    prefix = SH.hash_key_prefix(seed, "hll")
+    keyed = SH.chain_select(
+        f"SELECT {col_expr} AS kx, {group_expr} AS gx FROM {table_expr}",
+        SH.splitmix_steps(SH.xor64(SH.hug(prefix), "kx"), "hh", "k1"),
+    )
+    a = repr(alpha_m(m) * m * m * float(1 << _K))
+    return f"""
+        WITH regs AS (
+            SELECT gx, CAST(hh % {m} AS BIGINT) AS bucket,
+                   MAX(CASE WHEN CAST(hh // {m} AS BIGINT) > 0
+                       THEN CAST(round(log2(CAST(
+                                (CAST(hh // {m} AS BIGINT)
+                                 & -CAST(hh // {m} AS BIGINT)) AS DOUBLE)), 0)
+                            AS BIGINT) + 1
+                       ELSE {65 - p} END) AS r
+            FROM ({keyed}) GROUP BY 1, 2
+        ),
+        grps AS (SELECT DISTINCT gx FROM regs),
+        full_regs AS (
+            SELECT grps.gx, g.range AS bucket, COALESCE(regs.r, 0) AS r
+            FROM grps CROSS JOIN range(0, {m}) g
+            LEFT JOIN regs ON regs.gx = grps.gx AND g.range = regs.bucket
+        ),
+        st AS (
+            SELECT gx, SUM(CAST(power(2, {_K} - r) AS HUGEINT)) AS s,
+                   SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v
+            FROM full_regs GROUP BY gx
+        )
+        SELECT gx AS {group_alias},
+               CASE WHEN v > 0
+                     AND ({a} / CAST(s AS DOUBLE)) <= {2.5 * m!r}
+                    THEN {m} * ln({m} / CAST(v AS DOUBLE))
+                    ELSE {a} / CAST(s AS DOUBLE) END AS est
+        FROM st"""

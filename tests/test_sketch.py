@@ -133,3 +133,32 @@ def test_bottomk_sketch_bounded_and_estimates_in_range(ray_session):
     assert sk.groupby("source").size().max() <= 16
     out = bottomk_similarity(ds, "text", "source", k=16)
     assert ((out["est_jaccard"] >= 0) & (out["est_jaccard"] <= 1)).all()
+
+
+def test_hll_count_by_matches_global_per_group(ray_session):
+    # each group's estimate must equal the GLOBAL sketch run on that
+    # group alone (same seed/p): the grouped form is the same rule
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "v": rng.randint(0, 5_000, size=20_000).astype(np.int64),
+            "g": np.repeat(np.arange(4, dtype=np.int64), 5_000),
+        }
+    )
+    for nblocks in (1, 5):
+        got = (
+            sketch.hll_count_by(
+                rd.from_pandas(df).repartition(nblocks), "v", "g", p=8
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+        assert got["g"].tolist() == [0, 1, 2, 3]
+        for gi in range(4):
+            solo = sketch.hll_count(
+                _ds(df.loc[df["g"] == gi, "v"].to_numpy()), "v", 8
+            )
+            assert got["est"].iloc[gi] == solo
+            exact = df.loc[df["g"] == gi, "v"].nunique()
+            assert abs(got["est"].iloc[gi] - exact) / exact < 3 * 1.04 / np.sqrt(256)

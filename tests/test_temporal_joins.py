@@ -312,3 +312,41 @@ def test_rolling_active_users_window(ray_session):
     # observed days: 0, 1, 10. window(0) = {u1}; window(1) = {u1 (day0), u2};
     # window(10) = {u1} (day 10 only; days 0-1 are outside the trailing 7)
     assert out.to_dict() == {0: 1, 1: 2, 10: 1}
+
+
+def test_mad_outliers_hand_check_and_reshard(ray_session):
+    """Group A: values 1..9 plus a 100.0 spike -> median 5.00, MAD
+    ~2.00; only the spike crosses 3*MAD.  Group B is constant -> MAD 0,
+    every equal value stays inlier (dev 0 > 0 is false)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events as E
+
+    va = [float(x) for x in range(1, 10)] + [100.0]
+    vb = [7.0] * 5
+    df = pd.DataFrame(
+        {
+            "event_id": list(range(15)),
+            "event_type": ["A"] * 10 + ["B"] * 5,
+            "value": va + vb,
+        }
+    )
+    for nblocks in (1, 4):
+        out = (
+            E.mad_outliers(rd.from_pandas(df).repartition(nblocks))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # A: n=10 -> rank 5 -> median 5.00 (500c); devs sorted:
+        # 0,100,100,200,200,300,300,400,400,9500 -> rank 5 -> MAD 200c
+        a = out[out["event_type"] == "A"]
+        assert a[a["is_outlier"] == 1]["value_c"].tolist() == [10000]
+        assert a["dev_c"].max() == 9500
+        # value 9.00: dev |900-500|=400 <= 3*200 -> stays inlier
+        assert (a[a["value_c"] == 900]["is_outlier"] == 0).all()
+        b = out[out["event_type"] == "B"]
+        assert (b["is_outlier"] == 0).all()
+        assert (b["dev_c"] == 0).all()
