@@ -3287,6 +3287,40 @@ def q_important_parts(sf_dir: str):
     )
 
 
+def q_min_unit_suppliers(sf_dir: str):
+    """TPC-H Q2-shaped argmin-with-ties join-back
+    (pipelines/analytics.min_unit_price_suppliers): pinned integer
+    floor-division unit price, skinny per-part MIN, exact tie filter,
+    two-phase pair dedupe."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.min_unit_price_suppliers(
+            _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "supplier")
+        ),
+        ["l_partkey", "l_suppkey", "s_name", "unit_milli"],
+    )
+
+
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange roundtrip (sources/sinks.export_jsonl +
+    read_jsonl): documents → JSONL parts → read back; the oracle reads
+    the ORIGINAL parquet, so a value match certifies byte fidelity of
+    the export/import pair (incl. unicode text escaping)."""
+    import os
+    import shutil
+
+    from kaza_lcms_ray.sources import sinks
+
+    out = f"/tmp/kaza_jsonl/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "lang", "n_chars"])
+    sinks.export_jsonl(docs, out)
+    return _i64(
+        sinks.read_jsonl(out), ["doc_id", "text", "lang", "n_chars"]
+    )
+
+
 def q_mad_outliers(sf_dir: str):
     """Per-type MAD outlier flags (stages/events.mad_outliers): exact
     cents bins, two decomposable histogram passes, nearest-rank medians
@@ -3709,6 +3743,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": q_part_skyline,
         "hll_daily_users": q_hll_daily_users,
         "mad_outliers": q_mad_outliers,
+        "min_unit_suppliers": q_min_unit_suppliers,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "local_morans": q_local_morans,
         "idw_fill": q_idw_fill,
         "raster_upsample": q_raster_upsample,
@@ -5062,6 +5098,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "mad_outliers": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).mad_outliers_sql("SELECT * FROM events"),
+        "min_unit_suppliers": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).min_unit_price_suppliers_sql(),
+        "jsonl_roundtrip":
+            "SELECT doc_id, text, lang, n_chars FROM documents",
         "hll_daily_users": __import__(
             "kaza_lcms_ray.stages.sketch", fromlist=["sketch"]
         ).hll_by_sql(

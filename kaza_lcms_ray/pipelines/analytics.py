@@ -1670,3 +1670,98 @@ def part_skyline_sql() -> str:
             SELECT 1 FROM pp b
             WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
               AND (b.price_c < a.price_c OR b.p_size > a.p_size))"""
+
+
+def min_unit_price_suppliers(lineitem, supplier):
+    """TPC-H Q2-shaped argmin-with-ties join-back: for every part, ALL
+    (supplier, line) sources that achieve the minimum unit price — the
+    correlated-MIN subquery shape (Q2's min supplycost; this schema has
+    no partsupp, so unit price = extendedprice/quantity stands in).
+
+    Exactness: unit price never becomes a float — the pinned rule is the
+    integer floor division unit_milli = price_c·1000 // qty_c (both
+    positive, so numpy and SQL agree), the per-part MIN is an integer
+    two-phase aggregate, and the tie filter is integer equality.
+
+    Scale shape: pass 1 reduces lines to the skinny per-part integer MIN
+    (per-batch grouped-min partials — raw rows never shuffle); pass 2
+    re-scans lineitem, attaches the min through size-guarded
+    ``attach_dim``, keeps the exact ties, dedupes (part, supplier) pairs
+    two-phase, and decorates with the tiny supplier dim.
+
+    Output: (l_partkey, l_suppkey, s_name, unit_milli) — one row per
+    distinct winning pair.
+    """
+    from ray.data.aggregate import Min
+
+    from ..stages.joins import attach_dim, distinct
+
+    def unit(t: pa.Table) -> pa.Table:
+        p = _cents(t.column("l_extendedprice"))
+        q = _cents(t.column("l_quantity"))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "unit_milli": pa.array(p * 1000 // q),
+            }
+        )
+
+    units = lineitem.select_columns(
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    ).map_batches(unit, batch_format="pyarrow")
+
+    def m_partial(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["l_partkey", "unit_milli"])
+            .group_by("l_partkey")
+            .aggregate([("unit_milli", "min")])
+        )
+        return out.rename_columns(["l_partkey", "mn"])
+
+    mins = (
+        units.map_batches(m_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Min("mn", alias_name="mn"))
+    )
+
+    def keep_ties(t: pa.Table) -> pa.Table:
+        u = t.column("unit_milli").to_numpy(zero_copy_only=False)
+        m = t.column("mn").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(u == m)).select(
+            ["l_partkey", "l_suppkey", "unit_milli"]
+        )
+
+    winners = distinct(
+        attach_dim(units, mins, "l_partkey", "l_partkey", ["mn"]).map_batches(
+            keep_ties, batch_format="pyarrow"
+        ),
+        ["l_partkey", "l_suppkey", "unit_milli"],
+    )
+    return attach_dim(
+        winners,
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        "l_suppkey",
+        "s_suppkey",
+        ["s_name"],
+    )
+
+
+def min_unit_price_suppliers_sql() -> str:
+    """Oracle twin of :func:`min_unit_price_suppliers` — same integer
+    floor-division unit rule and tie-keeping MIN join."""
+    return """
+        WITH u AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 1000
+                   // CAST(round(l_quantity * 100, 0) AS BIGINT)
+                       AS unit_milli
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_partkey, MIN(unit_milli) AS mn FROM u GROUP BY 1
+        )
+        SELECT DISTINCT u.l_partkey, u.l_suppkey, s.s_name, u.unit_milli
+        FROM u
+        JOIN m ON u.l_partkey = m.l_partkey AND u.unit_milli = m.mn
+        JOIN supplier s ON s.s_suppkey = u.l_suppkey"""

@@ -63,3 +63,24 @@ def write_metrics(models: dict, report: dict | None, out_dir: str):
         with open(os.path.join(out_dir, "overall.txt"), "w") as f:
             f.write(f"overall_accuracy={report['overall_accuracy']:.6f}\n")
     return out_dir
+
+
+def export_jsonl(ds, path: str, selectors: list[str] | None = None):
+    """Write a Dataset to a JSONL directory (one .json part per block —
+    the interchange format curation pipelines exchange document dumps
+    in).  Block-parallel like the parquet sink; same resumable
+    one-part-per-block layout."""
+    if selectors:
+        ds = ds.select_columns(selectors)
+    ds.write_json(path)
+    return path
+
+
+def read_jsonl(path: str, columns: list[str] | None = None):
+    """Read a JSONL directory back into a Dataset (block-per-file)."""
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds

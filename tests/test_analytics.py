@@ -347,3 +347,33 @@ def test_part_skyline_dominance_and_reshard(ray_session):
         assert out["p_partkey"].tolist() == [1, 2, 6]
         assert out["price_c"].tolist() == [100, 200, 100]
         assert out["p_size"].tolist() == [9, 12, 9]
+
+
+def test_min_unit_price_keeps_all_ties(ray_session):
+    # part 1: suppliers 5 and 6 BOTH hit unit 1000 milli (1.00/unit);
+    # supplier 7 is pricier.  supplier 5 hits it twice -> one row.
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_partkey": [1, 1, 1, 1, 2],
+                "l_suppkey": [5, 5, 6, 7, 5],
+                "l_extendedprice": [10.0, 20.0, 30.0, 50.0, 8.0],
+                "l_quantity": [10.0, 20.0, 30.0, 10.0, 2.0],
+            }
+        )
+    )
+    supplier = _ds(
+        pd.DataFrame(
+            {"s_suppkey": [5, 6, 7], "s_name": ["S5", "S6", "S7"]}
+        )
+    )
+    out = (
+        analytics.min_unit_price_suppliers(lineitem, supplier)
+        .to_pandas()
+        .sort_values(["l_partkey", "l_suppkey"])
+        .reset_index(drop=True)
+    )
+    got = list(
+        zip(out["l_partkey"], out["l_suppkey"], out["s_name"], out["unit_milli"])
+    )
+    assert got == [(1, 5, "S5", 1000), (1, 6, "S6", 1000), (2, 5, "S5", 4000)]

@@ -243,3 +243,29 @@ def test_hillshade_range_and_flat_surface(ray_session, synth_small):
         * math.cos(315.0 * RAD - r["aspect_deg"] * RAD),
     )
     assert abs(r["hillshade"] - want) < 1e-9
+
+
+def test_jsonl_round_trip_preserves_unicode(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.sources import sinks
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["plain", "newline\nand\ttab", "ünïcødé — em–dash ✓"],
+            "n": [10, 20, 30],
+        }
+    )
+    out = str(tmp_path / "jl")
+    sinks.export_jsonl(rd.from_pandas(df), out, selectors=["doc_id", "text"])
+    back = (
+        sinks.read_jsonl(out, columns=["doc_id", "text"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert back["text"].tolist() == df["text"].tolist()
+    assert list(back.columns) == ["doc_id", "text"]  # selector projected n away
