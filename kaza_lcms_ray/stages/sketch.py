@@ -42,7 +42,9 @@ def alpha_m(m: int) -> float:
 
 def _row_hashes(col: pa.ChunkedArray, seed: int) -> np.ndarray:
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-        keys = np.asarray([_fnv1a(s) for s in col.to_pylist()], dtype=np.uint64)
+        from ..state.hashing import fnv1a_arr
+
+        keys = fnv1a_arr(col)  # vectorized, bit-identical to _fnv1a
     else:
         keys = col.to_numpy(zero_copy_only=False).astype(np.uint64)
     return hash_key(seed, "hll", keys)
@@ -131,8 +133,8 @@ def cms_counters(ds, text_col: str, depth: int = 4, width: int = 1024, seed: int
     def partial(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
             pc.split_pattern(pc.utf8_lower(t.column(text_col)), " ")
-        ).to_pylist()
-        if not toks:
+        )
+        if len(toks) == 0:
             return pa.table(
                 {
                     "r": pa.array([], type=pa.int64()),
@@ -140,7 +142,9 @@ def cms_counters(ds, text_col: str, depth: int = 4, width: int = 1024, seed: int
                     "n": pa.array([], type=pa.int64()),
                 }
             )
-        h = np.asarray([_fnv1a(s) for s in toks], dtype=np.uint64)
+        from ..state.hashing import fnv1a_arr
+
+        h = fnv1a_arr(toks)  # vectorized, bit-identical to _fnv1a
         rs, buckets = [], []
         from ..state.hashing import splitmix64
 
