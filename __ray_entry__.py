@@ -3287,6 +3287,19 @@ def q_important_parts(sf_dir: str):
     )
 
 
+def q_ks_drift(sf_dir: str):
+    """Per-type two-sample KS drift (stages/events.ks_drift): pinned
+    integer time-midpoint split, cents bins, integer sup-norm numerator
+    max|k1·n2−k2·n1|, one final double division — one rule both
+    branches."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.ks_drift(_tbl(sf_dir, "events")),
+        ["event_type", "n_early", "n_late", "d_num", "d"],
+    )
+
+
 def q_min_unit_suppliers(sf_dir: str):
     """TPC-H Q2-shaped argmin-with-ties join-back
     (pipelines/analytics.min_unit_price_suppliers): pinned integer
@@ -3744,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_daily_users": q_hll_daily_users,
         "mad_outliers": q_mad_outliers,
         "min_unit_suppliers": q_min_unit_suppliers,
+        "ks_drift": q_ks_drift,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "local_morans": q_local_morans,
         "idw_fill": q_idw_fill,
@@ -5101,6 +5115,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "min_unit_suppliers": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).min_unit_price_suppliers_sql(),
+        "ks_drift": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).ks_drift_sql("SELECT * FROM events"),
         "jsonl_roundtrip":
             "SELECT doc_id, text, lang, n_chars FROM documents",
         "hll_daily_users": __import__(

@@ -1394,3 +1394,124 @@ def mad_outliers_sql(events_sql: str, k: int = 3) -> str:
                CASE WHEN dv.dev_c > {k} * mad.md THEN 1 ELSE 0 END
                    AS is_outlier
         FROM dv JOIN mad USING (event_type)"""
+
+
+def ks_drift(ds, val_col: str = "value", group_col: str = "event_type",
+             ts_col: str = "ts"):
+    """Two-sample Kolmogorov–Smirnov drift statistic per group: the value
+    distribution of each event type's EARLY half vs its LATE half (split
+    at the pinned integer midpoint of the table's time range) — the
+    distribution-shift monitor that complements the PSI report with an
+    exact sup-norm statistic.
+
+    Exactness: values quantize to cents, the split point is the integer
+    (min_us + max_us) // 2, and D's numerator stays integral —
+    max |k1·n2 − k2·n1| over the per-(group, bin) cumulative counts —
+    with ONE final double division, so the SQL twin replays every bit.
+
+    Scale shape: one tiny global (min, max) aggregate pins the cutoff;
+    per-batch (group, bin, side) integer partials combine skinny; the
+    per-group sup scan holds ≤ |distinct bins| rows per task.  Groups
+    empty on either side are dropped (pinned rule, both branches).
+
+    Output: (``group_col``, n_early, n_late, d_num:int64, d:double).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    def epochs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"e": t.column(ts_col).cast(pa.int64())}
+        )
+
+    rng = ds.select_columns([ts_col]).map_batches(
+        epochs, batch_format="pyarrow"
+    ).aggregate(Min("e"), Max("e"))
+    mid = (int(rng["min(e)"]) + int(rng["max(e)"])) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = to_cents(t.column(val_col).to_numpy(zero_copy_only=False))
+        e = t.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        late = (e >= mid).astype("int64")
+        tb = pa.table(
+            {
+                group_col: t.column(group_col),
+                "v": pa.array(v),
+                "c1": pa.array(1 - late),
+                "c2": pa.array(late),
+            }
+        )
+        out = tb.group_by([group_col, "v"]).aggregate(
+            [("c1", "sum"), ("c2", "sum")]
+        )
+        return out.rename_columns([group_col, "v", "c1", "c2"])
+
+    hist = (
+        ds.select_columns([group_col, val_col, ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "v"])
+        .aggregate(Sum("c1", alias_name="c1"), Sum("c2", alias_name="c2"))
+    )
+
+    def sup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v", kind="mergesort")
+        c1 = g["c1"].to_numpy("int64")
+        c2 = g["c2"].to_numpy("int64")
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        if n1 == 0 or n2 == 0:
+            return pd.DataFrame(
+                {group_col: [], "n_early": [], "n_late": [],
+                 "d_num": [], "d": []}
+            )
+        k1, k2 = c1.cumsum(), c2.cumsum()
+        d_num = int(np.abs(k1 * n2 - k2 * n1).max())
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_early": np.array([n1], "int64"),
+                "n_late": np.array([n2], "int64"),
+                "d_num": np.array([d_num], "int64"),
+                "d": [float(d_num) / float(n1 * n2)],
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(sup, batch_format="pandas")
+
+
+def ks_drift_sql(events_sql: str) -> str:
+    """Oracle twin of :func:`ks_drift` — same integer midpoint split,
+    cents bins, cumulative integer numerator and single division."""
+    return f"""
+        WITH kb AS (
+            SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   CASE WHEN epoch_us(ts) >=
+                        (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                         FROM ({events_sql}))
+                        THEN 1 ELSE 0 END AS late
+            FROM ({events_sql})
+        ),
+        kh AS (
+            SELECT event_type, v,
+                   CAST(SUM(1 - late) AS BIGINT) AS c1,
+                   CAST(SUM(late) AS BIGINT) AS c2
+            FROM kb GROUP BY 1, 2
+        ),
+        kr AS (
+            SELECT event_type,
+                   SUM(c1) OVER (PARTITION BY event_type ORDER BY v) AS k1,
+                   SUM(c2) OVER (PARTITION BY event_type ORDER BY v) AS k2,
+                   SUM(c1) OVER (PARTITION BY event_type) AS n1,
+                   SUM(c2) OVER (PARTITION BY event_type) AS n2
+            FROM kh
+        )
+        SELECT event_type,
+               CAST(n1 AS BIGINT) AS n_early,
+               CAST(n2 AS BIGINT) AS n_late,
+               CAST(MAX(abs(k1 * n2 - k2 * n1)) AS BIGINT) AS d_num,
+               CAST(MAX(abs(k1 * n2 - k2 * n1)) AS DOUBLE)
+                   / CAST(n1 * n2 AS DOUBLE) AS d
+        FROM kr
+        WHERE n1 > 0 AND n2 > 0
+        GROUP BY event_type, n1, n2"""

@@ -350,3 +350,38 @@ def test_mad_outliers_hand_check_and_reshard(ray_session):
         b = out[out["event_type"] == "B"]
         assert (b["is_outlier"] == 0).all()
         assert (b["dev_c"] == 0).all()
+
+
+def test_ks_drift_hand_check(ray_session):
+    """Type A: early half all 1.00, late half all 2.00 -> D = 1 exactly
+    (d_num = n1*n2).  Type B: identical halves -> D = 0.  Type C only
+    exists early -> dropped (pinned rule)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events as E
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-09", "2024-01-10"]
+    )
+    rows = []
+    eid = 0
+    for t0, v in zip(ts, [1.0, 1.0, 2.0, 2.0]):
+        rows.append((eid, "A", t0, v)); eid += 1
+    for t0, v in zip(ts, [5.0, 6.0, 5.0, 6.0]):
+        rows.append((eid, "B", t0, v)); eid += 1
+    rows.append((eid, "C", ts[0], 9.0)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "event_type", "ts", "value"])
+    for nblocks in (1, 3):
+        out = (
+            E.ks_drift(rd.from_pandas(df).repartition(nblocks))
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert out["event_type"].tolist() == ["A", "B"]
+        a = out.iloc[0]
+        assert (a["n_early"], a["n_late"]) == (2, 2)
+        assert a["d_num"] == 4 and a["d"] == 1.0
+        b = out.iloc[1]
+        assert b["d_num"] == 0 and b["d"] == 0.0
