@@ -3300,6 +3300,71 @@ def q_ks_drift(sf_dir: str):
     )
 
 
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21-shaped unique-latest-shipper count
+    (pipelines/analytics.waiting_suppliers): the multi-way EXISTS /
+    NOT-EXISTS self-join shape via three two-phase skinny aggregates of
+    the distinct (order, supplier) pair table, 'F'-order semi-join,
+    supplier-name attach."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.waiting_suppliers(
+            _tbl(sf_dir, "lineitem"),
+            _tbl(sf_dir, "orders"),
+            _tbl(sf_dir, "supplier"),
+        ),
+        ["s_name", "numwait"],
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped OR-of-ANDs predicate join
+    (pipelines/analytics.disjunctive_revenue): union quantity envelope
+    pushed to the read, part attrs via size-guarded broadcast, one
+    vectorized disjunction mask, exact integer revenue."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return analytics.disjunctive_revenue(
+        _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "part")
+    )
+
+
+def q_dominant_parts(sf_dir: str):
+    """TPC-H Q20-shaped correlated-fraction semi-join
+    (pipelines/analytics.dominant_supplier_parts): per-(part,supplier)
+    integer quantity sums vs HALF the per-part total (integer
+    cross-multiplication), per-supplier dominated-part counts."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.dominant_supplier_parts(
+            _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "supplier")
+        ),
+        ["s_name", "n_parts"],
+    )
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8-shaped national market share per order year
+    (pipelines/analytics.market_share): bounded nation/region dims
+    resolved once, region-customer semi-join, supplier-nation attach,
+    exact integer numerator/denominator + one double division."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.market_share(
+            _tbl(sf_dir, "lineitem"),
+            _tbl(sf_dir, "orders"),
+            _tbl(sf_dir, "customer"),
+            _tbl(sf_dir, "supplier"),
+            _tbl(sf_dir, "nation"),
+            _tbl(sf_dir, "region"),
+        ),
+        ["o_year", "num_rev4", "den_rev4", "mkt_share"],
+    )
+
+
 def q_min_unit_suppliers(sf_dir: str):
     """TPC-H Q2-shaped argmin-with-ties join-back
     (pipelines/analytics.min_unit_price_suppliers): pinned integer
@@ -3749,6 +3814,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "waiting_suppliers": q_waiting_suppliers,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "dominant_parts": q_dominant_parts,
+        "market_share": q_market_share,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4354,6 +4423,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "order_priority": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).order_priority_check_sql(),
+        "waiting_suppliers": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).waiting_suppliers_sql(),
+        "disjunctive_revenue": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).disjunctive_revenue_sql(),
+        "dominant_parts": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).dominant_supplier_parts_sql(),
+        "market_share": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).market_share_sql(),
         "priority_share": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).returnflag_priority_share_sql(),

@@ -14,7 +14,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 PRICING_CUTOFF = "1998-09-02"
 
@@ -1765,3 +1765,553 @@ def min_unit_price_suppliers_sql() -> str:
         FROM u
         JOIN m ON u.l_partkey = m.l_partkey AND u.unit_milli = m.mn
         JOIN supplier s ON s.s_suppkey = u.l_suppkey"""
+
+
+def waiting_suppliers(lineitem, orders, supplier):
+    """TPC-H Q21-shaped "supplier who kept the order waiting": for every
+    finished ('F') multi-supplier order, find the supplier that was the
+    UNIQUE latest shipper (EXISTS another supplier on the order, NOT
+    EXISTS another supplier shipping as late), and count such orders per
+    supplier.  This schema has no commit/receipt dates
+    (reference analog: the multi-way EXISTS/NOT-EXISTS self-join shape),
+    so "waiting" = strictly-latest l_shipdate among ≥2 distinct suppliers.
+
+    Scale shape: the raw lineitem never re-shuffles — it reduces to
+    distinct (orderkey, suppkey) pairs carrying a per-pair MAX shipdate
+    (two-phase Arrow group_by partials, skinny int64 rows).  Order-level
+    (max, distinct-supplier-count) is a second two-phase aggregate of the
+    pair table; attaching it back is ``attach_dim`` (hash join above the
+    guard — both sides scale with |orders|, nothing driver-materializes).
+    The unique-latest test is a third two-phase aggregate (count==1 makes
+    MAX(suppkey) the witness supplier), the 'F' filter is a skinny
+    semi-join, and supplier names attach from the bounded supplier dim.
+
+    Output: (s_name:string, numwait:int64).
+    """
+    from ..stages.joins import attach_dim
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "smax": t.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+        out = tb.group_by(["l_orderkey", "l_suppkey"]).aggregate([("smax", "max")])
+        return out.rename_columns(["l_orderkey", "l_suppkey", "smax"])
+
+    pairs = (
+        lineitem.select_columns(["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("smax", alias_name="smax"))
+    )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("l_orderkey").aggregate(
+            [("smax", "max"), ([], "count_all")]
+        )
+        return out.rename_columns(["ok", "omax", "nsupp"])
+
+    ords = (
+        pairs.map_batches(ord_partial, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(Max("omax", alias_name="omax"), Sum("nsupp", alias_name="nsupp"))
+    )
+
+    enriched = attach_dim(pairs, ords, "l_orderkey", "ok", ["omax", "nsupp"])
+
+    def at_max(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("smax"), t.column("omax")),
+            pc.greater_equal(t.column("nsupp"), pa.scalar(2, pa.int64())),
+        )
+        t = t.filter(keep)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "l_suppkey": t.column("l_suppkey")}
+        )
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("l_orderkey").aggregate(
+            [("l_suppkey", "max"), ([], "count_all")]
+        )
+        return out.rename_columns(["l_orderkey", "skey", "nmax"])
+
+    uniq = (
+        enriched.map_batches(at_max, batch_format="pyarrow")
+        .map_batches(uniq_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("skey", alias_name="skey"), Sum("nmax", alias_name="nmax"))
+    )
+
+    def f_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("o_orderstatus"), "F"))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "f_hit": pa.array(np.ones(len(t), np.int8)),
+            }
+        )
+
+    fkeys = orders.select_columns(["o_orderkey", "o_orderstatus"]).map_batches(
+        f_keys, batch_format="pyarrow"
+    )
+
+    waiting = attach_dim(
+        uniq.filter(expr="nmax == 1"), fkeys, "l_orderkey", "o_orderkey", ["f_hit"]
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        out = (
+            pa.table({"s_suppkey": t.column("skey")})
+            .group_by("s_suppkey")
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["s_suppkey", "numwait"])
+
+    counts = (
+        waiting.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+
+    def s_dim(t: pa.Table) -> pa.Table:
+        return pa.table({"sk": t.column("s_suppkey"), "s_name": t.column("s_name")})
+
+    sdim = supplier.select_columns(["s_suppkey", "s_name"]).map_batches(
+        s_dim, batch_format="pyarrow"
+    )
+    named = attach_dim(counts, sdim, "s_suppkey", "sk", ["s_name"])
+    return named.select_columns(["s_name", "numwait"])
+
+
+def waiting_suppliers_sql() -> str:
+    """Oracle twin of :func:`waiting_suppliers` — the same unique-latest-
+    shipper rule expressed algebraically over a distinct pair table."""
+    return """
+        WITH pairs AS (
+            SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS smax
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ord AS (
+            SELECT l_orderkey, MAX(smax) AS omax, COUNT(*) AS nsupp
+            FROM pairs GROUP BY 1
+        ),
+        atmax AS (
+            SELECT p.l_orderkey, p.l_suppkey
+            FROM pairs p JOIN ord o USING (l_orderkey)
+            WHERE p.smax = o.omax AND o.nsupp >= 2
+        ),
+        uniq AS (
+            SELECT l_orderkey, MAX(l_suppkey) AS l_suppkey
+            FROM atmax GROUP BY 1 HAVING COUNT(*) = 1
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM uniq
+        JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+        JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY s_name"""
+
+
+DISJUNCTIVE_GROUPS = (
+    ("Brand#12", 1.0, 11.0, 1, 5),
+    ("Brand#23", 10.0, 20.0, 1, 10),
+    ("Brand#14", 20.0, 30.0, 1, 15),
+)
+
+
+def disjunctive_revenue(lineitem, part, groups=DISJUNCTIVE_GROUPS):
+    """TPC-H Q19-shaped disjunctive-predicate join revenue: revenue over
+    lineitem ⋈ part where ANY of the (brand, quantity-range, size-range)
+    OR-groups matches.  The predicate cannot be pushed as one conjunctive
+    filter — the canonical "OR of ANDs across both join sides" shape.
+
+    Scale shape: lineitem is pre-filtered to the union quantity envelope
+    at the read side (one vectorized mask), part attributes attach via the
+    size-guarded ``attach_dim`` broadcast, the OR-group disjunction is one
+    vectorized numpy mask per group, and the result is a single global
+    integer sum (revenue in 10⁻⁴ dollar units — exact).
+
+    Output: one row (revenue4:int64, n_lines:int64).
+    """
+    from ..stages.joins import attach_dim
+
+    qmin = min(g[1] for g in groups)
+    qmax = max(g[2] for g in groups)
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity")
+        keep = pc.and_(
+            pc.greater_equal(q, pa.scalar(qmin)), pc.less_equal(q, pa.scalar(qmax))
+        )
+        t = t.filter(keep)
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty": t.column("l_quantity"),
+                "rev4": pa.array(price * (100 - disc)),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(li_pre, batch_format="pyarrow")
+
+    def p_dim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+                "p_size": t.column("p_size"),
+            }
+        )
+
+    pdim = part.select_columns(["p_partkey", "p_brand", "p_size"]).map_batches(
+        p_dim, batch_format="pyarrow"
+    )
+    joined = attach_dim(li, pdim, "l_partkey", "pk", ["p_brand", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = t.column("qty").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        brand = t.column("p_brand").to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(t), dtype=bool)
+        for b, ql, qh, sl, sh in groups:
+            mask |= (brand == b) & (qty >= ql) & (qty <= qh) & (size >= sl) & (size <= sh)
+        rev = t.column("rev4").to_numpy(zero_copy_only=False)[mask]
+        return pa.table(
+            {
+                "revenue4": pa.array([int(rev.sum())], pa.int64()),
+                "n_lines": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow").sum(
+            ["revenue4", "n_lines"]
+        )
+        or {}
+    )
+    return pa.table(
+        {
+            "revenue4": pa.array([int(agg.get("sum(revenue4)") or 0)], pa.int64()),
+            "n_lines": pa.array([int(agg.get("sum(n_lines)") or 0)], pa.int64()),
+        }
+    )
+
+
+def disjunctive_revenue_sql(groups=DISJUNCTIVE_GROUPS) -> str:
+    """Oracle twin of :func:`disjunctive_revenue`."""
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND l_quantity BETWEEN {ql} AND {qh} "
+        f"AND p_size BETWEEN {sl} AND {sh})"
+        for b, ql, qh, sl, sh in groups
+    )
+    return f"""
+        SELECT COALESCE(CAST(SUM(
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+               ) AS BIGINT), 0) AS revenue4,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE {ors}"""
+
+
+def dominant_supplier_parts(
+    lineitem, supplier, date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+):
+    """TPC-H Q20-shaped correlated-fraction semi-join: suppliers that
+    dominate a part's yearly volume — for each (supplier, part) the
+    shipped quantity in the window exceeds HALF of that part's total
+    across all suppliers (the reference's availqty > 0.5·sum(qty)
+    correlated-subquery shape, adapted to this schema without partsupp).
+    Counts dominated parts per supplier.
+
+    Scale shape: quantities reduce to distinct (partkey, suppkey) pairs
+    with exact integer sums (two-phase); the per-part total is a second
+    two-phase aggregate of the SAME skinny pair table; the correlated
+    comparison 2·q_sp > q_p is one ``attach_dim`` join on partkey (hash
+    join above the guard — both sides are per-part aggregates, never raw
+    lines); the half threshold is an integer cross-multiplication, no
+    division.
+
+    Output: (s_name:string, n_parts:int64).
+    """
+    from ..stages.joins import attach_dim
+
+    t_from = np.datetime64(date_from, "us")
+    t_to = np.datetime64(date_to, "us")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(t_from)),
+            pc.less(t.column("l_shipdate"), pa.scalar(t_to)),
+        )
+        t = t.filter(keep)
+        tb = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "q": pa.array(_cents(t.column("l_quantity"))),
+            }
+        )
+        out = tb.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return out.rename_columns(["l_partkey", "l_suppkey", "q"])
+
+    pairs = (
+        lineitem.select_columns(
+            ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+        )
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Sum("q", alias_name="q"))
+    )
+
+    def tot_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by("l_partkey").aggregate([("q", "sum")])
+        return out.rename_columns(["pk", "tot"])
+
+    totals = (
+        pairs.map_batches(tot_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("tot", alias_name="tot"))
+    )
+
+    enriched = attach_dim(pairs, totals, "l_partkey", "pk", ["tot"])
+
+    def dominant(t: pa.Table) -> pa.Table:
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        tot = t.column("tot").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(2 * q > tot))
+        out = (
+            pa.table({"s_suppkey": t.column("l_suppkey")})
+            .group_by("s_suppkey")
+            .aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["s_suppkey", "n_parts"])
+
+    counts = (
+        enriched.map_batches(dominant, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n_parts", alias_name="n_parts"))
+    )
+
+    def s_dim(t: pa.Table) -> pa.Table:
+        return pa.table({"sk": t.column("s_suppkey"), "s_name": t.column("s_name")})
+
+    sdim = supplier.select_columns(["s_suppkey", "s_name"]).map_batches(
+        s_dim, batch_format="pyarrow"
+    )
+    named = attach_dim(counts, sdim, "s_suppkey", "sk", ["s_name"])
+    return named.select_columns(["s_name", "n_parts"])
+
+
+def dominant_supplier_parts_sql(
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+) -> str:
+    """Oracle twin of :func:`dominant_supplier_parts` — same integer
+    half-threshold cross-multiplication."""
+    return f"""
+        WITH pairs AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{date_from}'
+              AND l_shipdate <  TIMESTAMP '{date_to}'
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT l_partkey, SUM(q) AS tot FROM pairs GROUP BY 1)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM pairs
+        JOIN tot USING (l_partkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE 2 * pairs.q > tot.tot
+        GROUP BY s_name"""
+
+
+def market_share(
+    lineitem,
+    orders,
+    customer,
+    supplier,
+    nation,
+    region,
+    target_nation: str = "NATION_5",
+    target_region: str = "AFRICA",
+):
+    """TPC-H Q8-shaped national market share: per order year, the fraction
+    of revenue (orders placed by customers of ``target_region``) that was
+    supplied by suppliers of ``target_nation``.
+
+    Scale shape: nation × region resolve driver-side (bounded 25×5 rows by
+    schema, the only collect); the region's customer filter attaches
+    c_nationkey via the size-guarded ``attach_dim`` and tests membership
+    against the tiny broadcast nation set; supplier nationality attaches
+    the same way; the order-year attach onto lineitem is the one big-big
+    join (hash join above the guard).  Numerator/denominator are exact
+    integer 10⁻⁴-dollar sums per year; the share is ONE final double
+    division, bit-replayable in SQL.
+
+    Output: (o_year, num_rev4, den_rev4, mkt_share).
+    """
+    from ..stages.joins import attach_dim
+
+    nat = nation.select_columns(["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = region.select_columns(["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == target_region, "r_regionkey"].iloc[0])
+    region_nations = np.sort(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].to_numpy(np.int64)
+    )
+    target_nkey = int(nat.loc[nat["n_name"] == target_nation, "n_nationkey"].iloc[0])
+
+    def c_dim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"ck": t.column("c_custkey"), "c_nationkey": t.column("c_nationkey")}
+        )
+
+    cdim = customer.select_columns(["c_custkey", "c_nationkey"]).map_batches(
+        c_dim, batch_format="pyarrow"
+    )
+
+    def o_skinny(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pa.array(year),
+            }
+        )
+
+    ords = attach_dim(
+        orders.select_columns(["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+            o_skinny, batch_format="pyarrow"
+        ),
+        cdim,
+        "o_custkey",
+        "ck",
+        ["c_nationkey"],
+    )
+
+    def region_filter(t: pa.Table) -> pa.Table:
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(region_nations, nk)
+        pos_c = np.clip(pos, 0, len(region_nations) - 1)
+        t = t.filter(pa.array(region_nations[pos_c] == nk))
+        return pa.table(
+            {"ok": t.column("o_orderkey"), "o_year": t.column("o_year")}
+        )
+
+    ords = ords.map_batches(region_filter, batch_format="pyarrow")
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev4": pa.array(price * (100 - disc)),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_pre, batch_format="pyarrow")
+
+    def s_dim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"sk": t.column("s_suppkey"), "s_nationkey": t.column("s_nationkey")}
+        )
+
+    sdim = supplier.select_columns(["s_suppkey", "s_nationkey"]).map_batches(
+        s_dim, batch_format="pyarrow"
+    )
+    li = attach_dim(li, sdim, "l_suppkey", "sk", ["s_nationkey"])
+    joined = attach_dim(li, ords, "l_orderkey", "ok", ["o_year"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = t.column("rev4").to_numpy(zero_copy_only=False)
+        nk = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        num = np.where(nk == target_nkey, rev, 0)
+        tb = pa.table(
+            {
+                "o_year": t.column("o_year"),
+                "num_rev4": pa.array(num),
+                "den_rev4": pa.array(rev),
+            }
+        )
+        out = tb.group_by("o_year").aggregate(
+            [("num_rev4", "sum"), ("den_rev4", "sum")]
+        )
+        return out.rename_columns(["o_year", "num_rev4", "den_rev4"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("num_rev4", alias_name="num_rev4"),
+            Sum("den_rev4", alias_name="den_rev4"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        num = t.column("num_rev4").to_numpy(zero_copy_only=False)
+        den = t.column("den_rev4").to_numpy(zero_copy_only=False)
+        share = num.astype(np.float64) / den.astype(np.float64)
+        return pa.table(
+            {
+                "o_year": t.column("o_year"),
+                "num_rev4": t.column("num_rev4"),
+                "den_rev4": t.column("den_rev4"),
+                "mkt_share": pa.array(share),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def market_share_sql(
+    target_nation: str = "NATION_5", target_region: str = "AFRICA"
+) -> str:
+    """Oracle twin of :func:`market_share` — identical integer sums and one
+    double division per year."""
+    return f"""
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev4
+            FROM lineitem
+        ),
+        o AS (
+            SELECT o_orderkey,
+                   CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = '{target_region}'
+        ),
+        j AS (
+            SELECT o_year, rev4, s_nationkey
+            FROM li
+            JOIN o ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN s_nationkey =
+                        (SELECT n_nationkey FROM nation
+                         WHERE n_name = '{target_nation}')
+                        THEN rev4 ELSE 0 END) AS BIGINT) AS num_rev4,
+               CAST(SUM(rev4) AS BIGINT) AS den_rev4,
+               CAST(SUM(CASE WHEN s_nationkey =
+                        (SELECT n_nationkey FROM nation
+                         WHERE n_name = '{target_nation}')
+                        THEN rev4 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(rev4) AS DOUBLE) AS mkt_share
+        FROM j GROUP BY o_year"""

@@ -377,3 +377,139 @@ def test_min_unit_price_keeps_all_ties(ray_session):
         zip(out["l_partkey"], out["l_suppkey"], out["s_name"], out["unit_milli"])
     )
     assert got == [(1, 5, "S5", 1000), (1, 6, "S6", 1000), (2, 5, "S5", 4000)]
+
+
+def test_waiting_suppliers_unique_latest_rule(ray_session):
+    # order 1: suppliers 10,20 — 20 strictly latest -> counts for 20
+    # order 2: suppliers 10,20 — TIE at the max -> nobody counts
+    # order 3: single supplier 10 -> excluded (no other supplier exists)
+    # order 4: like order 1 but o_orderstatus != 'F' -> excluded
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 1, 2, 2, 3, 4, 4],
+                "l_suppkey": [10, 20, 20, 10, 20, 10, 10, 20],
+                "l_shipdate": pd.to_datetime(
+                    [
+                        "1996-01-01", "1996-02-01", "1996-01-15",
+                        "1996-03-01", "1996-03-01",
+                        "1996-01-01",
+                        "1996-01-01", "1996-02-01",
+                    ]
+                ),
+            }
+        )
+    )
+    orders = _ds(
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4],
+                "o_orderstatus": ["F", "F", "F", "O"],
+            }
+        )
+    )
+    supplier = _ds(
+        pd.DataFrame({"s_suppkey": [10, 20], "s_name": ["S10", "S20"]})
+    )
+    out = analytics.waiting_suppliers(lineitem, orders, supplier).to_pandas()
+    assert out.set_index("s_name")["numwait"].to_dict() == {"S20": 1}
+
+
+def test_dominant_supplier_parts_half_threshold(ray_session):
+    # part 1: supp 10 ships 60, supp 20 ships 40 -> 10 dominates (120 > 100)
+    # part 2: 50/50 split -> nobody dominates (2*50 == 100, not >)
+    # part 3: outside the window -> ignored
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_partkey": [1, 1, 2, 2, 3],
+                "l_suppkey": [10, 20, 10, 20, 10],
+                "l_quantity": [60.0, 40.0, 50.0, 50.0, 99.0],
+                "l_shipdate": pd.to_datetime(
+                    ["1996-05-01", "1996-06-01", "1996-05-01",
+                     "1996-05-02", "1999-01-01"]
+                ),
+            }
+        )
+    )
+    supplier = _ds(
+        pd.DataFrame({"s_suppkey": [10, 20], "s_name": ["S10", "S20"]})
+    )
+    out = analytics.dominant_supplier_parts(lineitem, supplier).to_pandas()
+    assert out.set_index("s_name")["n_parts"].to_dict() == {"S10": 1}
+
+
+def test_disjunctive_revenue_or_groups(ray_session):
+    # line 1 matches group 1 (Brand#12, qty 5, size 3); line 2 fails every
+    # group (brand matches group 2 but size 20 > 10); line 3 matches group 3.
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_partkey": [1, 2, 3],
+                "l_quantity": [5.0, 15.0, 25.0],
+                "l_extendedprice": [10.0, 100.0, 20.0],
+                "l_discount": [0.0, 0.0, 0.5],
+            }
+        )
+    )
+    part = _ds(
+        pd.DataFrame(
+            {
+                "p_partkey": [1, 2, 3],
+                "p_brand": ["Brand#12", "Brand#23", "Brand#14"],
+                "p_size": [3, 20, 15],
+            }
+        )
+    )
+    out = analytics.disjunctive_revenue(lineitem, part).to_pandas()
+    # rev4 = 1000*100 + 2000*50 = 200000
+    assert out["revenue4"].tolist() == [200000]
+    assert out["n_lines"].tolist() == [2]
+
+
+def test_market_share_year_fraction(ray_session):
+    # region AFRICA = nations {0}; target nation NATION_0 (key 0).
+    # 1996: order 1 (cust in region): lines rev 100 (supp of nation 0)
+    #       + 300 (supp of nation 1) -> share 0.25
+    # order 2's customer outside the region -> excluded entirely.
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2],
+                "l_suppkey": [10, 20, 10],
+                "l_extendedprice": [1.0, 3.0, 7.0],
+                "l_discount": [0.0, 0.0, 0.0],
+            }
+        )
+    )
+    orders = _ds(
+        pd.DataFrame(
+            {
+                "o_orderkey": [1, 2],
+                "o_custkey": [100, 200],
+                "o_orderdate": pd.to_datetime(["1996-04-01", "1996-05-01"]),
+            }
+        )
+    )
+    customer = _ds(pd.DataFrame({"c_custkey": [100, 200], "c_nationkey": [0, 1]}))
+    supplier = _ds(pd.DataFrame({"s_suppkey": [10, 20], "s_nationkey": [0, 1]}))
+    nation = _ds(
+        pd.DataFrame(
+            {
+                "n_nationkey": [0, 1],
+                "n_name": ["NATION_0", "NATION_1"],
+                "n_regionkey": [0, 1],
+            }
+        )
+    )
+    region = _ds(
+        pd.DataFrame({"r_regionkey": [0, 1], "r_name": ["AFRICA", "AMERICA"]})
+    )
+    out = analytics.market_share(
+        lineitem, orders, customer, supplier, nation, region,
+        target_nation="NATION_0", target_region="AFRICA",
+    ).to_pandas()
+    assert out["o_year"].tolist() == [1996]
+    assert out["num_rev4"].tolist() == [100 * 100]
+    assert out["den_rev4"].tolist() == [400 * 100]
+    assert out["mkt_share"].tolist() == [0.25]
