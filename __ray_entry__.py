@@ -3365,6 +3365,20 @@ def q_market_share(sf_dir: str):
     )
 
 
+def q_fuzzy_names(sf_dir: str):
+    """Exact edit-distance fuzzy self-join over part names
+    (stages/fuzzy.fuzzy_name_pairs): PassJoin-style pigeonhole segment
+    blocking (one skinny int64-bucket shuffle of 64-bit segment hashes)
+    + vectorized banded-DP verify — equals the brute-force levenshtein
+    cross join the oracle runs."""
+    from kaza_lcms_ray.stages import fuzzy
+
+    return _i64(
+        fuzzy.fuzzy_name_pairs(_tbl(sf_dir, "part"), "p_name", max_dist=2),
+        ["name_a", "name_b", "dist"],
+    )
+
+
 def q_min_unit_suppliers(sf_dir: str):
     """TPC-H Q2-shaped argmin-with-ties join-back
     (pipelines/analytics.min_unit_price_suppliers): pinned integer
@@ -3818,6 +3832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "dominant_parts": q_dominant_parts,
         "market_share": q_market_share,
+        "fuzzy_names": q_fuzzy_names,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4435,6 +4450,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "market_share": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).market_share_sql(),
+        "fuzzy_names": __import__(
+            "kaza_lcms_ray.stages.fuzzy", fromlist=["fuzzy"]
+        ).fuzzy_name_pairs_sql("SELECT p_name FROM part", "p_name", 2),
         "priority_share": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).returnflag_priority_share_sql(),
