@@ -3365,6 +3365,24 @@ def q_market_share(sf_dir: str):
     )
 
 
+def q_cell_coverage(sf_dir: str):
+    """Per-(cell, polygon) coverage fraction by 4×4 supersampled PIP
+    (stages/pip.cell_coverage): distinct cells → stateless 16-sub-point
+    ray-cast against the broadcast reference-polygon index; counts
+    complete in-block (each cell lives in exactly one block after the
+    distinct), zero post-shuffle.  The rasterize-with-area-fraction
+    twin of the reference's paint/updateMask path."""
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    return _i64(
+        pip.cell_coverage(
+            _geo(sf_dir), f"{root}/polygons.parquet", kinds=["reference"]
+        ),
+        ["cell_id", "poly_id", "covered", "frac"],
+    )
+
+
 def q_fuzzy_names(sf_dir: str):
     """Exact edit-distance fuzzy self-join over part names
     (stages/fuzzy.fuzzy_name_pairs): PassJoin-style pigeonhole segment
@@ -3833,6 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_parts": q_dominant_parts,
         "market_share": q_market_share,
         "fuzzy_names": q_fuzzy_names,
+        "cell_coverage": q_cell_coverage,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4453,6 +4472,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "fuzzy_names": __import__(
             "kaza_lcms_ray.stages.fuzzy", fromlist=["fuzzy"]
         ).fuzzy_name_pairs_sql("SELECT p_name FROM part", "p_name", 2),
+        "cell_coverage": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.pip", fromlist=["pip"]).cell_coverage_sql(root)}""",
         "priority_share": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).returnflag_priority_share_sql(),

@@ -353,3 +353,142 @@ def nearest_poly_bbox(geo, polygons_path: str, kinds: list[str] | None = None):
         )
 
     return geo.map_batches(fn, batch_format="pyarrow")
+
+
+def cell_coverage(
+    geo,
+    polygons_path: str,
+    kinds: list[str] | None = None,
+    level: int | None = None,
+    ss: int = 4,
+):
+    """Per-(cell, polygon) coverage fraction by ss×ss supersampled PIP —
+    the raster↔vector rasterization-with-area-fraction the reference's
+    ``paint``/``updateMask`` path approximates with ALL_TOUCHED pixels
+    (reference analog: src/utils/s2process.py:172,177).
+
+    Each distinct cell is sampled at ss² interior sub-points; a polygon's
+    coverage of the cell is the exact count of contained sub-points (and
+    its /ss² fraction).  Scale shape: the corpus reduces to DISTINCT
+    cell ids first (skinny two-phase); every cell then lives in exactly
+    ONE block, so the per-(cell,poly) counts complete inside a stateless
+    map_batches against the broadcast polygon index — no post-shuffle.
+    Sub-point placement mirrors the oracle SQL operation-for-operation,
+    so containment decisions are bit-identical.
+
+    Output: (cell_id, poly_id, covered:int64, frac:double).
+    """
+    from ..state import cells as cellmod
+    from .joins import distinct
+
+    lvl = cellmod.CELL_LEVEL if level is None else level
+    nn = float(np.int64(1) << lvl)
+    index_ref = ray.put(load_polygon_index(polygons_path, kinds))
+
+    def cover(t: pa.Table) -> pa.Table:
+        idx = _cached_index(index_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        ix, iy = cellmod.decode(cid.astype(np.uint64), lvl)
+        fx = ix.astype(np.float64)
+        fy = iy.astype(np.float64)
+        cc, pp = [], []
+        for u in range(ss):
+            for v in range(ss):
+                lon = (fx + (u + 0.5) / ss) / nn * 360.0 - 180.0
+                lat = (fy + (v + 0.5) / ss) / nn * 180.0 - 90.0
+                pt, pl = idx.join_points(lon, lat)
+                if pt.shape[0]:
+                    cc.append(cid[pt])
+                    pp.append(idx.poly_ids[pl])
+        if cc:
+            cc_a = np.concatenate(cc)
+            pp_a = np.concatenate(pp).astype(object)
+        else:
+            cc_a = np.empty(0, cid.dtype)
+            pp_a = np.empty(0, object)
+        tb = pa.table(
+            {
+                "cell_id": pa.array(cc_a),
+                "poly_id": pa.array(pp_a, type=pa.string()),
+            }
+        )
+        out = tb.group_by(["cell_id", "poly_id"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["cell_id", "poly_id", "covered"])
+        frac = out.column("covered").to_numpy(zero_copy_only=False) / float(ss * ss)
+        return out.append_column("frac", pa.array(frac))
+
+    cells_ds = distinct(geo.select_columns(["cell_id"]), ["cell_id"])
+    return cells_ds.map_batches(cover, batch_format="pyarrow")
+
+
+def cell_coverage_sql(
+    root: str, kind: str = "reference", level: int | None = None, ss: int = 4
+) -> str:
+    """Oracle twin of :func:`cell_coverage` — identical sub-point
+    placement + the even-odd edge-crossing test over the polygon edge
+    table (the pip_polygon oracle pattern), bbox-prefiltered."""
+    from ..state import cells as cellmod
+
+    lvl = cellmod.CELL_LEVEL if level is None else level
+    nn = float(np.int64(1) << lvl)
+    ix = cellmod.morton_decode_sql_expr("cell_id", lvl, "x")
+    iy = cellmod.morton_decode_sql_expr("cell_id", lvl, "y")
+    offs = ", ".join(f"({u})" for u in range(ss))
+    return f"""
+            dc AS (SELECT DISTINCT cell_id FROM cells),
+            ixy AS (
+                SELECT cell_id, {ix} AS ix, {iy} AS iy FROM dc
+            ),
+            offs_u(u) AS (VALUES {offs}),
+            offs_v(v) AS (VALUES {offs}),
+            pts AS (
+                SELECT cell_id,
+                       (CAST(ix AS DOUBLE) + (u + 0.5) / {ss}) / {nn!r}
+                           * 360.0 - 180.0 AS lon,
+                       (CAST(iy AS DOUBLE) + (v + 0.5) / {ss}) / {nn!r}
+                           * 180.0 - 90.0 AS lat
+                FROM ixy CROSS JOIN offs_u CROSS JOIN offs_v
+            ),
+            pk AS (
+                SELECT poly_id, bbox, rings
+                FROM read_parquet('{root}/polygons.parquet')
+                WHERE kind = '{kind}'
+            ),
+            r AS (
+                SELECT poly_id, unnest(rings) AS ring,
+                       generate_subscripts(rings, 1) AS rid
+                FROM pk
+            ),
+            v AS (
+                SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                       unnest(ring) AS p
+                FROM r
+            ),
+            e AS (
+                SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1,
+                       b.p.x AS x2, b.p.y AS y2
+                FROM v a JOIN v b
+                  ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+            ),
+            cand AS (
+                SELECT pts.cell_id, pts.lon, pts.lat, pk.poly_id
+                FROM pts JOIN pk
+                  ON pts.lon >= pk.bbox.minx AND pts.lon <= pk.bbox.maxx
+                 AND pts.lat >= pk.bbox.miny AND pts.lat <= pk.bbox.maxy
+            ),
+            c AS (
+                SELECT cand.cell_id, cand.lon, cand.lat, cand.poly_id,
+                       SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                                 AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                     / (e.y2 - e.y1) * (e.x2 - e.x1)
+                           THEN 1 ELSE 0 END) AS crossings
+                FROM cand JOIN e ON e.poly_id = cand.poly_id
+                GROUP BY 1, 2, 3, 4
+            ),
+            hits AS (
+                SELECT cell_id, poly_id, CAST(COUNT(*) AS BIGINT) AS covered
+                FROM c WHERE crossings % 2 = 1 GROUP BY 1, 2
+            )
+            SELECT cell_id, poly_id, covered,
+                   CAST(covered AS DOUBLE) / {float(ss * ss)!r} AS frac
+            FROM hits"""

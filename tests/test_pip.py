@@ -210,3 +210,53 @@ def test_poly_centroid_square(ray_session, synth_small):
     out = polygon_centroid_batch(t)
     assert out.column("cx").to_pylist() == [1.0, 1.0]
     assert out.column("cy").to_pylist() == [1.0, 1.0]
+
+
+def test_cell_coverage_half_cell(ray_session, tmp_path):
+    """A polygon covering exactly the left half of one cell must contain
+    8 of the 16 sub-points (frac 0.5); a full-cover polygon all 16."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.state import cells as cellmod
+
+    lvl = cellmod.CELL_LEVEL
+    n = float(1 << lvl)
+    # pick the cell containing (20.0, -18.0) (inside the KAZA-ish AOI)
+    cid = int(cellmod.encode(np.array([20.0]), np.array([-18.0]), lvl)[0])
+    ix, iy = cellmod.decode(np.array([cid], np.uint64), lvl)
+    x0 = ix[0] / n * 360.0 - 180.0
+    x1 = (ix[0] + 1) / n * 360.0 - 180.0
+    y0 = iy[0] / n * 180.0 - 90.0
+    y1 = (iy[0] + 1) / n * 180.0 - 90.0
+    xm = x0 + (x1 - x0) / 2.0
+
+    def rect(pid, a, b, c, d):
+        ring = [
+            {"x": a, "y": c}, {"x": b, "y": c}, {"x": b, "y": d},
+            {"x": a, "y": d}, {"x": a, "y": c},
+        ]
+        return {
+            "poly_id": pid, "kind": "reference", "LANDCOVER": 1,
+            "rings": [ring],
+            "bbox": {"minx": a, "miny": c, "maxx": b, "maxy": d},
+        }
+
+    polys = pa.Table.from_pylist([
+        rect("half", x0 - 1e-9, xm, y0 - 1e-9, y1 + 1e-9),
+        rect("full", x0 - 1e-9, x1 + 1e-9, y0 - 1e-9, y1 + 1e-9),
+    ])
+    ppath = str(tmp_path / "polys.parquet")
+    pq.write_table(polys, ppath)
+
+    geo = rd.from_arrow(pa.table({"cell_id": pa.array([cid] * 3, pa.int64())}))
+    out = (
+        pip.cell_coverage(geo, ppath, kinds=["reference"])
+        .to_pandas()
+        .set_index("poly_id")
+    )
+    assert out.loc["half", "covered"] == 8
+    assert out.loc["half", "frac"] == 0.5
+    assert out.loc["full", "covered"] == 16
+    assert out.loc["full", "frac"] == 1.0
