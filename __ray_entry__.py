@@ -3383,6 +3383,24 @@ def q_cell_coverage(sf_dir: str):
     )
 
 
+def q_class_hull(sf_dir: str):
+    """Per-class convex-hull vertex set over the training plots
+    (stages/hull.class_convex_hull): vectorized Akl–Toussaint octagon
+    prefilter per batch (safe interior discard), exact strict-one-side
+    pair rule on the bounded survivor set — decisions bit-identical to
+    the brute-force SQL oracle."""
+    from kaza_lcms_ray.stages import hull
+
+    root = _synth(sf_dir)
+    from kaza_lcms_ray.sources import storage
+
+    plots = storage.read_documents(f"{root}/training_plots.parquet")
+    return _i64(
+        hull.class_convex_hull(plots),
+        ["LANDCOVER", "lon", "lat"],
+    )
+
+
 def q_fuzzy_names(sf_dir: str):
     """Exact edit-distance fuzzy self-join over part names
     (stages/fuzzy.fuzzy_name_pairs): PassJoin-style pigeonhole segment
@@ -3852,6 +3870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": q_market_share,
         "fuzzy_names": q_fuzzy_names,
         "cell_coverage": q_cell_coverage,
+        "class_hull": q_class_hull,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4475,6 +4494,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_coverage": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.pip", fromlist=["pip"]).cell_coverage_sql(root)}""",
+        "class_hull": __import__(
+            "kaza_lcms_ray.stages.hull", fromlist=["hull"]
+        ).class_convex_hull_sql(
+            f"SELECT LANDCOVER, lon, lat FROM read_parquet('{root}/training_plots.parquet')"
+        ),
         "priority_share": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).returnflag_priority_share_sql(),
