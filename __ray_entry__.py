@@ -3383,6 +3383,24 @@ def q_cell_coverage(sf_dir: str):
     )
 
 
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted median unit price per return flag
+    (stages/zonal.grouped_weighted_quantile): distinct (key, cents)
+    weight sums via bucketed two-phase combine, sorted integer cumsum,
+    cross-multiplied threshold — exact at any scale."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.grouped_weighted_quantile(
+            _tbl(sf_dir, "lineitem"),
+            ["l_returnflag"],
+            "l_extendedprice",
+            "l_quantity",
+        ),
+        ["l_returnflag", "wq_c"],
+    )
+
+
 def q_class_hull(sf_dir: str):
     """Per-class convex-hull vertex set over the training plots
     (stages/hull.class_convex_hull): vectorized Akl–Toussaint octagon
@@ -3871,6 +3889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_names": q_fuzzy_names,
         "cell_coverage": q_cell_coverage,
         "class_hull": q_class_hull,
+        "weighted_median": q_weighted_median,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4498,6 +4517,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             "kaza_lcms_ray.stages.hull", fromlist=["hull"]
         ).class_convex_hull_sql(
             f"SELECT LANDCOVER, lon, lat FROM read_parquet('{root}/training_plots.parquet')"
+        ),
+        "weighted_median": __import__(
+            "kaza_lcms_ray.stages.zonal", fromlist=["zonal"]
+        ).grouped_weighted_quantile_sql(
+            "SELECT l_returnflag, l_extendedprice, l_quantity FROM lineitem",
+            ["l_returnflag"],
+            "l_extendedprice",
+            "l_quantity",
         ),
         "priority_share": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]

@@ -3050,3 +3050,97 @@ def climatology_anomaly_sql(cells_sql: str, band: int = 3, target_year: int = 20
                 - CAST((cs * {Q}) // clim_n AS DOUBLE)) / {float(Q)!r}
                    AS anomaly
         FROM cl_agg WHERE clim_n > 0 AND target_n > 0"""
+
+
+def grouped_weighted_quantile(
+    ds,
+    keys: list[str],
+    val_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    out_col: str = "wq_c",
+    rows_hint: int | None = None,
+):
+    """Exact weighted q-quantile per key group: the smallest ×100-scaled
+    value v with cum_weight(≤v) · q_den ≥ q_num · total_weight — an
+    integer cross-multiplication, never a float compare, so the rule is
+    bit-replayable in SQL window functions.
+
+    Scale shape (the zonal_percentiles holistic discipline): raw rows
+    reduce per batch to distinct (keys, value_cents) rows carrying summed
+    integer weights (two-phase ``bucketed_sum``); the sorted cumulative
+    scan then runs per key in ``map_groups`` over the value-DISTINCT
+    table, whose per-key size is the value cardinality, not the row
+    count.  Weighted medians/quantiles are the exact-aggregation twin of
+    the reference's percentile reducer (src/utils/s2process.py:138-139)
+    with per-record weights.
+
+    Output: (keys…, {out_col}:int64) — quantile value in cents.
+    """
+    from ..state.money import to_cents
+
+    def partial(t: pa.Table) -> pa.Table:
+        tb = pa.table(
+            {
+                **{k: t.column(k) for k in keys},
+                "v_c": pa.array(to_cents(t.column(val_col).to_numpy(zero_copy_only=False))),
+                "w_c": pa.array(to_cents(t.column(weight_col).to_numpy(zero_copy_only=False))),
+            }
+        )
+        out = tb.group_by(keys + ["v_c"]).aggregate([("w_c", "sum")])
+        return out.rename_columns(keys + ["v_c", "w_c"])
+
+    dist = bucketed_sum(
+        ds.select_columns(keys + [val_col, weight_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys + ["v_c"],
+        ["w_c"],
+        rows_hint=rows_hint,
+    )
+
+    import pandas as pd
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("v_c", kind="mergesort")
+        cw = g["w_c"].to_numpy(np.int64).cumsum()
+        tot = int(cw[-1])
+        sel = np.nonzero(cw * q_den >= q_num * tot)[0]
+        first = int(sel[0])
+        out = g.iloc[[0]][keys].copy()
+        out[out_col] = np.int64(g["v_c"].to_numpy(np.int64)[first])
+        return out
+
+    return dist.groupby(keys).map_groups(pick, batch_format="pandas")
+
+
+def grouped_weighted_quantile_sql(
+    table_sql: str,
+    keys: list[str],
+    val_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    out_col: str = "wq_c",
+) -> str:
+    """Oracle twin of :func:`grouped_weighted_quantile` — same distinct
+    value table, window cumsum and integer threshold."""
+    ks = ", ".join(keys)
+    return f"""
+        WITH wq_w AS (
+            SELECT {ks},
+                   CAST(round({val_col} * 100, 0) AS BIGINT) AS v_c,
+                   CAST(SUM(CAST(round({weight_col} * 100, 0) AS BIGINT))
+                        AS BIGINT) AS w_c
+            FROM ({table_sql}) GROUP BY {ks}, v_c
+        ),
+        wq_c AS (
+            SELECT {ks}, v_c,
+                   SUM(w_c) OVER (PARTITION BY {ks} ORDER BY v_c) AS cw,
+                   SUM(w_c) OVER (PARTITION BY {ks}) AS tot
+            FROM wq_w
+        )
+        SELECT {ks}, CAST(MIN(v_c) AS BIGINT) AS {out_col}
+        FROM wq_c WHERE cw * {q_den} >= {q_num} * tot
+        GROUP BY {ks}"""

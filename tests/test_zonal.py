@@ -673,3 +673,72 @@ def test_psi_drift_identical_years_near_zero(synth_small, ray_session):
                        zonal.PSI_BINS - 1)
         want = np.bincount(b, minlength=zonal.PSI_BINS)
         assert (drift[col].to_numpy() == want).all()
+
+
+def test_grouped_weighted_quantile_hand_case(ray_session):
+    import pyarrow as pa
+
+    # group A: values 1,2,3 with weights 1,1,10 -> weighted median = 3
+    #          (cum 1, 2, 12 cents-scaled; threshold 2*cw >= tot=12 at v=3)
+    # group B: values 5,6 with equal weights -> lower median rule picks 5
+    df = pd.DataFrame(
+        {
+            "g": ["A", "A", "A", "B", "B"],
+            "v": [1.0, 2.0, 3.0, 5.0, 6.0],
+            "w": [1.0, 1.0, 10.0, 2.0, 2.0],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        zonal.grouped_weighted_quantile(ds, ["g"], "v", "w")
+        .to_pandas()
+        .set_index("g")["wq_c"]
+    )
+    assert out["A"] == 300
+    assert out["B"] == 500
+
+
+def test_grouped_weighted_quantile_reshard_and_q75(ray_session):
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 500).astype(str),
+            "v": rng.uniform(0, 100, 500).round(2),
+            "w": rng.uniform(0, 10, 500).round(2),
+        }
+    )
+    t = pa.Table.from_pandas(df, preserve_index=False)
+
+    def oracle(q_num, q_den):
+        res = {}
+        for g, sub in df.groupby("g"):
+            vc = (sub["v"] * 100).round().astype(np.int64)
+            wc = (sub["w"] * 100).round().astype(np.int64)
+            agg = pd.DataFrame({"v": vc, "w": wc}).groupby("v")["w"].sum().sort_index()
+            cw = agg.cumsum()
+            tot = int(cw.iloc[-1])
+            res[g] = int(cw.index[(cw * q_den >= q_num * tot).argmax()])
+        return res
+
+    for q_num, q_den in ((1, 2), (3, 4)):
+        a = (
+            zonal.grouped_weighted_quantile(
+                rd.from_arrow(t), ["g"], "v", "w", q_num, q_den
+            )
+            .to_pandas()
+            .set_index("g")["wq_c"]
+            .to_dict()
+        )
+        b = (
+            zonal.grouped_weighted_quantile(
+                rd.from_arrow(t).repartition(9), ["g"], "v", "w", q_num, q_den
+            )
+            .to_pandas()
+            .set_index("g")["wq_c"]
+            .to_dict()
+        )
+        want = oracle(q_num, q_den)
+        assert a == want
+        assert b == want
