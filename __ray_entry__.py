@@ -3401,6 +3401,28 @@ def q_weighted_median(sf_dir: str):
     )
 
 
+def q_name_entities(sf_dir: str):
+    """End-to-end entity resolution over part names: exact edit-distance
+    pairs (stages/fuzzy) → connected components (dedup.min_label_clusters,
+    spanning-forest compression) → (name, entity=min name of the
+    component).  The fuzzy-join composition a catalog-dedup pipeline
+    runs; oracle = recursive-CTE transitive closure over the brute-force
+    levenshtein pair table."""
+    from kaza_lcms_ray.stages import dedup, fuzzy
+
+    pairs = fuzzy.fuzzy_name_pairs(
+        _tbl(sf_dir, "part"), "p_name", max_dist=2
+    ).map_batches(
+        lambda t: pa.table({"a": t.column("name_a"), "b": t.column("name_b")}),
+        batch_format="pyarrow",
+    )
+    cl = dedup.min_label_clusters(pairs)
+    return cl.map_batches(
+        lambda t: pa.table({"name": t.column("node"), "entity": t.column("cluster")}),
+        batch_format="pyarrow",
+    )
+
+
 def q_class_hull(sf_dir: str):
     """Per-class convex-hull vertex set over the training plots
     (stages/hull.class_convex_hull): vectorized Akl–Toussaint octagon
@@ -3890,6 +3912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_coverage": q_cell_coverage,
         "class_hull": q_class_hull,
         "weighted_median": q_weighted_median,
+        "name_entities": q_name_entities,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4518,6 +4541,24 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).class_convex_hull_sql(
             f"SELECT LANDCOVER, lon, lat FROM read_parquet('{root}/training_plots.parquet')"
         ),
+        "name_entities": f"""
+            WITH RECURSIVE prs AS MATERIALIZED (
+                SELECT name_a AS a, name_b AS b FROM (
+                    {__import__("kaza_lcms_ray.stages.fuzzy", fromlist=["fuzzy"]).fuzzy_name_pairs_sql("SELECT p_name FROM part", "p_name", 2)}
+                )
+            ),
+            und AS MATERIALIZED (
+                SELECT a AS x, b AS y FROM prs
+                UNION SELECT b, a FROM prs
+            ),
+            reach AS (
+                SELECT x AS node, x AS r FROM (SELECT DISTINCT x FROM und)
+                UNION
+                SELECT u.x AS node, reach.r
+                FROM und u JOIN reach ON reach.node = u.y
+            )
+            SELECT node AS name, MIN(r) AS entity
+            FROM reach GROUP BY node""",
         "weighted_median": __import__(
             "kaza_lcms_ray.stages.zonal", fromlist=["zonal"]
         ).grouped_weighted_quantile_sql(

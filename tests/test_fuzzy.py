@@ -73,3 +73,24 @@ def test_fuzzy_pairs_distinct_under_duplicate_rows(ray_session):
     assert out.iloc[0]["name_a"] == "blue bolt"
     assert out.iloc[0]["name_b"] == "bluebolt"
     assert out.iloc[0]["dist"] == 1
+
+
+def test_entity_resolution_transitive_chain(ray_session):
+    # "aaaa" ~ "aaab" ~ "aabb" chain: direct dist("aaaa","aabb")=2 <= k,
+    # but "cccc" ~ "cccd" is a separate entity; transitive closure must
+    # label each chain by its min name
+    from kaza_lcms_ray.stages import dedup
+
+    words = ["aaaa", "aaab", "aabb", "cccc", "cccd"]
+    ds = rd.from_arrow(pa.table({"name": pa.array(words)}))
+    pairs = fuzzy.fuzzy_name_pairs(ds, "name", max_dist=1).map_batches(
+        lambda t: pa.table({"a": t.column("name_a"), "b": t.column("name_b")}),
+        batch_format="pyarrow",
+    )
+    cl = dedup.min_label_clusters(pairs).to_pandas()
+    got = dict(zip(cl["node"], cl["cluster"]))
+    # with max_dist=1 the a-chain is connected only transitively
+    assert got == {
+        "aaaa": "aaaa", "aaab": "aaaa", "aabb": "aaaa",
+        "cccc": "cccc", "cccd": "cccc",
+    }
