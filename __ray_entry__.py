@@ -3401,6 +3401,21 @@ def q_weighted_median(sf_dir: str):
     )
 
 
+def q_dbscan(sf_dir: str):
+    """Exact planar DBSCAN over a doc-subset of geo points
+    (stages/cluster.dbscan): 3×3 grid-ring pair discovery (each eps-pair
+    emitted exactly once in the smaller-id home cell), two-phase neighbor
+    counts, spanning-forest CC for core clusters, grouped-MIN border
+    labels — density clustering beside k-means/IVF."""
+    from kaza_lcms_ray.stages import cluster
+
+    geo = _geo(sf_dir).filter(expr="doc_id < 'doc-000000002000'")
+    return _i64(
+        cluster.dbscan(geo, eps=0.05, min_pts=8),
+        ["id", "label", "is_core"],
+    )
+
+
 def q_name_entities(sf_dir: str):
     """End-to-end entity resolution over part names: exact edit-distance
     pairs (stages/fuzzy) → connected components (dedup.min_label_clusters,
@@ -3913,6 +3928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "class_hull": q_class_hull,
         "weighted_median": q_weighted_median,
         "name_entities": q_name_entities,
+        "dbscan": q_dbscan,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4541,6 +4557,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).class_convex_hull_sql(
             f"SELECT LANDCOVER, lon, lat FROM read_parquet('{root}/training_plots.parquet')"
         ),
+        "dbscan": f"""
+            WITH RECURSIVE {geo},
+            pts_in AS (
+                SELECT doc_id || '#' || CAST(span_idx AS VARCHAR) AS id,
+                       lon, lat
+                FROM geo WHERE doc_id < 'doc-000000002000'
+            ),
+            {__import__("kaza_lcms_ray.stages.cluster", fromlist=["cluster"]).dbscan_sql("SELECT * FROM pts_in", 0.05, 8)}""",
         "name_entities": f"""
             WITH RECURSIVE prs AS MATERIALIZED (
                 SELECT name_a AS a, name_b AS b FROM (

@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -452,3 +453,291 @@ def pq_topk(
 
     partial = codes.map_batches(search, batch_format="pyarrow")
     return _bucketed_topk_merge(partial, k_neighbors, id_col)
+
+
+def dbscan(
+    geo,
+    eps: float,
+    min_pts: int,
+    id_cols: tuple[str, str] = ("doc_id", "span_idx"),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    driver_pair_limit: int = 2_000_000,
+):
+    """Exact planar DBSCAN over geo points — density clustering, the
+    spatial complement of k-means (centroid) and IVF (routing).
+
+    Rules (all mirrored verbatim in the SQL oracle):
+      * neighbor: q ≠ p with (Δlon² + Δlat²) ≤ eps² (planar degrees);
+      * core: ≥ ``min_pts`` neighbors;
+      * cluster: connected component of core points under the eps-edge,
+        labeled by the component's MIN core id;
+      * border: non-core with ≥1 core neighbor → MIN label among its core
+        neighbors;  * noise: everything else, label ''.
+
+    Scale shape: points fan out to their 3×3 grid ring at the finest
+    level whose cell side ≥ eps (the withinDistance machinery,
+    sampling.spatial_near_dedup); each unordered eps-pair is emitted
+    EXACTLY ONCE (in the smaller-id point's home cell), so neighbor
+    counts are two-phase pair-side sums — never an n² pass.  Core-core
+    edges flow into the spanning-forest CC (dedup.min_label_clusters);
+    border labels are a two-phase grouped MIN.  Only the (bounded) pair
+    list is ever driver-side, guarded like spatial_near_dedup.
+
+    Output: (id:string, label:string, is_core:int64) for EVERY input
+    point; id = '{doc_id}#{span_idx}'.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..state import cells
+    from .dedup import exact_pairs_distinct, min_label_clusters
+    from .sampling import _level_for_distance
+
+    level = _level_for_distance(eps)
+    d2max = eps * eps
+    ncell = np.int64(1) << level
+
+    def mk_id(t: pa.Table) -> pa.Table:
+        did = t.column(id_cols[0]).cast(pa.string())
+        six = t.column(id_cols[1]).cast(pa.string())
+        pid = pc.binary_join_element_wise(did, six, "#")
+        return pa.table(
+            {
+                "id": pid,
+                lon_col: t.column(lon_col),
+                lat_col: t.column(lat_col),
+            }
+        )
+
+    pts = geo.select_columns(list(id_cols) + [lon_col, lat_col]).map_batches(
+        mk_id, batch_format="pyarrow"
+    )
+
+    def fanout(t: pa.Table) -> pa.Table:
+        lon = t.column(lon_col).to_numpy(zero_copy_only=False)
+        lat = t.column(lat_col).to_numpy(zero_copy_only=False)
+        ids = t.column("id")
+        ix, iy = cells.grid_coords(lon, lat, level)
+        cell_l, idx_l, home_l = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                ok = (jx >= 0) & (jx < ncell) & (jy >= 0) & (jy < ncell)
+                cell_l.append(cells.morton(jx[ok], jy[ok]))
+                idx_l.append(np.nonzero(ok)[0])
+                home_l.append(
+                    np.full(int(ok.sum()), dx == 0 and dy == 0, dtype=bool)
+                )
+        take = pa.array(np.concatenate(idx_l))
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(cell_l)),
+                "id": ids.take(take),
+                lon_col: pa.array(lon[np.concatenate(idx_l)]),
+                lat_col: pa.array(lat[np.concatenate(idx_l)]),
+                "home": pa.array(np.concatenate(home_l)),
+            }
+        )
+
+    fan = pts.map_batches(fanout, batch_format="pyarrow")
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        lon = g[lon_col].to_numpy()
+        lat = g[lat_col].to_numpy()
+        ids = g["id"].to_numpy()
+        home = g["home"].to_numpy()
+        dx = lon[:, None] - lon[None, :]
+        dy = lat[:, None] - lat[None, :]
+        close = (dx * dx + dy * dy) <= d2max
+        # emit exactly once: smaller id must be HOME in this cell
+        lt = ids[:, None] < ids[None, :]
+        ii, jj = np.nonzero(close & lt & home[:, None])
+        if ii.size == 0:
+            return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]}).drop_duplicates()
+
+    pair_ds = exact_pairs_distinct(
+        fan.groupby("cell").map_groups(cell_pairs, batch_format="pandas")
+    ).materialize()
+
+    # neighbor count per id = pair rows touching it (each eps-pair once)
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [
+                t.column("a").combine_chunks().cast(pa.large_string()),
+                t.column("b").combine_chunks().cast(pa.large_string()),
+            ]
+        )
+        out = (
+            pa.table({"id": both}).group_by("id").aggregate([([], "count_all")])
+        )
+        return out.rename_columns(["id", "cnt"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        pair_ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    core_df = counts.filter(expr=f"cnt >= {int(min_pts)}").to_pandas()
+    if len(core_df) and pair_ds.count() > driver_pair_limit:
+        raise ValueError(
+            f"dbscan: pair list exceeds driver_pair_limit={driver_pair_limit}"
+        )
+    # sorted unicode key arrays -> every membership / label probe below is
+    # a vectorized searchsorted, never a per-row Python hash lookup
+    ck = np.sort(core_df["id"].to_numpy().astype("U"))
+    core_ref = ray.put(ck)
+
+    def _probe(keys: np.ndarray, ids: np.ndarray):
+        if keys.size == 0:
+            return np.zeros(ids.shape[0], bool), np.zeros(ids.shape[0], np.int64)
+        pos = np.searchsorted(keys, ids)
+        pos_c = np.clip(pos, 0, keys.shape[0] - 1)
+        return keys[pos_c] == ids, pos_c
+
+    def core_edges(t: pa.Table) -> pa.Table:
+        keys = ray.get(core_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype("U")
+        b = t.column("b").to_numpy(zero_copy_only=False).astype("U")
+        ha, _ = _probe(keys, a)
+        hb, _ = _probe(keys, b)
+        return t.filter(pa.array(ha & hb))
+
+    ce = pair_ds.map_batches(core_edges, batch_format="pyarrow")
+    cl = min_label_clusters(ce).to_pandas()  # (node, cluster) for cores in edges
+    label_of = dict(zip(cl["node"], cl["cluster"]))
+    cv = np.array([label_of.get(k, k) for k in ck], dtype="U") if ck.size else ck
+    # (isolated cores — no core-core edge — label themselves)
+    label_ref = ray.put((ck, cv))
+
+    # border: non-core endpoint of a pair whose other endpoint is core
+    def border_partial(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(label_ref)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype("U")
+        b = t.column("b").to_numpy(zero_copy_only=False).astype("U")
+        out_id, out_lab = [], []
+        for x, y in ((a, b), (b, a)):
+            hx, _ = _probe(keys, x)
+            hy, py = _probe(keys, y)
+            m = (~hx) & hy
+            out_id.append(x[m])
+            out_lab.append(vals[py[m]] if keys.size else x[m][:0])
+        ids_a = np.concatenate(out_id)
+        labs_a = np.concatenate(out_lab)
+        out = (
+            pa.table(
+                {
+                    "id": pa.array(ids_a.astype(object), pa.string()),
+                    "lab": pa.array(labs_a.astype(object), pa.string()),
+                }
+            )
+            .group_by("id")
+            .aggregate([("lab", "min")])
+        )
+        return out.rename_columns(["id", "lab"])
+
+    from ray.data.aggregate import Min
+
+    border = (
+        pair_ds.map_batches(border_partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Min("lab", alias_name="lab"))
+        .to_pandas()
+    )
+    if len(border) == 0 or "id" not in border.columns:
+        # empty Dataset.to_pandas() loses its column names (known Ray quirk)
+        bk = np.empty(0, dtype="U1")
+        bv = np.empty(0, dtype="U1")
+    else:
+        bids = border["id"].to_numpy().astype("U")
+        order = np.argsort(bids)
+        bk = bids[order]
+        bv = border["lab"].to_numpy().astype("U")[order]
+    border_ref = ray.put((bk, bv))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(label_ref)
+        bkeys, bvals = ray.get(border_ref)
+        ids = t.column("id").to_numpy(zero_copy_only=False).astype("U")
+        hc, pc_ = _probe(keys, ids)
+        hb, pb = _probe(bkeys, ids)
+        lab = np.full(ids.shape[0], "", object)
+        if keys.size:
+            lab[hc] = vals[pc_[hc]]
+        if bkeys.size:
+            sel = hb & ~hc
+            lab[sel] = bvals[pb[sel]]
+        return pa.table(
+            {
+                "id": t.column("id"),
+                "label": pa.array(lab, pa.string()),
+                "is_core": pa.array(hc.astype(np.int64)),
+            }
+        )
+
+    return pts.map_batches(finalize, batch_format="pyarrow")
+
+
+def dbscan_sql(points_sql: str, eps: float, min_pts: int) -> str:
+    """Oracle twin of :func:`dbscan` — brute-force O(n²) eps-join +
+    recursive-CTE components over a bounded point subset.  ``points_sql``
+    must yield (id, lon, lat).  Returns a CTE fragment + final SELECT to
+    embed after ``WITH RECURSIVE`` (the dreach CTE is recursive)."""
+    return f"""
+        dbp AS MATERIALIZED (
+            SELECT * FROM ({points_sql})
+        ),
+        de AS MATERIALIZED (
+            SELECT a.id AS ia, b.id AS ib
+            FROM dbp a JOIN dbp b ON a.id < b.id
+             AND ((a.lon - b.lon) * (a.lon - b.lon)
+                + (a.lat - b.lat) * (a.lat - b.lat)) <= {eps!r} * {eps!r}
+        ),
+        dcnt AS (
+            SELECT id, COUNT(*) AS cnt FROM (
+                SELECT ia AS id FROM de UNION ALL SELECT ib FROM de
+            ) GROUP BY id
+        ),
+        dcore AS MATERIALIZED (
+            SELECT id FROM dcnt WHERE cnt >= {int(min_pts)}
+        ),
+        dce AS MATERIALIZED (
+            SELECT ia, ib FROM de
+            WHERE ia IN (SELECT id FROM dcore)
+              AND ib IN (SELECT id FROM dcore)
+        ),
+        dund AS MATERIALIZED (
+            SELECT ia AS x, ib AS y FROM dce UNION SELECT ib, ia FROM dce
+        ),
+        dreach AS (
+            SELECT x AS node, x AS r FROM (SELECT DISTINCT x FROM dund)
+            UNION
+            SELECT u.x AS node, dreach.r
+            FROM dund u JOIN dreach ON dreach.node = u.y
+        ),
+        dlab AS (
+            SELECT c.id, COALESCE(m.lbl, c.id) AS label
+            FROM dcore c LEFT JOIN (
+                SELECT node, MIN(r) AS lbl FROM dreach GROUP BY node
+            ) m ON m.node = c.id
+        ),
+        dborder AS (
+            SELECT t.id, MIN(l.label) AS label FROM (
+                SELECT ia AS id, ib AS nb FROM de
+                UNION ALL SELECT ib, ia FROM de
+            ) t
+            JOIN dlab l ON l.id = t.nb
+            WHERE t.id NOT IN (SELECT id FROM dcore)
+            GROUP BY t.id
+        )
+        SELECT p.id,
+               COALESCE(cl.label, bl.label, '') AS label,
+               CAST(CASE WHEN cl.id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS is_core
+        FROM dbp p
+        LEFT JOIN dlab cl ON cl.id = p.id
+        LEFT JOIN dborder bl ON bl.id = p.id"""

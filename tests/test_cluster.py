@@ -246,3 +246,104 @@ def test_ivf_nprobe_full_is_exact(ray_session):
         expect = ids[np.lexsort((ids, dist))[:k]]
         got = out[out["qid"] == qid].sort_values("rank")["vec_id"].to_numpy()
         assert (got == expect).all()
+
+
+def _dbscan_brute(ids, xs, ys, eps, min_pts):
+    import numpy as np
+
+    n = len(ids)
+    dx = xs[:, None] - xs[None, :]
+    dy = ys[:, None] - ys[None, :]
+    close = (dx * dx + dy * dy) <= eps * eps
+    np.fill_diagonal(close, False)
+    cnt = close.sum(1)
+    core = cnt >= min_pts
+    # components over core-core edges, label = min id
+    parent = {i: i for i in range(n) if core[i]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in range(i + 1, n):
+            if core[j] and close[i, j]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    # min ID STRING per component
+    comp_members: dict = {}
+    for i in range(n):
+        if core[i]:
+            comp_members.setdefault(find(i), []).append(i)
+    lab = {}
+    for root, members in comp_members.items():
+        m = min(ids[i] for i in members)
+        for i in members:
+            lab[i] = m
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[ids[i]] = (lab[i], 1)
+        else:
+            cores_near = [lab[j] for j in range(n) if core[j] and close[i, j]]
+            out[ids[i]] = (min(cores_near) if cores_near else "", 0)
+    return out
+
+
+def test_dbscan_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import cluster as cl
+
+    rng = np.random.default_rng(9)
+    # two dense blobs straddling grid-cell boundaries + sprinkled noise
+    n1, n2, nn = 40, 30, 25
+    xs = np.concatenate(
+        [
+            rng.normal(20.0, 0.01, n1),      # near a cell corner
+            rng.normal(20.35, 0.012, n2),
+            rng.uniform(19.5, 21.0, nn),
+        ]
+    )
+    ys = np.concatenate(
+        [
+            rng.normal(-15.0, 0.01, n1),
+            rng.normal(-15.2, 0.012, n2),
+            rng.uniform(-15.8, -14.5, nn),
+        ]
+    )
+    n = len(xs)
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "span_idx": np.zeros(n, np.int32),
+            "lon": xs,
+            "lat": ys,
+        }
+    )
+    eps, min_pts = 0.05, 5
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = cl.dbscan(ds, eps=eps, min_pts=min_pts).to_pandas()
+    got = {r.id: (r.label, r.is_core) for r in out.itertuples()}
+    ids = np.array([f"d{i:04d}#0" for i in range(n)])
+    want = _dbscan_brute(ids, xs, ys, eps, min_pts)
+    assert got == want
+    # reshard invariance
+    out2 = (
+        cl.dbscan(
+            rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6),
+            eps=eps,
+            min_pts=min_pts,
+        )
+        .to_pandas()
+    )
+    got2 = {r.id: (r.label, r.is_core) for r in out2.itertuples()}
+    assert got2 == want
