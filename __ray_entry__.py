@@ -3401,6 +3401,19 @@ def q_weighted_median(sf_dir: str):
     )
 
 
+def q_events_rollmed(sf_dir: str):
+    """Per-user rolling lower median of the last 7 values
+    (stages/events.rolling_median): integer rank pick on cents — no SQL
+    median() interpolation ambiguity; vectorized sliding-window sort per
+    bounded user group."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.rolling_median(_tbl(sf_dir, "events")),
+        ["event_id", "user_id", "roll_med_c"],
+    )
+
+
 def q_dbscan(sf_dir: str):
     """Exact planar DBSCAN over a doc-subset of geo points
     (stages/cluster.dbscan): 3×3 grid-ring pair discovery (each eps-pair
@@ -3929,6 +3942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "name_entities": q_name_entities,
         "dbscan": q_dbscan,
+        "events_rollmed": q_events_rollmed,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4557,6 +4571,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).class_convex_hull_sql(
             f"SELECT LANDCOVER, lon, lat FROM read_parquet('{root}/training_plots.parquet')"
         ),
+        "events_rollmed": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).rolling_median_sql(),
         "dbscan": f"""
             WITH RECURSIVE {geo},
             pts_in AS (

@@ -1515,3 +1515,88 @@ def ks_drift_sql(events_sql: str) -> str:
         FROM kr
         WHERE n1 > 0 AND n2 > 0
         GROUP BY event_type, n1, n2"""
+
+
+def rolling_median(
+    ds,
+    window: int = 7,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Per-key rolling LOWER median of the last ``window`` values ordered
+    by (ts, event_id) — the robust windowed statistic (median smoothing /
+    outlier-resistant trend) Ray Data has no primitive for.
+
+    Rule (identical in SQL): over the ≤window most recent values, the
+    element at 1-based sorted rank ceil(cnt/2) — an integer rank pick on
+    ×100-cents values, never an interpolated float (SQL ``median()`` is
+    interpolation-ambiguous on even counts; a rank rule is not).
+
+    Scale shape: co-partition by key, one in-group mergesort, then a
+    vectorized sliding-window sort (n×window matrix per group, groups
+    bounded per user).
+
+    Output: (event_id, key, roll_med_c:int64).
+    """
+    import numpy as np
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        cents = to_cents(g[val_col].to_numpy())
+        n = cents.shape[0]
+        # window matrix with +inf padding before the series start
+        pad = np.full(window - 1, np.iinfo(np.int64).max, np.int64)
+        ext = np.concatenate([pad, cents])
+        idx = np.arange(n)[:, None] + np.arange(window)[None, :]
+        win = np.sort(ext[idx], axis=1)  # padding sorts to the high end
+        cnt = np.minimum(np.arange(n) + 1, window)
+        med = win[np.arange(n), (cnt - 1) // 2]  # rank ceil(cnt/2), 0-based
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                key: g[key].to_numpy(),
+                "roll_med_c": med,
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col, val_col])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def rolling_median_sql(
+    window: int = 7,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> str:
+    """Oracle twin of :func:`rolling_median` — explicit rank pick over a
+    band self-join (no dependence on SQL median() semantics)."""
+    return f"""
+        WITH rm_r AS (
+            SELECT event_id, {key},
+                   CAST(round({val_col} * 100, 0) AS BIGINT) AS v_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key} ORDER BY {ts_col}, event_id
+                   ) AS rn
+            FROM events
+        ),
+        rm_w AS (
+            SELECT a.event_id, a.{key}, a.rn, b.v_c
+            FROM rm_r a JOIN rm_r b
+              ON b.{key} = a.{key}
+             AND b.rn BETWEEN a.rn - {window - 1} AND a.rn
+        ),
+        rm_k AS (
+            SELECT event_id, {key}, v_c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key}, rn ORDER BY v_c
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY {key}, rn) AS cnt
+            FROM rm_w
+        )
+        SELECT event_id, {key}, CAST(v_c AS BIGINT) AS roll_med_c
+        FROM rm_k WHERE rk = (cnt + 1) // 2"""

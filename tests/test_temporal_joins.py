@@ -385,3 +385,33 @@ def test_ks_drift_hand_check(ray_session):
         assert a["d_num"] == 4 and a["d"] == 1.0
         b = out.iloc[1]
         assert b["d_num"] == 0 and b["d"] == 0.0
+
+
+def test_rolling_median_rank_rule(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    # one user, values 5,1,9,2 -> window 3 lower medians:
+    # [5]->5, [5,1]->1 (lower of even), [5,1,9]->5, [1,9,2]->2
+    df = pd.DataFrame(
+        {
+            "event_id": ["e1", "e2", "e3", "e4"],
+            "user_id": ["u"] * 4,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00",
+                 "2024-01-01 02:00", "2024-01-01 03:00"]
+            ),
+            "value": [5.0, 1.0, 9.0, 2.0],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        events.rolling_median(ds, window=3)
+        .to_pandas()
+        .set_index("event_id")["roll_med_c"]
+    )
+    assert out.to_dict() == {"e1": 500, "e2": 100, "e3": 500, "e4": 200}
