@@ -3401,6 +3401,20 @@ def q_weighted_median(sf_dir: str):
     )
 
 
+def q_dem_contours(sf_dir: str):
+    """Marching-squares isolines of the analytic DEM at elevation 0 over
+    the occupied cells (stages/terrain.dem_contours): stateless — the
+    closed-form DEM needs no halo exchange; the 16-case table (saddles
+    resolved on the center mean) is derived once and shared verbatim
+    with the SQL oracle."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.dem_contours(_geo(sf_dir)),
+        ["cell_id", "seg", "x1", "y1", "x2", "y2"],
+    )
+
+
 def q_events_rollmed(sf_dir: str):
     """Per-user rolling lower median of the last 7 values
     (stages/events.rolling_median): integer rank pick on cents — no SQL
@@ -3943,6 +3957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_entities": q_name_entities,
         "dbscan": q_dbscan,
         "events_rollmed": q_events_rollmed,
+        "dem_contours": q_dem_contours,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
@@ -4574,6 +4589,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_rollmed": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).rolling_median_sql(),
+        "dem_contours": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.terrain", fromlist=["terrain"]).dem_contours_sql("SELECT cell_id FROM cells")}""",
         "dbscan": f"""
             WITH RECURSIVE {geo},
             pts_in AS (

@@ -344,3 +344,192 @@ def hillshade_cells(
         )
 
     return looked.map_batches(shade, batch_format="pyarrow")
+
+
+# ---- marching-squares contour extraction over the analytic DEM ----------
+#
+# Corners of a cell (grid coords): A=(ix,iy) B=(ix+1,iy) C=(ix+1,iy+1)
+# D=(ix,iy+1); edges 0=AB 1=BC 2=CD 3=DA.  Case index bit i = (corner i's
+# elevation >= level).  The 16-case table is DERIVED (crossed edges = the
+# exactly-two state changes; the two saddles 5/10 disambiguate on the
+# center mean) and SHARED verbatim with the SQL oracle as a VALUES list —
+# one rule, both branches.
+
+MS_EDGES = ((0, 1), (1, 2), (2, 3), (3, 0))  # edge -> (corner P, corner Q)
+
+
+def _ms_case_table() -> dict:
+    """case_key (= idx*2 + center_above_bit) → list of (e1, e2) segments,
+    each normalized (e1 < e2)."""
+    table = {}
+    for idx in range(16):
+        above = [(idx >> i) & 1 for i in range(4)]
+        crossed = [e for e, (p, q) in enumerate(MS_EDGES) if above[p] != above[q]]
+        for cbit in (0, 1):
+            key = idx * 2 + cbit
+            if len(crossed) == 0:
+                table[key] = []
+            elif len(crossed) == 2:
+                table[key] = [(crossed[0], crossed[1])]
+            elif idx == 5:  # A,C above: center above joins them
+                table[key] = [(0, 1), (2, 3)] if cbit else [(0, 3), (1, 2)]
+            else:  # idx == 10 — B,D above
+                table[key] = [(0, 3), (1, 2)] if cbit else [(0, 1), (2, 3)]
+    return table
+
+
+def dem_contours(geo, level: int = cells.CELL_LEVEL, contour: float = 0.0):
+    """Marching-squares contour segments of the analytic DEM at elevation
+    ``contour`` over every OCCUPIED cell — the vector isoline extraction
+    under every terrain map (reference analog: the DEM products of
+    src/misc/sentinel1.py:82's SRTM join).
+
+    Scale shape: distinct cells (skinny two-phase) → one STATELESS
+    map_batches (the DEM is closed-form — no halo exchange, no join);
+    per-edge crossing points are four vectorized interpolations and the
+    case dispatch is ≤32 mask selections.  Every double expression
+    (corner lon/lat, elevation, interpolation t) mirrors the oracle
+    operation-for-operation.
+
+    Output: (cell_id, seg:int64, x1, y1, x2, y2) — lon/lat endpoints.
+    """
+    from ..state.dem import elev
+    from .joins import distinct
+
+    nn = float(np.int64(1) << level)
+    table = _ms_case_table()
+    lvl = float(contour)
+
+    def segs(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        ix, iy = cells.decode(cid.astype(np.uint64), level)
+        fx = ix.astype(np.float64)
+        fy = iy.astype(np.float64)
+        lon0 = fx / nn * 360.0 - 180.0
+        lon1 = (fx + 1.0) / nn * 360.0 - 180.0
+        lat0 = fy / nn * 180.0 - 90.0
+        lat1 = (fy + 1.0) / nn * 180.0 - 90.0
+        cx = (lon0, lon1, lon1, lon0)  # corner lon A,B,C,D
+        cy = (lat0, lat0, lat1, lat1)  # corner lat A,B,C,D
+        v = [elev(cx[i], cy[i]) for i in range(4)]
+        above = [(v[i] >= lvl) for i in range(4)]
+        idx = (
+            above[0].astype(np.int64)
+            + 2 * above[1].astype(np.int64)
+            + 4 * above[2].astype(np.int64)
+            + 8 * above[3].astype(np.int64)
+        )
+        center = (v[0] + v[1] + v[2] + v[3]) / 4.0
+        key = idx * 2 + (center >= lvl).astype(np.int64)
+        # crossing point per edge (valid only where the edge is crossed)
+        ex, ey = [], []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for e, (p, q) in enumerate(MS_EDGES):
+                tt = (lvl - v[p]) / (v[q] - v[p])
+                ex.append(cx[p] + tt * (cx[q] - cx[p]))
+                ey.append(cy[p] + tt * (cy[q] - cy[p]))
+        out_cid, out_seg, o_x1, o_y1, o_x2, o_y2 = [], [], [], [], [], []
+        for k, seg_list in table.items():
+            if not seg_list:
+                continue
+            m = key == k
+            if not m.any():
+                continue
+            for seg_no, (e1, e2) in enumerate(seg_list):
+                out_cid.append(cid[m])
+                out_seg.append(np.full(int(m.sum()), seg_no, np.int64))
+                o_x1.append(ex[e1][m])
+                o_y1.append(ey[e1][m])
+                o_x2.append(ex[e2][m])
+                o_y2.append(ey[e2][m])
+        if not out_cid:
+            return pa.table(
+                {
+                    "cell_id": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.int64()),
+                    "x1": pa.array([], pa.float64()),
+                    "y1": pa.array([], pa.float64()),
+                    "x2": pa.array([], pa.float64()),
+                    "y2": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "cell_id": pa.array(np.concatenate(out_cid)),
+                "seg": pa.array(np.concatenate(out_seg)),
+                "x1": pa.array(np.concatenate(o_x1)),
+                "y1": pa.array(np.concatenate(o_y1)),
+                "x2": pa.array(np.concatenate(o_x2)),
+                "y2": pa.array(np.concatenate(o_y2)),
+            }
+        )
+
+    occupied = distinct(geo.select_columns(["cell_id"]), ["cell_id"])
+    return occupied.map_batches(segs, batch_format="pyarrow")
+
+
+def dem_contours_sql(
+    cells_sql: str, level: int = cells.CELL_LEVEL, contour: float = 0.0
+) -> str:
+    """Oracle twin of :func:`dem_contours` — the same derived case table
+    as a VALUES join, identical corner/interpolation doubles."""
+    from ..state.dem import elev_sql
+
+    nn = float(np.int64(1) << level)
+    ixe = cells.morton_decode_sql_expr("cell_id", level, "x")
+    iye = cells.morton_decode_sql_expr("cell_id", level, "y")
+    lvl = repr(float(contour))
+    rows = []
+    for k, seg_list in _ms_case_table().items():
+        for seg_no, (e1, e2) in enumerate(seg_list):
+            rows.append(f"({k}, {seg_no}, {e1}, {e2})")
+    vals = ", ".join(rows)
+
+    def pt(axis: str, edge_col: str) -> str:
+        # interp along edge id: x/y = P + t * (Q - P), t = (L - vP)/(vQ - vP)
+        cases = []
+        names = ("a", "b", "c", "d")
+        coords = {
+            "x": ("lon0", "lon1", "lon1", "lon0"),
+            "y": ("lat0", "lat0", "lat1", "lat1"),
+        }[axis]
+        for e, (p, q) in enumerate(MS_EDGES):
+            tt = f"(({lvl} - v{names[p]}) / (v{names[q]} - v{names[p]}))"
+            cases.append(
+                f"WHEN {e} THEN {coords[p]} + {tt} * ({coords[q]} - {coords[p]})"
+            )
+        return f"CASE {edge_col} " + " ".join(cases) + " END"
+
+    return f"""
+            ms_dc AS (SELECT DISTINCT cell_id FROM ({cells_sql})),
+            ms_geom AS (
+                SELECT cell_id,
+                       CAST({ixe} AS DOUBLE) / {nn!r} * 360.0 - 180.0 AS lon0,
+                       (CAST({ixe} AS DOUBLE) + 1.0) / {nn!r} * 360.0 - 180.0 AS lon1,
+                       CAST({iye} AS DOUBLE) / {nn!r} * 180.0 - 90.0 AS lat0,
+                       (CAST({iye} AS DOUBLE) + 1.0) / {nn!r} * 180.0 - 90.0 AS lat1
+                FROM ms_dc
+            ),
+            ms_v AS (
+                SELECT *,
+                       {elev_sql("lon0", "lat0")} AS va,
+                       {elev_sql("lon1", "lat0")} AS vb,
+                       {elev_sql("lon1", "lat1")} AS vc,
+                       {elev_sql("lon0", "lat1")} AS vd
+                FROM ms_geom
+            ),
+            ms_k AS (
+                SELECT *,
+                       (CASE WHEN va >= {lvl} THEN 1 ELSE 0 END
+                        + 2 * CASE WHEN vb >= {lvl} THEN 1 ELSE 0 END
+                        + 4 * CASE WHEN vc >= {lvl} THEN 1 ELSE 0 END
+                        + 8 * CASE WHEN vd >= {lvl} THEN 1 ELSE 0 END) * 2
+                       + CASE WHEN (va + vb + vc + vd) / 4.0 >= {lvl}
+                              THEN 1 ELSE 0 END AS ckey
+                FROM ms_v
+            ),
+            ms_tab(ckey, seg, e1, e2) AS (VALUES {vals})
+            SELECT k.cell_id, CAST(t.seg AS BIGINT) AS seg,
+                   {pt("x", "t.e1")} AS x1, {pt("y", "t.e1")} AS y1,
+                   {pt("x", "t.e2")} AS x2, {pt("y", "t.e2")} AS y2
+            FROM ms_k k JOIN ms_tab t ON t.ckey = k.ckey"""

@@ -169,3 +169,53 @@ def test_sample_pts_pipeline_shapes(synth_small, ray_session):
     assert pts.PLOTID.str.startswith("0_").all()
     assert (pts.PLOTID == pts.SAMPLEID).all()
     assert pts.PLOTID.is_unique
+
+
+def test_ms_case_table_shape():
+    from kaza_lcms_ray.stages import terrain
+
+    tab = terrain._ms_case_table()
+    assert len(tab) == 32
+    for k, segs in tab.items():
+        idx = k // 2
+        n_above = bin(idx).count("1")
+        if idx in (0, 15):
+            assert segs == []
+        elif idx in (5, 10):
+            assert len(segs) == 2
+        else:
+            assert len(segs) == 1
+        for e1, e2 in segs:
+            assert 0 <= e1 < e2 <= 3
+
+
+def test_dem_contours_points_on_level(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.state import cells as cellmod
+    from kaza_lcms_ray.state.dem import elev
+    from kaza_lcms_ray.stages import terrain
+
+    # occupied cells across the AOI
+    lon = np.linspace(20.0, 26.9, 60)
+    lat = np.linspace(-19.9, -13.1, 60)
+    cid = cellmod.encode(lon, lat, cellmod.CELL_LEVEL).astype(np.int64)
+    geo = rd.from_arrow(pa.table({"cell_id": pa.array(np.unique(cid))}))
+    out = terrain.dem_contours(geo, contour=0.0).to_pandas()
+    assert len(out) > 0
+    # every emitted endpoint interpolates the DEM to ~the contour level
+    for x, y in [("x1", "y1"), ("x2", "y2")]:
+        e = elev(out[x].to_numpy(), out[y].to_numpy())
+        # linear interpolation of a smooth field across ~0.09 deg cells:
+        # loose tolerance, but melts if the case table or interp is wrong
+        assert np.abs(e).max() < 25.0
+    # endpoints lie on the cell boundary (one coord at a grid line)
+    n = float(1 << cellmod.CELL_LEVEL)
+    for x, y in [("x1", "y1"), ("x2", "y2")]:
+        gx = (out[x].to_numpy() + 180.0) / 360.0 * n
+        gy = (out[y].to_numpy() + 90.0) / 180.0 * n
+        on_x = np.abs(gx - np.round(gx)) < 1e-6
+        on_y = np.abs(gy - np.round(gy)) < 1e-6
+        assert (on_x | on_y).all()
