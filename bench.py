@@ -276,6 +276,38 @@ def run_bench() -> dict:
     timed("cell_trend", lambda: zonal.cell_trend(geo(), band=3).count())
     timed("local_morans", lambda: zonal.local_morans(geo(), band=3, k=1).count())
     timed("idw_fill", lambda: zonal.idw_fill(geo(), band=3, max_ring=2).count())
+    # round-4 session additions: supersampled coverage, DEM isolines, and
+    # the Q21-shaped pair-table join over the relational testdata
+    from kaza_lcms_ray.stages import terrain as terrain_mod
+
+    timed(
+        "cell_coverage",
+        lambda: pip.cell_coverage(
+            geo(), f"{root}/polygons.parquet", kinds=["reference"]
+        ).count(),
+    )
+    timed("dem_contours", lambda: terrain_mod.dem_contours(geo()).count())
+    li_tbl = f"{sf_dir}/lineitem.parquet"
+    if os.path.exists(li_tbl):
+        from kaza_lcms_ray.pipelines import analytics
+
+        timed(
+            "waiting_suppliers",
+            lambda: analytics.waiting_suppliers(
+                rd.read_parquet(li_tbl),
+                rd.read_parquet(f"{sf_dir}/orders.parquet"),
+                rd.read_parquet(f"{sf_dir}/supplier.parquet"),
+            ).count(),
+        )
+        timed(
+            "weighted_median",
+            lambda: zonal.grouped_weighted_quantile(
+                rd.read_parquet(li_tbl),
+                ["l_returnflag"],
+                "l_extendedprice",
+                "l_quantity",
+            ).count(),
+        )
 
     ray.shutdown()
     return {
