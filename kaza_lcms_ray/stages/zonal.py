@@ -85,6 +85,44 @@ def bucketed_sum(
     )
 
 
+def bucketed_combine(
+    partial,
+    keys: list[str],
+    aggs: dict[str, str],
+    num_buckets: int | None = None,
+    recombine_batch_size: int | None = 512 * 1024,
+    rows_hint: int | None = None,
+):
+    """``bucketed_sum`` generalized to mixed per-column reductions
+    ('sum' | 'max' | 'min') — exact for any order-insensitive combine.
+    Same ONE-int64-bucket exchange instead of a full sort-based groupby
+    (Ray's sort pays seconds of fixed cost per all-to-all at any size)."""
+    nb = num_buckets or _default_buckets(rows_hint)
+    cols = list(aggs)
+
+    if recombine_batch_size:
+
+        def repartial(t: pa.Table) -> pa.Table:
+            out = t.group_by(keys).aggregate([(c, aggs[c]) for c in cols])
+            return out.rename_columns(keys + cols)
+
+        partial = partial.map_batches(
+            repartial, batch_format="pyarrow", batch_size=recombine_batch_size
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(
+            {c: aggs[c] for c in cols}
+        )
+
+    return (
+        _add_bucket(partial, keys, nb)
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(keys + cols)
+    )
+
+
 def zonal_sums(geo, keys=("cell_id", "year"), bands=(3,)):
     """Grouped n + per-band exact scaled-cent SUMS (int64) — the
     un-finalized half of zonal_counts, for consumers that need the integer
