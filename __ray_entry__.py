@@ -895,6 +895,19 @@ def q_inflow_count(sf_dir: str):
     )
 
 
+def q_flow_accum(sf_dir: str):
+    """D8 flow accumulation (stages/terrain.flow_accumulation): integer
+    upstream-cell counts over the flow_dir winner forest — distributed
+    winner fan + vectorized topological leaf-peel over the AOI-bounded
+    skinny edge list, recursive-CTE path-walk oracle."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.flow_accumulation(_geo(sf_dir)),
+        ["cell_id", "flow_dir", "acc"],
+    )
+
+
 def q_dist_transform(sf_dir: str):
     """Capped Chebyshev distance transform to the dense-vegetation mask
     (stages/zonal.dist_transform): integer mask rule s > 55·n, ring fan
@@ -3986,6 +3999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dist_transform": q_dist_transform,
         "flow_dir": q_flow_dir,
         "inflow_count": q_inflow_count,
+        "flow_accum": q_flow_accum,
         "raster_pyramid": q_raster_pyramid,
         "revenue_rollup": q_revenue_rollup,
         "mmr_select": q_mmr_select,
@@ -5075,6 +5089,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "hillshade": _hillshade_sql(root),
         "flow_dir": _flow_dir_sql(root),
         "inflow_count": _inflow_sql(root),
+        "flow_accum": _flow_accum_sql(root),
         "planet_stack": _planet_sql(root),
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
@@ -6737,6 +6752,96 @@ def _inflow_sql(root: str) -> str:
                CASE WHEN w.g > 0 THEN w.code ELSE 0 END AS flow_dir,
                COALESCE(c.n, 0) AS inflow
         FROM fw w LEFT JOIN fcnt c ON c.cell_id = w.cell_id"""
+
+
+def _flow_accum_sql(root: str) -> str:
+    """D8 flow-accumulation replay: the _flow_dir_sql winner chain, the
+    occupied-target edge list, then a RECURSIVE path walk — each
+    (descendant, ancestor) visit is one row, grouped counts per ancestor.
+    Acyclic by construction (every edge strictly decreases elevation),
+    so the recursion terminates; sf0.01 scale: 12.9k cells, max path 50,
+    ~250k path rows."""
+    import math
+
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    tgt = morton_sql_expr("(w.ix + o.dx)", "(w.iy + o.dy)", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+    hi = (1 << CELL_LEVEL) - 1
+    s2 = repr(math.sqrt(2.0))
+    offs = ", ".join(
+        f"({dx}, {dy}, {code}, {s2 if dx != 0 and dy != 0 else '1.0'})"
+        for dx, dy, code in (
+            (1, 0, 1),
+            (1, -1, 2),
+            (0, -1, 4),
+            (-1, -1, 8),
+            (-1, 0, 16),
+            (-1, 1, 32),
+            (0, 1, 64),
+            (1, 1, 128),
+        )
+    )
+
+    def ctr_lon(ix):
+        return f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(iy):
+        return f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    return f"""
+        WITH RECURSIVE {_geo_cte(root)},
+        fg AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        fe AS (
+            SELECT ix, iy, {cell} AS cell_id,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS e0
+            FROM fg
+        ),
+        fo AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, code, den)),
+        ff AS (
+            SELECT f.cell_id, f.ix, f.iy, o.code,
+                   (f.e0 - {elev_sql(ctr_lon("(f.ix + o.dx)"),
+                                     ctr_lat("(f.iy + o.dy)"))}) / o.den AS g
+            FROM fe f CROSS JOIN fo o
+            WHERE f.ix + o.dx BETWEEN 0 AND {hi}
+              AND f.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        fw AS (
+            SELECT cell_id, ix, iy, code, g FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY cell_id ORDER BY g DESC, code ASC
+                       ) AS rn
+                FROM ff
+            ) WHERE rn = 1
+        ),
+        fedge AS (
+            SELECT w.cell_id AS src, {tgt} AS tgt
+            FROM fw w JOIN fo o ON o.code = w.code
+            WHERE w.g > 0
+              AND {tgt} IN (SELECT cell_id FROM fw)
+        ),
+        fpath AS (
+            SELECT src AS u, tgt AS cur FROM fedge
+            UNION ALL
+            SELECT p.u, e.tgt FROM fpath p JOIN fedge e ON e.src = p.cur
+        ),
+        facc AS (
+            SELECT cur AS cell_id, CAST(COUNT(*) AS BIGINT) AS acc
+            FROM fpath GROUP BY cur
+        )
+        SELECT w.cell_id,
+               CAST(CASE WHEN w.g > 0 THEN w.code ELSE 0 END AS BIGINT)
+                   AS flow_dir,
+               COALESCE(a.acc, 0) AS acc
+        FROM fw w LEFT JOIN facc a ON a.cell_id = w.cell_id"""
 
 
 def _hillshade_sql(root: str, azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> str:

@@ -269,3 +269,38 @@ def test_jsonl_round_trip_preserves_unicode(ray_session, tmp_path):
     )
     assert back["text"].tolist() == df["text"].tolist()
     assert list(back.columns) == ["doc_id", "text"]  # selector projected n away
+
+
+def test_flow_accumulation_bruteforce(ray_session, synth_small):
+    """acc equals the brute-force path-walk count: for every cell u,
+    walk u's winner chain (occupied targets only) and +1 each visited
+    ancestor; Σ acc = Σ path lengths; ridges have acc = 0."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain
+    from kaza_lcms_ray.state import cells as C
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    out = terrain.flow_accumulation(geo).to_pandas()
+    assert len(out) > 0
+    dxdy = {c: (dx, dy) for dx, dy, c in terrain.D8_OFFSETS}
+    fd = dict(zip(out["cell_id"].tolist(), out["flow_dir"].tolist()))
+    expected = {c: 0 for c in fd}
+    for u, d in fd.items():
+        cur = u
+        while True:
+            d = fd[cur]
+            if d == 0:
+                break
+            ix, iy = C.decode(np.array([cur]), C.CELL_LEVEL)
+            dx, dy = dxdy[int(d)]
+            tgt = int(C.morton(ix + dx, iy + dy)[0])
+            if tgt not in fd:
+                break
+            expected[tgt] += 1
+            cur = tgt
+    got = dict(zip(out["cell_id"].tolist(), out["acc"].tolist()))
+    assert got == expected
+    assert (out["acc"] == 0).any()
