@@ -895,6 +895,19 @@ def q_inflow_count(sf_dir: str):
     )
 
 
+def q_compact_cells(sf_dir: str):
+    """Quadtree compaction of the occupied-cell set (stages/zonal.
+    compact_cells): the H3 compact analog — complete sibling quads
+    promoted recursively, minimal mixed-level cover; shrinking bucketed
+    counts + broadcast full-parent probe per round."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.compact_cells(_geo(sf_dir)),
+        ["cell_id", "level"],
+    )
+
+
 def q_flow_accum(sf_dir: str):
     """D8 flow accumulation (stages/terrain.flow_accumulation): integer
     upstream-cell counts over the flow_dir winner forest — distributed
@@ -4000,6 +4013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_dir": q_flow_dir,
         "inflow_count": q_inflow_count,
         "flow_accum": q_flow_accum,
+        "compact_cells": q_compact_cells,
         "raster_pyramid": q_raster_pyramid,
         "revenue_rollup": q_revenue_rollup,
         "mmr_select": q_mmr_select,
@@ -4554,6 +4568,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "raster_pyramid": f"""
             WITH {geo}, {cells}
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).raster_pyramid_sql("SELECT * FROM cells", band=3)}""",
+        "compact_cells": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).compact_cells_sql("SELECT cell_id FROM cells")}""",
         "dist_transform": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).dist_transform_sql("SELECT * FROM cells", band=3, thresh_pct=55, max_ring=3)}""",

@@ -2118,6 +2118,117 @@ def raster_pyramid(geo, band: int = 3, levels_up=(1, 2)):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def compact_cells(geo, level: int = CELL_LEVEL, min_level: int = 6):
+    """Quadtree compaction of the occupied-cell set — the H3
+    `compact_cells` analog over the engine's Morton grid: replace every
+    COMPLETE sibling quad (all 4 children occupied) by its parent,
+    recursively, yielding the minimal mixed-level covering set.  The
+    index-maintenance primitive for AOI masks and tile manifests (the
+    reference's export-region footprints, src/utils/exports.py:15-16).
+
+    Exactness: parent ids are pure bit-shifts; "complete" is an exact
+    integer count == 4; ties/order don't exist, so the output set is
+    unique.
+
+    Scale shape: the corpus-sized reduce happens ONCE (the distinct
+    zonal_sums cell table); each of the ≤(level−min_level) rounds runs
+    an in-batch pre-aggregated bucketed integer combine over a table
+    that SHRINKS ≥4× per round, plus a broadcast probe of the
+    AOI-bounded full-parent id array (the inflow_count side-broadcast
+    discipline; ≤4^(lvl−1) ids, measured 1.5k at sf0.01 level 11).
+
+    Output: (cell_id:int64, level:int64) — cell_id at its own level.
+    """
+    import ray
+    import ray.data as rd
+
+    cur = zonal_sums(geo, keys=("cell_id",), bands=()).select_columns(["cell_id"])
+    outs = []
+    for lvl in range(level, min_level, -1):
+        cur = cur.materialize()  # consumed twice: parent counts + emit
+
+        def fan(t: pa.Table) -> pa.Table:
+            pid = t.column("cell_id").to_numpy(zero_copy_only=False) >> np.int64(2)
+            g = (
+                pa.table({"pid": pa.array(pid, pa.int64())})
+                .group_by(["pid"])
+                .aggregate([([], "count_all")])
+            )
+            return g.rename_columns(["pid", "n"])
+
+        counts = bucketed_sum(
+            cur.map_batches(fan, batch_format="pyarrow"), ["pid"], ["n"]
+        ).to_pandas()
+        if len(counts):  # empty Dataset.to_pandas() loses column names
+            full = np.sort(
+                counts.loc[counts["n"] == 4, "pid"].to_numpy(np.int64)
+            )
+        else:
+            full = np.empty(0, np.int64)
+        full_ref = ray.put(full)
+        lvl_const = np.int64(lvl)
+
+        def emit(t: pa.Table, _ref=full_ref, _lvl=lvl_const) -> pa.Table:
+            f = ray.get(_ref)
+            cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+            pid = cid >> np.int64(2)
+            if len(f):
+                pos = np.minimum(np.searchsorted(f, pid), len(f) - 1)
+                keep = f[pos] != pid
+            else:
+                keep = np.ones(len(cid), bool)
+            return pa.table(
+                {
+                    "cell_id": pa.array(cid[keep].astype(np.int64), pa.int64()),
+                    "level": pa.array(np.full(keep.sum(), _lvl)),
+                }
+            )
+
+        outs.append(cur.map_batches(emit, batch_format="pyarrow"))
+        cur = rd.from_arrow(
+            pa.table({"cell_id": pa.array(full, pa.int64())})
+        )
+    last = cur.map_batches(
+        lambda t: pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "level": pa.array(
+                    np.full(t.num_rows, min_level, np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.union(last)
+
+
+def compact_cells_sql(cells_sql: str, level: int = CELL_LEVEL, min_level: int = 6) -> str:
+    """Oracle twin of :func:`compact_cells` — one CTE pair per round:
+    full parents = GROUP BY cell_id // 4 HAVING COUNT(*) = 4, survivors
+    emitted at their level via NOT IN, full parents promoted.  Returns a
+    CTE-chain fragment + final SELECT, to be appended after the caller's
+    ``WITH {geo}, {cells},`` (the kring_smooth_sql convention)."""
+    parts = [f"k{level} AS (SELECT DISTINCT cell_id FROM ({cells_sql}))"]
+    sels = []
+    for lvl in range(level, min_level, -1):
+        parts.append(
+            f"kf{lvl - 1} AS (SELECT cell_id // 4 AS cell_id FROM k{lvl} "
+            f"GROUP BY cell_id // 4 HAVING COUNT(*) = 4)"
+        )
+        sels.append(
+            f"SELECT cell_id, CAST({lvl} AS BIGINT) AS level FROM k{lvl} "
+            f"WHERE cell_id // 4 NOT IN (SELECT cell_id FROM kf{lvl - 1})"
+        )
+        parts.append(f"k{lvl - 1} AS (SELECT cell_id FROM kf{lvl - 1})")
+    sels.append(
+        f"SELECT cell_id, CAST({min_level} AS BIGINT) AS level FROM k{min_level}"
+    )
+    return ",\n".join(parts) + "\n" + " UNION ALL ".join(sels)
+
+
 def raster_pyramid_sql(cells_sql: str, band: int = 3, levels_up=(1, 2)) -> str:
     """Oracle twin of :func:`raster_pyramid` — per-level GROUP BY on the
     bit-shifted parent id, identical pinned mean division."""

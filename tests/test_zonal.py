@@ -742,3 +742,41 @@ def test_grouped_weighted_quantile_reshard_and_q75(ray_session):
         want = oracle(q_num, q_den)
         assert a == want
         assert b == want
+
+
+def test_compact_cells_invariants(ray_session, synth_small):
+    """Uncompacting the cover reproduces EXACTLY the occupied set;
+    the cover is minimal (no complete sibling quad survives at any
+    level) and disjoint (no cell is an ancestor of another)."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, zonal
+    from kaza_lcms_ray.state.cells import CELL_LEVEL
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    occ = np.unique(
+        zonal.zonal_sums(geo, keys=("cell_id",), bands=())
+        .to_pandas()["cell_id"]
+        .to_numpy(np.int64)
+    )
+    out = zonal.compact_cells(geo).to_pandas()
+    assert len(out) > 0
+    # some compaction actually happened
+    assert (out["level"] < CELL_LEVEL).any()
+
+    # uncompact: expand every (cell, level) to its CELL_LEVEL descendants
+    expanded = []
+    for cid, lvl in zip(out["cell_id"].to_numpy(np.int64), out["level"]):
+        k = int(CELL_LEVEL - lvl)
+        base = cid << np.int64(2 * k)
+        expanded.append(base + np.arange(4**k, dtype=np.int64))
+    got = np.sort(np.concatenate(expanded))
+    assert got.shape == occ.shape and (got == occ).all()
+
+    # minimality: no level has a complete sibling quad
+    for lvl, grp in out.groupby("level"):
+        ids = grp["cell_id"].to_numpy(np.int64)
+        _, cnt = np.unique(ids >> 2, return_counts=True)
+        assert (cnt < 4).all()
