@@ -1176,6 +1176,16 @@ def q_bpe_pairs(sf_dir: str):
     return _i64(T.bpe_pair_stats(docs, k=20), ["pair", "ct"])
 
 
+def q_bpe_train(sf_dir: str):
+    """BPE tokenizer training, first 6 merges (stages/text.bpe_train):
+    distributed word-frequency reduce + vectorized greedy merge loop
+    over the vocab-bounded symbol table; run-parity window-rule oracle."""
+    from kaza_lcms_ray.stages import text as T
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return T.bpe_train(docs, n_merges=6)
+
+
 def q_bbox_join(sf_dir: str):
     """Rectangle-overlap spatial range join (stages/pip.bbox_join — PBSM
     cell decomposition, owner-cell exactly-once rule): admin/aoi footprints
@@ -4084,6 +4094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "chunk_text": q_chunk_text,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "bbox_join": q_bbox_join,
         "semdedup": q_semdedup,
         "source_cap": q_source_cap,
@@ -5029,6 +5040,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "bpe_pairs": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).bpe_pair_stats_sql("SELECT doc_id, text FROM documents", k=20),
+        "bpe_train": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).bpe_train_sql("SELECT doc_id, text FROM documents", n_merges=6),
         "dup_windows": __import__(
             "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
         ).dup_window_signals_sql("SELECT doc_id, text FROM documents"),

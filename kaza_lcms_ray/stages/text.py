@@ -1679,6 +1679,184 @@ def bpe_pair_stats_sql(docs_sql: str, k: int = 20) -> str:
         ORDER BY ct DESC, pair LIMIT {k}"""
 
 
+BPE_SEP = "\x1f"  # below every token char (a-z, '), so key order == (lhs, rhs)
+
+
+def bpe_train(ds, n_merges: int = 6, text_col: str = "text"):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909):
+    learn the first ``n_merges`` merge rules over the corpus — each round
+    counts adjacent symbol pairs (weighted by word frequency), merges the
+    (count DESC, lhs ASC, rhs ASC) winner greedily leftmost inside every
+    word, and records the rule.  :func:`bpe_pair_stats` is round 1's
+    statistic; this is the full trainer loop.
+
+    Tokenization is the house word splitter (lowercase, split on
+    ``[^a-z']+``); pair counts include EVERY adjacent occurrence (the
+    reference trainer's get_stats rule) while the merge application is
+    greedy leftmost non-overlapping (ties inside a run of consecutive
+    matches resolve to even offsets — bit-identical in the SQL twin's
+    run-parity window rule).
+
+    Scale shape: exactly how production BPE trainers shard — the ONE
+    corpus-sized pass is the distributed word-frequency reduce (per-batch
+    Arrow counts → hash-bucketed combine; only (word, count) rows
+    shuffle); the merge loop then runs over the VOCABULARY-bounded
+    (word, freq) table (the tfidf vocab-broadcast discipline, ≤ a few
+    hundred-k rows regardless of corpus size) as vectorized numpy over
+    the flat symbol array — no per-word Python in the loop.
+
+    Returns Dataset[(rnk:int64 1-based, lhs:string, rhs:string,
+    ct:int64)] — the learned merge table.
+    """
+    import ray.data as rd
+
+    def wf_partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        g = (
+            pa.table({"term": flat.filter(keep)})
+            .group_by(["term"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "tf"])
+
+    wf = _bucketed_term_reduce(
+        ds.map_batches(wf_partial, batch_format="pyarrow"), ("tf", "sum"), "ct"
+    ).to_pandas()
+
+    out_schema = pa.schema(
+        [
+            ("rnk", pa.int64()),
+            ("lhs", pa.string()),
+            ("rhs", pa.string()),
+            ("ct", pa.int64()),
+        ]
+    )
+    if not len(wf):
+        return rd.from_arrow(out_schema.empty_table())
+
+    wf = wf.sort_values("term").reset_index(drop=True)
+    wv = wf["term"].to_numpy(str)
+    fv = wf["ct"].to_numpy(np.int64)
+    # flat (word_id, sym) arrays: view the fixed-width unicode block as a
+    # char matrix, mask to each word's length (row-major ⇒ word-major,
+    # position-minor order)
+    nw = len(wv)
+    lens = np.char.str_len(wv)
+    width = int(lens.max())
+    chars = wv.astype(f"<U{width}").view("<U1").reshape(nw, width)
+    mask = np.arange(width)[None, :] < lens[:, None]
+    sym = chars[mask]
+    wid = np.repeat(np.arange(nw, dtype=np.int64), lens)
+
+    merges = []
+    for r in range(1, n_merges + 1):
+        same = wid[:-1] == wid[1:]
+        li = np.flatnonzero(same)
+        if not li.size:
+            break
+        key = np.char.add(np.char.add(sym[li], BPE_SEP), sym[li + 1])
+        uk, inv = np.unique(key, return_inverse=True)
+        cts = np.zeros(len(uk), np.int64)
+        np.add.at(cts, inv, fv[wid[li]])
+        best = int(np.argmax(cts))  # first max = smallest (lhs, rhs) key
+        bl, _, br = str(uk[best]).partition(BPE_SEP)
+        merges.append((r, bl, br, int(cts[best])))
+
+        hit = li[(sym[li] == bl) & (sym[li + 1] == br)]
+        idx = np.arange(len(hit))
+        run_start = np.ones(len(hit), bool)
+        run_start[1:] = np.diff(hit) != 1
+        run_id = np.cumsum(run_start) - 1
+        offset = idx - idx[run_start][run_id]
+        take = hit[offset % 2 == 0]
+
+        merged = bl + br
+        need = max(sym.dtype.itemsize // 4, len(merged))
+        sym = sym.astype(f"<U{need}")
+        sym[take] = merged
+        keep = np.ones(len(sym), bool)
+        keep[take + 1] = False
+        sym, wid = sym[keep], wid[keep]
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array([m[0] for m in merges], pa.int64()),
+                "lhs": pa.array([m[1] for m in merges], pa.string()),
+                "rhs": pa.array([m[2] for m in merges], pa.string()),
+                "ct": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        )
+    )
+
+
+def bpe_train_sql(docs_sql: str, n_merges: int = 6) -> str:
+    """Oracle twin of :func:`bpe_train` — per round: lead() pair table,
+    (SUM(freq) DESC, lhs, rhs) LIMIT-1 winner as a scalar-subquery CTE,
+    gaps-and-islands run parity for the greedy leftmost merge, lag()
+    consumption filter, row_number() position renumbering."""
+    parts = [
+        f"""bw AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT unnest(list_filter(
+                           regexp_extract_all(lower(text), '[a-z'']+'),
+                           x -> length(x) > 0)) AS w
+                FROM ({docs_sql})
+            ) GROUP BY w)""",
+        """s0 AS (
+            SELECT w, freq, CAST(i AS BIGINT) AS pos,
+                   substring(w, CAST(i AS BIGINT), 1) AS sym
+            FROM (SELECT w, freq, unnest(generate_series(1, length(w))) AS i
+                  FROM bw))""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts += [
+            f"""p{r} AS (
+                SELECT w, freq, pos, sym,
+                       lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                FROM s{r - 1})""",
+            f"""b{r} AS (
+                SELECT sym AS lp, nxt AS rp, CAST(SUM(freq) AS BIGINT) AS ct
+                FROM p{r} WHERE nxt IS NOT NULL
+                GROUP BY sym, nxt ORDER BY ct DESC, lp, rp LIMIT 1)""",
+            f"""h{r} AS (
+                SELECT *, CASE WHEN sym = (SELECT lp FROM b{r})
+                                AND nxt = (SELECT rp FROM b{r})
+                          THEN 1 ELSE 0 END AS hit
+                FROM p{r})""",
+            f"""g{r} AS (
+                SELECT *, CASE WHEN hit = 1 THEN pos - ROW_NUMBER() OVER (
+                              PARTITION BY w, hit ORDER BY pos) END AS grp
+                FROM h{r})""",
+            f"""t{r} AS (
+                SELECT *, CASE WHEN hit = 1 AND (ROW_NUMBER() OVER (
+                              PARTITION BY w, grp ORDER BY pos) % 2) = 1
+                          THEN 1 ELSE 0 END AS take
+                FROM g{r})""",
+            f"""u{r} AS (
+                SELECT *, COALESCE(lag(take) OVER (
+                              PARTITION BY w ORDER BY pos), 0) AS ptake
+                FROM t{r})""",
+            f"""s{r} AS (
+                SELECT w, freq,
+                       ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+                       CASE WHEN take = 1 THEN sym || nxt ELSE sym END AS sym
+                FROM u{r} WHERE ptake = 0)""",
+        ]
+    sels = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnk, lp AS lhs, rp AS rhs, ct FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + sels
+
+
 def hash_embed(ds, dim: int = 64, text_col: str = "text", id_col: str = "doc_id"):
     """Feature-hashing document vectors (the "hashing trick", Weinberger
     et al. 2009, arXiv:0902.2206): token t contributes sign(t) at index

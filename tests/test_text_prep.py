@@ -372,3 +372,61 @@ def test_dsir_select_prefers_target_like_docs(ray_session):
     # deterministic under re-run
     out2 = text.dsir_select(docs, keep_frac=4).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_bpe_train_known_merges(ray_session):
+    """Handcrafted corpus with known merge sequence, including the greedy
+    leftmost-non-overlap rule on runs ('aaaa' merges to 'aa','aa')."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    # 'hehehe' stresses overlap: pairs he(3) eh(2); 'the' x4 gives th(4), he(4)
+    rows = [(0, "the the the the hehehe aaaa")]
+    docs = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), preserve_index=False
+        )
+    )
+    out = text.bpe_train(docs, n_merges=3).to_pandas()
+    assert out["rnk"].tolist() == [1, 2, 3]
+    # round 1: he appears in 'the'x4 + 'hehehe'x3 = 7 -- beats th=4, aa=3
+    assert (out.loc[0, "lhs"], out.loc[0, "rhs"], out.loc[0, "ct"]) == ("h", "e", 7)
+    # after merging: 'the'->t,he; 'hehehe'->he,he,he; 'aaaa'->a,a,a,a
+    # round 2 pairs: t|he=4, he|he=2, a|a=3 -> t,he wins
+    assert (out.loc[1, "lhs"], out.loc[1, "rhs"], out.loc[1, "ct"]) == ("t", "he", 4)
+    # round 3: a|a=3 beats he|he=2; greedy merges positions 0,2 of 'aaaa'
+    assert (out.loc[2, "lhs"], out.loc[2, "rhs"], out.loc[2, "ct"]) == ("a", "a", 3)
+
+
+def test_bpe_train_tie_break_and_empty(ray_session):
+    """Count ties resolve to the lexicographically smallest (lhs, rhs);
+    an empty corpus yields a typed empty merge table."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text
+
+    rows = [(0, "zy ba")]  # zy and ba both count 1; ba < zy
+    docs = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), preserve_index=False
+        )
+    )
+    out = text.bpe_train(docs, n_merges=1).to_pandas()
+    assert (out.loc[0, "lhs"], out.loc[0, "rhs"]) == ("b", "a")
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out0 = text.bpe_train(empty, n_merges=2)
+    assert out0.count() == 0
+    assert [f.name for f in out0.schema().base_schema] == [
+        "rnk",
+        "lhs",
+        "rhs",
+        "ct",
+    ]
