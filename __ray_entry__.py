@@ -3336,6 +3336,21 @@ def q_ks_drift(sf_dir: str):
     )
 
 
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15-shaped top supplier with exact integer ties
+    (pipelines/analytics.top_revenue_suppliers): supplier-bounded
+    revenue partials through the bucketed exchange, global MAX over the
+    skinny table, tie filter, dim attach."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.top_revenue_suppliers(
+            _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "supplier")
+        ),
+        ["s_suppkey", "s_name", "total_rev_c"],
+    )
+
+
 def q_waiting_suppliers(sf_dir: str):
     """TPC-H Q21-shaped unique-latest-shipper count
     (pipelines/analytics.waiting_suppliers): the multi-way EXISTS /
@@ -3983,6 +3998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
         "waiting_suppliers": q_waiting_suppliers,
+        "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
         "dominant_parts": q_dominant_parts,
         "market_share": q_market_share,
@@ -4608,6 +4624,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "waiting_suppliers": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).waiting_suppliers_sql(),
+        "top_supplier": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).top_revenue_suppliers_sql(),
         "disjunctive_revenue": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).disjunctive_revenue_sql(),

@@ -1767,6 +1767,103 @@ def min_unit_price_suppliers_sql() -> str:
         JOIN supplier s ON s.s_suppkey = u.l_suppkey"""
 
 
+def top_revenue_suppliers(
+    lineitem, supplier, date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+):
+    """TPC-H Q15-shaped top supplier(s): per-supplier revenue over a
+    3-month shipdate window, then EVERY supplier achieving the global
+    maximum (the Q15 view + ties rule).
+
+    Exactness: revenue is the exact integer
+    price_c · (100 − disc_c) sum; the global max and the tie filter are
+    integer comparisons, so ties are exact, not float-fuzzy.
+
+    Scale shape: the corpus-sized pass reduces inside each batch to one
+    row per supplier (supplier-bounded partials) and combines through
+    the bucketed integer exchange; the global MAX runs over the skinny
+    per-supplier table; the winner set (usually one row) decorates via
+    the size-guarded supplier dim attach.  No raw lineitem row ever
+    shuffles.
+
+    Output: (s_suppkey, s_name, total_rev_c:int64).
+    """
+    from ray.data.aggregate import Max
+
+    from ..stages.joins import attach_dim
+    from ..stages.zonal import bucketed_sum
+
+    t_from = np.datetime64(date_from, "us")
+    t_to = np.datetime64(date_to, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(t_from)),
+            pc.less(t.column("l_shipdate"), pa.scalar(t_to)),
+        )
+        t = t.filter(keep)
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        g = (
+            pa.table({"l_suppkey": t.column("l_suppkey"), "rev": pa.array(rev)})
+            .group_by(["l_suppkey"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    rev = bucketed_sum(
+        lineitem.select_columns(
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"],
+        ["rev"],
+    ).materialize()  # skinny per-supplier table, consumed twice (max + ties)
+
+    mx = int(rev.aggregate(Max("rev", alias_name="mx"))["mx"])
+
+    def ties(t: pa.Table) -> pa.Table:
+        r = t.column("rev").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r == mx))
+
+    return attach_dim(
+        rev.map_batches(ties, batch_format="pyarrow"),
+        supplier.select_columns(["s_suppkey", "s_name"]),
+        "l_suppkey",
+        "s_suppkey",
+        ["s_name"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "s_name": t.column("s_name"),
+                "total_rev_c": t.column("rev"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_revenue_suppliers_sql(
+    date_from: str = "1996-01-01", date_to: str = "1996-04-01"
+) -> str:
+    """Oracle twin of :func:`top_revenue_suppliers` — the Q15 revenue
+    view + MAX scalar subquery, identical integer revenue rule."""
+    return f"""
+        WITH r AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+                        AS BIGINT) AS rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{date_from}'
+              AND l_shipdate < TIMESTAMP '{date_to}'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.rev AS total_rev_c
+        FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.rev = (SELECT MAX(rev) FROM r)"""
+
+
 def waiting_suppliers(lineitem, orders, supplier):
     """TPC-H Q21-shaped "supplier who kept the order waiting": for every
     finished ('F') multi-supplier order, find the supplier that was the

@@ -513,3 +513,46 @@ def test_market_share_year_fraction(ray_session):
     assert out["num_rev4"].tolist() == [100 * 100]
     assert out["den_rev4"].tolist() == [400 * 100]
     assert out["mkt_share"].tolist() == [0.25]
+
+
+def test_top_revenue_suppliers_exact_ties_and_window(ray_session):
+    """Two suppliers with bit-identical integer revenue both win; a line
+    outside the shipdate window is excluded."""
+    import pandas as pd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    lineitem = _ds(
+        pd.DataFrame(
+            {
+                "l_suppkey": [10, 20, 20, 30, 10],
+                "l_shipdate": pd.to_datetime(
+                    [
+                        "1996-01-15",
+                        "1996-02-01",
+                        "1996-03-31",
+                        "1996-02-10",
+                        "1996-04-01",  # outside [from, to)
+                    ]
+                ),
+                "l_extendedprice": [200.0, 150.0, 50.0, 100.0, 999.0],
+                "l_discount": [0.0, 0.0, 0.0, 0.05, 0.0],
+            }
+        )
+    )
+    supplier = _ds(
+        pd.DataFrame(
+            {"s_suppkey": [10, 20, 30], "s_name": ["SUP_A", "SUP_B", "SUP_C"]}
+        )
+    )
+    out = (
+        analytics.top_revenue_suppliers(lineitem, supplier)
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    # 10: 20000*100 = 2_000_000 ; 20: (15000+5000)*100 = 2_000_000 (tie)
+    # 30: 10000*95 = 950_000 ; the 1996-04-01 line is out of window
+    assert out["s_suppkey"].tolist() == [10, 20]
+    assert out["s_name"].tolist() == ["SUP_A", "SUP_B"]
+    assert out["total_rev_c"].tolist() == [2_000_000, 2_000_000]
