@@ -3416,6 +3416,20 @@ def q_market_share(sf_dir: str):
     )
 
 
+def q_poly_overlay(sf_dir: str):
+    """Vector overlay: supersampled intersection measure between the
+    reference and protected-area polygon layers (stages/pip.
+    poly_overlay) — two broadcast indexes, vectorized per-point hit-list
+    merge, bucketed integer pair combine."""
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    return _i64(
+        pip.poly_overlay(_geo(sf_dir), f"{root}/polygons.parquet"),
+        ["poly_a", "poly_b", "n_sub", "frac_of_cell"],
+    )
+
+
 def q_cell_coverage(sf_dir: str):
     """Per-(cell, polygon) coverage fraction by 4×4 supersampled PIP
     (stages/pip.cell_coverage): distinct cells → stateless 16-sub-point
@@ -4004,6 +4018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": q_market_share,
         "fuzzy_names": q_fuzzy_names,
         "cell_coverage": q_cell_coverage,
+        "poly_overlay": q_poly_overlay,
         "class_hull": q_class_hull,
         "weighted_median": q_weighted_median,
         "name_entities": q_name_entities,
@@ -4642,6 +4657,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_coverage": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.pip", fromlist=["pip"]).cell_coverage_sql(root)}""",
+        "poly_overlay": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.pip", fromlist=["pip"]).poly_overlay_sql(root)}""",
         "class_hull": __import__(
             "kaza_lcms_ray.stages.hull", fromlist=["hull"]
         ).class_convex_hull_sql(

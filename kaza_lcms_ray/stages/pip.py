@@ -421,6 +421,198 @@ def cell_coverage(
     return cells_ds.map_batches(cover, batch_format="pyarrow")
 
 
+def poly_overlay(
+    geo,
+    polygons_path: str,
+    kind_a: str = "reference",
+    kind_b: str = "protected_area",
+    level: int | None = None,
+    ss: int = 4,
+):
+    """Pairwise polygon-overlay intersection measure between two layers —
+    the vector-overlay product (reference analog: clipping reference
+    polygons to protected areas before area reporting): for every
+    (layer-A polygon, layer-B polygon) pair, the count of supersampled
+    grid points (ss² per distinct occupied cell, the
+    :func:`cell_coverage` placement) contained in BOTH.
+
+    Exactness: identical sub-point placement and even-odd ray-cast as
+    cell_coverage, so each point's two containment decisions are
+    bit-identical to the SQL twin; the pair count is a pure integer.
+
+    Scale shape: corpus reduces to DISTINCT cells (skinny two-phase);
+    one stateless map holds BOTH broadcast polygon indexes and joins
+    the per-point hit lists with a vectorized sorted-merge (no Python
+    per point); only (poly_a, poly_b, n) partial rows — bounded by the
+    overlapping-pair count, not the corpus — enter the bucketed integer
+    combine.
+
+    Output: (poly_a:string, poly_b:string, n_sub:int64,
+    frac_of_cell:double = n_sub / ss²).
+    """
+    from ..state import cells as cellmod
+    from .joins import distinct
+    from .zonal import bucketed_sum
+
+    lvl = cellmod.CELL_LEVEL if level is None else level
+    nn = float(np.int64(1) << lvl)
+    idx_a_ref = ray.put(load_polygon_index(polygons_path, [kind_a]))
+    idx_b_ref = ray.put(load_polygon_index(polygons_path, [kind_b]))
+
+    def overlay(t: pa.Table) -> pa.Table:
+        ia = _cached_index(idx_a_ref)
+        ib = _cached_index(idx_b_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        ix, iy = cellmod.decode(cid.astype(np.uint64), lvl)
+        fx = ix.astype(np.float64)
+        fy = iy.astype(np.float64)
+        pas, pbs = [], []
+        for u in range(ss):
+            for v in range(ss):
+                lon = (fx + (u + 0.5) / ss) / nn * 360.0 - 180.0
+                lat = (fy + (v + 0.5) / ss) / nn * 180.0 - 90.0
+                a_pt, a_pl = ia.join_points(lon, lat)
+                if not a_pt.shape[0]:
+                    continue
+                b_pt, b_pl = ib.join_points(lon, lat)
+                if not b_pt.shape[0]:
+                    continue
+                ordb = np.argsort(b_pt, kind="mergesort")
+                b_pt_s, b_pl_s = b_pt[ordb], b_pl[ordb]
+                lo = np.searchsorted(b_pt_s, a_pt, "left")
+                hi = np.searchsorted(b_pt_s, a_pt, "right")
+                cnt = hi - lo
+                tot = int(cnt.sum())
+                if not tot:
+                    continue
+                ai = np.repeat(np.arange(len(a_pt)), cnt)
+                starts = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                bi = np.repeat(lo, cnt) + (np.arange(tot) - starts)
+                pas.append(ia.poly_ids[a_pl[ai]])
+                pbs.append(ib.poly_ids[b_pl_s[bi]])
+        if pas:
+            pa_a = np.concatenate(pas).astype(object)
+            pb_a = np.concatenate(pbs).astype(object)
+        else:
+            pa_a = np.empty(0, object)
+            pb_a = np.empty(0, object)
+        tb = pa.table(
+            {
+                "poly_a": pa.array(pa_a, type=pa.string()),
+                "poly_b": pa.array(pb_a, type=pa.string()),
+            }
+        )
+        out = tb.group_by(["poly_a", "poly_b"]).aggregate([([], "count_all")])
+        return out.rename_columns(["poly_a", "poly_b", "n_sub"])
+
+    cells_ds = distinct(geo.select_columns(["cell_id"]), ["cell_id"])
+    agg = bucketed_sum(
+        cells_ds.map_batches(overlay, batch_format="pyarrow"),
+        ["poly_a", "poly_b"],
+        ["n_sub"],
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_sub").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "frac_of_cell", pa.array(n / float(ss * ss))
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def poly_overlay_sql(
+    root: str,
+    kind_a: str = "reference",
+    kind_b: str = "protected_area",
+    level: int | None = None,
+    ss: int = 4,
+) -> str:
+    """Oracle twin of :func:`poly_overlay` — the cell_coverage point
+    grid + TWO even-odd containment chains joined on point identity
+    (cell_id, lon, lat)."""
+    from ..state import cells as cellmod
+
+    lvl = cellmod.CELL_LEVEL if level is None else level
+    nn = float(np.int64(1) << lvl)
+    ix = cellmod.morton_decode_sql_expr("cell_id", lvl, "x")
+    iy = cellmod.morton_decode_sql_expr("cell_id", lvl, "y")
+    offs = ", ".join(f"({u})" for u in range(ss))
+
+    def side(tag: str, kind: str) -> str:
+        return f"""
+            pk{tag} AS (
+                SELECT poly_id, bbox, rings
+                FROM read_parquet('{root}/polygons.parquet')
+                WHERE kind = '{kind}'
+            ),
+            r{tag} AS (
+                SELECT poly_id, unnest(rings) AS ring,
+                       generate_subscripts(rings, 1) AS rid
+                FROM pk{tag}
+            ),
+            v{tag} AS (
+                SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                       unnest(ring) AS p
+                FROM r{tag}
+            ),
+            e{tag} AS (
+                SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1,
+                       b.p.x AS x2, b.p.y AS y2
+                FROM v{tag} a JOIN v{tag} b
+                  ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+            ),
+            cand{tag} AS (
+                SELECT pts.cell_id, pts.lon, pts.lat, pk{tag}.poly_id
+                FROM pts JOIN pk{tag}
+                  ON pts.lon >= pk{tag}.bbox.minx AND pts.lon <= pk{tag}.bbox.maxx
+                 AND pts.lat >= pk{tag}.bbox.miny AND pts.lat <= pk{tag}.bbox.maxy
+            ),
+            c{tag} AS (
+                SELECT cand{tag}.cell_id, cand{tag}.lon, cand{tag}.lat,
+                       cand{tag}.poly_id,
+                       SUM(CASE WHEN (e{tag}.y1 <= cand{tag}.lat)
+                                 <> (e{tag}.y2 <= cand{tag}.lat)
+                                 AND cand{tag}.lon < e{tag}.x1
+                                     + (cand{tag}.lat - e{tag}.y1)
+                                     / (e{tag}.y2 - e{tag}.y1)
+                                     * (e{tag}.x2 - e{tag}.x1)
+                           THEN 1 ELSE 0 END) AS crossings
+                FROM cand{tag} JOIN e{tag}
+                  ON e{tag}.poly_id = cand{tag}.poly_id
+                GROUP BY 1, 2, 3, 4
+            ),
+            in{tag} AS (
+                SELECT cell_id, lon, lat, poly_id
+                FROM c{tag} WHERE crossings % 2 = 1
+            )"""
+
+    return f"""
+            dc AS (SELECT DISTINCT cell_id FROM cells),
+            ixy AS (
+                SELECT cell_id, {ix} AS ix, {iy} AS iy FROM dc
+            ),
+            offs_u(u) AS (VALUES {offs}),
+            offs_v(v) AS (VALUES {offs}),
+            pts AS (
+                SELECT cell_id,
+                       (CAST(ix AS DOUBLE) + (u + 0.5) / {ss}) / {nn!r}
+                           * 360.0 - 180.0 AS lon,
+                       (CAST(iy AS DOUBLE) + (v + 0.5) / {ss}) / {nn!r}
+                           * 180.0 - 90.0 AS lat
+                FROM ixy CROSS JOIN offs_u CROSS JOIN offs_v
+            ),
+            {side("a", kind_a)},
+            {side("b", kind_b)}
+            SELECT a.poly_id AS poly_a, b.poly_id AS poly_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_sub,
+                   CAST(COUNT(*) AS DOUBLE) / {float(ss * ss)!r}
+                       AS frac_of_cell
+            FROM ina a JOIN inb b
+              ON a.cell_id = b.cell_id AND a.lon = b.lon AND a.lat = b.lat
+            GROUP BY a.poly_id, b.poly_id"""
+
+
 def cell_coverage_sql(
     root: str, kind: str = "reference", level: int | None = None, ss: int = 4
 ) -> str:

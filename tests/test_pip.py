@@ -260,3 +260,40 @@ def test_cell_coverage_half_cell(ray_session, tmp_path):
     assert out.loc["half", "frac"] == 0.5
     assert out.loc["full", "covered"] == 16
     assert out.loc["full", "frac"] == 1.0
+
+
+def test_poly_overlay_symmetry_and_coverage_bound(ray_session, synth_small):
+    """overlay(A,B) equals overlay(B,A) with the columns swapped, and a
+    pair's sub-point count never exceeds either polygon's own
+    cell_coverage total."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import pip, spans
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    path = f"{synth_small}/polygons.parquet"
+    ab = (
+        pip.poly_overlay(geo, path, kind_a="reference", kind_b="country")
+        .to_pandas()
+        .sort_values(["poly_a", "poly_b"])
+        .reset_index(drop=True)
+    )
+    ba = (
+        pip.poly_overlay(geo, path, kind_a="country", kind_b="reference")
+        .to_pandas()
+        .rename(columns={"poly_a": "poly_b", "poly_b": "poly_a"})
+        .sort_values(["poly_a", "poly_b"])
+        .reset_index(drop=True)[ab.columns.tolist()]
+    )
+    assert len(ab) > 0
+    assert ab.equals(ba)
+
+    cov = (
+        pip.cell_coverage(geo, path, kinds=["reference"])
+        .to_pandas()
+        .groupby("poly_id")["covered"]
+        .sum()
+    )
+    for _, r in ab.iterrows():
+        assert r["n_sub"] <= cov[r["poly_a"]]
