@@ -2185,24 +2185,33 @@ def compact_cells(geo, level: int = CELL_LEVEL, min_level: int = 6):
             )
 
         outs.append(cur.map_batches(emit, batch_format="pyarrow"))
+        if not len(full):
+            # nothing promoted: every survivor was just emitted at lvl;
+            # stop instead of threading empty datasets (schema-less empty
+            # blocks trigger executor RefBundle warnings)
+            cur = None
+            break
         cur = rd.from_arrow(
             pa.table({"cell_id": pa.array(full, pa.int64())})
         )
-    last = cur.map_batches(
-        lambda t: pa.table(
-            {
-                "cell_id": t.column("cell_id"),
-                "level": pa.array(
-                    np.full(t.num_rows, min_level, np.int64)
+    if cur is not None:
+        outs.append(
+            cur.map_batches(
+                lambda t: pa.table(
+                    {
+                        "cell_id": t.column("cell_id"),
+                        "level": pa.array(
+                            np.full(t.num_rows, min_level, np.int64)
+                        ),
+                    }
                 ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
+                batch_format="pyarrow",
+            )
+        )
     out = outs[0]
     for o in outs[1:]:
         out = out.union(o)
-    return out.union(last)
+    return out
 
 
 def compact_cells_sql(cells_sql: str, level: int = CELL_LEVEL, min_level: int = 6) -> str:
