@@ -895,6 +895,18 @@ def q_inflow_count(sf_dir: str):
     )
 
 
+def q_watershed(sf_dir: str):
+    """Watershed basin labels (stages/terrain.watershed_labels): every
+    cell labeled with its flow-path terminal via log-round pointer
+    doubling over the bounded parent array; recursive walk oracle."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.watershed_labels(_geo(sf_dir)),
+        ["cell_id", "flow_dir", "basin"],
+    )
+
+
 def q_compact_cells(sf_dir: str):
     """Quadtree compaction of the occupied-cell set (stages/zonal.
     compact_cells): the H3 compact analog — complete sibling quads
@@ -4054,6 +4066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flow_dir": q_flow_dir,
         "inflow_count": q_inflow_count,
         "flow_accum": q_flow_accum,
+        "watershed": q_watershed,
         "compact_cells": q_compact_cells,
         "raster_pyramid": q_raster_pyramid,
         "revenue_rollup": q_revenue_rollup,
@@ -5158,6 +5171,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "flow_dir": _flow_dir_sql(root),
         "inflow_count": _inflow_sql(root),
         "flow_accum": _flow_accum_sql(root),
+        "watershed": _watershed_sql(root),
         "planet_stack": _planet_sql(root),
         "cloud_shadow": _cloud_shadow_sql(root),
         "composite_percentiles": _composite_pct_sql(geo, cells),
@@ -6910,6 +6924,93 @@ def _flow_accum_sql(root: str) -> str:
                    AS flow_dir,
                COALESCE(a.acc, 0) AS acc
         FROM fw w LEFT JOIN facc a ON a.cell_id = w.cell_id"""
+
+
+def _watershed_sql(root: str) -> str:
+    """Watershed replay: the _flow_accum_sql winner chain + edge list,
+    then a RECURSIVE walk from every cell; the basin is the walk row
+    whose current cell has no outgoing occupied edge (pit or exit)."""
+    import math
+
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    tgt = morton_sql_expr("(w.ix + o.dx)", "(w.iy + o.dy)", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+    hi = (1 << CELL_LEVEL) - 1
+    s2 = repr(math.sqrt(2.0))
+    offs = ", ".join(
+        f"({dx}, {dy}, {code}, {s2 if dx != 0 and dy != 0 else '1.0'})"
+        for dx, dy, code in (
+            (1, 0, 1),
+            (1, -1, 2),
+            (0, -1, 4),
+            (-1, -1, 8),
+            (-1, 0, 16),
+            (-1, 1, 32),
+            (0, 1, 64),
+            (1, 1, 128),
+        )
+    )
+
+    def ctr_lon(ix):
+        return f"(({ix} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(iy):
+        return f"(({iy} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    return f"""
+        WITH RECURSIVE {_geo_cte(root)},
+        fg AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        fe AS (
+            SELECT ix, iy, {cell} AS cell_id,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS e0
+            FROM fg
+        ),
+        fo AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, code, den)),
+        ff AS (
+            SELECT f.cell_id, f.ix, f.iy, o.code,
+                   (f.e0 - {elev_sql(ctr_lon("(f.ix + o.dx)"),
+                                     ctr_lat("(f.iy + o.dy)"))}) / o.den AS g
+            FROM fe f CROSS JOIN fo o
+            WHERE f.ix + o.dx BETWEEN 0 AND {hi}
+              AND f.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        fw AS (
+            SELECT cell_id, ix, iy, code, g FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY cell_id ORDER BY g DESC, code ASC
+                       ) AS rn
+                FROM ff
+            ) WHERE rn = 1
+        ),
+        fedge AS (
+            SELECT w.cell_id AS src, {tgt} AS tgt
+            FROM fw w JOIN fo o ON o.code = w.code
+            WHERE w.g > 0
+              AND {tgt} IN (SELECT cell_id FROM fw)
+        ),
+        fwalk AS (
+            SELECT cell_id AS u, cell_id AS cur FROM fw
+            UNION ALL
+            SELECT wk.u, e.tgt FROM fwalk wk JOIN fedge e ON e.src = wk.cur
+        ),
+        froot AS (
+            SELECT u, cur AS basin FROM fwalk
+            WHERE cur NOT IN (SELECT src FROM fedge)
+        )
+        SELECT w.cell_id,
+               CAST(CASE WHEN w.g > 0 THEN w.code ELSE 0 END AS BIGINT)
+                   AS flow_dir,
+               r.basin
+        FROM fw w JOIN froot r ON r.u = w.cell_id"""
 
 
 def _hillshade_sql(root: str, azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> str:

@@ -375,6 +375,91 @@ def flow_accumulation(geo, level: int = cells.CELL_LEVEL):
     return flow.map_batches(attach, batch_format="pyarrow")
 
 
+def watershed_labels(geo, level: int = cells.CELL_LEVEL):
+    """Watershed (drainage-basin) labeling: every occupied cell labeled
+    with the TERMINAL cell its D8 steepest-descent path ends at — a pit
+    (flow_dir = 0) or the last occupied cell before the path exits the
+    occupied set.  Basins partition the AOI; the hydrology complement of
+    :func:`flow_accumulation` (which counts, where this one names).
+
+    Exactness: the walk follows the bit-replayable flow_dir winners, so
+    each cell's root is unique and deterministic; labels are the roots'
+    int64 cell ids.
+
+    Scale shape: the winner fan is distributed; root-finding runs over
+    the AOI-bounded skinny parent array (≤4^level, the inflow_count
+    discipline) via POINTER DOUBLING — parent = parent[parent] — which
+    converges in ⌈log2(max path)⌉ vectorized rounds (6 rounds for the
+    measured depth-50 forest at sf0.01) instead of depth-many; the label
+    attach is a broadcast searchsorted probe.  At a finer grid the same
+    doubling runs as log-many bucketed self-joins over (cell, ptr) rows
+    (the dup_clusters spanning-forest pattern).
+
+    Output: (cell_id:int64, flow_dir:int64, basin:int64).
+    """
+    flow = flow_direction(geo, level).materialize()
+    n_grid = np.int64(1) << level
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        fd = t.column("flow_dir").to_numpy(zero_copy_only=False)
+        ix, iy = cells.decode(cid, level)
+        src, tgt = [], []
+        for dx, dy, code in D8_OFFSETS:
+            m = fd == code
+            tx, ty = ix[m] + dx, iy[m] + dy
+            ok = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            src.append(cid[m][ok])
+            tgt.append(cells.morton(tx[ok], ty[ok]).astype(np.int64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(src), pa.int64()),
+                "tgt": pa.array(np.concatenate(tgt), pa.int64()),
+            }
+        )
+
+    edges = flow.map_batches(fan, batch_format="pyarrow").to_pandas()
+    occ = np.sort(
+        flow.select_columns(["cell_id"]).to_pandas()["cell_id"].to_numpy(np.int64)
+    )
+    src = edges["src"].to_numpy(np.int64)
+    tgt = edges["tgt"].to_numpy(np.int64)
+    if len(occ):
+        pos = np.minimum(np.searchsorted(occ, tgt), len(occ) - 1)
+        keep = occ[pos] == tgt
+    else:
+        keep = np.zeros(len(tgt), bool)
+    src, tgt = src[keep], tgt[keep]
+
+    n = len(occ)
+    parent = np.arange(n, dtype=np.int64)  # roots point at themselves
+    parent[np.searchsorted(occ, src)] = np.searchsorted(occ, tgt)
+    while True:
+        gp = parent[parent]
+        if (gp == parent).all():
+            break
+        parent = gp
+    side_ref = ray.put({"k": occ, "basin": occ[parent]})
+
+    def attach(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        out = cid.astype(np.int64).copy()
+        if len(side["k"]):
+            p = np.minimum(np.searchsorted(side["k"], cid), len(side["k"]) - 1)
+            hit = side["k"][p] == cid
+            out[hit] = side["basin"][p[hit]]
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "flow_dir": t.column("flow_dir"),
+                "basin": pa.array(out),
+            }
+        )
+
+    return flow.map_batches(attach, batch_format="pyarrow")
+
+
 def _domain_bbox():
     from .. import synth
 

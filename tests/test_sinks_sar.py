@@ -304,3 +304,39 @@ def test_flow_accumulation_bruteforce(ray_session, synth_small):
     got = dict(zip(out["cell_id"].tolist(), out["acc"].tolist()))
     assert got == expected
     assert (out["acc"] == 0).any()
+
+
+def test_watershed_labels_bruteforce(ray_session, synth_small):
+    """Every cell's basin equals its brute-force walk terminal; roots
+    label themselves."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain
+    from kaza_lcms_ray.state import cells as C
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    out = terrain.watershed_labels(geo).to_pandas()
+    assert len(out) > 0
+    dxdy = {c: (dx, dy) for dx, dy, c in terrain.D8_OFFSETS}
+    fd = dict(zip(out["cell_id"].tolist(), out["flow_dir"].tolist()))
+
+    def walk(u):
+        while True:
+            d = fd[u]
+            if d == 0:
+                return u
+            ix, iy = C.decode(np.array([u]), C.CELL_LEVEL)
+            dx, dy = dxdy[int(d)]
+            t = int(C.morton(ix + dx, iy + dy)[0])
+            if t not in fd:
+                return u
+            u = t
+
+    got = dict(zip(out["cell_id"].tolist(), out["basin"].tolist()))
+    for u in fd:
+        assert got[u] == walk(u)
+    roots = set(got.values())
+    for r in roots:
+        assert got[r] == r
