@@ -1991,6 +1991,17 @@ def q_knn_graph(sf_dir: str):
     return _i64(out, ["qid", "rank", "vec_id"])
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining (stages/ann.hard_negatives): the
+    single most similar DIFFERENT-label vector per embedding — block-pair
+    kernels with same-label masking, hash-bucketed exact merge."""
+    from kaza_lcms_ray.stages import ann
+
+    emb = _tbl(sf_dir, "embeddings")
+    out = ann.hard_negatives(emb, k=1)
+    return _i64(out, ["qid", "rank", "nid"])
+
+
 KMEANS_K, KMEANS_ITERS, IVF_NPROBE, IVF_KNN, KMEANS_SEED = 8, 2, 2, 5, 77
 
 
@@ -4214,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified": q_jaccard_verified,
         "curation": q_curation,
         "knn_graph": q_knn_graph,
+        "hard_negatives": q_hard_negatives,
         "kmeans_embed": q_kmeans_embed,
         "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
@@ -4310,6 +4322,24 @@ cells AS (
               {cell_expr(TILE_LEVEL)} AS tile_id
     FROM geo
 )"""
+
+
+_HARD_NEG_SQL = """
+            WITH q AS (
+                SELECT vec_id AS qid, label AS ql,
+                       CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings
+            ), s AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+                FROM embeddings e, q WHERE e.label <> q.ql
+            ), r AS (
+                SELECT qid, vec_id AS nid, row_number() OVER (
+                    PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+                ) AS rnk FROM s
+            )
+            SELECT qid, CAST(rnk AS BIGINT) AS "rank", nid
+            FROM r WHERE rnk <= 1"""
 
 
 _KNN_GRAPH_SQL = """
@@ -4928,6 +4958,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             QUALIFY rank <= 5""",
         "ivf_topk": _ivf_topk_sql(),
         "knn_graph": _KNN_GRAPH_SQL,
+        "hard_negatives": _HARD_NEG_SQL,
         "pagerank": __import__(
             "kaza_lcms_ray.stages.graph", fromlist=["graph"]
         ).pagerank_sql(_KNN_GRAPH_SQL, n_iters=3, src_col="qid", dst_col="vec_id"),

@@ -419,6 +419,97 @@ def knn_join(
     )
 
 
+@ray.remote
+def _prep_block_labeled(tbl: pa.Table, id_col: str, embed_col: str, label_col: str):
+    """Block → (ids, L2-normalized matrix, labels), in the object store."""
+    return (
+        tbl.column(id_col).to_numpy(zero_copy_only=False),
+        _normalize(_embed_matrix(tbl, embed_col)),
+        tbl.column(label_col).to_numpy(zero_copy_only=False),
+    )
+
+
+@ray.remote
+def _hard_neg_kernel(left, right, k: int) -> pa.Table:
+    """Partial top-k among DIFFERENT-label candidates only: same chunked
+    exact kernel as `_knn_block_kernel`, with same-label sims masked to
+    −2 (below the cosine floor) before selection and masked survivors
+    dropped after — a query whose chunk-pair has no cross-label
+    candidate simply emits no partial row."""
+    ids_q, mat_q, lab_q = left
+    ids_c, mat_c, lab_c = right
+    nq, nc = mat_q.shape[0], ids_c.shape[0]
+    kk = min(k, nc)
+    chunk = max(1, 8_000_000 // max(nc, 1))
+    parts_q, parts_n, parts_s = [], [], []
+    for s in range(0, nq, chunk):
+        sims = mat_q[s : s + chunk] @ mat_c.T
+        sims[lab_q[s : s + chunk, None] == lab_c[None, :]] = -2.0
+        order = np.lexsort(
+            (np.broadcast_to(ids_c, sims.shape), -sims), axis=1
+        )[:, :kk]
+        top = np.take_along_axis(sims, order, axis=1)
+        ok = top > -1.5
+        parts_q.append(
+            np.repeat(ids_q[s : s + chunk], kk)[ok.reshape(-1)]
+        )
+        parts_n.append(ids_c[order].reshape(-1)[ok.reshape(-1)])
+        parts_s.append(top.reshape(-1)[ok.reshape(-1)])
+    empty = nq == 0 or kk == 0
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(parts_q) if not empty else ids_q[:0]),
+            "nid": pa.array(np.concatenate(parts_n) if not empty else ids_c[:0]),
+            "sim": pa.array(
+                np.concatenate(parts_s) if not empty else np.empty(0, np.float64)
+            ),
+        }
+    )
+
+
+def hard_negatives(
+    ds,
+    k: int = 1,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    label_col: str = "label",
+    rows_per_block: int = 8192,
+):
+    """Contrastive hard-negative mining: for every vector, its k most
+    cosine-similar vectors carrying a DIFFERENT label — the training-pair
+    construction step of every contrastive/metric-learning data pipeline
+    (the cross-class analog of :func:`knn_join`'s neighbours).
+
+    Exactness: the per-pair selection and the final merge share the
+    (sim desc, nid asc) total order; labels mask via exact equality, so
+    the winner set is deterministic (ids only — the reported rank never
+    depends on float sims across engines).
+
+    Scale shape: identical to knn_join — block-pair decomposition over
+    object-store refs with chunk-bounded kernels, hash-bucketed merge —
+    with the label column riding along in the prepared blocks.
+
+    Output: (qid, rank:int64 1..k, nid).
+    """
+    import ray.data as rd
+
+    refs, n_rows = _coalesced_block_refs(
+        ds, [id_col, embed_col, label_col], rows_per_block
+    )
+    prep = [
+        _prep_block_labeled.remote(r, id_col, embed_col, label_col) for r in refs
+    ]
+    parts = [
+        _hard_neg_kernel.remote(prep[i], prep[j], k)
+        for i in range(len(prep))
+        for j in range(len(prep))
+    ]
+    partial = rd.from_arrow_refs(parts)
+    return _bucketed_topk_merge(
+        partial, k, "nid", rows_hint=n_rows * k * len(refs)
+    )
+
+
 def knn_join_lsh(
     ds,
     k: int,

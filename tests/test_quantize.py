@@ -124,3 +124,47 @@ def test_pca_project_matches_numpy(ray_session):
     # variance ordering: pc0 carries the most variance
     var = gm.var(axis=0)
     assert (np.diff(var) <= 1e-9).all()
+
+
+def test_hard_negatives_excludes_same_label_and_matches_bruteforce(ray_session):
+    """The mined negative is the brute-force argmax cosine among
+    different-label vectors; the query's own label never appears."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    rng = np.random.default_rng(7)
+    n, d = 60, 8
+    mat = rng.normal(size=(n, d))
+    labels = (np.arange(n) % 3).astype(np.int32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels),
+            }
+        )
+    )
+    out = (
+        ann.hard_negatives(emb, k=1, rows_per_block=16)
+        .to_pandas()
+        .set_index("qid")
+        .sort_index()
+    )
+    # brute force with the engine's own float32->normalized float path
+    m = mat.astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    for q in range(n):
+        s = sims[q].copy()
+        s[labels == labels[q]] = -2.0
+        best = np.lexsort((np.arange(n), -s))[0]
+        assert out.loc[q, "nid"] == best
+        assert labels[out.loc[q, "nid"]] != labels[q]
