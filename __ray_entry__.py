@@ -632,6 +632,19 @@ def q_knn_plots(sf_dir: str):
     return _i64(out, ["doc_id", "span_idx", "plot_id", "dist"])
 
 
+def q_plot_load(sf_dir: str):
+    """Reverse-kNN plot load (stages/knn.plot_load): per-plot count of
+    corpus observations choosing it as nearest, zero-filled over the
+    pruned plot read — fused stateless kNN + bucketed integer combine."""
+    from kaza_lcms_ray.stages import knn
+
+    root = _synth(sf_dir)
+    return _i64(
+        knn.plot_load(_geo(sf_dir), f"{root}/training_plots.parquet"),
+        ["plot_id", "n_assigned"],
+    )
+
+
 def q_sample_pts(sf_dir: str):
     """00sample_pts pipeline: one year's tile labels → seeded stratified
     sample (100/class) → CEO formatting (LON/LAT at tile centers, global
@@ -4201,6 +4214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_per_cell": q_top_per_cell,
         "zonal_percentile": q_zonal_percentile,
         "knn_plots": q_knn_plots,
+        "plot_load": q_plot_load,
         "tile_labels": q_tile_labels,
         "area_by_class": q_area_by_class,
         "flagship": q_flagship,
@@ -4813,6 +4827,27 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 WHERE g.doc_id < 'doc-000000002000'
             )
             SELECT doc_id, span_idx, plot_id, dist FROM ranked WHERE rn = 1""",
+        "plot_load": f"""
+            WITH {geo},
+            nn AS (
+                -- streaming min_by instead of a corpus×plots row_number
+                -- window (same (d2 ASC, plot_id ASC) winner, no 100M-row
+                -- sort materialization)
+                SELECT g.doc_id, g.span_idx,
+                       struct_extract(min((
+                           (g.lon - p.lon) * (g.lon - p.lon)
+                         + (g.lat - p.lat) * (g.lat - p.lat),
+                           p.plot_id)), 2) AS plot_id
+                FROM geo g, read_parquet('{root}/training_plots.parquet') p
+                GROUP BY g.doc_id, g.span_idx
+            ),
+            cnt AS (
+                SELECT plot_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+                FROM nn GROUP BY plot_id
+            )
+            SELECT p.plot_id, COALESCE(c.n_assigned, 0) AS n_assigned
+            FROM read_parquet('{root}/training_plots.parquet') p
+            LEFT JOIN cnt c ON c.plot_id = p.plot_id""",
         "tile_labels": f"""
             SELECT tile_id, CAST("year" AS BIGINT) AS "year",
                    CAST(class AS BIGINT) AS "LANDCOVER"

@@ -221,6 +221,69 @@ def knn_join(
     return geo.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
+def plot_load(geo, plots_path: str):
+    """Reverse-kNN load: for every training plot, the number of corpus
+    observations whose NEAREST plot (the :func:`knn_join` winner) is it —
+    the catchment/assignment-load report behind plot-coverage QA
+    (reference analog: per-plot sample counts in the CEO review sheets).
+
+    Exactness: inherits knn_join's exact (squared-distance ASC, plot_id
+    ASC) winner; the load is a pure integer count, zero-filled for
+    never-chosen plots.
+
+    Scale shape: the corpus-sized pass is the stateless fused
+    read→parse→kNN map; only (plot_id, 1-per-batch-group) partial count
+    rows enter the bucketed integer combine; the final attach probes the
+    PLOT-bounded count table (the side-broadcast discipline) onto the
+    pruned plot_id column read.
+
+    Output: (plot_id:string, n_assigned:int64) — one row per plot.
+    """
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    nn = knn_join(geo, plots_path)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["plot_id"])
+            .group_by(["plot_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["plot_id", "n_assigned"])
+
+    counts = bucketed_sum(
+        nn.map_batches(partial, batch_format="pyarrow"),
+        ["plot_id"],
+        ["n_assigned"],
+    ).to_pandas()
+    if len(counts):
+        order = np.argsort(counts["plot_id"].to_numpy(object), kind="mergesort")
+        keys = counts["plot_id"].to_numpy(object)[order]
+        vals = counts["n_assigned"].to_numpy(np.int64)[order]
+    else:
+        keys = np.empty(0, object)
+        vals = np.empty(0, np.int64)
+    side_ref = ray.put({"k": keys, "v": vals})
+
+    def attach(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        pid = t.column("plot_id").to_numpy(zero_copy_only=False)
+        out = np.zeros(len(pid), np.int64)
+        if len(side["k"]):
+            pos = np.minimum(np.searchsorted(side["k"], pid), len(side["k"]) - 1)
+            hit = side["k"][pos] == pid
+            out[hit] = side["v"][pos[hit]]
+        return pa.table(
+            {"plot_id": t.column("plot_id"), "n_assigned": pa.array(out)}
+        )
+
+    return rd.read_parquet(plots_path, columns=["plot_id"]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+
+
 def radius_extract(geo, plots_path: str, radius: float = 0.02, band: int = 3):
     """Neighborhood extraction at reference plots — the reference's
     sampleRegions-with-buffer analog (src/utils/sampling.py extraction
