@@ -2996,6 +2996,18 @@ def q_events_running(sf_dir: str):
     return _i64(events.running_totals(ev), ["event_id", "user_id", "cum_cents"])
 
 
+def q_events_coverage(sf_dir: str):
+    """Per-user union-of-intervals active time (stages/events.
+    interval_union): value-cents-second intervals, vectorized
+    running-max sweep, windowed island replay."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.interval_union(_tbl(sf_dir, "events")),
+        ["user_id", "n_islands", "covered_us"],
+    )
+
+
 def q_events_gaps(sf_dir: str):
     """lag() window navigation: per-user microseconds since the previous
     event (first event -1)."""
@@ -4191,6 +4203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": q_events_pivot,
         "events_props": q_events_props,
         "events_gaps": q_events_gaps,
+        "events_coverage": q_events_coverage,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "shipping_priority": q_shipping_priority,
@@ -5523,6 +5536,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_twa": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).time_weighted_avg_sql("SELECT * FROM events"),
+        "events_coverage": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).interval_union_sql("SELECT * FROM events"),
         "benford": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).benford_audit_sql(),

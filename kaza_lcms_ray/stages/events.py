@@ -1236,6 +1236,100 @@ def time_weighted_avg_sql(events_sql: str) -> str:
         GROUP BY user_id"""
 
 
+def interval_union(ds, key: str = "user_id", ts_col: str = "ts"):
+    """Per-key UNION-of-intervals coverage: each event opens the interval
+    [ts, ts + cents(value) seconds); overlapping/touching intervals merge
+    into islands; the report is each key's island count and total covered
+    microseconds — the "active time" summary overlapping telemetry spans
+    need (double-counting-free, unlike summing durations).
+
+    Exactness: starts/ends are exact integer µs (duration = cents × 10⁶,
+    no float time math); the island rule is the standard sweep — an
+    interval starts a new island iff its start exceeds the running MAX of
+    all previous ends (ties merge) — identical to the SQL twin's
+    windowed running-max + cumulative-flag grouping.
+
+    Scale shape: same per-key map_groups contract as sessionize (groups
+    bounded per key); inside the group one vectorized sweep
+    (sort + running max + cumsum), no per-interval Python.
+
+    Returns Dataset[key, n_islands:int64, covered_us:int64].
+    """
+    import numpy as np
+
+    from ..state.money import to_cents
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["event_id"].to_numpy(), g[ts_col].to_numpy())
+        )
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)[order]
+        dur = to_cents(g["value"].to_numpy())[order] * 1_000_000
+        end = ts + dur
+        # running max of ends BEFORE each interval
+        prev_max = np.empty(len(ts), np.int64)
+        prev_max[0] = np.iinfo(np.int64).min
+        np.maximum.accumulate(end[:-1], out=prev_max[1:])
+        new_island = ts > prev_max
+        new_island[0] = True
+        island = np.cumsum(new_island) - 1
+        n_isl = int(island[-1]) + 1
+        starts = ts[new_island]
+        ends = np.maximum.reduceat(end, np.flatnonzero(new_island))
+        covered = int((ends - starts).sum())
+        return pd.DataFrame(
+            {
+                key: [int(g[key].iloc[0])],
+                "n_islands": [n_isl],
+                "covered_us": [covered],
+            }
+        )
+
+    return (
+        ds.select_columns(["event_id", key, ts_col, "value"])
+        .groupby(key)
+        .map_groups(per_key, batch_format="pandas")
+    )
+
+
+def interval_union_sql(events_sql: str) -> str:
+    """Oracle twin of :func:`interval_union` — running max(end) window,
+    island flag where start > previous running max, SUM-per-island, then
+    per-key rollup."""
+    return f"""
+        WITH iv AS (
+            SELECT user_id,
+                   epoch_us(ts) AS s,
+                   epoch_us(ts)
+                     + CAST(round(value * 100, 0) AS BIGINT) * 1000000 AS e,
+                   event_id
+            FROM ({events_sql})
+        ),
+        mx AS (
+            SELECT *, max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM iv
+        ),
+        isl AS (
+            SELECT *, SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                               THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                   ) AS island
+            FROM mx
+        ),
+        per_island AS (
+            SELECT user_id, island,
+                   MIN(s) AS st, MAX(e) AS en
+            FROM isl GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(en - st) AS BIGINT) AS covered_us
+        FROM per_island GROUP BY user_id"""
+
+
 def mad_outliers(ds, val_col: str = "value", group_col: str = "event_type",
                  k: int = 3):
     """Median-absolute-deviation outlier flags per group — the robust

@@ -415,3 +415,41 @@ def test_rolling_median_rank_rule(ray_session):
         .set_index("event_id")["roll_med_c"]
     )
     assert out.to_dict() == {"e1": 500, "e2": 100, "e3": 500, "e4": 200}
+
+
+def test_interval_union_merges_overlaps(ray_session):
+    """Overlapping and touching intervals merge; disjoint ones don't;
+    covered time is the exact union length."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    # user 1: [0,10s), [5s,15s) overlap -> one island of 15s;
+    #         [20s,30s) separate  => 2 islands, 25s
+    # user 2: [0,10s), [10s,20s) touch (10 > 10 false -> merge) => 1 island 20s
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:05",
+                    "2024-01-01 00:00:20",
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:10",
+                ]
+            ),
+            "value": [0.10, 0.10, 0.10, 0.10, 0.10],  # 10 cents -> 10 s
+        }
+    )
+    ev = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        events.interval_union(ev).to_pandas().set_index("user_id").sort_index()
+    )
+    assert out.loc[1, "n_islands"] == 2
+    assert out.loc[1, "covered_us"] == 25_000_000
+    assert out.loc[2, "n_islands"] == 1
+    assert out.loc[2, "covered_us"] == 20_000_000
