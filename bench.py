@@ -308,6 +308,29 @@ def run_bench() -> dict:
                 "l_quantity",
             ).count(),
         )
+    # hydrology pair (bounded-peel + pointer-doubling), vector overlay,
+    # BPE trainer, reverse-kNN load, and the label-masked ANN kernel
+    timed("flow_accum", lambda: terrain_mod.flow_accumulation(geo()).count())
+    timed("watershed", lambda: terrain_mod.watershed_labels(geo()).count())
+    timed(
+        "poly_overlay",
+        lambda: pip.poly_overlay(geo(), f"{root}/polygons.parquet").count(),
+    )
+    timed("bpe_train", lambda: text.bpe_train(text_corpus(), n_merges=6).count())
+    from kaza_lcms_ray.stages import knn as knn_mod
+
+    timed(
+        "plot_load",
+        lambda: knn_mod.plot_load(geo(), f"{root}/training_plots.parquet").count(),
+    )
+    emb_tbl = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(emb_tbl):
+        from kaza_lcms_ray.stages import ann as ann_mod
+
+        timed(
+            "hard_negatives",
+            lambda: ann_mod.hard_negatives(rd.read_parquet(emb_tbl), k=1).count(),
+        )
 
     ray.shutdown()
     return {
