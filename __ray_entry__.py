@@ -2138,6 +2138,16 @@ def q_geo_distance(sf_dir: str):
     )
 
 
+def q_token_budget(sf_dir: str):
+    """Largest-remainder token-budget apportionment across sources
+    (stages/packing.token_budget): bucketed per-source unit sums, pure
+    int64 Hamilton quotas summing exactly to the budget."""
+    from kaza_lcms_ray.stages import packing
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "source", "n_chars"])
+    return packing.token_budget(docs, budget=1_000_000)
+
+
 def q_temperature_mix(sf_dir: str):
     """Temperature-weighted source mixing (stages/packing.temperature_mix
     — the multilingual n_s^T alpha-sampler, T=0.5): weights derived from
@@ -4182,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": q_hash_embed,
         "geo_distance": q_geo_distance,
         "temperature_mix": q_temperature_mix,
+        "token_budget": q_token_budget,
         "rf_quality": q_rf_quality,
         "pagerank": q_pagerank,
         "dup_clusters": q_dup_clusters,
@@ -5175,6 +5186,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "dup_windows": __import__(
             "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
         ).dup_window_signals_sql("SELECT doc_id, text FROM documents"),
+        "token_budget": __import__(
+            "kaza_lcms_ray.stages.packing", fromlist=["packing"]
+        ).token_budget_sql(
+            "SELECT doc_id, source, n_chars FROM documents", budget=1_000_000
+        ),
         "temperature_mix": __import__(
             "kaza_lcms_ray.stages.packing", fromlist=["packing"]
         ).temperature_mix_sql(

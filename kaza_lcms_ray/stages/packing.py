@@ -462,6 +462,113 @@ def temperature_mix_sql(
     )
 
 
+def token_budget(
+    docs,
+    budget: int = 1_000_000,
+    unit_col: str = "n_chars",
+    source_col: str = "source",
+):
+    """Largest-remainder apportionment of a global training-token budget
+    across sources — the integer-exact mixture-budgeting step that turns
+    mixing WEIGHTS (:func:`mix_sources` / :func:`temperature_mix`) into
+    per-source token QUOTAS that sum EXACTLY to the budget (Hamilton's
+    method; no float shares, no drift).
+
+    Rule: quota_s = budget·n_s // N (integer), leftover L = budget − Σ
+    quotas goes +1 each to the L sources with the largest integer
+    remainder budget·n_s mod N (ties → source ASC).  Pure int64
+    arithmetic end-to-end, replayed term-for-term in SQL.
+
+    Scale shape: the corpus-sized pass is a per-batch grouped integer
+    sum of ``unit_col`` per source through the bucketed exchange; the
+    apportionment itself runs over the SOURCE-bounded count table (a few
+    rows) — vectorized numpy, one argsort.
+
+    Returns Dataset[(source, n_units:int64, alloc:int64)]; Σ alloc ==
+    budget whenever the corpus is non-empty.
+    """
+    import ray.data as rd
+
+    from . import zonal
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    source_col: t.column(source_col),
+                    "n_units": t.column(unit_col).cast(pa.int64()),
+                }
+            )
+            .group_by([source_col])
+            .aggregate([("n_units", "sum")])
+        )
+        return g.rename_columns([source_col, "n_units"])
+
+    counts = zonal.bucketed_sum(
+        docs.select_columns([source_col, unit_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [source_col],
+        ["n_units"],
+    ).to_pandas()
+    schema = pa.schema(
+        [
+            (source_col, pa.string()),
+            ("n_units", pa.int64()),
+            ("alloc", pa.int64()),
+        ]
+    )
+    if not len(counts):
+        return rd.from_arrow(schema.empty_table())
+    counts = counts.sort_values(source_col).reset_index(drop=True)
+    n = counts["n_units"].to_numpy(np.int64)
+    total = int(n.sum())
+    b = np.int64(budget)
+    base = b * n // total
+    rem = b * n % total
+    leftover = int(budget - base.sum())
+    # +1 to the `leftover` largest remainders, ties to smallest source
+    order = np.lexsort((np.arange(len(n)), -rem))
+    alloc = base.copy()
+    alloc[order[:leftover]] += 1
+    return rd.from_arrow(
+        pa.table(
+            {
+                source_col: pa.array(counts[source_col], pa.string()),
+                "n_units": pa.array(n, pa.int64()),
+                "alloc": pa.array(alloc, pa.int64()),
+            }
+        )
+    )
+
+
+def token_budget_sql(
+    docs_sql: str, budget: int = 1_000_000, unit_col: str = "n_chars"
+) -> str:
+    """Oracle twin of :func:`token_budget` — identical integer div/mod
+    apportionment, remainder rank window with the same tie rule."""
+    return f"""
+        WITH tbc AS (
+            SELECT source, CAST(SUM({unit_col}) AS BIGINT) AS n_units
+            FROM ({docs_sql}) GROUP BY source
+        ),
+        tbt AS (SELECT CAST(SUM(n_units) AS BIGINT) AS total FROM tbc),
+        tbq AS (
+            SELECT c.source, c.n_units,
+                   {budget} * c.n_units // t.total AS base,
+                   {budget} * c.n_units % t.total AS rem
+            FROM tbc c CROSS JOIN tbt t
+        ),
+        tbl AS (
+            SELECT CAST({budget} - SUM(base) AS BIGINT) AS leftover FROM tbq
+        )
+        SELECT q.source, q.n_units,
+               CAST(q.base + CASE WHEN row_number() OVER (
+                       ORDER BY q.rem DESC, q.source ASC
+                   ) <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM tbq q CROSS JOIN tbl l"""
+
+
 def rank_blend(
     ranked_a,
     ranked_b,

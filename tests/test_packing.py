@@ -257,3 +257,54 @@ def test_rank_blend_matches_window_replay(ray_session):
     assert (got["rank_q"].to_numpy() == rank_q.to_numpy()).all()
     assert (got["rank_len"].to_numpy() == rank_l.to_numpy()).all()
     assert (got["blend"].to_numpy() == rank_q.to_numpy() + rank_l.to_numpy()).all()
+
+
+def test_token_budget_sums_exactly_and_tie_rule(ray_session):
+    """Σ alloc == budget exactly; remainder ties resolve to the smallest
+    source name."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import packing
+
+    # three sources with counts 1,1,1 and budget 4: base 1 each,
+    # leftover 1 goes to the lexicographically smallest source
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["b", "a", "c"],
+            "n_chars": [5, 5, 5],
+        }
+    )
+    docs = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        packing.token_budget(docs, budget=4, unit_col="n_chars")
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    assert int(out["alloc"].sum()) == 4
+    assert out.loc["a", "alloc"] == 2
+    assert out.loc["b", "alloc"] == 1
+    assert out.loc["c", "alloc"] == 1
+
+    # skewed counts: exact Hamilton result
+    df2 = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["x", "y", "z", "x"],
+            "n_chars": [3, 3, 1, 4],  # x=7, y=3, z=1, total 11
+        }
+    )
+    docs2 = rd.from_arrow(pa.Table.from_pandas(df2, preserve_index=False))
+    out2 = (
+        packing.token_budget(docs2, budget=10, unit_col="n_chars")
+        .to_pandas()
+        .set_index("source")
+    )
+    # quotas: x=70/11=6 r4, y=30/11=2 r8, z=10/11=0 r10; leftover 2 -> z, y
+    assert int(out2["alloc"].sum()) == 10
+    assert out2.loc["x", "alloc"] == 6
+    assert out2.loc["y", "alloc"] == 3
+    assert out2.loc["z", "alloc"] == 1
