@@ -970,6 +970,19 @@ def q_hillshade(sf_dir: str):
     )
 
 
+def q_viewshed(sf_dir: str):
+    """Observer-visibility viewshed over the occupied cells
+    (stages/terrain.viewshed_cells): deterministic max-elevation observer,
+    parametric line-of-sight samples on the analytic DEM, strict-> gate —
+    distributed argmax + stateless vectorized sweep, zero shuffle."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.viewshed_cells(_geo(sf_dir)),
+        ["cell_id", "elev", "n_steps", "visible"],
+    )
+
+
 def q_majority_smooth(sf_dir: str):
     """Post-classification majority filter over the 2022 label raster
     (stages/assemblage.majority_smooth): integer votes, pack-max winner
@@ -4069,6 +4082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "viewshed": q_viewshed,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5263,6 +5277,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "random_points": _random_points_sql(root),
         "terrain": _terrain_sql(root),
         "hillshade": _hillshade_sql(root),
+        "viewshed": _viewshed_sql(root),
         "flow_dir": _flow_dir_sql(root),
         "inflow_count": _inflow_sql(root),
         "flow_accum": _flow_accum_sql(root),
@@ -7109,6 +7124,69 @@ def _watershed_sql(root: str) -> str:
                    AS flow_dir,
                r.basin
         FROM fw w JOIN froot r ON r.u = w.cell_id"""
+
+
+def _viewshed_sql(root: str, obs_height: float = 10.0) -> str:
+    """Viewshed replay (stages/terrain.viewshed_cells): the same
+    deterministic observer (max-elevation occupied cell, ties → smallest
+    cell_id), the identical (Δ·t)/n parametric sample positions on the
+    analytic DEM, MAX over interior samples, strict > visibility gate."""
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+
+    def ctr_lon(x):
+        return f"(({x} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(y):
+        return f"(({y} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    # continuous sample position at step t: o + (Δ·t)/n  (Δ·t exact BIGINT,
+    # one DOUBLE division — mirrors numpy (dx*t)/nfl op-for-op)
+    xs = "(ox + (dx * t) / CAST(nst AS DOUBLE))"
+    ys = "(oy + (dy * t) / CAST(nst AS DOUBLE))"
+    return f"""
+        WITH {_geo_cte(root)},
+        vg AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        ve AS (
+            SELECT ix, iy, {cell} AS cell_id,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS e0
+            FROM vg
+        ),
+        vo AS (
+            SELECT ix AS ox, iy AS oy, e0 + {obs_height!r} AS eo
+            FROM ve ORDER BY e0 DESC, cell_id ASC LIMIT 1
+        ),
+        vt AS (
+            SELECT v.cell_id, v.e0, o.ox, o.oy, o.eo,
+                   v.ix - o.ox AS dx, v.iy - o.oy AS dy,
+                   greatest(abs(v.ix - o.ox), abs(v.iy - o.oy)) AS nst
+            FROM ve v CROSS JOIN vo o
+        ),
+        vsamp AS (
+            SELECT cell_id, eo, nst, ox, oy, dx, dy,
+                   unnest(generate_series(1, nst - 1)) AS t
+            FROM vt WHERE nst >= 2
+        ),
+        vmx AS (
+            SELECT cell_id,
+                   MAX(({elev_sql(ctr_lon(xs), ctr_lat(ys))} - eo)
+                       / CAST(t AS DOUBLE)) AS mx
+            FROM vsamp GROUP BY cell_id
+        )
+        SELECT v.cell_id, v.e0 AS elev, CAST(v.nst AS BIGINT) AS n_steps,
+               CASE WHEN v.nst <= 1 THEN 1
+                    WHEN (v.e0 - v.eo) / CAST(v.nst AS DOUBLE) > s.mx THEN 1
+                    ELSE 0 END AS visible
+        FROM vt v LEFT JOIN vmx s ON s.cell_id = v.cell_id"""
 
 
 def _hillshade_sql(root: str, azimuth_deg: float = 315.0, altitude_deg: float = 45.0) -> str:

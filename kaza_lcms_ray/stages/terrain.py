@@ -720,3 +720,117 @@ def dem_contours_sql(
                    {pt("x", "t.e1")} AS x1, {pt("y", "t.e1")} AS y1,
                    {pt("x", "t.e2")} AS x2, {pt("y", "t.e2")} AS y2
             FROM ms_k k JOIN ms_tab t ON t.ckey = k.ckey"""
+
+
+def viewshed_cells(
+    geo, level: int = cells.CELL_LEVEL, obs_height: float = 10.0
+):
+    """Line-of-sight viewshed over the occupied cells — the classic
+    terrain product the reference's DEM-derived layers feed (slope /
+    hillshade siblings, src/misc/sentinel1.py:82): every occupied cell
+    flagged visible/hidden from a single observer standing ``obs_height``
+    meters above the HIGHEST occupied cell (ties → smallest cell_id, so
+    the observer is deterministic on both sides of the gate).
+
+    Semantics (R3-style sampling viewshed): for target cell T at
+    Chebyshev step count n = max(|Δix|, |Δiy|), the sight line is
+    sampled at the n−1 interior parametric points
+    ``(ox + Δix·t/n, oy + Δiy·t/n), t = 1..n−1`` in continuous grid
+    coords; T is visible iff its normalized elevation angle
+    ``(e_T − e_obs)/n`` STRICTLY exceeds every interior sample's
+    ``(e_t − e_obs)/t`` (along a fixed ray Euclidean distance is
+    proportional to t, so dividing by t is the exact angle comparison).
+    Cells at n ≤ 1 (the observer and its ring-1 neighbors) are visible
+    by definition.
+
+    Exactness: elevations are the closed-form ``dem.elev`` at IDENTICAL
+    float64 sample positions (the (Δ·t)/n parametric form is mirrored
+    operation-for-operation in the SQL twin); the running max is
+    order-independent, and the strict ``>`` gate is an IEEE comparison
+    of bit-identical doubles.
+
+    Scale shape: one tiny distributed argmax (per-batch top-1 partials,
+    driver reduces ≤#blocks rows) picks the observer; the visibility
+    sweep is a STATELESS vectorized map — each batch loops over sample
+    index t (≤ AOI grid diameter rounds), evaluating the analytic DEM on
+    the still-unresolved cells only; no shuffle, no neighbor exchange.
+
+    Output: (cell_id:int64, elev:f64, n_steps:int64, visible:int64).
+    """
+    from . import zonal
+
+    per_cell = zonal.zonal_sums(geo, keys=("cell_id",), bands=()).select_columns(
+        ["cell_id"]
+    )
+    nf = float(np.int64(1) << level)
+
+    def ctr(ix, iy):
+        lon = (ix.astype(np.float64) + 0.5) / nf * 360.0 - 180.0
+        lat = (iy.astype(np.float64) + 0.5) / nf * 180.0 - 90.0
+        return lon, lat
+
+    def best1(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        if not len(cid):
+            return pa.table(
+                {"cell_id": pa.array([], pa.int64()), "e0": pa.array([], pa.float64())}
+            )
+        ix, iy = cells.decode(cid, level)
+        e0 = dem.elev(*ctr(ix, iy))
+        k = np.lexsort((cid, -e0))[0]  # e0 DESC, cell_id ASC
+        return pa.table(
+            {
+                "cell_id": pa.array([np.int64(cid[k])], pa.int64()),
+                "e0": pa.array([e0[k]], pa.float64()),
+            }
+        )
+
+    cand = per_cell.map_batches(best1, batch_format="pyarrow").to_pandas()
+    ck = cand["cell_id"].to_numpy(np.int64)
+    ce = cand["e0"].to_numpy(np.float64)
+    k = int(np.lexsort((ck, -ce))[0])
+    ox, oy = cells.decode(np.array([ck[k]], np.int64), level)
+    obs = {
+        "ox": np.int64(ox[0]),
+        "oy": np.int64(oy[0]),
+        "eo": float(ce[k] + obs_height),
+    }
+    obs_ref = ray.put(obs)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        o = ray.get(obs_ref)
+        ox, oy, eo = o["ox"], o["oy"], o["eo"]
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = cells.decode(cid, level)
+        e_t = dem.elev(*ctr(ix, iy))
+        dx = ix.astype(np.int64) - ox
+        dy = iy.astype(np.int64) - oy
+        n = np.maximum(np.abs(dx), np.abs(dy))
+        nfl = n.astype(np.float64)
+        # target angle, normalized by the Chebyshev step count
+        tan_tgt = np.where(n > 0, (e_t - eo) / np.where(n > 0, nfl, 1.0), 0.0)
+        mx = np.full(len(cid), -np.inf)
+        step = 1
+        while True:
+            m = n > step  # t = step is interior only when step < n
+            if not m.any():
+                break
+            tt = float(step)
+            xs = ox + (dx[m] * step) / nfl[m]
+            ys = oy + (dy[m] * step) / nfl[m]
+            lon = (xs + 0.5) / nf * 360.0 - 180.0
+            lat = (ys + 0.5) / nf * 180.0 - 90.0
+            s = (dem.elev(lon, lat) - eo) / tt
+            mx[m] = np.maximum(mx[m], s)
+            step += 1
+        visible = ((n <= 1) | (tan_tgt > mx)).astype(np.int64)
+        return pa.table(
+            {
+                "cell_id": pa.array(cid, pa.int64()),
+                "elev": pa.array(e_t, pa.float64()),
+                "n_steps": pa.array(n.astype(np.int64), pa.int64()),
+                "visible": pa.array(visible, pa.int64()),
+            }
+        )
+
+    return per_cell.map_batches(sweep, batch_format="pyarrow")

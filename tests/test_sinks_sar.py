@@ -340,3 +340,49 @@ def test_watershed_labels_bruteforce(ray_session, synth_small):
     roots = set(got.values())
     for r in roots:
         assert got[r] == r
+
+
+def test_viewshed_bruteforce(ray_session, synth_small):
+    """Observer + ring-1 visible; both classes occur; 50 sampled cells
+    match a per-cell Python walk of the identical parametric samples."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain
+    from kaza_lcms_ray.state import cells as C
+    from kaza_lcms_ray.state import dem
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    out = terrain.viewshed_cells(geo).to_pandas()
+    assert len(out) > 0
+    assert set(out["visible"].unique()) == {0, 1}
+    assert (out.loc[out["n_steps"] <= 1, "visible"] == 1).all()
+
+    nf = float(1 << C.CELL_LEVEL)
+    # observer = max elev, ties -> smallest cell id
+    obs_row = out.sort_values(["elev", "cell_id"], ascending=[False, True]).iloc[0]
+    ox, oy = C.decode(np.array([obs_row["cell_id"]], np.int64), C.CELL_LEVEL)
+    ox, oy = int(ox[0]), int(oy[0])
+    eo = float(obs_row["elev"]) + 10.0
+
+    def e_at(x, y):
+        lon = (x + 0.5) / nf * 360.0 - 180.0
+        lat = (y + 0.5) / nf * 180.0 - 90.0
+        return float(dem.elev(np.float64(lon), np.float64(lat)))
+
+    for _, r in out.sample(50, random_state=7).iterrows():
+        ix, iy = C.decode(np.array([r["cell_id"]], np.int64), C.CELL_LEVEL)
+        dx, dy = int(ix[0]) - ox, int(iy[0]) - oy
+        n = max(abs(dx), abs(dy))
+        assert r["n_steps"] == n
+        if n <= 1:
+            assert r["visible"] == 1
+            continue
+        mx = -np.inf
+        for t in range(1, n):
+            xs = ox + (dx * t) / float(n)
+            ys = oy + (dy * t) / float(n)
+            mx = max(mx, (e_at(xs, ys) - eo) / float(t))
+        want = 1 if (e_at(int(ix[0]), int(iy[0])) - eo) / float(n) > mx else 0
+        assert r["visible"] == want, r["cell_id"]
