@@ -948,13 +948,27 @@ def q_flow_accum(sf_dir: str):
 
 def q_dist_transform(sf_dir: str):
     """Capped Chebyshev distance transform to the dense-vegetation mask
-    (stages/zonal.dist_transform): integer mask rule s > 55·n, ring fan
+    (stages/zonal.dist_transform): integer mask rule s > 480000·n, ring fan
     with in-batch group-min, broadcast min-dist probe, sentinel cap."""
     from kaza_lcms_ray.stages import zonal
 
     return _i64(
-        zonal.dist_transform(_geo(sf_dir), band=3, thresh_pct=55, max_ring=3),
+        zonal.dist_transform(_geo(sf_dir), band=3, thresh_q=480_000, max_ring=3),
         ["cell_id", "in_mask", "dist"],
+    )
+
+
+def q_geodesic_dist(sf_dir: str):
+    """Obstacle-aware geodesic BFS distance from source cells through
+    passable cells (stages/zonal.geodesic_dist): integer passable/source
+    rules, level-synchronous vectorized BFS over the AOI-bounded skinny
+    cell table, broadcast attach — the path-blocking complement of
+    dist_transform's free-space rings."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.geodesic_dist(_geo(sf_dir)),
+        ["cell_id", "passable", "dist"],
     )
 
 
@@ -4083,6 +4097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
         "viewshed": q_viewshed,
+        "geodesic_dist": q_geodesic_dist,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -4710,7 +4725,10 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).compact_cells_sql("SELECT cell_id FROM cells")}""",
         "dist_transform": f"""
             WITH {geo}, {cells},
-            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).dist_transform_sql("SELECT * FROM cells", band=3, thresh_pct=55, max_ring=3)}""",
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).dist_transform_sql("SELECT * FROM cells", band=3, thresh_q=480_000, max_ring=3)}""",
+        "geodesic_dist": f"""
+            WITH RECURSIVE {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).geodesic_dist_sql("SELECT * FROM cells")}""",
         "psi_drift": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).psi_drift_sql("SELECT * FROM cells", band=3)}""",

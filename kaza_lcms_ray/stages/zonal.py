@@ -2255,12 +2255,12 @@ def raster_pyramid_sql(cells_sql: str, band: int = 3, levels_up=(1, 2)) -> str:
     return " UNION ALL ".join(selects)
 
 
-def dist_transform(geo, band: int = 3, thresh_pct: int = 55, max_ring: int = 3):
+def dist_transform(geo, band: int = 3, thresh_q: int = 480_000, max_ring: int = 3):
     """Capped Chebyshev distance transform: for every occupied cell, the
     grid distance (0..max_ring) to the nearest MASK cell, where the mask
-    is the dense-vegetation rule mean_b{band} > thresh_pct/100 — evaluated
-    as the exact integer cross-multiplication s > thresh_pct·n (never a
-    float compare).  Cells farther than ``max_ring`` from any mask cell
+    is the dense-vegetation rule on the quantized band sums, mean
+    c{band} > thresh_q — evaluated as the exact integer cross-
+    multiplication s > thresh_q·n (never a float compare).  Cells farther than ``max_ring`` from any mask cell
     report the saturation sentinel max_ring+1.
 
     Reference analog: ``fastDistanceTransform`` in the cloud-shadow
@@ -2300,7 +2300,7 @@ def dist_transform(geo, band: int = 3, thresh_pct: int = 55, max_ring: int = 3):
         cid = t.column("cell_id").to_numpy(zero_copy_only=False)
         s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = s > thresh_pct * n
+        keep = s > thresh_q * n
         ix, iy = decode(cid[keep], CELL_LEVEL)
         parts = []
         for dx, dy, r in offsets:
@@ -2341,7 +2341,7 @@ def dist_transform(geo, band: int = 3, thresh_pct: int = 55, max_ring: int = 3):
         return pa.table(
             {
                 "cell_id": pa.array(cid.astype(np.int64), pa.int64()),
-                "in_mask": pa.array((s > thresh_pct * n).astype(np.int64)),
+                "in_mask": pa.array((s > thresh_q * n).astype(np.int64)),
                 "dist": pa.array(dist),
             }
         )
@@ -2350,7 +2350,7 @@ def dist_transform(geo, band: int = 3, thresh_pct: int = 55, max_ring: int = 3):
 
 
 def dist_transform_sql(
-    cells_sql: str, band: int = 3, thresh_pct: int = 55, max_ring: int = 3
+    cells_sql: str, band: int = 3, thresh_q: int = 480_000, max_ring: int = 3
 ) -> str:
     """Oracle twin of :func:`dist_transform`: identical integer mask rule,
     offset fan with Chebyshev ring literals, grouped MIN, LEFT JOIN +
@@ -2372,7 +2372,7 @@ def dist_transform_sql(
         dt_mask AS (
             SELECT {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
                    {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
-            FROM dt_agg WHERE s > {thresh_pct} * n
+            FROM dt_agg WHERE s > {thresh_q} * n
         ),
         dt_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy, ring)),
         dt_fan AS (
@@ -2387,7 +2387,7 @@ def dist_transform_sql(
             SELECT cell_id, MIN(ring) AS ring FROM dt_fan GROUP BY cell_id
         )
         SELECT a.cell_id,
-               CASE WHEN a.s > {thresh_pct} * a.n THEN 1 ELSE 0 END AS in_mask,
+               CASE WHEN a.s > {thresh_q} * a.n THEN 1 ELSE 0 END AS in_mask,
                CAST(COALESCE(m.ring, {max_ring + 1}) AS BIGINT) AS dist
         FROM dt_agg a LEFT JOIN dt_min m ON a.cell_id = m.cell_id"""
 
@@ -3302,3 +3302,158 @@ def grouped_weighted_quantile_sql(
         SELECT {ks}, CAST(MIN(v_c) AS BIGINT) AS {out_col}
         FROM wq_c WHERE cw * {q_den} >= {q_num} * tot
         GROUP BY {ks}"""
+
+
+def geodesic_dist(
+    geo,
+    obstacle_band: int = 3,
+    obstacle_thresh: int = 480_000,
+    source_band: int = 2,
+    source_thresh: int = 330_000,
+    cap: int = 64,
+):
+    """Obstacle-aware geodesic (least-step) distance over the occupied
+    grid: rook-neighbor BFS from the SOURCE cells, constrained to the
+    PASSABLE set — the cost-distance product the reference's
+    distance-from-water / distance-from-cloud layers approximate, but with
+    obstacles actually blocking the path (unlike :func:`dist_transform`'s
+    free-space Chebyshev rings).
+
+    Integer rules on the quantized per-cell sums (never a float compare):
+    passable ⇔ s_c{obstacle_band} ≤ obstacle_thresh·n (dense cells are
+    obstacles); source ⇔ passable AND s_c{source_band} > source_thresh·n.
+    ``dist`` is the minimum number of rook steps through passable cells
+    from any source (0 for sources), capped at ``cap``; obstacles and
+    unreachable passable cells report −1.
+
+    Exactness: every column is int64 and BFS level-sets are
+    partition-invariant, so the result is bit-stable; the SQL twin walks
+    the identical graph with a capped recursive UNION and takes MIN(d).
+
+    Scale shape: the only corpus-sized pass is the zonal_sums reduce; the
+    BFS itself runs on the collected skinny (cell_id, s2, s3, n) table —
+    AOI-grid-bounded (≤4^level rows, independent of corpus size, the
+    flow_accumulation discipline) — as ≤cap vectorized frontier rounds;
+    the dist side attaches back by broadcast searchsorted probe.  At a
+    finer grid the same level-synchronous BFS runs as bucketed frontier
+    joins (the dup_clusters spanning-forest pattern), one (cell, d) row
+    per newly-reached cell per round.
+
+    Output: (cell_id:int64, passable:int64, dist:int64).
+    """
+    import ray
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    so, ss = f"s_c{obstacle_band}", f"s_c{source_band}"
+    cellsums = zonal_sums(
+        geo, keys=["cell_id"], bands=(source_band, obstacle_band)
+    ).materialize()
+    df = cellsums.to_pandas()
+    ids = df["cell_id"].to_numpy(np.int64)
+    s_o = df[so].to_numpy(np.int64)
+    s_s = df[ss].to_numpy(np.int64)
+    n = df["n"].to_numpy(np.int64)
+    passable_m = s_o <= obstacle_thresh * n
+    p = np.sort(ids[passable_m])
+    n_grid = np.int64(1) << CELL_LEVEL
+
+    dist = np.full(len(p), -1, np.int64)
+    srcs = np.sort(ids[passable_m & (s_s > source_thresh * n)])
+    if len(p):
+        dist[np.searchsorted(p, srcs)] = 0
+    frontier = srcs
+    step = 1
+    while len(frontier) and len(p) and step <= cap:
+        ix, iy = decode(frontier, CELL_LEVEL)
+        nbr = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            tx, ty = ix + dx, iy + dy
+            ok = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            nbr.append(morton(tx[ok], ty[ok]).astype(np.int64))
+        cand = np.unique(np.concatenate(nbr)) if nbr else np.array([], np.int64)
+        pos = np.minimum(np.searchsorted(p, cand), max(len(p) - 1, 0))
+        hit = (p[pos] == cand) & (dist[pos] < 0)
+        idx = pos[hit]
+        if not len(idx):
+            break
+        dist[idx] = step
+        frontier = p[idx]
+        step += 1
+    side_ref = ray.put({"k": p, "d": dist})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s_ob = t.column(so).to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.full(len(cid), -1, np.int64)
+        if len(side["k"]):
+            pos = np.minimum(np.searchsorted(side["k"], cid), len(side["k"]) - 1)
+            hit = side["k"][pos] == cid
+            out[hit] = side["d"][pos[hit]]
+        return pa.table(
+            {
+                "cell_id": pa.array(cid, pa.int64()),
+                "passable": pa.array(
+                    (s_ob <= obstacle_thresh * nn).astype(np.int64)
+                ),
+                "dist": pa.array(out),
+            }
+        )
+
+    return cellsums.map_batches(finalize, batch_format="pyarrow")
+
+
+def geodesic_dist_sql(
+    cells_sql: str,
+    obstacle_band: int = 3,
+    obstacle_thresh: int = 480_000,
+    source_band: int = 2,
+    source_thresh: int = 330_000,
+    cap: int = 64,
+) -> str:
+    """Oracle twin of :func:`geodesic_dist`: identical integer passable /
+    source rules, capped recursive-UNION BFS over the rook-neighbor
+    morton equi-join, MIN(d) per cell, −1 COALESCE.  Must be composed
+    under ``WITH RECURSIVE``."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    nbr = morton_sql_expr("(s.ix + o.dx)", "(s.iy + o.dy)", CELL_LEVEL)
+    return f"""
+        gd_agg AS MATERIALIZED (
+            SELECT cell_id,
+                   CAST(SUM(c{obstacle_band}) AS BIGINT) AS s_o,
+                   CAST(SUM(c{source_band}) AS BIGINT) AS s_s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        gd_pass AS MATERIALIZED (
+            SELECT cell_id,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM gd_agg WHERE s_o <= {obstacle_thresh} * n
+        ),
+        gd_offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS t(dx, dy)),
+        gd_bfs(cell_id, d) AS (
+            SELECT cell_id, CAST(0 AS BIGINT) AS d
+            FROM gd_agg
+            WHERE s_o <= {obstacle_thresh} * n AND s_s > {source_thresh} * n
+            UNION
+            SELECT p.cell_id, b.d + 1
+            FROM gd_bfs b
+            JOIN gd_pass s ON s.cell_id = b.cell_id
+            CROSS JOIN gd_offs o
+            JOIN gd_pass p ON p.cell_id = {nbr}
+            WHERE b.d < {cap}
+              AND s.ix + o.dx BETWEEN 0 AND {hi}
+              AND s.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        gd_min AS (SELECT cell_id, MIN(d) AS d FROM gd_bfs GROUP BY cell_id)
+        SELECT a.cell_id,
+               CASE WHEN a.s_o <= {obstacle_thresh} * a.n THEN 1 ELSE 0 END
+                   AS passable,
+               CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
+        FROM gd_agg a LEFT JOIN gd_min m ON m.cell_id = a.cell_id"""

@@ -626,7 +626,7 @@ def test_dist_transform_matches_bruteforce(synth_small, ray_session):
     docs = rd.read_parquet(f"{synth_small}/documents")
     geo = spans.geo_obs(docs)
     got = (
-        zonal.dist_transform(geo, band=3, thresh_pct=55, max_ring=3)
+        zonal.dist_transform(geo, band=3, thresh_q=480_000, max_ring=3)
         .to_pandas()
         .sort_values("cell_id")
         .reset_index(drop=True)
@@ -634,7 +634,7 @@ def test_dist_transform_matches_bruteforce(synth_small, ray_session):
     df = _geo_df(synth_small)
     agg = df.groupby("cell_id")["c3"].agg(["sum", "count"]).reset_index()
     cid = agg["cell_id"].to_numpy(np.int64)
-    mask = agg["sum"].to_numpy(np.int64) > 55 * agg["count"].to_numpy(np.int64)
+    mask = agg["sum"].to_numpy(np.int64) > 480_000 * agg["count"].to_numpy(np.int64)
     ix, iy = C.decode(cid, C.CELL_LEVEL)
     mx, my = ix[mask].astype(np.int64), iy[mask].astype(np.int64)
     dist = np.full(len(cid), 4, np.int64)
@@ -780,3 +780,35 @@ def test_compact_cells_invariants(ray_session, synth_small):
         ids = grp["cell_id"].to_numpy(np.int64)
         _, cnt = np.unique(ids >> 2, return_counts=True)
         assert (cnt < 4).all()
+
+
+def test_geodesic_dist_bfs_properties(synth_small, ray_session):
+    """Sources are dist 0; every reached cell at d>0 has a passable rook
+    neighbor at d-1; obstacles are -1; BFS respects obstacles (a Python
+    replay over the collected cell table agrees exactly)."""
+    from kaza_lcms_ray.state import cells as C
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    got = (
+        zonal.geodesic_dist(geo)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert (got.loc[got["passable"] == 0, "dist"] == -1).all()
+    ids = got["cell_id"].to_numpy(np.int64)
+    dist = got["dist"].to_numpy(np.int64)
+    passable = got["passable"].to_numpy(np.int64).astype(bool)
+    pos_of = {int(c): i for i, c in enumerate(ids)}
+    ix, iy = C.decode(ids, C.CELL_LEVEL)
+    reached = np.flatnonzero(passable & (dist > 0))
+    assert len(reached) > 0 and (dist == 0).sum() > 0
+    for i in reached[:200]:
+        best = None
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            j = pos_of.get(int(C.morton(
+                np.array([ix[i] + dx]), np.array([iy[i] + dy]))[0]))
+            if j is not None and passable[j] and dist[j] >= 0:
+                best = dist[j] if best is None else min(best, dist[j])
+        assert best is not None and dist[i] == best + 1
