@@ -2951,7 +2951,13 @@ def q_events_range(sf_dir: str):
     from kaza_lcms_ray.stages import events
 
     ev = _tbl(sf_dir, "events")
-    return _i64(events.interval_join(ev), ["event_id", "user_id", "session_id"])
+    # gap 720 min: at the driver table's event density (~11 h between a
+    # user's events) a 30-min gap makes every session a singleton and NO
+    # error ever matches — the join would certify only the sentinel path.
+    return _i64(
+        events.interval_join(ev, gap_minutes=720),
+        ["event_id", "user_id", "session_id"],
+    )
 
 
 def q_events_props(sf_dir: str):
@@ -2985,7 +2991,14 @@ def q_events_retention(sf_dir: str):
     from kaza_lcms_ray.stages import events
 
     ev = _tbl(sf_dir, "events")
-    return _i64(events.retention_cohorts(ev), ["cohort", "k", "n_users"])
+    # daily cohorts + purchase-only activity: with the defaults every user
+    # lands in epoch-week-0 and is active every week, so the triangle is a
+    # constant — this parameterization gives real per-cohort decay curves.
+    return _i64(
+        events.retention_cohorts(ev, period_days=7, cohort_days=1,
+                                 activity_type="purchase"),
+        ["cohort", "k", "n_users"],
+    )
 
 
 def q_events_funnel(sf_dir: str):
@@ -2995,7 +3008,9 @@ def q_events_funnel(sf_dir: str):
     from kaza_lcms_ray.stages import events
 
     ev = _tbl(sf_dir, "events")
-    return _i64(events.funnel(ev), ["user_id", "reached"])
+    # first-week window: unbounded, every user eventually completes all
+    # three stages (reached == 3 for 100% of users on the driver table)
+    return _i64(events.funnel(ev, within_days=7), ["user_id", "reached"])
 
 
 def q_events_attribution(sf_dir: str):
@@ -5650,10 +5665,13 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).session_attribution_sql("SELECT * FROM events"),
         "events_funnel": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
-        ).funnel_sql("SELECT * FROM events"),
+        ).funnel_sql("SELECT * FROM events", within_days=7),
         "events_retention": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
-        ).retention_cohorts_sql("SELECT * FROM events"),
+        ).retention_cohorts_sql(
+            "SELECT * FROM events", period_days=7, cohort_days=1,
+            activity_type="purchase",
+        ),
         "similar_docs": _similar_docs_sql(10),
         "mmr_select": _mmr_sql(8, 24),
         "events_anomaly": __import__(
@@ -5695,7 +5713,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             ),
             s AS (
                 SELECT *, CASE WHEN prev IS NULL
-                                 OR ts - prev > INTERVAL 30 MINUTE
+                                 OR ts - prev > INTERVAL 720 MINUTE
                                THEN 1 ELSE 0 END AS brk
                 FROM o
             ),

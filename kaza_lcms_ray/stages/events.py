@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
 
@@ -605,16 +606,25 @@ def session_attribution_sql(events_sql: str, gap_minutes: int = 30) -> str:
         FROM sa_sid GROUP BY user_id, sid"""
 
 
-def funnel(ds, stages=("view", "click", "purchase")):
+def funnel(ds, stages=("view", "click", "purchase"), within_days: int | None = None):
     """Ordered conversion funnel per user: stage k counts only if its
     event occurs STRICTLY AFTER the user's stage-(k−1) completion time
     (first-completion semantics — the standard product-funnel measure,
     immune to out-of-order stage events).
 
+    ``within_days`` bounds the funnel to the first N days of the stream
+    (ts < global MIN(ts) + N days) — the measurement-window form real
+    funnels use.  Unbounded, a long-enough stream lets every user
+    eventually complete every stage and the funnel saturates (observed on
+    the driver events table: all users reach 3/3), so the bounded form is
+    what the gate certifies.
+
     Deterministic: completion times are per-user MINs over a unique
     (user, ts) stream; no float arithmetic.  Same co-partitioning shape
     as the other event ops (hash-bucketed users, vectorized in-task
-    pandas passes — one merge per stage, not one pass per user).
+    pandas passes — one merge per stage, not one pass per user).  The
+    window cutoff is one tiny distributed MIN (per-batch partials →
+    driver scalar → stateless filter), not a driver scan.
 
     Output: (user_id, reached:int64 ∈ [0, len(stages)]).
     """
@@ -624,6 +634,26 @@ def funnel(ds, stages=("view", "click", "purchase")):
     from .zonal import _default_buckets
 
     nb = _default_buckets(None)
+
+    if within_days is not None:
+        day_us = np.int64(86_400) * 1_000_000
+
+        def ts_min(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            if t.num_rows == 0:
+                return pa.table({"m": pa.array([], pa.int64())})
+            return pa.table({"m": pa.array([pc.min(ts).as_py()], pa.int64())})
+
+        mins = ds.select_columns(["ts"]).map_batches(
+            ts_min, batch_format="pyarrow"
+        ).to_pandas()
+        cutoff = np.int64(mins["m"].min()) + np.int64(within_days) * day_us
+
+        def in_window(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            return t.filter(pc.less(ts, pa.scalar(int(cutoff), pa.int64())))
+
+        ds = ds.map_batches(in_window, batch_format="pyarrow")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         k = df["user_id"].to_numpy(np.int64).view(np.uint64)
@@ -659,9 +689,19 @@ def funnel(ds, stages=("view", "click", "purchase")):
     )
 
 
-def funnel_sql(events_sql: str, stages=("view", "click", "purchase")) -> str:
+def funnel_sql(
+    events_sql: str,
+    stages=("view", "click", "purchase"),
+    within_days: int | None = None,
+) -> str:
     """Oracle twin: chained per-user first-completion MINs with the same
-    strict-after rule."""
+    strict-after rule; ``within_days`` applies the identical integer-µs
+    global-MIN window cutoff."""
+    if within_days is not None:
+        span_us = within_days * 86_400 * 1_000_000
+        events_sql = f"""SELECT * FROM ({events_sql})
+            WHERE epoch_us(ts) < (SELECT MIN(epoch_us(ts))
+                                  FROM ({events_sql})) + {span_us}"""
     ctes = [
         f"""fn_u AS (SELECT DISTINCT user_id FROM ({events_sql}))""",
         f"""fn_t1 AS (
@@ -690,7 +730,12 @@ def funnel_sql(events_sql: str, stages=("view", "click", "purchase")) -> str:
             {joins}"""
 
 
-def retention_cohorts(ds, period_days: int = 7):
+def retention_cohorts(
+    ds,
+    period_days: int = 7,
+    cohort_days: int | None = None,
+    activity_type: str | None = None,
+):
     """Cohort retention: users grouped by their first-activity period
     (floor(ts / period) — epoch-aligned weeks by default); retention cell
     (cohort, k) counts the cohort's distinct users active k periods later
@@ -703,6 +748,18 @@ def retention_cohorts(ds, period_days: int = 7):
     shuffle beyond the two bucketed reduces), and (cohort, k) counts
     collapse per batch.
 
+    ``cohort_days`` (default = period_days) sets the cohort granularity
+    INDEPENDENTLY of the retention period k: cohort = floor(first_ts /
+    cohort_days·day), k = (floor(ts / cohort_days·day) − cohort) //
+    (period_days / cohort_days is NOT assumed — k is the integer number
+    of whole period_days-day periods after the cohort day).
+    ``activity_type`` restricts which events count as RETAINED activity
+    (the cohort itself still derives from the user's first event of ANY
+    type).  On the driver events table the defaults degenerate — every
+    user signs up in epoch-week 0 and is active every week, so every
+    (cohort, k) cell equals the user count; daily cohorts + purchase-only
+    activity is what the gate certifies.
+
     Output: (cohort:int64, k:int64, n_users:int64).
     """
     import numpy as np
@@ -711,37 +768,50 @@ def retention_cohorts(ds, period_days: int = 7):
     from .zonal import _default_buckets, bucketed_sum
 
     nb = _default_buckets(None)
-    period_us = np.int64(period_days) * 86_400 * 1_000_000
+    cd = cohort_days if cohort_days is not None else period_days
+    day_us = np.int64(86_400) * 1_000_000
+    cohort_us = np.int64(cd) * day_us
+    k_per = np.int64(max(period_days // cd, 1))
 
     def add_period(df: pd.DataFrame) -> pd.DataFrame:
         ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
-        per = np.floor_divide(ts, period_us)
+        per = np.floor_divide(ts, cohort_us)
         k = df["user_id"].to_numpy(np.int64).view(np.uint64)
+        is_act = (
+            np.ones(len(df), bool)
+            if activity_type is None
+            else (df["event_type"].to_numpy() == activity_type)
+        )
         return pd.DataFrame(
             {
                 "user_id": df["user_id"].to_numpy(),
                 "period": per,
+                "is_act": is_act.astype(np.int64),
                 "bucket": (splitmix64(k) % np.uint64(nb)).astype(np.int64),
             }
-        ).drop_duplicates(["user_id", "period"])
+        ).drop_duplicates(["user_id", "period", "is_act"])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["user_id", "period"])
+        g = g.drop_duplicates(["user_id", "period", "is_act"])
         first = g.groupby("user_id")["period"].transform("min")
+        act = g["is_act"].to_numpy() == 1
         out = pd.DataFrame(
             {
-                "cohort": first.to_numpy(),
-                "k": g["period"].to_numpy() - first.to_numpy(),
+                "user_id": g["user_id"].to_numpy()[act],
+                "cohort": first.to_numpy()[act],
+                "k": (g["period"].to_numpy()[act] - first.to_numpy()[act])
+                // k_per,
             }
-        )
+        ).drop_duplicates(["user_id", "cohort", "k"])
         return (
             out.groupby(["cohort", "k"], as_index=False)
             .size()
             .rename(columns={"size": "n_users"})
         )
 
+    cols = ["user_id", "ts"] + ([] if activity_type is None else ["event_type"])
     partial = (
-        ds.select_columns(["user_id", "ts"])
+        ds.select_columns(cols)
         .map_batches(add_period, batch_format="pandas")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pandas")
@@ -751,12 +821,21 @@ def retention_cohorts(ds, period_days: int = 7):
     )
 
 
-def retention_cohorts_sql(events_sql: str, period_days: int = 7) -> str:
-    """Oracle twin: same floor-division periods, per-user MIN cohort,
-    distinct (user, period) activity, grouped counts."""
-    us = period_days * 86_400 * 1_000_000
+def retention_cohorts_sql(
+    events_sql: str,
+    period_days: int = 7,
+    cohort_days: int | None = None,
+    activity_type: str | None = None,
+) -> str:
+    """Oracle twin: same floor-division periods, per-user MIN cohort over
+    ALL events, distinct (user, k) activity (optionally type-filtered),
+    grouped counts."""
+    cd = cohort_days if cohort_days is not None else period_days
+    us = cd * 86_400 * 1_000_000
+    k_per = max(period_days // cd, 1)
+    act = "" if activity_type is None else f"WHERE event_type = '{activity_type}'"
     return f"""
-        WITH rc_a AS (
+        WITH rc_all AS (
             SELECT DISTINCT user_id,
                    -- integer division: epoch_us exceeds 2^53, a double
                    -- floor would round; ts > 0 so trunc == floor
@@ -764,12 +843,20 @@ def retention_cohorts_sql(events_sql: str, period_days: int = 7) -> str:
             FROM ({events_sql})
         ),
         rc_c AS (
-            SELECT user_id, MIN(period) AS cohort FROM rc_a GROUP BY user_id
+            SELECT user_id, MIN(period) AS cohort FROM rc_all GROUP BY user_id
+        ),
+        rc_act AS (
+            SELECT DISTINCT user_id,
+                   CAST(epoch_us(ts) // {us} AS BIGINT) AS period
+            FROM ({events_sql}) {act}
+        ),
+        rc_k AS (
+            SELECT DISTINCT a.user_id, c.cohort,
+                   (a.period - c.cohort) // {k_per} AS k
+            FROM rc_act a JOIN rc_c c ON a.user_id = c.user_id
         )
-        SELECT c.cohort, a.period - c.cohort AS k,
-               CAST(COUNT(*) AS BIGINT) AS n_users
-        FROM rc_a a JOIN rc_c c ON a.user_id = c.user_id
-        GROUP BY 1, 2"""
+        SELECT cohort, k, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM rc_k GROUP BY 1, 2"""
 
 
 def ewma_anomalies(
