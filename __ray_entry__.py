@@ -43,6 +43,157 @@ def _doc_table(sf_dir: str, columns=None):
     return storage.read_documents(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+_DUP_DOCS_SQL = """
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text, source
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text,
+           'src' || CAST((CAST(substr(source, 4) AS BIGINT) + 1) % 20
+                         AS VARCHAR) AS source
+    FROM documents WHERE doc_id % 11 = 0"""
+
+
+def _dup_docs(sf_dir: str):
+    """Derived dedup-gate corpus: the driver documents table UNION a
+    same-source re-emission of every doc_id % 7 == 0 doc (+1 000 000) and
+    a NEXT-source re-emission of every doc_id % 11 == 0 doc (+2 000 000).
+
+    Why: the driver table's 500 gate-scale texts are all DISTINCT, so the
+    exact-dedup family (dedup_exact / dedup_report / source_overlap /
+    corpus_card) would certify only its no-op path.  This derivation is
+    computed IDENTICALLY by the engine (this map) and the oracle
+    (:data:`_DUP_DOCS_SQL`), so the value check still compares two
+    independent implementations of the same deterministic input."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def fan(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        dn = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        d7 = t.filter(pa.array(dn % 7 == 0))
+        d11 = t.filter(pa.array(dn % 11 == 0))
+        nxt = pc.binary_join_element_wise(
+            "src",
+            pc.cast(
+                pa.array(
+                    (
+                        pc.cast(
+                            pc.utf8_slice_codeunits(d11.column("source"), 3),
+                            pa.int64(),
+                        ).to_numpy(zero_copy_only=False)
+                        + 1
+                    )
+                    % 20,
+                    pa.int64(),
+                ),
+                pa.string(),
+            ),
+            "",
+        )
+        return pa.concat_tables(
+            [
+                t,
+                pa.table(
+                    {
+                        "doc_id": pc.add_checked(d7.column("doc_id"), 1_000_000),
+                        "text": d7.column("text"),
+                        "source": d7.column("source"),
+                    }
+                ),
+                pa.table(
+                    {
+                        "doc_id": pc.add_checked(d11.column("doc_id"), 2_000_000),
+                        "text": d11.column("text"),
+                        "source": nxt,
+                    }
+                ),
+            ]
+        )
+
+    return _doc_table(sf_dir, columns=["doc_id", "text", "source"]).map_batches(
+        fan, batch_format="pyarrow"
+    )
+
+
+_MULTILINE_DOCS_SQL = """
+    SELECT doc_id,
+           text || chr(10) || 'shared passage block '
+                || CAST(doc_id % 13 AS VARCHAR)
+                || CASE WHEN doc_id % 4 = 0 THEN chr(10) || text
+                        ELSE '' END AS text
+    FROM documents"""
+
+
+def _multiline_docs(sf_dir: str):
+    """Derived paragraph-gate corpus: every doc gains a second line from a
+    13-way shared-passage pool (repeats ACROSS docs → corpus paragraph
+    dedup fires) and doc_id % 4 == 0 docs repeat their own first line
+    (WITHIN-doc duplicate lines → line_repetition fires).  The driver
+    texts are single-line, so without this the paragraph ops certify only
+    1-paragraph no-ops.  Mirrored by :data:`_MULTILINE_DOCS_SQL`."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def fan(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        dn = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t.column("text")
+        shared = pc.binary_join_element_wise(
+            "shared passage block ",
+            pc.cast(pa.array(dn % 13, pa.int64()), pa.string()),
+            "",
+        )
+        tail = pc.if_else(
+            pa.array(dn % 4 == 0),
+            pc.binary_join_element_wise("\n", text, ""),
+            pa.scalar("", pa.string()),
+        )
+        new_text = pc.binary_join_element_wise(text, "\n", shared, tail, "")
+        return pa.table({"doc_id": did, "text": new_text})
+
+    return _doc_table(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fan, batch_format="pyarrow"
+    )
+
+
+_CASED_DOCS_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0
+                THEN replace(CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                                  ELSE text END, ' ', '  ')
+                ELSE CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                          ELSE text END END AS text
+    FROM documents"""
+
+
+def _cased_docs(sf_dir: str):
+    """Derived normalization-gate corpus: doc_id % 3 == 0 texts uppercased,
+    doc_id % 5 == 0 texts with doubled spaces (both, in that order, when
+    divisible by 15).  The driver texts are already lowercase single-space,
+    so normalize_text would otherwise certify changed == 0 for every row.
+    Mirrored by :data:`_CASED_DOCS_SQL`."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def fan(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        dn = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t.column("text")
+        up = pc.if_else(pa.array(dn % 3 == 0), pc.utf8_upper(text), text)
+        sp = pc.if_else(
+            pa.array(dn % 5 == 0),
+            pc.replace_substring(up, " ", "  "),
+            up,
+        )
+        return pa.table({"doc_id": did, "text": sp})
+
+    return _doc_table(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fan, batch_format="pyarrow"
+    )
+
+
 def _tbl(sf_dir: str, name: str, columns=None):
     """Any driver testdata table through the storage seam (same bytes-aware
     block sizing as ``_doc_table``)."""
@@ -1093,7 +1244,7 @@ def q_dedup_exact(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = _doc_table(sf_dir)
+    docs = _dup_docs(sf_dir)
     return _i64(
         dedup.exact_dedup_keys(docs, "text", "doc_id"), ["keep_id", "n_dups"]
     )
@@ -1110,7 +1261,7 @@ def q_para_dedup(sf_dir: str):
 
     from kaza_lcms_ray.stages import dedup
 
-    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    docs = _multiline_docs(sf_dir)
     return _i64(
         dedup.drop_dup_paragraphs(docs, "text", "doc_id"),
         ["doc_id", "text_clean", "n_kept", "n_dropped"],
@@ -1194,7 +1345,7 @@ def q_normalize_text(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    docs = _cased_docs(sf_dir)
     return _i64(
         T.normalize_text(docs), ["doc_id", "text_norm", "n_chars_norm", "changed"]
     )
@@ -1297,7 +1448,7 @@ def q_line_repetition(sf_dir: str):
 
     from kaza_lcms_ray.stages import text as T
 
-    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    docs = _multiline_docs(sf_dir)
     return _i64(
         T.line_repetition(docs, "text", "doc_id"),
         ["doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac"],
@@ -1879,7 +2030,7 @@ def q_corpus_card(sf_dir: str):
     O(1) reaches the driver."""
     from kaza_lcms_ray.stages import text
 
-    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    docs = _dup_docs(sf_dir).select_columns(["doc_id", "text"])
     return _i64(
         text.corpus_card(docs),
         ["n_docs", "n_chars", "n_tokens", "n_distinct_text", "n_dup_docs"],
@@ -3847,7 +3998,7 @@ def q_dedup_report(sf_dir: str):
     raw text never shuffles.  Counts + dup_rate doubles value-checked."""
     from kaza_lcms_ray.stages import dedup
 
-    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
+    docs = _dup_docs(sf_dir)
     return _i64(
         dedup.dedup_report(docs), ["source", "n_docs", "n_unique", "dup_rate"]
     )
@@ -4023,7 +4174,7 @@ def q_source_overlap(sf_dir: str):
     ESTIMATES themselves are value-checked (deterministic hash chain)."""
     from kaza_lcms_ray.stages import sketch
 
-    docs = _doc_table(sf_dir, columns=["text", "source"])
+    docs = _dup_docs(sf_dir).select_columns(["text", "source"])
     return sketch.bottomk_similarity(docs, "text", "source", k=64)
 
 
@@ -4478,7 +4629,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             GROUP BY fold, source""",
         "dedup_report": __import__(
             "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
-        ).dedup_report_sql("SELECT doc_id, text, source FROM documents"),
+        ).dedup_report_sql(f"SELECT doc_id, text, source FROM ({_DUP_DOCS_SQL})"),
         "lexical_diversity": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).lexical_diversity_sql("SELECT doc_id, text FROM documents"),
@@ -4955,7 +5106,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 ) AS rn
                 FROM read_parquet('{root}/primitives.parquet')
             ) WHERE rn = 1 GROUP BY class""",
-        "dedup_exact": "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+        "dedup_exact": f"SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM ({_DUP_DOCS_SQL}) GROUP BY text",
         "token_stats": r"""
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
                    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
@@ -5076,7 +5227,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "source_overlap": __import__(
             "kaza_lcms_ray.stages.sketch", fromlist=["sketch"]
         ).bottomk_similarity_sql(
-            "SELECT text, source FROM documents", "text", "source", k=64
+            f"SELECT text, source FROM ({_DUP_DOCS_SQL})", "text", "source", k=64
         ),
         # covariate band algebra: identical double-precision expression trees
         # (left-associative, same constants) → bit-equal to the numpy kernels
@@ -5165,7 +5316,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM reach GROUP BY node""",
         "para_dedup": __import__(
             "kaza_lcms_ray.stages.dedup", fromlist=["dedup"]
-        ).drop_dup_paragraphs_sql("SELECT doc_id, text FROM documents"),
+        ).drop_dup_paragraphs_sql(_MULTILINE_DOCS_SQL),
         "fuzzy_dedup": f"""
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT b FROM ({_jaccard_verified_sql()}))""",
@@ -5183,7 +5334,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT d FROM drops)""",
         "line_repetition": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
-        ).line_repetition_sql("SELECT doc_id, text FROM documents"),
+        ).line_repetition_sql(_MULTILINE_DOCS_SQL),
         "curriculum_rank": __import__(
             "kaza_lcms_ray.stages.packing", fromlist=["packing"]
         ).global_rank_sql(
@@ -5199,7 +5350,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).top_ngrams_sql("SELECT doc_id, text FROM documents", n=2, k=20),
         "normalize_text": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
-        ).normalize_text_sql("SELECT doc_id, text FROM documents"),
+        ).normalize_text_sql(_CASED_DOCS_SQL),
         "ccnet_buckets": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).ccnet_buckets_sql("SELECT doc_id, text FROM documents"),
@@ -5264,7 +5415,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).zipf_fit_sql("SELECT doc_id, text FROM documents", top=1000),
         "corpus_card": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
-        ).corpus_card_sql("SELECT doc_id, text FROM documents"),
+        ).corpus_card_sql(f"SELECT doc_id, text FROM ({_DUP_DOCS_SQL})"),
         "bm25": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).bm25_topk_sql(
