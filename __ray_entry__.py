@@ -852,8 +852,11 @@ def q_terrain(sf_dir: str):
     chain is bit-replayed by the SQL oracle (S5/T5/M17)."""
     from kaza_lcms_ray.stages import terrain
 
+    # heading 90 deg (range direction east): the analytic DEM's gradients
+    # are zonal, so a north heading gives cos(phi_r) ~ 0 and the layover /
+    # shadow flags could never trip regardless of slope
     return _i64(
-        terrain.terrain_corrected_cells(_geo(sf_dir)),
+        terrain.terrain_corrected_cells(_geo(sf_dir), heading_deg=90.0),
         [
             "cell_id", "value_db", "elev", "slope_deg", "aspect_deg",
             "gamma0_vol_db", "layover", "shadow",
@@ -7486,8 +7489,8 @@ def _terrain_sql(root: str) -> str:
         ),
         ang AS (
             SELECT *,
-                   atan(tan(slope_deg * {RAD!r}) * cos((0.0 - aspect_deg) * {RAD!r})) AS alpha_r,
-                   atan(tan(slope_deg * {RAD!r}) * sin((0.0 - aspect_deg) * {RAD!r})) AS alpha_az
+                   atan(tan(slope_deg * {RAD!r}) * cos((90.0 - aspect_deg) * {RAD!r})) AS alpha_r,
+                   atan(tan(slope_deg * {RAD!r}) * sin((90.0 - aspect_deg) * {RAD!r})) AS alpha_az
             FROM sl
         ),
         lia AS (

@@ -22,7 +22,11 @@ import ray
 from ..state import cells, dem
 from .sar import DEG, RAD, terrain_correct_batch
 
-SLOPE_SCALE = 1000.0  # elevation units per horizontal cell unit
+# elevation units per horizontal cell unit.  25 (not the physically-flat
+# 1000) so the analytic DEM yields slopes up to ~50 deg: the SAR layover /
+# shadow geometry flags (alpha_r < incidence, theta_lia < 85) actually
+# trip on a minority of cells instead of certifying the all-True path.
+SLOPE_SCALE = 20.0
 
 
 class TerrainLookup:
