@@ -2192,7 +2192,7 @@ def q_hard_negatives(sf_dir: str):
     from kaza_lcms_ray.stages import ann
 
     emb = _tbl(sf_dir, "embeddings")
-    out = ann.hard_negatives(emb, k=1)
+    out = ann.hard_negatives(emb, k=3)  # k>1 so the rank column certifies order
     return _i64(out, ["qid", "rank", "nid"])
 
 
@@ -4575,7 +4575,7 @@ _HARD_NEG_SQL = """
                 ) AS rnk FROM s
             )
             SELECT qid, CAST(rnk AS BIGINT) AS "rank", nid
-            FROM r WHERE rnk <= 1"""
+            FROM r WHERE rnk <= 3"""
 
 
 _KNN_GRAPH_SQL = """
