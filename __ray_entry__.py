@@ -5052,27 +5052,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 WHERE g.doc_id < 'doc-000000002000'
             )
             SELECT doc_id, span_idx, plot_id, dist FROM ranked WHERE rn = 1""",
-        "plot_load": f"""
-            WITH {geo},
-            nn AS (
-                -- streaming min_by instead of a corpus×plots row_number
-                -- window (same (d2 ASC, plot_id ASC) winner, no 100M-row
-                -- sort materialization)
-                SELECT g.doc_id, g.span_idx,
-                       struct_extract(min((
-                           (g.lon - p.lon) * (g.lon - p.lon)
-                         + (g.lat - p.lat) * (g.lat - p.lat),
-                           p.plot_id)), 2) AS plot_id
-                FROM geo g, read_parquet('{root}/training_plots.parquet') p
-                GROUP BY g.doc_id, g.span_idx
-            ),
-            cnt AS (
-                SELECT plot_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
-                FROM nn GROUP BY plot_id
-            )
-            SELECT p.plot_id, COALESCE(c.n_assigned, 0) AS n_assigned
-            FROM read_parquet('{root}/training_plots.parquet') p
-            LEFT JOIN cnt c ON c.plot_id = p.plot_id""",
+        "plot_load": _plot_load_sql(root),
         "tile_labels": f"""
             SELECT tile_id, CAST("year" AS BIGINT) AS "year",
                    CAST(class AS BIGINT) AS "LANDCOVER"
@@ -7314,6 +7294,70 @@ def _watershed_sql(root: str) -> str:
                    AS flow_dir,
                r.basin
         FROM fw w JOIN froot r ON r.u = w.cell_id"""
+
+
+def _plot_load_sql(root: str) -> str:
+    """Reverse-kNN oracle with an exact cell-bounded candidate prune.
+
+    The naive corpus×plots min_by is a 225M-pair cross join (90 s at the
+    gate).  Instead: for every occupied cell c, dmin_c = the distance from
+    c's center to ITS nearest plot; for any point g in c the true nearest
+    plot satisfies dist(c, p*) ≤ dmin_c + diag (triangle inequality, two
+    half-diagonal hops), so the per-cell candidate set {p : dist(c, p) ≤
+    dmin_c + 2·diag} (margin doubled to drown float ulp) provably contains
+    every point's winner.  The final min((d2, plot_id)) runs only over
+    candidates — identical winner, ~30× less work."""
+    import math
+
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, grid_coord_sql_expr
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+    diag = repr(2.0 * math.sqrt((360.0 / n) ** 2 + (180.0 / n) ** 2))
+    return f"""
+        WITH {_geo_cte(root)},
+        pl_p AS MATERIALIZED (
+            SELECT plot_id, lon, lat
+            FROM read_parquet('{root}/training_plots.parquet')
+        ),
+        pl_g AS MATERIALIZED (
+            SELECT doc_id, span_idx, lon, lat, {ixe} AS ix, {iye} AS iy
+            FROM geo
+        ),
+        pl_c AS MATERIALIZED (
+            SELECT DISTINCT ix, iy,
+                   (ix + 0.5) / {n!r} * 360.0 - 180.0 AS cx,
+                   (iy + 0.5) / {n!r} * 180.0 - 90.0 AS cy
+            FROM pl_g
+        ),
+        pl_b AS MATERIALIZED (
+            SELECT c.ix, c.iy, c.cx, c.cy,
+                   MIN(sqrt((c.cx - p.lon) * (c.cx - p.lon)
+                          + (c.cy - p.lat) * (c.cy - p.lat))) AS dmin
+            FROM pl_c c CROSS JOIN pl_p p GROUP BY c.ix, c.iy, c.cx, c.cy
+        ),
+        pl_cand AS MATERIALIZED (
+            SELECT b.ix, b.iy, p.plot_id, p.lon, p.lat
+            FROM pl_b b CROSS JOIN pl_p p
+            WHERE sqrt((b.cx - p.lon) * (b.cx - p.lon)
+                     + (b.cy - p.lat) * (b.cy - p.lat)) <= b.dmin + {diag}
+        ),
+        nn AS (
+            SELECT g.doc_id, g.span_idx,
+                   struct_extract(min((
+                       (g.lon - p.lon) * (g.lon - p.lon)
+                     + (g.lat - p.lat) * (g.lat - p.lat),
+                       p.plot_id)), 2) AS plot_id
+            FROM pl_g g JOIN pl_cand p ON p.ix = g.ix AND p.iy = g.iy
+            GROUP BY g.doc_id, g.span_idx
+        ),
+        cnt AS (
+            SELECT plot_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+            FROM nn GROUP BY plot_id
+        )
+        SELECT p.plot_id, COALESCE(c.n_assigned, 0) AS n_assigned
+        FROM pl_p p LEFT JOIN cnt c ON c.plot_id = p.plot_id"""
 
 
 def _viewshed_sql(root: str, obs_height: float = 10.0) -> str:
