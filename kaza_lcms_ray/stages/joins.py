@@ -75,19 +75,31 @@ def anti_join_ids(ds, id_col: str, ids):
     return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2))
 
 
-def distinct(ds, cols: list[str]):
-    """Exact distinct rows over ``cols``: per-batch dedupe → groupby combine."""
-    from ray.data.aggregate import Count
+def distinct(ds, cols: list[str], rows_hint: int | None = None):
+    """Exact distinct rows over ``cols``: per-batch Arrow dedupe → hash-
+    bucketed combine (one vectorized drop_duplicates per bucket).
+
+    The combine is the zonal ``_add_bucket`` exchange, NOT Ray's native
+    ``groupby(cols).aggregate`` — the native sort-based aggregate pays
+    per-group sort cost that dominates on string keys (the events_hourly
+    pathology; supplier_counts spent ~11 s across its two distincts and
+    final count at the gate, ~3× this plan).  Buckets bound per-task rows
+    regardless of key skew; pass ``rows_hint`` to scale the bucket count.
+    """
+    from .zonal import _add_bucket, _default_buckets
+
+    nb = _default_buckets(rows_hint)
 
     def partial(t: pa.Table) -> pa.Table:
-        out = t.select(cols).group_by(cols).aggregate([([], "count_all")])
-        return out.rename_columns(cols + ["n"])
+        return t.select(cols).group_by(cols).aggregate([])
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(cols)[cols]
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(cols)
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(cols)
+        _add_bucket(ds.map_batches(partial, batch_format="pyarrow"), cols, nb)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
     )
 
 
