@@ -130,3 +130,44 @@ def test_column_profile_counts(ray_session):
         assert out["n_rows"].tolist() == [4, 4]
         assert out["n_null"].tolist() == [1, 1]
         assert out["n_empty"].tolist() == [0, 2]
+
+
+def test_doc_trajectory_bruteforce(synth_small, ray_session):
+    """Per-doc path/net stats match a per-row Python replay of the same
+    span-ordered fold (quantized steps, endpoint displacement), and are
+    invariant to repartitioning (docs are row-local)."""
+    import math
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    out = (
+        spans.doc_trajectory(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out2 = (
+        spans.doc_trajectory(docs.repartition(5))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    geo = spans.geo_obs(docs).to_pandas()
+    S = float(spans.TRAJ_SCALE_INT)
+    sample = out.sample(40, random_state=3)
+    for _, r in sample.iterrows():
+        g = geo[geo["doc_id"] == r["doc_id"]].sort_values("span_idx")
+        assert r["n_geo"] == len(g)
+        pq_sum = 0
+        xs, ys = g["lon"].to_numpy(), g["lat"].to_numpy()
+        for i in range(1, len(g)):
+            d = math.sqrt(
+                (xs[i] - xs[i - 1]) ** 2 + (ys[i] - ys[i - 1]) ** 2
+            )
+            pq_sum += int(math.floor(d * S))
+        assert r["path_q"] == pq_sum
+        assert r["path_len"] == pq_sum / S
+        want_net = math.sqrt((xs[-1] - xs[0]) ** 2 + (ys[-1] - ys[0]) ** 2)
+        assert r["net_disp"] == want_net
