@@ -1138,6 +1138,18 @@ def q_hillshade(sf_dir: str):
     )
 
 
+def q_doc_trajectory(sf_dir: str):
+    """Per-document trajectory rollup over ordered geo spans
+    (stages/spans.doc_trajectory): row-local boundary-masked diffs, 2^40-
+    quantized order-free path sums, endpoint displacement — zero shuffle."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.doc_trajectory(_docs(sf_dir)),
+        ["doc_id", "n_geo", "path_q", "path_len", "net_disp"],
+    )
+
+
 def q_viewshed(sf_dir: str):
     """Observer-visibility viewshed over the occupied cells
     (stages/terrain.viewshed_cells): deterministic max-elevation observer,
@@ -4267,6 +4279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the unchecked families first.
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
+        "doc_trajectory": q_doc_trajectory,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5445,6 +5458,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "terrain": _terrain_sql(root),
         "hillshade": _hillshade_sql(root),
         "viewshed": _viewshed_sql(root),
+        "doc_trajectory": f"""
+            WITH {geo},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).doc_trajectory_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
         "flow_dir": _flow_dir_sql(root),
         "inflow_count": _inflow_sql(root),
         "flow_accum": _flow_accum_sql(root),

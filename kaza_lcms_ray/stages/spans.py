@@ -269,3 +269,113 @@ def doc_footprint(documents, batch_size: int | None = None):
         )
 
     return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+TRAJ_SCALE_INT = 1 << 40  # step-length quantization (order-free int sums)
+
+
+def doc_trajectory(documents, batch_size: int | None = None):
+    """Per-document movement statistics over its geo spans IN SPAN ORDER:
+    step count, total path length, and net first→last displacement — the
+    trajectory summary a movement-analytics pipeline derives per entity
+    (the document analog of per-animal GPS-track rollups over the KAZA
+    collar data the reference's AOI serves).
+
+    Exactness: each step length sqrt(Δlon²+Δlat²) is pure IEEE; steps
+    quantize to floor(·2⁴⁰) int64 (the morans_i discipline) so the
+    per-doc total is an ORDER-FREE integer sum; path_len is one pinned
+    division; net_disp touches only the two endpoint rows.
+
+    Scale shape: row-local — a document is ONE input row, so its whole
+    trajectory folds inside the batch (boundary-masked vectorized diffs +
+    np.add.reduceat over doc starts); zero shuffle, zero per-doc Python.
+    Docs without geo spans produce no row (the geo CTE's GROUP BY rule).
+
+    Output: (doc_id, n_geo:int64, path_q:int64, path_len:f64,
+    net_disp:f64).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "n_geo": pa.array([], pa.int64()),
+                "path_q": pa.array([], pa.int64()),
+                "path_len": pa.array([], pa.float64()),
+                "net_disp": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        if n > 1:
+            same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            same = np.zeros(0, bool)
+        dl = lon[1:] - lon[:-1]
+        dt = lat[1:] - lat[:-1]
+        sq = np.floor(np.sqrt(dl * dl + dt * dt) * float(TRAJ_SCALE_INT)).astype(
+            np.int64
+        )
+        srow = np.zeros(n, np.int64)
+        srow[1:] = np.where(same, sq, 0)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.nonzero(~same)[0].astype(np.int64) + 1]
+        )
+        path_q = np.add.reduceat(srow, starts)
+        n_geo = np.diff(np.concatenate([starts, np.array([n], np.int64)]))
+        ends = starts + n_geo - 1
+        dlon = lon[ends] - lon[starts]
+        dlat = lat[ends] - lat[starts]
+        return pa.table(
+            {
+                "doc_id": doc.take(pa.array(starts)),
+                "n_geo": pa.array(n_geo.astype(np.int64)),
+                "path_q": pa.array(path_q),
+                "path_len": pa.array(path_q / float(TRAJ_SCALE_INT)),
+                "net_disp": pa.array(np.sqrt(dlon * dlon + dlat * dlat)),
+            }
+        )
+
+    return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def doc_trajectory_sql(geo_sql: str) -> str:
+    """Oracle twin of :func:`doc_trajectory`: LAG window in span order,
+    identical floor(·2⁴⁰) step quantization, endpoint rows via
+    arg_min/arg_max on the unique span_idx (struct-tuple min/max measured
+    17× slower for the same deterministic answer)."""
+    s = TRAJ_SCALE_INT
+    return f"""
+        tj_in AS MATERIALIZED ({geo_sql}),
+        tj AS (
+            SELECT doc_id, span_idx, lon, lat,
+                   lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+            FROM tj_in
+            WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx)
+        ),
+        tj_a AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_geo,
+                   CAST(COALESCE(SUM(CAST(floor(
+                       sqrt((lon - plon) * (lon - plon)
+                          + (lat - plat) * (lat - plat)) * {s}.0
+                   ) AS BIGINT)), 0) AS BIGINT) AS path_q,
+                   arg_min(lon, span_idx) AS lon0,
+                   arg_min(lat, span_idx) AS lat0,
+                   arg_max(lon, span_idx) AS lon1,
+                   arg_max(lat, span_idx) AS lat1
+            FROM tj GROUP BY doc_id
+        )
+        SELECT doc_id, n_geo, path_q, path_q / {float(s)!r} AS path_len,
+               sqrt((lon1 - lon0) * (lon1 - lon0)
+                  + (lat1 - lat0) * (lat1 - lat0)) AS net_disp
+        FROM tj_a"""
