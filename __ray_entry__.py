@@ -1150,6 +1150,18 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_od_matrix(sf_dir: str):
+    """Origin→destination cell flow matrix (stages/spans.od_matrix):
+    row-local first/last-cell endpoints per doc, per-batch Arrow group
+    counts, bucketed integer combine."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.od_matrix(_docs(sf_dir)),
+        ["o_cell", "d_cell", "n_docs"],
+    )
+
+
 def q_viewshed(sf_dir: str):
     """Observer-visibility viewshed over the occupied cells
     (stages/terrain.viewshed_cells): deterministic max-elevation observer,
@@ -4280,6 +4292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
+        "od_matrix": q_od_matrix,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5461,6 +5474,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "doc_trajectory": f"""
             WITH {geo},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).doc_trajectory_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
+        "od_matrix": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).od_matrix_sql("SELECT doc_id, span_idx, cell_id FROM cells")}""",
         "flow_dir": _flow_dir_sql(root),
         "inflow_count": _inflow_sql(root),
         "flow_accum": _flow_accum_sql(root),

@@ -379,3 +379,75 @@ def doc_trajectory_sql(geo_sql: str) -> str:
                sqrt((lon1 - lon0) * (lon1 - lon0)
                   + (lat1 - lat0) * (lat1 - lat0)) AS net_disp
         FROM tj_a"""
+
+
+def od_matrix(documents, batch_size: int | None = None):
+    """Origin→destination flow matrix: each document contributes one flow
+    from the CELL of its first geo span to the CELL of its last (in span
+    order); flows aggregate to exact counts per (o_cell, d_cell) — the
+    OD-matrix rollup movement pipelines build from entity tracks.
+
+    Exactness: endpoints are integer cell ids picked by span order;
+    counts are int64 — bit-stable under any partitioning.
+
+    Scale shape: endpoint extraction is row-local (same boundary mask as
+    :func:`doc_trajectory`); per-batch Arrow group counts shrink the
+    exchange to one (o_cell, d_cell, n) row per pair per batch, combined
+    by the bucketed integer sum.  Docs with one geo span count as a
+    self-flow (o = d); docs with none produce no row.
+
+    Output: (o_cell:int64, d_cell:int64, n_docs:int64).
+    """
+    from .zonal import bucketed_sum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "o_cell": pa.array([], pa.int64()),
+                    "d_cell": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        cell = g.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if n > 1:
+            same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            same = np.zeros(0, bool)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.nonzero(~same)[0].astype(np.int64) + 1]
+        )
+        ends = np.concatenate([starts[1:] - 1, np.array([n - 1], np.int64)])
+        t = pa.table(
+            {
+                "o_cell": pa.array(cell[starts]),
+                "d_cell": pa.array(cell[ends]),
+            }
+        )
+        grp = t.group_by(["o_cell", "d_cell"]).aggregate([([], "count_all")])
+        return grp.rename_columns(["o_cell", "d_cell", "n_docs"])
+
+    partial = documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed_sum(partial, ["o_cell", "d_cell"], ["n_docs"])
+
+
+def od_matrix_sql(geo_sql: str) -> str:
+    """Oracle twin of :func:`od_matrix`: arg_min/arg_max cell endpoints on
+    the unique span_idx, grouped counts."""
+    return f"""
+        od_in AS MATERIALIZED ({geo_sql}),
+        od_e AS (
+            SELECT doc_id,
+                   arg_min(cell_id, span_idx) AS o_cell,
+                   arg_max(cell_id, span_idx) AS d_cell
+            FROM od_in GROUP BY doc_id
+        )
+        SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM od_e GROUP BY 1, 2"""

@@ -171,3 +171,38 @@ def test_doc_trajectory_bruteforce(synth_small, ray_session):
         assert r["path_len"] == pq_sum / S
         want_net = math.sqrt((xs[-1] - xs[0]) ** 2 + (ys[-1] - ys[0]) ** 2)
         assert r["net_disp"] == want_net
+
+
+def test_od_matrix_bruteforce(synth_small, ray_session):
+    """Flows match a pandas endpoint replay; counts sum to the number of
+    docs with geo spans; partition-invariant."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    out = (
+        spans.od_matrix(docs)
+        .to_pandas()
+        .sort_values(["o_cell", "d_cell"])
+        .reset_index(drop=True)
+    )
+    out2 = (
+        spans.od_matrix(docs.repartition(5))
+        .to_pandas()
+        .sort_values(["o_cell", "d_cell"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    geo = spans.geo_obs(docs).to_pandas().sort_values(["doc_id", "span_idx"])
+    ends = geo.groupby("doc_id").agg(
+        o_cell=("cell_id", "first"), d_cell=("cell_id", "last")
+    )
+    want = (
+        ends.groupby(["o_cell", "d_cell"])
+        .size()
+        .reset_index(name="n_docs")
+        .astype({"o_cell": "int64", "d_cell": "int64", "n_docs": "int64"})
+        .sort_values(["o_cell", "d_cell"])
+        .reset_index(drop=True)
+    )
+    assert out["n_docs"].sum() == geo["doc_id"].nunique()
+    assert out.equals(want)
