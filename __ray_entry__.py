@@ -1150,6 +1150,19 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_media_geo_context(sf_dir: str):
+    """Cross-modal in-document join (stages/spans.media_geo_context):
+    every media span annotated with its nearest geo span's cell —
+    row-local searchsorted over the interleaved span layout, zero
+    shuffle; -1 sentinels for geo-less documents."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.media_geo_context(_docs(sf_dir)),
+        ["doc_id", "span_idx", "media_ref", "ctx_span", "ctx_cell"],
+    )
+
+
 def q_od_matrix(sf_dir: str):
     """Origin→destination cell flow matrix (stages/spans.od_matrix):
     row-local first/last-cell endpoints per doc, per-batch Arrow group
@@ -4293,6 +4306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
         "od_matrix": q_od_matrix,
+        "media_geo_context": q_media_geo_context,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5477,6 +5491,18 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "od_matrix": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).od_matrix_sql("SELECT doc_id, span_idx, cell_id FROM cells")}""",
+        "media_geo_context": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).media_geo_context_sql(
+                f'''SELECT doc_id, CAST(ord - 1 AS BIGINT) AS span_idx,
+                           span.media_ref AS media_ref
+                    FROM (
+                        SELECT doc_id, unnest(spans) AS span,
+                               generate_subscripts(spans, 1) AS ord
+                        FROM read_parquet('{root}/documents/part-*.parquet')
+                    ) WHERE span.kind = 'media' ''',
+                "SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, CAST(cell_id AS BIGINT) AS cell_id FROM cells",
+            )}""",
         "flow_dir": _flow_dir_sql(root),
         "inflow_count": _inflow_sql(root),
         "flow_accum": _flow_accum_sql(root),

@@ -451,3 +451,115 @@ def od_matrix_sql(geo_sql: str) -> str:
         )
         SELECT o_cell, d_cell, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM od_e GROUP BY 1, 2"""
+
+
+def media_geo_context(documents, batch_size: int | None = None):
+    """Cross-modal in-document join: every MEDIA span annotated with the
+    grid cell of its nearest GEO span in the SAME document (nearest by
+    span-index distance, ties → the earlier geo span) — how an interleaved
+    text+media corpus geolocates its imagery/audio for training-data
+    curation (crop selection, dedup by location, per-region sampling).
+
+    Exactness: winners are pure integer comparisons on span indexes;
+    output cells are the int64 morton ids.  Media spans in documents with
+    NO geo span report ctx_cell = ctx_span = −1.
+
+    Scale shape: row-local — both sides of the join live in one document
+    row, so the whole match is a stateless vectorized pass (per-batch
+    searchsorted of media span indexes into each doc's geo indexes via
+    flat offset arithmetic); zero shuffle at any corpus size.
+
+    Output: (doc_id, span_idx:int64 [media], media_ref,
+    ctx_span:int64, ctx_cell:int64).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        offsets = spans_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+        span_idx = np.arange(
+            offsets[-1] - offsets[0], dtype=np.int64
+        ) - np.repeat(offsets[:-1] - offsets[0], lengths)
+        flat = spans_col.flatten()
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        is_media = kinds == "media"
+        is_geo = kinds == "geo"
+        mi = np.nonzero(is_media)[0]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int64()),
+                "media_ref": pa.array([], pa.string()),
+                "ctx_span": pa.array([], pa.int64()),
+                "ctx_cell": pa.array([], pa.int64()),
+            }
+        )
+        if not len(mi):
+            return empty
+        # geo cells for the batch's geo spans, in flat order
+        g = parse_geo_batch(batch)
+        g_cell = g.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        gi = np.nonzero(is_geo)[0]
+        # for each media span, nearest geo span OF THE SAME DOC by |Δidx|;
+        # geo flat positions are sorted, so searchsorted + left/right probe
+        pos = np.searchsorted(gi, mi)
+        n_g = len(gi)
+        left = np.clip(pos - 1, 0, max(n_g - 1, 0))
+        right = np.clip(pos, 0, max(n_g - 1, 0))
+        ctx_span = np.full(len(mi), -1, np.int64)
+        ctx_cell = np.full(len(mi), -1, np.int64)
+        if n_g:
+            same_l = doc_idx[gi[left]] == doc_idx[mi]
+            same_r = doc_idx[gi[right]] == doc_idx[mi]
+            dl = np.where(same_l, np.abs(span_idx[mi] - span_idx[gi[left]]),
+                          np.int64(1) << 62)
+            dr = np.where(same_r, np.abs(span_idx[gi[right]] - span_idx[mi]),
+                          np.int64(1) << 62)
+            # ties → earlier geo span = LEFT (smaller span_idx)
+            use_left = dl <= dr
+            win = np.where(use_left, left, right)
+            hit = np.where(use_left, same_l, same_r)
+            ctx_span[hit] = span_idx[gi[win[hit]]]
+            ctx_cell[hit] = g_cell[win[hit]]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(doc_idx[mi])),
+                "span_idx": pa.array(span_idx[mi]),
+                "media_ref": flat.field("media_ref").take(pa.array(mi)),
+                "ctx_span": pa.array(ctx_span),
+                "ctx_cell": pa.array(ctx_cell),
+            }
+        )
+
+    return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def media_geo_context_sql(media_sql: str, cells_sql: str) -> str:
+    """Oracle twin of :func:`media_geo_context`: within-doc min_by over
+    (|Δidx|, geo span_idx) — the identical nearest/tie rule."""
+    return f"""
+        mgc_m AS MATERIALIZED ({media_sql}),
+        mgc_g AS MATERIALIZED ({cells_sql}),
+        mgc_n AS (
+            -- arg_min on the composite (|Δidx|, geo span_idx) integer key:
+            -- span counts per doc are far below 2^20, so the packed key
+            -- preserves the lexicographic tie rule exactly (struct-tuple
+            -- min measured ~10× slower for the same answer)
+            SELECT m.doc_id, m.span_idx, m.media_ref,
+                   arg_min(g.span_idx,
+                           abs(m.span_idx - g.span_idx) * 1048576
+                           + g.span_idx) AS ctx_span,
+                   arg_min(g.cell_id,
+                           abs(m.span_idx - g.span_idx) * 1048576
+                           + g.span_idx) AS ctx_cell
+            FROM mgc_m m JOIN mgc_g g ON g.doc_id = m.doc_id
+            GROUP BY m.doc_id, m.span_idx, m.media_ref
+        )
+        SELECT m.doc_id, CAST(m.span_idx AS BIGINT) AS span_idx, m.media_ref,
+               CAST(COALESCE(n.ctx_span, -1) AS BIGINT) AS ctx_span,
+               CAST(COALESCE(n.ctx_cell, -1) AS BIGINT) AS ctx_cell
+        FROM mgc_m m LEFT JOIN mgc_n n
+          ON n.doc_id = m.doc_id AND n.span_idx = m.span_idx"""

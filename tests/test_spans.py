@@ -206,3 +206,26 @@ def test_od_matrix_bruteforce(synth_small, ray_session):
     )
     assert out["n_docs"].sum() == geo["doc_id"].nunique()
     assert out.equals(want)
+
+
+def test_media_geo_context_bruteforce(synth_small, ray_session):
+    """Nearest-geo assignment matches a per-doc Python replay, ties go to
+    the earlier geo span, and geo-less docs get -1 sentinels."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    out = spans.media_geo_context(docs).to_pandas()
+    assert len(out) > 0
+    geo = spans.geo_obs(docs).to_pandas()
+    gmap = {}
+    for d, grp in geo.groupby("doc_id"):
+        gmap[d] = list(zip(grp["span_idx"].tolist(), grp["cell_id"].tolist()))
+    miss = out[out["ctx_span"] == -1]
+    assert (miss["ctx_cell"] == -1).all()
+    for _, r in out.sample(60, random_state=11).iterrows():
+        g = gmap.get(r["doc_id"], [])
+        if not g:
+            assert r["ctx_span"] == -1 and r["ctx_cell"] == -1
+            continue
+        best = min(g, key=lambda sc: (abs(r["span_idx"] - sc[0]), sc[0]))
+        assert (r["ctx_span"], r["ctx_cell"]) == best, r["doc_id"]
