@@ -1150,6 +1150,18 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_terrain_indexes(sf_dir: str):
+    """TRI + TPI morphometry per occupied cell (stages/terrain.
+    terrain_indexes): 8-neighbor closed-form left-fold chains, pinned
+    /8 divisions, zero shuffle."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.terrain_indexes(_geo(sf_dir)),
+        ["cell_id", "elev", "tri", "tpi"],
+    )
+
+
 def q_media_geo_context(sf_dir: str):
     """Cross-modal in-document join (stages/spans.media_geo_context):
     every media span annotated with its nearest geo span's cell —
@@ -4307,6 +4319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_trajectory": q_doc_trajectory,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
+        "terrain_indexes": q_terrain_indexes,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5485,6 +5498,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "terrain": _terrain_sql(root),
         "hillshade": _hillshade_sql(root),
         "viewshed": _viewshed_sql(root),
+        "terrain_indexes": _terrain_indexes_sql(root),
         "doc_trajectory": f"""
             WITH {geo},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).doc_trajectory_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
@@ -7416,6 +7430,48 @@ def _plot_load_sql(root: str) -> str:
         )
         SELECT p.plot_id, COALESCE(c.n_assigned, 0) AS n_assigned
         FROM pl_p p LEFT JOIN cnt c ON c.plot_id = p.plot_id"""
+
+
+def _terrain_indexes_sql(root: str) -> str:
+    """TRI/TPI replay: the identical 8-neighbor left-fold chains in
+    D8_OFFSETS order (no bounds gate on either side — the AOI is interior,
+    and consistency, not validity, is what the bit-compare needs)."""
+    from kaza_lcms_ray.stages.terrain import D8_OFFSETS
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+
+    def ctr_lon(x):
+        return f"(({x} + 0.5) / {n!r} * 360.0 - 180.0)"
+
+    def ctr_lat(y):
+        return f"(({y} + 0.5) / {n!r} * 180.0 - 90.0)"
+
+    def ek(dx, dy):
+        return elev_sql(ctr_lon(f"(ix + {dx})"), ctr_lat(f"(iy + {dy})"))
+
+    tri_chain = " + ".join(f"abs({ek(dx, dy)} - e0)" for dx, dy, _ in D8_OFFSETS)
+    sum_chain = " + ".join(ek(dx, dy) for dx, dy, _ in D8_OFFSETS)
+    return f"""
+        WITH {_geo_cte(root)},
+        tg AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        te AS (
+            SELECT ix, iy, {cell} AS cell_id,
+                   {elev_sql(ctr_lon("ix"), ctr_lat("iy"))} AS e0
+            FROM tg
+        )
+        SELECT cell_id, e0 AS elev,
+               ({tri_chain}) / 8.0 AS tri,
+               e0 - ({sum_chain}) / 8.0 AS tpi
+        FROM te"""
 
 
 def _viewshed_sql(root: str, obs_height: float = 10.0) -> str:

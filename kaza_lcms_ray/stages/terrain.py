@@ -838,3 +838,59 @@ def viewshed_cells(
         )
 
     return per_cell.map_batches(sweep, batch_format="pyarrow")
+
+
+def terrain_indexes(geo, level: int = cells.CELL_LEVEL):
+    """Terrain Ruggedness Index and Topographic Position Index per
+    occupied cell — the standard DEM-derived morphometry pair (Riley TRI;
+    Weiss TPI) the reference's terrain stack sits alongside:
+
+      TRI = Σ |e_k − e_0| / 8   over the 8 neighbors (mean absolute
+            relief), rugged terrain high, plains near 0;
+      TPI = e_0 − Σ e_k / 8     (positive on ridges, negative in valleys).
+
+    Exactness: closed-form elevations at the 9 cell centers; both sums
+    run over the FIXED 8-neighbor order with the identical left-fold
+    `+` chain in numpy and SQL (a + b + c … is left-associative in
+    both), then one pinned /8.0 division each — bit-exact.
+
+    Scale shape: one stateless vectorized map over the occupied-cell
+    table (9 closed-form evaluations per cell, no shuffle, no halo —
+    the flow_direction discipline).
+
+    Output: (cell_id:int64, elev:f64, tri:f64, tpi:f64).
+    """
+    from . import zonal
+
+    per_cell = zonal.zonal_sums(geo, keys=("cell_id",), bands=()).select_columns(
+        ["cell_id"]
+    )
+    nf = float(np.int64(1) << level)
+    n_grid = np.int64(1) << level
+
+    def ctr(ix, iy):
+        lon = (ix.astype(np.float64) + 0.5) / nf * 360.0 - 180.0
+        lat = (iy.astype(np.float64) + 0.5) / nf * 180.0 - 90.0
+        return lon, lat
+
+    def fn(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = cells.decode(cid, level)
+        e0 = dem.elev(*ctr(ix, iy))
+        tri = np.zeros(len(cid), np.float64)
+        esum = np.zeros(len(cid), np.float64)
+        # FIXED neighbor order shared with the SQL twin (left-fold chain)
+        for dx, dy, _code in D8_OFFSETS:
+            ek = dem.elev(*ctr(ix + dx, iy + dy))
+            tri = tri + np.abs(ek - e0)
+            esum = esum + ek
+        return pa.table(
+            {
+                "cell_id": pa.array(cid, pa.int64()),
+                "elev": pa.array(e0),
+                "tri": pa.array(tri / 8.0),
+                "tpi": pa.array(e0 - esum / 8.0),
+            }
+        )
+
+    return per_cell.map_batches(fn, batch_format="pyarrow")

@@ -386,3 +386,40 @@ def test_viewshed_bruteforce(ray_session, synth_small):
             mx = max(mx, (e_at(xs, ys) - eo) / float(t))
         want = 1 if (e_at(int(ix[0]), int(iy[0])) - eo) / float(n) > mx else 0
         assert r["visible"] == want, r["cell_id"]
+
+
+def test_terrain_indexes_bruteforce(ray_session, synth_small):
+    """TRI/TPI match a per-cell Python replay of the same 8-neighbor
+    left-fold; TRI nonnegative; TPI sign varies over the AOI."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain
+    from kaza_lcms_ray.state import cells as C
+    from kaza_lcms_ray.state import dem
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans.geo_obs(docs)
+    out = terrain.terrain_indexes(geo).to_pandas()
+    assert len(out) > 0
+    assert (out["tri"] >= 0).all()
+    assert (out["tpi"] > 0).any() and (out["tpi"] < 0).any()
+    nf = float(1 << C.CELL_LEVEL)
+
+    def e_at(x, y):
+        lon = (x + 0.5) / nf * 360.0 - 180.0
+        lat = (y + 0.5) / nf * 180.0 - 90.0
+        return float(dem.elev(np.float64(lon), np.float64(lat)))
+
+    for _, r in out.sample(40, random_state=5).iterrows():
+        ix, iy = C.decode(np.array([r["cell_id"]], np.int64), C.CELL_LEVEL)
+        x, y = int(ix[0]), int(iy[0])
+        e0 = e_at(x, y)
+        tri = 0.0
+        es = 0.0
+        for dx, dy, _ in terrain.D8_OFFSETS:
+            ek = e_at(x + dx, y + dy)
+            tri = tri + abs(ek - e0)
+            es = es + ek
+        assert r["tri"] == tri / 8.0
+        assert r["tpi"] == e0 - es / 8.0
