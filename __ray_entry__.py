@@ -1150,6 +1150,19 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_cusum_changepoint(sf_dir: str):
+    """Per-user CUSUM changepoint over the event value stream
+    (stages/events.cusum_changepoint): integer cents cumsums, cross-
+    multiplied deviations, (dev DESC, i ASC) winner — bucketed users,
+    one vectorized pass per bucket."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.cusum_changepoint(_tbl(sf_dir, "events")),
+        ["user_id", "n", "cp_idx", "max_dev_xn"],
+    )
+
+
 def q_terrain_indexes(sf_dir: str):
     """TRI + TPI morphometry per occupied cell (stages/terrain.
     terrain_indexes): 8-neighbor closed-form left-fold chains, pinned
@@ -4320,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
+        "cusum_changepoint": q_cusum_changepoint,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5872,6 +5886,10 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_funnel": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).funnel_sql("SELECT * FROM events", within_days=7),
+        "cusum_changepoint": "WITH "
+        + __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).cusum_changepoint_sql("SELECT * FROM events"),
         "events_retention": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).retention_cohorts_sql(

@@ -1781,3 +1781,111 @@ def rolling_median_sql(
         )
         SELECT event_id, {key}, CAST(v_c AS BIGINT) AS roll_med_c
         FROM rm_k WHERE rk = (cnt + 1) // 2"""
+
+
+def cusum_changepoint(ds):
+    """Per-key CUSUM changepoint over the event VALUE stream in event-time
+    order: the index that maximizes the centered cumulative deviation
+    |S_i·n − i·S_n| — the standard single-changepoint location statistic
+    (where the level of a user's value stream shifts), in pure integers.
+
+    Exactness: values quantize by the house cents rule (`to_cents`, SQL
+    round); S_i, n, S_n and the cross-multiplied deviation are int64 (no
+    division anywhere); the winner is the explicit (dev DESC, i ASC)
+    order — deterministic under any partitioning at any stream length.
+
+    Scale shape: hash-bucketed users (the funnel co-partitioning), one
+    vectorized pandas pass per bucket: groupby-transform cumsums, packed-
+    key idxmax — no per-user Python.
+
+    Output: (user_id, n:int64, cp_idx:int64, max_dev_xn:int64).
+    """
+    import numpy as np
+
+    from ..state.hashing import splitmix64
+    from ..state.money import to_cents
+    from .zonal import _default_buckets
+
+    nb = _default_buckets(None)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(np.int64).view(np.uint64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "ts": df["ts"].to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "v": to_cents(df["value"].to_numpy()),
+                "bucket": (splitmix64(k) % np.uint64(nb)).astype(np.int64),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        s = grp["v"].cumsum().to_numpy(np.int64)
+        i = (grp.cumcount() + 1).to_numpy(np.int64)
+        n = grp["v"].transform("size").to_numpy(np.int64)
+        stot = grp["v"].transform("sum").to_numpy(np.int64)
+        dev = np.abs(s * n - i * stot)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "n": n,
+                "i": i,
+                "dev": dev,
+            }
+        )
+        # (user, dev DESC, i ASC) -> first row per user is the winner
+        out = out.sort_values(
+            ["user_id", "dev", "i"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        win = out.drop_duplicates("user_id")
+        return pd.DataFrame(
+            {
+                "user_id": win["user_id"].to_numpy(),
+                "n": win["n"].to_numpy(np.int64),
+                "cp_idx": win["i"].to_numpy(np.int64),
+                "max_dev_xn": win["dev"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns(["user_id", "ts", "event_id", "value"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["user_id", "n", "cp_idx", "max_dev_xn"])
+    )
+
+
+def cusum_changepoint_sql(events_sql: str) -> str:
+    """Oracle twin: window cumsums in the same (ts, event_id) order,
+    identical integer deviation, (dev DESC, i ASC) QUALIFY winner."""
+    return f"""
+        cu_c AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100.0, 0) AS BIGINT) AS v
+            FROM ({events_sql})
+        ),
+        cu_w AS (
+            SELECT user_id,
+                   row_number() OVER win AS i,
+                   SUM(v) OVER win AS s,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n,
+                   SUM(v) OVER (PARTITION BY user_id) AS stot
+            FROM cu_c
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+        ),
+        cu_d AS (
+            SELECT user_id, n, i, abs(s * n - i * stot) AS dev
+            FROM cu_w
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               CAST(i AS BIGINT) AS cp_idx,
+               CAST(dev AS BIGINT) AS max_dev_xn
+        FROM cu_d QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY dev DESC, i ASC
+        ) = 1"""

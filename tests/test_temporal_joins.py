@@ -453,3 +453,49 @@ def test_interval_union_merges_overlaps(ray_session):
     assert out.loc[1, "covered_us"] == 25_000_000
     assert out.loc[2, "n_islands"] == 1
     assert out.loc[2, "covered_us"] == 20_000_000
+
+
+def test_cusum_changepoint_bruteforce(ray_session):
+    """A stream with an injected level shift locates the shift; result is
+    partition-invariant; hand replay matches exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events as ev
+
+    rows = []
+    eid = 0
+    for uid, shift_at in ((1, 10), (2, 25), (3, 5)):
+        for i in range(40):
+            v = 1.0 if i < shift_at else 9.0
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": uid,
+                    "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                    "value": v,
+                }
+            )
+            eid += 1
+    df = pd.DataFrame(rows)
+    for ds in (rd.from_pandas(df), rd.from_pandas(df).repartition(4)):
+        out = (
+            ev.cusum_changepoint(ds)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["n"].tolist() == [40, 40, 40]
+        # CUSUM max deviation lands exactly at the last pre-shift index
+        assert out["cp_idx"].tolist() == [10, 25, 5]
+        for _, r in out.iterrows():
+            g = df[df["user_id"] == r["user_id"]].sort_values(
+                ["ts", "event_id"]
+            )
+            v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+            s = np.cumsum(v)
+            i = np.arange(1, len(v) + 1, dtype=np.int64)
+            dev = np.abs(s * len(v) - i * s[-1])
+            k = np.lexsort((i, -dev))[0]
+            assert r["cp_idx"] == i[k] and r["max_dev_xn"] == dev[k]
