@@ -1150,6 +1150,21 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_label_pyramid(sf_dir: str):
+    """Majority-rule categorical overviews of the 2022 label raster
+    (stages/assemblage.label_pyramid): bit-shift parent re-key, integer
+    votes, pack-max winner with smallest-class tiebreak."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.label_pyramid(prims, year=2022),
+        ["level_up", "tile_id", "LANDCOVER", "n_votes"],
+    )
+
+
 def q_cusum_changepoint(sf_dir: str):
     """Per-user CUSUM changepoint over the event value stream
     (stages/events.cusum_changepoint): integer cents cumsums, cross-
@@ -4334,6 +4349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
         "cusum_changepoint": q_cusum_changepoint,
+        "label_pyramid": q_label_pyramid,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5146,6 +5162,20 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             WHERE a."year" = 2020 AND b."year" = 2022
             GROUP BY 1, 2""",
         "majority_smooth": _majority_smooth_sql(root),
+        "label_pyramid": f"""
+            WITH {__import__("kaza_lcms_ray.stages.assemblage", fromlist=["assemblage"]).label_pyramid_sql(
+                f'''SELECT tile_id, "LANDCOVER" FROM (
+                        SELECT tile_id, CAST("year" AS BIGINT) AS "year",
+                               CAST(class AS BIGINT) AS "LANDCOVER"
+                        FROM (
+                            SELECT *, row_number() OVER (
+                                PARTITION BY tile_id, "year"
+                                ORDER BY prob DESC, class ASC
+                            ) AS rn
+                            FROM read_parquet('{root}/primitives.parquet')
+                        ) WHERE rn = 1
+                    ) WHERE "year" = 2022'''
+            )}""",
         "clump_sizes": _clump_sizes_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""

@@ -509,3 +509,141 @@ def landscape_diversity(primitives, year: int = 2022):
         .map_groups(per_bucket, batch_format="pandas")
         .select_columns(["tile_id", "n_labels", "n_votes", "h_q", "shannon"])
     )
+
+
+def label_pyramid(primitives, year: int = 2022, levels_up=(1, 2)):
+    """Majority-rule categorical overviews of the assembled label raster —
+    the categorical counterpart of zonal.raster_pyramid's mean pyramid
+    (continuous bands average; LABELS take the modal child, the standard
+    categorical-overview resample rule): each parent tile at
+    TILE_LEVEL−k takes the most frequent LANDCOVER among its labeled
+    child tiles, ties to the smallest class id.
+
+    Exactness: integer votes, the same n·256 + (256 − class) pack-max
+    winner as :func:`majority_smooth` — bit-stable at any partitioning.
+
+    Scale shape: per-batch parent re-key (bit shift) + in-batch counts,
+    one bucketed integer combine over the AOI-bounded (level, parent,
+    class) table, bucketed pack-max.
+
+    Output: (level_up:int64, tile_id:int64 [parent at TILE_LEVEL−k],
+    LANDCOVER:int64, n_votes:int64).
+    """
+    import pandas as pd
+
+    from ..state.cells import TILE_LEVEL, decode, morton
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+    empty = pa.table(
+        {
+            "level_up": pa.array([], pa.int64()),
+            "tile_id": pa.array([], pa.int64()),
+            "LANDCOVER": pa.array([], pa.int64()),
+            "n_votes": pa.array([], pa.int64()),
+        }
+    )
+
+    def fan(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(tid, TILE_LEVEL)
+        parts = []
+        for k in levels_up:
+            parent = morton(
+                ix.astype(np.int64) >> k, iy.astype(np.int64) >> k
+            ).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "level_up": pa.array(np.full(len(parent), k, np.int64)),
+                        "tile_id": pa.array(parent),
+                        "lc": pa.array(lc),
+                    }
+                )
+            )
+        cat = pa.concat_tables(parts)
+        out = cat.group_by(["level_up", "tile_id", "lc"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["level_up", "tile_id", "lc", "n"])
+
+    counts = bucketed_sum(
+        labels.map_batches(fan, batch_format="pyarrow"),
+        keys=["level_up", "tile_id", "lc"],
+        sum_cols=["n"],
+        recombine_batch_size=None,
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        lc = t.column("lc").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "level_up": t.column("level_up"),
+                "tile_id": t.column("tile_id"),
+                "score": pa.array(n * 256 + (256 - lc)),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["level_up", "tile_id"], as_index=False)["score"].max()
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        s = t.column("score").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "level_up": t.column("level_up").cast(pa.int64()),
+                "tile_id": t.column("tile_id").cast(pa.int64()),
+                "LANDCOVER": pa.array(256 - (s % 256)),
+                "n_votes": pa.array(s // 256),
+            }
+        )
+
+    return (
+        _add_bucket(
+            counts.map_batches(pack, batch_format="pyarrow"),
+            ["level_up", "tile_id"],
+            _default_buckets(None),
+        )
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
+        .select_columns(["level_up", "tile_id", "score"])
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
+def label_pyramid_sql(labels_sql: str, levels_up=(1, 2)) -> str:
+    """Oracle twin of :func:`label_pyramid`: bit-shift parent re-key per
+    level, grouped counts, (n DESC, class ASC) QUALIFY winner (the same
+    selection the pack-max encodes)."""
+    from ..state.cells import TILE_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    ix = morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")
+    iy = morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")
+    branches = []
+    for k in levels_up:
+        parent = morton_sql_expr(f"(({ix}) // {1 << k})", f"(({iy}) // {1 << k})",
+                                 TILE_LEVEL - k)
+        branches.append(f"""
+            SELECT {k} AS level_up, {parent} AS tile_id,
+                   CAST("LANDCOVER" AS BIGINT) AS lc
+            FROM ({labels_sql})""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+        lp_f AS ({union}),
+        lp_c AS (
+            SELECT level_up, tile_id, lc, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lp_f GROUP BY 1, 2, 3
+        )
+        SELECT CAST(level_up AS BIGINT) AS level_up, tile_id,
+               lc AS "LANDCOVER", n AS n_votes
+        FROM lp_c QUALIFY row_number() OVER (
+            PARTITION BY level_up, tile_id ORDER BY n DESC, lc ASC
+        ) = 1"""

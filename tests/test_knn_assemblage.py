@@ -237,3 +237,48 @@ def test_landscape_diversity_uniform_is_zero(ray_session):
     # tile 2 sees classes {1, 1, 9}: H > 0, two labels
     assert out.loc[int(tids[2]), "n_labels"] == 2
     assert out.loc[int(tids[2]), "shannon"] > 0.5
+
+
+def test_label_pyramid_bruteforce(ray_session, synth_small):
+    """Each parent's label is the modal child class (ties -> smallest);
+    vote totals equal the child count; partition-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state import cells as C
+
+    prims = rd.read_parquet(f"{synth_small}/primitives.parquet")
+    out = (
+        assemblage.label_pyramid(prims, year=2022)
+        .to_pandas()
+        .sort_values(["level_up", "tile_id"])
+        .reset_index(drop=True)
+    )
+    out2 = (
+        assemblage.label_pyramid(prims.repartition(5), year=2022)
+        .to_pandas()
+        .sort_values(["level_up", "tile_id"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    labels = (
+        assemblage.assemble_tile_labels(prims)
+        .filter(expr="year == 2022")
+        .to_pandas()
+    )
+    ix, iy = C.decode(labels["tile_id"].to_numpy(np.int64), C.TILE_LEVEL)
+    for k in (1, 2):
+        par = C.morton(ix >> k, iy >> k).astype(np.int64)
+        df = labels.assign(parent=par)
+        want = {}
+        for p, grp in df.groupby("parent"):
+            vc = grp["LANDCOVER"].value_counts()
+            best_n = vc.max()
+            best = min(c for c, n in vc.items() if n == best_n)
+            want[p] = (best, best_n)
+        got = out[out["level_up"] == k]
+        assert len(got) == len(want)
+        for _, r in got.sample(min(50, len(got)), random_state=2).iterrows():
+            b, n = want[r["tile_id"]]
+            assert (r["LANDCOVER"], r["n_votes"]) == (b, n)
