@@ -2700,6 +2700,61 @@ def q_accuracy_report(sf_dir: str):
     return _i64(cm, ["LANDCOVER", "LANDCOVER_pred", "n"])
 
 
+def q_calibration_report(sf_dir: str):
+    """Reliability diagram of the held-out scores: winning-class quantized
+    leaf-sum share binned to deciles (pure integer cross-multiplied bin =
+    min(9, 10·pq_win // Σ pq)), per-bin total and correct counts — the
+    calibration companion of accuracy_report (is the forest's confidence
+    share predictive of being right?).  Oracle: the same recursive tree
+    walk, integer bin rule replayed from `leaf`."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    test = rd.from_pandas(art["test"])
+    classes = sorted(art["models"])
+    scored = P.score_quantized(test, art["models"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pq = np.stack(
+            [
+                t.column(f"pq_{c}").to_numpy(zero_copy_only=False)
+                for c in classes
+            ],
+            axis=1,
+        ).astype(np.int64)
+        tot = pq.sum(axis=1)
+        win = pq.max(axis=1)
+        b = np.minimum((10 * win) // np.maximum(tot, 1), 9)
+        ok = (
+            t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+            == t.column("LANDCOVER_q")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        ).astype(np.int64)
+        g = pa.table(
+            {"bin": pa.array(b), "one": pa.array(np.ones(len(b), np.int64)),
+             "ok": pa.array(ok)}
+        ).group_by(["bin"]).aggregate([("one", "sum"), ("ok", "sum")])
+        return g.rename_columns(["bin", "n", "n_correct"])
+
+    from kaza_lcms_ray.stages.zonal import bucketed_sum
+
+    return _i64(
+        bucketed_sum(
+            scored.map_batches(binned, batch_format="pyarrow"),
+            ["bin"],
+            ["n", "n_correct"],
+        ),
+        ["bin", "n", "n_correct"],
+    )
+
+
 def q_area_estimate(sf_dir: str):
     """Stratified area estimation with 95% CI — the reference's FINAL Area
     Estimation product (old_README_instructions.md:16-50): strata = map
@@ -4350,6 +4405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terrain_indexes": q_terrain_indexes,
         "cusum_changepoint": q_cusum_changepoint,
         "label_pyramid": q_label_pyramid,
+        "calibration_report": q_calibration_report,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5531,6 +5587,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "rf_scores": _rf_scores_sql(root, RF_SCORE_MOD),
         "rf_quality": _rfq_sql(root),
         "accuracy_report": _accuracy_sql(root),
+        "calibration_report": _calibration_sql(root),
         "area_estimate": __import__(
             "kaza_lcms_ray.pipelines.primitives", fromlist=["primitives"]
         ).area_estimate_sql(_accuracy_sql(root)),
@@ -8403,6 +8460,50 @@ _FEAT_CASE = """CASE t.feature_name
                   WHEN 'swir1' THEN f.swir1 WHEN 'swir2' THEN f.swir2
                   WHEN 'EVI' THEN f."EVI" WHEN 'SAVI' THEN f."SAVI"
                   WHEN 'IBI' THEN f."IBI" END"""
+
+
+def _calibration_sql(root: str) -> str:
+    """Reliability-diagram oracle: the _accuracy_sql walk chain, then the
+    identical integer decile rule min(9, 10·pq_win // Σ pq) over `leaf`."""
+    geo = _geo_cte(root)
+    split = _split_ctes(root)
+    scaled = ", ".join(
+        f"g.b{i} * 0.0001 AS {n}"
+        for i, n in enumerate(("blue", "green", "red", "nir", "swir1", "swir2"))
+    )
+    covs = ", ".join(f'{e} AS "{n}"' for n, e in _COV_EXPRS.items())
+    return f"""
+        WITH RECURSIVE {geo},
+        {split},
+        test AS (SELECT doc_id, span_idx, "LANDCOVER" FROM capped
+                 WHERE rsplit >= 0.8),
+        sc AS (
+            SELECT t.doc_id, t.span_idx, t."LANDCOVER", {scaled}
+            FROM test t JOIN geo g
+              ON g.doc_id = t.doc_id AND g.span_idx = t.span_idx
+        ),
+        feats AS MATERIALIZED (SELECT *, {covs} FROM sc),
+        {_walk_ctes(root, "doc_id, span_idx")},
+        cal_tot AS (
+            SELECT doc_id, span_idx, CAST(SUM(pq) AS BIGINT) AS tot
+            FROM leaf GROUP BY 1, 2
+        ),
+        cal_win AS (
+            SELECT doc_id, span_idx, class, pq FROM leaf
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id, span_idx ORDER BY pq DESC, class ASC
+            ) = 1
+        ),
+        cal_b AS (
+            SELECT LEAST((10 * w.pq) // GREATEST(t.tot, 1), 9) AS bin,
+                   CASE WHEN f."LANDCOVER" = w.class THEN 1 ELSE 0 END AS ok
+            FROM cal_win w
+            JOIN cal_tot t ON t.doc_id = w.doc_id AND t.span_idx = w.span_idx
+            JOIN feats f ON f.doc_id = w.doc_id AND f.span_idx = w.span_idx
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ok) AS BIGINT) AS n_correct
+        FROM cal_b GROUP BY bin"""
 
 
 def _walk_ctes(
