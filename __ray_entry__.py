@@ -7520,14 +7520,21 @@ def _plot_load_sql(root: str) -> str:
             WHERE sqrt((b.cx - p.lon) * (b.cx - p.lon)
                      + (b.cy - p.lat) * (b.cy - p.lat)) <= b.dmin + {diag}
         ),
-        nn AS (
-            SELECT g.doc_id, g.span_idx,
-                   struct_extract(min((
-                       (g.lon - p.lon) * (g.lon - p.lon)
-                     + (g.lat - p.lat) * (g.lat - p.lat),
-                       p.plot_id)), 2) AS plot_id
+        nn_d AS (
+            -- explicit window winner: the min((d2, plot_id)) struct
+            -- aggregate planned unstably (9 s / 54 s on identical reps);
+            -- the row_number form is a steady 2.4 s for the same
+            -- (d2 ASC, plot_id ASC) rule
+            SELECT g.doc_id, g.span_idx, p.plot_id,
+                   (g.lon - p.lon) * (g.lon - p.lon)
+                 + (g.lat - p.lat) * (g.lat - p.lat) AS d2
             FROM pl_g g JOIN pl_cand p ON p.ix = g.ix AND p.iy = g.iy
-            GROUP BY g.doc_id, g.span_idx
+        ),
+        nn AS (
+            SELECT doc_id, span_idx, plot_id FROM nn_d
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id, span_idx ORDER BY d2 ASC, plot_id ASC
+            ) = 1
         ),
         cnt AS (
             SELECT plot_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
