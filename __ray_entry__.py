@@ -1752,6 +1752,20 @@ def q_web_curation(sf_dir: str):
     )
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization of quality (pipelines/curation.
+    quantile_normalize): decomposable (source, bin) histogram, driver-side
+    bigint-exact rank mapping (bounded pairs), broadcast dense lookup.
+    Value-checked incl. the norm_q doubles."""
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
+    return _i64(
+        curation.quantile_normalize(docs),
+        ["doc_id", "source", "quality", "norm_bin", "norm_q"],
+    )
+
+
 def q_source_zscore(sf_dir: str):
     """Per-source z-score normalization of quality (pipelines/curation.
     source_zscore): decomposable quantized-histogram moments, python-
@@ -4406,6 +4420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoint": q_cusum_changepoint,
         "label_pyramid": q_label_pyramid,
         "calibration_report": q_calibration_report,
+        "quantile_normalize": q_quantile_normalize,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5300,6 +5315,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "source_zscore": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).source_zscore_sql(_text_scores_sql()),
+        "quantile_normalize": __import__(
+            "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
+        ).quantile_normalize_sql(_text_scores_sql()),
         "web_curation": __import__(
             "kaza_lcms_ray.pipelines.curation", fromlist=["curation"]
         ).web_curation_sql(_text_scores_sql, REDACT_QUERY_PATTERN, "<ENT>"),

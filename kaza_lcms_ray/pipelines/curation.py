@@ -682,3 +682,141 @@ def leakage_safe_split(
     leak_ids = leaks["leak"].to_numpy() if len(leaks) else np.array([], np.int64)
     clean = joins.anti_join_ids(train, id_col, np.unique(leak_ids))
     return clean.select_columns([id_col])
+
+
+def quantile_normalize(docs, source_col: str = "source"):
+    """Cross-source QUANTILE normalization of the quality signal — the
+    rank-based sibling of :func:`source_zscore` (robust to per-source
+    score-distribution shape, the calibration mixture recipes use when
+    sources score on incomparable scales): each document's quality is
+    replaced by the GLOBAL quality bin at its within-source rank.
+
+    Rule (integers end-to-end, shared with the oracle): quality quantizes
+    to the 2¹² bins; r = within-source inclusive cum count at the doc's
+    bin; target = ⌈r · n_glob / n_s⌉ (exact ceil); norm_bin = the smallest
+    global bin whose inclusive global cum ≥ target.  The global cum is
+    strictly increasing over present bins, so the answer is unique — no
+    tie rule needed.
+
+    Scale shape: ONE decomposable (source, bin) histogram reduce (the
+    source_zscore shape, ≤ |sources|·4097 rows); the (source, bin) →
+    norm_bin mapping is computed on the DRIVER with python bigints (exact
+    at any corpus size — r·n_glob would overflow int64 per-row at 10¹²
+    docs, the bounded-pairs mapping sidesteps that) and broadcast as a
+    dense lookup; the per-row pass is a stateless 2-D take.
+
+    Output: (doc_id, source, quality, norm_bin:int64, norm_q:f64).
+    """
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.compute as pc  # noqa: F401
+
+    import ray
+
+    from ..stages import text
+    from ..stages.joins import probe_positions
+    from ..stages.zonal import bucketed_sum
+
+    scored = text.text_scores(docs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        zb = np.floor(q * _ZBIN_SCALE).astype(np.int64)
+        tb = t.select([source_col]).append_column("zb", pa.array(zb))
+        out = tb.group_by([source_col, "zb"]).aggregate([([], "count_all")])
+        return out.rename_columns([source_col, "zb", "cnt"])
+
+    hist = bucketed_sum(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        [source_col, "zb"],
+        ["cnt"],
+    ).to_pandas()
+
+    nbins = int(_ZBIN_SCALE) + 1  # zb ∈ [0, 4096] for quality ∈ [0, 1]
+    srcs = sorted(hist[source_col].unique())
+    sidx = {s: i for i, s in enumerate(srcs)}
+    dense = np.zeros((len(srcs), nbins), np.int64)
+    for s, b, c in zip(
+        hist[source_col], hist["zb"].to_numpy(np.int64), hist["cnt"].to_numpy(np.int64)
+    ):
+        dense[sidx[s], b] = c
+    cum = dense.cumsum(axis=1)  # inclusive within-source cum per bin
+    gcnt = dense.sum(axis=0)
+    gcum = gcnt.cumsum()  # strictly increasing over present bins
+    n_glob = int(gcum[-1])
+    present = np.flatnonzero(gcnt > 0)
+    g_cum_present = gcum[present]
+    # (source, bin) → norm_bin with python-bigint exact ceil targets
+    norm = np.full((len(srcs), nbins), -1, np.int64)
+    for i in range(len(srcs)):
+        n_s = int(cum[i, -1])
+        if n_s == 0:
+            continue
+        for b in np.flatnonzero(dense[i] > 0):
+            r = int(cum[i, b])
+            target = -(-r * n_glob // n_s)  # ceil(r·n_glob/n_s), bigint
+            j = int(np.searchsorted(g_cum_present, min(target, n_glob)))
+            norm[i, b] = int(present[j])
+    side_ref = ray.put(
+        {
+            "sources": pa.array([str(s) for s in srcs], type=pa.large_string()),
+            "norm": norm,
+        }
+    )
+
+    def apply_norm(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        zb = np.floor(q * _ZBIN_SCALE).astype(np.int64)
+        pos = probe_positions(t.column(source_col), side["sources"], "source")
+        nb = side["norm"][pos, zb]
+        out = t.select(["doc_id", source_col, "quality"])
+        return out.append_column("norm_bin", pa.array(nb)).append_column(
+            "norm_q", pa.array(nb / _ZBIN_SCALE)
+        )
+
+    return scored.map_batches(apply_norm, batch_format="pyarrow")
+
+
+def quantile_normalize_sql(scores_sql: str) -> str:
+    """Oracle twin of :func:`quantile_normalize`: window cums, HUGEINT
+    exact ceil target, ASOF JOIN on the negated strictly-increasing
+    global cum (greatest −gcum ≤ −target ⇔ smallest gcum ≥ target)."""
+    return f"""
+        WITH qn_s AS MATERIALIZED (
+            SELECT f.doc_id, d.source, f.quality,
+                   CAST(floor(f.quality * {_ZBIN_SCALE!r}) AS BIGINT) AS zb
+            FROM ({scores_sql}) f JOIN documents d ON f.doc_id = d.doc_id
+        ),
+        qn_h AS (
+            SELECT source, zb, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM qn_s GROUP BY source, zb
+        ),
+        qn_sc AS (
+            SELECT source, zb,
+                   SUM(cnt) OVER (PARTITION BY source ORDER BY zb
+                                  ROWS UNBOUNDED PRECEDING) AS r,
+                   SUM(cnt) OVER (PARTITION BY source) AS n_s
+            FROM qn_h
+        ),
+        qn_g AS (
+            SELECT zb,
+                   SUM(cnt) OVER (ORDER BY zb ROWS UNBOUNDED PRECEDING) AS gc
+            FROM (SELECT zb, SUM(cnt) AS cnt FROM qn_h GROUP BY zb)
+        ),
+        qn_gn AS (SELECT zb, -CAST(gc AS HUGEINT) AS neg_gc FROM qn_g),
+        qn_map AS (
+            SELECT m.source, m.zb, g.zb AS norm_bin
+            FROM (
+                -- neg_target = −⌈r·G/n_s⌉ = floor((−r·G)/n_s)
+                SELECT source, zb,
+                       (-CAST(r AS HUGEINT) * (SELECT MAX(gc) FROM qn_g))
+                           // CAST(n_s AS HUGEINT) AS neg_target
+                FROM qn_sc
+            ) m
+            ASOF JOIN qn_gn g ON m.neg_target >= g.neg_gc
+        )
+        SELECT s.doc_id, s.source, s.quality,
+               CAST(p.norm_bin AS BIGINT) AS norm_bin,
+               p.norm_bin / {_ZBIN_SCALE!r} AS norm_q
+        FROM qn_s s JOIN qn_map p ON p.source = s.source AND p.zb = s.zb"""

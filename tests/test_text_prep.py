@@ -430,3 +430,41 @@ def test_bpe_train_tie_break_and_empty(ray_session):
         "rhs",
         "ct",
     ]
+
+
+def test_quantile_normalize_properties(synth_small, ray_session):
+    """Within a source norm_bin is monotone in quality; every norm_bin is
+    a bin present in the global histogram; top-ranked docs map to the
+    global max bin; partition-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import curation
+
+    docs = rd.read_parquet(
+        f"/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    out = (
+        curation.quantile_normalize(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out2 = (
+        curation.quantile_normalize(docs.repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    zb = np.floor(out["quality"].to_numpy() * 4096.0).astype(np.int64)
+    glob_bins = set(zb.tolist())
+    assert set(out["norm_bin"].tolist()) <= glob_bins
+    gmax = max(glob_bins)
+    for s, grp in out.assign(zb=zb).groupby("source"):
+        g = grp.sort_values(["zb", "doc_id"])
+        assert (np.diff(g["norm_bin"].to_numpy()) >= 0).all()
+        # the within-source max rank maps to the global max bin
+        assert g["norm_bin"].iloc[-1] == gmax
+    assert (out["norm_q"] == out["norm_bin"] / 4096.0).all()
