@@ -2202,6 +2202,16 @@ def q_minhash_pairs(sf_dir: str):
     return dedup.minhash_candidate_pairs(docs, "text", "doc_id")
 
 
+def q_containment_pairs(sf_dir: str):
+    """LSH candidates verified by exact k-shingle CONTAINMENT |A∩B|/|A|
+    (stages/dedup.containment_pairs) — the asymmetric quote/subset
+    detector; value-checked including the containment doubles."""
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+    return dedup.containment_pairs(docs, "text", "doc_id", k=5, threshold=0.5)
+
+
 def q_jaccard_verified(sf_dir: str):
     """LSH candidate pairs verified by exact k-shingle Jaccard through the
     distributed hash-join path (pairs ⋈ texts, never driver-side) — the
@@ -4421,6 +4431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_pyramid": q_label_pyramid,
         "calibration_report": q_calibration_report,
         "quantile_normalize": q_quantile_normalize,
+        "containment_pairs": q_containment_pairs,
         "waiting_suppliers": q_waiting_suppliers,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -5426,6 +5437,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "fingerprints": _fingerprints_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "jaccard_verified": _jaccard_verified_sql(),
+        "containment_pairs": _containment_pairs_sql(),
         "leakage_split": f"""
             WITH ls_jv AS MATERIALIZED (
                 SELECT a, b FROM ({_jaccard_verified_sql()})
@@ -6611,6 +6623,41 @@ def _jaccard_verified_sql() -> str:
             JOIN sizes za ON za.doc_id = p.a
             JOIN sizes zb ON zb.doc_id = p.b
         ) WHERE jaccard >= 0.4"""
+
+
+def _containment_pairs_sql(threshold: float = 0.5) -> str:
+    """Containment twin of :func:`_jaccard_verified_sql`: the identical
+    shingle-set CTEs, formula ni / |A| with the same ≥ threshold gate."""
+    from kaza_lcms_ray.state import sqlhash as SH
+
+    k = 5
+    pos_base = f"""
+        SELECT doc_id, text, least({k}, length(text)) AS win,
+               unnest(range(1, length(text) - least({k}, length(text)) + 2)) AS pos
+        FROM documents WHERE length(text) > 0"""
+    rh = SH.rolling_poly_window("text", "pos", "win")
+    shq = SH.chain_select(
+        f"SELECT doc_id, {rh} AS rh FROM ({pos_base})",
+        SH.splitmix_steps("rh", "sh", "s"),
+    )
+    return f"""
+        WITH pairs AS MATERIALIZED ({_minhash_pairs_sql()}),
+        shd AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM ({shq})),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shd GROUP BY doc_id),
+        inter AS (
+            SELECT p.a, p.b, COUNT(*) AS ni
+            FROM pairs p
+            JOIN shd sa ON sa.doc_id = p.a
+            JOIN shd sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+            GROUP BY p.a, p.b
+        )
+        SELECT a, b, containment FROM (
+            SELECT p.a, p.b,
+                   COALESCE(i.ni, 0) / CAST(za.nsh AS DOUBLE) AS containment
+            FROM pairs p
+            LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+            JOIN sizes za ON za.doc_id = p.a
+        ) WHERE containment >= {threshold!r}"""
 
 
 def _pip_reference_sql(geo: str, root: str) -> str:

@@ -1991,3 +1991,51 @@ def mmr_select(
             }
         )
     )
+
+
+def ngram_containment(texts_a: list[str], texts_b: list[str], k: int = 5) -> np.ndarray:
+    """Exact k-shingle CONTAINMENT |A∩B| / |A| for candidate pairs — the
+    asymmetric near-dup measure (quote / subset detection: a short doc
+    fully contained in a long one scores 1.0 where Jaccard stays low)."""
+    out = np.empty(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa = set(np.unique(_char_shingle_hashes(ta.encode("utf-8"), k)).tolist())
+        sb = set(np.unique(_char_shingle_hashes(tb.encode("utf-8"), k)).tolist())
+        out[i] = (len(sa & sb) / len(sa)) if sa else 1.0
+    return out
+
+
+def containment_pairs(ds, text_col: str, id_col: str, k: int = 5, threshold: float = 0.5):
+    """LSH candidate pairs verified by exact k-shingle containment — the
+    asymmetric companion of the Jaccard verify (same crawl-scale shape:
+    pairs ⋈ texts via two bounded hash joins, per-pair kernel on the
+    candidate set only, never the corpus cross product).
+
+    Output: (a, b, containment:f64) for pairs with containment ≥
+    ``threshold`` — note (a,b) and (b,a) can both survive with DIFFERENT
+    values (containment is directional); candidates are emitted a < b,
+    so this checks "a's shingles inside b"."""
+    from ..runtime import join_partitions
+
+    cand = minhash_candidate_pairs(ds, text_col, id_col).materialize()
+    n_pairs = cand.count()
+    docs = ds.select_columns([id_col, text_col])
+    np_parts = 1 if n_pairs < 10_000 else join_partitions(rows_hint=n_pairs)
+    with_a = cand.join(
+        docs, join_type="inner", num_partitions=np_parts,
+        on=("a",), right_on=(id_col,), right_suffix="_ta",
+    ).materialize()
+    with_ab = with_a.join(
+        docs, join_type="inner", num_partitions=np_parts,
+        on=("b",), right_on=(id_col,), left_suffix="_l", right_suffix="_tb",
+    )
+    ta, tb = f"{text_col}_l", f"{text_col}_tb"
+
+    def verify(t: pa.Table) -> pa.Table:
+        c = ngram_containment(t.column(ta).to_pylist(), t.column(tb).to_pylist(), k=k)
+        out = pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "containment": pa.array(c)}
+        )
+        return out.filter(pa.array(c >= threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

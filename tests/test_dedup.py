@@ -721,3 +721,30 @@ def test_mmr_select_diversifies(ray_session):
     # rerun determinism
     out2 = dedup.mmr_select(docs, q, k_results=2, pool_size=4).to_pandas()
     assert out2["doc_id"].tolist() == out["doc_id"].tolist()
+
+
+def test_containment_asymmetric(ray_session):
+    """A short doc fully inside a long one scores containment 1.0 while
+    Jaccard stays low; unrelated docs produce no pair."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import dedup
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = short + " while the river bends north past the floodplain and on"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [short, long, "completely different words entirely here"],
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = dedup.containment_pairs(ds, "text", "doc_id", k=5, threshold=0.5).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (1, 2) in pairs
+    row = out[(out["a"] == 1) & (out["b"] == 2)].iloc[0]
+    assert row["containment"] == 1.0
+    jac = dedup.ngram_jaccard([short], [long], k=5)[0]
+    assert jac < 0.9
+    assert not any(3 in p for p in pairs)
