@@ -2779,6 +2779,84 @@ def q_calibration_report(sf_dir: str):
     )
 
 
+def q_roc_auc(sf_dir: str):
+    """Exact ROC-AUC (Mann-Whitney with the ½-tie convention) of the
+    held-out forest scores for the smallest class id as a one-vs-rest
+    detector — the threshold-free companion of calibration_report
+    (reference analog: the per-class probability assets of
+    src/utils/primitives.py scored against held-out truth).
+
+    Scale shape: per-row integer score s = (pq_pos · 2¹²) // Σ pq (pq ≲
+    2⁴⁵ so the product stays int64), decomposable (s → n_pos, n_neg)
+    histogram via bucketed_sum (≤ 4097 rows regardless of corpus size),
+    then the O(granularity) driver-side rank formula
+    (primitives.auc_from_histogram).  Oracle: the recursive tree-walk
+    chain + the identical window-sum expression over the same histogram."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+    from kaza_lcms_ray.stages.zonal import bucketed_sum
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    test = rd.from_pandas(art["test"])
+    classes = sorted(art["models"])
+    pos = int(classes[0])
+    scored = P.score_quantized(test, art["models"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pq = np.stack(
+            [t.column(f"pq_{c}").to_numpy(zero_copy_only=False) for c in classes],
+            axis=1,
+        ).astype(np.int64)
+        tot = np.maximum(pq.sum(axis=1), 1)
+        s = (pq[:, 0] * P.AUC_SCORE_SCALE) // tot
+        is_pos = (
+            t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+            == pos
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {"s": pa.array(s), "n_pos": pa.array(is_pos),
+                 "n_neg": pa.array(1 - is_pos)}
+            )
+            .group_by(["s"])
+            .aggregate([("n_pos", "sum"), ("n_neg", "sum")])
+        )
+        return g.rename_columns(["s", "n_pos", "n_neg"])
+
+    h = (
+        bucketed_sum(
+            scored.map_batches(hist, batch_format="pyarrow"),
+            ["s"],
+            ["n_pos", "n_neg"],
+        )
+        .to_pandas()  # bounded: ≤ AUC_SCORE_SCALE+1 rows
+    )
+    import numpy as np
+
+    num, den = P.auc_from_histogram(
+        h["s"].to_numpy(np.int64),
+        h["n_pos"].to_numpy(np.int64),
+        h["n_neg"].to_numpy(np.int64),
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "pos_class": pd.array([pos], dtype="int64"),
+            "n_pos": pd.array([int(h["n_pos"].sum())], dtype="int64"),
+            "n_neg": pd.array([int(h["n_neg"].sum())], dtype="int64"),
+            "auc_num": pd.array([num], dtype="int64"),
+            "auc_den": pd.array([den], dtype="int64"),
+            "auc": [num / den if den else float("nan")],
+        }
+    )
+
+
 def q_area_estimate(sf_dir: str):
     """Stratified area estimation with 95% CI — the reference's FINAL Area
     Estimation product (old_README_instructions.md:16-50): strata = map
@@ -4430,6 +4508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoint": q_cusum_changepoint,
         "label_pyramid": q_label_pyramid,
         "calibration_report": q_calibration_report,
+        "roc_auc": q_roc_auc,
         "quantile_normalize": q_quantile_normalize,
         "containment_pairs": q_containment_pairs,
         "waiting_suppliers": q_waiting_suppliers,
@@ -5618,6 +5697,14 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "rf_quality": _rfq_sql(root),
         "accuracy_report": _accuracy_sql(root),
         "calibration_report": _calibration_sql(root),
+        "roc_auc": _roc_auc_sql(
+            root,
+            sorted(
+                __import__(
+                    "kaza_lcms_ray.config", fromlist=["config"]
+                ).CLASSES
+            )[0],
+        ),
         "area_estimate": __import__(
             "kaza_lcms_ray.pipelines.primitives", fromlist=["primitives"]
         ).area_estimate_sql(_accuracy_sql(root)),
@@ -8576,6 +8663,68 @@ def _calibration_sql(root: str) -> str:
         SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(ok) AS BIGINT) AS n_correct
         FROM cal_b GROUP BY bin"""
+
+
+def _roc_auc_sql(root: str, pos: int) -> str:
+    """ROC-AUC oracle: the _calibration_sql walk chain, the identical
+    integer score s = (pq_pos · 2¹²) // Σ pq, then the Mann-Whitney
+    window-sum 2U = Σ n_pos·(2·cumneg_< + n_neg) over the ascending
+    score histogram (primitives.auc_from_histogram replayed)."""
+    from kaza_lcms_ray.pipelines.primitives import AUC_SCORE_SCALE
+
+    geo = _geo_cte(root)
+    split = _split_ctes(root)
+    scaled = ", ".join(
+        f"g.b{i} * 0.0001 AS {n}"
+        for i, n in enumerate(("blue", "green", "red", "nir", "swir1", "swir2"))
+    )
+    covs = ", ".join(f'{e} AS "{n}"' for n, e in _COV_EXPRS.items())
+    return f"""
+        WITH RECURSIVE {geo},
+        {split},
+        test AS (SELECT doc_id, span_idx, "LANDCOVER" FROM capped
+                 WHERE rsplit >= 0.8),
+        sc AS (
+            SELECT t.doc_id, t.span_idx, t."LANDCOVER", {scaled}
+            FROM test t JOIN geo g
+              ON g.doc_id = t.doc_id AND g.span_idx = t.span_idx
+        ),
+        feats AS MATERIALIZED (SELECT *, {covs} FROM sc),
+        {_walk_ctes(root, "doc_id, span_idx")},
+        auc_sco AS (
+            SELECT doc_id, span_idx,
+                   (MAX(CASE WHEN class = {pos} THEN pq ELSE 0 END)
+                       * {AUC_SCORE_SCALE})
+                     // GREATEST(CAST(SUM(pq) AS BIGINT), 1) AS s
+            FROM leaf GROUP BY 1, 2
+        ),
+        auc_lab AS (
+            SELECT auc_sco.s,
+                   CASE WHEN f."LANDCOVER" = {pos} THEN 1 ELSE 0 END AS p
+            FROM auc_sco JOIN feats f
+              ON f.doc_id = auc_sco.doc_id AND f.span_idx = auc_sco.span_idx
+        ),
+        auc_h AS (
+            SELECT s, CAST(SUM(p) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - p) AS BIGINT) AS n_neg
+            FROM auc_lab GROUP BY s
+        ),
+        auc_c AS (
+            SELECT n_pos, n_neg,
+                   COALESCE(SUM(n_neg) OVER (
+                       ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cumneg
+            FROM auc_h
+        )
+        SELECT CAST({pos} AS BIGINT) AS pos_class,
+               CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+               CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+               CAST(SUM(n_pos * (2 * cumneg + n_neg)) AS BIGINT) AS auc_num,
+               CAST(2 * SUM(n_pos) * SUM(n_neg) AS BIGINT) AS auc_den,
+               CAST(SUM(n_pos * (2 * cumneg + n_neg)) AS DOUBLE)
+                   / CAST(2 * SUM(n_pos) * SUM(n_neg) AS DOUBLE) AS auc
+        FROM auc_c"""
 
 
 def _walk_ctes(

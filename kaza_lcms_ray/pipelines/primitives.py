@@ -463,6 +463,46 @@ def confusion_report(truth: np.ndarray, pred: np.ndarray) -> dict:
     }
 
 
+AUC_SCORE_SCALE = 1 << 12  # pq share → score granularity (int64-safe: pq ≲ 2^45)
+
+
+def auc_from_histogram(
+    s: np.ndarray, n_pos: np.ndarray, n_neg: np.ndarray
+) -> tuple[int, int]:
+    """Exact Mann-Whitney AUC from a (score → pos/neg count) histogram.
+
+    Returns integer ``(auc_num, auc_den)`` with AUC = num/den and the
+    standard tie convention (a tied pair counts 1/2):
+
+      2U  = Σ_i n_pos_i · (2·cumneg_<i + n_neg_i)       (scores ascending)
+      num = 2U,  den = 2·P·N
+
+    Python-int arithmetic so P·N never overflows; the SQL twin replays the
+    identical window-sum expression over the same histogram.  The histogram
+    itself is the decomposable part (bounded by score granularity, here
+    ≤ AUC_SCORE_SCALE+1 rows), so this driver-side final is O(granularity)
+    regardless of corpus size.
+    """
+    # consolidate duplicate score rows first — two rows with the same s are
+    # TIES, not an ordering (a raw group-by feed never duplicates, but a
+    # concatenation of partial histograms may)
+    uniq, inv = np.unique(np.asarray(s), return_inverse=True)
+    npos = np.zeros(len(uniq), dtype=object)
+    nneg = np.zeros(len(uniq), dtype=object)
+    np.add.at(npos, inv, np.asarray(n_pos, dtype=object))
+    np.add.at(nneg, inv, np.asarray(n_neg, dtype=object))
+    npos = npos.tolist()
+    nneg = nneg.tolist()
+    num = 0
+    cumneg = 0
+    for p, n in zip(npos, nneg):
+        num += int(p) * (2 * cumneg + int(n))
+        cumneg += int(n)
+    P = int(sum(npos))
+    N = cumneg
+    return num, 2 * P * N
+
+
 AREA_P_SCALE = 1 << 40  # quantization of the Σ_h W_h·p_hj terms
 AREA_V_SCALE = 1 << 60  # quantization of the variance terms
 

@@ -205,3 +205,43 @@ def test_quality_classifier_roundtrip(ray_session, tmp_path):
     trees = pq.read_table(art["trees_path"]).to_pandas()
     assert set(trees["class"]) == {0, 1}
     assert (trees[trees["feature_name"] == ""]["left"] == -1).all() or True
+
+
+def test_auc_from_histogram_matches_brute_force():
+    """The window-sum rank formula equals the O(P·N) pair count with the
+    ½-tie convention, on a histogram with ties at several scores."""
+    import numpy as np
+
+    from kaza_lcms_ray.pipelines.primitives import auc_from_histogram
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 20, size=12)
+    n_pos = rng.integers(0, 5, size=12)
+    n_neg = rng.integers(0, 5, size=12)
+    num, den = auc_from_histogram(s, n_pos, n_neg)
+    # brute force: expand to individual scores, count pairs
+    pos_scores = np.repeat(s, n_pos)
+    neg_scores = np.repeat(s, n_neg)
+    wins = (pos_scores[:, None] > neg_scores[None, :]).sum()
+    ties = (pos_scores[:, None] == neg_scores[None, :]).sum()
+    assert den == 2 * len(pos_scores) * len(neg_scores)
+    assert num == 2 * wins + ties
+    assert 0 <= num <= den
+
+
+def test_auc_perfect_and_inverted_separation():
+    import numpy as np
+
+    from kaza_lcms_ray.pipelines.primitives import auc_from_histogram
+
+    s = np.array([1, 2, 3, 4], dtype=np.int64)
+    # all positives above all negatives -> AUC 1
+    num, den = auc_from_histogram(
+        s, np.array([0, 0, 2, 3]), np.array([4, 1, 0, 0])
+    )
+    assert num == den
+    # inverted -> AUC 0
+    num, den = auc_from_histogram(
+        s, np.array([2, 3, 0, 0]), np.array([0, 0, 4, 1])
+    )
+    assert num == 0
