@@ -1150,6 +1150,20 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_simplify_paths(sf_dir: str):
+    """Douglas-Peucker simplification of each doc's geo-span path
+    (stages/spans.simplify_paths): batch-wide vectorized worklist DP —
+    segmented reduceat argmax over exact int64 cross products, pinned
+    IEEE split test, zero shuffle.  Oracle: recursive-CTE DP with a
+    LATERAL argmax + NOT-EXISTS tie rule."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.simplify_paths(_docs(sf_dir)),
+        ["doc_id", "span_idx", "x_q", "y_q"],
+    )
+
+
 def q_label_pyramid(sf_dir: str):
     """Majority-rule categorical overviews of the 2022 label raster
     (stages/assemblage.label_pyramid): bit-shift parent re-key, integer
@@ -4502,6 +4516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
+        "simplify_paths": q_simplify_paths,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -5720,6 +5735,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "doc_trajectory": f"""
             WITH {geo},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).doc_trajectory_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
+        "simplify_paths": f"""
+            WITH RECURSIVE {geo},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).simplify_paths_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
         "od_matrix": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).od_matrix_sql("SELECT doc_id, span_idx, cell_id FROM cells")}""",

@@ -381,6 +381,176 @@ def doc_trajectory_sql(geo_sql: str) -> str:
         FROM tj_a"""
 
 
+SIMPLIFY_COORD_SCALE = 1_000_000  # lon/lat → int64 micro-degrees (floor)
+SIMPLIFY_EPS_Q = 500_000.0  # Douglas-Peucker tolerance in micro-degrees (0.5°)
+
+
+def simplify_paths(documents, eps_q: float = SIMPLIFY_EPS_Q, batch_size=None):
+    """Douglas-Peucker simplification of each document's geo-span path —
+    the vector generalization step a map/trajectory pipeline runs before
+    rendering or coarse matching (reference analog: the geometry
+    erode/simplify family, SURVEY §2 M20).
+
+    Exactness contract: coordinates quantize to int64 micro-degrees
+    (floor(·1e6), floor so no round-half ambiguity vs SQL); the farthest
+    point of a segment is argmax |cross| (the chord is CONSTANT within a
+    segment, so the perpendicular-distance argmax needs no division) in
+    exact int64 (|cross| ≤ (3.6e8)² < 2⁶³), ties → lowest span index;
+    the split test is the pinned IEEE expression
+    ``double(|cross|max) > eps_q * sqrt(double(len2))`` — int→double
+    casts, sqrt and the product are all correctly rounded, so DuckDB
+    replays it bit-for-bit.  Degenerate chords (first == last point,
+    len2 = 0) never split — a documented rule both sides share.
+
+    Scale shape: row-local — a document is ONE input row, so the whole
+    recursion folds inside the batch; the worklist is vectorized ACROSS
+    all active segments of all docs (segmented reduceat argmax per
+    round, rounds ≤ max path depth), zero shuffle, zero per-doc Python.
+
+    Output: (doc_id, span_idx, x_q, y_q) — the kept vertices.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "span_idx": pa.array([], pa.int64()),
+                "x_q": pa.array([], pa.int64()),
+                "y_q": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        x = np.floor(lon * float(SIMPLIFY_COORD_SCALE)).astype(np.int64)
+        y = np.floor(lat * float(SIMPLIFY_COORD_SCALE)).astype(np.int64)
+        if n > 1:
+            same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            same = np.zeros(0, bool)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.nonzero(~same)[0].astype(np.int64) + 1]
+        )
+        counts = np.diff(np.concatenate([starts, np.array([n], np.int64)]))
+        ends = starts + counts - 1
+        kept = np.zeros(n, bool)
+        kept[starts] = True
+        kept[ends] = True
+        seg_i, seg_j = starts, ends
+        while True:
+            live = seg_j > seg_i + 1
+            seg_i, seg_j = seg_i[live], seg_j[live]
+            if len(seg_i) == 0:
+                break
+            L = seg_j - seg_i - 1
+            offsets = np.zeros(len(L), np.int64)
+            np.cumsum(L[:-1], out=offsets[1:])
+            T = int(L.sum())
+            segid = np.repeat(np.arange(len(L), dtype=np.int64), L)
+            p = seg_i[segid] + 1 + (np.arange(T, dtype=np.int64) - offsets[segid])
+            dx = x[seg_j] - x[seg_i]
+            dy = y[seg_j] - y[seg_i]
+            cross = dx[segid] * (y[p] - y[seg_i][segid]) - dy[segid] * (
+                x[p] - x[seg_i][segid]
+            )
+            acr = np.abs(cross)
+            mx = np.maximum.reduceat(acr, offsets)
+            cand = np.where(acr == mx[segid], p, np.int64(1) << 62)
+            k = np.minimum.reduceat(cand, offsets)
+            len2 = dx * dx + dy * dy
+            split = mx.astype(np.float64) > eps_q * np.sqrt(
+                len2.astype(np.float64)
+            )
+            kept[k[split]] = True
+            seg_i = np.concatenate([seg_i[split], k[split]])
+            seg_j = np.concatenate([k[split], seg_j[split]])
+        idx = np.nonzero(kept)[0]
+        return pa.table(
+            {
+                "doc_id": doc.take(pa.array(idx)),
+                "span_idx": g.column("span_idx").take(pa.array(idx)).cast(
+                    pa.int64()
+                ),
+                "x_q": pa.array(x[idx]),
+                "y_q": pa.array(y[idx]),
+            }
+        )
+
+    return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def simplify_paths_sql(geo_sql: str, eps_q: float = SIMPLIFY_EPS_Q) -> str:
+    """Oracle twin of :func:`simplify_paths`: the recursive-CTE DP — each
+    segment LATERAL-joins its argmax-|cross| interior point (NOT EXISTS
+    tie rule: max |cross|, then lowest idx) and splits under the identical
+    pinned IEEE test.  Kept vertices = the union of every segment
+    endpoint ever created."""
+    s = SIMPLIFY_COORD_SCALE
+
+    def cross(pt: str) -> str:
+        return (
+            f"abs((b.x-a.x)*({pt}.y-a.y) - (b.y-a.y)*({pt}.x-a.x))"
+        )
+
+    return f"""
+        dp_pts AS (
+            SELECT doc_id, span_idx AS idx,
+                   CAST(floor(lon * {float(s)!r}) AS BIGINT) AS x,
+                   CAST(floor(lat * {float(s)!r}) AS BIGINT) AS y
+            FROM ({geo_sql})
+        ),
+        dp_seg AS (
+            SELECT doc_id, MIN(idx) AS i, MAX(idx) AS j
+            FROM dp_pts GROUP BY doc_id
+            UNION ALL
+            SELECT s.doc_id,
+                   CASE WHEN h.half = 0 THEN s.i ELSE u.kk END AS i,
+                   CASE WHEN h.half = 0 THEN u.kk ELSE s.j END AS j
+            FROM dp_seg s
+            JOIN LATERAL (
+                SELECT k.idx AS kk
+                FROM dp_pts k, dp_pts a, dp_pts b
+                WHERE k.doc_id = s.doc_id AND a.doc_id = s.doc_id
+                  AND b.doc_id = s.doc_id
+                  AND a.idx = s.i AND b.idx = s.j
+                  AND k.idx > s.i AND k.idx < s.j
+                  AND NOT EXISTS (
+                    SELECT 1 FROM dp_pts m
+                    WHERE m.doc_id = s.doc_id
+                      AND m.idx > s.i AND m.idx < s.j
+                      AND ({cross("m")}, -m.idx) > ({cross("k")}, -k.idx)
+                  )
+                  AND CAST({cross("k")} AS DOUBLE)
+                      > {eps_q!r} * sqrt(CAST(
+                            (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)
+                        AS DOUBLE))
+            ) u ON TRUE
+            CROSS JOIN (VALUES (0), (1)) h(half)
+            WHERE s.j > s.i + 1
+        ),
+        dp_kept AS (
+            -- explicit DISTINCT: DuckDB's UNION over a recursive CTE
+            -- does not dedupe (observed 2026-08, duckdb 1.x)
+            SELECT DISTINCT doc_id, idx FROM (
+                SELECT doc_id, i AS idx FROM dp_seg
+                UNION ALL
+                SELECT doc_id, j AS idx FROM dp_seg
+            )
+        )
+        SELECT p.doc_id, CAST(p.idx AS BIGINT) AS span_idx,
+               p.x AS x_q, p.y AS y_q
+        FROM dp_kept kp
+        JOIN dp_pts p ON p.doc_id = kp.doc_id AND p.idx = kp.idx"""
+
+
 def od_matrix(documents, batch_size: int | None = None):
     """Origin→destination flow matrix: each document contributes one flow
     from the CELL of its first geo span to the CELL of its last (in span

@@ -229,3 +229,63 @@ def test_media_geo_context_bruteforce(synth_small, ray_session):
             continue
         best = min(g, key=lambda sc: (abs(r["span_idx"] - sc[0]), sc[0]))
         assert (r["ctx_span"], r["ctx_cell"]) == best, r["doc_id"]
+
+
+def test_simplify_paths_recursive_dp(synth_small, ray_session):
+    """Vectorized worklist DP equals a per-doc recursive Python replay of
+    the same pinned rule, and is repartition-invariant (row-local)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    out = (
+        spans.simplify_paths(docs)
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    out2 = (
+        spans.simplify_paths(docs.repartition(5))
+        .to_pandas()
+        .sort_values(["doc_id", "span_idx"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+    geo = spans.geo_obs(docs).to_pandas()
+    S = float(spans.SIMPLIFY_COORD_SCALE)
+    eps = spans.SIMPLIFY_EPS_Q
+
+    def dp(xs, ys):
+        kept = {0, len(xs) - 1}
+
+        def rec(i, j):
+            if j <= i + 1:
+                return
+            dx, dy = xs[j] - xs[i], ys[j] - ys[i]
+            best, bk = -1, -1
+            for k in range(i + 1, j):
+                c = abs(dx * (ys[k] - ys[i]) - dy * (xs[k] - xs[i]))
+                if c > best:
+                    best, bk = c, k
+            if float(best) > eps * np.sqrt(float(dx * dx + dy * dy)):
+                kept.add(bk)
+                rec(i, bk)
+                rec(bk, j)
+
+        rec(0, len(xs) - 1)
+        return kept
+
+    dropped_somewhere = False
+    for doc_id, g in list(geo.groupby("doc_id"))[:60]:
+        g = g.sort_values("span_idx")
+        xs = np.floor(g["lon"].to_numpy() * S).astype(np.int64)
+        ys = np.floor(g["lat"].to_numpy() * S).astype(np.int64)
+        kept = dp(list(map(int, xs)), list(map(int, ys)))
+        want = sorted(g["span_idx"].to_numpy()[sorted(kept)])
+        got = sorted(
+            out[out["doc_id"] == doc_id]["span_idx"].tolist()
+        )
+        assert got == [int(w) for w in want], doc_id
+        if len(kept) < len(g):
+            dropped_somewhere = True
+    assert dropped_somewhere  # the tolerance actually removes vertices
