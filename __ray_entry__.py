@@ -1150,6 +1150,22 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_bootstrap_mean(sf_dir: str):
+    """Poisson-bootstrap replicate means of documents.n_chars
+    (stages/sampling.bootstrap_mean): ONE streaming pass computes all 32
+    replicates' weighted partials (deterministic splitmix64 Poisson(1)
+    weights via pinned integer inverse-CDF thresholds), ≤32-row combine,
+    pinned division — the corpus-scale bootstrap SE without resampling."""
+    from kaza_lcms_ray.stages import sampling
+
+    return _i64(
+        sampling.bootstrap_mean(
+            _doc_table(sf_dir, columns=["doc_id", "n_chars"]), "n_chars"
+        ),
+        ["rep", "n_eff", "sum_x", "mean_x"],
+    )
+
+
 def q_simplify_paths(sf_dir: str):
     """Douglas-Peucker simplification of each doc's geo-span path
     (stages/spans.simplify_paths): batch-wide vectorized worklist DP —
@@ -4517,6 +4533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
         "simplify_paths": q_simplify_paths,
+        "bootstrap_mean": q_bootstrap_mean,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -4872,6 +4889,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         for p in (10, 25, 50, 75, 90)
     )
     return {
+        "bootstrap_mean": __import__(
+            "kaza_lcms_ray.stages.sampling", fromlist=["sampling"]
+        ).bootstrap_mean_sql(
+            "SELECT doc_id, n_chars FROM documents", "n_chars"
+        ),
         "sample_k": __import__(
             "kaza_lcms_ray.stages.sampling", fromlist=["sampling"]
         ).sample_k_sql(

@@ -437,3 +437,142 @@ def weighted_sample_k_sql(
                    / greatest({weight_col}, 1) AS priority
         FROM ({_row_hash_sql(docs_sql, WSAMPLE_TAG, seed, id_col)})
         ORDER BY priority DESC, {id_col} LIMIT {k}"""
+
+
+# ------------------------------------------------- Poisson bootstrap
+#
+# The online/Poisson bootstrap (Chamandy et al.; Kleiner's BLB family): at
+# corpus scale you cannot resample-with-replacement (a replicate would be a
+# full shuffle), but Poisson(1) per-row weights are an excellent
+# approximation to multinomial resampling and need ONE streaming pass for
+# ALL replicates.  Deterministic: weights come from the house splitmix64
+# stream keyed (seed, "boot", doc_id, rep), so any partitioning / cluster
+# size / rerun yields the identical replicate table.
+
+BOOT_TAG = "boot"
+BOOT_REPS = 32
+_U53 = 1 << 53
+
+
+def _poisson1_thresholds(kmax: int = 8) -> list[int]:
+    """floor(CDF_Poisson(1)(k) · 2⁵³) for k = 0..kmax-1 — PINNED integer
+    literals shared by engine and SQL (the SQL embeds these values, it
+    never recomputes exp), so the inverse-CDF draw is bit-identical.
+    w = #{T_k ≤ u53} ∈ 0..kmax; P(w ≥ 9) < 1e-6 mass lands on w = kmax."""
+    import math
+
+    c = 0.0
+    pmf = math.exp(-1.0)
+    out = []
+    for k in range(kmax):
+        c += pmf
+        out.append(int(math.floor(c * float(_U53))))
+        pmf /= k + 1
+    return out
+
+
+POIS1_T = tuple(_poisson1_thresholds())
+
+
+def bootstrap_mean(
+    ds,
+    value_col: str,
+    reps: int = BOOT_REPS,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+):
+    """Per-replicate Poisson-bootstrap mean of an integer column: one
+    streaming pass computes ALL ``reps`` weighted partial sums (a batch
+    emits ``reps`` partial rows), a ≤reps-row bucketed combine finishes.
+
+    Output: (rep, n_eff, sum_x, mean_x) — mean_x is the single pinned
+    division sum_x/n_eff (NaN when a replicate drew zero total weight).
+    The spread of mean_x across replicates IS the bootstrap SE of the
+    corpus mean — computed without ever reshuffling the corpus.
+    """
+    from ..state.hashing import splitmix64
+    from .zonal import bucketed_sum
+
+    pre = hash_key(seed, BOOT_TAG)
+    z0 = splitmix64(np.uint64(0))
+    t_arr = np.asarray(POIS1_T, dtype=np.uint64)
+    rvec = np.arange(reps, dtype=np.uint64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "rep": pa.array([], pa.int64()),
+                    "n_eff": pa.array([], pa.int64()),
+                    "sum_x": pa.array([], pa.int64()),
+                }
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            rk = splitmix64(z0 ^ ids)
+            hv = splitmix64(pre ^ rk)
+            hr = splitmix64(hv[:, None] ^ rvec[None, :])
+        u53 = (hr >> np.uint64(11)).astype(np.uint64)
+        w = np.searchsorted(t_arr, u53, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "rep": pa.array(np.arange(reps, dtype=np.int64)),
+                "n_eff": pa.array(w.sum(axis=0)),
+                "sum_x": pa.array((w * x[:, None]).sum(axis=0)),
+            }
+        )
+
+    agg = bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["rep"],
+        ["n_eff", "sum_x"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ne = t.column("n_eff").to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t.column("sum_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(
+                ne > 0, sx.astype(np.float64) / ne.astype(np.float64), np.nan
+            )
+        return t.append_column("mean_x", pa.array(mean))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bootstrap_mean_sql(
+    docs_sql: str,
+    value_col: str,
+    reps: int = BOOT_REPS,
+    seed: int = DEFAULT_SEED,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle twin: identical hash chain (hv from _row_hash_sql, one more
+    splitmix fold of the replicate index), the PINNED threshold literals
+    of :data:`POIS1_T`, grouped integer sums, one pinned division."""
+    from ..state import sqlhash as SH
+
+    base = _row_hash_sql(docs_sql, BOOT_TAG, seed, id_col)
+    chain = SH.chain_select(
+        f"SELECT * FROM ({base}) CROSS JOIN range({reps}) t(r)",
+        SH.splitmix_steps(SH.xor64("hv", "CAST(r AS HUGEINT)"), "hr", "bt"),
+    )
+    w = " + ".join(
+        f"(CASE WHEN hr // 2048 >= {t} THEN 1 ELSE 0 END)" for t in POIS1_T
+    )
+    return f"""
+        WITH boot_w AS (
+            SELECT CAST(r AS BIGINT) AS rep, ({w}) AS w, {value_col} AS x
+            FROM ({chain})
+        ),
+        boot_agg AS (
+            SELECT rep, CAST(SUM(w) AS BIGINT) AS n_eff,
+                   CAST(SUM(w * x) AS BIGINT) AS sum_x
+            FROM boot_w GROUP BY rep
+        )
+        SELECT rep, n_eff, sum_x,
+               CASE WHEN n_eff > 0
+                    THEN CAST(sum_x AS DOUBLE) / CAST(n_eff AS DOUBLE)
+                    ELSE CAST('nan' AS DOUBLE) END AS mean_x
+        FROM boot_agg"""

@@ -244,3 +244,46 @@ def test_weighted_sample_k_properties(ray_session):
     # heavy rows (100x weight) must dominate the sample
     heavy = (outs[0]["doc_id"] % 2 == 0).mean()
     assert heavy > 0.8
+
+
+def test_poisson_bootstrap_weights_and_invariance(ray_session):
+    """Weight stream is Poisson(1)-shaped (mean ~1, support 0..8), the
+    replicate table is repartition-invariant, and the replicate spread
+    approximates the analytic SE of the mean."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import sampling
+
+    n = 20_000
+    rng = np.random.default_rng(11)
+    x = rng.integers(50, 5000, size=n).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "n_chars": pa.array(x)})
+    ds = rd.from_arrow(tbl)
+    out = (
+        sampling.bootstrap_mean(ds, "n_chars")
+        .to_pandas().sort_values("rep").reset_index(drop=True)
+    )
+    out2 = (
+        sampling.bootstrap_mean(rd.from_arrow(tbl).repartition(7), "n_chars")
+        .to_pandas().sort_values("rep").reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    assert len(out) == sampling.BOOT_REPS
+    # Poisson(1): total weight per replicate ~ n ± ~3 sqrt(n)
+    assert (np.abs(out["n_eff"].to_numpy() - n) < 5 * np.sqrt(n)).all()
+    # replicate spread vs analytic SE (very loose band: 32 reps)
+    se_boot = out["mean_x"].std(ddof=1)
+    se_true = x.std(ddof=1) / np.sqrt(n)
+    assert 0.4 * se_true < se_boot < 2.5 * se_true
+    # thresholds really are the Poisson(1) CDF
+    import math
+
+    cdf = 0.0
+    pmf = math.exp(-1.0)
+    for k, t in enumerate(sampling.POIS1_T):
+        cdf += pmf
+        assert t == int(math.floor(cdf * 2.0**53))
+        pmf /= k + 1
