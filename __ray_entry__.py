@@ -3998,6 +3998,18 @@ def q_dem_contours(sf_dir: str):
     )
 
 
+def q_event_paths(sf_dir: str):
+    """User-journey histogram (stages/events.event_paths): ordered
+    string_agg of each user's first 8 event types (the collect_list
+    primitive), one skinny row per user, bucketed path counts."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.event_paths(_tbl(sf_dir, "events")),
+        ["path", "n_users"],
+    )
+
+
 def q_events_rollmed(sf_dir: str):
     """Per-user rolling lower median of the last 7 values
     (stages/events.rolling_median): integer rank pick on cents — no SQL
@@ -4556,6 +4568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_entities": q_name_entities,
         "dbscan": q_dbscan,
         "events_rollmed": q_events_rollmed,
+        "event_paths": q_event_paths,
         "dem_contours": q_dem_contours,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
@@ -5231,6 +5244,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "events_rollmed": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).rolling_median_sql(),
+        "event_paths": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).event_paths_sql(),
         "dem_contours": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.terrain", fromlist=["terrain"]).dem_contours_sql("SELECT cell_id FROM cells")}""",

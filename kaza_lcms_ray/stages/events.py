@@ -1889,3 +1889,65 @@ def cusum_changepoint_sql(events_sql: str) -> str:
         FROM cu_d QUALIFY row_number() OVER (
             PARTITION BY user_id ORDER BY dev DESC, i ASC
         ) = 1"""
+
+
+def event_paths(ds, k: int = 8, key: str = "user_id", ts_col: str = "ts"):
+    """User-journey histogram: each user's first ``k`` event types in
+    (ts, event_id) order joined with '>' — the ordered collect_list /
+    string_agg primitive Ray Data lacks — then an exact count per distinct
+    path.  The funnel-analytics product ("which journeys happen, how
+    often") over a 100 TB log.
+
+    Scale shape: ONE co-partition by user (groups bounded per user,
+    in-group mergesort + head(k) + join), emitting exactly one skinny
+    (path) row per user; the path histogram folds through per-batch Arrow
+    group counts + a bucketed combine — the second exchange moves one row
+    per DISTINCT path per batch, never the user table.
+
+    Output: (path:string, n_users:int64).
+    """
+    from ray.data.aggregate import Sum
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort").head(k)
+        return pd.DataFrame(
+            {"path": [">".join(g["event_type"].astype(str))]}
+        )
+
+    paths = (
+        ds.select_columns([key, ts_col, "event_id", "event_type"])
+        .groupby(key)
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        out = t.group_by(["path"]).aggregate([([], "count_all")])
+        return out.rename_columns(["path", "n_users"])
+
+    from .zonal import bucketed_sum
+
+    return bucketed_sum(
+        paths.map_batches(count, batch_format="pyarrow"),
+        ["path"],
+        ["n_users"],
+    )
+
+
+def event_paths_sql(k: int = 8, key: str = "user_id", ts_col: str = "ts") -> str:
+    """Oracle twin of :func:`event_paths`: ROW_NUMBER ordering, ordered
+    string_agg, grouped count."""
+    return f"""
+        WITH ep_r AS (
+            SELECT {key}, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key} ORDER BY {ts_col}, event_id
+                   ) AS rn
+            FROM events
+        ),
+        ep_p AS (
+            SELECT {key},
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ep_r WHERE rn <= {k} GROUP BY {key}
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ep_p GROUP BY path"""

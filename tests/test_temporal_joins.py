@@ -499,3 +499,40 @@ def test_cusum_changepoint_bruteforce(ray_session):
             dev = np.abs(s * len(v) - i * s[-1])
             k = np.lexsort((i, -dev))[0]
             assert r["cp_idx"] == i[k] and r["max_dev_xn"] == dev[k]
+
+
+def test_event_paths_order_truncation_histogram(ray_session):
+    """Paths follow (ts, event_id) order, truncate at k, and the histogram
+    counts users per distinct path; repartition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 1: a,b,a in ts order; ts tie broken by event_id (e2 before e3)
+    rows += [
+        (1, 10, base + pd.Timedelta(minutes=5), "b"),
+        (1, 2, base, "a"),
+        (1, 3, base, "x"),
+    ]
+    # user 2: same journey as nobody else, 5 events truncated to k=2
+    rows += [(2, 20 + i, base + pd.Timedelta(minutes=i), t)
+             for i, t in enumerate("abcde")]
+    # user 3: identical journey to user 4
+    rows += [(3, 30, base, "a"), (3, 31, base + pd.Timedelta(minutes=1), "x")]
+    rows += [(4, 40, base, "a"), (4, 41, base + pd.Timedelta(minutes=1), "x")]
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    out = (
+        events.event_paths(rd.from_pandas(df).repartition(3), k=2)
+        .to_pandas().sort_values("path").reset_index(drop=True)
+    )
+    got = dict(zip(out["path"], out["n_users"]))
+    assert got == {"a>x": 3, "a>b": 1}
+    out2 = (
+        events.event_paths(rd.from_pandas(df), k=2)
+        .to_pandas().sort_values("path").reset_index(drop=True)
+    )
+    assert out.equals(out2)
