@@ -2887,6 +2887,27 @@ def q_roc_auc(sf_dir: str):
     )
 
 
+def q_feature_mi(sf_dir: str):
+    """Model-free feature relevance: mutual information I(feature-bin;
+    LANDCOVER) per covariate over the capped training table
+    (pipelines/primitives.feature_mi) — exact min/max partials, pinned
+    IEEE bin rule, (feature, bin, class) bucketed counts, order-free
+    quantized ln terms.  Oracle: the covariate chain + identical
+    expressions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+    from kaza_lcms_ray.stages import covariates
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    full = pd.concat([art["train"], art["test"]], ignore_index=True)
+    feats = covariates.feature_names(DEFAULT_CONFIG)
+    return P.feature_mi(rd.from_pandas(full), feats)
+
+
 def q_area_estimate(sf_dir: str):
     """Stratified area estimation with 95% CI — the reference's FINAL Area
     Estimation product (old_README_instructions.md:16-50): strata = map
@@ -4553,6 +4574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_pyramid": q_label_pyramid,
         "calibration_report": q_calibration_report,
         "roc_auc": q_roc_auc,
+        "feature_mi": q_feature_mi,
         "quantile_normalize": q_quantile_normalize,
         "containment_pairs": q_containment_pairs,
         "waiting_suppliers": q_waiting_suppliers,
@@ -5758,6 +5780,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 ).CLASSES
             )[0],
         ),
+        "feature_mi": _feature_mi_sql(root),
         "area_estimate": __import__(
             "kaza_lcms_ray.pipelines.primitives", fromlist=["primitives"]
         ).area_estimate_sql(_accuracy_sql(root)),
@@ -8719,6 +8742,34 @@ def _calibration_sql(root: str) -> str:
         SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(ok) AS BIGINT) AS n_correct
         FROM cal_b GROUP BY bin"""
+
+
+def _feature_mi_sql(root: str) -> str:
+    """feature_mi oracle: the capped training table's covariate chain
+    (ALL rows, not just a split), then primitives.feature_mi_sql's
+    identical bin/count/ln-term expressions."""
+    from kaza_lcms_ray.pipelines.primitives import feature_mi_sql
+    from kaza_lcms_ray.stages.covariates import feature_names
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+
+    geo = _geo_cte(root)
+    split = _split_ctes(root)
+    scaled = ", ".join(
+        f"g.b{i} * 0.0001 AS {n}"
+        for i, n in enumerate(("blue", "green", "red", "nir", "swir1", "swir2"))
+    )
+    covs = ", ".join(f'{e} AS "{n}"' for n, e in _COV_EXPRS.items())
+    feats = feature_names(DEFAULT_CONFIG)
+    return f"""
+        WITH RECURSIVE {geo},
+        {split},
+        mi_sc AS (
+            SELECT t.doc_id, t.span_idx, t."LANDCOVER", {scaled}
+            FROM capped t JOIN geo g
+              ON g.doc_id = t.doc_id AND g.span_idx = t.span_idx
+        ),
+        mi_feats AS MATERIALIZED (SELECT *, {covs} FROM mi_sc),
+        {feature_mi_sql("SELECT * FROM mi_feats", feats)}"""
 
 
 def _roc_auc_sql(root: str, pos: int) -> str:

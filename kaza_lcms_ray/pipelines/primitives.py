@@ -588,3 +588,187 @@ def area_estimate_sql(conf_sql: str) -> str:
                sqrt(CAST(var_q AS DOUBLE) / {sv!r}) AS se,
                1.96 * sqrt(CAST(var_q AS DOUBLE) / {sv!r}) AS ci95
         FROM ae_s"""
+
+
+# --------------------------------------------- feature relevance (MI)
+
+MI_SCALE = 1 << 40
+MI_BINS = 16
+
+
+def feature_mi(ds, features, label: str = "LANDCOVER", bins: int = MI_BINS):
+    """Mutual information I(feature_bin; label) per feature — the
+    filter-method feature-relevance ranking a training pipeline runs
+    before model fitting (the reference's per-class variable-importance
+    analog, src/utils/primitives.py:18-30, computed model-free).
+
+    Pinned rules (identical in SQL): per-feature exact MIN/MAX (order-free,
+    no float summation), bin = min(bins-1, floor(((x-m)·16.0)/(M-m)))
+    (one IEEE expression), zero-count cells contribute nothing, and each
+    cell term quantizes floor((c/n)·ln((n·c)/(cx·cy))·2⁴⁰) → int64 so the
+    per-feature sum is order-free and hash-stable.
+
+    Scale shape: phase 1 = decomposable min/max partials (one row per
+    feature per batch); phase 2 = (feature, bin, class) counts via in-batch
+    Arrow group counts + bucketed combine (≤ |features|·bins·|classes|
+    rows); phase 3 = O(cells) driver final.  Three passes, no raw-row
+    shuffle.
+
+    Output: (feature, n, mi_q, mi) — one row per feature.
+    """
+    feats = sorted(features)
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "feature": pa.array([], pa.string()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        names, mns, mxs = [], [], []
+        for f in feats:
+            x = t.column(f).to_numpy(zero_copy_only=False)
+            names.append(f)
+            mns.append(float(np.min(x)))
+            mxs.append(float(np.max(x)))
+        return pa.table(
+            {
+                "feature": pa.array(names),
+                "mn": pa.array(mns, pa.float64()),
+                "mx": pa.array(mxs, pa.float64()),
+            }
+        )
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("feature")
+        .agg(mn=("mn", "min"), mx=("mx", "max"))
+    )
+    lo = {f: float(mm.loc[f, "mn"]) for f in feats}
+    hi = {f: float(mm.loc[f, "mx"]) for f in feats}
+
+    def cnt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "feature": pa.array([], pa.string()),
+                    "bin": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        ys = t.column(label).to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for f in feats:
+            x = t.column(f).to_numpy(zero_copy_only=False)
+            m, M = lo[f], hi[f]
+            if M == m:
+                b = np.zeros(len(x), np.int64)
+            else:
+                b = np.minimum(
+                    bins - 1,
+                    np.floor(((x - m) * float(bins)) / (M - m)).astype(np.int64),
+                )
+            parts.append(
+                pa.table(
+                    {
+                        "feature": pa.array([f] * len(x)),
+                        "bin": pa.array(b),
+                        "y": pa.array(ys),
+                    }
+                )
+            )
+        g = (
+            pa.concat_tables(parts)
+            .group_by(["feature", "bin", "y"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["feature", "bin", "y", "c"])
+
+    from ..stages.zonal import bucketed_sum
+
+    cells = bucketed_sum(
+        ds.map_batches(cnt, batch_format="pyarrow"),
+        ["feature", "bin", "y"],
+        ["c"],
+    ).to_pandas()  # bounded: ≤ |features|·bins·|classes| rows
+
+    out = []
+    for f in feats:
+        d = cells[cells["feature"] == f]
+        n = int(d["c"].sum())
+        cx = d.groupby("bin")["c"].sum()
+        cy = d.groupby("y")["c"].sum()
+        c = d["c"].to_numpy(np.int64)
+        a = c.astype(np.float64) / float(n)
+        num = (n * c).astype(np.float64)
+        den = (
+            cx.loc[d["bin"]].to_numpy(np.int64)
+            * cy.loc[d["y"]].to_numpy(np.int64)
+        ).astype(np.float64)
+        tq = np.floor((a * np.log(num / den)) * float(MI_SCALE)).astype(np.int64)
+        mi_q = int(tq.sum())
+        out.append((f, n, mi_q, mi_q / float(MI_SCALE)))
+    return pd.DataFrame(out, columns=["feature", "n", "mi_q", "mi"])
+
+
+def feature_mi_sql(feats_sql: str, features, label: str = "LANDCOVER",
+                   bins: int = MI_BINS) -> str:
+    """Oracle twin of :func:`feature_mi` over a subquery exposing the
+    feature columns + the label: identical bin expression, grouped counts,
+    the identical quantized ln term, per-feature integer sum."""
+    longf = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, CAST(\"{f}\" AS DOUBLE) AS x, "
+        f'CAST("{label}" AS BIGINT) AS y FROM mi_in'
+        for f in sorted(features)
+    )
+    return f"""
+        mi_in AS MATERIALIZED ({feats_sql}),
+        mi_f AS ({longf}),
+        mi_mm AS (
+            SELECT feature, MIN(x) AS m, MAX(x) AS mx FROM mi_f GROUP BY feature
+        ),
+        mi_b AS (
+            SELECT f.feature,
+                   CASE WHEN mm.mx = mm.m THEN 0
+                        ELSE LEAST({bins - 1}, CAST(floor(
+                            ((f.x - mm.m) * {float(bins)!r}) / (mm.mx - mm.m)
+                        ) AS BIGINT)) END AS bin,
+                   f.y
+            FROM mi_f f JOIN mi_mm mm USING (feature)
+        ),
+        mi_nxy AS (
+            SELECT feature, bin, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM mi_b GROUP BY 1, 2, 3
+        ),
+        mi_nx AS (
+            SELECT feature, bin, CAST(SUM(c) AS BIGINT) AS cx
+            FROM mi_nxy GROUP BY 1, 2
+        ),
+        mi_ny AS (
+            SELECT feature, y, CAST(SUM(c) AS BIGINT) AS cy
+            FROM mi_nxy GROUP BY 1, 2
+        ),
+        mi_n AS (
+            SELECT feature, CAST(SUM(c) AS BIGINT) AS n
+            FROM mi_nxy GROUP BY 1
+        ),
+        mi_t AS (
+            SELECT x.feature, n.n,
+                   CAST(floor(
+                       ((CAST(x.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                        * ln(CAST(n.n * x.c AS DOUBLE)
+                             / CAST(nx.cx * ny.cy AS DOUBLE)))
+                       * {float(MI_SCALE)!r}
+                   ) AS BIGINT) AS tq
+            FROM mi_nxy x
+            JOIN mi_nx nx ON nx.feature = x.feature AND nx.bin = x.bin
+            JOIN mi_ny ny ON ny.feature = x.feature AND ny.y = x.y
+            JOIN mi_n n ON n.feature = x.feature
+        )
+        SELECT feature, n, CAST(SUM(tq) AS BIGINT) AS mi_q,
+               CAST(SUM(tq) AS DOUBLE) / {float(MI_SCALE)!r} AS mi
+        FROM mi_t GROUP BY feature, n"""

@@ -245,3 +245,36 @@ def test_auc_perfect_and_inverted_separation():
         s, np.array([2, 3, 0, 0]), np.array([0, 0, 4, 1])
     )
     assert num == 0
+
+
+def test_feature_mi_separates_informative_from_noise(ray_session):
+    """MI ranks a perfectly label-aligned feature far above an independent
+    one, approaches H(Y) for the aligned feature, and is reshard-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines.primitives import feature_mi
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    y = rng.integers(1, 5, size=n)
+    df = pd.DataFrame(
+        {
+            "LANDCOVER": y,
+            "aligned": y.astype(np.float64) + 0.01 * rng.random(n),
+            "noise": rng.random(n),
+        }
+    )
+    out = feature_mi(rd.from_pandas(df), ["aligned", "noise"]).set_index(
+        "feature"
+    )
+    h_y = -sum(
+        (c / n) * np.log(c / n) for c in np.bincount(y)[1:] if c
+    )
+    assert out.loc["aligned", "mi"] > 0.9 * h_y
+    assert out.loc["noise", "mi"] < 0.05
+    out2 = feature_mi(
+        rd.from_pandas(df).repartition(6), ["aligned", "noise"]
+    ).set_index("feature")
+    assert out.equals(out2)
