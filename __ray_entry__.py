@@ -1233,6 +1233,19 @@ def q_media_geo_context(sf_dir: str):
     )
 
 
+def q_cell_covisit(sf_dir: str):
+    """Cell co-visitation edges (stages/spans.cell_covisit): within-doc
+    distinct cells, segmented triangular pair expansion (bounded fan-out,
+    zero per-doc Python), bucketed integer pair counts — the market-basket
+    co-occurrence primitive."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.cell_covisit(_docs(sf_dir)),
+        ["cell_a", "cell_b", "n_docs"],
+    )
+
+
 def q_od_matrix(sf_dir: str):
     """Origin→destination cell flow matrix (stages/spans.od_matrix):
     row-local first/last-cell endpoints per doc, per-batch Arrow group
@@ -4567,6 +4580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_trajectory": q_doc_trajectory,
         "simplify_paths": q_simplify_paths,
         "bootstrap_mean": q_bootstrap_mean,
+        "cell_covisit": q_cell_covisit,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -5802,6 +5816,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "od_matrix": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).od_matrix_sql("SELECT doc_id, span_idx, cell_id FROM cells")}""",
+        "cell_covisit": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).cell_covisit_sql("SELECT doc_id, cell_id FROM cells")}""",
         "media_geo_context": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).media_geo_context_sql(

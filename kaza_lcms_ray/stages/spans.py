@@ -623,6 +623,102 @@ def od_matrix_sql(geo_sql: str) -> str:
         FROM od_e GROUP BY 1, 2"""
 
 
+def cell_covisit(documents, batch_size: int | None = None):
+    """Co-visitation (market-basket co-occurrence) edges: for every pair
+    of DISTINCT cells visited by the same document, the number of
+    documents visiting both — the item-item co-occurrence primitive
+    recommendation / place-affinity pipelines build from entity tracks.
+
+    Exactness: within-doc cells dedupe first (a doc revisiting a cell
+    never double-counts a pair); pairs are (a < b) integer cell ids;
+    counts are int64 — bit-stable under any partitioning.
+
+    Scale shape: pair expansion is row-local with a BOUNDED fan-out
+    (≤ k(k-1)/2 pairs for a k-cell doc, k ≤ spans-per-doc) via one
+    segmented triangular numpy expansion across the whole batch — zero
+    per-doc Python; per-batch Arrow group counts shrink the exchange to
+    one (cell_a, cell_b, n) row per distinct pair per batch, combined by
+    the bucketed integer sum.
+
+    Output: (cell_a:int64, cell_b:int64, n_docs:int64).
+    """
+    from .zonal import bucketed_sum
+
+    empty = pa.table(
+        {
+            "cell_a": pa.array([], pa.int64()),
+            "cell_b": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+        }
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)
+        n = g.num_rows
+        if n == 0:
+            return empty
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        cell = g.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if n > 1:
+            same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            same = np.zeros(0, bool)
+        gnum = np.concatenate([[0], np.cumsum(~same)]).astype(np.int64)
+        # within-doc distinct cells, sorted ascending per doc
+        order = np.lexsort((cell, gnum))
+        gs, cs = gnum[order], cell[order]
+        first = np.ones(len(gs), bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (cs[1:] != cs[:-1])
+        gs, cs = gs[first], cs[first]
+        # segmented triangular pair expansion: element e (group-sorted)
+        # pairs with the c_e elements after it in the same group
+        m = len(gs)
+        if m == 0:
+            return empty
+        # exclusive end of each row's group = (nearest last-position ≥ e)+1:
+        # seed non-last rows with +inf, reverse MIN-accumulate
+        last = np.ones(m, bool)
+        last[:-1] = gs[1:] != gs[:-1]
+        gend = np.full(m, np.iinfo(np.int64).max, np.int64)
+        lp = np.nonzero(last)[0]
+        gend[lp] = lp + 1
+        np.minimum.accumulate(gend[::-1], out=gend[::-1])
+        c_e = gend - np.arange(m) - 1
+        P = int(c_e.sum())
+        if P == 0:
+            return empty
+        a_idx = np.repeat(np.arange(m, dtype=np.int64), c_e)
+        off = np.zeros(m, np.int64)
+        np.cumsum(c_e[:-1], out=off[1:])
+        t = np.arange(P, dtype=np.int64) - off[a_idx]
+        b_idx = a_idx + 1 + t
+        tb = pa.table({"cell_a": pa.array(cs[a_idx]), "cell_b": pa.array(cs[b_idx])})
+        grp = tb.group_by(["cell_a", "cell_b"]).aggregate([([], "count_all")])
+        return grp.rename_columns(["cell_a", "cell_b", "n_docs"])
+
+    partial = documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed_sum(partial, ["cell_a", "cell_b"], ["n_docs"])
+
+
+def cell_covisit_sql(cells_sql: str) -> str:
+    """Oracle twin of :func:`cell_covisit`: distinct (doc, cell), ordered
+    self-join, grouped counts."""
+    return f"""
+        cv_in AS MATERIALIZED ({cells_sql}),
+        cv_d AS (SELECT DISTINCT doc_id, cell_id FROM cv_in),
+        cv_p AS (
+            SELECT a.cell_id AS cell_a, b.cell_id AS cell_b
+            FROM cv_d a JOIN cv_d b
+              ON a.doc_id = b.doc_id AND a.cell_id < b.cell_id
+        )
+        SELECT cell_a, cell_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM cv_p GROUP BY 1, 2"""
+
+
 def media_geo_context(documents, batch_size: int | None = None):
     """Cross-modal in-document join: every MEDIA span annotated with the
     grid cell of its nearest GEO span in the SAME document (nearest by

@@ -289,3 +289,37 @@ def test_simplify_paths_recursive_dp(synth_small, ray_session):
         if len(kept) < len(g):
             dropped_somewhere = True
     assert dropped_somewhere  # the tolerance actually removes vertices
+
+
+def test_cell_covisit_pairs_bruteforce(synth_small, ray_session):
+    """Pair expansion equals an itertools brute force over per-doc distinct
+    cells; within-doc revisits never double-count; repartition-invariant."""
+    from itertools import combinations
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    out = (
+        spans.cell_covisit(docs)
+        .to_pandas()
+        .sort_values(["cell_a", "cell_b"])
+        .reset_index(drop=True)
+    )
+    out2 = (
+        spans.cell_covisit(docs.repartition(5))
+        .to_pandas()
+        .sort_values(["cell_a", "cell_b"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    geo = spans.geo_obs(docs).to_pandas()
+    want = {}
+    for _, g in geo.groupby("doc_id"):
+        for a, b in combinations(sorted(set(g["cell_id"].astype(int))), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (int(r.cell_a), int(r.cell_b)): int(r.n_docs)
+        for r in out.itertuples()
+    }
+    assert got == want
+    assert len(want) > 0
