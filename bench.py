@@ -287,6 +287,20 @@ def run_bench() -> dict:
         ).count(),
     )
     timed("dem_contours", lambda: terrain_mod.dem_contours(geo()).count())
+    # row-local interleaved-span ops at corpus scale (zero shuffle until
+    # the skinny pair/vertex combines)
+    timed(
+        "simplify_corpus",
+        lambda: spans.simplify_paths(
+            rd.read_parquet(f"{root}/documents")
+        ).count(),
+    )
+    timed(
+        "covisit_corpus",
+        lambda: spans.cell_covisit(
+            rd.read_parquet(f"{root}/documents")
+        ).count(),
+    )
     li_tbl = f"{sf_dir}/lineitem.parquet"
     if os.path.exists(li_tbl):
         from kaza_lcms_ray.pipelines import analytics
