@@ -4032,6 +4032,17 @@ def q_dem_contours(sf_dir: str):
     )
 
 
+def q_event_autocorr(sf_dir: str):
+    """Hourly-arrival autocorrelation per event type
+    (stages/events.event_autocorr): dense global-range hour series
+    (missing hours are real zeros), exact int64 moment sums from bucketed
+    (type, hour) counts, calendar-bounded driver fold, pinned
+    num/(√dx·√dy) expression."""
+    from kaza_lcms_ray.stages import events
+
+    return events.event_autocorr(_tbl(sf_dir, "events"))
+
+
 def q_event_paths(sf_dir: str):
     """User-journey histogram (stages/events.event_paths): ordered
     string_agg of each user's first 8 event types (the collect_list
@@ -4605,6 +4616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan": q_dbscan,
         "events_rollmed": q_events_rollmed,
         "event_paths": q_event_paths,
+        "event_autocorr": q_event_autocorr,
         "dem_contours": q_dem_contours,
         "customer_dist": q_customer_dist,
         "small_qty_revenue": q_small_qty_revenue,
@@ -5283,6 +5295,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "event_paths": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).event_paths_sql(),
+        "event_autocorr": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).event_autocorr_sql(),
         "dem_contours": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.terrain", fromlist=["terrain"]).dem_contours_sql("SELECT cell_id FROM cells")}""",

@@ -1951,3 +1951,124 @@ def event_paths_sql(k: int = 8, key: str = "user_id", ts_col: str = "ts") -> str
         )
         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
         FROM ep_p GROUP BY path"""
+
+
+AUTOCORR_LAGS = 12
+
+
+def event_autocorr(ds, max_lag: int = AUTOCORR_LAGS):
+    """Lag-k Pearson autocorrelation of each event type's hourly arrival
+    counts — the periodicity detector (daily/weekly seasonality, bot
+    cadence) a monitoring pipeline runs over a 100 TB log.
+
+    The series is the DENSE hourly count vector over the table's global
+    [min, max] hour (missing hours count 0 — dropping them would fake
+    correlation).  All moment sums are exact int64 (counts are integers);
+    r is ONE pinned IEEE expression num/(sqrt(dx)·sqrt(dy)) (two sqrts —
+    dx·dy would overflow int64), 0.0 when either variance is zero.
+
+    Scale shape: per-(type, hour) counts via in-batch Arrow group counts +
+    the bucketed combine; the dense lag fold runs on the driver over a
+    CALENDAR-bounded table (|types|·|hours| rows — grows with time span,
+    never with corpus size).
+
+    Output: (event_type, lag, n, num, dx, dy, r) for lag = 1..max_lag.
+    """
+    import numpy as np
+
+    from .zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        h = ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+        g = (
+            pa.table({"event_type": t.column("event_type"), "h": pa.array(h)})
+            .group_by(["event_type", "h"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "h", "c"])
+
+    counts = bucketed_sum(
+        ds.select_columns(["event_type", "ts"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["event_type", "h"],
+        ["c"],
+    ).to_pandas()  # calendar-bounded: |types| x |hours in span|
+
+    lo, hi = int(counts["h"].min()), int(counts["h"].max())
+    span = hi - lo + 1
+    out = []
+    for et, d in counts.groupby("event_type"):
+        v = np.zeros(span, np.int64)
+        v[d["h"].to_numpy(np.int64) - lo] = d["c"].to_numpy(np.int64)
+        for lag in range(1, max_lag + 1):
+            x, y = v[: span - lag], v[lag:]
+            n = np.int64(len(x))
+            sx, sy = x.sum(), y.sum()
+            num = int(n * (x * y).sum() - sx * sy)
+            dx = int(n * (x * x).sum() - sx * sx)
+            dy = int(n * (y * y).sum() - sy * sy)
+            r = (
+                float(num) / (np.sqrt(float(dx)) * np.sqrt(float(dy)))
+                if dx > 0 and dy > 0
+                else 0.0
+            )
+            out.append((et, lag, int(n), num, dx, dy, r))
+    return pd.DataFrame(
+        out, columns=["event_type", "lag", "n", "num", "dx", "dy", "r"]
+    )
+
+
+def event_autocorr_sql(max_lag: int = AUTOCORR_LAGS) -> str:
+    """Oracle twin of :func:`event_autocorr`: dense hour grid via
+    generate_series over the global range, lag self-join, exact integer
+    moments, the identical pinned r expression."""
+    lags = ", ".join(f"({k})" for k in range(1, max_lag + 1))
+    return f"""
+        WITH ac_h AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS h,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        ac_mm AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM ac_h),
+        ac_grid AS (
+            SELECT t.event_type, g.h
+            FROM (SELECT DISTINCT event_type FROM ac_h) t
+            CROSS JOIN (
+                SELECT unnest(generate_series(mn, mx)) AS h FROM ac_mm
+            ) g
+        ),
+        ac_s AS (
+            SELECT g.event_type, g.h, COALESCE(c.c, 0) AS v
+            FROM ac_grid g LEFT JOIN ac_h c
+              ON c.event_type = g.event_type AND c.h = g.h
+        ),
+        ac_p AS (
+            SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+            FROM ac_s a
+            CROSS JOIN (VALUES {lags}) l(lag)
+            JOIN ac_s b ON b.event_type = a.event_type
+                       AND b.h = a.h + l.lag
+        ),
+        ac_a AS (
+            SELECT event_type, lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM ac_p GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag, n,
+               CAST(n * sxy - sx * sy AS BIGINT) AS num,
+               CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+               CAST(n * syy - sy * sy AS BIGINT) AS dy,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    ELSE 0.0 END AS r
+        FROM ac_a"""

@@ -536,3 +536,33 @@ def test_event_paths_order_truncation_histogram(ray_session):
         .to_pandas().sort_values("path").reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+def test_event_autocorr_detects_planted_period(ray_session):
+    """A period-6 arrival pattern peaks at lags 6 and 12; zeros for missing
+    hours are real (dense series); matches numpy.corrcoef exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    eid = 0
+    for h in range(0, 240):
+        k = 5 if h % 6 == 0 else 1  # bursts every 6 hours
+        for j in range(k):
+            rows.append(("burst", eid, base + pd.Timedelta(hours=h, minutes=j)))
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_type", "event_id", "ts"])
+    out = events.event_autocorr(rd.from_pandas(df).repartition(4)).set_index("lag")
+    assert (out["n"] > 0).all()
+    r6, r12 = out.loc[6, "r"], out.loc[12, "r"]
+    others = out.drop(index=[6, 12])["r"]
+    assert r6 > 0.9 and r12 > 0.9
+    assert (others < 0.2).all()
+    # exact agreement with numpy.corrcoef on the dense series
+    v = np.array([5 if h % 6 == 0 else 1 for h in range(240)], np.float64)
+    want = np.corrcoef(v[:-6], v[6:])[0, 1]
+    assert abs(r6 - want) < 1e-12
