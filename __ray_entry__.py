@@ -1233,6 +1233,19 @@ def q_media_geo_context(sf_dir: str):
     )
 
 
+def q_trajectory_hausdorff(sf_dir: str):
+    """Trajectory-similarity join (stages/spans.trajectory_hausdorff):
+    symmetric squared Hausdorff between same-OD doc paths — pure-integer
+    max-min of micro-degree squared distances, deterministic per-OD cap,
+    skinny packed-path shuffle only."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.trajectory_hausdorff(_docs(sf_dir)),
+        ["doc_a", "doc_b", "h2"],
+    )
+
+
 def q_cell_covisit(sf_dir: str):
     """Cell co-visitation edges (stages/spans.cell_covisit): within-doc
     distinct cells, segmented triangular pair expansion (bounded fan-out,
@@ -4592,6 +4605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simplify_paths": q_simplify_paths,
         "bootstrap_mean": q_bootstrap_mean,
         "cell_covisit": q_cell_covisit,
+        "trajectory_hausdorff": q_trajectory_hausdorff,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -5834,6 +5848,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_covisit": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).cell_covisit_sql("SELECT doc_id, cell_id FROM cells")}""",
+        "trajectory_hausdorff": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).trajectory_hausdorff_sql("SELECT doc_id, span_idx, lon, lat, cell_id FROM cells")}""",
         "media_geo_context": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).media_geo_context_sql(

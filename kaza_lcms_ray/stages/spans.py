@@ -719,6 +719,185 @@ def cell_covisit_sql(cells_sql: str) -> str:
         FROM cv_p GROUP BY 1, 2"""
 
 
+HAUSDORFF_OD_CAP = 30
+
+
+def trajectory_hausdorff(documents, cap: int = HAUSDORFF_OD_CAP, batch_size=None):
+    """Trajectory-similarity join: symmetric SQUARED Hausdorff distance
+    between every pair of document paths sharing an (origin, destination)
+    cell — the shape-similarity measure trajectory pipelines use for
+    route clustering / anomalous-track detection.
+
+    Blocking rule (deterministic, replayed in SQL): docs with ≥ 2 geo
+    spans, grouped by (first-cell, last-cell); per group only the ``cap``
+    lexicographically-lowest doc_ids pair (the LSH hot-bucket-cap
+    discipline — bounds the quadratic blowup of a hot OD pair).
+
+    Exactness: coords quantize to int64 micro-degrees (the simplify_paths
+    rule); h² = max(max_a min_b d², max_b min_a d²) is pure integer
+    arithmetic (squared distances ≤ 2.6e17, no sqrt anywhere).
+
+    Scale shape: path packing is row-local (one skinny list-column row
+    per doc — ≤ spans-per-doc coord pairs — is ALL that shuffles); the
+    per-OD-group kernel is one (k, k, n, n) numpy broadcast, k ≤ cap.
+
+    Output: (doc_a, doc_b, h2:int64), doc_a < doc_b.
+    """
+    import pandas as pd
+
+    def pack(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "o_cell": pa.array([], pa.int64()),
+                "d_cell": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "xs": pa.array([], pa.list_(pa.int64())),
+                "ys": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+        if n == 0:
+            return empty
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        x = np.floor(lon * float(SIMPLIFY_COORD_SCALE)).astype(np.int64)
+        y = np.floor(lat * float(SIMPLIFY_COORD_SCALE)).astype(np.int64)
+        cell = g.column("cell_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if n > 1:
+            same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            same = np.zeros(0, bool)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.nonzero(~same)[0].astype(np.int64) + 1]
+        )
+        counts = np.diff(np.concatenate([starts, np.array([n], np.int64)]))
+        ends = starts + counts - 1
+        offs = np.concatenate([starts, np.array([n], np.int64)]).astype(np.int32)
+        t = pa.table(
+            {
+                "doc_id": doc.take(pa.array(starts)),
+                "o_cell": pa.array(cell[starts]),
+                "d_cell": pa.array(cell[ends]),
+                "n": pa.array(counts.astype(np.int64)),
+                "xs": pa.ListArray.from_arrays(pa.array(offs), pa.array(x)),
+                "ys": pa.ListArray.from_arrays(pa.array(offs), pa.array(y)),
+            }
+        )
+        return t.filter(pc.greater_equal(t.column("n"), 2))
+
+    packed = documents.map_batches(pack, batch_format="pyarrow", batch_size=batch_size)
+
+    BIG = np.int64(1) << 62
+
+    def per_od(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort").head(cap)
+        k = len(df)
+        if k < 2:
+            # Arrow-typed empty (pandas str empties trip Ray's block-size
+            # estimator: np.vectorize on size-0 input)
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.string()),
+                    "doc_b": pa.array([], pa.string()),
+                    "h2": pa.array([], pa.int64()),
+                }
+            )
+        ns = df["n"].to_numpy(np.int64)
+        mx = int(ns.max())
+        X = np.zeros((k, mx), np.int64)
+        Y = np.zeros((k, mx), np.int64)
+        V = np.zeros((k, mx), bool)
+        for i, (xs, ys, m) in enumerate(zip(df["xs"], df["ys"], ns)):
+            X[i, :m] = np.asarray(xs, np.int64)
+            Y[i, :m] = np.asarray(ys, np.int64)
+            V[i, :m] = True
+        dx = X[:, None, :, None] - X[None, :, None, :]
+        dy = Y[:, None, :, None] - Y[None, :, None, :]
+        D = dx * dx + dy * dy  # (k, k, n_a, n_b)
+        D = np.where(V[None, :, None, :], D, BIG)  # invalid b-points
+        m_ab = D.min(axis=3)  # (k, k, n_a): nearest b per a-point
+        m_ab = np.where(V[:, None, :], m_ab, np.int64(-1))
+        H = m_ab.max(axis=2)  # directed h²(a→b)
+        H2 = np.maximum(H, H.T)
+        ia, ib = np.triu_indices(k, 1)
+        ids = df["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia], pa.string()),
+                "doc_b": pa.array(ids[ib], pa.string()),
+                "h2": pa.array(H2[ia, ib]),
+            }
+        )
+
+    return packed.groupby(["o_cell", "d_cell"]).map_groups(
+        per_od, batch_format="pandas"
+    )
+
+
+def trajectory_hausdorff_sql(cells_sql: str, cap: int = HAUSDORFF_OD_CAP) -> str:
+    """Oracle twin of :func:`trajectory_hausdorff`: arg_min/arg_max OD
+    cells, QUALIFY cap, ordered self-join, min-per-point → max-per-pair
+    in both directions, GREATEST."""
+    s = SIMPLIFY_COORD_SCALE
+    return f"""
+        hd_in AS MATERIALIZED ({cells_sql}),
+        hd_pts AS (
+            SELECT doc_id, span_idx,
+                   CAST(floor(lon * {float(s)!r}) AS BIGINT) AS x,
+                   CAST(floor(lat * {float(s)!r}) AS BIGINT) AS y,
+                   cell_id
+            FROM hd_in
+        ),
+        hd_doc AS (
+            SELECT doc_id,
+                   arg_min(cell_id, span_idx) AS o_cell,
+                   arg_max(cell_id, span_idx) AS d_cell
+            FROM hd_pts GROUP BY doc_id HAVING COUNT(*) >= 2
+        ),
+        hd_cap AS (
+            SELECT doc_id, o_cell, d_cell FROM hd_doc
+            QUALIFY row_number() OVER (
+                PARTITION BY o_cell, d_cell ORDER BY doc_id
+            ) <= {cap}
+        ),
+        hd_pair AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM hd_cap a JOIN hd_cap b
+              ON a.o_cell = b.o_cell AND a.d_cell = b.d_cell
+             AND a.doc_id < b.doc_id
+        ),
+        hd_ab AS (
+            SELECT p.da, p.db, pa.span_idx AS si,
+                   MIN((pa.x - pb.x) * (pa.x - pb.x)
+                     + (pa.y - pb.y) * (pa.y - pb.y)) AS m
+            FROM hd_pair p
+            JOIN hd_pts pa ON pa.doc_id = p.da
+            JOIN hd_pts pb ON pb.doc_id = p.db
+            GROUP BY 1, 2, 3
+        ),
+        hd_ba AS (
+            SELECT p.da, p.db, pb.span_idx AS si,
+                   MIN((pa.x - pb.x) * (pa.x - pb.x)
+                     + (pa.y - pb.y) * (pa.y - pb.y)) AS m
+            FROM hd_pair p
+            JOIN hd_pts pa ON pa.doc_id = p.da
+            JOIN hd_pts pb ON pb.doc_id = p.db
+            GROUP BY 1, 2, 3
+        ),
+        hd_1 AS (SELECT da, db, MAX(m) AS h FROM hd_ab GROUP BY 1, 2),
+        hd_2 AS (SELECT da, db, MAX(m) AS h FROM hd_ba GROUP BY 1, 2)
+        SELECT hd_1.da AS doc_a, hd_1.db AS doc_b,
+               CAST(GREATEST(hd_1.h, hd_2.h) AS BIGINT) AS h2
+        FROM hd_1 JOIN hd_2 ON hd_2.da = hd_1.da AND hd_2.db = hd_1.db"""
+
+
 def media_geo_context(documents, batch_size: int | None = None):
     """Cross-modal in-document join: every MEDIA span annotated with the
     grid cell of its nearest GEO span in the SAME document (nearest by

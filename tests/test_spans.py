@@ -323,3 +323,58 @@ def test_cell_covisit_pairs_bruteforce(synth_small, ray_session):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_trajectory_hausdorff_hand_case(ray_session):
+    """Hand-built documents with shared OD endpoints: h2 equals the
+    brute-force max-min of squared micro-degree distances; single-span and
+    lone-OD docs produce no pairs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def doc(doc_id, pts):
+        spans_ = [
+            {
+                "kind": "geo",
+                "text": f"{lon};{lat};2022;100;0.1,0.1,0.1,0.1,0.1,0.1",
+                "media_ref": "",
+                "offset": i,
+            }
+            for i, (lon, lat) in enumerate(pts)
+        ]
+        return {"doc_id": doc_id, "spans": spans_}
+
+    # A, B, C share first/last points (same OD cells); middles differ
+    rows = [
+        doc("a", [(10.0, 20.0), (10.2, 20.3), (10.5, 20.5)]),
+        doc("b", [(10.0, 20.0), (10.3, 20.1), (10.5, 20.5)]),
+        doc("c", [(10.0, 20.0), (10.5, 20.5)]),
+        doc("lone", [(50.0, -20.0), (51.0, -21.0)]),  # unpaired OD
+        doc("single", [(10.0, 20.0)]),  # n < 2: excluded
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    out = (
+        spans.trajectory_hausdorff(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    S = float(spans.SIMPLIFY_COORD_SCALE)
+    paths = {}
+    for r in rows[:3]:
+        pts = [
+            tuple(map(float, s["text"].split(";")[:2])) for s in r["spans"]
+        ]
+        xs = np.floor(np.array([p[0] for p in pts]) * S).astype(np.int64)
+        ys = np.floor(np.array([p[1] for p in pts]) * S).astype(np.int64)
+        paths[r["doc_id"]] = (xs, ys)
+    want = {}
+    for a, b in [("a", "b"), ("a", "c"), ("b", "c")]:
+        xa, ya = paths[a]
+        xb, yb = paths[b]
+        D = (xa[:, None] - xb[None, :]) ** 2 + (ya[:, None] - yb[None, :]) ** 2
+        want[(a, b)] = int(max(D.min(axis=1).max(), D.min(axis=0).max()))
+    got = {(r.doc_a, r.doc_b): int(r.h2) for r in out.itertuples()}
+    assert got == want
+    # symmetry sanity: h2(a,b) bounded below by each directed distance
+    assert all(v >= 0 for v in got.values())
