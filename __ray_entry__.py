@@ -1150,6 +1150,15 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_source_similarity(sf_dir: str):
+    """Cross-source vocabulary cosine matrix (stages/text.
+    source_similarity): skinny (term, source, f) exchange, term-bucketed
+    pair fold, exact int64 dots, pinned dot/(√n_a·√n_b)."""
+    from kaza_lcms_ray.stages import text as T
+
+    return T.source_similarity(_doc_table(sf_dir, columns=["source", "text"]))
+
+
 def q_bootstrap_mean(sf_dir: str):
     """Poisson-bootstrap replicate means of documents.n_chars
     (stages/sampling.bootstrap_mean): ONE streaming pass computes all 32
@@ -4606,6 +4615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_mean": q_bootstrap_mean,
         "cell_covisit": q_cell_covisit,
         "trajectory_hausdorff": q_trajectory_hausdorff,
+        "source_similarity": q_source_similarity,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -4964,6 +4974,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         for p in (10, 25, 50, 75, 90)
     )
     return {
+        "source_similarity": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).source_similarity_sql("SELECT source, text FROM documents"),
         "bootstrap_mean": __import__(
             "kaza_lcms_ray.stages.sampling", fromlist=["sampling"]
         ).bootstrap_mean_sql(

@@ -2768,3 +2768,119 @@ def dsir_select_sql(
         FROM ds_s CROSS JOIN ds_n
         QUALIFY row_number() OVER (ORDER BY weight_q DESC, doc_id ASC)
                 <= n // {keep_frac}"""
+
+
+def source_similarity(ds, text_col: str = "text"):
+    """Cross-source vocabulary similarity matrix: cosine between the
+    term-frequency vectors of every source pair — the corpus-mixture
+    diagnostic ("which crawls/domains overlap lexically?") a pretraining
+    pipeline runs before setting mixing weights.
+
+    Exactness: dot products and norms are exact int64 sums of tf products
+    (bound: per-source term counts ≤ ~3e9 keep f_a·f_b inside int64 — at
+    larger scale quantize tf first); cosine is ONE pinned IEEE expression
+    dot/(√n_a·√n_b).
+
+    Scale shape: per-batch (source, term, f) Arrow partials (the
+    _doc_term_tf kernel keyed by source), ONE term-bucketed exchange where
+    each bucket folds its terms' source vectors and emits ≤ |sources|²/2
+    pair partials, then a ≤ |sources|²-key combine and an O(pairs) driver
+    final.  Raw text never shuffles; the big exchange is skinny
+    (term, source, f) rows.
+
+    Output: (source_a, source_b, dot, cos) for source_a < source_b.
+    """
+    import pandas as pd
+
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[1:] - offs[:-1]
+        ri = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        flat = toks.flatten()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "term": flat.filter(pa.array(keep)),
+                    "source": pa.array(src[ri[keep]]),
+                }
+            )
+            .group_by(["term", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["term", "source", "f"])
+
+    p = ds.select_columns(["source", text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["term", "source"], as_index=False)["f"].sum()
+        m = agg.merge(agg, on="term", suffixes=("_a", "_b"))
+        m = m[m["source_a"] <= m["source_b"]]
+        m["dot"] = m["f_a"].to_numpy(np.int64) * m["f_b"].to_numpy(np.int64)
+        return m.groupby(["source_a", "source_b"], as_index=False)["dot"].sum()
+
+    pairs = (
+        _add_bucket(p, ["term"], _default_buckets(None))
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .select_columns(["source_a", "source_b", "dot"])
+    )
+    tot = bucketed_sum(pairs, ["source_a", "source_b"], ["dot"]).to_pandas()
+    norms = {
+        r.source_a: int(r.dot)
+        for r in tot.itertuples()
+        if r.source_a == r.source_b
+    }
+    off = tot[tot["source_a"] != tot["source_b"]].copy()
+    na = off["source_a"].map(norms).to_numpy(np.int64)
+    nb = off["source_b"].map(norms).to_numpy(np.int64)
+    d = off["dot"].to_numpy(np.int64)
+    off["cos"] = d.astype(np.float64) / (
+        np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64))
+    )
+    return off.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def source_similarity_sql(docs_sql: str) -> str:
+    """Oracle twin of :func:`source_similarity`: identical tokenization,
+    (term, source) counts, ordered pair dot products, pinned cosine."""
+    return f"""
+        WITH ss_toks AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+        ),
+        ss_tf AS (
+            SELECT term, source, CAST(COUNT(*) AS BIGINT) AS f
+            FROM ss_toks GROUP BY 1, 2
+        ),
+        ss_p AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(SUM(a.f * b.f) AS BIGINT) AS dot
+            FROM ss_tf a JOIN ss_tf b
+              ON a.term = b.term AND a.source <= b.source
+            GROUP BY 1, 2
+        ),
+        ss_n AS (
+            SELECT source_a AS s, dot AS nrm FROM ss_p
+            WHERE source_a = source_b
+        )
+        SELECT p.source_a, p.source_b, p.dot,
+               CAST(p.dot AS DOUBLE)
+                   / (sqrt(CAST(na.nrm AS DOUBLE))
+                      * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+        FROM ss_p p
+        JOIN ss_n na ON na.s = p.source_a
+        JOIN ss_n nb ON nb.s = p.source_b
+        WHERE p.source_a < p.source_b"""

@@ -94,3 +94,36 @@ def test_tfidf_join_path_matches_broadcast(ray_session):
     for c in ("doc_id", "rank", "term", "tf"):
         np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy(), err_msg=c)
     np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_source_similarity_hand_case(ray_session):
+    """Cosine matrix matches a hand numpy computation on a controlled
+    vocabulary; identical sources hit cos=1; disjoint ones cos=0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.text import source_similarity
+
+    docs = pd.DataFrame(
+        {
+            "source": ["s1", "s1", "s2", "s3"],
+            "text": [
+                "apple banana apple",
+                "banana cherry",
+                "apple banana apple banana cherry",  # == s1's combined tf
+                "zebra yak",  # disjoint vocab
+            ],
+        }
+    )
+    out = source_similarity(rd.from_pandas(docs).repartition(3)).set_index(
+        ["source_a", "source_b"]
+    )
+    # s1 tf: apple 2, banana 2, cherry 1; s2 identical -> cos exactly 1
+    assert out.loc[("s1", "s2"), "dot"] == 2 * 2 + 2 * 2 + 1 * 1
+    assert abs(out.loc[("s1", "s2"), "cos"] - 1.0) < 1e-12
+    # disjoint-vocab pairs either carry dot == 0 or (no shared term rows)
+    # are absent entirely
+    for key in [("s1", "s3"), ("s2", "s3")]:
+        if key in out.index:
+            assert out.loc[key, "dot"] == 0
