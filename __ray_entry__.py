@@ -1242,6 +1242,18 @@ def q_media_geo_context(sf_dir: str):
     )
 
 
+def q_turn_stats(sf_dir: str):
+    """Per-doc turn-direction counts (stages/spans.turn_stats): sign of
+    the integer cross product of consecutive micro-degree steps — pure
+    integer movement behavior, row-local, zero shuffle."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.turn_stats(_docs(sf_dir)),
+        ["doc_id", "n_geo", "n_left", "n_right", "n_straight"],
+    )
+
+
 def q_trajectory_hausdorff(sf_dir: str):
     """Trajectory-similarity join (stages/spans.trajectory_hausdorff):
     symmetric squared Hausdorff between same-OD doc paths — pure-integer
@@ -4616,6 +4628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_covisit": q_cell_covisit,
         "trajectory_hausdorff": q_trajectory_hausdorff,
         "source_similarity": q_source_similarity,
+        "turn_stats": q_turn_stats,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -5864,6 +5877,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "trajectory_hausdorff": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).trajectory_hausdorff_sql("SELECT doc_id, span_idx, lon, lat, cell_id FROM cells")}""",
+        "turn_stats": f"""
+            WITH {geo},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).turn_stats_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
         "media_geo_context": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).media_geo_context_sql(

@@ -1008,3 +1008,117 @@ def media_geo_context_sql(media_sql: str, cells_sql: str) -> str:
                CAST(COALESCE(n.ctx_cell, -1) AS BIGINT) AS ctx_cell
         FROM mgc_m m LEFT JOIN mgc_n n
           ON n.doc_id = m.doc_id AND n.span_idx = m.span_idx"""
+
+
+def turn_stats(documents, batch_size: int | None = None):
+    """Movement-behavior rollup: per document, counts of LEFT / RIGHT /
+    STRAIGHT turns along its geo-span path — turn direction is the SIGN
+    of the integer cross product of consecutive step vectors (micro-degree
+    quantized), so the statistic is pure integer arithmetic with no angle
+    math anywhere.
+
+    Scale shape: row-local (the doc_trajectory boundary-mask discipline):
+    consecutive-step cross products are one vectorized pass with interior
+    triples masked at doc boundaries; zero shuffle, zero per-doc Python.
+    Docs with < 3 geo spans report zero turns (they have no interior
+    vertex).
+
+    Output: (doc_id, n_geo, n_left, n_right, n_straight) — int64.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "n_geo": pa.array([], pa.int64()),
+                    "n_left": pa.array([], pa.int64()),
+                    "n_right": pa.array([], pa.int64()),
+                    "n_straight": pa.array([], pa.int64()),
+                }
+            )
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        x = np.floor(lon * float(SIMPLIFY_COORD_SCALE)).astype(np.int64)
+        y = np.floor(lat * float(SIMPLIFY_COORD_SCALE)).astype(np.int64)
+        if n > 1:
+            same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            same = np.zeros(0, bool)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.nonzero(~same)[0].astype(np.int64) + 1]
+        )
+        counts = np.diff(np.concatenate([starts, np.array([n], np.int64)]))
+        # interior vertex i (has i-1 and i+1 in the SAME doc): cross of
+        # steps (i-1→i) and (i→i+1)
+        interior = np.zeros(n, bool)
+        if n > 2:
+            interior[1:-1] = same[:-1] & same[1:]
+        cr = np.zeros(n, np.int64)
+        if n > 2:
+            ax = x[1:-1] - x[:-2]
+            ay = y[1:-1] - y[:-2]
+            bx = x[2:] - x[1:-1]
+            by = y[2:] - y[1:-1]
+            cr[1:-1] = ax * by - ay * bx
+        left = ((cr > 0) & interior).astype(np.int64)
+        right = ((cr < 0) & interior).astype(np.int64)
+        straight = ((cr == 0) & interior).astype(np.int64)
+        nl = np.add.reduceat(left, starts)
+        nr = np.add.reduceat(right, starts)
+        ns = np.add.reduceat(straight, starts)
+        return pa.table(
+            {
+                "doc_id": doc.take(pa.array(starts)),
+                "n_geo": pa.array(counts.astype(np.int64)),
+                "n_left": pa.array(nl),
+                "n_right": pa.array(nr),
+                "n_straight": pa.array(ns),
+            }
+        )
+
+    return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def turn_stats_sql(geo_sql: str) -> str:
+    """Oracle twin of :func:`turn_stats`: LAG/LEAD coordinate windows in
+    span order, the identical integer cross-product sign rule."""
+    s = SIMPLIFY_COORD_SCALE
+    return f"""
+        tn_p AS (
+            SELECT doc_id, span_idx,
+                   CAST(floor(lon * {float(s)!r}) AS BIGINT) AS x,
+                   CAST(floor(lat * {float(s)!r}) AS BIGINT) AS y
+            FROM ({geo_sql})
+        ),
+        tn_w AS (
+            SELECT doc_id,
+                   lag(x) OVER w AS px, lag(y) OVER w AS py,
+                   x, y,
+                   lead(x) OVER w AS nx, lead(y) OVER w AS ny
+            FROM tn_p
+            WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx)
+        ),
+        tn_c AS (
+            SELECT doc_id,
+                   CASE WHEN px IS NULL OR nx IS NULL THEN NULL
+                        ELSE (x - px) * (ny - y) - (y - py) * (nx - x)
+                   END AS cr
+            FROM tn_w
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_geo,
+               CAST(COALESCE(SUM(CASE WHEN cr > 0 THEN 1 END), 0) AS BIGINT)
+                   AS n_left,
+               CAST(COALESCE(SUM(CASE WHEN cr < 0 THEN 1 END), 0) AS BIGINT)
+                   AS n_right,
+               CAST(COALESCE(SUM(CASE WHEN cr = 0 THEN 1 END), 0) AS BIGINT)
+                   AS n_straight
+        FROM tn_c GROUP BY doc_id"""

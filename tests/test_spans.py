@@ -378,3 +378,45 @@ def test_trajectory_hausdorff_hand_case(ray_session):
     assert got == want
     # symmetry sanity: h2(a,b) bounded below by each directed distance
     assert all(v >= 0 for v in got.values())
+
+
+def test_turn_stats_hand_case(ray_session):
+    """Left/right/straight classification matches hand cross-product signs;
+    docs with < 3 geo spans report zero turns; repartition-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def doc(doc_id, pts):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {
+                    "kind": "geo",
+                    "text": f"{lon};{lat};2022;100;0.1,0.1,0.1,0.1,0.1,0.1",
+                    "media_ref": "",
+                    "offset": i,
+                }
+                for i, (lon, lat) in enumerate(pts)
+            ],
+        }
+
+    rows = [
+        # right turn at (1,1): step (1,1) then (1,-1) -> cross = -2 < 0
+        doc("r", [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]),
+        # left turn: mirror
+        doc("l", [(0.0, 0.0), (1.0, -1.0), (2.0, 0.0)]),
+        # straight: collinear
+        doc("s", [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)]),
+        # two spans: no interior vertex
+        doc("short", [(0.0, 0.0), (1.0, 1.0)]),
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    out = (
+        spans.turn_stats(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["r"].tolist() == [3, 0, 1, 0]  # n_geo, left, right, straight
+    assert out.loc["l"].tolist() == [3, 1, 0, 0]
+    assert out.loc["s"].tolist() == [3, 0, 0, 1]
+    assert out.loc["short"].tolist() == [2, 0, 0, 0]
