@@ -3871,6 +3871,19 @@ def q_customer_dist(sf_dir: str):
     )
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity profile of customer under (nation, segment, $1000
+    balance band) (pipelines/analytics.k_anonymity): pinned shifted
+    integer band rule, bounded class-space combine, class-size histogram —
+    the pre-sharing privacy audit."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.k_anonymity(_tbl(sf_dir, "customer")),
+        ["class_size", "n_classes", "n_rows"],
+    )
+
+
 def q_small_qty_revenue(sf_dir: str):
     """TPC-H Q17-shaped small-quantity revenue
     (pipelines/analytics.small_quantity_revenue): per-part avg as integer
@@ -4656,6 +4669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_autocorr": q_event_autocorr,
         "dem_contours": q_dem_contours,
         "customer_dist": q_customer_dist,
+        "k_anonymity": q_k_anonymity,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
         "important_parts": q_important_parts,
@@ -6193,6 +6207,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "customer_dist": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).customer_distribution_sql(),
+        "k_anonymity": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).k_anonymity_sql(),
         "small_qty_revenue": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).small_quantity_revenue_sql(),

@@ -2426,3 +2426,94 @@ def market_share_sql(
                         THEN rev4 ELSE 0 END) AS DOUBLE)
                / CAST(SUM(rev4) AS DOUBLE) AS mkt_share
         FROM j GROUP BY o_year"""
+
+
+KANON_BAND_CENTS = 100_000  # acctbal band width: $1000 in cents
+KANON_BAND_SHIFT = 100_000  # shift before // so negatives never divide
+
+
+def k_anonymity(customer):
+    """k-anonymity profile of the customer table under the quasi-identifier
+    (nation, market segment, $1000 account-balance band) — the privacy /
+    governance audit a data platform runs before sharing a table: how many
+    equivalence classes of each size exist, and how many rows sit in
+    dangerously small ones (class_size = 1 is a direct re-identification).
+
+    Pinned band rule: cents = round(acctbal·100) (the house to_cents),
+    band = (cents + shift) // width with the shift keeping the dividend
+    non-negative — numpy floor-division and SQL // agree only off the
+    negative axis, so the rule never goes there.
+
+    Scale shape: per-batch Arrow class counts → bucketed combine over the
+    BOUNDED class space (|nations|·|segments|·|bands|), then a ≤|classes|
+    histogram fold — two skinny exchanges, raw rows never shuffle.
+
+    Output: (class_size, n_classes, n_rows), ascending class_size.
+    """
+    from ..stages.zonal import bucketed_sum
+
+    def classes(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("c_acctbal"))
+        band = (cents + KANON_BAND_SHIFT) // KANON_BAND_CENTS
+        g = (
+            pa.table(
+                {
+                    "nation": t.column("c_nationkey"),
+                    "segment": t.column("c_mktsegment"),
+                    "band": pa.array(band),
+                }
+            )
+            .group_by(["nation", "segment", "band"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["nation", "segment", "band", "k"])
+
+    cls = bucketed_sum(
+        customer.select_columns(
+            ["c_nationkey", "c_mktsegment", "c_acctbal"]
+        ).map_batches(classes, batch_format="pyarrow"),
+        ["nation", "segment", "band"],
+        ["k"],
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "class_size": pa.array(k),
+                    "one": pa.array(np.ones(len(k), np.int64)),
+                    "rows_": pa.array(k),
+                }
+            )
+            .group_by(["class_size"])
+            .aggregate([("one", "sum"), ("rows_", "sum")])
+        )
+        return g.rename_columns(["class_size", "n_classes", "n_rows"])
+
+    return bucketed_sum(
+        cls.map_batches(hist, batch_format="pyarrow"),
+        ["class_size"],
+        ["n_classes", "n_rows"],
+    )
+
+
+def k_anonymity_sql() -> str:
+    """Oracle twin of :func:`k_anonymity`."""
+    return f"""
+        WITH ka_b AS (
+            SELECT c_nationkey,
+                   (CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                       + {KANON_BAND_SHIFT}) // {KANON_BAND_CENTS} AS band,
+                   c_mktsegment
+            FROM customer
+        ),
+        ka_c AS (
+            SELECT c_nationkey, c_mktsegment, band,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM ka_b GROUP BY 1, 2, 3
+        )
+        SELECT k AS class_size,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(k) AS BIGINT) AS n_rows
+        FROM ka_c GROUP BY k"""

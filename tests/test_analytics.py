@@ -556,3 +556,34 @@ def test_top_revenue_suppliers_exact_ties_and_window(ray_session):
     assert out["s_suppkey"].tolist() == [10, 20]
     assert out["s_name"].tolist() == ["SUP_A", "SUP_B"]
     assert out["total_rev_c"].tolist() == [2_000_000, 2_000_000]
+
+
+def test_k_anonymity_hand_case(ray_session):
+    """Band rule floors correctly for negative balances and the histogram
+    counts classes and rows exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    cust = pd.DataFrame(
+        {
+            "c_nationkey": [1, 1, 1, 2, 2, 3],
+            "c_mktsegment": ["A", "A", "A", "A", "A", "B"],
+            # bands (cents+1e5)//1e5: -500.00 -> 0; 10.00 -> 1; 999.99 -> 1;
+            # 1000.00 -> 2
+            "c_acctbal": [-500.0, 10.0, 999.99, 10.0, 1000.0, 10.0],
+        }
+    )
+    out = (
+        analytics.k_anonymity(rd.from_pandas(cust).repartition(3))
+        .to_pandas()
+        .sort_values("class_size")
+        .reset_index(drop=True)
+    )
+    # classes: (1,A,0):1  (1,A,1):2  (2,A,1):1  (2,A,2):1  (3,B,1):1
+    assert out[out["class_size"] == 1]["n_classes"].iloc[0] == 4
+    assert out[out["class_size"] == 1]["n_rows"].iloc[0] == 4
+    assert out[out["class_size"] == 2]["n_classes"].iloc[0] == 1
+    assert out[out["class_size"] == 2]["n_rows"].iloc[0] == 2
+    assert len(out) == 2
