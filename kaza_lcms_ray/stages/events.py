@@ -1891,7 +1891,7 @@ def cusum_changepoint_sql(events_sql: str) -> str:
         ) = 1"""
 
 
-def event_paths(ds, k: int = 8, key: str = "user_id", ts_col: str = "ts"):
+def event_paths(ds, k: int = 3, key: str = "user_id", ts_col: str = "ts"):
     """User-journey histogram: each user's first ``k`` event types in
     (ts, event_id) order joined with '>' — the ordered collect_list /
     string_agg primitive Ray Data lacks — then an exact count per distinct
@@ -1904,7 +1904,9 @@ def event_paths(ds, k: int = 8, key: str = "user_id", ts_col: str = "ts"):
     group counts + a bucketed combine — the second exchange moves one row
     per DISTINCT path per batch, never the user table.
 
-    Output: (path:string, n_users:int64).
+    Output: (path:string, n_users:int64).  Default k=3: at the gate
+    corpus k=8 made every user's path unique (n_users ≡ 1 — a
+    degenerate histogram); k=3 exercises real collisions (counts 1–5).
     """
     from ray.data.aggregate import Sum
 
@@ -1933,7 +1935,7 @@ def event_paths(ds, k: int = 8, key: str = "user_id", ts_col: str = "ts"):
     )
 
 
-def event_paths_sql(k: int = 8, key: str = "user_id", ts_col: str = "ts") -> str:
+def event_paths_sql(k: int = 3, key: str = "user_id", ts_col: str = "ts") -> str:
     """Oracle twin of :func:`event_paths`: ROW_NUMBER ordering, ordered
     string_agg, grouped count."""
     return f"""
