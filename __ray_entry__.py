@@ -1242,6 +1242,18 @@ def q_media_geo_context(sf_dir: str):
     )
 
 
+def q_parse_quarantine(sf_dir: str):
+    """Poison-pill tolerance (stages/spans.parse_quarantine): derived
+    per-doc corruption (fnv1a % 13), anchored-RE2 grammar validation,
+    selective parse of survivors — (status, n_spans, n_docs, sum_year)."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.parse_quarantine(_docs(sf_dir)),
+        ["status", "n_spans", "n_docs", "sum_year"],
+    )
+
+
 def q_turn_stats(sf_dir: str):
     """Per-doc turn-direction counts (stages/spans.turn_stats): sign of
     the integer cross product of consecutive micro-degree steps — pure
@@ -4642,6 +4654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trajectory_hausdorff": q_trajectory_hausdorff,
         "source_similarity": q_source_similarity,
         "turn_stats": q_turn_stats,
+        "parse_quarantine": q_parse_quarantine,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -5894,6 +5907,13 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "turn_stats": f"""
             WITH {geo},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).turn_stats_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
+        "parse_quarantine": f"""
+            WITH {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).parse_quarantine_sql(
+                f'''SELECT doc_id, span.text AS text FROM (
+                        SELECT doc_id, unnest(spans) AS span
+                        FROM read_parquet('{root}/documents/part-*.parquet')
+                    ) WHERE span.kind = 'geo' '''
+            )}""",
         "media_geo_context": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).media_geo_context_sql(

@@ -1122,3 +1122,152 @@ def turn_stats_sql(geo_sql: str) -> str:
                CAST(COALESCE(SUM(CASE WHEN cr = 0 THEN 1 END), 0) AS BIGINT)
                    AS n_straight
         FROM tn_c GROUP BY doc_id"""
+
+
+QUARANTINE_MOD = 13  # every fnv1a(doc_id) % 13 == 0 doc gets corrupted
+GEO_SPAN_RE = (
+    r"^-?[0-9][0-9.]*;-?[0-9][0-9.]*;[0-9]+;[0-9]+;"
+    r"-?[0-9][0-9.]*(,-?[0-9][0-9.]*){5}$"
+)
+
+
+def geo_texts_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, spans) batch → one row per GEO span (doc_id, span_idx,
+    text) — the RAW pre-parse view quarantine validation runs on."""
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    span_idx = np.arange(offsets[-1] - offsets[0], dtype=np.int64) - np.repeat(
+        offsets[:-1] - offsets[0], lengths
+    )
+    flat = spans.flatten()
+    is_geo = pc.equal(flat.field("kind"), "geo").to_numpy(zero_copy_only=False)
+    gi = np.nonzero(is_geo)[0]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").take(pa.array(doc_idx[gi])),
+            "span_idx": pa.array(span_idx[gi].astype(np.int64)),
+            "text": flat.field("text").take(pa.array(gi)),
+        }
+    )
+
+
+def parse_quarantine(documents, batch_size: int | None = None):
+    """Poison-pill tolerance report: validate every geo span against the
+    format grammar BEFORE parsing, quarantine non-conforming spans, and
+    selectively parse only the valid ones — the bad-record discipline a
+    100 TB ingest needs (one malformed row must never kill a task).
+
+    The gate corpus is all well-formed, so the query DERIVES a corrupted
+    variant deterministically on BOTH sides (the _dup_docs discipline):
+    every doc with fnv1a(doc_id) % 13 == 0 has its geo spans' ';'
+    separators replaced — unparseable by construction.
+
+    Validation is one anchored RE2 match (:data:`GEO_SPAN_RE`) — the same
+    regex engine family as the DuckDB oracle's regexp_full_match; parsing
+    of the surviving rows extracts the year field, and sum_year proves the
+    selective parse really ran (not just the counting).
+
+    Output: (status ∈ {ok, quarantined}, n_spans, n_docs, sum_year).
+    """
+    from ..state.hashing import fnv1a_arr
+    from .zonal import bucketed_sum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = geo_texts_batch(batch)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "status": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.string()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "sum_year": pa.array([], pa.int64()),
+                }
+            )
+        text = g.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h = fnv1a_arr(g.column("doc_id"))
+        bad_doc = (h % np.uint64(QUARANTINE_MOD)) == 0
+        corrupted = pc.replace_substring(text, ";", "~")
+        text = pc.if_else(pa.array(bad_doc), corrupted, text)
+        ok = pc.match_substring_regex(text, GEO_SPAN_RE).to_numpy(
+            zero_copy_only=False
+        )
+        # selective parse: year extracted ONLY from validated spans
+        year = np.zeros(len(ok), np.int64)
+        oki = np.nonzero(ok)[0]
+        if len(oki):
+            parts = pc.split_pattern(text.take(pa.array(oki)), ";")
+            year[oki] = (
+                pc.list_element(parts, 2)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        status = pa.array(np.where(ok, "ok", "quarantined"))
+        t = pa.table(
+            {
+                "status": status,
+                "doc_id": g.column("doc_id"),
+                "one": pa.array(np.ones(len(ok), np.int64)),
+                "year": pa.array(year),
+            }
+        )
+        agg = t.group_by(["status", "doc_id"]).aggregate(
+            [("one", "sum"), ("year", "sum")]
+        )
+        return agg.rename_columns(["status", "doc_id", "n_spans", "sum_year"])
+
+    per_doc = bucketed_sum(
+        documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size),
+        ["status", "doc_id"],
+        ["n_spans", "sum_year"],
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["status"]).aggregate(
+            [("n_spans", "sum"), ([], "count_all"), ("sum_year", "sum")]
+        )
+        return g.rename_columns(["status", "n_spans", "n_docs", "sum_year"])
+
+    return bucketed_sum(
+        per_doc.map_batches(final, batch_format="pyarrow"),
+        ["status"],
+        ["n_spans", "n_docs", "sum_year"],
+    )
+
+
+def parse_quarantine_sql(raw_geo_sql: str) -> str:
+    """Oracle twin of :func:`parse_quarantine` over a subquery exposing the
+    RAW (doc_id, text) geo-span rows: identical fnv1a corruption rule,
+    regexp_full_match against the same grammar, selective year parse."""
+    from ..state import sqlhash as SH
+
+    h = SH.fnv1a_chars("doc_id")
+    # GEO_SPAN_RE is anchored for Arrow's substring matcher; full_match
+    # needs the unanchored body
+    body = GEO_SPAN_RE[1:-1]
+    return f"""
+        qr_in AS MATERIALIZED ({raw_geo_sql}),
+        qr_c AS (
+            SELECT doc_id,
+                   CASE WHEN ({h}) % {QUARANTINE_MOD} = 0
+                        THEN replace(text, ';', '~') ELSE text END AS text
+            FROM qr_in
+        ),
+        qr_v AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_full_match(text, '{body}')
+                        THEN 'ok' ELSE 'quarantined' END AS status,
+                   CASE WHEN regexp_full_match(text, '{body}')
+                        THEN CAST(string_split(text, ';')[3] AS BIGINT)
+                        ELSE 0 END AS year
+            FROM qr_c
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(year) AS BIGINT) AS sum_year
+        FROM qr_v GROUP BY status"""

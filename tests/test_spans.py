@@ -420,3 +420,46 @@ def test_turn_stats_hand_case(ray_session):
     assert out.loc["l"].tolist() == [3, 1, 0, 0]
     assert out.loc["s"].tolist() == [3, 0, 0, 1]
     assert out.loc["short"].tolist() == [2, 0, 0, 0]
+
+
+def test_parse_quarantine_isolates_bad_spans(ray_session):
+    """Malformed spans quarantine, valid ones still parse (sum_year), and
+    the per-doc corruption rule is deterministic."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.state.hashing import fnv1a_arr
+
+    def doc(doc_id, texts):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "geo", "text": t, "media_ref": "", "offset": i}
+                for i, t in enumerate(texts)
+            ],
+        }
+
+    good = "10.5;20.25;2022;100;0.1,0.2,0.3,0.4,0.5,0.6"
+    # find ids on both sides of the corruption rule
+    ids = [f"doc{i}" for i in range(40)]
+    h = fnv1a_arr(ids) % np.uint64(spans.QUARANTINE_MOD)
+    corrupted_ids = [i for i, v in zip(ids, h) if v == 0]
+    clean_ids = [i for i, v in zip(ids, h) if v != 0]
+    assert corrupted_ids and clean_ids
+    rows = [doc(d, [good, good]) for d in clean_ids[:3]]
+    rows += [doc(corrupted_ids[0], [good, good])]
+    # a genuinely malformed span in a CLEAN doc also quarantines
+    rows += [doc(clean_ids[3], [good, "not;a;geo;span"])]
+    out = (
+        spans.parse_quarantine(rd.from_arrow(pa.Table.from_pylist(rows)))
+        .to_pandas()
+        .set_index("status")
+    )
+    # ok spans: 3 clean docs x2 + 1 from the half-bad doc = 7
+    assert out.loc["ok", "n_spans"] == 7
+    assert out.loc["ok", "n_docs"] == 4
+    assert out.loc["ok", "sum_year"] == 7 * 2022
+    # quarantined: corrupted doc's 2 + the malformed one
+    assert out.loc["quarantined", "n_spans"] == 3
+    assert out.loc["quarantined", "n_docs"] == 2
+    assert out.loc["quarantined", "sum_year"] == 0
