@@ -1242,6 +1242,18 @@ def q_media_geo_context(sf_dir: str):
     )
 
 
+def q_embed_profile(sf_dir: str):
+    """Per-dimension embedding QA profile (stages/ann.embed_profile):
+    offset-arithmetic flatten, exact min/max + quantized-exact mean,
+    ≤|dims|-key mixed combine."""
+    from kaza_lcms_ray.stages import ann
+
+    return _i64(
+        ann.embed_profile(_tbl(sf_dir, "embeddings")),
+        ["dim", "n", "mn", "mx", "sum_q", "mean"],
+    )
+
+
 def q_parse_quarantine(sf_dir: str):
     """Poison-pill tolerance (stages/spans.parse_quarantine): derived
     per-doc corruption (fnv1a % 13), anchored-RE2 grammar validation,
@@ -4655,6 +4667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_similarity": q_source_similarity,
         "turn_stats": q_turn_stats,
         "parse_quarantine": q_parse_quarantine,
+        "embed_profile": q_embed_profile,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -5544,6 +5557,10 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "quantize_embed": __import__(
             "kaza_lcms_ray.stages.ann", fromlist=["ann"]
         ).quantize_embeddings_sql("SELECT vec_id, embedding FROM embeddings"),
+        "embed_profile": "WITH "
+        + __import__(
+            "kaza_lcms_ray.stages.ann", fromlist=["ann"]
+        ).embed_profile_sql("SELECT embedding FROM embeddings"),
         "embed_gram": __import__(
             "kaza_lcms_ray.stages.ann", fromlist=["ann"]
         ).gram_quantized_sql("SELECT vec_id, embedding FROM embeddings"),

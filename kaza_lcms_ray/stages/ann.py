@@ -813,3 +813,97 @@ def pca_project(ds, k: int = 8, embed_col: str = "embedding", id_col: str = "vec
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+EMBED_PROFILE_SCALE = 1 << 30  # per-element quantization for exact mean sums
+
+
+def embed_profile(ds, vec_col: str = "embedding"):
+    """Per-dimension profile of an embedding column: n, exact min/max, and
+    a quantized-exact mean — the vector-QA pass (dead dims, scale drift,
+    NaN screens) an embedding pipeline runs before indexing.
+
+    Exactness: min/max of float32 values are exact under float64
+    promotion; the mean folds floor(double(x)·2³⁰) int64 sums (order-free)
+    with ONE pinned division at the end.
+
+    Scale shape: per-batch (dim → n, min, max, sum_q) partials via offset
+    arithmetic over the flattened list column (no per-row Python), a
+    ≤|dims|-key mixed bucketed combine, stateless finalize.
+
+    Output: (dim, n, mn, mx, sum_q, mean) — one row per dimension.
+    """
+    from .zonal import bucketed_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if t.num_rows == 0 or len(col) == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                    "sq": pa.array([], pa.int64()),
+                }
+            )
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs)
+        base = np.repeat(offs[:-1] - offs[0], lens)
+        dim = np.arange(len(vals), dtype=np.int64) - base
+        q = np.floor(vals * float(EMBED_PROFILE_SCALE)).astype(np.int64)
+        tb = pa.table(
+            {
+                "dim": pa.array(dim),
+                "n": pa.array(np.ones(len(vals), np.int64)),
+                "mn": pa.array(vals),
+                "mx": pa.array(vals),
+                "sq": pa.array(q),
+            }
+        )
+        g = tb.group_by(["dim"]).aggregate(
+            [("n", "sum"), ("mn", "min"), ("mx", "max"), ("sq", "sum")]
+        )
+        return g.rename_columns(["dim", "n", "mn", "mx", "sq"])
+
+    agg = bucketed_combine(
+        ds.select_columns([vec_col]).map_batches(partial, batch_format="pyarrow"),
+        ["dim"],
+        {"n": "sum", "mn": "min", "mx": "max", "sq": "sum"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t.column("sq").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = sq / (n * float(EMBED_PROFILE_SCALE))
+        out = t.rename_columns(["dim", "n", "mn", "mx", "sum_q"])
+        return out.append_column("mean", pa.array(mean))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def embed_profile_sql(emb_sql: str) -> str:
+    """Oracle twin of :func:`embed_profile`: unnest WITH ORDINALITY,
+    identical quantization and pinned division."""
+    s = EMBED_PROFILE_SCALE
+    return f"""
+        ep_f AS (
+            SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                       AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM ({emb_sql})
+        ),
+        ep_a AS (
+            SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(v) AS mn, MAX(v) AS mx,
+                   CAST(SUM(CAST(floor(v * {float(s)!r}) AS BIGINT))
+                        AS BIGINT) AS sum_q
+            FROM ep_f GROUP BY dim
+        )
+        SELECT dim, n, mn, mx, sum_q,
+               CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * {float(s)!r})
+                   AS mean
+        FROM ep_a"""

@@ -168,3 +168,36 @@ def test_hard_negatives_excludes_same_label_and_matches_bruteforce(ray_session):
         best = np.lexsort((np.arange(n), -s))[0]
         assert out.loc[q, "nid"] == best
         assert labels[out.loc[q, "nid"]] != labels[q]
+
+
+def test_embed_profile_matches_numpy(ray_session):
+    """Per-dim n/min/max/mean agree with a dense numpy computation; the
+    quantized mean is within one quantum; reshard-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.ann import EMBED_PROFILE_SCALE, embed_profile
+
+    rng = np.random.default_rng(5)
+    M = rng.standard_normal((300, 8)).astype(np.float32)
+    tbl = pa.table(
+        {"embedding": pa.array(list(M), pa.list_(pa.float32()))}
+    )
+    out = (
+        embed_profile(rd.from_arrow(tbl).repartition(4))
+        .to_pandas().sort_values("dim").reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [300] * 8
+    Md = M.astype(np.float64)
+    assert np.array_equal(out["mn"].to_numpy(), Md.min(axis=0))
+    assert np.array_equal(out["mx"].to_numpy(), Md.max(axis=0))
+    assert np.allclose(
+        out["mean"].to_numpy(), Md.mean(axis=0),
+        atol=1.0 / EMBED_PROFILE_SCALE,
+    )
+    out2 = (
+        embed_profile(rd.from_arrow(tbl))
+        .to_pandas().sort_values("dim").reset_index(drop=True)
+    )
+    assert out.equals(out2)
