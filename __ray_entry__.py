@@ -3895,6 +3895,22 @@ def q_customer_dist(sf_dir: str):
     )
 
 
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity audit (pipelines/analytics.fk_audit): skinny
+    two-sided key reduce, ONE key-bucketed mixed combine per relation,
+    derived % 17 orphan rule — raw fact rows never shuffle."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.fk_audit(
+            _tbl(sf_dir, "orders"),
+            _tbl(sf_dir, "customer"),
+            _tbl(sf_dir, "lineitem"),
+        ),
+        ["relation", "n_rows", "n_orphan_rows", "n_orphan_keys"],
+    )
+
+
 def q_k_anonymity(sf_dir: str):
     """k-anonymity profile of customer under (nation, segment, $1000
     balance band) (pipelines/analytics.k_anonymity): pinned shifted
@@ -4696,6 +4712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dem_contours": q_dem_contours,
         "customer_dist": q_customer_dist,
         "k_anonymity": q_k_anonymity,
+        "fk_audit": q_fk_audit,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
         "important_parts": q_important_parts,
@@ -6247,6 +6264,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "k_anonymity": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).k_anonymity_sql(),
+        "fk_audit": __import__(
+            "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
+        ).fk_audit_sql(),
         "small_qty_revenue": __import__(
             "kaza_lcms_ray.pipelines.analytics", fromlist=["analytics"]
         ).small_quantity_revenue_sql(),

@@ -2517,3 +2517,105 @@ def k_anonymity_sql() -> str:
                CAST(COUNT(*) AS BIGINT) AS n_classes,
                CAST(SUM(k) AS BIGINT) AS n_rows
         FROM ka_c GROUP BY k"""
+
+
+FK_ORPHAN_MOD = 17  # derived-orphan rule: parents with key % 17 == 0 vanish
+
+
+def fk_audit(orders, customer, lineitem):
+    """Referential-integrity audit: orphan counts for the two big foreign
+    keys (orders.o_custkey → customer, lineitem.l_orderkey → orders) —
+    the data-quality gate a platform runs before publishing a snapshot.
+
+    The synth schema is referentially intact, so the audit DERIVES a
+    violated variant deterministically on both sides (the _dup_docs
+    discipline): parents with key % 17 == 0 are treated as missing.
+
+    Scale shape: each side reduces to SKINNY rows first — the child to
+    (key, n_rows) partials, the parent to distinct keys — then ONE
+    key-bucketed mixed combine (sum child rows, max parent flag) decides
+    orphanhood per key; the verdict folds to a 2-row report.  Raw fact
+    rows never shuffle.
+
+    Output: (relation, n_rows, n_orphan_rows, n_orphan_keys).
+    """
+    from ..stages.zonal import bucketed_combine, bucketed_sum
+
+    def one(child, child_key, parent, parent_key, relation):
+        def child_part(t: pa.Table) -> pa.Table:
+            g = t.group_by([child_key]).aggregate([([], "count_all")])
+            out = g.rename_columns(["key", "n"])
+            return out.append_column(
+                "p", pa.array(np.zeros(out.num_rows, np.int64))
+            )
+
+        def parent_part(t: pa.Table) -> pa.Table:
+            k = t.column(parent_key).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            k = np.unique(k[k % FK_ORPHAN_MOD != 0])
+            return pa.table(
+                {
+                    "key": pa.array(k),
+                    "n": pa.array(np.zeros(len(k), np.int64)),
+                    "p": pa.array(np.ones(len(k), np.int64)),
+                }
+            )
+
+        both = child.select_columns([child_key]).map_batches(
+            child_part, batch_format="pyarrow"
+        ).union(
+            parent.select_columns([parent_key]).map_batches(
+                parent_part, batch_format="pyarrow"
+            )
+        )
+        per_key = bucketed_combine(both, ["key"], {"n": "sum", "p": "max"})
+
+        def verdict(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+            p = t.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+            orphan = (p == 0) & (n > 0)
+            return pa.table(
+                {
+                    "relation": pa.array([relation]),
+                    "n_rows": pa.array([int(n.sum())]),
+                    "n_orphan_rows": pa.array([int(n[orphan].sum())]),
+                    "n_orphan_keys": pa.array([int(orphan.sum())]),
+                }
+            )
+
+        return bucketed_sum(
+            per_key.map_batches(verdict, batch_format="pyarrow"),
+            ["relation"],
+            ["n_rows", "n_orphan_rows", "n_orphan_keys"],
+        )
+
+    a = one(orders, "o_custkey", customer, "c_custkey", "orders->customer")
+    b = one(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+    return a.union(b)
+
+
+def fk_audit_sql() -> str:
+    """Oracle twin of :func:`fk_audit`."""
+    m = FK_ORPHAN_MOD
+
+    def one(child, ckey, parent, pkey, relation):
+        return f"""
+        SELECT '{relation}' AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN 1 END), 0)
+                    AS BIGINT) AS n_orphan_rows,
+               CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.{ckey} END)
+                    AS BIGINT) AS n_orphan_keys
+        FROM {child} c
+        LEFT JOIN (
+            SELECT DISTINCT {pkey} AS k FROM {parent}
+            WHERE {pkey} % {m} <> 0
+        ) p ON p.k = c.{ckey}"""
+
+    return (
+        one("orders", "o_custkey", "customer", "c_custkey", "orders->customer")
+        + " UNION ALL "
+        + one("lineitem", "l_orderkey", "orders", "o_orderkey",
+              "lineitem->orders")
+    )

@@ -587,3 +587,43 @@ def test_k_anonymity_hand_case(ray_session):
     assert out[out["class_size"] == 2]["n_classes"].iloc[0] == 1
     assert out[out["class_size"] == 2]["n_rows"].iloc[0] == 2
     assert len(out) == 2
+
+
+def test_fk_audit_counts_orphans(ray_session):
+    """Orphan rows/keys counted exactly under the derived %-mod rule;
+    intact keys contribute zero."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    M = analytics.FK_ORPHAN_MOD
+    customer = pd.DataFrame({"c_custkey": [M, M + 1, M + 2]})  # M vanishes
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            # two orders point at the vanished parent M, one at a key
+            # that never existed
+            "o_custkey": [M, M, M + 1, 999],
+        }
+    )
+    lineitem = pd.DataFrame({"l_orderkey": [1, 1, 2, 4 * M]})
+    # lineitem parents = orders keys {1..4} minus multiples of M;
+    # 4*M's parent check: orderkey 4*M not in orders at all
+    out = (
+        analytics.fk_audit(
+            rd.from_pandas(orders),
+            rd.from_pandas(customer),
+            rd.from_pandas(lineitem),
+        )
+        .to_pandas()
+        .set_index("relation")
+    )
+    oc = out.loc["orders->customer"]
+    assert oc["n_rows"] == 4
+    assert oc["n_orphan_rows"] == 3  # two at M + one at 999
+    assert oc["n_orphan_keys"] == 2
+    lo = out.loc["lineitem->orders"]
+    assert lo["n_rows"] == 4
+    assert lo["n_orphan_rows"] == 1  # the 4*M row
+    assert lo["n_orphan_keys"] == 1
