@@ -4119,6 +4119,18 @@ def q_dem_contours(sf_dir: str):
     )
 
 
+def q_event_runs(sf_dir: str):
+    """Gaps-and-islands RLE per user (stages/events.event_runs):
+    boundary-mask cumsum runs, (len DESC, start ASC) winner, pure
+    integers."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.event_runs(_tbl(sf_dir, "events")),
+        ["user_id", "n_events", "n_runs", "longest_run", "longest_type"],
+    )
+
+
 def q_event_autocorr(sf_dir: str):
     """Hourly-arrival autocorrelation per event type
     (stages/events.event_autocorr): dense global-range hour series
@@ -4709,6 +4721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollmed": q_events_rollmed,
         "event_paths": q_event_paths,
         "event_autocorr": q_event_autocorr,
+        "event_runs": q_event_runs,
         "dem_contours": q_dem_contours,
         "customer_dist": q_customer_dist,
         "k_anonymity": q_k_anonymity,
@@ -5395,6 +5408,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "event_autocorr": __import__(
             "kaza_lcms_ray.stages.events", fromlist=["events"]
         ).event_autocorr_sql(),
+        "event_runs": __import__(
+            "kaza_lcms_ray.stages.events", fromlist=["events"]
+        ).event_runs_sql(),
         "dem_contours": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.terrain", fromlist=["terrain"]).dem_contours_sql("SELECT cell_id FROM cells")}""",

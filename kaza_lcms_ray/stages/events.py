@@ -2074,3 +2074,86 @@ def event_autocorr_sql(max_lag: int = AUTOCORR_LAGS) -> str:
                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                     ELSE 0.0 END AS r
         FROM ac_a"""
+
+
+def event_runs(ds, key: str = "user_id", ts_col: str = "ts"):
+    """Gaps-and-islands run-length encoding per user: maximal runs of the
+    SAME event type in (ts, event_id) order — the streak/stint primitive
+    (session behavior, sensor-state dwell) behind the classic SQL
+    rn−rn_by_value trick.
+
+    Deterministic winner: the longest run, ties broken by earliest start
+    position.  Pure integers throughout.
+
+    Scale shape: co-partition by user (groups bounded per user), one
+    in-group mergesort + boundary-mask cumsum — no window self-joins.
+
+    Output: (user_id, n_events, n_runs, longest_run, longest_type).
+    """
+    import numpy as np
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        n = len(et)
+        brk = np.ones(n, np.int64)
+        brk[1:] = (et[1:] != et[:-1]).astype(np.int64)
+        rid = np.cumsum(brk) - 1
+        lens = np.bincount(rid)
+        starts = np.nonzero(brk)[0]
+        best = int(np.argmax(lens))  # first max = earliest start
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [n],
+                "n_runs": [len(lens)],
+                "longest_run": [int(lens[best])],
+                "longest_type": [et[starts[best]]],
+            }
+        )
+
+    return (
+        ds.select_columns([key, ts_col, "event_id", "event_type"])
+        .groupby(key)
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def event_runs_sql(key: str = "user_id", ts_col: str = "ts") -> str:
+    """Oracle twin of :func:`event_runs`: the rn − rn_by_type islands
+    trick, per-island counts, (len DESC, start ASC) winner."""
+    return f"""
+        WITH er_r AS (
+            SELECT {key}, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key} ORDER BY {ts_col}, event_id
+                   ) AS rn,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {key}, event_type
+                       ORDER BY {ts_col}, event_id
+                   ) AS rnt
+            FROM events
+        ),
+        er_i AS (
+            SELECT {key}, event_type, rn - rnt AS isl,
+                   CAST(COUNT(*) AS BIGINT) AS run_len,
+                   CAST(MIN(rn) AS BIGINT) AS run_start
+            FROM er_r GROUP BY 1, 2, 3
+        ),
+        er_u AS (
+            SELECT {key},
+                   CAST(SUM(run_len) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs
+            FROM er_i GROUP BY 1
+        ),
+        er_w AS (
+            SELECT {key}, run_len AS longest_run,
+                   event_type AS longest_type
+            FROM er_i
+            QUALIFY row_number() OVER (
+                PARTITION BY {key} ORDER BY run_len DESC, run_start ASC
+            ) = 1
+        )
+        SELECT u.{key}, u.n_events, u.n_runs,
+               w.longest_run, w.longest_type
+        FROM er_u u JOIN er_w w ON w.{key} = u.{key}"""

@@ -566,3 +566,29 @@ def test_event_autocorr_detects_planted_period(ray_session):
     v = np.array([5 if h % 6 == 0 else 1 for h in range(240)], np.float64)
     want = np.corrcoef(v[:-6], v[6:])[0, 1]
     assert abs(r6 - want) < 1e-12
+
+
+def test_event_runs_hand_case(ray_session):
+    """Run segmentation, counts, and the (longest, earliest) winner match a
+    hand case including a tie."""
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: a a b b c -> runs (a,2) (b,2) (c,1); tie a vs b -> a (earlier)
+    seq = ["a", "a", "b", "b", "c"]
+    rows = [
+        (1, i, base + pd.Timedelta(minutes=i), t) for i, t in enumerate(seq)
+    ]
+    # user 2: single run
+    rows += [(2, 10 + i, base + pd.Timedelta(minutes=i), "x") for i in range(3)]
+    df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "event_type"])
+    out = (
+        events.event_runs(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1].tolist() == [5, 3, 2, "a"]
+    assert out.loc[2].tolist() == [3, 1, 3, "x"]
