@@ -1242,6 +1242,18 @@ def q_media_geo_context(sf_dir: str):
     )
 
 
+def q_medoid_composite(sf_dir: str):
+    """Medoid (best-pixel) composite per cell (stages/zonal.
+    medoid_composite): rank-rule band medians + exact int64 squared
+    distance, one cell-bucketed holistic pass, deterministic winner."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.medoid_composite(_geo(sf_dir)),
+        ["cell_id", "doc_id", "span_idx"] + [f"c{b}" for b in range(6)],
+    )
+
+
 def q_embed_profile(sf_dir: str):
     """Per-dimension embedding QA profile (stages/ann.embed_profile):
     offset-arithmetic flatten, exact min/max + quantized-exact mean,
@@ -4696,6 +4708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_stats": q_turn_stats,
         "parse_quarantine": q_parse_quarantine,
         "embed_profile": q_embed_profile,
+        "medoid_composite": q_medoid_composite,
         "od_matrix": q_od_matrix,
         "media_geo_context": q_media_geo_context,
         "terrain_indexes": q_terrain_indexes,
@@ -5951,6 +5964,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_covisit": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).cell_covisit_sql("SELECT doc_id, cell_id FROM cells")}""",
+        "medoid_composite": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).medoid_composite_sql("SELECT cell_id, doc_id, span_idx, c0, c1, c2, c3, c4, c5 FROM cells")}""",
         "trajectory_hausdorff": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).trajectory_hausdorff_sql("SELECT doc_id, span_idx, lon, lat, cell_id FROM cells")}""",

@@ -3457,3 +3457,123 @@ def geodesic_dist_sql(
                    AS passable,
                CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
         FROM gd_agg a LEFT JOIN gd_min m ON m.cell_id = a.cell_id"""
+
+
+def medoid_composite(geo, num_buckets: int | None = None,
+                     rows_hint: int | None = None):
+    """Medoid composite per cell: the observation minimizing the squared
+    distance to the per-cell per-band LOWER medians — the cloud-robust
+    best-pixel compositing rule (the medoid composite of the Landsat
+    time-series literature; the reference's percentile composites'
+    robust sibling, src/utils/s2process.py compositing family).
+
+    Pinned rules: medians are the rank-ceil(n/2) pick on the ×100 int
+    bands (the rolling_median convention — never interpolated); distance
+    is Σ_b (c_b − med_b)² in exact int64; winner ties break
+    (d2, doc_id, span_idx) ascending.
+
+    Scale shape: ONE cell-bucketed exchange (the zonal holistic
+    discipline — bounded, skew-safe buckets); inside a bucket both the
+    medians AND the argmin run as whole-bucket vectorized passes
+    (lexsort + segment offsets), zero per-cell Python.
+
+    Output: (cell_id, doc_id, span_idx, c0..c5) — one winner row per cell.
+    """
+    import pandas as pd
+
+    nb = num_buckets or _default_buckets(rows_hint)
+    cols = ["cell_id", "doc_id", "span_idx"] + [f"c{b}" for b in range(6)]
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        cell = g["cell_id"].to_numpy(np.uint64)
+        # per-bucket cell codes via sort order
+        order = np.argsort(cell, kind="mergesort")
+        cs = cell[order]
+        first = np.ones(len(cs), bool)
+        first[1:] = cs[1:] != cs[:-1]
+        code_sorted = np.cumsum(first) - 1
+        code = np.empty(len(cs), np.int64)
+        code[order] = code_sorted
+        ncell = int(code_sorted[-1]) + 1 if len(cs) else 0
+        V = np.stack(
+            [g[f"c{b}"].to_numpy(np.int64) for b in range(6)], axis=1
+        )
+        med = np.empty((ncell, 6), np.int64)
+        # segment boundaries shared across bands
+        starts = np.nonzero(first)[0]
+        cnts = np.diff(np.concatenate([starts, [len(cs)]]))
+        for b in range(6):
+            o = np.lexsort((V[:, b], code))
+            med[:, b] = V[o][starts + (cnts + 1) // 2 - 1, b]
+        d2 = ((V - med[code]) ** 2).sum(axis=1)
+        # winner per cell: (d2, doc_id, span_idx) ascending.  String ids
+        # become ordinal codes first (np.unique sorts lexicographically)
+        # so the lexsort runs on pure ints.
+        doc = g["doc_id"].to_numpy()
+        span = g["span_idx"].to_numpy(np.int64)
+        _, dcode = np.unique(doc, return_inverse=True)
+        w = np.lexsort((span, dcode, d2, code))
+        wfirst = np.ones(len(w), bool)
+        wfirst[1:] = code[w][1:] != code[w][:-1]
+        win = w[wfirst]
+        out = {
+            "cell_id": pa.array(cell[win].astype(np.int64)),
+            "doc_id": pa.array(doc[win], pa.string()),
+            "span_idx": pa.array(span[win]),
+        }
+        for b in range(6):
+            out[f"c{b}"] = pa.array(V[win, b])
+        return pa.table(out)
+
+    skinny = geo.select_columns(cols)
+    return (
+        _add_bucket(skinny, ["cell_id"], nb)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .select_columns(cols)
+    )
+
+
+def medoid_composite_sql(cells_sql: str) -> str:
+    """Oracle twin of :func:`medoid_composite`: long-form band unpivot,
+    rank-ceil(n/2) medians, squared-distance sum, QUALIFY winner."""
+    vals = ", ".join(f"({b}, c{b})" for b in range(6))
+    return f"""
+        md_in AS MATERIALIZED (
+            SELECT cell_id, doc_id, span_idx, c0, c1, c2, c3, c4, c5
+            FROM ({cells_sql})
+        ),
+        md_l AS (
+            SELECT cell_id, doc_id, span_idx, b.band, b.v
+            FROM md_in, LATERAL (VALUES {vals}) b(band, v)
+        ),
+        md_r AS (
+            SELECT cell_id, band, v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cell_id, band ORDER BY v
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY cell_id, band) AS n
+            FROM md_l
+        ),
+        md_m AS (
+            SELECT cell_id, band, v AS med FROM md_r WHERE rn = (n + 1) // 2
+        ),
+        md_d AS (
+            SELECT l.cell_id, l.doc_id, l.span_idx,
+                   CAST(SUM((l.v - m.med) * (l.v - m.med)) AS BIGINT) AS d2
+            FROM md_l l
+            JOIN md_m m ON m.cell_id = l.cell_id AND m.band = l.band
+            GROUP BY 1, 2, 3
+        ),
+        md_w AS (
+            SELECT cell_id, doc_id, span_idx FROM md_d
+            QUALIFY row_number() OVER (
+                PARTITION BY cell_id ORDER BY d2, doc_id, span_idx
+            ) = 1
+        )
+        SELECT CAST(w.cell_id AS BIGINT) AS cell_id, w.doc_id,
+               CAST(w.span_idx AS BIGINT) AS span_idx,
+               i.c0, i.c1, i.c2, i.c3, i.c4, i.c5
+        FROM md_w w
+        JOIN md_in i ON i.cell_id = w.cell_id AND i.doc_id = w.doc_id
+                    AND i.span_idx = w.span_idx"""

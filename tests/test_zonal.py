@@ -812,3 +812,47 @@ def test_geodesic_dist_bfs_properties(synth_small, ray_session):
             if j is not None and passable[j] and dist[j] >= 0:
                 best = dist[j] if best is None else min(best, dist[j])
         assert best is not None and dist[i] == best + 1
+
+
+def test_medoid_composite_bruteforce(synth_small, ray_session):
+    """Winner per cell equals a per-cell brute force of the pinned rule
+    (rank-ceil(n/2) medians, integer squared distance, (d2, doc, span)
+    tiebreak); repartition-invariant."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans as spans_mod
+    from kaza_lcms_ray.stages import zonal
+
+    docs = rd.read_parquet(f"{synth_small}/documents")
+    geo = spans_mod.geo_obs(docs)
+    out = (
+        zonal.medoid_composite(geo)
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    out2 = (
+        zonal.medoid_composite(spans_mod.geo_obs(docs.repartition(5)))
+        .to_pandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+    g = geo.to_pandas()
+    rng = np.random.default_rng(1)
+    cells = rng.choice(g["cell_id"].unique(), size=30, replace=False)
+    for cid in cells:
+        d = g[g["cell_id"] == cid]
+        V = d[[f"c{b}" for b in range(6)]].to_numpy(np.int64)
+        med = np.array(
+            [np.sort(V[:, b])[(len(d) + 1) // 2 - 1] for b in range(6)]
+        )
+        d2 = ((V - med) ** 2).sum(axis=1)
+        frame = d.assign(d2=d2).sort_values(
+            ["d2", "doc_id", "span_idx"], kind="mergesort"
+        )
+        want = frame.iloc[0]
+        got = out[out["cell_id"] == int(cid)].iloc[0]
+        assert got["doc_id"] == want["doc_id"]
+        assert got["span_idx"] == want["span_idx"]
