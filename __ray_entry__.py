@@ -465,6 +465,16 @@ def q_getis_ord(sf_dir: str):
     )
 
 
+def q_emerging_hotspots(sf_dir: str):
+    """Space-time emerging-hot-spot analysis (stages/zonal.
+    emerging_hotspots): per-year Gi* z per occupied cell (integer
+    lag/weight partials, pinned IEEE z), Mann-Kendall sign sum over each
+    cell's z series, verbatim CASE category chain."""
+    from kaza_lcms_ray.stages import zonal
+
+    return zonal.emerging_hotspots(_geo(sf_dir), band=3, k=1)
+
+
 def q_geohash(sf_dir: str):
     """Standard base32 geohash per geo span (state/cells.geohash):
     vectorized grid/interleave/char-gather, zero-copy Arrow string
@@ -4697,6 +4707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the events suite, sketches, TPC-H analytics, lineage, planet,
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
+        "emerging_hotspots": q_emerging_hotspots,
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
@@ -5339,6 +5350,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "getis_ord": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).getis_ord_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "emerging_hotspots": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).emerging_hotspots_sql("SELECT * FROM cells", band=3, k=1)}""",
         "ripley_k": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).ripley_k_sql("SELECT * FROM cells", max_ring=3)}""",

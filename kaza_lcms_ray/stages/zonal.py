@@ -3577,3 +3577,363 @@ def medoid_composite_sql(cells_sql: str) -> str:
         FROM md_w w
         JOIN md_in i ON i.cell_id = w.cell_id AND i.doc_id = w.doc_id
                     AND i.span_idx = w.span_idx"""
+
+
+# ---------------------------------------------------------------------------
+# Emerging hot spot analysis (space-time composite)
+# ---------------------------------------------------------------------------
+
+EHS_Z_CRIT = 1.96  # two-sided 5% hot/cold z threshold, pinned both branches
+
+
+def emerging_hotspots(geo, band: int = 3, k: int = 1):
+    """Emerging-hot-spot analysis — the space-time composite of the two
+    primitives this layer already certifies separately: a per-YEAR
+    Getis-Ord Gi* z-score per occupied cell (:func:`getis_ord` semantics,
+    global mean/variance taken within each year), then a Mann-Kendall
+    monotonic-trend test (:func:`mann_kendall` semantics) over each cell's
+    z series, classified into the standard emerging-hotspot categories
+    (new / intensifying / diminishing / persistent / historical, hot and
+    cold) — the change-detection rollup the reference's annual land-cover
+    series exists to feed (per-year composites, src/utils/s2process.py,
+    followed by year-over-year change assessment, ProjectWorkflow.md).
+
+    Determinism: per-(cell, year) lag/weight and per-year (n, S1, S2) are
+    exact int64; the z expression is the SAME pinned IEEE double formula
+    as :func:`getis_ord` (bit-identical to DuckDB's libm); the MK statistic
+    sums integer signs of differences of those bit-identical doubles; the
+    hot/cold flags compare them to the literal {EHS_Z_CRIT}; the category
+    is an integer-rule CASE chain.  Years with fewer than 2 occupied cells
+    carry no variance and are excluded on both branches; a (cell, year)
+    whose pinned denominator is not > 0 (zero-variance year, or a
+    neighborhood covering every occupied cell) has no defined z and is
+    dropped by the identical `den > 0` rule on both branches.
+
+    Scale shape: the corpus-sized work is the one ``zonal_sums`` reduce
+    (raw observations never shuffle); the per-year fan, bucketed combine
+    and MK classification all run on the AOI×years-bounded cell table —
+    the same boundedness contract as :func:`getis_ord` (≤ 4^CELL_LEVEL
+    cells/year; level 12 ⇒ ≤17M, real AOIs ~1e5).  The driver holds only
+    the per-year scalar stats and the occupied-key array it broadcasts.
+
+    Output: (cell_id:int64, n_years, n_hot, n_cold, s_stat, trend,
+    hot_last, cold_last: int64, category:string).
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    yearly = zonal_sums(geo, keys=["cell_id", "year"], bands=(band,)).materialize()
+    pdf = yearly.to_pandas()
+    empty = pa.table(
+        {
+            "cell_id": pa.array([], pa.int64()),
+            "n_years": pa.array([], pa.int64()),
+            "n_hot": pa.array([], pa.int64()),
+            "n_cold": pa.array([], pa.int64()),
+            "s_stat": pa.array([], pa.int64()),
+            "trend": pa.array([], pa.int64()),
+            "hot_last": pa.array([], pa.int64()),
+            "cold_last": pa.array([], pa.int64()),
+            "category": pa.array([], pa.string()),
+        }
+    )
+    st = (
+        pdf.groupby("year")
+        .agg(
+            n=("cell_id", "size"),
+            s1=(s_col, "sum"),
+            s2=(s_col, lambda v: int((v.to_numpy(np.int64) ** 2).sum())),
+        )
+        .reset_index()
+    )
+    st = st[st["n"] >= 2]  # a 1-cell year has zero variance: excluded
+    if len(st) == 0:
+        return rd.from_arrow(empty)
+    years_arr = np.sort(st["year"].to_numpy(np.int64))
+    order = np.argsort(st["year"].to_numpy(np.int64), kind="stable")
+    n_arr = st["n"].to_numpy(np.int64)[order]
+    s1_arr = st["s1"].to_numpy(np.int64)[order]
+    s2_arr = st["s2"].to_numpy(np.int64)[order]
+
+    kept = pdf[pdf["year"].isin(years_arr)]
+    occ_pack = np.sort(
+        kept["cell_id"].to_numpy(np.int64) * 64
+        + np.searchsorted(years_arr, kept["year"].to_numpy(np.int64))
+    )
+    consts_ref = ray.put((years_arr, n_arr, s1_arr, s2_arr, occ_pack))
+
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    year_set = set(int(y) for y in years_arr)
+
+    def fan(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m_keep = pc.is_in(t.column("year"), pa.array(sorted(year_set), pa.int64()))
+        t = t.filter(m_keep)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        yr = t.column("year").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "year": pa.array(yr[m]),
+                        "v_src": pa.array(v[m]),
+                    }
+                )
+            )
+        part = pa.concat_tables(parts)
+        out = part.group_by(["cell_id", "year"]).aggregate(
+            [("v_src", "sum"), ("cell_id", "count")]
+        )
+        return out.rename_columns(["cell_id", "year", "lag", "w"])
+
+    agg = bucketed_sum(
+        yearly.map_batches(fan, batch_format="pyarrow"),
+        keys=["cell_id", "year"],
+        sum_cols=["lag", "w"],
+        rows_hint=len(pdf),
+        recombine_batch_size=None,
+    )
+
+    def z_final(t: pa.Table) -> pa.Table:
+        zt = pa.table(
+            {
+                "cell_id": pa.array([], pa.int64()),
+                "year": pa.array([], pa.int64()),
+                "z": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return zt
+        years_a, n_a, s1_a, s2_a, occ = ray.get(consts_ref)
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        yr = t.column("year").to_numpy(zero_copy_only=False).astype(np.int64)
+        yi = np.searchsorted(years_a, yr)
+        pack = cid * 64 + yi
+        pos = np.searchsorted(occ, pack)
+        keep = (pos < len(occ)) & (occ[np.minimum(pos, len(occ) - 1)] == pack)
+        if not keep.any():
+            return zt
+        cid, yr, yi = cid[keep], yr[keep], yi[keep]
+        lag = t.column("lag").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        n, s1, s2 = n_a[yi], s1_a[yi], s2_a[yi]
+        num = n * lag - w * s1
+        n_d = n.astype(np.float64)
+        w_d = w.astype(np.float64)
+        den = np.sqrt(
+            n_d * s2.astype(np.float64) - s1.astype(np.float64) * s1.astype(np.float64)
+        ) * np.sqrt((n_d * w_d - w_d * w_d) / (n_d - 1.0))
+        ok = den > 0  # z undefined at zero variance — same rule in SQL
+        return pa.table(
+            {
+                "cell_id": pa.array(cid[ok], pa.int64()),
+                "year": pa.array(yr[ok], pa.int64()),
+                "z": pa.array(num[ok].astype(np.float64) / den[ok], pa.float64()),
+            }
+        )
+
+    z_ds = agg.map_batches(z_final, batch_format="pyarrow")
+    zc = EHS_Z_CRIT
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell_id", "year"], kind="mergesort")
+        cid = g["cell_id"].to_numpy(np.int64)
+        z = g["z"].to_numpy(np.float64)
+        brk = np.flatnonzero(np.concatenate(([True], cid[1:] != cid[:-1])))
+        ends = np.concatenate((brk[1:], [len(cid)]))
+        rows = []
+        for s, e in zip(brk, ends):
+            zs = z[s:e]
+            ny = e - s
+            if ny < 2:
+                s_stat = 0
+            else:
+                ii, jj = np.triu_indices(ny, 1)
+                s_stat = int(np.sign(zs[jj] - zs[ii]).sum())
+            trend = int(np.sign(s_stat))
+            n_hot = int((zs > zc).sum())
+            n_cold = int((zs < -zc).sum())
+            hot_last = int(zs[-1] > zc)
+            cold_last = int(zs[-1] < -zc)
+            # CASE chain — transliterated verbatim in emerging_hotspots_sql
+            if hot_last and n_hot == 1:
+                cat = "new_hot"
+            elif hot_last and trend > 0:
+                cat = "intensifying_hot"
+            elif hot_last and trend < 0:
+                cat = "diminishing_hot"
+            elif hot_last:
+                cat = "persistent_hot"
+            elif n_hot > 0:
+                cat = "historical_hot"
+            elif cold_last and n_cold == 1:
+                cat = "new_cold"
+            elif cold_last and trend < 0:
+                cat = "intensifying_cold"
+            elif cold_last and trend > 0:
+                cat = "diminishing_cold"
+            elif cold_last:
+                cat = "persistent_cold"
+            elif n_cold > 0:
+                cat = "historical_cold"
+            else:
+                cat = "none"
+            rows.append(
+                (int(cid[s]), ny, n_hot, n_cold, s_stat, trend, hot_last, cold_last, cat)
+            )
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "cell_id",
+                "n_years",
+                "n_hot",
+                "n_cold",
+                "s_stat",
+                "trend",
+                "hot_last",
+                "cold_last",
+                "category",
+            ],
+        )
+        for c in out.columns[:-1]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        _add_bucket(z_ds, ["cell_id"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(classify, batch_format="pandas")
+        .select_columns(
+            [
+                "cell_id",
+                "n_years",
+                "n_hot",
+                "n_cold",
+                "s_stat",
+                "trend",
+                "hot_last",
+                "cold_last",
+                "category",
+            ]
+        )
+    )
+
+
+def emerging_hotspots_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
+    """Oracle twin of :func:`emerging_hotspots`: per-year fan + grouped
+    integer sums, identical pinned z expression, MK pairwise sign self-join
+    over the z doubles, verbatim CASE classification chain."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    zc = EHS_Z_CRIT
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in range(-k, k + 1) for dy in range(-k, k + 1)
+    )
+    return f"""
+        ehs_agg AS MATERIALIZED (
+            SELECT cell_id, "year", CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id, "year"
+        ),
+        ehs_tot AS (
+            SELECT "year",
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s1,
+                   CAST(SUM(v * v) AS BIGINT) AS s2
+            FROM ehs_agg GROUP BY "year" HAVING COUNT(*) >= 2
+        ),
+        ehs_dec AS (
+            SELECT a.cell_id, a."year", a.v,
+                   {morton_decode_sql_expr("a.cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("a.cell_id", CELL_LEVEL, "y")} AS iy
+            FROM ehs_agg a SEMI JOIN ehs_tot t ON a."year" = t."year"
+        ),
+        ehs_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        ehs_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d."year", d.v AS v_src
+            FROM ehs_dec d CROSS JOIN ehs_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        ehs_loc AS (
+            SELECT f.cell_id, f."year",
+                   CAST(COUNT(*) AS BIGINT) AS w,
+                   CAST(SUM(f.v_src) AS BIGINT) AS lag
+            FROM ehs_fan f
+            JOIN ehs_agg a ON f.cell_id = a.cell_id AND f."year" = a."year"
+            GROUP BY f.cell_id, f."year"
+        ),
+        ehs_den AS (
+            SELECT l.cell_id, l."year",
+                   CAST(t.n * l.lag - l.w * t.s1 AS DOUBLE) AS num,
+                   sqrt(CAST(t.n AS DOUBLE) * CAST(t.s2 AS DOUBLE)
+                        - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE))
+                   * sqrt((CAST(t.n AS DOUBLE) * CAST(l.w AS DOUBLE)
+                           - CAST(l.w AS DOUBLE) * CAST(l.w AS DOUBLE))
+                          / (CAST(t.n AS DOUBLE) - 1.0)) AS den
+            FROM ehs_loc l JOIN ehs_tot t ON l."year" = t."year"
+        ),
+        ehs_z AS (
+            SELECT cell_id, "year", num / den AS z
+            FROM ehs_den WHERE den > 0
+        ),
+        ehs_mk AS (
+            SELECT a.cell_id,
+                   CAST(SUM(CASE WHEN b.z > a.z THEN 1
+                                 WHEN b.z < a.z THEN -1 ELSE 0 END) AS BIGINT)
+                       AS s_stat
+            FROM ehs_z a JOIN ehs_z b
+              ON a.cell_id = b.cell_id AND a."year" < b."year"
+            GROUP BY a.cell_id
+        ),
+        ehs_cnt AS (
+            SELECT cell_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_years,
+                   CAST(SUM(CASE WHEN z > {zc} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hot,
+                   CAST(SUM(CASE WHEN z < -{zc} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cold,
+                   CAST(CASE WHEN max_by(z, "year") > {zc} THEN 1 ELSE 0 END
+                        AS BIGINT) AS hot_last,
+                   CAST(CASE WHEN max_by(z, "year") < -{zc} THEN 1 ELSE 0 END
+                        AS BIGINT) AS cold_last
+            FROM ehs_z GROUP BY cell_id
+        )
+        SELECT c.cell_id, c.n_years, c.n_hot, c.n_cold,
+               COALESCE(m.s_stat, 0) AS s_stat,
+               CAST(CASE WHEN COALESCE(m.s_stat, 0) > 0 THEN 1
+                         WHEN COALESCE(m.s_stat, 0) < 0 THEN -1
+                         ELSE 0 END AS BIGINT) AS trend,
+               c.hot_last, c.cold_last,
+               CASE
+                 WHEN c.hot_last = 1 AND c.n_hot = 1 THEN 'new_hot'
+                 WHEN c.hot_last = 1 AND COALESCE(m.s_stat, 0) > 0
+                     THEN 'intensifying_hot'
+                 WHEN c.hot_last = 1 AND COALESCE(m.s_stat, 0) < 0
+                     THEN 'diminishing_hot'
+                 WHEN c.hot_last = 1 THEN 'persistent_hot'
+                 WHEN c.n_hot > 0 THEN 'historical_hot'
+                 WHEN c.cold_last = 1 AND c.n_cold = 1 THEN 'new_cold'
+                 WHEN c.cold_last = 1 AND COALESCE(m.s_stat, 0) < 0
+                     THEN 'intensifying_cold'
+                 WHEN c.cold_last = 1 AND COALESCE(m.s_stat, 0) > 0
+                     THEN 'diminishing_cold'
+                 WHEN c.cold_last = 1 THEN 'persistent_cold'
+                 WHEN c.n_cold > 0 THEN 'historical_cold'
+                 ELSE 'none'
+               END AS category
+        FROM ehs_cnt c LEFT JOIN ehs_mk m ON c.cell_id = m.cell_id"""

@@ -856,3 +856,66 @@ def test_medoid_composite_bruteforce(synth_small, ray_session):
         got = out[out["cell_id"] == int(cid)].iloc[0]
         assert got["doc_id"] == want["doc_id"]
         assert got["span_idx"] == want["span_idx"]
+
+
+def test_emerging_hotspots_hand_case(ray_session):
+    """Planted space-time dynamics on a 10×10 occupied block: one cell
+    whose value explodes only in the last year must classify new_hot (a
+    single spike needs n ≫ w to clear z=1.96: max z = (n−w)/(√n·√((nw−w²)/
+    (n−1))) ≈ 3.2 at n=100, w=9); background cells far from it stay
+    'none'; every (n_hot, category) pair obeys the CASE chain."""
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, morton
+
+    rows = []
+    hot_xy = (12, 12)
+    for year in (2020, 2021, 2022):
+        for x in range(10, 20):
+            for y in range(10, 20):
+                v = 100
+                if (x, y) == hot_xy and year == 2022:
+                    v = 100_000  # last-year spike → new_hot at the center
+                rows.append(
+                    {
+                        "cell_id": int(morton(np.array([x]), np.array([y]))[0]),
+                        "year": year,
+                        "c3": v,
+                    }
+                )
+    geo = rd.from_pandas(pd.DataFrame(rows))
+    got = (
+        zonal.emerging_hotspots(geo, band=3, k=1)
+        .to_pandas()
+        .set_index("cell_id")
+        .sort_index()
+    )
+    hot_cell = int(morton(np.array([hot_xy[0]]), np.array([hot_xy[1]]))[0])
+    assert got.loc[hot_cell, "category"] == "new_hot"
+    assert got.loc[hot_cell, "n_hot"] == 1
+    assert got.loc[hot_cell, "hot_last"] == 1
+    # a corner cell, not adjacent to the spike: never hot, never cold
+    corner = int(morton(np.array([10]), np.array([10]))[0])
+    assert got.loc[corner, "category"] == "none"
+    # 2020/2021 are constant-valued → zero variance → z undefined → only
+    # 2022 contributes (the den > 0 exclusion rule)
+    assert (got["n_years"] == 1).all()
+    # rule coherence: any *_hot category requires n_hot ≥ 1, 'none' requires 0
+    hot_cats = got["category"].str.endswith("_hot")
+    assert (got.loc[hot_cats, "n_hot"] >= 1).all()
+    assert (got.loc[got["category"] == "none", "n_hot"] == 0).all()
+    assert (got.loc[got["category"] == "none", "n_cold"] == 0).all()
+
+
+def test_emerging_hotspots_single_cell_year_excluded(ray_session):
+    """A year with exactly one occupied cell carries zero variance and is
+    excluded: a series that only exists in such years yields no output."""
+    from kaza_lcms_ray.state.cells import morton
+
+    cid = int(morton(np.array([5]), np.array([5]))[0])
+    geo = rd.from_pandas(
+        pd.DataFrame(
+            [{"cell_id": cid, "year": 2020, "c3": 100},
+             {"cell_id": cid, "year": 2021, "c3": 200}]
+        )
+    )
+    got = zonal.emerging_hotspots(geo, band=3, k=1).to_pandas()
+    assert len(got) == 0
