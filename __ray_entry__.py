@@ -2029,6 +2029,19 @@ def q_langid_confusion(sf_dir: str):
     )
 
 
+def q_token_gini(sf_dir: str):
+    """Per-source Gini of the token-frequency distribution
+    (stages/text.token_gini): fp128-keyed term counts, decomposable
+    frequency-of-frequencies rank identity, arbitrary-precision integer
+    numerator, one pinned double Gini expression."""
+    from kaza_lcms_ray.stages import text
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text", "source"])
+    return _i64(
+        text.token_gini(docs), ["source", "v_terms", "total_tokens", "gini"]
+    )
+
+
 def q_zipf_fit(sf_dir: str):
     """Zipf-law slope of the corpus term-frequency distribution
     (stages/text.zipf_fit): fp128-keyed term counts → two-level top-k →
@@ -4708,6 +4721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # plus the round-4 additions), so the 50-query samples certify
         # the unchecked families first.
         "emerging_hotspots": q_emerging_hotspots,
+        "token_gini": q_token_gini,
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
@@ -5890,6 +5904,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             temperature=0.5,
             alpha=0.5,
         ),
+        "token_gini": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).token_gini_sql("SELECT source, text FROM documents"),
         "hash_embed": f"""
             WITH v AS ({__import__("kaza_lcms_ray.stages.text", fromlist=["text"]).hash_embed_sql("SELECT doc_id, text FROM documents")})
             SELECT doc_id, CAST(bucket - 1 AS BIGINT) AS bucket, val

@@ -2884,3 +2884,172 @@ def source_similarity_sql(docs_sql: str) -> str:
         JOIN ss_n na ON na.s = p.source_a
         JOIN ss_n nb ON nb.s = p.source_b
         WHERE p.source_a < p.source_b"""
+
+
+def token_gini(ds, text_col: str = "text", source_col: str = "source"):
+    """Per-source Gini coefficient of the token-frequency distribution —
+    the concentration/inequality diagnostic next to :func:`zipf_fit`
+    (natural text ≈ 0.7–0.9; near-0 means a flat template vocabulary,
+    near-1 a few tokens dominating — boilerplate / spam signatures).
+
+    Exact decomposition: Gini only depends on the sorted frequency
+    multiset, so it reduces over the frequency-of-frequencies histogram
+    m_f = |{terms with count f}|: terms with value f occupy ranks
+    R_f+1..R_f+m_f (R_f = Σ_{f'<f} m_{f'}), hence
+
+        Σᵢ i·x₍ᵢ₎ = Σ_f f·(m_f·R_f + m_f(m_f+1)/2)      (all integers)
+        G = 2·num/(V·T) − (V+1)/V                        (one pinned expr)
+
+    with V = Σm_f terms and T = Σf·m_f tokens.  No sort of the vocabulary
+    is ever needed and tied counts cannot introduce order ambiguity.
+
+    Scale shape: per-batch (source, term) Arrow counts keyed by fp128
+    (raw terms never shuffle) → bucketed integer combine → per-batch
+    (source, f) histogram partials → second skinny combine.  The driver
+    folds only the histogram: Σ_f over distinct counts is bounded by
+    √(2T) per source (distinct positive integers summing to T), ~10⁶ rows
+    at 10¹² tokens — corpus-independent of the vocabulary itself.  num
+    runs in Python arbitrary-precision (SQL mirrors in HUGEINT).
+
+    Output: (source, v_terms:int64, total_tokens:int64, gini:f64).
+    """
+    import ray.data as rd
+
+    from .dedup import _fp128
+    from .zonal import bucketed_sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        src = t.column(source_col)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        flat = toks.flatten()
+        srcs = src.take(
+            pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lengths))
+        )
+        keep = pc.greater(pc.utf8_length(flat), 0)
+        flat, srcs = flat.filter(keep), srcs.filter(keep)
+        g = (
+            pa.table({"source": srcs, "term": flat})
+            .group_by(["source", "term"])
+            .aggregate([([], "count_all")])
+        )
+        hi, lo = _fp128(g.column("term"))
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "fp_hi": pa.array(hi.astype(np.int64)),
+                "fp_lo": pa.array(lo.astype(np.int64)),
+                "cnt": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = bucketed_sum(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        ["source", "fp_hi", "fp_lo"],
+        ["cnt"],
+        recombine_batch_size=None,
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["source", "cnt"])
+            .group_by(["source", "cnt"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "f": g.column("cnt"),
+                "m": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    hist = bucketed_sum(
+        counts.map_batches(hist_partial, batch_format="pyarrow"),
+        ["source", "f"],
+        ["m"],
+        recombine_batch_size=None,
+    )
+    pdf = hist.to_pandas()  # ≤ sources·√(2T) rows — see docstring bound
+    out_src, out_v, out_t, out_g = [], [], [], []
+    if len(pdf):
+        pdf = pdf.sort_values(["source", "f"], kind="mergesort")
+        for source, g in pdf.groupby("source", sort=True):
+            fs = g["f"].to_numpy(np.int64)
+            ms = g["m"].to_numpy(np.int64)
+            r = 0
+            num = 0
+            for f, m in zip(fs.tolist(), ms.tolist()):
+                num += f * (m * r + m * (m + 1) // 2)
+                r += m
+            v = int(ms.sum())
+            tot = int((fs * ms).sum())
+            gini = (2.0 * np.float64(num)) / (
+                np.float64(v) * np.float64(tot)
+            ) - (np.float64(v) + 1.0) / np.float64(v)
+            out_src.append(source)
+            out_v.append(v)
+            out_t.append(tot)
+            out_g.append(float(gini))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(out_src, pa.string()),
+                "v_terms": pa.array(out_v, pa.int64()),
+                "total_tokens": pa.array(out_t, pa.int64()),
+                "gini": pa.array(out_g, pa.float64()),
+            }
+        )
+    )
+
+
+def token_gini_sql(docs_sql: str) -> str:
+    """Oracle twin of :func:`token_gini`: identical tokenization, the same
+    frequency-of-frequencies rank decomposition in HUGEINT, the identical
+    pinned double Gini expression."""
+    return f"""
+        WITH tg_t AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+        ),
+        tg_c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tg_t GROUP BY source, term
+        ),
+        tg_h AS (
+            SELECT source, cnt AS f, CAST(COUNT(*) AS BIGINT) AS m
+            FROM tg_c GROUP BY source, cnt
+        ),
+        tg_r AS (
+            SELECT source, f, m,
+                   COALESCE(SUM(m) OVER (
+                       PARTITION BY source ORDER BY f
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS r
+            FROM tg_h
+        ),
+        tg_s AS (
+            SELECT source,
+                   CAST(SUM(m) AS HUGEINT) AS v,
+                   CAST(SUM(CAST(f AS HUGEINT) * m) AS HUGEINT) AS total,
+                   SUM(CAST(f AS HUGEINT)
+                       * (CAST(m AS HUGEINT) * CAST(r AS HUGEINT)
+                          + CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1) // 2))
+                       AS num
+            FROM tg_r GROUP BY source
+        )
+        SELECT source,
+               CAST(v AS BIGINT) AS v_terms,
+               CAST(total AS BIGINT) AS total_tokens,
+               2.0 * CAST(num AS DOUBLE)
+                   / (CAST(v AS DOUBLE) * CAST(total AS DOUBLE))
+               - (CAST(v AS DOUBLE) + 1.0) / CAST(v AS DOUBLE) AS gini
+        FROM tg_s"""

@@ -468,3 +468,38 @@ def test_quantile_normalize_properties(synth_small, ray_session):
         # the within-source max rank maps to the global max bin
         assert g["norm_bin"].iloc[-1] == gmax
     assert (out["norm_q"] == out["norm_bin"] / 4096.0).all()
+
+
+def test_token_gini_hand_cases(ray_session):
+    """flat: every token unique (all f=1) → Gini exactly 0; skew: one token
+    dominating pushes Gini toward 1; values match the direct sorted-rank
+    formula; reshard-invariant."""
+    import ray.data as rd
+
+    # tokenizer keeps [a-z'] runs only — tokens must be purely alphabetic
+    flat_text = " ".join(
+        "tok" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(50)
+    )
+    skew_text = " ".join(["common"] * 99 + ["rare"])
+    rows = [
+        {"doc_id": "a", "source": "flat", "text": flat_text},
+        {"doc_id": "b", "source": "skew", "text": skew_text},
+    ]
+    got = (
+        text.token_gini(rd.from_items(rows, override_num_blocks=2))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert got.loc["flat", "gini"] == 0.0
+    assert got.loc["flat", "v_terms"] == 50
+    assert got.loc["flat", "total_tokens"] == 50
+    # skew: freqs sorted asc = [1, 99]; num = 1·1 + 99·2 = 199; V=2, T=100
+    exp = 2.0 * 199.0 / (2.0 * 100.0) - 3.0 / 2.0
+    assert got.loc["skew", "gini"] == exp
+    # reshard invariance: same rows split one-per-block
+    got1 = (
+        text.token_gini(rd.from_items(rows, override_num_blocks=1))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert got1["gini"].to_dict() == got["gini"].to_dict()
