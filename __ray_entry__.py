@@ -1338,6 +1338,18 @@ def q_od_matrix(sf_dir: str):
     )
 
 
+def q_path_density(sf_dir: str):
+    """Trajectory rasterization / line-density raster
+    (stages/spans.path_density): row-local midpoint segment sampling with
+    exact binary parameters, in-batch collapse, one skinny bucketed
+    combine; n_docs exact from per-batch distinct (cell, doc)."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.path_density(_docs(sf_dir)), ["cell_id", "n_samples", "n_docs"]
+    )
+
+
 def q_viewshed(sf_dir: str):
     """Observer-visibility viewshed over the occupied cells
     (stages/terrain.viewshed_cells): deterministic max-elevation observer,
@@ -4722,6 +4734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the unchecked families first.
         "emerging_hotspots": q_emerging_hotspots,
         "token_gini": q_token_gini,
+        "path_density": q_path_density,
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
@@ -5986,6 +5999,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "doc_trajectory": f"""
             WITH {geo},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).doc_trajectory_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
+        "path_density": f"""
+            WITH {geo},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).path_density_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",
         "simplify_paths": f"""
             WITH RECURSIVE {geo},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).simplify_paths_sql("SELECT doc_id, span_idx, lon, lat FROM geo")}""",

@@ -1271,3 +1271,124 @@ def parse_quarantine_sql(raw_geo_sql: str) -> str:
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(SUM(year) AS BIGINT) AS sum_year
         FROM qr_v GROUP BY status"""
+
+
+PATH_DENSITY_SAMPLES = 8  # power of two: midpoints (2s+1)/16 are exact doubles
+
+
+def path_density(documents, samples: int = PATH_DENSITY_SAMPLES, batch_size=None):
+    """Trajectory rasterization — the LINE-density raster: every
+    consecutive geo-span pair in a document's span-ordered path is sampled
+    at the midpoints of ``samples`` uniform subdivisions, each sample is
+    assigned its grid cell, and the per-cell totals (sample count + how
+    many distinct documents cross the cell) form the corridor/utilization
+    map — the vector→raster companion of :func:`od_matrix` (which keeps
+    only endpoints).  Reference analog: painting vector features onto the
+    pixel grid (`src/utils/s2process.py:172` paint; our M21).
+
+    Exactness: with ``samples`` a power of two the parameters
+    t = (2s+1)/(2·samples) are exact binary doubles, the interpolation
+    ``lon0 + (lon1−lon0)·t`` is two IEEE ops mirrored verbatim in SQL, and
+    the cell id reuses the pinned ``grid_coords``/``morton`` arithmetic.
+    Counts are exact integers.
+
+    Scale shape: row-local explode — a document is ONE input row, so its
+    segments and their samples never leave the batch; n_docs is exact from
+    per-batch distinct (cell, doc) pairs because a doc contributes from
+    exactly one batch; only skinny (cell, n, n_docs) partials enter the
+    ONE bucketed combine.  Fan-out is segments×samples ≈ 8× the geo rows —
+    bounded, and the in-batch group collapses it before the shuffle.
+
+    Output: (cell_id:int64, n_samples:int64, n_docs:int64).
+    """
+    from ..state.cells import CELL_LEVEL, encode
+    from .zonal import bucketed_sum
+
+    two_s = 2.0 * float(samples)
+    t_par = (2.0 * np.arange(samples, dtype=np.float64) + 1.0) / two_s
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)  # doc-contiguous, span-ordered
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "cell_id": pa.array([], pa.int64()),
+                "n_samples": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        seg = np.nonzero(same)[0]  # segment i: rows (seg, seg+1)
+        if len(seg) == 0:
+            return empty
+        lon0, lat0 = lon[seg], lat[seg]
+        dlon, dlat = lon[seg + 1] - lon0, lat[seg + 1] - lat0
+        plon = (lon0[:, None] + dlon[:, None] * t_par[None, :]).ravel()
+        plat = (lat0[:, None] + dlat[:, None] * t_par[None, :]).ravel()
+        cell = encode(plon, plat, CELL_LEVEL).astype(np.int64)
+        # doc ordinal per sample: doc runs are contiguous, so the doc of
+        # segment i is the run id at row i
+        run_id = np.cumsum(np.concatenate(([0], (~same).astype(np.int64))))
+        doc_ord = np.repeat(run_id[seg], samples)
+        cells_u, n_samp = np.unique(cell, return_counts=True)
+        pair = cell * np.int64(n) + doc_ord  # cell < 2^24, doc_ord < n
+        pairs_u = np.unique(pair)
+        pc_cell, n_doc = np.unique(pairs_u // np.int64(n), return_counts=True)
+        assert np.array_equal(cells_u, pc_cell)
+        return pa.table(
+            {
+                "cell_id": pa.array(cells_u),
+                "n_samples": pa.array(n_samp.astype(np.int64)),
+                "n_docs": pa.array(n_doc.astype(np.int64)),
+            }
+        )
+
+    partial = documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    return bucketed_sum(partial, ["cell_id"], ["n_samples", "n_docs"])
+
+
+def path_density_sql(geo_sql: str, samples: int = PATH_DENSITY_SAMPLES) -> str:
+    """Oracle twin of :func:`path_density`: LEAD window in span order,
+    identical midpoint parameters and two-op IEEE interpolation, the same
+    pinned grid/morton cell arithmetic, COUNT + COUNT(DISTINCT doc_id)."""
+    from ..state.cells import CELL_LEVEL, grid_coord_sql_expr, morton_sql_expr
+
+    two_s = float(2 * samples)
+    ix = grid_coord_sql_expr("plon", 180.0, 360.0, CELL_LEVEL)
+    iy = grid_coord_sql_expr("plat", 90.0, 180.0, CELL_LEVEL)
+    return f"""
+        pd_in AS MATERIALIZED ({geo_sql}),
+        pd_seg AS (
+            SELECT doc_id, lon, lat,
+                   lead(lon) OVER w AS nlon, lead(lat) OVER w AS nlat
+            FROM pd_in
+            WINDOW w AS (PARTITION BY doc_id ORDER BY span_idx)
+        ),
+        pd_pts AS (
+            SELECT g.doc_id,
+                   g.lon + (g.nlon - g.lon)
+                       * ((2 * s.s + 1) / {two_s!r}) AS plon,
+                   g.lat + (g.nlat - g.lat)
+                       * ((2 * s.s + 1) / {two_s!r}) AS plat
+            FROM pd_seg g
+            CROSS JOIN (SELECT unnest(generate_series(0, {samples - 1}))
+                        AS s) s
+            WHERE g.nlon IS NOT NULL
+        ),
+        pd_cells AS (
+            SELECT doc_id, {morton_sql_expr(ix, iy, CELL_LEVEL)} AS cell_id
+            FROM pd_pts
+        )
+        SELECT cell_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM pd_cells GROUP BY cell_id"""

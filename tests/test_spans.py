@@ -463,3 +463,47 @@ def test_parse_quarantine_isolates_bad_spans(ray_session):
     assert out.loc["quarantined", "n_spans"] == 3
     assert out.loc["quarantined", "n_docs"] == 2
     assert out.loc["quarantined", "sum_year"] == 0
+
+
+def test_path_density_hand_case(ray_session):
+    """A two-point horizontal path sampled at 8 midpoints: every sample
+    lands between the endpoints, totals are exact, and a one-point doc
+    contributes nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans as sp
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, encode
+
+    def mk_doc(doc_id, pts):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {
+                    "kind": "geo",
+                    "text": f"{lon:.6f};{lat:.6f};2022;100;"
+                    + ",".join(["0.1000"] * 6),
+                    "media_ref": "",
+                    "offset": i,
+                }
+                for i, (lon, lat) in enumerate(pts)
+            ],
+        }
+
+    # cell width at level 12 = 360/4096 ≈ 0.0879° — pick a segment spanning
+    # exactly a few cells on one row of the grid
+    docs = rd.from_items(
+        [
+            mk_doc("a", [(10.0, 5.0), (10.2, 5.0)]),
+            mk_doc("b", [(50.0, -20.0)]),  # single point: no segment
+        ]
+    )
+    got = sp.path_density(docs).to_pandas().set_index("cell_id")
+    assert got["n_samples"].sum() == 8  # one segment × 8 samples
+    assert (got["n_docs"] == 1).all()
+    # expected cells from the same midpoint arithmetic
+    t = (2.0 * np.arange(8) + 1.0) / 16.0
+    lons = 10.0 + (10.2 - 10.0) * t
+    lats = np.full(8, 5.0)
+    exp = np.unique(encode(lons, lats, CELL_LEVEL).astype(np.int64))
+    assert sorted(got.index.tolist()) == sorted(exp.tolist())
