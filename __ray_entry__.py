@@ -1338,6 +1338,18 @@ def q_od_matrix(sf_dir: str):
     )
 
 
+def q_km_survival(sf_dir: str):
+    """Kaplan-Meier user-lifetime survival curve (stages/events.
+    km_survival): one bucketed min/max combine, calendar-bounded hour
+    histogram, left-to-right IEEE ordered product (recursive-CTE twin)."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.km_survival(_tbl(sf_dir, "events")),
+        ["dur_hours", "n_risk", "n_events", "survival"],
+    )
+
+
 def q_path_density(sf_dir: str):
     """Trajectory rasterization / line-density raster
     (stages/spans.path_density): row-local midpoint segment sampling with
@@ -4735,6 +4747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emerging_hotspots": q_emerging_hotspots,
         "token_gini": q_token_gini,
         "path_density": q_path_density,
+        "km_survival": q_km_survival,
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
@@ -5920,6 +5933,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "token_gini": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).token_gini_sql("SELECT source, text FROM documents"),
+        "km_survival": f"""
+            WITH RECURSIVE
+            {__import__("kaza_lcms_ray.stages.events", fromlist=["events"]).km_survival_sql("SELECT user_id, ts, event_type, value FROM events")}""",
         "hash_embed": f"""
             WITH v AS ({__import__("kaza_lcms_ray.stages.text", fromlist=["text"]).hash_embed_sql("SELECT doc_id, text FROM documents")})
             SELECT doc_id, CAST(bucket - 1 AS BIGINT) AS bucket, val

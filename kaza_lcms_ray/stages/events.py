@@ -2157,3 +2157,198 @@ def event_runs_sql(key: str = "user_id", ts_col: str = "ts") -> str:
         SELECT u.{key}, u.n_events, u.n_runs,
                w.longest_run, w.longest_type
         FROM er_u u JOIN er_w w ON w.{key} = u.{key}"""
+
+
+KM_HOUR_US = 3_600_000_000
+KM_VALUE_THRESHOLD = 100.0  # "conversion" = first purchase with value > this
+_KM_SENTINEL = np.iinfo("int64").max if False else (1 << 62)  # no-conversion
+
+
+def km_survival(
+    ds,
+    target_type: str = "purchase",
+    value_threshold: float = KM_VALUE_THRESHOLD,
+):
+    """Kaplan-Meier time-to-conversion survival curve — per user, the time
+    from their FIRST event to their first ``target_type`` event with
+    value > ``value_threshold``; users who never convert are RIGHT-
+    CENSORED at their last event.  The censoring-aware funnel statistic
+    next to :func:`retention_cohorts` / `events_funnel`.
+
+    Definitions (pinned, mirrored verbatim in SQL):
+      * duration = (first conversion ts − first event ts) when a
+        conversion exists (observed), else (last event ts − first event
+        ts) (censored); floor-divided to integer HOURS (bounds the curve
+        support by the calendar span, not the user count);
+      * at each distinct hour d: n_risk(d) = #users with duration ≥ d
+        (censored users count while at risk — the standard
+        deaths-before-censorings convention), e(d) = conversions at d,
+        and S(d) = Π_{d'≤d} (1 − e(d')/n_risk(d')) multiplied in
+        ascending-hour order (left-to-right IEEE; e=0 factors are exactly
+        1.0, so the engine skipping them is bit-identical to the oracle's
+        recursive CTE walking every hour).
+
+    Scale shape: per-batch (user, min-ts, max-ts, min-conversion-ts)
+    partials → ONE bucketed min/max combine (the only corpus-sized
+    exchange; the no-conversion case rides a +inf sentinel through the
+    min); an in-batch histogram collapses the per-user table to
+    calendar-bounded (hour, e, n) rows, which is all the driver folds.
+
+    Output (hours with e > 0): (dur_hours:int64, n_risk:int64,
+    n_events:int64, survival:f64).
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.zonal import bucketed_combine, bucketed_sum
+
+    sent = np.int64(_KM_SENTINEL)
+
+    def user_partial(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        conv = (et == target_type) & (val > value_threshold)
+        tc = np.where(conv, ts, sent)
+        g = (
+            pa.table(
+                {
+                    "user_id": t.column("user_id").cast(pa.int64()),
+                    "tf": pa.array(ts),
+                    "tl": pa.array(ts),
+                    "tc": pa.array(tc),
+                }
+            )
+            .group_by(["user_id"])
+            .aggregate([("tf", "min"), ("tl", "max"), ("tc", "min")])
+        )
+        return g.rename_columns(["user_id", "tf", "tl", "tc"])
+
+    users = bucketed_combine(
+        ds.map_batches(user_partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"tf": "min", "tl": "max", "tc": "min"},
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        tl = t.column("tl").to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = t.column("tc").to_numpy(zero_copy_only=False).astype(np.int64)
+        obs = tc != np.int64(_KM_SENTINEL)
+        dur = np.where(obs, tc - tf, tl - tf)
+        hour = dur // np.int64(KM_HOUR_US)
+        g = (
+            pa.table(
+                {
+                    "dur_hours": pa.array(hour),
+                    "e": pa.array(obs.astype(np.int64)),
+                    "n": pa.array(np.ones(len(hour), np.int64)),
+                }
+            )
+            .group_by(["dur_hours"])
+            .aggregate([("e", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(["dur_hours", "e", "n"])
+
+    hist = (
+        bucketed_sum(
+            users.map_batches(hist_partial, batch_format="pyarrow"),
+            ["dur_hours"],
+            ["e", "n"],
+            recombine_batch_size=None,
+        )
+        .to_pandas()  # calendar-bounded: ≤ window-span hours rows
+        .sort_values("dur_hours", kind="mergesort")
+    )
+    empty = pa.table(
+        {
+            "dur_hours": pa.array([], pa.int64()),
+            "n_risk": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "survival": pa.array([], pa.float64()),
+        }
+    )
+    if len(hist) == 0:
+        return rd.from_arrow(empty)
+    e = hist["e"].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    hours = hist["dur_hours"].to_numpy(np.int64)
+    n_risk = n[::-1].cumsum()[::-1]  # Σ_{d'≥d} (observed + censored)
+    s = np.float64(1.0)
+    out = []
+    for h, ee, nr in zip(hours.tolist(), e.tolist(), n_risk.tolist()):
+        s = s * (np.float64(1.0) - np.float64(ee) / np.float64(nr))
+        if ee > 0:
+            out.append((h, nr, ee, float(s)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "dur_hours": pa.array([r[0] for r in out], pa.int64()),
+                "n_risk": pa.array([r[1] for r in out], pa.int64()),
+                "n_events": pa.array([r[2] for r in out], pa.int64()),
+                "survival": pa.array([r[3] for r in out], pa.float64()),
+            }
+        )
+    )
+
+
+def km_survival_sql(
+    events_sql: str,
+    target_type: str = "purchase",
+    value_threshold: float = KM_VALUE_THRESHOLD,
+) -> str:
+    """Oracle twin of :func:`km_survival`: identical conversion/censor/hour
+    rules in exact integers, descending-cumsum risk set, and a recursive
+    CTE multiplying (1 − e/n_risk) in ascending-hour order — the same
+    left-to-right IEEE product as the engine (e=0 factors are exactly 1)."""
+    return f"""
+        km_u AS (
+            SELECT user_id,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS tf,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS tl,
+                   min(CASE WHEN event_type = '{target_type}'
+                             AND value > {value_threshold!r}
+                            THEN CAST(epoch_us(ts) AS BIGINT) END) AS tc
+            FROM ({events_sql}) GROUP BY user_id
+        ),
+        km_d AS (
+            SELECT (CASE WHEN tc IS NOT NULL THEN tc - tf
+                         ELSE tl - tf END) // {KM_HOUR_US} AS dur_hours,
+                   CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS obs
+            FROM km_u
+        ),
+        km_h AS (
+            SELECT dur_hours,
+                   CAST(SUM(obs) AS BIGINT) AS e,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM km_d GROUP BY dur_hours
+        ),
+        km_r AS (
+            SELECT dur_hours, e,
+                   CAST(SUM(n) OVER (ORDER BY dur_hours DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_risk,
+                   CAST(ROW_NUMBER() OVER (ORDER BY dur_hours) AS BIGINT)
+                       AS rn
+            FROM km_h
+        ),
+        km_walk AS (
+            SELECT rn, dur_hours, e, n_risk,
+                   1.0 * (1.0 - CAST(e AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                       AS s
+            FROM km_r WHERE rn = 1
+            UNION ALL
+            SELECT r.rn, r.dur_hours, r.e, r.n_risk,
+                   w.s * (1.0 - CAST(r.e AS DOUBLE)
+                                / CAST(r.n_risk AS DOUBLE)) AS s
+            FROM km_walk w JOIN km_r r ON r.rn = w.rn + 1
+        )
+        SELECT dur_hours, n_risk, e AS n_events, s AS survival
+        FROM km_walk WHERE e > 0"""

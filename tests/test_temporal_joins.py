@@ -592,3 +592,50 @@ def test_event_runs_hand_case(ray_session):
     )
     assert out.loc[1].tolist() == [5, 3, 2, "a"]
     assert out.loc[2].tolist() == [3, 1, 3, "x"]
+
+
+def test_km_survival_textbook_case(ray_session):
+    """Five users — conversions at 1h (×2) and 3h, censored at 2h and 4h:
+    the classic KM table S(1)=3/5, S(3)=0.6·(1−1/2)=0.3; censored users
+    hold the risk set but emit no curve row."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+
+    def add(uid, dt_hours, etype, value):
+        nonlocal eid
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": base + pd.Timedelta(hours=dt_hours),
+                "user_id": uid,
+                "event_type": etype,
+                "value": value,
+                "props": "{}",
+            }
+        )
+        eid += 1
+
+    for uid, dur, observed in [
+        (1, 1, True),
+        (2, 1, True),
+        (3, 2, False),
+        (4, 3, True),
+        (5, 4, False),
+    ]:
+        add(uid, 0, "signup", 0.0)
+        if observed:
+            add(uid, dur, "purchase", 200.0)  # > threshold: conversion
+        else:
+            add(uid, dur, "purchase", 50.0)  # below threshold: censored
+    got = (
+        events.km_survival(rd.from_pandas(pd.DataFrame(rows)))
+        .to_pandas()
+        .sort_values("dur_hours")
+        .reset_index(drop=True)
+    )
+    assert got["dur_hours"].tolist() == [1, 3]
+    assert got["n_risk"].tolist() == [5, 2]
+    assert got["n_events"].tolist() == [2, 1]
+    assert got["survival"].tolist() == [1.0 * (1.0 - 2.0 / 5.0),
+                                        (1.0 - 2.0 / 5.0) * (1.0 - 1.0 / 2.0)]
