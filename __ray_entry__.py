@@ -2884,6 +2884,64 @@ def q_accuracy_report(sf_dir: str):
     return _i64(cm, ["LANDCOVER", "LANDCOVER_pred", "n"])
 
 
+def q_kappa_score(sf_dir: str):
+    """Cohen's kappa of the held-out confusion matrix — the
+    chance-corrected agreement the reference's accuracy-assessment step
+    reports next to overall accuracy (src/misc/05accuracy.py analog).
+    κ = (N·Σdiag − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c): every term
+    an exact integer from the distributed (truth, pred, n) counts, ONE
+    double division (the oracle mirrors in HUGEINT).  The 8×8 matrix is
+    the only driver-side data."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    test = rd.from_pandas(art["test"])
+    scored = P.score_quantized(test, art["models"]).select_columns(
+        ["LANDCOVER", "LANDCOVER_q"]
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        out = t.group_by(["LANDCOVER", "LANDCOVER_q"]).aggregate([([], "count_all")])
+        return out.rename_columns(["LANDCOVER", "LANDCOVER_pred", "n"])
+
+    from ray.data.aggregate import Sum
+
+    cm = (
+        scored.map_batches(count, batch_format="pyarrow")
+        .groupby(["LANDCOVER", "LANDCOVER_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ classes² rows
+    )
+    t = cm["LANDCOVER"].to_numpy(np.int64)
+    p = cm["LANDCOVER_pred"].to_numpy(np.int64)
+    n = cm["n"].to_numpy(np.int64)
+    big_n = int(n.sum())
+    d = int(n[t == p].sum())
+    row = {int(k): 0 for k in np.unique(np.concatenate([t, p]))}
+    col = dict(row)
+    for tt, pp, nn in zip(t.tolist(), p.tolist(), n.tolist()):
+        row[tt] += nn
+        col[pp] += nn
+    s = sum(row[c] * col[c] for c in row)  # exact (HUGEINT in the oracle)
+    overall = np.float64(d) / np.float64(big_n)
+    kappa = np.float64(big_n * d - s) / np.float64(big_n * big_n - s)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([big_n], pa.int64()),
+                "n_agree": pa.array([d], pa.int64()),
+                "marg": pa.array([s], pa.int64()),
+                "overall_acc": pa.array([float(overall)], pa.float64()),
+                "kappa": pa.array([float(kappa)], pa.float64()),
+            }
+        )
+    )
+
+
 def q_calibration_report(sf_dir: str):
     """Reliability diagram of the held-out scores: winning-class quantized
     leaf-sum share binned to deciles (pure integer cross-multiplied bin =
@@ -4980,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rf_landcover": q_rf_landcover,
         "rf_scores": q_rf_scores,
         "accuracy_report": q_accuracy_report,
+        "kappa_score": q_kappa_score,
         "distinct_years": q_distinct_years,
         "top_chars": q_top_chars,
         "set_intersect": q_set_intersect,
@@ -5990,6 +6049,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "rf_scores": _rf_scores_sql(root, RF_SCORE_MOD),
         "rf_quality": _rfq_sql(root),
         "accuracy_report": _accuracy_sql(root),
+        "kappa_score": _kappa_sql(root),
         "calibration_report": _calibration_sql(root),
         "roc_auc": _roc_auc_sql(
             root,
@@ -8640,6 +8700,42 @@ def _poly_area_sql(root: str) -> str:
                area_scaled * (COUNT(*) OVER ()) >= (SUM(area_scaled) OVER ())
                    AS is_majority
         FROM agg"""
+
+
+def _kappa_sql(root: str) -> str:
+    """Cohen's-kappa oracle: the full _accuracy_sql confusion-matrix chain
+    as a CTE, then exact HUGEINT marginal products and the single double
+    division the repo performs (np.float64(N·d − s) / np.float64(N² − s)).
+    Classes missing from one margin contribute a zero product, so the
+    inner join on class equals the repo's zero-initialised dict walk."""
+    cm_sql = _accuracy_sql(root)
+    # _accuracy_sql opens with "WITH RECURSIVE <ctes> SELECT ..."; splice
+    # its CTE list into ours and wrap its final SELECT as the cm CTE.
+    head = "WITH RECURSIVE"
+    body = cm_sql.strip()
+    assert body.startswith(head)
+    ctes, final_select = body[len(head):].rsplit("SELECT", 1)
+    return f"""
+        WITH RECURSIVE {ctes},
+        cm AS (SELECT {final_select}),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+                   CAST(SUM(CASE WHEN "LANDCOVER" = "LANDCOVER_pred"
+                            THEN n ELSE 0 END) AS BIGINT) AS d
+            FROM cm
+        ),
+        rowt AS (SELECT "LANDCOVER" AS c, SUM(n) AS r FROM cm GROUP BY 1),
+        colt AS (SELECT "LANDCOVER_pred" AS c, SUM(n) AS cl FROM cm GROUP BY 1),
+        m AS (
+            SELECT CAST(COALESCE(SUM(CAST(r AS HUGEINT)
+                                     * CAST(cl AS HUGEINT)), 0) AS HUGEINT) AS s
+            FROM rowt JOIN colt USING (c)
+        )
+        SELECT big_n AS n, d AS n_agree, CAST(s AS BIGINT) AS marg,
+               CAST(d AS DOUBLE) / CAST(big_n AS DOUBLE) AS overall_acc,
+               CAST(CAST(big_n AS HUGEINT) * d - s AS DOUBLE)
+                   / CAST(CAST(big_n AS HUGEINT) * big_n - s AS DOUBLE) AS kappa
+        FROM tot, m"""
 
 
 def _geo_bbox_sql(geo: str, cells: str) -> str:
