@@ -2942,6 +2942,138 @@ def q_kappa_score(sf_dir: str):
     )
 
 
+def q_per_class_f1(sf_dir: str):
+    """Per-class precision / recall / F1 over the held-out confusion
+    matrix (the per-class companion of accuracy_report — reference
+    accuracy-assessment analog, src/misc/05accuracy.py).  One row per
+    class in the truth∪pred union; every count an exact integer from the
+    distributed cm, each ratio ONE double division with a pinned rule:
+    prec = d/n_pred (0.0 if never predicted), rec = d/n_true (0.0 if
+    never true), f1 = 2d/(n_true+n_pred) — the algebraic 2PR/(P+R) form
+    with a single division, so both branches hash identically."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    test = rd.from_pandas(art["test"])
+    scored = P.score_quantized(test, art["models"]).select_columns(
+        ["LANDCOVER", "LANDCOVER_q"]
+    )
+
+    def count(t: pa.Table) -> pa.Table:
+        out = t.group_by(["LANDCOVER", "LANDCOVER_q"]).aggregate([([], "count_all")])
+        return out.rename_columns(["LANDCOVER", "LANDCOVER_pred", "n"])
+
+    from ray.data.aggregate import Sum
+
+    cm = (
+        scored.map_batches(count, batch_format="pyarrow")
+        .groupby(["LANDCOVER", "LANDCOVER_pred"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ classes² rows
+    )
+    t = cm["LANDCOVER"].to_numpy(np.int64)
+    p = cm["LANDCOVER_pred"].to_numpy(np.int64)
+    n = cm["n"].to_numpy(np.int64)
+    classes = sorted(int(c) for c in np.unique(np.concatenate([t, p])))
+    rows = []
+    for c in classes:
+        n_true = int(n[t == c].sum())
+        n_pred = int(n[p == c].sum())
+        d = int(n[(t == c) & (p == c)].sum())
+        prec = float(np.float64(d) / np.float64(n_pred)) if n_pred else 0.0
+        rec = float(np.float64(d) / np.float64(n_true)) if n_true else 0.0
+        f1 = (
+            float(np.float64(2 * d) / np.float64(n_true + n_pred))
+            if (n_true + n_pred)
+            else 0.0
+        )
+        rows.append((c, n_true, n_pred, d, prec, rec, f1))
+    cols = list(zip(*rows))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "class": pa.array(cols[0], pa.int64()),
+                "n_true": pa.array(cols[1], pa.int64()),
+                "n_pred": pa.array(cols[2], pa.int64()),
+                "n_correct": pa.array(cols[3], pa.int64()),
+                "prec": pa.array(cols[4], pa.float64()),
+                "rec": pa.array(cols[5], pa.float64()),
+                "f1": pa.array(cols[6], pa.float64()),
+            }
+        )
+    )
+
+
+def q_mcnemar_trees(sf_dir: str):
+    """McNemar's paired test: full forest vs its first-tree baseline on
+    the SAME held-out rows (is the ensemble actually better than one
+    tree?).  Both predictions come from the exact quantized walk — the
+    baseline is per-class ``Forest(trees=[trees[0]])`` — so the oracle
+    replays both with a tree-filtered second walk CTE chain.  The four
+    discordance cells are exact integer sums of skinny per-batch
+    partials (one 4-int row per batch reaches the combine); the χ²
+    statistic (b−c)²/(b+c) (no continuity correction, pinned; 0.0 when
+    b+c=0) is ONE double division."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from kaza_lcms_ray.config import DEFAULT_CONFIG
+    from kaza_lcms_ray.pipelines import primitives as P
+    from kaza_lcms_ray.state.forest import Forest
+
+    root = _synth(sf_dir)
+    art = P.rf_artifacts(root, DEFAULT_CONFIG)
+    single = {
+        c: {**m, "forest": Forest(trees=m["forest"].trees[:1])}
+        for c, m in art["models"].items()
+    }
+    test = rd.from_pandas(art["test"])
+    scored = P.score_quantized(test, art["models"])
+    scored = P.score_quantized(
+        scored, single, label_col="LANDCOVER_q1", prefix="pq1_"
+    ).select_columns(["LANDCOVER", "LANDCOVER_q", "LANDCOVER_q1"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        truth = t.column("LANDCOVER").to_numpy(zero_copy_only=False)
+        full_ok = t.column("LANDCOVER_q").to_numpy(zero_copy_only=False) == truth
+        one_ok = t.column("LANDCOVER_q1").to_numpy(zero_copy_only=False) == truth
+        return pa.table(
+            {
+                "n11": pa.array([int(np.sum(full_ok & one_ok))], pa.int64()),
+                "n10": pa.array([int(np.sum(full_ok & ~one_ok))], pa.int64()),
+                "n01": pa.array([int(np.sum(~full_ok & one_ok))], pa.int64()),
+                "n00": pa.array([int(np.sum(~full_ok & ~one_ok))], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = scored.map_batches(cells, batch_format="pyarrow").aggregate(
+        Sum("n11", alias_name="n11"),
+        Sum("n10", alias_name="n10"),
+        Sum("n01", alias_name="n01"),
+        Sum("n00", alias_name="n00"),
+    )
+    b, c = int(agg["n10"]), int(agg["n01"])
+    chi2 = float(np.float64((b - c) * (b - c)) / np.float64(b + c)) if b + c else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n11": pa.array([int(agg["n11"])], pa.int64()),
+                "n10": pa.array([b], pa.int64()),
+                "n01": pa.array([c], pa.int64()),
+                "n00": pa.array([int(agg["n00"])], pa.int64()),
+                "chi2": pa.array([chi2], pa.float64()),
+            }
+        )
+    )
+
+
 def q_calibration_report(sf_dir: str):
     """Reliability diagram of the held-out scores: winning-class quantized
     leaf-sum share binned to deciles (pure integer cross-multiplied bin =
@@ -5039,6 +5171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rf_scores": q_rf_scores,
         "accuracy_report": q_accuracy_report,
         "kappa_score": q_kappa_score,
+        "per_class_f1": q_per_class_f1,
+        "mcnemar_trees": q_mcnemar_trees,
         "distinct_years": q_distinct_years,
         "top_chars": q_top_chars,
         "set_intersect": q_set_intersect,
@@ -6050,6 +6184,8 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "rf_quality": _rfq_sql(root),
         "accuracy_report": _accuracy_sql(root),
         "kappa_score": _kappa_sql(root),
+        "per_class_f1": _per_class_f1_sql(root),
+        "mcnemar_trees": _mcnemar_sql(root),
         "calibration_report": _calibration_sql(root),
         "roc_auc": _roc_auc_sql(
             root,
@@ -9182,34 +9318,40 @@ def _walk_ctes(
     feats_key: str,
     trees_rel: str = "rf_model/trees.parquet",
     feat_case: str | None = None,
+    suffix: str = "",
+    tree_filter: str = "",
 ) -> str:
     """Recursive tree-walk CTEs over `feats` (must expose ``{feats_key}``
     key columns + the feature columns ``feat_case`` dispatches on —
-    default: the 9 landcover covariates).  Ends with `leaf`: one row per
-    (key, class) with pq = Σ_trees value_q."""
+    default: the 9 landcover covariates).  Ends with `leaf{suffix}`: one
+    row per (key, class) with pq = Σ_trees value_q.  ``suffix`` renames
+    the three CTEs so two walks (e.g. full forest vs a tree subset via
+    ``tree_filter``) can coexist in one statement."""
     feat_case = feat_case or _FEAT_CASE
     ks = feats_key.split(", ")
     on_f = " AND ".join(f"f.{k} = w.{k}" for k in ks)
     w_keys = ", ".join(f"w.{k}" for k in ks)
+    s = suffix
     return f"""
-        trees AS MATERIALIZED (SELECT * FROM read_parquet('{root}/{trees_rel}')),
-        walk AS (
+        trees{s} AS MATERIALIZED (
+            SELECT * FROM read_parquet('{root}/{trees_rel}') {tree_filter}),
+        walk{s} AS (
             SELECT n.class, n.tree, {feats_key}, 0 AS node
-            FROM (SELECT DISTINCT class, tree FROM trees) n, feats
+            FROM (SELECT DISTINCT class, tree FROM trees{s}) n, feats
             UNION ALL
             SELECT w.class, w.tree, {w_keys},
                    CASE WHEN ({feat_case}) <= t.thresh
                         THEN t.left ELSE t.right END AS node
-            FROM walk w
-            JOIN trees t ON t.class = w.class AND t.tree = w.tree
+            FROM walk{s} w
+            JOIN trees{s} t ON t.class = w.class AND t.tree = w.tree
                         AND t.node = w.node
             JOIN feats f ON {on_f}
             WHERE t.feature_name <> ''
         ),
-        leaf AS (
+        leaf{s} AS (
             SELECT {w_keys}, w.class, CAST(SUM(t.value_q) AS BIGINT) AS pq
-            FROM walk w
-            JOIN trees t ON t.class = w.class AND t.tree = w.tree
+            FROM walk{s} w
+            JOIN trees{s} t ON t.class = w.class AND t.tree = w.tree
                         AND t.node = w.node
             WHERE t.feature_name = ''
             GROUP BY {w_keys}, w.class
@@ -9333,6 +9475,105 @@ def _rf_scores_sql(root: str, mod: int) -> str:
                CAST(l.class AS BIGINT) AS "LANDCOVER_q"
         FROM piv p JOIN lab l
           ON l.tile_id = p.tile_id AND l."year" = p."year" AND l.rn = 1"""
+
+
+def _per_class_f1_sql(root: str) -> str:
+    """Per-class P/R/F1 oracle: the _accuracy_sql cm chain spliced as a
+    CTE (the kappa pattern), margins per class over the truth∪pred
+    union, then the SAME pinned one-division rules the repo applies
+    (prec = d/n_pred, rec = d/n_true, f1 = 2d/(n_true+n_pred), 0.0 on
+    empty denominators)."""
+    cm_sql = _accuracy_sql(root)
+    head = "WITH RECURSIVE"
+    body = cm_sql.strip()
+    assert body.startswith(head)
+    ctes, final_select = body[len(head):].rsplit("SELECT", 1)
+    return f"""
+        WITH RECURSIVE {ctes},
+        cm AS (SELECT {final_select}),
+        classes AS (
+            SELECT DISTINCT class FROM (
+                SELECT "LANDCOVER" AS class FROM cm
+                UNION ALL SELECT "LANDCOVER_pred" FROM cm)),
+        rowt AS (SELECT "LANDCOVER" AS class, SUM(n) AS r FROM cm GROUP BY 1),
+        colt AS (SELECT "LANDCOVER_pred" AS class, SUM(n) AS cl
+                 FROM cm GROUP BY 1),
+        diag AS (SELECT "LANDCOVER" AS class, SUM(n) AS d FROM cm
+                 WHERE "LANDCOVER" = "LANDCOVER_pred" GROUP BY 1)
+        SELECT c.class,
+               CAST(COALESCE(r.r, 0) AS BIGINT) AS n_true,
+               CAST(COALESCE(cl.cl, 0) AS BIGINT) AS n_pred,
+               CAST(COALESCE(d.d, 0) AS BIGINT) AS n_correct,
+               CASE WHEN COALESCE(cl.cl, 0) > 0
+                    THEN CAST(COALESCE(d.d, 0) AS DOUBLE) / CAST(cl.cl AS DOUBLE)
+                    ELSE 0.0 END AS prec,
+               CASE WHEN COALESCE(r.r, 0) > 0
+                    THEN CAST(COALESCE(d.d, 0) AS DOUBLE) / CAST(r.r AS DOUBLE)
+                    ELSE 0.0 END AS rec,
+               CASE WHEN COALESCE(r.r, 0) + COALESCE(cl.cl, 0) > 0
+                    THEN CAST(2 * COALESCE(d.d, 0) AS DOUBLE)
+                         / CAST(COALESCE(r.r, 0) + COALESCE(cl.cl, 0) AS DOUBLE)
+                    ELSE 0.0 END AS f1
+        FROM classes c
+        LEFT JOIN rowt r ON r.class = c.class
+        LEFT JOIN colt cl ON cl.class = c.class
+        LEFT JOIN diag d ON d.class = c.class"""
+
+
+def _mcnemar_sql(root: str) -> str:
+    """McNemar oracle: the _accuracy_sql feature chain, then TWO tree
+    walks — the full forest and the ``tree = 0`` subset (the repo's
+    ``Forest(trees=trees[:1])`` baseline) — paired per test row; exact
+    integer discordance cells and the single-division χ²."""
+    geo = _geo_cte(root)
+    split = _split_ctes(root)
+    scaled = ", ".join(
+        f"g.b{i} * 0.0001 AS {n}"
+        for i, n in enumerate(("blue", "green", "red", "nir", "swir1", "swir2"))
+    )
+    covs = ", ".join(f'{e} AS "{n}"' for n, e in _COV_EXPRS.items())
+    rank = (
+        "row_number() OVER (PARTITION BY l.doc_id, l.span_idx "
+        "ORDER BY pq DESC, class ASC) AS rn"
+    )
+    return f"""
+        WITH RECURSIVE {geo},
+        {split},
+        test AS (SELECT doc_id, span_idx, "LANDCOVER" FROM capped
+                 WHERE rsplit >= 0.8),
+        sc AS (
+            SELECT t.doc_id, t.span_idx, t."LANDCOVER", {scaled}
+            FROM test t JOIN geo g
+              ON g.doc_id = t.doc_id AND g.span_idx = t.span_idx
+        ),
+        feats AS MATERIALIZED (SELECT *, {covs} FROM sc),
+        {_walk_ctes(root, "doc_id, span_idx")},
+        lab AS (SELECT l.doc_id, l.span_idx, l.class, {rank} FROM leaf l),
+        {_walk_ctes(root, "doc_id, span_idx", suffix="1",
+                    tree_filter="WHERE tree = 0")},
+        lab1 AS (SELECT l.doc_id, l.span_idx, l.class, {rank} FROM leaf1 l),
+        pair AS (
+            SELECT CAST(f."LANDCOVER" = l.class AS INT) AS fo,
+                   CAST(f."LANDCOVER" = l1.class AS INT) AS oo
+            FROM feats f
+            JOIN lab l ON l.doc_id = f.doc_id AND l.span_idx = f.span_idx
+                      AND l.rn = 1
+            JOIN lab1 l1 ON l1.doc_id = f.doc_id AND l1.span_idx = f.span_idx
+                        AND l1.rn = 1
+        ),
+        cellcounts AS (
+            SELECT CAST(SUM(fo * oo) AS BIGINT) AS n11,
+                   CAST(SUM(fo * (1 - oo)) AS BIGINT) AS n10,
+                   CAST(SUM((1 - fo) * oo) AS BIGINT) AS n01,
+                   CAST(SUM((1 - fo) * (1 - oo)) AS BIGINT) AS n00
+            FROM pair
+        )
+        SELECT n11, n10, n01, n00,
+               CASE WHEN n10 + n01 > 0
+                    THEN CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                         / CAST(n10 + n01 AS DOUBLE)
+                    ELSE 0.0 END AS chi2
+        FROM cellcounts"""
 
 
 def _accuracy_sql(root: str) -> str:

@@ -299,12 +299,16 @@ def area_with_ci(synth_root: str, models: dict, config: PipelineConfig = DEFAULT
     )
 
 
-def score_quantized(ds, models: dict, concurrency=None):
+def score_quantized(
+    ds, models: dict, concurrency=None, label_col="LANDCOVER_q", prefix="pq_"
+):
     """Like ``score`` but emits the exact replayable statistic: per class,
-    ``pq_{c}`` = Σ_trees rint(leaf_value·2^40) (int64, order-free), plus
-    ``LANDCOVER_q`` = argmax over the integer sums (ties → lowest class).
-    A SQL walk over the exported node tables reproduces every value
-    bit-for-bit — see ``Forest.predict_quantized``."""
+    ``{prefix}{c}`` = Σ_trees rint(leaf_value·2^40) (int64, order-free),
+    plus ``{label_col}`` = argmax over the integer sums (ties → lowest
+    class).  A SQL walk over the exported node tables reproduces every
+    value bit-for-bit — see ``Forest.predict_quantized``.  ``label_col``/
+    ``prefix`` let a second model family (e.g. a single-tree baseline for
+    a paired McNemar test) score the same rows without column collisions."""
     if concurrency is None:
         from ..runtime import pool_size
 
@@ -329,10 +333,10 @@ def score_quantized(ds, models: dict, concurrency=None):
                 )
                 q = m["forest"].predict_quantized(X)
                 sums.append(q)
-                batch = batch.append_column(f"pq_{c}", pa.array(q))
+                batch = batch.append_column(f"{prefix}{c}", pa.array(q))
             Q = np.stack(sums, axis=1)
             label = np.asarray(classes, dtype=np.int32)[np.argmax(Q, axis=1)]
-            return batch.append_column("LANDCOVER_q", pa.array(label))
+            return batch.append_column(label_col, pa.array(label))
 
     return ds.map_batches(
         QuantScorer,
