@@ -961,6 +961,23 @@ def q_tile_labels(sf_dir: str):
     return _i64(assemblage.assemble_tile_labels(prims), ["tile_id", "year", "LANDCOVER"])
 
 
+def q_class_shape(sf_dir: str):
+    """FRAGSTATS class-level shape metrics over the 2022 label raster
+    (stages/assemblage.class_shape): integer area/perimeter from ONE
+    bucketed (tile·class)-key adjacency combine, pinned share and
+    landscape-shape-index doubles (oracle repeats the identical
+    single-division chains)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.class_shape(prims, year=2022),
+        ["LANDCOVER", "area", "perimeter", "share", "lsi"],
+    )
+
+
 def q_landscape_diversity(sf_dir: str):
     """Shannon landscape diversity per labeled tile
     (stages/assemblage.landscape_diversity): neighborhood label counts,
@@ -5001,6 +5018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_centroid": q_poly_centroid,
         "majority_smooth": q_majority_smooth,
         "clump_sizes": q_clump_sizes,
+        "class_shape": q_class_shape,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -5815,6 +5833,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     ) WHERE "year" = 2022'''
             )}""",
         "clump_sizes": _clump_sizes_sql(root),
+        "class_shape": _class_shape_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -8648,6 +8667,61 @@ def _majority_smooth_sql(root: str, year: int = 2022) -> str:
                 PARTITION BY tile_id ORDER BY n DESC, lc ASC
             ) AS rn FROM mj_cnt
         ) WHERE rn = 1"""
+
+
+def _class_shape_sql(root: str, year: int = 2022) -> str:
+    """class_shape replay: label raster via the row_number replay, tile
+    decode, 4-neighbor in-bounds probe fan keyed by (neighbor, own class),
+    membership join against the label set, per-class integer margins and
+    the pinned share / 0.25·P/√A double chains."""
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+        morton_sql_expr,
+    )
+
+    hi = (1 << TILE_LEVEL) - 1
+    return f"""
+        WITH cs_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        cs_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM cs_lab
+        ),
+        cs_offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS t(dx, dy)),
+        cs_probe AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS tile_id,
+                   d.lc
+            FROM cs_dec d CROSS JOIN cs_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        cs_same AS (
+            SELECT p.lc, COUNT(*) AS same
+            FROM cs_probe p JOIN cs_lab a
+              ON a.tile_id = p.tile_id AND a.lc = p.lc
+            GROUP BY 1
+        ),
+        cs_area AS (SELECT lc, COUNT(*) AS area FROM cs_lab GROUP BY 1),
+        cs_tot AS (SELECT SUM(area) AS ta FROM cs_area)
+        SELECT a.lc AS "LANDCOVER",
+               CAST(a.area AS BIGINT) AS area,
+               CAST(4 * a.area - COALESCE(s.same, 0) AS BIGINT) AS perimeter,
+               CAST(a.area AS DOUBLE) / CAST(t.ta AS DOUBLE) AS share,
+               CAST(4 * a.area - COALESCE(s.same, 0) AS DOUBLE) * 0.25
+                   / sqrt(CAST(a.area AS DOUBLE)) AS lsi
+        FROM cs_area a LEFT JOIN cs_same s ON s.lc = a.lc, cs_tot t"""
 
 
 def _clump_sizes_sql(

@@ -389,6 +389,154 @@ def clump_sizes(primitives, year: int = 2022, block_levels: int = 4, mmu: int = 
     )
 
 
+def class_shape(primitives, year: int = 2022):
+    """FRAGSTATS-style CLASS-level shape metrics over the classified label
+    raster — the landscape-ecology report card (area, perimeter, landscape
+    share, landscape shape index) a land-cover monitoring product ships
+    next to its per-class areas (reference analog: the per-class area
+    rollups of src/misc/strata.py over the assembled LANDCOVER raster).
+
+    Semantics (4-connected, grid-bounded): for class c,
+      area_c       = # tiles labeled c;
+      perimeter_c  = # tile edges whose other side is a different class,
+                     an unlabeled tile, or the grid boundary
+                   = 4·area_c − (# directed same-class adjacencies);
+      share_c      = area_c / Σ area (ONE double division);
+      lsi_c        = 0.25·perimeter_c / √area_c (the FRAGSTATS LSI
+                     numerator form; ×0.25 is exact in IEEE, then one
+                     division by an exactly-rounded sqrt).
+
+    Exactness: area/perimeter are pure integers; the directed same-class
+    adjacency count is membership of (neighbor_tile, own_class) keys in
+    the (tile, class) label set, so any combine order agrees bit-for-bit
+    and the two doubles are pinned single-operation chains the SQL oracle
+    repeats verbatim.
+
+    Scale shape: one fan pass emits ≤4 in-bounds probe keys per tile
+    (pre-aggregated per batch), labels contribute (key, base=1) rows; ONE
+    bucketed integer combine joins them by key; per-batch (class, area,
+    same) partials then collapse through a ≤|classes|·buckets-row final
+    sum — raw tiles never reach the driver.
+
+    Output: (LANDCOVER:int64, area:int64, perimeter:int64, share:float64,
+    lsi:float64), one row per class present.
+    """
+    import ray.data as rd
+
+    from ..state import cells
+    from ..state.cells import TILE_LEVEL
+    from .zonal import bucketed_sum
+
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .materialize()
+    )
+    out_cols = ["LANDCOVER", "area", "perimeter", "share", "lsi"]
+    if labels.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "LANDCOVER": pa.array([], pa.int64()),
+                    "area": pa.array([], pa.int64()),
+                    "perimeter": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                    "lsi": pa.array([], pa.float64()),
+                }
+            )
+        )
+    hi = (1 << TILE_LEVEL) - 1
+
+    def fan(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = cells.decode(tid, TILE_LEVEL)
+        parts = [
+            pa.table(
+                {
+                    "k": pa.array(tid * np.int64(256) + lc, pa.int64()),
+                    "n_probe": pa.array(np.zeros(len(tid), np.int64)),
+                    "n_base": pa.array(np.ones(len(tid), np.int64)),
+                }
+            )
+        ]
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            m = (ix + dx >= 0) & (ix + dx <= hi) & (iy + dy >= 0) & (iy + dy <= hi)
+            nbr = cells.morton(ix[m] + dx, iy[m] + dy)
+            g = (
+                pa.table({"k": pa.array(nbr * np.int64(256) + lc[m], pa.int64())})
+                .group_by(["k"])
+                .aggregate([([], "count_all")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "k": g.column("k"),
+                        "n_probe": g.column("count_all"),
+                        "n_base": pa.array(
+                            np.zeros(g.num_rows, np.int64)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    per_key = bucketed_sum(
+        labels.map_batches(fan, batch_format="pyarrow"),
+        ["k"],
+        ["n_probe", "n_base"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        npb = t.column("n_probe").to_numpy(zero_copy_only=False)
+        nb = t.column("n_base").to_numpy(zero_copy_only=False)
+        lc = k & np.int64(255)
+        present = nb > 0
+        g = (
+            pa.table(
+                {
+                    "LANDCOVER": pa.array(lc, pa.int64()),
+                    "area": pa.array(nb, pa.int64()),
+                    "same": pa.array(np.where(present, npb, 0), pa.int64()),
+                }
+            )
+            .group_by(["LANDCOVER"])
+            .aggregate([("area", "sum"), ("same", "sum")])
+        )
+        return g.rename_columns(["LANDCOVER", "area", "same"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        per_key.map_batches(partial, batch_format="pyarrow")
+        .groupby("LANDCOVER")
+        .aggregate(Sum("area", alias_name="area"), Sum("same", alias_name="same"))
+        .to_pandas()  # ≤ |classes| rows
+    )
+    lc = agg["LANDCOVER"].to_numpy(np.int64)
+    area = agg["area"].to_numpy(np.int64)
+    same = agg["same"].to_numpy(np.int64)
+    order = np.argsort(lc, kind="mergesort")
+    lc, area, same = lc[order], area[order], same[order]
+    per = 4 * area - same
+    total = int(area.sum())
+    share = area.astype(np.float64) / np.float64(total)
+    lsi = per.astype(np.float64) * 0.25 / np.sqrt(area.astype(np.float64))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(lc, pa.int64()),
+                "area": pa.array(area, pa.int64()),
+                "perimeter": pa.array(per, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+                "lsi": pa.array(lsi, pa.float64()),
+            }
+        )
+    )
+
+
 SHDI_SCALE = 1 << 30  # quantization of the per-label entropy terms
 
 

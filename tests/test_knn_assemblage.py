@@ -282,3 +282,52 @@ def test_label_pyramid_bruteforce(ray_session, synth_small):
         for _, r in got.sample(min(50, len(got)), random_state=2).iterrows():
             b, n = want[r["tile_id"]]
             assert (r["LANDCOVER"], r["n_votes"]) == (b, n)
+
+
+def test_class_shape_hand_grid(ray_session):
+    """Hand grid: a 2x2 square of class 5 (area 4, perimeter 8), an
+    isolated class-9 tile (area 1, perimeter 4), and a class-7 domino
+    pair (area 2, perimeter 6); a corner tile at (0, 0) checks that the
+    grid boundary counts as edge without wrapping."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.array([1, 2, 1, 2, 5, 0, 0])
+    ys = np.array([1, 1, 2, 2, 5, 0, 1])
+    lc = np.array([5, 5, 5, 5, 9, 7, 7])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.class_shape(prims, year=2022).to_pandas().set_index("LANDCOVER")
+    assert out.loc[5, "area"] == 4 and out.loc[5, "perimeter"] == 8
+    assert out.loc[9, "area"] == 1 and out.loc[9, "perimeter"] == 4
+    # domino at the corner: 2*4 - 2 directed same-adjacencies = 6 (the
+    # out-of-grid sides at x=-1 / y=-1 are edges, not wraps)
+    assert out.loc[7, "area"] == 2 and out.loc[7, "perimeter"] == 6
+    assert abs(out.loc[5, "share"] - 4 / 7) < 1e-15
+    assert abs(out.loc[5, "lsi"] - 8 * 0.25 / np.sqrt(4.0)) < 1e-15
+    # reshard invariance: the bucketed combine must not depend on blocks
+    out2 = (
+        assemblage.class_shape(
+            prims.repartition(5), year=2022
+        )
+        .to_pandas()
+        .set_index("LANDCOVER")
+    )
+    assert out.sort_index().equals(out2.sort_index())
