@@ -1439,6 +1439,58 @@ def q_change_matrix(sf_dir: str):
     )
 
 
+def q_cramers_v(sf_dir: str):
+    """Cramér's V association strength between the 2020 and 2022 label
+    rasters — the scalar change-analysis companion of change_matrix
+    (V→1: labels persist; V→0: independent relabeling).  All heavy work
+    is the distributed change matrix; the ≤k² contingency rows then fold
+    driver-side in EXACT integer arithmetic: per-cell quantized terms
+    floor(n²·2⁴⁰/(r·c)) (order-free integer sum; Python bigints here,
+    HUGEINT in the oracle), χ²_q = max(0, N·(S_q − 2⁴⁰)) (the clamp pins
+    the floor-rounding dip at exact independence), then TWO pinned
+    doubles: chi2 = χ²_q/2⁴⁰ (exact power-of-two scaling) and
+    V = √(χ²_q / (2⁴⁰·N·(k−1)))."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    root = _synth(sf_dir)
+    prims = rd.read_parquet(f"{root}/primitives.parquet")
+    cm = assemblage.change_matrix(prims, 2020, 2022).to_pandas()  # ≤ k² rows
+    f = cm["from_class"].to_numpy(np.int64)
+    t = cm["to_class"].to_numpy(np.int64)
+    n = cm["n_tiles"].to_numpy(np.int64)
+    big_n = int(n.sum())
+    row = {int(c): 0 for c in np.unique(f)}
+    col = {int(c): 0 for c in np.unique(t)}
+    for ff, tt, nn in zip(f.tolist(), t.tolist(), n.tolist()):
+        row[ff] += nn
+        col[tt] += nn
+    Q = 1 << 40
+    s_q = sum(
+        (nn * nn * Q) // (row[ff] * col[tt])
+        for ff, tt, nn in zip(f.tolist(), t.tolist(), n.tolist())
+    )
+    chi2_q = max(0, big_n * (s_q - Q))
+    k = min(len(row), len(col))
+    chi2 = float(np.float64(chi2_q) / np.float64(Q))
+    v = (
+        float(np.sqrt(np.float64(chi2_q) / np.float64(Q * big_n * (k - 1))))
+        if k > 1
+        else 0.0
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([big_n], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "chi2": pa.array([chi2], pa.float64()),
+                "v": pa.array([v], pa.float64()),
+            }
+        )
+    )
+
+
 def q_area_by_class(sf_dir: str):
     import ray.data as rd
 
@@ -5067,6 +5119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_extract": q_radius_extract,
         "morans_i": q_morans_i,
         "change_matrix": q_change_matrix,
+        "cramers_v": q_cramers_v,
         "variogram": q_variogram,
         "leakage_split": q_leakage_split,
         "events_attribution": q_events_attribution,
@@ -5817,6 +5870,52 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM cmx_lab a JOIN cmx_lab b ON a.tile_id = b.tile_id
             WHERE a."year" = 2020 AND b."year" = 2022
             GROUP BY 1, 2""",
+        "cramers_v": f"""
+            WITH cvx_lab AS MATERIALIZED (
+                SELECT tile_id, "year", CAST(class AS BIGINT) AS lc
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY tile_id, "year"
+                        ORDER BY prob DESC, class ASC
+                    ) AS rn
+                    FROM read_parquet('{root}/primitives.parquet')
+                ) WHERE rn = 1
+            ),
+            cvx_cm AS (
+                SELECT a.lc AS f, b.lc AS t, CAST(COUNT(*) AS BIGINT) AS n
+                FROM cvx_lab a JOIN cvx_lab b ON a.tile_id = b.tile_id
+                WHERE a."year" = 2020 AND b."year" = 2022
+                GROUP BY 1, 2
+            ),
+            cvx_rt AS (SELECT f, SUM(n) AS r FROM cvx_cm GROUP BY 1),
+            cvx_ct AS (SELECT t, SUM(n) AS c FROM cvx_cm GROUP BY 1),
+            cvx_tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS big_n FROM cvx_cm),
+            cvx_k AS (SELECT LEAST((SELECT COUNT(*) FROM cvx_rt),
+                                   (SELECT COUNT(*) FROM cvx_ct)) AS k),
+            cvx_s AS (
+                SELECT CAST(SUM(
+                    (CAST(m.n AS HUGEINT) * m.n * {1 << 40})
+                        // (CAST(r.r AS HUGEINT) * c.c)
+                ) AS HUGEINT) AS s
+                FROM cvx_cm m
+                JOIN cvx_rt r ON r.f = m.f
+                JOIN cvx_ct c ON c.t = m.t
+            ),
+            cvx_chi AS (
+                SELECT GREATEST(CAST(0 AS HUGEINT),
+                                t.big_n * (s.s - {1 << 40})) AS chi2q
+                FROM cvx_tot t, cvx_s s
+            )
+            SELECT CAST(t.big_n AS BIGINT) AS n,
+                   CAST(k.k AS BIGINT) AS k,
+                   CAST(c.chi2q AS DOUBLE)
+                       / CAST({1 << 40} AS DOUBLE) AS chi2,
+                   CASE WHEN k.k > 1 THEN sqrt(
+                       CAST(c.chi2q AS DOUBLE)
+                       / CAST(CAST({1 << 40} AS HUGEINT) * t.big_n * (k.k - 1)
+                              AS DOUBLE))
+                   ELSE 0.0 END AS v
+            FROM cvx_tot t, cvx_k k, cvx_chi c""",
         "majority_smooth": _majority_smooth_sql(root),
         "label_pyramid": f"""
             WITH {__import__("kaza_lcms_ray.stages.assemblage", fromlist=["assemblage"]).label_pyramid_sql(
