@@ -525,6 +525,18 @@ def q_morans_i(sf_dir: str):
     )
 
 
+def q_gearys_c(sf_dir: str):
+    """Global Geary's C (stages/zonal.gearys_c) — the difference-based
+    companion of morans_i over the same 3×3 neighborhood; quantized
+    squared-difference pair terms, pinned ((N−1)/(2W))·(num/den)."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.gearys_c(_geo(sf_dir), band=3, k=1),
+        ["n_cells", "w_pairs", "num_q", "den_q", "geary"],
+    )
+
+
 HILBERT_RANGES_LEVEL = 10
 
 
@@ -5118,6 +5130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariates_prefixed": q_covariates_prefixed,
         "radius_extract": q_radius_extract,
         "morans_i": q_morans_i,
+        "gearys_c": q_gearys_c,
         "change_matrix": q_change_matrix,
         "cramers_v": q_cramers_v,
         "variogram": q_variogram,
@@ -5645,6 +5658,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "morans_i": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).morans_i_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "gearys_c": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).gearys_c_sql("SELECT * FROM cells", band=3, k=1)}""",
         "local_morans": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).local_morans_sql("SELECT * FROM cells", band=3, k=1)}""",

@@ -1199,6 +1199,218 @@ def morans_i_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
         FROM mi_tot t, mi_num n, mi_den d"""
 
 
+def gearys_c(geo, band: int = 3, k: int = 1):
+    """Global Geary's C spatial autocorrelation of the per-cell band total
+    — the difference-based companion of :func:`morans_i` (C < 1 clustered,
+    ≈1 random, > 1 dispersed; C weights LOCAL contrasts where Moran
+    weights covariance with the mean, so the pair is the standard
+    two-statistic report for a gridded field):
+
+      C = ((N−1) / (2W)) · Σ_ij w_ij (v_i − v_j)² / Σ_i (v_i − v̄)²
+
+    over the same (2k+1)²−1 Chebyshev neighborhood, DIRECTED pair sums on
+    both axes (W counts directed pairs; the classic Σ_ij form).
+
+    Exactness (the morans_i discipline verbatim): v_i exact int64 cent
+    sums; v̄ one double division; every pair term quantizes as
+    ⌊((v_i−v_j)/v̄)²·2⁴⁰⌋ int64 (scaling by v̄ cancels between numerator
+    and denominator but keeps the integers bounded), the denominator
+    reuses the ⌊z²·2⁴⁰⌋ sum, and the final C is ONE pinned double
+    expression ((N−1)/(2W))·(num/den).
+
+    Scale shape: identical to morans_i — corpus-sized work is only the
+    zonal_sums reduce; the fan + broadcast sorted-array probe + skinny
+    int partials all run on the AOI-bounded cell table.
+
+    Output: one row (n_cells:int64, w_pairs:int64, num_q:int64,
+    den_q:int64, geary:f64).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,)).materialize()
+
+    tot = cellsums.map_batches(
+        lambda t: pa.table(
+            {
+                "n_cells": pa.array([len(t)], pa.int64()),
+                "v_sum": pa.array(
+                    [int(t.column(s_col).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_cells = int(tot["n_cells"].sum())
+    v_sum = int(tot["v_sum"].sum())
+    if n_cells == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_cells": pa.array([], pa.int64()),
+                    "w_pairs": pa.array([], pa.int64()),
+                    "num_q": pa.array([], pa.int64()),
+                    "den_q": pa.array([], pa.int64()),
+                    "geary": pa.array([], pa.float64()),
+                }
+            )
+        )
+    vbar = float(v_sum) / float(n_cells)
+    scale = float(MORAN_SCALE_INT)
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy)
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "v_src": pa.array(v[m]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = cellsums.map_batches(fan, batch_format="pyarrow")
+
+    cells_pd = cellsums.to_pandas()
+    ckeys = cells_pd["cell_id"].to_numpy(np.int64)
+    cvals = cells_pd[s_col].to_numpy(np.int64)
+    corder = np.argsort(ckeys, kind="mergesort")
+    side_ref = ray.put({"k": ckeys[corder], "v": cvals[corder]})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tgt = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["k"], tgt)
+        pos = np.minimum(pos, len(side["k"]) - 1)
+        hit = side["k"][pos] == tgt
+        a = (
+            t.column("v_src")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)[hit]
+        )
+        b = side["v"][pos[hit]].astype(np.float64)
+        d = (a - b) / vbar
+        q = np.floor((d * d) * scale).astype(np.int64)
+        return pa.table(
+            {
+                "num_q": pa.array([int(q.sum())], pa.int64()),
+                "w": pa.array([int(hit.sum())], pa.int64()),
+            }
+        )
+
+    pp = fanned.map_batches(pair_partial, batch_format="pyarrow").to_pandas()
+    num_q = int(pp["num_q"].sum())
+    w_pairs = int(pp["w"].sum())
+
+    def den_partial(t: pa.Table) -> pa.Table:
+        v = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (v - vbar) / vbar
+        q = np.floor((z * z) * scale).astype(np.int64)
+        return pa.table({"den_q": pa.array([int(q.sum())], pa.int64())})
+
+    dq = cellsums.map_batches(den_partial, batch_format="pyarrow").to_pandas()
+    den_q = int(dq["den_q"].sum())
+    geary = (float(n_cells - 1) / (2.0 * float(w_pairs))) * (
+        float(num_q) / float(den_q)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([n_cells], pa.int64()),
+                "w_pairs": pa.array([w_pairs], pa.int64()),
+                "num_q": pa.array([num_q], pa.int64()),
+                "den_q": pa.array([den_q], pa.int64()),
+                "geary": pa.array([geary], pa.float64()),
+            }
+        )
+    )
+
+
+def gearys_c_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
+    """Oracle twin of :func:`gearys_c` — the morans_i_sql chain with the
+    squared-difference pair kernel and the ((N−1)/(2W))·(num/den) final
+    expression.  CTE-chain fragment for a caller's ``WITH {geo}, {cells},``."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    S = float(MORAN_SCALE_INT)
+    return f"""
+        gc_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        gc_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS vbar
+            FROM gc_agg
+        ),
+        gc_dec AS (
+            SELECT cell_id, v,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM gc_agg
+        ),
+        gc_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        gc_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.v AS v_src
+            FROM gc_dec d CROSS JOIN gc_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        gc_pairs AS (
+            SELECT f.v_src, a.v AS v_tgt FROM gc_fan f
+            JOIN gc_agg a ON f.cell_id = a.cell_id
+        ),
+        gc_num AS (
+            SELECT CAST(SUM(CAST(floor(
+                       ((((CAST(v_src AS DOUBLE) - CAST(v_tgt AS DOUBLE))
+                          / t.vbar)
+                        * ((CAST(v_src AS DOUBLE) - CAST(v_tgt AS DOUBLE))
+                          / t.vbar)))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS num_q,
+                   CAST(COUNT(*) AS BIGINT) AS w_pairs
+            FROM gc_pairs CROSS JOIN gc_tot t
+        ),
+        gc_den AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (((CAST(v AS DOUBLE) - t.vbar) / t.vbar)
+                        * ((CAST(v AS DOUBLE) - t.vbar) / t.vbar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS den_q
+            FROM gc_agg CROSS JOIN gc_tot t
+        )
+        SELECT t.n_cells, n.w_pairs, n.num_q, d.den_q,
+               (CAST(t.n_cells - 1 AS DOUBLE)
+                    / (2.0 * CAST(n.w_pairs AS DOUBLE)))
+               * (CAST(n.num_q AS DOUBLE) / CAST(d.den_q AS DOUBLE)) AS geary
+        FROM gc_tot t, gc_num n, gc_den d"""
+
+
 def local_morans(geo, band: int = 3, k: int = 1):
     """Local Moran's I (LISA, Anselin 1995) per occupied grid cell — the
     hotspot/coldspot map the global ``morans_i`` statistic summarizes:
