@@ -1503,6 +1503,48 @@ def q_cramers_v(sf_dir: str):
     )
 
 
+def q_largest_patch(sf_dir: str):
+    """Largest Patch Index per class (FRAGSTATS LPI) over the
+    block-bounded clump components: LPI_c = 100·max patch size / total
+    labeled area.  Inherits clump_sizes' documented partitioning
+    assumption (components never traced across 16×16 Morton blocks —
+    the connectedPixelCount(maxSize) analog), so max patch is the
+    largest IN-BLOCK patch; area/max are exact integer aggregates, LPI
+    ONE pinned double division of exact ints."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    clump = assemblage.clump_sizes(prims, year=2022, block_levels=4, mmu=4)
+    agg = (
+        clump.groupby("LANDCOVER")
+        .aggregate(
+            Count(alias_name="area"),
+            Max("comp_size", alias_name="max_patch"),
+        )
+        .to_pandas()  # ≤ |classes| rows
+    )
+    lc = agg["LANDCOVER"].to_numpy(np.int64)
+    area = agg["area"].to_numpy(np.int64)
+    maxp = agg["max_patch"].to_numpy(np.int64)
+    order = np.argsort(lc, kind="mergesort")
+    lc, area, maxp = lc[order], area[order], maxp[order]
+    total = int(area.sum())
+    lpi = (100 * maxp).astype(np.float64) / np.float64(total)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(lc, pa.int64()),
+                "area": pa.array(area, pa.int64()),
+                "max_patch": pa.array(maxp, pa.int64()),
+                "lpi": pa.array(lpi, pa.float64()),
+            }
+        )
+    )
+
+
 def q_area_by_class(sf_dir: str):
     import ray.data as rd
 
@@ -5083,6 +5125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "majority_smooth": q_majority_smooth,
         "clump_sizes": q_clump_sizes,
         "class_shape": q_class_shape,
+        "largest_patch": q_largest_patch,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -5949,6 +5992,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             )}""",
         "clump_sizes": _clump_sizes_sql(root),
         "class_shape": _class_shape_sql(root),
+        "largest_patch": _largest_patch_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -8889,6 +8933,28 @@ def _clump_sizes_sql(
         SELECT l.tile_id, l.lc AS "LANDCOVER", c.comp_id, c.comp_size,
                CASE WHEN c.comp_size < {mmu} THEN 1 ELSE 0 END AS sieve
         FROM cl_lab l JOIN cl_comp c ON l.tile_id = c.tile_id"""
+
+
+def _largest_patch_sql(root: str) -> str:
+    """LPI oracle: the clump_sizes recursive-closure chain spliced as a
+    CTE, per-class COUNT/MAX margins, pinned 100·max/total division."""
+    body = _clump_sizes_sql(root).strip()
+    head = "WITH RECURSIVE"
+    assert body.startswith(head)
+    ctes, final_select = body[len(head):].rsplit("SELECT", 1)
+    return f"""
+        WITH RECURSIVE {ctes},
+        cl AS (SELECT {final_select}),
+        lp_agg AS (
+            SELECT "LANDCOVER",
+                   CAST(COUNT(*) AS BIGINT) AS area,
+                   CAST(MAX(comp_size) AS BIGINT) AS max_patch
+            FROM cl GROUP BY 1
+        ),
+        lp_tot AS (SELECT SUM(area) AS ta FROM lp_agg)
+        SELECT a."LANDCOVER", a.area, a.max_patch,
+               CAST(100 * a.max_patch AS DOUBLE) / CAST(t.ta AS DOUBLE) AS lpi
+        FROM lp_agg a, lp_tot t"""
 
 
 def _landscape_diversity_sql(root: str, year: int = 2022) -> str:
