@@ -990,6 +990,24 @@ def q_class_shape(sf_dir: str):
     )
 
 
+def q_core_area(sf_dir: str):
+    """FRAGSTATS core-area index per elevation belt
+    (stages/assemblage.core_area): zones = floor(analytic-DEM elev at tile
+    center / 100 m) over the labeled footprint; core = tiles whose four
+    in-bounds on-footprint 4-neighbors share the zone (the symmetric-probe
+    count from the class_shape key combine equals 4); CAI = 100·core/area,
+    one pinned division of exact ints."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.core_area(prims, year=2022),
+        ["zone", "area", "core", "cai"],
+    )
+
+
 def q_landscape_diversity(sf_dir: str):
     """Shannon landscape diversity per labeled tile
     (stages/assemblage.landscape_diversity): neighborhood label counts,
@@ -5126,6 +5144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clump_sizes": q_clump_sizes,
         "class_shape": q_class_shape,
         "largest_patch": q_largest_patch,
+        "core_area": q_core_area,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -5993,6 +6012,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "clump_sizes": _clump_sizes_sql(root),
         "class_shape": _class_shape_sql(root),
         "largest_patch": _largest_patch_sql(root),
+        "core_area": _core_area_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -8933,6 +8953,64 @@ def _clump_sizes_sql(
         SELECT l.tile_id, l.lc AS "LANDCOVER", c.comp_id, c.comp_size,
                CASE WHEN c.comp_size < {mmu} THEN 1 ELSE 0 END AS sieve
         FROM cl_lab l JOIN cl_comp c ON l.tile_id = c.tile_id"""
+
+
+def _core_area_sql(root: str, year: int = 2022, band_m: float = 100.0) -> str:
+    """CAI-per-elevation-belt oracle: footprint tiles → analytic elevation
+    at the tile center (identical libm expression tree as state/dem.elev)
+    → floor-quantized zone, then the class_shape probe chain — per-BASE-
+    tile count of same-zone probes landing on it, core = count 4, pinned
+    100·core/area division."""
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        cell_center_sql_exprs,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    hi = (1 << TILE_LEVEL) - 1
+    lon, lat = cell_center_sql_exprs("tile_id", TILE_LEVEL)
+    zone = f"CAST(floor({elev_sql(lon, lat)} / {band_m!r}) AS BIGINT)"
+    from kaza_lcms_ray.state.cells import morton_decode_sql_expr
+
+    return f"""
+        WITH ca_lab AS MATERIALIZED (
+            SELECT tile_id, {zone} AS lc
+            FROM (SELECT DISTINCT tile_id
+                  FROM read_parquet('{root}/primitives.parquet')
+                  WHERE "year" = {year})
+        ),
+        ca_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM ca_lab
+        ),
+        ca_offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS t(dx, dy)),
+        ca_probe AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS tile_id,
+                   d.lc
+            FROM ca_dec d CROSS JOIN ca_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        ca_same AS (
+            SELECT a.tile_id, a.lc, COUNT(*) AS same
+            FROM ca_probe p JOIN ca_lab a
+              ON a.tile_id = p.tile_id AND a.lc = p.lc
+            GROUP BY 1, 2
+        ),
+        ca_core AS (SELECT lc, CAST(COUNT(*) AS BIGINT) AS core
+                    FROM ca_same WHERE same = 4 GROUP BY 1),
+        ca_area AS (SELECT lc, CAST(COUNT(*) AS BIGINT) AS area
+                    FROM ca_lab GROUP BY 1)
+        SELECT a.lc AS zone, a.area,
+               COALESCE(c.core, 0) AS core,
+               CAST(100 * COALESCE(c.core, 0) AS DOUBLE)
+                   / CAST(a.area AS DOUBLE) AS cai
+        FROM ca_area a LEFT JOIN ca_core c ON c.lc = a.lc"""
 
 
 def _largest_patch_sql(root: str) -> str:

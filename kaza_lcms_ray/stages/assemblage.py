@@ -389,6 +389,147 @@ def clump_sizes(primitives, year: int = 2022, block_levels: int = 4, mmu: int = 
     )
 
 
+CORE_ZONE_BIAS = 32  # packs signed elevation zones into the tile·256+z key
+
+
+def core_area(primitives, year: int = 2022, band_m: float = 100.0):
+    """FRAGSTATS core-area index (CAI) per ELEVATION BELT over the study
+    footprint: each labeled tile is assigned the zone
+    ``floor(elev(tile_center) / band_m)`` from the analytic DEM (the smooth
+    static ancillary surface, state/dem.py — the classified land-cover
+    raster itself is deliberately NOT used because core area of a
+    salt-and-pepper field is identically zero); a tile is CORE iff all
+    four of its 4-neighbors are in-bounds, on-footprint and share its
+    zone (the 1-tile-depth edge rule — edge and boundary tiles are never
+    core); CAI_z = 100·core_z/area_z.  Reference analog: the per-stratum
+    area rollups over DEM-derived zones (src/misc/strata.py shape).
+
+    Rides the :func:`class_shape` key machinery: because adjacency is
+    symmetric, the number of directed probes landing ON key
+    (tile·256+zone) from same-zone neighbors IS that tile's same-zone
+    neighbor count, so core = keys with n_base = 1 and n_probe = 4 — the
+    ONE bucketed combine already decides it; per-zone partials then
+    collapse through a tiny grouped sum.  area/core exact ints; CAI ONE
+    pinned double division (elev is libm-closed-form, bit-identical to
+    the SQL oracle, so the floor-quantized zone is exact on both sides).
+
+    Output: (zone:int64, area:int64, core:int64, cai:float64).
+    """
+    import ray.data as rd
+
+    from ..state import cells, dem
+    from ..state.cells import TILE_LEVEL
+    from .joins import distinct
+    from .zonal import bucketed_sum
+
+    labels = (
+        distinct(
+            primitives.filter(expr=f"year == {year}").select_columns(["tile_id"]),
+            ["tile_id"],
+        )
+        .materialize()
+    )
+    if labels.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "zone": pa.array([], pa.int64()),
+                    "area": pa.array([], pa.int64()),
+                    "core": pa.array([], pa.int64()),
+                    "cai": pa.array([], pa.float64()),
+                }
+            )
+        )
+    hi = (1 << TILE_LEVEL) - 1
+
+    def fan(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lon, lat = cells.cell_center(tid, TILE_LEVEL)
+        lc = np.floor(dem.elev(lon, lat) / band_m).astype(np.int64) + np.int64(
+            CORE_ZONE_BIAS
+        )
+        assert ((lc >= 0) & (lc < 256)).all(), "zone out of key-pack range"
+        ix, iy = cells.decode(tid, TILE_LEVEL)
+        parts = [
+            pa.table(
+                {
+                    "k": pa.array(tid * np.int64(256) + lc, pa.int64()),
+                    "n_probe": pa.array(np.zeros(len(tid), np.int64)),
+                    "n_base": pa.array(np.ones(len(tid), np.int64)),
+                }
+            )
+        ]
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            m = (ix + dx >= 0) & (ix + dx <= hi) & (iy + dy >= 0) & (iy + dy <= hi)
+            nbr = cells.morton(ix[m] + dx, iy[m] + dy)
+            g = (
+                pa.table({"k": pa.array(nbr * np.int64(256) + lc[m], pa.int64())})
+                .group_by(["k"])
+                .aggregate([([], "count_all")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "k": g.column("k"),
+                        "n_probe": g.column("count_all"),
+                        "n_base": pa.array(np.zeros(g.num_rows, np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    per_key = bucketed_sum(
+        labels.map_batches(fan, batch_format="pyarrow"),
+        ["k"],
+        ["n_probe", "n_base"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        npb = t.column("n_probe").to_numpy(zero_copy_only=False)
+        nb = t.column("n_base").to_numpy(zero_copy_only=False)
+        z = (k & np.int64(255)) - np.int64(CORE_ZONE_BIAS)
+        g = (
+            pa.table(
+                {
+                    "zone": pa.array(z, pa.int64()),
+                    "area": pa.array(nb, pa.int64()),
+                    "core": pa.array(
+                        ((nb > 0) & (npb == 4)).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by(["zone"])
+            .aggregate([("area", "sum"), ("core", "sum")])
+        )
+        return g.rename_columns(["zone", "area", "core"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        per_key.map_batches(partial, batch_format="pyarrow")
+        .groupby("zone")
+        .aggregate(Sum("area", alias_name="area"), Sum("core", alias_name="core"))
+        .to_pandas()  # ≤ |zones| rows
+    )
+    z = agg["zone"].to_numpy(np.int64)
+    area = agg["area"].to_numpy(np.int64)
+    core = agg["core"].to_numpy(np.int64)
+    order = np.argsort(z, kind="mergesort")
+    z, area, core = z[order], area[order], core[order]
+    cai = (100 * core).astype(np.float64) / area.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "zone": pa.array(z, pa.int64()),
+                "area": pa.array(area, pa.int64()),
+                "core": pa.array(core, pa.int64()),
+                "cai": pa.array(cai, pa.float64()),
+            }
+        )
+    )
+
+
 def class_shape(primitives, year: int = 2022):
     """FRAGSTATS-style CLASS-level shape metrics over the classified label
     raster — the landscape-ecology report card (area, perimeter, landscape

@@ -331,3 +331,68 @@ def test_class_shape_hand_grid(ray_session):
         .set_index("LANDCOVER")
     )
     assert out.sort_index().equals(out2.sort_index())
+
+
+def test_core_area_brute_force(ray_session):
+    """core_area vs an independent O(n·4) numpy replay: a contiguous
+    square footprint plus a detached strip; zones come from the analytic
+    DEM at tile centers, core = all four 4-neighbors in-bounds,
+    on-footprint and same-zone."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state import cells, dem
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, morton
+
+    # a 20x20 block and a disjoint 1x30 strip (strip tiles can never be
+    # core: the y-neighbors are off-footprint)
+    gx, gy = np.meshgrid(np.arange(100, 120), np.arange(200, 220), indexing="ij")
+    xs = np.concatenate([gx.ravel(), np.arange(500, 530)])
+    ys = np.concatenate([gy.ravel(), np.full(30, 900)])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": np.ones(len(tids), np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.core_area(prims, year=2022).to_pandas()
+
+    # brute force
+    lon, lat = cells.cell_center(tids, TILE_LEVEL)
+    zone = np.floor(dem.elev(lon, lat) / 100.0).astype(np.int64)
+    zmap = dict(zip(tids.tolist(), zone.tolist()))
+    hi = (1 << TILE_LEVEL) - 1
+    exp_area: dict[int, int] = {}
+    exp_core: dict[int, int] = {}
+    for x, y, t, z in zip(xs, ys, tids.tolist(), zone.tolist()):
+        exp_area[z] = exp_area.get(z, 0) + 1
+        ok = True
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            if not (0 <= nx <= hi and 0 <= ny <= hi):
+                ok = False
+                break
+            nt = int(morton(np.array([nx]), np.array([ny]))[0])
+            if zmap.get(nt) != z:
+                ok = False
+                break
+        exp_core[z] = exp_core.get(z, 0) + (1 if ok else 0)
+    got = {int(r.zone): (int(r.area), int(r.core)) for r in out.itertuples()}
+    assert got == {z: (exp_area[z], exp_core[z]) for z in exp_area}
+    assert sum(c for _, c in got.values()) > 0  # the block has real cores
+    for r in out.itertuples():
+        assert r.cai == 100.0 * r.core / r.area
+    # reshard invariance
+    out2 = assemblage.core_area(prims.repartition(7), year=2022).to_pandas()
+    assert out.equals(out2)
