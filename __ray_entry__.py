@@ -1008,6 +1008,23 @@ def q_core_area(sf_dir: str):
     )
 
 
+def q_iji(sf_dir: str):
+    """FRAGSTATS Interspersion–Juxtaposition Index per class
+    (stages/assemblage.iji): cross-class 4-neighbor edge counts e_ik via
+    broadcast label lookup (no shuffle), floor-quantized −(r·ln r)·2³⁰
+    entropy terms summed order-free, ONE pinned h_q/2³⁰/ln(m−1)·100
+    chain."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.iji(prims, year=2022),
+        ["LANDCOVER", "e_total", "n_partners", "h_q", "iji"],
+    )
+
+
 def q_landscape_diversity(sf_dir: str):
     """Shannon landscape diversity per labeled tile
     (stages/assemblage.landscape_diversity): neighborhood label counts,
@@ -5145,6 +5162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "class_shape": q_class_shape,
         "largest_patch": q_largest_patch,
         "core_area": q_core_area,
+        "iji": q_iji,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -6013,6 +6031,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "class_shape": _class_shape_sql(root),
         "largest_patch": _largest_patch_sql(root),
         "core_area": _core_area_sql(root),
+        "iji": _iji_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -9011,6 +9030,72 @@ def _core_area_sql(root: str, year: int = 2022, band_m: float = 100.0) -> str:
                CAST(100 * COALESCE(c.core, 0) AS DOUBLE)
                    / CAST(a.area AS DOUBLE) AS cai
         FROM ca_area a LEFT JOIN ca_core c ON c.lc = a.lc"""
+
+
+def _iji_sql(root: str, year: int = 2022) -> str:
+    """IJI oracle: the class_shape row_number label replay, 4-offset fan,
+    cross-class pair join, per-class integer edge margins, the SAME
+    floor-quantized −(r·ln r)·2³⁰ terms and the identical pinned
+    h_q/2³⁰/ln(m−1)·100 final chain."""
+    from kaza_lcms_ray.stages.assemblage import IJI_SCALE
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+        morton_sql_expr,
+    )
+
+    hi = (1 << TILE_LEVEL) - 1
+    S = IJI_SCALE
+    r = "(CAST(e.n AS DOUBLE) / CAST(t.e_total AS DOUBLE))"
+    return f"""
+        WITH ij_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        ij_m AS (SELECT CAST(COUNT(DISTINCT lc) AS BIGINT) AS m FROM ij_lab),
+        ij_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM ij_lab
+        ),
+        ij_offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS t(dx, dy)),
+        ij_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS tile_id,
+                   d.lc AS i
+            FROM ij_dec d CROSS JOIN ij_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        ij_e AS (
+            SELECT f.i, a.lc AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ij_fan f JOIN ij_lab a ON a.tile_id = f.tile_id
+            WHERE f.i <> a.lc
+            GROUP BY 1, 2
+        ),
+        ij_tot AS (
+            SELECT i, CAST(SUM(n) AS BIGINT) AS e_total,
+                   CAST(COUNT(*) AS BIGINT) AS n_partners
+            FROM ij_e GROUP BY 1
+        ),
+        ij_q AS (
+            SELECT e.i, CAST(SUM(CAST(floor(
+                       -({r} * ln{r}) * {S!r}) AS BIGINT)) AS BIGINT) AS h_q
+            FROM ij_e e JOIN ij_tot t ON e.i = t.i
+            GROUP BY 1
+        )
+        SELECT t.i AS "LANDCOVER", t.e_total, t.n_partners, q.h_q,
+               CAST(q.h_q AS DOUBLE) / {S!r}
+                   / ln(CAST(m.m AS DOUBLE) - 1.0) * 100.0 AS iji
+        FROM ij_tot t JOIN ij_q q ON q.i = t.i CROSS JOIN ij_m m
+        WHERE m.m >= 3"""
 
 
 def _largest_patch_sql(root: str) -> str:

@@ -936,3 +936,125 @@ def label_pyramid_sql(labels_sql: str, levels_up=(1, 2)) -> str:
         FROM lp_c QUALIFY row_number() OVER (
             PARTITION BY level_up, tile_id ORDER BY n DESC, lc ASC
         ) = 1"""
+
+
+IJI_SCALE = float(1 << 30)  # entropy-term quantum (landscape_diversity's 2^30)
+
+
+def iji(primitives, year: int = 2022):
+    """FRAGSTATS Interspersion–Juxtaposition Index per class: how evenly a
+    class's patch edges are shared among the OTHER classes (100 = equally
+    interspersed with every other class, →0 = adjacent to only one) — the
+    cross-class companion of :func:`class_shape`'s same-class adjacency
+    (reference analog: the per-class adjacency rollups next to the area
+    report, src/misc/strata.py shape):
+
+        IJI_i = 100 · [ −Σ_{k≠i} (e_ik/E_i)·ln(e_ik/E_i) ] / ln(m−1)
+
+    with e_ik = 4-neighbor grid edges between classes i and k (each edge
+    once per direction — symmetric, so the directed count IS e_ik), E_i
+    their sum, m = classes present.  Distribution shape: the label table
+    is AOI-bounded so (tile→class) broadcasts once via ``ray.put`` (the
+    morans_i precedent) and each batch resolves its neighbors' classes by
+    searchsorted — NO shuffle; per-batch pair counts collapse to ≤m² rows
+    before the one tiny groupby.  Exactness: e/E exact ints; each entropy
+    term floor-quantizes to ⌊−(r·ln r)·2³⁰⌋ (order-free integer sum);
+    final IJI is ONE pinned double chain h_q/2³⁰/ln(m−1)·100.
+
+    Output: (LANDCOVER:int64, e_total:int64, n_partners:int64, h_q:int64,
+    iji:f64), one row per class present (m ≥ 3 required — with fewer
+    classes the index is undefined and the result is empty).
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import TILE_LEVEL, decode, morton
+
+    empty = pa.table(
+        {
+            "LANDCOVER": pa.array([], pa.int64()),
+            "e_total": pa.array([], pa.int64()),
+            "n_partners": pa.array([], pa.int64()),
+            "h_q": pa.array([], pa.int64()),
+            "iji": pa.array([], pa.float64()),
+        }
+    )
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .materialize()
+    )
+    lab_pd = labels.to_pandas()
+    m = lab_pd["LANDCOVER"].nunique()
+    if len(lab_pd) == 0 or m < 3:
+        return rd.from_arrow(empty)
+    tids = lab_pd["tile_id"].to_numpy(np.int64)
+    lcs = lab_pd["LANDCOVER"].to_numpy(np.int64)
+    order = np.argsort(tids)
+    side_ref = ray.put({"tids": tids[order], "lcs": lcs[order]})
+    hi = (1 << TILE_LEVEL) - 1
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(tid, TILE_LEVEL)
+        packed = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            tx, ty = ix + dx, iy + dy
+            mk = (tx >= 0) & (tx <= hi) & (ty >= 0) & (ty <= hi)
+            tgt = morton(tx[mk], ty[mk]).astype(np.int64)
+            pos = np.searchsorted(side["tids"], tgt)
+            hit = (pos < len(side["tids"])) & (
+                side["tids"][np.minimum(pos, len(side["tids"]) - 1)] == tgt
+            )
+            klc = side["lcs"][np.minimum(pos, len(side["tids"]) - 1)][hit]
+            ilc = lc[mk][hit]
+            cross = ilc != klc
+            packed.append(ilc[cross] * np.int64(256) + klc[cross])
+        keys, cnts = np.unique(np.concatenate(packed), return_counts=True)
+        return pa.table(
+            {
+                "i": pa.array(keys >> np.int64(8), pa.int64()),
+                "k": pa.array(keys & np.int64(255), pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    e = (
+        labels.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["i", "k"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ m² rows
+    )
+    if len(e) == 0:
+        return rd.from_arrow(empty)
+    i_arr = e["i"].to_numpy(np.int64)
+    n_arr = e["n"].to_numpy(np.int64)
+    classes = np.unique(i_arr)
+    e_tot = np.zeros(len(classes), np.int64)
+    n_part = np.zeros(len(classes), np.int64)
+    h_q = np.zeros(len(classes), np.int64)
+    pos = np.searchsorted(classes, i_arr)
+    np.add.at(e_tot, pos, n_arr)
+    np.add.at(n_part, pos, 1)
+    r = n_arr.astype(np.float64) / e_tot[pos].astype(np.float64)
+    terms = np.floor(-(r * np.log(r)) * IJI_SCALE).astype(np.int64)
+    np.add.at(h_q, pos, terms)
+    iji_val = (
+        h_q.astype(np.float64) / IJI_SCALE / np.log(np.float64(m) - 1.0) * 100.0
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(classes, pa.int64()),
+                "e_total": pa.array(e_tot, pa.int64()),
+                "n_partners": pa.array(n_part, pa.int64()),
+                "h_q": pa.array(h_q, pa.int64()),
+                "iji": pa.array(iji_val, pa.float64()),
+            }
+        )
+    )

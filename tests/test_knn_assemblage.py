@@ -396,3 +396,58 @@ def test_core_area_brute_force(ray_session):
     # reshard invariance
     out2 = assemblage.core_area(prims.repartition(7), year=2022).to_pandas()
     assert out.equals(out2)
+
+
+def test_iji_hand_grid(ray_session):
+    """Hand grid: a 1x4 strip [5, 7, 5, 9] at y=0.  Directed cross-class
+    edges: e_57 = 2 (5-7 and 7-5 boundaries at x=0/1 and x=1/2), e_59 = 1,
+    e_79 = 0; m = 3 so ln(m-1) = ln 2."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.arange(4)
+    ys = np.zeros(4, np.int64)
+    lc = np.array([5, 7, 5, 9])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * 4,
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(4, 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.iji(prims, year=2022).to_pandas().set_index("LANDCOVER")
+    assert out.loc[5, "e_total"] == 3 and out.loc[5, "n_partners"] == 2
+    assert out.loc[7, "e_total"] == 2 and out.loc[7, "n_partners"] == 1
+    assert out.loc[9, "e_total"] == 1 and out.loc[9, "n_partners"] == 1
+    # class 7 and 9: single partner -> r = 1, h_q = 0, IJI = 0
+    assert out.loc[7, "iji"] == 0.0 and out.loc[9, "iji"] == 0.0
+    # class 5: r = (2/3, 1/3); IJI = H/ln(2)*100 via the quantized terms
+    Q = assemblage.IJI_SCALE
+    hq = int(np.floor(-((2 / 3) * np.log(2 / 3)) * Q)) + int(
+        np.floor(-((1 / 3) * np.log(1 / 3)) * Q)
+    )
+    assert out.loc[5, "h_q"] == hq
+    assert out.loc[5, "iji"] == hq / Q / np.log(2.0) * 100.0
+    # fewer than 3 classes present -> undefined -> empty
+    import pyarrow.compute as pc
+
+    two = prims.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("class"), 9)),
+        batch_format="pyarrow",
+    )
+    assert assemblage.iji(two, year=2022).count() == 0
+    # reshard invariance
+    out2 = assemblage.iji(prims.repartition(3), year=2022).to_pandas()
+    assert out.reset_index().equals(out2)
