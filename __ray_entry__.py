@@ -1008,6 +1008,51 @@ def q_core_area(sf_dir: str):
     )
 
 
+def q_patch_metrics(sf_dir: str):
+    """Per-patch area + perimeter over the block-bounded clump components
+    (stages/assemblage.patch_metrics): perimeter = Σ(4 − same-component
+    4-neighbor degree), grid/block boundary counts as edge; all int64."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.patch_metrics(prims, year=2022),
+        ["comp_id", "LANDCOVER", "a", "p"],
+    )
+
+
+def q_cohesion(sf_dir: str):
+    """FRAGSTATS patch-cohesion index per class
+    (stages/assemblage.cohesion): Σp exact int, Σ⌊p·√a·2¹⁶⌋ order-free
+    quantized terms, ONE pinned (1−ps/(qs/S))/(1−1/√A)·100 chain."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.cohesion(prims, year=2022),
+        ["LANDCOVER", "n_patches", "p_sum", "paq_sum", "cohesion"],
+    )
+
+
+def q_pafrac(sf_dir: str):
+    """FRAGSTATS perimeter-area fractal dimension per class
+    (stages/assemblage.pafrac): quantized ln-moment integer sums over the
+    patch table, pinned 2/slope chain, n≥2 + positive-variance keep."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.pafrac(prims, year=2022),
+        ["LANDCOVER", "n_patches", "x_sum", "y_sum", "xx_sum", "xy_sum", "pafrac"],
+    )
+
+
 def q_iji(sf_dir: str):
     """FRAGSTATS Interspersion–Juxtaposition Index per class
     (stages/assemblage.iji): cross-class 4-neighbor edge counts e_ik via
@@ -5163,6 +5208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "largest_patch": q_largest_patch,
         "core_area": q_core_area,
         "iji": q_iji,
+        "patch_metrics": q_patch_metrics,
+        "cohesion": q_cohesion,
+        "pafrac": q_pafrac,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -6032,6 +6080,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "largest_patch": _largest_patch_sql(root),
         "core_area": _core_area_sql(root),
         "iji": _iji_sql(root),
+        "patch_metrics": _patch_metrics_sql(root),
+        "cohesion": _cohesion_sql(root),
+        "pafrac": _pafrac_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -9096,6 +9147,125 @@ def _iji_sql(root: str, year: int = 2022) -> str:
                    / ln(CAST(m.m AS DOUBLE) - 1.0) * 100.0 AS iji
         FROM ij_tot t JOIN ij_q q ON q.i = t.i CROSS JOIN ij_m m
         WHERE m.m >= 3"""
+
+
+def _patch_chain_sql(root: str) -> str:
+    """Shared CTE chain for the patch-level FRAGSTATS family: the
+    clump_sizes recursive-closure splice + per-tile same-component degree
+    (4-offset fan joined back on tile AND comp) + per-patch area/perimeter
+    margins in ``pm_patch`` (comp_id, lc, a, p).  Callers append their own
+    CTEs and final SELECT."""
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+        morton_sql_expr,
+    )
+
+    body = _clump_sizes_sql(root).strip()
+    head = "WITH RECURSIVE"
+    assert body.startswith(head)
+    ctes, final_select = body[len(head):].rsplit("SELECT", 1)
+    hi = (1 << TILE_LEVEL) - 1
+    return f"""WITH RECURSIVE {ctes},
+        pm_cl AS (SELECT {final_select}),
+        pm_dec AS (
+            SELECT tile_id, comp_id,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM pm_cl
+        ),
+        pm_offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS t(dx, dy)),
+        pm_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS nbr,
+                   d.tile_id, d.comp_id
+            FROM pm_dec d CROSS JOIN pm_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        pm_deg AS (
+            SELECT f.tile_id, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM pm_fan f JOIN pm_cl b
+              ON b.tile_id = f.nbr AND b.comp_id = f.comp_id
+            GROUP BY 1
+        ),
+        pm_patch AS (
+            SELECT c.comp_id, c."LANDCOVER" AS lc,
+                   CAST(COUNT(*) AS BIGINT) AS a,
+                   CAST(SUM(4 - COALESCE(d.deg, 0)) AS BIGINT) AS p
+            FROM pm_cl c LEFT JOIN pm_deg d ON d.tile_id = c.tile_id
+            GROUP BY 1, 2
+        )"""
+
+
+def _patch_metrics_sql(root: str) -> str:
+    """patch_metrics oracle: the shared pm chain's per-patch table."""
+    return f"""{_patch_chain_sql(root)}
+        SELECT comp_id, lc AS "LANDCOVER", a, p FROM pm_patch"""
+
+
+def _cohesion_sql(root: str) -> str:
+    """COHESION oracle: per-class Σp / Σ⌊p·√a·2¹⁶⌋ margins over the pm
+    chain, identical pinned (1−ps/(qs/S))/(1−1/√A)·100 chain."""
+    from kaza_lcms_ray.stages.assemblage import COHESION_SCALE
+
+    S = COHESION_SCALE
+    return f"""{_patch_chain_sql(root)},
+        ch_agg AS (
+            SELECT lc, CAST(COUNT(*) AS BIGINT) AS n_patches,
+                   CAST(SUM(p) AS BIGINT) AS p_sum,
+                   CAST(SUM(CAST(floor(
+                       (CAST(p AS DOUBLE) * sqrt(CAST(a AS DOUBLE))) * {S!r}
+                   ) AS BIGINT)) AS BIGINT) AS paq_sum,
+                   CAST(SUM(a) AS BIGINT) AS area
+            FROM pm_patch GROUP BY 1
+        ),
+        ch_tot AS (SELECT CAST(SUM(area) AS BIGINT) AS A FROM ch_agg)
+        SELECT g.lc AS "LANDCOVER", g.n_patches, g.p_sum, g.paq_sum,
+               (1.0 - CAST(g.p_sum AS DOUBLE)
+                          / (CAST(g.paq_sum AS DOUBLE) / {S!r}))
+                   / (1.0 - 1.0 / sqrt(CAST(t.A AS DOUBLE))) * 100.0
+                   AS cohesion
+        FROM ch_agg g CROSS JOIN ch_tot t
+        WHERE t.A >= 2"""
+
+
+def _pafrac_sql(root: str) -> str:
+    """PAFRAC oracle: per-class quantized ln-moment sums over the pm
+    chain, the identical pinned 2/((n·sxy−sx·sy)/(n·sxx−sx·sx)) chain,
+    same n≥2 / positive-variance keep rule."""
+    from kaza_lcms_ray.stages.assemblage import PAFRAC_SCALE
+
+    Q = PAFRAC_SCALE
+    la = "ln(CAST(a AS DOUBLE))"
+    lp = "ln(CAST(p AS DOUBLE))"
+    return f"""{_patch_chain_sql(root)},
+        pf_agg AS (
+            SELECT lc, CAST(COUNT(*) AS BIGINT) AS n_patches,
+                   CAST(SUM(CAST(floor({la} * {Q!r}) AS BIGINT)) AS BIGINT)
+                       AS x_sum,
+                   CAST(SUM(CAST(floor({lp} * {Q!r}) AS BIGINT)) AS BIGINT)
+                       AS y_sum,
+                   CAST(SUM(CAST(floor(({la} * {la}) * {Q!r}) AS BIGINT))
+                       AS BIGINT) AS xx_sum,
+                   CAST(SUM(CAST(floor(({la} * {lp}) * {Q!r}) AS BIGINT))
+                       AS BIGINT) AS xy_sum
+            FROM pm_patch GROUP BY 1
+        ),
+        pf_s AS (
+            SELECT lc, n_patches, x_sum, y_sum, xx_sum, xy_sum,
+                   CAST(n_patches AS DOUBLE) AS nn,
+                   CAST(x_sum AS DOUBLE) / {Q!r} AS sx,
+                   CAST(y_sum AS DOUBLE) / {Q!r} AS sy,
+                   CAST(xx_sum AS DOUBLE) / {Q!r} AS sxx,
+                   CAST(xy_sum AS DOUBLE) / {Q!r} AS sxy
+            FROM pf_agg
+        )
+        SELECT lc AS "LANDCOVER", n_patches, x_sum, y_sum, xx_sum, xy_sum,
+               2.0 / ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) AS pafrac
+        FROM pf_s
+        WHERE n_patches >= 2 AND (nn * sxx - sx * sx) > 0.0"""
 
 
 def _largest_patch_sql(root: str) -> str:

@@ -1058,3 +1058,300 @@ def iji(primitives, year: int = 2022):
             }
         )
     )
+
+
+COHESION_SCALE = float(1 << 16)  # p·√a term quantum (≤2^30/term → ~8e9 patches)
+PAFRAC_SCALE = float(1 << 24)  # ln-moment quantum (≤2^30/term at 2^8-tile blocks)
+
+
+def patch_metrics(primitives, year: int = 2022, block_levels: int = 4):
+    """Per-PATCH area and perimeter over the block-bounded clump components
+    (:func:`clump_sizes` semantics: 4-connected same-LANDCOVER tiles within
+    a 2^block_levels-square Morton block; comp_id = min tile_id) — the
+    patch table every FRAGSTATS patch-level metric derives from.
+
+    Perimeter of a patch = Σ_tiles (4 − same-component 4-neighbor count):
+    grid- AND block-boundary sides count as edge, consistent with the
+    block-bounded component semantics (a same-class tile across the block
+    line is a DIFFERENT patch, so that side is perimeter).
+
+    Scale shape: identical to clump_sizes — blocks hash-bucket across
+    tasks, each block's labeling + degree count touches ≤ (2^bl)² rows,
+    and the output is one row per patch (never wider than the tile table).
+    All columns exact int64.
+
+    Output: (comp_id:int64, LANDCOVER:int64, a:int64, p:int64).
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..state.cells import TILE_LEVEL, decode, morton
+    from .zonal import _add_bucket, _default_buckets
+
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .materialize()
+    )
+    cols = ["comp_id", "LANDCOVER", "a", "p"]
+    n_rows = labels.count()
+    if n_rows == 0:
+        return rd.from_arrow(pa.table({c: pa.array([], pa.int64()) for c in cols}))
+    shift = np.int64(2 * block_levels)
+
+    def add_blk(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        return t.append_column("blk", pa.array(tid >> shift))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("tile_id", kind="mergesort")
+        tid = g["tile_id"].to_numpy(np.int64)
+        lc = g["LANDCOVER"].to_numpy(np.int64)
+        blk = tid >> shift
+        brk = np.flatnonzero(np.concatenate(([True], blk[1:] != blk[:-1])))
+        ends = np.concatenate((brk[1:], [len(tid)]))
+        out = []
+        for s, e in zip(brk, ends):
+            ids = tid[s:e]
+            labv = lc[s:e]
+            ix, iy = decode(ids, TILE_LEVEL)
+            ea_l, eb_l = [], []
+            for dx, dy in ((1, 0), (0, 1)):
+                nb = morton(ix + dx, iy + dy).astype(np.int64)
+                pos = np.minimum(np.searchsorted(ids, nb), len(ids) - 1)
+                hit = (ids[pos] == nb) & (labv[pos] == labv)
+                ea_l.append(np.flatnonzero(hit))
+                eb_l.append(pos[hit])
+            ea = np.concatenate(ea_l)
+            eb = np.concatenate(eb_l)
+            comp = ids.copy()
+            while True:
+                new = comp.copy()
+                if len(ea):
+                    np.minimum.at(new, ea, comp[eb])
+                    np.minimum.at(new, eb, comp[ea])
+                if np.array_equal(new, comp):
+                    break
+                comp = new
+            deg = np.bincount(
+                np.concatenate([ea, eb]), minlength=len(ids)
+            ).astype(np.int64)
+            uniq, inv, cnt = np.unique(comp, return_inverse=True, return_counts=True)
+            p = np.zeros(len(uniq), np.int64)
+            np.add.at(p, inv, 4 - deg)
+            lc_u = np.zeros(len(uniq), np.int64)
+            lc_u[inv] = labv  # constant within a component
+            out.append(
+                pd.DataFrame(
+                    {
+                        "comp_id": uniq,
+                        "LANDCOVER": lc_u,
+                        "a": cnt.astype(np.int64),
+                        "p": p,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True).astype(np.int64)
+
+    return (
+        _add_bucket(
+            labels.map_batches(add_blk, batch_format="pyarrow"),
+            ["blk"],
+            _default_buckets(n_rows),
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(cols)
+    )
+
+
+def cohesion(primitives, year: int = 2022, block_levels: int = 4):
+    """FRAGSTATS patch-cohesion index per class — physical connectedness
+    of a class's patches (→100 as the class clumps into fewer, more
+    compact patches; →0 as it shatters into isolated tiles):
+
+        COHESION_i = [1 − Σp_j / Σ(p_j·√a_j)] · [1 − 1/√A]⁻¹ · 100
+
+    over class-i patches j (block-bounded, :func:`patch_metrics`), with
+    A = total landscape tiles.  Exactness: Σp exact int; each p·√a term
+    floor-quantizes to ⌊p·√a·2¹⁶⌋ (libm sqrt, order-free int sum); the
+    final index is ONE pinned double chain.  Scale shape: per-batch
+    per-class partials → one tiny grouped sum; only ≤|classes| rows ever
+    reach the driver.
+
+    Output: (LANDCOVER:int64, n_patches:int64, p_sum:int64, paq_sum:int64,
+    cohesion:f64), classes sorted.
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    pm = patch_metrics(primitives, year=year, block_levels=block_levels)
+    S = COHESION_SCALE
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        q = np.floor(
+            (p.astype(np.float64) * np.sqrt(a.astype(np.float64))) * S
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "LANDCOVER": t.column("LANDCOVER"),
+                    "n_patches": pa.array(np.ones(len(a), np.int64)),
+                    "p_sum": pa.array(p),
+                    "paq_sum": pa.array(q),
+                    "area": pa.array(a),
+                }
+            )
+            .group_by(["LANDCOVER"])
+            .aggregate(
+                [("n_patches", "sum"), ("p_sum", "sum"), ("paq_sum", "sum"),
+                 ("area", "sum")]
+            )
+        )
+        return g.rename_columns(
+            ["LANDCOVER", "n_patches", "p_sum", "paq_sum", "area"]
+        )
+
+    agg = (
+        pm.map_batches(partial, batch_format="pyarrow")
+        .groupby("LANDCOVER")
+        .aggregate(
+            Sum("n_patches", alias_name="n_patches"),
+            Sum("p_sum", alias_name="p_sum"),
+            Sum("paq_sum", alias_name="paq_sum"),
+            Sum("area", alias_name="area"),
+        )
+        .to_pandas()  # ≤ |classes| rows
+    )
+    empty = pa.table(
+        {
+            "LANDCOVER": pa.array([], pa.int64()),
+            "n_patches": pa.array([], pa.int64()),
+            "p_sum": pa.array([], pa.int64()),
+            "paq_sum": pa.array([], pa.int64()),
+            "cohesion": pa.array([], pa.float64()),
+        }
+    )
+    A = int(agg["area"].sum()) if len(agg) else 0
+    if A < 2:
+        return rd.from_arrow(empty)
+    lc = agg["LANDCOVER"].to_numpy(np.int64)
+    order = np.argsort(lc, kind="mergesort")
+    lc = lc[order]
+    n = agg["n_patches"].to_numpy(np.int64)[order]
+    ps = agg["p_sum"].to_numpy(np.int64)[order]
+    qs = agg["paq_sum"].to_numpy(np.int64)[order]
+    coh = (
+        (1.0 - ps.astype(np.float64) / (qs.astype(np.float64) / S))
+        / (1.0 - 1.0 / np.sqrt(np.float64(A)))
+        * 100.0
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(lc, pa.int64()),
+                "n_patches": pa.array(n, pa.int64()),
+                "p_sum": pa.array(ps, pa.int64()),
+                "paq_sum": pa.array(qs, pa.int64()),
+                "cohesion": pa.array(coh, pa.float64()),
+            }
+        )
+    )
+
+
+def pafrac(primitives, year: int = 2022, block_levels: int = 4):
+    """FRAGSTATS perimeter-area fractal dimension per class — shape
+    complexity across scales (PAFRAC = 2/b, b the OLS slope of ln p on
+    ln a over the class's patches; ≈1 for simple compact shapes, →2 for
+    highly convoluted ones).
+
+    Exactness: per-patch ln-moments floor-quantize to
+    ⌊ln(a)·2²⁴⌋ / ⌊ln(p)·2²⁴⌋ / ⌊(ln a·ln a)·2²⁴⌋ / ⌊(ln a·ln p)·2²⁴⌋
+    int64 (libm ln — order-free sums); the slope and PAFRAC are ONE
+    pinned double chain from the five integer sums.  Classes with fewer
+    than 2 patches or zero quantized ln-area variance are omitted (the
+    regression is undefined there).
+
+    Output: (LANDCOVER:int64, n_patches:int64, x_sum:int64, y_sum:int64,
+    xx_sum:int64, xy_sum:int64, pafrac:f64), classes sorted.
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    pm = patch_metrics(primitives, year=year, block_levels=block_levels)
+    Q = PAFRAC_SCALE
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
+        p = t.column("p").to_numpy(zero_copy_only=False).astype(np.float64)
+        g = (
+            pa.table(
+                {
+                    "LANDCOVER": t.column("LANDCOVER"),
+                    "n_patches": pa.array(np.ones(len(a), np.int64)),
+                    "x_sum": pa.array(np.floor(np.log(a) * Q).astype(np.int64)),
+                    "y_sum": pa.array(np.floor(np.log(p) * Q).astype(np.int64)),
+                    "xx_sum": pa.array(
+                        np.floor((np.log(a) * np.log(a)) * Q).astype(np.int64)
+                    ),
+                    "xy_sum": pa.array(
+                        np.floor((np.log(a) * np.log(p)) * Q).astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["LANDCOVER"])
+            .aggregate(
+                [("n_patches", "sum"), ("x_sum", "sum"), ("y_sum", "sum"),
+                 ("xx_sum", "sum"), ("xy_sum", "sum")]
+            )
+        )
+        return g.rename_columns(
+            ["LANDCOVER", "n_patches", "x_sum", "y_sum", "xx_sum", "xy_sum"]
+        )
+
+    agg = (
+        pm.map_batches(partial, batch_format="pyarrow")
+        .groupby("LANDCOVER")
+        .aggregate(
+            Sum("n_patches", alias_name="n_patches"),
+            Sum("x_sum", alias_name="x_sum"),
+            Sum("y_sum", alias_name="y_sum"),
+            Sum("xx_sum", alias_name="xx_sum"),
+            Sum("xy_sum", alias_name="xy_sum"),
+        )
+        .to_pandas()  # ≤ |classes| rows
+    )
+    lc = agg["LANDCOVER"].to_numpy(np.int64)
+    order = np.argsort(lc, kind="mergesort")
+    agg = agg.iloc[order]
+    n = agg["n_patches"].to_numpy(np.int64)
+    nn = n.astype(np.float64)
+    sx = agg["x_sum"].to_numpy(np.int64).astype(np.float64) / Q
+    sy = agg["y_sum"].to_numpy(np.int64).astype(np.float64) / Q
+    sxx = agg["xx_sum"].to_numpy(np.int64).astype(np.float64) / Q
+    sxy = agg["xy_sum"].to_numpy(np.int64).astype(np.float64) / Q
+    den = nn * sxx - sx * sx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        paf = 2.0 / ((nn * sxy - sx * sy) / den)
+    keep = (n >= 2) & (den > 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(
+                    agg["LANDCOVER"].to_numpy(np.int64)[keep], pa.int64()
+                ),
+                "n_patches": pa.array(n[keep], pa.int64()),
+                "x_sum": pa.array(agg["x_sum"].to_numpy(np.int64)[keep], pa.int64()),
+                "y_sum": pa.array(agg["y_sum"].to_numpy(np.int64)[keep], pa.int64()),
+                "xx_sum": pa.array(agg["xx_sum"].to_numpy(np.int64)[keep], pa.int64()),
+                "xy_sum": pa.array(agg["xy_sum"].to_numpy(np.int64)[keep], pa.int64()),
+                "pafrac": pa.array(paf[keep], pa.float64()),
+            }
+        )
+    )

@@ -451,3 +451,91 @@ def test_iji_hand_grid(ray_session):
     # reshard invariance
     out2 = assemblage.iji(prims.repartition(3), year=2022).to_pandas()
     assert out.reset_index().equals(out2)
+
+
+def test_patch_metrics_family_hand_grid(ray_session):
+    """Patch table on the class_shape hand grid (one 16x16 block):
+    class 5 = 2x2 square (a=4, p=8), class 9 = isolated (a=1, p=4),
+    class 7 = corner domino (a=2, p=6); cohesion/pafrac recompute from
+    the quantized-term definitions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.array([1, 2, 1, 2, 5, 0, 0])
+    ys = np.array([1, 1, 2, 2, 5, 0, 1])
+    lc = np.array([5, 5, 5, 5, 9, 7, 7])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    pm = assemblage.patch_metrics(prims, year=2022).to_pandas()
+    by_lc = pm.set_index("LANDCOVER")
+    assert len(pm) == 3
+    assert by_lc.loc[5, "a"] == 4 and by_lc.loc[5, "p"] == 8
+    assert by_lc.loc[9, "a"] == 1 and by_lc.loc[9, "p"] == 4
+    assert by_lc.loc[7, "a"] == 2 and by_lc.loc[7, "p"] == 6
+    # comp_id = min tile_id of the component
+    assert by_lc.loc[5, "comp_id"] == tids[:4].min()
+
+    coh = assemblage.cohesion(prims, year=2022).to_pandas().set_index("LANDCOVER")
+    S = assemblage.COHESION_SCALE
+    A = 7.0
+    for c, (a, p) in {5: (4, 8), 9: (1, 4), 7: (2, 6)}.items():
+        q = int(np.floor((float(p) * np.sqrt(float(a))) * S))
+        assert coh.loc[c, "p_sum"] == p and coh.loc[c, "paq_sum"] == q
+        expect = (1.0 - p / (q / S)) / (1.0 - 1.0 / np.sqrt(A)) * 100.0
+        assert coh.loc[c, "cohesion"] == expect
+    # single-patch classes have zero ln-area variance -> dropped by pafrac
+    assert assemblage.pafrac(prims, year=2022).count() == 0
+    # two patches of different size -> defined: add a second class-5 tile
+    xs2 = np.concatenate([xs, [9]])
+    ys2 = np.concatenate([ys, [9]])
+    lc2 = np.concatenate([lc, [5]])
+    tids2 = np.asarray(morton(xs2, ys2), np.int64)
+    prims2 = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids2,
+                    "year": [2022] * len(tids2),
+                    "class": lc2.astype(np.int32),
+                    "prob": np.full(len(tids2), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    pf = assemblage.pafrac(prims2, year=2022).to_pandas()
+    assert list(pf["LANDCOVER"]) == [5]
+    Q = assemblage.PAFRAC_SCALE
+    # patches (a=4, p=8) and (a=1, p=4): replay the quantized chain
+    xa = [np.log(4.0), np.log(1.0)]
+    ya = [np.log(8.0), np.log(4.0)]
+    sxq = sum(int(np.floor(x * Q)) for x in xa)
+    syq = sum(int(np.floor(y * Q)) for y in ya)
+    sxxq = sum(int(np.floor((x * x) * Q)) for x in xa)
+    sxyq = sum(int(np.floor((x * y) * Q)) for x, y in zip(xa, ya))
+    nn, sx, sy, sxx, sxy = 2.0, sxq / Q, syq / Q, sxxq / Q, sxyq / Q
+    expect = 2.0 / ((nn * sxy - sx * sy) / (nn * sxx - sx * sx))
+    assert pf["pafrac"].iloc[0] == expect
+    # reshard invariance of the patch table
+    pm2 = assemblage.patch_metrics(prims.repartition(5), year=2022).to_pandas()
+    key = ["comp_id", "LANDCOVER", "a", "p"]
+    assert pm.sort_values(key).reset_index(drop=True).equals(
+        pm2.sort_values(key).reset_index(drop=True)
+    )
