@@ -1008,6 +1008,22 @@ def q_core_area(sf_dir: str):
     )
 
 
+def q_contag(sf_dir: str):
+    """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
+    class-pair adjacency counts incl. the diagonal via the broadcast
+    lookup fan, ⌊r·ln(r)·2³⁰⌋ order-free quantized terms, ONE pinned
+    (1+(s_q/2³⁰)/(2·ln m))·100 chain."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.contag(prims, year=2022),
+        ["n_classes", "area", "g_total", "s_q", "contag"],
+    )
+
+
 def q_patch_metrics(sf_dir: str):
     """Per-patch area + perimeter over the block-bounded clump components
     (stages/assemblage.patch_metrics): perimeter = Σ(4 − same-component
@@ -5208,6 +5224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "largest_patch": q_largest_patch,
         "core_area": q_core_area,
         "iji": q_iji,
+        "contag": q_contag,
         "patch_metrics": q_patch_metrics,
         "cohesion": q_cohesion,
         "pafrac": q_pafrac,
@@ -6080,6 +6097,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "largest_patch": _largest_patch_sql(root),
         "core_area": _core_area_sql(root),
         "iji": _iji_sql(root),
+        "contag": _contag_sql(root),
         "patch_metrics": _patch_metrics_sql(root),
         "cohesion": _cohesion_sql(root),
         "pafrac": _pafrac_sql(root),
@@ -9147,6 +9165,78 @@ def _iji_sql(root: str, year: int = 2022) -> str:
                    / ln(CAST(m.m AS DOUBLE) - 1.0) * 100.0 AS iji
         FROM ij_tot t JOIN ij_q q ON q.i = t.i CROSS JOIN ij_m m
         WHERE m.m >= 3"""
+
+
+def _contag_sql(root: str, year: int = 2022) -> str:
+    """CONTAG oracle: the row_number label replay, full-diagonal 4-offset
+    adjacency fan, per-(i,k) counts and class margins, the SAME
+    ⌊r·ln(r)·2³⁰⌋ quantized terms and the identical pinned
+    (1+(s_q/2³⁰)/(2·ln m))·100 final chain."""
+    from kaza_lcms_ray.stages.assemblage import IJI_SCALE
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+        morton_sql_expr,
+    )
+
+    hi = (1 << TILE_LEVEL) - 1
+    S = IJI_SCALE
+    r = (
+        "((CAST(ar.a AS DOUBLE) / CAST(m.area AS DOUBLE))"
+        " * (CAST(g.n AS DOUBLE) / CAST(gi.gi AS DOUBLE)))"
+    )
+    return f"""
+        WITH ct_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        ct_m AS (SELECT CAST(COUNT(DISTINCT lc) AS BIGINT) AS m,
+                        CAST(COUNT(*) AS BIGINT) AS area
+                 FROM ct_lab),
+        ct_area AS (SELECT lc, CAST(COUNT(*) AS BIGINT) AS a
+                    FROM ct_lab GROUP BY 1),
+        ct_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM ct_lab
+        ),
+        ct_offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS t(dx, dy)),
+        ct_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS tile_id,
+                   d.lc AS i
+            FROM ct_dec d CROSS JOIN ct_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        ct_g AS (
+            SELECT f.i, a.lc AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ct_fan f JOIN ct_lab a ON a.tile_id = f.tile_id
+            GROUP BY 1, 2
+        ),
+        ct_gi AS (SELECT i, CAST(SUM(n) AS BIGINT) AS gi FROM ct_g GROUP BY 1),
+        ct_q AS (
+            SELECT CAST(SUM(CAST(floor(
+                       ({r} * ln{r}) * {S!r}) AS BIGINT)) AS BIGINT) AS s_q,
+                   CAST(SUM(g.n) AS BIGINT) AS g_total
+            FROM ct_g g
+            JOIN ct_gi gi ON gi.i = g.i
+            JOIN ct_area ar ON ar.lc = g.i
+            CROSS JOIN ct_m m
+        )
+        SELECT m.m AS n_classes, m.area,
+               q.g_total, q.s_q,
+               (1.0 + (CAST(q.s_q AS DOUBLE) / {S!r})
+                   / (2.0 * ln(CAST(m.m AS DOUBLE)))) * 100.0 AS contag
+        FROM ct_m m CROSS JOIN ct_q q
+        WHERE m.m >= 2"""
 
 
 def _patch_chain_sql(root: str) -> str:

@@ -941,6 +941,64 @@ def label_pyramid_sql(labels_sql: str, levels_up=(1, 2)) -> str:
 IJI_SCALE = float(1 << 30)  # entropy-term quantum (landscape_diversity's 2^30)
 
 
+def _adjacency_counts(labels, lab_pd, include_same: bool):
+    """Directed 4-neighbor class-pair counts over the label raster: the
+    AOI-bounded (tile→class) table broadcasts once via ``ray.put`` (the
+    morans_i precedent) and each batch resolves its neighbors' classes by
+    searchsorted — NO shuffle; per-batch pair counts collapse to ≤m² rows
+    before one tiny groupby.  ``include_same`` keeps the i = k diagonal
+    (contag) or drops it (iji).  Returns a ≤m²-row pandas frame (i, k, n).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..state.cells import TILE_LEVEL, decode, morton
+
+    tids = lab_pd["tile_id"].to_numpy(np.int64)
+    lcs = lab_pd["LANDCOVER"].to_numpy(np.int64)
+    order = np.argsort(tids)
+    side_ref = ray.put({"tids": tids[order], "lcs": lcs[order]})
+    hi = (1 << TILE_LEVEL) - 1
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(tid, TILE_LEVEL)
+        packed = []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            tx, ty = ix + dx, iy + dy
+            mk = (tx >= 0) & (tx <= hi) & (ty >= 0) & (ty <= hi)
+            tgt = morton(tx[mk], ty[mk]).astype(np.int64)
+            pos = np.searchsorted(side["tids"], tgt)
+            hit = (pos < len(side["tids"])) & (
+                side["tids"][np.minimum(pos, len(side["tids"]) - 1)] == tgt
+            )
+            klc = side["lcs"][np.minimum(pos, len(side["tids"]) - 1)][hit]
+            ilc = lc[mk][hit]
+            if include_same:
+                packed.append(ilc * np.int64(256) + klc)
+            else:
+                cross = ilc != klc
+                packed.append(ilc[cross] * np.int64(256) + klc[cross])
+        keys, cnts = np.unique(np.concatenate(packed), return_counts=True)
+        return pa.table(
+            {
+                "i": pa.array(keys >> np.int64(8), pa.int64()),
+                "k": pa.array(keys & np.int64(255), pa.int64()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        labels.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby(["i", "k"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ m² rows
+    )
+
+
 def iji(primitives, year: int = 2022):
     """FRAGSTATS Interspersion–Juxtaposition Index per class: how evenly a
     class's patch edges are shared among the OTHER classes (100 = equally
@@ -965,10 +1023,7 @@ def iji(primitives, year: int = 2022):
     iji:f64), one row per class present (m ≥ 3 required — with fewer
     classes the index is undefined and the result is empty).
     """
-    import ray
     import ray.data as rd
-
-    from ..state.cells import TILE_LEVEL, decode, morton
 
     empty = pa.table(
         {
@@ -989,47 +1044,7 @@ def iji(primitives, year: int = 2022):
     m = lab_pd["LANDCOVER"].nunique()
     if len(lab_pd) == 0 or m < 3:
         return rd.from_arrow(empty)
-    tids = lab_pd["tile_id"].to_numpy(np.int64)
-    lcs = lab_pd["LANDCOVER"].to_numpy(np.int64)
-    order = np.argsort(tids)
-    side_ref = ray.put({"tids": tids[order], "lcs": lcs[order]})
-    hi = (1 << TILE_LEVEL) - 1
-
-    def pair_counts(t: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
-        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
-        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
-        ix, iy = decode(tid, TILE_LEVEL)
-        packed = []
-        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            tx, ty = ix + dx, iy + dy
-            mk = (tx >= 0) & (tx <= hi) & (ty >= 0) & (ty <= hi)
-            tgt = morton(tx[mk], ty[mk]).astype(np.int64)
-            pos = np.searchsorted(side["tids"], tgt)
-            hit = (pos < len(side["tids"])) & (
-                side["tids"][np.minimum(pos, len(side["tids"]) - 1)] == tgt
-            )
-            klc = side["lcs"][np.minimum(pos, len(side["tids"]) - 1)][hit]
-            ilc = lc[mk][hit]
-            cross = ilc != klc
-            packed.append(ilc[cross] * np.int64(256) + klc[cross])
-        keys, cnts = np.unique(np.concatenate(packed), return_counts=True)
-        return pa.table(
-            {
-                "i": pa.array(keys >> np.int64(8), pa.int64()),
-                "k": pa.array(keys & np.int64(255), pa.int64()),
-                "n": pa.array(cnts.astype(np.int64), pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    e = (
-        labels.map_batches(pair_counts, batch_format="pyarrow")
-        .groupby(["i", "k"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # ≤ m² rows
-    )
+    e = _adjacency_counts(labels, lab_pd, include_same=False)
     if len(e) == 0:
         return rd.from_arrow(empty)
     i_arr = e["i"].to_numpy(np.int64)
@@ -1352,6 +1367,76 @@ def pafrac(primitives, year: int = 2022, block_levels: int = 4):
                 "xx_sum": pa.array(agg["xx_sum"].to_numpy(np.int64)[keep], pa.int64()),
                 "xy_sum": pa.array(agg["xy_sum"].to_numpy(np.int64)[keep], pa.int64()),
                 "pafrac": pa.array(paf[keep], pa.float64()),
+            }
+        )
+    )
+
+
+def contag(primitives, year: int = 2022):
+    """FRAGSTATS landscape CONTAGION index — the single-number texture of
+    the whole classified raster (→100 when one class dominates in large
+    clumps, →0 when classes are maximally interspersed), the
+    landscape-level companion of :func:`iji`:
+
+        CONTAG = [1 + Σ_{i,k} r_ik·ln(r_ik) / (2·ln m)] · 100,
+        r_ik = P_i · g_ik/G_i
+
+    with P_i = class-i share of the landscape, g_ik = directed 4-neighbor
+    adjacencies from class i to class k (diagonal INCLUDED — same-class
+    adjacency is what contagion rewards), G_i their row sum, m = classes
+    present (m ≥ 2 required, else empty).  Same broadcast-lookup fan as
+    :func:`iji` (no shuffle); each r·ln r term floor-quantizes to
+    ⌊r·ln(r)·2³⁰⌋ (terms are negative; the sum is order-free int); the
+    index is ONE pinned (1 + (s_q/2³⁰)/(2·ln m))·100 chain.
+
+    Output: ONE row (n_classes:int64, area:int64, g_total:int64,
+    s_q:int64, contag:f64).
+    """
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "n_classes": pa.array([], pa.int64()),
+            "area": pa.array([], pa.int64()),
+            "g_total": pa.array([], pa.int64()),
+            "s_q": pa.array([], pa.int64()),
+            "contag": pa.array([], pa.float64()),
+        }
+    )
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .materialize()
+    )
+    lab_pd = labels.to_pandas()
+    m = lab_pd["LANDCOVER"].nunique()
+    if len(lab_pd) == 0 or m < 2:
+        return rd.from_arrow(empty)
+    g = _adjacency_counts(labels, lab_pd, include_same=True)
+    if len(g) == 0:
+        return rd.from_arrow(empty)
+    A = len(lab_pd)
+    cls_u, a_u = np.unique(lab_pd["LANDCOVER"].to_numpy(np.int64), return_counts=True)
+    i_arr = g["i"].to_numpy(np.int64)
+    n_arr = g["n"].to_numpy(np.int64)
+    gi = np.zeros(len(cls_u), np.int64)
+    pos = np.searchsorted(cls_u, i_arr)
+    np.add.at(gi, pos, n_arr)
+    pi = a_u.astype(np.float64)[pos] / np.float64(A)
+    r = pi * (n_arr.astype(np.float64) / gi.astype(np.float64)[pos])
+    s_q = int(np.floor((r * np.log(r)) * IJI_SCALE).astype(np.int64).sum())
+    contag_val = (
+        1.0 + (np.float64(s_q) / IJI_SCALE) / (2.0 * np.log(np.float64(m)))
+    ) * 100.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_classes": pa.array([np.int64(m)], pa.int64()),
+                "area": pa.array([np.int64(A)], pa.int64()),
+                "g_total": pa.array([np.int64(n_arr.sum())], pa.int64()),
+                "s_q": pa.array([np.int64(s_q)], pa.int64()),
+                "contag": pa.array([contag_val], pa.float64()),
             }
         )
     )

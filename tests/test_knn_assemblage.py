@@ -539,3 +539,66 @@ def test_patch_metrics_family_hand_grid(ray_session):
     assert pm.sort_values(key).reset_index(drop=True).equals(
         pm2.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_contag_hand_grid(ray_session):
+    """Strip [5, 7, 5, 9]: directed adjacencies g = {(5,7):2, (7,5):2,
+    (5,9):1, (9,5):1}, no diagonal; replay the quantized-term chain."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.arange(4)
+    ys = np.zeros(4, np.int64)
+    lc = np.array([5, 7, 5, 9])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * 4,
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(4, 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.contag(prims, year=2022).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_classes"] == 3 and row["area"] == 4 and row["g_total"] == 6
+    Q = assemblage.IJI_SCALE
+    terms = [
+        (2 / 4) * (2 / 3),  # 5->7
+        (2 / 4) * (1 / 3),  # 5->9
+        (1 / 4) * (2 / 2),  # 7->5
+        (1 / 4) * (1 / 1),  # 9->5
+    ]
+    s_q = sum(int(np.floor((r * np.log(r)) * Q)) for r in terms)
+    assert row["s_q"] == s_q
+    assert row["contag"] == (1.0 + (s_q / Q) / (2.0 * np.log(3.0))) * 100.0
+    # single-class landscape -> undefined -> empty
+    one = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * 4,
+                    "class": np.full(4, 5, np.int32),
+                    "prob": np.full(4, 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    assert assemblage.contag(one, year=2022).count() == 0
+    # reshard invariance
+    out2 = assemblage.contag(prims.repartition(3), year=2022).to_pandas()
+    assert out.equals(out2)
