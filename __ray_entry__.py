@@ -1008,6 +1008,22 @@ def q_core_area(sf_dir: str):
     )
 
 
+def q_mesh(sf_dir: str):
+    """FRAGSTATS effective mesh size + division index per class
+    (stages/assemblage.mesh): EXACT int64 Σa² over the patch table (no
+    quantum — patch area is block-bounded), ONE pinned division each for
+    MESH = Σa²/A and DIVISION = 1 − Σa²/A²."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.mesh(prims, year=2022),
+        ["LANDCOVER", "n_patches", "a_sum", "a2_sum", "mesh", "division"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5228,6 +5244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "patch_metrics": q_patch_metrics,
         "cohesion": q_cohesion,
         "pafrac": q_pafrac,
+        "mesh": q_mesh,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -6101,6 +6118,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "patch_metrics": _patch_metrics_sql(root),
         "cohesion": _cohesion_sql(root),
         "pafrac": _pafrac_sql(root),
+        "mesh": _mesh_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -9319,6 +9337,24 @@ def _cohesion_sql(root: str) -> str:
                    AS cohesion
         FROM ch_agg g CROSS JOIN ch_tot t
         WHERE t.A >= 2"""
+
+
+def _mesh_sql(root: str) -> str:
+    """MESH/DIVISION oracle: exact-int Σa² margins over the pm chain,
+    identical pinned Σa²/A and 1−Σa²/(A·A) expressions."""
+    return f"""{_patch_chain_sql(root)},
+        ms_agg AS (
+            SELECT lc, CAST(COUNT(*) AS BIGINT) AS n_patches,
+                   CAST(SUM(a) AS BIGINT) AS a_sum,
+                   CAST(SUM(a * a) AS BIGINT) AS a2_sum
+            FROM pm_patch GROUP BY 1
+        ),
+        ms_tot AS (SELECT CAST(SUM(a_sum) AS BIGINT) AS A FROM ms_agg)
+        SELECT g.lc AS "LANDCOVER", g.n_patches, g.a_sum, g.a2_sum,
+               CAST(g.a2_sum AS DOUBLE) / CAST(t.A AS DOUBLE) AS mesh,
+               1.0 - CAST(g.a2_sum AS DOUBLE)
+                   / (CAST(t.A AS DOUBLE) * CAST(t.A AS DOUBLE)) AS division
+        FROM ms_agg g CROSS JOIN ms_tot t"""
 
 
 def _pafrac_sql(root: str) -> str:

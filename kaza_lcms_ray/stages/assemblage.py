@@ -1440,3 +1440,88 @@ def contag(primitives, year: int = 2022):
             }
         )
     )
+
+
+def mesh(primitives, year: int = 2022, block_levels: int = 4):
+    """FRAGSTATS effective mesh size + landscape division index per class
+    — the fragmentation pair used in connectivity planning (MESH = the
+    expected patch size a random landscape point sits in, restricted to
+    class i; DIVISION = probability two random points fall in different
+    class-i patches):
+
+        MESH_i = Σ_j a_ij² / A        DIVISION_i = 1 − Σ_j (a_ij/A)²
+
+    over class-i patches j (block-bounded, :func:`patch_metrics`) with
+    A = total landscape tiles.  Exactness: Σa² is EXACT int64 (patch
+    area ≤ block² = 2^(2·bl) tiles, so a² ≤ 2³² per term — no quantum
+    needed); MESH and DIVISION are each ONE pinned double expression.
+
+    Output: (LANDCOVER:int64, n_patches:int64, a_sum:int64, a2_sum:int64,
+    mesh:f64, division:f64), classes sorted.
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    pm = patch_metrics(primitives, year=year, block_levels=block_levels)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "LANDCOVER": t.column("LANDCOVER"),
+                    "n_patches": pa.array(np.ones(len(a), np.int64)),
+                    "a_sum": pa.array(a),
+                    "a2_sum": pa.array(a * a),
+                }
+            )
+            .group_by(["LANDCOVER"])
+            .aggregate([("n_patches", "sum"), ("a_sum", "sum"), ("a2_sum", "sum")])
+        )
+        return g.rename_columns(["LANDCOVER", "n_patches", "a_sum", "a2_sum"])
+
+    agg = (
+        pm.map_batches(partial, batch_format="pyarrow")
+        .groupby("LANDCOVER")
+        .aggregate(
+            Sum("n_patches", alias_name="n_patches"),
+            Sum("a_sum", alias_name="a_sum"),
+            Sum("a2_sum", alias_name="a2_sum"),
+        )
+        .to_pandas()  # ≤ |classes| rows
+    )
+    empty = pa.table(
+        {
+            "LANDCOVER": pa.array([], pa.int64()),
+            "n_patches": pa.array([], pa.int64()),
+            "a_sum": pa.array([], pa.int64()),
+            "a2_sum": pa.array([], pa.int64()),
+            "mesh": pa.array([], pa.float64()),
+            "division": pa.array([], pa.float64()),
+        }
+    )
+    if len(agg) == 0:
+        return rd.from_arrow(empty)
+    A = int(agg["a_sum"].sum())
+    lc = agg["LANDCOVER"].to_numpy(np.int64)
+    order = np.argsort(lc, kind="mergesort")
+    lc = lc[order]
+    n = agg["n_patches"].to_numpy(np.int64)[order]
+    a_sum = agg["a_sum"].to_numpy(np.int64)[order]
+    a2 = agg["a2_sum"].to_numpy(np.int64)[order]
+    Af = np.float64(A)
+    mesh_v = a2.astype(np.float64) / Af
+    division = 1.0 - a2.astype(np.float64) / (Af * Af)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(lc, pa.int64()),
+                "n_patches": pa.array(n, pa.int64()),
+                "a_sum": pa.array(a_sum, pa.int64()),
+                "a2_sum": pa.array(a2, pa.int64()),
+                "mesh": pa.array(mesh_v, pa.float64()),
+                "division": pa.array(division, pa.float64()),
+            }
+        )
+    )

@@ -602,3 +602,40 @@ def test_contag_hand_grid(ray_session):
     # reshard invariance
     out2 = assemblage.contag(prims.repartition(3), year=2022).to_pandas()
     assert out.equals(out2)
+
+
+def test_mesh_hand_grid(ray_session):
+    """Hand grid from the patch test: class 5 one patch a=4, classes
+    7/9 patches a=2/a=1; A=7.  MESH = a2/A, DIVISION = 1 - a2/A^2."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.array([1, 2, 1, 2, 5, 0, 0])
+    ys = np.array([1, 1, 2, 2, 5, 0, 1])
+    lc = np.array([5, 5, 5, 5, 9, 7, 7])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.mesh(prims, year=2022).to_pandas().set_index("LANDCOVER")
+    A = 7.0
+    for c, a2 in {5: 16, 7: 4, 9: 1}.items():
+        assert out.loc[c, "a2_sum"] == a2
+        assert out.loc[c, "mesh"] == a2 / A
+        assert out.loc[c, "division"] == 1.0 - a2 / (A * A)
+    assert list(out["n_patches"]) == [1, 1, 1]
