@@ -1947,11 +1947,15 @@ def waiting_suppliers(lineitem, orders, supplier):
         )
         return out.rename_columns(["l_orderkey", "skey", "nmax"])
 
-    uniq = (
-        enriched.map_batches(at_max, batch_format="pyarrow")
-        .map_batches(uniq_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Max("skey", alias_name="skey"), Sum("nmax", alias_name="nmax"))
+    # bucketed exchange, NOT the sort-based native aggregate: the sort
+    # groupby on this skinny 100k-row table measured 8.3 s vs 0.25 s
+    # bucketed at sf0.1/32 — the same pathology the pair combine avoids
+    uniq = bucketed_combine(
+        enriched.map_batches(at_max, batch_format="pyarrow").map_batches(
+            uniq_partial, batch_format="pyarrow"
+        ),
+        ["l_orderkey"],
+        {"skey": "max", "nmax": "sum"},
     )
 
     def f_keys(t: pa.Table) -> pa.Table:
@@ -1979,10 +1983,10 @@ def waiting_suppliers(lineitem, orders, supplier):
         )
         return out.rename_columns(["s_suppkey", "numwait"])
 
-    counts = (
-        waiting.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("s_suppkey")
-        .aggregate(Sum("numwait", alias_name="numwait"))
+    counts = bucketed_combine(
+        waiting.map_batches(count_partial, batch_format="pyarrow"),
+        ["s_suppkey"],
+        {"numwait": "sum"},
     )
 
     def s_dim(t: pa.Table) -> pa.Table:
