@@ -616,6 +616,20 @@ def q_cell_smooth(sf_dir: str):
     )
 
 
+def q_focal_median(sf_dir: str):
+    """Focal MEDIAN smoothing over the zonal cell grid
+    (stages/zonal.focal_median): per occupied cell, the exact LOWER
+    median of the 3×3 neighborhood's per-cell band-3 cent totals —
+    pure-integer selection (vectorized segment arithmetic per bucket),
+    one pinned /100 division."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.focal_median(_geo(sf_dir), band=3, k=1),
+        ["cell_id", "nbr_n", "med_cents", "med_b3"],
+    )
+
+
 def q_media_dedup(sf_dir: str):
     """Cross-document media (asset) dedup over the interleaved corpus:
     one row per distinct content key with its first owner (min
@@ -5271,6 +5285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_share": q_priority_share,
         "sales_opportunity": q_sales_opportunity,
         "cell_smooth": q_cell_smooth,
+        "focal_median": q_focal_median,
         "embed_gram": q_embed_gram,
         "line_filter": q_line_filter,
         "quality_blend": q_quality_blend,
@@ -5814,6 +5829,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_smooth": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).kring_smooth_sql("SELECT * FROM cells", band=3, k=1)}""",
+        "focal_median": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).focal_median_sql("SELECT * FROM cells", band=3, k=1)}""",
         "cell_trend": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).cell_trend_sql("SELECT * FROM cells", band=3)}""",

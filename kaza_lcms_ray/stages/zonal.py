@@ -4149,3 +4149,142 @@ def emerging_hotspots_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
                  ELSE 'none'
                END AS category
         FROM ehs_cnt c LEFT JOIN ehs_mk m ON c.cell_id = m.cell_id"""
+
+
+def focal_median(geo, band: int = 3, k: int = 1):
+    """Focal MEDIAN smoothing over the zonal cell grid — the
+    salt-and-pepper-robust companion of :func:`kring_smooth` (median
+    filters are the standard despeckle/denoise pass a mean filter smears):
+    each OCCUPIED cell takes the LOWER MEDIAN (the ⌈w/2⌉-th smallest, an
+    exact integer — no interpolation) of the per-cell band totals over its
+    (2k+1)² Chebyshev neighborhood's occupied cells, clipped at the grid
+    boundary.
+
+    Exactness: window values are the exact per-cell integer cent sums;
+    lower-median selection is pure integer; the band-unit value is ONE
+    pinned /100 double division.  Scale shape: the raw-observation groupby
+    is the two-phase ``bucketed_sum``; the fan is a stateless (2k+1)²-way
+    map over the AOI-bounded cell table carrying an is_self marker (no
+    occupancy join); the median runs per hash bucket with ≤(2k+1)² rows
+    per cell, selected by VECTORIZED segment arithmetic (sort once per
+    bucket, no per-cell Python).
+
+    Output: (cell_id:int64, nbr_n:int64, med_cents:int64, med_b{band}:f64).
+    """
+    import pandas as pd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    s_col = f"s_c{band}"
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=(band,))
+    offsets = [(dx, dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+    n_grid = np.int64(1) << CELL_LEVEL
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        s = t.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "v": pa.array(s[m]),
+                        "is_self": pa.array(
+                            np.full(
+                                int(m.sum()),
+                                1 if (dx == 0 and dy == 0) else 0,
+                                dtype=np.int64,
+                            )
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    fanned = cellsums.map_batches(fan, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cid = g["cell_id"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        slf = g["is_self"].to_numpy(np.int64)
+        order = np.lexsort((v, cid))
+        cid, v, slf = cid[order], v[order], slf[order]
+        starts = np.flatnonzero(np.concatenate(([True], cid[1:] != cid[:-1])))
+        ends = np.concatenate((starts[1:], [len(cid)]))
+        cnt = ends - starts
+        med = v[starts + (cnt - 1) // 2]  # lower median, values sorted per key
+        has_self = np.add.reduceat(slf, starts) > 0
+        return pd.DataFrame(
+            {
+                "cell_id": cid[starts][has_self],
+                "nbr_n": cnt[has_self],
+                "med_cents": med[has_self],
+            }
+        )
+
+    agg = (
+        _add_bucket(fanned, ["cell_id"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["cell_id", "nbr_n", "med_cents"])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        med = t.column("med_cents").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            f"med_b{band}", pa.array(med.astype(np.float64) / 100.0)
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def focal_median_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
+    """Oracle twin of ``focal_median``: the kring fan chain + per-cell
+    lower-median selection via row_number at (cnt+1)//2, the identical
+    pinned /100 division.  Fragment for a caller's ``WITH {geo},
+    {cells},``."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    ds_vals = ", ".join(str(d) for d in range(-k, k + 1))
+    return f"""
+        fm_agg AS (
+            SELECT cell_id, CAST(SUM(c{band}) AS BIGINT) AS v
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        fm_dec AS (
+            SELECT cell_id, v,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM fm_agg
+        ),
+        fm_offs AS (
+            SELECT ox.d AS dx, oy.d AS dy
+            FROM (SELECT unnest([{ds_vals}]) AS d) ox,
+                 (SELECT unnest([{ds_vals}]) AS d) oy
+        ),
+        fm_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.v,
+                   CASE WHEN o.dx = 0 AND o.dy = 0 THEN 1 ELSE 0 END AS is_self
+            FROM fm_dec d CROSS JOIN fm_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        fm_rn AS (
+            SELECT cell_id, v,
+                   row_number() OVER (PARTITION BY cell_id ORDER BY v) AS rn,
+                   COUNT(*) OVER (PARTITION BY cell_id) AS cnt,
+                   SUM(is_self) OVER (PARTITION BY cell_id) AS selfs
+            FROM fm_fan
+        )
+        SELECT cell_id, CAST(cnt AS BIGINT) AS nbr_n,
+               CAST(v AS BIGINT) AS med_cents,
+               CAST(v AS DOUBLE) / 100.0 AS med_b{band}
+        FROM fm_rn
+        WHERE rn = (cnt + 1) // 2 AND selfs > 0"""

@@ -919,3 +919,52 @@ def test_emerging_hotspots_single_cell_year_excluded(ray_session):
     )
     got = zonal.emerging_hotspots(geo, band=3, k=1).to_pandas()
     assert len(got) == 0
+
+
+def test_focal_median_brute_force(synth_small, ray_session):
+    """focal_median vs a direct numpy replay on the sf0.001 cell table:
+    lower median of the 3x3 occupied-neighbor cent totals."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, zonal
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode, morton
+
+    geo = spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+    cells = zonal.zonal_sums(geo, keys=["cell_id"], bands=(3,)).to_pandas()
+    got = zonal.focal_median(
+        spans.geo_obs(rd.read_parquet(f"{synth_small}/documents")), band=3, k=1
+    ).to_pandas()
+    cid = cells["cell_id"].to_numpy(np.int64)
+    val = cells["s_c3"].to_numpy(np.int64)
+    lut = dict(zip(cid.tolist(), val.tolist()))
+    ix, iy = decode(cid, CELL_LEVEL)
+    hi = (1 << CELL_LEVEL) - 1
+    exp = {}
+    for j, c in enumerate(cid.tolist()):
+        vals = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = int(ix[j]) + dx, int(iy[j]) + dy
+                if 0 <= tx <= hi and 0 <= ty <= hi:
+                    nb = int(morton(np.array([tx]), np.array([ty]))[0])
+                    if nb in lut:
+                        vals.append(lut[nb])
+        vals.sort()
+        exp[c] = (len(vals), vals[(len(vals) - 1) // 2])
+    got_d = {
+        int(r.cell_id): (int(r.nbr_n), int(r.med_cents)) for r in got.itertuples()
+    }
+    assert got_d == exp
+    assert (got["med_b3"].to_numpy() == got["med_cents"].to_numpy() / 100.0).all()
+    # reshard invariance
+    got2 = zonal.focal_median(
+        spans.geo_obs(rd.read_parquet(f"{synth_small}/documents")).repartition(7),
+        band=3,
+        k=1,
+    ).to_pandas()
+    key = ["cell_id"]
+    assert (
+        got.sort_values(key).reset_index(drop=True)
+        .equals(got2.sort_values(key).reset_index(drop=True))
+    )
