@@ -1038,6 +1038,23 @@ def q_mesh(sf_dir: str):
     )
 
 
+def q_std_ellipse(sf_dir: str):
+    """Standard deviational ellipse per class
+    (stages/assemblage.std_ellipse): exact int64 coordinate moments over
+    the labeled tile grid, pinned double chains for mean center, standard
+    distance, atan2 orientation and clamped semi-axes."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.std_ellipse(prims, year=2022),
+        ["LANDCOVER", "n", "sx", "sy", "sxx", "syy", "sxy", "mean_x",
+         "mean_y", "std_dist", "theta", "semi_major", "semi_minor"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5255,6 +5272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "core_area": q_core_area,
         "iji": q_iji,
         "contag": q_contag,
+        "std_ellipse": q_std_ellipse,
         "patch_metrics": q_patch_metrics,
         "cohesion": q_cohesion,
         "pafrac": q_pafrac,
@@ -6133,6 +6151,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "core_area": _core_area_sql(root),
         "iji": _iji_sql(root),
         "contag": _contag_sql(root),
+        "std_ellipse": _std_ellipse_sql(root),
         "patch_metrics": _patch_metrics_sql(root),
         "cohesion": _cohesion_sql(root),
         "pafrac": _pafrac_sql(root),
@@ -9201,6 +9220,64 @@ def _iji_sql(root: str, year: int = 2022) -> str:
                    / ln(CAST(m.m AS DOUBLE) - 1.0) * 100.0 AS iji
         FROM ij_tot t JOIN ij_q q ON q.i = t.i CROSS JOIN ij_m m
         WHERE m.m >= 3"""
+
+
+def _std_ellipse_sql(root: str, year: int = 2022) -> str:
+    """std_ellipse oracle: the row_number label replay, tile decode,
+    exact-int moment margins, and the IDENTICAL pinned double chains
+    (mx/vx/cxy divisions, atan2·0.5 orientation, greatest-clamped
+    semi-axes)."""
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, morton_decode_sql_expr
+
+    return f"""
+        WITH se_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        se_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM se_lab
+        ),
+        se_agg AS (
+            SELECT lc, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ix) AS BIGINT) AS sx,
+                   CAST(SUM(iy) AS BIGINT) AS sy,
+                   CAST(SUM(ix * ix) AS BIGINT) AS sxx,
+                   CAST(SUM(iy * iy) AS BIGINT) AS syy,
+                   CAST(SUM(ix * iy) AS BIGINT) AS sxy
+            FROM se_dec GROUP BY 1
+        ),
+        se_m AS (
+            SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                      CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+            FROM se_agg
+        ),
+        se_v AS (
+            SELECT *,
+                   CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mx * mx AS vx,
+                   CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - my * my AS vy,
+                   CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mx * my AS cxy
+            FROM se_m
+        ),
+        se_r AS (
+            SELECT *, sqrt(((vx - vy) / 2.0) * ((vx - vy) / 2.0) + cxy * cxy)
+                          AS r
+            FROM se_v
+        )
+        SELECT lc AS "LANDCOVER", n, sx, sy, sxx, syy, sxy,
+               mx AS mean_x, my AS mean_y,
+               sqrt(vx + vy) AS std_dist,
+               atan2(2.0 * cxy, vx - vy) * 0.5 AS theta,
+               sqrt(greatest(0.0, (vx + vy) / 2.0 + r)) AS semi_major,
+               sqrt(greatest(0.0, (vx + vy) / 2.0 - r)) AS semi_minor
+        FROM se_r"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

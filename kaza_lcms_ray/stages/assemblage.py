@@ -1525,3 +1525,117 @@ def mesh(primitives, year: int = 2022, block_levels: int = 4):
             }
         )
     )
+
+
+def std_ellipse(primitives, year: int = 2022):
+    """Standard deviational ellipse per class — the centrographic summary
+    (mean center, standard distance, orientation, semi-axes) GIS reports
+    use to describe WHERE a class sits and how it spreads (the classic
+    CrimeStat/ArcGIS "directional distribution" statistic), over the
+    labeled tile grid in GRID coordinates (ix/iy at TILE_LEVEL — the
+    affine to lon/lat is the caller's concern; integer coordinates keep
+    every moment exact).
+
+    Decomposable: per-batch per-class INTEGER moments (n, Σx, Σy, Σx²,
+    Σy², Σxy — x, y ≤ 2¹⁴ so Σx² ≤ n·2²⁸ holds corpus-scale in int64) →
+    one tiny grouped sum → driver-side pinned double chains:
+
+        mx = Σx/n,  vx = Σx²/n − mx·mx  (same for y, xy)
+        std_dist = √(vx+vy)
+        theta    = 0.5·atan2(2·cxy, vx−vy)      (math.atan2 — libm, the
+                                                 harmonic-phase precedent)
+        r        = √(((vx−vy)/2)² + cxy·cxy)
+        semi_major/minor = √(max(0, (vx+vy)/2 ± r))
+
+    Output: (LANDCOVER:int64, n:int64, sx:int64, sy:int64, sxx:int64,
+    syy:int64, sxy:int64, mean_x:f64, mean_y:f64, std_dist:f64,
+    theta:f64, semi_major:f64, semi_minor:f64), classes sorted.
+    """
+    import math
+
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..state.cells import TILE_LEVEL, decode
+
+    labels = assemble_tile_labels(primitives).filter(
+        expr=f"year == {year}"
+    ).select_columns(["tile_id", "LANDCOVER"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(tid, TILE_LEVEL)
+        ix = ix.astype(np.int64)
+        iy = iy.astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "LANDCOVER": pa.array(lc),
+                    "n": pa.array(np.ones(len(lc), np.int64)),
+                    "sx": pa.array(ix),
+                    "sy": pa.array(iy),
+                    "sxx": pa.array(ix * ix),
+                    "syy": pa.array(iy * iy),
+                    "sxy": pa.array(ix * iy),
+                }
+            )
+            .group_by(["LANDCOVER"])
+            .aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+                 ("syy", "sum"), ("sxy", "sum")]
+            )
+        )
+        return g.rename_columns(
+            ["LANDCOVER", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    agg = (
+        labels.map_batches(partial, batch_format="pyarrow")
+        .groupby("LANDCOVER")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()  # ≤ |classes| rows
+    )
+    agg = agg.sort_values("LANDCOVER", kind="mergesort").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64).astype(np.float64)
+    sx = agg["sx"].to_numpy(np.int64).astype(np.float64)
+    sy = agg["sy"].to_numpy(np.int64).astype(np.float64)
+    sxx = agg["sxx"].to_numpy(np.int64).astype(np.float64)
+    syy = agg["syy"].to_numpy(np.int64).astype(np.float64)
+    sxy = agg["sxy"].to_numpy(np.int64).astype(np.float64)
+    mx = sx / n
+    my = sy / n
+    vx = sxx / n - mx * mx
+    vy = syy / n - my * my
+    cxy = sxy / n - mx * my
+    std_dist = np.sqrt(vx + vy)
+    theta = np.array(
+        [math.atan2(2.0 * c, dx) for c, dx in zip(cxy, vx - vy)], np.float64
+    ) * 0.5
+    r = np.sqrt(((vx - vy) / 2.0) * ((vx - vy) / 2.0) + cxy * cxy)
+    semi_major = np.sqrt(np.maximum(0.0, (vx + vy) / 2.0 + r))
+    semi_minor = np.sqrt(np.maximum(0.0, (vx + vy) / 2.0 - r))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(agg["LANDCOVER"].to_numpy(np.int64)),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+                "sx": pa.array(agg["sx"].to_numpy(np.int64)),
+                "sy": pa.array(agg["sy"].to_numpy(np.int64)),
+                "sxx": pa.array(agg["sxx"].to_numpy(np.int64)),
+                "syy": pa.array(agg["syy"].to_numpy(np.int64)),
+                "sxy": pa.array(agg["sxy"].to_numpy(np.int64)),
+                "mean_x": pa.array(mx, pa.float64()),
+                "mean_y": pa.array(my, pa.float64()),
+                "std_dist": pa.array(std_dist, pa.float64()),
+                "theta": pa.array(theta, pa.float64()),
+                "semi_major": pa.array(semi_major, pa.float64()),
+                "semi_minor": pa.array(semi_minor, pa.float64()),
+            }
+        )
+    )

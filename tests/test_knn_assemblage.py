@@ -639,3 +639,51 @@ def test_mesh_hand_grid(ray_session):
         assert out.loc[c, "mesh"] == a2 / A
         assert out.loc[c, "division"] == 1.0 - a2 / (A * A)
     assert list(out["n_patches"]) == [1, 1, 1]
+
+
+def test_std_ellipse_hand_grid(ray_session):
+    """Class 5 = horizontal 5-tile line (vy = 0, theta = 0, semi_minor
+    = 0); class 9 = 2x2 square (isotropic: std_dist = sqrt(0.5),
+    semi_major = semi_minor)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.array([10, 11, 12, 13, 14, 50, 51, 50, 51])
+    ys = np.array([20, 20, 20, 20, 20, 70, 70, 71, 71])
+    lc = np.array([5, 5, 5, 5, 5, 9, 9, 9, 9])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.std_ellipse(prims, year=2022).to_pandas().set_index("LANDCOVER")
+    line = out.loc[5]
+    assert line["n"] == 5 and line["mean_x"] == 12.0 and line["mean_y"] == 20.0
+    assert line["theta"] == 0.0 and line["semi_minor"] == 0.0
+    assert line["std_dist"] == np.sqrt(2.0)  # var x = (4+1+0+1+4)/5 = 2
+    assert line["semi_major"] == np.sqrt(2.0)
+    sq = out.loc[9]
+    assert sq["n"] == 4 and sq["mean_x"] == 50.5 and sq["mean_y"] == 70.5
+    assert sq["std_dist"] == np.sqrt(0.5)
+    assert sq["semi_major"] == sq["semi_minor"] == np.sqrt(0.25)
+    # reshard invariance
+    out2 = (
+        assemblage.std_ellipse(prims.repartition(4), year=2022)
+        .to_pandas()
+        .set_index("LANDCOVER")
+    )
+    assert out.equals(out2)
