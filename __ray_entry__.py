@@ -1038,6 +1038,22 @@ def q_mesh(sf_dir: str):
     )
 
 
+def q_join_counts(sf_dir: str):
+    """Join-count statistics per class (stages/assemblage.join_counts):
+    undirected BB / directed BW exact-int joins from the shared adjacency
+    fan, pinned nonfree-sampling expectation m·n_b(n_b−1)/(n(n−1)) and
+    BB/E ratio."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.join_counts(prims, year=2022),
+        ["LANDCOVER", "n_b", "bb", "bw", "exp_bb", "ratio"],
+    )
+
+
 def q_std_ellipse(sf_dir: str):
     """Standard deviational ellipse per class
     (stages/assemblage.std_ellipse): exact int64 coordinate moments over
@@ -5273,6 +5289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iji": q_iji,
         "contag": q_contag,
         "std_ellipse": q_std_ellipse,
+        "join_counts": q_join_counts,
         "patch_metrics": q_patch_metrics,
         "cohesion": q_cohesion,
         "pafrac": q_pafrac,
@@ -6152,6 +6169,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "iji": _iji_sql(root),
         "contag": _contag_sql(root),
         "std_ellipse": _std_ellipse_sql(root),
+        "join_counts": _join_counts_sql(root),
         "patch_metrics": _patch_metrics_sql(root),
         "cohesion": _cohesion_sql(root),
         "pafrac": _pafrac_sql(root),
@@ -9220,6 +9238,73 @@ def _iji_sql(root: str, year: int = 2022) -> str:
                    / ln(CAST(m.m AS DOUBLE) - 1.0) * 100.0 AS iji
         FROM ij_tot t JOIN ij_q q ON q.i = t.i CROSS JOIN ij_m m
         WHERE m.m >= 3"""
+
+
+def _join_counts_sql(root: str, year: int = 2022) -> str:
+    """join_counts oracle: the full-diagonal adjacency fan (contag's
+    chain), per-class BB (directed same-class // 2) and BW margins, the
+    identical pinned m·n_b(n_b−1)/(n(n−1)) expectation and BB/E ratio."""
+    from kaza_lcms_ray.state.cells import (
+        TILE_LEVEL,
+        morton_decode_sql_expr,
+        morton_sql_expr,
+    )
+
+    hi = (1 << TILE_LEVEL) - 1
+    return f"""
+        WITH jc_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        jc_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM jc_lab),
+        jc_area AS (SELECT lc, CAST(COUNT(*) AS BIGINT) AS n_b
+                    FROM jc_lab GROUP BY 1),
+        jc_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM jc_lab
+        ),
+        jc_offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1))
+                    AS t(dx, dy)),
+        jc_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", TILE_LEVEL)}
+                       AS tile_id,
+                   d.lc AS i
+            FROM jc_dec d CROSS JOIN jc_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        jc_pair AS (
+            SELECT f.i, a.lc AS k
+            FROM jc_fan f JOIN jc_lab a ON a.tile_id = f.tile_id
+        ),
+        jc_m AS (SELECT CAST(COUNT(*) AS BIGINT) // 2 AS m FROM jc_pair),
+        jc_cls AS (
+            SELECT i AS lc,
+                   CAST(COUNT(*) FILTER (WHERE i = k) AS BIGINT) // 2 AS bb,
+                   CAST(COUNT(*) FILTER (WHERE i <> k) AS BIGINT) AS bw
+            FROM jc_pair GROUP BY 1
+        )
+        SELECT a.lc AS "LANDCOVER", a.n_b,
+               COALESCE(c.bb, 0) AS bb, COALESCE(c.bw, 0) AS bw,
+               CAST(m.m AS DOUBLE)
+                   * (CAST(a.n_b AS DOUBLE) * (CAST(a.n_b AS DOUBLE) - 1.0))
+                   / (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0))
+                   AS exp_bb,
+               CAST(COALESCE(c.bb, 0) AS DOUBLE)
+                   / (CAST(m.m AS DOUBLE)
+                      * (CAST(a.n_b AS DOUBLE) * (CAST(a.n_b AS DOUBLE) - 1.0))
+                      / (CAST(n.n AS DOUBLE) * (CAST(n.n AS DOUBLE) - 1.0)))
+                   AS ratio
+        FROM jc_area a LEFT JOIN jc_cls c ON c.lc = a.lc
+        CROSS JOIN jc_m m CROSS JOIN jc_n n
+        WHERE n.n >= 2"""
 
 
 def _std_ellipse_sql(root: str, year: int = 2022) -> str:

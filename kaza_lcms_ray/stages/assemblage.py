@@ -1639,3 +1639,83 @@ def std_ellipse(primitives, year: int = 2022):
             }
         )
     )
+
+
+def join_counts(primitives, year: int = 2022):
+    """Join-count statistics per class — the CATEGORICAL spatial-
+    autocorrelation test (Cliff & Ord; the Moran/Geary analog for a
+    classified raster): treating class c as Black and everything else as
+    White, count BB / BW joins over the undirected 4-neighbor edge set
+    and compare BB to its expectation under nonfree sampling,
+
+        E[BB_c] = m · n_c(n_c−1) / (n(n−1)),   ratio = BB_c / E[BB_c]
+
+    (ratio > 1 = clumped, < 1 = dispersed).  Counts come straight from
+    the shared :func:`_adjacency_counts` fan (no shuffle): directed
+    same-class pairs halve to undirected BB (each edge appears once per
+    direction); the directed cross fan-out from c IS BW.  All counts
+    exact int64; E and the ratio are pinned double chains.
+
+    Output: (LANDCOVER:int64, n_b:int64, bb:int64, bw:int64,
+    exp_bb:f64, ratio:f64), classes sorted (the landscape scalars n, m
+    live inside exp_bb — a per-row repeated column would read as
+    degenerate).
+    """
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "LANDCOVER": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "bb": pa.array([], pa.int64()),
+            "bw": pa.array([], pa.int64()),
+            "exp_bb": pa.array([], pa.float64()),
+            "ratio": pa.array([], pa.float64()),
+        }
+    )
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .materialize()
+    )
+    lab_pd = labels.to_pandas()
+    n = len(lab_pd)
+    if n < 2:
+        return rd.from_arrow(empty)
+    g = _adjacency_counts(labels, lab_pd, include_same=True)
+    if len(g) == 0:
+        return rd.from_arrow(empty)
+    cls_u, n_b = np.unique(lab_pd["LANDCOVER"].to_numpy(np.int64), return_counts=True)
+    n_b = n_b.astype(np.int64)
+    i_arr = g["i"].to_numpy(np.int64)
+    k_arr = g["k"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    m = int(cnt.sum()) // 2  # undirected edge count
+    pos = np.searchsorted(cls_u, i_arr)
+    bb = np.zeros(len(cls_u), np.int64)
+    bw = np.zeros(len(cls_u), np.int64)
+    same = i_arr == k_arr
+    np.add.at(bb, pos[same], cnt[same])
+    bb //= 2  # halve AFTER summing: the directed same-class count is even
+    np.add.at(bw, pos[~same], cnt[~same])
+    nf = np.float64(n)
+    exp_bb = (
+        np.float64(m)
+        * (n_b.astype(np.float64) * (n_b.astype(np.float64) - 1.0))
+        / (nf * (nf - 1.0))
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = bb.astype(np.float64) / exp_bb
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(cls_u, pa.int64()),
+                "n_b": pa.array(n_b, pa.int64()),
+                "bb": pa.array(bb, pa.int64()),
+                "bw": pa.array(bw, pa.int64()),
+                "exp_bb": pa.array(exp_bb, pa.float64()),
+                "ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+    )

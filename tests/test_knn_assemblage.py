@@ -687,3 +687,47 @@ def test_std_ellipse_hand_grid(ray_session):
         .set_index("LANDCOVER")
     )
     assert out.equals(out2)
+
+
+def test_join_counts_hand_grid(ray_session):
+    """Strip [5, 5, 7]: m = 2 undirected edges, BB_5 = 1, BW_5 = 1,
+    BW_7 = 1; E[BB_5] = 2*(2*1)/(3*2) = 2/3 -> ratio 1.5."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    xs = np.arange(3)
+    ys = np.zeros(3, np.int64)
+    lc = np.array([5, 5, 7])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * 3,
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(3, 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.join_counts(prims, year=2022).to_pandas().set_index("LANDCOVER")
+    assert out.loc[5, "n_b"] == 2 and out.loc[5, "bb"] == 1
+    assert out.loc[5, "bw"] == 1 and out.loc[7, "bw"] == 1
+    assert out.loc[7, "bb"] == 0
+    exp5 = 2.0 * (2.0 * 1.0) / (3.0 * 2.0)
+    assert out.loc[5, "exp_bb"] == exp5
+    assert out.loc[5, "ratio"] == 1.0 / exp5
+    # reshard invariance
+    out2 = (
+        assemblage.join_counts(prims.repartition(3), year=2022)
+        .to_pandas()
+        .set_index("LANDCOVER")
+    )
+    assert out.equals(out2)
