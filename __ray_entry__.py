@@ -4163,6 +4163,16 @@ def q_ab_test(sf_dir: str):
     return events.ab_test(_tbl(sf_dir, "events"))
 
 
+def q_event_burstiness(sf_dir: str):
+    """Fano factor (burstiness) per event type over occupied hourly
+    buckets (stages/events.burstiness): exact (type, epoch-hour) counts,
+    per-type (n_hours, Sc, Sc2) integer sums, pinned variance/mean
+    chain."""
+    from kaza_lcms_ray.stages import events
+
+    return events.burstiness(_tbl(sf_dir, "events"))
+
+
 def q_events_pivot(sf_dir: str):
     """Per-user event-type count matrix (pivot as conditional-count
     partials + one Sum combine)."""
@@ -5459,6 +5469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": q_kmeans_embed,
         "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
+        "event_burstiness": q_event_burstiness,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6268,6 +6279,24 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY plot_id ORDER BY src ASC
                 ) AS rn FROM u
             ) WHERE rn = 1""",
+        "event_burstiness": """
+            WITH eb_h AS (
+                SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            eb_t AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                       CAST(SUM(c) AS BIGINT) AS c_sum,
+                       CAST(SUM(c * c) AS BIGINT) AS c2_sum
+                FROM eb_h GROUP BY 1
+            )
+            SELECT event_type, n_hours, c_sum, c2_sum,
+                   (CAST(c2_sum AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                    - (CAST(c_sum AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                      * (CAST(c_sum AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+                   / (CAST(c_sum AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS fano
+            FROM eb_t""",
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value

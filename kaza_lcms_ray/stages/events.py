@@ -2352,3 +2352,94 @@ def km_survival_sql(
         )
         SELECT dur_hours, n_risk, e AS n_events, s AS survival
         FROM km_walk WHERE e > 0"""
+
+
+def burstiness(ds):
+    """Fano factor (index of dispersion) per event type over occupied
+    hourly buckets — the standard burstiness/overdispersion diagnostic
+    for an arrival stream (≈1 Poisson, >1 bursty, <1 regular):
+
+        F = Var(c)/Mean(c) over the per-hour counts c
+
+    (population variance, occupied hours only — both conventions pinned
+    into the oracle).  Fully decomposable: per-batch (type, epoch-hour)
+    integer counts → hash-bucketed sum → per-type (n_hours, Σc, Σc²)
+    partials → one tiny grouped sum; only |types| rows reach the driver
+    and every double is a pinned chain of the three integer sums.
+
+    Output: (event_type:string, n_hours:int64, c_sum:int64, c2_sum:int64,
+    fano:f64), types sorted.
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from .zonal import bucketed_sum
+
+    import numpy as np
+
+    HOUR_NS = 3_600_000_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # pin the resolution: arrow timestamps arrive as datetime64[us]
+        # under pandas 2.x, so normalize to ns before the epoch division
+        h = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // HOUR_NS
+        out = (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy(), "h": h})
+            .groupby(["event_type", "h"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        return out
+
+    hourly = bucketed_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "h"],
+        ["c"],
+    )
+
+    def type_partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "n_hours": pa.array(np.ones(len(c), np.int64)),
+                    "c_sum": pa.array(c),
+                    "c2_sum": pa.array(c * c),
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate([("n_hours", "sum"), ("c_sum", "sum"), ("c2_sum", "sum")])
+        )
+        return g.rename_columns(["event_type", "n_hours", "c_sum", "c2_sum"])
+
+    agg = (
+        hourly.map_batches(type_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_hours", alias_name="n_hours"),
+            Sum("c_sum", alias_name="c_sum"),
+            Sum("c2_sum", alias_name="c2_sum"),
+        )
+        .to_pandas()  # ≤ |types| rows
+    )
+    agg = agg.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    h = agg["n_hours"].to_numpy(np.int64).astype(np.float64)
+    cs = agg["c_sum"].to_numpy(np.int64).astype(np.float64)
+    c2 = agg["c2_sum"].to_numpy(np.int64).astype(np.float64)
+    mean = cs / h
+    fano = (c2 / h - mean * mean) / mean
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(agg["event_type"].astype(str).tolist()),
+                "n_hours": pa.array(agg["n_hours"].to_numpy(np.int64)),
+                "c_sum": pa.array(agg["c_sum"].to_numpy(np.int64)),
+                "c2_sum": pa.array(agg["c2_sum"].to_numpy(np.int64)),
+                "fano": pa.array(fano, pa.float64()),
+            }
+        )
+    )

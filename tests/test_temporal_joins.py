@@ -639,3 +639,43 @@ def test_km_survival_textbook_case(ray_session):
     assert got["n_events"].tolist() == [2, 1]
     assert got["survival"].tolist() == [1.0 * (1.0 - 2.0 / 5.0),
                                         (1.0 - 2.0 / 5.0) * (1.0 - 1.0 / 2.0)]
+
+
+def test_burstiness_hand_stream(ray_session):
+    """Two types: 'a' = 3 events in one hour + 1 in another (counts 3,1:
+    mean 2, var 1, fano 0.5); 'b' = 2 hours with 1 each (fano 0)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ts = pd.to_datetime(
+        [
+            "2024-01-01 10:00", "2024-01-01 10:20", "2024-01-01 10:40",
+            "2024-01-01 12:00",
+            "2024-01-02 01:00", "2024-01-02 03:30",
+        ]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6),
+            "ts": ts,
+            "user_id": np.zeros(6, np.int64),
+            "event_type": ["a", "a", "a", "a", "b", "b"],
+            "value": np.zeros(6),
+            "props": [""] * 6,
+        }
+    )
+    out = events.burstiness(rd.from_pandas(df)).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_hours"] == 2 and out.loc["a", "c_sum"] == 4
+    assert out.loc["a", "c2_sum"] == 10
+    # mean 2, var (10/2 - 4) = 1 -> fano 0.5
+    assert out.loc["a", "fano"] == 0.5
+    assert out.loc["b", "n_hours"] == 2 and out.loc["b", "fano"] == 0.0
+    out2 = (
+        events.burstiness(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.equals(out2)
