@@ -4476,6 +4476,21 @@ def q_small_qty_revenue(sf_dir: str):
     )
 
 
+def q_basket_rules(sf_dir: str):
+    """Market-basket association rules (pipelines/analytics.basket_rules):
+    vectorized per-order pair expansion over the distinct (order, part)
+    table, exact integer supports, pinned n·c_ab/(c_a·c_b) lift, top-100
+    by (lift DESC, packed pair ASC)."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.basket_rules(
+            _tbl(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        ),
+        ["part_a", "part_b", "c_ab", "c_a", "c_b", "lift"],
+    )
+
+
 def q_supplier_counts(sf_dir: str):
     """TPC-H Q16-shaped exact COUNT(DISTINCT supplier) per part attrs
     (pipelines/analytics.supplier_part_counts): two-phase distinct pairs,
@@ -5470,6 +5485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "event_burstiness": q_event_burstiness,
+        "basket_rules": q_basket_rules,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6279,6 +6295,30 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY plot_id ORDER BY src ASC
                 ) AS rn FROM u
             ) WHERE rn = 1""",
+        "basket_rules": """
+            WITH br_bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            br_n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n
+                     FROM br_bp),
+            br_ca AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM br_bp GROUP BY 1),
+            br_pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM br_bp a JOIN br_bp b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p.part_a, p.part_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+                   (CAST(n.n AS DOUBLE) * CAST(p.c_ab AS DOUBLE))
+                       / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+            FROM br_pairs p
+            JOIN br_ca ca ON ca.l_partkey = p.part_a
+            JOIN br_ca cb ON cb.l_partkey = p.part_b
+            CROSS JOIN br_n n
+            WHERE p.c_ab >= 2
+            ORDER BY lift DESC, p.part_a, p.part_b
+            LIMIT 100""",
         "event_burstiness": """
             WITH eb_h AS (
                 SELECT event_type, epoch_us(ts) // 3600000000 AS h,

@@ -627,3 +627,43 @@ def test_fk_audit_counts_orphans(ray_session):
     assert lo["n_rows"] == 4
     assert lo["n_orphan_rows"] == 1  # the 4*M row
     assert lo["n_orphan_keys"] == 1
+
+
+def test_basket_rules_hand_orders(ray_session):
+    """Orders {1:[10,20,30], 2:[10,20], 3:[10]} (with a duplicate line
+    to exercise the distinct): n=3, c={10:3, 20:2, 30:1}; pairs
+    (10,20):2, (10,30):1, (20,30):1.  min_support=1 checks lift order
+    and the (part_a, part_b) tie-break among equal lifts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "l_orderkey": np.array([1, 1, 1, 1, 2, 2, 3], np.int64),
+            "l_partkey": np.array([10, 20, 30, 10, 10, 20, 10], np.int64),
+        }
+    )
+    out = analytics.basket_rules(rd.from_pandas(df), min_support=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["part_a"], r["part_b"], r["c_ab"], r["c_a"], r["c_b"]) == (
+        10, 20, 2, 3, 2,
+    )
+    assert r["lift"] == (3.0 * 2.0) / (3.0 * 2.0)
+    allp = analytics.basket_rules(
+        rd.from_pandas(df), min_support=1
+    ).to_pandas()
+    # (20,30) lift 1.5 first; then equal-lift (10,20) and (10,30) in
+    # packed-pair order
+    assert list(zip(allp["part_a"], allp["part_b"])) == [
+        (20, 30), (10, 20), (10, 30),
+    ]
+    assert allp["lift"].iloc[0] == 1.5
+    # reshard invariance
+    allp2 = analytics.basket_rules(
+        rd.from_pandas(df).repartition(4), min_support=1
+    ).to_pandas()
+    assert allp.equals(allp2)
