@@ -4476,6 +4476,24 @@ def q_small_qty_revenue(sf_dir: str):
     )
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM quintile segmentation (pipelines/analytics.rfm_segments):
+    pure-integer recency/frequency/monetary with nearest-rank cutoffs
+    c_k = min v at cum ≥ ⌈n·k/5⌉ pinned on both sides — zero floats."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.rfm_segments(
+            _tbl(
+                sf_dir, "orders",
+                columns=["o_custkey", "o_orderdate", "o_totalprice"],
+            )
+        ),
+        ["o_custkey", "recency_days", "frequency", "monetary_cents",
+         "r_score", "f_score", "m_score", "rfm"],
+    )
+
+
 def q_basket_rules(sf_dir: str):
     """Market-basket association rules (pipelines/analytics.basket_rules):
     vectorized per-order pair expansion over the distinct (order, part)
@@ -5486,6 +5504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "event_burstiness": q_event_burstiness,
         "basket_rules": q_basket_rules,
+        "rfm_segments": q_rfm_segments,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6295,6 +6314,68 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY plot_id ORDER BY src ASC
                 ) AS rn FROM u
             ) WHERE rn = 1""",
+        "rfm_segments": """
+            WITH rf_pc AS (
+                SELECT o_custkey,
+                       MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS monetary_cents
+                FROM orders GROUP BY 1
+            ),
+            rf_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rf_pc),
+            rf_gm AS (SELECT MAX(last_day) AS g FROM rf_pc),
+            rf_rec AS (
+                SELECT o_custkey,
+                       CAST(gm.g - last_day AS BIGINT) AS recency_days,
+                       frequency, monetary_cents
+                FROM rf_pc CROSS JOIN rf_gm gm
+            ),
+            rf_rcum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum
+                        FROM (SELECT recency_days AS v, COUNT(*) AS c
+                              FROM rf_rec GROUP BY 1)),
+            rf_fcum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum
+                        FROM (SELECT frequency AS v, COUNT(*) AS c
+                              FROM rf_rec GROUP BY 1)),
+            rf_mcum AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum
+                        FROM (SELECT monetary_cents AS v, COUNT(*) AS c
+                              FROM rf_rec GROUP BY 1)),
+            rf_cut AS (
+                SELECT
+                  (SELECT MIN(v) FROM rf_rcum, rf_n WHERE cum >= (n * 1 + 4) // 5) AS r1,
+                  (SELECT MIN(v) FROM rf_rcum, rf_n WHERE cum >= (n * 2 + 4) // 5) AS r2,
+                  (SELECT MIN(v) FROM rf_rcum, rf_n WHERE cum >= (n * 3 + 4) // 5) AS r3,
+                  (SELECT MIN(v) FROM rf_rcum, rf_n WHERE cum >= (n * 4 + 4) // 5) AS r4,
+                  (SELECT MIN(v) FROM rf_fcum, rf_n WHERE cum >= (n * 1 + 4) // 5) AS f1,
+                  (SELECT MIN(v) FROM rf_fcum, rf_n WHERE cum >= (n * 2 + 4) // 5) AS f2,
+                  (SELECT MIN(v) FROM rf_fcum, rf_n WHERE cum >= (n * 3 + 4) // 5) AS f3,
+                  (SELECT MIN(v) FROM rf_fcum, rf_n WHERE cum >= (n * 4 + 4) // 5) AS f4,
+                  (SELECT MIN(v) FROM rf_mcum, rf_n WHERE cum >= (n * 1 + 4) // 5) AS m1,
+                  (SELECT MIN(v) FROM rf_mcum, rf_n WHERE cum >= (n * 2 + 4) // 5) AS m2,
+                  (SELECT MIN(v) FROM rf_mcum, rf_n WHERE cum >= (n * 3 + 4) // 5) AS m3,
+                  (SELECT MIN(v) FROM rf_mcum, rf_n WHERE cum >= (n * 4 + 4) // 5) AS m4
+            ),
+            rf_sc AS (
+                SELECT r.o_custkey, r.recency_days, r.frequency,
+                       r.monetary_cents,
+                       6 - (1 + CAST(r.recency_days > c.r1 AS BIGINT)
+                              + CAST(r.recency_days > c.r2 AS BIGINT)
+                              + CAST(r.recency_days > c.r3 AS BIGINT)
+                              + CAST(r.recency_days > c.r4 AS BIGINT)) AS r_score,
+                       1 + CAST(r.frequency > c.f1 AS BIGINT)
+                         + CAST(r.frequency > c.f2 AS BIGINT)
+                         + CAST(r.frequency > c.f3 AS BIGINT)
+                         + CAST(r.frequency > c.f4 AS BIGINT) AS f_score,
+                       1 + CAST(r.monetary_cents > c.m1 AS BIGINT)
+                         + CAST(r.monetary_cents > c.m2 AS BIGINT)
+                         + CAST(r.monetary_cents > c.m3 AS BIGINT)
+                         + CAST(r.monetary_cents > c.m4 AS BIGINT) AS m_score
+                FROM rf_rec r CROSS JOIN rf_cut c
+            )
+            SELECT o_custkey, recency_days, frequency, monetary_cents,
+                   r_score, f_score, m_score,
+                   r_score * 100 + f_score * 10 + m_score AS rfm
+            FROM rf_sc""",
         "basket_rules": """
             WITH br_bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             br_n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n

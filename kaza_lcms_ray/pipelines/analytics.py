@@ -2763,3 +2763,156 @@ def basket_rules(lineitem, min_support: int = 2, k: int = 100):
     return ranked.select_columns(
         ["part_a", "part_b", "c_ab", "c_a", "c_b", "lift"]
     )
+
+
+def rfm_segments(orders):
+    """RFM customer segmentation — the classic marketing-analytics rollup
+    (Recency / Frequency / Monetary quintile scores per customer, packed
+    into the 111–555 segment code).  PURE INTEGER end-to-end: order dates
+    become epoch days, totalprice becomes exact cents, and the quintile
+    rule is the NEAREST-RANK cutoff (c_k = smallest value whose
+    cumulative customer count reaches ⌈n·k/5⌉; score = 1 + Σ(v > c_k),
+    recency inverted so fresher = higher) — pinned identically in the
+    oracle, so there is not a single float anywhere.
+
+    Scale shape: raw orders reduce once through the bucketed combine to
+    one skinny int64 row per customer; the three cutoff sets come from
+    per-VALUE count histograms (≤ |customers| rows each — the customer
+    table is a dimension) collapsed driver-side; scoring is a stateless
+    broadcast map.
+
+    Output: (o_custkey:int64, recency_days:int64, frequency:int64,
+    monetary_cents:int64, r_score:int64, f_score:int64, m_score:int64,
+    rfm:int64), one row per ordering customer.
+    """
+    import pandas as pd
+
+    import ray
+
+    from ..state.money import to_cents
+    from ..stages.zonal import bucketed_combine, bucketed_sum
+
+    DAY_NS = 86_400_000_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["o_orderdate"].astype("datetime64[ns]").astype("int64").to_numpy()
+            // DAY_NS
+        )
+        cents = to_cents(df["o_totalprice"].to_numpy())
+        g = (
+            pd.DataFrame(
+                {
+                    "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                    "last_day": day,
+                    "frequency": np.ones(len(df), np.int64),
+                    "monetary_cents": cents,
+                }
+            )
+            .groupby("o_custkey", as_index=False)
+            .agg(
+                last_day=("last_day", "max"),
+                frequency=("frequency", "sum"),
+                monetary_cents=("monetary_cents", "sum"),
+            )
+        )
+        return g
+
+    percust = bucketed_combine(
+        orders.select_columns(
+            ["o_custkey", "o_orderdate", "o_totalprice"]
+        ).map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"last_day": "max", "frequency": "sum", "monetary_cents": "sum"},
+    ).materialize()
+    n = percust.count()
+
+    gmax = int(
+        percust.map_batches(
+            lambda t: pa.table(
+                {
+                    "g": pa.array(
+                        [
+                            int(
+                                t.column("last_day")
+                                .to_numpy(zero_copy_only=False)
+                                .max()
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["g"]
+        .max()
+    )
+
+    def add_rec(t: pa.Table) -> pa.Table:
+        last = t.column("last_day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "recency_days": pa.array(np.int64(gmax) - last, pa.int64()),
+                "frequency": t.column("frequency"),
+                "monetary_cents": t.column("monetary_cents"),
+            }
+        )
+
+    rec = percust.map_batches(add_rec, batch_format="pyarrow").materialize()
+
+    def cutoffs(col: str) -> np.ndarray:
+        def hp(t: pa.Table) -> pa.Table:
+            g = t.select([col]).group_by([col]).aggregate([([], "count_all")])
+            return g.rename_columns(["v", "c"])
+
+        h = (
+            bucketed_sum(rec.map_batches(hp, batch_format="pyarrow"), ["v"], ["c"])
+            .to_pandas()
+            .sort_values("v", kind="mergesort")
+        )
+        v = h["v"].to_numpy(np.int64)
+        cum = np.cumsum(h["c"].to_numpy(np.int64))
+        return np.array(
+            [v[np.searchsorted(cum, (n * k + 4) // 5)] for k in (1, 2, 3, 4)],
+            np.int64,
+        )
+
+    cut_ref = ray.put(
+        {
+            "r": cutoffs("recency_days"),
+            "f": cutoffs("frequency"),
+            "m": cutoffs("monetary_cents"),
+        }
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+
+        def asc(v: np.ndarray, c: np.ndarray) -> np.ndarray:
+            s = np.ones(len(v), np.int64)
+            for ck in c:
+                s += (v > ck).astype(np.int64)
+            return s
+
+        rd_ = t.column("recency_days").to_numpy(zero_copy_only=False)
+        fq = t.column("frequency").to_numpy(zero_copy_only=False)
+        mo = t.column("monetary_cents").to_numpy(zero_copy_only=False)
+        r_s = np.int64(6) - asc(rd_, cuts["r"])
+        f_s = asc(fq, cuts["f"])
+        m_s = asc(mo, cuts["m"])
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "recency_days": t.column("recency_days"),
+                "frequency": t.column("frequency"),
+                "monetary_cents": t.column("monetary_cents"),
+                "r_score": pa.array(r_s, pa.int64()),
+                "f_score": pa.array(f_s, pa.int64()),
+                "m_score": pa.array(m_s, pa.int64()),
+                "rfm": pa.array(r_s * 100 + f_s * 10 + m_s, pa.int64()),
+            }
+        )
+
+    return rec.map_batches(score, batch_format="pyarrow")

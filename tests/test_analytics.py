@@ -667,3 +667,49 @@ def test_basket_rules_hand_orders(ray_session):
         rd.from_pandas(df).repartition(4), min_support=1
     ).to_pandas()
     assert allp.equals(allp2)
+
+
+def test_rfm_segments_hand_orders(ray_session):
+    """Five customers, one order each with distinct dates/prices: each
+    quintile gets exactly one customer, so scores are a permutation of
+    1..5 in each dimension; frequency all 1 -> everyone scores f=5
+    (cutoffs all 1, nothing exceeds them... nearest-rank: all values
+    equal means every cutoff is 1 and every score is 1)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "o_custkey": np.array([1, 2, 3, 4, 5], np.int64),
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-04", "2024-01-05"]
+            ),
+            "o_totalprice": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    out = (
+        analytics.rfm_segments(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    # recency: cust 5 ordered last -> recency 0 -> r_score 5; cust 1 -> 1
+    assert list(out["recency_days"]) == [4, 3, 2, 1, 0]
+    assert list(out["r_score"]) == [1, 2, 3, 4, 5]
+    # all frequencies equal 1 -> every cutoff = 1 -> nobody exceeds -> 1
+    assert list(out["f_score"]) == [1, 1, 1, 1, 1]
+    assert list(out["m_score"]) == [1, 2, 3, 4, 5]
+    assert out.loc[5, "rfm"] == 515 and out.loc[1, "rfm"] == 111
+    assert out.loc[5, "monetary_cents"] == 5000
+    # reshard invariance
+    out2 = (
+        analytics.rfm_segments(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("o_custkey")
+        .sort_index()
+    )
+    assert out.equals(out2)
