@@ -5223,6 +5223,23 @@ def q_pq_topk(sf_dir: str):
     return _i64(out, ["qid", "rank", "vec_id"])
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the kNN similarity graph
+    (stages/graph.assortativity): exact integer M/Sd/Sd2/Sdudv sums over
+    both orientations of the distinct canonical edge set, pinned Pearson
+    chain."""
+    from kaza_lcms_ray.stages import ann, graph
+
+    emb = _tbl(sf_dir, "embeddings")
+    edges = ann.knn_join(
+        emb, k=3, id_col="vec_id", embed_col="embedding", drop_self=True
+    )
+    return _i64(
+        graph.assortativity(edges, src_col="qid", dst_col="vec_id"),
+        ["m_edges", "s_x", "s_xx", "s_xy", "r"],
+    )
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts over the kNN similarity graph
     (stages/graph.triangle_counts: degree-ordered compact-forward wedge
@@ -5405,6 +5422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "fuzzy_dedup_best": q_fuzzy_dedup_best,
         "triangles": q_triangles,
+        "assortativity": q_assortativity,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "source_overlap": q_source_overlap,
@@ -6453,6 +6471,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "pagerank": __import__(
             "kaza_lcms_ray.stages.graph", fromlist=["graph"]
         ).pagerank_sql(_KNN_GRAPH_SQL, n_iters=3, src_col="qid", dst_col="vec_id"),
+        "assortativity": __import__(
+            "kaza_lcms_ray.stages.graph", fromlist=["graph"]
+        ).assortativity_sql(_KNN_GRAPH_SQL, src_col="qid", dst_col="vec_id"),
         "triangles": __import__(
             "kaza_lcms_ray.stages.graph", fromlist=["graph"]
         ).triangle_counts_sql(_KNN_GRAPH_SQL, src_col="qid", dst_col="vec_id"),

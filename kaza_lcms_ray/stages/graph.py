@@ -327,3 +327,166 @@ def triangle_counts_sql(edges_sql: str, src_col: str = "src", dst_col: str = "ds
             UNION ALL SELECT y FROM tr
             UNION ALL SELECT z FROM tr
         ) GROUP BY node"""
+
+
+def assortativity(edges, src_col: str = "src", dst_col: str = "dst"):
+    """Degree assortativity coefficient of the undirected simple graph —
+    Newman's r (Pearson correlation of endpoint degrees over edges,
+    each undirected edge counted in both orientations): positive =
+    hubs link hubs (social-network shape), negative = hubs link leaves
+    (star/template shape) — the one-number wiring diagnostic for a kNN /
+    near-dup / co-visitation graph.
+
+    Decomposable and pinned: canonical distinct edges → skinny integer
+    degree reduce → size-guarded degree attach on both endpoints →
+    per-batch INTEGER sums M = 2m, Σd, Σd², Σ(d_u·d_v)·2 (int64 holds
+    while Σd² ≤ 9·10¹⁸ — kNN-style bounded-degree graphs at any corpus
+    scale; a hub of degree 10⁹ would need quantization first) → ONE
+    pinned (sxy/M − μ²)/(sxx/M − μ²) double chain.
+
+    Output: ONE row (m_edges:int64, s_x:int64, s_xx:int64, s_xy:int64,
+    r:f64); empty when the degree variance is zero (r undefined).
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import exact_pairs_distinct
+    from ..stages.joins import attach_dim
+    from ..stages.zonal import bucketed_sum
+
+    proj = edges.select_columns([src_col, dst_col])
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(a, b)), "b": pa.array(np.maximum(a, b))}
+        )
+
+    und = exact_pairs_distinct(
+        proj.map_batches(canon, batch_format="pyarrow")
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [pa.table({"node": t.column("a")}), pa.table({"node": t.column("b")})]
+        )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        out = t.group_by(["node"]).aggregate([([], "count_all")])
+        return out.rename_columns(["node", "deg"])
+
+    deg = bucketed_sum(
+        und.map_batches(endpoints, batch_format="pyarrow").map_batches(
+            deg_partial, batch_format="pyarrow"
+        ),
+        ["node"],
+        ["deg"],
+    ).materialize()
+    n_nodes = deg.count()
+
+    wa = attach_dim(und, deg, "a", "node", ["deg"], dim_rows=n_nodes)
+
+    def r1(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "deg_a": t.column("deg")}
+        )
+
+    wab = attach_dim(
+        wa.map_batches(r1, batch_format="pyarrow"), deg, "b", "node", ["deg"],
+        dim_rows=n_nodes,
+    )
+
+    def sums(t: pa.Table) -> pa.Table:
+        da = t.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m2": pa.array([np.int64(2 * len(da))], pa.int64()),
+                "s_x": pa.array([int((da + db).sum())], pa.int64()),
+                "s_xx": pa.array([int((da * da + db * db).sum())], pa.int64()),
+                "s_xy": pa.array([int(2 * (da * db).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        wab.map_batches(sums, batch_format="pyarrow")
+        .groupby(None)
+        .aggregate(
+            Sum("m2", alias_name="m2"), Sum("s_x", alias_name="s_x"),
+            Sum("s_xx", alias_name="s_xx"), Sum("s_xy", alias_name="s_xy"),
+        )
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            "m_edges": pa.array([], pa.int64()),
+            "s_x": pa.array([], pa.int64()),
+            "s_xx": pa.array([], pa.int64()),
+            "s_xy": pa.array([], pa.int64()),
+            "r": pa.array([], pa.float64()),
+        }
+    )
+    if len(agg) == 0 or int(agg["m2"].iloc[0]) == 0:
+        return rd.from_arrow(empty)
+    M = float(int(agg["m2"].iloc[0]))
+    sx = float(int(agg["s_x"].iloc[0]))
+    sxx = float(int(agg["s_xx"].iloc[0]))
+    sxy = float(int(agg["s_xy"].iloc[0]))
+    mu = sx / M
+    den = sxx / M - mu * mu
+    if den <= 0.0:
+        return rd.from_arrow(empty)
+    r = (sxy / M - mu * mu) / den
+    return rd.from_arrow(
+        pa.table(
+            {
+                "m_edges": pa.array([np.int64(int(agg["m2"].iloc[0]) // 2)]),
+                "s_x": pa.array([np.int64(int(agg["s_x"].iloc[0]))]),
+                "s_xx": pa.array([np.int64(int(agg["s_xx"].iloc[0]))]),
+                "s_xy": pa.array([np.int64(int(agg["s_xy"].iloc[0]))]),
+                "r": pa.array([r], pa.float64()),
+            }
+        )
+    )
+
+
+def assortativity_sql(edges_sql: str, src_col: str = "src", dst_col: str = "dst") -> str:
+    """Oracle twin of :func:`assortativity`: distinct canonical edges,
+    per-node degrees, the same four integer sums over both orientations,
+    the identical pinned (sxy/M − μ²)/(sxx/M − μ²) chain (and the same
+    zero-variance drop rule)."""
+    return f"""
+        WITH as_und AS MATERIALIZED (
+            SELECT DISTINCT LEAST({src_col}, {dst_col}) AS a,
+                            GREATEST({src_col}, {dst_col}) AS b
+            FROM ({edges_sql}) WHERE {src_col} <> {dst_col}
+        ),
+        as_deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a AS node FROM as_und
+                UNION ALL SELECT b FROM as_und
+            ) GROUP BY node
+        ),
+        as_s AS (
+            SELECT CAST(2 * COUNT(*) AS BIGINT) AS m2,
+                   CAST(SUM(da.deg + db.deg) AS BIGINT) AS s_x,
+                   CAST(SUM(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
+                       AS s_xx,
+                   CAST(SUM(2 * (da.deg * db.deg)) AS BIGINT) AS s_xy
+            FROM as_und e
+            JOIN as_deg da ON da.node = e.a
+            JOIN as_deg db ON db.node = e.b
+        ),
+        as_mu AS (
+            SELECT *, CAST(s_x AS DOUBLE) / CAST(m2 AS DOUBLE) AS mu FROM as_s
+        )
+        SELECT CAST(m2 // 2 AS BIGINT) AS m_edges, s_x, s_xx, s_xy,
+               (CAST(s_xy AS DOUBLE) / CAST(m2 AS DOUBLE) - mu * mu)
+                   / (CAST(s_xx AS DOUBLE) / CAST(m2 AS DOUBLE) - mu * mu) AS r
+        FROM as_mu
+        WHERE m2 > 0
+          AND (CAST(s_xx AS DOUBLE) / CAST(m2 AS DOUBLE) - mu * mu) > 0.0"""

@@ -110,3 +110,41 @@ def test_triangle_counts_brute_force_and_skew(ray_session):
     ).to_pandas()
     got = dict(zip(out["node"], out["n_tri"]))
     assert got == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_assortativity_hand_graphs(ray_session):
+    """Star K1,3 is maximally disassortative (r = -1); a 4-cycle is
+    degree-regular (zero variance -> empty); a path P4 has known sums."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import graph
+
+    def edges(pairs):
+        a, b = zip(*pairs)
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"src": np.array(a, np.int64), "dst": np.array(b, np.int64)}
+            )
+        )
+
+    star = graph.assortativity(edges([(0, 1), (0, 2), (0, 3)])).to_pandas()
+    assert len(star) == 1 and star["m_edges"].iloc[0] == 3
+    assert star["r"].iloc[0] == -1.0
+    cycle = graph.assortativity(
+        edges([(0, 1), (1, 2), (2, 3), (3, 0)])
+    ).to_pandas()
+    assert len(cycle) == 0  # all degrees 2: zero variance, undefined
+    # P4: degrees 1,2,2,1; directed pairs (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+    p4 = graph.assortativity(edges([(0, 1), (1, 2), (2, 3)])).to_pandas()
+    M, sx, sxx, sxy = 6.0, 10.0, 18.0, 16.0
+    assert p4["s_x"].iloc[0] == 10 and p4["s_xx"].iloc[0] == 18
+    assert p4["s_xy"].iloc[0] == 16
+    mu = sx / M
+    assert p4["r"].iloc[0] == (sxy / M - mu * mu) / (sxx / M - mu * mu)
+    # duplicate + reversed edges collapse to the same canonical set
+    dup = graph.assortativity(
+        edges([(0, 1), (1, 0), (1, 2), (2, 3), (2, 3)])
+    ).to_pandas()
+    assert dup.equals(p4)
