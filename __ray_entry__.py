@@ -4494,6 +4494,21 @@ def q_rfm_segments(sf_dir: str):
     )
 
 
+def q_abc_parts(sf_dir: str):
+    """ABC Pareto classification of parts by revenue
+    (pipelines/analytics.abc_parts): exact cent sums, integer
+    cross-multiplied 80/95 cumulative thresholds over the
+    (revenue DESC, partkey ASC) order - zero floats."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.abc_parts(
+            _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+        ),
+        ["l_partkey", "revenue_cents", "cum_cents", "abc_class"],
+    )
+
+
 def q_basket_rules(sf_dir: str):
     """Market-basket association rules (pipelines/analytics.basket_rules):
     vectorized per-order pair expansion over the distinct (order, part)
@@ -5523,6 +5538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_burstiness": q_event_burstiness,
         "basket_rules": q_basket_rules,
         "rfm_segments": q_rfm_segments,
+        "abc_parts": q_abc_parts,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6332,6 +6348,26 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY plot_id ORDER BY src ASC
                 ) AS rn FROM u
             ) WHERE rn = 1""",
+        "abc_parts": """
+            WITH ab_p AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY 1
+            ),
+            ab_c AS (
+                SELECT l_partkey, revenue_cents,
+                       CAST(SUM(revenue_cents) OVER (
+                           ORDER BY revenue_cents DESC, l_partkey ASC
+                       ) AS BIGINT) AS cum_cents,
+                       CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total
+                FROM ab_p
+            )
+            SELECT l_partkey, revenue_cents, cum_cents,
+                   CASE WHEN cum_cents * 5 <= total * 4 THEN 'A'
+                        WHEN cum_cents * 20 <= total * 19 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ab_c""",
         "rfm_segments": """
             WITH rf_pc AS (
                 SELECT o_custkey,

@@ -2916,3 +2916,81 @@ def rfm_segments(orders):
         )
 
     return rec.map_batches(score, batch_format="pyarrow")
+
+
+def abc_parts(lineitem):
+    """ABC (Pareto 80/95) inventory classification of parts by revenue —
+    the stock-control staple: parts sorted by revenue descending, class
+    A while the cumulative share is ≤80 %, B while ≤95 %, else C.
+
+    PURE INTEGER: per-part revenue is the exact cent sum of
+    l_extendedprice (bucketed two-phase reduce over the raw lineitem —
+    the only corpus-sized pass); the cumulative rule is evaluated with
+    integer cross-multiplication (cum·5 ≤ total·4, cum·20 ≤ total·19)
+    over the (revenue DESC, partkey ASC) order, so there is no float
+    anywhere and ties are deterministic.  The ranked classification runs
+    driver-side on the |parts|-bounded dimension table.
+
+    Output: (l_partkey:int64, revenue_cents:int64, cum_cents:int64,
+    abc_class:string), parts in classification order.
+    """
+    import pandas as pd
+
+    from ..state.money import to_cents
+    from ..stages.zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = to_cents(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        )
+        g = (
+            pa.table(
+                {
+                    "l_partkey": t.column("l_partkey"),
+                    "revenue_cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by(["l_partkey"])
+            .aggregate([("revenue_cents", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "revenue_cents"])
+
+    per_part = bucketed_sum(
+        lineitem.select_columns(["l_partkey", "l_extendedprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["l_partkey"],
+        ["revenue_cents"],
+    ).to_pandas()  # |parts|-bounded dimension table
+    import ray.data as rd
+
+    if len(per_part) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "l_partkey": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "cum_cents": pa.array([], pa.int64()),
+                    "abc_class": pa.array([], pa.string()),
+                }
+            )
+        )
+    per_part = per_part.sort_values(
+        ["revenue_cents", "l_partkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    rev = per_part["revenue_cents"].to_numpy(np.int64)
+    cum = np.cumsum(rev)
+    total = int(cum[-1])
+    is_a = cum * 5 <= total * 4
+    is_b = ~is_a & (cum * 20 <= total * 19)
+    cls = np.where(is_a, "A", np.where(is_b, "B", "C"))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array(per_part["l_partkey"].to_numpy(np.int64)),
+                "revenue_cents": pa.array(rev, pa.int64()),
+                "cum_cents": pa.array(cum, pa.int64()),
+                "abc_class": pa.array(cls.tolist(), pa.string()),
+            }
+        )
+    )

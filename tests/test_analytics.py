@@ -713,3 +713,27 @@ def test_rfm_segments_hand_orders(ray_session):
         .sort_index()
     )
     assert out.equals(out2)
+
+
+def test_abc_parts_hand(ray_session):
+    """Revenues 80, 15, 4, 1 (cents 8000/1500/400/100, total 10000):
+    cum shares 80/95/99/100 % -> classes A, B, C, C (boundary parts land
+    via cum*5 <= total*4 and cum*20 <= total*19 exactly)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "l_partkey": np.array([1, 2, 3, 4], np.int64),
+            "l_extendedprice": [80.0, 15.0, 4.0, 1.0],
+        }
+    )
+    out = analytics.abc_parts(rd.from_pandas(df)).to_pandas()
+    assert list(out["l_partkey"]) == [1, 2, 3, 4]
+    assert list(out["cum_cents"]) == [8000, 9500, 9900, 10000]
+    assert list(out["abc_class"]) == ["A", "B", "C", "C"]
+    out2 = analytics.abc_parts(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert out.equals(out2)
