@@ -1348,6 +1348,20 @@ def q_doc_trajectory(sf_dir: str):
     )
 
 
+def q_log_odds(sf_dir: str):
+    """Monroe log-odds-ratio "fightin' words" between src0 and src1
+    (stages/text.log_odds): integer Laplace prior (alpha = 1, V = union
+    vocab), pinned delta/z chains, top-50 by (z DESC, term ASC)."""
+    from kaza_lcms_ray.stages import text as T
+
+    return _i64(
+        T.log_odds(
+            _doc_table(sf_dir, columns=["source", "text"]), "src0", "src1"
+        ),
+        ["term", "y_a", "y_b", "delta", "z"],
+    )
+
+
 def q_source_similarity(sf_dir: str):
     """Cross-source vocabulary cosine matrix (stages/text.
     source_similarity): skinny (term, source, f) exchange, term-bucketed
@@ -5303,6 +5317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_covisit": q_cell_covisit,
         "trajectory_hausdorff": q_trajectory_hausdorff,
         "source_similarity": q_source_similarity,
+        "log_odds": q_log_odds,
         "turn_stats": q_turn_stats,
         "parse_quarantine": q_parse_quarantine,
         "embed_profile": q_embed_profile,
@@ -5690,6 +5705,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         for p in (10, 25, 50, 75, 90)
     )
     return {
+        "log_odds": __import__(
+            "kaza_lcms_ray.stages.text", fromlist=["text"]
+        ).log_odds_sql("SELECT source, text FROM documents", "src0", "src1"),
         "source_similarity": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).source_similarity_sql("SELECT source, text FROM documents"),

@@ -3053,3 +3053,167 @@ def token_gini_sql(docs_sql: str) -> str:
                    / (CAST(v AS DOUBLE) * CAST(total AS DOUBLE))
                - (CAST(v AS DOUBLE) + 1.0) / CAST(v AS DOUBLE) AS gini
         FROM tg_s"""
+
+
+def log_odds(
+    ds,
+    source_a: str,
+    source_b: str,
+    k: int = 50,
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Monroe's log-odds-ratio with (integer) Laplace prior — the
+    "fightin' words" corpus-contrast statistic: which tokens are most
+    distinctive of ``source_a`` against ``source_b``,
+
+        δ_w = ln[(y_aw+1)/(n_a+V−y_aw−1)] − ln[(y_bw+1)/(n_b+V−y_bw−1)]
+        z_w = δ_w / √(1/(y_aw+1) + 1/(y_bw+1))
+
+    (α = 1 keeps every prior quantity an exact integer; V = union vocab).
+    The standard tool for "what changed between these two sources /
+    snapshots" reports in corpus curation.
+
+    Scale shape: ONE pass over the two sources' documents (Arrow
+    tokenization, per-batch (term, y_a, y_b) conditional-count partials),
+    a term-bucketed integer combine, two tiny scalar aggregates, then a
+    stateless scoring map and the global two-level top-k by (z DESC,
+    term ASC).  Every double is the pinned chain above.
+
+    Output: (term:string, y_a:int64, y_b:int64, delta:f64, z:f64),
+    ≤ k rows.
+    """
+    from .joins import top_k
+    from .zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column(source_col)
+        keep = pc.or_(pc.equal(src, source_a), pc.equal(src, source_b))
+        t = t.filter(keep)
+        text = t.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = offs[1:] - offs[:-1]
+        is_a = pc.equal(t.column(source_col), source_a).to_numpy(
+            zero_copy_only=False
+        )
+        ra = np.repeat(is_a.astype(np.int64), counts)
+        flat = toks.flatten()
+        keep2 = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "term": flat.filter(pa.array(keep2)),
+                    "y_a": pa.array(ra[keep2]),
+                    "y_b": pa.array(np.int64(1) - ra[keep2]),
+                }
+            )
+            .group_by(["term"])
+            .aggregate([("y_a", "sum"), ("y_b", "sum")])
+        )
+        return g.rename_columns(["term", "y_a", "y_b"])
+
+    tf = bucketed_sum(
+        ds.select_columns([source_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["term"],
+        ["y_a", "y_b"],
+    ).materialize()
+
+    tot = tf.map_batches(
+        lambda t: pa.table(
+            {
+                "n_a": pa.array(
+                    [int(t.column("y_a").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "n_b": pa.array(
+                    [int(t.column("y_b").to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "v": pa.array([len(t)], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_a = int(tot["n_a"].sum())
+    n_b = int(tot["n_b"].sum())
+    V = int(tot["v"].sum())
+
+    def score(t: pa.Table) -> pa.Table:
+        import math
+
+        y_a = t.column("y_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        y_b = t.column("y_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ya1 = (y_a + np.int64(1)).astype(np.float64)
+        yb1 = (y_b + np.int64(1)).astype(np.float64)
+        da = (np.int64(n_a + V - 1) - y_a).astype(np.float64)
+        db = (np.int64(n_b + V - 1) - y_b).astype(np.float64)
+        # math.log, not np.log: the SIMD path is ±1 ulp off libm and the
+        # driver hash is byte-exact (the tfidf/lm_score precedent)
+        _ln = np.frompyfunc(math.log, 1, 1)
+        delta = _ln(ya1 / da).astype(np.float64) - _ln(yb1 / db).astype(
+            np.float64
+        )
+        var = 1.0 / ya1 + 1.0 / yb1
+        z = delta / np.sqrt(var)
+        return pa.table(
+            {
+                "term": t.column("term"),
+                "y_a": t.column("y_a"),
+                "y_b": t.column("y_b"),
+                "delta": pa.array(delta, pa.float64()),
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    return top_k(
+        tf.map_batches(score, batch_format="pyarrow"), "z", k, "term",
+        descending=True,
+    ).select_columns(["term", "y_a", "y_b", "delta", "z"])
+
+
+def log_odds_sql(docs_sql: str, source_a: str, source_b: str, k: int = 50) -> str:
+    """Oracle twin of :func:`log_odds`: identical tokenization,
+    conditional (term, y_a, y_b) counts, the same integer prior
+    quantities and pinned δ/z chains, ORDER BY z DESC, term LIMIT k."""
+    return f"""
+        WITH lo_toks AS (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS term
+            FROM ({docs_sql})
+            WHERE source IN ('{source_a}', '{source_b}')
+        ),
+        lo_tf AS (
+            SELECT term,
+                   CAST(COUNT(*) FILTER (WHERE source = '{source_a}')
+                        AS BIGINT) AS y_a,
+                   CAST(COUNT(*) FILTER (WHERE source = '{source_b}')
+                        AS BIGINT) AS y_b
+            FROM lo_toks GROUP BY 1
+        ),
+        lo_n AS (
+            SELECT CAST(SUM(y_a) AS BIGINT) AS n_a,
+                   CAST(SUM(y_b) AS BIGINT) AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM lo_tf
+        ),
+        lo_s AS (
+            SELECT t.term, t.y_a, t.y_b,
+                   ln(CAST(t.y_a + 1 AS DOUBLE)
+                      / CAST(n.n_a + n.v - 1 - t.y_a AS DOUBLE))
+                   - ln(CAST(t.y_b + 1 AS DOUBLE)
+                        / CAST(n.n_b + n.v - 1 - t.y_b AS DOUBLE)) AS delta,
+                   1.0 / CAST(t.y_a + 1 AS DOUBLE)
+                       + 1.0 / CAST(t.y_b + 1 AS DOUBLE) AS var
+            FROM lo_tf t CROSS JOIN lo_n n
+        )
+        SELECT term, y_a, y_b, delta, delta / sqrt(var) AS z
+        FROM lo_s
+        ORDER BY z DESC, term
+        LIMIT {k}"""

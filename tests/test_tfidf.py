@@ -127,3 +127,38 @@ def test_source_similarity_hand_case(ray_session):
     for key in [("s1", "s3"), ("s2", "s3")]:
         if key in out.index:
             assert out.loc[key, "dot"] == 0
+
+
+def test_log_odds_hand_corpus(ray_session):
+    """Two tiny sources: 'apple' only in A, 'zebra' only in B, 'the'
+    in both — replay the alpha=1 chain exactly."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import text as T
+
+    df = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b"],
+            "text": ["apple the", "apple", "zebra the", "zebra zebra"],
+        }
+    )
+    out = T.log_odds(rd.from_pandas(df), "a", "b", k=10).to_pandas()
+    assert set(out["term"]) == {"apple", "the", "zebra"}
+    row = out.set_index("term")
+    # counts: apple (2,0), the (1,1), zebra (0,3); n_a=3, n_b=4, V=3
+    assert tuple(row.loc["apple", ["y_a", "y_b"]]) == (2, 0)
+    assert tuple(row.loc["zebra", ["y_a", "y_b"]]) == (0, 3)
+    n_a, n_b, V = 3, 4, 3
+    for term, (ya, yb) in {"apple": (2, 0), "the": (1, 1), "zebra": (0, 3)}.items():
+        delta = math.log((ya + 1) / float(n_a + V - 1 - ya)) - math.log(
+            (yb + 1) / float(n_b + V - 1 - yb)
+        )
+        z = delta / math.sqrt(1.0 / (ya + 1) + 1.0 / (yb + 1))
+        assert row.loc[term, "delta"] == delta
+        assert row.loc[term, "z"] == z
+    # ranking: apple (A-distinctive) first, zebra last
+    assert out["term"].iloc[0] == "apple" and out["term"].iloc[-1] == "zebra"
