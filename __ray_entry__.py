@@ -602,6 +602,18 @@ def _hilbert_ranges_sql(root: str, level: int) -> str:
         ) GROUP BY grp"""
 
 
+def q_bivariate_moran(sf_dir: str):
+    """Bivariate Moran's I between bands 3 and 4
+    (stages/zonal.morans_bivariate): cross-variable neighbor correlation,
+    quantized 2^40 terms, pinned (N/W)*num/sqrt(dx*dy) chain."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.morans_bivariate(_geo(sf_dir), band_x=3, band_y=4, k=1),
+        ["n_cells", "w_pairs", "num_q", "denx_q", "deny_q", "bimoran"],
+    )
+
+
 def q_cell_smooth(sf_dir: str):
     """Focal k-ring smoothing over the zonal cell grid (stages/zonal.
     kring_smooth — A8 reduceNeighborhood analog on the aggregated cell
@@ -5432,6 +5444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covariates_prefixed": q_covariates_prefixed,
         "radius_extract": q_radius_extract,
         "morans_i": q_morans_i,
+        "bivariate_moran": q_bivariate_moran,
         "gearys_c": q_gearys_c,
         "change_matrix": q_change_matrix,
         "cramers_v": q_cramers_v,
@@ -5968,6 +5981,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_trend": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).cell_trend_sql("SELECT * FROM cells", band=3)}""",
+        "bivariate_moran": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).morans_bivariate_sql("SELECT * FROM cells", band_x=3, band_y=4, k=1)}""",
         "morans_i": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).morans_i_sql("SELECT * FROM cells", band=3, k=1)}""",

@@ -4288,3 +4288,236 @@ def focal_median_sql(cells_sql: str, band: int = 3, k: int = 1) -> str:
                CAST(v AS DOUBLE) / 100.0 AS med_b{band}
         FROM fm_rn
         WHERE rn = (cnt + 1) // 2 AND selfs > 0"""
+
+
+def morans_bivariate(geo, band_x: int = 3, band_y: int = 4, k: int = 1):
+    """Bivariate Moran's I — cross-variable spatial correlation (is band-x
+    HERE correlated with band-y NEXT DOOR?), the GeoDa-style companion to
+    :func:`morans_i` for questions like "does vegetation track
+    neighboring moisture":
+
+        I_xy = (N/W) · Σ_ij z x_i z y_j / √(Σ z x² · Σ z y²)
+
+    with z = (v − v̄)/v̄ per variable (the /v̄ scalings cancel in the
+    ratio, exactly as in the univariate case).  Same scale shape as
+    morans_i: exact per-cell integer sums for BOTH bands, one 8-way fan
+    carrying x, a broadcast y lookup (AOI-bounded cell table), and
+    per-term ⌊·2⁴⁰⌋ quantization so every big sum is order-free int64
+    (the quantum cancels in num/√(dx·dy)).
+
+    Output: ONE row (n_cells:int64, w_pairs:int64, num_q:int64,
+    denx_q:int64, deny_q:int64, bimoran:f64).
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode, morton
+
+    sx = f"s_c{band_x}"
+    sy = f"s_c{band_y}"
+    bands = (band_x,) if band_x == band_y else (band_x, band_y)
+    cellsums = zonal_sums(geo, keys=["cell_id"], bands=bands).materialize()
+
+    tot = cellsums.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "x": pa.array(
+                    [int(t.column(sx).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "y": pa.array(
+                    [int(t.column(sy).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_cells = int(tot["n"].sum())
+    empty = pa.table(
+        {
+            "n_cells": pa.array([], pa.int64()),
+            "w_pairs": pa.array([], pa.int64()),
+            "num_q": pa.array([], pa.int64()),
+            "denx_q": pa.array([], pa.int64()),
+            "deny_q": pa.array([], pa.int64()),
+            "bimoran": pa.array([], pa.float64()),
+        }
+    )
+    if n_cells == 0:
+        return rd.from_arrow(empty)
+    xbar = float(int(tot["x"].sum())) / float(n_cells)
+    ybar = float(int(tot["y"].sum())) / float(n_cells)
+    scale = float(MORAN_SCALE_INT)
+    n_grid = np.int64(1) << CELL_LEVEL
+    offsets = [
+        (dx, dy)
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    ]
+
+    def fan(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        v = t.column(sx).to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        parts = []
+        for dx, dy in offsets:
+            tx, ty = ix + dx, iy + dy
+            m = (tx >= 0) & (tx < n_grid) & (ty >= 0) & (ty < n_grid)
+            parts.append(
+                pa.table(
+                    {
+                        "cell_id": pa.array(morton(tx[m], ty[m]), type=pa.int64()),
+                        "x_src": pa.array(v[m]),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    cells_pd = cellsums.to_pandas()
+    ckeys = cells_pd["cell_id"].to_numpy(np.int64)
+    cvals = cells_pd[sy].to_numpy(np.int64)
+    corder = np.argsort(ckeys, kind="mergesort")
+    side_ref = ray.put({"k": ckeys[corder], "v": cvals[corder]})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        tgt = t.column("cell_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(side["k"], tgt)
+        pos = np.minimum(pos, len(side["k"]) - 1)
+        hit = side["k"][pos] == tgt
+        a = t.column("x_src").to_numpy(zero_copy_only=False).astype(np.float64)[hit]
+        b = side["v"][pos[hit]].astype(np.float64)
+        za = (a - xbar) / xbar
+        zb = (b - ybar) / ybar
+        q = np.floor((za * zb) * scale).astype(np.int64)
+        return pa.table(
+            {
+                "num_q": pa.array([int(q.sum())], pa.int64()),
+                "w": pa.array([int(hit.sum())], pa.int64()),
+            }
+        )
+
+    pp = (
+        cellsums.map_batches(fan, batch_format="pyarrow")
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    num_q = int(pp["num_q"].sum())
+    w_pairs = int(pp["w"].sum())
+
+    def den_partial(t: pa.Table) -> pa.Table:
+        vx = t.column(sx).to_numpy(zero_copy_only=False).astype(np.float64)
+        vy = t.column(sy).to_numpy(zero_copy_only=False).astype(np.float64)
+        zx = (vx - xbar) / xbar
+        zy = (vy - ybar) / ybar
+        return pa.table(
+            {
+                "dx": pa.array(
+                    [int(np.floor((zx * zx) * scale).astype(np.int64).sum())],
+                    pa.int64(),
+                ),
+                "dy": pa.array(
+                    [int(np.floor((zy * zy) * scale).astype(np.int64).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    dq = cellsums.map_batches(den_partial, batch_format="pyarrow").to_pandas()
+    denx_q = int(dq["dx"].sum())
+    deny_q = int(dq["dy"].sum())
+    if w_pairs == 0 or denx_q <= 0 or deny_q <= 0:
+        return rd.from_arrow(empty)
+    bimoran = (float(n_cells) / float(w_pairs)) * (
+        float(num_q) / math.sqrt(float(denx_q) * float(deny_q))
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([n_cells], pa.int64()),
+                "w_pairs": pa.array([w_pairs], pa.int64()),
+                "num_q": pa.array([num_q], pa.int64()),
+                "denx_q": pa.array([denx_q], pa.int64()),
+                "deny_q": pa.array([deny_q], pa.int64()),
+                "bimoran": pa.array([bimoran], pa.float64()),
+            }
+        )
+    )
+
+
+def morans_bivariate_sql(cells_sql: str, band_x: int = 3, band_y: int = 4, k: int = 1) -> str:
+    """Oracle twin of :func:`morans_bivariate`: the morans_i CTE chain
+    with x on the fan side and y on the join side, the identical
+    quantized term sums and the pinned (N/W)·num/√(dx·dy) chain."""
+    from ..state.cells import CELL_LEVEL, morton_decode_sql_expr, morton_sql_expr
+
+    hi = (1 << CELL_LEVEL) - 1
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-k, k + 1)
+        for dy in range(-k, k + 1)
+        if not (dx == 0 and dy == 0)
+    )
+    S = float(MORAN_SCALE_INT)
+    return f"""
+        bm_agg AS MATERIALIZED (
+            SELECT cell_id, CAST(SUM(c{band_x}) AS BIGINT) AS x,
+                   CAST(SUM(c{band_y}) AS BIGINT) AS y
+            FROM ({cells_sql}) GROUP BY cell_id
+        ),
+        bm_tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS xbar,
+                   CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ybar
+            FROM bm_agg
+        ),
+        bm_dec AS (
+            SELECT cell_id, x,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("cell_id", CELL_LEVEL, "y")} AS iy
+            FROM bm_agg
+        ),
+        bm_offs AS (SELECT * FROM (VALUES {offs}) AS t(dx, dy)),
+        bm_fan AS (
+            SELECT {morton_sql_expr("(d.ix + o.dx)", "(d.iy + o.dy)", CELL_LEVEL)}
+                       AS cell_id,
+                   d.x AS x_src
+            FROM bm_dec d CROSS JOIN bm_offs o
+            WHERE d.ix + o.dx BETWEEN 0 AND {hi}
+              AND d.iy + o.dy BETWEEN 0 AND {hi}
+        ),
+        bm_pairs AS (
+            SELECT f.x_src, a.y AS y_tgt FROM bm_fan f
+            JOIN bm_agg a ON f.cell_id = a.cell_id
+        ),
+        bm_num AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (((CAST(x_src AS DOUBLE) - t.xbar) / t.xbar)
+                        * ((CAST(y_tgt AS DOUBLE) - t.ybar) / t.ybar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS num_q,
+                   CAST(COUNT(*) AS BIGINT) AS w_pairs
+            FROM bm_pairs CROSS JOIN bm_tot t
+        ),
+        bm_den AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (((CAST(x AS DOUBLE) - t.xbar) / t.xbar)
+                        * ((CAST(x AS DOUBLE) - t.xbar) / t.xbar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS denx_q,
+                   CAST(SUM(CAST(floor(
+                       (((CAST(y AS DOUBLE) - t.ybar) / t.ybar)
+                        * ((CAST(y AS DOUBLE) - t.ybar) / t.ybar))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS deny_q
+            FROM bm_agg CROSS JOIN bm_tot t
+        )
+        SELECT t.n_cells, n.w_pairs, n.num_q, d.denx_q, d.deny_q,
+               (CAST(t.n_cells AS DOUBLE) / CAST(n.w_pairs AS DOUBLE))
+                   * (CAST(n.num_q AS DOUBLE)
+                      / sqrt(CAST(d.denx_q AS DOUBLE)
+                             * CAST(d.deny_q AS DOUBLE))) AS bimoran
+        FROM bm_tot t CROSS JOIN bm_num n CROSS JOIN bm_den d
+        WHERE n.w_pairs > 0 AND d.denx_q > 0 AND d.deny_q > 0"""

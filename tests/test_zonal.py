@@ -968,3 +968,24 @@ def test_focal_median_brute_force(synth_small, ray_session):
         got.sort_values(key).reset_index(drop=True)
         .equals(got2.sort_values(key).reset_index(drop=True))
     )
+
+
+def test_bivariate_moran_self_equals_univariate(synth_small, ray_session):
+    """I_xx (band 3 vs itself) must equal univariate Moran's I exactly:
+    identical num/den quantized sums."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, zonal
+
+    def geo():
+        return spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+
+    bi = zonal.morans_bivariate(geo(), band_x=3, band_y=3, k=1).to_pandas()
+    uni = zonal.morans_i(geo(), band=3, k=1).to_pandas()
+    assert bi["num_q"].iloc[0] == uni["num_q"].iloc[0]
+    assert bi["denx_q"].iloc[0] == bi["deny_q"].iloc[0] == uni["den_q"].iloc[0]
+    assert bi["w_pairs"].iloc[0] == uni["w_pairs"].iloc[0]
+    assert bi["bimoran"].iloc[0] != 0.0
+    # cross-band value is a different statistic
+    x34 = zonal.morans_bivariate(geo(), band_x=3, band_y=4, k=1).to_pandas()
+    assert x34["bimoran"].iloc[0] != bi["bimoran"].iloc[0]
