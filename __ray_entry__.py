@@ -704,6 +704,23 @@ def q_radius_extract(sf_dir: str):
     )
 
 
+def q_poly_majority(sf_dir: str):
+    """Zonal majority class per reference polygon
+    (stages/pip.poly_majority): tile centers through the broadcast PIP
+    label attach, bucketed (poly, class) counts, pack-max winner, pinned
+    votes/tiles share."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    prims = rd.read_parquet(f"{root}/primitives.parquet")
+    return _i64(
+        pip.poly_majority(prims, f"{root}/polygons.parquet", year=2022),
+        ["poly_id", "majority_class", "n_votes", "n_tiles", "share"],
+    )
+
+
 def q_poly_zonal(sf_dir: str):
     """reduceRegions: per-POLYGON zonal statistics (the reference's
     feature-collection zonal reduce — reference src/utils/s2process.py
@@ -5432,6 +5449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "cell_trend": q_cell_trend,
         "poly_zonal": q_poly_zonal,
+        "poly_majority": q_poly_majority,
         "approx_percentile": q_approx_percentile,
         "media_dedup": q_media_dedup,
         "zipf_fit": q_zipf_fit,
@@ -6282,6 +6300,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "core_area": _core_area_sql(root),
         "iji": _iji_sql(root),
         "contag": _contag_sql(root),
+        "poly_majority": _poly_majority_sql(root),
         "std_ellipse": _std_ellipse_sql(root),
         "join_counts": _join_counts_sql(root),
         "patch_metrics": _patch_metrics_sql(root),
@@ -9604,6 +9623,94 @@ def _std_ellipse_sql(root: str, year: int = 2022) -> str:
                sqrt(greatest(0.0, (vx + vy) / 2.0 + r)) AS semi_major,
                sqrt(greatest(0.0, (vx + vy) / 2.0 - r)) AS semi_minor
         FROM se_r"""
+
+
+def _poly_majority_sql(root: str, year: int = 2022) -> str:
+    """poly_majority oracle: the row_number label replay, analytic tile
+    centers, the poly_zonal ray-casting chain (bbox prefilter + crossing
+    parity + first-poly_id attach) over TILE CENTERS, per-(poly, class)
+    counts, row_number pack-max twin (n DESC, class ASC), pinned
+    votes/tiles share."""
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, cell_center_sql_exprs
+
+    lon, lat = cell_center_sql_exprs("tile_id", TILE_LEVEL)
+    return f"""
+        WITH pm2_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS tile_class
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        pm2_pt AS (
+            SELECT tile_id, tile_class, {lon} AS lon, {lat} AS lat
+            FROM pm2_lab
+        ),
+        pm2_pp AS (
+            SELECT poly_id,
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet')
+            WHERE kind = 'reference'
+        ),
+        pm2_r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM pm2_pp
+        ),
+        pm2_v AS (
+            SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                   unnest(ring) AS p
+            FROM pm2_r
+        ),
+        pm2_e AS (
+            SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1, b.p.x AS x2,
+                   b.p.y AS y2
+            FROM pm2_v a JOIN pm2_v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        pm2_cand AS (
+            SELECT g.tile_id, g.tile_class, g.lon, g.lat, p.poly_id
+            FROM pm2_pt g JOIN pm2_pp p
+              ON g.lon >= p.minx AND g.lon <= p.maxx
+             AND g.lat >= p.miny AND g.lat <= p.maxy
+        ),
+        pm2_c AS (
+            SELECT cand.tile_id, cand.poly_id,
+                   any_value(cand.tile_class) AS tile_class,
+                   SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                             AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM pm2_cand cand JOIN pm2_e e ON cand.poly_id = e.poly_id
+            GROUP BY cand.tile_id, cand.poly_id
+        ),
+        pm2_first AS (
+            SELECT poly_id, tile_class,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tile_id ORDER BY poly_id
+                   ) AS rn
+            FROM pm2_c WHERE crossings % 2 = 1
+        ),
+        pm2_cnt AS (
+            SELECT poly_id, tile_class, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pm2_first WHERE rn = 1 GROUP BY 1, 2
+        ),
+        pm2_tot AS (
+            SELECT poly_id, CAST(SUM(n) AS BIGINT) AS n_tiles FROM pm2_cnt
+            GROUP BY 1
+        ),
+        pm2_win AS (
+            SELECT poly_id, tile_class AS majority_class, n AS n_votes
+            FROM pm2_cnt QUALIFY row_number() OVER (
+                PARTITION BY poly_id ORDER BY n DESC, tile_class ASC
+            ) = 1
+        )
+        SELECT w.poly_id, w.majority_class, w.n_votes, t.n_tiles,
+               CAST(w.n_votes AS DOUBLE) / CAST(t.n_tiles AS DOUBLE) AS share
+        FROM pm2_win w JOIN pm2_tot t ON t.poly_id = w.poly_id"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

@@ -684,3 +684,106 @@ def cell_coverage_sql(
             SELECT cell_id, poly_id, covered,
                    CAST(covered AS DOUBLE) / {float(ss * ss)!r} AS frac
             FROM hits"""
+
+
+def poly_majority(primitives, polygons_path: str, year: int = 2022):
+    """Zonal MAJORITY per polygon — the categorical reduceRegions (most
+    frequent assembled land-cover class among the tiles whose centers
+    fall inside each reference polygon; ties to the smallest class), the
+    reporting companion of the per-polygon mean (``q_poly_zonal``) every
+    land-cover product ships per management unit.
+
+    Composition, all existing machinery: assemble reduce → tile centers
+    → broadcast-index PIP label attach (first polygon in poly_id order)
+    → bucketed (poly, class) integer counts → pack-max winner
+    (n·256 + (256−class): highest count, then lowest class) on the
+    polygon-bounded count table.  share = ONE pinned votes/tiles
+    division.
+
+    Output: (poly_id:string, majority_class:int64, n_votes:int64,
+    n_tiles:int64, share:f64), polygons sorted.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..state import cells
+    from ..state.cells import TILE_LEVEL
+    from .assemblage import assemble_tile_labels
+    from .zonal import bucketed_sum
+
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+
+    def add_center(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lon, lat = cells.cell_center(tid, TILE_LEVEL)
+        return pa.table(
+            {
+                "tile_id": t.column("tile_id"),
+                "tile_class": pa.array(
+                    t.column("LANDCOVER")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    pts = labels.map_batches(add_center, batch_format="pyarrow")
+    lab = pip_join(pts, polygons_path, kinds=["reference"], mode="label")
+
+    def counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t.column("poly_id"), ""))
+        g = (
+            t.select(["poly_id", "tile_class"])
+            .group_by(["poly_id", "tile_class"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["poly_id", "tile_class", "n"])
+
+    cnt = bucketed_sum(
+        lab.map_batches(counts, batch_format="pyarrow"),
+        ["poly_id", "tile_class"],
+        ["n"],
+    ).to_pandas()  # ≤ |polygons|·|classes| rows — polygon-bounded
+    empty = pa.table(
+        {
+            "poly_id": pa.array([], pa.string()),
+            "majority_class": pa.array([], pa.int64()),
+            "n_votes": pa.array([], pa.int64()),
+            "n_tiles": pa.array([], pa.int64()),
+            "share": pa.array([], pa.float64()),
+        }
+    )
+    if len(cnt) == 0:
+        return rd.from_arrow(empty)
+    cnt["score"] = cnt["n"].to_numpy(np.int64) * np.int64(256) + (
+        np.int64(256) - cnt["tile_class"].to_numpy(np.int64)
+    )
+    g = cnt.groupby("poly_id", as_index=False).agg(
+        score=("score", "max"), n_tiles=("n", "sum")
+    )
+    g = g.sort_values("poly_id", kind="mergesort").reset_index(drop=True)
+    score = g["score"].to_numpy(np.int64)
+    votes = score // 256
+    cls = np.int64(256) - (score % np.int64(256))
+    n_tiles = g["n_tiles"].to_numpy(np.int64)
+    share = votes.astype(np.float64) / n_tiles.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array(g["poly_id"].astype(str).tolist(), pa.string()),
+                "majority_class": pa.array(cls, pa.int64()),
+                "n_votes": pa.array(votes, pa.int64()),
+                "n_tiles": pa.array(n_tiles, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )

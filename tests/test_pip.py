@@ -297,3 +297,49 @@ def test_poly_overlay_symmetry_and_coverage_bound(ray_session, synth_small):
     )
     for _, r in ab.iterrows():
         assert r["n_sub"] <= cov[r["poly_a"]]
+
+
+def test_poly_majority_against_components(synth_small, ray_session):
+    """poly_majority vs an independent pandas replay from the label-mode
+    PIP attach: same first-polygon rule, majority with smallest-class
+    ties, exact share."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage, pip
+    from kaza_lcms_ray.state import cells
+    from kaza_lcms_ray.state.cells import TILE_LEVEL
+
+    prims = rd.read_parquet(f"{synth_small}/primitives.parquet")
+    out = (
+        pip.poly_majority(prims, f"{synth_small}/polygons.parquet", year=2022)
+        .to_pandas()
+        .set_index("poly_id")
+    )
+    labels = (
+        assemblage.assemble_tile_labels(prims)
+        .filter(expr="year == 2022")
+        .select_columns(["tile_id", "LANDCOVER"])
+        .to_pandas()
+    )
+    tid = labels["tile_id"].to_numpy(np.int64)
+    lon, lat = cells.cell_center(tid, TILE_LEVEL)
+    idx = pip.load_polygon_index(f"{synth_small}/polygons.parquet", ["reference"])
+    pt, pl = idx.join_points(lon, lat)
+    first = {}
+    for t_i, p_i in zip(pt.tolist(), pl.tolist()):
+        if t_i not in first or idx.poly_ids[p_i] < idx.poly_ids[first[t_i]]:
+            first[t_i] = p_i
+    from collections import Counter, defaultdict
+
+    per_poly = defaultdict(Counter)
+    for t_i, p_i in first.items():
+        per_poly[idx.poly_ids[p_i]][int(labels["LANDCOVER"].iloc[t_i])] += 1
+    assert len(out) == len(per_poly) > 0
+    for pid, c in per_poly.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert out.loc[pid, "majority_class"] == best[0]
+        assert out.loc[pid, "n_votes"] == best[1]
+        assert out.loc[pid, "n_tiles"] == sum(c.values())
+        assert out.loc[pid, "share"] == best[1] / sum(c.values())
