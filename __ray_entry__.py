@@ -704,6 +704,22 @@ def q_radius_extract(sf_dir: str):
     )
 
 
+def q_edge_distance(sf_dir: str):
+    """Distance-to-edge inside protected areas (stages/pip.edge_distance):
+    label-rule containment, broadcast ring segments, clamped
+    point-to-segment projection with first-(d2, rid, i) winner, exact
+    sqrt."""
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    return _i64(
+        pip.edge_distance(_geo(sf_dir), f"{root}/polygons.parquet",
+                          kinds=["reference"]),
+        ["doc_id", "span_idx", "poly_id", "d2", "dist", "snap_lon",
+         "snap_lat"],
+    )
+
+
 def q_poly_majority(sf_dir: str):
     """Zonal majority class per reference polygon
     (stages/pip.poly_majority): tile centers through the broadcast PIP
@@ -5450,6 +5466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_trend": q_cell_trend,
         "poly_zonal": q_poly_zonal,
         "poly_majority": q_poly_majority,
+        "edge_distance": q_edge_distance,
         "approx_percentile": q_approx_percentile,
         "media_dedup": q_media_dedup,
         "zipf_fit": q_zipf_fit,
@@ -6301,6 +6318,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "iji": _iji_sql(root),
         "contag": _contag_sql(root),
         "poly_majority": _poly_majority_sql(root),
+        "edge_distance": _edge_distance_sql(root),
         "std_ellipse": _std_ellipse_sql(root),
         "join_counts": _join_counts_sql(root),
         "patch_metrics": _patch_metrics_sql(root),
@@ -9623,6 +9641,90 @@ def _std_ellipse_sql(root: str, year: int = 2022) -> str:
                sqrt(greatest(0.0, (vx + vy) / 2.0 + r)) AS semi_major,
                sqrt(greatest(0.0, (vx + vy) / 2.0 - r)) AS semi_minor
         FROM se_r"""
+
+
+def _edge_distance_sql(root: str) -> str:
+    """edge_distance oracle: the poly_zonal ray-casting label chain
+    (bbox prefilter + crossing parity + first-poly_id attach), then the
+    IDENTICAL clamped point-to-segment projection chain per candidate
+    segment and a row_number winner over (d², rid, i)."""
+    return f"""
+        WITH {_geo_cte(root)},
+        ed_pp AS (
+            SELECT poly_id,
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet')
+            WHERE kind = 'reference'
+        ),
+        ed_r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM ed_pp
+        ),
+        ed_v AS (
+            SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                   unnest(ring) AS p
+            FROM ed_r
+        ),
+        ed_e AS (
+            SELECT a.poly_id, a.rid, a.i, a.p.x AS x1, a.p.y AS y1,
+                   b.p.x AS x2, b.p.y AS y2
+            FROM ed_v a JOIN ed_v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+            WHERE NOT (a.p.x = b.p.x AND a.p.y = b.p.y)
+        ),
+        ed_cand AS (
+            SELECT g.doc_id, g.span_idx, g.lon, g.lat, p.poly_id
+            FROM geo g JOIN ed_pp p
+              ON g.lon >= p.minx AND g.lon <= p.maxx
+             AND g.lat >= p.miny AND g.lat <= p.maxy
+        ),
+        ed_c AS (
+            SELECT cand.doc_id, cand.span_idx, cand.poly_id,
+                   any_value(cand.lon) AS lon, any_value(cand.lat) AS lat,
+                   SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                             AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM ed_cand cand JOIN ed_e e ON cand.poly_id = e.poly_id
+            GROUP BY cand.doc_id, cand.span_idx, cand.poly_id
+        ),
+        ed_first AS (
+            SELECT doc_id, span_idx, poly_id, lon, lat
+            FROM ed_c WHERE crossings % 2 = 1
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id, span_idx ORDER BY poly_id
+            ) = 1
+        ),
+        ed_proj AS (
+            SELECT f.doc_id, f.span_idx, f.poly_id, e.rid, e.i,
+                   e.x1 + least(greatest(
+                       ((f.lon - e.x1) * (e.x2 - e.x1)
+                        + (f.lat - e.y1) * (e.y2 - e.y1))
+                       / ((e.x2 - e.x1) * (e.x2 - e.x1)
+                          + (e.y2 - e.y1) * (e.y2 - e.y1)), 0.0), 1.0)
+                       * (e.x2 - e.x1) AS qx,
+                   e.y1 + least(greatest(
+                       ((f.lon - e.x1) * (e.x2 - e.x1)
+                        + (f.lat - e.y1) * (e.y2 - e.y1))
+                       / ((e.x2 - e.x1) * (e.x2 - e.x1)
+                          + (e.y2 - e.y1) * (e.y2 - e.y1)), 0.0), 1.0)
+                       * (e.y2 - e.y1) AS qy,
+                   f.lon, f.lat
+            FROM ed_first f JOIN ed_e e ON e.poly_id = f.poly_id
+        ),
+        ed_d AS (
+            SELECT doc_id, span_idx, poly_id, rid, i, qx, qy,
+                   (lon - qx) * (lon - qx) + (lat - qy) * (lat - qy) AS d2
+            FROM ed_proj
+        )
+        SELECT doc_id, span_idx, poly_id, d2, sqrt(d2) AS dist,
+               qx AS snap_lon, qy AS snap_lat
+        FROM ed_d
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY doc_id, span_idx ORDER BY d2, rid, i
+        ) = 1"""
 
 
 def _poly_majority_sql(root: str, year: int = 2022) -> str:

@@ -787,3 +787,112 @@ def poly_majority(primitives, polygons_path: str, year: int = 2022):
             }
         )
     )
+
+
+def edge_distance(geo, polygons_path: str, kinds: list[str] | None = None):
+    """Distance-to-edge INSIDE protected areas — for every geo span whose
+    point lies in a polygon (first match in poly_id order, the label
+    rule), the exact planar distance to that polygon's boundary plus the
+    snapped boundary point: the landscape-ecology "edge effect" depth
+    measure and the map-matching snap primitive in one pass.
+
+    Exact segment geometry, pinned: per candidate segment,
+    t = ((px−x1)·dx + (py−y1)·dy)/len2 clamped to [0,1], q = (x1+t·dx,
+    y1+t·dy), d² = (px−qx)² + (py−qy)²; the winner is the FIRST segment
+    (ring order, then vertex order) attaining the minimal d² — the same
+    (d², rid, i) order the oracle's row_number uses.  dist = √d² (IEEE
+    sqrt, exact both sides).
+
+    Scale shape: the polygon table is the bounded ancillary side — ring
+    segments broadcast ONCE grouped by sorted poly_id; each batch
+    expands (point × its-own-polygon's-segments) with ranges-from-counts
+    index arithmetic and reduces with np.minimum.reduceat — no Python
+    per point, no shuffle, work ∝ points·segments-per-polygon.
+
+    Output: (doc_id:string, span_idx:int64, poly_id:string, d2:f64,
+    dist:f64, snap_lon:f64, snap_lat:f64), one row per contained span.
+    """
+    idx = load_polygon_index(polygons_path, kinds)
+    order = np.argsort(idx.poly_ids, kind="stable")
+    sorted_ids = idx.poly_ids[order]
+    xs1, ys1, xs2, ys2, seg_counts = [], [], [], [], []
+    for pos in order:
+        n_seg = 0
+        for ring in idx.rings[int(pos)]:
+            r = np.asarray(ring, np.float64).reshape(-1, 2)
+            x1, y1 = r[:-1, 0], r[:-1, 1]
+            x2, y2 = r[1:, 0], r[1:, 1]
+            keep = ((x2 - x1) != 0.0) | ((y2 - y1) != 0.0)  # drop degenerate
+            xs1.append(x1[keep]); ys1.append(y1[keep])
+            xs2.append(x2[keep]); ys2.append(y2[keep])
+            n_seg += int(keep.sum())
+        seg_counts.append(n_seg)
+    side = {
+        "ids": sorted_ids,
+        "x1": np.concatenate(xs1), "y1": np.concatenate(ys1),
+        "x2": np.concatenate(xs2), "y2": np.concatenate(ys2),
+        "offs": np.concatenate(([0], np.cumsum(seg_counts))).astype(np.int64),
+    }
+    side_ref = ray.put(side)
+    labeled = pip_join(geo, polygons_path, kinds=kinds, mode="label")
+
+    def snap(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t.column("poly_id"), ""))
+        s = ray.get(side_ref)
+        pid = np.asarray(t.column("poly_id").to_pylist(), dtype=object)
+        px = t.column("lon").to_numpy(zero_copy_only=False)
+        py = t.column("lat").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(s["ids"], pid)
+        cnt = (s["offs"][pos + 1] - s["offs"][pos]).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "span_idx": pa.array([], pa.int64()),
+                    "poly_id": pa.array([], pa.string()),
+                    "d2": pa.array([], pa.float64()),
+                    "dist": pa.array([], pa.float64()),
+                    "snap_lon": pa.array([], pa.float64()),
+                    "snap_lat": pa.array([], pa.float64()),
+                }
+            )
+        pt_rep = np.repeat(np.arange(len(pid)), cnt)
+        seg_i = (
+            np.arange(total) - np.repeat(starts, cnt)
+        ) + np.repeat(s["offs"][pos], cnt)
+        x1, y1 = s["x1"][seg_i], s["y1"][seg_i]
+        x2, y2 = s["x2"][seg_i], s["y2"][seg_i]
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        ppx, ppy = px[pt_rep], py[pt_rep]
+        tt = ((ppx - x1) * dx + (ppy - y1) * dy) / len2
+        tc = np.minimum(np.maximum(tt, 0.0), 1.0)
+        qx = x1 + tc * dx
+        qy = y1 + tc * dy
+        d2 = (ppx - qx) * (ppx - qx) + (ppy - qy) * (ppy - qy)
+        dmin = np.minimum.reduceat(d2, starts)
+        # first index attaining the min (segment order = ring, vertex asc)
+        local = np.arange(total)
+        hit = d2 == dmin[pt_rep]
+        first = np.minimum.reduceat(np.where(hit, local, total), starts)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": pa.array(
+                    t.column("span_idx")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "poly_id": t.column("poly_id"),
+                "d2": pa.array(dmin, pa.float64()),
+                "dist": pa.array(np.sqrt(dmin), pa.float64()),
+                "snap_lon": pa.array(qx[first], pa.float64()),
+                "snap_lat": pa.array(qy[first], pa.float64()),
+            }
+        )
+
+    return labeled.map_batches(snap, batch_format="pyarrow")

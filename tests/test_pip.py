@@ -343,3 +343,56 @@ def test_poly_majority_against_components(synth_small, ray_session):
         assert out.loc[pid, "n_votes"] == best[1]
         assert out.loc[pid, "n_tiles"] == sum(c.values())
         assert out.loc[pid, "share"] == best[1] / sum(c.values())
+
+
+def test_edge_distance_square_polygon(ray_session, tmp_path):
+    """Hand polygon: unit square (0,0)-(4,0)-(4,4)-(0,4); a point at
+    (1, 2) snaps to the left edge at (0, 2) with dist 1; a point at
+    (2, 3.5) snaps to the top edge at (2, 4) with dist 0.5; an outside
+    point emits nothing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import pip
+
+    ring = [
+        {"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0}, {"x": 4.0, "y": 4.0},
+        {"x": 0.0, "y": 4.0}, {"x": 0.0, "y": 0.0},
+    ]
+    polys = pa.table(
+        {
+            "poly_id": pa.array(["sq"], pa.string()),
+            "kind": pa.array(["reference"], pa.string()),
+            "LANDCOVER": pa.array([1], pa.int32()),
+            "bbox": pa.array(
+                [{"minx": 0.0, "miny": 0.0, "maxx": 4.0, "maxy": 4.0}]
+            ),
+            "rings": pa.array([[ring]]),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    ppath = str(tmp_path / "polys.parquet")
+    pq.write_table(polys, ppath)
+    pts = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": ["d1", "d2", "d3"],
+                "span_idx": np.array([0, 0, 0], np.int64),
+                "lon": [1.0, 2.0, 9.0],
+                "lat": [2.0, 3.5, 9.0],
+            }
+        )
+    )
+    out = (
+        pip.edge_distance(pts, ppath, kinds=["reference"])
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert len(out) == 2
+    assert out.loc["d1", "dist"] == 1.0
+    assert (out.loc["d1", "snap_lon"], out.loc["d1", "snap_lat"]) == (0.0, 2.0)
+    assert out.loc["d2", "dist"] == 0.5
+    assert (out.loc["d2", "snap_lon"], out.loc["d2", "snap_lat"]) == (2.0, 4.0)
