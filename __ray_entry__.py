@@ -1194,6 +1194,22 @@ def q_iji(sf_dir: str):
     )
 
 
+def q_label_stability(sf_dir: str):
+    """Temporal label-stability map over all assemblage years
+    (stages/assemblage.label_stability): per-tile distinct-label and
+    modal-label margins through the pack-max combine - pure integers."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.label_stability(prims),
+        ["tile_id", "n_years", "n_labels", "modal_label", "modal_years",
+         "stable"],
+    )
+
+
 def q_landscape_diversity(sf_dir: str):
     """Shannon landscape diversity per labeled tile
     (stages/assemblage.landscape_diversity): neighborhood label counts,
@@ -5571,6 +5587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_plots": q_knn_plots,
         "plot_load": q_plot_load,
         "tile_labels": q_tile_labels,
+        "label_stability": q_label_stability,
         "area_by_class": q_area_by_class,
         "flagship": q_flagship,
         "harmonic_year": q_harmonic_year,
@@ -6311,6 +6328,36 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                         ) WHERE rn = 1
                     ) WHERE "year" = 2022'''
             )}""",
+        "label_stability": f"""
+            WITH ls_lab AS MATERIALIZED (
+                SELECT tile_id, "year", CAST(class AS BIGINT) AS lc
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY tile_id, "year"
+                        ORDER BY prob DESC, class ASC
+                    ) AS rn
+                    FROM read_parquet('{root}/primitives.parquet')
+                ) WHERE rn = 1
+            ),
+            ls_tl AS (
+                SELECT tile_id, lc, CAST(COUNT(*) AS BIGINT) AS n
+                FROM ls_lab GROUP BY 1, 2
+            ),
+            ls_m AS (
+                SELECT tile_id, CAST(SUM(n) AS BIGINT) AS n_years,
+                       CAST(COUNT(*) AS BIGINT) AS n_labels
+                FROM ls_tl GROUP BY 1
+            ),
+            ls_w AS (
+                SELECT tile_id, lc AS modal_label, n AS modal_years
+                FROM ls_tl QUALIFY row_number() OVER (
+                    PARTITION BY tile_id ORDER BY n DESC, lc ASC
+                ) = 1
+            )
+            SELECT m.tile_id, m.n_years, m.n_labels,
+                   w.modal_label, w.modal_years,
+                   CAST(m.n_labels = 1 AS BIGINT) AS stable
+            FROM ls_m m JOIN ls_w w ON w.tile_id = m.tile_id""",
         "clump_sizes": _clump_sizes_sql(root),
         "class_shape": _class_shape_sql(root),
         "largest_patch": _largest_patch_sql(root),

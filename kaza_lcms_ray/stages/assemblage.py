@@ -1719,3 +1719,92 @@ def join_counts(primitives, year: int = 2022):
             }
         )
     )
+
+
+def label_stability(primitives):
+    """Temporal label-stability map over ALL assemblage years — the
+    change/consistency product a land-cover monitoring system ships next
+    to its per-year maps (reference analog: the multi-year assemblage
+    stack of src/utils/assemblage.py consumed by change reporting):
+    per tile, how many distinct labels it ever took, the MODAL label
+    (most years; ties to the smallest class), in how many years that
+    modal label held, and a stable flag (one label across all years).
+
+    PURE INTEGER, fully decomposable: the assemble reduce → per
+    (tile, label) year counts (bucketed sum) → per-tile pack-max combine
+    (score = n·256 + (256−label) picks most-years-then-smallest-class
+    under ANY combine order) fused with the n_years / n_labels margins.
+
+    Output: (tile_id:int64, n_years:int64, n_labels:int64,
+    modal_label:int64, modal_years:int64, stable:int64).
+    """
+    import ray.data as rd
+
+    from .zonal import bucketed_combine, bucketed_sum
+
+    labels = assemble_tile_labels(primitives).select_columns(
+        ["tile_id", "year", "LANDCOVER"]
+    )
+
+    def tl_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "tile_id": pa.array(
+                        t.column("tile_id")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ),
+                    "lc": pa.array(
+                        t.column("LANDCOVER")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["tile_id", "lc"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["tile_id", "lc", "n"])
+
+    tl = bucketed_sum(
+        labels.map_batches(tl_partial, batch_format="pyarrow"),
+        ["tile_id", "lc"],
+        ["n"],
+    )
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        lc = t.column("lc").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "tile_id": t.column("tile_id"),
+                "score": pa.array(n * np.int64(256) + (np.int64(256) - lc)),
+                "n_years": pa.array(n),
+                "n_labels": pa.array(np.ones(len(n), np.int64)),
+            }
+        )
+
+    per_tile = bucketed_combine(
+        tl.map_batches(tile_partial, batch_format="pyarrow"),
+        ["tile_id"],
+        {"score": "max", "n_years": "sum", "n_labels": "sum"},
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        score = t.column("score").to_numpy(zero_copy_only=False)
+        nl = t.column("n_labels").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tile_id": t.column("tile_id"),
+                "n_years": t.column("n_years"),
+                "n_labels": t.column("n_labels"),
+                "modal_label": pa.array(
+                    np.int64(256) - (score % np.int64(256)), pa.int64()
+                ),
+                "modal_years": pa.array(score // np.int64(256), pa.int64()),
+                "stable": pa.array((nl == 1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return per_tile.map_batches(finalize, batch_format="pyarrow")

@@ -731,3 +731,52 @@ def test_join_counts_hand_grid(ray_session):
         .set_index("LANDCOVER")
     )
     assert out.equals(out2)
+
+
+def test_label_stability_hand(ray_session):
+    """Tile A: years 2020/2021/2022 labeled 5,5,7 -> modal 5 (2 years),
+    3 years, 2 labels, unstable.  Tile B: 9 both years -> stable.
+    Tie case: tile C labels 3,8 one year each -> modal = smallest (3)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    ta, tb, tc = (
+        int(morton(np.array([1]), np.array([1]))[0]),
+        int(morton(np.array([2]), np.array([2]))[0]),
+        int(morton(np.array([3]), np.array([3]))[0]),
+    )
+    rows = [
+        (ta, 2020, 5), (ta, 2021, 5), (ta, 2022, 7),
+        (tb, 2020, 9), (tb, 2021, 9),
+        (tc, 2020, 8), (tc, 2021, 3),
+    ]
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": np.array([r[0] for r in rows], np.int64),
+                    "year": np.array([r[1] for r in rows], np.int32),
+                    "class": np.array([r[2] for r in rows], np.int32),
+                    "prob": np.full(len(rows), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = (
+        assemblage.label_stability(prims).to_pandas().set_index("tile_id")
+    )
+    assert out.loc[ta, "n_years"] == 3 and out.loc[ta, "n_labels"] == 2
+    assert out.loc[ta, "modal_label"] == 5 and out.loc[ta, "modal_years"] == 2
+    assert out.loc[ta, "stable"] == 0
+    assert out.loc[tb, "stable"] == 1 and out.loc[tb, "modal_label"] == 9
+    assert out.loc[tc, "modal_label"] == 3  # tie -> smallest class
+    out2 = assemblage.label_stability(prims.repartition(4)).to_pandas().set_index(
+        "tile_id"
+    )
+    assert out.sort_index().equals(out2.sort_index())
