@@ -1397,6 +1397,19 @@ def q_hillshade(sf_dir: str):
     )
 
 
+def q_stay_points(sf_dir: str):
+    """Stay-point (dwell) detection over ordered geo trajectories
+    (stages/spans.stay_points): lockstep greedy anchor recurrence, exact
+    d2 <= eps2 doubles, runs >= 2 points - zero shuffle."""
+    from kaza_lcms_ray.stages import spans
+
+    return _i64(
+        spans.stay_points(_docs(sf_dir), eps=2.0, min_pts=2),
+        ["doc_id", "anchor_span", "n_pts", "start_span", "end_span",
+         "lon", "lat"],
+    )
+
+
 def q_doc_trajectory(sf_dir: str):
     """Per-document trajectory rollup over ordered geo spans
     (stages/spans.doc_trajectory): row-local boundary-masked diffs, 2^40-
@@ -5373,6 +5386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "viewshed": q_viewshed,
         "geodesic_dist": q_geodesic_dist,
         "doc_trajectory": q_doc_trajectory,
+        "stay_points": q_stay_points,
         "simplify_paths": q_simplify_paths,
         "bootstrap_mean": q_bootstrap_mean,
         "cell_covisit": q_cell_covisit,
@@ -6024,6 +6038,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM geo g JOIN cty c
               ON g.lon >= c.minx AND g.lon < c.maxx
              AND g.lat >= c.miny AND g.lat < c.maxy""",
+        "stay_points": f"""
+            WITH RECURSIVE {geo},
+            {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).stay_points_sql("SELECT doc_id, span_idx, lon, lat FROM geo", eps=2.0, min_pts=2)}""",
         "cell_smooth": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).kring_smooth_sql("SELECT * FROM cells", band=3, k=1)}""",

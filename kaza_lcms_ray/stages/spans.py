@@ -1392,3 +1392,137 @@ def path_density_sql(geo_sql: str, samples: int = PATH_DENSITY_SAMPLES) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_samples,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM pd_cells GROUP BY cell_id"""
+
+
+def stay_points(documents, eps: float = 2.0, min_pts: int = 2, batch_size: int | None = None):
+    """Stay-point (dwell) detection over each document's ordered geo
+    trajectory — the classic trajectory-mining primitive (Li et al.'s
+    greedy anchor rule, count-based): scanning spans in order, the
+    anchor is the first point of the current dwell; a point within
+    ``eps`` (planar degrees) of the anchor extends the dwell, otherwise
+    it becomes the new anchor; maximal runs of ≥ ``min_pts`` points are
+    reported.
+
+    Exactness: the d² ≤ eps² test uses the identical double expression
+    on both sides; all output values are exact copies (anchor lon/lat,
+    span indexes) or integer counts.  Scale shape: row-local like
+    :func:`doc_trajectory` (a document is ONE input row) — the greedy
+    recurrence is evaluated in LOCKSTEP across the whole batch, one
+    vectorized pass per span position (≤ max-spans-per-doc iterations,
+    not per-point Python); runs collapse with ranges-from-counts
+    arithmetic.  Zero shuffle.
+
+    Output: (doc_id:string, anchor_span:int64, n_pts:int64,
+    start_span:int64, end_span:int64, lon:f64, lat:f64).
+    """
+    eps2 = eps * eps
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = parse_geo_batch(batch)
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "anchor_span": pa.array([], pa.int64()),
+                "n_pts": pa.array([], pa.int64()),
+                "start_span": pa.array([], pa.int64()),
+                "end_span": pa.array([], pa.int64()),
+                "lon": pa.array([], pa.float64()),
+                "lat": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        doc = g.column("doc_id")
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        lon = g.column("lon").to_numpy(zero_copy_only=False)
+        lat = g.column("lat").to_numpy(zero_copy_only=False)
+        sidx = g.column("span_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        if n > 1:
+            same = pc.equal(doc.slice(1), doc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            same = np.zeros(0, bool)
+        starts = np.concatenate(
+            [np.zeros(1, np.int64), np.nonzero(~same)[0].astype(np.int64) + 1]
+        )
+        lens = np.diff(np.concatenate([starts, np.array([n], np.int64)]))
+        loc = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        anchors = np.arange(n, dtype=np.int64)  # loc-0 rows anchor themselves
+        # lockstep greedy recurrence: span position k across every doc
+        for k in range(1, int(lens.max())):
+            at = np.nonzero(loc == k)[0]
+            if at.shape[0] == 0:
+                break
+            a = anchors[at - 1]
+            dx = lon[at] - lon[a]
+            dy = lat[at] - lat[a]
+            within = (dx * dx + dy * dy) <= eps2
+            anchors[at] = np.where(within, a, at)
+        # maximal anchor runs (anchors only move forward, so equal-anchor
+        # rows are contiguous)
+        brk = np.concatenate(
+            ([True], anchors[1:] != anchors[:-1])
+        )
+        rs = np.nonzero(brk)[0].astype(np.int64)
+        rlen = np.diff(np.concatenate([rs, np.array([n], np.int64)]))
+        keep = rlen >= min_pts
+        rs, rlen = rs[keep], rlen[keep]
+        a = anchors[rs]
+        return pa.table(
+            {
+                "doc_id": doc.take(pa.array(rs)),
+                "anchor_span": pa.array(sidx[a], pa.int64()),
+                "n_pts": pa.array(rlen, pa.int64()),
+                "start_span": pa.array(sidx[rs], pa.int64()),
+                "end_span": pa.array(sidx[rs + rlen - 1], pa.int64()),
+                "lon": pa.array(lon[a], pa.float64()),
+                "lat": pa.array(lat[a], pa.float64()),
+            }
+        )
+
+    return documents.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def stay_points_sql(geo_sql: str, eps: float = 2.0, min_pts: int = 2) -> str:
+    """Oracle twin of :func:`stay_points`: a recursive CTE advances the
+    identical greedy anchor recurrence one span position per level, then
+    (doc, anchor) groups with the HAVING count rule.  Caller must open
+    with ``WITH RECURSIVE``."""
+    eps2 = eps * eps
+    d2 = (
+        "(s.lon - t.a_lon) * (s.lon - t.a_lon)"
+        " + (s.lat - t.a_lat) * (s.lat - t.a_lat)"
+    )
+    return f"""
+        sp_pts AS (
+            SELECT doc_id, span_idx, lon, lat,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY span_idx
+                   ) AS j
+            FROM ({geo_sql})
+        ),
+        sp_st AS (
+            SELECT doc_id, j, span_idx, lon, lat,
+                   j AS aj, span_idx AS a_span, lon AS a_lon, lat AS a_lat
+            FROM sp_pts WHERE j = 1
+            UNION ALL
+            SELECT s.doc_id, s.j, s.span_idx, s.lon, s.lat,
+                   CASE WHEN {d2} <= {eps2!r} THEN t.aj ELSE s.j END,
+                   CASE WHEN {d2} <= {eps2!r} THEN t.a_span
+                        ELSE s.span_idx END,
+                   CASE WHEN {d2} <= {eps2!r} THEN t.a_lon ELSE s.lon END,
+                   CASE WHEN {d2} <= {eps2!r} THEN t.a_lat ELSE s.lat END
+            FROM sp_st t JOIN sp_pts s
+              ON s.doc_id = t.doc_id AND s.j = t.j + 1
+        )
+        SELECT doc_id, any_value(a_span) AS anchor_span,
+               CAST(COUNT(*) AS BIGINT) AS n_pts,
+               CAST(MIN(span_idx) AS BIGINT) AS start_span,
+               CAST(MAX(span_idx) AS BIGINT) AS end_span,
+               any_value(a_lon) AS lon, any_value(a_lat) AS lat
+        FROM sp_st
+        GROUP BY doc_id, aj
+        HAVING COUNT(*) >= {min_pts}"""

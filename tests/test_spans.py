@@ -507,3 +507,38 @@ def test_path_density_hand_case(ray_session):
     lats = np.full(8, 5.0)
     exp = np.unique(encode(lons, lats, CELL_LEVEL).astype(np.int64))
     assert sorted(got.index.tolist()) == sorted(exp.tolist())
+
+
+def test_stay_points_hand_trajectory(ray_session):
+    """One doc whose geo spans step 0.5, 0.5, 5.0, 0.1 apart with
+    eps=2: anchor run [p0, p1, p2] (both within 2 of p0), then p3 far ->
+    new anchor, p4 close -> run [p3, p4]."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans
+
+    pts = [(0.0, 0.0), (0.5, 0.0), (1.0, 0.0), (6.0, 0.0), (6.1, 0.0)]
+    span_texts = [
+        f"{lon};{lat};2022;{100 + i};1,1,1,1,1,1" for i, (lon, lat) in enumerate(pts)
+    ]
+    doc = pd.DataFrame(
+        {
+            "doc_id": ["d1"],
+            "spans": [
+                [{"kind": "geo", "text": t} for t in span_texts]
+            ],
+        }
+    )
+    out = spans.stay_points(
+        rd.from_pandas(doc), eps=2.0, min_pts=2
+    ).to_pandas()
+    assert len(out) == 2
+    r0, r1 = out.iloc[0], out.iloc[1]
+    assert (r0["anchor_span"], r0["n_pts"], r0["start_span"], r0["end_span"]) == (
+        0, 3, 0, 2,
+    )
+    assert (r0["lon"], r0["lat"]) == (0.0, 0.0)
+    assert (r1["anchor_span"], r1["n_pts"]) == (3, 2)
+    assert r1["lon"] == 6.0
