@@ -3060,6 +3060,21 @@ def q_dup_clusters(sf_dir: str):
     return _i64(dedup.min_label_clusters(verified), ["node", "cluster"])
 
 
+def q_silhouette(sf_dir: str):
+    """Simplified silhouette per k-means cluster
+    (stages/cluster.silhouette): exact int64 quantized-space distances,
+    per-point 2^40-quantized s terms, pinned s_q/2^40/n means."""
+    from kaza_lcms_ray.stages import cluster
+
+    return _i64(
+        cluster.silhouette(
+            _tbl(sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS,
+            seed=KMEANS_SEED,
+        ),
+        ["cluster", "n", "s_q_sum", "mean_s"],
+    )
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed k-means over the embedding corpus (integer-quantized,
     seeded init, 2 Lloyd iterations) → (vec_id, cluster).  Every step —
@@ -5627,6 +5642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "hard_negatives": q_hard_negatives,
         "kmeans_embed": q_kmeans_embed,
+        "silhouette": q_silhouette,
         "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "event_burstiness": q_event_burstiness,
@@ -6626,6 +6642,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 ) AS rnk FROM s
             ) WHERE rnk <= 10""",
         "kmeans_embed": _kmeans_embed_sql(),
+        "silhouette": _silhouette_sql(),
         "semdedup": _semdedup_sql(),
         "source_cap": f"""
             WITH q AS ({_text_scores_sql()})
@@ -7716,6 +7733,46 @@ def _pq_topk_sql() -> str:
                 PARTITION BY qid ORDER BY d, vec_id
             ) AS rn FROM pq_ad
         ) WHERE rn <= 5"""
+
+
+def _silhouette_sql() -> str:
+    """Simplified-silhouette oracle: the kmeans replay chain, full
+    point-to-centroid integer d2 table, a2/b2 margins, the identical
+    quantized s terms and pinned mean chain."""
+    from kaza_lcms_ray.stages.cluster import SIL_SCALE
+
+    S = SIL_SCALE
+    sa = "sqrt(CAST(a2 AS DOUBLE))"
+    sb = "sqrt(CAST(b2 AS DOUBLE))"
+    return f"""
+        WITH {_kmeans_ctes()},
+        sl_d AS (
+            SELECT a.vec_id, a.cid AS own, c.cid AS oc,
+                   SUM((v.q - c.c) * (v.q - c.c)) AS d2
+            FROM aF a
+            JOIN qv v ON v.vec_id = a.vec_id
+            JOIN centF c ON c.i = v.i
+            GROUP BY 1, 2, 3
+        ),
+        sl_ab AS (
+            SELECT vec_id, own,
+                   MIN(CASE WHEN oc = own THEN d2 END) AS a2,
+                   MIN(CASE WHEN oc <> own THEN d2 END) AS b2
+            FROM sl_d GROUP BY 1, 2
+        ),
+        sl_q AS (
+            SELECT own AS cluster,
+                   CAST(floor((CASE WHEN greatest({sa}, {sb}) = 0.0 THEN 0.0
+                        ELSE ({sb} - {sa}) / greatest({sa}, {sb}) END)
+                        * {S!r}) AS BIGINT) AS sq
+            FROM sl_ab
+        )
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(sq) AS BIGINT) AS s_q_sum,
+               CAST(SUM(sq) AS DOUBLE) / {S!r} / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_s
+        FROM sl_q GROUP BY 1"""
 
 
 def _kmeans_embed_sql() -> str:

@@ -741,3 +741,102 @@ def dbscan_sql(points_sql: str, eps: float, min_pts: int) -> str:
         FROM dbp p
         LEFT JOIN dlab cl ON cl.id = p.id
         LEFT JOIN dborder bl ON bl.id = p.id"""
+
+
+SIL_SCALE = float(1 << 40)  # silhouette-term quantum (|s| ≤ 1)
+
+
+def silhouette(
+    ds,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    embed_col: str = "embedding",
+    seed: int = 77,
+):
+    """Simplified silhouette score per k-means cluster — the standard
+    clustering-quality report (s = (b−a)/max(a,b) with a = distance to
+    the OWN centroid and b = distance to the nearest OTHER centroid;
+    +1 tight and well-separated, 0 boundary, −1 misassigned), using the
+    centroid-based simplification that makes it one streaming pass
+    instead of O(n²) pairwise.
+
+    Exactness: squared distances are exact int64 in the quantized
+    embedding space (the :func:`kmeans` discipline, same tie rule);
+    per-point s floor-quantizes at 2⁴⁰ so cluster sums are order-free;
+    mean_s is ONE pinned s_q/2⁴⁰/n chain.  Scale shape: centroids
+    broadcast once; one stateless pass emits ≤k rows per batch.
+
+    Output: (cluster:int64, n:int64, s_q_sum:int64, mean_s:f64),
+    clusters sorted.
+    """
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    cent, _ = kmeans(ds, k=k, iters=iters, id_col=id_col, embed_col=embed_col, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        _, q = _quantized_batch(t, id_col, embed_col)
+        if q.shape[0] == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s_q_sum": pa.array([], pa.int64()),
+                }
+            )
+        d2 = (
+            (q * q).sum(axis=1)[:, None]
+            - 2 * (q @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        own = np.argmin(
+            -2 * (q @ c.T) + (c * c).sum(axis=1)[None, :], axis=1
+        )  # the _assign tie rule (first min = lowest cid)
+        rows = np.arange(q.shape[0])
+        a2 = d2[rows, own]
+        masked = d2.copy()
+        masked[rows, own] = np.iinfo(np.int64).max
+        b2 = masked.min(axis=1)
+        sa = np.sqrt(a2.astype(np.float64))
+        sb = np.sqrt(b2.astype(np.float64))
+        den = np.maximum(sa, sb)
+        s = np.where(den == 0.0, 0.0, (sb - sa) / np.where(den == 0.0, 1.0, den))
+        sq = np.floor(s * SIL_SCALE).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "cluster": pa.array(own.astype(np.int64) + 1),
+                    "n": pa.array(np.ones(len(own), np.int64)),
+                    "s_q_sum": pa.array(sq),
+                }
+            )
+            .group_by(["cluster"])
+            .aggregate([("n", "sum"), ("s_q_sum", "sum")])
+        )
+        return g.rename_columns(["cluster", "n", "s_q_sum"])
+
+    agg = (
+        ds.select_columns([id_col, embed_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("s_q_sum", alias_name="s_q_sum"))
+        .to_pandas()  # ≤ k rows
+    )
+    agg = agg.sort_values("cluster", kind="mergesort").reset_index(drop=True)
+    sq = agg["s_q_sum"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    mean_s = sq.astype(np.float64) / SIL_SCALE / n.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cluster": pa.array(agg["cluster"].to_numpy(np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "s_q_sum": pa.array(sq, pa.int64()),
+                "mean_s": pa.array(mean_s, pa.float64()),
+            }
+        )
+    )

@@ -347,3 +347,56 @@ def test_dbscan_matches_bruteforce(ray_session):
     )
     got2 = {r.id: (r.label, r.is_core) for r in out2.itertuples()}
     assert got2 == want
+
+
+def test_silhouette_two_blobs(ray_session):
+    """Two tight, well-separated 1-D blobs with k=2: every point's own
+    distance is tiny vs the cross distance, so mean_s -> near 1 for both
+    clusters; the quantized chain is replayed for one hand point."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import cluster
+
+    vecs = [[0.0, 0.01], [0.0, -0.01], [0.0, 0.0], [1.0, 0.01],
+            [1.0, -0.01], [1.0, 0.0]]
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": [np.array(v, np.float32) for v in vecs],
+        }
+    )
+    out = cluster.silhouette(rd.from_pandas(df), k=2, iters=2).to_pandas()
+    assert out["n"].sum() == 6
+    # independent numpy replay from the SAME kmeans outputs
+    cent, _ = cluster.kmeans(rd.from_pandas(df), k=2, iters=2)
+    q = cluster.quantize(np.array(vecs, np.float64))
+    d2 = (
+        (q * q).sum(1)[:, None] - 2 * (q @ cent.T) + (cent * cent).sum(1)[None, :]
+    )
+    own = np.argmin(-2 * (q @ cent.T) + (cent * cent).sum(1)[None, :], axis=1)
+    rows = np.arange(6)
+    a2 = d2[rows, own]
+    m = d2.copy()
+    m[rows, own] = np.iinfo(np.int64).max
+    b2 = m.min(1)
+    sa, sb = np.sqrt(a2.astype(float)), np.sqrt(b2.astype(float))
+    den = np.maximum(sa, sb)
+    sq = np.floor(
+        np.where(den == 0.0, 0.0, (sb - sa) / np.where(den == 0.0, 1.0, den))
+        * cluster.SIL_SCALE
+    ).astype(np.int64)
+    exp = {}
+    for c in np.unique(own):
+        msk = own == c
+        exp[int(c) + 1] = (int(msk.sum()), int(sq[msk].sum()))
+    got = {int(r.cluster): (int(r.n), int(r.s_q_sum)) for r in out.itertuples()}
+    assert got == exp
+    for r in out.itertuples():
+        assert r.mean_s == r.s_q_sum / cluster.SIL_SCALE / r.n
+    # reshard invariance
+    out2 = cluster.silhouette(
+        rd.from_pandas(df).repartition(3), k=2, iters=2
+    ).to_pandas()
+    assert out.equals(out2)
