@@ -4579,6 +4579,22 @@ def q_small_qty_revenue(sf_dir: str):
     )
 
 
+def q_cohort_ltv(sf_dir: str):
+    """Cohort LTV matrix (pipelines/analytics.cohort_ltv): first-order
+    month cohorts, months-since cells, exact cents and counts,
+    ONE pinned cum_rev/n_customers double per cell."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.cohort_ltv(
+            _tbl(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        ),
+        ["cohort_month", "k", "n_customers", "n_orders", "rev_cents",
+         "cum_rev_cents", "ltv_cents"],
+    )
+
+
 def q_rfm_segments(sf_dir: str):
     """RFM quintile segmentation (pipelines/analytics.rfm_segments):
     pure-integer recency/frequency/monetary with nearest-rank cutoffs
@@ -5649,6 +5665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_rules": q_basket_rules,
         "rfm_segments": q_rfm_segments,
         "abc_parts": q_abc_parts,
+        "cohort_ltv": q_cohort_ltv,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6499,6 +6516,39 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY plot_id ORDER BY src ASC
                 ) AS rn FROM u
             ) WHERE rn = 1""",
+        "cohort_ltv": """
+            WITH cl_m AS (
+                SELECT o_custkey,
+                       CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                            AS BIGINT) AS ym,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+                FROM orders
+            ),
+            cl_first AS (
+                SELECT o_custkey, MIN(ym) AS cohort FROM cl_m GROUP BY 1
+            ),
+            cl_sz AS (
+                SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+                FROM cl_first GROUP BY 1
+            ),
+            cl_cell AS (
+                SELECT f.cohort AS cohort_month, m.ym - f.cohort AS k,
+                       CAST(COUNT(*) AS BIGINT) AS n_orders,
+                       CAST(SUM(m.cents) AS BIGINT) AS rev_cents
+                FROM cl_m m JOIN cl_first f ON f.o_custkey = m.o_custkey
+                GROUP BY 1, 2
+            ),
+            cl_cum AS (
+                SELECT *, CAST(SUM(rev_cents) OVER (
+                           PARTITION BY cohort_month ORDER BY k
+                       ) AS BIGINT) AS cum_rev_cents
+                FROM cl_cell
+            )
+            SELECT c.cohort_month, c.k, s.n_customers, c.n_orders,
+                   c.rev_cents, c.cum_rev_cents,
+                   CAST(c.cum_rev_cents AS DOUBLE)
+                       / CAST(s.n_customers AS DOUBLE) AS ltv_cents
+            FROM cl_cum c JOIN cl_sz s ON s.cohort = c.cohort_month""",
         "abc_parts": """
             WITH ab_p AS (
                 SELECT l_partkey,

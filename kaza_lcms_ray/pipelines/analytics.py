@@ -2994,3 +2994,130 @@ def abc_parts(lineitem):
             }
         )
     )
+
+
+def cohort_ltv(orders):
+    """Cohort lifetime-value matrix — the classic retention-revenue
+    rollup: customers grouped by FIRST-order calendar month (the
+    cohort), every later order bucketed by months-since-first, and each
+    (cohort, k) cell reporting the cohort's cumulative revenue per
+    customer up to k.
+
+    PURE INTEGER except the final division: months are exact
+    year·12+month−1 ints, revenue is exact cents, cohort sizes are
+    counts; `ltv_cents` = ONE pinned cum_rev/n_customers double per
+    cell.  Scale shape: ONE bucketed per-customer min-month reduce, a
+    size-guarded cohort attach back onto the order stream, per-batch
+    (cohort, k) partials → tiny grouped sum; the cumulative scan runs
+    on the (months × months)/2-bounded cell table driver-side.
+
+    Output: (cohort_month:int64, k:int64, n_customers:int64,
+    n_orders:int64, rev_cents:int64, cum_rev_cents:int64,
+    ltv_cents:f64), cells sorted by (cohort, k).
+    """
+    import pandas as pd
+
+    from ..state.money import to_cents
+    from ..stages.joins import attach_dim
+    from ..stages.zonal import bucketed_combine, bucketed_sum
+
+    def month_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df["o_orderdate"]
+        ym = (dt.dt.year.to_numpy(np.int64) * 12 + dt.dt.month.to_numpy(np.int64)
+              - 1)
+        g = (
+            pd.DataFrame(
+                {"o_custkey": df["o_custkey"].to_numpy(np.int64), "cohort": ym}
+            )
+            .groupby("o_custkey", as_index=False)
+            .agg(cohort=("cohort", "min"))
+        )
+        return g
+
+    proj = orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+    first = bucketed_combine(
+        proj.map_batches(month_partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"cohort": "min"},
+    ).materialize()
+    n_cust = first.count()
+
+    def cohort_sizes(t: pa.Table) -> pa.Table:
+        g = t.select(["cohort"]).group_by(["cohort"]).aggregate([([], "count_all")])
+        return g.rename_columns(["cohort", "n_customers"])
+
+    sizes = (
+        bucketed_sum(
+            first.map_batches(cohort_sizes, batch_format="pyarrow"),
+            ["cohort"],
+            ["n_customers"],
+        )
+        .to_pandas()
+        .set_index("cohort")["n_customers"]
+    )
+
+    withc = attach_dim(
+        proj, first, "o_custkey", "o_custkey", ["cohort"], dim_rows=n_cust
+    )
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df["o_orderdate"]
+        ym = (dt.dt.year.to_numpy(np.int64) * 12 + dt.dt.month.to_numpy(np.int64)
+              - 1)
+        cents = to_cents(df["o_totalprice"].to_numpy())
+        g = (
+            pd.DataFrame(
+                {
+                    "cohort_month": df["cohort"].to_numpy(np.int64),
+                    "k": ym - df["cohort"].to_numpy(np.int64),
+                    "n_orders": np.ones(len(df), np.int64),
+                    "rev_cents": cents,
+                }
+            )
+            .groupby(["cohort_month", "k"], as_index=False)
+            .agg(n_orders=("n_orders", "sum"), rev_cents=("rev_cents", "sum"))
+        )
+        return g
+
+    cells = (
+        bucketed_sum(
+            withc.map_batches(cell_partial, batch_format="pandas"),
+            ["cohort_month", "k"],
+            ["n_orders", "rev_cents"],
+        )
+        .to_pandas()
+        .sort_values(["cohort_month", "k"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    if len(cells) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "cohort_month": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "rev_cents": pa.array([], pa.int64()),
+                    "cum_rev_cents": pa.array([], pa.int64()),
+                    "ltv_cents": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cum = cells.groupby("cohort_month")["rev_cents"].cumsum().to_numpy(np.int64)
+    ncust_col = sizes.reindex(cells["cohort_month"]).to_numpy(np.int64)
+    ltv = cum.astype(np.float64) / ncust_col.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cohort_month": pa.array(cells["cohort_month"].to_numpy(np.int64)),
+                "k": pa.array(cells["k"].to_numpy(np.int64)),
+                "n_customers": pa.array(ncust_col, pa.int64()),
+                "n_orders": pa.array(cells["n_orders"].to_numpy(np.int64)),
+                "rev_cents": pa.array(cells["rev_cents"].to_numpy(np.int64)),
+                "cum_rev_cents": pa.array(cum, pa.int64()),
+                "ltv_cents": pa.array(ltv, pa.float64()),
+            }
+        )
+    )

@@ -737,3 +737,38 @@ def test_abc_parts_hand(ray_session):
     assert list(out["abc_class"]) == ["A", "B", "C", "C"]
     out2 = analytics.abc_parts(rd.from_pandas(df).repartition(3)).to_pandas()
     assert out.equals(out2)
+
+
+def test_cohort_ltv_hand_orders(ray_session):
+    """Two cohorts: cust 1&2 first order Jan-2024 (cohort), cust 3 in
+    Feb; cust 1 re-orders in Feb (k=1).  Exact cents and the cumulative
+    per-customer chain."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "o_custkey": np.array([1, 2, 1, 3], np.int64),
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-10", "2024-01-20", "2024-02-05", "2024-02-15"]
+            ),
+            "o_totalprice": [10.0, 20.0, 5.0, 7.5],
+        }
+    )
+    out = analytics.cohort_ltv(rd.from_pandas(df)).to_pandas()
+    jan = 2024 * 12 + 0
+    feb = jan + 1
+    rows = {(r.cohort_month, r.k): r for r in out.itertuples()}
+    r0 = rows[(jan, 0)]
+    assert (r0.n_customers, r0.n_orders, r0.rev_cents) == (2, 2, 3000)
+    assert r0.cum_rev_cents == 3000 and r0.ltv_cents == 1500.0
+    r1 = rows[(jan, 1)]
+    assert (r1.n_orders, r1.rev_cents, r1.cum_rev_cents) == (1, 500, 3500)
+    assert r1.ltv_cents == 1750.0
+    rf = rows[(feb, 0)]
+    assert (rf.n_customers, rf.rev_cents, rf.ltv_cents) == (1, 750, 750.0)
+    out2 = analytics.cohort_ltv(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert out.equals(out2)
