@@ -614,6 +614,18 @@ def q_bivariate_moran(sf_dir: str):
     )
 
 
+def q_change_year(sf_dir: str):
+    """Per-cell CUSUM change-year map (stages/zonal.change_year): exact
+    integer n*S_k prefix deviations over yearly cell totals, earliest
+    peak year - no floats anywhere."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.change_year(_geo(sf_dir), band=3),
+        ["cell_id", "n_years", "change_year", "peak_q"],
+    )
+
+
 def q_cell_smooth(sf_dir: str):
     """Focal k-ring smoothing over the zonal cell grid (stages/zonal.
     kring_smooth — A8 reduceNeighborhood analog on the aggregated cell
@@ -5525,6 +5537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": q_events_ewma,
         "weighted_sample": q_weighted_sample,
         "cell_trend": q_cell_trend,
+        "change_year": q_change_year,
         "poly_zonal": q_poly_zonal,
         "poly_majority": q_poly_majority,
         "edge_distance": q_edge_distance,
@@ -6074,6 +6087,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "stay_points": f"""
             WITH RECURSIVE {geo},
             {__import__("kaza_lcms_ray.stages.spans", fromlist=["spans"]).stay_points_sql("SELECT doc_id, span_idx, lon, lat FROM geo", eps=2.0, min_pts=2)}""",
+        "change_year": f"""
+            WITH {geo}, {cells},
+            {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).change_year_sql("SELECT * FROM cells", band=3)}""",
         "cell_smooth": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).kring_smooth_sql("SELECT * FROM cells", band=3, k=1)}""",

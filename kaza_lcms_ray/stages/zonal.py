@@ -4521,3 +4521,115 @@ def morans_bivariate_sql(cells_sql: str, band_x: int = 3, band_y: int = 4, k: in
                              * CAST(d.deny_q AS DOUBLE))) AS bimoran
         FROM bm_tot t CROSS JOIN bm_num n CROSS JOIN bm_den d
         WHERE n.w_pairs > 0 AND d.denx_q > 0 AND d.deny_q > 0"""
+
+
+def change_year(geo, band: int = 3):
+    """Per-cell CHANGE-YEAR map — the change-detection product of an
+    annual monitoring stack (which year did this cell's signal break?):
+    for each cell with ≥2 observed years, the CUSUM peak over the yearly
+    band totals,
+
+        S_k = Σ_{j≤k}(x_j − x̄),   change_year = year after the argmax |S_k|
+
+    (the classic cumulative-deviation estimator; ties → earliest year;
+    the last prefix S_n ≡ 0 is excluded).  PURE INTEGER: multiplying
+    through by n gives n·S_k = n·Σ_{j≤k}x_j − k·Σx — exact int64 — so
+    argmax |n·S_k| needs no floats at all.
+
+    Scale shape: the corpus-sized pass is the two-phase (cell, year)
+    integer reduce; the per-cell scan runs vectorized per hash bucket
+    over the AOI-bounded cell-year table (segment prefix sums, no
+    per-cell Python).
+
+    Output: (cell_id:int64, n_years:int64, change_year:int64,
+    peak_q:int64) with peak_q = max |n·S_k|.
+    """
+    import pandas as pd
+
+    ycol = f"s_c{band}"
+    cy = zonal_sums(geo, keys=["cell_id", "year"], bands=(band,))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell_id", "year"], kind="mergesort")
+        cid = g["cell_id"].to_numpy(np.int64)
+        yr = g["year"].to_numpy(np.int64)
+        x = g[ycol].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], cid[1:] != cid[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(cid)])))
+        n_rep = np.repeat(lens, lens)
+        tot = np.repeat(np.add.reduceat(x, starts), lens)
+        csum = np.cumsum(x)
+        base = np.repeat(csum[starts] - x[starts], lens)
+        prefix = csum - base  # per-segment cumulative Σ_{j≤k} x_j
+        k = (
+            np.arange(len(cid), dtype=np.int64)
+            - np.repeat(starts, lens)
+            + np.int64(1)
+        )
+        ns = n_rep * prefix - k * tot  # n·S_k, exact int64
+        mag = np.abs(ns)
+        mag[k == n_rep] = -1  # exclude the trivial S_n = 0 terminal prefix
+        seg_max = np.repeat(np.maximum.reduceat(mag, starts), lens)
+        idx = np.arange(len(cid), dtype=np.int64)
+        hit = mag == seg_max
+        first = np.minimum.reduceat(
+            np.where(hit, idx, len(cid)), starts
+        )  # earliest year at the peak
+        keep = lens >= 2
+        f = first[keep]
+        return pd.DataFrame(
+            {
+                "cell_id": cid[starts][keep],
+                "n_years": lens[keep],
+                "change_year": yr[f + 1],  # year AFTER the break prefix
+                "peak_q": mag[f],
+            }
+        )
+
+    return (
+        _add_bucket(cy, ["cell_id"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["cell_id", "n_years", "change_year", "peak_q"])
+    )
+
+
+def change_year_sql(cells_sql: str, band: int = 3) -> str:
+    """Oracle twin of :func:`change_year`: per-(cell, year) totals,
+    window prefix sums, the identical exact n·S_k integers, and a
+    row_number winner over (|nS| DESC, year ASC) excluding the terminal
+    prefix.  Fragment for a caller's ``WITH {geo}, {cells},``."""
+    return f"""
+        cy_t AS (
+            SELECT cell_id, "year", CAST(SUM(c{band}) AS BIGINT) AS x
+            FROM ({cells_sql}) GROUP BY 1, 2
+        ),
+        cy_w AS (
+            SELECT cell_id, "year", x,
+                   CAST(COUNT(*) OVER (PARTITION BY cell_id) AS BIGINT) AS n,
+                   CAST(SUM(x) OVER (PARTITION BY cell_id) AS BIGINT) AS tot,
+                   CAST(SUM(x) OVER (
+                       PARTITION BY cell_id ORDER BY "year"
+                   ) AS BIGINT) AS prefix,
+                   CAST(row_number() OVER (
+                       PARTITION BY cell_id ORDER BY "year"
+                   ) AS BIGINT) AS k
+            FROM cy_t
+        ),
+        cy_s AS (
+            SELECT cell_id, "year", n, k,
+                   abs(n * prefix - k * tot) AS mag,
+                   lead("year") OVER (
+                       PARTITION BY cell_id ORDER BY "year"
+                   ) AS next_year
+            FROM cy_w
+            QUALIFY n >= 2
+        )
+        SELECT cell_id, n AS n_years,
+               CAST(next_year AS BIGINT) AS change_year,
+               CAST(mag AS BIGINT) AS peak_q
+        FROM cy_s
+        WHERE k < n
+        QUALIFY row_number() OVER (
+            PARTITION BY cell_id ORDER BY mag DESC, "year" ASC
+        ) = 1"""

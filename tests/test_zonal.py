@@ -989,3 +989,41 @@ def test_bivariate_moran_self_equals_univariate(synth_small, ray_session):
     # cross-band value is a different statistic
     x34 = zonal.morans_bivariate(geo(), band_x=3, band_y=4, k=1).to_pandas()
     assert x34["bimoran"].iloc[0] != bi["bimoran"].iloc[0]
+
+
+def test_change_year_brute_force(synth_small, ray_session):
+    """change_year vs a direct pandas replay of n*S_k on the (cell,
+    year) totals: same peak, earliest-year ties, year-after rule."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, zonal
+
+    def geo():
+        return spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+
+    got = zonal.change_year(geo(), band=3).to_pandas().set_index("cell_id")
+    cy = (
+        zonal.zonal_sums(geo(), keys=["cell_id", "year"], bands=(3,))
+        .to_pandas()
+        .sort_values(["cell_id", "year"])
+    )
+    n_checked = 0
+    for cid, g in cy.groupby("cell_id"):
+        x = g["s_c3"].to_numpy(np.int64)
+        yr = g["year"].to_numpy(np.int64)
+        n = len(x)
+        if n < 2:
+            assert cid not in got.index
+            continue
+        tot = x.sum()
+        best = None
+        for k in range(1, n):
+            mag = abs(n * x[:k].sum() - k * tot)
+            if best is None or mag > best[0]:
+                best = (mag, yr[k])
+        assert got.loc[cid, "peak_q"] == best[0]
+        assert got.loc[cid, "change_year"] == best[1]
+        assert got.loc[cid, "n_years"] == n
+        n_checked += 1
+    assert n_checked > 100
