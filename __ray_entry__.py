@@ -4625,6 +4625,21 @@ def q_rfm_segments(sf_dir: str):
     )
 
 
+def q_hhi(sf_dir: str):
+    """Supplier-revenue HHI per nation
+    (pipelines/analytics.hhi_concentration): exact cent sums, python-int
+    / HUGEINT squared margins, pinned 10000*s2/(S*S) chain."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.hhi_concentration(
+            _tbl(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"]),
+            _tbl(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        ),
+        ["nation_key", "n_suppliers", "rev_cents", "hhi"],
+    )
+
+
 def q_abc_parts(sf_dir: str):
     """ABC Pareto classification of parts by revenue
     (pipelines/analytics.abc_parts): exact cent sums, integer
@@ -5679,6 +5694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "abc_parts": q_abc_parts,
         "cohort_ltv": q_cohort_ltv,
+        "hhi": q_hhi,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6532,6 +6548,26 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY plot_id ORDER BY src ASC
                 ) AS rn FROM u
             ) WHERE rn = 1""",
+        "hhi": """
+            WITH hh_s AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM lineitem GROUP BY 1
+            ),
+            hh_n AS (
+                SELECT s.s_nationkey AS nation_key,
+                       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                       CAST(SUM(h.rev) AS BIGINT) AS rev_cents,
+                       SUM(CAST(h.rev AS HUGEINT) * h.rev) AS s2
+                FROM hh_s h JOIN supplier s ON s.s_suppkey = h.l_suppkey
+                GROUP BY 1
+            )
+            SELECT nation_key, n_suppliers, rev_cents,
+                   10000.0 * CAST(s2 AS DOUBLE)
+                       / (CAST(rev_cents AS DOUBLE)
+                          * CAST(rev_cents AS DOUBLE)) AS hhi
+            FROM hh_n""",
         "cohort_ltv": """
             WITH cl_m AS (
                 SELECT o_custkey,

@@ -3121,3 +3121,81 @@ def cohort_ltv(orders):
             }
         )
     )
+
+
+def hhi_concentration(lineitem, supplier):
+    """Herfindahl–Hirschman market-concentration index per nation —
+    supplier-revenue concentration (10000·Σ share² in the antitrust
+    convention; ≈10000/n when even, →10000 monopolized).
+
+    Exactness: per-supplier revenue is the exact cent sum (bucketed
+    two-phase reduce over raw lineitem — the only corpus-sized pass);
+    the squared-cents sums run in PYTHON INTS on the supplier-bounded
+    dimension table driver-side (the SQL twin uses HUGEINT), and the
+    index is ONE pinned 10000·s2/(S·S) double chain.
+
+    Output: (nation_key:int64, n_suppliers:int64, rev_cents:int64,
+    hhi:f64), nations sorted.
+    """
+    import pandas as pd
+
+    from ..state.money import to_cents
+    from ..stages.zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = to_cents(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        )
+        g = (
+            pa.table(
+                {
+                    "l_suppkey": t.column("l_suppkey"),
+                    "rev": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by(["l_suppkey"])
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    per_supp = bucketed_sum(
+        lineitem.select_columns(["l_suppkey", "l_extendedprice"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["l_suppkey"],
+        ["rev"],
+    ).to_pandas()  # |suppliers|-bounded dimension table
+    sdim = supplier.select_columns(["s_suppkey", "s_nationkey"]).to_pandas()
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "nation_key": pa.array([], pa.int64()),
+            "n_suppliers": pa.array([], pa.int64()),
+            "rev_cents": pa.array([], pa.int64()),
+            "hhi": pa.array([], pa.float64()),
+        }
+    )
+    if len(per_supp) == 0:
+        return rd.from_arrow(empty)
+    m = per_supp.merge(
+        sdim, left_on="l_suppkey", right_on="s_suppkey", how="inner"
+    )
+    rows = []
+    for nk, g in m.groupby("s_nationkey"):
+        revs = [int(v) for v in g["rev"].tolist()]
+        S = sum(revs)
+        s2 = sum(v * v for v in revs)  # python ints — no overflow ever
+        hhi = 10000.0 * float(s2) / (float(S) * float(S))
+        rows.append((int(nk), len(revs), S, hhi))
+    rows.sort()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "nation_key": pa.array([r[0] for r in rows], pa.int64()),
+                "n_suppliers": pa.array([r[1] for r in rows], pa.int64()),
+                "rev_cents": pa.array([r[2] for r in rows], pa.int64()),
+                "hhi": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )

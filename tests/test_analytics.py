@@ -772,3 +772,33 @@ def test_cohort_ltv_hand_orders(ray_session):
     assert (rf.n_customers, rf.rev_cents, rf.ltv_cents) == (1, 750, 750.0)
     out2 = analytics.cohort_ltv(rd.from_pandas(df).repartition(3)).to_pandas()
     assert out.equals(out2)
+
+
+def test_hhi_hand_market(ray_session):
+    """Nation 0: one supplier (monopoly, HHI = 10000); nation 1: two
+    equal suppliers (HHI = 5000)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    li = pd.DataFrame(
+        {
+            "l_suppkey": np.array([10, 20, 21, 21], np.int64),
+            "l_extendedprice": [100.0, 50.0, 25.0, 25.0],
+        }
+    )
+    sup = pd.DataFrame(
+        {
+            "s_suppkey": np.array([10, 20, 21], np.int64),
+            "s_nationkey": np.array([0, 1, 1], np.int64),
+        }
+    )
+    out = (
+        analytics.hhi_concentration(rd.from_pandas(li), rd.from_pandas(sup))
+        .to_pandas()
+        .set_index("nation_key")
+    )
+    assert out.loc[0, "hhi"] == 10000.0 and out.loc[0, "n_suppliers"] == 1
+    assert out.loc[1, "hhi"] == 5000.0 and out.loc[1, "rev_cents"] == 10000
