@@ -4288,6 +4288,15 @@ def q_event_burstiness(sf_dir: str):
     return events.burstiness(_tbl(sf_dir, "events"))
 
 
+def q_peak_hours(sf_dir: str):
+    """Diurnal peak-hour profile per event type (stages/events.peak_hours):
+    exact hour-of-day counts, pack-max earliest-hour ties, pinned peak
+    share."""
+    from kaza_lcms_ray.stages import events
+
+    return events.peak_hours(_tbl(sf_dir, "events"))
+
+
 def q_events_pivot(sf_dir: str):
     """Per-user event-type count matrix (pivot as conditional-count
     partials + one Sum combine)."""
@@ -5690,6 +5699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "event_burstiness": q_event_burstiness,
+        "peak_hours": q_peak_hours,
         "basket_rules": q_basket_rules,
         "rfm_segments": q_rfm_segments,
         "abc_parts": q_abc_parts,
@@ -6707,6 +6717,25 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             WHERE p.c_ab >= 2
             ORDER BY lift DESC, p.part_a, p.part_b
             LIMIT 100""",
+        "peak_hours": """
+            WITH ph_h AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) % 24 AS hour,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            ph_t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total
+                     FROM ph_h GROUP BY 1),
+            ph_w AS (
+                SELECT event_type, CAST(hour AS BIGINT) AS peak_hour,
+                       n AS peak_n
+                FROM ph_h QUALIFY row_number() OVER (
+                    PARTITION BY event_type ORDER BY n DESC, hour ASC
+                ) = 1
+            )
+            SELECT w.event_type, w.peak_hour, w.peak_n, t.total,
+                   CAST(w.peak_n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+            FROM ph_w w JOIN ph_t t ON t.event_type = w.event_type""",
         "event_burstiness": """
             WITH eb_h AS (
                 SELECT event_type, epoch_us(ts) // 3600000000 AS h,

@@ -2443,3 +2443,75 @@ def burstiness(ds):
             }
         )
     )
+
+
+def peak_hours(ds):
+    """Peak-hour profile per event type — the diurnal-rhythm rollup
+    (which hour of day does each stream peak, and how concentrated is
+    it): per (type, hour-of-day 0–23) exact counts, the peak hour via
+    the pack-max trick (count·32 + (31 − hour) → max ⇒ highest count,
+    then EARLIEST hour), and the peak share as ONE pinned division.
+
+    Output: (event_type:string, peak_hour:int64, peak_n:int64,
+    total:int64, share:f64), types sorted.
+    """
+    import numpy as np
+
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        hour = (ns // 3_600_000_000_000) % 24
+        out = (
+            pd.DataFrame(
+                {"event_type": df["event_type"].to_numpy(), "hour": hour}
+            )
+            .groupby(["event_type", "hour"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    hourly = bucketed_sum(
+        ds.select_columns(["event_type", "ts"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["event_type", "hour"],
+        ["n"],
+    ).to_pandas()  # ≤ |types|·24 rows
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "peak_hour": pa.array([], pa.int64()),
+            "peak_n": pa.array([], pa.int64()),
+            "total": pa.array([], pa.int64()),
+            "share": pa.array([], pa.float64()),
+        }
+    )
+    if len(hourly) == 0:
+        return rd.from_arrow(empty)
+    hourly["score"] = hourly["n"].to_numpy(np.int64) * np.int64(32) + (
+        np.int64(31) - hourly["hour"].to_numpy(np.int64)
+    )
+    g = hourly.groupby("event_type", as_index=False).agg(
+        score=("score", "max"), total=("n", "sum")
+    )
+    g = g.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+    score = g["score"].to_numpy(np.int64)
+    peak_n = score // 32
+    peak_hour = np.int64(31) - (score % np.int64(32))
+    total = g["total"].to_numpy(np.int64)
+    share = peak_n.astype(np.float64) / total.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(g["event_type"].astype(str).tolist()),
+                "peak_hour": pa.array(peak_hour, pa.int64()),
+                "peak_n": pa.array(peak_n, pa.int64()),
+                "total": pa.array(total, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )

@@ -679,3 +679,32 @@ def test_burstiness_hand_stream(ray_session):
         .set_index("event_type")
     )
     assert out.equals(out2)
+
+
+def test_peak_hours_hand_stream(ray_session):
+    """Type 'a': hours 10,10,12 -> peak 10 (2/3); type 'b': tie between
+    hours 3 and 5 (one each) -> earliest hour 3 wins."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    ts = pd.to_datetime(
+        ["2024-01-01 10:05", "2024-01-02 10:55", "2024-01-01 12:00",
+         "2024-01-01 03:00", "2024-01-01 05:00"]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(5),
+            "ts": ts,
+            "user_id": np.zeros(5, np.int64),
+            "event_type": ["a", "a", "a", "b", "b"],
+            "value": np.zeros(5),
+            "props": [""] * 5,
+        }
+    )
+    out = events.peak_hours(rd.from_pandas(df)).to_pandas().set_index("event_type")
+    assert out.loc["a", "peak_hour"] == 10 and out.loc["a", "peak_n"] == 2
+    assert out.loc["a", "share"] == 2.0 / 3.0
+    assert out.loc["b", "peak_hour"] == 3  # tie -> earliest
