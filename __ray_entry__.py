@@ -1128,6 +1128,21 @@ def q_std_ellipse(sf_dir: str):
     )
 
 
+def q_patch_gini(sf_dir: str):
+    """Gini of patch sizes per class (stages/assemblage.patch_gini):
+    frequency-of-frequencies rank identity over the block-bounded patch
+    table, pinned 2*num/(n*total)-(n+1)/n chain."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.patch_gini(prims, year=2022),
+        ["LANDCOVER", "n_patches", "area", "gini"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5526,6 +5541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohesion": q_cohesion,
         "pafrac": q_pafrac,
         "mesh": q_mesh,
+        "patch_gini": q_patch_gini,
         "hillshade": q_hillshade,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
@@ -6464,6 +6480,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cohesion": _cohesion_sql(root),
         "pafrac": _pafrac_sql(root),
         "mesh": _mesh_sql(root),
+        "patch_gini": _patch_gini_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10274,6 +10291,42 @@ def _pafrac_sql(root: str) -> str:
                2.0 / ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) AS pafrac
         FROM pf_s
         WHERE n_patches >= 2 AND (nn * sxx - sx * sx) > 0.0"""
+
+
+def _patch_gini_sql(root: str) -> str:
+    """patch_gini oracle: the pm chain + the token_gini
+    frequency-of-frequencies rank decomposition in HUGEINT keyed by
+    class, identical pinned Gini expression."""
+    return f"""{_patch_chain_sql(root)},
+        pg_h AS (
+            SELECT lc, a AS f, CAST(COUNT(*) AS BIGINT) AS m
+            FROM pm_patch GROUP BY 1, 2
+        ),
+        pg_r AS (
+            SELECT lc, f, m,
+                   COALESCE(SUM(m) OVER (
+                       PARTITION BY lc ORDER BY f
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS r
+            FROM pg_h
+        ),
+        pg_s AS (
+            SELECT lc,
+                   CAST(SUM(m) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(f AS HUGEINT) * m) AS HUGEINT) AS total,
+                   SUM(CAST(f AS HUGEINT)
+                       * (CAST(m AS HUGEINT) * CAST(r AS HUGEINT)
+                          + CAST(m AS HUGEINT) * (CAST(m AS HUGEINT) + 1) // 2))
+                       AS num
+            FROM pg_r GROUP BY 1
+        )
+        SELECT lc AS "LANDCOVER",
+               CAST(n AS BIGINT) AS n_patches,
+               CAST(total AS BIGINT) AS area,
+               2.0 * CAST(num AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+               - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+        FROM pg_s"""
 
 
 def _largest_patch_sql(root: str) -> str:

@@ -1808,3 +1808,76 @@ def label_stability(primitives):
         )
 
     return per_tile.map_batches(finalize, batch_format="pyarrow")
+
+
+def patch_gini(primitives, year: int = 2022, block_levels: int = 4):
+    """Gini coefficient of PATCH SIZES per class — landscape dominance/
+    inequality (0 = all patches equal, →1 = one giant patch among
+    fragments), the distributional companion of LPI/MESH over the
+    block-bounded patch table.
+
+    Exact decomposition (token_gini's rank identity): Gini depends only
+    on the sorted size multiset, which reduces over the
+    frequency-of-frequencies histogram m_f (patch areas are block-capped
+    ints, ≤ 2^(2·bl) distinct values per class):
+
+        Σᵢ i·a₍ᵢ₎ = Σ_f f·(m_f·R_f + m_f(m_f+1)/2)   (all integers)
+
+    with the identical pinned 2·num/(n·total) − (n+1)/n double chain.
+
+    Output: (LANDCOVER:int64, n_patches:int64, area:int64, gini:f64),
+    classes sorted.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    pm = patch_metrics(primitives, year=year, block_levels=block_levels)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["LANDCOVER", "a"])
+            .group_by(["LANDCOVER", "a"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["LANDCOVER", "f", "m"])
+
+    hist = (
+        bucketed_sum(
+            pm.map_batches(hist_partial, batch_format="pyarrow"),
+            ["LANDCOVER", "f"],
+            ["m"],
+        )
+        .to_pandas()  # ≤ |classes|·block² rows
+        .sort_values(["LANDCOVER", "f"], kind="mergesort")
+    )
+    out_lc, out_n, out_area, out_g = [], [], [], []
+    for lc, g in hist.groupby("LANDCOVER", sort=True):
+        fs = g["f"].to_numpy(np.int64)
+        ms = g["m"].to_numpy(np.int64)
+        r = 0
+        num = 0
+        for f, m in zip(fs.tolist(), ms.tolist()):
+            num += f * (m * r + m * (m + 1) // 2)
+            r += m
+        n = int(ms.sum())
+        tot = int((fs * ms).sum())
+        gini = (2.0 * np.float64(num)) / (np.float64(n) * np.float64(tot)) - (
+            np.float64(n) + 1.0
+        ) / np.float64(n)
+        out_lc.append(int(lc))
+        out_n.append(n)
+        out_area.append(tot)
+        out_g.append(float(gini))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(out_lc, pa.int64()),
+                "n_patches": pa.array(out_n, pa.int64()),
+                "area": pa.array(out_area, pa.int64()),
+                "gini": pa.array(out_g, pa.float64()),
+            }
+        )
+    )

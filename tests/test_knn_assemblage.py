@@ -780,3 +780,40 @@ def test_label_stability_hand(ray_session):
         "tile_id"
     )
     assert out.sort_index().equals(out2.sort_index())
+
+
+def test_patch_gini_hand(ray_session):
+    """Class 5: patches of sizes 1 and 3 (Gini of [1,3] = 0.25 by the
+    rank identity); class 9: two equal singletons (Gini 0)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    # class 5: L-tromino at (1,1),(2,1),(2,2) + isolated (5,5)
+    xs = np.array([1, 2, 2, 5, 8, 10])
+    ys = np.array([1, 1, 2, 5, 8, 8])
+    lc = np.array([5, 5, 5, 5, 9, 9])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = assemblage.patch_gini(prims, year=2022).to_pandas().set_index("LANDCOVER")
+    assert out.loc[5, "n_patches"] == 2 and out.loc[5, "area"] == 4
+    # sorted sizes [1, 3]: sum i*x = 1*1 + 2*3 = 7; G = 2*7/(2*4) - 3/2 = 0.25
+    assert out.loc[5, "gini"] == 2.0 * 7 / (2.0 * 4.0) - 3.0 / 2.0
+    assert out.loc[9, "gini"] == 2.0 * 3 / (2.0 * 2.0) - 3.0 / 2.0  # = 0
+    assert out.loc[9, "gini"] == 0.0
