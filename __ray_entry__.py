@@ -5425,6 +5425,25 @@ def q_assortativity(sf_dir: str):
     )
 
 
+def q_knn_hubness(sf_dir: str):
+    """Hubness (in-degree distribution) of the kNN similarity graph
+    (stages/ann.knn_hubness): pure-integer degree + histogram reduces,
+    exact in-degree-0 reconstruction, pinned shares."""
+    from kaza_lcms_ray.stages import ann
+
+    emb = _tbl(sf_dir, "embeddings")
+    edges = ann.knn_join(
+        emb, k=3, id_col="vec_id", embed_col="embedding", drop_self=True
+    )
+    return _i64(
+        ann.knn_hubness(
+            edges, _tbl(sf_dir, "embeddings", columns=["vec_id"]),
+            qid_col="qid", target_col="vec_id",
+        ),
+        ["in_degree", "n_vecs", "share"],
+    )
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts over the kNN similarity graph
     (stages/graph.triangle_counts: degree-ordered compact-forward wedge
@@ -5615,6 +5634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup_best": q_fuzzy_dedup_best,
         "triangles": q_triangles,
         "assortativity": q_assortativity,
+        "knn_hubness": q_knn_hubness,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "source_overlap": q_source_overlap,
@@ -6807,6 +6827,24 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "pagerank": __import__(
             "kaza_lcms_ray.stages.graph", fromlist=["graph"]
         ).pagerank_sql(_KNN_GRAPH_SQL, n_iters=3, src_col="qid", dst_col="vec_id"),
+        "knn_hubness": f"""
+            WITH hub_e AS ({_KNN_GRAPH_SQL}),
+            hub_d AS (
+                SELECT vec_id AS target, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM hub_e GROUP BY 1
+            ),
+            hub_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+            hub_h AS (
+                SELECT deg AS in_degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                FROM hub_d GROUP BY 1
+                UNION ALL
+                SELECT 0, n.n - (SELECT COUNT(*) FROM hub_d)
+                FROM hub_n n
+                WHERE n.n - (SELECT COUNT(*) FROM hub_d) > 0
+            )
+            SELECT h.in_degree, h.n_vecs,
+                   CAST(h.n_vecs AS DOUBLE) / CAST(n.n AS DOUBLE) AS share
+            FROM hub_h h CROSS JOIN hub_n n""",
         "assortativity": __import__(
             "kaza_lcms_ray.stages.graph", fromlist=["graph"]
         ).assortativity_sql(_KNN_GRAPH_SQL, src_col="qid", dst_col="vec_id"),

@@ -907,3 +907,77 @@ def embed_profile_sql(emb_sql: str) -> str:
                CAST(sum_q AS DOUBLE) / (CAST(n AS DOUBLE) * {float(s)!r})
                    AS mean
         FROM ep_a"""
+
+
+def knn_hubness(edges, all_ids, qid_col: str = "qid", target_col: str = "vec_id"):
+    """Hubness report of a kNN graph — the in-degree distribution (how
+    many vectors appear in j other vectors' neighbor lists): the
+    standard vector-search QA diagnostic (heavy hubs are the points that
+    dominate result lists and depress recall in high dimensions;
+    antihubs with in-degree 0 are unreachable).
+
+    Pure integers: in-degree per target via the bucketed sum, the
+    in-degree→count histogram via a second tiny reduce, and the
+    in-degree-0 row reconstructed exactly as |all| − |referenced|;
+    share is ONE pinned n_vecs/n_total division per row.
+
+    Output: (in_degree:int64, n_vecs:int64, share:f64), sorted.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    n_total = all_ids.count()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([target_col])
+            .group_by([target_col])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["target", "deg"])
+
+    deg = bucketed_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["target"],
+        ["deg"],
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["deg"]).group_by(["deg"]).aggregate([([], "count_all")])
+        return g.rename_columns(["in_degree", "n_vecs"])
+
+    hist = (
+        bucketed_sum(
+            deg.map_batches(hist_partial, batch_format="pyarrow"),
+            ["in_degree"],
+            ["n_vecs"],
+        )
+        .to_pandas()
+        .sort_values("in_degree", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n_ref = int(hist["n_vecs"].sum()) if len(hist) else 0
+    zero = int(n_total) - n_ref
+    if zero > 0:
+        hist = pd.concat(
+            [
+                pd.DataFrame({"in_degree": [0], "n_vecs": [zero]}),
+                hist,
+            ],
+            ignore_index=True,
+        )
+    nd = hist["in_degree"].to_numpy(np.int64)
+    nv = hist["n_vecs"].to_numpy(np.int64)
+    share = nv.astype(np.float64) / np.float64(int(n_total))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "in_degree": pa.array(nd, pa.int64()),
+                "n_vecs": pa.array(nv, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )

@@ -148,3 +148,27 @@ def test_assortativity_hand_graphs(ray_session):
         edges([(0, 1), (1, 0), (1, 2), (2, 3), (2, 3)])
     ).to_pandas()
     assert dup.equals(p4)
+
+
+def test_knn_hubness_hand_edges(ray_session):
+    """Edges 1->3, 2->3, 3->1 over ids {1,2,3,4}: in-degrees 3:2, 1:1,
+    and ids 2,4 never referenced -> in_degree 0 has 2 vectors."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import ann
+
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "qid": np.array([1, 2, 3], np.int64),
+                "vec_id": np.array([3, 3, 1], np.int64),
+            }
+        )
+    )
+    ids = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(1, 5, dtype=np.int64)}))
+    out = ann.knn_hubness(edges, ids).to_pandas().set_index("in_degree")
+    assert out.loc[0, "n_vecs"] == 2 and out.loc[1, "n_vecs"] == 1
+    assert out.loc[2, "n_vecs"] == 1
+    assert out.loc[0, "share"] == 0.5
