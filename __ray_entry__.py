@@ -1412,6 +1412,18 @@ def q_geodesic_dist(sf_dir: str):
     )
 
 
+def q_curvature(sf_dir: str):
+    """Zevenbergen-Thorne profile/plan/total curvature over occupied
+    cells (stages/terrain.curvature_cells): analytic 9-point stencil,
+    bit-identical closed-form elevations, mirrored expression tree."""
+    from kaza_lcms_ray.stages import terrain
+
+    return _i64(
+        terrain.curvature_cells(_geo(sf_dir)),
+        ["cell_id", "curv_profile", "curv_plan", "curv_total"],
+    )
+
+
 def q_hillshade(sf_dir: str):
     """Horn hillshade over the occupied cells
     (stages/terrain.hillshade_cells): TerrainLookup slope/aspect, pinned
@@ -5562,6 +5574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mesh": q_mesh,
         "patch_gini": q_patch_gini,
         "hillshade": q_hillshade,
+        "curvature": q_curvature,
         "theilsen": q_theilsen,
         "mann_kendall": q_mann_kendall,
         "dist_transform": q_dist_transform,
@@ -7110,6 +7123,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "random_points": _random_points_sql(root),
         "terrain": _terrain_sql(root),
         "hillshade": _hillshade_sql(root),
+        "curvature": _curvature_sql(root),
         "viewshed": _viewshed_sql(root),
         "terrain_indexes": _terrain_indexes_sql(root),
         "doc_trajectory": f"""
@@ -9321,6 +9335,57 @@ def _hillshade_sql(root: str, azimuth_deg: float = 315.0, altitude_deg: float = 
                    + {sin_z} * sin(slope_deg * {RAD!r})
                      * cos({az_r} - aspect_deg * {RAD!r})) AS hillshade
         FROM hs"""
+
+
+def _curvature_sql(root: str) -> str:
+    """curvature_cells oracle: the hillshade occupied-cell chain, the
+    IDENTICAL analytic 9-point elevation stencil and Zevenbergen–Thorne
+    expression tree (constants inlined as the same Python floats)."""
+    from kaza_lcms_ray.stages.terrain import SLOPE_SCALE
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    ixe = grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)
+    iye = grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)
+    cell = morton_sql_expr("ix", "iy", CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+    LL = SLOPE_SCALE * SLOPE_SCALE
+    L4 = 4.0 * SLOPE_SCALE * SLOPE_SCALE
+    L2 = 2.0 * SLOPE_SCALE
+
+    def z(dx: float, dy: float) -> str:
+        lon = f"((ix + {dx!r} + 0.5) / {n!r} * 360.0 - 180.0)"
+        lat = f"((iy + {dy!r} + 0.5) / {n!r} * 180.0 - 90.0)"
+        return elev_sql(lon, lat)
+
+    return f"""
+        WITH {_geo_cte(root)},
+        cv_g AS (SELECT DISTINCT {ixe} AS ix, {iye} AS iy FROM geo),
+        cv_d AS (
+            SELECT {cell} AS cell_id,
+                   (({z(-1.0, 0.0)} + {z(1.0, 0.0)}) / 2.0 - {z(0.0, 0.0)})
+                       / {LL!r} AS d,
+                   (({z(0.0, 1.0)} + {z(0.0, -1.0)}) / 2.0 - {z(0.0, 0.0)})
+                       / {LL!r} AS e,
+                   (-{z(-1.0, 1.0)} + {z(1.0, 1.0)} + {z(-1.0, -1.0)}
+                    - {z(1.0, -1.0)}) / {L4!r} AS f,
+                   (-{z(-1.0, 0.0)} + {z(1.0, 0.0)}) / {L2!r} AS g,
+                   ({z(0.0, 1.0)} - {z(0.0, -1.0)}) / {L2!r} AS h
+            FROM cv_g
+        )
+        SELECT cell_id,
+               CASE WHEN g * g + h * h = 0.0 THEN 0.0
+                    ELSE -2.0 * (d * g * g + e * h * h + f * g * h)
+                         / (g * g + h * h) END AS curv_profile,
+               CASE WHEN g * g + h * h = 0.0 THEN 0.0
+                    ELSE 2.0 * (d * h * h + e * g * g - f * g * h)
+                         / (g * g + h * h) END AS curv_plan,
+               -2.0 * (d + e) AS curv_total
+        FROM cv_d"""
 
 
 def _terrain_sql(root: str) -> str:

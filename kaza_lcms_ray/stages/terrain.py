@@ -894,3 +894,73 @@ def terrain_indexes(geo, level: int = cells.CELL_LEVEL):
         )
 
     return per_cell.map_batches(fn, batch_format="pyarrow")
+
+
+def curvature_cells(geo, level: int = cells.CELL_LEVEL):
+    """Zevenbergen–Thorne surface curvature over the occupied cells —
+    the terrain-family completion next to slope/aspect/hillshade/TRI/TPI
+    (profile curvature = flow acceleration along the slope line, plan =
+    flow convergence across it, total = −2(D+E), the Laplacian form):
+
+        D = ((z_W + z_E)/2 − z₀)/L²     E = ((z_N + z_S)/2 − z₀)/L²
+        F = (−z_NW + z_NE + z_SW − z_SE)/(4L²)
+        G = (−z_W + z_E)/(2L)           H = (z_N − z_S)/(2L)
+        profile = −2(DG² + EH² + FGH)/(G² + H²)   (0 on flat)
+        plan    =  2(DH² + EG² − FGH)/(G² + H²)   (0 on flat)
+
+    with the nine elevations straight from the ANALYTIC DEM at neighbor
+    cell centers (state/dem.elev — closed-form, bit-identical to the SQL
+    twin; no broadcast needed at all) and L = SLOPE_SCALE, the terrain
+    chain's gradient normalization.  Stateless, zero shuffle.
+
+    Output: (cell_id:int64, curv_profile:f64, curv_plan:f64,
+    curv_total:f64).
+    """
+    from . import zonal
+    from ..state import dem
+
+    per_cell = zonal.zonal_sums(geo, keys=("cell_id",), bands=()).select_columns(
+        ["cell_id"]
+    )
+    n = float(np.int64(1) << level)
+    L = SLOPE_SCALE
+
+    def fn(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        ix, iy = cells.decode(cid, level)
+        ixf = ix.astype(np.float64)
+        iyf = iy.astype(np.float64)
+
+        def z(dx, dy):
+            lon = (ixf + dx + 0.5) / n * 360.0 - 180.0
+            lat = (iyf + dy + 0.5) / n * 180.0 - 90.0
+            return dem.elev(lon, lat)
+
+        z0 = z(0.0, 0.0)
+        zw, ze = z(-1.0, 0.0), z(1.0, 0.0)
+        zn, zs = z(0.0, 1.0), z(0.0, -1.0)
+        znw, zne = z(-1.0, 1.0), z(1.0, 1.0)
+        zsw, zse = z(-1.0, -1.0), z(1.0, -1.0)
+        D = ((zw + ze) / 2.0 - z0) / (L * L)
+        E = ((zn + zs) / 2.0 - z0) / (L * L)
+        F = (-znw + zne + zsw - zse) / (4.0 * L * L)
+        G = (-zw + ze) / (2.0 * L)
+        H = (zn - zs) / (2.0 * L)
+        den = G * G + H * H
+        safe = np.where(den == 0.0, 1.0, den)
+        prof = np.where(
+            den == 0.0, 0.0, -2.0 * (D * G * G + E * H * H + F * G * H) / safe
+        )
+        plan = np.where(
+            den == 0.0, 0.0, 2.0 * (D * H * H + E * G * G - F * G * H) / safe
+        )
+        return pa.table(
+            {
+                "cell_id": t.column("cell_id"),
+                "curv_profile": pa.array(prof, pa.float64()),
+                "curv_plan": pa.array(plan, pa.float64()),
+                "curv_total": pa.array(-2.0 * (D + E), pa.float64()),
+            }
+        )
+
+    return per_cell.map_batches(fn, batch_format="pyarrow")

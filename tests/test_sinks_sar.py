@@ -423,3 +423,46 @@ def test_terrain_indexes_bruteforce(ray_session, synth_small):
             es = es + ek
         assert r["tri"] == tri / 8.0
         assert r["tpi"] == e0 - es / 8.0
+
+
+def test_curvature_analytic_replay(synth_small, ray_session):
+    """curvature_cells vs a direct numpy replay of the 9-point stencil
+    for every occupied cell."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, terrain, zonal
+    from kaza_lcms_ray.state import cells, dem
+    from kaza_lcms_ray.state.cells import CELL_LEVEL
+
+    geo = spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+    got = terrain.curvature_cells(
+        spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+    ).to_pandas().set_index("cell_id")
+    occ = (
+        zonal.zonal_sums(geo, keys=("cell_id",), bands=())
+        .to_pandas()["cell_id"]
+        .to_numpy(np.int64)
+    )
+    n = float(np.int64(1) << CELL_LEVEL)
+    L = terrain.SLOPE_SCALE
+    ix, iy = cells.decode(occ, CELL_LEVEL)
+    ixf, iyf = ix.astype(np.float64), iy.astype(np.float64)
+
+    def z(dx, dy):
+        lon = (ixf + dx + 0.5) / n * 360.0 - 180.0
+        lat = (iyf + dy + 0.5) / n * 180.0 - 90.0
+        return dem.elev(lon, lat)
+
+    z0 = z(0.0, 0.0)
+    D = ((z(-1.0, 0.0) + z(1.0, 0.0)) / 2.0 - z0) / (L * L)
+    E = ((z(0.0, 1.0) + z(0.0, -1.0)) / 2.0 - z0) / (L * L)
+    G = (-z(-1.0, 0.0) + z(1.0, 0.0)) / (2.0 * L)
+    H = (z(0.0, 1.0) - z(0.0, -1.0)) / (2.0 * L)
+    tot = -2.0 * (D + E)
+    sub = got.loc[occ]
+    assert (sub["curv_total"].to_numpy() == tot).all()
+    # spot a nonzero profile curvature exists (the surface is curved)
+    assert (sub["curv_profile"].to_numpy() != 0.0).any()
+    den = G * G + H * H
+    assert ((den != 0.0) | (sub["curv_profile"].to_numpy() == 0.0)).all()
