@@ -2379,6 +2379,20 @@ def q_tfidf(sf_dir: str):
     return _i64(text.tfidf_topk(docs, k=5), ["doc_id", "rank", "term", "tf", "score"])
 
 
+def q_shard_plan(sf_dir: str):
+    """Deterministic hash-shard partition plan
+    (stages/packing.shard_plan): seeded splitmix64 mod-64 shards, exact
+    doc/byte margins, pinned shares."""
+    from kaza_lcms_ray.stages import packing
+
+    return _i64(
+        packing.shard_plan(
+            _doc_table(sf_dir, columns=["doc_id", "n_chars"]), n_shards=64
+        ),
+        ["shard", "n_docs", "n_chars_sum", "share"],
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-and-chunk sequence packing: seeded global document order →
     distributed two-level prefix sum over token counts → fixed 512-token
@@ -5725,6 +5739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
+        "shard_plan": q_shard_plan,
         "tfidf": q_tfidf,
         "lm_score": q_lm_score,
         "bpe_tokens": q_bpe_tokens,
@@ -6569,6 +6584,9 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                                ELSE '' END AS text
                 FROM documents""",
             min_count=3,
+        ),
+        "shard_plan": _packing_mod().shard_plan_sql(
+            "SELECT doc_id, n_chars FROM documents", n_shards=64
         ),
         "pack_sequences": _packing_mod().pack_sequences_sql(
             "SELECT doc_id, text FROM documents", budget=512

@@ -616,3 +616,97 @@ def rank_blend(
         )
 
     return j.map_batches(add_blend, batch_format="pyarrow")
+
+
+SHARD_TAG = "shardplan"
+
+
+def shard_plan(docs, n_shards: int = 64, seed: int = DEFAULT_SEED):
+    """Deterministic hash-shard plan — the partition-layout report a
+    100 TB ingest runs BEFORE writing: every document lands in
+    ``hash(doc_id) mod n_shards`` (seeded splitmix64 — stable across
+    reruns and resharding), and the plan reports each shard's document
+    count, byte proxy (Σ n_chars) and share, so imbalance is visible
+    before any data moves.
+
+    Pure integers plus one pinned share division; the corpus pass is a
+    stateless map emitting ≤ n_shards partial rows per batch.
+
+    Output: (shard:int64, n_docs:int64, n_chars_sum:int64, share:f64),
+    shards sorted.
+    """
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash_key(seed, SHARD_TAG, _id_u64(t.column("doc_id")))
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "shard": pa.array(shard),
+                    "n_docs": pa.array(np.ones(len(shard), np.int64)),
+                    "n_chars_sum": pa.array(
+                        t.column("n_chars")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ),
+                }
+            )
+            .group_by(["shard"])
+            .aggregate([("n_docs", "sum"), ("n_chars_sum", "sum")])
+        )
+        return g.rename_columns(["shard", "n_docs", "n_chars_sum"])
+
+    plan = (
+        bucketed_sum(
+            docs.select_columns(["doc_id", "n_chars"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["shard"],
+            ["n_docs", "n_chars_sum"],
+        )
+        .to_pandas()  # ≤ n_shards rows
+        .sort_values("shard", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    total = int(plan["n_docs"].sum()) if len(plan) else 0
+    nd = plan["n_docs"].to_numpy(np.int64)
+    share = nd.astype(np.float64) / np.float64(total) if total else nd.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(plan["shard"].to_numpy(np.int64)),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_chars_sum": pa.array(plan["n_chars_sum"].to_numpy(np.int64)),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )
+
+
+def shard_plan_sql(docs_sql: str, n_shards: int = 64, seed: int = DEFAULT_SEED) -> str:
+    """Oracle twin of :func:`shard_plan`: the splitmix chain on
+    (seed, tag)-prefixed doc ids, the same unsigned mod, exact margins
+    and the pinned share."""
+    from ..state import sqlhash as SH
+
+    prefix = SH.hug(SH.hash_key_prefix(seed, SHARD_TAG))
+    hashed = SH.chain_select(
+        f"""SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS idh
+            FROM ({docs_sql})""",
+        SH.splitmix_steps(SH.xor64(prefix, "idh"), "hv", "sp"),
+    )
+    return f"""
+        WITH sp_h AS ({hashed}),
+        sp_g AS (
+            SELECT CAST(hv % {n_shards} AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+            FROM sp_h GROUP BY 1
+        ),
+        sp_t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM sp_g)
+        SELECT g.shard, g.n_docs, g.n_chars_sum,
+               CAST(g.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        FROM sp_g g CROSS JOIN sp_t t"""

@@ -308,3 +308,27 @@ def test_token_budget_sums_exactly_and_tie_rule(ray_session):
     assert out2.loc["x", "alloc"] == 6
     assert out2.loc["y", "alloc"] == 3
     assert out2.loc["z", "alloc"] == 1
+
+
+def test_shard_plan_deterministic_and_complete(synth_small, ray_session):
+    """shard_plan: every doc lands in exactly one shard, totals match,
+    assignment is reshard-invariant and changes with the seed."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.sources import storage
+    from kaza_lcms_ray.stages import packing
+
+    docs = lambda: storage.read_documents(
+        f"{synth_small}/documents", columns=["doc_id", "n_chars"]
+    )
+    out = packing.shard_plan(docs(), n_shards=16).to_pandas()
+    n_docs = docs().count()
+    assert out["n_docs"].sum() == n_docs
+    assert out["shard"].between(0, 15).all()
+    assert len(out) > 1  # hash actually spreads
+    assert abs(out["share"].sum() - 1.0) < 1e-12
+    out2 = packing.shard_plan(docs().repartition(7), n_shards=16).to_pandas()
+    assert out.equals(out2)
+    out_seed = packing.shard_plan(docs(), n_shards=16, seed=999).to_pandas()
+    assert not out.equals(out_seed)
