@@ -320,7 +320,8 @@ def test_shard_plan_deterministic_and_complete(synth_small, ray_session):
     from kaza_lcms_ray.stages import packing
 
     docs = lambda: storage.read_documents(
-        f"{synth_small}/documents", columns=["doc_id", "n_chars"]
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "n_chars"],
     )
     out = packing.shard_plan(docs(), n_shards=16).to_pandas()
     n_docs = docs().count()
