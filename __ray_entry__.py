@@ -4641,6 +4641,22 @@ def q_small_qty_revenue(sf_dir: str):
     )
 
 
+def q_new_vs_returning(sf_dir: str):
+    """New-vs-returning revenue split per month
+    (pipelines/analytics.new_vs_returning): first-order-month rule over
+    the cohort attach, exact counts/cents, pinned new share."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.new_vs_returning(
+            _tbl(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        ),
+        ["month", "n_new", "n_ret", "new_rev_cents", "ret_rev_cents",
+         "new_share"],
+    )
+
+
 def q_cohort_ltv(sf_dir: str):
     """Cohort LTV matrix (pipelines/analytics.cohort_ltv): first-order
     month cohorts, months-since cells, exact cents and counts,
@@ -5768,6 +5784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "abc_parts": q_abc_parts,
         "cohort_ltv": q_cohort_ltv,
+        "new_vs_returning": q_new_vs_returning,
         "hhi": q_hhi,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
@@ -6646,6 +6663,37 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                        / (CAST(rev_cents AS DOUBLE)
                           * CAST(rev_cents AS DOUBLE)) AS hhi
             FROM hh_n""",
+        "new_vs_returning": """
+            WITH nv_m AS (
+                SELECT o_custkey,
+                       CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                            AS BIGINT) AS ym,
+                       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+                FROM orders
+            ),
+            nv_first AS (
+                SELECT o_custkey, MIN(ym) AS cohort FROM nv_m GROUP BY 1
+            ),
+            nv_cell AS (
+                SELECT m.ym AS month,
+                       CAST(COUNT(*) FILTER (WHERE m.ym = f.cohort)
+                            AS BIGINT) AS n_new,
+                       CAST(COUNT(*) FILTER (WHERE m.ym <> f.cohort)
+                            AS BIGINT) AS n_ret,
+                       CAST(COALESCE(SUM(m.cents)
+                            FILTER (WHERE m.ym = f.cohort), 0)
+                            AS BIGINT) AS new_rev_cents,
+                       CAST(COALESCE(SUM(m.cents)
+                            FILTER (WHERE m.ym <> f.cohort), 0)
+                            AS BIGINT) AS ret_rev_cents
+                FROM nv_m m JOIN nv_first f ON f.o_custkey = m.o_custkey
+                GROUP BY 1
+            )
+            SELECT month, n_new, n_ret, new_rev_cents, ret_rev_cents,
+                   CAST(new_rev_cents AS DOUBLE)
+                       / CAST(new_rev_cents + ret_rev_cents AS DOUBLE)
+                       AS new_share
+            FROM nv_cell""",
         "cohort_ltv": """
             WITH cl_m AS (
                 SELECT o_custkey,

@@ -3199,3 +3199,94 @@ def hhi_concentration(lineitem, supplier):
             }
         )
     )
+
+
+def new_vs_returning(orders):
+    """New-vs-returning revenue split per calendar month — the growth
+    dashboard's acquisition/retention decomposition: an order is NEW iff
+    it falls in its customer's first-order month, RETURNING otherwise.
+
+    Rides the :func:`cohort_ltv` machinery (bucketed per-customer
+    min-month reduce + size-guarded cohort attach); per-month cells are
+    exact counts/cents and the only double is the pinned
+    new_rev/(new_rev+ret_rev) share.
+
+    Output: (month:int64, n_new:int64, n_ret:int64, new_rev_cents:int64,
+    ret_rev_cents:int64, new_share:f64), months sorted.
+    """
+    import pandas as pd
+
+    from ..state.money import to_cents
+    from ..stages.joins import attach_dim
+    from ..stages.zonal import bucketed_combine, bucketed_sum
+
+    def month_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df["o_orderdate"]
+        ym = (dt.dt.year.to_numpy(np.int64) * 12 + dt.dt.month.to_numpy(np.int64)
+              - 1)
+        return (
+            pd.DataFrame(
+                {"o_custkey": df["o_custkey"].to_numpy(np.int64), "cohort": ym}
+            )
+            .groupby("o_custkey", as_index=False)
+            .agg(cohort=("cohort", "min"))
+        )
+
+    proj = orders.select_columns(["o_custkey", "o_orderdate", "o_totalprice"])
+    first = bucketed_combine(
+        proj.map_batches(month_partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"cohort": "min"},
+    ).materialize()
+    withc = attach_dim(
+        proj, first, "o_custkey", "o_custkey", ["cohort"],
+        dim_rows=first.count(),
+    )
+
+    def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df["o_orderdate"]
+        ym = (dt.dt.year.to_numpy(np.int64) * 12 + dt.dt.month.to_numpy(np.int64)
+              - 1)
+        cents = to_cents(df["o_totalprice"].to_numpy())
+        is_new = (ym == df["cohort"].to_numpy(np.int64)).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "month": ym,
+                    "n_new": is_new,
+                    "n_ret": np.int64(1) - is_new,
+                    "new_rev_cents": cents * is_new,
+                    "ret_rev_cents": cents * (np.int64(1) - is_new),
+                }
+            )
+            .groupby("month", as_index=False)
+            .sum()
+        )
+
+    cells = (
+        bucketed_sum(
+            withc.map_batches(cell_partial, batch_format="pandas"),
+            ["month"],
+            ["n_new", "n_ret", "new_rev_cents", "ret_rev_cents"],
+        )
+        .to_pandas()
+        .sort_values("month", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    nr = cells["new_rev_cents"].to_numpy(np.int64)
+    rr = cells["ret_rev_cents"].to_numpy(np.int64)
+    share = nr.astype(np.float64) / (nr + rr).astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "month": pa.array(cells["month"].to_numpy(np.int64)),
+                "n_new": pa.array(cells["n_new"].to_numpy(np.int64)),
+                "n_ret": pa.array(cells["n_ret"].to_numpy(np.int64)),
+                "new_rev_cents": pa.array(nr, pa.int64()),
+                "ret_rev_cents": pa.array(rr, pa.int64()),
+                "new_share": pa.array(share, pa.float64()),
+            }
+        )
+    )

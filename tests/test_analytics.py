@@ -802,3 +802,41 @@ def test_hhi_hand_market(ray_session):
     )
     assert out.loc[0, "hhi"] == 10000.0 and out.loc[0, "n_suppliers"] == 1
     assert out.loc[1, "hhi"] == 5000.0 and out.loc[1, "rev_cents"] == 10000
+
+
+def test_new_vs_returning_hand(ray_session):
+    """Jan: cust 1 & 2 first orders (all new); Feb: cust 1 returns and
+    cust 3 is new - exact split and share."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    df = pd.DataFrame(
+        {
+            "o_custkey": np.array([1, 2, 1, 3], np.int64),
+            "o_orderdate": pd.to_datetime(
+                ["2024-01-10", "2024-01-20", "2024-02-05", "2024-02-15"]
+            ),
+            "o_totalprice": [10.0, 20.0, 5.0, 7.5],
+        }
+    )
+    out = (
+        analytics.new_vs_returning(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("month")
+    )
+    jan, feb = 2024 * 12 + 0, 2024 * 12 + 1
+    assert (out.loc[jan, "n_new"], out.loc[jan, "n_ret"]) == (2, 0)
+    assert out.loc[jan, "new_share"] == 1.0
+    assert (out.loc[feb, "n_new"], out.loc[feb, "n_ret"]) == (1, 1)
+    assert out.loc[feb, "new_rev_cents"] == 750
+    assert out.loc[feb, "ret_rev_cents"] == 500
+    assert out.loc[feb, "new_share"] == 750.0 / 1250.0
+    out2 = (
+        analytics.new_vs_returning(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .set_index("month")
+    )
+    assert out.equals(out2)
