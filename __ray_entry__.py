@@ -5196,6 +5196,18 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_spatial_folds(sf_dir: str):
+    """Checkerboard spatial-block CV folds (stages/sampling.
+    spatial_folds): (block_x + block_y) mod k over Morton blocks -
+    pure integer, leakage-free spatial holdouts."""
+    from kaza_lcms_ray.stages import sampling
+
+    return _i64(
+        sampling.spatial_folds(_geo(sf_dir), k=5),
+        ["doc_id", "span_idx", "cell_id", "fold"],
+    )
+
+
 def q_kfold(sf_dir: str):
     """Seeded 5-fold assignment (stages/sampling.kfold_assign — 64-bit row
     hash mod k, the k-way split_train_test) rolled up to per-(fold, source)
@@ -5672,6 +5684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_ranges": q_hilbert_ranges,
         "sample_k": q_sample_k,
         "kfold": q_kfold,
+        "spatial_folds": q_spatial_folds,
         "dedup_report": q_dedup_report,
         "lexical_diversity": q_lexical_diversity,
         "fuzzy_dedup_best": q_fuzzy_dedup_best,
@@ -6197,6 +6210,11 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "change_year": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).change_year_sql("SELECT * FROM cells", band=3)}""",
+        "spatial_folds": f"""
+            WITH {geo}, {cells}
+            SELECT doc_id, span_idx, cell_id,
+                   ((((((cell_id) >> 1) & 1) * 1 + (((cell_id) >> 3) & 1) * 2 + (((cell_id) >> 5) & 1) * 4 + (((cell_id) >> 7) & 1) * 8 + (((cell_id) >> 9) & 1) * 16 + (((cell_id) >> 11) & 1) * 32 + (((cell_id) >> 13) & 1) * 64 + (((cell_id) >> 15) & 1) * 128 + (((cell_id) >> 17) & 1) * 256 + (((cell_id) >> 19) & 1) * 512 + (((cell_id) >> 21) & 1) * 1024 + (((cell_id) >> 23) & 1) * 2048) // 16) + (((((cell_id) >> 0) & 1) * 1 + (((cell_id) >> 2) & 1) * 2 + (((cell_id) >> 4) & 1) * 4 + (((cell_id) >> 6) & 1) * 8 + (((cell_id) >> 8) & 1) * 16 + (((cell_id) >> 10) & 1) * 32 + (((cell_id) >> 12) & 1) * 64 + (((cell_id) >> 14) & 1) * 128 + (((cell_id) >> 16) & 1) * 256 + (((cell_id) >> 18) & 1) * 512 + (((cell_id) >> 20) & 1) * 1024 + (((cell_id) >> 22) & 1) * 2048) // 16)) % 5 AS fold
+            FROM cells""",
         "cell_smooth": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).kring_smooth_sql("SELECT * FROM cells", band=3, k=1)}""",

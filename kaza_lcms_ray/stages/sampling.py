@@ -576,3 +576,43 @@ def bootstrap_mean_sql(
                     THEN CAST(sum_x AS DOUBLE) / CAST(n_eff AS DOUBLE)
                     ELSE CAST('nan' AS DOUBLE) END AS mean_x
         FROM boot_agg"""
+
+
+def spatial_folds(geo, k: int = 5, block_levels: int = 4):
+    """Spatial BLOCK cross-validation folds — the leakage-free
+    alternative to random k-fold for spatial data (random splits leak
+    through autocorrelation; block folds hold out whole contiguous
+    areas): each observation's cell maps to its Morton block
+    (``block_levels`` up) and the fold is the checkerboard assignment
+    (block_x + block_y) mod k, so folds interleave spatially and every
+    fold's test set is a union of contiguous blocks.
+
+    Pure integer, stateless, zero shuffle; reshard-invariant by
+    construction.
+
+    Output: (doc_id:string, span_idx:int64, cell_id:int64, fold:int64).
+    """
+    from ..state.cells import CELL_LEVEL, decode
+
+    shift = np.int64(block_levels)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        ix, iy = decode(cid, CELL_LEVEL)
+        bx = ix.astype(np.int64) >> shift
+        by = iy.astype(np.int64) >> shift
+        fold = (bx + by) % np.int64(k)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": pa.array(
+                    t.column("span_idx")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "cell_id": pa.array(cid.astype(np.int64)),
+                "fold": pa.array(fold, pa.int64()),
+            }
+        )
+
+    return geo.map_batches(fn, batch_format="pyarrow")

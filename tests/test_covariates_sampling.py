@@ -287,3 +287,22 @@ def test_poisson_bootstrap_weights_and_invariance(ray_session):
         cdf += pmf
         assert t == int(math.floor(cdf * 2.0**53))
         pmf /= k + 1
+
+
+def test_spatial_folds_checkerboard(synth_small, ray_session):
+    """Folds are block-constant (all spans in one Morton block share a
+    fold), interleave spatially (all k folds occur), and follow the
+    (bx + by) mod k rule exactly."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import sampling, spans
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, decode
+
+    geo = spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+    out = sampling.spatial_folds(geo, k=5).to_pandas()
+    cid = out["cell_id"].to_numpy(np.int64)
+    ix, iy = decode(cid, CELL_LEVEL)
+    expect = ((ix.astype(np.int64) >> 4) + (iy.astype(np.int64) >> 4)) % 5
+    assert (out["fold"].to_numpy(np.int64) == expect).all()
+    assert set(out["fold"]) == {0, 1, 2, 3, 4}
