@@ -4338,6 +4338,15 @@ def q_peak_hours(sf_dir: str):
     return events.peak_hours(_tbl(sf_dir, "events"))
 
 
+def q_activation_latency(sf_dir: str):
+    """First-signup-to-first-purchase latency per user
+    (stages/events.activation_latency): epoch-us minimums through the
+    bucketed combine - pure integers end-to-end."""
+    from kaza_lcms_ray.stages import events
+
+    return events.activation_latency(_tbl(sf_dir, "events"))
+
+
 def q_events_pivot(sf_dir: str):
     """Per-user event-type count matrix (pivot as conditional-count
     partials + one Sum combine)."""
@@ -5793,6 +5802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "event_burstiness": q_event_burstiness,
         "peak_hours": q_peak_hours,
+        "activation_latency": q_activation_latency,
         "basket_rules": q_basket_rules,
         "rfm_segments": q_rfm_segments,
         "abc_parts": q_abc_parts,
@@ -6851,6 +6861,20 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             WHERE p.c_ab >= 2
             ORDER BY lift DESC, p.part_a, p.part_b
             LIMIT 100""",
+        "activation_latency": """
+            WITH al_f AS (
+                SELECT user_id,
+                       MIN(epoch_us(ts)) FILTER (WHERE event_type = 'signup')
+                           AS from_us,
+                       MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                           AS to_us
+                FROM events GROUP BY 1
+            )
+            SELECT user_id, CAST(from_us AS BIGINT) AS from_us,
+                   CAST(to_us AS BIGINT) AS to_us,
+                   CAST(to_us - from_us AS BIGINT) AS latency_us
+            FROM al_f
+            WHERE from_us IS NOT NULL AND to_us IS NOT NULL""",
         "peak_hours": """
             WITH ph_h AS (
                 SELECT event_type,

@@ -2515,3 +2515,78 @@ def peak_hours(ds):
             }
         )
     )
+
+
+def activation_latency(ds, from_type: str = "signup", to_type: str = "purchase"):
+    """Activation latency per user — the onboarding funnel's core
+    number: time from a user's FIRST ``from_type`` event to their FIRST
+    ``to_type`` event (users missing either side are dropped; a negative
+    latency means the target preceded the trigger and is reported as-is
+    — it is a data fact, not an error).
+
+    PURE INTEGER: epoch-microsecond minimums per (user, side) through
+    the bucketed combine, one skinny merge on the user-bounded table.
+
+    Output: (user_id:int64, from_us:int64, to_us:int64,
+    latency_us:int64), users sorted.
+    """
+    import numpy as np
+
+    import ray.data as rd
+
+    from .zonal import bucketed_combine
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin([from_type, to_type])
+        df = df.loc[m]
+        us = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        return (
+            pd.DataFrame(
+                {
+                    "user_id": df["user_id"].to_numpy(np.int64),
+                    "side": (df["event_type"] == to_type)
+                    .to_numpy()
+                    .astype(np.int64),
+                    "first_us": us,
+                }
+            )
+            .groupby(["user_id", "side"], as_index=False)
+            .agg(first_us=("first_us", "min"))
+        )
+
+    firsts = bucketed_combine(
+        ds.select_columns(["user_id", "event_type", "ts"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["user_id", "side"],
+        {"first_us": "min"},
+    ).to_pandas()  # ≤ 2·|users| rows — user-bounded
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "from_us": pa.array([], pa.int64()),
+            "to_us": pa.array([], pa.int64()),
+            "latency_us": pa.array([], pa.int64()),
+        }
+    )
+    if len(firsts) == 0:
+        return rd.from_arrow(empty)
+    piv = firsts.pivot_table(
+        index="user_id", columns="side", values="first_us", aggfunc="min"
+    )
+    if 0 not in piv.columns or 1 not in piv.columns:
+        return rd.from_arrow(empty)
+    both = piv.dropna(subset=[0, 1])
+    both = both.sort_index()
+    f = both[0].to_numpy(np.int64)
+    t = both[1].to_numpy(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(both.index.to_numpy(np.int64)),
+                "from_us": pa.array(f, pa.int64()),
+                "to_us": pa.array(t, pa.int64()),
+                "latency_us": pa.array(t - f, pa.int64()),
+            }
+        )
+    )

@@ -708,3 +708,41 @@ def test_peak_hours_hand_stream(ray_session):
     assert out.loc["a", "peak_hour"] == 10 and out.loc["a", "peak_n"] == 2
     assert out.loc["a", "share"] == 2.0 / 3.0
     assert out.loc["b", "peak_hour"] == 3  # tie -> earliest
+
+
+def test_activation_latency_hand(ray_session):
+    """User 1: signup 10:00, purchases 12:00 & 11:00 -> latency to the
+    FIRST purchase (1h). User 2: purchase before signup -> negative.
+    User 3: signup only -> dropped."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import events
+
+    rows = [
+        (1, "2024-01-01 10:00", "signup"),
+        (1, "2024-01-01 12:00", "purchase"),
+        (1, "2024-01-01 11:00", "purchase"),
+        (2, "2024-01-01 09:00", "purchase"),
+        (2, "2024-01-01 10:00", "signup"),
+        (3, "2024-01-01 08:00", "signup"),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows)),
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": np.array([r[0] for r in rows], np.int64),
+            "event_type": [r[2] for r in rows],
+            "value": np.zeros(len(rows)),
+            "props": [""] * len(rows),
+        }
+    )
+    out = (
+        events.activation_latency(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "latency_us"] == 3_600_000_000
+    assert out.loc[2, "latency_us"] == -3_600_000_000
