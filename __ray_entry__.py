@@ -1143,6 +1143,22 @@ def q_patch_gini(sf_dir: str):
     )
 
 
+def q_isolation_index(sf_dir: str):
+    """Massey-Denton isolation P* per class
+    (stages/assemblage.isolation_index): cell-neighborhood composition,
+    quantized (n/N)(n/T) terms, q/2^40 index with the evenness-baseline
+    share."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.isolation_index(prims, year=2022),
+        ["LANDCOVER", "n_total", "iso_q", "isolation", "share"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5624,6 +5640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pafrac": q_pafrac,
         "mesh": q_mesh,
         "patch_gini": q_patch_gini,
+        "isolation_index": q_isolation_index,
         "hillshade": q_hillshade,
         "curvature": q_curvature,
         "theilsen": q_theilsen,
@@ -6574,6 +6591,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "pafrac": _pafrac_sql(root),
         "mesh": _mesh_sql(root),
         "patch_gini": _patch_gini_sql(root),
+        "isolation_index": _isolation_index_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10293,6 +10311,51 @@ def _poly_majority_sql(root: str, year: int = 2022) -> str:
         SELECT w.poly_id, w.majority_class, w.n_votes, t.n_tiles,
                CAST(w.n_votes AS DOUBLE) / CAST(t.n_tiles AS DOUBLE) AS share
         FROM pm2_win w JOIN pm2_tot t ON t.poly_id = w.poly_id"""
+
+
+def _isolation_index_sql(root: str, year: int = 2022) -> str:
+    """isolation_index oracle: label replay, parent-cell composition,
+    the identical quantized (n/N)(n/T) terms and pinned q/2^40 index."""
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, TILE_LEVEL
+
+    blk = 1 << (2 * (TILE_LEVEL - CELL_LEVEL))
+    S = float(1 << 40)
+    r = (
+        "((CAST(c.n AS DOUBLE) / CAST(i.ni AS DOUBLE))"
+        " * (CAST(c.n AS DOUBLE) / CAST(tc.tc AS DOUBLE)))"
+    )
+    return f"""
+        WITH iso_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        iso_cc AS (
+            SELECT CAST(tile_id // {blk} AS BIGINT) AS cell, lc,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM iso_lab GROUP BY 1, 2
+        ),
+        iso_tc AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS tc
+                   FROM iso_cc GROUP BY 1),
+        iso_tot AS (SELECT lc, CAST(SUM(n) AS BIGINT) AS ni
+                    FROM iso_cc GROUP BY 1),
+        iso_T AS (SELECT CAST(SUM(ni) AS BIGINT) AS t FROM iso_tot),
+        iso_q AS (
+            SELECT c.lc, CAST(SUM(CAST(floor({r} * {S!r}) AS BIGINT))
+                         AS BIGINT) AS iso_q
+            FROM iso_cc c
+            JOIN iso_tc tc ON tc.cell = c.cell
+            JOIN iso_tot i ON i.lc = c.lc
+            GROUP BY 1
+        )
+        SELECT i.lc AS "LANDCOVER", i.ni AS n_total, q.iso_q,
+               CAST(q.iso_q AS DOUBLE) / {S!r} AS isolation,
+               CAST(i.ni AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+        FROM iso_tot i JOIN iso_q q ON q.lc = i.lc CROSS JOIN iso_T t"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

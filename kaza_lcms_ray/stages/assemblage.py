@@ -1881,3 +1881,123 @@ def patch_gini(primitives, year: int = 2022, block_levels: int = 4):
             }
         )
     )
+
+
+def isolation_index(primitives, year: int = 2022):
+    """Massey–Denton isolation index P*_ii per class — the segregation
+    statistic (the probability that a random same-neighborhood contact
+    of a class-i tile is ALSO class i; > landscape share ⇒ spatially
+    isolated/clumped, = share ⇒ evenly mixed), with the CELL_LEVEL
+    parent cell as the neighborhood (each cell = a 4×4 tile block):
+
+        P*_ii = Σ_c (n_ic/N_i)·(n_ic/T_c)
+
+    Exactness: all counts exact ints; each product of the two exact
+    rationals is ONE double chain quantized to ⌊·2⁴⁰⌋ so per-class sums
+    are order-free; the reported index is q/2⁴⁰.  Scale shape: one
+    bucketed (cell, class) reduce, ≤|classes| broadcast totals, whole
+    cells per hash bucket, ≤|classes| partial rows per bucket.
+
+    Output: (LANDCOVER:int64, n_total:int64, iso_q:int64,
+    isolation:f64, share:f64), classes sorted (share = N_i/T for the
+    evenness baseline).
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, TILE_LEVEL
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    ISO_SCALE = float(1 << 40)
+    shift = np.int64(2 * (TILE_LEVEL - CELL_LEVEL))
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "cell": pa.array(tid >> shift, pa.int64()),
+                    "lc": pa.array(lc),
+                }
+            )
+            .group_by(["cell", "lc"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cell", "lc", "n"])
+
+    cc = bucketed_sum(
+        labels.map_batches(cc_partial, batch_format="pyarrow"),
+        ["cell", "lc"],
+        ["n"],
+    ).materialize()
+
+    tot = (
+        cc.map_batches(
+            lambda t: t.select(["lc", "n"])
+            .group_by(["lc"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lc", "n"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("lc", as_index=False)["n"]
+        .sum()
+    )
+    cls = tot["lc"].to_numpy(np.int64)
+    order = np.argsort(cls, kind="mergesort")
+    cls, ntot = cls[order], tot["n"].to_numpy(np.int64)[order]
+    T = int(ntot.sum())
+    n_of = dict(zip(cls.tolist(), ntot.tolist()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].to_numpy(np.int64)
+        lc = g["lc"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        o = np.argsort(cell, kind="mergesort")
+        cell, lc, n = cell[o], lc[o], n[o]
+        starts = np.flatnonzero(np.concatenate(([True], cell[1:] != cell[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(cell)])))
+        tc = np.repeat(np.add.reduceat(n, starts), lens)
+        Ni = np.array([n_of[int(c)] for c in lc], np.int64)
+        term = (n.astype(np.float64) / Ni.astype(np.float64)) * (
+            n.astype(np.float64) / tc.astype(np.float64)
+        )
+        q = np.floor(term * ISO_SCALE).astype(np.int64)
+        return (
+            pd.DataFrame({"lc": lc, "iso_q": q})
+            .groupby("lc", as_index=False)["iso_q"]
+            .sum()
+        )
+
+    agg = (
+        _add_bucket(cc, ["cell"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["lc", "iso_q"])
+        .to_pandas()
+        .groupby("lc", as_index=False)["iso_q"]
+        .sum()
+        .sort_values("lc", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    iso_q = agg["iso_q"].to_numpy(np.int64)
+    iso = iso_q.astype(np.float64) / ISO_SCALE
+    share = ntot.astype(np.float64) / np.float64(T)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(cls, pa.int64()),
+                "n_total": pa.array(ntot, pa.int64()),
+                "iso_q": pa.array(iso_q, pa.int64()),
+                "isolation": pa.array(iso, pa.float64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )

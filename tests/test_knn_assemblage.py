@@ -817,3 +817,54 @@ def test_patch_gini_hand(ray_session):
     assert out.loc[5, "gini"] == 2.0 * 7 / (2.0 * 4.0) - 3.0 / 2.0
     assert out.loc[9, "gini"] == 2.0 * 3 / (2.0 * 2.0) - 3.0 / 2.0  # = 0
     assert out.loc[9, "gini"] == 0.0
+
+
+def test_isolation_index_hand(ray_session):
+    """Two parent cells: cell A all class 5 (4 tiles), cell B mixed
+    5/9 (2+2).  N_5 = 6, N_9 = 2, T_A = 4, T_B = 4.
+    P*_55 = (4/6)(4/4) + (2/6)(2/4) = 5/6; P*_99 = (2/2)(2/4) = 1/2."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    # tiles at CELL parent (0,0): tile coords 0..3 in each axis quadrant;
+    # parent cell = tile >> 4 bits (2 levels), i.e. tile coords 0-3 -> cell 0,
+    # coords 4-7 -> cell 1
+    xs = np.array([0, 1, 2, 3, 4, 5, 6, 7])
+    ys = np.array([0, 0, 0, 0, 0, 0, 0, 0])
+    lc = np.array([5, 5, 5, 5, 5, 5, 9, 9])
+    tids = np.asarray(morton(xs, ys), np.int64)
+    prims = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": tids,
+                    "year": [2022] * len(tids),
+                    "class": lc.astype(np.int32),
+                    "prob": np.full(len(tids), 0.9, np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    out = (
+        assemblage.isolation_index(prims, year=2022)
+        .to_pandas()
+        .set_index("LANDCOVER")
+    )
+    S = float(1 << 40)
+    q5 = int(np.floor((4 / 6) * (4 / 4) * S)) + int(np.floor((2 / 6) * (2 / 4) * S))
+    q9 = int(np.floor((2 / 2) * (2 / 4) * S))
+    assert out.loc[5, "iso_q"] == q5 and out.loc[9, "iso_q"] == q9
+    assert out.loc[5, "isolation"] == q5 / S
+    assert out.loc[5, "share"] == 6.0 / 8.0
+    out2 = (
+        assemblage.isolation_index(prims.repartition(4), year=2022)
+        .to_pandas()
+        .set_index("LANDCOVER")
+    )
+    assert out.equals(out2)
