@@ -1159,6 +1159,21 @@ def q_isolation_index(sf_dir: str):
     )
 
 
+def q_dissimilarity(sf_dir: str):
+    """Duncan's dissimilarity D per class pair
+    (stages/assemblage.dissimilarity_index): dense cell-composition
+    shares, quantized |a-b| terms, pinned (q/2^40)*0.5 chain."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.dissimilarity_index(prims, year=2022),
+        ["class_a", "class_b", "d_q", "dissimilarity"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5641,6 +5656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mesh": q_mesh,
         "patch_gini": q_patch_gini,
         "isolation_index": q_isolation_index,
+        "dissimilarity": q_dissimilarity,
         "hillshade": q_hillshade,
         "curvature": q_curvature,
         "theilsen": q_theilsen,
@@ -6592,6 +6608,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "mesh": _mesh_sql(root),
         "patch_gini": _patch_gini_sql(root),
         "isolation_index": _isolation_index_sql(root),
+        "dissimilarity": _dissimilarity_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10356,6 +10373,53 @@ def _isolation_index_sql(root: str, year: int = 2022) -> str:
                CAST(q.iso_q AS DOUBLE) / {S!r} AS isolation,
                CAST(i.ni AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
         FROM iso_tot i JOIN iso_q q ON q.lc = i.lc CROSS JOIN iso_T t"""
+
+
+def _dissimilarity_sql(root: str, year: int = 2022) -> str:
+    """dissimilarity oracle: the isolation composition chain densified
+    (every cell x every class, COALESCE 0), identical quantized |a-b|
+    share terms, pinned (q/2^40)*0.5."""
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, TILE_LEVEL
+
+    blk = 1 << (2 * (TILE_LEVEL - CELL_LEVEL))
+    S = float(1 << 40)
+    return f"""
+        WITH dd_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        dd_cc AS (
+            SELECT CAST(tile_id // {blk} AS BIGINT) AS cell, lc,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM dd_lab GROUP BY 1, 2
+        ),
+        dd_tot AS (SELECT lc, CAST(SUM(n) AS BIGINT) AS ni
+                   FROM dd_cc GROUP BY 1),
+        dd_cells AS (SELECT DISTINCT cell FROM dd_cc),
+        dd_dense AS (
+            SELECT cl.cell, t.lc, t.ni,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM dd_cells cl CROSS JOIN dd_tot t
+            LEFT JOIN dd_cc c ON c.cell = cl.cell AND c.lc = t.lc
+        ),
+        dd_q AS (
+            SELECT a.lc AS class_a, b.lc AS class_b,
+                   CAST(SUM(CAST(floor(abs(
+                       CAST(a.n AS DOUBLE) / CAST(a.ni AS DOUBLE)
+                       - CAST(b.n AS DOUBLE) / CAST(b.ni AS DOUBLE))
+                       * {S!r}) AS BIGINT)) AS BIGINT) AS d_q
+            FROM dd_dense a JOIN dd_dense b
+              ON b.cell = a.cell AND a.lc < b.lc
+            GROUP BY 1, 2
+        )
+        SELECT class_a, class_b, d_q,
+               CAST(d_q AS DOUBLE) / {S!r} * 0.5 AS dissimilarity
+        FROM dd_q"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

@@ -2001,3 +2001,126 @@ def isolation_index(primitives, year: int = 2022):
             }
         )
     )
+
+
+def dissimilarity_index(primitives, year: int = 2022):
+    """Duncan's dissimilarity index D for every class pair — the other
+    half of the segregation report next to :func:`isolation_index`
+    (the share of either class that would have to move cells to make
+    the two distributions identical; 0 = same spatial pattern, 1 =
+    complete separation):
+
+        D_ij = ½ Σ_c |n_ic/N_i − n_jc/N_j|
+
+    over CELL_LEVEL parent-cell neighborhoods.  Exactness: each |·|
+    term is one double chain of two exact-rational divisions, quantized
+    to ⌊·2⁴⁰⌋ so sums are order-free; D is ONE pinned (q/2⁴⁰)·0.5
+    chain.  Scale shape: whole cells per hash bucket; each bucket folds
+    to a single m×m integer matrix before the tiny grouped sum.
+
+    Output: (class_a:int64, class_b:int64, d_q:int64, dissimilarity:f64),
+    pairs a<b sorted.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, TILE_LEVEL
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    S = float(1 << 40)
+    shift = np.int64(2 * (TILE_LEVEL - CELL_LEVEL))
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {"cell": pa.array(tid >> shift, pa.int64()), "lc": pa.array(lc)}
+            )
+            .group_by(["cell", "lc"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cell", "lc", "n"])
+
+    cc = bucketed_sum(
+        labels.map_batches(cc_partial, batch_format="pyarrow"),
+        ["cell", "lc"],
+        ["n"],
+    ).materialize()
+
+    tot = (
+        cc.map_batches(
+            lambda t: t.select(["lc", "n"])
+            .group_by(["lc"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lc", "n"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("lc", as_index=False)["n"]
+        .sum()
+        .sort_values("lc", kind="mergesort")
+    )
+    cls = tot["lc"].to_numpy(np.int64)
+    N = tot["n"].to_numpy(np.int64).astype(np.float64)
+    m = len(cls)
+    empty = pa.table(
+        {
+            "class_a": pa.array([], pa.int64()),
+            "class_b": pa.array([], pa.int64()),
+            "d_q": pa.array([], pa.int64()),
+            "dissimilarity": pa.array([], pa.float64()),
+        }
+    )
+    if m < 2:
+        return rd.from_arrow(empty)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].to_numpy(np.int64)
+        lc = g["lc"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        ucell, cidx = np.unique(cell, return_inverse=True)
+        kidx = np.searchsorted(cls, lc)
+        M = np.zeros((len(ucell), m), np.float64)
+        M[cidx, kidx] = n.astype(np.float64)
+        share = M / N[None, :]
+        diff = np.abs(share[:, :, None] - share[:, None, :])
+        q = np.floor(diff * S).astype(np.int64).sum(axis=0)  # (m, m)
+        ia, ib = np.triu_indices(m, k=1)
+        return pd.DataFrame(
+            {
+                "class_a": cls[ia],
+                "class_b": cls[ib],
+                "d_q": q[ia, ib],
+            }
+        )
+
+    agg = (
+        _add_bucket(cc, ["cell"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["class_a", "class_b", "d_q"])
+        .to_pandas()
+        .groupby(["class_a", "class_b"], as_index=False)["d_q"]
+        .sum()
+        .sort_values(["class_a", "class_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    dq = agg["d_q"].to_numpy(np.int64)
+    d = dq.astype(np.float64) / S * 0.5
+    return rd.from_arrow(
+        pa.table(
+            {
+                "class_a": pa.array(agg["class_a"].to_numpy(np.int64)),
+                "class_b": pa.array(agg["class_b"].to_numpy(np.int64)),
+                "d_q": pa.array(dq, pa.int64()),
+                "dissimilarity": pa.array(d, pa.float64()),
+            }
+        )
+    )

@@ -868,3 +868,46 @@ def test_isolation_index_hand(ray_session):
         .set_index("LANDCOVER")
     )
     assert out.equals(out2)
+
+
+def test_dissimilarity_hand(ray_session):
+    """Cells A = all class 5, B = all class 9 (complete separation:
+    D = 1); adding a mixed cell C (2x5 + 2x9) lowers D."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    def mk(xs, ys, lc):
+        tids = np.asarray(morton(np.array(xs), np.array(ys)), np.int64)
+        return rd.from_arrow(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "tile_id": tids,
+                        "year": [2022] * len(tids),
+                        "class": np.array(lc, np.int32),
+                        "prob": np.full(len(tids), 0.9, np.float32),
+                    }
+                ),
+                preserve_index=False,
+            )
+        )
+
+    # cell (0,0): tiles 0-3; cell (1,0): tiles 4-7
+    sep = mk([0, 1, 4, 5], [0, 0, 0, 0], [5, 5, 9, 9])
+    out = assemblage.dissimilarity_index(sep, year=2022).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["class_a"], r["class_b"]) == (5, 9)
+    assert r["dissimilarity"] == 1.0
+    mixed = mk(
+        [0, 1, 4, 5, 8, 9, 10, 11],
+        [0] * 8,
+        [5, 5, 9, 9, 5, 5, 9, 9],
+    )
+    out2 = assemblage.dissimilarity_index(mixed, year=2022).to_pandas()
+    assert out2["dissimilarity"].iloc[0] < 1.0
