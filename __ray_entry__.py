@@ -626,6 +626,18 @@ def q_change_year(sf_dir: str):
     )
 
 
+def q_band_corr(sf_dir: str):
+    """Exact band-pair Pearson correlation matrix
+    (stages/zonal.band_corr): python-int / HUGEINT moment folds, pinned
+    num/sqrt(dx*dy) chain - exact at any corpus scale."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.band_corr(_geo(sf_dir)),
+        ["band_a", "band_b", "r"],
+    )
+
+
 def q_cell_smooth(sf_dir: str):
     """Focal k-ring smoothing over the zonal cell grid (stages/zonal.
     kring_smooth — A8 reduceNeighborhood analog on the aggregated cell
@@ -5710,6 +5722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_extract": q_radius_extract,
         "morans_i": q_morans_i,
         "bivariate_moran": q_bivariate_moran,
+        "band_corr": q_band_corr,
         "gearys_c": q_gearys_c,
         "change_matrix": q_change_matrix,
         "cramers_v": q_cramers_v,
@@ -6267,6 +6280,37 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "cell_trend": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).cell_trend_sql("SELECT * FROM cells", band=3)}""",
+        "band_corr": f"""
+            WITH {geo},
+            bc_p AS (
+                SELECT * FROM (VALUES
+                (0, 1, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c1) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c0) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c1) AS HUGEINT) FROM geo)),
+                (0, 2, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c2) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c0) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c2) AS HUGEINT) FROM geo)),
+                (0, 3, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c3) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c0) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT) * c3) AS HUGEINT) FROM geo)),
+                (0, 4, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c4) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c0) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT) * c4) AS HUGEINT) FROM geo)),
+                (0, 5, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c5) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c0 AS HUGEINT) * c0) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT) * c5) AS HUGEINT) FROM geo)),
+                (1, 2, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c1) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c2) AS HUGEINT) FROM geo)),
+                (1, 3, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c3) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c1) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT) * c3) AS HUGEINT) FROM geo)),
+                (1, 4, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c4) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c1) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT) * c4) AS HUGEINT) FROM geo)),
+                (1, 5, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c5) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * c1) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT) * c5) AS HUGEINT) FROM geo)),
+                (2, 3, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c3) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c2) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT) * c3) AS HUGEINT) FROM geo)),
+                (2, 4, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c4) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c2) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT) * c4) AS HUGEINT) FROM geo)),
+                (2, 5, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c5) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c2 AS HUGEINT) * c2) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT) * c5) AS HUGEINT) FROM geo)),
+                (3, 4, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT) * c4) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT) * c3) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT) * c4) AS HUGEINT) FROM geo)),
+                (3, 5, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT) * c5) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c3 AS HUGEINT) * c3) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT) * c5) AS HUGEINT) FROM geo)),
+                (4, 5, (SELECT CAST(COUNT(*) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT)) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT) * c5) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c4 AS HUGEINT) * c4) AS HUGEINT) FROM geo), (SELECT CAST(SUM(CAST(c5 AS HUGEINT) * c5) AS HUGEINT) FROM geo))
+                ) AS t(band_a, band_b, n, sx, sy, pxy, pxx, pyy)
+            )
+            -- int128 -> double via exact hi/lo 2^32 split: DuckDB's direct
+            -- CAST of a COMPUTED HUGEINT is not round-nearest above 2^63,
+            -- but hi*2^32 (exact) + lo (exact) rounds ONCE = python float(int)
+            SELECT CAST(band_a AS BIGINT) AS band_a,
+                   CAST(band_b AS BIGINT) AS band_b,
+                   (CASE WHEN (n * pxy - sx * sy) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(n * pxy - sx * sy) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(abs(n * pxy - sx * sy) % 4294967296 AS DOUBLE)))
+                       / sqrt((CASE WHEN (n * pxx - sx * sx) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(n * pxx - sx * sx) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(abs(n * pxx - sx * sx) % 4294967296 AS DOUBLE)))
+                              * (CASE WHEN (n * pyy - sy * sy) < 0 THEN -1.0 ELSE 1.0 END * (CAST(abs(n * pyy - sy * sy) // 4294967296 AS DOUBLE) * 4294967296.0 + CAST(abs(n * pyy - sy * sy) % 4294967296 AS DOUBLE)))) AS r
+            FROM bc_p
+            WHERE n * pxx - sx * sx > 0 AND n * pyy - sy * sy > 0""",
         "bivariate_moran": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).morans_bivariate_sql("SELECT * FROM cells", band_x=3, band_y=4, k=1)}""",

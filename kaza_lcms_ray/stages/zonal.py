@@ -4633,3 +4633,81 @@ def change_year_sql(cells_sql: str, band: int = 3) -> str:
         QUALIFY row_number() OVER (
             PARTITION BY cell_id ORDER BY mag DESC, "year" ASC
         ) = 1"""
+
+
+def band_corr(geo, bands=(0, 1, 2, 3, 4, 5)):
+    """Exact Pearson correlation matrix between reflectance bands — the
+    feature-correlation report a covariate-engineering pass runs before
+    model training (highly-correlated bands are redundant predictors):
+
+        r_xy = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ₜ)(n·Σy² − Σy²ₜ))
+
+    over the exact integer cent values.  EXACT AT ANY SCALE: per-batch
+    int64 partial sums are bounded by batch-size·cents², and the global
+    fold runs in PYTHON INTS driver-side (the SQL twin uses HUGEINT), so
+    nothing ever overflows; r is ONE pinned double chain of the
+    once-converted big integers.
+
+    Output: (band_a:int64, band_b:int64, r:f64) for a<b (the shared
+    sample size n would be a repeated-constant column — recover it from
+    any count query instead).
+    """
+    import math
+
+    import ray.data as rd
+
+    bl = list(bands)
+    cols = [f"c{b}" for b in bl]
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = [
+            t.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in cols
+        ]
+        out = {"n": pa.array([np.int64(len(t))], pa.int64())}
+        for i, a in enumerate(arrs):
+            out[f"s{i}"] = pa.array([int(a.sum())], pa.int64())
+            for j in range(i, len(arrs)):
+                out[f"p{i}_{j}"] = pa.array([int((a * arrs[j]).sum())], pa.int64())
+        return pa.table(out)
+
+    pp = (
+        geo.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # one skinny row per batch
+    )
+    empty = pa.table(
+        {
+            "band_a": pa.array([], pa.int64()),
+            "band_b": pa.array([], pa.int64()),
+            "r": pa.array([], pa.float64()),
+        }
+    )
+    if len(pp) == 0:
+        return rd.from_arrow(empty)
+    n = int(pp["n"].sum())
+    s = [sum(int(v) for v in pp[f"s{i}"]) for i in range(len(bl))]
+    p = {
+        (i, j): sum(int(v) for v in pp[f"p{i}_{j}"])
+        for i in range(len(bl))
+        for j in range(i, len(bl))
+    }
+    rows = []
+    for i in range(len(bl)):
+        for j in range(i + 1, len(bl)):
+            num = n * p[(i, j)] - s[i] * s[j]  # python ints, exact
+            dx = n * p[(i, i)] - s[i] * s[i]
+            dy = n * p[(j, j)] - s[j] * s[j]
+            if dx <= 0 or dy <= 0:
+                continue
+            r = float(num) / math.sqrt(float(dx) * float(dy))
+            rows.append((bl[i], bl[j], r))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "band_a": pa.array([r[0] for r in rows], pa.int64()),
+                "band_b": pa.array([r[1] for r in rows], pa.int64()),
+                "r": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )

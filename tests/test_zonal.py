@@ -1027,3 +1027,22 @@ def test_change_year_brute_force(synth_small, ray_session):
         assert got.loc[cid, "n_years"] == n
         n_checked += 1
     assert n_checked > 100
+
+
+def test_band_corr_vs_numpy(synth_small, ray_session):
+    """band_corr vs np.corrcoef on the raw cent columns (tolerance-based
+    cross-check; the pinned chain itself is certified by the gate)."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import spans, zonal
+
+    geo = spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+    out = zonal.band_corr(
+        spans.geo_obs(rd.read_parquet(f"{synth_small}/documents"))
+    ).to_pandas()
+    df = geo.select_columns([f"c{b}" for b in range(6)]).to_pandas()
+    C = np.corrcoef(df.to_numpy(np.float64).T)
+    assert len(out) == 15
+    for r in out.itertuples():
+        assert abs(r.r - C[int(r.band_a), int(r.band_b)]) < 1e-9
