@@ -1186,6 +1186,20 @@ def q_dissimilarity(sf_dir: str):
     )
 
 
+def q_theil_h(sf_dir: str):
+    """Theil's entropy segregation H (stages/assemblage.theil_h):
+    quantized cell/landscape entropies, pinned (num/S)/(T*(E/S)) chain."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.theil_h(prims, year=2022),
+        ["n_cells", "area", "e_q", "num_q", "theil_h"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5669,6 +5683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "patch_gini": q_patch_gini,
         "isolation_index": q_isolation_index,
         "dissimilarity": q_dissimilarity,
+        "theil_h": q_theil_h,
         "hillshade": q_hillshade,
         "curvature": q_curvature,
         "theilsen": q_theilsen,
@@ -6653,6 +6668,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "patch_gini": _patch_gini_sql(root),
         "isolation_index": _isolation_index_sql(root),
         "dissimilarity": _dissimilarity_sql(root),
+        "theil_h": _theil_h_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10464,6 +10480,67 @@ def _dissimilarity_sql(root: str, year: int = 2022) -> str:
         SELECT class_a, class_b, d_q,
                CAST(d_q AS DOUBLE) / {S!r} * 0.5 AS dissimilarity
         FROM dd_q"""
+
+
+def _theil_h_sql(root: str, year: int = 2022) -> str:
+    """theil_h oracle: label replay, parent-cell composition, the SAME
+    floor-quantized entropy terms at cell and landscape level, and the
+    identical pinned final chain."""
+    from kaza_lcms_ray.state.cells import CELL_LEVEL, TILE_LEVEL
+
+    blk = 1 << (2 * (TILE_LEVEL - CELL_LEVEL))
+    S = float(1 << 30)
+    pg = "(CAST(ni AS DOUBLE) / CAST(t.t AS DOUBLE))"
+    pc_ = "(CAST(c.n AS DOUBLE) / CAST(tc.tc AS DOUBLE))"
+    return f"""
+        WITH th_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        th_cc AS (
+            SELECT CAST(tile_id // {blk} AS BIGINT) AS cell, lc,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM th_lab GROUP BY 1, 2
+        ),
+        th_tc AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS tc
+                  FROM th_cc GROUP BY 1),
+        th_tot AS (SELECT lc, CAST(SUM(n) AS BIGINT) AS ni
+                   FROM th_cc GROUP BY 1),
+        th_T AS (SELECT CAST(SUM(ni) AS BIGINT) AS t FROM th_tot),
+        th_E AS (
+            SELECT CAST(SUM(CAST(floor(
+                       -({pg} * ln{pg}) * {S!r}) AS BIGINT)) AS BIGINT) AS e_q
+            FROM th_tot CROSS JOIN th_T t
+        ),
+        th_ec AS (
+            SELECT c.cell,
+                   CAST(SUM(CAST(floor(
+                       -({pc_} * ln{pc_}) * {S!r}) AS BIGINT)) AS BIGINT)
+                       AS ec_q,
+                   any_value(tc.tc) AS tcv
+            FROM th_cc c JOIN th_tc tc ON tc.cell = c.cell
+            GROUP BY 1
+        ),
+        th_num AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(CAST(floor(
+                       (CAST(tcv AS DOUBLE)
+                        * (CAST(e.e_q AS DOUBLE) / {S!r}
+                           - CAST(ec_q AS DOUBLE) / {S!r})) * {S!r})
+                       AS BIGINT)) AS BIGINT) AS num_q
+            FROM th_ec CROSS JOIN th_E e
+        )
+        SELECT n.n_cells, t.t AS area, e.e_q, n.num_q,
+               (CAST(n.num_q AS DOUBLE) / {S!r})
+                   / (CAST(t.t AS DOUBLE)
+                      * (CAST(e.e_q AS DOUBLE) / {S!r})) AS theil_h
+        FROM th_num n CROSS JOIN th_E e CROSS JOIN th_T t
+        WHERE e.e_q > 0"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

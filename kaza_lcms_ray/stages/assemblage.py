@@ -2124,3 +2124,133 @@ def dissimilarity_index(primitives, year: int = 2022):
             }
         )
     )
+
+
+def theil_h(primitives, year: int = 2022):
+    """Theil's multigroup entropy segregation index H — the third member
+    of the segregation report next to :func:`isolation_index` and
+    :func:`dissimilarity_index` (0 = every cell mirrors the landscape
+    composition, 1 = cells are single-class):
+
+        H = Σ_c T_c·(E − E_c) / (T·E)
+
+    with E the landscape-level and E_c the cell-level Shannon entropy of
+    class shares over CELL_LEVEL parent cells.  Exactness: every entropy
+    term floor-quantizes to ⌊−(p·ln p)·2³⁰⌋ (libm ln, order-free integer
+    sums); each cell's contribution re-quantizes once more so the global
+    sum is order-free; H is ONE pinned chain of the three integers.
+
+    Output: ONE row (n_cells:int64, area:int64, e_q:int64, num_q:int64,
+    theil_h:f64).
+    """
+    import math
+
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, TILE_LEVEL
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    S = float(1 << 30)
+    shift = np.int64(2 * (TILE_LEVEL - CELL_LEVEL))
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {"cell": pa.array(tid >> shift, pa.int64()), "lc": pa.array(lc)}
+            )
+            .group_by(["cell", "lc"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cell", "lc", "n"])
+
+    cc = bucketed_sum(
+        labels.map_batches(cc_partial, batch_format="pyarrow"),
+        ["cell", "lc"],
+        ["n"],
+    ).materialize()
+    tot = (
+        cc.map_batches(
+            lambda t: t.select(["lc", "n"])
+            .group_by(["lc"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["lc", "n"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("lc", as_index=False)["n"]
+        .sum()
+    )
+    empty = pa.table(
+        {
+            "n_cells": pa.array([], pa.int64()),
+            "area": pa.array([], pa.int64()),
+            "e_q": pa.array([], pa.int64()),
+            "num_q": pa.array([], pa.int64()),
+            "theil_h": pa.array([], pa.float64()),
+        }
+    )
+    if len(tot) == 0:
+        return rd.from_arrow(empty)
+    ni = tot["n"].to_numpy(np.int64)
+    T = int(ni.sum())
+    e_q = sum(
+        int(math.floor(-((int(v) / float(T)) * math.log(int(v) / float(T))) * S))
+        for v in ni
+    )
+    if e_q <= 0:
+        return rd.from_arrow(empty)  # single-class landscape: H undefined
+    Ef = float(e_q)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        o = np.argsort(cell, kind="mergesort")
+        cell, n = cell[o], n[o]
+        starts = np.flatnonzero(np.concatenate(([True], cell[1:] != cell[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(cell)])))
+        tc = np.repeat(np.add.reduceat(n, starts), lens)
+        p = n.astype(np.float64) / tc.astype(np.float64)
+        log_u = np.frompyfunc(math.log, 1, 1)
+        terms = np.floor(-(p * log_u(p).astype(np.float64)) * S).astype(np.int64)
+        ec_q = np.add.reduceat(terms, starts)
+        tcs = np.add.reduceat(n, starts).astype(np.float64)
+        contrib = np.floor(
+            (tcs * (Ef / S - ec_q.astype(np.float64) / S)) * S
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "num_q": [int(contrib.sum())],
+                "n_cells": [int(len(starts))],
+            }
+        )
+
+    agg = (
+        _add_bucket(cc, ["cell"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["num_q", "n_cells"])
+        .to_pandas()
+    )
+    num_q = int(agg["num_q"].sum())
+    n_cells = int(agg["n_cells"].sum())
+    h = (float(num_q) / S) / (float(T) * (float(e_q) / S))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_cells": pa.array([np.int64(n_cells)]),
+                "area": pa.array([np.int64(T)]),
+                "e_q": pa.array([np.int64(e_q)]),
+                "num_q": pa.array([np.int64(num_q)]),
+                "theil_h": pa.array([h], pa.float64()),
+            }
+        )
+    )

@@ -911,3 +911,47 @@ def test_dissimilarity_hand(ray_session):
     )
     out2 = assemblage.dissimilarity_index(mixed, year=2022).to_pandas()
     assert out2["dissimilarity"].iloc[0] < 1.0
+
+
+def test_theil_h_extremes(ray_session):
+    """Complete separation (each cell single-class) gives H = ~1 (up to
+    floor quanta); an evenly-mixed landscape gives H = ~0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.state.cells import morton
+
+    def mk(xs, ys, lc):
+        tids = np.asarray(morton(np.array(xs), np.array(ys)), np.int64)
+        return rd.from_arrow(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "tile_id": tids,
+                        "year": [2022] * len(tids),
+                        "class": np.array(lc, np.int32),
+                        "prob": np.full(len(tids), 0.9, np.float32),
+                    }
+                ),
+                preserve_index=False,
+            )
+        )
+
+    # cells (0,0) and (1,0): separated = all-5 cell + all-9 cell
+    sep = assemblage.theil_h(
+        mk([0, 1, 4, 5], [0, 0, 0, 0], [5, 5, 9, 9]), year=2022
+    ).to_pandas()
+    assert abs(sep["theil_h"].iloc[0] - 1.0) < 1e-6
+    # both cells half-5 half-9: cell entropy == landscape entropy -> 0
+    mix = assemblage.theil_h(
+        mk([0, 1, 4, 5], [0, 0, 0, 0], [5, 9, 5, 9]), year=2022
+    ).to_pandas()
+    assert abs(mix["theil_h"].iloc[0]) < 1e-6
+    # single class -> undefined -> empty
+    one = assemblage.theil_h(
+        mk([0, 1], [0, 0], [5, 5]), year=2022
+    )
+    assert one.count() == 0
