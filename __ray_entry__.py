@@ -1200,6 +1200,21 @@ def q_theil_h(sf_dir: str):
     )
 
 
+def q_class_aspect(sf_dir: str):
+    """Aspect-octant distribution per class
+    (stages/assemblage.class_aspect): analytic-DEM aspect at tile
+    centers, libm atan2, integer octant fold, pinned per-class shares."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.class_aspect(prims, year=2022),
+        ["LANDCOVER", "octant", "n", "share"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5684,6 +5699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isolation_index": q_isolation_index,
         "dissimilarity": q_dissimilarity,
         "theil_h": q_theil_h,
+        "class_aspect": q_class_aspect,
         "hillshade": q_hillshade,
         "curvature": q_curvature,
         "theilsen": q_theilsen,
@@ -6669,6 +6685,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "isolation_index": _isolation_index_sql(root),
         "dissimilarity": _dissimilarity_sql(root),
         "theil_h": _theil_h_sql(root),
+        "class_aspect": _class_aspect_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10541,6 +10558,62 @@ def _theil_h_sql(root: str, year: int = 2022) -> str:
                       * (CAST(e.e_q AS DOUBLE) / {S!r})) AS theil_h
         FROM th_num n CROSS JOIN th_E e CROSS JOIN th_T t
         WHERE e.e_q > 0"""
+
+
+def _class_aspect_sql(root: str, year: int = 2022) -> str:
+    """class_aspect oracle: label replay, the hillshade central-
+    difference aspect at tile centers (identical expression tree), the
+    same negative-fold octant floor, counts and pinned shares."""
+    from kaza_lcms_ray.stages.sar import DEG
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, morton_decode_sql_expr
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    n = float(1 << TILE_LEVEL)
+
+    def z(dx: float, dy: float) -> str:
+        lon = f"((ix + {dx!r} + 0.5) / {n!r} * 360.0 - 180.0)"
+        lat = f"((iy + {dy!r} + 0.5) / {n!r} * 180.0 - 90.0)"
+        return elev_sql(lon, lat)
+
+    return f"""
+        WITH ca2_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        ca2_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM ca2_lab
+        ),
+        ca2_a AS (
+            SELECT lc,
+                   atan2(({z(1.0, 0.0)} - {z(-1.0, 0.0)}) / 2.0,
+                         ({z(0.0, 1.0)} - {z(0.0, -1.0)}) / 2.0) * {DEG!r}
+                       AS aspect
+            FROM ca2_dec
+        ),
+        ca2_o AS (
+            SELECT lc,
+                   CAST(floor((CASE WHEN aspect < 0.0 THEN aspect + 360.0
+                                    ELSE aspect END) / 45.0) AS BIGINT)
+                       AS octant
+            FROM ca2_a
+        ),
+        ca2_c AS (
+            SELECT lc, octant, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ca2_o GROUP BY 1, 2
+        ),
+        ca2_t AS (SELECT lc, CAST(SUM(n) AS BIGINT) AS tot
+                  FROM ca2_c GROUP BY 1)
+        SELECT c.lc AS "LANDCOVER", c.octant, c.n,
+               CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        FROM ca2_c c JOIN ca2_t t ON t.lc = c.lc"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

@@ -2254,3 +2254,90 @@ def theil_h(primitives, year: int = 2022):
             }
         )
     )
+
+
+def class_aspect(primitives, year: int = 2022):
+    """Aspect-octant distribution per class — which compass direction
+    each land-cover class faces (the terrain-ecology cross every
+    mountain land-cover report includes: south-facing grassland,
+    north-facing forest):  per labeled tile, the analytic-DEM aspect at
+    the tile center (the hillshade central-difference convention) folds
+    to one of 8 octants (0 = N-ish [0°,45°), …), counted per
+    (class, octant) with a pinned share.
+
+    Exactness: gradients and aspect come from the closed-form elevation
+    (bit-identical both sides); atan2 runs through libm; the octant is
+    an integer floor of the same normalized double; counts exact.
+
+    Output: (LANDCOVER:int64, octant:int64, n:int64, share:f64),
+    sorted; share = n / class total.
+    """
+    import math
+
+    import ray.data as rd
+
+    from ..state import cells, dem
+    from ..state.cells import TILE_LEVEL
+    from .sar import DEG
+    from .zonal import bucketed_sum
+
+    n_grid = float(np.int64(1) << TILE_LEVEL)
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = cells.decode(tid, TILE_LEVEL)
+        ixf = ix.astype(np.float64)
+        iyf = iy.astype(np.float64)
+
+        def z(dx, dy):
+            lon = (ixf + dx + 0.5) / n_grid * 360.0 - 180.0
+            lat = (iyf + dy + 0.5) / n_grid * 180.0 - 90.0
+            return dem.elev(lon, lat)
+
+        gx = (z(1.0, 0.0) - z(-1.0, 0.0)) / 2.0
+        gy = (z(0.0, 1.0) - z(0.0, -1.0)) / 2.0
+        atan2_u = np.frompyfunc(math.atan2, 2, 1)
+        aspect = atan2_u(gx, gy).astype(np.float64) * DEG
+        a360 = np.where(aspect < 0.0, aspect + 360.0, aspect)
+        octant = np.floor(a360 / 45.0).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "LANDCOVER": pa.array(lc),
+                    "octant": pa.array(octant),
+                }
+            )
+            .group_by(["LANDCOVER", "octant"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["LANDCOVER", "octant", "n"])
+
+    cnt = (
+        bucketed_sum(
+            labels.map_batches(partial, batch_format="pyarrow"),
+            ["LANDCOVER", "octant"],
+            ["n"],
+        )
+        .to_pandas()  # ≤ |classes|·8 rows
+        .sort_values(["LANDCOVER", "octant"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    tot = cnt.groupby("LANDCOVER")["n"].transform("sum").to_numpy(np.int64)
+    n = cnt["n"].to_numpy(np.int64)
+    share = n.astype(np.float64) / tot.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(cnt["LANDCOVER"].to_numpy(np.int64)),
+                "octant": pa.array(cnt["octant"].to_numpy(np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )

