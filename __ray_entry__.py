@@ -1215,6 +1215,20 @@ def q_class_aspect(sf_dir: str):
     )
 
 
+def q_hypsometric(sf_dir: str):
+    """Hypsometric area-elevation table (stages/assemblage.hypsometric):
+    analytic-DEM zone bins, exact areas, cumulative pinned shares."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.hypsometric(prims, year=2022),
+        ["zone", "area", "cum_area", "cum_share"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5700,6 +5714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dissimilarity": q_dissimilarity,
         "theil_h": q_theil_h,
         "class_aspect": q_class_aspect,
+        "hypsometric": q_hypsometric,
         "hillshade": q_hillshade,
         "curvature": q_curvature,
         "theilsen": q_theilsen,
@@ -6686,6 +6701,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "dissimilarity": _dissimilarity_sql(root),
         "theil_h": _theil_h_sql(root),
         "class_aspect": _class_aspect_sql(root),
+        "hypsometric": _hypsometric_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10614,6 +10630,34 @@ def _class_aspect_sql(root: str, year: int = 2022) -> str:
         SELECT c.lc AS "LANDCOVER", c.octant, c.n,
                CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
         FROM ca2_c c JOIN ca2_t t ON t.lc = c.lc"""
+
+
+def _hypsometric_sql(root: str, year: int = 2022, band_m: float = 100.0) -> str:
+    """hypsometric oracle: the core_area zone expression over the
+    distinct footprint, exact areas, window cumsum, pinned shares."""
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, cell_center_sql_exprs
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    lon, lat = cell_center_sql_exprs("tile_id", TILE_LEVEL)
+    zone = f"CAST(floor({elev_sql(lon, lat)} / {band_m!r}) AS BIGINT)"
+    return f"""
+        WITH hy_fp AS (
+            SELECT DISTINCT tile_id
+            FROM read_parquet('{root}/primitives.parquet')
+            WHERE "year" = {year}
+        ),
+        hy_z AS (SELECT {zone} AS zone FROM hy_fp),
+        hy_c AS (SELECT zone, CAST(COUNT(*) AS BIGINT) AS area
+                 FROM hy_z GROUP BY 1),
+        hy_w AS (
+            SELECT zone, area,
+                   CAST(SUM(area) OVER (ORDER BY zone) AS BIGINT) AS cum_area,
+                   CAST(SUM(area) OVER () AS BIGINT) AS total
+            FROM hy_c
+        )
+        SELECT zone, area, cum_area,
+               CAST(cum_area AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        FROM hy_w"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

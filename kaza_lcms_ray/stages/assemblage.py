@@ -2341,3 +2341,74 @@ def class_aspect(primitives, year: int = 2022):
             }
         )
     )
+
+
+def hypsometric(primitives, year: int = 2022, band_m: float = 100.0):
+    """Hypsometric (area–elevation) table over the labeled footprint —
+    the terrain-analysis staple (what fraction of the landscape lies
+    below each elevation belt): tiles bin into the same analytic-DEM
+    zones as :func:`core_area` (⌊elev/band⌋), with exact areas and the
+    cumulative share climbing the belts.
+
+    Exact ints + one pinned division per row.
+
+    Output: (zone:int64, area:int64, cum_area:int64, cum_share:f64),
+    zones ascending.
+    """
+    import ray.data as rd
+
+    from ..state import cells, dem
+    from ..state.cells import TILE_LEVEL
+    from .joins import distinct
+    from .zonal import bucketed_sum
+
+    fp = distinct(
+        primitives.filter(expr=f"year == {year}").select_columns(["tile_id"]),
+        ["tile_id"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lon, lat = cells.cell_center(tid, TILE_LEVEL)
+        z = np.floor(dem.elev(lon, lat) / band_m).astype(np.int64)
+        g = (
+            pa.table({"zone": pa.array(z, pa.int64())})
+            .group_by(["zone"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["zone", "area"])
+
+    zones = (
+        bucketed_sum(
+            fp.map_batches(partial, batch_format="pyarrow"),
+            ["zone"],
+            ["area"],
+        )
+        .to_pandas()  # ≤ |zones| rows
+        .sort_values("zone", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    empty = pa.table(
+        {
+            "zone": pa.array([], pa.int64()),
+            "area": pa.array([], pa.int64()),
+            "cum_area": pa.array([], pa.int64()),
+            "cum_share": pa.array([], pa.float64()),
+        }
+    )
+    if len(zones) == 0:
+        return rd.from_arrow(empty)
+    area = zones["area"].to_numpy(np.int64)
+    cum = np.cumsum(area)
+    total = int(cum[-1])
+    share = cum.astype(np.float64) / np.float64(total)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "zone": pa.array(zones["zone"].to_numpy(np.int64)),
+                "area": pa.array(area, pa.int64()),
+                "cum_area": pa.array(cum, pa.int64()),
+                "cum_share": pa.array(share, pa.float64()),
+            }
+        )
+    )

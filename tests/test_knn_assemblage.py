@@ -976,3 +976,21 @@ def test_class_aspect_shares_and_octants(synth_small, ray_session):
     sums = out.groupby("LANDCOVER")["share"].sum()
     assert np.allclose(sums.to_numpy(), 1.0, atol=1e-12)
     assert out["n"].sum() > 0 and out["octant"].nunique() > 1
+
+
+def test_hypsometric_consistency(synth_small, ray_session):
+    """Cumulative areas are monotone, final share is exactly 1, and the
+    zone set matches core_area's area margins."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{synth_small}/primitives.parquet")
+    out = assemblage.hypsometric(prims, year=2022).to_pandas()
+    assert (np.diff(out["cum_area"].to_numpy(np.int64)) > 0).all()
+    assert out["cum_share"].iloc[-1] == 1.0
+    ca = assemblage.core_area(prims, year=2022).to_pandas()
+    assert set(out["zone"]) == set(ca["zone"])
+    merged = out.merge(ca, on="zone")
+    assert (merged["area_x"] == merged["area_y"]).all()
