@@ -1229,6 +1229,21 @@ def q_hypsometric(sf_dir: str):
     )
 
 
+def q_class_elevation(sf_dir: str):
+    """Elevation-niche profile per class
+    (stages/assemblage.class_elevation): labeled tiles into analytic-DEM
+    zones, exact (class, zone) counts, pinned within-class shares."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.class_elevation(prims, year=2022),
+        ["LANDCOVER", "zone", "n", "share"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5715,6 +5730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_h": q_theil_h,
         "class_aspect": q_class_aspect,
         "hypsometric": q_hypsometric,
+        "class_elevation": q_class_elevation,
         "hillshade": q_hillshade,
         "curvature": q_curvature,
         "theilsen": q_theilsen,
@@ -6702,6 +6718,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "theil_h": _theil_h_sql(root),
         "class_aspect": _class_aspect_sql(root),
         "hypsometric": _hypsometric_sql(root),
+        "class_elevation": _class_elevation_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10658,6 +10675,34 @@ def _hypsometric_sql(root: str, year: int = 2022, band_m: float = 100.0) -> str:
         SELECT zone, area, cum_area,
                CAST(cum_area AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
         FROM hy_w"""
+
+
+def _class_elevation_sql(root: str, year: int = 2022, band_m: float = 100.0) -> str:
+    """class_elevation oracle: label replay + the core_area zone
+    expression, (class, zone) counts, pinned within-class shares."""
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, cell_center_sql_exprs
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    lon, lat = cell_center_sql_exprs("tile_id", TILE_LEVEL)
+    zone = f"CAST(floor({elev_sql(lon, lat)} / {band_m!r}) AS BIGINT)"
+    return f"""
+        WITH ce_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        ce_z AS (SELECT lc, {zone} AS zone FROM ce_lab),
+        ce_c AS (SELECT lc, zone, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM ce_z GROUP BY 1, 2),
+        ce_t AS (SELECT lc, CAST(SUM(n) AS BIGINT) AS tot
+                 FROM ce_c GROUP BY 1)
+        SELECT c.lc AS "LANDCOVER", c.zone, c.n,
+               CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        FROM ce_c c JOIN ce_t t ON t.lc = c.lc"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

@@ -2412,3 +2412,65 @@ def hypsometric(primitives, year: int = 2022, band_m: float = 100.0):
             }
         )
     )
+
+
+def class_elevation(primitives, year: int = 2022, band_m: float = 100.0):
+    """Elevation-niche profile per class — which elevation belts each
+    land-cover class occupies (the class × zone contingency every
+    mountain land-cover report pairs with the aspect cross): labeled
+    tiles bin into the :func:`core_area` analytic-DEM zones, counted per
+    (class, zone) with the share of the class's area in that belt.
+
+    Exact ints + one pinned division per row.
+
+    Output: (LANDCOVER:int64, zone:int64, n:int64, share:f64), sorted.
+    """
+    import ray.data as rd
+
+    from ..state import cells, dem
+    from ..state.cells import TILE_LEVEL
+    from .zonal import bucketed_sum
+
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        lon, lat = cells.cell_center(tid, TILE_LEVEL)
+        z = np.floor(dem.elev(lon, lat) / band_m).astype(np.int64)
+        g = (
+            pa.table(
+                {"LANDCOVER": pa.array(lc), "zone": pa.array(z, pa.int64())}
+            )
+            .group_by(["LANDCOVER", "zone"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["LANDCOVER", "zone", "n"])
+
+    cnt = (
+        bucketed_sum(
+            labels.map_batches(partial, batch_format="pyarrow"),
+            ["LANDCOVER", "zone"],
+            ["n"],
+        )
+        .to_pandas()  # ≤ |classes|·|zones| rows
+        .sort_values(["LANDCOVER", "zone"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    tot = cnt.groupby("LANDCOVER")["n"].transform("sum").to_numpy(np.int64)
+    n = cnt["n"].to_numpy(np.int64)
+    share = n.astype(np.float64) / tot.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(cnt["LANDCOVER"].to_numpy(np.int64)),
+                "zone": pa.array(cnt["zone"].to_numpy(np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )

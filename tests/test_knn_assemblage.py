@@ -994,3 +994,22 @@ def test_hypsometric_consistency(synth_small, ray_session):
     assert set(out["zone"]) == set(ca["zone"])
     merged = out.merge(ca, on="zone")
     assert (merged["area_x"] == merged["area_y"]).all()
+
+
+def test_class_elevation_margins(synth_small, ray_session):
+    """Per-class shares sum to 1; zone margins summed over classes match
+    the hypsometric areas."""
+    import numpy as np
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{synth_small}/primitives.parquet")
+    out = assemblage.class_elevation(prims, year=2022).to_pandas()
+    sums = out.groupby("LANDCOVER")["share"].sum()
+    assert np.allclose(sums.to_numpy(), 1.0, atol=1e-12)
+    hy = assemblage.hypsometric(prims, year=2022).to_pandas()
+    zm = out.groupby("zone")["n"].sum()
+    assert {int(k): int(v) for k, v in zm.items()} == {
+        int(r.zone): int(r.area) for r in hy.itertuples()
+    }
