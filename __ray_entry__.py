@@ -3229,6 +3229,18 @@ def q_silhouette(sf_dir: str):
     )
 
 
+def q_label_separation(sf_dir: str):
+    """Inter-class centroid separation over labeled embeddings
+    (stages/cluster.label_separation): exact quantized-space integer
+    centroid distances, kmeans floor(sum/n+.5) centroid rule."""
+    from kaza_lcms_ray.stages import cluster
+
+    return _i64(
+        cluster.label_separation(_tbl(sf_dir, "embeddings")),
+        ["label_a", "label_b", "d2", "dist"],
+    )
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed k-means over the embedding corpus (integer-quantized,
     seeded init, 2 Lloyd iterations) → (vec_id, cluster).  Every step —
@@ -5906,6 +5918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "kmeans_embed": q_kmeans_embed,
         "silhouette": q_silhouette,
+        "label_separation": q_label_separation,
         "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
         "event_burstiness": q_event_burstiness,
@@ -7077,6 +7090,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             ) WHERE rnk <= 10""",
         "kmeans_embed": _kmeans_embed_sql(),
         "silhouette": _silhouette_sql(),
+        "label_separation": _label_separation_sql(),
         "semdedup": _semdedup_sql(),
         "source_cap": f"""
             WITH q AS ({_text_scores_sql()})
@@ -8226,6 +8240,39 @@ def _silhouette_sql() -> str:
                CAST(SUM(sq) AS DOUBLE) / {S!r} / CAST(COUNT(*) AS DOUBLE)
                    AS mean_s
         FROM sl_q GROUP BY 1"""
+
+
+def _label_separation_sql() -> str:
+    """label_separation oracle: the qv quantization keyed by label, the
+    kmeans floor(sum/n+.5) centroid rule per (label, dim), exact int
+    pairwise distance sums."""
+    from kaza_lcms_ray.stages.cluster import QSCALE
+
+    return f"""
+        WITH ls_q AS (
+            SELECT CAST(label AS BIGINT) AS label, CAST(i AS INTEGER) AS i,
+                   CAST(floor(x * {float(QSCALE)!r} + 0.5) AS BIGINT) AS q
+            FROM (
+                SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+                FROM embeddings
+            )
+        ),
+        ls_c AS (
+            SELECT label, i,
+                   CAST(floor(CAST(SUM(q) AS DOUBLE)
+                              / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT)
+                       AS c
+            FROM ls_q GROUP BY 1, 2
+        ),
+        ls_d AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+            FROM ls_c a JOIN ls_c b ON a.i = b.i AND a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT label_a, label_b, d2, sqrt(CAST(d2 AS DOUBLE)) AS dist
+        FROM ls_d"""
 
 
 def _kmeans_embed_sql() -> str:

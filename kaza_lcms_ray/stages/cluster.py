@@ -840,3 +840,82 @@ def silhouette(
             }
         )
     )
+
+
+def label_separation(ds, id_col: str = "vec_id", embed_col: str = "embedding", label_col: str = "label"):
+    """Inter-class separation matrix over labeled embeddings — the
+    class-separability report (how far apart the label centroids sit;
+    near-zero pairs flag labels a classifier cannot distinguish):
+    per-label centroids in the quantized integer space (the
+    :func:`kmeans` floor(sum/n + .5) discipline) and EXACT int64
+    pairwise squared distances.
+
+    Scale shape: one pass of per-batch (label, n, Σq) integer partials;
+    everything after is the |labels|-bounded centroid table.
+
+    Output: (label_a:int64, label_b:int64, d2:int64, dist:f64) for a<b,
+    sorted; dist = √d2 (IEEE, exact both sides).
+    """
+    import math
+
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, q = _quantized_batch(t, id_col, embed_col)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict = {"lab": [], "n": []}
+        sums = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            cols["lab"].append(int(lv))
+            cols["n"].append(int(m.sum()))
+            sums.append(q[m].sum(axis=0))
+        out = {
+            "lab": pa.array(np.asarray(cols["lab"], np.int64)),
+            "n": pa.array(np.asarray(cols["n"], np.int64)),
+        }
+        sm = np.stack(sums) if sums else np.zeros((0, q.shape[1]), np.int64)
+        for j in range(sm.shape[1]):
+            out[f"s{j}"] = pa.array(sm[:, j])
+        return pa.table(out)
+
+    pp = (
+        ds.select_columns([id_col, embed_col, label_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pa.table(
+        {
+            "label_a": pa.array([], pa.int64()),
+            "label_b": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.float64()),
+        }
+    )
+    if len(pp) == 0:
+        return rd.from_arrow(empty)
+    scols = [c for c in pp.columns if c.startswith("s")]
+    g = pp.groupby("lab", as_index=False)[["n"] + scols].sum()
+    g = g.sort_values("lab", kind="mergesort").reset_index(drop=True)
+    labs = g["lab"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    S = g[scols].to_numpy(np.int64)
+    # kmeans centroid rule: floor(sum/n + .5) == (2*sum + n) // (2*n) for
+    # positive n, but sums may be negative — use floor division directly
+    cent = np.floor(S.astype(np.float64) / n[:, None].astype(np.float64) + 0.5).astype(np.int64)
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            d = cent[i] - cent[j]
+            d2 = int((d * d).sum())
+            rows.append((int(labs[i]), int(labs[j]), d2, math.sqrt(float(d2))))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "label_a": pa.array([r[0] for r in rows], pa.int64()),
+                "label_b": pa.array([r[1] for r in rows], pa.int64()),
+                "d2": pa.array([r[2] for r in rows], pa.int64()),
+                "dist": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )

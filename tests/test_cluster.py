@@ -400,3 +400,35 @@ def test_silhouette_two_blobs(ray_session):
         rd.from_pandas(df).repartition(3), k=2, iters=2
     ).to_pandas()
     assert out.equals(out2)
+
+
+def test_label_separation_hand(ray_session):
+    """Two labels at (0,...) and (1, 0...): centroid distance in the
+    quantized space is exactly QSCALE on the first dim."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import cluster
+
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "embedding": [
+                np.array([0.0, 0.0], np.float32),
+                np.array([0.0, 0.0], np.float32),
+                np.array([1.0, 0.0], np.float32),
+                np.array([1.0, 0.0], np.float32),
+            ],
+            "label": np.array([1, 1, 2, 2], np.int32),
+        }
+    )
+    out = cluster.label_separation(rd.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    Q = int(cluster.QSCALE)
+    assert (r["label_a"], r["label_b"]) == (1, 2)
+    assert r["d2"] == Q * Q
+    assert r["dist"] == float(Q)
+    out2 = cluster.label_separation(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert out.equals(out2)
