@@ -4843,6 +4843,23 @@ def q_abc_parts(sf_dir: str):
     )
 
 
+def q_return_rates(sf_dir: str):
+    """Return-rate report per part brand
+    (pipelines/analytics.return_rates): size-guarded brand attach,
+    conditional integer partials, pinned rate/share divisions."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.return_rates(
+            _tbl(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_returnflag", "l_extendedprice"]),
+            _tbl(sf_dir, "part", columns=["p_partkey", "p_brand"]),
+        ),
+        ["p_brand", "n_lines", "n_returned", "rev_cents", "ret_cents",
+         "return_rate", "ret_share"],
+    )
+
+
 def q_basket_rules(sf_dir: str):
     """Market-basket association rules (pipelines/analytics.basket_rules):
     vectorized per-order pair expansion over the distinct (order, part)
@@ -5930,6 +5947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": q_cohort_ltv,
         "new_vs_returning": q_new_vs_returning,
         "hhi": q_hhi,
+        "return_rates": q_return_rates,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6829,6 +6847,27 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                     PARTITION BY plot_id ORDER BY src ASC
                 ) AS rn FROM u
             ) WHERE rn = 1""",
+        "return_rates": """
+            WITH rr_b AS (
+                SELECT p.p_brand,
+                       CAST(COUNT(*) AS BIGINT) AS n_lines,
+                       CAST(COUNT(*) FILTER (WHERE l.l_returnflag = 'R')
+                            AS BIGINT) AS n_returned,
+                       CAST(SUM(CAST(round(l.l_extendedprice * 100, 0)
+                                     AS BIGINT)) AS BIGINT) AS rev_cents,
+                       CAST(COALESCE(SUM(CAST(round(l.l_extendedprice * 100, 0)
+                                     AS BIGINT))
+                            FILTER (WHERE l.l_returnflag = 'R'), 0)
+                            AS BIGINT) AS ret_cents
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                GROUP BY 1
+            )
+            SELECT p_brand, n_lines, n_returned, rev_cents, ret_cents,
+                   CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                       AS return_rate,
+                   CAST(ret_cents AS DOUBLE) / CAST(rev_cents AS DOUBLE)
+                       AS ret_share
+            FROM rr_b""",
         "hhi": """
             WITH hh_s AS (
                 SELECT l_suppkey,

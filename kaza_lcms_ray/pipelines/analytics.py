@@ -3290,3 +3290,89 @@ def new_vs_returning(orders):
             }
         )
     )
+
+
+def return_rates(lineitem, part):
+    """Return-rate report per part brand — the retail quality metric
+    (which brands come back): per brand, line counts, returned-line
+    counts (``l_returnflag = 'R'``), returned revenue, and the pinned
+    return-rate and revenue-at-risk shares.
+
+    One corpus pass of per-batch (partkey → brand via the size-guarded
+    dimension broadcast) conditional integer partials; the report is
+    |brands|-bounded.
+
+    Output: (p_brand:string, n_lines:int64, n_returned:int64,
+    rev_cents:int64, ret_cents:int64, return_rate:f64, ret_share:f64),
+    brands sorted.
+    """
+    import pandas as pd
+
+    from ..state.money import to_cents
+    from ..stages.joins import attach_dim
+    from ..stages.zonal import bucketed_sum
+
+    dim = part.select_columns(["p_partkey", "p_brand"])
+    li = lineitem.select_columns(
+        ["l_partkey", "l_returnflag", "l_extendedprice"]
+    )
+    withb = attach_dim(li, dim, "l_partkey", "p_partkey", ["p_brand"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = to_cents(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        )
+        ret = pc.equal(t.column("l_returnflag"), "R").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "p_brand": t.column("p_brand"),
+                    "n_lines": pa.array(np.ones(len(ret), np.int64)),
+                    "n_returned": pa.array(ret),
+                    "rev_cents": pa.array(cents, pa.int64()),
+                    "ret_cents": pa.array(cents * ret, pa.int64()),
+                }
+            )
+            .group_by(["p_brand"])
+            .aggregate(
+                [("n_lines", "sum"), ("n_returned", "sum"),
+                 ("rev_cents", "sum"), ("ret_cents", "sum")]
+            )
+        )
+        return g.rename_columns(
+            ["p_brand", "n_lines", "n_returned", "rev_cents", "ret_cents"]
+        )
+
+    rep = (
+        bucketed_sum(
+            withb.map_batches(partial, batch_format="pyarrow"),
+            ["p_brand"],
+            ["n_lines", "n_returned", "rev_cents", "ret_cents"],
+        )
+        .to_pandas()
+        .sort_values("p_brand", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    nl = rep["n_lines"].to_numpy(np.int64)
+    nr = rep["n_returned"].to_numpy(np.int64)
+    rv = rep["rev_cents"].to_numpy(np.int64)
+    rc = rep["ret_cents"].to_numpy(np.int64)
+    rate = nr.astype(np.float64) / nl.astype(np.float64)
+    share = rc.astype(np.float64) / rv.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "p_brand": pa.array(rep["p_brand"].astype(str).tolist()),
+                "n_lines": pa.array(nl, pa.int64()),
+                "n_returned": pa.array(nr, pa.int64()),
+                "rev_cents": pa.array(rv, pa.int64()),
+                "ret_cents": pa.array(rc, pa.int64()),
+                "return_rate": pa.array(rate, pa.float64()),
+                "ret_share": pa.array(share, pa.float64()),
+            }
+        )
+    )

@@ -840,3 +840,36 @@ def test_new_vs_returning_hand(ray_session):
         .set_index("month")
     )
     assert out.equals(out2)
+
+
+def test_return_rates_hand(ray_session):
+    """Brand A: 2 lines, 1 returned (rate .5); brand B: 1 line, none."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from kaza_lcms_ray.pipelines import analytics
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": np.array([1, 1, 2], np.int64),
+            "l_returnflag": ["R", "N", "N"],
+            "l_extendedprice": [10.0, 30.0, 5.0],
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.array([1, 2], np.int64),
+            "p_brand": ["A", "B"],
+        }
+    )
+    out = (
+        analytics.return_rates(rd.from_pandas(li), rd.from_pandas(part))
+        .to_pandas()
+        .set_index("p_brand")
+    )
+    assert out.loc["A", "n_lines"] == 2 and out.loc["A", "n_returned"] == 1
+    assert out.loc["A", "return_rate"] == 0.5
+    assert out.loc["A", "ret_cents"] == 1000 and out.loc["A", "rev_cents"] == 4000
+    assert out.loc["A", "ret_share"] == 0.25
+    assert out.loc["B", "n_returned"] == 0 and out.loc["B", "ret_share"] == 0.0
