@@ -2536,6 +2536,18 @@ def q_mix_sources(sf_dir: str):
     )
 
 
+def q_lang_quality(sf_dir: str):
+    """Per-language quality + language-ID accuracy
+    (stages/text.lang_quality): quantized-exact quality sums, pinned
+    mean and accuracy chains."""
+    from kaza_lcms_ray.stages import text as T
+
+    return _i64(
+        T.lang_quality(_doc_table(sf_dir, columns=["doc_id", "text", "lang"])),
+        ["lang", "n", "q_sum", "n_correct", "mean_quality", "id_acc"],
+    )
+
+
 def q_text_scores(sf_dir: str):
     import ray.data as rd
 
@@ -5926,6 +5938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_training": q_merge_training,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
+        "lang_quality": q_lang_quality,
         "fingerprints": q_fingerprints,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
@@ -7362,6 +7375,25 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).curation_sql(_text_scores_sql()),
         "simhash": _simhash_sql(),
         "text_scores": _text_scores_sql(),
+        "lang_quality": f"""
+            WITH lq_ts AS ({_text_scores_sql()}),
+            lq_j AS (
+                SELECT d.lang, t.lang_pred,
+                       CAST(floor(t.quality * 16777216.0) AS BIGINT) AS qb
+                FROM lq_ts t JOIN documents d ON d.doc_id = t.doc_id
+            ),
+            lq_g AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(qb) AS BIGINT) AS q_sum,
+                       CAST(COUNT(*) FILTER (WHERE lang_pred = lang)
+                            AS BIGINT) AS n_correct
+                FROM lq_j GROUP BY 1
+            )
+            SELECT lang, n, q_sum, n_correct,
+                   (CAST(q_sum AS DOUBLE) / 16777216.0) / CAST(n AS DOUBLE)
+                       AS mean_quality,
+                   CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) AS id_acc
+            FROM lq_g""",
         "token_entropy": __import__(
             "kaza_lcms_ray.stages.text", fromlist=["text"]
         ).token_entropy_sql("SELECT doc_id, text FROM documents"),

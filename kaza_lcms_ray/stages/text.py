@@ -3217,3 +3217,72 @@ def log_odds_sql(docs_sql: str, source_a: str, source_b: str, k: int = 50) -> st
         FROM lo_s
         ORDER BY z DESC, term
         LIMIT {k}"""
+
+
+def lang_quality(ds, text_col: str = "text", lang_col: str = "lang"):
+    """Per-language quality + language-ID accuracy report — the curation
+    dashboard's per-language row (is one language's corpus slice worse,
+    and does the heuristic ID work there): per TRUE language, document
+    count, ⌊quality·2²⁴⌋-quantized exact quality sums, and the count of
+    documents whose predicted language matches.
+
+    mean_quality and id_acc are the only doubles — pinned
+    (q_sum/2²⁴)/n and n_correct/n chains over exact ints.
+
+    Output: (lang:string, n:int64, q_sum:int64, n_correct:int64,
+    mean_quality:f64, id_acc:f64), languages sorted.
+    """
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    QS = 16777216.0  # 2^24 — the adaptive-quality bin scale
+    scored = text_scores(ds, text_col=text_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        qb = np.floor(q * QS).astype(np.int64)
+        ok = pc.equal(t.column("lang_pred"), t.column(lang_col)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "lang": t.column(lang_col),
+                    "n": pa.array(np.ones(len(qb), np.int64)),
+                    "q_sum": pa.array(qb),
+                    "n_correct": pa.array(ok),
+                }
+            )
+            .group_by(["lang"])
+            .aggregate([("n", "sum"), ("q_sum", "sum"), ("n_correct", "sum")])
+        )
+        return g.rename_columns(["lang", "n", "q_sum", "n_correct"])
+
+    rep = (
+        bucketed_sum(
+            scored.map_batches(partial, batch_format="pyarrow"),
+            ["lang"],
+            ["n", "q_sum", "n_correct"],
+        )
+        .to_pandas()
+        .sort_values("lang", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = rep["n"].to_numpy(np.int64)
+    qs = rep["q_sum"].to_numpy(np.int64)
+    nc = rep["n_correct"].to_numpy(np.int64)
+    meanq = (qs.astype(np.float64) / QS) / n.astype(np.float64)
+    acc = nc.astype(np.float64) / n.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(rep["lang"].astype(str).tolist()),
+                "n": pa.array(n, pa.int64()),
+                "q_sum": pa.array(qs, pa.int64()),
+                "n_correct": pa.array(nc, pa.int64()),
+                "mean_quality": pa.array(meanq, pa.float64()),
+                "id_acc": pa.array(acc, pa.float64()),
+            }
+        )
+    )
