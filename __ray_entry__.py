@@ -1244,6 +1244,21 @@ def q_class_elevation(sf_dir: str):
     )
 
 
+def q_class_slope(sf_dir: str):
+    """Slope-band distribution per class
+    (stages/assemblage.class_slope): analytic-DEM Horn slope at tile
+    centers, libm atan, integer 5-degree bands, pinned shares."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    prims = rd.read_parquet(f"{_synth(sf_dir)}/primitives.parquet")
+    return _i64(
+        assemblage.class_slope(prims, year=2022),
+        ["LANDCOVER", "band", "n", "share"],
+    )
+
+
 def q_contag(sf_dir: str):
     """FRAGSTATS landscape contagion (stages/assemblage.contag): directed
     class-pair adjacency counts incl. the diagonal via the broadcast
@@ -5772,6 +5787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "class_aspect": q_class_aspect,
         "hypsometric": q_hypsometric,
         "class_elevation": q_class_elevation,
+        "class_slope": q_class_slope,
         "hillshade": q_hillshade,
         "curvature": q_curvature,
         "theilsen": q_theilsen,
@@ -6763,6 +6779,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "class_aspect": _class_aspect_sql(root),
         "hypsometric": _hypsometric_sql(root),
         "class_elevation": _class_elevation_sql(root),
+        "class_slope": _class_slope_sql(root),
         "landscape_diversity": _landscape_diversity_sql(root),
         "area_by_class": f"""
             SELECT CAST(class AS BIGINT) AS "LANDCOVER", COUNT(*) AS n_tiles
@@ -10821,6 +10838,59 @@ def _class_elevation_sql(root: str, year: int = 2022, band_m: float = 100.0) -> 
         SELECT c.lc AS "LANDCOVER", c.zone, c.n,
                CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
         FROM ce_c c JOIN ce_t t ON t.lc = c.lc"""
+
+
+def _class_slope_sql(root: str, year: int = 2022, band_deg: float = 5.0) -> str:
+    """class_slope oracle: label replay, the hillshade slope expression
+    at tile centers, integer band floor, pinned shares."""
+    from kaza_lcms_ray.stages.sar import DEG
+    from kaza_lcms_ray.stages.terrain import SLOPE_SCALE
+    from kaza_lcms_ray.state.cells import TILE_LEVEL, morton_decode_sql_expr
+    from kaza_lcms_ray.state.dem import elev_sql
+
+    n = float(1 << TILE_LEVEL)
+
+    def z(dx: float, dy: float) -> str:
+        lon = f"((ix + {dx!r} + 0.5) / {n!r} * 360.0 - 180.0)"
+        lat = f"((iy + {dy!r} + 0.5) / {n!r} * 180.0 - 90.0)"
+        return elev_sql(lon, lat)
+
+    return f"""
+        WITH cs2_lab AS MATERIALIZED (
+            SELECT tile_id, CAST(class AS BIGINT) AS lc
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY tile_id, "year" ORDER BY prob DESC, class ASC
+                ) AS rn
+                FROM read_parquet('{root}/primitives.parquet')
+            ) WHERE rn = 1 AND "year" = {year}
+        ),
+        cs2_dec AS (
+            SELECT lc,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "x")} AS ix,
+                   {morton_decode_sql_expr("tile_id", TILE_LEVEL, "y")} AS iy
+            FROM cs2_lab
+        ),
+        cs2_g AS (
+            SELECT lc,
+                   ({z(1.0, 0.0)} - {z(-1.0, 0.0)}) / 2.0 AS gx,
+                   ({z(0.0, 1.0)} - {z(0.0, -1.0)}) / 2.0 AS gy
+            FROM cs2_dec
+        ),
+        cs2_b AS (
+            SELECT lc,
+                   CAST(floor((atan(sqrt(gx * gx + gy * gy)
+                                    / {SLOPE_SCALE!r}) * {DEG!r})
+                              / {band_deg!r}) AS BIGINT) AS band
+            FROM cs2_g
+        ),
+        cs2_c AS (SELECT lc, band, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM cs2_b GROUP BY 1, 2),
+        cs2_t AS (SELECT lc, CAST(SUM(n) AS BIGINT) AS tot
+                  FROM cs2_c GROUP BY 1)
+        SELECT c.lc AS "LANDCOVER", c.band, c.n,
+               CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        FROM cs2_c c JOIN cs2_t t ON t.lc = c.lc"""
 
 
 def _contag_sql(root: str, year: int = 2022) -> str:

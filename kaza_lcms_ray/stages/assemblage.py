@@ -2474,3 +2474,86 @@ def class_elevation(primitives, year: int = 2022, band_m: float = 100.0):
             }
         )
     )
+
+
+def class_slope(primitives, year: int = 2022, band_deg: float = 5.0):
+    """Slope-band distribution per class — the third terrain cross next
+    to :func:`class_elevation` and :func:`class_aspect` (steepland vs
+    flatland composition per land-cover class): per labeled tile the
+    analytic-DEM Horn slope at the tile center
+    (atan(√(gx²+gy²)/SLOPE_SCALE)·180/π — the hillshade chain), binned
+    into ``band_deg``-degree bands.
+
+    Exactness: gradients/slope from the closed-form elevation (libm
+    atan); the band is an integer floor of the same double; counts
+    exact; shares pinned.
+
+    Output: (LANDCOVER:int64, band:int64, n:int64, share:f64), sorted.
+    """
+    import math
+
+    import ray.data as rd
+
+    from ..state import cells, dem
+    from ..state.cells import TILE_LEVEL
+    from .sar import DEG
+    from .terrain import SLOPE_SCALE
+    from .zonal import bucketed_sum
+
+    n_grid = float(np.int64(1) << TILE_LEVEL)
+    labels = (
+        assemble_tile_labels(primitives)
+        .filter(expr=f"year == {year}")
+        .select_columns(["tile_id", "LANDCOVER"])
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tid = t.column("tile_id").to_numpy(zero_copy_only=False)
+        lc = t.column("LANDCOVER").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = cells.decode(tid, TILE_LEVEL)
+        ixf = ix.astype(np.float64)
+        iyf = iy.astype(np.float64)
+
+        def z(dx, dy):
+            lon = (ixf + dx + 0.5) / n_grid * 360.0 - 180.0
+            lat = (iyf + dy + 0.5) / n_grid * 180.0 - 90.0
+            return dem.elev(lon, lat)
+
+        gx = (z(1.0, 0.0) - z(-1.0, 0.0)) / 2.0
+        gy = (z(0.0, 1.0) - z(0.0, -1.0)) / 2.0
+        atan_u = np.frompyfunc(math.atan, 1, 1)
+        slope = (
+            atan_u(np.sqrt(gx * gx + gy * gy) / SLOPE_SCALE).astype(np.float64)
+            * DEG
+        )
+        band = np.floor(slope / band_deg).astype(np.int64)
+        g = (
+            pa.table({"LANDCOVER": pa.array(lc), "band": pa.array(band)})
+            .group_by(["LANDCOVER", "band"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["LANDCOVER", "band", "n"])
+
+    cnt = (
+        bucketed_sum(
+            labels.map_batches(partial, batch_format="pyarrow"),
+            ["LANDCOVER", "band"],
+            ["n"],
+        )
+        .to_pandas()
+        .sort_values(["LANDCOVER", "band"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    tot = cnt.groupby("LANDCOVER")["n"].transform("sum").to_numpy(np.int64)
+    n = cnt["n"].to_numpy(np.int64)
+    share = n.astype(np.float64) / tot.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "LANDCOVER": pa.array(cnt["LANDCOVER"].to_numpy(np.int64)),
+                "band": pa.array(cnt["band"].to_numpy(np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )
