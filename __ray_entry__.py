@@ -1853,6 +1853,66 @@ def q_change_matrix(sf_dir: str):
     )
 
 
+def q_source_lang_assoc(sf_dir: str):
+    """Cramér's V association between documents.source and .lang — the
+    generic two-column categorical-association profile. Distributed
+    (source, lang) contingency via the bucketed sum; the tiny matrix
+    folds driver-side in the EXACT integer cramers_v arithmetic
+    (floor(n²·2⁴⁰/(r·c)) bigint terms, clamped χ²_q, two pinned
+    doubles)."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages.zonal import bucketed_sum
+
+    docs = _doc_table(sf_dir, columns=["source", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["source", "lang"])
+            .group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source", "lang", "n"])
+
+    cm = bucketed_sum(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "lang"],
+        ["n"],
+    ).to_pandas()
+    f = cm["source"].tolist()
+    t_ = cm["lang"].tolist()
+    n = cm["n"].to_numpy(np.int64)
+    big_n = int(n.sum())
+    row: dict = {}
+    col: dict = {}
+    for ff, tt, nn in zip(f, t_, n.tolist()):
+        row[ff] = row.get(ff, 0) + nn
+        col[tt] = col.get(tt, 0) + nn
+    Q = 1 << 40
+    s_q = sum(
+        (nn * nn * Q) // (row[ff] * col[tt])
+        for ff, tt, nn in zip(f, t_, n.tolist())
+    )
+    chi2_q = max(0, big_n * (s_q - Q))
+    k = min(len(row), len(col))
+    chi2 = float(np.float64(chi2_q) / np.float64(Q))
+    v = (
+        float(np.sqrt(np.float64(chi2_q) / np.float64(Q * big_n * (k - 1))))
+        if k > 1
+        else 0.0
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([big_n], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+                "chi2": pa.array([chi2], pa.float64()),
+                "v": pa.array([v], pa.float64()),
+            }
+        )
+    )
+
+
 def q_cramers_v(sf_dir: str):
     """Cramér's V association strength between the 2020 and 2022 label
     rasters — the scalar change-analysis companion of change_matrix
@@ -5845,6 +5905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gearys_c": q_gearys_c,
         "change_matrix": q_change_matrix,
         "cramers_v": q_cramers_v,
+        "source_lang_assoc": q_source_lang_assoc,
         "variogram": q_variogram,
         "leakage_split": q_leakage_split,
         "events_attribution": q_events_attribution,
@@ -6667,6 +6728,40 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM cmx_lab a JOIN cmx_lab b ON a.tile_id = b.tile_id
             WHERE a."year" = 2020 AND b."year" = 2022
             GROUP BY 1, 2""",
+        "source_lang_assoc": """
+            WITH sla_cm AS (
+                SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            sla_rt AS (SELECT source, SUM(n) AS r FROM sla_cm GROUP BY 1),
+            sla_ct AS (SELECT lang, SUM(n) AS c FROM sla_cm GROUP BY 1),
+            sla_tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS big_n FROM sla_cm),
+            sla_k AS (SELECT LEAST((SELECT COUNT(*) FROM sla_rt),
+                                   (SELECT COUNT(*) FROM sla_ct)) AS k),
+            sla_s AS (
+                SELECT CAST(SUM(
+                    (CAST(m.n AS HUGEINT) * m.n * 1099511627776)
+                        // (CAST(r.r AS HUGEINT) * c.c)
+                ) AS HUGEINT) AS s
+                FROM sla_cm m
+                JOIN sla_rt r ON r.source = m.source
+                JOIN sla_ct c ON c.lang = m.lang
+            ),
+            sla_chi AS (
+                SELECT GREATEST(CAST(0 AS HUGEINT),
+                                t.big_n * (s.s - 1099511627776)) AS chi2q
+                FROM sla_tot t, sla_s s
+            )
+            SELECT CAST(t.big_n AS BIGINT) AS n,
+                   CAST(k.k AS BIGINT) AS k,
+                   CAST(c.chi2q AS DOUBLE)
+                       / CAST(1099511627776 AS DOUBLE) AS chi2,
+                   CASE WHEN k.k > 1 THEN sqrt(
+                       CAST(c.chi2q AS DOUBLE)
+                       / CAST(CAST(1099511627776 AS HUGEINT) * t.big_n
+                              * (k.k - 1) AS DOUBLE))
+                   ELSE 0.0 END AS v
+            FROM sla_tot t, sla_k k, sla_chi c""",
         "cramers_v": f"""
             WITH cvx_lab AS MATERIALIZED (
                 SELECT tile_id, "year", CAST(class AS BIGINT) AS lc
