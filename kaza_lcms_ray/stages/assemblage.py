@@ -1041,9 +1041,9 @@ def iji(primitives, year: int = 2022):
         .materialize()
     )
     lab_pd = labels.to_pandas()
-    m = lab_pd["LANDCOVER"].nunique()
-    if len(lab_pd) == 0 or m < 3:
+    if len(lab_pd) == 0 or lab_pd["LANDCOVER"].nunique() < 3:
         return rd.from_arrow(empty)
+    m = lab_pd["LANDCOVER"].nunique()
     e = _adjacency_counts(labels, lab_pd, include_same=False)
     if len(e) == 0:
         return rd.from_arrow(empty)
@@ -1342,6 +1342,20 @@ def pafrac(primitives, year: int = 2022, block_levels: int = 4):
         )
         .to_pandas()  # ≤ |classes| rows
     )
+    if len(agg) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "LANDCOVER": pa.array([], pa.int64()),
+                    "n_patches": pa.array([], pa.int64()),
+                    "x_sum": pa.array([], pa.int64()),
+                    "y_sum": pa.array([], pa.int64()),
+                    "xx_sum": pa.array([], pa.int64()),
+                    "xy_sum": pa.array([], pa.int64()),
+                    "pafrac": pa.array([], pa.float64()),
+                }
+            )
+        )
     lc = agg["LANDCOVER"].to_numpy(np.int64)
     order = np.argsort(lc, kind="mergesort")
     agg = agg.iloc[order]
@@ -1410,9 +1424,9 @@ def contag(primitives, year: int = 2022):
         .materialize()
     )
     lab_pd = labels.to_pandas()
-    m = lab_pd["LANDCOVER"].nunique()
-    if len(lab_pd) == 0 or m < 2:
+    if len(lab_pd) == 0 or lab_pd["LANDCOVER"].nunique() < 2:
         return rd.from_arrow(empty)
+    m = lab_pd["LANDCOVER"].nunique()
     g = _adjacency_counts(labels, lab_pd, include_same=True)
     if len(g) == 0:
         return rd.from_arrow(empty)
@@ -1601,6 +1615,17 @@ def std_ellipse(primitives, year: int = 2022):
         )
         .to_pandas()  # ≤ |classes| rows
     )
+    if len(agg) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    c: pa.array([], pa.float64() if c.startswith(("mean", "std", "theta", "semi")) else pa.int64())
+                    for c in ("LANDCOVER", "n", "sx", "sy", "sxx", "syy",
+                              "sxy", "mean_x", "mean_y", "std_dist", "theta",
+                              "semi_major", "semi_minor")
+                }
+            )
+        )
     agg = agg.sort_values("LANDCOVER", kind="mergesort").reset_index(drop=True)
     n = agg["n"].to_numpy(np.int64).astype(np.float64)
     sx = agg["sx"].to_numpy(np.int64).astype(np.float64)
@@ -1844,15 +1869,23 @@ def patch_gini(primitives, year: int = 2022, block_levels: int = 4):
         )
         return g.rename_columns(["LANDCOVER", "f", "m"])
 
-    hist = (
-        bucketed_sum(
-            pm.map_batches(hist_partial, batch_format="pyarrow"),
-            ["LANDCOVER", "f"],
-            ["m"],
+    hist = bucketed_sum(
+        pm.map_batches(hist_partial, batch_format="pyarrow"),
+        ["LANDCOVER", "f"],
+        ["m"],
+    ).to_pandas()  # ≤ |classes|·block² rows
+    if len(hist) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "LANDCOVER": pa.array([], pa.int64()),
+                    "n_patches": pa.array([], pa.int64()),
+                    "area": pa.array([], pa.int64()),
+                    "gini": pa.array([], pa.float64()),
+                }
+            )
         )
-        .to_pandas()  # ≤ |classes|·block² rows
-        .sort_values(["LANDCOVER", "f"], kind="mergesort")
-    )
+    hist = hist.sort_values(["LANDCOVER", "f"], kind="mergesort")
     out_lc, out_n, out_area, out_g = [], [], [], []
     for lc, g in hist.groupby("LANDCOVER", sort=True):
         fs = g["f"].to_numpy(np.int64)
@@ -1938,18 +1971,25 @@ def isolation_index(primitives, year: int = 2022):
         ["n"],
     ).materialize()
 
-    tot = (
-        cc.map_batches(
-            lambda t: t.select(["lc", "n"])
-            .group_by(["lc"])
-            .aggregate([("n", "sum")])
-            .rename_columns(["lc", "n"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .groupby("lc", as_index=False)["n"]
-        .sum()
+    tp = cc.map_batches(
+        lambda t: t.select(["lc", "n"])
+        .group_by(["lc"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["lc", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    empty_iso = pa.table(
+        {
+            "LANDCOVER": pa.array([], pa.int64()),
+            "n_total": pa.array([], pa.int64()),
+            "iso_q": pa.array([], pa.int64()),
+            "isolation": pa.array([], pa.float64()),
+            "share": pa.array([], pa.float64()),
+        }
     )
+    if len(tp) == 0:
+        return rd.from_arrow(empty_iso)
+    tot = tp.groupby("lc", as_index=False)["n"].sum()
     cls = tot["lc"].to_numpy(np.int64)
     order = np.argsort(cls, kind="mergesort")
     cls, ntot = cls[order], tot["n"].to_numpy(np.int64)[order]
@@ -2054,21 +2094,23 @@ def dissimilarity_index(primitives, year: int = 2022):
         ["n"],
     ).materialize()
 
-    tot = (
-        cc.map_batches(
-            lambda t: t.select(["lc", "n"])
-            .group_by(["lc"])
-            .aggregate([("n", "sum")])
-            .rename_columns(["lc", "n"]),
-            batch_format="pyarrow",
+    tp = cc.map_batches(
+        lambda t: t.select(["lc", "n"])
+        .group_by(["lc"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["lc", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(tp) == 0:
+        tot = tp
+        cls = np.empty(0, np.int64)
+        N = np.empty(0, np.float64)
+    else:
+        tot = tp.groupby("lc", as_index=False)["n"].sum().sort_values(
+            "lc", kind="mergesort"
         )
-        .to_pandas()
-        .groupby("lc", as_index=False)["n"]
-        .sum()
-        .sort_values("lc", kind="mergesort")
-    )
-    cls = tot["lc"].to_numpy(np.int64)
-    N = tot["n"].to_numpy(np.int64).astype(np.float64)
+        cls = tot["lc"].to_numpy(np.int64)
+        N = tot["n"].to_numpy(np.int64).astype(np.float64)
     m = len(cls)
     empty = pa.table(
         {
@@ -2177,17 +2219,15 @@ def theil_h(primitives, year: int = 2022):
         ["cell", "lc"],
         ["n"],
     ).materialize()
+    tp = cc.map_batches(
+        lambda t: t.select(["lc", "n"])
+        .group_by(["lc"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["lc", "n"]),
+        batch_format="pyarrow",
+    ).to_pandas()
     tot = (
-        cc.map_batches(
-            lambda t: t.select(["lc", "n"])
-            .group_by(["lc"])
-            .aggregate([("n", "sum")])
-            .rename_columns(["lc", "n"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .groupby("lc", as_index=False)["n"]
-        .sum()
+        tp.groupby("lc", as_index=False)["n"].sum() if len(tp) else tp
     )
     empty = pa.table(
         {
@@ -2325,8 +2365,21 @@ def class_aspect(primitives, year: int = 2022):
             ["n"],
         )
         .to_pandas()  # ≤ |classes|·8 rows
-        .sort_values(["LANDCOVER", "octant"], kind="mergesort")
         .reset_index(drop=True)
+    )
+    if len(cnt) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "LANDCOVER": pa.array([], pa.int64()),
+                    "octant": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cnt = cnt.sort_values(["LANDCOVER", "octant"], kind="mergesort").reset_index(
+        drop=True
     )
     tot = cnt.groupby("LANDCOVER")["n"].transform("sum").to_numpy(np.int64)
     n = cnt["n"].to_numpy(np.int64)
@@ -2378,16 +2431,13 @@ def hypsometric(primitives, year: int = 2022, band_m: float = 100.0):
         )
         return g.rename_columns(["zone", "area"])
 
-    zones = (
-        bucketed_sum(
-            fp.map_batches(partial, batch_format="pyarrow"),
-            ["zone"],
-            ["area"],
-        )
-        .to_pandas()  # ≤ |zones| rows
-        .sort_values("zone", kind="mergesort")
-        .reset_index(drop=True)
-    )
+    zones = bucketed_sum(
+        fp.map_batches(partial, batch_format="pyarrow"),
+        ["zone"],
+        ["area"],
+    ).to_pandas()  # ≤ |zones| rows
+    if len(zones):
+        zones = zones.sort_values("zone", kind="mergesort").reset_index(drop=True)
     empty = pa.table(
         {
             "zone": pa.array([], pa.int64()),
@@ -2458,8 +2508,21 @@ def class_elevation(primitives, year: int = 2022, band_m: float = 100.0):
             ["n"],
         )
         .to_pandas()  # ≤ |classes|·|zones| rows
-        .sort_values(["LANDCOVER", "zone"], kind="mergesort")
         .reset_index(drop=True)
+    )
+    if len(cnt) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "LANDCOVER": pa.array([], pa.int64()),
+                    "zone": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cnt = cnt.sort_values(["LANDCOVER", "zone"], kind="mergesort").reset_index(
+        drop=True
     )
     tot = cnt.groupby("LANDCOVER")["n"].transform("sum").to_numpy(np.int64)
     n = cnt["n"].to_numpy(np.int64)
@@ -2541,8 +2604,21 @@ def class_slope(primitives, year: int = 2022, band_deg: float = 5.0):
             ["n"],
         )
         .to_pandas()
-        .sort_values(["LANDCOVER", "band"], kind="mergesort")
         .reset_index(drop=True)
+    )
+    if len(cnt) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "LANDCOVER": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "share": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cnt = cnt.sort_values(["LANDCOVER", "band"], kind="mergesort").reset_index(
+        drop=True
     )
     tot = cnt.groupby("LANDCOVER")["n"].transform("sum").to_numpy(np.int64)
     n = cnt["n"].to_numpy(np.int64)

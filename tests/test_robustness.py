@@ -181,3 +181,50 @@ def test_round4_analytics_on_empty(ray_session):
         )
     )
     assert analytics.order_priority_check(lineitem, orders).count() == 0
+
+
+def test_round4_continuation_ops_empty_inputs(ray_session):
+    """Every session-added label-raster operator handles an empty
+    primitives table without crashing (empty or zero-row result)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    empty = rd.from_arrow(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "tile_id": pd.Series([], dtype=np.int64),
+                    "year": pd.Series([], dtype=np.int32),
+                    "class": pd.Series([], dtype=np.int32),
+                    "prob": pd.Series([], dtype=np.float32),
+                }
+            ),
+            preserve_index=False,
+        )
+    )
+    for fn in (
+        assemblage.core_area,
+        assemblage.iji,
+        assemblage.contag,
+        assemblage.patch_metrics,
+        assemblage.cohesion,
+        assemblage.pafrac,
+        assemblage.mesh,
+        assemblage.join_counts,
+        assemblage.std_ellipse,
+        assemblage.patch_gini,
+        assemblage.isolation_index,
+        assemblage.dissimilarity_index,
+        assemblage.theil_h,
+        assemblage.class_aspect,
+        assemblage.class_elevation,
+        assemblage.class_slope,
+        assemblage.hypsometric,
+    ):
+        out = fn(empty, year=2022)
+        assert out.count() == 0, fn.__name__
+    assert assemblage.label_stability(empty).count() == 0
