@@ -638,6 +638,18 @@ def q_band_corr(sf_dir: str):
     )
 
 
+def q_footprint_drift(sf_dir: str):
+    """Annual mean-center drift of the observation footprint
+    (stages/zonal.footprint_drift): exact integer coordinate sums per
+    year, pinned mean centers, lag-difference drift."""
+    from kaza_lcms_ray.stages import zonal
+
+    return _i64(
+        zonal.footprint_drift(_geo(sf_dir)),
+        ["year", "n", "sx", "sy", "mean_x", "mean_y", "drift"],
+    )
+
+
 def q_cell_smooth(sf_dir: str):
     """Focal k-ring smoothing over the zonal cell grid (stages/zonal.
     kring_smooth — A8 reduceNeighborhood analog on the aggregated cell
@@ -5902,6 +5914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morans_i": q_morans_i,
         "bivariate_moran": q_bivariate_moran,
         "band_corr": q_band_corr,
+        "footprint_drift": q_footprint_drift,
         "gearys_c": q_gearys_c,
         "change_matrix": q_change_matrix,
         "cramers_v": q_cramers_v,
@@ -6454,6 +6467,30 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             SELECT doc_id, span_idx, cell_id,
                    ((((((cell_id) >> 1) & 1) * 1 + (((cell_id) >> 3) & 1) * 2 + (((cell_id) >> 5) & 1) * 4 + (((cell_id) >> 7) & 1) * 8 + (((cell_id) >> 9) & 1) * 16 + (((cell_id) >> 11) & 1) * 32 + (((cell_id) >> 13) & 1) * 64 + (((cell_id) >> 15) & 1) * 128 + (((cell_id) >> 17) & 1) * 256 + (((cell_id) >> 19) & 1) * 512 + (((cell_id) >> 21) & 1) * 1024 + (((cell_id) >> 23) & 1) * 2048) // 16) + (((((cell_id) >> 0) & 1) * 1 + (((cell_id) >> 2) & 1) * 2 + (((cell_id) >> 4) & 1) * 4 + (((cell_id) >> 6) & 1) * 8 + (((cell_id) >> 8) & 1) * 16 + (((cell_id) >> 10) & 1) * 32 + (((cell_id) >> 12) & 1) * 64 + (((cell_id) >> 14) & 1) * 128 + (((cell_id) >> 16) & 1) * 256 + (((cell_id) >> 18) & 1) * 512 + (((cell_id) >> 20) & 1) * 1024 + (((cell_id) >> 22) & 1) * 2048) // 16)) % 5 AS fold
             FROM cells""",
+        "footprint_drift": f"""
+            WITH {geo}, {cells},
+            fd_g AS (
+                SELECT CAST("year" AS BIGINT) AS "year",
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(((((cell_id) >> 1) & 1) * 1 + (((cell_id) >> 3) & 1) * 2 + (((cell_id) >> 5) & 1) * 4 + (((cell_id) >> 7) & 1) * 8 + (((cell_id) >> 9) & 1) * 16 + (((cell_id) >> 11) & 1) * 32 + (((cell_id) >> 13) & 1) * 64 + (((cell_id) >> 15) & 1) * 128 + (((cell_id) >> 17) & 1) * 256 + (((cell_id) >> 19) & 1) * 512 + (((cell_id) >> 21) & 1) * 1024 + (((cell_id) >> 23) & 1) * 2048)) AS BIGINT) AS sx,
+                       CAST(SUM(((((cell_id) >> 0) & 1) * 1 + (((cell_id) >> 2) & 1) * 2 + (((cell_id) >> 4) & 1) * 4 + (((cell_id) >> 6) & 1) * 8 + (((cell_id) >> 8) & 1) * 16 + (((cell_id) >> 10) & 1) * 32 + (((cell_id) >> 12) & 1) * 64 + (((cell_id) >> 14) & 1) * 128 + (((cell_id) >> 16) & 1) * 256 + (((cell_id) >> 18) & 1) * 512 + (((cell_id) >> 20) & 1) * 1024 + (((cell_id) >> 22) & 1) * 2048)) AS BIGINT) AS sy
+                FROM cells GROUP BY 1
+            ),
+            fd_m AS (
+                SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+                          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y
+                FROM fd_g
+            ),
+            fd_l AS (
+                SELECT *, lag(mean_x) OVER (ORDER BY "year") AS px,
+                          lag(mean_y) OVER (ORDER BY "year") AS py
+                FROM fd_m
+            )
+            SELECT "year", n, sx, sy, mean_x, mean_y,
+                   CASE WHEN px IS NULL THEN 0.0
+                        ELSE sqrt((mean_x - px) * (mean_x - px)
+                                  + (mean_y - py) * (mean_y - py)) END AS drift
+            FROM fd_l""",
         "cell_smooth": f"""
             WITH {geo}, {cells},
             {__import__("kaza_lcms_ray.stages.zonal", fromlist=["zonal"]).kring_smooth_sql("SELECT * FROM cells", band=3, k=1)}""",

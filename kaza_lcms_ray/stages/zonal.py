@@ -4711,3 +4711,82 @@ def band_corr(geo, bands=(0, 1, 2, 3, 4, 5)):
             }
         )
     )
+
+
+def footprint_drift(geo):
+    """Annual mean-center drift of the observation footprint — the
+    sampling-bias monitor (is this year's data coming from the same
+    place as last year's?): per year the exact integer coordinate sums
+    of every observation's grid cell, the pinned mean center, and the
+    planar drift distance from the previous year.
+
+    Output: (year:int64, n:int64, sx:int64, sy:int64, mean_x:f64,
+    mean_y:f64, drift:f64) — drift of the first year is 0.
+    """
+    import ray.data as rd
+
+    from ..state.cells import CELL_LEVEL, decode
+
+    def partial(t: pa.Table) -> pa.Table:
+        cid = t.column("cell_id").to_numpy(zero_copy_only=False)
+        yr = t.column("year").to_numpy(zero_copy_only=False).astype(np.int64)
+        ix, iy = decode(cid, CELL_LEVEL)
+        g = (
+            pa.table(
+                {
+                    "year": pa.array(yr),
+                    "n": pa.array(np.ones(len(yr), np.int64)),
+                    "sx": pa.array(ix.astype(np.int64)),
+                    "sy": pa.array(iy.astype(np.int64)),
+                }
+            )
+            .group_by(["year"])
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum")])
+        )
+        return g.rename_columns(["year", "n", "sx", "sy"])
+
+    rep = (
+        bucketed_sum(
+            geo.select_columns(["cell_id", "year"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["year"],
+            ["n", "sx", "sy"],
+        )
+        .to_pandas()  # ≤ |years| rows
+    )
+    empty = pa.table(
+        {
+            "year": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "sx": pa.array([], pa.int64()),
+            "sy": pa.array([], pa.int64()),
+            "mean_x": pa.array([], pa.float64()),
+            "mean_y": pa.array([], pa.float64()),
+            "drift": pa.array([], pa.float64()),
+        }
+    )
+    if len(rep) == 0:
+        return rd.from_arrow(empty)
+    rep = rep.sort_values("year", kind="mergesort").reset_index(drop=True)
+    n = rep["n"].to_numpy(np.int64)
+    sx = rep["sx"].to_numpy(np.int64)
+    sy = rep["sy"].to_numpy(np.int64)
+    mx = sx.astype(np.float64) / n.astype(np.float64)
+    my = sy.astype(np.float64) / n.astype(np.float64)
+    dx = np.concatenate(([0.0], mx[1:] - mx[:-1]))
+    dy = np.concatenate(([0.0], my[1:] - my[:-1]))
+    drift = np.sqrt(dx * dx + dy * dy)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "year": pa.array(rep["year"].to_numpy(np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "sx": pa.array(sx, pa.int64()),
+                "sy": pa.array(sy, pa.int64()),
+                "mean_x": pa.array(mx, pa.float64()),
+                "mean_y": pa.array(my, pa.float64()),
+                "drift": pa.array(drift, pa.float64()),
+            }
+        )
+    )
