@@ -2635,6 +2635,20 @@ def q_lang_quality(sf_dir: str):
     )
 
 
+def q_quality_by_length(sf_dir: str):
+    """Quality-vs-length curve (stages/text.quality_by_length):
+    integer bit-length bins (frexp / length(bin(x)) - no float log),
+    quantized-exact quality sums, pinned means."""
+    from kaza_lcms_ray.stages import text as T
+
+    return _i64(
+        T.quality_by_length(
+            _doc_table(sf_dir, columns=["doc_id", "text", "n_chars"])
+        ),
+        ["len_bin", "n", "q_sum", "mean_quality"],
+    )
+
+
 def q_text_scores(sf_dir: str):
     import ray.data as rd
 
@@ -6029,6 +6043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
         "lang_quality": q_lang_quality,
+        "quality_by_length": q_quality_by_length,
         "fingerprints": q_fingerprints,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
@@ -7524,6 +7539,23 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         ).curation_sql(_text_scores_sql()),
         "simhash": _simhash_sql(),
         "text_scores": _text_scores_sql(),
+        "quality_by_length": f"""
+            WITH qbl_ts AS ({_text_scores_sql()}),
+            qbl_j AS (
+                SELECT CAST(length(bin(d.n_chars)) AS BIGINT) AS len_bin,
+                       CAST(floor(t.quality * 16777216.0) AS BIGINT) AS qb
+                FROM qbl_ts t JOIN documents d ON d.doc_id = t.doc_id
+                WHERE d.n_chars > 0
+            ),
+            qbl_g AS (
+                SELECT len_bin, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(qb) AS BIGINT) AS q_sum
+                FROM qbl_j GROUP BY 1
+            )
+            SELECT len_bin, n, q_sum,
+                   (CAST(q_sum AS DOUBLE) / 16777216.0) / CAST(n AS DOUBLE)
+                       AS mean_quality
+            FROM qbl_g""",
         "lang_quality": f"""
             WITH lq_ts AS ({_text_scores_sql()}),
             lq_j AS (

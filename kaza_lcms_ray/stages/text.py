@@ -3286,3 +3286,74 @@ def lang_quality(ds, text_col: str = "text", lang_col: str = "lang"):
             }
         )
     )
+
+
+def quality_by_length(ds, text_col: str = "text", len_col: str = "n_chars"):
+    """Quality-vs-length curve — the curation diagnostic behind minimum-
+    length rules (is quality actually worse for short documents?): mean
+    quality per power-of-two document-length bin (bin = bit length of
+    n_chars — an INTEGER both sides: np.frexp exponent in the engine,
+    length(bin(x)) in the oracle; no float log anywhere).
+
+    Quality sums quantize at 2²⁴ (the adaptive-quality bin scale);
+    means are pinned (q_sum/2²⁴)/n chains.
+
+    Output: (len_bin:int64, n:int64, q_sum:int64, mean_quality:f64),
+    bins ascending.
+    """
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    QS = 16777216.0
+    scored = text_scores(ds, text_col=text_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        nlen = t.column(len_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nlen > 0
+        q, nlen = q[keep], nlen[keep]
+        _, expo = np.frexp(nlen.astype(np.float64))
+        qb = np.floor(q * QS).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "len_bin": pa.array(expo.astype(np.int64)),
+                    "n": pa.array(np.ones(len(qb), np.int64)),
+                    "q_sum": pa.array(qb),
+                }
+            )
+            .group_by(["len_bin"])
+            .aggregate([("n", "sum"), ("q_sum", "sum")])
+        )
+        return g.rename_columns(["len_bin", "n", "q_sum"])
+
+    rep = bucketed_sum(
+        scored.map_batches(partial, batch_format="pyarrow"),
+        ["len_bin"],
+        ["n", "q_sum"],
+    ).to_pandas()
+    empty = pa.table(
+        {
+            "len_bin": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "q_sum": pa.array([], pa.int64()),
+            "mean_quality": pa.array([], pa.float64()),
+        }
+    )
+    if len(rep) == 0:
+        return rd.from_arrow(empty)
+    rep = rep.sort_values("len_bin", kind="mergesort").reset_index(drop=True)
+    n = rep["n"].to_numpy(np.int64)
+    qs = rep["q_sum"].to_numpy(np.int64)
+    meanq = (qs.astype(np.float64) / QS) / n.astype(np.float64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "len_bin": pa.array(rep["len_bin"].to_numpy(np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "q_sum": pa.array(qs, pa.int64()),
+                "mean_quality": pa.array(meanq, pa.float64()),
+            }
+        )
+    )
