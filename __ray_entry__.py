@@ -773,6 +773,20 @@ def q_poly_majority(sf_dir: str):
     )
 
 
+def q_pip_density(sf_dir: str):
+    """Observation density per reference polygon
+    (stages/pip.pip_density): exact PIP pair counts over the
+    value-checked shoelace areas, zero-count polygons included, pinned
+    n/(area/S) chain."""
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    return _i64(
+        pip.pip_density(_geo(sf_dir), f"{root}/polygons.parquet"),
+        ["poly_id", "n_obs", "area_scaled", "density"],
+    )
+
+
 def q_poly_zonal(sf_dir: str):
     """reduceRegions: per-POLYGON zonal statistics (the reference's
     feature-collection zonal reduce — reference src/utils/s2process.py
@@ -5913,6 +5927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_year": q_change_year,
         "poly_zonal": q_poly_zonal,
         "poly_majority": q_poly_majority,
+        "pip_density": q_pip_density,
         "edge_distance": q_edge_distance,
         "approx_percentile": q_approx_percentile,
         "media_dedup": q_media_dedup,
@@ -6912,6 +6927,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "iji": _iji_sql(root),
         "contag": _contag_sql(root),
         "poly_majority": _poly_majority_sql(root),
+        "pip_density": _pip_density_sql(root),
         "edge_distance": _edge_distance_sql(root),
         "std_ellipse": _std_ellipse_sql(root),
         "join_counts": _join_counts_sql(root),
@@ -10649,6 +10665,69 @@ def _edge_distance_sql(root: str) -> str:
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id, span_idx ORDER BY d2, rid, i
         ) = 1"""
+
+
+def _pip_density_sql(root: str) -> str:
+    """pip_density oracle: the poly_zonal ray-casting pair counts, the
+    poly_area outer-ring ordered shoelace fold per polygon, COALESCE-0
+    left join, pinned n/(area/S) density."""
+    return f"""
+        WITH {_geo_cte(root)},
+        pdn_pp AS (
+            SELECT poly_id,
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet')
+            WHERE kind = 'reference'
+        ),
+        pdn_r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM pdn_pp
+        ),
+        pdn_v AS (
+            SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                   unnest(ring) AS p
+            FROM pdn_r
+        ),
+        pdn_e AS (
+            SELECT a.poly_id, a.rid, a.i, a.p.x AS x1, a.p.y AS y1,
+                   b.p.x AS x2, b.p.y AS y2
+            FROM pdn_v a JOIN pdn_v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        pdn_area AS (
+            SELECT poly_id,
+                   CAST(round((abs(list_reduce(list_prepend(0.0,
+                        list(x1 * y2 - x2 * y1 ORDER BY i)),
+                        (x, y) -> x + y)) * 0.5)
+                        * 1000000000000.0, 0) AS BIGINT) AS area_scaled
+            FROM pdn_e WHERE rid = 1 GROUP BY poly_id
+        ),
+        pdn_cand AS (
+            SELECT g.doc_id, g.span_idx, g.lon, g.lat, p.poly_id
+            FROM geo g JOIN pdn_pp p
+              ON g.lon >= p.minx AND g.lon <= p.maxx
+             AND g.lat >= p.miny AND g.lat <= p.maxy
+        ),
+        pdn_c AS (
+            SELECT cand.doc_id, cand.span_idx, cand.poly_id,
+                   SUM(CASE WHEN (e.y1 <= cand.lat) <> (e.y2 <= cand.lat)
+                             AND cand.lon < e.x1 + (cand.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM pdn_cand cand JOIN pdn_e e ON cand.poly_id = e.poly_id
+            GROUP BY 1, 2, 3
+        ),
+        pdn_n AS (
+            SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM pdn_c WHERE crossings % 2 = 1 GROUP BY 1
+        )
+        SELECT a.poly_id, COALESCE(n.n_obs, 0) AS n_obs, a.area_scaled,
+               CAST(COALESCE(n.n_obs, 0) AS DOUBLE)
+                   / (CAST(a.area_scaled AS DOUBLE) / 1000000000000.0)
+                   AS density
+        FROM pdn_area a LEFT JOIN pdn_n n ON n.poly_id = a.poly_id"""
 
 
 def _poly_majority_sql(root: str, year: int = 2022) -> str:

@@ -896,3 +896,66 @@ def edge_distance(geo, polygons_path: str, kinds: list[str] | None = None):
         )
 
     return labeled.map_batches(snap, batch_format="pyarrow")
+
+
+def pip_density(geo, polygons_path: str):
+    """Observation density per reference polygon — points per unit area
+    (the monitoring-coverage report: which protected areas are under-
+    observed): exact PIP containment-pair counts per polygon over the
+    shoelace area, zero-count polygons included.
+
+    density = n / (area_scaled / AREA_SCALE) — ONE pinned chain of the
+    exact integer count and the value-checked scaled shoelace area.
+
+    Output: (poly_id:string, n_obs:int64, area_scaled:int64,
+    density:f64), polygons sorted.
+    """
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..stages.allocation import AREA_SCALE
+    from .zonal import bucketed_sum
+
+    inner = pip_join(geo, polygons_path, kinds=["reference"], mode="inner")
+
+    def cpart(t: pa.Table) -> pa.Table:
+        g = t.select(["poly_id"]).group_by(["poly_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["poly_id", "n_obs"])
+
+    counts = (
+        bucketed_sum(
+            inner.map_batches(cpart, batch_format="pyarrow"),
+            ["poly_id"],
+            ["n_obs"],
+        )
+        .to_pandas()
+        .set_index("poly_id")["n_obs"]
+    )
+    polys = pq.read_table(polygons_path, columns=["poly_id", "kind", "rings"])
+    polys = polys.filter(
+        pa.compute.equal(polys.column("kind"), "reference")
+    )
+    pids = polys.column("poly_id").to_pylist()
+    rings = polys.column("rings").to_pylist()
+    area = np.empty(len(rings), np.int64)
+    for i, poly in enumerate(rings):
+        ring = np.array([[p["x"], p["y"]] for p in poly[0]])
+        terms = ring[:-1, 0] * ring[1:, 1] - ring[1:, 0] * ring[:-1, 1]
+        f = np.add.accumulate(terms)[-1] if terms.size else 0.0
+        area[i] = np.int64(np.round((np.abs(f) * 0.5) * AREA_SCALE))
+    order = np.argsort(np.asarray(pids, object), kind="mergesort")
+    pids_s = [pids[i] for i in order]
+    area_s = area[order]
+    n_obs = np.array([int(counts.get(p, 0)) for p in pids_s], np.int64)
+    dens = n_obs.astype(np.float64) / (area_s.astype(np.float64) / float(AREA_SCALE))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array(pids_s, pa.string()),
+                "n_obs": pa.array(n_obs, pa.int64()),
+                "area_scaled": pa.array(area_s, pa.int64()),
+                "density": pa.array(dens, pa.float64()),
+            }
+        )
+    )
