@@ -1939,6 +1939,45 @@ def q_source_lang_assoc(sf_dir: str):
     )
 
 
+def q_net_change(sf_dir: str):
+    """Net land-cover flow matrix 2020→2022 — the directional change
+    report derived from the distributed change_matrix: for every
+    unordered class pair, gross flows both ways and the NET flow
+    (n_ij − n_ji; positive = class a is losing tiles to class b).
+    Pure integers on the ≤k² driver-side matrix."""
+    import ray.data as rd
+
+    from kaza_lcms_ray.stages import assemblage
+
+    root = _synth(sf_dir)
+    prims = rd.read_parquet(f"{root}/primitives.parquet")
+    cm = assemblage.change_matrix(prims, 2020, 2022).to_pandas()
+    flows: dict = {}
+    for r in cm.itertuples():
+        f, t, n = int(r.from_class), int(r.to_class), int(r.n_tiles)
+        if f == t:
+            continue
+        a, b = (f, t) if f < t else (t, f)
+        key = (a, b)
+        ab, ba = flows.get(key, (0, 0))
+        if f == a:
+            flows[key] = (ab + n, ba)
+        else:
+            flows[key] = (ab, ba + n)
+    rows = sorted(flows.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "class_a": pa.array([k[0] for k, _ in rows], pa.int64()),
+                "class_b": pa.array([k[1] for k, _ in rows], pa.int64()),
+                "a_to_b": pa.array([v[0] for _, v in rows], pa.int64()),
+                "b_to_a": pa.array([v[1] for _, v in rows], pa.int64()),
+                "net": pa.array([v[0] - v[1] for _, v in rows], pa.int64()),
+            }
+        )
+    )
+
+
 def q_cramers_v(sf_dir: str):
     """Cramér's V association strength between the 2020 and 2022 label
     rasters — the scalar change-analysis companion of change_matrix
@@ -5948,6 +5987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_matrix": q_change_matrix,
         "cramers_v": q_cramers_v,
         "source_lang_assoc": q_source_lang_assoc,
+        "net_change": q_net_change,
         "variogram": q_variogram,
         "leakage_split": q_leakage_split,
         "events_attribution": q_events_attribution,
@@ -6829,6 +6869,34 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                               * (k.k - 1) AS DOUBLE))
                    ELSE 0.0 END AS v
             FROM sla_tot t, sla_k k, sla_chi c""",
+        "net_change": f"""
+            WITH nc_lab AS MATERIALIZED (
+                SELECT tile_id, "year", CAST(class AS BIGINT) AS lc
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY tile_id, "year"
+                        ORDER BY prob DESC, class ASC
+                    ) AS rn
+                    FROM read_parquet('{root}/primitives.parquet')
+                ) WHERE rn = 1
+            ),
+            nc_cm AS (
+                SELECT a.lc AS f, b.lc AS t, CAST(COUNT(*) AS BIGINT) AS n
+                FROM nc_lab a JOIN nc_lab b ON a.tile_id = b.tile_id
+                WHERE a."year" = 2020 AND b."year" = 2022 AND a.lc <> b.lc
+                GROUP BY 1, 2
+            ),
+            nc_p AS (
+                SELECT LEAST(f, t) AS class_a, GREATEST(f, t) AS class_b,
+                       CAST(SUM(CASE WHEN f < t THEN n ELSE 0 END) AS BIGINT)
+                           AS a_to_b,
+                       CAST(SUM(CASE WHEN f > t THEN n ELSE 0 END) AS BIGINT)
+                           AS b_to_a
+                FROM nc_cm GROUP BY 1, 2
+            )
+            SELECT class_a, class_b, a_to_b, b_to_a,
+                   a_to_b - b_to_a AS net
+            FROM nc_p""",
         "cramers_v": f"""
             WITH cvx_lab AS MATERIALIZED (
                 SELECT tile_id, "year", CAST(class AS BIGINT) AS lc
