@@ -4626,6 +4626,17 @@ def q_activation_latency(sf_dir: str):
     return events.activation_latency(_tbl(sf_dir, "events"))
 
 
+def q_user_entropy(sf_dir: str):
+    """Per-user behavioral entropy (stages/events.user_entropy):
+    quantized -p ln p terms over event-type counts, pinned h_q/2^30."""
+    from kaza_lcms_ray.stages import events
+
+    return _i64(
+        events.user_entropy(_tbl(sf_dir, "events")),
+        ["user_id", "n_events", "h_q", "entropy"],
+    )
+
+
 def q_events_pivot(sf_dir: str):
     """Per-user event-type count matrix (pivot as conditional-count
     partials + one Sum combine)."""
@@ -6114,6 +6125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_burstiness": q_event_burstiness,
         "peak_hours": q_peak_hours,
         "activation_latency": q_activation_latency,
+        "user_entropy": q_user_entropy,
         "basket_rules": q_basket_rules,
         "rfm_segments": q_rfm_segments,
         "abc_parts": q_abc_parts,
@@ -7333,6 +7345,25 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    CAST(to_us - from_us AS BIGINT) AS latency_us
             FROM al_f
             WHERE from_us IS NOT NULL AND to_us IS NOT NULL""",
+        "user_entropy": """
+            WITH ue_c AS (
+                SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            ue_t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot
+                     FROM ue_c GROUP BY 1),
+            ue_q AS (
+                SELECT c.user_id,
+                       CAST(SUM(CAST(floor(
+                           -((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                             * ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)))
+                           * 1073741824.0) AS BIGINT)) AS BIGINT) AS h_q
+                FROM ue_c c JOIN ue_t t ON t.user_id = c.user_id
+                GROUP BY 1
+            )
+            SELECT t.user_id, t.tot AS n_events, q.h_q,
+                   CAST(q.h_q AS DOUBLE) / 1073741824.0 AS entropy
+            FROM ue_t t JOIN ue_q q ON q.user_id = t.user_id""",
         "peak_hours": """
             WITH ph_h AS (
                 SELECT event_type,

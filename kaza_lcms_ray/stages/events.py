@@ -2590,3 +2590,82 @@ def activation_latency(ds, from_type: str = "signup", to_type: str = "purchase")
             }
         )
     )
+
+
+def user_entropy(ds):
+    """Per-user behavioral entropy — event-type diversity (0 = one-note
+    bots/single-purpose accounts, high = diverse engagement), the
+    per-entity companion of the landscape Shannon family:
+
+        H_u = Σ_types −(n/N_u)·ln(n/N_u)
+
+    Exactness: type counts exact; each term floor-quantizes to
+    ⌊−p·ln p·2³⁰⌋ (libm ln, order-free int sums per user); H is one
+    pinned h_q/2³⁰ scaling.  Scale shape: (user, type) bucketed counts,
+    whole users per hash bucket, vectorized segment folds.
+
+    Output: (user_id:int64, n_events:int64, h_q:int64, entropy:f64),
+    users sorted (n_types is omitted: at gate scale every user touches
+    every type, which would read as a degenerate constant column —
+    events_pivot carries the per-type breakdown).
+    """
+    import math
+
+    import numpy as np
+
+    import ray.data as rd
+
+    from .zonal import _add_bucket, _default_buckets, bucketed_sum
+
+    S = float(1 << 30)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    ut = bucketed_sum(
+        ds.select_columns(["user_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id", "event_type"],
+        ["n"],
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        o = np.argsort(uid, kind="mergesort")
+        uid, n = uid[o], n[o]
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(uid)])))
+        tot = np.repeat(np.add.reduceat(n, starts), lens)
+        p = n.astype(np.float64) / tot.astype(np.float64)
+        log_u = np.frompyfunc(math.log, 1, 1)
+        terms = np.floor(-(p * log_u(p).astype(np.float64)) * S).astype(np.int64)
+        hq = np.add.reduceat(terms, starts)
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_events": np.add.reduceat(n, starts),
+                "h_q": hq,
+            }
+        )
+
+    rep = (
+        _add_bucket(ut, ["user_id"], _default_buckets())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .select_columns(["user_id", "n_events", "h_q"])
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        hq = t.column("h_q").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "entropy", pa.array(hq.astype(np.float64) / S, pa.float64())
+        )
+
+    return rep.map_batches(finalize, batch_format="pyarrow")
