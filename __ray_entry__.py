@@ -4637,6 +4637,15 @@ def q_user_entropy(sf_dir: str):
     )
 
 
+def q_punchcard(sf_dir: str):
+    """Day-of-week x hour punchcard (stages/events.punchcard): pure
+    integer epoch arithmetic (no locale functions), exact counts,
+    pinned shares."""
+    from kaza_lcms_ray.stages import events
+
+    return events.punchcard(_tbl(sf_dir, "events"))
+
+
 def q_events_pivot(sf_dir: str):
     """Per-user event-type count matrix (pivot as conditional-count
     partials + one Sum combine)."""
@@ -6126,6 +6135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hours": q_peak_hours,
         "activation_latency": q_activation_latency,
         "user_entropy": q_user_entropy,
+        "punchcard": q_punchcard,
         "basket_rules": q_basket_rules,
         "rfm_segments": q_rfm_segments,
         "abc_parts": q_abc_parts,
@@ -7345,6 +7355,21 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    CAST(to_us - from_us AS BIGINT) AS latency_us
             FROM al_f
             WHERE from_us IS NOT NULL AND to_us IS NOT NULL""",
+        "punchcard": """
+            WITH pcd_h AS (
+                SELECT ((epoch_us(ts) // 3600000000 // 24) + 4) % 7 AS dow,
+                       (epoch_us(ts) // 3600000000) % 24 AS hour
+                FROM events
+            ),
+            pcd_c AS (
+                SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n
+                FROM pcd_h GROUP BY 1, 2
+            ),
+            pcd_t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM pcd_c)
+            SELECT CAST(c.dow AS BIGINT) AS dow,
+                   CAST(c.hour AS BIGINT) AS hour, c.n,
+                   CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+            FROM pcd_c c CROSS JOIN pcd_t t""",
         "user_entropy": """
             WITH ue_c AS (
                 SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n

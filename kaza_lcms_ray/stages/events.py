@@ -2669,3 +2669,67 @@ def user_entropy(ds):
         )
 
     return rep.map_batches(finalize, batch_format="pyarrow")
+
+
+def punchcard(ds):
+    """The activity punchcard — day-of-week × hour-of-day event counts
+    (the classic engagement heat-map): pure integer epoch arithmetic on
+    both sides (dow = (epoch_days + 4) mod 7, 0 = Sunday — no locale or
+    timezone functions anywhere), exact counts, pinned share of total.
+
+    Output: (dow:int64, hour:int64, n:int64, share:f64), sorted.
+    """
+    import numpy as np
+
+    import ray.data as rd
+
+    from .zonal import bucketed_sum
+
+    HOUR_NS = 3_600_000_000_000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        hours = ns // HOUR_NS
+        hour = hours % 24
+        days = hours // 24
+        dow = (days + 4) % 7
+        return (
+            pd.DataFrame({"dow": dow, "hour": hour})
+            .groupby(["dow", "hour"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    rep = (
+        bucketed_sum(
+            ds.select_columns(["ts"]).map_batches(partial, batch_format="pandas"),
+            ["dow", "hour"],
+            ["n"],
+        )
+        .to_pandas()  # ≤ 168 rows
+        .sort_values(["dow", "hour"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    empty = pa.table(
+        {
+            "dow": pa.array([], pa.int64()),
+            "hour": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "share": pa.array([], pa.float64()),
+        }
+    )
+    if len(rep) == 0:
+        return rd.from_arrow(empty)
+    n = rep["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    share = n.astype(np.float64) / np.float64(total)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "dow": pa.array(rep["dow"].to_numpy(np.int64)),
+                "hour": pa.array(rep["hour"].to_numpy(np.int64)),
+                "n": pa.array(n, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )
