@@ -5046,6 +5046,21 @@ def q_return_rates(sf_dir: str):
     )
 
 
+def q_revenue_deciles(sf_dir: str):
+    """Customer revenue Lorenz deciles
+    (pipelines/analytics.revenue_deciles): exact cent ranks with
+    (rev DESC, key ASC) ties, integer decile = 10*(rank-1)//n, pinned
+    shares."""
+    from kaza_lcms_ray.pipelines import analytics
+
+    return _i64(
+        analytics.revenue_deciles(
+            _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        ),
+        ["decile", "rev_cents", "share"],
+    )
+
+
 def q_basket_rules(sf_dir: str):
     """Market-basket association rules (pipelines/analytics.basket_rules):
     vectorized per-order pair expansion over the distinct (order, part)
@@ -6143,6 +6158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_vs_returning": q_new_vs_returning,
         "hhi": q_hhi,
         "return_rates": q_return_rates,
+        "revenue_deciles": q_revenue_deciles,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -7151,6 +7167,31 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                    CAST(ret_cents AS DOUBLE) / CAST(rev_cents AS DOUBLE)
                        AS ret_share
             FROM rr_b""",
+        "revenue_deciles": """
+            WITH rd_c AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders GROUP BY 1
+            ),
+            rd_r AS (
+                SELECT rev,
+                       row_number() OVER (
+                           ORDER BY rev DESC, o_custkey ASC
+                       ) AS rnk,
+                       COUNT(*) OVER () AS n
+                FROM rd_c
+            ),
+            rd_g AS (
+                SELECT CAST((10 * (rnk - 1)) // n AS BIGINT) AS decile,
+                       CAST(SUM(rev) AS BIGINT) AS rev_cents
+                FROM rd_r GROUP BY 1
+            ),
+            rd_t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM rd_g)
+            SELECT g.decile, g.rev_cents,
+                   CAST(g.rev_cents AS DOUBLE) / CAST(t.total AS DOUBLE)
+                       AS share
+            FROM rd_g g CROSS JOIN rd_t t""",
         "hhi": """
             WITH hh_s AS (
                 SELECT l_suppkey,

@@ -3376,3 +3376,80 @@ def return_rates(lineitem, part):
             }
         )
     )
+
+
+def revenue_deciles(orders):
+    """Customer revenue concentration by decile — the Lorenz-curve table
+    behind "top 10 % of customers drive X % of revenue": customers rank
+    by exact cent revenue (ties to the smaller key), split into 10
+    nearest-rank deciles (decile = ⌊10·(rank−1)/n⌋ — pure integers), and
+    each decile reports counts, revenue and the pinned share.
+
+    The raw pass is one bucketed per-customer cent reduce; ranking runs
+    on the customer-bounded dimension table.
+
+    Output: (decile:int64, rev_cents:int64, share:f64), decile 0 =
+    highest-revenue customers (decile sizes are equal by construction
+    ±1, so a count column would be degenerate).
+    """
+    import pandas as pd
+
+    from ..state.money import to_cents
+    from ..stages.zonal import bucketed_sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                    "rev": to_cents(df["o_totalprice"].to_numpy()),
+                }
+            )
+            .groupby("o_custkey", as_index=False)["rev"]
+            .sum()
+        )
+
+    per_cust = (
+        bucketed_sum(
+            orders.select_columns(["o_custkey", "o_totalprice"]).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["o_custkey"],
+            ["rev"],
+        )
+        .to_pandas()  # customer-bounded dimension table
+    )
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "rev_cents": pa.array([], pa.int64()),
+            "share": pa.array([], pa.float64()),
+        }
+    )
+    if len(per_cust) == 0:
+        return rd.from_arrow(empty)
+    per_cust = per_cust.sort_values(
+        ["rev", "o_custkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    n = len(per_cust)
+    rank = np.arange(n, dtype=np.int64)  # 0-based = rank-1
+    decile = (10 * rank) // n
+    rev = per_cust["rev"].to_numpy(np.int64)
+    g = (
+        pd.DataFrame({"decile": decile, "rev_cents": rev})
+        .groupby("decile", as_index=False)
+        .sum()
+    )
+    total = int(rev.sum())
+    share = g["rev_cents"].to_numpy(np.int64).astype(np.float64) / np.float64(total)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "decile": pa.array(g["decile"].to_numpy(np.int64)),
+                "rev_cents": pa.array(g["rev_cents"].to_numpy(np.int64)),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+    )
