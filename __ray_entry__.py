@@ -5640,6 +5640,47 @@ def q_dedup_incremental(sf_dir: str):
     )
 
 
+def q_scd2_history(sf_dir: str):
+    """SCD type-2 history build between two corpus snapshots
+    (stages/dedup.scd2_history): the snapshot_diff derived-B inputs,
+    fingerprint change detection, pure-integer validity windows."""
+    import pyarrow.compute as pc
+
+    from kaza_lcms_ray.stages import dedup
+
+    docs = _doc_table(sf_dir, columns=["doc_id", "text"])
+
+    def mod(col, m):
+        return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
+
+    def make_b(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        text = t.column("text")
+        kept = pc.not_equal(mod(ids, 7), 0)
+        t2 = pa.table({"doc_id": ids, "text": text}).filter(kept)
+        rewrite = pc.equal(mod(t2.column("doc_id"), 5), 0)
+        new_text = pc.if_else(
+            rewrite,
+            pc.binary_join_element_wise(t2.column("text"), " v2", ""),
+            t2.column("text"),
+        )
+        extra_m = pc.equal(mod(ids, 13), 0)
+        ex = pa.table({"doc_id": ids, "text": text}).filter(extra_m)
+        ex_ids = pc.subtract(pc.negate(ex.column("doc_id")), 1)
+        return pa.concat_tables(
+            [
+                pa.table({"doc_id": t2.column("doc_id"), "text": new_text}),
+                pa.table({"doc_id": ex_ids, "text": ex.column("text")}),
+            ]
+        )
+
+    snap_b = docs.map_batches(make_b, batch_format="pyarrow")
+    return _i64(
+        dedup.scd2_history(docs, snap_b),
+        ["doc_id", "valid_from", "valid_to"],
+    )
+
+
 def q_snapshot_diff(sf_dir: str):
     """Crawl-to-crawl change detection (stages/dedup.snapshot_diff):
     snapshot B is derived deterministically from the documents table
@@ -6049,6 +6090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ffill": q_events_ffill,
         "dedup_incremental": q_dedup_incremental,
         "snapshot_diff": q_snapshot_diff,
+        "scd2_history": q_scd2_history,
         "quality_histogram": q_quality_histogram,
         "column_profile": q_column_profile,
         "ann_recall": q_ann_recall,
@@ -6361,6 +6403,31 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             ["doc_id", "text", "lang", "source", "n_chars"],
             ["text", "lang", "source"],
         ),
+        "scd2_history": """
+            WITH sc_b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text
+                       END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT -doc_id - 1, text FROM documents WHERE doc_id % 13 = 0
+            ),
+            sc_j AS (
+                SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                       a.doc_id IS NULL AS only_b,
+                       b.doc_id IS NULL AS only_a,
+                       a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+                           AND a.text <> b.text AS changed
+                FROM documents a FULL OUTER JOIN sc_b b
+                  ON a.doc_id = b.doc_id
+            )
+            SELECT doc_id, CAST(0 AS BIGINT) AS valid_from,
+                   CAST(CASE WHEN changed OR only_a THEN 1 ELSE -1 END
+                        AS BIGINT) AS valid_to
+            FROM sc_j WHERE NOT only_b
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT), CAST(-1 AS BIGINT)
+            FROM sc_j WHERE changed OR only_b""",
         "snapshot_diff": """
             WITH snap_b AS (
                 SELECT doc_id,

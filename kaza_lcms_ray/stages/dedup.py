@@ -2039,3 +2039,89 @@ def containment_pairs(ds, text_col: str, id_col: str, k: int = 5, threshold: flo
         return out.filter(pa.array(c >= threshold))
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def scd2_history(ds_a, ds_b, key_col: str = "text", id_col: str = "doc_id"):
+    """Slowly-changing-dimension type-2 history build between two corpus
+    snapshots — the warehouse-ETL staple: per id, versioned rows with
+    integer validity windows (valid_from/valid_to in snapshot epochs,
+    −1 = still open):
+
+      unchanged → (0, −1)             changed → (0, 1) + (1, −1)
+      added     → (1, −1)             removed → (0, 1)
+
+    Content travels as the :func:`snapshot_diff` 128-bit fingerprints
+    internally (the join exchanges 3 integers per row whatever the
+    document size); ``valid_from`` IS the snapshot epoch whose content
+    the row carries, so the whole history row is pure integers.
+
+    Output: (doc_id:int64, valid_from:int64, valid_to:int64).
+    """
+    import pyarrow.compute as pc
+
+    from ..runtime import join_partitions
+
+    def fps(names):
+        idn, hn, ln = names
+
+        def fn(t: pa.Table) -> pa.Table:
+            col = t.column(key_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            hi, lo = _fp128(col)
+            return pa.table(
+                {
+                    idn: t.column(id_col),
+                    hn: pa.array(hi.astype(np.int64)),
+                    ln: pa.array(lo.astype(np.int64)),
+                }
+            )
+
+        return fn
+
+    a = ds_a.map_batches(fps(("ida", "ha", "la")), batch_format="pyarrow").materialize()
+    b = ds_b.map_batches(fps(("idb", "hb", "lb")), batch_format="pyarrow")
+    joined = a.join(
+        b,
+        join_type="full_outer",
+        num_partitions=join_partitions(rows_hint=a.count()),
+        on=("ida",),
+        right_on=("idb",),
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        def i64(name):
+            return (
+                pc.fill_null(t.column(name), 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+
+        only_b = pc.is_null(t.column("ha")).to_numpy(zero_copy_only=False)
+        only_a = pc.is_null(t.column("hb")).to_numpy(zero_copy_only=False)
+        ha, hb, la, lb = i64("ha"), i64("hb"), i64("la"), i64("lb")
+        ids = i64("ida")
+        both = ~only_a & ~only_b
+        changed = both & ((ha != hb) | (la != lb))
+        unchanged = both & ~changed
+        out_id, out_f, out_t = [], [], []
+        # epoch-0 rows: unchanged stay open; changed/removed close at 1
+        m = ~only_b
+        closes = changed | only_a
+        out_id.append(ids[m])
+        out_f.append(np.zeros(int(m.sum()), np.int64))
+        out_t.append(np.where(closes[m], np.int64(1), np.int64(-1)))
+        # epoch-1 rows for changed/added, open
+        m2 = changed | only_b
+        out_id.append(ids[m2])
+        out_f.append(np.ones(int(m2.sum()), np.int64))
+        out_t.append(np.full(int(m2.sum()), -1, np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "valid_from": pa.array(np.concatenate(out_f), pa.int64()),
+                "valid_to": pa.array(np.concatenate(out_t), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(emit, batch_format="pyarrow")
