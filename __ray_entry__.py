@@ -787,6 +787,20 @@ def q_pip_density(sf_dir: str):
     )
 
 
+def q_coverage_gaps(sf_dir: str):
+    """Monitoring blind spots per reference polygon
+    (stages/pip.coverage_gaps): bbox-enumerated grid cells, exact ring
+    containment of centers, broadcast occupancy probe, pinned gap
+    share."""
+    from kaza_lcms_ray.stages import pip
+
+    root = _synth(sf_dir)
+    return _i64(
+        pip.coverage_gaps(_geo(sf_dir), f"{root}/polygons.parquet"),
+        ["poly_id", "n_cells", "n_observed", "n_gaps", "gap_share"],
+    )
+
+
 def q_poly_zonal(sf_dir: str):
     """reduceRegions: per-POLYGON zonal statistics (the reference's
     feature-collection zonal reduce — reference src/utils/s2process.py
@@ -6043,6 +6057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_zonal": q_poly_zonal,
         "poly_majority": q_poly_majority,
         "pip_density": q_pip_density,
+        "coverage_gaps": q_coverage_gaps,
         "edge_distance": q_edge_distance,
         "approx_percentile": q_approx_percentile,
         "media_dedup": q_media_dedup,
@@ -7101,6 +7116,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
         "contag": _contag_sql(root),
         "poly_majority": _poly_majority_sql(root),
         "pip_density": _pip_density_sql(root),
+        "coverage_gaps": _coverage_gaps_sql(root),
         "edge_distance": _edge_distance_sql(root),
         "std_ellipse": _std_ellipse_sql(root),
         "join_counts": _join_counts_sql(root),
@@ -10897,6 +10913,94 @@ def _edge_distance_sql(root: str) -> str:
         QUALIFY ROW_NUMBER() OVER (
             PARTITION BY doc_id, span_idx ORDER BY d2, rid, i
         ) = 1"""
+
+
+def _coverage_gaps_sql(root: str) -> str:
+    """coverage_gaps oracle: bbox grid-cell enumeration via
+    generate-range laterals, the ray-casting center containment, a
+    DISTINCT-occupied anti-probe, pinned gap shares."""
+    from kaza_lcms_ray.state.cells import (
+        CELL_LEVEL,
+        grid_coord_sql_expr,
+        morton_sql_expr,
+    )
+
+    ix_min = grid_coord_sql_expr("p.minx", 180.0, 360.0, CELL_LEVEL)
+    ix_max = grid_coord_sql_expr("p.maxx", 180.0, 360.0, CELL_LEVEL)
+    iy_min = grid_coord_sql_expr("p.miny", 90.0, 180.0, CELL_LEVEL)
+    iy_max = grid_coord_sql_expr("p.maxy", 90.0, 180.0, CELL_LEVEL)
+    n = float(1 << CELL_LEVEL)
+    cell = morton_sql_expr("g.ix", "g.iy", CELL_LEVEL)
+    return f"""
+        WITH {_geo_cte(root)},
+        cg_occ AS (
+            SELECT DISTINCT {grid_coord_sql_expr("lon", 180.0, 360.0, CELL_LEVEL)} AS ox,
+                            {grid_coord_sql_expr("lat", 90.0, 180.0, CELL_LEVEL)} AS oy
+            FROM geo
+        ),
+        cg_occ_id AS (SELECT {morton_sql_expr("ox", "oy", CELL_LEVEL)} AS cell_id
+                      FROM cg_occ),
+        cg_pp AS (
+            SELECT poly_id,
+                   bbox.minx AS minx, bbox.miny AS miny,
+                   bbox.maxx AS maxx, bbox.maxy AS maxy, rings
+            FROM read_parquet('{root}/polygons.parquet')
+            WHERE kind = 'reference'
+        ),
+        cg_r AS (
+            SELECT poly_id, unnest(rings) AS ring,
+                   generate_subscripts(rings, 1) AS rid
+            FROM cg_pp
+        ),
+        cg_v AS (
+            SELECT poly_id, rid, generate_subscripts(ring, 1) AS i,
+                   unnest(ring) AS p
+            FROM cg_r
+        ),
+        cg_e AS (
+            SELECT a.poly_id, a.p.x AS x1, a.p.y AS y1, b.p.x AS x2,
+                   b.p.y AS y2
+            FROM cg_v a JOIN cg_v b
+              ON a.poly_id = b.poly_id AND a.rid = b.rid AND b.i = a.i + 1
+        ),
+        cg_g AS (
+            SELECT p.poly_id, gx.ix, gy.iy,
+                   (gx.ix + 0.5) / {n!r} * 360.0 - 180.0 AS lon,
+                   (gy.iy + 0.5) / {n!r} * 180.0 - 90.0 AS lat
+            FROM cg_pp p,
+                 LATERAL (SELECT unnest(range({ix_min}, {ix_max} + 1)) AS ix) gx,
+                 LATERAL (SELECT unnest(range({iy_min}, {iy_max} + 1)) AS iy) gy
+        ),
+        cg_c AS (
+            SELECT g.poly_id, g.ix, g.iy, g.lon, g.lat,
+                   SUM(CASE WHEN (e.y1 <= g.lat) <> (e.y2 <= g.lat)
+                             AND g.lon < e.x1 + (g.lat - e.y1)
+                                 / (e.y2 - e.y1) * (e.x2 - e.x1)
+                       THEN 1 ELSE 0 END) AS crossings
+            FROM cg_g g JOIN cg_e e ON e.poly_id = g.poly_id
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        cg_in AS (
+            SELECT poly_id, {cell.replace("g.ix", "ix").replace("g.iy", "iy")}
+                       AS cell_id
+            FROM cg_c g WHERE crossings % 2 = 1
+        ),
+        cg_agg AS (
+            SELECT i.poly_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(COUNT(*) FILTER (WHERE o.cell_id IS NOT NULL)
+                        AS BIGINT) AS n_observed
+            FROM cg_in i LEFT JOIN cg_occ_id o ON o.cell_id = i.cell_id
+            GROUP BY 1
+        )
+        SELECT p.poly_id,
+               COALESCE(a.n_cells, 0) AS n_cells,
+               COALESCE(a.n_observed, 0) AS n_observed,
+               COALESCE(a.n_cells, 0) - COALESCE(a.n_observed, 0) AS n_gaps,
+               CASE WHEN COALESCE(a.n_cells, 0) = 0 THEN 0.0
+                    ELSE CAST(a.n_cells - a.n_observed AS DOUBLE)
+                         / CAST(a.n_cells AS DOUBLE) END AS gap_share
+        FROM cg_pp p LEFT JOIN cg_agg a ON a.poly_id = p.poly_id"""
 
 
 def _pip_density_sql(root: str) -> str:

@@ -959,3 +959,74 @@ def pip_density(geo, polygons_path: str):
             }
         )
     )
+
+
+def coverage_gaps(geo, polygons_path: str):
+    """Monitoring blind spots per reference polygon — grid cells whose
+    CENTER lies inside the polygon but which contain NO observations
+    (the complement of :func:`pip_density`; the map a field-campaign
+    planner actually wants): per polygon the in-cell count, observed
+    count, gap count and pinned gap share.
+
+    Scale shape: polygon bboxes enumerate their own CELL_LEVEL grid
+    cells (polygon-bounded work, independent of corpus size); centers
+    test against the exact ring index; occupancy probes the broadcast
+    sorted occupied-cell array.
+
+    Output: (poly_id:string, n_cells:int64, n_observed:int64,
+    n_gaps:int64, gap_share:f64), polygons sorted.
+    """
+    import ray.data as rd
+
+    from ..state import cells as C
+    from ..state.geom import points_in_polygon
+    from ..stages import zonal
+
+    occ = (
+        zonal.zonal_sums(geo, keys=("cell_id",), bands=())
+        .select_columns(["cell_id"])
+        .to_pandas()["cell_id"]
+        .to_numpy(np.int64)
+    )
+    occ = np.sort(occ)
+    idx = load_polygon_index(polygons_path, ["reference"])
+    n_grid = np.int64(1) << C.CELL_LEVEL
+    rows = []
+    for pos in np.argsort(idx.poly_ids, kind="stable"):
+        pid = idx.poly_ids[int(pos)]
+        rings = idx.rings[int(pos)]
+        ring0 = np.asarray(rings[0], np.float64).reshape(-1, 2)
+        minx, miny = ring0.min(axis=0)
+        maxx, maxy = ring0.max(axis=0)
+        ix0 = C.grid_coords(np.array([minx]), np.array([miny]), C.CELL_LEVEL)
+        ix1 = C.grid_coords(np.array([maxx]), np.array([maxy]), C.CELL_LEVEL)
+        xs = np.arange(int(ix0[0][0]), int(ix1[0][0]) + 1, dtype=np.int64)
+        ys = np.arange(int(ix0[1][0]), int(ix1[1][0]) + 1, dtype=np.int64)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        gx, gy = gx.ravel(), gy.ravel()
+        lon = (gx.astype(np.float64) + 0.5) / float(n_grid) * 360.0 - 180.0
+        lat = (gy.astype(np.float64) + 0.5) / float(n_grid) * 180.0 - 90.0
+        inside = points_in_polygon(lon, lat, rings)
+        cid = np.asarray(C.morton(gx[inside], gy[inside]), np.int64)
+        n_in = int(inside.sum())
+        if n_in == 0:
+            rows.append((str(pid), 0, 0, 0, 0.0))
+            continue
+        p = np.searchsorted(occ, cid)
+        hit = (p < len(occ)) & (occ[np.minimum(p, len(occ) - 1)] == cid)
+        n_obs = int(hit.sum())
+        gaps = n_in - n_obs
+        rows.append(
+            (str(pid), n_in, n_obs, gaps, float(gaps) / float(n_in))
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "poly_id": pa.array([r[0] for r in rows], pa.string()),
+                "n_cells": pa.array([r[1] for r in rows], pa.int64()),
+                "n_observed": pa.array([r[2] for r in rows], pa.int64()),
+                "n_gaps": pa.array([r[3] for r in rows], pa.int64()),
+                "gap_share": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
