@@ -6255,6 +6255,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # --------------------------------------------------------------- oracle SQL
 
 
+def _h2d(expr: str) -> str:
+    """SQL for round-nearest HUGEINT→DOUBLE of a NON-NEGATIVE computed value.
+
+    DuckDB's CAST of a *computed* HUGEINT to DOUBLE is not round-nearest
+    above 2^63 (literals are).  hi*2^32 (exact for hi < 2^53) + lo (exact)
+    rounds ONCE == python float(int), valid for x < 2^85.
+    """
+    return (
+        f"(CAST(({expr}) // 4294967296 AS DOUBLE) * 4294967296.0"
+        f" + CAST(({expr}) % 4294967296 AS DOUBLE))"
+    )
+
+
+def _h2d_signed(expr: str) -> str:
+    """Signed variant of :func:`_h2d` (|x| < 2^85)."""
+    return (
+        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END"
+        f" * (CAST(abs({expr}) // 4294967296 AS DOUBLE) * 4294967296.0"
+        f" + CAST(abs({expr}) % 4294967296 AS DOUBLE)))"
+    )
+
+
 def _packing_mod():
     from kaza_lcms_ray.stages import packing
 
@@ -6955,7 +6977,7 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
             FROM cmx_lab a JOIN cmx_lab b ON a.tile_id = b.tile_id
             WHERE a."year" = 2020 AND b."year" = 2022
             GROUP BY 1, 2""",
-        "source_lang_assoc": """
+        "source_lang_assoc": f"""
             WITH sla_cm AS (
                 SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
                 FROM documents GROUP BY 1, 2
@@ -6979,14 +7001,15 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                                 t.big_n * (s.s - 1099511627776)) AS chi2q
                 FROM sla_tot t, sla_s s
             )
+            -- chi2q / the v denominator are COMPUTED HUGEINTs: pin the
+            -- casts via the exact hi/lo 2^32 split == python float(int)
             SELECT CAST(t.big_n AS BIGINT) AS n,
                    CAST(k.k AS BIGINT) AS k,
-                   CAST(c.chi2q AS DOUBLE)
+                   {_h2d("c.chi2q")}
                        / CAST(1099511627776 AS DOUBLE) AS chi2,
                    CASE WHEN k.k > 1 THEN sqrt(
-                       CAST(c.chi2q AS DOUBLE)
-                       / CAST(CAST(1099511627776 AS HUGEINT) * t.big_n
-                              * (k.k - 1) AS DOUBLE))
+                       {_h2d("c.chi2q")}
+                       / {_h2d("CAST(1099511627776 AS HUGEINT) * t.big_n * (k.k - 1)")})
                    ELSE 0.0 END AS v
             FROM sla_tot t, sla_k k, sla_chi c""",
         "net_change": f"""
@@ -7053,14 +7076,16 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                                 t.big_n * (s.s - {1 << 40})) AS chi2q
                 FROM cvx_tot t, cvx_s s
             )
+            -- chi2q and the v denominator are COMPUTED HUGEINTs (exceed
+            -- 2^63 once N*chi2*2^40 does): pin the casts via the exact
+            -- hi/lo 2^32 split == python float(int); both non-negative
             SELECT CAST(t.big_n AS BIGINT) AS n,
                    CAST(k.k AS BIGINT) AS k,
-                   CAST(c.chi2q AS DOUBLE)
+                   {_h2d("c.chi2q")}
                        / CAST({1 << 40} AS DOUBLE) AS chi2,
                    CASE WHEN k.k > 1 THEN sqrt(
-                       CAST(c.chi2q AS DOUBLE)
-                       / CAST(CAST({1 << 40} AS HUGEINT) * t.big_n * (k.k - 1)
-                              AS DOUBLE))
+                       {_h2d("c.chi2q")}
+                       / {_h2d(f"CAST({1 << 40} AS HUGEINT) * t.big_n * (k.k - 1)")})
                    ELSE 0.0 END AS v
             FROM cvx_tot t, cvx_k k, cvx_chi c""",
         "majority_smooth": _majority_smooth_sql(root),
@@ -7290,8 +7315,13 @@ def oracle_sql_for(sf: float) -> dict[str, str]:
                 FROM hh_s h JOIN supplier s ON s.s_suppkey = h.l_suppkey
                 GROUP BY 1
             )
+            -- s2 is a computed HUGEINT (sum of squared cent revenues,
+            -- ~1e19-1e20 at sf0.1): CAST of a COMPUTED HUGEINT is not
+            -- round-nearest above 2^63, so pin via the exact hi/lo 2^32
+            -- split (s2 >= 0, no sign branch) == python float(int)
             SELECT nation_key, n_suppliers, rev_cents,
-                   10000.0 * CAST(s2 AS DOUBLE)
+                   10000.0 * (CAST(s2 // 4294967296 AS DOUBLE) * 4294967296.0
+                              + CAST(s2 % 4294967296 AS DOUBLE))
                        / (CAST(rev_cents AS DOUBLE)
                           * CAST(rev_cents AS DOUBLE)) AS hhi
             FROM hh_n""",
@@ -11906,8 +11936,12 @@ def _kappa_sql(root: str) -> str:
         )
         SELECT big_n AS n, d AS n_agree, CAST(s AS BIGINT) AS marg,
                CAST(d AS DOUBLE) / CAST(big_n AS DOUBLE) AS overall_acc,
-               CAST(CAST(big_n AS HUGEINT) * d - s AS DOUBLE)
-                   / CAST(CAST(big_n AS HUGEINT) * big_n - s AS DOUBLE) AS kappa
+               -- N·d − s / N² − s are COMPUTED HUGEINTs: pin the cast via
+               -- the exact hi/lo 2^32 split (== python float(int)); the
+               -- numerator can go negative, the denominator cannot
+               -- (s = Σ r_i·c_i <= N²)
+               {_h2d_signed("CAST(big_n AS HUGEINT) * d - s")}
+                   / {_h2d("CAST(big_n AS HUGEINT) * big_n - s")} AS kappa
         FROM tot, m"""
 
 

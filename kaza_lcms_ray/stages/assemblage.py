@@ -1056,8 +1056,15 @@ def iji(primitives, year: int = 2022):
     pos = np.searchsorted(classes, i_arr)
     np.add.at(e_tot, pos, n_arr)
     np.add.at(n_part, pos, 1)
+    import math
+
     r = n_arr.astype(np.float64) / e_tot[pos].astype(np.float64)
-    terms = np.floor(-(r * np.log(r)) * IJI_SCALE).astype(np.int64)
+    # libm ln (frompyfunc) — numpy's SIMD log is ±1 ulp off libm, which
+    # can flip a floor(x·2^24) boundary against the DuckDB oracle's ln()
+    log_u = np.frompyfunc(math.log, 1, 1)
+    terms = np.floor(-(r * log_u(r).astype(np.float64)) * IJI_SCALE).astype(
+        np.int64
+    )
     np.add.at(h_q, pos, terms)
     iji_val = (
         h_q.astype(np.float64) / IJI_SCALE / np.log(np.float64(m) - 1.0) * 100.0
@@ -1303,20 +1310,27 @@ def pafrac(primitives, year: int = 2022, block_levels: int = 4):
     Q = PAFRAC_SCALE
 
     def partial(t: pa.Table) -> pa.Table:
+        import math
+
         a = t.column("a").to_numpy(zero_copy_only=False).astype(np.float64)
         p = t.column("p").to_numpy(zero_copy_only=False).astype(np.float64)
+        # libm ln (frompyfunc) as the docstring claims — numpy's SIMD log
+        # is ±1 ulp off libm and can flip a floor(x·Q) boundary vs DuckDB
+        log_u = np.frompyfunc(math.log, 1, 1)
+        ln_a = log_u(a).astype(np.float64)
+        ln_p = log_u(p).astype(np.float64)
         g = (
             pa.table(
                 {
                     "LANDCOVER": t.column("LANDCOVER"),
                     "n_patches": pa.array(np.ones(len(a), np.int64)),
-                    "x_sum": pa.array(np.floor(np.log(a) * Q).astype(np.int64)),
-                    "y_sum": pa.array(np.floor(np.log(p) * Q).astype(np.int64)),
+                    "x_sum": pa.array(np.floor(ln_a * Q).astype(np.int64)),
+                    "y_sum": pa.array(np.floor(ln_p * Q).astype(np.int64)),
                     "xx_sum": pa.array(
-                        np.floor((np.log(a) * np.log(a)) * Q).astype(np.int64)
+                        np.floor((ln_a * ln_a) * Q).astype(np.int64)
                     ),
                     "xy_sum": pa.array(
-                        np.floor((np.log(a) * np.log(p)) * Q).astype(np.int64)
+                        np.floor((ln_a * ln_p) * Q).astype(np.int64)
                     ),
                 }
             )
@@ -1437,9 +1451,17 @@ def contag(primitives, year: int = 2022):
     gi = np.zeros(len(cls_u), np.int64)
     pos = np.searchsorted(cls_u, i_arr)
     np.add.at(gi, pos, n_arr)
+    import math
+
     pi = a_u.astype(np.float64)[pos] / np.float64(A)
     r = pi * (n_arr.astype(np.float64) / gi.astype(np.float64)[pos])
-    s_q = int(np.floor((r * np.log(r)) * IJI_SCALE).astype(np.int64).sum())
+    # libm ln — SIMD np.log is ±1 ulp off and can flip the floor boundary
+    log_u = np.frompyfunc(math.log, 1, 1)
+    s_q = int(
+        np.floor((r * log_u(r).astype(np.float64)) * IJI_SCALE)
+        .astype(np.int64)
+        .sum()
+    )
     contag_val = (
         1.0 + (np.float64(s_q) / IJI_SCALE) / (2.0 * np.log(np.float64(m)))
     ) * 100.0

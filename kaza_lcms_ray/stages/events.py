@@ -2161,7 +2161,9 @@ def event_runs_sql(key: str = "user_id", ts_col: str = "ts") -> str:
 
 KM_HOUR_US = 3_600_000_000
 KM_VALUE_THRESHOLD = 100.0  # "conversion" = first purchase with value > this
-_KM_SENTINEL = np.iinfo("int64").max if False else (1 << 62)  # no-conversion
+# no-conversion sentinel: 2^62, deliberately clear of int64 max so
+# min-combines over sentinel-adjacent values cannot overflow
+_KM_SENTINEL = 1 << 62
 
 
 def km_survival(

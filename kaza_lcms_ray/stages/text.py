@@ -3049,7 +3049,12 @@ def token_gini_sql(docs_sql: str) -> str:
         SELECT source,
                CAST(v AS BIGINT) AS v_terms,
                CAST(total AS BIGINT) AS total_tokens,
-               2.0 * CAST(num AS DOUBLE)
+               -- num is a COMPUTED HUGEINT (~T*V, exceeds 2^63 at the
+               -- 10^12-token target): CAST of a computed HUGEINT is not
+               -- round-nearest above 2^63, so pin via the exact hi/lo 2^32
+               -- split (num >= 0) == python float(int)
+               2.0 * (CAST(num // 4294967296 AS DOUBLE) * 4294967296.0
+                      + CAST(num % 4294967296 AS DOUBLE))
                    / (CAST(v AS DOUBLE) * CAST(total AS DOUBLE))
                - (CAST(v AS DOUBLE) + 1.0) / CAST(v AS DOUBLE) AS gini
         FROM tg_s"""
