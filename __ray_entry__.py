@@ -5924,11 +5924,214 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     synth.ensure(SF_ORACLE)  # materialize before the oracle SQL can run
     return {
-        # registry order = driver sampling bias: queries that have never
-        # appeared in a driver CORRECTNESS sample come FIRST (r1-r3 union:
-        # the events suite, sketches, TPC-H analytics, lineage, planet,
-        # plus the round-4 additions), so the 50-query samples certify
-        # the unchecked families first.
+        # registry order = driver sampling bias: the driver samples the
+        # FIRST 50 entries, so queries that have never appeared in any
+        # driver CORRECTNESS sample come FIRST — round 5 rotates the
+        # certified round-4 block to the back and leads with the funnel
+        # anchors (fuzzy/para dedup, lineage, sketches), the events suite,
+        # and the dedup/packing families, per the round-4 certification
+        # backlog (201 of 320 never driver-sampled; r1-r4 green union 119).
+        "fuzzy_dedup": q_fuzzy_dedup,
+        "para_dedup": q_para_dedup,
+        "fuzzy_dedup_best": q_fuzzy_dedup_best,
+        "lineage_roundtrip": q_lineage_roundtrip,
+        "hll_distinct": q_hll_distinct,
+        "cms_heavy": q_cms_heavy,
+        "bloom_semi": q_bloom_semi,
+        "web_curation": q_web_curation,
+        "event_transitions": q_event_transitions,
+        "events_wau": q_events_wau,
+        "events_twa": q_events_twa,
+        "events_ewma": q_events_ewma,
+        "events_attribution": q_events_attribution,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_anomaly": q_events_anomaly,
+        "events_ffill": q_events_ffill,
+        "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
+        "events_range": q_events_range,
+        "events_running": q_events_running,
+        "events_pivot": q_events_pivot,
+        "events_props": q_events_props,
+        "events_gaps": q_events_gaps,
+        "events_coverage": q_events_coverage,
+        "event_burstiness": q_event_burstiness,
+        "dedup_incremental": q_dedup_incremental,
+        "snapshot_diff": q_snapshot_diff,
+        "dup_windows": q_dup_windows,
+        "dup_clusters": q_dup_clusters,
+        "line_filter": q_line_filter,
+        "line_repetition": q_line_repetition,
+        "dedup_report": q_dedup_report,
+        "semdedup": q_semdedup,
+        "mmr_select": q_mmr_select,
+        "media_dedup": q_media_dedup,
+        "hll_daily_users": q_hll_daily_users,
+        "approx_percentile": q_approx_percentile,
+        "temperature_mix": q_temperature_mix,
+        "token_budget": q_token_budget,
+        "curriculum_rank": q_curriculum_rank,
+        "bpe_train": q_bpe_train,
+        "bpe_pairs": q_bpe_pairs,
+        "chunk_text": q_chunk_text,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "leakage_split": q_leakage_split,
+        "corpus_card": q_corpus_card,
+        "kfold": q_kfold,
+        "important_parts": q_important_parts,
+        "part_skyline": q_part_skyline,
+        "mad_outliers": q_mad_outliers,
+        "min_unit_suppliers": q_min_unit_suppliers,
+        "ks_drift": q_ks_drift,
+        "local_morans": q_local_morans,
+        "idw_fill": q_idw_fill,
+        "raster_upsample": q_raster_upsample,
+        "order_priority": q_order_priority,
+        "geohash": q_geohash,
+        "getis_ord": q_getis_ord,
+        "ripley_k": q_ripley_k,
+        "quadrat_test": q_quadrat_test,
+        "dsir_select": q_dsir_select,
+        "poly_centroid": q_poly_centroid,
+        "majority_smooth": q_majority_smooth,
+        "clump_sizes": q_clump_sizes,
+        "class_shape": q_class_shape,
+        "largest_patch": q_largest_patch,
+        "core_area": q_core_area,
+        "iji": q_iji,
+        "contag": q_contag,
+        "std_ellipse": q_std_ellipse,
+        "join_counts": q_join_counts,
+        "patch_metrics": q_patch_metrics,
+        "cohesion": q_cohesion,
+        "pafrac": q_pafrac,
+        "mesh": q_mesh,
+        "patch_gini": q_patch_gini,
+        "isolation_index": q_isolation_index,
+        "dissimilarity": q_dissimilarity,
+        "theil_h": q_theil_h,
+        "class_aspect": q_class_aspect,
+        "hypsometric": q_hypsometric,
+        "class_elevation": q_class_elevation,
+        "class_slope": q_class_slope,
+        "hillshade": q_hillshade,
+        "curvature": q_curvature,
+        "theilsen": q_theilsen,
+        "mann_kendall": q_mann_kendall,
+        "dist_transform": q_dist_transform,
+        "flow_dir": q_flow_dir,
+        "inflow_count": q_inflow_count,
+        "flow_accum": q_flow_accum,
+        "watershed": q_watershed,
+        "compact_cells": q_compact_cells,
+        "raster_pyramid": q_raster_pyramid,
+        "revenue_rollup": q_revenue_rollup,
+        "ab_test": q_ab_test,
+        "benford": q_benford,
+        "product_profit": q_product_profit,
+        "langid_confusion": q_langid_confusion,
+        "trimmed_mean": q_trimmed_mean,
+        "psi_drift": q_psi_drift,
+        "climatology": q_climatology,
+        "landscape_diversity": q_landscape_diversity,
+        "priority_share": q_priority_share,
+        "sales_opportunity": q_sales_opportunity,
+        "cell_smooth": q_cell_smooth,
+        "focal_median": q_focal_median,
+        "embed_gram": q_embed_gram,
+        "quality_blend": q_quality_blend,
+        "poly_distance": q_poly_distance,
+        "token_entropy": q_token_entropy,
+        "weighted_sample": q_weighted_sample,
+        "cell_trend": q_cell_trend,
+        "change_year": q_change_year,
+        "poly_zonal": q_poly_zonal,
+        "poly_majority": q_poly_majority,
+        "pip_density": q_pip_density,
+        "coverage_gaps": q_coverage_gaps,
+        "edge_distance": q_edge_distance,
+        "zipf_fit": q_zipf_fit,
+        "class_by_country": q_class_by_country,
+        "doc_footprint": q_doc_footprint,
+        "area_estimate": q_area_estimate,
+        "anti_join": q_anti_join,
+        "coalesce_compose": q_coalesce_compose,
+        "erode_rings": q_erode_rings,
+        "covariates_prefixed": q_covariates_prefixed,
+        "radius_extract": q_radius_extract,
+        "morans_i": q_morans_i,
+        "bivariate_moran": q_bivariate_moran,
+        "band_corr": q_band_corr,
+        "footprint_drift": q_footprint_drift,
+        "gearys_c": q_gearys_c,
+        "change_matrix": q_change_matrix,
+        "cramers_v": q_cramers_v,
+        "source_lang_assoc": q_source_lang_assoc,
+        "net_change": q_net_change,
+        "variogram": q_variogram,
+        "bm25": q_bm25,
+        "pmi": q_pmi,
+        "similar_docs": q_similar_docs,
+        "hilbert_ranges": q_hilbert_ranges,
+        "sample_k": q_sample_k,
+        "spatial_folds": q_spatial_folds,
+        "lexical_diversity": q_lexical_diversity,
+        "triangles": q_triangles,
+        "assortativity": q_assortativity,
+        "knn_hubness": q_knn_hubness,
+        "source_overlap": q_source_overlap,
+        "scd2_history": q_scd2_history,
+        "quality_histogram": q_quality_histogram,
+        "column_profile": q_column_profile,
+        "ann_recall": q_ann_recall,
+        "normalize_text": q_normalize_text,
+        "c4_rules": q_c4_rules,
+        "ccnet_buckets": q_ccnet_buckets,
+        "bbox_join": q_bbox_join,
+        "source_cap": q_source_cap,
+        "hash_embed": q_hash_embed,
+        "geo_distance": q_geo_distance,
+        "rf_quality": q_rf_quality,
+        "pagerank": q_pagerank,
+        "redact": q_redact,
+        "harmonic_rgb": q_harmonic_rgb,
+        "top_bigrams": q_top_bigrams,
+        "source_zscore": q_source_zscore,
+        "spatial_partition": q_spatial_partition,
+        "planet_stack": q_planet_stack,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "shipping_priority": q_shipping_priority,
+        "local_volume": q_local_volume,
+        "promo_revenue": q_promo_revenue,
+        "large_orders": q_large_orders,
+        "bilateral_volume": q_bilateral_volume,
+        "plot_load": q_plot_load,
+        "label_stability": q_label_stability,
+        "shard_plan": q_shard_plan,
+        "lang_quality": q_lang_quality,
+        "quality_by_length": q_quality_by_length,
+        "hard_negatives": q_hard_negatives,
+        "silhouette": q_silhouette,
+        "label_separation": q_label_separation,
+        "peak_hours": q_peak_hours,
+        "activation_latency": q_activation_latency,
+        "user_entropy": q_user_entropy,
+        "punchcard": q_punchcard,
+        "basket_rules": q_basket_rules,
+        "rfm_segments": q_rfm_segments,
+        "abc_parts": q_abc_parts,
+        "cohort_ltv": q_cohort_ltv,
+        "new_vs_returning": q_new_vs_returning,
+        "hhi": q_hhi,
+        "return_rates": q_return_rates,
+        "revenue_deciles": q_revenue_deciles,
+        "kappa_score": q_kappa_score,
+        "per_class_f1": q_per_class_f1,
+        "mcnemar_trees": q_mcnemar_trees,
         "emerging_hotspots": q_emerging_hotspots,
         "token_gini": q_token_gini,
         "path_density": q_path_density,
@@ -5979,183 +6182,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": q_fk_audit,
         "small_qty_revenue": q_small_qty_revenue,
         "supplier_counts": q_supplier_counts,
-        "important_parts": q_important_parts,
-        "part_skyline": q_part_skyline,
-        "hll_daily_users": q_hll_daily_users,
-        "mad_outliers": q_mad_outliers,
-        "min_unit_suppliers": q_min_unit_suppliers,
-        "ks_drift": q_ks_drift,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
-        "local_morans": q_local_morans,
-        "idw_fill": q_idw_fill,
-        "raster_upsample": q_raster_upsample,
-        "order_priority": q_order_priority,
-        "geohash": q_geohash,
-        "getis_ord": q_getis_ord,
-        "ripley_k": q_ripley_k,
-        "quadrat_test": q_quadrat_test,
-        "dsir_select": q_dsir_select,
-        "poly_centroid": q_poly_centroid,
-        "majority_smooth": q_majority_smooth,
-        "clump_sizes": q_clump_sizes,
-        "class_shape": q_class_shape,
-        "largest_patch": q_largest_patch,
-        "core_area": q_core_area,
-        "iji": q_iji,
-        "contag": q_contag,
-        "std_ellipse": q_std_ellipse,
-        "join_counts": q_join_counts,
-        "patch_metrics": q_patch_metrics,
-        "cohesion": q_cohesion,
-        "pafrac": q_pafrac,
-        "mesh": q_mesh,
-        "patch_gini": q_patch_gini,
-        "isolation_index": q_isolation_index,
-        "dissimilarity": q_dissimilarity,
-        "theil_h": q_theil_h,
-        "class_aspect": q_class_aspect,
-        "hypsometric": q_hypsometric,
-        "class_elevation": q_class_elevation,
-        "class_slope": q_class_slope,
-        "hillshade": q_hillshade,
-        "curvature": q_curvature,
-        "theilsen": q_theilsen,
-        "mann_kendall": q_mann_kendall,
-        "dist_transform": q_dist_transform,
-        "flow_dir": q_flow_dir,
-        "inflow_count": q_inflow_count,
-        "flow_accum": q_flow_accum,
-        "watershed": q_watershed,
-        "compact_cells": q_compact_cells,
-        "raster_pyramid": q_raster_pyramid,
-        "revenue_rollup": q_revenue_rollup,
-        "mmr_select": q_mmr_select,
-        "event_transitions": q_event_transitions,
-        "ab_test": q_ab_test,
-        "events_wau": q_events_wau,
-        "events_twa": q_events_twa,
-        "benford": q_benford,
-        "product_profit": q_product_profit,
-        "langid_confusion": q_langid_confusion,
-        "trimmed_mean": q_trimmed_mean,
-        "psi_drift": q_psi_drift,
-        "climatology": q_climatology,
-        "landscape_diversity": q_landscape_diversity,
-        "priority_share": q_priority_share,
-        "sales_opportunity": q_sales_opportunity,
-        "cell_smooth": q_cell_smooth,
-        "focal_median": q_focal_median,
-        "embed_gram": q_embed_gram,
-        "line_filter": q_line_filter,
-        "quality_blend": q_quality_blend,
-        "poly_distance": q_poly_distance,
-        "token_entropy": q_token_entropy,
-        "events_ewma": q_events_ewma,
-        "weighted_sample": q_weighted_sample,
-        "cell_trend": q_cell_trend,
-        "change_year": q_change_year,
-        "poly_zonal": q_poly_zonal,
-        "poly_majority": q_poly_majority,
-        "pip_density": q_pip_density,
-        "coverage_gaps": q_coverage_gaps,
-        "edge_distance": q_edge_distance,
-        "approx_percentile": q_approx_percentile,
-        "media_dedup": q_media_dedup,
-        "zipf_fit": q_zipf_fit,
-        "class_by_country": q_class_by_country,
-        "doc_footprint": q_doc_footprint,
-        "area_estimate": q_area_estimate,
-        "anti_join": q_anti_join,
-        "coalesce_compose": q_coalesce_compose,
-        "erode_rings": q_erode_rings,
-        "covariates_prefixed": q_covariates_prefixed,
-        "radius_extract": q_radius_extract,
-        "morans_i": q_morans_i,
-        "bivariate_moran": q_bivariate_moran,
-        "band_corr": q_band_corr,
-        "footprint_drift": q_footprint_drift,
-        "gearys_c": q_gearys_c,
-        "change_matrix": q_change_matrix,
-        "cramers_v": q_cramers_v,
-        "source_lang_assoc": q_source_lang_assoc,
-        "net_change": q_net_change,
-        "variogram": q_variogram,
-        "leakage_split": q_leakage_split,
-        "events_attribution": q_events_attribution,
-        "events_funnel": q_events_funnel,
-        "corpus_card": q_corpus_card,
-        "bm25": q_bm25,
-        "pmi": q_pmi,
-        "events_retention": q_events_retention,
-        "similar_docs": q_similar_docs,
-        "events_anomaly": q_events_anomaly,
-        "hilbert_ranges": q_hilbert_ranges,
-        "sample_k": q_sample_k,
-        "kfold": q_kfold,
-        "spatial_folds": q_spatial_folds,
-        "dedup_report": q_dedup_report,
-        "lexical_diversity": q_lexical_diversity,
-        "fuzzy_dedup_best": q_fuzzy_dedup_best,
-        "triangles": q_triangles,
-        "assortativity": q_assortativity,
-        "knn_hubness": q_knn_hubness,
-        "pq_codes": q_pq_codes,
-        "pq_topk": q_pq_topk,
-        "source_overlap": q_source_overlap,
-        "events_ffill": q_events_ffill,
-        "dedup_incremental": q_dedup_incremental,
-        "snapshot_diff": q_snapshot_diff,
-        "scd2_history": q_scd2_history,
-        "quality_histogram": q_quality_histogram,
-        "column_profile": q_column_profile,
-        "ann_recall": q_ann_recall,
-        "normalize_text": q_normalize_text,
-        "c4_rules": q_c4_rules,
-        "ccnet_buckets": q_ccnet_buckets,
-        "chunk_text": q_chunk_text,
-        "bpe_pairs": q_bpe_pairs,
-        "bpe_train": q_bpe_train,
-        "bbox_join": q_bbox_join,
-        "semdedup": q_semdedup,
-        "source_cap": q_source_cap,
-        "dup_windows": q_dup_windows,
-        "hash_embed": q_hash_embed,
-        "geo_distance": q_geo_distance,
-        "temperature_mix": q_temperature_mix,
-        "token_budget": q_token_budget,
-        "rf_quality": q_rf_quality,
-        "pagerank": q_pagerank,
-        "dup_clusters": q_dup_clusters,
-        "para_dedup": q_para_dedup,
-        "fuzzy_dedup": q_fuzzy_dedup,
-        "line_repetition": q_line_repetition,
-        "curriculum_rank": q_curriculum_rank,
-        "redact": q_redact,
-        "harmonic_rgb": q_harmonic_rgb,
-        "top_bigrams": q_top_bigrams,
-        "source_zscore": q_source_zscore,
-        "web_curation": q_web_curation,
-        "spatial_partition": q_spatial_partition,
-        "planet_stack": q_planet_stack,
-        "events_sessions": q_events_sessions,
-        "events_asof": q_events_asof,
-        "events_range": q_events_range,
-        "events_running": q_events_running,
-        "events_pivot": q_events_pivot,
-        "events_props": q_events_props,
-        "events_gaps": q_events_gaps,
-        "events_coverage": q_events_coverage,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "shipping_priority": q_shipping_priority,
-        "local_volume": q_local_volume,
-        "promo_revenue": q_promo_revenue,
-        "hll_distinct": q_hll_distinct,
-        "cms_heavy": q_cms_heavy,
-        "bloom_semi": q_bloom_semi,
-        "large_orders": q_large_orders,
-        "lineage_roundtrip": q_lineage_roundtrip,
-        "bilateral_volume": q_bilateral_volume,
         "geo_parse": q_geo_parse,
         "cell_encode": q_cell_encode,
         "hilbert_cells": q_hilbert_cells,
@@ -6168,16 +6194,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_per_cell": q_top_per_cell,
         "zonal_percentile": q_zonal_percentile,
         "knn_plots": q_knn_plots,
-        "plot_load": q_plot_load,
         "tile_labels": q_tile_labels,
-        "label_stability": q_label_stability,
         "area_by_class": q_area_by_class,
         "flagship": q_flagship,
         "harmonic_year": q_harmonic_year,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "pack_sequences": q_pack_sequences,
-        "shard_plan": q_shard_plan,
         "tfidf": q_tfidf,
         "lm_score": q_lm_score,
         "bpe_tokens": q_bpe_tokens,
@@ -6189,33 +6212,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_training": q_merge_training,
         "mix_sources": q_mix_sources,
         "text_scores": q_text_scores,
-        "lang_quality": q_lang_quality,
-        "quality_by_length": q_quality_by_length,
         "fingerprints": q_fingerprints,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "jaccard_verified": q_jaccard_verified,
         "curation": q_curation,
         "knn_graph": q_knn_graph,
-        "hard_negatives": q_hard_negatives,
         "kmeans_embed": q_kmeans_embed,
-        "silhouette": q_silhouette,
-        "label_separation": q_label_separation,
         "ivf_topk": q_ivf_topk,
         "events_hourly": q_events_hourly,
-        "event_burstiness": q_event_burstiness,
-        "peak_hours": q_peak_hours,
-        "activation_latency": q_activation_latency,
-        "user_entropy": q_user_entropy,
-        "punchcard": q_punchcard,
-        "basket_rules": q_basket_rules,
-        "rfm_segments": q_rfm_segments,
-        "abc_parts": q_abc_parts,
-        "cohort_ltv": q_cohort_ltv,
-        "new_vs_returning": q_new_vs_returning,
-        "hhi": q_hhi,
-        "return_rates": q_return_rates,
-        "revenue_deciles": q_revenue_deciles,
         "ann_topk": q_ann_topk,
         "covariates": q_covariates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -6223,9 +6228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rf_landcover": q_rf_landcover,
         "rf_scores": q_rf_scores,
         "accuracy_report": q_accuracy_report,
-        "kappa_score": q_kappa_score,
-        "per_class_f1": q_per_class_f1,
-        "mcnemar_trees": q_mcnemar_trees,
         "distinct_years": q_distinct_years,
         "top_chars": q_top_chars,
         "set_intersect": q_set_intersect,

@@ -448,10 +448,27 @@ def web_curation(
             batch_format="pyarrow",
         ).materialize()  # skinny survivor ids (pack discipline)
     )
+    n_keep = keep_ids.count()
+    if n_keep == 0:
+        # zero Gopher survivors: the funnel result is exactly empty, and
+        # Ray 2.49's hash-join aggregator crashes on the schema-less empty
+        # partitions an empty side produces — return the typed empty
+        import ray.data as rd
+
+        id_type = keep_ids.schema().base_schema.field("doc_id").type
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], id_type),
+                    source_col: pa.array([], pa.string()),
+                    "quality": pa.array([], pa.float64()),
+                }
+            )
+        )
     kept = deduped.join(
         keep_ids,
         join_type="inner",
-        num_partitions=join_partitions(rows_hint=keep_ids.count()),
+        num_partitions=join_partitions(rows_hint=n_keep),
         on=("doc_id",),
     )
 
@@ -462,7 +479,7 @@ def web_curation(
     kept_src = kept.join(
         src,
         join_type="inner",
-        num_partitions=join_partitions(rows_hint=keep_ids.count()),
+        num_partitions=join_partitions(rows_hint=n_keep),
         on=("doc_id",),
     ).materialize()
     return adaptive_quality_filter(kept_src, p=p, source_col=source_col)

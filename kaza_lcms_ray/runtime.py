@@ -10,7 +10,39 @@ the session's CPUs so the same pipeline code runs at num_cpus=4 (tests),
 
 from __future__ import annotations
 
+import logging
+
 import ray
+
+logger = logging.getLogger(__name__)
+
+
+class DriverCollectBoundExceeded(RuntimeError):
+    """A driver-side materialization outgrew its documented row bound."""
+
+
+def bounded_collect(ds, max_rows: int, reason: str):
+    """Materialize a claimed-small Dataset to pandas, ENFORCING the claim.
+
+    Every driver-side ``.to_pandas()`` in this repo is justified by a
+    docstring bound ("≤ k² contingency rows", "vocab ≤ top-M words", …).
+    This helper makes that bound executable: the dataset is materialized
+    ONCE (so the row count is metadata, not a second plan execution), and
+    if it exceeds ``max_rows`` we raise instead of silently OOM-ing the
+    driver at 100 TB.  ``reason`` names the bound for the error message.
+
+    Returns exactly what ``ds.to_pandas()`` would (same block-builder
+    path), so routing a call site through here never changes results.
+    """
+    mat = ds.materialize()
+    n = mat.count()
+    if n > max_rows:
+        raise DriverCollectBoundExceeded(
+            f"driver collect of {n} rows exceeds the documented bound of "
+            f"{max_rows} ({reason}); the operator's small-side assumption "
+            f"does not hold on this input — redesign or raise the bound"
+        )
+    return mat.to_pandas()
 
 
 def cluster_cpus() -> int:

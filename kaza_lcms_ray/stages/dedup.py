@@ -131,7 +131,11 @@ def dedup_report(ds, text_col: str = "text", group_col: str = "source"):
     # |groups|-row table)
     import ray
 
-    cnt_pdf = counts.to_pandas()
+    from ..runtime import bounded_collect
+
+    cnt_pdf = bounded_collect(
+        counts, 1 << 20, "per-group doc counts: one row per group"
+    )
     cnt_ref = ray.put(
         {
             "keys": cnt_pdf[group_col].to_numpy(),
@@ -1047,16 +1051,18 @@ def verified_near_dup_clusters(
     if n_pairs <= driver_pair_limit:
         cand = cand_ds.to_pandas()
         needed = sorted(set(cand["a"]) | set(cand["b"]))
-        texts = (
+        from ..runtime import bounded_collect
+
+        texts = bounded_collect(
             ds.map_batches(
                 lambda t: t.select([id_col, text_col]).filter(
                     pa.compute.is_in(t.column(id_col), pa.array(needed))
                 ),
                 batch_format="pyarrow",
-            )
-            .to_pandas()
-            .set_index(id_col)[text_col]
-        )
+            ),
+            2 * driver_pair_limit,
+            "near-dup candidate texts: ≤ 2·driver_pair_limit docs",
+        ).set_index(id_col)[text_col]
         jac = ngram_jaccard(
             [texts[a] for a in cand["a"]], [texts[b] for b in cand["b"]], k=shingle_k
         )
@@ -1065,10 +1071,18 @@ def verified_near_dup_clusters(
         )
         verified_ds = rd.from_pandas(verified[["a", "b"]]) if len(verified) else None
     else:
+        from ..runtime import bounded_collect
+
         verified_pairs = _verify_pairs_distributed(
             ds, cand_ds, text_col, id_col, shingle_k, jaccard_threshold, n_pairs
         )
-        verified = verified_pairs.to_pandas().reset_index(drop=True)
+        # the function's CONTRACT returns driver DataFrames; the verified
+        # set is ≪ candidates for real corpora — enforce rather than assume
+        verified = bounded_collect(
+            verified_pairs,
+            max(16 * driver_pair_limit, 1 << 22),
+            "verified near-dup pairs (driver-DataFrame contract)",
+        ).reset_index(drop=True)
         verified_ds = verified_pairs.select_columns(["a", "b"]) if len(verified) else None
     clusters = (
         min_label_clusters(verified_ds).to_pandas()
@@ -1258,7 +1272,20 @@ def min_label_clusters(pairs_ds, driver_pair_limit: int = 2_000_000, max_rounds:
         ds = ds.repartition(nblocks).map_batches(
             _forest_batch, batch_format="pyarrow", batch_size=driver_pair_limit
         )
-    pairs = ds.to_pandas()
+    # the forest rounds contract edges toward ≤ driver_pair_limit; if
+    # max_rounds exhausts first the component structure is pathological —
+    # enforce a generous ceiling instead of silently OOM-ing the driver
+    from ..runtime import bounded_collect
+
+    # floor of 2^22 keeps the ceiling meaningful at production limits
+    # (default 200k → 3.2M-row ceiling ≈ 100 MB of skinny edges) while
+    # tolerating deliberately tiny test limits that stop short of full
+    # contraction
+    pairs = bounded_collect(
+        ds,
+        max(16 * driver_pair_limit, 1 << 22),
+        "union-find edge set after forest-contraction rounds",
+    )
     parent: dict = {}
 
     def find(x):
@@ -1948,7 +1975,13 @@ def mmr_select(
         keep = np.isin(ids, ray.get(idset))
         return t.filter(pa.array(keep))
 
-    texts = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    from ..runtime import bounded_collect
+
+    texts = bounded_collect(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        pool_size,
+        "mmr candidate texts: ≤ pool_size docs",
+    )
     sets = {
         int(r[id_col]): np.unique(
             _char_shingle_hashes(str(r[text_col]).encode("utf-8"), shingle_k)

@@ -19,6 +19,28 @@ from ..state.money import to_cents
 
 KEYS = ["event_type", "window_start"]
 
+# Partitioning contract of the SEQUENTIAL per-key ops (sessionize,
+# running_totals, asof/interval joins, forward_fill, ewma, …): one key's
+# events must land in one task, because the kernel runs an ordered scan
+# within the key.  That co-location is semantically required — but a
+# whale key (one 10⁸-event user in a 100 TB log) would silently turn a
+# streaming stage into a single giant pandas task.  Enforce the
+# assumption instead of assuming it: 2^25 rows ≈ 1–3 GB per group task.
+MAX_GROUP_ROWS = 1 << 25
+
+
+def _guard_group(g, op: str):
+    """Raise (don't OOM) when a per-key group exceeds the task bound."""
+    if len(g) > MAX_GROUP_ROWS:
+        key_desc = g.iloc[0].to_dict() if len(g) else {}
+        raise ValueError(
+            f"{op}: key group with {len(g)} rows exceeds the per-task "
+            f"bound {MAX_GROUP_ROWS} (whale key; first row {key_desc}); "
+            "pre-filter or split this key upstream — the sequential "
+            "kernel cannot be chunked without changing semantics"
+        )
+    return g
+
 
 def _window_combine(partials):
     """Combine per-batch (event_type, window_start, n, min, max) partials
@@ -112,6 +134,7 @@ def sessionize(ds, gap_minutes: int = 30):
     gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "sessionize")
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy()
         brk = np.concatenate(([0], (np.diff(ts) > gap).astype(np.int64)))
@@ -176,6 +199,7 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts", val_col: str = 
     import numpy as np
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "running_totals")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         cents = to_cents(g[val_col].to_numpy())
         return pd.DataFrame(
@@ -201,6 +225,7 @@ def event_gaps(ds, key: str = "user_id", ts_col: str = "ts"):
     import numpy as np
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "event_gaps")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         gap = np.empty(ts.shape[0], dtype=np.int64)
@@ -312,6 +337,7 @@ def interval_join(ds, point_type: str = "error", gap_minutes: int = 30):
     )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "interval_join")
         iv = g[g["side"] == 0].sort_values("t0_us", kind="mergesort")
         pt = g[g["side"] == 1].sort_values(["t0_us", "id"], kind="mergesort")
         starts = iv["t0_us"].to_numpy()
@@ -362,6 +388,7 @@ def asof_join(
         return t.select(["event_id", on, ts_col, "event_type"]).filter(keep)
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "asof_join")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         r = g[g["event_type"] == right_type]
         r = r[~r[ts_col].duplicated(keep="last")]  # ts-sorted → last = max id
@@ -406,6 +433,7 @@ def forward_fill(
     import numpy as np
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "forward_fill")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         cents = to_cents(g[val_col].to_numpy())
         ismark = (g["event_type"] == mark_type).to_numpy()
@@ -542,6 +570,7 @@ def session_attribution(ds, gap_minutes: int = 30):
     gap = np.timedelta64(gap_minutes * 60 * 1_000_000, "us")
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "session_attribution")
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy()
         brk = np.concatenate(([0], (np.diff(ts) > gap).astype(np.int64)))
@@ -982,6 +1011,7 @@ def event_transitions(ds, key: str = "user_id", ts_col: str = "ts"):
     from ray.data.aggregate import Sum
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "event_transitions")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         t = g["event_type"].to_numpy()
         if len(t) < 2:
@@ -1269,6 +1299,7 @@ def time_weighted_avg(ds, key: str = "user_id", ts_col: str = "ts"):
     from ..state.money import to_cents
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "time_weighted_avg")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         if len(g) < 2:
             return pd.DataFrame(
@@ -1347,6 +1378,7 @@ def interval_union(ds, key: str = "user_id", ts_col: str = "ts"):
     from ..state.money import to_cents
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "interval_union")
         order = np.lexsort(
             (g["event_id"].to_numpy(), g[ts_col].to_numpy())
         )
@@ -1723,6 +1755,7 @@ def rolling_median(
     import numpy as np
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "rolling_median")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         cents = to_cents(g[val_col].to_numpy())
         n = cents.shape[0]
@@ -1911,6 +1944,7 @@ def event_paths(ds, k: int = 3, key: str = "user_id", ts_col: str = "ts"):
     from ray.data.aggregate import Sum
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "event_paths")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort").head(k)
         return pd.DataFrame(
             {"path": [">".join(g["event_type"].astype(str))]}
@@ -2093,6 +2127,7 @@ def event_runs(ds, key: str = "user_id", ts_col: str = "ts"):
     import numpy as np
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        _guard_group(g, "event_runs")
         g = g.sort_values([ts_col, "event_id"], kind="mergesort")
         et = g["event_type"].to_numpy()
         n = len(et)

@@ -92,7 +92,13 @@ def pack_sequences(docs, budget: int = 512, seed: int = DEFAULT_SEED, text_col: 
         .rename_columns(["kb", "s_tokens"]),
         batch_format="pyarrow",
     )
-    totals = zonal.bucketed_sum(partial, ["kb"], ["s_tokens"]).to_pandas()
+    from ..runtime import bounded_collect
+
+    totals = bounded_collect(
+        zonal.bucketed_sum(partial, ["kb"], ["s_tokens"]),
+        N_PACK_BUCKETS,
+        "pack bucket totals: one row per pack bucket",
+    )
     totals = totals.sort_values("kb")
     # level-2: driver scan over the tiny ordered bucket table
     offsets = np.zeros(N_PACK_BUCKETS, dtype=np.int64)
@@ -174,15 +180,18 @@ def mix_sources(
 
     # tiny reduce: per-source counts (|sources| rows), then broadcast
     # integer thresholds — the small-side-lookup pattern, no shuffle join
-    counts = (
+    from ..runtime import bounded_collect
+
+    counts = bounded_collect(
         docs.map_batches(
             lambda t: t.group_by([source_col]).aggregate([("doc_id", "count")])
             .rename_columns([source_col, "n_s"]),
             batch_format="pyarrow",
         )
         .groupby(source_col)
-        .sum("n_s")
-        .to_pandas()
+        .sum("n_s"),
+        1 << 20,
+        "mix_sources per-source counts: one row per source",
     )
     total = float(counts["sum(n_s)"].sum())
     if getattr(weight_of, "_wants_count", False):
@@ -324,7 +333,13 @@ def global_rank(
         .rename_columns(["kb", "n"]),
         batch_format="pyarrow",
     )
-    totals = zonal.bucketed_sum(partial, ["kb"], ["n"]).to_pandas().sort_values("kb")
+    from ..runtime import bounded_collect
+
+    totals = bounded_collect(
+        zonal.bucketed_sum(partial, ["kb"], ["n"]),
+        nb,
+        "rank bucket totals: one row per order bucket",
+    ).sort_values("kb")
     offsets = np.zeros(nb, dtype=np.int64)
     csum = np.concatenate(([0], np.cumsum(totals["n"].to_numpy(np.int64))))
     offsets[totals["kb"].to_numpy()] = csum[:-1]
@@ -504,13 +519,19 @@ def token_budget(
         )
         return g.rename_columns([source_col, "n_units"])
 
-    counts = zonal.bucketed_sum(
-        docs.select_columns([source_col, unit_col]).map_batches(
-            partial, batch_format="pyarrow"
+    from ..runtime import bounded_collect
+
+    counts = bounded_collect(
+        zonal.bucketed_sum(
+            docs.select_columns([source_col, unit_col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            [source_col],
+            ["n_units"],
         ),
-        [source_col],
-        ["n_units"],
-    ).to_pandas()
+        1 << 20,
+        "token_budget per-source unit totals: one row per source",
+    )
     schema = pa.schema(
         [
             (source_col, pa.string()),
@@ -659,15 +680,20 @@ def shard_plan(docs, n_shards: int = 64, seed: int = DEFAULT_SEED):
         )
         return g.rename_columns(["shard", "n_docs", "n_chars_sum"])
 
+    from ..runtime import bounded_collect
+
     plan = (
-        bucketed_sum(
-            docs.select_columns(["doc_id", "n_chars"]).map_batches(
-                partial, batch_format="pyarrow"
+        bounded_collect(
+            bucketed_sum(
+                docs.select_columns(["doc_id", "n_chars"]).map_batches(
+                    partial, batch_format="pyarrow"
+                ),
+                ["shard"],
+                ["n_docs", "n_chars_sum"],
             ),
-            ["shard"],
-            ["n_docs", "n_chars_sum"],
+            n_shards,
+            "shard plan: one row per shard",
         )
-        .to_pandas()  # ≤ n_shards rows
         .sort_values("shard", kind="mergesort")
         .reset_index(drop=True)
     )

@@ -11,9 +11,13 @@ per actor.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 TOKEN_RE = r"\S+"  # maximal non-whitespace runs; oracle: regexp_extract_all
 
@@ -691,8 +695,12 @@ def ccnet_buckets(ds, text_col: str = "text", lang_col: str = "lang"):
             }
         )
 
-    cuts = (
-        hist.groupby(lang_col).map_groups(cutoff, batch_format="pandas").to_pandas()
+    from ..runtime import bounded_collect
+
+    cuts = bounded_collect(
+        hist.groupby(lang_col).map_groups(cutoff, batch_format="pandas"),
+        1 << 17,
+        "ccnet bucket cutoffs: one row per language",
     )
     cut_ref = ray.put(
         {
@@ -1682,7 +1690,12 @@ def bpe_pair_stats_sql(docs_sql: str, k: int = 20) -> str:
 BPE_SEP = "\x1f"  # below every token char (a-z, '), so key order == (lhs, rhs)
 
 
-def bpe_train(ds, n_merges: int = 6, text_col: str = "text"):
+def bpe_train(
+    ds,
+    n_merges: int = 6,
+    text_col: str = "text",
+    max_vocab: int = 1_000_000,
+):
     """BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909):
     learn the first ``n_merges`` merge rules over the corpus — each round
     counts adjacent symbol pairs (weighted by word frequency), merges the
@@ -1701,9 +1714,14 @@ def bpe_train(ds, n_merges: int = 6, text_col: str = "text"):
     corpus-sized pass is the distributed word-frequency reduce (per-batch
     Arrow counts → hash-bucketed combine; only (word, count) rows
     shuffle); the merge loop then runs over the VOCABULARY-bounded
-    (word, freq) table (the tfidf vocab-broadcast discipline, ≤ a few
-    hundred-k rows regardless of corpus size) as vectorized numpy over
-    the flat symbol array — no per-word Python in the loop.
+    (word, freq) table as vectorized numpy over the flat symbol array —
+    no per-word Python in the loop.  The driver collect is HARD-capped at
+    ``max_vocab`` distinct words: noisy 100 TB web text can push the
+    ``[a-z']+`` token space past 10⁸, so when the distinct count exceeds
+    the cap we keep the top-``max_vocab`` by (freq DESC, word ASC) via
+    the decomposable two-level top-k and LOG the truncation (the
+    hot-bucket-cap discipline; rare-word tails don't win BPE merges, so
+    the learned rules are unchanged for any realistic cap).
 
     Returns Dataset[(rnk:int64 1-based, lhs:string, rhs:string,
     ct:int64)] — the learned merge table.
@@ -1726,9 +1744,25 @@ def bpe_train(ds, n_merges: int = 6, text_col: str = "text"):
         )
         return g.rename_columns(["term", "tf"])
 
-    wf = _bucketed_term_reduce(
+    from ..runtime import bounded_collect
+    from .joins import top_k
+
+    wf_ds = _bucketed_term_reduce(
         ds.map_batches(wf_partial, batch_format="pyarrow"), ("tf", "sum"), "ct"
-    ).to_pandas()
+    ).materialize()
+    n_vocab = wf_ds.count()
+    if n_vocab > max_vocab:
+        logger.warning(
+            "bpe_train: %d distinct words exceed max_vocab=%d; keeping the "
+            "top-%d by (freq DESC, word ASC) — rare-tail truncation",
+            n_vocab,
+            max_vocab,
+            max_vocab,
+        )
+        wf_ds = top_k(wf_ds, "ct", max_vocab, tiebreak_col="term")
+    wf = bounded_collect(
+        wf_ds, max_vocab, "bpe_train vocab: top-max_vocab (word, freq) rows"
+    )
 
     out_schema = pa.schema(
         [
@@ -2200,7 +2234,13 @@ def corpus_card(ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    stats = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    from ..runtime import bounded_collect
+
+    stats = bounded_collect(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        1 << 24,
+        "corpus_card stats: one 3-int row per input block",
+    )
     keys = exact_dedup_keys(ds, text_col, id_col)
 
     def key_partial(t: pa.Table) -> pa.Table:
@@ -2214,7 +2254,11 @@ def corpus_card(ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    ks = keys.map_batches(key_partial, batch_format="pyarrow").to_pandas()
+    ks = bounded_collect(
+        keys.map_batches(key_partial, batch_format="pyarrow"),
+        1 << 24,
+        "corpus_card dedup partials: one 2-int row per fingerprint block",
+    )
     return rd.from_arrow(
         pa.table(
             {
@@ -2315,9 +2359,14 @@ def bm25_topk(ds, query_terms, k: int = 20, text_col: str = "text",
             }
         )
 
+    from ..runtime import bounded_collect
+
     st = (
-        ds.map_batches(stats_partial, batch_format="pyarrow")
-        .to_pandas()
+        bounded_collect(
+            ds.map_batches(stats_partial, batch_format="pyarrow"),
+            1 << 24,
+            "bm25 query-term partials: ≤ |query terms|+2 rows per block",
+        )
         .groupby("term", as_index=False)["v"]
         .sum()
     )
@@ -2453,7 +2502,13 @@ def pmi_collocations(ds, m: int = 500, k: int = 50, text_col: str = "text"):
     import ray
     import ray.data as rd
 
-    cand = top_ngrams(ds, n=2, k=m, text_col=text_col).to_pandas()
+    from ..runtime import bounded_collect
+
+    cand = bounded_collect(
+        top_ngrams(ds, n=2, k=m, text_col=text_col),
+        m,
+        "pmi candidates: top-m bigrams",
+    )
     if len(cand) == 0:
         return rd.from_arrow(
             pa.table(
@@ -2490,8 +2545,11 @@ def pmi_collocations(ds, m: int = 500, k: int = 50, text_col: str = "text"):
         )
 
     uni = (
-        ds.map_batches(uni_partial, batch_format="pyarrow")
-        .to_pandas()
+        bounded_collect(
+            ds.map_batches(uni_partial, batch_format="pyarrow"),
+            1 << 24,
+            "pmi unigram partials: ≤ |bigram parts|+1 rows per block",
+        )
         .groupby("term", as_index=False)["c"]
         .sum()
     )
@@ -2629,12 +2687,17 @@ def dsir_select(
         out = g.group_by(["term"]).aggregate([("ct", "sum"), ("ct_t", "sum")])
         return out.rename_columns(["term", "ct", "ct_t"])
 
-    merged = (
+    from ..runtime import bounded_collect
+
+    # the fused-LM vocab broadcast is the one corpus-cardinality-coupled
+    # driver structure in DSIR; enforce the broadcast-size assumption
+    merged = bounded_collect(
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(count_combine, batch_format="pyarrow")
-        .select_columns(["term", "ct", "ct_t"])
-        .to_pandas()
+        .select_columns(["term", "ct", "ct_t"]),
+        1 << 25,
+        "dsir fused-LM vocab broadcast: one row per distinct term",
     )
     V = int(len(merged))
     if V == 0:
@@ -2836,7 +2899,13 @@ def source_similarity(ds, text_col: str = "text"):
         .map_groups(fold, batch_format="pandas")
         .select_columns(["source_a", "source_b", "dot"])
     )
-    tot = bucketed_sum(pairs, ["source_a", "source_b"], ["dot"]).to_pandas()
+    from ..runtime import bounded_collect
+
+    tot = bounded_collect(
+        bucketed_sum(pairs, ["source_a", "source_b"], ["dot"]),
+        1 << 20,
+        "source-similarity dot sums: ≤ |sources|² rows",
+    )
     norms = {
         r.source_a: int(r.dot)
         for r in tot.itertuples()
@@ -2977,7 +3046,11 @@ def token_gini(ds, text_col: str = "text", source_col: str = "source"):
         ["m"],
         recombine_batch_size=None,
     )
-    pdf = hist.to_pandas()  # ≤ sources·√(2T) rows — see docstring bound
+    from ..runtime import bounded_collect
+
+    pdf = bounded_collect(
+        hist, 1 << 26, "token_gini frequency histogram: ≤ sources·√(2T) rows"
+    )
     out_src, out_v, out_t, out_g = [], [], [], []
     if len(pdf):
         pdf = pdf.sort_values(["source", "f"], kind="mergesort")
@@ -3145,7 +3218,12 @@ def log_odds(
             }
         ),
         batch_format="pyarrow",
-    ).to_pandas()
+    )
+    from ..runtime import bounded_collect
+
+    tot = bounded_collect(
+        tot, 1 << 24, "log_odds totals: one 3-int row per vocab block"
+    )
     n_a = int(tot["n_a"].sum())
     n_b = int(tot["n_b"].sum())
     V = int(tot["v"].sum())
@@ -3264,13 +3342,18 @@ def lang_quality(ds, text_col: str = "text", lang_col: str = "lang"):
         )
         return g.rename_columns(["lang", "n", "q_sum", "n_correct"])
 
+    from ..runtime import bounded_collect
+
     rep = (
-        bucketed_sum(
-            scored.map_batches(partial, batch_format="pyarrow"),
-            ["lang"],
-            ["n", "q_sum", "n_correct"],
+        bounded_collect(
+            bucketed_sum(
+                scored.map_batches(partial, batch_format="pyarrow"),
+                ["lang"],
+                ["n", "q_sum", "n_correct"],
+            ),
+            1 << 17,
+            "lang_quality report: one row per language",
         )
-        .to_pandas()
         .sort_values("lang", kind="mergesort")
         .reset_index(drop=True)
     )
@@ -3333,11 +3416,17 @@ def quality_by_length(ds, text_col: str = "text", len_col: str = "n_chars"):
         )
         return g.rename_columns(["len_bin", "n", "q_sum"])
 
-    rep = bucketed_sum(
-        scored.map_batches(partial, batch_format="pyarrow"),
-        ["len_bin"],
-        ["n", "q_sum"],
-    ).to_pandas()
+    from ..runtime import bounded_collect
+
+    rep = bounded_collect(
+        bucketed_sum(
+            scored.map_batches(partial, batch_format="pyarrow"),
+            ["len_bin"],
+            ["n", "q_sum"],
+        ),
+        1 << 16,
+        "quality_by_length report: one row per length bin (≤ 64 bins)",
+    )
     empty = pa.table(
         {
             "len_bin": pa.array([], pa.int64()),
