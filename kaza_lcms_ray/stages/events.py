@@ -42,6 +42,50 @@ def _guard_group(g, op: str):
     return g
 
 
+# --- hash-bucket exchange for the per-key kernels ---------------------
+#
+# Every per-key op below used to ride ``ds.groupby(key).map_groups(fn)``.
+# Semantically that is exactly what they need (whole-key co-location,
+# ``fn`` sees one key at a time) — but Ray's groupby is a SORT-BASED
+# exchange, which costs seconds per 100k rows on raw user/string keys
+# (measured 8.3 s native vs 0.25 s bucketed on a 100k-row uniq stage).
+# The pair of closure factories below keeps the identical per-key kernel
+# while shuffling on a single int64 hash bucket (~2×CPU-way): chain
+# ``.map_batches(_add_key_bucket(key)).groupby("__kb")
+# .map_groups(_per_bucket_fn(key, fn))``.  Row order across keys is not
+# preserved — it never was (the native groupby emits groups in shuffle
+# order too), and every events op is order-insensitive downstream.
+
+
+def _add_key_bucket(key: str):
+    import numpy as np
+
+    from ..runtime import cluster_cpus
+    from ..state.hashing import fnv1a_arr, hash_key
+
+    nb = max(8, cluster_cpus() * 2)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key]
+        if k.dtype.kind in ("O", "U", "S"):
+            h = fnv1a_arr(k.astype(str).tolist())
+        else:
+            h = k.to_numpy().astype(np.uint64)
+        b = (hash_key(h) % np.uint64(nb)).astype(np.int64)
+        return df.assign(__kb=b)
+
+    return add_bucket
+
+
+def _per_bucket_fn(key: str, fn):
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__kb")
+        outs = [fn(sub) for _, sub in g.groupby(key, sort=True)]
+        return pd.concat(outs, ignore_index=True)
+
+    return per_bucket
+
+
 def _window_combine(partials):
     """Combine per-batch (event_type, window_start, n, min, max) partials
     via the hash-bucketed map_groups pattern — Ray's sort-based Aggregate
@@ -161,7 +205,7 @@ def sessionize(ds, gap_minutes: int = 30):
         )
         return out.drop(columns=["sid"])
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return ds.map_batches(_add_key_bucket("user_id"), batch_format="pandas").groupby("__kb").map_groups(_per_bucket_fn("user_id", per_user), batch_format="pandas")
 
 
 def extract_props_key(ds, field: str = "k"):
@@ -212,8 +256,9 @@ def running_totals(ds, key: str = "user_id", ts_col: str = "ts", val_col: str = 
 
     return (
         ds.select_columns(["event_id", key, ts_col, val_col])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
     )
 
 
@@ -241,8 +286,9 @@ def event_gaps(ds, key: str = "user_id", ts_col: str = "ts"):
 
     return (
         ds.select_columns(["event_id", key, ts_col])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
     )
 
 
@@ -355,7 +401,7 @@ def interval_join(ds, point_type: str = "error", gap_minutes: int = 30):
             }
         )
 
-    return both.groupby("user_id").map_groups(per_key, batch_format="pandas")
+    return both.map_batches(_add_key_bucket("user_id"), batch_format="pandas").groupby("__kb").map_groups(_per_bucket_fn("user_id", per_key), batch_format="pandas")
 
 
 def asof_join(
@@ -412,8 +458,9 @@ def asof_join(
 
     return (
         ds.map_batches(prune, batch_format="pyarrow")
-        .groupby(on)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(on), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(on, per_key), batch_format="pandas")
     )
 
 
@@ -449,8 +496,9 @@ def forward_fill(
 
     return (
         ds.select_columns(["event_id", key, ts_col, "event_type", val_col])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
     )
 
 
@@ -604,8 +652,9 @@ def session_attribution(ds, gap_minutes: int = 30):
 
     return (
         ds.select_columns(["event_id", "user_id", "ts", "event_type", "value"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(_add_key_bucket("user_id"), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn("user_id", per_user), batch_format="pandas")
     )
 
 
@@ -1034,8 +1083,9 @@ def event_transitions(ds, key: str = "user_id", ts_col: str = "ts"):
         return empty
     counts = (
         ds.select_columns(["event_id", key, ts_col, "event_type"])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
         .groupby(["from_type", "to_type"])
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
@@ -1328,8 +1378,9 @@ def time_weighted_avg(ds, key: str = "user_id", ts_col: str = "ts"):
 
     return (
         ds.select_columns(["event_id", key, ts_col, "value"])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
     )
 
 
@@ -1406,8 +1457,9 @@ def interval_union(ds, key: str = "user_id", ts_col: str = "ts"):
 
     return (
         ds.select_columns(["event_id", key, ts_col, "value"])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
     )
 
 
@@ -1776,8 +1828,9 @@ def rolling_median(
 
     return (
         ds.select_columns(["event_id", key, ts_col, val_col])
-        .groupby(key)
-        .map_groups(per_key, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
     )
 
 
@@ -1952,8 +2005,9 @@ def event_paths(ds, k: int = 3, key: str = "user_id", ts_col: str = "ts"):
 
     paths = (
         ds.select_columns([key, ts_col, "event_id", "event_type"])
-        .groupby(key)
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_user), batch_format="pandas")
     )
 
     def count(t: pa.Table) -> pa.Table:
@@ -2149,8 +2203,9 @@ def event_runs(ds, key: str = "user_id", ts_col: str = "ts"):
 
     return (
         ds.select_columns([key, ts_col, "event_id", "event_type"])
-        .groupby(key)
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(_add_key_bucket(key), batch_format="pandas")
+        .groupby("__kb")
+        .map_groups(_per_bucket_fn(key, per_user), batch_format="pandas")
     )
 
 
