@@ -257,6 +257,10 @@ def plot_load(geo, plots_path: str):
         nn.map_batches(partial, batch_format="pyarrow"),
         ["plot_id"],
         ["n_assigned"],
+        # plots are AOI-bounded (one row per training plot): the
+        # no-exchange tree reduce replaces the sort all-to-all, which
+        # cost ~4 s of fixed overhead on the ~100-block kNN output
+        max_keys_hint=2_000_000,
     ).to_pandas()
     if len(counts):
         order = np.argsort(counts["plot_id"].to_numpy(object), kind="mergesort")

@@ -95,7 +95,9 @@ def pack_sequences(docs, budget: int = 512, seed: int = DEFAULT_SEED, text_col: 
     from ..runtime import bounded_collect
 
     totals = bounded_collect(
-        zonal.bucketed_sum(partial, ["kb"], ["s_tokens"]),
+        zonal.bucketed_sum(
+            partial, ["kb"], ["s_tokens"], max_keys_hint=N_PACK_BUCKETS
+        ),
         N_PACK_BUCKETS,
         "pack bucket totals: one row per pack bucket",
     )
@@ -336,7 +338,7 @@ def global_rank(
     from ..runtime import bounded_collect
 
     totals = bounded_collect(
-        zonal.bucketed_sum(partial, ["kb"], ["n"]),
+        zonal.bucketed_sum(partial, ["kb"], ["n"], max_keys_hint=nb),
         nb,
         "rank bucket totals: one row per order bucket",
     ).sort_values("kb")
@@ -528,6 +530,7 @@ def token_budget(
             ),
             [source_col],
             ["n_units"],
+            max_keys_hint=1 << 20,
         ),
         1 << 20,
         "token_budget per-source unit totals: one row per source",
@@ -690,6 +693,7 @@ def shard_plan(docs, n_shards: int = 64, seed: int = DEFAULT_SEED):
                 ),
                 ["shard"],
                 ["n_docs", "n_chars_sum"],
+                max_keys_hint=n_shards,
             ),
             n_shards,
             "shard plan: one row per shard",

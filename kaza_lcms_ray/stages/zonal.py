@@ -42,6 +42,29 @@ def _partial_counts(batch: pa.Table, keys: list[str], cent_cols: list[str]) -> p
     return out.rename_columns(names)
 
 
+_TREE_KEYS_BOUND = 4_000_000  # level-2 single-task row bound (skinny rows)
+
+
+def _tree_reduce(partial, combine_t, nb_l1: int):
+    """Two-level NO-EXCHANGE reduce for bounded-key combines.
+
+    ``repartition(nb)`` (plain split/merge, no sort) → per-block combine
+    → ``repartition(1)`` → final combine.  Correct for any associative,
+    order-insensitive combine (the integer-sum discipline every caller
+    follows): keys may appear in several level-1 blocks; the level-2
+    single task merges them exactly.  Removes Ray's sort-exchange fixed
+    cost (measured ~4 s on a 223k-row partial table spread over ~100
+    blocks vs ~0.7 s for this plan) — but the level-2 block holds the
+    WHOLE key space, so callers must prove key cardinality ≤
+    ``_TREE_KEYS_BOUND`` (AOI cells, plots, sources, windows …)."""
+    lvl1 = partial.repartition(nb_l1).map_batches(
+        combine_t, batch_format="pyarrow", batch_size=None
+    )
+    return lvl1.repartition(1).map_batches(
+        combine_t, batch_format="pyarrow", batch_size=None
+    )
+
+
 def bucketed_sum(
     partial,
     keys: list[str],
@@ -49,6 +72,7 @@ def bucketed_sum(
     num_buckets: int | None = None,
     recombine_batch_size: int | None = 512 * 1024,
     rows_hint: int | None = None,
+    max_keys_hint: int | None = None,
 ):
     """Combine per-batch partial sums: hash-bucket the keys (≈2×CPUs
     buckets), one vectorized pandas groupby-sum per bucket.  Exact for
@@ -62,7 +86,15 @@ def bucketed_sum(
     key cardinality ≈ block size, so re-partialing ~500k-row batches shrinks
     the shuffled table toward (key cardinality × n_batches) at the cost of
     one extra (skinny-row) exchange.  Set None to skip for low-cardinality
-    keys."""
+    keys.
+
+    ``max_keys_hint``: the caller's PROVEN bound on distinct-key
+    cardinality.  When given and ≤ ``_TREE_KEYS_BOUND`` the combine runs
+    as the no-exchange tree reduce (:func:`_tree_reduce`) — exact for
+    these order-insensitive sums and seconds cheaper than any
+    all-to-all; above the bound (or when omitted — unbounded key spaces
+    like fp128 fingerprints) the bucketed exchange handles arbitrary
+    cardinality."""
     nb = num_buckets or _default_buckets(rows_hint)
 
     if recombine_batch_size:
@@ -73,6 +105,15 @@ def bucketed_sum(
         partial = partial.map_batches(
             repartial, batch_format="pyarrow", batch_size=recombine_batch_size
         )
+
+    if max_keys_hint is not None and max_keys_hint <= _TREE_KEYS_BOUND:
+        def combine_t(t: pa.Table) -> pa.Table:
+            out = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+            return out.rename_columns(keys + sum_cols)
+
+        from ..runtime import cluster_cpus
+
+        return _tree_reduce(partial, combine_t, max(8, cluster_cpus()))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False)[sum_cols].sum()
@@ -92,11 +133,14 @@ def bucketed_combine(
     num_buckets: int | None = None,
     recombine_batch_size: int | None = 512 * 1024,
     rows_hint: int | None = None,
+    max_keys_hint: int | None = None,
 ):
     """``bucketed_sum`` generalized to mixed per-column reductions
     ('sum' | 'max' | 'min') — exact for any order-insensitive combine.
     Same ONE-int64-bucket exchange instead of a full sort-based groupby
-    (Ray's sort pays seconds of fixed cost per all-to-all at any size)."""
+    (Ray's sort pays seconds of fixed cost per all-to-all at any size);
+    ``max_keys_hint`` selects the no-exchange tree reduce exactly as in
+    :func:`bucketed_sum`."""
     nb = num_buckets or _default_buckets(rows_hint)
     cols = list(aggs)
 
@@ -109,6 +153,16 @@ def bucketed_combine(
         partial = partial.map_batches(
             repartial, batch_format="pyarrow", batch_size=recombine_batch_size
         )
+
+    if max_keys_hint is not None and max_keys_hint <= _TREE_KEYS_BOUND:
+
+        def combine_t(t: pa.Table) -> pa.Table:
+            out = t.group_by(keys).aggregate([(c, aggs[c]) for c in cols])
+            return out.rename_columns(keys + cols)
+
+        from ..runtime import cluster_cpus
+
+        return _tree_reduce(partial, combine_t, max(8, cluster_cpus()))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False).agg(
