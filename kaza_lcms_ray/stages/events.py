@@ -87,37 +87,21 @@ def _per_bucket_fn(key: str, fn):
 
 
 def _window_combine(partials):
-    """Combine per-batch (event_type, window_start, n, min, max) partials
-    via the hash-bucketed map_groups pattern — Ray's sort-based Aggregate
-    spends SECONDS per thousand rows on timestamp keys (measured 15.4 s on
-    3.4 k partial rows vs 0.4 s bucketed), so the shuffle key is one int64
-    hash bucket and the exact groupby runs vectorized inside the task."""
-    import numpy as np
+    """Combine per-batch (event_type, window_start, n, min, max) partials.
 
-    from ..runtime import cluster_cpus
-    from ..state.hashing import fnv1a_arr, hash_key
+    Key cardinality is |event types| × |windows in the observed span| —
+    structurally bounded (a decade of hourly windows × dozens of types is
+    ~2M), so this rides the NO-EXCHANGE tree reduce rather than any
+    all-to-all (Ray's sort-based Aggregate spends SECONDS per thousand
+    rows on timestamp keys — measured 15.4 s on 3.4k partial rows)."""
+    from .zonal import bucketed_combine
 
-    nb = max(8, cluster_cpus() * 2)
-
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df["window_start"].astype("int64").to_numpy().astype(np.uint64)
-        et = fnv1a_arr(df["event_type"].astype(str).tolist())
-        b = (hash_key(et ^ ts) % np.uint64(nb)).astype(np.int64)
-        return df.assign(bucket=b)
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(KEYS, as_index=False).agg(
-            n=("n", "sum"),
-            min_value=("min_value", "min"),
-            max_value=("max_value", "max"),
-        )
-
-    return (
-        partials.map_batches(add_bucket, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(combine, batch_format="pandas")
-        .select_columns(KEYS + ["n", "min_value", "max_value"])
-    )
+    return bucketed_combine(
+        partials,
+        KEYS,
+        {"n": "sum", "min_value": "min", "max_value": "max"},
+        max_keys_hint=1 << 21,
+    ).select_columns(KEYS + ["n", "min_value", "max_value"])
 
 
 def tumbling_window(ds, freq: str = "h"):
