@@ -66,3 +66,35 @@ def test_bpe_train_vocab_cap_truncates(ray_session):
     # the dominant merge survives any realistic truncation
     assert full.iloc[0]["lhs"] == capped.iloc[0]["lhs"] == "a"
     assert full.iloc[0]["rhs"] == capped.iloc[0]["rhs"] == "a"
+
+
+def test_tree_reduce_matches_bucketed_exchange(ray_session):
+    from kaza_lcms_ray.stages.zonal import bucketed_combine, bucketed_sum
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 317, n).astype(np.int64),
+            "s": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(-1000, 1000, n).astype(np.int64),
+            "w": rng.integers(0, 10**9, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(13)
+
+    def norm(out):
+        return (
+            out.to_pandas()
+            .sort_values(["k", "s"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    a = norm(bucketed_sum(ds, ["k", "s"], ["v", "w"]))
+    b = norm(bucketed_sum(ds, ["k", "s"], ["v", "w"], max_keys_hint=1000))
+    pd.testing.assert_frame_equal(a, b)
+
+    aggs = {"v": "sum", "w": "max"}
+    c = norm(bucketed_combine(ds, ["k", "s"], aggs))
+    d = norm(bucketed_combine(ds, ["k", "s"], aggs, max_keys_hint=1000))
+    pd.testing.assert_frame_equal(c, d)
