@@ -77,13 +77,17 @@ def assemble_tile_labels(primitives):
 
     partial = primitives.map_batches(_partial, batch_format="pyarrow")
     # second-level partial over large batches before the shuffle (same
-    # rationale as zonal.bucketed_sum's recombine pass)
+    # rationale as zonal.bucketed_sum's recombine pass); num_cpus=1.01
+    # breaks fusion with the upstream map — fused, the big batch_size
+    # bundles input blocks and collapses upstream parallelism (see
+    # bucketed_sum)
     partial = partial.map_batches(
         lambda t: t.group_by(_KEYS)
         .aggregate([("score", "max")])
         .rename_columns(_KEYS + ["score"]),
         batch_format="pyarrow",
         batch_size=512 * 1024,
+        num_cpus=1.01,
     )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:

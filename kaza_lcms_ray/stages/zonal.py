@@ -97,16 +97,14 @@ def bucketed_sum(
     cardinality."""
     nb = num_buckets or _default_buckets(rows_hint)
 
-    if recombine_batch_size:
-        def repartial(t: pa.Table) -> pa.Table:
-            out = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
-            return out.rename_columns(keys + sum_cols)
-
-        partial = partial.map_batches(
-            repartial, batch_format="pyarrow", batch_size=recombine_batch_size
-        )
-
     if max_keys_hint is not None and max_keys_hint <= _TREE_KEYS_BOUND:
+        # tree path SKIPS the recombine stage: its level-1 per-block
+        # combine does the same shrink AFTER a repartition boundary.
+        # (The recombine's big batch_size is a fusion trap: Ray bundles
+        # input blocks to satisfy the fused operator's min batch size, so
+        # a 512k-row recombine fused onto an expensive upstream map
+        # collapses it to ~rows/512k tasks — measured 6 tasks × 6 s on
+        # the kNN chain that runs in ~2 s at natural parallelism.)
         def combine_t(t: pa.Table) -> pa.Table:
             out = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
             return out.rename_columns(keys + sum_cols)
@@ -114,6 +112,26 @@ def bucketed_sum(
         from ..runtime import cluster_cpus
 
         return _tree_reduce(partial, combine_t, max(8, cluster_cpus()))
+
+    if recombine_batch_size:
+        def repartial(t: pa.Table) -> pa.Table:
+            out = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+            return out.rename_columns(keys + sum_cols)
+
+        # num_cpus=1.01 BREAKS OPERATOR FUSION with the upstream map (Ray
+        # only fuses maps with identical resource requests).  Fused, the
+        # recombine's big batch_size makes Ray bundle input blocks to
+        # ≥512k rows per task, which collapses the (possibly expensive)
+        # upstream map to ~rows/512k tasks — measured 9.5 s vs 3.8 s on
+        # the kNN→count chain at 32 CPUs.  Unfused, upstream runs at its
+        # natural parallelism and only the skinny partial blocks are
+        # bundled.
+        partial = partial.map_batches(
+            repartial,
+            batch_format="pyarrow",
+            batch_size=recombine_batch_size,
+            num_cpus=1.01,
+        )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False)[sum_cols].sum()
@@ -144,17 +162,9 @@ def bucketed_combine(
     nb = num_buckets or _default_buckets(rows_hint)
     cols = list(aggs)
 
-    if recombine_batch_size:
-
-        def repartial(t: pa.Table) -> pa.Table:
-            out = t.group_by(keys).aggregate([(c, aggs[c]) for c in cols])
-            return out.rename_columns(keys + cols)
-
-        partial = partial.map_batches(
-            repartial, batch_format="pyarrow", batch_size=recombine_batch_size
-        )
-
     if max_keys_hint is not None and max_keys_hint <= _TREE_KEYS_BOUND:
+        # tree path skips the recombine stage — see bucketed_sum (the
+        # fused big-batch recombine collapses upstream parallelism)
 
         def combine_t(t: pa.Table) -> pa.Table:
             out = t.group_by(keys).aggregate([(c, aggs[c]) for c in cols])
@@ -163,6 +173,21 @@ def bucketed_combine(
         from ..runtime import cluster_cpus
 
         return _tree_reduce(partial, combine_t, max(8, cluster_cpus()))
+
+    if recombine_batch_size:
+
+        def repartial(t: pa.Table) -> pa.Table:
+            out = t.group_by(keys).aggregate([(c, aggs[c]) for c in cols])
+            return out.rename_columns(keys + cols)
+
+        # num_cpus=1.01 breaks fusion with the upstream map — see
+        # bucketed_sum for the measured fusion-bundling trap
+        partial = partial.map_batches(
+            repartial,
+            batch_format="pyarrow",
+            batch_size=recombine_batch_size,
+            num_cpus=1.01,
+        )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby(keys, as_index=False).agg(
