@@ -582,11 +582,19 @@ def dbscan(
         .groupby("id")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
-    core_df = counts.filter(expr=f"cnt >= {int(min_pts)}").to_pandas()
-    if len(core_df) and pair_ds.count() > driver_pair_limit:
+    # gate BEFORE collecting: the core set is ≤ 2·pairs ids, so check the
+    # pair bound first rather than materializing an oversized core table
+    if pair_ds.count() > driver_pair_limit:
         raise ValueError(
             f"dbscan: pair list exceeds driver_pair_limit={driver_pair_limit}"
         )
+    from ..runtime import bounded_collect
+
+    core_df = bounded_collect(
+        counts.filter(expr=f"cnt >= {int(min_pts)}"),
+        2 * driver_pair_limit,
+        "dbscan core ids: ≤ 2·driver_pair_limit",
+    )
     # sorted unicode key arrays -> every membership / label probe below is
     # a vectorized searchsorted, never a per-row Python hash lookup
     ck = np.sort(core_df["id"].to_numpy().astype("U"))
