@@ -183,18 +183,25 @@ def mix_sources(
     # tiny reduce: per-source counts (|sources| rows), then broadcast
     # integer thresholds — the small-side-lookup pattern, no shuffle join
     from ..runtime import bounded_collect
+    from . import zonal
 
     counts = bounded_collect(
-        docs.map_batches(
-            lambda t: t.group_by([source_col]).aggregate([("doc_id", "count")])
-            .rename_columns([source_col, "n_s"]),
-            batch_format="pyarrow",
-        )
-        .groupby(source_col)
-        .sum("n_s"),
+        zonal.bucketed_sum(
+            docs.map_batches(
+                lambda t: t.group_by([source_col])
+                .aggregate([("doc_id", "count")])
+                .rename_columns([source_col, "n_s"]),
+                batch_format="pyarrow",
+            ),
+            [source_col],
+            ["n_s"],
+            # |sources| is config-bounded: the no-exchange tree reduce
+            # replaces Ray's sort-based aggregate on string keys
+            max_keys_hint=1 << 20,
+        ),
         1 << 20,
         "mix_sources per-source counts: one row per source",
-    )
+    ).rename(columns={"n_s": "sum(n_s)"})
     total = float(counts["sum(n_s)"].sum())
     if getattr(weight_of, "_wants_count", False):
         # count-derived weights (temperature mixing): weight_of(s, n_s)
