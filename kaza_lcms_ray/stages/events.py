@@ -1065,15 +1065,19 @@ def event_transitions(ds, key: str = "user_id", ts_col: str = "ts"):
     )
     if ds.limit(1).count() == 0:  # zero groups -> column-less downstream
         return empty
-    counts = (
+    from .zonal import bucketed_sum
+
+    counts = bucketed_sum(
         ds.select_columns(["event_id", key, ts_col, "event_type"])
         .map_batches(_add_key_bucket(key), batch_format="pandas")
         .groupby("__kb")
-        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas")
-        .groupby(["from_type", "to_type"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
+        .map_groups(_per_bucket_fn(key, per_key), batch_format="pandas"),
+        ["from_type", "to_type"],
+        ["n"],
+        # |types|² keys — the tree reduce replaces the native sort
+        # aggregate on the string pair
+        max_keys_hint=1 << 16,
+    ).to_pandas()
     if len(counts) == 0:
         return empty
     tot = counts.groupby("from_type")["n"].transform("sum").to_numpy(np.float64)
