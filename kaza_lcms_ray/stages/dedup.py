@@ -602,7 +602,11 @@ def near_dedup_filter(
     verified = _verify_pairs_distributed(
         ds, cand, text_col, id_col, k=k, threshold=threshold, n_pairs=cand.count()
     )
-    drops = verified.select_columns(["b"]).groupby("b").count().select_columns(["b"])
+    # distinct drop ids via the bucketed exchange (joins.distinct), not
+    # Ray's native sort-based groupby-count
+    from .joins import distinct
+
+    drops = distinct(verified.select_columns(["b"]), ["b"])
     return _filter_out_ids(ds, id_col, drops, "b", max_broadcast_ids)
 
 

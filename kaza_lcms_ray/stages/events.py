@@ -210,11 +210,15 @@ def extract_props_key(ds, field: str = "k"):
         out = tb.group_by(["event_type"]).aggregate([("v", "sum"), ([], "count_all")])
         return out.rename_columns(["event_type", "sum_k", "n"])
 
-    return (
-        ds.select_columns(["event_type", "props"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    from .zonal import bucketed_sum
+
+    return bucketed_sum(
+        ds.select_columns(["event_type", "props"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["event_type"],
+        ["sum_k", "n"],
+        max_keys_hint=1 << 16,  # |event types| — tree reduce, no exchange
     )
 
 
@@ -281,8 +285,6 @@ def pivot_counts(ds, key: str = "user_id", cat_col: str = "event_type", cats=Non
     as per-block conditional-count partials + one Sum combine (never a
     per-category shuffle).  ``cats`` must be the closed category list (the
     schema can't depend on data at plan time)."""
-    from ray.data.aggregate import Sum
-
     cats = list(cats or ("click", "view", "purchase", "signup", "error"))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -298,11 +300,17 @@ def pivot_counts(ds, key: str = "user_id", cat_col: str = "event_type", cats=Non
             cols[f"n_{c}"] = pa.array(cnt)
         return pa.table(cols)
 
-    return (
-        ds.select_columns([key, cat_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in cats])
+    # sum-combine via the hash-bucket exchange, not Ray's native
+    # sort-based aggregate (seconds of fixed cost on raw key dtypes);
+    # user keys are unbounded, so no tree hint
+    from .zonal import bucketed_sum
+
+    return bucketed_sum(
+        ds.select_columns([key, cat_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [key],
+        [f"n_{c}" for c in cats],
     )
 
 
@@ -1139,11 +1147,16 @@ def ab_test(ds, convert_type: str = "purchase", min_events: int = 14):
         np.add.at(c, inv, conv)
         return _pa.table({"user_id": _pa.array(uk), "nc": _pa.array(c)})
 
-    per_user = (
-        ds.select_columns(["user_id", "event_type"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("nc", alias_name="nc"))
+    from .zonal import bucketed_sum
+
+    # user keys are unbounded → the hash-bucket exchange (not Ray's
+    # sort-based aggregate, not the tree)
+    per_user = bucketed_sum(
+        ds.select_columns(["user_id", "event_type"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        ["nc"],
     )
 
     def cohort_partial(t: pa.Table) -> pa.Table:
@@ -1234,8 +1247,6 @@ def rolling_active_users(ds, window_days: int = 7):
     """
     import numpy as np
 
-    from ray.data.aggregate import Count
-
     from .joins import distinct as distinct_rows
 
     def to_days(t: pa.Table) -> pa.Table:
@@ -1262,8 +1273,7 @@ def rolling_active_users(ds, window_days: int = 7):
         )
 
     obs_days = np.sort(
-        activity.groupby("day")
-        .aggregate(Count(alias_name="_n"))
+        distinct_rows(activity.select_columns(["day"]), ["day"])
         .to_pandas()["day"]
         .to_numpy(np.int64)
     )
@@ -1289,12 +1299,21 @@ def rolling_active_users(ds, window_days: int = 7):
         g = part.group_by(["user_id", "day"]).aggregate([([], "count_all")])
         return g.select(["user_id", "day"])
 
-    return (
+    from .zonal import bucketed_sum
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        g = t.select(["day"]).group_by(["day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "wau"])
+
+    # per-day distinct-user counts via the calendar-bounded tree reduce
+    # (|days| keys), not Ray's sort-based Count aggregate
+    return bucketed_sum(
         distinct_rows(
             activity.map_batches(fan, batch_format="pyarrow"), ["user_id", "day"]
-        )
-        .groupby("day")
-        .aggregate(Count(alias_name="wau"))
+        ).map_batches(day_counts, batch_format="pyarrow"),
+        ["day"],
+        ["wau"],
+        max_keys_hint=1 << 20,
     )
 
 
@@ -1569,10 +1588,12 @@ def mad_outliers(ds, val_col: str = "value", group_col: str = "event_type",
             )
             return out.rename_columns([group_col, col, "cnt"])
 
-        return (
-            src.map_batches(partial, batch_format="pyarrow")
-            .groupby([group_col, col])
-            .aggregate(Sum("cnt", alias_name="cnt"))
+        from .zonal import bucketed_sum
+
+        return bucketed_sum(
+            src.map_batches(partial, batch_format="pyarrow"),
+            [group_col, col],
+            ["cnt"],
         )
 
     med_ref = _nearest_rank_cut(_hist(binned, "value_c"), "value_c")
@@ -1700,11 +1721,14 @@ def ks_drift(ds, val_col: str = "value", group_col: str = "event_type",
         )
         return out.rename_columns([group_col, "v", "c1", "c2"])
 
-    hist = (
-        ds.select_columns([group_col, val_col, ts_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby([group_col, "v"])
-        .aggregate(Sum("c1", alias_name="c1"), Sum("c2", alias_name="c2"))
+    from .zonal import bucketed_sum
+
+    hist = bucketed_sum(
+        ds.select_columns([group_col, val_col, ts_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [group_col, "v"],
+        ["c1", "c2"],
     )
 
     def sup(g: pd.DataFrame) -> pd.DataFrame:

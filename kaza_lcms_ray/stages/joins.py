@@ -183,7 +183,6 @@ def _set_op(left, right, cols: list[str], keep_right: bool):
     flags (so the shuffle moves one row per (batch, key), never raw rows),
     one groupby(cols) max-combine, then a vectorized membership filter.
     One all-to-all total, pre-aggregated — the same shape as ``distinct``."""
-    from ray.data.aggregate import Max
 
     def tag(l_flag: int, r_flag: int):
         def f(t: pa.Table) -> pa.Table:
@@ -197,7 +196,12 @@ def _set_op(left, right, cols: list[str], keep_right: bool):
     both = left.map_batches(tag(1, 0), batch_format="pyarrow").union(
         right.map_batches(tag(0, 1), batch_format="pyarrow")
     )
-    agg = both.groupby(cols).aggregate(Max("_l", alias_name="_l"), Max("_r", alias_name="_r"))
+    # max-combine via the hash-bucket exchange, not Ray's native
+    # sort-based aggregate — the same rationale (and measured ~3× win on
+    # string keys) as ``distinct`` above
+    from .zonal import bucketed_combine
+
+    agg = bucketed_combine(both, cols, {"_l": "max", "_r": "max"})
 
     def keep(t: pa.Table) -> pa.Table:
         l = t.column("_l").to_numpy(zero_copy_only=False) == 1
