@@ -45,14 +45,15 @@ def poly_area_by_class(polygons_path: str, kind: str = "reference"):
     """
     import ray.data as rd
 
-    from ray.data.aggregate import Sum
+    from .zonal import bucketed_sum
 
-    ds = (
+    ds = bucketed_sum(
         rd.read_parquet(polygons_path)
         .filter(expr=f"kind == '{kind}'")
-        .map_batches(polygon_area_batch, batch_format="pyarrow")
-        .groupby("LANDCOVER")
-        .aggregate(Sum("area_scaled", alias_name="area_scaled"))
+        .map_batches(polygon_area_batch, batch_format="pyarrow"),
+        ["LANDCOVER"],
+        ["area_scaled"],
+        max_keys_hint=1 << 16,  # |classes| — tree reduce
     )
 
     def flag(t: pa.Table) -> pa.Table:

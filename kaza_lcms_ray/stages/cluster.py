@@ -575,12 +575,14 @@ def dbscan(
         )
         return out.rename_columns(["id", "cnt"])
 
-    from ray.data.aggregate import Sum
+    from .zonal import bucketed_sum
 
-    counts = (
-        pair_ds.map_batches(cnt_partial, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    # unbounded string ids → the hash-bucket exchange, not the native
+    # sort aggregate
+    counts = bucketed_sum(
+        pair_ds.map_batches(cnt_partial, batch_format="pyarrow"),
+        ["id"],
+        ["cnt"],
     )
     # gate BEFORE collecting: the core set is ≤ 2·pairs ids, so check the
     # pair bound first rather than materializing an oversized core table
@@ -648,14 +650,13 @@ def dbscan(
         )
         return out.rename_columns(["id", "lab"])
 
-    from ray.data.aggregate import Min
+    from .zonal import bucketed_combine
 
-    border = (
-        pair_ds.map_batches(border_partial, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Min("lab", alias_name="lab"))
-        .to_pandas()
-    )
+    border = bucketed_combine(
+        pair_ds.map_batches(border_partial, batch_format="pyarrow"),
+        ["id"],
+        {"lab": "min"},
+    ).to_pandas()
     if len(border) == 0 or "id" not in border.columns:
         # empty Dataset.to_pandas() loses its column names (known Ray quirk)
         bk = np.empty(0, dtype="U1")
@@ -827,13 +828,16 @@ def silhouette(
         )
         return g.rename_columns(["cluster", "n", "s_q_sum"])
 
-    agg = (
-        ds.select_columns([id_col, embed_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("cluster")
-        .aggregate(Sum("n", alias_name="n"), Sum("s_q_sum", alias_name="s_q_sum"))
-        .to_pandas()  # ≤ k rows
-    )
+    from .zonal import bucketed_sum
+
+    agg = bucketed_sum(
+        ds.select_columns([id_col, embed_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["cluster"],
+        ["n", "s_q_sum"],
+        max_keys_hint=1 << 20,  # ≤ k clusters — tree reduce
+    ).to_pandas()  # ≤ k rows
     agg = agg.sort_values("cluster", kind="mergesort").reset_index(drop=True)
     sq = agg["s_q_sum"].to_numpy(np.int64)
     n = agg["n"].to_numpy(np.int64)
