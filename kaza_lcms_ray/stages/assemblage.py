@@ -508,14 +508,13 @@ def core_area(primitives, year: int = 2022, band_m: float = 100.0):
         )
         return g.rename_columns(["zone", "area", "core"])
 
-    from ray.data.aggregate import Sum
 
-    agg = (
-        per_key.map_batches(partial, batch_format="pyarrow")
-        .groupby("zone")
-        .aggregate(Sum("area", alias_name="area"), Sum("core", alias_name="core"))
-        .to_pandas()  # ≤ |zones| rows
-    )
+    agg = bucketed_sum(
+        per_key.map_batches(partial, batch_format="pyarrow"),
+        ["zone"],
+        ["area", "core"],
+        max_keys_hint=1 << 16,  # |zones| — tree reduce
+    ).to_pandas()  # ≤ |zones| rows
     z = agg["zone"].to_numpy(np.int64)
     area = agg["area"].to_numpy(np.int64)
     core = agg["core"].to_numpy(np.int64)
@@ -652,14 +651,13 @@ def class_shape(primitives, year: int = 2022):
         )
         return g.rename_columns(["LANDCOVER", "area", "same"])
 
-    from ray.data.aggregate import Sum
 
-    agg = (
-        per_key.map_batches(partial, batch_format="pyarrow")
-        .groupby("LANDCOVER")
-        .aggregate(Sum("area", alias_name="area"), Sum("same", alias_name="same"))
-        .to_pandas()  # ≤ |classes| rows
-    )
+    agg = bucketed_sum(
+        per_key.map_batches(partial, batch_format="pyarrow"),
+        ["LANDCOVER"],
+        ["area", "same"],
+        max_keys_hint=1 << 16,  # |classes| — tree reduce
+    ).to_pandas()  # ≤ |classes| rows
     lc = agg["LANDCOVER"].to_numpy(np.int64)
     area = agg["area"].to_numpy(np.int64)
     same = agg["same"].to_numpy(np.int64)
@@ -955,7 +953,6 @@ def _adjacency_counts(labels, lab_pd, include_same: bool):
     """
     import ray
 
-    from ray.data.aggregate import Sum
 
     from ..state.cells import TILE_LEVEL, decode, morton
 
@@ -995,12 +992,13 @@ def _adjacency_counts(labels, lab_pd, include_same: bool):
             }
         )
 
-    return (
-        labels.map_batches(pair_counts, batch_format="pyarrow")
-        .groupby(["i", "k"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # ≤ m² rows
-    )
+    from .zonal import bucketed_sum
+    return bucketed_sum(
+        labels.map_batches(pair_counts, batch_format="pyarrow"),
+        ["i", "k"],
+        ["n"],
+        max_keys_hint=1 << 16,  # m² class pairs — tree reduce
+    ).to_pandas()  # ≤ m² rows
 
 
 def iji(primitives, year: int = 2022):
@@ -1212,7 +1210,6 @@ def cohesion(primitives, year: int = 2022, block_levels: int = 4):
     """
     import ray.data as rd
 
-    from ray.data.aggregate import Sum
 
     pm = patch_metrics(primitives, year=year, block_levels=block_levels)
     S = COHESION_SCALE
@@ -1243,17 +1240,13 @@ def cohesion(primitives, year: int = 2022, block_levels: int = 4):
             ["LANDCOVER", "n_patches", "p_sum", "paq_sum", "area"]
         )
 
-    agg = (
-        pm.map_batches(partial, batch_format="pyarrow")
-        .groupby("LANDCOVER")
-        .aggregate(
-            Sum("n_patches", alias_name="n_patches"),
-            Sum("p_sum", alias_name="p_sum"),
-            Sum("paq_sum", alias_name="paq_sum"),
-            Sum("area", alias_name="area"),
-        )
-        .to_pandas()  # ≤ |classes| rows
-    )
+    from .zonal import bucketed_sum
+    agg = bucketed_sum(
+        pm.map_batches(partial, batch_format="pyarrow"),
+        ["LANDCOVER"],
+        ["n_patches", "p_sum", "paq_sum", "area"],
+        max_keys_hint=1 << 16,  # |classes| — tree reduce
+    ).to_pandas()  # ≤ |classes| rows
     empty = pa.table(
         {
             "LANDCOVER": pa.array([], pa.int64()),
@@ -1308,7 +1301,6 @@ def pafrac(primitives, year: int = 2022, block_levels: int = 4):
     """
     import ray.data as rd
 
-    from ray.data.aggregate import Sum
 
     pm = patch_metrics(primitives, year=year, block_levels=block_levels)
     Q = PAFRAC_SCALE
@@ -1348,18 +1340,13 @@ def pafrac(primitives, year: int = 2022, block_levels: int = 4):
             ["LANDCOVER", "n_patches", "x_sum", "y_sum", "xx_sum", "xy_sum"]
         )
 
-    agg = (
-        pm.map_batches(partial, batch_format="pyarrow")
-        .groupby("LANDCOVER")
-        .aggregate(
-            Sum("n_patches", alias_name="n_patches"),
-            Sum("x_sum", alias_name="x_sum"),
-            Sum("y_sum", alias_name="y_sum"),
-            Sum("xx_sum", alias_name="xx_sum"),
-            Sum("xy_sum", alias_name="xy_sum"),
-        )
-        .to_pandas()  # ≤ |classes| rows
-    )
+    from .zonal import bucketed_sum
+    agg = bucketed_sum(
+        pm.map_batches(partial, batch_format="pyarrow"),
+        ["LANDCOVER"],
+        ["n_patches", "x_sum", "y_sum", "xx_sum", "xy_sum"],
+        max_keys_hint=1 << 16,  # |classes| — tree reduce
+    ).to_pandas()  # ≤ |classes| rows
     if len(agg) == 0:
         return rd.from_arrow(
             pa.table(
@@ -1501,7 +1488,6 @@ def mesh(primitives, year: int = 2022, block_levels: int = 4):
     """
     import ray.data as rd
 
-    from ray.data.aggregate import Sum
 
     pm = patch_metrics(primitives, year=year, block_levels=block_levels)
 
@@ -1521,16 +1507,13 @@ def mesh(primitives, year: int = 2022, block_levels: int = 4):
         )
         return g.rename_columns(["LANDCOVER", "n_patches", "a_sum", "a2_sum"])
 
-    agg = (
-        pm.map_batches(partial, batch_format="pyarrow")
-        .groupby("LANDCOVER")
-        .aggregate(
-            Sum("n_patches", alias_name="n_patches"),
-            Sum("a_sum", alias_name="a_sum"),
-            Sum("a2_sum", alias_name="a2_sum"),
-        )
-        .to_pandas()  # ≤ |classes| rows
-    )
+    from .zonal import bucketed_sum
+    agg = bucketed_sum(
+        pm.map_batches(partial, batch_format="pyarrow"),
+        ["LANDCOVER"],
+        ["n_patches", "a_sum", "a2_sum"],
+        max_keys_hint=1 << 16,  # |classes| — tree reduce
+    ).to_pandas()  # ≤ |classes| rows
     empty = pa.table(
         {
             "LANDCOVER": pa.array([], pa.int64()),
@@ -1595,7 +1578,6 @@ def std_ellipse(primitives, year: int = 2022):
 
     import ray.data as rd
 
-    from ray.data.aggregate import Sum
 
     from ..state.cells import TILE_LEVEL, decode
 
@@ -1631,16 +1613,13 @@ def std_ellipse(primitives, year: int = 2022):
             ["LANDCOVER", "n", "sx", "sy", "sxx", "syy", "sxy"]
         )
 
-    agg = (
-        labels.map_batches(partial, batch_format="pyarrow")
-        .groupby("LANDCOVER")
-        .aggregate(
-            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
-        )
-        .to_pandas()  # ≤ |classes| rows
-    )
+    from .zonal import bucketed_sum
+    agg = bucketed_sum(
+        labels.map_batches(partial, batch_format="pyarrow"),
+        ["LANDCOVER"],
+        ["n", "sx", "sy", "sxx", "syy", "sxy"],
+        max_keys_hint=1 << 16,  # |classes| — tree reduce
+    ).to_pandas()  # ≤ |classes| rows
     if len(agg) == 0:
         return rd.from_arrow(
             pa.table(
