@@ -63,14 +63,12 @@ def pricing_summary(lineitem, cutoff: str = PRICING_CUTOFF):
             ["l_returnflag", "l_linestatus", "q", "p", "d", "dp", "ch", "n"]
         )
 
-    agg = (
-        lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("q", alias_name="q"), Sum("p", alias_name="p"),
-            Sum("d", alias_name="d"), Sum("dp", alias_name="dp"),
-            Sum("ch", alias_name="ch"), Sum("n", alias_name="n"),
-        )
+    from ..stages.zonal import bucketed_sum
+    agg = bucketed_sum(
+        lineitem.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["q", "p", "d", "dp", "ch", "n"],
+        max_keys_hint=1 << 16,  # schema-bounded keys — tree reduce,
     )
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -205,12 +203,15 @@ def local_supplier_volume(
         t = t.filter(keep)
         return pa.table({"n_nationkey": t.column("s_nat"), "rev": t.column("rev")})
 
-    per_nation = (
-        joined.map_batches(local_only, batch_format="pyarrow")
-        .groupby("n_nationkey")
-        .aggregate(Sum("rev", alias_name="revenue_scaled"))
-        .to_pandas()
-    )
+    from ..stages.zonal import bucketed_sum
+    per_nation = bucketed_sum(
+        joined.map_batches(local_only, batch_format="pyarrow").rename_columns(
+            {"rev": "revenue_scaled"}
+        ),
+        ["n_nationkey"],
+        ["revenue_scaled"],
+        max_keys_hint=1 << 16,  # |nations| — tree reduce
+    ).to_pandas()
     per_nation["n_name"] = per_nation["n_nationkey"].map(dict(nat_names))
     per_nation = per_nation.sort_values(
         ["revenue_scaled", "n_name"], ascending=[False, True], kind="mergesort"
@@ -350,10 +351,13 @@ def shipping_priority(
             ["l_orderkey", "rev"]
         )
 
-    rev_per_order = (
-        lineitem.map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue_scaled"))
+    from ..stages.zonal import bucketed_sum
+    rev_per_order = bucketed_sum(
+        lineitem.map_batches(li_partial, batch_format="pyarrow").rename_columns(
+            {"rev": "revenue_scaled"}
+        ),
+        ["l_orderkey"],
+        ["revenue_scaled"],
     )
     # partition hint from the (metadata-only) orders count: the join keys
     # are order keys, so ≥10k rows/partition guards the empty-partition
@@ -494,12 +498,15 @@ def bilateral_volume(
             }
         )
 
-    out = (
-        joined.map_batches(cross_only, batch_format="pyarrow")
-        .groupby(["s_nat", "c_nat", "l_year"])
-        .aggregate(Sum("rev", alias_name="revenue_scaled"))
-        .to_pandas()
-    )
+    from ..stages.zonal import bucketed_sum
+    out = bucketed_sum(
+        joined.map_batches(cross_only, batch_format="pyarrow").rename_columns(
+            {"rev": "revenue_scaled"}
+        ),
+        ["s_nat", "c_nat", "l_year"],
+        ["revenue_scaled"],
+        max_keys_hint=1 << 20,  # |nations|²·|years| — tree reduce
+    ).to_pandas()
     out["supp_nation"] = out["s_nat"].map(names)
     out["cust_nation"] = out["c_nat"].map(names)
     out = out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
@@ -527,10 +534,13 @@ def large_orders(lineitem, orders, customer, min_qty: float = 250.0):
             )
         )
 
+    from ..stages.zonal import bucketed_sum
     agg = (
-        lineitem.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty_cents", alias_name="qty_cents"))
+        bucketed_sum(
+            lineitem.map_batches(partial, batch_format="pyarrow"),
+            ["l_orderkey"],
+            ["qty_cents"],
+        )
         .filter(expr=f"qty_cents > {int(min_qty * 100)}")
         .to_pandas()  # bounded: this IS the result row set
     )
@@ -585,10 +595,11 @@ def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
         out = tb.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
         return out.rename_columns(["l_orderkey", "rev"])
 
-    per_order = (
-        lineitem.map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="rev"))
+    from ..stages.zonal import bucketed_sum
+    per_order = bucketed_sum(
+        lineitem.map_batches(li_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        ["rev"],
     )
     joined = per_order.join(
         orders.select_columns(["o_orderkey", "o_custkey"]),
@@ -603,10 +614,13 @@ def top_customers_by_revenue(lineitem, orders, customer, k: int = 10):
         out = tb.group_by(["c_custkey"]).aggregate([("rev", "sum")])
         return out.rename_columns(["c_custkey", "rev"])
 
-    per_cust = (
-        joined.map_batches(cust_partial, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("rev", alias_name="revenue_scaled"))
+    from ..stages.zonal import bucketed_sum
+    per_cust = bucketed_sum(
+        joined.map_batches(cust_partial, batch_format="pyarrow").rename_columns(
+            {"rev": "revenue_scaled"}
+        ),
+        ["c_custkey"],
+        ["revenue_scaled"],
     )
     top = top_k(per_cust, "revenue_scaled", k, "c_custkey").to_pandas()
 
@@ -690,10 +704,12 @@ def order_priority_check(
         out = t.group_by("o_orderpriority").aggregate([([], "count_all")])
         return out.rename_columns(["o_orderpriority", "order_count"])
 
-    return (
-        hits.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("order_count", alias_name="order_count"))
+    from ..stages.zonal import bucketed_sum
+    return bucketed_sum(
+        hits.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        ["order_count"],
+        max_keys_hint=1 << 16,  # |priorities| — tree reduce
     )
 
 
@@ -784,13 +800,12 @@ def returnflag_priority_share(
         )
         return out.rename_columns(["l_returnflag", "high_count", "low_count"])
 
-    return (
-        flagged.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("high_count", alias_name="high_count"),
-            Sum("low_count", alias_name="low_count"),
-        )
+    from ..stages.zonal import bucketed_sum
+    return bucketed_sum(
+        flagged.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag"],
+        ["high_count", "low_count"],
+        max_keys_hint=1 << 16,  # |flags| — tree reduce
     )
 
 
@@ -900,13 +915,12 @@ def global_sales_opportunity(
         )
         return out.rename_columns(["c_mktsegment", "numcust", "totacctbal_cents"])
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Sum("numcust", alias_name="numcust"),
-            Sum("totacctbal_cents", alias_name="totacctbal_cents"),
-        )
+    from ..stages.zonal import bucketed_sum
+    return bucketed_sum(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        ["numcust", "totacctbal_cents"],
+        max_keys_hint=1 << 16,  # |segments| — tree reduce
     )
 
 
@@ -962,18 +976,15 @@ def revenue_rollup(lineitem):
             ["l_returnflag", "l_linestatus", "n", "revenue_scaled"]
         )
 
-    base = (
+    from ..stages.zonal import bucketed_sum
+    base = bucketed_sum(
         lineitem.select_columns(
             ["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"]
-        )
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("revenue_scaled", alias_name="revenue_scaled"),
-        )
-        .to_pandas()
-    )
+        ).map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["n", "revenue_scaled"],
+        max_keys_hint=1 << 16,  # flag×status — tree reduce
+    ).to_pandas()
     if len(base) == 0:
         # empty Dataset.to_pandas() loses columns; the cube still carries
         # its zero-count grand total
@@ -1046,11 +1057,16 @@ def benford_audit(orders):
             }
         )
 
+    from ..stages.zonal import bucketed_sum
     agg = (
-        orders.select_columns(["o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("digit")
-        .aggregate(Sum("n", alias_name="n"))
+        bucketed_sum(
+            orders.select_columns(["o_totalprice"]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["digit"],
+            ["n"],
+            max_keys_hint=1 << 16,  # 9 digits — tree reduce
+        )
         .to_pandas()
         .sort_values("digit")
         .reset_index(drop=True)
